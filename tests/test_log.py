@@ -1,0 +1,231 @@
+"""Log kernel unit tests — no Spark session needed.
+
+Golden fixtures are the reference's delta-rs-written log
+(/root/reference/tests/fixtures/_delta_log/), an engine-neutral JSON corpus
+(reference test: tests/test_delta_log.py:17-39).
+"""
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from xdlake_spark.log import (
+    Add,
+    DeltaLog,
+    DeltaLogEntry,
+    Protocol,
+    Remove,
+    TableCommit,
+    TableMetadata,
+    UnknownAction,
+    WriteMode,
+    load_action,
+    log_entry_filename,
+)
+from xdlake_spark.log.schema import (
+    intersect_schemas,
+    merge_schemas,
+    schema_from_string,
+    schema_to_string,
+    schemas_equal,
+)
+from xdlake_spark.sources.storage import Location
+
+FIXTURES = "/root/reference/tests/fixtures/_delta_log"
+
+
+def golden_log(version=None):
+    return DeltaLog.load(Location.resolve(FIXTURES), version=version)
+
+
+class TestGoldenFixtures:
+    def test_versions(self):
+        assert golden_log().versions == [0, 1, 2]
+
+    def test_replay_live_files(self):
+        log = golden_log()
+        live = log.add_actions()
+        # v1 overwrote v0's file (add+remove); v2 appended one more
+        assert len(live) == 2
+
+    def test_schema_evolution_visible(self):
+        log = golden_log()
+        names = [f.name for f in log.schema().fields]
+        assert "new_column" in names
+        v1 = golden_log(version=1)
+        assert "new_column" not in [f.name for f in v1.schema().fields]
+
+    def test_pinned_version_truncates(self):
+        assert golden_log(version=1).versions == [0, 1]
+
+    def test_missing_version_raises(self):
+        with pytest.raises(ValueError):
+            golden_log(version=99)
+
+    def test_roundtrip_bytes(self):
+        log = golden_log()
+        for v, entry in log.entries.items():
+            rt = DeltaLogEntry.from_bytes(entry.to_bytes())
+            assert [type(a) for a in rt.actions] == \
+                   [type(a) for a in entry.actions]
+            # foreign fields survive in extra
+            for orig, back in zip(entry.actions, rt.actions):
+                assert orig.to_json() == back.to_json()
+
+    def test_stats_parse(self):
+        log = golden_log()
+        add = next(iter(log.entries[1].adds))
+        s = add.stats_dict
+        assert s["numRecords"] == 11
+        assert "minValues" in s and "nullCount" in s
+
+
+class TestActions:
+    def test_registry_dispatch(self):
+        a = load_action({"add": {"path": "x.parquet", "size": 1,
+                                 "modificationTime": 2,
+                                 "partitionValues": {}, "dataChange": True}})
+        assert isinstance(a, Add)
+
+    def test_unknown_action_preserved(self):
+        raw = {"cdc": {"path": "y", "weird": 1}}
+        a = load_action(raw)
+        assert isinstance(a, UnknownAction)
+        assert a.to_json() == raw
+
+    def test_tolerant_extra_fields_roundtrip(self):
+        obj = {"path": "p", "size": 3, "modificationTime": 4,
+               "partitionValues": {}, "dataChange": True,
+               "deletionVector": None, "baseRowId": 7}
+        a = Add.from_json(obj)
+        assert a.extra["baseRowId"] == 7
+        assert a.to_json()["add"]["baseRowId"] == 7
+
+    def test_add_to_remove(self):
+        a = Add(path="p", size=3, partitionValues={"c": "1"})
+        r = a.to_remove()
+        assert isinstance(r, Remove)
+        assert r.path == "p" and r.partitionValues == {"c": "1"}
+        assert r.size == 3
+
+    def test_write_mode_coerce(self):
+        assert WriteMode.coerce("append") is WriteMode.append
+        assert WriteMode.coerce(WriteMode.error) is WriteMode.error
+        with pytest.raises(ValueError):
+            WriteMode.coerce("bogus")
+
+    def test_log_entry_filename(self):
+        assert log_entry_filename(7) == "00000000000000000007.json"
+        assert len(log_entry_filename(7)) == len("00000000000000000007.json")
+
+
+SCHEMA_A = T.StructType([
+    T.StructField("a", T.IntegerType()),
+    T.StructField("b", T.StringType()),
+])
+SCHEMA_B = T.StructType([
+    T.StructField("b", T.StringType()),
+    T.StructField("c", T.DoubleType()),
+])
+
+
+class TestSchema:
+    def test_schema_string_roundtrip(self):
+        s = schema_from_string(schema_to_string(SCHEMA_A))
+        assert s == SCHEMA_A
+
+    def test_merge_union_of_fields(self):
+        m = merge_schemas([SCHEMA_A, SCHEMA_B])
+        assert [f.name for f in m.fields] == ["a", "b", "c"]
+
+    def test_merge_widens_numeric(self):
+        a = T.StructType([T.StructField("x", T.IntegerType())])
+        b = T.StructType([T.StructField("x", T.LongType())])
+        assert merge_schemas([a, b])["x"].dataType == T.LongType()
+        c = T.StructType([T.StructField("x", T.FloatType())])
+        assert merge_schemas([a, c])["x"].dataType == T.FloatType()
+
+    def test_merge_conflict_raises(self):
+        a = T.StructType([T.StructField("x", T.StringType())])
+        b = T.StructType([T.StructField("x", T.LongType())])
+        with pytest.raises(ValueError):
+            merge_schemas([a, b])
+
+    def test_intersect(self):
+        i = intersect_schemas([SCHEMA_A, SCHEMA_B])
+        assert [f.name for f in i.fields] == ["b"]
+
+    def test_order_insensitive_equality(self):
+        shuffled = T.StructType(list(reversed(SCHEMA_A.fields)))
+        assert schemas_equal(SCHEMA_A, shuffled)
+        assert not schemas_equal(SCHEMA_A, SCHEMA_B)
+
+    def test_arrow_mapping_narrows_unsigned(self):
+        import pyarrow as pa
+
+        from xdlake_spark.log.schema import arrow_schema_to_spark
+        s = arrow_schema_to_spark(pa.schema([
+            ("u", pa.uint64()), ("f", pa.float32()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("tsn", pa.timestamp("us")),
+            ("emb", pa.list_(pa.float32())),
+        ]))
+        assert s["u"].dataType == T.LongType()
+        assert s["f"].dataType == T.FloatType()
+        assert s["ts"].dataType == T.TimestampType()
+        assert s["tsn"].dataType == T.TimestampNTZType()
+        assert s["emb"].dataType == T.ArrayType(T.FloatType())
+
+
+class TestEvaluateSchema:
+    def _log_with_schema(self, schema):
+        from xdlake_spark.log import create_table_entry
+        entry = create_table_entry(schema, [], "loc", [])
+        return DeltaLog({0: entry})
+
+    def test_append_same_ok(self):
+        log = self._log_with_schema(SCHEMA_A)
+        from xdlake_spark.log import SchemaMode
+        out = log.evaluate_schema(SCHEMA_A, WriteMode.append,
+                                  SchemaMode.overwrite)
+        assert schemas_equal(out, SCHEMA_A)
+
+    def test_append_mismatch_raises(self):
+        log = self._log_with_schema(SCHEMA_A)
+        from xdlake_spark.log import SchemaMode
+        with pytest.raises(ValueError, match="mismatch"):
+            log.evaluate_schema(SCHEMA_B, WriteMode.append,
+                                SchemaMode.overwrite)
+
+    def test_append_merge_unifies(self):
+        log = self._log_with_schema(SCHEMA_A)
+        from xdlake_spark.log import SchemaMode
+        out = log.evaluate_schema(SCHEMA_B, WriteMode.append,
+                                  SchemaMode.merge)
+        assert [f.name for f in out.fields] == ["a", "b", "c"]
+
+    def test_overwrite_incoming_wins(self):
+        log = self._log_with_schema(SCHEMA_A)
+        from xdlake_spark.log import SchemaMode
+        out = log.evaluate_schema(SCHEMA_B, WriteMode.overwrite,
+                                  SchemaMode.overwrite)
+        assert schemas_equal(out, SCHEMA_B)
+
+
+class TestPartitionValidation:
+    def test_fixed_at_creation(self):
+        from xdlake_spark.log import create_table_entry
+        entry = create_table_entry(SCHEMA_A, ["a"], "loc", [])
+        log = DeltaLog({0: entry})
+        assert log.validate_partition_by(None) == ["a"]
+        assert log.validate_partition_by(["a"]) == ["a"]
+        with pytest.raises(ValueError):
+            log.validate_partition_by(["b"])
+        with pytest.raises(ValueError):
+            log.validate_partition_by([])
+
+    def test_delta_rs_json_string_quirk(self):
+        ci = TableCommit.write(mode="Append", partition_by=["x", "y"])
+        entry = DeltaLogEntry([ci])
+        assert entry.partition_columns_hint() == ["x", "y"]

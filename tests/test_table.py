@@ -1,0 +1,254 @@
+"""DeltaTable end-to-end tests over Spark.
+
+Operation matrix modeled on the reference's suite
+(/root/reference/tests/test_xdlake.py:28-343).
+"""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from xdlake_spark import DeltaTable
+from xdlake_spark.log import DeltaLog
+from xdlake_spark.sources.storage import Location
+
+from .utils import assert_frames_equivalent, gen_pdf
+
+
+def write_rounds(spark, loc, n_rounds=3, partition_by=None, **kw):
+    frames = []
+    t = DeltaTable(spark, loc)
+    for _ in range(n_rounds):
+        pdf = gen_pdf()
+        frames.append(pdf)
+        t = t.write(spark.createDataFrame(pdf), partition_by=partition_by, **kw)
+    return t, pd.concat(frames)
+
+
+class TestWrite:
+    def test_append_rounds(self, spark, tmp_table_dir):
+        t, expected = write_rounds(spark, f"{tmp_table_dir}/t")
+        assert t.version == 2
+        assert_frames_equivalent(t.to_pandas(), expected)
+
+    def test_append_partitioned(self, spark, tmp_table_dir):
+        t, expected = write_rounds(spark, f"{tmp_table_dir}/t",
+                                   partition_by=["cats", "bats"])
+        got = t.to_pandas()
+        assert_frames_equivalent(got, expected)
+        # hive layout on disk
+        assert any("cats=" in p for p in t.adds)
+        assert all(set(a.partitionValues) == {"cats", "bats"}
+                   for a in t.adds.values())
+
+    def test_overwrite(self, spark, tmp_table_dir):
+        t, _ = write_rounds(spark, f"{tmp_table_dir}/t")
+        pdf = gen_pdf()
+        t = t.write(spark.createDataFrame(pdf), mode="overwrite")
+        assert_frames_equivalent(t.to_pandas(), pdf)
+
+    def test_error_mode(self, spark, tmp_table_dir):
+        t, _ = write_rounds(spark, f"{tmp_table_dir}/t", 1)
+        with pytest.raises(FileExistsError):
+            t.write(spark.createDataFrame(gen_pdf()), mode="error")
+
+    def test_ignore_mode(self, spark, tmp_table_dir):
+        t, expected = write_rounds(spark, f"{tmp_table_dir}/t", 1)
+        t2 = t.write(spark.createDataFrame(gen_pdf()), mode="ignore")
+        assert t2.version == t.version
+        assert_frames_equivalent(t2.to_pandas(), expected)
+
+    def test_partition_change_raises(self, spark, tmp_table_dir):
+        t, _ = write_rounds(spark, f"{tmp_table_dir}/t",
+                            1, partition_by=["cats"])
+        with pytest.raises(ValueError):
+            t.write(spark.createDataFrame(gen_pdf()), partition_by=["bats"])
+
+    def test_schema_mismatch_raises(self, spark, tmp_table_dir):
+        t, _ = write_rounds(spark, f"{tmp_table_dir}/t", 1)
+        pdf = gen_pdf()
+        pdf["extra"] = 1.0
+        with pytest.raises(ValueError, match="mismatch"):
+            t.write(spark.createDataFrame(pdf))
+
+    def test_schema_merge_evolves(self, spark, tmp_table_dir):
+        t, first = write_rounds(spark, f"{tmp_table_dir}/t", 1)
+        pdf = gen_pdf()
+        pdf["extra"] = 1.5
+        t = t.write(spark.createDataFrame(pdf), schema_mode="merge")
+        got = t.to_pandas()
+        assert "extra" in got.columns
+        # old rows have null extra
+        old = got[got["order"] < len(first)]
+        assert old["extra"].isna().all()
+
+    def test_write_mixed_inputs(self, spark, tmp_table_dir):
+        pdf1, pdf2 = gen_pdf(), gen_pdf()
+        arrow = pa.Table.from_pandas(gen_pdf())
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write([pdf1, spark.createDataFrame(pdf2), arrow])
+        assert t.to_df().count() == len(pdf1) + len(pdf2) + arrow.num_rows
+
+
+class TestTimeTravelAndHistory:
+    def test_versions_and_travel(self, spark, tmp_table_dir):
+        t, _ = write_rounds(spark, f"{tmp_table_dir}/t", 3)
+        assert t.versions == [0, 1, 2]
+        n0 = t.load_as_version(0).to_df().count()
+        n2 = t.to_df().count()
+        assert n2 == 3 * n0
+
+    def test_history_order(self, spark, tmp_table_dir):
+        t, _ = write_rounds(spark, f"{tmp_table_dir}/t", 2)
+        hist = list(t.history())
+        assert [h["version"] for h in hist] == [1, 0]
+        assert hist[-1]["operation"] == "CREATE TABLE"
+
+    def test_file_uris_absolute(self, spark, tmp_table_dir):
+        t, _ = write_rounds(spark, f"{tmp_table_dir}/t", 1)
+        uris = t.file_uris()
+        assert uris and all(os.path.isabs(u) for u in uris)
+        assert all(os.path.exists(u) for u in uris)
+
+
+class TestDelete:
+    def test_delete_predicate(self, spark, tmp_table_dir):
+        t, expected = write_rounds(spark, f"{tmp_table_dir}/t", 3,
+                                   partition_by=["cats"])
+        t2 = t.delete("cats = 'S' AND f64 > 0.5")
+        keep = expected[~((expected.cats == "S") & (expected.f64 > 0.5))]
+        assert_frames_equivalent(t2.to_pandas(), keep)
+        # untouched partitions keep their original files
+        untouched = {p for p, a in t.adds.items()
+                     if a.partitionValues.get("cats") != "S"}
+        assert untouched <= set(t2.adds)
+
+    def test_delete_all(self, spark, tmp_table_dir):
+        t, _ = write_rounds(spark, f"{tmp_table_dir}/t", 2)
+        t2 = t.delete()
+        assert t2.to_df().count() == 0
+        assert t2.adds == {}
+        # schema survives
+        assert t2.schema is not None
+
+    def test_delete_none_match(self, spark, tmp_table_dir):
+        t, expected = write_rounds(spark, f"{tmp_table_dir}/t", 2)
+        t2 = t.delete("f64 > 2.0")
+        assert set(t2.adds) == set(t.adds)
+        assert_frames_equivalent(t2.to_pandas(), expected)
+
+    def test_delete_metrics(self, spark, tmp_table_dir):
+        t, expected = write_rounds(spark, f"{tmp_table_dir}/t", 2)
+        t2 = t.delete("flag = true")
+        h = next(t2.history())
+        m = h["operationMetrics"]
+        n_true = int((expected.flag).sum())
+        assert m["num_deleted_rows"] == n_true
+        # copied rows = survivors of rewritten files only; equals the row
+        # count of the files added by the delete commit
+        new_paths = set(t2.adds) - set(t.adds)
+        copied = sum(t2.adds[p].stats_dict["numRecords"] for p in new_paths)
+        assert m["num_copied_rows"] == copied
+        assert t2.to_df().count() == len(expected) - n_true
+
+
+class TestRestoreCloneImport:
+    def test_restore(self, spark, tmp_table_dir):
+        t, _ = write_rounds(spark, f"{tmp_table_dir}/t", 3)
+        v1 = t.load_as_version(1).to_pandas()
+        t2 = t.restore(1)
+        assert t2.version == 3
+        assert_frames_equivalent(t2.to_pandas(), v1)
+
+    def test_restore_after_delete(self, spark, tmp_table_dir):
+        t, expected = write_rounds(spark, f"{tmp_table_dir}/t", 2)
+        t2 = t.delete("f64 > 0.5")
+        t3 = t2.restore(1)
+        assert_frames_equivalent(t3.to_pandas(), expected)
+
+    def test_clone_preserves_content_and_history(self, spark, tmp_table_dir):
+        t, expected = write_rounds(spark, f"{tmp_table_dir}/src", 3,
+                                   partition_by=["cats"])
+        c = t.clone(f"{tmp_table_dir}/dst")
+        assert_frames_equivalent(c.to_pandas(), expected)
+        assert c.versions == t.versions
+        # clone is writable without touching source
+        pdf = gen_pdf()
+        c2 = c.write(spark.createDataFrame(pdf), partition_by=["cats"])
+        assert c2.to_df().count() == len(expected) + len(pdf)
+        assert DeltaTable(spark, f"{tmp_table_dir}/src").to_df().count() \
+            == len(expected)
+
+    def test_import_refs_zero_copy(self, spark, tmp_table_dir):
+        pdf = gen_pdf()
+        src = f"{tmp_table_dir}/foreign"
+        spark.createDataFrame(pdf).write.partitionBy("cats").parquet(src)
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.import_refs(src, partition_by=["cats"])
+        assert_frames_equivalent(t.to_pandas(), pdf)
+        # no files copied under the table root
+        assert all(p.startswith("/") for p in t.adds)
+
+    def test_import_refs_unpartitioned(self, spark, tmp_table_dir):
+        pdf = gen_pdf()
+        src = f"{tmp_table_dir}/flat"
+        spark.createDataFrame(pdf).write.parquet(src)
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.import_refs(src, partitioning=None)
+        assert_frames_equivalent(t.to_pandas(), pdf)
+
+
+class TestConcurrency:
+    def test_commit_collision(self, spark, tmp_table_dir):
+        t, _ = write_rounds(spark, f"{tmp_table_dir}/t", 1)
+        a = DeltaTable(spark, f"{tmp_table_dir}/t")
+        b = DeltaTable(spark, f"{tmp_table_dir}/t")
+        a.write(spark.createDataFrame(gen_pdf()))
+        with pytest.raises(FileExistsError):
+            b.write(spark.createDataFrame(gen_pdf()))
+
+
+class TestMaintenance:
+    def test_optimize_compacts(self, spark, tmp_table_dir):
+        t, expected = write_rounds(spark, f"{tmp_table_dir}/t", 4)
+        before = len(t.adds)
+        t2 = t.optimize()
+        assert len(t2.adds) < before
+        assert_frames_equivalent(t2.to_pandas(), expected)
+        h = next(t2.history())
+        assert h["operation"] == "OPTIMIZE"
+
+    def test_vacuum_removes_tombstoned(self, spark, tmp_table_dir):
+        t, expected = write_rounds(spark, f"{tmp_table_dir}/t", 2)
+        t2 = t.write(spark.createDataFrame(gen_pdf()), mode="overwrite")
+        doomed = t2.vacuum(retention_hours=0)
+        assert doomed
+        for p in doomed:
+            assert not os.path.exists(os.path.join(tmp_table_dir, "t", p))
+        # live data unaffected
+        t3 = DeltaTable(spark, f"{tmp_table_dir}/t")
+        assert t3.to_df().count() == t2.to_df().count()
+
+    def test_vacuum_respects_retention(self, spark, tmp_table_dir):
+        t, _ = write_rounds(spark, f"{tmp_table_dir}/t", 1)
+        t2 = t.write(spark.createDataFrame(gen_pdf()), mode="overwrite")
+        assert t2.vacuum(retention_hours=168, dry_run=True) == []
+
+    def test_merge_upsert(self, spark, tmp_table_dir):
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        upd = pdf.head(5).copy()
+        upd["f64"] = 99.0
+        new = gen_pdf(5)
+        src = pd.concat([upd, new])
+        t2 = t.merge(
+            spark.createDataFrame(src), "t.order = s.order",
+            when_matched_update={"f64": "s.f64"},
+            when_not_matched_insert={c: f"s.{c}" for c in pdf.columns},
+        )
+        got = t2.to_pandas().sort_values("order")
+        assert len(got) == len(pdf) + len(new)
+        assert (got.head(5)["f64"] == 99.0).all()

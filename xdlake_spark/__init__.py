@@ -1,0 +1,15 @@
+"""xdlake_spark: a PySpark-native Delta Lake table engine + LLM-data-pipeline
+operators.
+
+Re-expresses the capabilities of the reference implementation
+(xbrianh/xdlake — a pure-Python/PyArrow Delta Lake library) on Spark:
+driver-side transaction log + DataFrame scan/write/delete execution,
+plus dedup / similarity-search / text-analysis / multimodal operators
+designed for 100 TB-scale pipelines.
+"""
+
+from .log import DeltaLog, SchemaMode, WriteMode
+from .table import DeltaTable
+
+__all__ = ["DeltaTable", "DeltaLog", "WriteMode", "SchemaMode"]
+__version__ = "0.1.0"

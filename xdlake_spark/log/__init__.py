@@ -1,0 +1,373 @@
+"""Delta transaction log: load, replay, evaluate, commit.
+
+Driver-side kernel (parity target: /root/reference/xdlake/delta_log/
+__init__.py:1-429). The log is a directory of ``{version:020}.json`` files,
+each newline-delimited JSON with one action per line. A table snapshot is the
+replay of adds minus removes up to a (possibly pinned) version.
+
+Nothing here touches Spark: the log is KB-scale metadata and the replay is
+O(#files) dict operations. The snapshot's file manifest feeds
+``spark.read.parquet`` in table.py.
+"""
+
+from __future__ import annotations
+
+import enum
+import json
+import re
+from typing import Any, Generator, Iterable
+
+from pyspark.sql import types as T
+
+from .actions import (
+    Action,
+    Add,
+    Operation,
+    Protocol,
+    Remove,
+    TableCommit,
+    TableMetadata,
+    UnknownAction,
+    load_action,
+    timestamp_ms,
+)
+from .schema import merge_schemas, schema_from_string, schema_to_string, schemas_equal
+
+_LOG_ENTRY_RE = re.compile(r"^(\d+)\.json$")
+
+
+def log_entry_filename(version: int) -> str:
+    """``{version:020}.json`` (reference utils.py:9-10)."""
+    return f"{version:020}.json"
+
+
+class WriteMode(enum.Enum):
+    """Write disposition (reference delta_log/__init__.py:15-19)."""
+
+    append = "Append"
+    overwrite = "Overwrite"
+    error = "ErrorIfExists"
+    ignore = "Ignore"
+
+    @classmethod
+    def coerce(cls, mode: "str | WriteMode") -> "WriteMode":
+        if isinstance(mode, WriteMode):
+            return mode
+        try:
+            return cls[mode]
+        except KeyError:
+            raise ValueError(
+                f"Invalid write mode {mode!r}; expected one of "
+                f"{[m.name for m in cls]}") from None
+
+
+class SchemaMode(enum.Enum):
+    overwrite = "overwrite"
+    merge = "merge"
+
+    @classmethod
+    def coerce(cls, mode: "str | SchemaMode") -> "SchemaMode":
+        return mode if isinstance(mode, SchemaMode) else cls[mode]
+
+
+class DeltaLogEntry:
+    """One committed version: an ordered list of actions."""
+
+    def __init__(self, actions: list[Action] | None = None):
+        self.actions: list[Action] = actions or []
+
+    # -- (de)serialization ---------------------------------------------------
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "DeltaLogEntry":
+        actions = [load_action(json.loads(line))
+                   for line in data.decode("utf-8").splitlines() if line.strip()]
+        return cls(actions)
+
+    def to_bytes(self) -> bytes:
+        lines = [json.dumps(a.to_json(), separators=(",", ":"), default=str)
+                 for a in self.actions]
+        return ("\n".join(lines) + "\n").encode("utf-8")
+
+    # -- accessors -----------------------------------------------------------
+
+    def _of(self, kind: type) -> list[Any]:
+        return [a for a in self.actions if isinstance(a, kind)]
+
+    @property
+    def adds(self) -> list[Add]:
+        return self._of(Add)
+
+    @property
+    def removes(self) -> list[Remove]:
+        return self._of(Remove)
+
+    @property
+    def metadata(self) -> TableMetadata | None:
+        md = self._of(TableMetadata)
+        return md[-1] if md else None
+
+    @property
+    def commit_info(self) -> TableCommit | None:
+        ci = self._of(TableCommit)
+        return ci[-1] if ci else None
+
+    def partition_columns_hint(self) -> list[str] | None:
+        """Partition columns declared by this entry, if any.
+
+        From metaData.partitionColumns, or commitInfo.operationParameters
+        ``partitionBy`` (which delta-rs writes as a JSON string — the quirk
+        handled at reference delta_log/__init__.py:86-98).
+        """
+        md = self.metadata
+        if md is not None:
+            return list(md.partitionColumns or [])
+        ci = self.commit_info
+        if ci is not None:
+            pb = ci.operationParameters.get("partitionBy")
+            if pb is None:
+                return None
+            if isinstance(pb, str):
+                try:
+                    pb = json.loads(pb)
+                except ValueError:
+                    pb = [pb]
+            return list(pb)
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Entry builders (reference delta_log/__init__.py:114-224)
+# ---------------------------------------------------------------------------
+
+
+def create_table_entry(schema: T.StructType, partition_by: list[str],
+                       location: str, adds: list[Add],
+                       custom_metadata: dict | None = None) -> DeltaLogEntry:
+    md = TableMetadata(schemaString=schema_to_string(schema),
+                       partitionColumns=list(partition_by or []))
+    commit = TableCommit.create(location=location, metadata=custom_metadata)
+    return DeltaLogEntry([Protocol(), md, *adds, commit])
+
+
+def append_table_entry(adds: list[Add], partition_by: list[str],
+                       schema: T.StructType | None = None,
+                       custom_metadata: dict | None = None) -> DeltaLogEntry:
+    actions: list[Action] = []
+    if schema is not None:  # schema evolution: re-declare metaData
+        actions.append(TableMetadata(schemaString=schema_to_string(schema),
+                                     partitionColumns=list(partition_by or [])))
+    actions.extend(adds)
+    actions.append(TableCommit.write(mode=WriteMode.append.value,
+                                     partition_by=partition_by,
+                                     metadata=custom_metadata))
+    return DeltaLogEntry(actions)
+
+
+def overwrite_table_entry(adds: list[Add], existing_adds: Iterable[Add],
+                          schema: T.StructType, partition_by: list[str],
+                          custom_metadata: dict | None = None) -> DeltaLogEntry:
+    md = TableMetadata(schemaString=schema_to_string(schema),
+                       partitionColumns=list(partition_by or []))
+    removes = [a.to_remove() for a in existing_adds]
+    commit = TableCommit.write(mode=WriteMode.overwrite.value,
+                               partition_by=partition_by,
+                               metadata=custom_metadata)
+    return DeltaLogEntry([md, *removes, *adds, commit])
+
+
+def delete_table_entry(adds: list[Add], removes: list[Remove],
+                       predicate: str, read_version: int,
+                       metrics: dict[str, Any],
+                       custom_metadata: dict | None = None) -> DeltaLogEntry:
+    commit = TableCommit.delete(predicate=predicate, read_version=read_version,
+                                metrics=metrics, metadata=custom_metadata)
+    return DeltaLogEntry([*removes, *adds, commit])
+
+
+def restore_table_entry(adds: list[Add], removes: list[Remove],
+                        schema: T.StructType, partition_by: list[str],
+                        restore_version: int, read_version: int,
+                        custom_metadata: dict | None = None) -> DeltaLogEntry:
+    md = TableMetadata(schemaString=schema_to_string(schema),
+                       partitionColumns=list(partition_by or []))
+    commit = TableCommit.restore(restore_version=restore_version,
+                                 read_version=read_version,
+                                 metadata=custom_metadata)
+    return DeltaLogEntry([md, *removes, *adds, commit])
+
+
+def optimize_table_entry(adds: list[Add], removes: list[Remove],
+                         read_version: int, metrics: dict[str, Any],
+                         custom_metadata: dict | None = None) -> DeltaLogEntry:
+    # dataChange=False: compaction rewrites bytes, not logical content
+    for a in adds:
+        a.dataChange = False
+    for r in removes:
+        r.dataChange = False
+    commit = TableCommit.optimize(read_version=read_version, metrics=metrics,
+                                  metadata=custom_metadata)
+    return DeltaLogEntry([*removes, *adds, commit])
+
+
+def merge_table_entry(adds: list[Add], removes: list[Remove],
+                      predicate: str, read_version: int,
+                      metrics: dict[str, Any],
+                      custom_metadata: dict | None = None) -> DeltaLogEntry:
+    commit = TableCommit.merge(predicate=predicate, read_version=read_version,
+                               metrics=metrics, metadata=custom_metadata)
+    return DeltaLogEntry([*removes, *adds, commit])
+
+
+# ---------------------------------------------------------------------------
+# DeltaLog
+# ---------------------------------------------------------------------------
+
+
+class DeltaLog:
+    """Parsed log: version -> entry, with replay and commit.
+
+    Reference parity: delta_log/__init__.py:232-429.
+    """
+
+    def __init__(self, entries: dict[int, DeltaLogEntry] | None = None):
+        self.entries: dict[int, DeltaLogEntry] = dict(
+            sorted((entries or {}).items()))
+
+    # -- load ----------------------------------------------------------------
+
+    @classmethod
+    def load(cls, log_location, version: int | None = None) -> "DeltaLog":
+        """List the log dir, parse each ``NNNN.json``, optionally stop at a
+        pinned version (reference delta_log/__init__.py:250-277)."""
+        entries: dict[int, DeltaLogEntry] = {}
+        for name in log_location.list_files():
+            m = _LOG_ENTRY_RE.match(name)
+            if not m:
+                continue
+            v = int(m.group(1))
+            if version is not None and v > version:
+                continue
+            entries[v] = DeltaLogEntry.from_bytes(
+                log_location.join(name).read_bytes())
+        if version is not None and entries and version not in entries:
+            raise ValueError(f"Version {version} does not exist in log")
+        return cls(entries)
+
+    # -- snapshot state ------------------------------------------------------
+
+    def __bool__(self) -> bool:
+        return bool(self.entries)
+
+    @property
+    def version(self) -> int:
+        if not self.entries:
+            raise ValueError("Empty log has no version")
+        return max(self.entries)
+
+    @property
+    def versions(self) -> list[int]:
+        return sorted(self.entries)
+
+    @property
+    def version_to_write(self) -> int:
+        return (max(self.entries) + 1) if self.entries else 0
+
+    def add_actions(self) -> dict[str, Add]:
+        """Replay: live files = adds minus later removes, in version order
+        (reference delta_log/__init__.py:336-346)."""
+        live: dict[str, Add] = {}
+        for v in sorted(self.entries):
+            entry = self.entries[v]
+            for add in entry.adds:
+                live[add.path] = add
+            for rm in entry.removes:
+                live.pop(rm.path, None)
+        return live
+
+    def schema(self) -> T.StructType:
+        """Newest metaData wins (reference delta_log/__init__.py:328-334)."""
+        for v in sorted(self.entries, reverse=True):
+            md = self.entries[v].metadata
+            if md is not None:
+                return schema_from_string(md.schemaString)
+        raise ValueError("No metaData action in log")
+
+    def metadata(self) -> TableMetadata:
+        for v in sorted(self.entries, reverse=True):
+            md = self.entries[v].metadata
+            if md is not None:
+                return md
+        raise ValueError("No metaData action in log")
+
+    def partition_columns(self) -> list[str]:
+        """Newest entry that declares partitioning wins (reference
+        delta_log/__init__.py:348-355)."""
+        for v in sorted(self.entries, reverse=True):
+            hint = self.entries[v].partition_columns_hint()
+            if hint is not None:
+                return hint
+        return []
+
+    def history(self, reverse: bool = True) -> Generator[dict, None, None]:
+        """commitInfo dicts + version, newest-first by default (reference
+        delta_log/__init__.py:312-318)."""
+        for v in sorted(self.entries, reverse=reverse):
+            ci = self.entries[v].commit_info
+            info = dict(ci.to_json()["commitInfo"]) if ci else {}
+            info["version"] = v
+            yield info
+
+    # -- validation ----------------------------------------------------------
+
+    def validate_partition_by(self, partition_by: list[str] | None) -> list[str]:
+        """Partition columns are fixed at creation; later writes must use the
+        same set, order-insensitive (reference delta_log/__init__.py:357-371)."""
+        existing = self.partition_columns() if self.entries else []
+        if not self.entries:
+            return list(partition_by or [])
+        if partition_by is None:
+            return existing
+        if set(partition_by) != set(existing):
+            raise ValueError(
+                f"Expected partition columns {existing}, got {list(partition_by)}")
+        return existing
+
+    def evaluate_schema(self, schema: T.StructType, write_mode: WriteMode,
+                        schema_mode: SchemaMode) -> T.StructType:
+        """Append+merge unifies; append+mismatch raises; otherwise the
+        incoming schema wins (reference delta_log/__init__.py:373-394)."""
+        if not self.entries:
+            return schema
+        existing = self.schema()
+        if write_mode == WriteMode.append:
+            if schema_mode == SchemaMode.merge:
+                return merge_schemas([existing, schema])
+            if not schemas_equal(existing, schema):
+                raise ValueError(
+                    f"Schema mismatch: table={existing.simpleString()} "
+                    f"incoming={schema.simpleString()}; "
+                    "pass schema_mode='merge' to evolve")
+            return existing
+        return schema
+
+
+def commit_entry(log_location, version: int, entry: DeltaLogEntry) -> None:
+    """Optimistic-concurrency commit: put-if-absent of ``{version:020}.json``
+    (reference delta_log/__init__.py:422-429 + __init__.py:425-446).
+
+    Raises FileExistsError on collision; callers may retry at a new version
+    or surface the conflict.
+    """
+    log_location.join(log_entry_filename(version)).put_if_absent(
+        entry.to_bytes())
+
+
+__all__ = [
+    "Action", "Add", "Remove", "Protocol", "TableMetadata", "TableCommit",
+    "UnknownAction", "Operation", "WriteMode", "SchemaMode", "DeltaLog",
+    "DeltaLogEntry", "load_action", "log_entry_filename", "timestamp_ms",
+    "create_table_entry", "append_table_entry", "overwrite_table_entry",
+    "delete_table_entry", "restore_table_entry", "optimize_table_entry",
+    "merge_table_entry", "commit_entry",
+]

@@ -1,0 +1,86 @@
+"""Per-file statistics for ``add.stats`` (data-skipping inputs).
+
+Folds Parquet row-group footer statistics into file-level
+numRecords / minValues / maxValues / nullCount, matching the shape the
+reference emits (/root/reference/xdlake/delta_log/statistics.py:14-36) and
+that delta-rs / delta-spark emit, so manifests interoperate.
+
+Driver-side only: reading a Parquet footer is a few KB of I/O per file. At
+cluster scale the same stats can be produced by a single Spark aggregation
+job grouped on ``input_file_name()`` — see table.py — so the driver never
+becomes a bottleneck for wide writes.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+
+def _json_safe(v: Any) -> Any:
+    """Make a footer stat value JSON-serializable (timestamps -> ISO)."""
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return None
+    return v
+
+
+@dataclass
+class Statistics:
+    numRecords: int = 0
+    minValues: dict[str, Any] = field(default_factory=dict)
+    maxValues: dict[str, Any] = field(default_factory=dict)
+    nullCount: dict[str, int] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "numRecords": self.numRecords,
+            "minValues": self.minValues,
+            "maxValues": self.maxValues,
+            "nullCount": self.nullCount,
+        }, default=str)
+
+    @classmethod
+    def from_parquet_file(cls, path: str, filesystem=None) -> "Statistics":
+        """Read one Parquet footer and fold its row-group stats."""
+        import pyarrow.parquet as pq
+
+        md = pq.read_metadata(path, filesystem=filesystem)
+        return cls.from_parquet_metadata(md)
+
+    @classmethod
+    def from_parquet_metadata(cls, md) -> "Statistics":
+        """Fold row-group footer stats into file-level stats
+        (reference statistics.py:14-36)."""
+        stats = cls(numRecords=md.num_rows)
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            for col_i in range(rg.num_columns):
+                col = rg.column(col_i)
+                name = col.path_in_schema
+                if "." in name:          # nested leaf — skip, file-level
+                    continue             # stats are top-level-column only
+                s = col.statistics
+                if s is None:
+                    continue
+                if s.has_null_count and s.null_count is not None:
+                    stats.nullCount[name] = (
+                        stats.nullCount.get(name, 0) + s.null_count)
+                if s.has_min_max:
+                    mn, mx = _json_safe(s.min), _json_safe(s.max)
+                    if mn is not None:
+                        cur = stats.minValues.get(name)
+                        stats.minValues[name] = mn if cur is None else min(cur, mn)
+                    if mx is not None:
+                        cur = stats.maxValues.get(name)
+                        stats.maxValues[name] = mx if cur is None else max(cur, mx)
+        return stats

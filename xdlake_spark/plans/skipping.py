@@ -1,0 +1,396 @@
+"""Manifest pruning: partition values + per-file min/max/null statistics.
+
+The reference collects per-file stats but never uses them — an acknowledged
+TODO (/root/reference/xdlake/__init__.py:104). This module implements the
+data-skipping design from the Delta Lake paper (VLDB 2020): before any Spark
+job is planned, the driver drops files whose partition values or stat
+intervals contradict the predicate. At 100 TB this is the difference between
+scanning one partition and scanning a thousand — the prune happens on a
+KB-scale manifest, never on data.
+
+The predicate is a SQL string (the same string passed to ``F.expr`` for
+exact row-level filtering). A small parser extracts a tree of
+comparisons/boolean ops; evaluation is three-valued per file: True = may
+match, False = provably no match (skip the file), None = unknown (keep).
+Pruning is *sound*: any construct the parser doesn't understand degrades to
+"keep", never to "skip".
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+from dataclasses import dataclass
+from typing import Any, Optional
+
+# ---------------------------------------------------------------------------
+# Tiny SQL predicate parser (comparisons, AND/OR/NOT, IN, IS [NOT] NULL,
+# BETWEEN, parentheses). Anything else -> Unknown node (no pruning).
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    \s*(?:
+      (?P<string>'(?:[^']|'')*')
+    | (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<op><>|!=|<=|>=|==|=|<|>)
+    | (?P<lparen>\()
+    | (?P<rparen>\))
+    | (?P<comma>,)
+    | (?P<word>[A-Za-z_][A-Za-z_0-9.]*|`[^`]+`)
+    )""", re.VERBOSE)
+
+
+def _tokenize(s: str) -> list[tuple[str, str]]:
+    tokens, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m or m.end() == pos:
+            if s[pos:].strip():
+                raise _Unparseable(s[pos:])
+            break
+        pos = m.end()
+        kind = m.lastgroup
+        tokens.append((kind, m.group(kind)))
+    return tokens
+
+
+class _Unparseable(Exception):
+    pass
+
+
+@dataclass
+class Comparison:
+    column: str
+    op: str          # = != < <= > >=
+    value: Any
+
+
+@dataclass
+class InList:
+    column: str
+    values: list
+    negated: bool = False
+
+
+@dataclass
+class IsNull:
+    column: str
+    negated: bool = False
+
+
+@dataclass
+class BoolOp:
+    op: str          # and | or
+    operands: list
+
+
+@dataclass
+class NotOp:
+    operand: Any
+
+
+class Unknown:
+    """A sub-expression we can't reason about; evaluates to None."""
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.tokens = tokens
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.tokens[self.i] if self.i < len(self.tokens) else None
+
+    def next(self) -> tuple[str, str]:
+        tok = self.tokens[self.i]
+        self.i += 1
+        return tok
+
+    def expect_word(self, *words: str) -> bool:
+        tok = self.peek()
+        if tok and tok[0] == "word" and tok[1].upper() in words:
+            self.next()
+            return True
+        return False
+
+    def parse(self):
+        node = self.parse_or()
+        if self.peek() is not None:
+            raise _Unparseable("trailing tokens")
+        return node
+
+    def parse_or(self):
+        ops = [self.parse_and()]
+        while self.expect_word("OR"):
+            ops.append(self.parse_and())
+        return ops[0] if len(ops) == 1 else BoolOp("or", ops)
+
+    def parse_and(self):
+        ops = [self.parse_not()]
+        while self.expect_word("AND"):
+            ops.append(self.parse_not())
+        return ops[0] if len(ops) == 1 else BoolOp("and", ops)
+
+    def parse_not(self):
+        if self.expect_word("NOT"):
+            return NotOp(self.parse_not())
+        return self.parse_primary()
+
+    def _literal(self):
+        tok = self.peek()
+        if tok is None:
+            raise _Unparseable("eof")
+        kind, text = tok
+        if kind == "string":
+            self.next()
+            return text[1:-1].replace("''", "'")
+        if kind == "number":
+            self.next()
+            return float(text) if ("." in text or "e" in text.lower()) else int(text)
+        if kind == "word" and text.upper() in ("TRUE", "FALSE"):
+            self.next()
+            return text.upper() == "TRUE"
+        if kind == "word" and text.upper() in ("DATE", "TIMESTAMP"):
+            # DATE 'yyyy-mm-dd' / TIMESTAMP '...'
+            self.next()
+            k2, t2 = self.next()
+            if k2 != "string":
+                raise _Unparseable("typed literal")
+            raw = t2[1:-1]
+            if text.upper() == "DATE":
+                return datetime.date.fromisoformat(raw)
+            return datetime.datetime.fromisoformat(raw)
+        raise _Unparseable(f"literal {tok}")
+
+    def parse_primary(self):
+        tok = self.peek()
+        if tok is None:
+            raise _Unparseable("eof")
+        kind, text = tok
+        if kind == "lparen":
+            self.next()
+            node = self.parse_or()
+            k, _ = self.next()
+            if k != "rparen":
+                raise _Unparseable("missing )")
+            return node
+        if kind != "word":
+            raise _Unparseable(f"primary {tok}")
+        col = text.strip("`")
+        self.next()
+        nxt = self.peek()
+        if nxt is None:
+            raise _Unparseable("bare column")
+        if nxt[0] == "op":
+            op = self.next()[1]
+            op = {"==": "=", "<>": "!="}.get(op, op)
+            return Comparison(col, op, self._literal())
+        if nxt[0] == "word":
+            w = nxt[1].upper()
+            if w == "IS":
+                self.next()
+                negated = self.expect_word("NOT")
+                if not self.expect_word("NULL"):
+                    raise _Unparseable("IS ... NULL")
+                return IsNull(col, negated)
+            negated = False
+            if w == "NOT":
+                self.next()
+                negated = True
+                nxt = self.peek()
+                w = nxt[1].upper() if nxt and nxt[0] == "word" else ""
+            if w == "IN":
+                self.next()
+                k, _ = self.next()
+                if k != "lparen":
+                    raise _Unparseable("IN (")
+                vals = [self._literal()]
+                while self.peek() and self.peek()[0] == "comma":
+                    self.next()
+                    vals.append(self._literal())
+                k, _ = self.next()
+                if k != "rparen":
+                    raise _Unparseable("IN )")
+                return InList(col, vals, negated)
+            if w == "BETWEEN":
+                self.next()
+                lo = self._literal()
+                if not self.expect_word("AND"):
+                    raise _Unparseable("BETWEEN ... AND")
+                hi = self._literal()
+                return BoolOp("and", [Comparison(col, ">=", lo),
+                                      Comparison(col, "<=", hi)])
+        raise _Unparseable(f"predicate on {col}")
+
+
+def parse_predicate(sql: str):
+    """Parse a SQL predicate into a prunable tree, or Unknown."""
+    try:
+        return _Parser(_tokenize(sql)).parse()
+    except (_Unparseable, IndexError, ValueError):
+        return Unknown()
+
+
+# ---------------------------------------------------------------------------
+# Three-valued evaluation against one file's partition values + stats
+# ---------------------------------------------------------------------------
+
+
+def _coerce_pair(a: Any, b: Any):
+    """Coerce a stat value and a literal to comparable types, or None."""
+    if a is None or b is None:
+        return None
+    if isinstance(a, bool) or isinstance(b, bool):
+        return (bool(a), bool(b)) if isinstance(a, bool) == isinstance(b, bool) else None
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return (float(a), float(b))
+    if isinstance(a, datetime.datetime) and isinstance(b, datetime.datetime):
+        if (a.tzinfo is None) != (b.tzinfo is None):
+            a, b = a.replace(tzinfo=None), b.replace(tzinfo=None)
+        return (a, b)
+    if type(a) is datetime.date and type(b) is datetime.date:
+        return (a, b)
+    if isinstance(b, (datetime.date, datetime.datetime)) and isinstance(a, str):
+        try:
+            if isinstance(b, datetime.datetime):
+                ad = datetime.datetime.fromisoformat(a.replace("Z", "+00:00"))
+                if (ad.tzinfo is None) != (b.tzinfo is None):
+                    ad = ad.replace(tzinfo=None)
+                    b = b.replace(tzinfo=None)
+                return (ad, b)
+            return (datetime.date.fromisoformat(a[:10]), b)
+        except ValueError:
+            return None
+    if isinstance(a, str) and isinstance(b, str):
+        return (a, b)
+    return None
+
+
+class FileStats:
+    """One file's skipping inputs, from its Add action."""
+
+    def __init__(self, add, partition_columns: list[str]):
+        self.partition_values = add.partitionValues or {}
+        self.partition_columns = set(partition_columns)
+        s = add.stats_dict or {}
+        self.num_records = s.get("numRecords")
+        self.min_values = s.get("minValues") or {}
+        self.max_values = s.get("maxValues") or {}
+        self.null_count = s.get("nullCount") or {}
+
+    def interval(self, col: str):
+        """(lo, hi) for col, either may be None=unbounded."""
+        if col in self.partition_columns:
+            v = self.partition_values.get(col)
+            return (v, v) if v is not None else (None, None)
+        return (self.min_values.get(col), self.max_values.get(col))
+
+    def all_null(self, col: str) -> Optional[bool]:
+        nc = self.null_count.get(col)
+        if nc is None or self.num_records is None:
+            return None
+        return nc == self.num_records
+
+    def no_null(self, col: str) -> Optional[bool]:
+        nc = self.null_count.get(col)
+        return None if nc is None else nc == 0
+
+
+def _eval_comparison(node: Comparison, fs: FileStats) -> Optional[bool]:
+    lo, hi = fs.interval(node.column)
+    # partition values are strings: coerce against the literal's type
+    if node.column in fs.partition_columns and lo is not None:
+        lit = node.value
+        try:
+            if isinstance(lit, bool):
+                lo = hi = lo.lower() == "true"
+            elif isinstance(lit, (int, float)):
+                lo = hi = float(lo)
+            elif isinstance(lit, datetime.datetime):
+                lo = hi = datetime.datetime.fromisoformat(lo)
+            elif isinstance(lit, datetime.date):
+                lo = hi = datetime.date.fromisoformat(lo)
+        except (ValueError, AttributeError):
+            return None
+        # exact value known -> exact answer
+        pair = _coerce_pair(lo, node.value)
+        if pair is None:
+            return None
+        v, lit = pair
+        return {
+            "=": v == lit, "!=": v != lit, "<": v < lit,
+            "<=": v <= lit, ">": v > lit, ">=": v >= lit,
+        }[node.op]
+
+    lo_p = _coerce_pair(lo, node.value)
+    hi_p = _coerce_pair(hi, node.value)
+    if node.op == "=":
+        if lo_p and lo_p[0] > lo_p[1]:
+            return False
+        if hi_p and hi_p[0] < hi_p[1]:
+            return False
+        return None
+    if node.op == "<":
+        if lo_p and not (lo_p[0] < lo_p[1]):
+            return False
+        return None
+    if node.op == "<=":
+        if lo_p and not (lo_p[0] <= lo_p[1]):
+            return False
+        return None
+    if node.op == ">":
+        if hi_p and not (hi_p[0] > hi_p[1]):
+            return False
+        return None
+    if node.op == ">=":
+        if hi_p and not (hi_p[0] >= hi_p[1]):
+            return False
+        return None
+    return None  # != can rarely prune (only exact single-value files)
+
+
+def _eval_node(node, fs: FileStats) -> Optional[bool]:
+    if isinstance(node, Comparison):
+        return _eval_comparison(node, fs)
+    if isinstance(node, InList):
+        if node.negated:
+            return None
+        results = [_eval_comparison(Comparison(node.column, "=", v), fs)
+                   for v in node.values]
+        if any(r is None or r for r in results):
+            return None
+        return False
+    if isinstance(node, IsNull):
+        if node.negated:
+            nn = fs.all_null(node.column)
+            return False if nn else None
+        an = fs.no_null(node.column)
+        return False if an else None
+    if isinstance(node, BoolOp):
+        results = [_eval_node(op, fs) for op in node.operands]
+        if node.op == "and":
+            if any(r is False for r in results):
+                return False
+            return None
+        if all(r is False for r in results):
+            return False
+        return None
+    if isinstance(node, NotOp):
+        return None  # sound: never skip under NOT
+    return None  # Unknown
+
+
+def prune_manifest(adds: dict[str, Any], predicate_sql: str | None,
+                   partition_columns: list[str]) -> dict[str, Any]:
+    """Return the subset of ``adds`` that may contain matching rows."""
+    if not predicate_sql:
+        return dict(adds)
+    tree = parse_predicate(predicate_sql)
+    if isinstance(tree, Unknown):
+        return dict(adds)
+    out = {}
+    for path, add in adds.items():
+        fs = FileStats(add, partition_columns)
+        if _eval_node(tree, fs) is not False:
+            out[path] = add
+    return out

@@ -1,0 +1,253 @@
+"""Storage abstraction: URL -> filesystem resolution + path math.
+
+Mirrors the reference's two-level design (/root/reference/xdlake/storage.py:
+10-237): a process-global prefix->filesystem registry with longest-prefix
+matching, plus a ``Location`` value object coupling scheme + path. Relative
+local paths are absolutized; add-action paths may be table-relative or
+absolute URLs (after clone / import_refs) and resolve via :meth:`Location.
+absloc`.
+
+Backends:
+- local: plain ``os`` I/O with O_EXCL for atomic put-if-absent commits —
+  *stronger* than the reference's exists-then-write (reference
+  __init__.py:425-442 is non-atomic; noted in SURVEY §7.3 sharp-edge 3);
+- s3/gs/az...: ``pyarrow.fs.FileSystem.from_uri`` when those connectors are
+  present, or an fsspec filesystem if registered. The *data* path on a real
+  cluster goes through Spark/Hadoop (s3a/gs/abfs) — this module only carries
+  the KB-scale JSON log and path math.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import re
+from typing import Any
+
+_REGISTRY: dict[str, Any] = {}
+
+_URL_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://")
+
+
+def register_filesystem(prefix: str, fs: Any) -> None:
+    """Register a filesystem for a URL prefix (longest prefix wins).
+
+    ``fs`` may be a ``pyarrow.fs.FileSystem`` or an fsspec filesystem
+    (anything with open/exists/ls); mirrors reference storage.py:10-59.
+    """
+    _REGISTRY[prefix.rstrip("/")] = fs
+
+
+def _lookup_filesystem(url: str) -> Any | None:
+    best, best_len = None, -1
+    for prefix, fs in _REGISTRY.items():
+        if url.startswith(prefix) and len(prefix) > best_len:
+            best, best_len = fs, len(prefix)
+    return best
+
+
+class Location:
+    """A storage location: scheme + absolute path (+ resolved filesystem).
+
+    Reference parity: storage.py:79-205.
+    """
+
+    def __init__(self, scheme: str, path: str):
+        self.scheme = scheme
+        self.path = path
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def resolve(cls, url_or_path: "str | Location") -> "Location":
+        if isinstance(url_or_path, Location):
+            return url_or_path
+        url = str(url_or_path)
+        m = _URL_RE.match(url)
+        if m:
+            scheme = m.group(1)
+            if scheme == "file":
+                return cls("file", url[len("file://"):] or "/")
+            return cls(scheme, url)
+        # relative local paths are absolutized (reference storage.py:119-128)
+        return cls("file", os.path.abspath(url))
+
+    # -- path math -----------------------------------------------------------
+
+    def join(self, *parts: str) -> "Location":
+        if self.scheme == "file":
+            return Location("file", os.path.join(self.path, *parts))
+        return Location(self.scheme, posixpath.join(self.path, *parts))
+
+    @property
+    def url(self) -> str:
+        if self.scheme == "file":
+            return self.path
+        return self.path
+
+    def absloc(self, path: str) -> "Location":
+        """Resolve an add-action path: table-relative or absolute URL
+        (reference storage.py:220-237)."""
+        if _URL_RE.match(path) or os.path.isabs(path):
+            return Location.resolve(path)
+        return self.join(path)
+
+    def relative_to(self, other: "Location") -> str | None:
+        """This path relative to ``other``, or None if not beneath it."""
+        base = other.path.rstrip("/") + "/"
+        if self.scheme == other.scheme and self.path.startswith(base):
+            return self.path[len(base):]
+        return None
+
+    # -- filesystem ops (log-scale I/O only) ----------------------------------
+
+    def _fs(self):
+        fs = _lookup_filesystem(self.url)
+        if fs is not None:
+            return fs
+        if self.scheme == "file":
+            return None  # plain os I/O
+        import pyarrow.fs as pafs
+        fs, _ = pafs.FileSystem.from_uri(self.url)
+        register_filesystem(f"{self.scheme}://", fs)
+        return fs
+
+    def _strip_scheme(self) -> str:
+        m = _URL_RE.match(self.path)
+        return self.path[m.end():] if m else self.path
+
+    def exists(self) -> bool:
+        fs = self._fs()
+        if fs is None:
+            return os.path.exists(self.path)
+        import pyarrow.fs as pafs
+        if isinstance(fs, pafs.FileSystem):
+            return fs.get_file_info(self._strip_scheme()).type != pafs.FileType.NotFound
+        return fs.exists(self.path)
+
+    def mkdir(self) -> None:
+        fs = self._fs()
+        if fs is None:
+            os.makedirs(self.path, exist_ok=True)
+            return
+        import pyarrow.fs as pafs
+        if isinstance(fs, pafs.FileSystem):
+            fs.create_dir(self._strip_scheme(), recursive=True)
+        else:
+            fs.makedirs(self.path, exist_ok=True)
+
+    def read_bytes(self) -> bytes:
+        fs = self._fs()
+        if fs is None:
+            with open(self.path, "rb") as f:
+                return f.read()
+        import pyarrow.fs as pafs
+        if isinstance(fs, pafs.FileSystem):
+            with fs.open_input_stream(self._strip_scheme()) as f:
+                return f.read()
+        with fs.open(self.path, "rb") as f:
+            return f.read()
+
+    def write_bytes(self, data: bytes) -> None:
+        fs = self._fs()
+        if fs is None:
+            os.makedirs(os.path.dirname(self.path), exist_ok=True)
+            with open(self.path, "wb") as f:
+                f.write(data)
+            return
+        import pyarrow.fs as pafs
+        if isinstance(fs, pafs.FileSystem):
+            with fs.open_output_stream(self._strip_scheme()) as f:
+                f.write(data)
+        else:
+            with fs.open(self.path, "wb") as f:
+                f.write(data)
+
+    def put_if_absent(self, data: bytes) -> None:
+        """Atomic create-exclusive where the backend supports it.
+
+        Local: O_CREAT|O_EXCL (truly atomic). Remote object stores: check-
+        then-write, the same OCC window the reference accepts
+        (reference delta_log/__init__.py:422-429). Raises FileExistsError
+        on conflict — callers treat that as a concurrent-commit collision.
+        """
+        fs = self._fs()
+        if fs is None:
+            os.makedirs(os.path.dirname(self.path), exist_ok=True)
+            fd = os.open(self.path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            try:
+                os.write(fd, data)
+            finally:
+                os.close(fd)
+            return
+        if self.exists():
+            raise FileExistsError(self.url)
+        self.write_bytes(data)
+
+    def delete(self) -> None:
+        fs = self._fs()
+        if fs is None:
+            if os.path.exists(self.path):
+                os.remove(self.path)
+            return
+        import pyarrow.fs as pafs
+        if isinstance(fs, pafs.FileSystem):
+            fs.delete_file(self._strip_scheme())
+        else:
+            fs.rm(self.path)
+
+    def list_files(self) -> list[str]:
+        """Names (basenames) of plain files directly under this dir."""
+        fs = self._fs()
+        if fs is None:
+            if not os.path.isdir(self.path):
+                return []
+            return sorted(
+                n for n in os.listdir(self.path)
+                if os.path.isfile(os.path.join(self.path, n)))
+        import pyarrow.fs as pafs
+        if isinstance(fs, pafs.FileSystem):
+            sel = pafs.FileSelector(self._strip_scheme(), allow_not_found=True)
+            return sorted(i.base_name for i in fs.get_file_info(sel)
+                          if i.type == pafs.FileType.File)
+        if not fs.exists(self.path):
+            return []
+        return sorted(posixpath.basename(p) for p in fs.ls(self.path))
+
+    def list_files_recursive(self) -> list[str]:
+        """Paths relative to this dir, of all files beneath it."""
+        fs = self._fs()
+        if fs is None:
+            out = []
+            for root, _dirs, files in os.walk(self.path):
+                for n in files:
+                    out.append(os.path.relpath(os.path.join(root, n), self.path))
+            return sorted(out)
+        import pyarrow.fs as pafs
+        if isinstance(fs, pafs.FileSystem):
+            sel = pafs.FileSelector(self._strip_scheme(), recursive=True,
+                                    allow_not_found=True)
+            base = self._strip_scheme().rstrip("/") + "/"
+            return sorted(i.path[len(base):] for i in fs.get_file_info(sel)
+                          if i.type == pafs.FileType.File)
+        base = self.path.rstrip("/") + "/"
+        return sorted(p[len(base):] for p in fs.find(self.path))
+
+    def file_size(self) -> int:
+        fs = self._fs()
+        if fs is None:
+            return os.path.getsize(self.path)
+        import pyarrow.fs as pafs
+        if isinstance(fs, pafs.FileSystem):
+            return fs.get_file_info(self._strip_scheme()).size
+        return fs.size(self.path)
+
+    def __repr__(self) -> str:
+        return f"Location({self.url!r})"
+
+    def __eq__(self, other: object) -> bool:
+        return (isinstance(other, Location)
+                and (self.scheme, self.path) == (other.scheme, other.path))
+
+    def __hash__(self) -> int:
+        return hash((self.scheme, self.path))

@@ -1,0 +1,633 @@
+"""DeltaTable: the user-facing API, Spark-native.
+
+Parity target: /root/reference/xdlake/__init__.py:32-446 (the reference's
+entire ``DeltaTable``). Architecture per SURVEY §7.1: every operation is
+(a) driver-side log/manifest computation (pure Python, microseconds) plus
+(b) at most two Spark jobs (scan/agg + write). Data never flows through the
+driver; only the KB-scale JSON log and the file manifest do.
+
+Scale design (100 TB / 1000 executors):
+- Scans are a single ``spark.read.schema(...).parquet(*files)`` over the
+  manifest's live files — Catalyst handles predicate pushdown, column
+  pruning, and row-group skipping; the driver additionally prunes whole
+  files from the manifest with partition values + min/max stats
+  (plans/skipping.py) *before* a plan exists.
+- Writes go straight from executors to the table directory via
+  ``df.write.partitionBy(...).parquet`` — hive layout identical to the
+  reference (/root/reference/xdlake/__init__.py:381-394).
+- Copy-on-write delete touches only files the predicate can hit: manifest
+  pruning first, then one agg job to find true hit-files, then one write
+  job rewriting survivors of those files only (reference semantics,
+  __init__.py:259-315, at file granularity).
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import urllib.parse
+from typing import Any, Callable, Generator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .log import (
+    Add,
+    DeltaLog,
+    DeltaLogEntry,
+    SchemaMode,
+    WriteMode,
+    append_table_entry,
+    commit_entry,
+    create_table_entry,
+    delete_table_entry,
+    log_entry_filename,
+    merge_table_entry,
+    optimize_table_entry,
+    overwrite_table_entry,
+    restore_table_entry,
+    timestamp_ms,
+)
+from .log.schema import partition_value_to_python
+from .log.statistics import Statistics
+from .plans.skipping import prune_manifest
+from .sources.inputs import union_dataframe
+from .sources.storage import Location
+
+
+class DeltaTable:
+    """Immutable snapshot handle over a Delta table; mutators return a new
+    ``DeltaTable`` (reference semantics, __init__.py:190,229,257,315,333)."""
+
+    def __init__(self, spark: SparkSession, location: "str | Location",
+                 log_location: "str | Location | None" = None,
+                 version: int | None = None):
+        self.spark = spark
+        self.location = Location.resolve(location)
+        self.log_location = (Location.resolve(log_location)
+                             if log_location is not None
+                             else self.location.join("_delta_log"))
+        self.pinned_version = version
+        self.log = DeltaLog.load(self.log_location, version=version)
+        self._version_to_write = self.log.version_to_write
+        self.adds: dict[str, Add] = self.log.add_actions()
+        self.partition_columns: list[str] = (
+            self.log.partition_columns() if self.log else [])
+        self.schema: T.StructType | None = (
+            self.log.schema() if self.log else None)
+
+    # -- metadata ------------------------------------------------------------
+
+    @property
+    def version(self) -> int:
+        return self.log.version
+
+    @property
+    def versions(self) -> list[int]:
+        return self.log.versions
+
+    def history(self, reverse: bool = True) -> Generator[dict, None, None]:
+        return self.log.history(reverse=reverse)
+
+    def history_df(self) -> DataFrame:
+        """DESCRIBE HISTORY-style DataFrame of commitInfo records."""
+        rows = [{"version": h.get("version"),
+                 "timestamp": h.get("timestamp"),
+                 "operation": h.get("operation"),
+                 "operationParameters": json.dumps(
+                     h.get("operationParameters") or {}),
+                 "operationMetrics": json.dumps(
+                     h.get("operationMetrics") or {})}
+                for h in self.history()]
+        schema = ("version LONG, timestamp LONG, operation STRING, "
+                  "operationParameters STRING, operationMetrics STRING")
+        return self.spark.createDataFrame(rows, schema=schema)
+
+    def load_as_version(self, version: int) -> "DeltaTable":
+        """Time travel (reference __init__.py:73-82)."""
+        return DeltaTable(self.spark, self.location, self.log_location,
+                          version=version)
+
+    def file_uris(self) -> list[str]:
+        """Absolute URIs of live files (reference __init__.py:122-125)."""
+        return [self.location.absloc(p).url for p in self.adds]
+
+    # -- scan ------------------------------------------------------------------
+
+    def to_df(self, where: str | None = None) -> DataFrame:
+        """Snapshot scan as a DataFrame.
+
+        ``where`` (SQL string) is applied as both a driver-side manifest
+        prune (file skipping via partition values + min/max stats — the
+        reference's unimplemented TODO, __init__.py:104) and an exact
+        row-level ``filter`` that Catalyst pushes into the parquet scan.
+        """
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        adds = (prune_manifest(self.adds, where, self.partition_columns)
+                if where else self.adds)
+        df = self._scan(adds)
+        if where:
+            df = df.filter(where)
+        return df
+
+    def _scan(self, adds: dict[str, Add]) -> DataFrame:
+        schema = self.schema
+        assert schema is not None
+        if not adds:
+            return self.spark.createDataFrame([], schema)
+        pcols = [c for c in self.partition_columns if c in schema.fieldNames()]
+        data_schema = T.StructType(
+            [f for f in schema.fields if f.name not in pcols])
+
+        if not pcols:
+            files = [self.location.absloc(p).url for p in adds]
+            return self.spark.read.schema(schema).parquet(*files)
+
+        # Fast path: every live file is table-relative in hive layout ->
+        # ONE parquet relation with basePath; Spark derives partition
+        # columns from the key=value dirs natively (single FileScan, native
+        # dynamic partition pruning).
+        if all(self._is_hive_relative(p, pcols) for p in adds):
+            files = [self.location.join(p).url for p in adds]
+            df = (self.spark.read.schema(schema)
+                  .option("basePath", self.location.url)
+                  .parquet(*files))
+            return df.select(schema.fieldNames())
+
+        # General path (clone / import_refs absolute paths, foreign
+        # layouts): group files by identical partition values, attach the
+        # values as typed literal columns per group, union.
+        groups: dict[tuple, list[str]] = {}
+        for path, add in adds.items():
+            key = tuple(sorted((add.partitionValues or {}).items()))
+            groups.setdefault(key, []).append(self.location.absloc(path).url)
+        parts: list[DataFrame] = []
+        for key, files in groups.items():
+            part = self.spark.read.schema(data_schema).parquet(*files)
+            values = dict(key)
+            for c in pcols:
+                dt = schema[c].dataType
+                part = part.withColumn(
+                    c, F.lit(partition_value_to_python(values.get(c), dt))
+                    .cast(dt))
+            parts.append(part.select(schema.fieldNames()))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _is_hive_relative(self, path: str, pcols: list[str]) -> bool:
+        if "://" in path or path.startswith("/"):
+            return False
+        segs = path.split("/")[:-1]
+        keys = [s.split("=", 1)[0] for s in segs if "=" in s]
+        return keys == pcols
+
+    def to_pandas(self, where: str | None = None):
+        return self.to_df(where).toPandas()
+
+    # -- write -----------------------------------------------------------------
+
+    def write(self, data: Any, mode: "str | WriteMode" = "append",
+              schema_mode: "str | SchemaMode" = "overwrite",
+              partition_by: list[str] | None = None,
+              custom_metadata: dict | None = None) -> "DeltaTable":
+        """Write data (reference __init__.py:153-190).
+
+        ``data``: DataFrame | pandas | pyarrow Table/RecordBatch | parquet
+        path(s) | iterable mix. Modes: append / overwrite / error / ignore.
+        """
+        mode = WriteMode.coerce(mode)
+        schema_mode_e = SchemaMode.coerce(schema_mode)
+
+        if self.log:
+            if mode == WriteMode.error:
+                raise FileExistsError(
+                    f"Table already exists at {self.location.url}")
+            if mode == WriteMode.ignore:
+                return self
+
+        partition_by = self.log.validate_partition_by(partition_by)
+
+        df = union_dataframe(self.spark, data,
+                             schema_mode=schema_mode_e.value
+                             if schema_mode_e == SchemaMode.merge else "common")
+        schema = self.log.evaluate_schema(df.schema, mode, schema_mode_e)
+        # align to evolved schema (fill missing columns with nulls)
+        if [f.name for f in schema.fields] != df.columns or \
+                schema != df.schema:
+            df = df.select([
+                F.col(f.name).cast(f.dataType) if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields])
+
+        new_adds = self._write_data(df, partition_by)
+
+        if not self.log:
+            entry = create_table_entry(schema, partition_by,
+                                       self.location.url, new_adds,
+                                       custom_metadata)
+        elif mode == WriteMode.overwrite:
+            entry = overwrite_table_entry(new_adds, self.adds.values(),
+                                          schema, partition_by,
+                                          custom_metadata)
+        else:
+            evolved = schema if not schemas_match(schema, self.schema) else None
+            entry = append_table_entry(new_adds, partition_by,
+                                       schema=evolved,
+                                       custom_metadata=custom_metadata)
+        return self._commit(entry)
+
+    def _write_data(self, df: DataFrame,
+                    partition_by: list[str]) -> list[Add]:
+        """Physical write: executors write hive-partitioned parquet directly
+        into the table dir; the driver diffs the listing to learn the new
+        files and reads their footers for stats (reference __init__.py:
+        335-396; stats per delta_log/statistics.py:14-36)."""
+        root = self.location
+        before = set(self._data_files())
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(root.url)
+        new_files = sorted(set(self._data_files()) - before)
+        return [self._add_for_relpath(rel) for rel in new_files]
+
+    def _data_files(self) -> list[str]:
+        if not self.location.exists():
+            return []
+        out = []
+        for rel in self.location.list_files_recursive():
+            base = posixpath.basename(rel)
+            if rel.startswith("_delta_log/") or base.startswith((".", "_")):
+                continue
+            if rel.endswith(".parquet"):
+                out.append(rel)
+        return out
+
+    def _add_for_relpath(self, rel: str) -> Add:
+        loc = self.location.join(rel)
+        stats = Statistics.from_parquet_file(loc.path)
+        pvals = {}
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                pvals[k] = urllib.parse.unquote(v)
+        return Add(path=rel, size=loc.file_size(),
+                   modificationTime=timestamp_ms(),
+                   partitionValues=pvals, stats=stats.to_json())
+
+    def _commit(self, entry: DeltaLogEntry) -> "DeltaTable":
+        commit_entry(self.log_location, self._version_to_write, entry)
+        return DeltaTable(self.spark, self.location, self.log_location)
+
+    # -- delete (copy-on-write) -------------------------------------------------
+
+    def delete(self, where: "str | Column | None" = None,
+               custom_metadata: dict | None = None) -> "DeltaTable":
+        """Predicate delete; ``where=None`` deletes everything
+        (reference __init__.py:259-315).
+
+        Two-phase, file-granular:
+        1. manifest prune + one agg job grouped on ``input_file_name()``
+           finds files that truly contain matching rows;
+        2. one write job rewrites the surviving rows of only those files.
+        Files fully covered by the predicate are tombstoned without any
+        rewrite; untouched files keep their add actions.
+        """
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        read_version = self.version
+
+        if where is None:
+            removes = [a.to_remove() for a in self.adds.values()]
+            deleted = sum((a.stats_dict or {}).get("numRecords", 0)
+                          for a in self.adds.values())
+            metrics = {
+                "num_added_files": 0,
+                "num_removed_files": len(removes),
+                "num_copied_rows": 0,
+                "num_deleted_rows": deleted,
+            }
+            entry = delete_table_entry([], removes, "true", read_version,
+                                       metrics, custom_metadata)
+            return self._commit(entry)
+
+        where_sql = where if isinstance(where, str) else None
+        pred = F.expr(where) if isinstance(where, str) else where
+        pred = F.coalesce(pred, F.lit(False))  # null predicate keeps the row
+
+        candidates = prune_manifest(self.adds, where_sql,
+                                    self.partition_columns)
+        if not candidates:
+            entry = delete_table_entry(
+                [], [], where_sql or "<expr>", read_version,
+                {"num_added_files": 0, "num_removed_files": 0,
+                 "num_copied_rows": 0, "num_deleted_rows": 0},
+                custom_metadata)
+            return self._commit(entry)
+
+        uri_to_rel = {self.location.absloc(p).url: p for p in candidates}
+
+        scan = self._scan(candidates).withColumn(
+            "__xdl_file", F.input_file_name())
+        per_file = (scan.groupBy("__xdl_file")
+                    .agg(F.count(F.lit(1)).alias("total"),
+                         F.sum(pred.cast("long")).alias("hits"))
+                    .collect())  # one row per candidate file: driver-safe
+
+        def rel_of(uri: str) -> str:
+            key = uri.replace("file://", "", 1) if uri.startswith("file://") else uri
+            for u, r in uri_to_rel.items():
+                if key == u or key.endswith("/" + r) or u.endswith(key):
+                    return r
+            raise KeyError(uri)
+
+        hit_rels = [rel_of(r["__xdl_file"]) for r in per_file
+                    if (r["hits"] or 0) > 0]
+        n_deleted = sum(int(r["hits"] or 0) for r in per_file)
+        n_survivors = sum(int(r["total"]) - int(r["hits"] or 0)
+                          for r in per_file if (r["hits"] or 0) > 0)
+
+        if not hit_rels:
+            entry = delete_table_entry(
+                [], [], where_sql or "<expr>", read_version,
+                {"num_added_files": 0, "num_removed_files": 0,
+                 "num_copied_rows": 0, "num_deleted_rows": 0},
+                custom_metadata)
+            return self._commit(entry)
+
+        new_adds: list[Add] = []
+        if n_survivors > 0:
+            hit_adds = {r: self.adds[r] for r in hit_rels}
+            survivors = self._scan(hit_adds).filter(~pred)
+            new_adds = self._write_data(survivors, self.partition_columns)
+
+        removes = [self.adds[r].to_remove() for r in hit_rels]
+        metrics = {
+            "num_added_files": len(new_adds),
+            "num_removed_files": len(removes),
+            "num_copied_rows": int(n_survivors),
+            "num_deleted_rows": int(n_deleted),
+        }
+        entry = delete_table_entry(new_adds, removes,
+                                   where_sql or "<expr>", read_version,
+                                   metrics, custom_metadata)
+        return self._commit(entry)
+
+    # -- restore / clone / import ------------------------------------------------
+
+    def restore(self, restore_version: int,
+                custom_metadata: dict | None = None) -> "DeltaTable":
+        """Reinstate a previous version's add-set as a new commit
+        (reference __init__.py:317-333)."""
+        target = DeltaLog(
+            {v: e for v, e in self.log.entries.items()
+             if v <= restore_version})
+        if not target:
+            raise ValueError(f"Version {restore_version} does not exist")
+        cur = self.adds
+        tgt = target.add_actions()
+        re_adds = [a for p, a in tgt.items() if p not in cur]
+        removes = [a.to_remove() for p, a in cur.items() if p not in tgt]
+        entry = restore_table_entry(re_adds, removes, target.schema(),
+                                    target.partition_columns(),
+                                    restore_version, self.version,
+                                    custom_metadata)
+        return self._commit(entry)
+
+    def clone(self, dst_location: "str | Location",
+              dst_log_location: "str | Location | None" = None
+              ) -> "DeltaTable":
+        """Shallow clone: copy the log, rewriting relative data paths to
+        absolute source URLs; zero data copy; full history preserved
+        (reference __init__.py:231-257)."""
+        dst = Location.resolve(dst_location)
+        dst_log = (Location.resolve(dst_log_location)
+                   if dst_log_location is not None
+                   else dst.join("_delta_log"))
+        import dataclasses
+
+        from .log import Remove
+        for v in self.log.versions:
+            src_entry = self.log.entries[v]
+            actions = []
+            for a in src_entry.actions:
+                if isinstance(a, (Add, Remove)) and "://" not in a.path \
+                        and not a.path.startswith("/"):
+                    a = dataclasses.replace(
+                        a, path=self.location.join(a.path).url)
+                actions.append(a)
+            dst_log.join(log_entry_filename(v)).put_if_absent(
+                DeltaLogEntry(actions).to_bytes())
+        return DeltaTable(self.spark, dst, dst_log)
+
+    def import_refs(self, refs: Any, mode: "str | WriteMode" = "append",
+                    schema_mode: "str | SchemaMode" = "overwrite",
+                    partition_by: list[str] | None = None,
+                    partitioning: str | None = "hive",
+                    custom_metadata: dict | None = None) -> "DeltaTable":
+        """Zero-copy import of foreign parquet: register absolute-path adds
+        with footer stats; no data is read or moved
+        (reference __init__.py:192-229, 398-423).
+
+        ``refs``: file/dir path(s). Partition values are discovered via
+        pyarrow dataset partitioning inference (hive by default) — driver-
+        side listing + footer reads only.
+        """
+        import pyarrow.dataset as pads
+
+        mode = WriteMode.coerce(mode)
+        schema_mode_e = SchemaMode.coerce(schema_mode)
+        if self.log and mode == WriteMode.error:
+            raise FileExistsError(f"Table already exists at {self.location.url}")
+        if self.log and mode == WriteMode.ignore:
+            return self
+
+        if isinstance(refs, (str, Location)):
+            refs = [refs]
+        datasets = [pads.dataset(Location.resolve(r).path, format="parquet",
+                                 partitioning=partitioning) for r in refs]
+
+        from .log.schema import arrow_schema_to_spark, merge_schemas
+        incoming = merge_schemas(
+            [arrow_schema_to_spark(ds.schema) for ds in datasets])
+        partition_by = self.log.validate_partition_by(partition_by)
+        schema = self.log.evaluate_schema(incoming, mode, schema_mode_e)
+
+        new_adds: list[Add] = []
+        for ds in datasets:
+            for frag in ds.get_fragments():
+                pvals = {k: str(v) for k, v in pads.get_partition_keys(
+                    frag.partition_expression).items()}
+                stats = Statistics.from_parquet_metadata(frag.metadata)
+                floc = Location.resolve(frag.path)
+                new_adds.append(Add(
+                    path=floc.url, size=floc.file_size(),
+                    modificationTime=timestamp_ms(),
+                    partitionValues=pvals, stats=stats.to_json()))
+
+        if not self.log:
+            entry = create_table_entry(schema, partition_by,
+                                       self.location.url, new_adds,
+                                       custom_metadata)
+        elif mode == WriteMode.overwrite:
+            entry = overwrite_table_entry(new_adds, self.adds.values(),
+                                          schema, partition_by,
+                                          custom_metadata)
+        else:
+            evolved = schema if not schemas_match(schema, self.schema) else None
+            entry = append_table_entry(new_adds, partition_by,
+                                       schema=evolved,
+                                       custom_metadata=custom_metadata)
+        return self._commit(entry)
+
+    # -- maintenance (SURVEY §2.5 stretch ops) ------------------------------------
+
+    def optimize(self, target_file_size: int = 128 * 1024 * 1024,
+                 custom_metadata: dict | None = None) -> "DeltaTable":
+        """Compaction: coalesce small files per partition into ~target-size
+        files; a metadata-only change (``dataChange=false``)."""
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        small = {p: a for p, a in self.adds.items()
+                 if a.size < target_file_size}
+        # group by partition; only partitions with >1 small file benefit
+        by_part: dict[tuple, list[str]] = {}
+        for p, a in small.items():
+            key = tuple(sorted((a.partitionValues or {}).items()))
+            by_part.setdefault(key, []).append(p)
+        to_compact = {p: self.adds[p]
+                      for paths in by_part.values() if len(paths) > 1
+                      for p in paths}
+        if not to_compact:
+            return self
+        total_bytes = sum(a.size for a in to_compact.values())
+        n_out = max(1, round(total_bytes / target_file_size))
+        df = self._scan(to_compact)
+        if self.partition_columns:
+            df = df.repartition(n_out, *self.partition_columns)
+        else:
+            df = df.repartition(n_out)
+        new_adds = self._write_data(df, self.partition_columns)
+        removes = [a.to_remove() for a in to_compact.values()]
+        metrics = {"numFilesAdded": len(new_adds),
+                   "numFilesRemoved": len(removes)}
+        entry = optimize_table_entry(new_adds, removes, self.version,
+                                     metrics, custom_metadata)
+        return self._commit(entry)
+
+    def vacuum(self, retention_hours: float = 168.0,
+               dry_run: bool = False) -> list[str]:
+        """Physically delete tombstoned files older than the retention
+        window. Returns deleted (or would-delete) relative paths."""
+        now = timestamp_ms()
+        horizon = now - int(retention_hours * 3600 * 1000)
+        live = set(self.adds)
+        candidates: dict[str, int] = {}
+        for v in self.log.versions:
+            for rm in self.log.entries[v].removes:
+                if rm.path not in live and "://" not in rm.path \
+                        and not rm.path.startswith("/"):
+                    candidates[rm.path] = rm.deletionTimestamp or 0
+        doomed = sorted(p for p, ts in candidates.items() if ts <= horizon)
+        if not dry_run:
+            for p in doomed:
+                loc = self.location.join(p)
+                if loc.exists():
+                    loc.delete()
+        return doomed
+
+    def merge(self, source: Any, condition: str,
+              *, when_matched_update: dict[str, str] | None = None,
+              when_matched_delete: bool = False,
+              when_not_matched_insert: dict[str, str] | None = None,
+              custom_metadata: dict | None = None) -> "DeltaTable":
+        """MERGE INTO (SURVEY §2.5): join-on-condition + conditional rewrite.
+
+        Copy-on-write at file granularity: only files containing matched
+        target rows are rewritten; inserts append. Clause semantics follow
+        Delta's MERGE: ``when_matched_update`` maps target column ->
+        SQL expression over ``s.`` (source) / ``t.`` (target);
+        ``when_not_matched_insert`` maps target column -> expression over
+        ``s.``.
+        """
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        read_version = self.version
+        src = union_dataframe(self.spark, source).alias("s")
+        cond = F.expr(condition)
+
+        target_all = self._scan(self.adds).withColumn(
+            "__xdl_file", F.input_file_name())
+        t = target_all.alias("t")
+
+        # phase 1: which files contain matched rows?
+        matched_files = [
+            r["__xdl_file"]
+            for r in (t.join(src, cond, "inner")
+                      .select("__xdl_file").distinct().collect())
+        ]
+        uri_to_rel = {self.location.absloc(p).url: p for p in self.adds}
+
+        def rel_of(uri: str) -> str:
+            key = uri.replace("file://", "", 1) if uri.startswith("file://") else uri
+            for u, r in uri_to_rel.items():
+                if key == u or key.endswith("/" + r) or u.endswith(key):
+                    return r
+            raise KeyError(uri)
+
+        hit_rels = sorted({rel_of(u) for u in matched_files})
+
+        out_cols = [f.name for f in self.schema.fields]
+        new_adds: list[Add] = []
+        n_updated = n_deleted_m = 0
+
+        if hit_rels:
+            hit_adds = {r: self.adds[r] for r in hit_rels}
+            th = self._scan(hit_adds).alias("t")
+            joined = th.join(src, cond, "left")
+            src_probe = src.columns[0]
+            is_matched = F.col(f"s.{src_probe}").isNotNull()
+            if when_matched_delete:
+                rewritten = joined.filter(~is_matched).select(
+                    [F.col(f"t.{c}").alias(c) for c in out_cols])
+            elif when_matched_update:
+                sel = []
+                for c in out_cols:
+                    upd = when_matched_update.get(c)
+                    expr = (F.when(is_matched, F.expr(upd))
+                            .otherwise(F.col(f"t.{c}"))
+                            if upd else F.col(f"t.{c}"))
+                    sel.append(expr.cast(self.schema[c].dataType).alias(c))
+                rewritten = joined.select(sel)
+            else:
+                rewritten = th.select(out_cols)
+            new_adds.extend(self._write_data(rewritten,
+                                             self.partition_columns))
+
+        if when_not_matched_insert:
+            anti = src.join(t, cond, "left_anti")
+            ins = anti.select([
+                F.expr(when_not_matched_insert[c]).cast(
+                    self.schema[c].dataType).alias(c)
+                if c in when_not_matched_insert
+                else F.lit(None).cast(self.schema[c].dataType).alias(c)
+                for c in out_cols])
+            new_adds.extend(self._write_data(ins, self.partition_columns))
+
+        removes = [self.adds[r].to_remove() for r in hit_rels]
+        metrics = {"numTargetFilesAdded": len(new_adds),
+                   "numTargetFilesRemoved": len(removes)}
+        entry = merge_table_entry(new_adds, removes, condition,
+                                  read_version, metrics, custom_metadata)
+        return self._commit(entry)
+
+
+def schemas_match(a: T.StructType | None, b: T.StructType | None) -> bool:
+    from .log.schema import schemas_equal
+    if a is None or b is None:
+        return a is b
+    return schemas_equal(a, b)
