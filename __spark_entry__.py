@@ -1,38 +1,50 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` is the flagship smoke query; ``queries()`` /
+``oracle_sql()`` expose the full operator surface from SURVEY §2 plus the
+LLM-pipeline extensions, implemented in ``xdlake_spark.queries``. The
+driver runs each query at sf=0.01 against the DuckDB oracle (row-count +
+schema + order-insensitive value-hash).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from xdlake_spark import queries as Q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: ingest lineitem (sf0.001) into a partitioned delta table
+    through the transaction-log layer, scan it back with manifest pruning,
+    and run the TPC-H Q1 aggregation on the result."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from xdlake_spark import DeltaTable
+    from xdlake_spark.sources.readers import read_parquet_any
+
+    li = read_parquet_any(spark, "/root/testdata/sf0.001/lineitem.parquet")
+    loc = tempfile.mkdtemp(prefix="xdlake_entry_")
+    table = DeltaTable(spark, loc).write(li, partition_by=["l_returnflag"])
+    df = table.to_df(where="l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'")
+    return (df.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return Q.oracle_sql()

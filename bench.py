@@ -1,0 +1,97 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with the noop sink (no driver
+collect, no disk write — measures the real plan end-to-end).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: Headline set: one per operator family (scan/join/agg/window/session/
+#: delta-lifecycle/text/dedup/similarity/multimodal).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "filter_predicate_ops",
+    "window_top_order_per_customer",
+    "events_hourly_tumbling",
+    "user_sessions",
+    "delta_roundtrip_scan",
+    "delta_filtered_scan_skipping",
+    "delta_delete_cow",
+    "delta_merge_upsert",
+    "text_stats",
+    "lang_detect",
+    "token_count_by_lang",
+    "dedup_exact_keepers",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash_pairs",
+    "embedding_neardup_pairs",
+    "similarity_topk_cosine",
+    "knn_join_labels",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
+        if "sf" in sf_dir else 0.1
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("xdlake-spark-bench")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+             .config("spark.serializer",
+                     "org.apache.spark.serializer.KryoSerializer")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from xdlake_spark.queries import queries
+    from xdlake_spark.sources.readers import read_parquet_any
+    qs = queries()
+
+    # warm up the JVM / codegen / parquet reader before timing
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        read_parquet_any(spark, f"{sf_dir}/{t}.parquet") \
+            .write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

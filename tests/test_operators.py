@@ -1,0 +1,250 @@
+"""LLM-pipeline operator tests: dedup, similarity, text analysis,
+multimodal plumbing — against the driver's documents/embeddings tables
+plus synthetic near-duplicates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xdlake_spark.operators import dedup, multimodal, similarity
+from xdlake_spark.operators import text as textops
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, documents):
+    """documents + exact copies of 5 docs + near-copies (one word changed)
+    of 5 others, with fresh doc_ids."""
+    base = documents.limit(200)
+    exact = (documents.limit(5)
+             .withColumn("doc_id", F.col("doc_id") + 100000))
+    near = (documents.filter("doc_id >= 5").limit(5)
+            .withColumn("doc_id", F.col("doc_id") + 200000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zzz"))))
+    return base.unionByName(exact).unionByName(near)
+
+
+class TestExactDedup:
+    def test_removes_exact_copies(self, spark, docs_with_dups):
+        out = dedup.exact_dedup(docs_with_dups)
+        assert out.count() == 205  # 200 base + 5 near (not exact) kept
+        # keeper is the lowest id
+        assert out.filter("doc_id >= 100000 and doc_id < 200000").count() == 0
+
+    def test_duplicate_groups(self, spark, docs_with_dups):
+        groups = dedup.duplicate_groups(docs_with_dups).collect()
+        assert len(groups) == 5
+        assert all(g["n_dups"] == 2 for g in groups)
+        assert all(g["keeper_id"] < 100000 for g in groups)
+
+
+class TestMinHash:
+    def test_near_dups_found(self, spark, docs_with_dups):
+        pairs = dedup.minhash_lsh_pairs(docs_with_dups, threshold=0.6)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        # every exact copy must pair with its source
+        for i in range(5):
+            assert (i, i + 100000) in got
+        # near copies (1 word appended) should mostly be found
+        near_hits = sum((i, i + 200000) in got for i in range(5, 10))
+        assert near_hits >= 4
+
+    def test_jaccard_exact_for_identical(self, spark, docs_with_dups):
+        pairs = dedup.minhash_lsh_pairs(docs_with_dups, threshold=0.99)
+        ident = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in pairs.collect()}
+        for i in range(5):
+            assert ident.get((i, i + 100000)) == pytest.approx(1.0)
+
+    def test_minhash_dedup_drops_later_ids(self, spark, docs_with_dups):
+        out = dedup.minhash_dedup(docs_with_dups, threshold=0.6)
+        assert out.filter("doc_id >= 100000 and doc_id < 200000").count() == 0
+        # survivors = all docs minus exactly the id_b side of found pairs
+        pairs = dedup.minhash_lsh_pairs(docs_with_dups, threshold=0.6)
+        doomed = {r["id_b"] for r in pairs.collect()}
+        assert out.count() == docs_with_dups.count() - len(doomed)
+
+
+class TestNgramJaccard:
+    def test_matches_manual_jaccard(self, spark):
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["a b c d e", "a b c d x", "q r s t u"],
+        })
+        df = spark.createDataFrame(pdf)
+        pairs = dedup.ngram_jaccard_pairs(df, k_shingle=3, threshold=0.1)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+        # shingles(1): {abc,bcd,cde}; (2): {abc,bcd,cdx}; inter=2 union=4
+        assert got[(1, 2)] == pytest.approx(0.5)
+        assert (1, 3) not in got and (2, 3) not in got
+
+    def test_on_documents(self, spark, docs_with_dups):
+        pairs = dedup.ngram_jaccard_pairs(docs_with_dups, threshold=0.8)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        for i in range(5):
+            assert (i, i + 100000) in got
+
+
+class TestSimHash:
+    def test_identical_docs_zero_hamming(self, spark, docs_with_dups):
+        pairs = dedup.simhash_pairs(docs_with_dups, max_hamming=3)
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in pairs.collect()}
+        for i in range(5):
+            assert got.get((i, i + 100000)) == 0
+
+    def test_simhash_deterministic(self, spark, documents):
+        a = {r["id"]: r["simhash"]
+             for r in dedup.simhash_df(documents.limit(50)).collect()}
+        b = {r["id"]: r["simhash"]
+             for r in dedup.simhash_df(documents.limit(50)).collect()}
+        assert a == b
+
+
+class TestEmbeddingDedup:
+    def test_lsh_finds_what_exact_finds(self, spark, embeddings):
+        exact = dedup.embedding_neardup_pairs(embeddings, threshold=0.95,
+                                              exact=True)
+        exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+        lsh = dedup.embedding_neardup_pairs(embeddings, threshold=0.95,
+                                            n_planes=8)
+        lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+        assert lsh_pairs <= exact_pairs
+        if exact_pairs:
+            recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
+            assert recall >= 0.3  # 8 planes, single probe
+
+
+QUERY_VEC = [0.1] * 32 + [-0.1] * 32
+
+
+class TestSimilaritySearch:
+    def test_brute_force_topk_matches_numpy(self, spark, embeddings):
+        got = similarity.brute_force_topk(embeddings, QUERY_VEC, k=10)
+        rows = got.collect()
+        assert len(rows) == 10
+        pdf = embeddings.toPandas()
+        mat = np.array(pdf["embedding"].tolist(), dtype="float64")
+        q = np.array(QUERY_VEC)
+        sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        order = np.lexsort((pdf["vec_id"].values, -sims))
+        expect = pdf["vec_id"].values[order][:10].tolist()
+        assert [r["vec_id"] for r in rows] == expect
+
+    def test_knn_join(self, spark, embeddings):
+        queries = spark.createDataFrame(pd.DataFrame({
+            "q_id": [0, 1],
+            "q_vec": [[1.0] * 64, [-1.0] * 64],
+        }))
+        out = similarity.knn_join(queries, embeddings, k=3)
+        rows = out.collect()
+        assert len(rows) == 6
+        assert {r["q_id"] for r in rows} == {0, 1}
+        for qid in (0, 1):
+            scores = [r["score"] for r in rows if r["q_id"] == qid]
+            assert scores == sorted(scores, reverse=True)
+
+    def test_lsh_topk_subset_quality(self, spark, embeddings):
+        exact = [r["vec_id"] for r in
+                 similarity.brute_force_topk(embeddings, QUERY_VEC,
+                                             k=10).collect()]
+        approx = [r["vec_id"] for r in
+                  similarity.lsh_topk(embeddings, QUERY_VEC, k=10,
+                                      n_planes=6, multiprobe=3).collect()]
+        assert len(approx) > 0
+        # approximate results are real vectors with valid scores
+        assert set(approx) <= set(
+            r["vec_id"] for r in embeddings.select("vec_id").collect())
+
+    def test_ivf(self, spark, embeddings):
+        assigned, centroids = similarity.ivf_build(embeddings,
+                                                   n_centroids=8)
+        out = similarity.ivf_topk(assigned, centroids, QUERY_VEC,
+                                  k=5, nprobe=4)
+        rows = out.collect()
+        assert len(rows) == 5
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+class TestTextAnalysis:
+    def test_analyze_matches_python(self, spark, documents):
+        out = textops.analyze_documents(documents.limit(20)).collect()
+        src = {r["doc_id"]: r["text"]
+               for r in documents.limit(20).collect()}
+        for r in out:
+            text = src[r["doc_id"]]
+            assert r["n_chars"] == len(text)
+            assert r["n_tokens_ws"] == len(text.split())
+            import hashlib
+            import re
+            norm = re.sub(r"\s+", " ", text.lower()).strip()
+            assert r["fingerprint"] == hashlib.md5(
+                norm.encode()).hexdigest()
+
+    def test_n_chars_matches_column(self, spark, documents):
+        bad = (textops.analyze_documents(documents)
+               .join(documents, "doc_id")
+               .filter("n_chars != documents.n_chars" if False else
+                       F.col("n_chars") != F.col("documents.n_chars"))
+               ) if False else None
+        joined = (textops.analyze_documents(documents)
+                  .withColumnRenamed("n_chars", "computed")
+                  .join(documents.select("doc_id", "n_chars"), "doc_id"))
+        assert joined.filter("computed != n_chars").count() == 0
+
+    def test_detect_language_scores(self, spark):
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["the cat and the dog is in that house for it",
+                     "el perro y la casa es que un gato por los dias"],
+        })
+        out = {r["doc_id"]: r["lang_pred"]
+               for r in textops.detect_language(
+                   spark.createDataFrame(pdf)).collect()}
+        assert out[1] == "en"
+        assert out[2] == "es"
+
+    def test_quality_filter(self, spark, documents):
+        total = documents.count()
+        kept = textops.quality_filter(documents, 0.5).count()
+        assert 0 < kept <= total
+
+    def test_token_summary(self, spark, documents):
+        rows = textops.token_count_summary(documents).collect()
+        langs = [r["lang"] for r in rows]
+        assert langs == sorted(langs)
+        assert sum(r["n_docs"] for r in rows) == documents.count()
+
+
+class TestMultimodal:
+    def test_decode_stub_raises_without_fake(self, spark, documents):
+        payloads = multimodal.attach_fake_payloads(documents.limit(2))
+        with pytest.raises(Exception) as exc_info:
+            multimodal.decode_images(payloads).collect()
+        assert "NotImplementedError" in str(exc_info.value) or \
+            "image decode" in str(exc_info.value)
+
+    def test_decode_fake_deterministic(self, spark, documents):
+        payloads = multimodal.attach_fake_payloads(documents.limit(20))
+        out = multimodal.decode_images(payloads, deterministic_fake=True)
+        rows = out.collect()
+        assert len(rows) == 20
+        assert all(r["byte_size"] == 4096 for r in rows)
+        assert all(len(r["features"]) == 8 for r in rows)
+        assert all(64 <= r["width"] <= 256 for r in rows)
+        # deterministic across runs
+        again = {r["doc_id"]: r["sha256"] for r in
+                 multimodal.decode_images(
+                     payloads, deterministic_fake=True).collect()}
+        assert {r["doc_id"]: r["sha256"] for r in rows} == again
+
+    def test_frame_sampling_fanout(self, spark, documents):
+        payloads = multimodal.attach_fake_payloads(documents.limit(3),
+                                                   size=40960)
+        out = multimodal.sample_frames(payloads, every_n=10,
+                                       deterministic_fake=True)
+        rows = out.collect()
+        # 40960 bytes -> 40 frames -> sampled every 10 -> 4 per doc
+        assert len(rows) == 12
+        assert all(r["frame_index"] % 10 == 0 for r in rows)

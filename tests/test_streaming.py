@@ -1,0 +1,88 @@
+"""Streaming tests: file-source micro-batch ingest into a delta table, and
+windowed aggregations checked batch-vs-stream."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from xdlake_spark import DeltaTable
+from xdlake_spark.streaming.ingest import (
+    session_windows,
+    sliding_window_counts,
+    stream_append,
+    tumbling_window_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from xdlake_spark.sources.readers import read_parquet_any
+    return read_parquet_any(spark, f"{SF}/events.parquet")
+
+
+class TestStreamIngest:
+    def test_stream_append_commits_batches(self, spark, tmp_table_dir,
+                                           events):
+        src = f"{tmp_table_dir}/incoming"
+        events.limit(500).write.parquet(src)
+        stream = (spark.readStream.schema(events.schema).parquet(src))
+        q = stream_append(stream, f"{tmp_table_dir}/t",
+                          f"{tmp_table_dir}/ckpt")
+        q.awaitTermination(120)
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        assert t.to_df().count() == 500
+        h = list(t.history())
+        assert h[0].get("streaming") is True
+        assert "batchId" in h[0]
+
+    def test_restart_does_not_duplicate(self, spark, tmp_table_dir, events):
+        src = f"{tmp_table_dir}/incoming"
+        events.limit(200).write.parquet(src)
+        for _ in range(2):  # second run: checkpoint says nothing new
+            stream = spark.readStream.schema(events.schema).parquet(src)
+            q = stream_append(stream, f"{tmp_table_dir}/t",
+                              f"{tmp_table_dir}/ckpt")
+            q.awaitTermination(120)
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        assert t.to_df().count() == 200
+
+
+class TestWindows:
+    def test_tumbling_batch_counts_total(self, spark, events):
+        out = tumbling_window_counts(events, window="1 hour")
+        total = out.agg(F.sum("n_events")).collect()[0][0]
+        assert total == events.count()
+
+    def test_tumbling_stream_matches_batch(self, spark, tmp_table_dir,
+                                           events):
+        src = f"{tmp_table_dir}/ev"
+        events.write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        agg = tumbling_window_counts(stream, window="1 hour")
+        q = (agg.writeStream.format("memory").queryName("tumbling_test")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["window_start"], r["event_type"]): r["n_events"]
+               for r in spark.sql("select * from tumbling_test").collect()}
+        expect = {(r["window_start"], r["event_type"]): r["n_events"]
+                  for r in tumbling_window_counts(
+                      events, window="1 hour").collect()}
+        assert got == expect
+
+    def test_sliding_windows_overlap(self, spark, events):
+        out = sliding_window_counts(events, window="1 hour",
+                                    slide="30 minutes")
+        # each event lands in 2 overlapping windows
+        total = out.agg(F.sum("n_events")).collect()[0][0]
+        assert total == 2 * events.count()
+
+    def test_session_windows(self, spark, events):
+        out = session_windows(events, gap="30 minutes")
+        rows = out.collect()
+        assert rows
+        total = sum(r["n_events"] for r in rows)
+        assert total == events.count()
+        assert all(r["session_end"] > r["session_start"] for r in rows)

@@ -1,0 +1,337 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Five families, each scale-designed (mandated by the build brief; the
+reference has no dedup — these extend its surface):
+
+- exact:      hash-groupBy on a canonical fingerprint; one shuffle.
+- minhash:    shingle -> K minhashes -> B bands -> bucket self-join; only
+              same-bucket pairs are compared, so candidate generation is
+              ~linear in corpus size instead of O(n^2).
+- simhash:    64-bit token-vote fingerprint (hashes computed JVM-side,
+              bit-vote in an Arrow-batched pandas UDF), banded for
+              near-neighbor candidate lookup, hamming<=k verification via
+              built-in bit_count(xor).
+- ngram jaccard: exact similarity join via explode-on-shingle — the
+              inverted-index join: pairs sharing no shingle are never
+              materialized.
+- embedding:  cosine near-dup via random-hyperplane LSH buckets, exact
+              cosine verification on candidates only.
+
+All shuffles key on content hashes (uniformly distributed — no skew);
+band/bucket joins co-partition both sides on the bucket key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5, shingles
+from ..functions.vectors import cosine, hyperplane_signature
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact (normalized) duplicate group.
+
+    One shuffle on the md5 fingerprint; deterministic keeper choice makes
+    the result oracle-checkable.
+    """
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (df.withColumn("__fp", fingerprint_md5(F.col(text_col)))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__fp", "__rn"))
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_dups, keeper_id) for groups with >1 member."""
+    return (df.withColumn("fingerprint", fingerprint_md5(F.col(text_col)))
+            .groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("n_dups"),
+                 F.min(id_col).alias("keeper_id"))
+            .filter(F.col("n_dups") > 1))
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature_df(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k_shingle: int = 3,
+                         num_hashes: int = 32) -> DataFrame:
+    """id + array of ``num_hashes`` minhash values.
+
+    Minhash_i = min over shingles of xxhash64(shingle, i) — computed
+    entirely JVM-side with transform/array_min over the shingle array.
+    """
+    sh = shingles(F.col(text_col), k_shingle)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+    return df.select(F.col(id_col).alias("id"),
+                     sh.alias("__shingles"),
+                     sig.alias("signature"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k_shingle: int = 3,
+                      num_hashes: int = 32, bands: int = 8,
+                      threshold: float = 0.7) -> DataFrame:
+    """Candidate pairs from banded minhash buckets, verified with exact
+    jaccard over distinct shingles. Returns (id_a, id_b, jaccard).
+
+    Scale path: the self-join keys on (band, bucket-hash) — a uniform
+    hash key — so candidates are generated per-bucket, never O(n^2).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature_df(df, text_col, id_col, k_shingle, num_hashes)
+    # shingle arrays are the heavy column: checkpoint once (truncates the
+    # lineage so the self-join and the verify join don't recompute the
+    # regex/shingle pipeline); at cluster scale this would be a
+    # persist(MEMORY_AND_DISK) or an intermediate table
+    sh = sigs.select("id", "__shingles").localCheckpoint(eager=False)
+
+    band_entries = sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.concat_ws(
+                         ",", *[F.element_at("signature", b * rows_per_band + r + 1)
+                                .cast("string")
+                                for r in range(rows_per_band)]))
+                     .alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    left = band_entries.alias("l")
+    right = band_entries.alias("r")
+    cand = (left.join(right,
+                      (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bucket") == F.col("r.bucket"))
+                      & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id_a"),
+                    F.col("r.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+    # verify candidates only: attach shingle sets by id
+    cand = (cand
+            .join(sh.select(F.col("id").alias("id_a"),
+                            F.col("__shingles").alias("sh_a")), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"),
+                            F.col("__shingles").alias("sh_b")), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    out = (cand.withColumn("jaccard",
+                           F.when(union > 0, inter / union).otherwise(0.0))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", **kw) -> DataFrame:
+    """Drop near-duplicates: keep each doc unless a lower-id near-dup
+    exists (single-link, one hop — the standard large-corpus practice)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kw)
+    doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(doomed, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard similarity join (inverted index)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k_shingle: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact jaccard similarity join via explode-on-shingle.
+
+    |A ∩ B| comes from grouping the shingle-inverted index; pairs sharing
+    no shingle never appear. Fully SQL-expressible (DuckDB oracle uses
+    UNNEST + self-join), deterministic. Returns (id_a, id_b, jaccard).
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    shingles(F.col(text_col), k_shingle).alias("sh"))
+          .localCheckpoint(eager=False))  # shingling runs once, not 2x
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.col("n_inter").cast("double")
+                        / (F.col("n_a") + F.col("n_b")
+                           - F.col("n_inter")).cast("double"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash_df(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """id + 64-bit simhash.
+
+    Token hashes are computed JVM-side (split + transform + xxhash64);
+    only the 64-bit bit-vote runs in an Arrow-batched pandas UDF
+    (vectorized numpy) — the classic hybrid: JVM for hashing throughput,
+    Python only for the bit-twiddling Spark lacks.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(hash_arrays: pd.Series) -> pd.Series:
+        out = np.empty(len(hash_arrays), dtype=np.int64)
+        for i, hashes in enumerate(hash_arrays):
+            if hashes is None or len(hashes) == 0:
+                out[i] = 0
+                continue
+            h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+            # unpack to (n_tokens, 64) bit matrix in C, vote per column
+            bits = np.unpackbits(h.view(np.uint8),
+                                 bitorder="little").reshape(len(h), 64)
+            votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(h)
+            out[i] = np.packbits(votes > 0,
+                                 bitorder="little").view(np.int64)[0]
+        return pd.Series(out)
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return df.select(F.col(id_col).alias("id"),
+                     _simhash(hashes).alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidates come from 4x16-bit band buckets (two fingerprints within
+    hamming 3 of each other must agree on at least one 16-bit band);
+    verification uses built-in bit_count(xor) — all JVM-side.
+    """
+    # two narrow columns; checkpoint so the pandas-UDF hashing stage runs
+    # once, not on both sides of the self-join
+    sh = simhash_df(df, text_col, id_col).localCheckpoint(eager=False)
+    bands = sh.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned("simhash", 16 * b)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("bucket"))
+            for b in range(4)
+        ])).alias("bb")
+    ).select("id", "simhash", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = F.expr("bit_count(sh_a ^ sh_b)")
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id", dim: int = 64,
+                            n_planes: int = 12, threshold: float = 0.95,
+                            seed: int = 42,
+                            exact: bool = False) -> DataFrame:
+    """Cosine-similar pairs (sim >= threshold).
+
+    ``exact=False`` (scale path): random-hyperplane LSH — vectors agreeing
+    on all ``n_planes`` sign bits land in one bucket; exact cosine runs on
+    same-bucket pairs only, JVM-side.
+
+    ``exact=True`` (baseline path for small/medium corpora): blocked
+    all-pairs via mapInPandas — each Arrow batch of rows is multiplied
+    against the broadcast normalized matrix with one numpy matmul
+    (vectorized, ~100x a per-pair lambda plan). The broadcast bounds this
+    path to corpora that fit executor memory; beyond that, use LSH.
+    """
+    if exact:
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        rows = df.select(id_col, vec_col).collect()
+        ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+        mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        matn = mat / np.clip(norms, 1e-12, None)
+        sc = df.sparkSession.sparkContext
+        b_ids, b_mat = sc.broadcast(ids), sc.broadcast(matn)
+        thr = float(threshold)
+
+        out_schema = T.StructType([
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ])
+
+        def run(batches):
+            all_ids, all_mat = b_ids.value, b_mat.value
+            for pdf in batches:
+                block_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                block = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                bn = np.linalg.norm(block, axis=1, keepdims=True)
+                block = block / np.clip(bn, 1e-12, None)
+                sims = block @ all_mat.T
+                ai, bj = np.nonzero(
+                    (sims >= thr)
+                    & (block_ids[:, None] < all_ids[None, :]))
+                yield pd.DataFrame({
+                    "id_a": block_ids[ai],
+                    "id_b": all_ids[bj],
+                    "cosine": sims[ai, bj],
+                })
+
+        return (df.select(id_col, vec_col)
+                .repartition(max(2, df.sparkSession.sparkContext
+                                 .defaultParallelism))
+                .mapInPandas(run, schema=out_schema))
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    sig = v.withColumn("__sig", hyperplane_signature(F.col("vec"), planes))
+    sig = sig.localCheckpoint(eager=False)
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = a.join(b, (F.col("a.__sig") == F.col("b.__sig"))
+                   & (F.col("a.id") < F.col("b.id")))
+    sim = cosine(F.col("a.vec"), F.col("b.vec"))
+    return (pairs.select(F.col("a.id").alias("id_a"),
+                         F.col("b.id").alias("id_b"),
+                         sim.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

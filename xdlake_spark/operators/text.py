@@ -1,0 +1,62 @@
+"""Document-level text-analysis operators (DataFrame in, DataFrame out).
+
+Thin compositions of the column functions in functions/text.py — each
+output column is a pure JVM expression, so these run at full codegen speed
+over a 100 TB documents table with zero Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-document metrics: counts, ratios, quality, fingerprint."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        X.char_count(c).alias("n_chars"),
+        X.token_count_ws(c).alias("n_tokens_ws"),
+        X.token_count_bpe(c).alias("n_tokens_bpe"),
+        X.punct_ratio(c).alias("punct_ratio"),
+        X.digit_ratio(c).alias("digit_ratio"),
+        X.space_ratio(c).alias("space_ratio"),
+        X.stopword_ratio(c).alias("stopword_ratio"),
+        X.quality_score(c).alias("quality"),
+        X.fingerprint_md5(c).alias("fingerprint"),
+    )
+
+
+def detect_language(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Lexicon language-ID with per-language scores."""
+    c = F.col(text_col)
+    cols = [F.col(id_col)]
+    for lang, markers in X.LANG_MARKERS:
+        cols.append(X.lang_score(c, markers).alias(f"score_{lang}"))
+    cols.append(X.lang_id(c).alias("lang_pred"))
+    return df.select(*cols)
+
+
+def quality_filter(df: DataFrame, min_score: float = 0.5,
+                   text_col: str = "text") -> DataFrame:
+    """Keep documents with quality >= min_score (the classic pre-training
+    corpus filter)."""
+    return df.filter(X.quality_score(F.col(text_col)) >= min_score)
+
+
+def token_count_summary(df: DataFrame, text_col: str = "text",
+                        group_col: str = "lang") -> DataFrame:
+    """Corpus token accounting grouped by ``group_col`` (the 'how many
+    tokens do we have per language' question)."""
+    c = F.col(text_col)
+    return (df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(X.token_count_ws(c)).alias("tokens_ws"),
+                 F.sum(X.token_count_bpe(c)).alias("tokens_bpe"),
+                 F.avg(X.quality_score(c)).alias("avg_quality"))
+            .orderBy(group_col))

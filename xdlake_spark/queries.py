@@ -1,0 +1,807 @@
+"""Named query registry: Spark implementation + DuckDB oracle per query.
+
+This is the engine's declared operator surface for the driver's correctness
+harness (``__spark_entry__.py`` re-exports it): every operator family from
+SURVEY §2 plus the LLM-pipeline extensions has at least one entry here.
+Each entry is ``name -> (spark_fn, oracle_sql | None)`` where ``spark_fn``
+takes (spark, sf_dir) and returns a DataFrame, and the oracle is ANSI SQL
+over DuckDB views named after the parquet tables. ``None`` marks genuinely
+non-SQL-expressible ops (approximate LSH structures) — rows-only checked.
+
+Determinism rules applied throughout (both sides identically):
+- every aggregate/computed column is aliased to the same name;
+- float aggregates rounded (sum order varies across partitions);
+- timestamps stringified with an explicit format;
+- LIMIT queries carry a total tiebreak order.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as X
+from .functions.vectors import cosine, lit_vector
+from .operators import dedup, multimodal, similarity
+from .operators import text as textops
+from .sources.readers import read_parquet_any
+from .streaming.ingest import tumbling_window_counts
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {}
+
+
+def register(name: str, oracle: Optional[str]):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_any(spark, f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# Relational surface over the TPC-H-ish tables (SURVEY §2.4 "free" operators)
+# ===========================================================================
+
+@register("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                              AS sum_qty,
+       round(sum(l_extendedprice), 2)                         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+       round(avg(l_quantity), 4)                              AS avg_qty,
+       round(avg(l_extendedprice), 4)                         AS avg_price,
+       round(avg(l_discount), 6)                              AS avg_disc,
+       count(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate")
+                      <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@register("q3_shipping_priority", """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def q3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00")
+        .cast("timestamp_ntz"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00")
+        .cast("timestamp_ntz"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("o_orderkey", "revenue",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("orderdate"))
+            .orderBy(F.col("revenue").desc(), "o_orderkey")
+            .limit(10))
+
+
+@register("q5_revenue_by_nation", """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region JOIN nation   ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name IN ('ASIA', 'EUROPE')
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name
+""")
+def q5(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE"))
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00")
+        .cast("timestamp_ntz"))
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@register("filter_predicate_ops", """
+SELECT l_orderkey, l_linenumber
+FROM lineitem
+WHERE ((l_quantity > 30 AND l_discount <= 0.05)
+       OR NOT (l_returnflag = 'A'))
+  AND l_linestatus IN ('O', 'F')
+  AND l_shipdate BETWEEN TIMESTAMP '1995-06-01 00:00:00'
+                     AND TIMESTAMP '1999-06-01 00:00:00'
+  AND l_tax IS NOT NULL
+""")
+def filter_ops(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pred = (
+        (((F.col("l_quantity") > 30) & (F.col("l_discount") <= 0.05))
+         | ~(F.col("l_returnflag") == "A"))
+        & F.col("l_linestatus").isin("O", "F")
+        & F.col("l_shipdate").between(
+            F.lit("1995-06-01 00:00:00").cast("timestamp_ntz"),
+            F.lit("1999-06-01 00:00:00").cast("timestamp_ntz"))
+        & F.col("l_tax").isNotNull()
+    )
+    return li.filter(pred).select("l_orderkey", "l_linenumber")
+
+
+@register("projection_computed", """
+SELECT l_orderkey, l_linenumber,
+       floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) / 100
+           AS charged
+FROM lineitem
+WHERE l_quantity >= 48
+""")
+def projection(spark, sf_dir):
+    # floor-based fixed point, not round(): the unrounded doubles are
+    # bit-identical across engines, so floor is deterministic while
+    # round() half-up/half-even semantics differ on boundary values
+    li = _t(spark, sf_dir, "lineitem")
+    charged = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * (1 + F.col("l_tax")) * 100) / 100
+    return (li.filter(F.col("l_quantity") >= 48)
+            .select("l_orderkey", "l_linenumber", charged.alias("charged")))
+
+
+@register("union_common", """
+SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity < 3
+UNION ALL
+SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 48
+""")
+def union_common(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    lo = li.filter(F.col("l_quantity") < 3).select("l_orderkey", "l_quantity")
+    hi = li.filter(F.col("l_quantity") > 48).select("l_orderkey", "l_quantity")
+    return lo.union(hi)
+
+
+@register("union_merge_by_name", """
+SELECT doc_id, lang, NULL AS n_chars FROM documents WHERE doc_id % 7 = 0
+UNION ALL BY NAME
+SELECT doc_id, n_chars, NULL AS lang FROM documents WHERE doc_id % 11 = 0
+""")
+def union_merge(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 7 == 0).select("doc_id", "lang")
+    b = d.filter(F.col("doc_id") % 11 == 0).select("doc_id", "n_chars")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register("count_rows", """
+SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+""")
+def count_rows(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.countDistinct("l_orderkey").alias("n_orders"))
+
+
+@register("distinct_pairs", """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""")
+def distinct_pairs(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem") \
+        .select("l_returnflag", "l_linestatus").distinct()
+
+
+@register("window_top_order_per_customer", """
+SELECT o_custkey, o_orderkey, floor(o_totalprice * 100) / 100 AS totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) = 1
+""")
+def window_topn(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (o.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("o_custkey", "o_orderkey",
+                    (F.floor(F.col("o_totalprice") * 100) / 100)
+                    .alias("totalprice")))
+
+
+@register("sort_limit", """
+SELECT l_orderkey, l_linenumber, floor(l_extendedprice * 100) / 100 AS price
+FROM lineitem
+ORDER BY price DESC, l_orderkey, l_linenumber
+LIMIT 20
+""")
+def sort_limit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select("l_orderkey", "l_linenumber",
+                      (F.floor(F.col("l_extendedprice") * 100) / 100)
+                      .alias("price"))
+            .orderBy(F.col("price").desc(), "l_orderkey", "l_linenumber")
+            .limit(20))
+
+
+@register("setop_except", """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+""")
+def setop_except(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")).distinct()
+    neg = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0) \
+        .select(F.col("c_custkey").alias("custkey"))
+    return o.subtract(neg)
+
+
+@register("setop_intersect", """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+INTERSECT
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+""")
+def setop_intersect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"))
+    m = _t(spark, sf_dir, "customer") \
+        .filter(F.col("c_mktsegment") == "MACHINERY") \
+        .select(F.col("c_custkey").alias("custkey"))
+    return o.intersect(m)
+
+
+@register("agg_by_flag", """
+SELECT l_returnflag,
+       strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+       strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship,
+       count(DISTINCT l_partkey)             AS n_parts,
+       round(sum(l_extendedprice), 2)        AS total_price
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def agg_by_flag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.date_format(F.min("l_shipdate"), "yyyy-MM-dd")
+                 .alias("first_ship"),
+                 F.date_format(F.max("l_shipdate"), "yyyy-MM-dd")
+                 .alias("last_ship"),
+                 F.countDistinct("l_partkey").alias("n_parts"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("total_price")))
+
+
+@register("grouping_sets_rollup", """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL"))
+                    .alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL"))
+                    .alias("linestatus"), "n"))
+
+
+# ===========================================================================
+# Events: time handling, windows, sessionization
+# ===========================================================================
+
+@register("events_filter_range", """
+SELECT event_id, user_id
+FROM events
+WHERE event_type = 'purchase'
+  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+             AND TIMESTAMP '2024-01-20 00:00:00'
+""")
+def events_filter(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.filter((F.col("event_type") == "purchase")
+                      & F.col("ts").between(
+                          F.lit("2024-01-05 00:00:00").cast("timestamp_ntz"),
+                          F.lit("2024-01-20 00:00:00").cast("timestamp_ntz")))
+            .select("event_id", "user_id"))
+
+
+@register("events_hourly_tumbling", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+""")
+def events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_window_counts(ev, window="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        "event_type", "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("avg_value", 4).alias("avg_value"))
+
+
+@register("user_sessions", """
+WITH gaps AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts)
+                   - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(1 + sum(new_session) AS BIGINT) AS n_sessions
+FROM gaps GROUP BY user_id
+""")
+def user_sessions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__us", F.unix_micros(F.col("ts").cast("timestamp")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(F.col("__us") - F.lag("__us").over(w) > 1800 * 1_000_000,
+                 1).otherwise(0)
+    return (ev.withColumn("__new", gap)
+            .groupBy("user_id")
+            .agg((F.lit(1) + F.sum("__new")).cast("long")
+                 .alias("n_sessions")))
+
+
+# ===========================================================================
+# Delta table layer (scan / write / delete / time travel round-trips)
+# ===========================================================================
+
+
+def _delta_tmp() -> str:
+    return tempfile.mkdtemp(prefix="xdlake_q_")
+
+
+@register("delta_roundtrip_scan", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+       strftime(l_shipdate, '%Y-%m-%d') AS shipdate
+FROM lineitem
+""")
+def delta_scan(spark, sf_dir):
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        li, partition_by=["l_returnflag"])
+    return t.to_df().select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("shipdate"))
+
+
+@register("delta_filtered_scan_skipping", """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity > 45
+""")
+def delta_filtered_scan(spark, sf_dir):
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        li, partition_by=["l_returnflag"])
+    # partition value 'R' prunes the manifest; stats prune within
+    return (t.to_df(where="l_returnflag = 'R' AND l_quantity > 45")
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
+@register("delta_delete_cow", """
+SELECT l_orderkey, l_linenumber
+FROM lineitem
+WHERE NOT (l_quantity > 45 AND l_returnflag = 'A')
+""")
+def delta_delete(spark, sf_dir):
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        li, partition_by=["l_returnflag"])
+    t = t.delete("l_quantity > 45 AND l_returnflag = 'A'")
+    return t.to_df().select("l_orderkey", "l_linenumber")
+
+
+@register("delta_time_travel", """
+SELECT l_orderkey, l_linenumber
+FROM lineitem
+WHERE l_orderkey % 2 = 0
+""")
+def delta_time_travel(spark, sf_dir):
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    loc = _delta_tmp()
+    t = DeltaTable(spark, loc).write(li.filter("l_orderkey % 2 = 0"))
+    t = t.write(li.filter("l_orderkey % 2 = 1"))
+    return t.load_as_version(0).to_df().select("l_orderkey", "l_linenumber")
+
+
+@register("delta_overwrite_restore", """
+SELECT l_orderkey, l_linenumber FROM lineitem
+""")
+def delta_overwrite_restore(spark, sf_dir):
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    loc = _delta_tmp()
+    t = DeltaTable(spark, loc).write(li)                      # v0: everything
+    t = t.write(li.limit(10), mode="overwrite")               # v1: clobber
+    t = t.restore(0)                                          # v2: back
+    return t.to_df().select("l_orderkey", "l_linenumber")
+
+
+@register("delta_optimize_identity", """
+SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 40
+""")
+def delta_optimize(spark, sf_dir):
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem").filter("l_quantity > 40")
+    loc = _delta_tmp()
+    t = DeltaTable(spark, loc)
+    # three small appends -> compact -> content identical
+    t = t.write(li.filter("l_orderkey % 3 = 0"))
+    t = t.write(li.filter("l_orderkey % 3 = 1"))
+    t = t.write(li.filter("l_orderkey % 3 = 2"))
+    t = t.optimize()
+    return t.to_df().select("l_orderkey", "l_linenumber")
+
+
+@register("delta_merge_upsert", """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice * 2 AS new_price
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT o.o_orderkey,
+       floor(CASE WHEN src.o_orderkey IS NOT NULL
+                  THEN src.new_price ELSE o.o_totalprice END * 100) / 100
+           AS totalprice
+FROM orders o LEFT JOIN src ON o.o_orderkey = src.o_orderkey
+""")
+def delta_merge(spark, sf_dir):
+    from .table import DeltaTable
+    o = _t(spark, sf_dir, "orders")
+    loc = _delta_tmp()
+    t = DeltaTable(spark, loc).write(o)
+    src = (o.filter("o_orderkey % 10 = 0")
+           .select("o_orderkey",
+                   (F.col("o_totalprice") * 2).alias("new_price")))
+    t = t.merge(src, "t.o_orderkey = s.o_orderkey",
+                when_matched_update={"o_totalprice": "s.new_price"})
+    return t.to_df().select(
+        "o_orderkey",
+        (F.floor(F.col("o_totalprice") * 100) / 100).alias("totalprice"))
+
+
+# ===========================================================================
+# Text analysis (documents)
+# ===========================================================================
+
+_BPE = X.TOKEN_PATTERN
+_SW = ", ".join(f"'{w}'" for w in X.STOPWORDS_EN)
+
+@register("text_stats", f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '{_BPE}')) AS BIGINT)
+           AS n_tokens_bpe,
+       round(CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]'))
+                  AS DOUBLE) / length(text), 6) AS punct_ratio,
+       round(CAST(len(list_filter(w, x -> list_contains([{_SW}], x)))
+                  AS DOUBLE) / len(w), 6) AS stopword_ratio,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS fingerprint
+FROM toks
+""")
+def text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        X.char_count(c).alias("n_chars"),
+        X.token_count_ws(c).alias("n_tokens_ws"),
+        X.token_count_bpe(c).alias("n_tokens_bpe"),
+        F.round(X.punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(X.stopword_ratio(c), 6).alias("stopword_ratio"),
+        X.fingerprint_md5(c).alias("fingerprint"))
+
+
+def _lang_oracle() -> str:
+    score_cols = []
+    for lang, markers in X.LANG_MARKERS:
+        mk = ", ".join(f"'{w}'" for w in markers)
+        score_cols.append(
+            f"CAST(len(list_intersect(w, [{mk}])) AS BIGINT) AS score_{lang}")
+    langs = [lang for lang, _ in X.LANG_MARKERS]
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    whens = " ".join(
+        f"WHEN score_{lg} = __best AND __best > 0 THEN '{lg}'"
+        for lg in langs)
+    scores = ",\n       ".join(f"score_{lg}" for lg in langs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), scored AS (
+  SELECT doc_id, {', '.join(score_cols)} FROM toks
+), best AS (
+  SELECT *, {best} AS __best FROM scored
+)
+SELECT doc_id, {scores},
+       CASE {whens} ELSE 'und' END AS lang_pred
+FROM best
+"""
+
+
+@register("lang_detect", _lang_oracle())
+def lang_detect(spark, sf_dir):
+    return textops.detect_language(_t(spark, sf_dir, "documents"))
+
+
+_QUALITY_SQL = f"""
+  (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 0.25 ELSE 0.0 END
+   + CASE WHEN CAST(len(list_filter(string_split_regex(lower(trim(text)),
+              '\\s+'), x -> list_contains([{_SW}], x))) AS DOUBLE)
+              / len(string_split_regex(lower(trim(text)), '\\s+')) >= 0.05
+          THEN 0.25 ELSE 0.0 END
+   + CASE WHEN CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]'))
+               AS DOUBLE) / length(text) <= 0.2
+          THEN 0.25 ELSE 0.0 END
+   + CASE WHEN CAST(length(text) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+'))
+               BETWEEN 3.0 AND 12.0
+          THEN 0.25 ELSE 0.0 END)
+"""
+
+@register("quality_filter", f"""
+SELECT doc_id, round({_QUALITY_SQL}, 2) AS quality
+FROM documents
+WHERE {_QUALITY_SQL} >= 0.5
+""")
+def quality_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    q = X.quality_score(F.col("text"))
+    return (d.filter(q >= 0.5)
+            .select("doc_id", F.round(q, 2).alias("quality")))
+
+
+@register("token_count_by_lang", f"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS tokens_ws,
+       CAST(sum(len(regexp_extract_all(text, '{_BPE}'))) AS BIGINT)
+           AS tokens_bpe,
+       round(avg({_QUALITY_SQL}), 4) AS avg_quality
+FROM documents
+GROUP BY lang
+""")
+def token_summary(spark, sf_dir):
+    out = textops.token_count_summary(_t(spark, sf_dir, "documents"))
+    return out.select("lang", "n_docs", "tokens_ws", "tokens_bpe",
+                      F.round("avg_quality", 4).alias("avg_quality"))
+
+
+# ===========================================================================
+# Dedup (documents) + embeddings similarity
+# ===========================================================================
+
+@register("dedup_exact_keepers", """
+SELECT doc_id
+FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ORDER BY doc_id) = 1
+""")
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d).select("doc_id")
+
+
+@register("dedup_ngram_jaccard_pairs", """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+              ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM toks
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+""")
+def dedup_ngram(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.2)
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
+#: Deterministic 64-dim query vector shared by Spark and oracle literals.
+QUERY_VEC = [round((1.0 if i % 3 == 0 else (0.5 if i % 3 == 1 else -0.5))
+                   * (1 + i / 64.0), 6) for i in range(64)]
+_QV_SQL = "[" + ", ".join(str(v) for v in QUERY_VEC) + "]"
+
+
+@register("embedding_neardup_pairs", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.3
+""")
+def embedding_neardup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = dedup.embedding_neardup_pairs(e, threshold=0.3, exact=True)
+    return out.select("id_a", "id_b",
+                      F.round("cosine", 4).alias("cosine"))
+
+
+@register("similarity_topk_cosine", f"""
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 4)
+           AS score
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}) DESC, vec_id
+LIMIT 10
+""")
+def similarity_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(e, QUERY_VEC, k=10)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+@register("knn_join_labels", f"""
+WITH q AS (
+  SELECT 0 AS q_id, {_QV_SQL} AS qv
+  UNION ALL SELECT 1, list_transform({_QV_SQL}, x -> -x)
+), scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score0
+  FROM embeddings e CROSS JOIN q
+)
+SELECT q_id, vec_id, round(score0, 4) AS score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY q_id
+                           ORDER BY score0 DESC, vec_id) <= 5
+""")
+def knn_join_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.sparkSession.createDataFrame(
+        [(0, QUERY_VEC), (1, [-v for v in QUERY_VEC])],
+        "q_id INT, q_vec ARRAY<DOUBLE>")
+    out = similarity.knn_join(queries, e, k=5)
+    return out.select("q_id", "vec_id",
+                      F.round("score", 4).alias("score"))
+
+
+# -- approximate structures: genuinely non-SQL-expressible -> rows-only ----
+
+@register("dedup_minhash_pairs", None)
+def dedup_minhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_lsh_pairs(d, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_simhash_pairs", None)
+def dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, max_hamming=3)
+
+
+@register("similarity_lsh_topk", None)
+def similarity_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(e, QUERY_VEC, k=10, n_planes=6, multiprobe=3)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+@register("similarity_ivf_topk", None)
+def similarity_ivf(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = similarity.ivf_build(e, n_centroids=16)
+    out = similarity.ivf_topk(assigned, centroids, QUERY_VEC, k=10, nprobe=4)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+# ===========================================================================
+# Multimodal plumbing
+# ===========================================================================
+
+@register("multimodal_meta", """
+WITH payloads AS (
+  SELECT doc_id,
+         substr(repeat(text,
+                CAST(floor(4096.0 / greatest(length(text), 1)) AS INT) + 1),
+                1, 4096) AS payload_str
+  FROM documents
+)
+SELECT doc_id,
+       CAST(octet_length(encode(payload_str)) AS BIGINT) AS byte_size,
+       sha256(payload_str) AS sha256
+FROM payloads
+""")
+def multimodal_meta(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payloads(d, size=4096)
+    out = multimodal.decode_images(payloads, deterministic_fake=True)
+    return out.select("doc_id", "byte_size", "sha256")
+
+
+@register("multimodal_decode_fake", None)
+def multimodal_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payloads(d, size=4096)
+    return multimodal.decode_images(payloads, deterministic_fake=True)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (fn, sql) in REGISTRY.items()
+            if sql is not None}

@@ -1,0 +1,97 @@
+"""Structured Streaming integration.
+
+- ``stream_append``: readStream -> foreachBatch -> DeltaTable append. Each
+  micro-batch commits one delta version with a STREAMING UPDATE commitInfo
+  (exactly-once within a batch via the log's put-if-absent commit; Spark's
+  checkpoint provides at-least-once batch replay, and replayed batches
+  collide on the version file rather than double-committing).
+- windowed/sessionized aggregations over the ``events`` stream shape
+  (event_id, ts, user_id, event_type, value) with watermarks for late data.
+
+The reference is batch-only (SURVEY §2.4) — this extends its surface per
+the build brief. The aggregation builders work on BOTH batch and streaming
+DataFrames (same DataFrame API), which is how tests oracle-check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..log.actions import Operation, TableCommit
+from ..table import DeltaTable
+
+
+def stream_append(stream_df: DataFrame, table_location: str,
+                  checkpoint_dir: str, partition_by: list[str] | None = None,
+                  trigger_once: bool = True):
+    """Append a streaming DataFrame into a delta table, one commit per
+    micro-batch. Returns the StreamingQuery.
+    """
+    spark = stream_df.sparkSession
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table = DeltaTable(spark, table_location)
+        table.write(batch_df, mode="append", partition_by=partition_by,
+                    custom_metadata={"streaming": True,
+                                     "batchId": int(batch_id)})
+
+    writer = (stream_df.writeStream
+              .foreachBatch(commit_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _with_event_time(df: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """Watermarks require TimestampType; normalize ntz event time (session
+    timezone is pinned UTC, so the wall-clock is unchanged)."""
+    from pyspark.sql.types import TimestampNTZType
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df
+
+
+def tumbling_window_counts(events: DataFrame, window: str = "1 hour",
+                           watermark: str = "2 hours",
+                           ts_col: str = "ts") -> DataFrame:
+    """Per (window, event_type) counts + value stats; watermarked so state
+    is bounded on unbounded streams. Works on batch DataFrames too.
+    """
+    df = _with_event_time(events, ts_col, watermark)
+    return (df.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"),
+                 F.avg("value").alias("avg_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events", "sum_value", "avg_value"))
+
+
+def sliding_window_counts(events: DataFrame, window: str = "1 hour",
+                          slide: str = "30 minutes",
+                          watermark: str = "2 hours",
+                          ts_col: str = "ts") -> DataFrame:
+    df = _with_event_time(events, ts_col, watermark)
+    return (df.groupBy(F.window(ts_col, window, slide).alias("w"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events"))
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours",
+                    ts_col: str = "ts") -> DataFrame:
+    """Per-user session windows (gap-based) with event counts."""
+    df = _with_event_time(events, ts_col, watermark)
+    return (df.groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "user_id", "n_events", "sum_value"))
