@@ -1,0 +1,139 @@
+"""Unit tests for the manifest-pruning predicate parser + evaluator —
+no Spark needed."""
+
+import json
+
+from xdlake_spark.log.actions import Add
+from xdlake_spark.plans.skipping import (
+    BoolOp,
+    Comparison,
+    InList,
+    IsNull,
+    NotOp,
+    Unknown,
+    parse_predicate,
+    prune_manifest,
+)
+
+
+def mk_add(path="f.parquet", pvals=None, num=100, mins=None, maxs=None,
+           nulls=None):
+    stats = {"numRecords": num, "minValues": mins or {},
+             "maxValues": maxs or {}, "nullCount": nulls or {}}
+    return Add(path=path, size=1, partitionValues=pvals or {},
+               stats=json.dumps(stats))
+
+
+class TestParser:
+    def test_comparison(self):
+        t = parse_predicate("x > 5")
+        assert isinstance(t, Comparison)
+        assert (t.column, t.op, t.value) == ("x", ">", 5)
+
+    def test_ops_normalized(self):
+        assert parse_predicate("x == 5").op == "="
+        assert parse_predicate("x <> 5").op == "!="
+
+    def test_string_literal_with_quote(self):
+        t = parse_predicate("name = 'O''Brien'")
+        assert t.value == "O'Brien"
+
+    def test_and_or_not_precedence(self):
+        t = parse_predicate("a > 1 AND b < 2 OR NOT c = 3")
+        assert isinstance(t, BoolOp) and t.op == "or"
+        assert isinstance(t.operands[0], BoolOp)
+        assert t.operands[0].op == "and"
+        assert isinstance(t.operands[1], NotOp)
+
+    def test_parens(self):
+        t = parse_predicate("a = 1 AND (b = 2 OR c = 3)")
+        assert t.op == "and"
+        assert isinstance(t.operands[1], BoolOp)
+
+    def test_in_between_isnull(self):
+        t = parse_predicate("x IN (1, 2, 3)")
+        assert isinstance(t, InList) and t.values == [1, 2, 3]
+        t = parse_predicate("x BETWEEN 1 AND 5")
+        assert t.op == "and"
+        t = parse_predicate("x IS NOT NULL")
+        assert isinstance(t, IsNull) and t.negated
+
+    def test_typed_literals(self):
+        t = parse_predicate("d >= DATE '2024-01-02'")
+        import datetime
+        assert t.value == datetime.date(2024, 1, 2)
+        t = parse_predicate("ts < TIMESTAMP '2024-01-02 03:04:05'")
+        assert t.value == datetime.datetime(2024, 1, 2, 3, 4, 5)
+
+    def test_unparseable_degrades_to_unknown(self):
+        assert isinstance(parse_predicate("substr(x, 1, 2) = 'ab'"), Unknown)
+        assert isinstance(parse_predicate("x + 1 > 2"), Unknown)
+
+
+class TestPrune:
+    def test_partition_equality(self):
+        adds = {"a": mk_add(pvals={"c": "R"}), "b": mk_add(pvals={"c": "N"})}
+        out = prune_manifest(adds, "c = 'R'", ["c"])
+        assert set(out) == {"a"}
+
+    def test_partition_numeric_cast(self):
+        adds = {"a": mk_add(pvals={"y": "2023"}),
+                "b": mk_add(pvals={"y": "2024"})}
+        assert set(prune_manifest(adds, "y >= 2024", ["y"])) == {"b"}
+
+    def test_minmax_interval(self):
+        adds = {"lo": mk_add(mins={"q": 0.0}, maxs={"q": 10.0}),
+                "hi": mk_add(mins={"q": 40.0}, maxs={"q": 50.0})}
+        assert set(prune_manifest(adds, "q > 30", [])) == {"hi"}
+        assert set(prune_manifest(adds, "q <= 5", [])) == {"lo"}
+        assert set(prune_manifest(adds, "q = 45", [])) == {"hi"}
+        assert set(prune_manifest(adds, "q > 100", [])) == set()
+
+    def test_and_or_combination(self):
+        adds = {"a": mk_add(pvals={"c": "R"}, mins={"q": 0}, maxs={"q": 10}),
+                "b": mk_add(pvals={"c": "R"}, mins={"q": 40}, maxs={"q": 50}),
+                "x": mk_add(pvals={"c": "N"}, mins={"q": 40}, maxs={"q": 50})}
+        out = prune_manifest(adds, "c = 'R' AND q > 30", ["c"])
+        assert set(out) == {"b"}
+        out = prune_manifest(adds, "c = 'N' OR q < 5", ["c"])
+        assert set(out) == {"a", "x"}
+
+    def test_in_list(self):
+        adds = {"a": mk_add(pvals={"c": "R"}), "b": mk_add(pvals={"c": "N"}),
+                "x": mk_add(pvals={"c": "A"})}
+        out = prune_manifest(adds, "c IN ('R', 'N')", ["c"])
+        assert set(out) == {"a", "b"}
+
+    def test_null_checks(self):
+        adds = {"allnull": mk_add(num=10, nulls={"v": 10}),
+                "nonull": mk_add(num=10, nulls={"v": 0},
+                                 mins={"v": 1}, maxs={"v": 2})}
+        out = prune_manifest(adds, "v IS NOT NULL", [])
+        assert set(out) == {"nonull"}
+        out = prune_manifest(adds, "v IS NULL", [])
+        assert set(out) == {"allnull"}
+
+    def test_not_is_sound_never_skips(self):
+        adds = {"a": mk_add(mins={"q": 0}, maxs={"q": 10})}
+        assert set(prune_manifest(adds, "NOT (q > 50)", [])) == {"a"}
+
+    def test_unknown_predicate_keeps_all(self):
+        adds = {"a": mk_add(), "b": mk_add(path="g")}
+        assert len(prune_manifest(adds, "weird_func(x) = 1", [])) == 2
+
+    def test_timestamp_stats_strings(self):
+        adds = {
+            "old": mk_add(mins={"d": "1995-01-01T00:00:00"},
+                          maxs={"d": "1996-01-01T00:00:00"}),
+            "new": mk_add(mins={"d": "2000-01-01T00:00:00"},
+                          maxs={"d": "2001-01-01T00:00:00"}),
+        }
+        out = prune_manifest(
+            adds, "d > TIMESTAMP '1999-06-01 00:00:00'", [])
+        assert set(out) == {"new"}
+
+    def test_missing_stats_kept(self):
+        adds = {"nostats": Add(path="n", size=1),
+                "pruned": mk_add(mins={"q": 0}, maxs={"q": 1})}
+        out = prune_manifest(adds, "q > 5", [])
+        assert set(out) == {"nostats"}

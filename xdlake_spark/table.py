@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import re
 import urllib.parse
 from typing import Any, Callable, Generator
 
@@ -54,6 +55,15 @@ from .log.statistics import Statistics
 from .plans.skipping import prune_manifest
 from .sources.inputs import union_dataframe
 from .sources.storage import Location
+
+
+def _strip_scheme(url: str) -> str:
+    """Normalize a URL to a bare path for file-identity joins (s3 vs s3a
+    vs file:// spellings of the same object must compare equal)."""
+    m = re.match(r"^[a-zA-Z0-9+.-]+://", url)
+    if m:
+        return "/" + url[m.end():].lstrip("/")
+    return url
 
 
 class DeltaTable:
@@ -157,26 +167,29 @@ class DeltaTable:
             return df.select(schema.fieldNames())
 
         # General path (clone / import_refs absolute paths, foreign
-        # layouts): group files by identical partition values, attach the
-        # values as typed literal columns per group, union.
-        groups: dict[tuple, list[str]] = {}
-        for path, add in adds.items():
-            key = tuple(sorted((add.partitionValues or {}).items()))
-            groups.setdefault(key, []).append(self.location.absloc(path).url)
-        parts: list[DataFrame] = []
-        for key, files in groups.items():
-            part = self.spark.read.schema(data_schema).parquet(*files)
-            values = dict(key)
-            for c in pcols:
-                dt = schema[c].dataType
-                part = part.withColumn(
-                    c, F.lit(partition_value_to_python(values.get(c), dt))
-                    .cast(dt))
-            parts.append(part.select(schema.fieldNames()))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        # layouts): ONE scan over all files + a broadcast join against the
+        # driver's manifest to attach partition values. Scales to any
+        # number of distinct partition values — a per-partition-group
+        # union would blow up the plan at 10k partitions. Join key = the
+        # scheme-stripped, url-decoded file path.
+        files = [self.location.absloc(p).url for p in adds]
+        mrows = [(_strip_scheme(self.location.absloc(p).url),
+                  *[(add.partitionValues or {}).get(c) for c in pcols])
+                 for p, add in adds.items()]
+        mschema = T.StructType(
+            [T.StructField("__xdl_path", T.StringType())]
+            + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols])
+        manifest = self.spark.createDataFrame(mrows, mschema)
+        scan = self.spark.read.schema(data_schema).parquet(*files)
+        raw = F.regexp_replace(F.input_file_name(), "^[a-zA-Z0-9+.-]+://?", "/")
+        raw = F.regexp_replace(raw, "^//+", "/")
+        scan = scan.withColumn(
+            "__xdl_path", F.coalesce(F.try_url_decode(raw), raw))
+        out = scan.join(F.broadcast(manifest), "__xdl_path")
+        for c in pcols:
+            out = out.withColumn(
+                c, F.col(f"__pv_{c}").cast(schema[c].dataType))
+        return out.select(schema.fieldNames())
 
     def _is_hive_relative(self, path: str, pcols: list[str]) -> bool:
         if "://" in path or path.startswith("/"):
@@ -187,6 +200,11 @@ class DeltaTable:
 
     def to_pandas(self, where: str | None = None):
         return self.to_df(where).toPandas()
+
+    def to_arrow(self, where: str | None = None):
+        """Materialize the snapshot as a pyarrow Table (reference
+        ``to_pyarrow_table``, __init__.py:145-151)."""
+        return self.to_df(where).toArrow()
 
     # -- write -----------------------------------------------------------------
 
@@ -253,6 +271,12 @@ class DeltaTable:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(root.url)
         new_files = sorted(set(self._data_files()) - before)
+        # footer reads are independent ~KB I/Os: a thread pool keeps the
+        # driver out of the critical path even for thousands of files
+        if len(new_files) > 8:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                return list(pool.map(self._add_for_relpath, new_files))
         return [self._add_for_relpath(rel) for rel in new_files]
 
     def _data_files(self) -> list[str]:
@@ -279,9 +303,22 @@ class DeltaTable:
                    modificationTime=timestamp_ms(),
                    partitionValues=pvals, stats=stats.to_json())
 
+    def commit_context(self, version: int):
+        """Overridable concurrency guard around a commit (reference
+        __init__.py:425-442: pluggable lock via context-manager override).
+
+        The default is a no-op context; the atomicity comes from the
+        put-if-absent write of the version file itself. Subclasses may
+        return e.g. a DynamoDB/ZooKeeper lock for object stores whose
+        create-exclusive is not atomic.
+        """
+        import contextlib
+        return contextlib.nullcontext()
+
     def _commit(self, entry: DeltaLogEntry) -> "DeltaTable":
-        commit_entry(self.log_location, self._version_to_write, entry)
-        return DeltaTable(self.spark, self.location, self.log_location)
+        with self.commit_context(self._version_to_write):
+            commit_entry(self.log_location, self._version_to_write, entry)
+        return type(self)(self.spark, self.location, self.log_location)
 
     # -- delete (copy-on-write) -------------------------------------------------
 
