@@ -65,18 +65,40 @@ def duplicate_groups(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _minhash_coeffs(n: int) -> list[tuple[int, int]]:
+    """n deterministic (a, b) pairs for the universal family
+    ``(a*h + b) mod (2^31 - 1)`` — products of two 31-bit values stay
+    inside int64, so the expression is ANSI-safe (no wrapping multiply)."""
+    rng = np.random.default_rng(0x5EED_CAFE)
+    a = rng.integers(1, _MERSENNE_31, size=n, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE_31, size=n, dtype=np.int64)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
 def minhash_signature_df(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", k_shingle: int = 3,
                          num_hashes: int = 32) -> DataFrame:
     """id + array of ``num_hashes`` minhash values.
 
-    Minhash_i = min over shingles of xxhash64(shingle, i) — computed
-    entirely JVM-side with transform/array_min over the shingle array.
+    One xxhash64 per shingle folded to 31 bits, then ``num_hashes``
+    affine re-hashes ``(a_i*h + b_i) mod (2^31-1)`` — the classic
+    universal family. This turns N string hashes per shingle into
+    1 string hash + N multiply-mods, all inside whole-stage codegen.
     """
     sh = shingles(F.col(text_col), k_shingle)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s),
+                                            F.lit(_MERSENNE_31)))
+
+    def affine(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b),
+                                F.lit(_MERSENNE_31))
+
     sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
+        F.array_min(F.transform(base, affine(a, b)))
+        for a, b in _minhash_coeffs(num_hashes)
     ])
     return df.select(F.col(id_col).alias("id"),
                      sh.alias("__shingles"),

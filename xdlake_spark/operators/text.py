@@ -52,11 +52,20 @@ def quality_filter(df: DataFrame, min_score: float = 0.5,
 def token_count_summary(df: DataFrame, text_col: str = "text",
                         group_col: str = "lang") -> DataFrame:
     """Corpus token accounting grouped by ``group_col`` (the 'how many
-    tokens do we have per language' question)."""
+    tokens do we have per language' question).
+
+    Per-row metrics are projected once before the aggregation so each
+    regex pass over the text runs exactly once per document.
+    """
     c = F.col(text_col)
-    return (df.groupBy(group_col)
+    per_row = df.select(
+        group_col,
+        X.token_count_ws(c).alias("__ws"),
+        X.token_count_bpe(c).alias("__bpe"),
+        X.quality_score(c).alias("__q"))
+    return (per_row.groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(X.token_count_ws(c)).alias("tokens_ws"),
-                 F.sum(X.token_count_bpe(c)).alias("tokens_bpe"),
-                 F.avg(X.quality_score(c)).alias("avg_quality"))
+                 F.sum("__ws").alias("tokens_ws"),
+                 F.sum("__bpe").alias("tokens_bpe"),
+                 F.avg("__q").alias("avg_quality"))
             .orderBy(group_col))
