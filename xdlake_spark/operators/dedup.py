@@ -85,24 +85,40 @@ def minhash_signature_df(df: DataFrame, text_col: str = "text",
 
     One xxhash64 per shingle folded to 31 bits, then ``num_hashes``
     affine re-hashes ``(a_i*h + b_i) mod (2^31-1)`` — the classic
-    universal family. This turns N string hashes per shingle into
-    1 string hash + N multiply-mods, all inside whole-stage codegen.
+    universal family — folded to their minimum in a SINGLE pass
+    (``aggregate`` + ``zip_with``). The naive form (one
+    ``array_min(transform(...))`` per hash) embeds the whole
+    shingle-and-hash pipeline ``num_hashes`` times in the projection,
+    which Catalyst does not common-subexpression-eliminate inside
+    higher-order functions — measured ~30x slower. The input is also
+    repartitioned to the session parallelism first: a small parquet
+    arrives as one split, and this projection is the job's hot loop.
     """
-    sh = shingles(F.col(text_col), k_shingle)
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s),
-                                            F.lit(_MERSENNE_31)))
+    coeffs = _minhash_coeffs(num_hashes)
+    m = F.lit(_MERSENNE_31).cast("long")
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
 
-    def affine(a: int, b: int):
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b),
-                                F.lit(_MERSENNE_31))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
 
-    sig = F.array(*[
-        F.array_min(F.transform(base, affine(a, b)))
-        for a, b in _minhash_coeffs(num_hashes)
-    ])
-    return df.select(F.col(id_col).alias("id"),
-                     sh.alias("__shingles"),
-                     sig.alias("signature"))
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), k_shingle).alias("__shingles"),
+    ).select(
+        "id", "__shingles",
+        F.transform("__shingles",
+                    lambda s: F.pmod(F.xxhash64(s), m)).alias("__h"),
+    )
+    per_shingle = F.transform(
+        "__h", lambda h: F.zip_with(a_arr, b_arr,
+                                    lambda a, b: F.pmod(h * a + b, m)))
+    sig = F.aggregate(
+        per_shingle,
+        F.array_repeat(m, num_hashes),
+        lambda acc, hv: F.zip_with(acc, hv, lambda x, y: F.least(x, y)))
+    return hashed.select("id", "__shingles", sig.alias("signature"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -116,12 +132,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     hash key — so candidates are generated per-bucket, never O(n^2).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature_df(df, text_col, id_col, k_shingle, num_hashes)
-    # shingle arrays are the heavy column: checkpoint once (truncates the
-    # lineage so the self-join and the verify join don't recompute the
-    # regex/shingle pipeline); at cluster scale this would be a
-    # persist(MEMORY_AND_DISK) or an intermediate table
-    sh = sigs.select("id", "__shingles").localCheckpoint(eager=False)
+    # the shingle/signature projection is the expensive stage: checkpoint
+    # it ONCE so the band-bucket self-join and the verify join both read
+    # the materialized result instead of recomputing the text pipeline;
+    # at cluster scale this would be persist(MEMORY_AND_DISK) or an
+    # intermediate table
+    sigs = minhash_signature_df(df, text_col, id_col, k_shingle,
+                                num_hashes).localCheckpoint(eager=True)
+    sh = sigs.select("id", "__shingles")
 
     band_entries = sigs.select(
         "id",
