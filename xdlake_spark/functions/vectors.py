@@ -28,10 +28,30 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; 0.0 where either side has zero norm."""
-    na, nb = norm(a), norm(b)
-    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)) \
-        .otherwise(F.lit(0.0))
+    """Cosine similarity; 0.0 where either side has zero norm.
+
+    Single pass over the vectors: one ``zip_with`` + ``aggregate`` with a
+    (xy, xx, yy) struct accumulator. The naive ``dot/(norm*norm)`` form
+    embeds five independent array traversals in the expression tree
+    (Catalyst does not CSE inside higher-order functions). The final
+    ``sqrt(xx)*sqrt(yy)`` keeps results bit-identical to the naive form.
+    """
+    z = F.zip_with(a, b, lambda x, y: F.struct(
+        (x.cast("double") * y.cast("double")).alias("xy"),
+        (x.cast("double") * x.cast("double")).alias("xx"),
+        (y.cast("double") * y.cast("double")).alias("yy")))
+    return F.aggregate(
+        z,
+        F.struct(F.lit(0.0).alias("xy"), F.lit(0.0).alias("xx"),
+                 F.lit(0.0).alias("yy")),
+        lambda s, v: F.struct((s.xy + v.xy).alias("xy"),
+                              (s.xx + v.xx).alias("xx"),
+                              (s.yy + v.yy).alias("yy")),
+        # finish runs on the bound accumulator variable, so the fold is
+        # evaluated exactly once even though it is referenced five times
+        lambda s: F.when((s.xx > 0) & (s.yy > 0),
+                         s.xy / (F.sqrt(s.xx) * F.sqrt(s.yy)))
+        .otherwise(F.lit(0.0)))
 
 
 def euclidean(a: Column, b: Column) -> Column:

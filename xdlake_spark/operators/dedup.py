@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import ensure_parallelism
 from ..functions.text import fingerprint_md5, shingles
 from ..functions.vectors import cosine, hyperplane_signature
 
@@ -99,11 +100,7 @@ def minhash_signature_df(df: DataFrame, text_col: str = "text",
     a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
     b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-
-    hashed = df.select(
+    hashed = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), k_shingle).alias("__shingles"),
     ).select(
@@ -202,11 +199,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     no shingle never appear. Fully SQL-expressible (DuckDB oracle uses
     UNNEST + self-join), deterministic. Returns (id_a, id_b, jaccard).
     """
-    sh = (df.select(F.col(id_col).alias("id"),
-                    shingles(F.col(text_col), k_shingle).alias("sh"))
+    sh = (ensure_parallelism(df)
+          .select(F.col(id_col).alias("id"),
+                  shingles(F.col(text_col), k_shingle).alias("sh"))
           .localCheckpoint(eager=False))  # shingling runs once, not 2x
     sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    # hash shingle strings to 64-bit keys before the self-join: the
+    # shuffle moves 8-byte longs instead of full shingle strings
+    inv = (sh.select("id", F.explode("sh").alias("__s"))
+           .select("id", F.xxhash64("__s").alias("shingle")))
 
     a, b = inv.alias("a"), inv.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -260,8 +261,8 @@ def simhash_df(df: DataFrame, text_col: str = "text",
 
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    return df.select(F.col(id_col).alias("id"),
-                     _simhash(hashes).alias("simhash"))
+    return ensure_parallelism(df).select(F.col(id_col).alias("id"),
+                                         _simhash(hashes).alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
@@ -362,7 +363,8 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                                  .defaultParallelism))
                 .mapInPandas(run, schema=out_schema))
 
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    v = ensure_parallelism(df).select(F.col(id_col).alias("id"),
+                                      F.col(vec_col).alias("vec"))
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
     sig = v.withColumn("__sig", hyperplane_signature(F.col("vec"), planes))

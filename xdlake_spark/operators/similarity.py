@@ -16,6 +16,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import ensure_parallelism
 from ..functions.vectors import cosine, dot, hyperplane_signature, lit_vector
 
 
@@ -29,7 +30,8 @@ def brute_force_topk(df: DataFrame, query_vec, k: int = 10,
     corpus, only k rows per partition reach the driver-side merge.
     """
     sim = cosine(F.col(vec_col), lit_vector(query_vec))
-    return (df.select(F.col(id_col), sim.alias("score"))
+    return (ensure_parallelism(df)
+            .select(F.col(id_col), sim.alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k))
 
@@ -40,18 +42,28 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     """For every query vector, its k nearest corpus vectors by cosine.
 
     The (small) query side is broadcast; the corpus — the 100 TB side —
-    streams through executors exactly once. Per-query top-k via window
-    rank over (query, score).
+    streams through executors exactly once. Top-k is two-level: a
+    per-(query, input-partition) rank prunes each partition to k rows
+    BEFORE the global per-query rank, so the final shuffle carries
+    k * n_partitions rows per query instead of the whole scored corpus
+    into n_queries reducers.
     """
     q = F.broadcast(queries.select(F.col(q_id).alias("__qid"),
                                    F.col(q_vec).alias("__qvec")))
-    joined = corpus.select(F.col(c_id), F.col(c_vec)).crossJoin(q)
+    joined = ensure_parallelism(corpus.select(F.col(c_id), F.col(c_vec))) \
+        .crossJoin(q)
     sim = cosine(F.col(c_vec), F.col("__qvec"))
     scored = joined.select(F.col("__qid").alias(q_id), F.col(c_id),
-                           sim.alias("score"))
+                           sim.alias("score"),
+                           F.spark_partition_id().alias("__part"))
+    w_local = Window.partitionBy(q_id, "__part").orderBy(
+        F.col("score").desc(), F.col(c_id))
+    pruned = (scored.withColumn("__lr", F.row_number().over(w_local))
+              .filter(F.col("__lr") <= k))
     w = Window.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(c_id))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return (pruned.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .drop("__part", "__lr"))
 
 
 def lsh_topk(df: DataFrame, query_vec, k: int = 10, dim: int = 64,
@@ -82,7 +94,8 @@ def lsh_topk(df: DataFrame, query_vec, k: int = 10, dim: int = 64,
             probes.add(sig_str(flipped))
 
     sig = hyperplane_signature(F.col(vec_col), planes)
-    cand = df.withColumn("__sig", sig).filter(F.col("__sig").isin(*probes))
+    cand = (ensure_parallelism(df).withColumn("__sig", sig)
+            .filter(F.col("__sig").isin(*probes)))
     sim = cosine(F.col(vec_col), lit_vector(query_vec))
     return (cand.select(F.col(id_col), sim.alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col))
@@ -113,7 +126,8 @@ def ivf_build(df: DataFrame, n_centroids: int = 16,
                  F.lit(ci).alias("cid"))
         for ci, c in enumerate(centroids)
     ])
-    assigned = df.withColumn("__centroid", F.array_max(scored)["cid"])
+    assigned = ensure_parallelism(df).withColumn(
+        "__centroid", F.array_max(scored)["cid"])
     return assigned, centroids
 
 
