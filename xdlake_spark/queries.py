@@ -388,6 +388,78 @@ def user_sessions(spark, sf_dir):
                  .alias("n_sessions")))
 
 
+@register("events_sliding_windows", """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events
+FROM (SELECT event_type,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts)
+                         - INTERVAL '30 minutes']) AS ws
+      FROM events)
+GROUP BY 1, 2
+""")
+def events_sliding(spark, sf_dir):
+    from .streaming.ingest import sliding_window_counts
+    out = sliding_window_counts(_t(spark, sf_dir, "events"),
+                                window="1 hour", slide="30 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        "event_type", "n_events")
+
+
+@register("events_session_windows", """
+WITH marks AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, sid
+""")
+def events_sessions(spark, sf_dir):
+    from .streaming.ingest import session_windows
+    out = session_windows(_t(spark, sf_dir, "events"), gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_start"),
+        "n_events", F.round("sum_value", 2).alias("sum_value"))
+
+
+@register("stateful_dedup_batch", """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS fingerprint,
+       min(doc_id) AS doc_id
+FROM documents GROUP BY 1
+""")
+def stateful_dedup_q(spark, sf_dir):
+    from .streaming.stateful import streaming_dedup
+    return streaming_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("stateful_user_stats", """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id
+""")
+def stateful_user_stats_q(spark, sf_dir):
+    from .streaming.stateful import running_user_stats
+    out = running_user_stats(_t(spark, sf_dir, "events"))
+    return out.select("user_id", "n_events",
+                      F.round("sum_value", 2).alias("sum_value"))
+
+
 # ===========================================================================
 # Delta table layer (scan / write / delete / time travel round-trips)
 # ===========================================================================
@@ -482,6 +554,73 @@ def delta_optimize(spark, sf_dir):
     t = t.write(li.filter("l_orderkey % 3 = 2"))
     t = t.optimize()
     return t.to_df().select("l_orderkey", "l_linenumber")
+
+
+@register("delta_clone_scan", """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_quantity >= 25
+""")
+def delta_clone(spark, sf_dir):
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem").filter("l_quantity >= 25")
+    t = DeltaTable(spark, _delta_tmp()).write(li)
+    cloned = t.clone(_delta_tmp())
+    return cloned.to_df().select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register("delta_import_refs_scan", """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+""")
+def delta_import(spark, sf_dir):
+    from .table import DeltaTable
+    t = DeltaTable(spark, _delta_tmp()).import_refs(
+        f"{sf_dir}/lineitem.parquet")
+    return t.to_df().select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register("delta_schema_evolution", """
+SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, CAST(NULL AS VARCHAR) AS lang, n_chars
+FROM documents WHERE doc_id % 2 = 1
+""")
+def delta_schema_evolution(spark, sf_dir):
+    from .table import DeltaTable
+    d = _t(spark, sf_dir, "documents")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        d.filter("doc_id % 2 = 0").select("doc_id", "lang"))
+    t = t.write(d.filter("doc_id % 2 = 1").select("doc_id", "n_chars"),
+                schema_mode="merge")
+    return t.to_df()
+
+
+@register("delta_vacuum_scan", """
+SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 47
+""")
+def delta_vacuum(spark, sf_dir):
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(li)
+    t = t.write(li.filter("l_quantity > 47"), mode="overwrite")
+    t.vacuum(retention_hours=0.0)  # physically drop the tombstoned v0 files
+    return t.to_df().select("l_orderkey", "l_linenumber")
+
+
+@register("delta_history_ops", """
+SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'CREATE TABLE'),
+                      (CAST(1 AS BIGINT), 'WRITE'),
+                      (CAST(2 AS BIGINT), 'DELETE'))
+       t(version, operation)
+""")
+def delta_history(spark, sf_dir):
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(li.filter("l_orderkey % 2 = 0"))
+    t = t.write(li.filter("l_orderkey % 2 = 1"))
+    t = t.delete("l_quantity > 40")
+    return (t.history_df().select("version", "operation")
+            .orderBy("version"))
 
 
 @register("delta_merge_upsert", """
