@@ -196,6 +196,41 @@ class Location:
         else:
             fs.rm(self.path)
 
+    def rename(self, dst: "Location") -> None:
+        """Move this file to ``dst`` (same filesystem), creating parent
+        dirs as needed. Local/HDFS rename is O(1); object-store backends
+        fall back to their native move (copy+delete on s3)."""
+        fs = self._fs()
+        if fs is None:
+            os.makedirs(os.path.dirname(dst.path), exist_ok=True)
+            os.replace(self.path, dst.path)
+            return
+        import pyarrow.fs as pafs
+        if isinstance(fs, pafs.FileSystem):
+            parent = posixpath.dirname(dst._strip_scheme())
+            if parent:
+                fs.create_dir(parent, recursive=True)
+            fs.move(self._strip_scheme(), dst._strip_scheme())
+        else:
+            fs.makedirs(posixpath.dirname(dst.path), exist_ok=True)
+            fs.mv(self.path, dst.path)
+
+    def delete_dir(self) -> None:
+        """Recursively remove this directory (ignore-missing)."""
+        fs = self._fs()
+        if fs is None:
+            import shutil
+            shutil.rmtree(self.path, ignore_errors=True)
+            return
+        import pyarrow.fs as pafs
+        try:
+            if isinstance(fs, pafs.FileSystem):
+                fs.delete_dir(self._strip_scheme())
+            else:
+                fs.rm(self.path, recursive=True)
+        except FileNotFoundError:
+            pass
+
     def list_files(self) -> list[str]:
         """Names (basenames) of plain files directly under this dir."""
         fs = self._fs()

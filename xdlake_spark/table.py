@@ -27,6 +27,7 @@ import json
 import posixpath
 import re
 import urllib.parse
+import uuid
 from typing import Any, Callable, Generator
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -260,36 +261,51 @@ class DeltaTable:
 
     def _write_data(self, df: DataFrame,
                     partition_by: list[str]) -> list[Add]:
-        """Physical write: executors write hive-partitioned parquet directly
-        into the table dir; the driver diffs the listing to learn the new
-        files and reads their footers for stats (reference __init__.py:
-        335-396; stats per delta_log/statistics.py:14-36)."""
+        """Physical write via a per-commit staging directory.
+
+        Executors write hive-partitioned parquet under
+        ``_staging-<uuid>/``; the driver then moves each file into the
+        table layout under a versioned basename
+        (``{version}-{token}-{i}.parquet``, the reference's template,
+        __init__.py:385-394) and reads its footer for stats
+        (delta_log/statistics.py:14-36). Listing + rename cost is
+        O(files written), never O(table size), and concurrent writers
+        cannot cross-claim each other's files the way a before/after
+        directory diff would (commit atomicity itself comes from the
+        put-if-absent log write).
+        """
         root = self.location
-        before = set(self._data_files())
-        writer = df.write.mode("append")
+        staging = root.join(f"_staging-{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(root.url)
-        new_files = sorted(set(self._data_files()) - before)
-        # footer reads are independent ~KB I/Os: a thread pool keeps the
-        # driver out of the critical path even for thousands of files
-        if len(new_files) > 8:
+        writer.parquet(staging.url)
+
+        written = sorted(rel for rel in staging.list_files_recursive()
+                         if rel.endswith(".parquet")
+                         and not posixpath.basename(rel).startswith((".", "_")))
+        version, token = self._version_to_write, uuid.uuid4().hex[:12]
+
+        def move_one(args: tuple[int, str]) -> Add:
+            i, rel = args
+            hive_dir = posixpath.dirname(rel)
+            dst_rel = posixpath.join(hive_dir, f"{version}-{token}-{i}.parquet") \
+                if hive_dir else f"{version}-{token}-{i}.parquet"
+            staging.join(rel).rename(root.join(dst_rel))
+            return self._add_for_relpath(dst_rel)
+
+        jobs = list(enumerate(written))
+        # moves + footer reads are independent ~KB I/Os: a thread pool
+        # keeps the driver out of the critical path even at thousands of
+        # files per commit
+        if len(jobs) > 8:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=16) as pool:
-                return list(pool.map(self._add_for_relpath, new_files))
-        return [self._add_for_relpath(rel) for rel in new_files]
-
-    def _data_files(self) -> list[str]:
-        if not self.location.exists():
-            return []
-        out = []
-        for rel in self.location.list_files_recursive():
-            base = posixpath.basename(rel)
-            if rel.startswith("_delta_log/") or base.startswith((".", "_")):
-                continue
-            if rel.endswith(".parquet"):
-                out.append(rel)
-        return out
+                adds = list(pool.map(move_one, jobs))
+        else:
+            adds = [move_one(j) for j in jobs]
+        staging.delete_dir()
+        return adds
 
     def _add_for_relpath(self, rel: str) -> Add:
         loc = self.location.join(rel)
