@@ -382,7 +382,7 @@ class DeltaTable:
                 custom_metadata)
             return self._commit(entry)
 
-        uri_to_rel = {self.location.absloc(p).url: p for p in candidates}
+        rel_of = self._rel_by_uri(candidates)
 
         scan = self._scan(candidates).withColumn(
             "__xdl_file", F.input_file_name())
@@ -390,13 +390,6 @@ class DeltaTable:
                     .agg(F.count(F.lit(1)).alias("total"),
                          F.sum(pred.cast("long")).alias("hits"))
                     .collect())  # one row per candidate file: driver-safe
-
-        def rel_of(uri: str) -> str:
-            key = uri.replace("file://", "", 1) if uri.startswith("file://") else uri
-            for u, r in uri_to_rel.items():
-                if key == u or key.endswith("/" + r) or u.endswith(key):
-                    return r
-            raise KeyError(uri)
 
         hit_rels = [rel_of(r["__xdl_file"]) for r in per_file
                     if (r["hits"] or 0) > 0]
@@ -429,6 +422,31 @@ class DeltaTable:
                                    where_sql or "<expr>", read_version,
                                    metrics, custom_metadata)
         return self._commit(entry)
+
+    def _rel_by_uri(self, adds: dict[str, Add]) -> Callable[[str], str]:
+        """Constant-time map from ``input_file_name()`` URIs back to
+        manifest-relative paths (same normalization as the scan's
+        manifest join: scheme stripped, url-decoded)."""
+        def norm(u: str) -> str:
+            u = re.sub(r"^[a-zA-Z0-9+.-]+://?", "/", u)
+            u = re.sub(r"^//+", "/", u)
+            try:
+                return urllib.parse.unquote(u)
+            except Exception:
+                return u
+
+        table = {norm(self.location.absloc(p).url): p for p in adds}
+
+        def rel_of(uri: str) -> str:
+            hit = table.get(norm(uri))
+            if hit is not None:
+                return hit
+            for u, r in table.items():  # fallback for exotic encodings
+                if norm(uri).endswith("/" + r) or u.endswith(norm(uri)):
+                    return r
+            raise KeyError(uri)
+
+        return rel_of
 
     # -- restore / clone / import ------------------------------------------------
 
@@ -623,15 +641,7 @@ class DeltaTable:
             for r in (t.join(src, cond, "inner")
                       .select("__xdl_file").distinct().collect())
         ]
-        uri_to_rel = {self.location.absloc(p).url: p for p in self.adds}
-
-        def rel_of(uri: str) -> str:
-            key = uri.replace("file://", "", 1) if uri.startswith("file://") else uri
-            for u, r in uri_to_rel.items():
-                if key == u or key.endswith("/" + r) or u.endswith(key):
-                    return r
-            raise KeyError(uri)
-
+        rel_of = self._rel_by_uri(self.adds)
         hit_rels = sorted({rel_of(u) for u in matched_files})
 
         out_cols = [f.name for f in self.schema.fields]
