@@ -269,8 +269,14 @@ def _coerce_pair(a: Any, b: Any):
 class FileStats:
     """One file's skipping inputs, from its Add action."""
 
+    #: Spark/Hive directory sentinel for a null partition value; logs we
+    #: write store JSON null, but foreign logs may carry the sentinel.
+    _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
     def __init__(self, add, partition_columns: list[str]):
-        self.partition_values = add.partitionValues or {}
+        self.partition_values = {
+            k: (None if v == self._HIVE_NULL else v)
+            for k, v in (add.partitionValues or {}).items()}
         self.partition_columns = set(partition_columns)
         s = add.stats_dict or {}
         self.num_records = s.get("numRecords")
@@ -298,6 +304,11 @@ class FileStats:
 
 def _eval_comparison(node: Comparison, fs: FileStats) -> Optional[bool]:
     lo, hi = fs.interval(node.column)
+    # a null partition value means the column is null in EVERY row of the
+    # file: no comparison against a literal can be true -> skip
+    if node.column in fs.partition_columns \
+            and node.column in fs.partition_values and lo is None:
+        return False
     # partition values are strings: coerce against the literal's type
     if node.column in fs.partition_columns and lo is not None:
         lit = node.value
@@ -361,6 +372,11 @@ def _eval_node(node, fs: FileStats) -> Optional[bool]:
             return None
         return False
     if isinstance(node, IsNull):
+        # partition columns answer exactly: the value is constant per file
+        if node.column in fs.partition_columns \
+                and node.column in fs.partition_values:
+            is_null = fs.partition_values[node.column] is None
+            return is_null != node.negated
         if node.negated:
             nn = fs.all_null(node.column)
             return False if nn else None

@@ -314,7 +314,10 @@ class DeltaTable:
         for seg in rel.split("/")[:-1]:
             if "=" in seg:
                 k, v = seg.split("=", 1)
-                pvals[k] = urllib.parse.unquote(v)
+                v = urllib.parse.unquote(v)
+                # Delta protocol: null partition value is JSON null, not
+                # Spark/Hive's directory sentinel
+                pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
         return Add(path=rel, size=loc.file_size(),
                    modificationTime=timestamp_ms(),
                    partitionValues=pvals, stats=stats.to_json())
