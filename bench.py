@@ -24,11 +24,15 @@ HEADLINE = [
     "filter_predicate_ops",
     "window_top_order_per_customer",
     "events_hourly_tumbling",
+    "events_session_windows",
     "user_sessions",
+    "stateful_user_stats",
     "delta_roundtrip_scan",
     "delta_filtered_scan_skipping",
     "delta_delete_cow",
     "delta_merge_upsert",
+    "delta_import_refs_scan",
+    "delta_schema_evolution",
     "text_stats",
     "lang_detect",
     "token_count_by_lang",
