@@ -25,6 +25,8 @@ HEADLINE = [
     "window_top_order_per_customer",
     "events_hourly_tumbling",
     "events_session_windows",
+    "asof_join_hourly",
+    "range_join_followups",
     "user_sessions",
     "stateful_user_stats",
     "delta_roundtrip_scan",

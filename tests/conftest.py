@@ -22,6 +22,11 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMOKE
+
+
 @pytest.fixture()
 def tmp_table_dir():
     d = tempfile.mkdtemp(prefix="xdlake_spark_test_")

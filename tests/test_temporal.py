@@ -1,0 +1,89 @@
+"""As-of join and range join semantics (operators/temporal.py)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from xdlake_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, minute)
+
+
+class TestAsofJoin:
+    def test_backward_inclusive(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, _ts(5)), (1, 11, _ts(10)), (1, 12, _ts(30)),
+             (2, 20, _ts(7))],
+            "user_id INT, event_id INT, ts TIMESTAMP")
+        right = spark.createDataFrame(
+            [(1, _ts(0), 100.0), (1, _ts(10), 110.0), (1, _ts(20), 120.0),
+             (2, _ts(9), 200.0)],
+            "user_id INT, ts TIMESTAMP, px DOUBLE")
+        out = {r["event_id"]: r["px"]
+               for r in asof_join(left, right, on="ts", by="user_id",
+                                  right_cols=["px"]).collect()}
+        # t=5 -> r@0; t=10 -> r@10 (inclusive match); t=30 -> r@20
+        assert out == {10: 100.0, 11: 110.0, 12: 120.0, 20: None}
+
+    def test_no_right_rows_gives_null(self, spark):
+        left = spark.createDataFrame([(1, 1, _ts(5))],
+                                     "user_id INT, event_id INT, ts TIMESTAMP")
+        right = spark.createDataFrame([], "user_id INT, ts TIMESTAMP, px DOUBLE")
+        rows = asof_join(left, right, on="ts", by="user_id",
+                         right_cols=["px"]).collect()
+        assert rows[0]["px"] is None
+
+    def test_tolerance_expires_stale(self, spark):
+        left = spark.createDataFrame([(1, 1, _ts(59))],
+                                     "user_id INT, event_id INT, ts TIMESTAMP")
+        right = spark.createDataFrame([(1, _ts(0), 9.0)],
+                                      "user_id INT, ts TIMESTAMP, px DOUBLE")
+        fresh = asof_join(left, right, on="ts", by="user_id",
+                          right_cols=["px"]).collect()[0]["px"]
+        stale = asof_join(left, right, on="ts", by="user_id",
+                          right_cols=["px"],
+                          tolerance="'30' MINUTE").collect()[0]["px"]
+        assert fresh == 9.0 and stale is None
+
+    def test_left_rows_preserved(self, spark, sf_dir):
+        from xdlake_spark.sources.readers import read_parquet_any
+        ev = read_parquet_any(spark, f"{sf_dir}/events.parquet") \
+            .select("event_id", "user_id", "ts")
+        hourly = (ev.groupBy("user_id",
+                             F.date_trunc("hour", "ts").alias("ts"))
+                  .agg(F.count(F.lit(1)).alias("n")))
+        out = asof_join(ev, hourly, on="ts", by="user_id", right_cols=["n"])
+        assert out.count() == ev.count()
+        # every event matches at least its own hour's rollup
+        assert out.filter(F.col("n").isNull()).count() == 0
+
+
+class TestRangeJoin:
+    def test_open_closed_bounds(self, spark):
+        left = spark.createDataFrame([(1, 1, _ts(0))],
+                                     "user_id INT, event_id INT, ts TIMESTAMP")
+        right = spark.createDataFrame(
+            [(1, 90, _ts(0)),    # == left ts: excluded (open lower)
+             (1, 91, _ts(10)),   # inside
+             (1, 92, _ts(15)),   # == upper bound: included (closed)
+             (1, 93, _ts(16)),   # beyond
+             (2, 94, _ts(5))],   # other key
+            "user_id INT, event_id INT, ts TIMESTAMP")
+        got = sorted(r["r_event_id"] for r in range_join(
+            left, right, by="user_id", on="ts",
+            upper="15 minutes").collect())
+        assert got == [91, 92]
+
+    def test_bucket_width_does_not_change_result(self, spark):
+        left = spark.createDataFrame(
+            [(1, i, _ts(i)) for i in range(0, 50, 7)],
+            "user_id INT, event_id INT, ts TIMESTAMP")
+        wide = range_join(left, left, by="user_id", on="ts",
+                          upper="15 minutes", bucket="15 minutes")
+        narrow = range_join(left, left, by="user_id", on="ts",
+                            upper="15 minutes", bucket="4 minutes")
+        k = ["l_event_id", "r_event_id"]
+        assert sorted(map(tuple, wide.select(k).collect())) == \
+            sorted(map(tuple, narrow.select(k).collect()))

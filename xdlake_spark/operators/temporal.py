@@ -1,0 +1,134 @@
+"""Temporal join operators Spark lacks natively: as-of join, range join.
+
+Extends the reference's surface (xbrianh/xdlake is a table layer with no
+join operators at all — SURVEY §2.4); mandated by the build brief's
+custom-operator requirement.
+
+Both are expressed as compositions of built-in DataFrame ops so Catalyst
+plans them (no Python in the hot path):
+
+- ``asof_join``: union the two sides, one window sort per key, carry the
+  most recent right-side values forward with ``last(ignorenulls)``. ONE
+  shuffle on the key — never an inequality nested-loop join. This is the
+  standard time-series point-in-time join (market data, feature stores).
+
+- ``range_join``: equi-join on (key, time-bucket) with the right side
+  exploded to the buckets its match window can reach, then an exact
+  interval filter. Candidate pairs are generated per bucket, so the join
+  stays hash-based and skew-bounded instead of devolving into Spark's
+  O(n*m) broadcast-nested-loop plan for pure inequality conditions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import ensure_parallelism
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
+              by: str = "user_id",
+              right_cols: list[str] | None = None,
+              tolerance: str | None = None) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``on`` <= left.``on`` within the same ``by`` group (backward as-of,
+    inclusive — DuckDB/pandas ``ASOF JOIN`` semantics).
+
+    ``right_cols``: right columns to carry (default: all but key/time).
+    ``tolerance``: optional max staleness as a SQL interval string
+    (e.g. ``'2 hours'``) — older matches become NULL.
+
+    Plan: tag sides, union, single window over (by, on) carrying right
+    values forward. Right rows order before left rows at equal ``on``
+    so equality matches. One shuffle; no inequality join anywhere.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, by)]
+    lcols = left.columns
+
+    l_tagged = left.select(
+        *lcols, F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_cols])
+    r_tagged = right.select(
+        *[F.col(c).alias(c) if c in (on, by)
+          else F.lit(None).cast(left.schema[c].dataType).alias(c)
+          if c in lcols else F.lit(None).alias(c)
+          for c in lcols],
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols])
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (Window.partitionBy(by).orderBy(on, "__side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = unioned.select(
+        *lcols, "__side",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+          for c in right_cols],
+        F.max(F.when(F.col("__side") == 0, F.col(on)))
+        .over(w).alias("__r_ts"))
+
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        fresh = F.col("__r_ts") >= F.col(on) - F.expr(
+            f"INTERVAL {tolerance}")
+        out = out.select(
+            *lcols,
+            *[F.when(fresh, F.col(f"__c_{c}")).alias(c)
+              for c in right_cols])
+    else:
+        out = out.select(*lcols,
+                         *[F.col(f"__c_{c}").alias(c) for c in right_cols])
+    return out
+
+
+def range_join(left: DataFrame, right: DataFrame, by: str = "user_id",
+               on: str = "ts", lower: str = "0 seconds",
+               upper: str = "15 minutes",
+               bucket: str | None = None) -> DataFrame:
+    """All (left, right) pairs in the same ``by`` group with
+    ``right.on`` in ``(left.on + lower, left.on + upper]``.
+
+    ``bucket`` (SQL interval, default = ``upper``) sets the hash-join
+    granularity: each left row replicates to every bucket its match
+    window overlaps, the join is a plain equi-join on (by, bucket), and
+    the exact interval predicate filters the candidates. A right row has
+    exactly one bucket, so each qualifying pair is produced once — no
+    dedup pass. Returns left columns prefixed ``l_``, right ``r_``.
+    """
+    bucket = bucket or upper
+    width = _interval_micros(left, bucket)
+    span_lo = _interval_micros(left, lower)
+    span_hi = _interval_micros(left, upper)
+
+    def us(col: str):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    l_b = ensure_parallelism(left).select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns],
+        F.col(by).alias("__k"),
+        F.explode(F.sequence(
+            F.floor((us(on) + F.lit(span_lo)) / F.lit(width)),
+            F.floor((us(on) + F.lit(span_hi)) / F.lit(width))))
+        .alias("__bucket"))
+    r_b = ensure_parallelism(right).select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns],
+        F.col(by).alias("__k"),
+        F.floor(us(on) / F.lit(width)).alias("__bucket"))
+
+    lt = F.unix_micros(F.col(f"l_{on}").cast("timestamp"))
+    rt = F.unix_micros(F.col(f"r_{on}").cast("timestamp"))
+    exact = (rt > lt + F.lit(span_lo)) & (rt <= lt + F.lit(span_hi))
+    return (l_b.join(r_b, on=["__k", "__bucket"], how="inner")
+            .filter(exact)
+            .drop("__k", "__bucket"))
+
+
+def _interval_micros(df: DataFrame, interval: str) -> int:
+    """Resolve a SQL interval string to microseconds (driver-side)."""
+    row = df.sparkSession.range(1).select(
+        (F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp")
+                       + F.expr(f"INTERVAL {interval}"))).alias("us")
+    ).collect()[0]
+    return int(row["us"])

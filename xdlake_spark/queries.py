@@ -438,6 +438,41 @@ def events_sessions(spark, sf_dir):
         "n_events", F.round("sum_value", 2).alias("sum_value"))
 
 
+@register("asof_join_hourly", """
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS ts,
+         round(sum(value), 2) AS hourly_value
+  FROM events GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, r.hourly_value
+FROM events l
+ASOF JOIN hourly r ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+def asof_join_q(spark, sf_dir):
+    from .operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts"))
+              .agg(F.round(F.sum("value"), 2).alias("hourly_value")))
+    return asof_join(ev.select("event_id", "user_id", "ts"), hourly,
+                     on="ts", by="user_id",
+                     right_cols=["hourly_value"]).drop("ts")
+
+
+@register("range_join_followups", """
+SELECT a.event_id AS l_event_id, b.event_id AS r_event_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >  a.ts
+ AND b.ts <= a.ts + INTERVAL '15 minutes'
+""")
+def range_join_q(spark, sf_dir):
+    from .operators.temporal import range_join
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = range_join(ev, ev, by="user_id", on="ts",
+                     lower="0 seconds", upper="15 minutes")
+    return out.select("l_event_id", "r_event_id")
+
+
 @register("stateful_dedup_batch", """
 SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
            AS fingerprint,
