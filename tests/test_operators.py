@@ -248,3 +248,37 @@ class TestMultimodal:
         # 40960 bytes -> 40 frames -> sampled every 10 -> 4 per doc
         assert len(rows) == 12
         assert all(r["frame_index"] % 10 == 0 for r in rows)
+
+
+class TestWinnowing:
+    def test_edit_robustness(self, spark):
+        """An edit at one end leaves most fingerprints shared (the
+        winnowing guarantee that md5-style whole-doc hashing lacks)."""
+        from xdlake_spark.operators.text import winnow_fingerprints
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " EDITED TAIL!")],
+            "doc_id LONG, text STRING")
+        out = winnow_fingerprints(df)
+        a = {r["fingerprint"] for r in out.filter("doc_id = 1").collect()}
+        b = {r["fingerprint"] for r in out.filter("doc_id = 2").collect()}
+        overlap = len(a & b) / max(len(a | b), 1)
+        assert overlap > 0.7
+        assert a != b
+
+    def test_short_and_empty_texts(self, spark):
+        from xdlake_spark.operators.text import winnow_fingerprints
+        df = spark.createDataFrame(
+            [(1, "ab"), (2, "   "), (3, "")],
+            "doc_id LONG, text STRING")
+        rows = winnow_fingerprints(df).collect()
+        # whitespace-only and empty texts vanish; short text -> 1 print
+        assert {r["doc_id"] for r in rows} == {1}
+        assert len(rows) == 1
+
+    def test_rolling_hash_deterministic(self, spark, documents):
+        from xdlake_spark.functions.text import rolling_hash
+        a = documents.select(rolling_hash(F.col("text")).alias("h")).collect()
+        b = documents.select(rolling_hash(F.col("text")).alias("h")).collect()
+        assert [r["h"] for r in a] == [r["h"] for r in b]
+        assert all(0 <= r["h"] < (1 << 31) for r in a)

@@ -140,6 +140,50 @@ def fingerprint_md5(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+#: Polynomial rolling-hash parameters. 31-bit modulus keeps every partial
+#: product inside int64 (h < 2^31, h*257 + c < 2^40), so the fold is
+#: ANSI-safe in Spark AND reproducible with DuckDB bigint arithmetic.
+ROLL_BASE = 257
+ROLL_MOD = (1 << 31) - 1
+
+
+def codepoints(col: Column) -> Column:
+    """Array of Unicode code points of the string (``ascii()`` returns
+    the first code point in both Spark and DuckDB)."""
+    return F.transform(F.split(col, ""), lambda ch: F.ascii(ch))
+
+
+def rolling_hash(col: Column) -> Column:
+    """Polynomial (Rabin-Karp) rolling hash of the whole normalized text:
+    ``h = fold(h * 257 + codepoint) mod (2^31 - 1)``; empty -> 0."""
+    return F.aggregate(
+        codepoints(normalize_text(col)),
+        F.lit(0).cast("long"),
+        lambda h, c: F.pmod(h * F.lit(ROLL_BASE) + c, F.lit(ROLL_MOD)))
+
+
+def kgram_hashes(col: Column, k: int = 8) -> Column:
+    """Rolling hash of every k-char gram of the normalized text, in
+    position order — the winnowing substrate. One pass: position i's
+    hash is the fold over codepoints [i, i+k).
+
+    A text shorter than k yields a single whole-text hash.
+    """
+    cps = codepoints(normalize_text(col))
+    n = F.size(cps)
+
+    def gram(i):
+        return F.aggregate(
+            F.slice(cps, i + 1, k), F.lit(0).cast("long"),
+            lambda h, c: F.pmod(h * F.lit(ROLL_BASE) + c, F.lit(ROLL_MOD)))
+
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(idx, gram)) \
+        .otherwise(F.array(F.aggregate(
+            cps, F.lit(0).cast("long"),
+            lambda h, c: F.pmod(h * F.lit(ROLL_BASE) + c, F.lit(ROLL_MOD)))))
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """Distinct k-gram word shingles (arrays of 'w1 w2 w3' strings)."""
     toks = F.split(F.lower(F.trim(col)), r"\s+")

@@ -69,3 +69,32 @@ def token_count_summary(df: DataFrame, text_col: str = "text",
                  F.sum("__bpe").alias("tokens_bpe"),
                  F.avg("__q").alias("avg_quality"))
             .orderBy(group_col))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): the distinct
+    minima over every ``window`` of consecutive k-char-gram rolling
+    hashes of the normalized text. Robust to local edits — an edit only
+    perturbs fingerprints within k+window positions of it — which makes
+    the fingerprint-set overlap a plagiarism/near-dup signal.
+
+    Output: one row per (doc_id, fingerprint); texts whose normalized
+    form is empty produce no rows. The k-gram hash array is bound as a
+    lambda variable (single evaluation) before the window fold — the
+    same non-CSE-safe HOF pattern as minhash.
+    """
+    from . import ensure_parallelism
+
+    hashes = X.kgram_hashes(F.col(text_col), k)
+    base = (ensure_parallelism(df)
+            .filter(F.length(X.normalize_text(F.col(text_col))) > 0)
+            .select(F.col(id_col).alias("doc_id"), hashes.alias("__h")))
+    mins = F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.size("__h") - window + 1, F.lit(1))),
+        lambda i: F.array_min(F.slice("__h", i, window)))
+    return base.select(
+        "doc_id",
+        F.explode(F.array_sort(F.array_distinct(mins))).alias("fingerprint"))

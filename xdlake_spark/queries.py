@@ -724,6 +724,53 @@ def text_stats(spark, sf_dir):
         X.fingerprint_md5(c).alias("fingerprint"))
 
 
+@register("text_rolling_hash", """
+SELECT doc_id,
+       CASE WHEN length(norm) > 0
+            THEN list_reduce(
+                list_transform(string_split(norm, ''),
+                               c -> CAST(ascii(c) AS BIGINT)),
+                (a, b) -> (a * 257 + b) % 2147483647)
+            ELSE 0 END AS rhash
+FROM (SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents)
+""")
+def text_rolling_hash_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.rolling_hash(F.col("text")).alias("rhash"))
+
+
+@register("text_winnow_fingerprints", """
+WITH cp AS (
+  SELECT doc_id,
+         list_transform(
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g')), ''),
+             c -> CAST(ascii(c) AS BIGINT)) AS cps
+  FROM documents
+  WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) > 0
+), kh AS (
+  SELECT doc_id,
+         CASE WHEN len(cps) >= 8 THEN
+           list_transform(range(1, len(cps) - 8 + 2),
+             i -> list_reduce(cps[i:i+7],
+                              (a, b) -> (a * 257 + b) % 2147483647))
+         ELSE [list_reduce(cps, (a, b) -> (a * 257 + b) % 2147483647)]
+         END AS hs
+  FROM cp
+)
+SELECT doc_id,
+       unnest(list_sort(list_distinct(list_transform(
+           range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+           i -> list_min(hs[i:i+3]))))) AS fingerprint
+FROM kh
+""")
+def text_winnow_q(spark, sf_dir):
+    return textops.winnow_fingerprints(_t(spark, sf_dir, "documents"),
+                                       k=8, window=4)
+
+
 def _lang_oracle() -> str:
     score_cols = []
     for lang, markers in X.LANG_MARKERS:
