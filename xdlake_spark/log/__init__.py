@@ -233,26 +233,64 @@ class DeltaLog:
     def __init__(self, entries: dict[int, DeltaLogEntry] | None = None):
         self.entries: dict[int, DeltaLogEntry] = dict(
             sorted((entries or {}).items()))
+        #: versions represented by the loaded checkpoint whose JSON entry
+        #: was skipped; filename kept for lazy history() reads
+        self._lazy_json: dict[int, str] = {}
+        self._location = None
 
     # -- load ----------------------------------------------------------------
 
     @classmethod
-    def load(cls, log_location, version: int | None = None) -> "DeltaLog":
-        """List the log dir, parse each ``NNNN.json``, optionally stop at a
-        pinned version (reference delta_log/__init__.py:250-277)."""
-        entries: dict[int, DeltaLogEntry] = {}
+    def load(cls, log_location, version: int | None = None,
+             use_checkpoint: bool = True) -> "DeltaLog":
+        """List the log dir and parse entries, optionally stopping at a
+        pinned version (reference delta_log/__init__.py:250-277).
+
+        With ``use_checkpoint`` (default), a ``_last_checkpoint`` pointer
+        short-circuits replay: the checkpoint parquet supplies the state
+        at its version and only newer JSON entries are parsed — O(recent
+        commits) instead of O(all commits) per open. Time travel to a
+        version before the checkpoint falls back to the full JSON replay
+        (entries are never deleted by checkpointing).
+        """
+        from .checkpoint import last_checkpoint_version, read_checkpoint
+
+        json_names: dict[int, str] = {}
         for name in log_location.list_files():
             m = _LOG_ENTRY_RE.match(name)
-            if not m:
-                continue
-            v = int(m.group(1))
+            if m:
+                json_names[int(m.group(1))] = name
+
+        cp_v = last_checkpoint_version(log_location) if use_checkpoint \
+            else None
+        if cp_v is not None and version is not None and version < cp_v:
+            cp_v = None  # pinned before the checkpoint: full replay
+
+        entries: dict[int, DeltaLogEntry] = {}
+        lazy: dict[int, str] = {}
+        if cp_v is not None:
+            try:
+                entries[cp_v] = DeltaLogEntry(
+                    read_checkpoint(log_location, cp_v))
+            except Exception:
+                cp_v = None  # unreadable checkpoint: full replay
+
+        for v, name in json_names.items():
             if version is not None and v > version:
+                continue
+            if cp_v is not None and v <= cp_v:
+                lazy[v] = name
                 continue
             entries[v] = DeltaLogEntry.from_bytes(
                 log_location.join(name).read_bytes())
-        if version is not None and entries and version not in entries:
+
+        known = set(entries) | set(lazy)
+        if version is not None and known and version not in known:
             raise ValueError(f"Version {version} does not exist in log")
-        return cls(entries)
+        log = cls(entries)
+        log._lazy_json = lazy
+        log._location = log_location
+        return log
 
     # -- snapshot state ------------------------------------------------------
 
@@ -267,7 +305,7 @@ class DeltaLog:
 
     @property
     def versions(self) -> list[int]:
-        return sorted(self.entries)
+        return sorted(set(self.entries) | set(self._lazy_json))
 
     @property
     def version_to_write(self) -> int:
@@ -309,11 +347,33 @@ class DeltaLog:
                 return hint
         return []
 
+    def protocol(self) -> Protocol:
+        """Newest protocol action; spec default if none recorded."""
+        for v in sorted(self.entries, reverse=True):
+            for a in self.entries[v].actions:
+                if isinstance(a, Protocol):
+                    return a
+        return Protocol()
+
+    def _history_entry(self, v: int) -> DeltaLogEntry | None:
+        """Entry for history purposes; versions collapsed into a loaded
+        checkpoint re-read their JSON lazily (commitInfo lives only
+        there)."""
+        if v in self._lazy_json and self._location is not None:
+            try:
+                return DeltaLogEntry.from_bytes(
+                    self._location.join(self._lazy_json[v]).read_bytes())
+            except OSError:
+                pass
+        return self.entries.get(v)
+
     def history(self, reverse: bool = True) -> Generator[dict, None, None]:
         """commitInfo dicts + version, newest-first by default (reference
         delta_log/__init__.py:312-318)."""
-        for v in sorted(self.entries, reverse=reverse):
-            ci = self.entries[v].commit_info
+        for v in sorted(set(self.entries) | set(self._lazy_json),
+                        reverse=reverse):
+            e = self._history_entry(v)
+            ci = e.commit_info if e is not None else None
             info = dict(ci.to_json()["commitInfo"]) if ci else {}
             info["version"] = v
             yield info

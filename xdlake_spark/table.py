@@ -334,10 +334,24 @@ class DeltaTable:
         import contextlib
         return contextlib.nullcontext()
 
+    #: Write a parquet checkpoint every N commits (0 disables). Keeps
+    #: table opens O(recent commits) instead of O(all commits).
+    checkpoint_interval: int = 10
+
     def _commit(self, entry: DeltaLogEntry) -> "DeltaTable":
         with self.commit_context(self._version_to_write):
             commit_entry(self.log_location, self._version_to_write, entry)
-        return type(self)(self.spark, self.location, self.log_location)
+        new = type(self)(self.spark, self.location, self.log_location)
+        if self.checkpoint_interval and new.version > 0 \
+                and new.version % self.checkpoint_interval == 0:
+            from .log.checkpoint import write_checkpoint
+            try:
+                write_checkpoint(new.log_location, new.log)
+                new = type(self)(self.spark, self.location,
+                                 self.log_location)
+            except Exception:
+                pass  # a checkpoint is an optimization, never a failure
+        return new
 
     # -- delete (copy-on-write) -------------------------------------------------
 
@@ -457,9 +471,13 @@ class DeltaTable:
                 custom_metadata: dict | None = None) -> "DeltaTable":
         """Reinstate a previous version's add-set as a new commit
         (reference __init__.py:317-333)."""
-        target = DeltaLog(
-            {v: e for v, e in self.log.entries.items()
-             if v <= restore_version})
+        try:
+            # pinned load handles restore targets older than the newest
+            # checkpoint (falls back to full JSON replay)
+            target = DeltaLog.load(self.log_location,
+                                   version=restore_version)
+        except ValueError:
+            target = DeltaLog()
         if not target:
             raise ValueError(f"Version {restore_version} does not exist")
         cur = self.adds
@@ -485,8 +503,11 @@ class DeltaTable:
         import dataclasses
 
         from .log import Remove
-        for v in self.log.versions:
-            src_entry = self.log.entries[v]
+        # full-history copy: bypass the checkpoint fast path so versions
+        # collapsed into it are cloned verbatim
+        full = DeltaLog.load(self.log_location, use_checkpoint=False)
+        for v in full.versions:
+            src_entry = full.entries[v]
             actions = []
             for a in src_entry.actions:
                 if isinstance(a, (Add, Remove)) and "://" not in a.path \
@@ -601,7 +622,9 @@ class DeltaTable:
         horizon = now - int(retention_hours * 3600 * 1000)
         live = set(self.adds)
         candidates: dict[str, int] = {}
-        for v in self.log.versions:
+        # entries only: under a checkpointed load the pre-checkpoint
+        # tombstones are carried inside the checkpoint entry itself
+        for v in sorted(self.log.entries):
             for rm in self.log.entries[v].removes:
                 if rm.path not in live and "://" not in rm.path \
                         and not rm.path.startswith("/"):
