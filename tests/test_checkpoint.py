@@ -77,3 +77,38 @@ class TestCheckpoint:
         c = t.clone(dst)
         assert c.versions == t.versions
         assert c.to_df().count() == t.to_df().count()
+
+
+class TestZOrderAndChanges:
+    def test_zorder_identity_and_pruning(self, spark, tmp_table_dir,
+                                         lineitem):
+        from xdlake_spark.plans.skipping import prune_manifest
+        before = lineitem.count()
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem)
+        t = t.optimize(zorder_by=["l_partkey", "l_suppkey"],
+                       target_file_size=25 * 1024)
+        assert t.to_df().count() == before
+        assert len(t.adds) > 1
+        # clustering makes min/max tight: a narrow partkey range must
+        # skip at least one file
+        pruned = prune_manifest(t.adds, "l_partkey <= 5", [])
+        assert len(pruned) < len(t.adds)
+
+    def test_table_changes_window(self, spark, tmp_table_dir):
+        df = spark.range(10).select(F.col("id"))
+        t = DeltaTable(spark, tmp_table_dir).write(df)                 # v0
+        t = t.write(df.withColumn("id", F.col("id") + 100))            # v1
+        t = t.write(df.withColumn("id", F.col("id") + 200))            # v2
+        chg = t.table_changes(0, 1)
+        assert sorted(r["id"] for r in chg.collect()) == \
+            list(range(100, 110))
+        assert t.table_changes(0).count() == 20    # v1+v2
+        assert t.table_changes(2).count() == 0
+
+    def test_table_changes_excludes_compaction(self, spark, tmp_table_dir):
+        df = spark.range(10).select(F.col("id"))
+        t = DeltaTable(spark, tmp_table_dir).write(df)                 # v0
+        t = t.write(df.withColumn("id", F.col("id") + 100))            # v1
+        t = t.optimize(target_file_size=10 * 1024 * 1024)              # v2
+        assert t.version == 2
+        assert t.table_changes(1).count() == 0     # rewrite, not data

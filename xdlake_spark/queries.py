@@ -658,6 +658,31 @@ def delta_history(spark, sf_dir):
             .orderBy("version"))
 
 
+@register("delta_zorder_scan", """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+FROM lineitem WHERE l_partkey <= 50
+""")
+def delta_zorder(spark, sf_dir):
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(li)
+    t = t.optimize(zorder_by=["l_partkey", "l_suppkey"],
+                   target_file_size=256 * 1024)
+    return (t.to_df(where="l_partkey <= 50")
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+
+
+@register("delta_table_changes", """
+SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 2 = 1
+""")
+def delta_changes(spark, sf_dir):
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(li.filter("l_orderkey % 2 = 0"))
+    t = t.write(li.filter("l_orderkey % 2 = 1"))
+    return t.table_changes(0).select("l_orderkey", "l_linenumber")
+
+
 @register("delta_merge_upsert", """
 WITH src AS (
   SELECT o_orderkey, o_totalprice * 2 AS new_price

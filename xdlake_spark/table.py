@@ -199,6 +199,29 @@ class DeltaTable:
         keys = [s.split("=", 1)[0] for s in segs if "=" in s]
         return keys == pcols
 
+    def table_changes(self, start_version: int,
+                      end_version: int | None = None) -> DataFrame:
+        """Rows appended in versions ``(start_version, end_version]`` —
+        incremental (CDC-lite) consumption for downstream pipelines.
+
+        Scans only the data files ADDED with ``dataChange`` in that
+        version window; compaction rewrites (``dataChange=false``) are
+        excluded. Row-level deletes are not replayed as retractions —
+        this is the append stream, the common feed for training-data
+        ingestion. The scan is manifest-driven: no listing, no diffing.
+        """
+        full = DeltaLog.load(self.log_location, use_checkpoint=False)
+        end = end_version if end_version is not None else full.version
+        changed: dict[str, Add] = {}
+        for v in sorted(full.entries):
+            if start_version < v <= end:
+                for add in full.entries[v].adds:
+                    if add.dataChange:
+                        changed[add.path] = add
+        if not changed:
+            return self.spark.createDataFrame([], self.schema)
+        return self._scan(changed)
+
     def to_pandas(self, where: str | None = None):
         return self.to_df(where).toPandas()
 
@@ -582,11 +605,22 @@ class DeltaTable:
     # -- maintenance (SURVEY §2.5 stretch ops) ------------------------------------
 
     def optimize(self, target_file_size: int = 128 * 1024 * 1024,
-                 custom_metadata: dict | None = None) -> "DeltaTable":
+                 custom_metadata: dict | None = None,
+                 zorder_by: list[str] | None = None) -> "DeltaTable":
         """Compaction: coalesce small files per partition into ~target-size
-        files; a metadata-only change (``dataChange=false``)."""
+        files; a metadata-only change (``dataChange=false``).
+
+        ``zorder_by``: cluster ALL live files on the interleaved-bit
+        Z-value of these columns instead of just coalescing — after it,
+        per-file min/max intervals are tight on every Z-order column, so
+        manifest pruning (plans/skipping.py) skips files for predicates
+        on any of them, not only the first sort key.
+        """
         if self.schema is None:
             raise ValueError(f"No delta table at {self.location.url}")
+        if zorder_by:
+            return self._zorder(zorder_by, target_file_size,
+                                custom_metadata)
         small = {p: a for p, a in self.adds.items()
                  if a.size < target_file_size}
         # group by partition; only partitions with >1 small file benefit
@@ -610,6 +644,56 @@ class DeltaTable:
         removes = [a.to_remove() for a in to_compact.values()]
         metrics = {"numFilesAdded": len(new_adds),
                    "numFilesRemoved": len(removes)}
+        entry = optimize_table_entry(new_adds, removes, self.version,
+                                     metrics, custom_metadata)
+        return self._commit(entry)
+
+    def _zorder(self, columns: list[str], target_file_size: int,
+                custom_metadata: dict | None) -> "DeltaTable":
+        """Z-order clustering rewrite.
+
+        Per column: 256 approx-quantile boundaries (one lightweight agg
+        job) map values to an 8-bit rank; ranks interleave bit-by-bit
+        into the Z-value; a range repartition + in-partition sort on Z
+        places similar (c1, c2, ...) rows in the same files. No global
+        sort through one reducer — range partitioning samples boundaries
+        the same way orderBy does, and all heavy work is executor-side.
+        """
+        n_bits = 8
+        df = self._scan(self.adds)
+        probs = [i / (1 << n_bits) for i in range(1, 1 << n_bits)]
+        rank_cols = []
+        for c in columns:
+            cuts = df.approxQuantile(c, probs, 0.01)
+            # rank = #quantile boundaries strictly below the value; an
+            # array filter/size pair instead of a 255-branch CASE chain
+            # (deep CASE trees kick the projection out of codegen)
+            arr = F.array(*[F.lit(b) for b in sorted(set(cuts))])
+            rank = F.size(F.filter(arr, lambda b: F.col(c) > b))
+            rank_cols.append(rank.cast("long"))
+
+        ranked = df.select(
+            "*", *[r.alias(f"__r{j}") for j, r in enumerate(rank_cols)])
+        z = F.lit(0).cast("long")
+        for bit in range(n_bits):
+            for j in range(len(columns)):
+                z = z + F.shiftleft(
+                    F.shiftrightunsigned(F.col(f"__r{j}"), bit)
+                    .bitwiseAND(F.lit(1)),
+                    bit * len(columns) + j)
+
+        total_bytes = sum(a.size for a in self.adds.values())
+        n_out = max(1, -(-total_bytes // target_file_size))  # ceil
+        clustered = (ranked.withColumn("__z", z)
+                     .repartitionByRange(n_out, "__z")
+                     .sortWithinPartitions("__z")
+                     .drop("__z", *[f"__r{j}"
+                                    for j in range(len(columns))]))
+        new_adds = self._write_data(clustered, self.partition_columns)
+        removes = [a.to_remove() for a in self.adds.values()]
+        metrics = {"numFilesAdded": len(new_adds),
+                   "numFilesRemoved": len(removes),
+                   "zOrderBy": ",".join(columns)}
         entry = optimize_table_entry(new_adds, removes, self.version,
                                      metrics, custom_metadata)
         return self._commit(entry)
