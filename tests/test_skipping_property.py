@@ -1,0 +1,174 @@
+"""Property-based soundness of manifest pruning (plans/skipping.py).
+
+The invariant that makes data skipping safe at any scale: for EVERY
+predicate and EVERY table, the pruned manifest is a superset of the
+files that actually contain matching rows — pruning may keep too much,
+never too little. Ground truth is computed in pure Python with SQL
+three-valued NULL semantics (a row matches iff the predicate is TRUE,
+not NULL). No Spark session needed, so hypothesis runs hundreds of
+cases in seconds against the driver-side component in isolation.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xdlake_spark.log.actions import Add
+from xdlake_spark.plans.skipping import prune_manifest
+
+COLS = ["a", "b"]
+
+# --- predicates as (sql_text, three-valued row evaluator) pairs ----------
+
+_OPS = {
+    "=": lambda x, v: x == v, "!=": lambda x, v: x != v,
+    "<": lambda x, v: x < v, "<=": lambda x, v: x <= v,
+    ">": lambda x, v: x > v, ">=": lambda x, v: x >= v,
+}
+
+
+def _cmp(c, op, v):
+    def ev(row):
+        x = row[c]
+        return None if x is None else _OPS[op](x, v)
+    return (f"{c} {op} {v}", ev)
+
+
+def _isnull(c, neg):
+    def ev(row):
+        isnull = row[c] is None
+        return (not isnull) if neg else isnull
+    return (f"{c} IS {'NOT ' if neg else ''}NULL", ev)
+
+
+def _in(c, neg, vs):
+    def ev(row):
+        x = row[c]
+        if x is None:
+            return None
+        hit = x in vs
+        return (not hit) if neg else hit
+    return (f"{c} {'NOT ' if neg else ''}IN ({', '.join(map(str, vs))})",
+            ev)
+
+
+def _between(c, lo, hi):
+    def ev(row):
+        x = row[c]
+        return None if x is None else (lo <= x <= hi)
+    return (f"{c} BETWEEN {lo} AND {hi}", ev)
+
+
+def _and(l, r):
+    def ev(row):
+        a, b = l[1](row), r[1](row)
+        if a is False or b is False:
+            return False
+        if a is None or b is None:
+            return None
+        return True
+    return (f"({l[0]}) AND ({r[0]})", ev)
+
+
+def _or(l, r):
+    def ev(row):
+        a, b = l[1](row), r[1](row)
+        if a is True or b is True:
+            return True
+        if a is None or b is None:
+            return None
+        return False
+    return (f"({l[0]}) OR ({r[0]})", ev)
+
+
+def _not(x):
+    def ev(row):
+        a = x[1](row)
+        return None if a is None else (not a)
+    return (f"NOT ({x[0]})", ev)
+
+
+_leaf = st.one_of(
+    st.builds(_cmp, st.sampled_from(COLS),
+              st.sampled_from(list(_OPS)), st.integers(-12, 12)),
+    st.builds(_isnull, st.sampled_from(COLS), st.booleans()),
+    st.builds(_in, st.sampled_from(COLS), st.booleans(),
+              st.lists(st.integers(-12, 12), min_size=1, max_size=3)),
+    st.builds(_between, st.sampled_from(COLS),
+              st.integers(-12, 0), st.integers(0, 12)),
+)
+
+predicates = st.recursive(
+    _leaf,
+    lambda kids: st.builds(_and, kids, kids)
+    | st.builds(_or, kids, kids) | st.builds(_not, kids),
+    max_leaves=4)
+
+
+@st.composite
+def chunks(draw):
+    """2-5 'files', each a list of {a, b} rows with possible nulls."""
+    n_files = draw(st.integers(2, 5))
+    val = st.one_of(st.none(), st.integers(-10, 10))
+    return [draw(st.lists(st.fixed_dictionaries({"a": val, "b": val}),
+                          min_size=1, max_size=6))
+            for _ in range(n_files)]
+
+
+def _stats(rows) -> str:
+    s = {"numRecords": len(rows), "minValues": {}, "maxValues": {},
+         "nullCount": {}}
+    for c in COLS:
+        vals = [r[c] for r in rows if r[c] is not None]
+        s["nullCount"][c] = len(rows) - len(vals)
+        if vals:
+            s["minValues"][c] = min(vals)
+            s["maxValues"][c] = max(vals)
+    return json.dumps(s)
+
+
+@settings(max_examples=300, deadline=None)
+@given(files=chunks(), pred=predicates)
+def test_pruning_never_drops_a_matching_file(files, pred):
+    sql, ev = pred
+    adds = {f"f{i}.parquet": Add(path=f"f{i}.parquet", stats=_stats(rows))
+            for i, rows in enumerate(files)}
+    kept = set(prune_manifest(adds, sql, []))
+    for i, rows in enumerate(files):
+        if any(ev(r) is True for r in rows):
+            assert f"f{i}.parquet" in kept, (
+                f"file f{i} has matching rows for {sql!r} but was "
+                f"pruned; stats={adds[f'f{i}.parquet'].stats}")
+
+
+@settings(max_examples=150, deadline=None)
+@given(files=chunks(), pred=predicates)
+def test_partition_pruning_sound(files, pred):
+    """Same soundness with column 'a' as a (string-valued) partition
+    column carrying a constant per file."""
+    sql, ev = pred
+    adds, parts = {}, []
+    for i, rows in enumerate(files):
+        const_a = rows[0]["a"]
+        rows = [{"a": const_a, "b": r["b"]} for r in rows]
+        parts.append(rows)
+        adds[f"f{i}.parquet"] = Add(
+            path=f"f{i}.parquet",
+            stats=_stats([{"a": None, "b": r["b"]} for r in rows]),
+            partitionValues={
+                "a": None if const_a is None else str(const_a)})
+    kept = set(prune_manifest(adds, sql, ["a"]))
+    for i, rows in enumerate(parts):
+        if any(ev(r) is True for r in rows):
+            assert f"f{i}.parquet" in kept, (
+                f"partitioned file f{i} matches {sql!r} but was pruned")
+
+
+def test_unparseable_predicates_keep_everything():
+    adds = {"f0.parquet": Add(path="f0.parquet",
+                              stats=json.dumps({"numRecords": 1}))}
+    for sql in ["a + b > 3", "lower(a) = 'x'", "a = b", "???", ""]:
+        assert set(prune_manifest(adds, sql or None, [])) == {"f0.parquet"}

@@ -252,3 +252,27 @@ class TestMaintenance:
         got = t2.to_pandas().sort_values("order")
         assert len(got) == len(pdf) + len(new)
         assert (got.head(5)["f64"] == 99.0).all()
+
+
+class TestCommitRetry:
+    def test_append_retries_past_conflict(self, spark, tmp_table_dir):
+        pdf = gen_pdf()
+        t = DeltaTable(spark, tmp_table_dir).write(
+            spark.createDataFrame(pdf))
+        # two stale handles at the same version: without retries the
+        # second append must fail, with retries it lands at the next one
+        a = DeltaTable(spark, tmp_table_dir)
+        b = DeltaTable(spark, tmp_table_dir)
+        a.write(spark.createDataFrame(gen_pdf()))
+        import pytest as _pytest
+        with _pytest.raises(FileExistsError):
+            b.write(spark.createDataFrame(gen_pdf()))
+        b2 = DeltaTable(spark, tmp_table_dir)  # stale again after a's win
+        DeltaTable(spark, tmp_table_dir).write(
+            spark.createDataFrame(gen_pdf()))  # advance head under b2
+        out = b2.write(spark.createDataFrame(gen_pdf()),
+                       max_commit_retries=3)
+        # v0 initial, v1 a's append, v2 head advance, v3 b2's retried
+        # append (b's unretried conflict never landed)
+        assert out.version == 3
+        assert out.to_df().count() == 4 * len(pdf)

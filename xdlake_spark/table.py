@@ -222,6 +222,14 @@ class DeltaTable:
             return self.spark.createDataFrame([], self.schema)
         return self._scan(changed)
 
+    def create_or_replace_view(self, name: str) -> "DeltaTable":
+        """Register this snapshot as a temp view so the full Spark SQL
+        surface (joins, windows, CTEs) runs over the delta scan:
+        ``table.create_or_replace_view("t"); spark.sql("SELECT ... FROM t")``.
+        """
+        self.to_df().createOrReplaceTempView(name)
+        return self
+
     def to_pandas(self, where: str | None = None):
         return self.to_df(where).toPandas()
 
@@ -235,11 +243,19 @@ class DeltaTable:
     def write(self, data: Any, mode: "str | WriteMode" = "append",
               schema_mode: "str | SchemaMode" = "overwrite",
               partition_by: list[str] | None = None,
-              custom_metadata: dict | None = None) -> "DeltaTable":
+              custom_metadata: dict | None = None,
+              max_commit_retries: int = 0) -> "DeltaTable":
         """Write data (reference __init__.py:153-190).
 
         ``data``: DataFrame | pandas | pyarrow Table/RecordBatch | parquet
         path(s) | iterable mix. Modes: append / overwrite / error / ignore.
+
+        ``max_commit_retries``: for APPEND commits only, retry a commit
+        that lost the optimistic-concurrency race at the next version
+        (appends commute, so replaying the same entry is safe — the data
+        files are already on disk and are not rewritten). Non-append
+        modes always surface FileExistsError: their entries were built
+        against a snapshot that no longer is the head.
         """
         mode = WriteMode.coerce(mode)
         schema_mode_e = SchemaMode.coerce(schema_mode)
@@ -280,6 +296,17 @@ class DeltaTable:
             entry = append_table_entry(new_adds, partition_by,
                                        schema=evolved,
                                        custom_metadata=custom_metadata)
+            handle = self
+            for attempt in range(max_commit_retries + 1):
+                try:
+                    return handle._commit(entry)
+                except FileExistsError:
+                    if attempt == max_commit_retries:
+                        raise
+                    # lost the optimistic-concurrency race: reload the
+                    # head and replay the same append at the next version
+                    handle = type(self)(self.spark, self.location,
+                                        self.log_location)
         return self._commit(entry)
 
     def _write_data(self, df: DataFrame,
