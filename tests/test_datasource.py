@@ -1,0 +1,63 @@
+"""The ``xdlake`` Spark format: batch + streaming reads via the Python
+DataSource API (sources/datasource.py)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from xdlake_spark import DeltaTable
+from xdlake_spark.sources.datasource import register
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    register(spark)
+    return spark
+
+
+class TestBatchFormat:
+    def test_snapshot_read_matches_table(self, registered, tmp_table_dir,
+                                         lineitem):
+        li = lineitem.limit(500)
+        t = DeltaTable(registered, tmp_table_dir).write(
+            li, partition_by=["l_returnflag"])
+        df = registered.read.format("xdlake").load(tmp_table_dir)
+        assert df.count() == 500
+        assert set(df.columns) == set(li.columns)
+        # partition values re-typed correctly through the arrow path
+        a = sorted(r["l_returnflag"] for r in
+                   df.select("l_returnflag").distinct().collect())
+        b = sorted(r["l_returnflag"] for r in
+                   t.to_df().select("l_returnflag").distinct().collect())
+        assert a == b
+
+    def test_respects_deletes(self, registered, tmp_table_dir, lineitem):
+        t = DeltaTable(registered, tmp_table_dir).write(lineitem)
+        t = t.delete("l_quantity > 25")
+        df = registered.read.format("xdlake").load(tmp_table_dir)
+        assert df.count() == t.to_df().count()
+        assert df.filter("l_quantity > 25").count() == 0
+
+
+class TestStreamingFormat:
+    def test_incremental_tail(self, registered, tmp_table_dir, lineitem):
+        li = lineitem.limit(300)
+        t = DeltaTable(registered, tmp_table_dir).write(li)
+        out, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp()
+
+        def drain():
+            q = (registered.readStream.format("xdlake").load(tmp_table_dir)
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        drain()
+        assert registered.read.parquet(out).count() == 300
+        t.write(li.limit(50).withColumn(
+            "l_orderkey", F.col("l_orderkey") + 9_000_000))
+        drain()
+        got = registered.read.parquet(out)
+        assert got.count() == 350  # only the delta was re-read
+        assert got.filter("l_orderkey >= 9000000").count() == 50

@@ -683,6 +683,22 @@ def delta_changes(spark, sf_dir):
     return t.table_changes(0).select("l_orderkey", "l_linenumber")
 
 
+@register("delta_format_batch_read", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_linenumber <= 2
+""")
+def delta_format_read(spark, sf_dir):
+    from .sources.datasource import register as register_format
+    from .table import DeltaTable
+    register_format(spark)
+    li = _t(spark, sf_dir, "lineitem").filter("l_linenumber <= 2")
+    loc = _delta_tmp()
+    DeltaTable(spark, loc).write(li, partition_by=["l_returnflag"])
+    return (spark.read.format("xdlake").load(loc)
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    "l_returnflag"))
+
+
 @register("delta_merge_upsert", """
 WITH src AS (
   SELECT o_orderkey, o_totalprice * 2 AS new_price

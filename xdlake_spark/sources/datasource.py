@@ -1,0 +1,184 @@
+"""``xdlake`` as a first-class Spark data source (Python DataSource API).
+
+Registers a format usable as both a batch source and — the real point —
+a STREAMING source that tails the transaction log by version:
+
+    from xdlake_spark.sources.datasource import register
+    register(spark)
+    df = spark.read.format("xdlake").load(path)              # snapshot
+    s  = (spark.readStream.format("xdlake").load(path)       # tail
+          .writeStream...)
+
+Offsets are log versions, so each micro-batch reads exactly the data
+files ADDED in ``(start_version, end_version]`` with ``dataChange``
+(compaction rewrites are skipped) — the same contract as
+``DeltaTable.table_changes``. One InputPartition per file: executors read
+their file with pyarrow and yield Arrow batches, the driver only plans
+manifests. The reference is batch-only (SURVEY §2.4 — streaming absent);
+this extends it.
+
+For heavy batch analytics prefer ``DeltaTable.to_df`` — that path scans
+parquet natively in the JVM. This source trades a Python/Arrow hop for
+incremental semantics, which is the right trade for a streaming tail.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamReader, InputPartition)
+from pyspark.sql.types import StructType
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, url: str, partition_values: dict,
+                 schema_json: str):
+        self.url = url
+        self.partition_values = partition_values
+        self.schema_json = schema_json
+
+
+def _read_file_partition(part: _FilePartition):
+    """Executor-side: one parquet file -> arrow batches aligned to the
+    table schema (partition columns re-attached from the manifest)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType as _St
+
+    from ..log.schema import partition_value_to_python, spark_type_to_arrow
+
+    spark_schema = _St.fromJson(json.loads(part.schema_json))
+    arrow_schema = pa.schema([
+        pa.field(f.name, spark_type_to_arrow(f.dataType), f.nullable)
+        for f in spark_schema.fields])
+    path = part.url
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    table = pq.read_table(path)
+    n = table.num_rows
+    cols = []
+    for field in arrow_schema:
+        if field.name in table.column_names:
+            cols.append(table.column(field.name).cast(field.type))
+        else:
+            v = partition_value_to_python(
+                part.partition_values.get(field.name),
+                spark_schema[field.name].dataType)
+            cols.append(pa.array([v] * n).cast(field.type))
+    out = pa.table(cols, schema=arrow_schema)
+    for batch in out.to_batches(max_chunksize=65536):
+        yield batch
+
+
+def _plan_partitions(location_url: str, start_v: int,
+                     end_v: int) -> list[_FilePartition]:
+    """Driver-side: manifest of files added in (start_v, end_v]."""
+    from ..log import DeltaLog
+    from .storage import Location
+
+    loc = Location.resolve(location_url)
+    log = DeltaLog.load(loc.join("_delta_log"), use_checkpoint=False)
+    if not log:
+        return []
+    schema_json = log.schema().json()
+    parts: list[_FilePartition] = []
+    for v in sorted(log.entries):
+        if start_v < v <= end_v:
+            for add in log.entries[v].adds:
+                if add.dataChange:
+                    parts.append(_FilePartition(
+                        loc.absloc(add.path).url,
+                        dict(add.partitionValues or {}), schema_json))
+    return parts
+
+
+class _XdlakeStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str):
+        self.path = path
+
+    def _current_version(self) -> int:
+        from ..log import DeltaLog
+        from .storage import Location
+        log = DeltaLog.load(
+            Location.resolve(self.path).join("_delta_log"))
+        return log.version if log else -1
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}  # stream starts with the full snapshot
+
+    def latestOffset(self) -> dict:
+        return {"version": self._current_version()}
+
+    def partitions(self, start: dict, end: dict):
+        return _plan_partitions(self.path, int(start["version"]),
+                                int(end["version"]))
+
+    def read(self, partition) -> Iterator:
+        yield from _read_file_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the checkpoint; nothing to ack
+
+
+class _XdlakeBatchReader(DataSourceReader):
+    def __init__(self, path: str):
+        self.path = path
+
+    def partitions(self):
+        from ..log import DeltaLog
+        from .storage import Location
+        log = DeltaLog.load(
+            Location.resolve(self.path).join("_delta_log"))
+        if not log:
+            return []
+        # snapshot = everything up to the current version; the shared
+        # planner skips nothing at start=-1 but honors remove-replay by
+        # scanning the LIVE set instead of the raw adds
+        loc = Location.resolve(self.path)
+        schema_json = log.schema().json()
+        return [
+            _FilePartition(loc.absloc(p).url,
+                           dict(a.partitionValues or {}), schema_json)
+            for p, a in log.add_actions().items()
+        ]
+
+    def read(self, partition) -> Iterator:
+        yield from _read_file_partition(partition)
+
+
+class XdlakeDataSource(DataSource):
+    """Spark format name ``xdlake``: batch + streaming reads of a delta
+    table written by this library (or any flat-schema delta table)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "xdlake"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("xdlake source requires .load(<table path>)")
+        return path
+
+    def schema(self) -> StructType:
+        from ..log import DeltaLog
+        from .storage import Location
+        log = DeltaLog.load(
+            Location.resolve(self._path()).join("_delta_log"))
+        if not log:
+            raise ValueError(f"No delta table at {self._path()}")
+        return log.schema()
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _XdlakeBatchReader(self._path())
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _XdlakeStreamReader(self._path())
+
+
+def register(spark) -> None:
+    """Register the ``xdlake`` format on a SparkSession."""
+    spark.dataSource.register(XdlakeDataSource)
