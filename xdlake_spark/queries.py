@@ -143,6 +143,64 @@ def q5(spark, sf_dir):
                  .alias("revenue")))
 
 
+@register("q4_order_priority_semijoin", """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+""")
+def q4(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00")
+         .cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00")
+           .cast("timestamp_ntz")))
+    li = _t(spark, sf_dir, "lineitem").filter("l_quantity > 45")
+    return (o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@register("q6_forecast_revenue", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00")
+         .cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00")
+           .cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * F.col("l_discount")), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n")))
+
+
+@register("antijoin_no_big_orders", """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_totalprice > 300000)
+""")
+def antijoin(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter("o_totalprice > 300000")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_mktsegment"))
+
+
 @register("filter_predicate_ops", """
 SELECT l_orderkey, l_linenumber
 FROM lineitem
