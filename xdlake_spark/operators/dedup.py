@@ -233,36 +233,74 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash_df(df: DataFrame, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id", use_arrow: bool = False) -> DataFrame:
     """id + 64-bit simhash.
 
-    Token hashes are computed JVM-side (split + transform + xxhash64);
-    only the 64-bit bit-vote runs in an Arrow-batched pandas UDF
-    (vectorized numpy) — the classic hybrid: JVM for hashing throughput,
-    Python only for the bit-twiddling Spark lacks.
+    Default path is pure JVM: token xxhash64, then ONE aggregate fold
+    whose accumulator is (count, 64 bit-vote counters); the finish
+    lambda packs ``2*votes > count`` back into a long. No Python workers
+    needed anywhere in the plan. ``use_arrow=True`` switches the
+    bit-vote to the numpy pandas-UDF variant (identical output; faster
+    per-row once Python workers are warm, but pays their startup).
     """
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("long")
-    def _simhash(hash_arrays: pd.Series) -> pd.Series:
-        out = np.empty(len(hash_arrays), dtype=np.int64)
-        for i, hashes in enumerate(hash_arrays):
-            if hashes is None or len(hashes) == 0:
-                out[i] = 0
-                continue
-            h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
-            # unpack to (n_tokens, 64) bit matrix in C, vote per column
-            bits = np.unpackbits(h.view(np.uint8),
-                                 bitorder="little").reshape(len(h), 64)
-            votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(h)
-            out[i] = np.packbits(votes > 0,
-                                 bitorder="little").view(np.int64)[0]
-        return pd.Series(out)
-
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    if use_arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _simhash(hash_arrays: pd.Series) -> pd.Series:
+            out = np.empty(len(hash_arrays), dtype=np.int64)
+            for i, hashes in enumerate(hash_arrays):
+                if hashes is None or len(hashes) == 0:
+                    out[i] = 0
+                    continue
+                h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+                bits = np.unpackbits(h.view(np.uint8),
+                                     bitorder="little").reshape(len(h), 64)
+                votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(h)
+                out[i] = np.packbits(votes > 0,
+                                     bitorder="little").view(np.int64)[0]
+            return pd.Series(out)
+
+        return ensure_parallelism(df).select(
+            F.col(id_col).alias("id"), _simhash(hashes).alias("simhash"))
+
+    # literal bit masks 1<<0 .. 1<<63 (top one as the int64 sign value);
+    # a mask array sidesteps shift functions, whose shift amount must be
+    # a Python int, not a per-element column
+    masks = F.array(*[
+        F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+        for i in range(64)])
+
+    def vote(acc, h):
+        return F.struct(
+            (acc.n + 1).alias("n"),
+            F.zip_with(acc.v, masks,
+                       lambda v, m: v + F.when(h.bitwiseAND(m) != 0, 1)
+                       .otherwise(0)).alias("v"))
+
+    def pack(acc):
+        # set bits are distinct powers of two, so a plain sum (including
+        # the negative sign-bit value) reassembles the two's-complement
+        # fingerprint without carries
+        signed = F.zip_with(
+            acc.v, masks,
+            lambda v, m: F.when(v * 2 > acc.n, m)
+            .otherwise(F.lit(0).cast("long")))
+        return F.aggregate(signed, F.lit(0).cast("long"),
+                           lambda s, x: s + x)
+
+    sim = F.coalesce(  # null text -> 0, matching the arrow path
+        F.aggregate(
+            hashes,
+            F.struct(F.lit(0).cast("long").alias("n"),
+                     F.array_repeat(F.lit(0).cast("long"), 64).alias("v")),
+            vote, pack),
+        F.lit(0).cast("long"))
     return ensure_parallelism(df).select(F.col(id_col).alias("id"),
-                                         _simhash(hashes).alias("simhash"))
+                                         sim.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
