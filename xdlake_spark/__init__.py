@@ -9,7 +9,16 @@ designed for 100 TB-scale pipelines.
 """
 
 from .log import DeltaLog, SchemaMode, WriteMode
+from .sources.storage import Location, register_filesystem
 from .table import DeltaTable
 
-__all__ = ["DeltaTable", "DeltaLog", "WriteMode", "SchemaMode"]
+
+def register_data_source(spark) -> None:
+    """Register the ``xdlake`` batch + streaming format on a session."""
+    from .sources.datasource import register
+    register(spark)
+
+
+__all__ = ["DeltaTable", "DeltaLog", "WriteMode", "SchemaMode",
+           "Location", "register_filesystem", "register_data_source"]
 __version__ = "0.1.0"
