@@ -396,9 +396,13 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                     "cosine": sims[ai, bj],
                 })
 
+        # partitions sized to the (already-known) corpus: each Python
+        # worker costs ~0.5s to spawn, so a small corpus should not fan
+        # out to defaultParallelism workers for sub-second matmuls
+        par = min(df.sparkSession.sparkContext.defaultParallelism,
+                  max(2, len(ids) // 500))
         return (df.select(id_col, vec_col)
-                .repartition(max(2, df.sparkSession.sparkContext
-                                 .defaultParallelism))
+                .repartition(par)
                 .mapInPandas(run, schema=out_schema))
 
     v = ensure_parallelism(df).select(F.col(id_col).alias("id"),
