@@ -61,3 +61,31 @@ class TestStreamingFormat:
         got = registered.read.parquet(out)
         assert got.count() == 350  # only the delta was re-read
         assert got.filter("l_orderkey >= 9000000").count() == 50
+
+
+class TestStreamingSink:
+    def test_per_batch_commits_and_idempotence(self, registered,
+                                               tmp_table_dir, lineitem):
+        ev = lineitem.select("l_orderkey", "l_quantity")
+        loc = tmp_table_dir + "/t"
+        DeltaTable(registered, loc).write(ev.limit(0))  # declare schema
+        src = tmp_table_dir + "/src"
+        ckpt = tmp_table_dir + "/ck"
+        ev.limit(100).write.parquet(src)
+
+        def drain():
+            q = (registered.readStream.schema(ev.schema).parquet(src)
+                 .writeStream.format("xdlake").option("path", loc)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        drain()
+        t = DeltaTable(registered, loc)
+        assert t.to_df().count() == 100
+        assert t.version == 1
+        # per-file stats flow in, so filtered scans prune
+        assert all(a.stats for a in t.adds.values())
+        # no new source data -> no new table version
+        drain()
+        assert DeltaTable(registered, loc).version == 1

@@ -24,10 +24,13 @@ incremental semantics, which is the right trade for a streaming tail.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Iterator
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceStreamReader, InputPartition)
+                                    DataSourceStreamReader,
+                                    DataSourceStreamWriter, InputPartition,
+                                    WriterCommitMessage)
 from pyspark.sql.types import StructType
 
 
@@ -178,7 +181,120 @@ class XdlakeDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _XdlakeStreamReader(self._path())
 
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> "DataSourceStreamWriter":
+        """Streaming SINK: one ACID append commit per micro-batch into an
+        EXISTING (unpartitioned) table; replayed batch ids are no-ops.
+        Create the table first with ``DeltaTable.write`` (or use
+        ``streaming.ingest.stream_append`` for partitioned tables)."""
+        return _XdlakeStreamWriter(self._path(), schema.json())
+
 
 def register(spark) -> None:
     """Register the ``xdlake`` format on a SparkSession."""
     spark.dataSource.register(XdlakeDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming sink: writeStream.format("xdlake") with per-batch ACID commits
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _WrittenFile(WriterCommitMessage):
+    rel_path: str
+    size: int
+    stats_json: str
+    num_rows: int
+
+
+class _XdlakeStreamWriter(DataSourceStreamWriter):
+    """Each executor task writes its partition to one parquet file under
+    the table root (versioned later by the commit); the driver composes
+    add actions and appends them as ONE log commit per micro-batch, with
+    batch-id idempotence so a replayed batch after a failure is a no-op
+    (exactly-once table contents on at-least-once task execution)."""
+
+    def __init__(self, path: str, schema_json: str):
+        self.path = path
+        self.schema_json = schema_json
+
+    def write(self, iterator) -> _WrittenFile:
+        import json
+        import os
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import StructType as _St
+
+        from ..log.schema import spark_type_to_arrow
+        from ..log.statistics import Statistics
+        from .storage import Location
+
+        spark_schema = _St.fromJson(json.loads(self.schema_json))
+        arrow_schema = pa.schema([
+            pa.field(f.name, spark_type_to_arrow(f.dataType), f.nullable)
+            for f in spark_schema.fields])
+        rows = [r.asDict() for r in iterator]
+        if not rows:
+            return _WrittenFile("", 0, "", 0)
+        table = pa.Table.from_pylist(rows).cast(arrow_schema)
+        # no leading underscore: Spark's parquet reader treats _/.-
+        # prefixed basenames as hidden and would skip them on scan
+        rel = f"streaming-{_uuid.uuid4().hex}.parquet"
+        loc = Location.resolve(self.path).join(rel)
+        if loc.scheme == "file":
+            os.makedirs(os.path.dirname(loc.path), exist_ok=True)
+            pq.write_table(table, loc.path)
+            size = os.path.getsize(loc.path)
+            stats = Statistics.from_parquet_file(loc.path)
+        else:  # object stores: buffer then put
+            import io
+            buf = io.BytesIO()
+            pq.write_table(table, buf)
+            data = buf.getvalue()
+            loc.write_bytes(data)
+            size = len(data)
+            stats = Statistics.from_parquet_metadata(
+                pq.ParquetFile(io.BytesIO(data)).metadata)
+        return _WrittenFile(rel, size, stats.to_json(), table.num_rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        from ..log import (DeltaLog, Add, append_table_entry, commit_entry,
+                           timestamp_ms)
+        from .storage import Location
+
+        loc = Location.resolve(self.path)
+        log_loc = loc.join("_delta_log")
+        log = DeltaLog.load(log_loc)
+        # idempotence: a Spark retry re-runs the same batchId -> no-op
+        # (custom metadata serializes as top-level commitInfo keys)
+        for info in log.history():
+            if info.get("streamingBatchId") == batchId:
+                return
+            break  # only the newest commit can be the replayed batch
+        adds = [Add(path=m.rel_path, size=m.size,
+                    modificationTime=timestamp_ms(), partitionValues={},
+                    stats=m.stats_json)
+                for m in messages if m is not None and m.num_rows > 0]
+        if not adds:
+            return
+        entry = append_table_entry(
+            adds, [], custom_metadata={"streamingBatchId": batchId})
+        for attempt in range(5):
+            try:
+                commit_entry(log_loc, log.version_to_write, entry)
+                return
+            except FileExistsError:
+                if attempt == 4:
+                    raise
+                log = DeltaLog.load(log_loc)
+
+    def abort(self, messages, batchId: int) -> None:
+        from .storage import Location
+        for m in messages:
+            if m is not None and m.rel_path:
+                f = Location.resolve(self.path).join(m.rel_path)
+                if f.exists():
+                    f.delete()
