@@ -59,7 +59,11 @@ def main() -> None:
     spark = (SparkSession.builder.master(f"local[{cpus}]")
              .appName("xdlake-spark-bench")
              .config("spark.driver.memory",
-                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+             # reclaim finished queries' checkpoint blocks / broadcasts
+             # promptly; otherwise late queries in the suite pay growing
+             # GC pauses for the earlier ones' garbage
+             .config("spark.cleaner.periodicGC.interval", "30s")
              .config("spark.sql.shuffle.partitions", cpus)
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.sql.adaptive.enabled", "true")
@@ -80,13 +84,16 @@ def main() -> None:
             .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
         fn = qs[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+        if i % 5 == 4:  # drop dead checkpoint blocks between queries
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
