@@ -1,0 +1,97 @@
+"""Differential tests against the REFERENCE implementation itself.
+
+The reference (xbrianh/xdlake, read-only at /root/reference) is a pure
+Python/PyArrow library, so it can serve as a live oracle exactly the way
+it uses delta-rs in its own test suite: OUR engine writes a delta table,
+THE REFERENCE opens and reads it (and vice versa), and the contents must
+match. This is execution of the reference as a black box — no code is
+copied — and it is the strongest possible log-format parity check.
+
+Skipped automatically if the reference or its deps are unavailable.
+"""
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from xdlake_spark import DeltaTable
+
+sys.path.insert(0, "/root/reference")
+xdlake_ref = pytest.importorskip("xdlake")
+
+
+def _ref_read_sorted(loc):
+    t = xdlake_ref.DeltaTable(loc).to_pandas()
+    return t.sort_values(list(sorted(t.columns))).reset_index(drop=True)
+
+
+class TestReferenceReadsOurTables:
+    def test_plain_write(self, spark, tmp_table_dir, lineitem):
+        li = lineitem.select("l_orderkey", "l_linenumber", "l_quantity",
+                             "l_returnflag").limit(500)
+        DeltaTable(spark, tmp_table_dir).write(li)
+        ref = _ref_read_sorted(tmp_table_dir)
+        assert len(ref) == 500
+        ours = li.toPandas().sort_values(
+            list(sorted(ref.columns))).reset_index(drop=True)
+        assert (ref["l_orderkey"].to_numpy()
+                == ours["l_orderkey"].to_numpy()).all()
+        assert abs(ref["l_quantity"].sum() - ours["l_quantity"].sum()) < 1e-6
+
+    def test_partitioned_append_overwrite_delete(self, spark,
+                                                 tmp_table_dir, lineitem):
+        li = lineitem.select("l_orderkey", "l_quantity",
+                             "l_returnflag").limit(600)
+        t = DeltaTable(spark, tmp_table_dir).write(
+            li.limit(300), partition_by=["l_returnflag"])
+        t = t.write(li.subtract(li.limit(300)))
+        t = t.delete("l_quantity > 30")
+        expect = t.to_df().count()
+        ref_t = xdlake_ref.DeltaTable(tmp_table_dir)
+        pdf = ref_t.to_pandas()
+        assert len(pdf) == expect
+        assert (pdf["l_quantity"] <= 30).all()
+        # the reference replays versions too: time travel both engines
+        assert len(xdlake_ref.DeltaTable(tmp_table_dir, version=0)
+                   .to_pandas()) == 300
+
+    def test_reference_reads_after_restore_and_optimize(self, spark,
+                                                        tmp_table_dir,
+                                                        lineitem):
+        li = lineitem.select("l_orderkey", "l_quantity").limit(400)
+        t = DeltaTable(spark, tmp_table_dir).write(li)
+        t = t.write(li.limit(50), mode="overwrite")
+        t = t.restore(0)
+        t = t.optimize(target_file_size=64 * 1024)
+        assert len(_ref_read_sorted(tmp_table_dir)) == t.to_df().count()
+
+
+class TestWeReadReferenceTables:
+    def test_roundtrip_from_reference_write(self, spark, tmp_table_dir):
+        import pyarrow as pa
+        tbl = pa.table({
+            "id": pa.array(range(100), pa.int64()),
+            "v": pa.array([float(i) * 1.5 for i in range(100)]),
+            "cat": pa.array([str(i % 3) for i in range(100)]),
+        })
+        xdlake_ref.DeltaTable(tmp_table_dir).write(tbl)
+        xdlake_ref.DeltaTable(tmp_table_dir).write(tbl, mode="append")
+        ours = DeltaTable(spark, tmp_table_dir)
+        assert ours.to_df().count() == 200
+        assert ours.version == 1
+        got = ours.to_df(where="cat = '1'").count()
+        assert got == 2 * sum(1 for i in range(100) if i % 3 == 1)
+
+    def test_mixed_writers_interleave(self, spark, tmp_table_dir):
+        import pyarrow as pa
+        tbl = pa.table({"id": pa.array(range(10), pa.int64())})
+        xdlake_ref.DeltaTable(tmp_table_dir).write(tbl)          # v0 ref
+        t = DeltaTable(spark, tmp_table_dir)
+        t = t.write(spark.range(10, 20).select(
+            F.col("id").cast("long")))                           # v1 ours
+        xdlake_ref.DeltaTable(tmp_table_dir).write(
+            tbl, mode="append")                                  # v2 ref
+        final = DeltaTable(spark, tmp_table_dir)
+        assert final.to_df().count() == 30
+        assert len(_ref_read_sorted(tmp_table_dir)) == 30

@@ -192,22 +192,39 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k_shingle: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Exact jaccard similarity join via explode-on-shingle.
 
     |A ∩ B| comes from grouping the shingle-inverted index; pairs sharing
     no shingle never appear. Fully SQL-expressible (DuckDB oracle uses
     UNNEST + self-join), deterministic. Returns (id_a, id_b, jaccard).
+
+    ``max_doc_freq``: scale valve for skew. A shingle present in s docs
+    contributes s*(s-1)/2 candidate pairs, so one ubiquitous trigram
+    ("one of the") can dominate the whole join. Setting a cutoff drops
+    shingles whose document frequency exceeds it FROM BOTH the index and
+    the union sizes — jaccard is then computed exactly over the
+    discriminative shingle sets (the standard prefix/stop-shingle
+    practice for web-scale similarity joins). None = textbook-exact.
     """
     sh = (ensure_parallelism(df)
           .select(F.col(id_col).alias("id"),
                   shingles(F.col(text_col), k_shingle).alias("sh"))
           .localCheckpoint(eager=False))  # shingling runs once, not 2x
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
     # hash shingle strings to 64-bit keys before the self-join: the
     # shuffle moves 8-byte longs instead of full shingle strings
     inv = (sh.select("id", F.explode("sh").alias("__s"))
            .select("id", F.xxhash64("__s").alias("shingle")))
+    if max_doc_freq is not None:
+        keep = (inv.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_doc_freq)
+                .select("shingle"))
+        inv = inv.join(keep, "shingle").localCheckpoint(eager=False)
+        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        sizes = sh.select("id", F.size("sh").alias("n_sh"))
 
     a, b = inv.alias("a"), inv.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
