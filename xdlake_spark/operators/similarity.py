@@ -104,9 +104,13 @@ def lsh_topk(df: DataFrame, query_vec, k: int = 10, dim: int = 64,
 
 def ivf_build(df: DataFrame, n_centroids: int = 16,
               vec_col: str = "embedding", id_col: str = "vec_id",
-              seed: int = 42):
-    """IVF coarse quantizer: pick ``n_centroids`` deterministic sample
-    vectors as centroids, assign every vector to its nearest centroid.
+              seed: int = 42, lloyd_iters: int = 2):
+    """IVF coarse quantizer: deterministic sample vectors seed the
+    centroids, then ``lloyd_iters`` k-means refinements (each one
+    distributed assign + per-centroid mean job; only the k x dim
+    centroid matrix ever reaches the driver) before the final
+    assignment. Refined centroids balance the inverted lists, which is
+    what bounds probe fan-out at scale.
 
     Returns (assigned_df with ``__centroid`` column, centroids ndarray).
     At scale, write the assigned table partitioned by ``__centroid`` so
@@ -116,19 +120,42 @@ def ivf_build(df: DataFrame, n_centroids: int = 16,
               .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
               .limit(n_centroids).collect())
     centroids = np.array([list(r[vec_col]) for r in sample], dtype="float64")
-    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
-    centroids = centroids / np.clip(norms, 1e-12, None)
 
-    # argmax via array_max over (score, cid) structs — a flat expression
-    # (struct ordering compares score first, then cid)
-    scored = F.array(*[
-        F.struct(dot(F.col(vec_col), lit_vector(c)).alias("score"),
-                 F.lit(ci).alias("cid"))
-        for ci, c in enumerate(centroids)
-    ])
-    assigned = ensure_parallelism(df).withColumn(
-        "__centroid", F.array_max(scored)["cid"])
-    return assigned, centroids
+    def normalize(m):
+        return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True),
+                           1e-12, None)
+
+    centroids = normalize(centroids)
+    base = ensure_parallelism(df)
+
+    def assign(cents):
+        # argmax via array_max over (score, cid) structs — struct
+        # ordering compares score first, then cid
+        scored = F.array(*[
+            F.struct(dot(F.col(vec_col), lit_vector(c)).alias("score"),
+                     F.lit(ci).alias("cid"))
+            for ci, c in enumerate(cents)
+        ])
+        return base.withColumn("__centroid", F.array_max(scored)["cid"])
+
+    for _ in range(lloyd_iters):
+        means = (assign(centroids)
+                 .select("__centroid",
+                         F.posexplode(F.col(vec_col))
+                         .alias("__pos", "__val"))
+                 .groupBy("__centroid", "__pos")
+                 .agg(F.avg("__val").alias("__avg"))
+                 .collect())
+        new = centroids.copy()
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r["__centroid"], {})[r["__pos"]] = r["__avg"]
+        for ci, dims in by_c.items():
+            for pos, v in dims.items():
+                new[ci, pos] = v
+        centroids = normalize(new)
+
+    return assign(centroids), centroids
 
 
 def ivf_topk(assigned: DataFrame, centroids, query_vec, k: int = 10,
