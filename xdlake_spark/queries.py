@@ -201,6 +201,25 @@ def antijoin(spark, sf_dir):
             .select("c_custkey", "c_mktsegment"))
 
 
+@register("q17_small_quantity_revenue", """
+WITH threshold AS (
+  SELECT l_partkey AS t_partkey, 0.5 * avg(l_quantity) AS t_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice), 2) AS total_price, count(*) AS n
+FROM lineitem JOIN threshold ON l_partkey = t_partkey
+WHERE l_quantity < t_avg
+""")
+def q17(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    thr = (li.groupBy(F.col("l_partkey").alias("t_partkey"))
+           .agg((0.5 * F.avg("l_quantity")).alias("t_avg")))
+    return (li.join(thr, li.l_partkey == thr.t_partkey)
+            .filter(F.col("l_quantity") < F.col("t_avg"))
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 @register("filter_predicate_ops", """
 SELECT l_orderkey, l_linenumber
 FROM lineitem
@@ -1116,6 +1135,16 @@ def multimodal_decode(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     payloads = multimodal.attach_fake_payloads(d, size=4096)
     return multimodal.decode_images(payloads, deterministic_fake=True)
+
+
+# rows-only: DuckDB's sha256 accepts VARCHAR, not BLOB, so the
+# byte-exact frame digests cannot be reproduced in the oracle
+@register("multimodal_frame_sample", None)
+def multimodal_frames(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payloads(d, size=4096)
+    return multimodal.sample_frames(payloads, every_n=2,
+                                    deterministic_fake=True)
 
 
 def queries() -> dict[str, QueryFn]:
