@@ -735,6 +735,21 @@ def delta_history(spark, sf_dir):
             .orderBy("version"))
 
 
+@register("delta_sql_over_view", """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY l_returnflag
+""")
+def delta_sql_view(spark, sf_dir):
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(li,
+                                              partition_by=["l_returnflag"])
+    t.create_or_replace_view("xdl_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        FROM xdl_lineitem GROUP BY l_returnflag""")
+
+
 @register("delta_zorder_scan", """
 SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
 FROM lineitem WHERE l_partkey <= 50
