@@ -249,6 +249,44 @@ class TestMultimodal:
         assert len(rows) == 12
         assert all(r["frame_index"] % 10 == 0 for r in rows)
 
+    def test_resize_size_exact_and_deterministic(self, spark, documents):
+        payloads = multimodal.attach_fake_payloads(documents.limit(10))
+        out = multimodal.resize_images(payloads, target_w=16, target_h=16,
+                                       deterministic_fake=True)
+        rows = out.collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert (r["width"], r["height"]) == (16, 16)
+            assert r["n_channels"] in (1, 3)
+            assert len(r["payload"]) == 16 * 16 * r["n_channels"]
+        again = {r["doc_id"]: bytes(r["payload"]) for r in
+                 multimodal.resize_images(
+                     payloads, target_w=16, target_h=16,
+                     deterministic_fake=True).collect()}
+        assert {r["doc_id"]: bytes(r["payload"]) for r in rows} == again
+
+    def test_resize_raises_without_fake(self, spark, documents):
+        payloads = multimodal.attach_fake_payloads(documents.limit(1))
+        with pytest.raises(Exception) as exc_info:
+            multimodal.resize_images(payloads).collect()
+        assert "NotImplementedError" in str(exc_info.value) or \
+            "image decode" in str(exc_info.value)
+
+    def test_extract_features_chains_after_resize(self, spark, documents):
+        payloads = multimodal.attach_fake_payloads(documents.limit(10))
+        resized = multimodal.resize_images(payloads, deterministic_fake=True)
+        feats = multimodal.extract_features(resized, dim=16,
+                                            deterministic_fake=True)
+        rows = feats.collect()
+        assert len(rows) == 10
+        assert all(len(r["features"]) == 16 for r in rows)
+        assert all(0.0 <= v <= 1.0 for r in rows for v in r["features"])
+        # digest-derived: same payloads give identical vectors
+        again = {r["doc_id"]: tuple(r["features"]) for r in
+                 multimodal.extract_features(
+                     resized, dim=16, deterministic_fake=True).collect()}
+        assert {r["doc_id"]: tuple(r["features"]) for r in rows} == again
+
 
 class TestWinnowing:
     def test_edit_robustness(self, spark):

@@ -133,6 +133,94 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
         run, schema=FRAME_SCHEMA)
 
 
+#: Resize output: same payload contract in and out, so stages chain.
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def resize_images(df: DataFrame, payload_col: str = "payload",
+                  id_col: str = "doc_id", target_w: int = 32,
+                  target_h: int = 32,
+                  deterministic_fake: bool = False) -> DataFrame:
+    """Image payload -> fixed-size payload (binary in, binary out), so the
+    output chains into extract_features / decode stages unchanged.
+
+    The fake resamples payload bytes at a uniform stride down to
+    ``target_w * target_h * channels`` bytes (channels from the fake
+    decode) — deterministic, size-exact, no codecs. The real path needs an
+    imaging library and raises.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                if not deterministic_fake:
+                    _decode_image_real(data)  # raises NotImplementedError
+                _, _, channels, _ = _decode_image_fake(data)
+                n_out = target_w * target_h * channels
+                src = np.frombuffer(data, dtype=np.uint8) if data else \
+                    np.zeros(1, dtype=np.uint8)
+                idx = np.linspace(0, len(src) - 1, n_out).astype(np.int64)
+                rows.append({
+                    "doc_id": int(doc_id), "width": target_w,
+                    "height": target_h, "n_channels": channels,
+                    "payload": src[idx].tobytes(),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              RESIZED_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=RESIZED_SCHEMA)
+
+
+#: Feature-extraction output: embedding-shaped, joins/combines with the
+#: similarity operators (same array<float> contract as `embeddings`).
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("features", T.ArrayType(T.FloatType())),
+])
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "doc_id", dim: int = 16,
+                     deterministic_fake: bool = False) -> DataFrame:
+    """Payload -> ``dim``-dimensional float vector, batch-vectorized: the
+    per-row work is only the digest; the matrix normalization is one numpy
+    op per Arrow batch. Output is embedding-shaped, so it feeds directly
+    into the similarity operators (operators/similarity.py).
+    """
+    if dim > 32:
+        raise ValueError("fake extractor derives at most 32 dims per digest")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                _decode_image_real(b"")  # raises NotImplementedError
+            digests = [hashlib.sha256(
+                bytes(p) if p is not None else b"").digest()
+                for p in pdf[payload_col]]
+            if digests:
+                mat = np.frombuffer(b"".join(digests), dtype=np.uint8)
+                mat = mat.reshape(len(digests), 32)[:, :dim]
+                feats = (mat.astype(np.float32) / 255.0).round(6)
+            else:
+                feats = np.zeros((0, dim), dtype=np.float32)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64").values,
+                "features": [row.tolist() for row in feats],
+            }, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=FEATURES_SCHEMA)
+
+
 def attach_fake_payloads(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id",
                          size: int = 4096) -> DataFrame:

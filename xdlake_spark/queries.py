@@ -1162,6 +1162,18 @@ def multimodal_frames(spark, sf_dir):
                                     deterministic_fake=True)
 
 
+# rows-only: resized payloads and digest-derived features are byte-level
+# artifacts DuckDB SQL cannot reproduce (sha256 over BLOB unsupported)
+@register("multimodal_resize_extract", None)
+def multimodal_resize_extract(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payloads(d, size=4096)
+    resized = multimodal.resize_images(payloads, target_w=16, target_h=16,
+                                       deterministic_fake=True)
+    return multimodal.extract_features(resized, dim=16,
+                                       deterministic_fake=True)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
