@@ -1162,6 +1162,36 @@ def multimodal_frames(spark, sf_dir):
                                     deterministic_fake=True)
 
 
+@register("q13_customer_distribution", """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+""")
+def q13(spark, sf_dir):
+    """TPC-H Q13 shape: left-outer join + two-level aggregation.
+
+    Exercises outer-join null semantics (``count(o_orderkey)`` counts only
+    matched rows, so customers with no orders land in the c_count=0
+    bucket). Scale shape: the customer⋈orders join shuffles on custkey
+    (both sides large — no broadcast), the per-customer count is a
+    map-side-partial agg on the join's own partitioning, and the second
+    aggregation is over ~tens of distinct counts, so it collapses to a
+    tiny shuffle.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
 # rows-only: resized payloads and digest-derived features are byte-level
 # artifacts DuckDB SQL cannot reproduce (sha256 over BLOB unsupported)
 @register("multimodal_resize_extract", None)
