@@ -1162,6 +1162,45 @@ def multimodal_frames(spark, sf_dir):
                                     deterministic_fake=True)
 
 
+@register("events_multires_rollup", """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         count(*) AS n, sum(value) AS total
+  FROM events GROUP BY 1, 2
+),
+daily AS (
+  SELECT date_trunc('day', bucket) AS bucket, event_type,
+         CAST(sum(n) AS BIGINT) AS n, sum(total) AS total
+  FROM hourly GROUP BY 1, 2
+)
+SELECT 'hour' AS resolution, bucket, event_type, n, round(total, 2) AS total
+FROM hourly
+UNION ALL
+SELECT 'day', bucket, event_type, n, round(total, 2) FROM daily
+""")
+def events_multires_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hourly rollup of events,
+    with the daily resolution RE-AGGREGATED from the hourly result rather
+    than re-scanned — one pass over the raw table regardless of how many
+    resolutions stack on top. Scale shape: the only full-data shuffle is
+    the hourly groupBy (map-side partial combine); daily re-agg shuffles
+    the already-tiny hourly aggregate.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"),
+                         "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("value").alias("total")))
+    daily = (hourly.groupBy(F.date_trunc("day", "bucket").alias("bucket"),
+                            "event_type")
+             .agg(F.sum("n").alias("n"), F.sum("total").alias("total")))
+    out_cols = [F.col("bucket"), F.col("event_type"), F.col("n"),
+                F.round("total", 2).alias("total")]
+    return (hourly.select(F.lit("hour").alias("resolution"), *out_cols)
+            .unionAll(daily.select(F.lit("day").alias("resolution"),
+                                   *out_cols)))
+
+
 @register("q13_customer_distribution", """
 SELECT c_count, count(*) AS custdist
 FROM (
