@@ -253,6 +253,70 @@ class TestMaintenance:
         assert len(got) == len(pdf) + len(new)
         assert (got.head(5)["f64"] == 99.0).all()
 
+    def test_merge_matched_despite_null_source_column(self, spark,
+                                                      tmp_table_dir):
+        # regression: matched-row detection must not key off any real
+        # source column — a NULL in the source's first column used to make
+        # the row look unmatched and silently skip the update
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        upd = pdf.head(3).copy()
+        upd = upd[["txt"] + [c for c in upd.columns if c != "txt"]]
+        # first source column NULL on two matched rows (one non-null so
+        # Spark can still infer the column type)
+        upd["txt"] = [None, None, "present"]
+        upd["i64"] = 424242
+        t2 = t.merge(
+            spark.createDataFrame(upd), "t.order = s.order",
+            when_matched_update={"i64": "s.i64"},
+        )
+        got = t2.to_pandas().sort_values("order")
+        assert len(got) == len(pdf)
+        assert (got.head(3)["i64"] == 424242).all()
+        # non-updated columns untouched
+        assert list(got.head(3)["txt"]) == list(pdf.head(3)["txt"])
+
+    def test_merge_multiple_matches_raises(self, spark, tmp_table_dir):
+        # Delta semantics: >1 source row matching one target row with an
+        # update/delete clause is an error, not a silent row fan-out
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        dup = pd.concat([pdf.head(1), pdf.head(1)])
+        with pytest.raises(ValueError, match="multiple source rows"):
+            t.merge(spark.createDataFrame(dup), "t.order = s.order",
+                    when_matched_update={"f64": "s.f64"})
+        # insert-only merge is fine with duplicate matches (nothing to
+        # rewrite non-deterministically); row count must not change
+        t3 = t.merge(
+            spark.createDataFrame(dup), "t.order = s.order",
+            when_not_matched_insert={c: f"s.{c}" for c in pdf.columns})
+        assert t3.to_df().count() == len(pdf)
+
+    def test_merge_combined_clauses(self, spark, tmp_table_dir):
+        # update + delete + insert in a single MERGE call, with
+        # per-clause conditions (Delta whenMatched(cond) chain semantics)
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        lo = pdf["order"].min()
+        src = pd.concat([pdf.head(4), gen_pdf(2)]).copy()
+        src["i64"] = 777
+        t2 = t.merge(
+            spark.createDataFrame(src), "t.order = s.order",
+            when_matched_update={"i64": "s.i64"},
+            when_matched_update_condition=f"s.order < {lo + 2}",
+            when_matched_delete=f"s.order >= {lo + 2}",
+            when_not_matched_insert={c: f"s.{c}" for c in pdf.columns},
+        )
+        got = t2.to_pandas().sort_values("order").reset_index(drop=True)
+        # 20 original - 2 deleted + 2 inserted
+        assert len(got) == len(pdf)
+        assert (got.head(2)["i64"] == 777).all()          # updated
+        assert not got["order"].isin([lo + 2, lo + 3]).any()  # deleted
+        assert got["order"].isin(src.tail(2)["order"]).sum() == 2  # inserted
+
 
 class TestCommitRetry:
     def test_append_retries_past_conflict(self, spark, tmp_table_dir):

@@ -817,6 +817,50 @@ def delta_merge(spark, sf_dir):
         (F.floor(F.col("o_totalprice") * 100) / 100).alias("totalprice"))
 
 
+@register("delta_merge_full", """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice * 2 AS new_price
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT -o_orderkey, 123.45 FROM orders WHERE o_orderkey % 100 = 7
+),
+merged AS (
+  SELECT o.o_orderkey,
+         CASE WHEN s.o_orderkey IS NOT NULL AND s.o_orderkey % 20 = 0
+              THEN s.new_price ELSE o.o_totalprice END AS totalprice,
+         (s.o_orderkey IS NOT NULL AND s.o_orderkey % 20 = 10) AS deleted
+  FROM orders o LEFT JOIN src s ON o.o_orderkey = s.o_orderkey
+)
+SELECT o_orderkey, floor(totalprice * 100) / 100 AS totalprice
+FROM merged WHERE NOT deleted
+UNION ALL
+SELECT o_orderkey, floor(new_price * 100) / 100 AS totalprice
+FROM src WHERE o_orderkey < 0
+""")
+def delta_merge_full(spark, sf_dir):
+    """Combined-clause MERGE: conditional update + conditional delete +
+    insert in one call (Delta's whenMatched(cond) chain; reference
+    recognizes MERGE as unimplemented, SURVEY §2.5)."""
+    from .table import DeltaTable
+    o = _t(spark, sf_dir, "orders")
+    t = DeltaTable(spark, _delta_tmp()).write(o)
+    matched = (o.filter("o_orderkey % 10 = 0")
+               .select("o_orderkey",
+                       (F.col("o_totalprice") * 2).alias("new_price")))
+    inserts = (o.filter("o_orderkey % 100 = 7")
+               .select((-F.col("o_orderkey")).alias("o_orderkey"),
+                       F.lit(123.45).alias("new_price")))
+    t = t.merge(matched.unionByName(inserts), "t.o_orderkey = s.o_orderkey",
+                when_matched_update={"o_totalprice": "s.new_price"},
+                when_matched_update_condition="s.o_orderkey % 20 = 0",
+                when_matched_delete="s.o_orderkey % 20 = 10",
+                when_not_matched_insert={"o_orderkey": "s.o_orderkey",
+                                         "o_totalprice": "s.new_price"})
+    return t.to_df().select(
+        "o_orderkey",
+        (F.floor(F.col("o_totalprice") * 100) / 100).alias("totalprice"))
+
+
 # ===========================================================================
 # Text analysis (documents)
 # ===========================================================================

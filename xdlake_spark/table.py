@@ -750,9 +750,11 @@ class DeltaTable:
 
     def merge(self, source: Any, condition: str,
               *, when_matched_update: dict[str, str] | None = None,
-              when_matched_delete: bool = False,
+              when_matched_update_condition: str | None = None,
+              when_matched_delete: "bool | str" = False,
               when_not_matched_insert: dict[str, str] | None = None,
-              custom_metadata: dict | None = None) -> "DeltaTable":
+              custom_metadata: dict | None = None,
+              broadcast_threshold_rows: int = 4_000_000) -> "DeltaTable":
         """MERGE INTO (SURVEY §2.5): join-on-condition + conditional rewrite.
 
         Copy-on-write at file granularity: only files containing matched
@@ -760,49 +762,95 @@ class DeltaTable:
         Delta's MERGE: ``when_matched_update`` maps target column ->
         SQL expression over ``s.`` (source) / ``t.`` (target);
         ``when_not_matched_insert`` maps target column -> expression over
-        ``s.``.
+        ``s.``. Like Delta, raises if multiple source rows match one target
+        row while an update/delete clause is present (the rewrite would
+        otherwise fan the target row out non-deterministically).
+
+        Combined clauses (Delta's ``whenMatched(cond).update(...)
+        .whenMatched(cond2).delete()`` chain): pass *both*
+        ``when_matched_update`` (gated by ``when_matched_update_condition``)
+        and ``when_matched_delete`` as a condition string. Clause order is
+        update-first — a matched row satisfying the update condition is
+        updated; a matched row that does not but satisfies the delete
+        condition is deleted; other matched rows pass through unchanged.
+        ``when_matched_delete=True`` keeps the original unconditional form.
+
+        Scale: the source is counted once and broadcast-hinted when small
+        (the canonical small-upsert case — avoids shuffling the full target
+        scan in both the probe and rewrite joins); matched-row detection
+        uses an injected always-true marker column on the source, so a NULL
+        in any real source column can never masquerade as "unmatched".
         """
         if self.schema is None:
             raise ValueError(f"No delta table at {self.location.url}")
         read_version = self.version
-        src = union_dataframe(self.spark, source).alias("s")
+        # __xdl_matched: guaranteed-non-null marker — after a left join,
+        # NULL here means "no source row matched", regardless of NULLs in
+        # real source columns.
+        src = (union_dataframe(self.spark, source)
+               .withColumn("__xdl_matched", F.lit(True)))
+        n_src = src.count()
+        if n_src <= broadcast_threshold_rows:
+            src = F.broadcast(src)
+        src = src.alias("s")
         cond = F.expr(condition)
 
         target_all = self._scan(self.adds).withColumn(
             "__xdl_file", F.input_file_name())
         t = target_all.alias("t")
 
-        # phase 1: which files contain matched rows?
-        matched_files = [
-            r["__xdl_file"]
-            for r in (t.join(src, cond, "inner")
-                      .select("__xdl_file").distinct().collect())
-        ]
+        # phase 1: which files contain matched rows, and does any target
+        # row match more than one source row?  One job: inner-probe join,
+        # per-(file, target-row) match counts, then per-file max.
+        t_probe = target_all.withColumn(
+            "__xdl_tid", F.monotonically_increasing_id()).alias("t")
+        probe = (t_probe.join(src, cond, "inner")
+                 .groupBy("__xdl_file", "__xdl_tid")
+                 .agg(F.count(F.lit(1)).alias("__xdl_n"))
+                 .groupBy("__xdl_file")
+                 .agg(F.max("__xdl_n").alias("__xdl_max_n"))
+                 .collect())
+        matched_files = [r["__xdl_file"] for r in probe]
+        if (when_matched_update or when_matched_delete) and any(
+                r["__xdl_max_n"] > 1 for r in probe):
+            raise ValueError(
+                "MERGE failed: multiple source rows matched a single "
+                "target row; update/delete would be non-deterministic "
+                "(same error condition as Delta Lake MERGE)")
         rel_of = self._rel_by_uri(self.adds)
         hit_rels = sorted({rel_of(u) for u in matched_files})
 
         out_cols = [f.name for f in self.schema.fields]
         new_adds: list[Add] = []
-        n_updated = n_deleted_m = 0
 
         if hit_rels:
             hit_adds = {r: self.adds[r] for r in hit_rels}
             th = self._scan(hit_adds).alias("t")
             joined = th.join(src, cond, "left")
-            src_probe = src.columns[0]
-            is_matched = F.col(f"s.{src_probe}").isNotNull()
-            if when_matched_delete:
-                rewritten = joined.filter(~is_matched).select(
-                    [F.col(f"t.{c}").alias(c) for c in out_cols])
-            elif when_matched_update:
+            is_matched = F.col("s.__xdl_matched").isNotNull()
+            if when_matched_update or when_matched_delete:
+                upd_active = F.lit(False)
+                if when_matched_update:
+                    gate = (F.expr(when_matched_update_condition)
+                            if when_matched_update_condition else F.lit(True))
+                    upd_active = is_matched & gate
+                del_active = F.lit(False)
+                if when_matched_delete:
+                    gate = (F.expr(when_matched_delete)
+                            if isinstance(when_matched_delete, str)
+                            else F.lit(True))
+                    del_active = is_matched & ~upd_active & gate
                 sel = []
                 for c in out_cols:
-                    upd = when_matched_update.get(c)
-                    expr = (F.when(is_matched, F.expr(upd))
+                    upd = (when_matched_update or {}).get(c)
+                    expr = (F.when(upd_active, F.expr(upd))
                             .otherwise(F.col(f"t.{c}"))
                             if upd else F.col(f"t.{c}"))
                     sel.append(expr.cast(self.schema[c].dataType).alias(c))
-                rewritten = joined.select(sel)
+                # NULL-safe: a NULL clause condition means "clause does
+                # not apply" (Delta semantics), never "drop the row"
+                rewritten = joined.filter(
+                    ~F.coalesce(del_active, F.lit(False))).select(sel)
             else:
                 rewritten = th.select(out_cols)
             new_adds.extend(self._write_data(rewritten,
