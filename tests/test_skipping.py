@@ -137,3 +137,60 @@ class TestPrune:
                 "pruned": mk_add(mins={"q": 0}, maxs={"q": 1})}
         out = prune_manifest(adds, "q > 5", [])
         assert set(out) == {"nostats"}
+
+
+class TestSoundness:
+    """Regressions for unsound-pruning bugs: a kept file costs I/O, a
+    wrongly-skipped file costs correctness."""
+
+    def test_date_literal_vs_timestamp_stats(self):
+        # Spark promotes DATE 'd' to midnight when compared to a ts
+        # column; a file whose max ts is INSIDE day d satisfies
+        # ts > DATE 'd' and must be kept (truncating the stat to a date
+        # used to floor the max and wrongly prune it)
+        adds = {"inside": mk_add(mins={"ts": "2024-01-01T00:00:00"},
+                                 maxs={"ts": "2024-01-02T10:00:00"})}
+        out = prune_manifest(adds, "ts > DATE '2024-01-02'", [])
+        assert set(out) == {"inside"}
+        # a file strictly before midnight of day d is still prunable
+        adds = {"before": mk_add(mins={"ts": "2024-01-01T00:00:00"},
+                                 maxs={"ts": "2024-01-01T23:59:59"})}
+        assert set(prune_manifest(adds, "ts > DATE '2024-01-02'", [])) == set()
+        # and date-column stats against a date literal keep working
+        adds = {"d": mk_add(mins={"dt": "2024-01-01"},
+                            maxs={"dt": "2024-01-03"})}
+        assert set(prune_manifest(adds, "dt >= DATE '2024-01-02'", [])) == {"d"}
+        assert set(prune_manifest(adds, "dt > DATE '2024-01-03'", [])) == set()
+
+    def test_int_compare_exact_above_2_53(self):
+        # float folding would make 2^53 == 2^53+1 and wrongly prune
+        v = 9007199254740992  # 2^53
+        adds = {"a": mk_add(mins={"x": v}, maxs={"x": v})}
+        assert set(prune_manifest(adds, f"x < {v + 1}", [])) == {"a"}
+        assert set(prune_manifest(adds, f"x > {v}", [])) == set()
+        assert set(prune_manifest(adds, f"x = {v}", [])) == {"a"}
+
+    def test_nonfinite_stats_leave_interval_unbounded(self, tmp_path):
+        import math
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from xdlake_spark.log.statistics import Statistics
+
+        p = str(tmp_path / "inf.parquet")
+        pq.write_table(pa.table({
+            "x": pa.array([1.0, float("inf"), -2.0]),
+            "y": pa.array([float("nan"), 3.0, 4.0]),
+            "z": pa.array([1.0, 2.0, 3.0]),
+        }), p)
+        s = Statistics.from_parquet_file(p)
+        # non-finite min/max -> whole interval omitted (unbounded), so
+        # e.g. 'x > 1e308' can never wrongly prune this file
+        assert "x" not in s.minValues and "x" not in s.maxValues
+        # NaN never appears in footer stats (parquet writers skip NaN
+        # when folding min/max — y reads back as [3.0, 4.0]); nothing to
+        # poison at the footer level, same as delta-rs
+        assert s.maxValues["y"] == 4.0
+        # finite columns keep their stats
+        assert s.minValues["z"] == 1.0 and s.maxValues["z"] == 3.0
+        adds = {"f": Add(path="f", size=1, stats=s.to_json())}
+        assert set(prune_manifest(adds, "x > 1e308", [])) == {"f"}

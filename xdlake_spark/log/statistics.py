@@ -20,6 +20,15 @@ from dataclasses import dataclass, field
 from typing import Any
 
 
+#: Sentinel: this row group's stat can't be represented faithfully in the
+#: JSON stats (non-finite float, undecodable bytes). The whole column's
+#: min/max must then be OMITTED for the file — folding only the
+#: representable row groups would yield an over-tight interval and let the
+#: skipper wrongly prune (e.g. ``x > 1e308`` on a file whose true max is
+#: +inf; Spark additionally orders NaN above every value).
+_UNREPRESENTABLE = object()
+
+
 def _json_safe(v: Any) -> Any:
     """Make a footer stat value JSON-serializable (timestamps -> ISO)."""
     if isinstance(v, (datetime.datetime, datetime.date)):
@@ -28,9 +37,9 @@ def _json_safe(v: Any) -> Any:
         try:
             return v.decode("utf-8")
         except UnicodeDecodeError:
-            return None
+            return _UNREPRESENTABLE
     if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
-        return None
+        return _UNREPRESENTABLE
     return v
 
 
@@ -62,6 +71,7 @@ class Statistics:
         """Fold row-group footer stats into file-level stats
         (reference statistics.py:14-36)."""
         stats = cls(numRecords=md.num_rows)
+        unbounded: set[str] = set()
         for rg_i in range(md.num_row_groups):
             rg = md.row_group(rg_i)
             for col_i in range(rg.num_columns):
@@ -77,10 +87,18 @@ class Statistics:
                         stats.nullCount.get(name, 0) + s.null_count)
                 if s.has_min_max:
                     mn, mx = _json_safe(s.min), _json_safe(s.max)
+                    if mn is _UNREPRESENTABLE or mx is _UNREPRESENTABLE:
+                        unbounded.add(name)
+                        continue
                     if mn is not None:
                         cur = stats.minValues.get(name)
                         stats.minValues[name] = mn if cur is None else min(cur, mn)
                     if mx is not None:
                         cur = stats.maxValues.get(name)
                         stats.maxValues[name] = mx if cur is None else max(cur, mx)
+        # any row group with an unrepresentable stat leaves the whole
+        # column's interval unbounded — sound, never over-tight
+        for name in unbounded:
+            stats.minValues.pop(name, None)
+            stats.maxValues.pop(name, None)
         return stats

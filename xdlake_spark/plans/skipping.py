@@ -243,6 +243,11 @@ def _coerce_pair(a: Any, b: Any):
     if isinstance(a, bool) or isinstance(b, bool):
         return (bool(a), bool(b)) if isinstance(a, bool) == isinstance(b, bool) else None
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        # int/int must compare exactly — float folding loses precision
+        # above 2^53 (e.g. x < 9007199254740993 would wrongly prune a
+        # file whose max is 9007199254740992)
+        if isinstance(a, int) and isinstance(b, int):
+            return (a, b)
         return (float(a), float(b))
     if isinstance(a, datetime.datetime) and isinstance(b, datetime.datetime):
         if (a.tzinfo is None) != (b.tzinfo is None):
@@ -258,7 +263,19 @@ def _coerce_pair(a: Any, b: Any):
                     ad = ad.replace(tzinfo=None)
                     b = b.replace(tzinfo=None)
                 return (ad, b)
-            return (datetime.date.fromisoformat(a[:10]), b)
+            # date literal: Spark promotes DATE 'd' to the timestamp at
+            # midnight when compared against a timestamp column. If the
+            # stat carries a time component, truncating IT to a date
+            # would floor the file's max and wrongly prune (ts_col >
+            # DATE 'd' vs a max inside day d) — promote the LITERAL
+            # instead and compare full timestamps.
+            if len(a) > 10:
+                ad = datetime.datetime.fromisoformat(a.replace("Z", "+00:00"))
+                bd = datetime.datetime(b.year, b.month, b.day)
+                if ad.tzinfo is not None:
+                    ad = ad.replace(tzinfo=None)
+                return (ad, bd)
+            return (datetime.date.fromisoformat(a), b)
         except ValueError:
             return None
     if isinstance(a, str) and isinstance(b, str):
