@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from . import ensure_parallelism
 from ..functions.text import fingerprint_md5, shingles
@@ -363,31 +364,37 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id", dim: int = 64,
                             n_planes: int = 12, threshold: float = 0.95,
-                            seed: int = 42,
-                            exact: bool = False) -> DataFrame:
+                            seed: int = 42, exact: bool = False,
+                            n_blocks: int | None = None) -> DataFrame:
     """Cosine-similar pairs (sim >= threshold).
 
-    ``exact=False`` (scale path): random-hyperplane LSH — vectors agreeing
-    on all ``n_planes`` sign bits land in one bucket; exact cosine runs on
-    same-bucket pairs only, JVM-side.
+    ``exact=False`` (approximate scale path): random-hyperplane LSH —
+    vectors agreeing on all ``n_planes`` sign bits land in one bucket;
+    exact cosine runs on same-bucket pairs only, JVM-side.
 
-    ``exact=True`` (baseline path for small/medium corpora): blocked
-    all-pairs via mapInPandas — each Arrow batch of rows is multiplied
-    against the broadcast normalized matrix with one numpy matmul
-    (vectorized, ~100x a per-pair lambda plan). The broadcast bounds this
-    path to corpora that fit executor memory; beyond that, use LSH.
+    ``exact=True`` (exact, still distributed): block-partitioned matrix
+    join. Each vector is hashed into one of B blocks; every unordered
+    block pair (p <= q) becomes one task whose two blocks are multiplied
+    with a single numpy matmul inside ``applyInPandas``. No data ever
+    reaches the driver; per-task memory is bounded by 2N/B vectors; the
+    O(N^2) similarity work is spread over B(B+1)/2 independent tasks.
+    Shuffle volume is N*(B+1) rows (each vector joins B+1 tasks) — the
+    unavoidable replication cost of exact all-pairs; for corpora where
+    that is too much, use the LSH path.
     """
     if exact:
-        import pandas as pd
-        from pyspark.sql import types as T
-
-        rows = df.select(id_col, vec_col).collect()
-        ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-        mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        matn = mat / np.clip(norms, 1e-12, None)
-        sc = df.sparkSession.sparkContext
-        b_ids, b_mat = sc.broadcast(ids), sc.broadcast(matn)
+        spark = df.sparkSession
+        if n_blocks is None:
+            # Size B from the corpus (one cheap metadata-backed count):
+            # enough tasks to feed the cluster (~2 per core: B ~= 2*sqrt(P)),
+            # but never so many that a block holds < ~500 vectors (each
+            # Python worker costs ~0.5 s to spawn), and always enough that
+            # a block fits executor memory (~500k x 64-dim f64 = 256 MB).
+            n = df.count()
+            par = spark.sparkContext.defaultParallelism
+            want_par = max(2, int((4 * par) ** 0.5))
+            mem_floor = -(-n // 500_000)  # ceil
+            n_blocks = max(min(want_par, max(2, n // 500)), mem_floor, 2)
         thr = float(threshold)
 
         out_schema = T.StructType([
@@ -396,31 +403,54 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
             T.StructField("cosine", T.DoubleType()),
         ])
 
-        def run(batches):
-            all_ids, all_mat = b_ids.value, b_mat.value
-            for pdf in batches:
-                block_ids = pdf[id_col].to_numpy(dtype=np.int64)
-                block = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-                bn = np.linalg.norm(block, axis=1, keepdims=True)
-                block = block / np.clip(bn, 1e-12, None)
-                sims = block @ all_mat.T
-                ai, bj = np.nonzero(
-                    (sims >= thr)
-                    & (block_ids[:, None] < all_ids[None, :]))
-                yield pd.DataFrame({
-                    "id_a": block_ids[ai],
-                    "id_b": all_ids[bj],
-                    "cosine": sims[ai, bj],
-                })
+        v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                      F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+                      .alias("__blk"))
+        tasks = spark.createDataFrame(
+            [(p, q) for p in range(n_blocks) for q in range(p, n_blocks)],
+            "blk_a: long, blk_b: long")
+        # tag each vector with every task it participates in; a diagonal
+        # task (p == q) carries its block once and self-joins in-task
+        left = (v.join(F.broadcast(tasks), v["__blk"] == tasks["blk_a"])
+                .select("blk_a", "blk_b", "id", "vec",
+                        F.lit(0).alias("side")))
+        right = (v.join(F.broadcast(tasks.filter("blk_a != blk_b")),
+                        v["__blk"] == tasks["blk_b"])
+                 .select("blk_a", "blk_b", "id", "vec",
+                         F.lit(1).alias("side")))
 
-        # partitions sized to the (already-known) corpus: each Python
-        # worker costs ~0.5s to spawn, so a small corpus should not fan
-        # out to defaultParallelism workers for sub-second matmuls
-        par = min(df.sparkSession.sparkContext.defaultParallelism,
-                  max(2, len(ids) // 500))
-        return (df.select(id_col, vec_col)
-                .repartition(par)
-                .mapInPandas(run, schema=out_schema))
+        def run(key, pdf):
+            p, q = key
+            ln = pdf[pdf["side"] == 0]
+            rn = pdf[pdf["side"] == 1] if p != q else ln
+            if not len(ln) or not len(rn):
+                return pd.DataFrame(
+                    {"id_a": [], "id_b": [], "cosine": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+            lids = ln["id"].to_numpy(dtype=np.int64)
+            rids = rn["id"].to_numpy(dtype=np.int64)
+            lm = np.array(ln["vec"].tolist(), dtype=np.float64)
+            rm = np.array(rn["vec"].tolist(), dtype=np.float64)
+            lm /= np.clip(np.linalg.norm(lm, axis=1, keepdims=True),
+                          1e-12, None)
+            rm /= np.clip(np.linalg.norm(rm, axis=1, keepdims=True),
+                          1e-12, None)
+            sims = lm @ rm.T
+            # each unordered id pair occurs exactly once across tasks;
+            # order ids within the pair at emit time
+            mask = (sims >= thr) & (lids[:, None] != rids[None, :])
+            ai, bj = np.nonzero(mask)
+            a, b = lids[ai], rids[bj]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out = pd.DataFrame({"id_a": lo, "id_b": hi,
+                                "cosine": sims[ai, bj]})
+            if p == q:  # both orientations hit the mask — keep one
+                out = out[a < b]
+            return out
+
+        return (left.unionByName(right)
+                .groupBy("blk_a", "blk_b")
+                .applyInPandas(run, schema=out_schema))
 
     v = ensure_parallelism(df).select(F.col(id_col).alias("id"),
                                       F.col(vec_col).alias("vec"))
