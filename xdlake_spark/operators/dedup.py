@@ -251,16 +251,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash_df(df: DataFrame, text_col: str = "text",
-               id_col: str = "doc_id", use_arrow: bool = False) -> DataFrame:
+               id_col: str = "doc_id",
+               use_arrow: "bool | None" = None) -> DataFrame:
     """id + 64-bit simhash.
 
-    Default path is pure JVM: token xxhash64, then ONE aggregate fold
-    whose accumulator is (count, 64 bit-vote counters); the finish
-    lambda packs ``2*votes > count`` back into a long. No Python workers
-    needed anywhere in the plan. ``use_arrow=True`` switches the
-    bit-vote to the numpy pandas-UDF variant (identical output; faster
-    per-row once Python workers are warm, but pays their startup).
+    Two equivalent plans (asserted identical in tests):
+
+    - pure JVM: token xxhash64, then ONE aggregate fold whose accumulator
+      is (count, 64 bit-vote counters); the finish lambda packs
+      ``2*votes > count`` back into a long. No Python workers anywhere.
+    - arrow: the bit-vote runs as a numpy pandas UDF — the 64-mask
+      ``zip_with`` fold is expression-heavy in codegen, so numpy wins
+      once the corpus is past a few thousand docs, at the price of
+      Python worker startup.
+
+    ``use_arrow=None`` (default) picks by corpus size with one count job
+    — metadata-cheap for plain scans. Pass an explicit bool for derived
+    inputs where recomputing the upstream for the count is not free.
     """
+    if use_arrow is None:
+        use_arrow = df.count() >= 2000
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
