@@ -146,7 +146,8 @@ def create_table_entry(schema: T.StructType, partition_by: list[str],
                        custom_metadata: dict | None = None) -> DeltaLogEntry:
     md = TableMetadata(schemaString=schema_to_string(schema),
                        partitionColumns=list(partition_by or []))
-    commit = TableCommit.create(location=location, metadata=custom_metadata)
+    commit = TableCommit.create(location=location, metadata=custom_metadata,
+                                table_metadata=md)
     return DeltaLogEntry([Protocol(), md, *adds, commit])
 
 

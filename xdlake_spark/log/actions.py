@@ -158,10 +158,18 @@ class TableCommit(Action):
 
     @classmethod
     def create(cls, *, location: str, timestamp: int | None = None,
-               metadata: dict[str, Any] | None = None) -> "TableCommit":
-        c = cls(operation=Operation.CREATE_TABLE,
-                operationParameters={"location": location,
-                                     "mode": "ErrorIfExists", "protocol": {}})
+               metadata: dict[str, Any] | None = None,
+               table_metadata: "TableMetadata | None" = None) -> "TableCommit":
+        params: dict[str, Any] = {"location": location,
+                                  "mode": "ErrorIfExists", "protocol": {}}
+        if table_metadata is not None:
+            # CREATE commitInfo carries the table metadata (incl.
+            # partitionColumns) as a JSON string under "metadata" — the
+            # reference resolves partition columns from exactly this key
+            # (reference delta_log/__init__.py:96-97, actions.py:144-152)
+            params["metadata"] = json.dumps(
+                table_metadata.to_json()[TableMetadata.action_name])
+        c = cls(operation=Operation.CREATE_TABLE, operationParameters=params)
         if timestamp is not None:
             c.timestamp = timestamp
         c.extra.update(metadata or {})
