@@ -46,38 +46,87 @@ def _lookup_filesystem(url: str) -> Any | None:
     return best
 
 
+#: Filesystems built from per-table storage_options, cached by
+#: (scheme, frozen options) so two tables with the same credentials share
+#: one client but different credentials never cross-contaminate.
+_OPTIONS_FS_CACHE: dict[tuple, Any] = {}
+
+
+def _fs_from_options(scheme: str, options: dict) -> Any | None:
+    """Construct a filesystem from per-call credentials
+    (reference storage.py:30-59: ``fsspec.filesystem(protocol, **opts)``).
+
+    Prefers fsspec when importable (exact reference semantics); otherwise
+    maps the scheme onto the matching pyarrow.fs backend, which accepts
+    the same credential kwargs style (access_key, secret_key, ...).
+    """
+    key = (scheme, tuple(sorted(options.items())))
+    if key in _OPTIONS_FS_CACHE:
+        return _OPTIONS_FS_CACHE[key]
+    fs: Any
+    try:
+        import fsspec
+        fs = fsspec.filesystem(scheme, **options)
+    except ModuleNotFoundError:
+        if scheme == "file":
+            return None  # local I/O takes no credentials
+        import pyarrow.fs as pafs
+        builders = {"s3": pafs.S3FileSystem, "s3a": pafs.S3FileSystem,
+                    "gs": pafs.GcsFileSystem, "gcs": pafs.GcsFileSystem,
+                    "hdfs": pafs.HadoopFileSystem}
+        if scheme not in builders:
+            raise ValueError(
+                f"storage_options given but no filesystem backend for "
+                f"scheme {scheme!r} (install fsspec or register one via "
+                f"register_filesystem)")
+        fs = builders[scheme](**options)
+    _OPTIONS_FS_CACHE[key] = fs
+    return fs
+
+
 class Location:
     """A storage location: scheme + absolute path (+ resolved filesystem).
 
-    Reference parity: storage.py:79-205.
+    Reference parity: storage.py:79-205. ``storage_options`` carries
+    per-table credentials (reference __init__.py:35-48); it takes effect
+    when no registered filesystem prefix matches, and is inherited by
+    every derived Location (join/absloc of log paths, data files).
     """
 
-    def __init__(self, scheme: str, path: str):
+    def __init__(self, scheme: str, path: str,
+                 storage_options: dict | None = None):
         self.scheme = scheme
         self.path = path
+        self.storage_options = storage_options
 
     # -- construction -------------------------------------------------------
 
     @classmethod
-    def resolve(cls, url_or_path: "str | Location") -> "Location":
+    def resolve(cls, url_or_path: "str | Location",
+                storage_options: dict | None = None) -> "Location":
         if isinstance(url_or_path, Location):
+            if storage_options:
+                url_or_path.storage_options = storage_options
             return url_or_path
         url = str(url_or_path)
         m = _URL_RE.match(url)
         if m:
             scheme = m.group(1)
             if scheme == "file":
-                return cls("file", url[len("file://"):] or "/")
-            return cls(scheme, url)
+                return cls("file", url[len("file://"):] or "/",
+                           storage_options)
+            return cls(scheme, url, storage_options)
         # relative local paths are absolutized (reference storage.py:119-128)
-        return cls("file", os.path.abspath(url))
+        return cls("file", os.path.abspath(url), storage_options)
 
     # -- path math -----------------------------------------------------------
 
     def join(self, *parts: str) -> "Location":
         if self.scheme == "file":
-            return Location("file", os.path.join(self.path, *parts))
-        return Location(self.scheme, posixpath.join(self.path, *parts))
+            return Location("file", os.path.join(self.path, *parts),
+                            self.storage_options)
+        return Location(self.scheme, posixpath.join(self.path, *parts),
+                        self.storage_options)
 
     @property
     def url(self) -> str:
@@ -87,7 +136,8 @@ class Location:
 
     def absloc(self, path: str) -> "Location":
         """Resolve an add-action path: table-relative or absolute URL
-        (reference storage.py:220-237)."""
+        (reference storage.py:220-237). Relative paths inherit this
+        location's credentials; absolute foreign refs resolve fresh."""
         if _URL_RE.match(path) or os.path.isabs(path):
             return Location.resolve(path)
         return self.join(path)
@@ -105,6 +155,8 @@ class Location:
         fs = _lookup_filesystem(self.url)
         if fs is not None:
             return fs
+        if self.storage_options:
+            return _fs_from_options(self.scheme, self.storage_options)
         if self.scheme == "file":
             return None  # plain os I/O
         import pyarrow.fs as pafs
@@ -157,6 +209,9 @@ class Location:
             return
         import pyarrow.fs as pafs
         if isinstance(fs, pafs.FileSystem):
+            parent = posixpath.dirname(self._strip_scheme())
+            if parent:
+                fs.create_dir(parent, recursive=True)
             with fs.open_output_stream(self._strip_scheme()) as f:
                 f.write(data)
         else:

@@ -73,10 +73,16 @@ class DeltaTable:
 
     def __init__(self, spark: SparkSession, location: "str | Location",
                  log_location: "str | Location | None" = None,
-                 version: int | None = None):
+                 version: int | None = None,
+                 storage_options: dict | None = None):
+        """``storage_options``: per-table credentials threaded into both
+        the data and log Locations (reference __init__.py:35-48,
+        storage.py:61-76) — takes effect when no registered filesystem
+        prefix matches the URL."""
         self.spark = spark
-        self.location = Location.resolve(location)
-        self.log_location = (Location.resolve(log_location)
+        self.storage_options = storage_options
+        self.location = Location.resolve(location, storage_options)
+        self.log_location = (Location.resolve(log_location, storage_options)
                              if log_location is not None
                              else self.location.join("_delta_log"))
         self.pinned_version = version
