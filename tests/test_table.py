@@ -4,6 +4,7 @@ Operation matrix modeled on the reference's suite
 (/root/reference/tests/test_xdlake.py:28-343).
 """
 
+import json
 import os
 
 import pandas as pd
@@ -48,6 +49,20 @@ class TestWrite:
         pdf = gen_pdf()
         t = t.write(spark.createDataFrame(pdf), mode="overwrite")
         assert_frames_equivalent(t.to_pandas(), pdf)
+
+    def test_max_records_per_file(self, spark, tmp_table_dir):
+        pdf = gen_pdf(100)
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf).coalesce(1),
+                    max_records_per_file=25)
+        # 100 rows / 25 per file = 4 files in this commit
+        assert len(t.adds) == 4
+        for a in t.adds.values():
+            assert json.loads(a.stats)["numRecords"] <= 25
+        assert_frames_equivalent(t.to_pandas(), pdf)
+        # unconstrained write on one partition stays a single file
+        t2 = t.write(spark.createDataFrame(gen_pdf(100)).coalesce(1))
+        assert len(t2.adds) == 5
 
     def test_error_mode(self, spark, tmp_table_dir):
         t, _ = write_rounds(spark, f"{tmp_table_dir}/t", 1)

@@ -250,7 +250,8 @@ class DeltaTable:
               schema_mode: "str | SchemaMode" = "overwrite",
               partition_by: list[str] | None = None,
               custom_metadata: dict | None = None,
-              max_commit_retries: int = 0) -> "DeltaTable":
+              max_commit_retries: int = 0,
+              max_records_per_file: int | None = None) -> "DeltaTable":
         """Write data (reference __init__.py:153-190).
 
         ``data``: DataFrame | pandas | pyarrow Table/RecordBatch | parquet
@@ -262,6 +263,12 @@ class DeltaTable:
         files are already on disk and are not rewritten). Non-append
         modes always surface FileExistsError: their entries were built
         against a snapshot that no longer is the head.
+
+        ``max_records_per_file``: cap rows per output file — Spark's
+        ``maxRecordsPerFile`` writer option, executor-side roll-over with
+        no extra shuffle (the reference's ``write_arrow_dataset_options``
+        knob, __init__.py:159,170). For a byte-size target instead, see
+        ``optimize(target_file_size=...)``.
         """
         mode = WriteMode.coerce(mode)
         schema_mode_e = SchemaMode.coerce(schema_mode)
@@ -287,7 +294,8 @@ class DeltaTable:
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in schema.fields])
 
-        new_adds = self._write_data(df, partition_by)
+        new_adds = self._write_data(df, partition_by,
+                                    max_records_per_file=max_records_per_file)
 
         if not self.log:
             entry = create_table_entry(schema, partition_by,
@@ -315,8 +323,8 @@ class DeltaTable:
                                         self.log_location)
         return self._commit(entry)
 
-    def _write_data(self, df: DataFrame,
-                    partition_by: list[str]) -> list[Add]:
+    def _write_data(self, df: DataFrame, partition_by: list[str],
+                    max_records_per_file: int | None = None) -> list[Add]:
         """Physical write via a per-commit staging directory.
 
         Executors write hive-partitioned parquet under
@@ -333,6 +341,9 @@ class DeltaTable:
         root = self.location
         staging = root.join(f"_staging-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile",
+                                   int(max_records_per_file))
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staging.url)
