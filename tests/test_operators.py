@@ -101,8 +101,26 @@ class TestSimHash:
         assert a == b
 
 
+@pytest.fixture(scope="module")
+def planted_embeddings(spark):
+    """300 random vectors + 20 planted near-duplicate pairs (cosine
+    ~0.98) + a 12-member planted cluster around vector 0 — gives the
+    approximate operators real positives to recall."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((300, 64))
+    pair_pert = base[:20] + 0.06 * rng.standard_normal((20, 64))
+    cluster = base[0] + 0.05 * rng.standard_normal((12, 64))
+    ids = (list(range(300)) + [1000 + i for i in range(20)]
+           + [2000 + i for i in range(12)])
+    vecs = [r.tolist() for r in np.vstack([base, pair_pert, cluster])]
+    return spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": vecs}))
+
+
 class TestEmbeddingDedup:
     def test_lsh_finds_what_exact_finds(self, spark, embeddings):
+        # random corpus: LSH must stay a subset of exact (soundness of
+        # the verify step) — recall is exercised on planted data below
         exact = dedup.embedding_neardup_pairs(embeddings, threshold=0.95,
                                               exact=True)
         exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
@@ -110,9 +128,21 @@ class TestEmbeddingDedup:
                                             n_planes=8)
         lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
         assert lsh_pairs <= exact_pairs
-        if exact_pairs:
-            recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
-            assert recall >= 0.3  # 8 planes, single probe
+
+    def test_multitable_lsh_recall(self, spark, planted_embeddings):
+        # 4 independent hash tables at 8 planes: expected recall
+        # 1-(1-p^8)^4 ~ 0.99 for planted cosine ~0.98 pairs
+        exact = {(r["id_a"], r["id_b"])
+                 for r in dedup.embedding_neardup_pairs(
+                     planted_embeddings, threshold=0.95,
+                     exact=True).collect()}
+        assert len(exact) >= 20  # the planted pairs are really there
+        lsh = {(r["id_a"], r["id_b"])
+               for r in dedup.embedding_neardup_pairs(
+                   planted_embeddings, threshold=0.95, n_planes=8,
+                   n_tables=4).collect()}
+        assert lsh <= exact
+        assert len(lsh & exact) / len(exact) >= 0.9
 
 
 QUERY_VEC = [0.1] * 32 + [-0.1] * 32
@@ -156,6 +186,22 @@ class TestSimilaritySearch:
         assert set(approx) <= set(
             r["vec_id"] for r in embeddings.select("vec_id").collect())
 
+    def test_lsh_topk_recall(self, spark, planted_embeddings):
+        q = [r["embedding"] for r in planted_embeddings
+             .filter("vec_id = 0").collect()][0]
+        exact = [r["vec_id"] for r in similarity.brute_force_topk(
+            planted_embeddings, q, k=10).collect()]
+        # clustered neighbors: modest multiprobe already recalls >= 0.9
+        approx = [r["vec_id"] for r in similarity.lsh_topk(
+            planted_embeddings, q, k=10, n_planes=6,
+            multiprobe=8).collect()]
+        assert len(set(approx) & set(exact)) / 10 >= 0.9
+        # exhaustive probing degrades to EXACT: same ranked list
+        full = [r["vec_id"] for r in similarity.lsh_topk(
+            planted_embeddings, q, k=10, n_planes=6,
+            multiprobe=64).collect()]
+        assert full == exact
+
     def test_ivf(self, spark, embeddings):
         assigned, centroids = similarity.ivf_build(embeddings,
                                                    n_centroids=8)
@@ -165,6 +211,24 @@ class TestSimilaritySearch:
         assert len(rows) == 5
         scores = [r["score"] for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+    def test_ivf_recall(self, spark, planted_embeddings):
+        q = [r["embedding"] for r in planted_embeddings
+             .filter("vec_id = 0").collect()][0]
+        exact = [r["vec_id"] for r in similarity.brute_force_topk(
+            planted_embeddings, q, k=10).collect()]
+        assigned, cents = similarity.ivf_build(planted_embeddings,
+                                               n_centroids=8)
+        assigned = assigned.localCheckpoint()
+        # probing every inverted list IS exact: same ranked list
+        full = [r["vec_id"] for r in similarity.ivf_topk(
+            assigned, cents, q, k=10, nprobe=8).collect()]
+        assert full == exact
+        # the planted cluster quantizes together: half the lists recall
+        # >= 0.9 of the true neighbors
+        half = [r["vec_id"] for r in similarity.ivf_topk(
+            assigned, cents, q, k=10, nprobe=4).collect()]
+        assert len(set(half) & set(exact)) / 10 >= 0.9
 
 
 class TestTextAnalysis:

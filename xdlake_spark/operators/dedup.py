@@ -375,7 +375,8 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id", dim: int = 64,
                             n_planes: int = 12, threshold: float = 0.95,
                             seed: int = 42, exact: bool = False,
-                            n_blocks: int | None = None) -> DataFrame:
+                            n_blocks: int | None = None,
+                            n_tables: int = 1) -> DataFrame:
     """Cosine-similar pairs (sim >= threshold).
 
     ``exact=False`` (approximate scale path): random-hyperplane LSH —
@@ -464,15 +465,28 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
 
     v = ensure_parallelism(df).select(F.col(id_col).alias("id"),
                                       F.col(vec_col).alias("vec"))
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    sig = v.withColumn("__sig", hyperplane_signature(F.col("vec"), planes))
-    sig = sig.localCheckpoint(eager=False)
+    sigs = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed + t)
+        planes = rng.standard_normal((n_planes, dim))
+        sigs.append(hyperplane_signature(F.col("vec"), planes))
+    # L independent hash tables: a near pair missed by one table's
+    # signature is caught by another — recall 1-(1-p^b)^L where
+    # p = 1 - angle/pi. Bucket key is (table, signature), so tables
+    # co-shuffle in ONE self-join; duplicate candidates collapse before
+    # the exact-cosine verify.
+    sig = (v.select("id", "vec",
+                    F.posexplode(F.array(*sigs)).alias("__t", "__sig"))
+           .localCheckpoint(eager=False))
     a, b = sig.alias("a"), sig.alias("b")
-    pairs = a.join(b, (F.col("a.__sig") == F.col("b.__sig"))
-                   & (F.col("a.id") < F.col("b.id")))
-    sim = cosine(F.col("a.vec"), F.col("b.vec"))
-    return (pairs.select(F.col("a.id").alias("id_a"),
-                         F.col("b.id").alias("id_b"),
-                         sim.alias("cosine"))
+    pairs = (a.join(b, (F.col("a.__t") == F.col("b.__t"))
+                    & (F.col("a.__sig") == F.col("b.__sig"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"),
+                     F.col("a.vec").alias("vec_a"),
+                     F.col("b.vec").alias("vec_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    sim = cosine(F.col("vec_a"), F.col("vec_b"))
+    return (pairs.select("id_a", "id_b", sim.alias("cosine"))
             .filter(F.col("cosine") >= threshold))

@@ -71,10 +71,16 @@ def lsh_topk(df: DataFrame, query_vec, k: int = 10, dim: int = 64,
              vec_col: str = "embedding", id_col: str = "vec_id",
              multiprobe: int = 1) -> DataFrame:
     """Approximate top-k: search only vectors whose hyperplane signature
-    matches the query's (plus ``multiprobe-1`` single-bit-flip probes).
+    matches the query's, plus the ``multiprobe-1`` next-likeliest
+    buckets.
 
-    At scale the signature is a partition key: the probe touches a
-    constant fraction (~2^-n_planes per probe) of the corpus.
+    Probe order is the classic multi-probe LSH sequence: buckets ranked
+    by the total margin of the flipped hyperplanes (a neighbor most
+    likely lands across the planes the query sits closest to), covering
+    multi-bit flips — so ``multiprobe`` can be raised smoothly all the
+    way to 2^n_planes (exhaustive = exact). At scale the signature is a
+    partition key: the probe touches ~multiprobe/2^n_planes of the
+    corpus.
     """
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
@@ -86,11 +92,17 @@ def lsh_topk(df: DataFrame, query_vec, k: int = 10, dim: int = 64,
 
     probes = {sig_str(qbits)}
     if multiprobe > 1:
-        # flip the bits whose hyperplane margin is smallest
         margins = np.abs(planes @ qv)
-        for j in np.argsort(margins)[:multiprobe - 1]:
-            flipped = list(qbits)
-            flipped[j] ^= 1
+        # enumerate flip sets cheapest-total-margin first (n_planes is
+        # small — <= 20 — so 2^n driver-side enumeration is fine; for
+        # larger n use the heap-based incremental sequence)
+        costs = []
+        for mask in range(1, 1 << n_planes):
+            cost = sum(margins[j] for j in range(n_planes)
+                       if mask >> j & 1)
+            costs.append((cost, mask))
+        for _, mask in sorted(costs)[:multiprobe - 1]:
+            flipped = [b ^ (mask >> j & 1) for j, b in enumerate(qbits)]
             probes.add(sig_str(flipped))
 
     sig = hyperplane_signature(F.col(vec_col), planes)

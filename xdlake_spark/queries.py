@@ -1111,6 +1111,27 @@ def similarity_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
+@register("similarity_ivf_full_probe", f"""
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 4)
+           AS score
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}) DESC, vec_id
+LIMIT 10
+""")
+def similarity_ivf_full(spark, sf_dir):
+    """IVF build + search with nprobe = n_centroids: probing every
+    inverted list is EXACT search, so the whole quantize/assign/probe
+    machinery is oracle-checkable against brute-force SQL — the quality
+    gate for the approximate path (recall sweeps live in
+    test_operators.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    assigned, cents = similarity.ivf_build(e, n_centroids=8)
+    out = similarity.ivf_topk(assigned, cents, QUERY_VEC, k=10,
+                              nprobe=len(cents))
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
 @register("knn_join_labels", f"""
 WITH q AS (
   SELECT 0 AS q_id, {_QV_SQL} AS qv
