@@ -50,6 +50,22 @@ class TestWrite:
         t = t.write(spark.createDataFrame(pdf), mode="overwrite")
         assert_frames_equivalent(t.to_pandas(), pdf)
 
+    def test_to_pyarrow_dataset_lazy(self, spark, tmp_table_dir):
+        import pyarrow.dataset as pads
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf), partition_by=["cats"])
+        ds = t.to_pyarrow_dataset()
+        assert isinstance(ds, pads.Dataset)  # lazy handle, no job ran
+        got = ds.to_table().to_pandas()
+        assert_frames_equivalent(got, pdf)
+        # partition filter evaluates on fragment expressions: fragments
+        # for other cats are pruned without reading them
+        one = ds.to_table(filter=pads.field("cats") == "S").to_pandas()
+        assert len(one) == (pdf["cats"] == "S").sum()
+        pruned = ds.get_fragments(filter=pads.field("cats") == "S")
+        assert len(list(pruned)) < len(list(ds.get_fragments()))
+
     def test_max_records_per_file(self, spark, tmp_table_dir):
         pdf = gen_pdf(100)
         t = DeltaTable(spark, f"{tmp_table_dir}/t")

@@ -125,10 +125,28 @@ def range_join(left: DataFrame, right: DataFrame, by: str = "user_id",
             .drop("__k", "__bucket"))
 
 
+_INTERVAL_UNITS_US = {
+    "microsecond": 1, "millisecond": 1_000, "second": 1_000_000,
+    "minute": 60_000_000, "hour": 3_600_000_000, "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
 def _interval_micros(df: DataFrame, interval: str) -> int:
-    """Resolve a SQL interval string to microseconds (driver-side)."""
-    row = df.sparkSession.range(1).select(
-        (F.unix_micros(F.lit("1970-01-01 00:00:00").cast("timestamp")
-                       + F.expr(f"INTERVAL {interval}"))).alias("us")
-    ).collect()[0]
-    return int(row["us"])
+    """Resolve a SQL interval string like ``'5 minutes'`` or
+    ``'-1 hour'`` to microseconds — pure driver-side string math, no
+    Spark job (day-time units only; month/year intervals are not
+    fixed-width and are rejected, matching Spark's own restriction on
+    range-join bounds)."""
+    total = 0
+    toks = interval.strip().split()
+    if len(toks) % 2 or not toks:
+        raise ValueError(f"cannot parse interval {interval!r}")
+    for qty, unit in zip(toks[::2], toks[1::2]):
+        u = unit.lower().rstrip("s")
+        if u not in _INTERVAL_UNITS_US:
+            raise ValueError(
+                f"unsupported interval unit {unit!r} in {interval!r} "
+                f"(day-time units only)")
+        total += int(float(qty) * _INTERVAL_UNITS_US[u])
+    return total

@@ -244,6 +244,47 @@ class DeltaTable:
         ``to_pyarrow_table``, __init__.py:145-151)."""
         return self.to_df(where).toArrow()
 
+    def to_pyarrow_dataset(self):
+        """LAZY pyarrow dataset over the live files (reference
+        ``to_pyarrow_dataset``, __init__.py:127-143) — no Spark job, no
+        data I/O until the caller scans. Each live file becomes a
+        fragment whose partition expression carries the hive partition
+        values, so pyarrow evaluates filters on partition columns
+        without touching the file."""
+        import functools
+        import operator
+
+        import pyarrow.dataset as pads
+
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+            full = to_arrow_schema(self.schema)
+        except ImportError:  # pragma: no cover - fallback, tiny job
+            full = self.spark.createDataFrame([], self.schema) \
+                .toArrow().schema
+        import pyarrow.fs as pafs
+
+        physical = pads.ParquetFileFormat()
+        fs = pafs.LocalFileSystem()
+        frags = []
+        for rel, add in self.adds.items():
+            exprs = []
+            for k, v in (add.partitionValues or {}).items():
+                typ = self.schema[k].dataType
+                exprs.append(pads.field(k) == partition_value_to_python(v, typ))
+            path = self.location.absloc(rel).path
+            if exprs:
+                frags.append(physical.make_fragment(
+                    path, filesystem=fs,
+                    partition_expression=functools.reduce(operator.and_,
+                                                          exprs)))
+            else:
+                frags.append(physical.make_fragment(path, filesystem=fs))
+        return pads.FileSystemDataset(
+            frags, schema=full, format=physical, filesystem=fs)
+
     # -- write -----------------------------------------------------------------
 
     def write(self, data: Any, mode: "str | WriteMode" = "append",
