@@ -269,8 +269,10 @@ def simhash_df(df: DataFrame, text_col: str = "text",
     — metadata-cheap for plain scans. Pass an explicit bool for derived
     inputs where recomputing the upstream for the count is not free.
     """
+    n_rows = None
     if use_arrow is None:
-        use_arrow = df.count() >= 2000
+        n_rows = df.count()
+        use_arrow = n_rows >= 2000
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
@@ -292,7 +294,16 @@ def simhash_df(df: DataFrame, text_col: str = "text",
                                      bitorder="little").view(np.int64)[0]
             return pd.Series(out)
 
-        return ensure_parallelism(df).select(
+        src = ensure_parallelism(df)
+        if n_rows is not None:
+            # bound Python worker spawns to the work available: each
+            # worker costs ~0.5 s to start, and a few thousand docs per
+            # worker amortizes that without starving parallelism
+            par = df.sparkSession.sparkContext.defaultParallelism
+            want = max(2, min(par, n_rows // 1500))
+            if want < src.rdd.getNumPartitions():
+                src = src.coalesce(want)
+        return src.select(
             F.col(id_col).alias("id"), _simhash(hashes).alias("simhash"))
 
     # literal bit masks 1<<0 .. 1<<63 (top one as the int64 sign value);
