@@ -1308,6 +1308,478 @@ def multimodal_resize_extract(spark, sf_dir):
                                        deterministic_fake=True)
 
 
+# ===========================================================================
+# Extended TPC-H shapes (Q7-Q22 adapted to the available schema: the
+# testdata has no partsupp / shipmode / commitdate columns, so
+# partsupp-based queries re-derive the part-supplier relationship from
+# lineitem and keep the original plan SHAPE — multi-way dim joins,
+# correlated scalar subqueries, OR-of-ANDs, scalar-threshold HAVING)
+# ===========================================================================
+
+
+@register("q7_volume_shipping", """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+       JOIN orders   ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 00:00:00'
+) GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7(spark, sf_dir):
+    """TPC-H Q7: bidirectional nation-pair trade volume by year. Both
+    nation joins broadcast; the fact-side join order keeps lineitem
+    streaming once."""
+    n = _t(spark, sf_dir, "nation")
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                                    F.col("n_name").alias("supp_nation"))),
+               F.col("s_nationkey") == F.col("sn_key")))
+    c = (_t(spark, sf_dir, "customer")
+         .join(F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"),
+                                    F.col("n_name").alias("cust_nation"))),
+               F.col("c_nationkey") == F.col("cn_key")))
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"),
+            F.lit("1997-12-31 00:00:00").cast("timestamp_ntz")))
+    j = (li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+         .filter(((F.col("supp_nation") == "NATION_1")
+                  & (F.col("cust_nation") == "NATION_2"))
+                 | ((F.col("supp_nation") == "NATION_2")
+                    & (F.col("cust_nation") == "NATION_1"))))
+    return (j.select("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"),
+                     (F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))).alias("volume"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.round(F.sum("volume"), 2).alias("revenue")))
+
+
+@register("q8_market_share", """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       JOIN region   ON n1.n_regionkey = r_regionkey
+       JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                        AND TIMESTAMP '1996-12-31 00:00:00'
+) GROUP BY o_year
+""")
+def q8(spark, sf_dir):
+    """TPC-H Q8: national market share inside a region. All five dims
+    broadcast; lineitem->orders is the only big-big join."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                                    F.col("n_name").alias("nation"))),
+               F.col("s_nationkey") == F.col("sn_key")))
+    c = (_t(spark, sf_dir, "customer")
+         .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")))
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
+            F.lit("1996-12-31 00:00:00").cast("timestamp_ntz")))
+    li = _t(spark, sf_dir, "lineitem")
+    j = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c.select("c_custkey")),
+               F.col("o_custkey") == F.col("c_custkey")))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (j.select(F.year("o_orderdate").cast("long").alias("o_year"),
+                     vol.alias("volume"), "nation")
+            .groupBy("o_year")
+            .agg(F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3",
+                             F.col("volume")).otherwise(F.lit(0.0)))
+                / F.sum("volume"), 6).alias("mkt_share")))
+
+
+@register("q9_product_profit", """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS amount
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) GROUP BY nation, o_year
+""")
+def q9(spark, sf_dir):
+    """TPC-H Q9 (adapted: profit = revenue, no partsupp.supplycost in
+    the dataset): nation/year profit for a part family."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    n = _t(spark, sf_dir, "nation")
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                                    F.col("n_name").alias("nation"))),
+               F.col("s_nationkey") == F.col("sn_key")))
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(o, F.col("l_orderkey") == F.col("o_orderkey")))
+    return (j.select("nation",
+                     F.year("o_orderdate").cast("long").alias("o_year"),
+                     (F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))).alias("amount"))
+            .groupBy("nation", "o_year")
+            .agg(F.round(F.sum("amount"), 2).alias("sum_profit")))
+
+
+@register("q10_returned_items", """
+SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+           AS revenue,
+       round(c_acctbal, 2) AS acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+     JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10(spark, sf_dir):
+    """TPC-H Q10: top lost-revenue customers from returned items."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00")
+         .cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00")
+           .cast("timestamp_ntz")))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    dims = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    j = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey")))
+    return (j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "revenue",
+                    F.round("c_acctbal", 2).alias("acctbal"), "n_name")
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20))
+
+
+@register("q12_priority_class", """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+""")
+def q12(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: linestatus stands in for the absent
+    shipmode column): priority-class counts with a non-equi row filter."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1998-01-01 00:00:00")
+        .cast("timestamp_ntz"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+                 .alias("low_line_count")))
+
+
+@register("q14_promo_revenue", """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+""")
+def q14(spark, sf_dir):
+    """TPC-H Q14: promo revenue share; part broadcast into lineitem."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00")
+         .cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00")
+           .cast("timestamp_ntz")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                              .otherwise(F.lit(0.0))) / F.sum(rev), 6)
+                .alias("promo_revenue")))
+
+
+@register("q15_top_supplier", """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""")
+def q15(spark, sf_dir):
+    """TPC-H Q15: top supplier by quarterly revenue — scalar-subquery
+    max against a derived revenue view."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00")
+         .cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00")
+           .cast("timestamp_ntz")))
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (rev.join(F.broadcast(mx),
+                     F.col("total_revenue") == F.col("__mx"))
+            .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@register("q18_large_volume_customer", """
+SELECT c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2) AS totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 20
+""")
+def q18(spark, sf_dir):
+    """TPC-H Q18: large-volume orders via semi join against a HAVING
+    aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("__q"))
+           .filter(F.col("__q") > 180)
+           .select("l_orderkey"))
+    oo = o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
+                "o_orderkey", "left_semi")
+    j = (li.join(oo, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")))
+    return (j.groupBy("c_custkey", "o_orderkey", "o_orderdate",
+                      "o_totalprice")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+            .select("c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("orderdate"),
+                    F.round("o_totalprice", 2).alias("totalprice"),
+                    "sum_qty")
+            .orderBy(F.col("totalprice").desc(), "o_orderkey")
+            .limit(20))
+
+
+@register("q19_discounted_revenue", """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def q19(spark, sf_dir):
+    """TPC-H Q19: OR-of-ANDs join predicate (adapted: no container/
+    shipmode columns). The part side broadcasts; the disjunction runs
+    as a post-join filter Catalyst can still partially push."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    clause = (
+        ((F.col("p_brand") == "Brand#2")
+         & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#17")
+           & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#25")
+           & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30)))
+    return (j.filter(clause)
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@register("q20_excess_shippers", """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey HAVING sum(l_quantity) > 100)
+""")
+def q20(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: shipped quantity stands in for
+    partsupp.availqty): semi join against a correlated-aggregate
+    HAVING."""
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00")
+         .cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00")
+           .cast("timestamp_ntz")))
+    shippers = (li.join(F.broadcast(p),
+                        F.col("l_partkey") == F.col("p_partkey"))
+                .groupBy("l_suppkey")
+                .agg(F.sum("l_quantity").alias("__q"))
+                .filter(F.col("__q") > 100)
+                .select(F.col("l_suppkey").alias("s_suppkey")))
+    return (s.join(shippers, "s_suppkey", "left_semi")
+            .select("s_suppkey", "s_name"))
+
+
+@register("q22_dormant_accounts", """
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey
+""")
+def q22(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: nationkey stands in for the absent
+    phone country code): scalar-subquery threshold + anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("__avg")))
+    rich = (c.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("__avg")))
+    recent = o.filter(F.col("o_orderdate")
+                      >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey,
+                        "left_anti")
+    return (dormant.groupBy(F.col("c_nationkey").alias("cntrycode"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
+@register("q2_min_cost_supplier", """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p_partkey, s_suppkey, s_name, round(cost, 4) AS cost
+FROM part JOIN ps ON p_partkey = l_partkey
+     JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size <= 10
+  AND cost = (SELECT min(cost) FROM ps x
+              WHERE x.l_partkey = ps.l_partkey)
+ORDER BY p_partkey, s_suppkey
+LIMIT 50
+""")
+def q2(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: the part-supplier relation re-derives
+    from lineitem, unit price stands in for supplycost): correlated
+    per-part minimum via a window instead of a rescan."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+               .alias("cost")))
+    w = Window.partitionBy("l_partkey")
+    best = (ps.withColumn("__min", F.min("cost").over(w))
+            .filter(F.col("cost") == F.col("__min")))
+    return (best.join(F.broadcast(p),
+                      F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("p_partkey", "s_suppkey", "s_name",
+                    F.round("cost", 4).alias("cost"))
+            .orderBy("p_partkey", "s_suppkey")
+            .limit(50))
+
+
+@register("q11_important_parts", """
+WITH value AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS val
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, round(val, 2) AS val
+FROM value
+WHERE val > (SELECT 0.001 * sum(val) FROM value)
+""")
+def q11(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: shipped value stands in for partsupp
+    stock value): grouped value vs a global scalar threshold."""
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey"))
+    li = _t(spark, sf_dir, "lineitem")
+    value = (li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+             .groupBy("l_partkey")
+             .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                  .alias("val")))
+    thr = value.agg((0.001 * F.sum("val")).alias("__thr"))
+    return (value.join(F.broadcast(thr))
+            .filter(F.col("val") > F.col("__thr"))
+            .select(F.col("l_partkey").alias("partkey"),
+                    F.round("val", 2).alias("val")))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
