@@ -384,3 +384,33 @@ class TestWinnowing:
         b = documents.select(rolling_hash(F.col("text")).alias("h")).collect()
         assert [r["h"] for r in a] == [r["h"] for r in b]
         assert all(0 <= r["h"] < (1 << 31) for r in a)
+
+
+class TestConnectedComponents:
+    def test_chain_and_clique(self, spark):
+        # chain 1-2-3-4 (diameter 3), clique {10,11,12}, isolated pair
+        edges = spark.createDataFrame(
+            pd.DataFrame({"id_a": [1, 2, 3, 10, 10, 11, 20],
+                          "id_b": [2, 3, 4, 11, 12, 12, 21]}))
+        comp = {r["id"]: r["component"]
+                for r in dedup.connected_components(edges).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                        10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_star_converges_one_round(self, spark):
+        edges = spark.createDataFrame(
+            pd.DataFrame({"id_a": [0] * 5, "id_b": [1, 2, 3, 4, 5]}))
+        comp = {r["id"]: r["component"]
+                for r in dedup.connected_components(edges).collect()}
+        assert set(comp.values()) == {0}
+
+    def test_keepers(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3, 4, 9],
+                          "text": ["a", "b", "c", "d", "e"]}))
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]}))
+        kept = sorted(r["doc_id"] for r in
+                      dedup.dedup_keepers_from_pairs(df, pairs).collect())
+        # component {1,2,3} keeps 1; 4 and 9 unpaired
+        assert kept == [1, 4, 9]

@@ -62,6 +62,59 @@ def duplicate_groups(df: DataFrame, text_col: str = "text",
             .filter(F.col("n_dups") > 1))
 
 
+def connected_components(edges: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components of the near-duplicate pair graph:
+    ``(id, component)`` where component is the minimum id reachable.
+
+    This is the step that turns pairwise near-dup hits into dedup
+    groups (keep one doc per component). Algorithm: hash-min label
+    propagation — every node repeatedly takes the min label across its
+    neighborhood until fixpoint. Each round is one join + one groupBy
+    (two shuffles on uniformly-hashed ids), and rounds are bounded by
+    the graph diameter, which for dedup graphs is tiny (near-dup
+    clusters are dense). ``localCheckpoint`` truncates the plan each
+    round so the lineage never grows; at extreme diameters switch to
+    the large-star/small-star variant which converges in
+    O(log^2 n) rounds.
+    """
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    e = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+         .distinct()
+         .localCheckpoint())
+    labels = (e.select(F.col("a").alias("id")).distinct()
+              .withColumn("component", F.col("id"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        prop = (e.join(labels, e["a"] == labels["id"])
+                .select(F.col("b").alias("id"), F.col("component")))
+        new_labels = (labels.union(prop)
+                      .groupBy("id")
+                      .agg(F.min("component").alias("component"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keepers_from_pairs(df: DataFrame, pairs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Rows of ``df`` that survive near-dup removal: one keeper (the
+    min-id member) per connected component, plus every row that is in
+    no pair at all. The anti-join side carries only (id, component) —
+    never documents — so the corpus streams once."""
+    comp = connected_components(pairs)
+    losers = (comp.filter(F.col("id") != F.col("component"))
+              .select(F.col("id").alias(id_col)))
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------

@@ -1076,6 +1076,62 @@ def dedup_ngram(spark, sf_dir):
                       F.round("jaccard", 6).alias("jaccard"))
 
 
+_NGRAM_PAIRS_SQL = REGISTRY["dedup_ngram_jaccard_pairs"][1]
+
+@register("dedup_connected_components", f"""
+WITH RECURSIVE pairs AS (
+{_NGRAM_PAIRS_SQL}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM edges
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+""")
+def dedup_components(spark, sf_dir):
+    """Near-dup pair graph -> dedup groups: hash-min label propagation
+    (operators/dedup.py connected_components) vs DuckDB's recursive-CTE
+    reachability as the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.2)
+    comp = dedup.connected_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+@register("dedup_neardup_keepers", f"""
+WITH RECURSIVE pairs AS (
+{_NGRAM_PAIRS_SQL}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM edges
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component)
+""")
+def dedup_neardup_keepers(spark, sf_dir):
+    """End-to-end near-dup removal: one keeper per component plus all
+    unpaired docs survive (dedup_keepers_from_pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.2)
+    return (dedup.dedup_keepers_from_pairs(d, pairs)
+            .select("doc_id", "lang"))
+
+
 #: Deterministic 64-dim query vector shared by Spark and oracle literals.
 QUERY_VEC = [round((1.0 if i % 3 == 0 else (0.5 if i % 3 == 1 else -0.5))
                    * (1 + i / 64.0), 6) for i in range(64)]
