@@ -1,0 +1,136 @@
+"""Physical-plan quality gates.
+
+Correctness says WHAT a query returns; these tests pin HOW — the plan
+properties that decide whether the same query survives a 100x scale-up:
+
+- dimension joins must broadcast (no shuffle of the fact side onto a
+  small dim);
+- scans must carry pushed filters / pruned read schemas (Catalyst
+  pushdown reaching parquet);
+- aggregates must have a map-side partial phase;
+- the hot row path must stay inside WholeStageCodegen (no Python in
+  relational queries).
+
+A refactor that silently turns a broadcast join into a sort-merge
+shuffle, or un-pushes a filter, fails here even though results stay
+identical.
+"""
+
+import re
+
+import pytest
+
+from xdlake_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    fn, _ = Q.REGISTRY[name]
+    df = fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(spark, name: str) -> str:
+    fn, _ = Q.REGISTRY[name]
+    df = fn(spark, SF)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+class TestBroadcasts:
+    """Small dims broadcast; the lineitem/orders side never shuffles
+    into a dimension join."""
+
+    @pytest.mark.parametrize("name, min_broadcasts", [
+        ("q3_shipping_priority", 1),
+        ("q5_revenue_by_nation", 1),
+        ("q7_volume_shipping", 2),
+        ("q8_market_share", 3),
+        ("q9_product_profit", 2),
+        ("q10_returned_items", 1),
+        ("q14_promo_revenue", 1),
+        ("q19_discounted_revenue", 1),
+    ])
+    def test_dim_joins_broadcast(self, spark, name, min_broadcasts):
+        plan = plan_of(spark, name)
+        n = len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoop", plan))
+        assert n >= min_broadcasts, \
+            f"{name}: expected >= {min_broadcasts} broadcast joins:\n{plan}"
+
+    def test_semi_and_anti_join_shapes(self, spark):
+        # EXISTS / NOT EXISTS must stay semi/anti joins, not materialize
+        # the subquery side
+        assert "LeftSemi" in plan_of(spark, "q4_order_priority_semijoin")
+        assert "LeftAnti" in plan_of(spark, "antijoin_no_big_orders")
+        assert "LeftSemi" in plan_of(spark, "q20_excess_shippers")
+        assert "LeftAnti" in plan_of(spark, "q22_dormant_accounts")
+
+
+class TestPushdown:
+    def test_filter_reaches_parquet_scan(self, spark):
+        plan = formatted_plan(spark, "q6_forecast_revenue")
+        assert "PushedFilters:" in plan
+        m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert m and "l_shipdate" in m.group(1), plan
+
+    def test_projection_prunes_read_schema(self, spark):
+        # q6 touches 4 lineitem columns; the parquet ReadSchema must not
+        # carry the other 7
+        plan = formatted_plan(spark, "q6_forecast_revenue")
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, plan
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert "l_extendedprice" in cols
+        assert "l_comment" not in cols and "l_partkey" not in cols, cols
+
+    def test_manifest_prune_precedes_spark(self, spark, tmp_table_dir,
+                                           lineitem):
+        # file skipping happens before a plan exists: a partition
+        # predicate shrinks the number of parquet files in the scan
+        from xdlake_spark import DeltaTable
+        t = DeltaTable(spark, tmp_table_dir).write(
+            lineitem.limit(2000), partition_by=["l_returnflag"])
+        all_files = t.to_df().inputFiles()
+        pruned = t.to_df(where="l_returnflag = 'R'").inputFiles()
+        assert len(pruned) < len(all_files)
+
+
+class TestAggregation:
+    @pytest.mark.parametrize("name", [
+        "q1_pricing_summary", "q5_revenue_by_nation", "agg_by_flag",
+    ])
+    def test_partial_aggregation(self, spark, name):
+        # two HashAggregate phases = map-side combine before the shuffle
+        plan = plan_of(spark, name)
+        assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+class TestCodegen:
+    @pytest.mark.parametrize("name", [
+        "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
+        "filter_predicate_ops", "text_stats", "q12_priority_class",
+    ])
+    def test_no_python_in_relational_path(self, spark, name):
+        # relational + text queries are pure JVM: no Python UDF
+        # evaluation nodes anywhere in the plan; the row path runs
+        # inside WholeStageCodegen spans (visible once AQE finalizes)
+        fn, _ = Q.REGISTRY[name]
+        df = fn(spark, SF)
+        df.collect()  # finalize THIS df's adaptive plan (count() would
+        # build a separate query execution)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # codegen spans render as "*(n) Operator" in the final plan
+        assert re.search(r"\*\(\d+\)", plan), plan
+
+
+class TestTopK:
+    def test_sort_limit_is_take_ordered(self, spark):
+        # ORDER BY + LIMIT must run as TakeOrderedAndProject (k rows per
+        # partition), never a global sort
+        plan = plan_of(spark, "q3_shipping_priority")
+        assert "TakeOrderedAndProject" in plan, plan
+        plan = plan_of(spark, "similarity_topk_cosine")
+        assert "TakeOrderedAndProject" in plan, plan
