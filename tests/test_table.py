@@ -349,6 +349,61 @@ class TestMaintenance:
         assert got["order"].isin(src.tail(2)["order"]).sum() == 2  # inserted
 
 
+class TestConstraints:
+    def test_add_enforce_drop(self, spark, tmp_table_dir):
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        t = t.add_constraint("qty_bound", "i64 BETWEEN -1000 AND 1000")
+        assert t.constraints == {"qty_bound": "i64 BETWEEN -1000 AND 1000"}
+        assert next(t.history())["operation"] == "ADD CONSTRAINT"
+
+        # a violating append aborts before any commit lands
+        bad = gen_pdf()
+        bad["i64"] = 5000
+        with pytest.raises(Exception, match="qty_bound"):
+            t.write(spark.createDataFrame(bad))
+        t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
+        assert t2.version == t.version  # nothing committed
+        assert t2.to_df().count() == len(pdf)
+        # no staged litter left behind by the aborted write
+        assert not [d for d in os.listdir(f"{tmp_table_dir}/t")
+                    if d.startswith("_staging")]
+
+        # satisfying rows append fine; dropping re-admits anything
+        t3 = t2.write(spark.createDataFrame(gen_pdf()))
+        t4 = t3.drop_constraint("qty_bound")
+        assert t4.constraints == {}
+        t5 = t4.write(spark.createDataFrame(bad))
+        assert t5.to_df().count() == 3 * len(pdf)
+
+    def test_add_constraint_rejects_existing_violations(self, spark,
+                                                        tmp_table_dir):
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        with pytest.raises(ValueError, match="existing rows"):
+            t.add_constraint("impossible", "i64 > 100000")
+        # null evaluates as satisfied (SQL CHECK semantics)
+        upd = pdf.copy()
+        upd["txt"] = [None] * (len(pdf) - 1) + ["x"]
+        t = t.write(spark.createDataFrame(upd))
+        t = t.add_constraint("txtish", "length(txt) < 100")
+        assert "txtish" in t.constraints
+
+    def test_merge_enforces_constraints(self, spark, tmp_table_dir):
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        t = t.add_constraint("qty_bound", "i64 <= 1000")
+        src = pdf.head(3).copy()
+        src["i64"] = 99999
+        with pytest.raises(Exception, match="qty_bound"):
+            t.merge(spark.createDataFrame(src), "t.order = s.order",
+                    when_matched_update={"i64": "s.i64"})
+        assert DeltaTable(spark, f"{tmp_table_dir}/t").version == t.version
+
+
 class TestCommitRetry:
     def test_append_retries_past_conflict(self, spark, tmp_table_dir):
         pdf = gen_pdf()

@@ -211,6 +211,18 @@ def optimize_table_entry(adds: list[Add], removes: list[Remove],
     return DeltaLogEntry([*removes, *adds, commit])
 
 
+def properties_table_entry(metadata: TableMetadata, operation: str,
+                           params: dict[str, Any], read_version: int,
+                           custom_metadata: dict | None = None
+                           ) -> DeltaLogEntry:
+    """Metadata-only commit (ADD/DROP CONSTRAINT, SET TBLPROPERTIES):
+    a fresh metaData action plus a commitInfo, no file actions."""
+    commit = TableCommit(operation=operation, operationParameters=params,
+                         readVersion=read_version)
+    commit.extra.update(custom_metadata or {})
+    return DeltaLogEntry([metadata, commit])
+
+
 def merge_table_entry(adds: list[Add], removes: list[Remove],
                       predicate: str, read_version: int,
                       metrics: dict[str, Any],

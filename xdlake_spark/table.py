@@ -48,6 +48,7 @@ from .log import (
     merge_table_entry,
     optimize_table_entry,
     overwrite_table_entry,
+    properties_table_entry,
     restore_table_entry,
     timestamp_ms,
 )
@@ -285,6 +286,80 @@ class DeltaTable:
         return pads.FileSystemDataset(
             frags, schema=full, format=physical, filesystem=fs)
 
+    # -- constraints -----------------------------------------------------------
+
+    #: Table-property prefix for CHECK constraints — the Delta protocol's
+    #: own key shape, so delta-spark reads/enforces the same constraints.
+    _CONSTRAINT_PREFIX = "delta.constraints."
+
+    @property
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: name -> SQL expression."""
+        if not self.log:
+            return {}
+        cfg = self.log.metadata().configuration or {}
+        p = self._CONSTRAINT_PREFIX
+        return {k[len(p):]: v for k, v in cfg.items() if k.startswith(p)}
+
+    def add_constraint(self, name: str, expr: str,
+                       custom_metadata: dict | None = None) -> "DeltaTable":
+        """ADD CONSTRAINT (CHECK): existing rows must already satisfy
+        ``expr`` (one scan job that stops at the first violation), then
+        a metadata-only commit records it; every subsequent write/merge
+        enforces it inline. NULL evaluates as satisfied (SQL CHECK
+        semantics, same as Delta)."""
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        name = name.lower()
+        if name in self.constraints:
+            raise ValueError(f"Constraint {name!r} already exists")
+        ok = F.coalesce(F.expr(expr), F.lit(True))
+        if self.to_df().filter(~ok).limit(1).count():
+            raise ValueError(
+                f"Cannot add CHECK constraint {name!r}: existing rows "
+                f"violate ({expr})")
+        import dataclasses
+        md = self.log.metadata()
+        cfg = dict(md.configuration or {})
+        cfg[self._CONSTRAINT_PREFIX + name] = expr
+        md = dataclasses.replace(md, configuration=cfg)
+        entry = properties_table_entry(
+            md, "ADD CONSTRAINT", {"name": name, "expr": expr},
+            self.version, custom_metadata)
+        return self._commit(entry)
+
+    def drop_constraint(self, name: str,
+                        custom_metadata: dict | None = None) -> "DeltaTable":
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        name = name.lower()
+        if name not in self.constraints:
+            raise ValueError(f"No such constraint: {name!r}")
+        import dataclasses
+        md = self.log.metadata()
+        cfg = dict(md.configuration or {})
+        expr = cfg.pop(self._CONSTRAINT_PREFIX + name)
+        md = dataclasses.replace(md, configuration=cfg)
+        entry = properties_table_entry(
+            md, "DROP CONSTRAINT", {"name": name, "expr": expr},
+            self.version, custom_metadata)
+        return self._commit(entry)
+
+    def _apply_constraints(self, df: DataFrame) -> DataFrame:
+        """Inline CHECK enforcement: an always-true filter built from
+        ``assert_true`` — zero extra scan of the incoming data; the
+        write job itself raises on the first violating row (violations
+        abort the commit; the staged files are cleaned up)."""
+        cons = self.constraints
+        if not cons:
+            return df
+        pred = F.lit(True)
+        for n, e in sorted(cons.items()):
+            ok = F.coalesce(F.expr(e), F.lit(True))
+            pred = pred & F.assert_true(
+                ok, F.lit(f"CHECK constraint {n} ({e}) violated")).isNull()
+        return df.filter(pred)
+
     # -- write -----------------------------------------------------------------
 
     def write(self, data: Any, mode: "str | WriteMode" = "append",
@@ -335,7 +410,8 @@ class DeltaTable:
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in schema.fields])
 
-        new_adds = self._write_data(df, partition_by,
+        new_adds = self._write_data(self._apply_constraints(df),
+                                    partition_by,
                                     max_records_per_file=max_records_per_file)
 
         if not self.log:
@@ -387,7 +463,11 @@ class DeltaTable:
                                    int(max_records_per_file))
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(staging.url)
+        try:
+            writer.parquet(staging.url)
+        except Exception:
+            staging.delete_dir()  # failed job leaves no staged litter
+            raise
 
         written = sorted(rel for rel in staging.list_files_recursive()
                          if rel.endswith(".parquet")
@@ -911,8 +991,8 @@ class DeltaTable:
                     ~F.coalesce(del_active, F.lit(False))).select(sel)
             else:
                 rewritten = th.select(out_cols)
-            new_adds.extend(self._write_data(rewritten,
-                                             self.partition_columns))
+            new_adds.extend(self._write_data(
+                self._apply_constraints(rewritten), self.partition_columns))
 
         if when_not_matched_insert:
             anti = src.join(t, cond, "left_anti")
@@ -922,7 +1002,8 @@ class DeltaTable:
                 if c in when_not_matched_insert
                 else F.lit(None).cast(self.schema[c].dataType).alias(c)
                 for c in out_cols])
-            new_adds.extend(self._write_data(ins, self.partition_columns))
+            new_adds.extend(self._write_data(
+                self._apply_constraints(ins), self.partition_columns))
 
         removes = [self.adds[r].to_remove() for r in hit_rels]
         metrics = {"numTargetFilesAdded": len(new_adds),
