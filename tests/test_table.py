@@ -349,6 +349,57 @@ class TestMaintenance:
         assert got["order"].isin(src.tail(2)["order"]).sum() == 2  # inserted
 
 
+class TestUpdate:
+    def test_predicate_update(self, spark, tmp_table_dir):
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        t2 = t.update({"i64": "i64 + 1000000"}, "flag = true")
+        got = t2.to_pandas().sort_values("order").reset_index(drop=True)
+        exp = pdf.sort_values("order").reset_index(drop=True)
+        flags = exp["flag"].to_numpy()
+        assert (got["i64"].to_numpy()[flags]
+                == exp["i64"].to_numpy()[flags] + 1000000).all()
+        assert (got["i64"].to_numpy()[~flags]
+                == exp["i64"].to_numpy()[~flags]).all()
+        h = next(t2.history())
+        assert h["operation"] == "UPDATE"
+        assert h["operationMetrics"]["num_updated_rows"] == int(flags.sum())
+
+    def test_update_untouched_files_not_rewritten(self, spark,
+                                                  tmp_table_dir):
+        t, _ = write_rounds(spark, f"{tmp_table_dir}/t", 3)
+        before = dict(t.adds)
+        lo = min(r["order"] for r in
+                 t.to_df().select("order").collect())
+        t2 = t.update({"i64": "0"}, f"order = {lo}")  # hits file 1 only
+        kept = set(before) & set(t2.adds)
+        assert len(kept) == len(before) - 1  # only one file rewritten
+
+    def test_update_all_rows(self, spark, tmp_table_dir):
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        t2 = t.update({"txt": "'X'"})
+        assert (t2.to_pandas()["txt"] == "X").all()
+
+    def test_update_partition_column_replaces(self, spark, tmp_table_dir):
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf), partition_by=["cats"])
+        t2 = t.update({"cats": "'Z'"}, "cats = 'S'")
+        assert t2.to_df().filter("cats = 'S'").count() == 0
+        n_z = (pdf["cats"] == "S").sum()
+        assert t2.to_df().filter("cats = 'Z'").count() == n_z
+        # rows landed in the right hive directory
+        assert any("cats=Z" in p for p in t2.adds)
+
+    def test_update_rejects_unknown_column(self, spark, tmp_table_dir):
+        t, _ = write_rounds(spark, f"{tmp_table_dir}/t", 1)
+        with pytest.raises(ValueError, match="Unknown column"):
+            t.update({"nope": "1"})
+
+
 class TestConstraints:
     def test_add_enforce_drop(self, spark, tmp_table_dir):
         pdf = gen_pdf()

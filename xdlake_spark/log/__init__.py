@@ -186,6 +186,16 @@ def delete_table_entry(adds: list[Add], removes: list[Remove],
     return DeltaLogEntry([*removes, *adds, commit])
 
 
+def update_table_entry(adds: list[Add], removes: list[Remove],
+                       predicate: str, read_version: int,
+                       metrics: dict[str, Any],
+                       custom_metadata: dict | None = None) -> DeltaLogEntry:
+    commit = TableCommit.update(predicate=predicate,
+                                read_version=read_version,
+                                metrics=metrics, metadata=custom_metadata)
+    return DeltaLogEntry([*removes, *adds, commit])
+
+
 def restore_table_entry(adds: list[Add], removes: list[Remove],
                         schema: T.StructType, partition_by: list[str],
                         restore_version: int, read_version: int,
@@ -442,5 +452,6 @@ __all__ = [
     "DeltaLogEntry", "load_action", "log_entry_filename", "timestamp_ms",
     "create_table_entry", "append_table_entry", "overwrite_table_entry",
     "delete_table_entry", "restore_table_entry", "optimize_table_entry",
-    "merge_table_entry", "commit_entry",
+    "merge_table_entry", "properties_table_entry", "update_table_entry",
+    "commit_entry",
 ]

@@ -134,6 +134,7 @@ class Operation:
     CREATE_TABLE = "CREATE TABLE"
     WRITE = "WRITE"
     DELETE = "DELETE"
+    UPDATE = "UPDATE"
     RESTORE = "RESTORE"
     MERGE = "MERGE"
     OPTIMIZE = "OPTIMIZE"
@@ -190,6 +191,16 @@ class TableCommit(Action):
                metrics: dict[str, Any],
                metadata: dict[str, Any] | None = None) -> "TableCommit":
         c = cls(operation=Operation.DELETE,
+                operationParameters={"predicate": predicate},
+                operationMetrics=metrics, readVersion=read_version)
+        c.extra.update(metadata or {})
+        return c
+
+    @classmethod
+    def update(cls, *, predicate: str, read_version: int,
+               metrics: dict[str, Any],
+               metadata: dict[str, Any] | None = None) -> "TableCommit":
+        c = cls(operation=Operation.UPDATE,
                 operationParameters={"predicate": predicate},
                 operationMetrics=metrics, readVersion=read_version)
         c.extra.update(metadata or {})

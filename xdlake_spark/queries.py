@@ -625,6 +625,25 @@ def delta_delete(spark, sf_dir):
     return t.to_df().select("l_orderkey", "l_linenumber")
 
 
+@register("delta_update_cow", """
+SELECT l_orderkey, l_linenumber,
+       round(CASE WHEN l_quantity > 45 AND l_returnflag = 'A'
+                  THEN l_quantity * 2 ELSE l_quantity END, 2) AS qty
+FROM lineitem
+""")
+def delta_update(spark, sf_dir):
+    """UPDATE ... SET with a predicate: copy-on-write rewrite of only
+    the files containing matching rows (table.py update())."""
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        li, partition_by=["l_returnflag"])
+    t = t.update({"l_quantity": "l_quantity * 2"},
+                 "l_quantity > 45 AND l_returnflag = 'A'")
+    return t.to_df().select("l_orderkey", "l_linenumber",
+                            F.round("l_quantity", 2).alias("qty"))
+
+
 @register("delta_time_travel", """
 SELECT l_orderkey, l_linenumber
 FROM lineitem

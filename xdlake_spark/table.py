@@ -51,6 +51,7 @@ from .log import (
     properties_table_entry,
     restore_table_entry,
     timestamp_ms,
+    update_table_entry,
 )
 from .log.schema import partition_value_to_python
 from .log.statistics import Statistics
@@ -625,6 +626,87 @@ class DeltaTable:
         }
         entry = delete_table_entry(new_adds, removes,
                                    where_sql or "<expr>", read_version,
+                                   metrics, custom_metadata)
+        return self._commit(entry)
+
+    # -- update (copy-on-write) --------------------------------------------------
+
+    def update(self, set: dict[str, str],
+               where: "str | Column | None" = None,
+               custom_metadata: dict | None = None) -> "DeltaTable":
+        """UPDATE ... SET (standard Delta operation; beyond reference
+        parity like MERGE/OPTIMIZE/VACUUM): predicate copy-on-write at
+        file granularity.
+
+        ``set`` maps target column -> SQL expression over the row's
+        current values. Same two-phase shape as :meth:`delete`: manifest
+        prune + one agg job finds files that truly contain matching
+        rows; one write job rewrites ONLY those files, applying ``set``
+        to matching rows and copying the rest verbatim. Untouched files
+        keep their add actions. CHECK constraints are enforced on the
+        rewrite. Updating a partition column re-places rows into the
+        right hive directories automatically (the rewrite partitions by
+        the table's partition columns).
+        """
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        if not set:
+            raise ValueError("update() needs at least one SET column")
+        for c in set:
+            if c not in [f.name for f in self.schema.fields]:
+                raise ValueError(f"Unknown column in SET: {c!r}")
+        read_version = self.version
+
+        where_sql = where if isinstance(where, str) else None
+        if where is None:
+            pred = F.lit(True)
+        else:
+            pred = F.expr(where) if isinstance(where, str) else where
+            pred = F.coalesce(pred, F.lit(False))  # null pred skips row
+
+        candidates = (prune_manifest(self.adds, where_sql,
+                                     self.partition_columns)
+                      if where_sql else self.adds)
+        rel_of = self._rel_by_uri(candidates)
+        n_updated = 0
+        hit_rels: list[str] = []
+        if candidates:
+            scan = self._scan(candidates).withColumn(
+                "__xdl_file", F.input_file_name())
+            per_file = (scan.groupBy("__xdl_file")
+                        .agg(F.sum(pred.cast("long")).alias("hits"))
+                        .collect())  # one row per candidate file
+            hit_rels = sorted(rel_of(r["__xdl_file"]) for r in per_file
+                              if (r["hits"] or 0) > 0)
+            n_updated = sum(int(r["hits"] or 0) for r in per_file)
+
+        new_adds: list[Add] = []
+        n_copied = 0
+        if hit_rels:
+            hit_adds = {r: self.adds[r] for r in hit_rels}
+            n_copied = sum((a.stats_dict or {}).get("numRecords", 0)
+                           for a in hit_adds.values()) - n_updated
+            out_cols = [f.name for f in self.schema.fields]
+            sel = []
+            for c in out_cols:
+                expr = (F.when(pred, F.expr(set[c]))
+                        .otherwise(F.col(c))
+                        .cast(self.schema[c].dataType).alias(c)
+                        if c in set else F.col(c))
+                sel.append(expr)
+            rewritten = self._scan(hit_adds).select(sel)
+            new_adds = self._write_data(self._apply_constraints(rewritten),
+                                        self.partition_columns)
+
+        removes = [self.adds[r].to_remove() for r in hit_rels]
+        metrics = {
+            "num_added_files": len(new_adds),
+            "num_removed_files": len(removes),
+            "num_updated_rows": int(n_updated),
+            "num_copied_rows": int(max(n_copied, 0)),
+        }
+        entry = update_table_entry(new_adds, removes,
+                                   where_sql or "true", read_version,
                                    metrics, custom_metadata)
         return self._commit(entry)
 
