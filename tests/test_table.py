@@ -477,3 +477,35 @@ class TestCommitRetry:
         # append (b's unretried conflict never landed)
         assert out.version == 3
         assert out.to_df().count() == 4 * len(pdf)
+
+
+class TestSchemaOps:
+    def test_add_columns_metadata_only(self, spark, tmp_table_dir):
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        files_before = set(t.adds)
+        t2 = t.add_columns({"score": "double", "tags": "array<string>"})
+        assert set(t2.adds) == files_before  # no data rewritten
+        assert next(t2.history())["operation"] == "ADD COLUMNS"
+        got = t2.to_df()
+        assert "score" in got.columns and "tags" in got.columns
+        assert got.filter("score IS NOT NULL").count() == 0
+        # subsequent write can fill the new column
+        new = gen_pdf()
+        new["score"] = 1.5
+        new["tags"] = [["a"]] * len(new)
+        t3 = t2.write(spark.createDataFrame(new))
+        assert t3.to_df().filter("score = 1.5").count() == len(new)
+        with pytest.raises(ValueError, match="already exists"):
+            t3.add_columns({"score": "double"})
+
+    def test_describe_detail(self, spark, tmp_table_dir):
+        t, expected = write_rounds(spark, f"{tmp_table_dir}/t", 2,
+                                   partition_by=["cats"])
+        d = t.describe_detail()
+        assert d["numFiles"] == len(t.adds)
+        assert d["numRecords"] == len(expected)
+        assert d["partitionColumns"] == ["cats"]
+        assert d["version"] == 1 and d["format"] == "delta"
+        assert d["sizeInBytes"] > 0

@@ -287,6 +287,60 @@ class DeltaTable:
         return pads.FileSystemDataset(
             frags, schema=full, format=physical, filesystem=fs)
 
+    # -- schema / detail -------------------------------------------------------
+
+    def add_columns(self, columns: "dict[str, str] | T.StructType",
+                    custom_metadata: dict | None = None) -> "DeltaTable":
+        """ALTER TABLE ADD COLUMNS: metadata-only commit — no data files
+        are touched; existing rows read the new columns as NULL (the
+        scan schema-fills missing parquet columns). ``columns`` maps
+        name -> Spark SQL type string (``"bigint"``, ``"array<float>"``)
+        or is a StructType."""
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        import dataclasses
+
+        from .log.schema import schema_to_string
+        if isinstance(columns, T.StructType):
+            new_fields = list(columns.fields)
+        else:
+            new_fields = [
+                T.StructField(name, T._parse_datatype_string(spec))
+                for name, spec in columns.items()]
+        existing = {f.name for f in self.schema.fields}
+        for f in new_fields:
+            if f.name in existing:
+                raise ValueError(f"Column already exists: {f.name!r}")
+        schema = T.StructType(list(self.schema.fields) + new_fields)
+        md = dataclasses.replace(self.log.metadata(),
+                                 schemaString=schema_to_string(schema))
+        entry = properties_table_entry(
+            md, "ADD COLUMNS",
+            {"columns": json.dumps([f.name for f in new_fields])},
+            self.version, custom_metadata)
+        return self._commit(entry)
+
+    def describe_detail(self) -> dict:
+        """DESCRIBE DETAIL-style summary of the current snapshot."""
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        md = self.log.metadata()
+        return {
+            "format": "delta",
+            "id": md.id,
+            "location": self.location.url,
+            "createdTime": md.createdTime,
+            "numFiles": len(self.adds),
+            "sizeInBytes": sum(a.size or 0 for a in self.adds.values()),
+            "numRecords": sum((a.stats_dict or {}).get("numRecords", 0)
+                              for a in self.adds.values()),
+            "partitionColumns": list(self.partition_columns),
+            "properties": dict(md.configuration or {}),
+            "minReaderVersion": self.log.protocol().minReaderVersion,
+            "minWriterVersion": self.log.protocol().minWriterVersion,
+            "version": self.version,
+        }
+
     # -- constraints -----------------------------------------------------------
 
     #: Table-property prefix for CHECK constraints — the Delta protocol's
