@@ -102,3 +102,43 @@ class TestWeReadReferenceTables:
         final = DeltaTable(spark, tmp_table_dir)
         assert final.to_df().count() == 30
         assert len(_ref_read_sorted(tmp_table_dir)) == 30
+
+
+class TestReferenceReadsMaintenanceCommits:
+    """The reference must replay tables whose logs contain our
+    beyond-parity commits (MERGE / UPDATE / constraint metadata) — the
+    same tolerance it shows delta-rs maintenance logs
+    (/root/reference/tests/test_compatibility.py:112-154)."""
+
+    def test_reference_reads_after_merge(self, spark, tmp_table_dir,
+                                         lineitem):
+        from pyspark.sql import functions as F
+        li = lineitem.select("l_orderkey", "l_linenumber",
+                             "l_quantity").limit(400)
+        t = DeltaTable(spark, tmp_table_dir).write(li)
+        src = (li.filter("l_linenumber = 1").limit(50)
+               .select("l_orderkey", "l_linenumber",
+                       (F.col("l_quantity") * 0 + 99.0).alias("q")))
+        t = t.merge(src,
+                    "t.l_orderkey = s.l_orderkey AND "
+                    "t.l_linenumber = s.l_linenumber",
+                    when_matched_update={"l_quantity": "s.q"})
+        ref = _ref_read_sorted(tmp_table_dir)
+        assert len(ref) == t.to_df().count()
+        assert (ref["l_quantity"] == 99.0).sum() == 50
+
+    def test_reference_reads_after_update_and_constraints(
+            self, spark, tmp_table_dir, lineitem):
+        li = lineitem.select("l_orderkey", "l_quantity").limit(300)
+        t = DeltaTable(spark, tmp_table_dir).write(li)
+        t = t.add_constraint("nonneg", "l_quantity >= 0")
+        t = t.update({"l_quantity": "l_quantity + 1000"},
+                     "l_quantity > 40")
+        ref = _ref_read_sorted(tmp_table_dir)
+        assert len(ref) == 300
+        ours = t.to_pandas()
+        assert ref["l_quantity"].sum() == pytest.approx(
+            ours["l_quantity"].sum())
+        # constraint metadata rides along without breaking the reference
+        assert (ref["l_quantity"] >= 1000).sum() == \
+            (ours["l_quantity"] > 1000).sum()
