@@ -414,3 +414,100 @@ class TestConnectedComponents:
                       dedup.dedup_keepers_from_pairs(df, pairs).collect())
         # component {1,2,3} keeps 1; 4 and 9 unpaired
         assert kept == [1, 4, 9]
+
+
+class TestSampling:
+    def test_hash_split_stable_and_proportional(self, spark, documents):
+        from xdlake_spark.operators import sampling
+        out = sampling.hash_split(
+            documents, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(
+                      F.count(F.lit(1)).alias("n")).collect()}
+        total = sum(counts.values())
+        assert 0.6 < counts.get("train", 0) / total < 0.95
+        # identical assignment regardless of partition layout
+        a = {r["doc_id"]: r["split"] for r in out.collect()}
+        b = {r["doc_id"]: r["split"]
+             for r in sampling.hash_split(
+                 documents.repartition(17), "doc_id",
+                 {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+        assert a == b
+        with pytest.raises(ValueError, match="sum to 1"):
+            sampling.hash_split(documents, "doc_id", {"a": 0.5})
+
+    def test_stratum_cap(self, spark, documents):
+        from xdlake_spark.operators import sampling
+        out = sampling.stratum_cap(documents, "lang", "doc_id", cap=7)
+        per = out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+        assert all(r["n"] <= 7 for r in per.collect())
+        # deterministically the lowest ids per stratum
+        langs = [r["lang"] for r in
+                 documents.select("lang").distinct().collect()]
+        for lang in langs[:2]:
+            got = sorted(r["doc_id"] for r in
+                         out.filter(F.col("lang") == lang).collect())
+            exp = sorted(r["doc_id"] for r in
+                         documents.filter(F.col("lang") == lang)
+                         .collect())[:7]
+            assert got == exp
+
+    def test_shuffle_order_epochs_differ(self, spark, documents):
+        from xdlake_spark.operators import sampling
+        e0 = [r["doc_id"] for r in
+              sampling.shuffle_order(documents, "doc_id", epoch=0)
+              .orderBy("shuffle_key", "doc_id").collect()]
+        e1 = [r["doc_id"] for r in
+              sampling.shuffle_order(documents, "doc_id", epoch=1)
+              .orderBy("shuffle_key", "doc_id").collect()]
+        assert sorted(e0) == sorted(e1)   # same corpus
+        assert e0 != e1                   # different permutation
+        # reproducible
+        e0b = [r["doc_id"] for r in
+               sampling.shuffle_order(documents, "doc_id", epoch=0)
+               .orderBy("shuffle_key", "doc_id").collect()]
+        assert e0 == e0b
+
+
+class TestPacking:
+    def _toks(self, spark):
+        pdf = pd.DataFrame({
+            "doc_id": range(10),
+            "n_tok": [500, 600, 900, 100, 2048, 30, 1000, 1500, 400, 700],
+        })
+        return spark.createDataFrame(pdf)
+
+    def test_running_sum_manual(self, spark):
+        from xdlake_spark.operators import packing
+        out = {r["doc_id"]: r["bin"] for r in
+               packing.pack_running_sum(self._toks(spark), "n_tok",
+                                        "doc_id", capacity=2048).collect()}
+        # cumsums: 500,1100,2000,2100,4148,4178,5178,6678,7078,7778
+        # bins:      0,   0,   0,   1,   2,   2,   2,   3,   3,   3
+        assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 2, 6: 2,
+                       7: 3, 8: 3, 9: 3}
+
+    def test_first_fit_valid_and_no_worse(self, spark):
+        from xdlake_spark.operators import packing
+        toks = self._toks(spark)
+        packed = packing.pack_first_fit(toks, "n_tok", "doc_id",
+                                        capacity=2048, n_buckets=1)
+        rows = packed.collect()
+        assert len(rows) == 10            # every doc placed exactly once
+        per_bin: dict = {}
+        for r in rows:
+            per_bin.setdefault(r["bin"], 0)
+            per_bin[r["bin"]] += min(max(r["n_tok"], 1), 2048)
+        assert all(v <= 2048 for v in per_bin.values())  # capacity holds
+        rs_bins = packing.pack_running_sum(
+            toks, "n_tok", "doc_id", 2048).select("bin").distinct().count()
+        assert len(per_bin) <= rs_bins    # FFD never uses more bins
+
+    def test_packing_stats(self, spark):
+        from xdlake_spark.operators import packing
+        packed = packing.pack_running_sum(self._toks(spark), "n_tok",
+                                          "doc_id", capacity=2048)
+        stats = {r["bin"]: r for r in
+                 packing.packing_stats(packed, "n_tok", 2048).collect()}
+        assert stats[0]["n_docs"] == 3 and stats[0]["tokens"] == 2000
+        assert stats[2]["fill"] == pytest.approx(2048 / 2048, abs=0.51)

@@ -1,0 +1,109 @@
+"""Sequence packing: assign documents to fixed-capacity context windows.
+
+Two strategies, both scale-designed:
+
+- :func:`pack_running_sum` — the streaming-order packer most pipelines
+  run: documents in a deterministic order, a running token total, a new
+  bin every time the total crosses the capacity. Pure window math (one
+  shuffle on the order key), exactly expressible in ANSI SQL, so it is
+  oracle-checked.
+- :func:`pack_first_fit` — greedy first-fit-decreasing within hash
+  buckets via ``applyInPandas``: tighter packing (less padding waste)
+  at the price of an Arrow batch per bucket. Buckets are independent,
+  so the packing parallelizes to any cluster size; rows-only checked
+  (greedy FFD is not SQL-expressible).
+
+Documents longer than the capacity get a bin of their own (the caller
+chunks them upstream if needed).
+
+Extends the reference's surface; mandated by the build brief's
+training-data-pipeline component.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pack_running_sum(df: DataFrame, token_col: str, id_col: str,
+                     capacity: int) -> DataFrame:
+    """Sequential packing by running token total.
+
+    Bin boundary rule (deterministic, order = ``id_col`` ascending): a
+    document starts a new bin when the running total of all documents
+    up to and including it exceeds ``capacity`` times the bins already
+    closed. Implemented as ``floor((cumsum - 1) / capacity)`` over a
+    clamped per-doc token count — one window over a single global
+    order. For 100 TB runs, apply per shard (see
+    ``sampling.shuffle_order``) so each shard packs independently and
+    the window never needs a single global sort.
+    """
+    toks = F.least(F.greatest(F.col(token_col).cast("long"), F.lit(1)),
+                   F.lit(capacity))
+    w = (Window.orderBy(F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.withColumn("__toks", toks)
+            .withColumn("__cum", F.sum("__toks").over(w))
+            .withColumn("bin",
+                        F.floor((F.col("__cum") - 1) / F.lit(capacity))
+                        .cast("long"))
+            .drop("__toks", "__cum"))
+
+
+def pack_first_fit(df: DataFrame, token_col: str, id_col: str,
+                   capacity: int, n_buckets: int = 64) -> DataFrame:
+    """Greedy first-fit-decreasing packing inside hash buckets.
+
+    Rows hash into ``n_buckets`` independent groups; within each group
+    an Arrow batch runs classic FFD (sort by size descending, place
+    each doc into the first bin with room). Bin ids are globally unique
+    as ``bucket * 2^32 + local_bin``. Padding waste is strictly <= the
+    running-sum packer's; parallelism = n_buckets.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("bin", T.LongType())])
+    cap = int(capacity)
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(key[0])
+        sizes = pdf[token_col].clip(lower=1, upper=cap).astype("int64")
+        order = sizes.sort_values(ascending=False, kind="mergesort").index
+        bins: list[int] = []   # remaining room per local bin
+        assign = pd.Series(0, index=pdf.index, dtype="int64")
+        for idx in order:
+            s = int(sizes[idx])
+            for b, room in enumerate(bins):
+                if room >= s:
+                    bins[b] = room - s
+                    assign[idx] = b
+                    break
+            else:
+                bins.append(cap - s)
+                assign[idx] = len(bins) - 1
+        out = pdf.copy()
+        out["bin"] = (bucket << 32) + assign
+        return out
+
+    bucketed = df.withColumn(
+        "__bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)))
+    return (bucketed.groupBy("__bucket")
+            .applyInPandas(lambda key, pdf:
+                           pack(key, pdf.drop(columns="__bucket")),
+                           schema=out_schema))
+
+
+def packing_stats(packed: DataFrame, token_col: str,
+                  capacity: int) -> DataFrame:
+    """Per-bin fill statistics: n_docs, tokens, fill fraction — the
+    padding-waste report for a packing run."""
+    toks = F.least(F.greatest(F.col(token_col).cast("long"), F.lit(1)),
+                   F.lit(capacity))
+    return (packed.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(toks).alias("tokens"))
+            .withColumn("fill",
+                        F.round(F.col("tokens") / F.lit(capacity), 4)))

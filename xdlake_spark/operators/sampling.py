@@ -1,0 +1,85 @@
+"""Deterministic sampling / splitting / ordering for training pipelines.
+
+Every operator here is REPRODUCIBLE BY CONSTRUCTION: given the same
+inputs it yields byte-identical outputs on any cluster layout, because
+nothing depends on partition boundaries, task scheduling, or RNG state —
+only on row content. That is the property training pipelines actually
+need (re-run the pipeline, get the same train/val split), and it is what
+makes these oracle-checkable against DuckDB.
+
+Scale notes: splits and caps are single-pass column expressions or one
+window shuffle on the stratum key; the deterministic shuffle is a sort
+by a content hash (one exchange), which at 100 TB is the same cost any
+epoch-shuffle pays.
+
+Extends the reference's surface (no sampling ops in xbrianh/xdlake);
+mandated by the build brief's training-data-pipeline component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Knuth multiplicative hash constant (golden-ratio / 2^32). Exact in
+#: int64 math for 32-bit-ish ids, so Spark and any ANSI SQL engine
+#: compute the identical value — unlike xxhash64, which only Spark has.
+_KNUTH = 2654435761
+
+
+def hash_bucket(col, n_buckets: int = 10000):
+    """Deterministic, content-only bucket in [0, n_buckets) for an
+    integer id column. The basis for splits and shuffles below."""
+    return F.pmod((F.col(col) if isinstance(col, str) else col)
+                  * F.lit(_KNUTH), F.lit(n_buckets))
+
+
+def hash_split(df: DataFrame, id_col: str,
+               weights: dict[str, float]) -> DataFrame:
+    """Assign every row to a named split (train/val/test) by hashing its
+    id — stable across runs, partitionings, and cluster sizes, unlike
+    ``randomSplit`` (whose assignment depends on partition layout).
+
+    ``weights`` maps split name -> fraction; fractions must sum to 1.
+    Returns ``df`` plus a ``split`` column.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(id_col, 10000)
+    expr = None
+    acc = 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cond = bucket < int(round(acc * 10000))
+        expr = (F.when(cond, name) if expr is None
+                else expr.when(cond, name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def stratum_cap(df: DataFrame, stratum_col: str, id_col: str,
+                cap: int) -> DataFrame:
+    """Budgeted per-stratum cap: keep at most ``cap`` rows per stratum,
+    chosen deterministically (lowest id first). One window shuffle on
+    the stratum key; the common way to bound per-language /
+    per-domain over-representation in a training mix."""
+    w = Window.partitionBy(stratum_col).orderBy(F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn"))
+
+
+def shuffle_order(df: DataFrame, id_col: str,
+                  n_shards: int = 1024, epoch: int = 0) -> DataFrame:
+    """Deterministic epoch shuffle: a reproducible global order plus a
+    shard assignment for sharded writers. Different ``epoch`` values
+    derive different (still deterministic) permutations. Adds
+    ``shuffle_key`` (sort by it for the global order) and ``shard``."""
+    key = F.pmod((F.col(id_col) + F.lit(epoch * 7919)) * F.lit(_KNUTH),
+                 F.lit(1 << 32))
+    return (df.withColumn("shuffle_key", key)
+            .withColumn("shard", F.pmod(F.col("shuffle_key"),
+                                        F.lit(n_shards))))

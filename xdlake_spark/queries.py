@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .functions import text as X
 from .functions.vectors import cosine, lit_vector
-from .operators import dedup, multimodal, similarity
+from .operators import dedup, multimodal, packing, sampling, similarity
 from .operators import text as textops
 from .sources.readers import read_parquet_any
 from .streaming.ingest import tumbling_window_counts
@@ -1369,6 +1369,101 @@ def q13(spark, sf_dir):
                 .agg(F.count("o_orderkey").alias("c_count")))
     return (per_cust.groupBy("c_count")
             .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+# ===========================================================================
+# Training-pipeline data prep: deterministic splits, caps, shuffle, packing
+# ===========================================================================
+
+#: Knuth constant mirrored in the oracles — exact int64 math both sides.
+_KNUTH = 2654435761
+
+
+@register("sample_hash_split", f"""
+SELECT doc_id,
+       CASE WHEN (doc_id * {_KNUTH}) % 10000 < 1000 THEN 'test'
+            WHEN (doc_id * {_KNUTH}) % 10000 < 9000 THEN 'train'
+            ELSE 'val' END AS split
+FROM documents
+""")
+def sample_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by content hash —
+    byte-stable across runs and cluster layouts (operators/sampling.py;
+    randomSplit is partition-dependent and cannot make this promise).
+    Split boundaries follow sorted split names: test|train|val."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.hash_split(d, "doc_id",
+                              {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split")
+
+
+@register("sample_stratum_cap", """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 30
+""")
+def sample_stratum_cap(spark, sf_dir):
+    """Budgeted per-language cap: at most N docs per stratum, chosen
+    deterministically — bounds over-represented languages in a
+    training mix with one window shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return (sampling.stratum_cap(d, "lang", "doc_id", cap=30)
+            .select("doc_id", "lang"))
+
+
+@register("sample_shuffle_order", f"""
+SELECT doc_id,
+       ((doc_id + 7919) * {_KNUTH}) % 4294967296 AS shuffle_key,
+       ((doc_id + 7919) * {_KNUTH}) % 4294967296 % 1024 AS shard
+FROM documents
+""")
+def sample_shuffle_order(spark, sf_dir):
+    """Deterministic epoch-1 shuffle: reproducible global order +
+    shard assignment for sharded writers."""
+    d = _t(spark, sf_dir, "documents")
+    return (sampling.shuffle_order(d, "doc_id", n_shards=1024, epoch=1)
+            .select("doc_id", "shuffle_key", "shard"))
+
+
+@register("pack_sequences_running_sum", r"""
+WITH toks AS (
+  SELECT doc_id,
+         least(greatest(len(string_split_regex(trim(text), '\s+')), 1),
+               2048) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(floor((sum(n) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - 1)
+                  / 2048) AS BIGINT) AS bin
+FROM toks
+""")
+def pack_running_sum_q(spark, sf_dir):
+    """Sequence packing into 2048-token context windows by running
+    total (operators/packing.py) — the streaming-order packer; window
+    math only, oracle-exact."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.withColumn(
+        "n_tok", F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    return (packing.pack_running_sum(toks, "n_tok", "doc_id",
+                                     capacity=2048)
+            .select("doc_id", "bin"))
+
+
+# rows-only: greedy first-fit-decreasing is not SQL-expressible; bin
+# VALIDITY (capacity respected, all docs placed, waste <= running-sum)
+# is asserted in test_operators.py
+@register("pack_first_fit_stats", None)
+def pack_first_fit_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.withColumn(
+        "n_tok", F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    packed = packing.pack_first_fit(toks, "n_tok", "doc_id",
+                                    capacity=2048)
+    return (packing.packing_stats(packed, "n_tok", 2048)
+            .orderBy("bin"))
 
 
 # rows-only: resized payloads and digest-derived features are byte-level
