@@ -511,3 +511,21 @@ class TestPacking:
                  packing.packing_stats(packed, "n_tok", 2048).collect()}
         assert stats[0]["n_docs"] == 3 and stats[0]["tokens"] == 2000
         assert stats[2]["fill"] == pytest.approx(2048 / 2048, abs=0.51)
+
+
+class TestWinnowOverlap:
+    def test_identical_and_contained(self, spark):
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["the quick brown fox jumps over the lazy dog",
+                     "the quick brown fox jumps over the lazy dog",
+                     "the quick brown fox jumps over the lazy dog "
+                     "and keeps running far away",
+                     "completely unrelated words about ships and stars"],
+        })
+        out = {(r["id_a"], r["id_b"]): r["overlap"] for r in
+               textops.winnow_overlap_pairs(
+                   spark.createDataFrame(pdf), threshold=0.3).collect()}
+        assert out[(1, 2)] == pytest.approx(1.0)   # identical
+        assert out[(1, 3)] >= 0.8                  # containment caught
+        assert not any(4 in p for p in out)        # unrelated not paired

@@ -98,3 +98,38 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     return base.select(
         "doc_id",
         F.explode(F.array_sort(F.array_distinct(mins))).alias("fingerprint"))
+
+
+def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 8,
+                         window: int = 4,
+                         threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint overlap (the MOSS
+    match metric): pairs whose shared fingerprints cover >= threshold
+    of the SMALLER document's fingerprint set (overlap coefficient —
+    robust to length mismatch, catches containment).
+
+    Inverted-index join on the fingerprint (same shape as the ngram
+    jaccard join): only docs sharing at least one fingerprint are ever
+    paired, so candidate generation is ~linear in corpus size, never
+    all-pairs. One shuffle on the fingerprint, one on the pair.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, window) \
+        .localCheckpoint(eager=False)
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = fps.alias("a"), fps.alias("b")
+    inter = (a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"),
+                      F.col("__n").alias("__nb"))
+    overlap = (F.col("n_shared").cast("double")
+               / F.least(F.col("__na"), F.col("__nb")))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("overlap", overlap)
+            .filter(F.col("overlap") >= threshold)
+            .select("id_a", "id_b", "n_shared", "overlap"))

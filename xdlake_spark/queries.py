@@ -1371,6 +1371,35 @@ def q13(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("custdist")))
 
 
+_WINNOW_SQL = REGISTRY["text_winnow_fingerprints"][1]
+
+@register("dedup_winnow_pairs", f"""
+WITH fps AS (
+{_WINNOW_SQL}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM fps a JOIN fps b ON a.fingerprint = b.fingerprint
+                       AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_shared AS DOUBLE) / least(sa.n, sb.n) >= 0.3
+""")
+def dedup_winnow_pairs_q(spark, sf_dir):
+    """Near-dup pairs by winnowing-fingerprint overlap coefficient
+    (MOSS match metric) — inverted-index join, never all-pairs."""
+    d = _t(spark, sf_dir, "documents")
+    out = textops.winnow_overlap_pairs(d, threshold=0.3)
+    return out.select("id_a", "id_b", "n_shared",
+                      F.round("overlap", 6).alias("overlap"))
+
+
 # ===========================================================================
 # Training-pipeline data prep: deterministic splits, caps, shuffle, packing
 # ===========================================================================
