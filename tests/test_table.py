@@ -509,3 +509,49 @@ class TestSchemaOps:
         assert d["partitionColumns"] == ["cats"]
         assert d["version"] == 1 and d["format"] == "delta"
         assert d["sizeInBytes"] > 0
+
+
+class TestRobustnessProbes:
+    def test_bad_write_mode_raises(self, spark, tmp_table_dir):
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        with pytest.raises(ValueError):
+            t.write(spark.createDataFrame(gen_pdf()), mode="upsert")
+
+    def test_scan_nonexistent_table_raises(self, spark, tmp_table_dir):
+        t = DeltaTable(spark, f"{tmp_table_dir}/nothing-here")
+        with pytest.raises(ValueError, match="No delta table"):
+            t.to_df()
+
+    def test_time_travel_missing_version_raises(self, spark,
+                                                tmp_table_dir):
+        t, _ = write_rounds(spark, f"{tmp_table_dir}/t", 2)
+        with pytest.raises(ValueError, match="does not exist"):
+            t.load_as_version(99)
+
+    def test_delete_bogus_column_leaves_table_intact(self, spark,
+                                                     tmp_table_dir):
+        from pyspark.errors import AnalysisException
+        t, expected = write_rounds(spark, f"{tmp_table_dir}/t", 2)
+        with pytest.raises(AnalysisException):
+            t.delete("no_such_column > 5")
+        t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
+        assert t2.version == t.version
+        assert_frames_equivalent(t2.to_pandas(), expected)
+
+    def test_update_bogus_predicate_leaves_table_intact(self, spark,
+                                                        tmp_table_dir):
+        from pyspark.errors import AnalysisException
+        t, expected = write_rounds(spark, f"{tmp_table_dir}/t", 1)
+        with pytest.raises(AnalysisException):
+            t.update({"i64": "1"}, "ghost_col = 3")
+        t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
+        assert t2.version == t.version
+        assert_frames_equivalent(t2.to_pandas(), expected)
+
+    def test_delete_all_then_rewrite(self, spark, tmp_table_dir):
+        t, _ = write_rounds(spark, f"{tmp_table_dir}/t", 1)
+        t = t.delete()
+        assert t.to_df().count() == 0
+        pdf = gen_pdf()
+        t = t.write(spark.createDataFrame(pdf))
+        assert_frames_equivalent(t.to_pandas(), pdf)
