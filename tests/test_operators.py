@@ -529,3 +529,29 @@ class TestWinnowOverlap:
         assert out[(1, 2)] == pytest.approx(1.0)   # identical
         assert out[(1, 3)] >= 0.8                  # containment caught
         assert not any(4 in p for p in out)        # unrelated not paired
+
+
+class TestShardedPacking:
+    def test_sharded_running_sum(self, spark, documents):
+        from xdlake_spark.operators import packing, sampling
+        toks = (documents
+                .withColumn("n_tok",
+                            F.size(F.split(F.trim(F.col("text")),
+                                           r"\s+"))))
+        sharded = sampling.shuffle_order(toks, "doc_id", n_shards=8)
+        packed = packing.pack_running_sum(sharded, "n_tok", "doc_id",
+                                          capacity=2048,
+                                          shard_col="shard")
+        rows = packed.select("doc_id", "shard", "bin", "n_tok").collect()
+        assert len(rows) == documents.count()
+        # bins never cross shards
+        for r in rows:
+            assert r["bin"] >> 32 == r["shard"]
+        # running-sum invariant: a bin spans at most one capacity window
+        # of cumulative tokens plus one straddling document, so its
+        # total is strictly < 2x capacity
+        fill: dict = {}
+        for r in rows:
+            fill.setdefault(r["bin"], []).append(
+                min(max(r["n_tok"], 1), 2048))
+        assert all(sum(v) < 2 * 2048 for v in fill.values())

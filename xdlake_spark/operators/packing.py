@@ -29,28 +29,37 @@ from pyspark.sql import types as T
 
 
 def pack_running_sum(df: DataFrame, token_col: str, id_col: str,
-                     capacity: int) -> DataFrame:
+                     capacity: int,
+                     shard_col: str | None = None) -> DataFrame:
     """Sequential packing by running token total.
 
     Bin boundary rule (deterministic, order = ``id_col`` ascending): a
     document starts a new bin when the running total of all documents
     up to and including it exceeds ``capacity`` times the bins already
-    closed. Implemented as ``floor((cumsum - 1) / capacity)`` over a
-    clamped per-doc token count — one window over a single global
-    order. For 100 TB runs, apply per shard (see
-    ``sampling.shuffle_order``) so each shard packs independently and
-    the window never needs a single global sort.
+    closed. Implemented as ``floor((cumsum - 1) / capacity)``.
+
+    ``shard_col`` is the scale path: the window partitions on it, every
+    shard packs independently in parallel, and bin ids become globally
+    unique as ``shard * 2^32 + local_bin``. Without it the window is a
+    single global order — fine for one shard's worth of data, the wrong
+    plan for 100 TB (pair with ``sampling.shuffle_order`` to assign
+    shards first).
     """
     toks = F.least(F.greatest(F.col(token_col).cast("long"), F.lit(1)),
                    F.lit(capacity))
-    w = (Window.orderBy(F.col(id_col))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    return (df.withColumn("__toks", toks)
-            .withColumn("__cum", F.sum("__toks").over(w))
-            .withColumn("bin",
-                        F.floor((F.col("__cum") - 1) / F.lit(capacity))
-                        .cast("long"))
-            .drop("__toks", "__cum"))
+    w = (Window.partitionBy(shard_col) if shard_col else Window) \
+        .orderBy(F.col(id_col)) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = (F.floor((F.col("__cum") - 1) / F.lit(capacity))
+             .cast("long"))
+    out = (df.withColumn("__toks", toks)
+           .withColumn("__cum", F.sum("__toks").over(w)))
+    if shard_col:
+        out = out.withColumn(
+            "bin", F.col(shard_col).cast("long") * F.lit(1 << 32) + local)
+    else:
+        out = out.withColumn("bin", local)
+    return out.drop("__toks", "__cum")
 
 
 def pack_first_fit(df: DataFrame, token_col: str, id_col: str,
