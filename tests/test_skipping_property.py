@@ -172,3 +172,108 @@ def test_unparseable_predicates_keep_everything():
                               stats=json.dumps({"numRecords": 1}))}
     for sql in ["a + b > 3", "lower(a) = 'x'", "a = b", "???", ""]:
         assert set(prune_manifest(adds, sql or None, [])) == {"f0.parquet"}
+
+
+# --- timestamp domain: DATE/TIMESTAMP literals vs ISO-string stats -------
+
+import datetime
+
+_TS0 = datetime.datetime(2024, 1, 1)
+_MINUTES = 5 * 24 * 60  # five days
+
+
+@st.composite
+def ts_chunks(draw):
+    """2-4 'files' of timestamp rows (None = SQL NULL)."""
+    n_files = draw(st.integers(2, 4))
+    val = st.one_of(st.none(), st.integers(0, _MINUTES))
+    out = []
+    for _ in range(n_files):
+        rows = draw(st.lists(val, min_size=1, max_size=5))
+        out.append([None if m is None
+                    else _TS0 + datetime.timedelta(minutes=m)
+                    for m in rows])
+    return out
+
+
+def _ts_stats(rows) -> str:
+    vals = [r for r in rows if r is not None]
+    s = {"numRecords": len(rows),
+         "nullCount": {"ts": len(rows) - len(vals)},
+         "minValues": {}, "maxValues": {}}
+    if vals:
+        # the ISO string shape Statistics emits for parquet ts footers
+        s["minValues"]["ts"] = min(vals).isoformat()
+        s["maxValues"]["ts"] = max(vals).isoformat()
+    return json.dumps(s)
+
+
+@st.composite
+def ts_predicates(draw):
+    """ts <op> TIMESTAMP '...' or ts <op> DATE '...' with Spark's
+    date-to-midnight promotion as ground truth."""
+    op = draw(st.sampled_from(list(_OPS)))
+    m = draw(st.integers(0, _MINUTES))
+    t = _TS0 + datetime.timedelta(minutes=m)
+    if draw(st.booleans()):
+        d = t.date()
+        lit = datetime.datetime(d.year, d.month, d.day)
+        sql = f"ts {op} DATE '{d.isoformat()}'"
+    else:
+        lit = t
+        sql = f"ts {op} TIMESTAMP '{t.strftime('%Y-%m-%d %H:%M:%S')}'"
+
+    def ev(x):
+        return None if x is None else _OPS[op](x, lit)
+    return (sql, ev)
+
+
+@settings(max_examples=300, deadline=None)
+@given(files=ts_chunks(), pred=ts_predicates())
+def test_timestamp_pruning_sound(files, pred):
+    sql, ev = pred
+    adds = {f"f{i}.parquet": Add(path=f"f{i}.parquet",
+                                 stats=_ts_stats(rows))
+            for i, rows in enumerate(files)}
+    kept = set(prune_manifest(adds, sql, []))
+    for i, rows in enumerate(files):
+        if any(ev(r) is True for r in rows):
+            assert f"f{i}.parquet" in kept, (
+                f"ts file f{i} matches {sql!r} but was pruned; "
+                f"stats={adds[f'f{i}.parquet'].stats}")
+
+
+# --- int domain near 2^53: float folding must not lose exactness ---------
+
+_BIG = 9007199254740992  # 2^53
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    files=st.lists(
+        st.lists(st.one_of(st.none(),
+                           st.integers(_BIG - 3, _BIG + 3),
+                           st.integers(-5, 5)),
+                 min_size=1, max_size=4),
+        min_size=2, max_size=4),
+    op=st.sampled_from(list(_OPS)),
+    lit=st.integers(_BIG - 3, _BIG + 3),
+)
+def test_big_int_pruning_exact(files, op, lit):
+    def stats(rows):
+        vals = [r for r in rows if r is not None]
+        s = {"numRecords": len(rows),
+             "nullCount": {"a": len(rows) - len(vals)},
+             "minValues": {}, "maxValues": {}}
+        if vals:
+            s["minValues"]["a"] = min(vals)
+            s["maxValues"]["a"] = max(vals)
+        return json.dumps(s)
+
+    adds = {f"f{i}.parquet": Add(path=f"f{i}.parquet", stats=stats(rows))
+            for i, rows in enumerate(files)}
+    kept = set(prune_manifest(adds, f"a {op} {lit}", []))
+    for i, rows in enumerate(files):
+        if any(r is not None and _OPS[op](r, lit) for r in rows):
+            assert f"f{i}.parquet" in kept, (
+                f"big-int file f{i} matches a {op} {lit} but was pruned")
