@@ -1882,6 +1882,25 @@ def q20(spark, sf_dir):
             .select("s_suppkey", "s_name"))
 
 
+@register("q16_part_supplier_variety", """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 20 AND p_brand <> 'Brand#2'
+GROUP BY p_brand, p_type, p_size
+""")
+def q16(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: lineitem re-derives the part-supplier
+    relation): grouped DISTINCT aggregation — Spark plans this as
+    expand + two-phase aggregate, no row explosion on the driver."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 20) & (F.col("p_brand") != "Brand#2"))
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
 @register("q22_dormant_accounts", """
 SELECT c_nationkey AS cntrycode, count(*) AS numcust,
        round(sum(c_acctbal), 2) AS totacctbal
