@@ -555,3 +555,30 @@ class TestRobustnessProbes:
         pdf = gen_pdf()
         t = t.write(spark.createDataFrame(pdf))
         assert_frames_equivalent(t.to_pandas(), pdf)
+
+
+class TestOptimizeWhere:
+    def test_partial_compaction(self, spark, tmp_table_dir):
+        t, expected = write_rounds(spark, f"{tmp_table_dir}/t", 4,
+                                   partition_by=["cats"])
+        other = {p for p, a in t.adds.items()
+                 if a.partitionValues.get("cats") != "S"}
+        t2 = t.optimize(where="cats = 'S'")
+        # non-matching partitions untouched, matching partition compacted
+        assert other <= set(t2.adds)
+        s_before = sum(1 for a in t.adds.values()
+                       if a.partitionValues.get("cats") == "S")
+        s_after = sum(1 for a in t2.adds.values()
+                      if a.partitionValues.get("cats") == "S")
+        assert s_after < s_before
+        assert_frames_equivalent(t2.to_pandas(), expected)
+
+    def test_zorder_scoped(self, spark, tmp_table_dir):
+        t, expected = write_rounds(spark, f"{tmp_table_dir}/t", 3,
+                                   partition_by=["cats"])
+        other = {p for p, a in t.adds.items()
+                 if a.partitionValues.get("cats") != "S"}
+        t2 = t.optimize(zorder_by=["i64", "f64"], where="cats = 'S'",
+                        target_file_size=64 * 1024)
+        assert other <= set(t2.adds)
+        assert_frames_equivalent(t2.to_pandas(), expected)

@@ -907,7 +907,8 @@ class DeltaTable:
 
     def optimize(self, target_file_size: int = 128 * 1024 * 1024,
                  custom_metadata: dict | None = None,
-                 zorder_by: list[str] | None = None) -> "DeltaTable":
+                 zorder_by: list[str] | None = None,
+                 where: str | None = None) -> "DeltaTable":
         """Compaction: coalesce small files per partition into ~target-size
         files; a metadata-only change (``dataChange=false``).
 
@@ -916,13 +917,21 @@ class DeltaTable:
         per-file min/max intervals are tight on every Z-order column, so
         manifest pruning (plans/skipping.py) skips files for predicates
         on any of them, not only the first sort key.
+
+        ``where``: OPTIMIZE ... WHERE — restrict the operation to files
+        matched by a partition predicate (manifest prune; non-partition
+        predicates keep every file they might match). The way a 100 TB
+        table compacts its hot partitions daily without rewriting cold
+        history.
         """
         if self.schema is None:
             raise ValueError(f"No delta table at {self.location.url}")
+        scope = (prune_manifest(self.adds, where, self.partition_columns)
+                 if where else self.adds)
         if zorder_by:
             return self._zorder(zorder_by, target_file_size,
-                                custom_metadata)
-        small = {p: a for p, a in self.adds.items()
+                                custom_metadata, scope=scope)
+        small = {p: a for p, a in scope.items()
                  if a.size < target_file_size}
         # group by partition; only partitions with >1 small file benefit
         by_part: dict[tuple, list[str]] = {}
@@ -950,7 +959,8 @@ class DeltaTable:
         return self._commit(entry)
 
     def _zorder(self, columns: list[str], target_file_size: int,
-                custom_metadata: dict | None) -> "DeltaTable":
+                custom_metadata: dict | None,
+                scope: dict[str, Add] | None = None) -> "DeltaTable":
         """Z-order clustering rewrite.
 
         Per column: 256 approx-quantile boundaries (one lightweight agg
@@ -961,7 +971,8 @@ class DeltaTable:
         the same way orderBy does, and all heavy work is executor-side.
         """
         n_bits = 8
-        df = self._scan(self.adds)
+        scope = self.adds if scope is None else scope
+        df = self._scan(scope)
         probs = [i / (1 << n_bits) for i in range(1, 1 << n_bits)]
         rank_cols = []
         for c in columns:
@@ -983,7 +994,7 @@ class DeltaTable:
                     .bitwiseAND(F.lit(1)),
                     bit * len(columns) + j)
 
-        total_bytes = sum(a.size for a in self.adds.values())
+        total_bytes = sum(a.size for a in scope.values())
         n_out = max(1, -(-total_bytes // target_file_size))  # ceil
         clustered = (ranked.withColumn("__z", z)
                      .repartitionByRange(n_out, "__z")
@@ -991,7 +1002,7 @@ class DeltaTable:
                      .drop("__z", *[f"__r{j}"
                                     for j in range(len(columns))]))
         new_adds = self._write_data(clustered, self.partition_columns)
-        removes = [a.to_remove() for a in self.adds.values()]
+        removes = [a.to_remove() for a in scope.values()]
         metrics = {"numFilesAdded": len(new_adds),
                    "numFilesRemoved": len(removes),
                    "zOrderBy": ",".join(columns)}
