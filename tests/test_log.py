@@ -367,3 +367,29 @@ class TestForeignMaintenanceLogs:
         ci = log.entries[2].commit_info
         assert ci.operationParameters["matchedPredicates"] == \
             "[{\"actionType\":\"update\"}]"
+
+
+class TestSetTransaction:
+    def test_txn_roundtrip_and_watermark(self, tmp_path):
+        from xdlake_spark.log import (SetTransaction, append_table_entry,
+                                      commit_entry)
+        log_loc = Location.resolve(str(tmp_path / "_delta_log"))
+        a = Add(path="f0.parquet", size=1)
+        e0 = DeltaLogEntry([Protocol(),
+                            TableMetadata(schemaString="{}"), a])
+        commit_entry(log_loc, 0, e0)
+        commit_entry(log_loc, 1, append_table_entry(
+            [Add(path="f1.parquet", size=1)], [],
+            txn=SetTransaction(appId="appA", version=7)))
+        commit_entry(log_loc, 2, append_table_entry(
+            [Add(path="f2.parquet", size=1)], [],
+            txn=SetTransaction(appId="appB", version=3)))
+        log = DeltaLog.load(log_loc)
+        assert log.latest_txn_version("appA") == 7
+        assert log.latest_txn_version("appB") == 3
+        assert log.latest_txn_version("ghost") is None
+        # serialized under the protocol's "txn" key, parsed back typed
+        rt = DeltaLogEntry.from_bytes(log.entries[1].to_bytes())
+        txns = [x for x in rt.actions
+                if type(x).__name__ == "SetTransaction"]
+        assert txns and txns[0].appId == "appA" and txns[0].version == 7

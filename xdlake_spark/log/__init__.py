@@ -25,6 +25,7 @@ from .actions import (
     Operation,
     Protocol,
     Remove,
+    SetTransaction,
     TableCommit,
     TableMetadata,
     UnknownAction,
@@ -153,8 +154,11 @@ def create_table_entry(schema: T.StructType, partition_by: list[str],
 
 def append_table_entry(adds: list[Add], partition_by: list[str],
                        schema: T.StructType | None = None,
-                       custom_metadata: dict | None = None) -> DeltaLogEntry:
+                       custom_metadata: dict | None = None,
+                       txn: SetTransaction | None = None) -> DeltaLogEntry:
     actions: list[Action] = []
+    if txn is not None:  # streaming idempotence watermark
+        actions.append(txn)
     if schema is not None:  # schema evolution: re-declare metaData
         actions.append(TableMetadata(schemaString=schema_to_string(schema),
                                      partitionColumns=list(partition_by or [])))
@@ -370,6 +374,19 @@ class DeltaLog:
                 return hint
         return []
 
+    def latest_txn_version(self, app_id: str) -> int | None:
+        """Highest ``txn`` version recorded for ``app_id`` (Delta
+        protocol idempotence watermark), or None if the application has
+        never committed. Streaming sinks consult this before applying a
+        replayed micro-batch."""
+        best: int | None = None
+        for v in sorted(self.entries, reverse=True):
+            for a in self.entries[v].actions:
+                if isinstance(a, SetTransaction) and a.appId == app_id:
+                    if best is None or a.version > best:
+                        best = a.version
+        return best
+
     def protocol(self) -> Protocol:
         """Newest protocol action; spec default if none recorded."""
         for v in sorted(self.entries, reverse=True):
@@ -447,7 +464,8 @@ def commit_entry(log_location, version: int, entry: DeltaLogEntry) -> None:
 
 
 __all__ = [
-    "Action", "Add", "Remove", "Protocol", "TableMetadata", "TableCommit",
+    "Action", "Add", "Remove", "Protocol", "SetTransaction",
+    "TableMetadata", "TableCommit",
     "UnknownAction", "Operation", "WriteMode", "SchemaMode", "DeltaLog",
     "DeltaLogEntry", "load_action", "log_entry_filename", "timestamp_ms",
     "create_table_entry", "append_table_entry", "overwrite_table_entry",

@@ -128,6 +128,20 @@ class TableMetadata(Action):
         return json.loads(self.schemaString)
 
 
+@dataclass(kw_only=True)
+class SetTransaction(Action):
+    """``txn``: application transaction watermark (Delta protocol) —
+    the idempotence record streaming writers use: a sink that already
+    committed ``version`` for its ``appId`` skips the replay. Written
+    by delta-spark / delta-rs streaming sinks with exactly this shape."""
+
+    action_name: ClassVar[str] = "txn"
+
+    appId: str
+    version: int
+    lastUpdated: int | None = None
+
+
 class Operation:
     """Commit operation names (reference: actions.py:104-113)."""
 

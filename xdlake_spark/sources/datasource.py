@@ -261,19 +261,21 @@ class _XdlakeStreamWriter(DataSourceStreamWriter):
         return _WrittenFile(rel, size, stats.to_json(), table.num_rows)
 
     def commit(self, messages, batchId: int) -> None:
-        from ..log import (DeltaLog, Add, append_table_entry, commit_entry,
-                           timestamp_ms)
+        from ..log import (DeltaLog, Add, SetTransaction,
+                           append_table_entry, commit_entry, timestamp_ms)
         from .storage import Location
 
         loc = Location.resolve(self.path)
         log_loc = loc.join("_delta_log")
         log = DeltaLog.load(log_loc)
-        # idempotence: a Spark retry re-runs the same batchId -> no-op
-        # (custom metadata serializes as top-level commitInfo keys)
-        for info in log.history():
-            if info.get("streamingBatchId") == batchId:
-                return
-            break  # only the newest commit can be the replayed batch
+        # idempotence via the Delta protocol's txn watermark: a Spark
+        # retry re-runs the same batchId -> no-op regardless of any
+        # commits other writers landed in between (stronger than
+        # checking only the newest commitInfo)
+        app_id = f"xdlake-streaming:{loc.url}"
+        seen = log.latest_txn_version(app_id)
+        if seen is not None and seen >= batchId:
+            return
         adds = [Add(path=m.rel_path, size=m.size,
                     modificationTime=timestamp_ms(), partitionValues={},
                     stats=m.stats_json)
@@ -281,7 +283,9 @@ class _XdlakeStreamWriter(DataSourceStreamWriter):
         if not adds:
             return
         entry = append_table_entry(
-            adds, [], custom_metadata={"streamingBatchId": batchId})
+            adds, [], custom_metadata={"streamingBatchId": batchId},
+            txn=SetTransaction(appId=app_id, version=batchId,
+                               lastUpdated=timestamp_ms()))
         for attempt in range(5):
             try:
                 commit_entry(log_loc, log.version_to_write, entry)

@@ -132,6 +132,11 @@ class DeltaTable:
         """Absolute URIs of live files (reference __init__.py:122-125)."""
         return [self.location.absloc(p).url for p in self.adds]
 
+    def txn_version(self, app_id: str) -> int | None:
+        """Latest ``txn`` watermark committed for ``app_id`` (Delta
+        protocol streaming idempotence; see DeltaLog.latest_txn_version)."""
+        return self.log.latest_txn_version(app_id)
+
     # -- scan ------------------------------------------------------------------
 
     def to_df(self, where: str | None = None) -> DataFrame:
