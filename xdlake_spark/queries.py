@@ -1172,6 +1172,18 @@ def embedding_neardup(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"))
 
 
+# rows-only: multi-table hyperplane LSH is approximate by design; its
+# recall (>=0.9 on planted near-dups) and subset-of-exact soundness are
+# asserted in test_operators.py
+@register("embedding_neardup_lsh", None)
+def embedding_neardup_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = dedup.embedding_neardup_pairs(e, threshold=0.3, n_planes=8,
+                                        n_tables=6)
+    return out.select("id_a", "id_b",
+                      F.round("cosine", 4).alias("cosine"))
+
+
 @register("similarity_topk_cosine", f"""
 SELECT vec_id,
        round(list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 4)
