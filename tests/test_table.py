@@ -582,3 +582,24 @@ class TestOptimizeWhere:
                         target_file_size=64 * 1024)
         assert other <= set(t2.adds)
         assert_frames_equivalent(t2.to_pandas(), expected)
+
+
+class TestMutatorConflicts:
+    def test_stale_update_and_merge_conflict_cleanly(self, spark,
+                                                     tmp_table_dir):
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        stale = DeltaTable(spark, f"{tmp_table_dir}/t")
+        # another writer advances the head under the stale handle
+        t.write(spark.createDataFrame(gen_pdf()))
+        with pytest.raises(FileExistsError):
+            stale.update({"i64": "0"}, "flag = true")
+        with pytest.raises(FileExistsError):
+            stale.merge(spark.createDataFrame(pdf.head(2)),
+                        "t.order = s.order",
+                        when_matched_update={"i64": "s.i64"})
+        # the other writer's commit survives untouched
+        fresh = DeltaTable(spark, f"{tmp_table_dir}/t")
+        assert fresh.version == 1
+        assert fresh.to_df().count() == 2 * len(pdf)
