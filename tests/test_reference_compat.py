@@ -142,3 +142,27 @@ class TestReferenceReadsMaintenanceCommits:
         # constraint metadata rides along without breaking the reference
         assert (ref["l_quantity"] >= 1000).sum() == \
             (ours["l_quantity"] > 1000).sum()
+
+
+class TestPartitionedInterop:
+    def test_we_read_reference_partitioned_table(self, spark,
+                                                 tmp_table_dir):
+        import pyarrow as pa
+        tbl = pa.table({
+            "id": pa.array(range(90), pa.int64()),
+            "v": pa.array([float(i) for i in range(90)]),
+            "cat": pa.array([str(i % 3) for i in range(90)]),
+        })
+        xdlake_ref.DeltaTable(tmp_table_dir).write(
+            tbl, partition_by=["cat"])
+        ours = DeltaTable(spark, tmp_table_dir)
+        assert ours.partition_columns == ["cat"]
+        assert ours.to_df().count() == 90
+        # partition predicate prunes to one reference-written partition
+        one = ours.to_df(where="cat = '2'")
+        assert one.count() == 30
+        assert len(one.inputFiles()) < len(ours.to_df().inputFiles())
+        # and our delete works against the reference's layout
+        t2 = ours.delete("cat = '0'")
+        assert t2.to_df().count() == 60
+        assert len(_ref_read_sorted(tmp_table_dir)) == 60
