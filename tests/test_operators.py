@@ -555,3 +555,29 @@ class TestShardedPacking:
             fill.setdefault(r["bin"], []).append(
                 min(max(r["n_tok"], 1), 2048))
         assert all(sum(v) < 2 * 2048 for v in fill.values())
+
+
+class TestAudioChunks:
+    def test_chunking_shape_and_energy(self, spark, documents):
+        payloads = multimodal.attach_fake_payloads(
+            documents.limit(20), size=16000)  # 8000 samples = 0.5s@16k
+        out = multimodal.chunk_audio(payloads, sample_rate=16000,
+                                     chunk_seconds=0.25,
+                                     deterministic_fake=True)
+        rows = out.collect()
+        # 8000 samples / 4000-sample chunks = 2 chunks per doc
+        assert len(rows) == 40
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+            assert 0.0 <= r["rms"] <= r["peak"] <= 1.0
+            assert r["n_samples"] == 4000
+        assert all(sorted(c["chunk_index"] for c in v) == [0, 1]
+                   for v in by_doc.values())
+
+    def test_real_path_stubbed(self, spark, documents):
+        payloads = multimodal.attach_fake_payloads(documents.limit(1))
+        out = multimodal.chunk_audio(payloads)
+        import pytest as _p
+        with _p.raises(Exception, match="audio"):
+            out.collect()

@@ -233,3 +233,65 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col),
                      F.encode(F.substring(repeated, 1, size),
                               "utf-8").alias("payload"))
+
+
+#: Audio chunking output: one row per fixed-duration chunk.
+AUDIO_CHUNK_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("chunk_index", T.IntegerType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("rms", T.FloatType()),
+    T.StructField("peak", T.FloatType()),
+    T.StructField("chunk_sha256", T.StringType()),
+])
+
+
+def chunk_audio(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "doc_id", sample_rate: int = 16000,
+                chunk_seconds: float = 1.0,
+                deterministic_fake: bool = False) -> DataFrame:
+    """Audio payload -> fixed-duration chunk rows with energy features
+    (rms / peak), the front half of any speech/audio training pipeline
+    (VAD thresholding, silence trimming, caption alignment).
+
+    The payload is interpreted as PCM16 mono at ``sample_rate``
+    (``deterministic_fake`` path — bytes as-is; a REAL deployment
+    replaces the interpretation with an audio decoder, e.g.
+    soundfile/librosa, which this container lacks). Per-chunk numpy is
+    vectorized inside Arrow batches; fan-out shape matches
+    :func:`sample_frames`.
+    """
+    chunk_len = max(1, int(sample_rate * chunk_seconds))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "audio decode requires an audio library (e.g. "
+                        "soundfile); not available — use "
+                        "deterministic_fake=True")
+                if len(data) < 2:
+                    continue
+                pcm = np.frombuffer(
+                    data[: len(data) - (len(data) % 2)],
+                    dtype="<i2").astype(np.float32) / 32768.0
+                for ci in range(0, len(pcm), chunk_len):
+                    chunk = pcm[ci:ci + chunk_len]
+                    raw = data[ci * 2:(ci + len(chunk)) * 2]
+                    rows.append({
+                        "doc_id": int(doc_id),
+                        "chunk_index": ci // chunk_len,
+                        "n_samples": int(len(chunk)),
+                        "rms": float(np.sqrt(np.mean(chunk ** 2))),
+                        "peak": float(np.max(np.abs(chunk))),
+                        "chunk_sha256":
+                            hashlib.sha256(raw).hexdigest(),
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUDIO_CHUNK_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=AUDIO_CHUNK_SCHEMA)

@@ -1507,6 +1507,17 @@ def pack_first_fit_q(spark, sf_dir):
             .orderBy("bin"))
 
 
+# rows-only: PCM interpretation + per-chunk numpy energy features are
+# byte-level artifacts DuckDB SQL cannot reproduce
+@register("multimodal_audio_chunks", None)
+def multimodal_audio_chunks(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payloads(d, size=16000)
+    return multimodal.chunk_audio(payloads, sample_rate=16000,
+                                  chunk_seconds=0.25,
+                                  deterministic_fake=True)
+
+
 # rows-only: resized payloads and digest-derived features are byte-level
 # artifacts DuckDB SQL cannot reproduce (sha256 over BLOB unsupported)
 @register("multimodal_resize_extract", None)
