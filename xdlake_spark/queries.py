@@ -1924,6 +1924,57 @@ def q16(spark, sf_dir):
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
 
 
+@register("q21_waiting_suppliers", """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+), multi AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1
+)
+SELECT s_name, count(*) AS numwait
+FROM supplier JOIN late l ON s_suppkey = l.l_suppkey
+WHERE l.l_orderkey IN (SELECT l_orderkey FROM multi)
+  AND NOT EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = l.l_orderkey
+                    AND l2.l_suppkey <> l.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""")
+def q21(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: lateness = shipped >90 days after the
+    order; no receipt/commit dates in the dataset): the only supplier
+    who shipped late in a multi-supplier order — semi join on one
+    correlated set, anti join on another."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    late = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+            .select("l_orderkey", "l_suppkey")
+            .localCheckpoint(eager=False))
+    multi = (li.groupBy("l_orderkey")
+             .agg(F.countDistinct("l_suppkey").alias("__ns"))
+             .filter(F.col("__ns") > 1)
+             .select("l_orderkey"))
+    cand = late.join(multi, "l_orderkey", "left_semi").alias("c")
+    others = late.select(F.col("l_orderkey").alias("o_key"),
+                         F.col("l_suppkey").alias("o_supp"))
+    solo = cand.join(others,
+                     (F.col("c.l_orderkey") == F.col("o_key"))
+                     & (F.col("c.l_suppkey") != F.col("o_supp")),
+                     "left_anti")
+    return (solo.join(F.broadcast(s),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(20))
+
+
 @register("q22_dormant_accounts", """
 SELECT c_nationkey AS cntrycode, count(*) AS numcust,
        round(sum(c_acctbal), 2) AS totacctbal
