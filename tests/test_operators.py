@@ -416,6 +416,137 @@ class TestConnectedComponents:
         assert kept == [1, 4, 9]
 
 
+class TestBoundedBucketPairs:
+    """The LSH skew valve: hot buckets tile into bounded block tasks
+    with output identical to the naive bucket self-join."""
+
+    def test_hot_bucket_exact_pairs(self, spark):
+        n = 300
+        entries = spark.createDataFrame(
+            pd.DataFrame({"id": range(n), "band": [0] * n,
+                          "bucket": [7] * n}))
+        rows = dedup._bounded_bucket_pairs(
+            entries, ["band", "bucket"], bucket_cap=50).collect()
+        got = {(r["id_a"], r["id_b"]) for r in rows}
+        assert len(rows) == len(got) == n * (n - 1) // 2
+        assert all(a < b for a, b in got)
+
+    def test_salt_groups_bounded(self, spark):
+        # the per-task pair work is (left salt group) x (right salt
+        # group); assert no salt group materially exceeds the cap
+        n, cap = 300, 50
+        entries = spark.createDataFrame(
+            pd.DataFrame({"id": range(n), "band": [0] * n,
+                          "bucket": [7] * n}))
+        ns = -(-n // cap)
+        sizes = (entries
+                 .withColumn("__salt", F.pmod(F.xxhash64("id"), F.lit(ns)))
+                 .groupBy("__salt").count().collect())
+        assert len(sizes) == ns
+        assert max(r["count"] for r in sizes) <= 2 * cap
+
+    def test_payload_and_small_buckets(self, spark):
+        entries = spark.createDataFrame(
+            pd.DataFrame({"id": [3, 1, 2, 10, 11],
+                          "band": [0, 0, 0, 1, 1],
+                          "bucket": [5, 5, 5, 9, 9],
+                          "tag": ["c", "a", "b", "x", "y"]}))
+        rows = {(r["id_a"], r["id_b"]): (r["tag_a"], r["tag_b"])
+                for r in dedup._bounded_bucket_pairs(
+                    entries, ["band", "bucket"], payload=["tag"],
+                    bucket_cap=2000).collect()}
+        assert rows == {(1, 2): ("a", "b"), (1, 3): ("a", "c"),
+                        (2, 3): ("b", "c"), (10, 11): ("x", "y")}
+
+    def test_minhash_capped_equals_uncapped_on_hot_bucket(
+            self, spark, documents):
+        # 120 identical docs = one hot bucket in every band; tiling must
+        # not change the result
+        base = documents.limit(60).select("doc_id", "text")
+        one = documents.limit(1).select("text")
+        hot = (spark.range(120)
+               .select((F.col("id") + 500000).alias("doc_id"))
+               .crossJoin(one))
+        corpus = base.unionByName(hot)
+
+        def pairs(cap):
+            return sorted(
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in dedup.minhash_lsh_pairs(
+                    corpus, threshold=0.7, bucket_cap=cap).collect())
+
+        assert pairs(20) == pairs(10**9)
+
+    def test_simhash_capped_equals_uncapped(self, spark, docs_with_dups):
+        def pairs(cap):
+            return sorted(
+                (r["id_a"], r["id_b"], r["hamming"])
+                for r in dedup.simhash_pairs(
+                    docs_with_dups, max_hamming=3,
+                    bucket_cap=cap).collect())
+
+        assert pairs(16) == pairs(10**9)
+
+    def test_embedding_lsh_capped_equals_uncapped(self, spark, embeddings):
+        emb = embeddings.limit(300)
+
+        def pairs(cap):
+            return sorted(
+                (r["id_a"], r["id_b"], round(r["cosine"], 9))
+                for r in dedup.embedding_neardup_pairs(
+                    emb, threshold=0.9, bucket_cap=cap).collect())
+
+        assert pairs(10) == pairs(10**9)
+
+
+class TestConnectedComponentsScale:
+    """Large-star/small-star: round count is O(log^2 n) on ANY shape —
+    the chain graph that degrades label propagation to O(n) rounds."""
+
+    def test_long_chain_bounded_rounds(self, spark):
+        n = 2000
+        edges = spark.createDataFrame(
+            pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)}))
+        comp = dedup.connected_components(edges, max_iter=15)
+        assert comp.count() == n
+        assert comp.filter("component != 0").count() == 0
+
+    def test_random_graph_matches_union_find(self, spark):
+        rng = np.random.default_rng(7)
+        a = rng.integers(0, 500, size=800)
+        b = rng.integers(0, 500, size=800)
+        edges = spark.createDataFrame(pd.DataFrame({"id_a": a, "id_b": b}))
+
+        parent = list(range(500))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            parent[find(x)] = find(y)
+        want = {}
+        touched = set(a.tolist()) | set(b.tolist())
+        roots = {}
+        for x in sorted(touched):
+            r = find(x)
+            roots.setdefault(r, x)  # min id in component
+            want[x] = roots[r]
+
+        got = {r["id"]: r["component"]
+               for r in dedup.connected_components(edges).collect()}
+        assert got == want
+
+    def test_non_convergence_raises(self, spark):
+        n = 64
+        edges = spark.createDataFrame(
+            pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)}))
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.connected_components(edges, max_iter=1)
+
+
 class TestSampling:
     def test_hash_split_stable_and_proportional(self, spark, documents):
         from xdlake_spark.operators import sampling

@@ -23,6 +23,9 @@ band/bucket joins co-partition both sides on the bucket key.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -32,6 +35,69 @@ from pyspark.sql import types as T
 from . import ensure_parallelism
 from ..functions.text import fingerprint_md5, shingles
 from ..functions.vectors import cosine, hyperplane_signature
+
+
+def _bounded_bucket_pairs(entries: DataFrame, keys: list[str],
+                          payload: list[str] | None = None,
+                          bucket_cap: int = 2000) -> DataFrame:
+    """All unordered same-bucket id pairs, with per-task pair work
+    bounded by ~``bucket_cap``^2 regardless of bucket size.
+
+    ``entries`` has one row per (id, bucket); ``keys`` name the bucket
+    columns. A bucket of n members yields n*(n-1)/2 pairs; in a naive
+    self-join one hot bucket (k near-identical docs — the COMMON case
+    on a web corpus: boilerplate pages, templated spam) does all O(k^2)
+    work inside a single shuffle task. Here every bucket is split into
+    s = ceil(n / bucket_cap) salt groups by id hash and the pair grid
+    is tiled into s*(s+1)/2 block tasks, each comparing ~bucket_cap x
+    bucket_cap rows — identical output (every cross-salt pair lands in
+    exactly one block; diagonal blocks order by id), total work
+    unchanged, stragglers gone. Shuffle volume is n*(s+1) rows per
+    bucket — the replication cost of tiling, negligible for the
+    all-small common case (s=1: one extra count-attach join only).
+
+    Returns (id_a, id_b[, {p}_a, {p}_b ...]) with id_a < id_b, deduped
+    across buckets.
+    """
+    payload = payload or []
+    cnt = entries.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    e = (entries.join(cnt, keys)
+         .withColumn("__ns", F.ceil(F.col("__n") / F.lit(bucket_cap))
+                     .cast("int"))
+         .withColumn("__salt",
+                     F.pmod(F.xxhash64("id"), F.col("__ns")).cast("int"))
+         .drop("__n"))
+    # left side owns block rows (salt, sb) for sb >= salt; right side
+    # (sa, salt) for sa <= salt: a pair with salts (x <= y) meets in
+    # exactly one block (x, y)
+    left = e.select(
+        *keys, "id", *payload, F.col("__salt").alias("__sa"),
+        F.explode(F.sequence(F.col("__salt"), F.col("__ns") - 1))
+        .alias("__sb"))
+    right = e.select(
+        *keys, "id", *payload, F.col("__salt").alias("__sb"),
+        F.explode(F.sequence(F.lit(0), F.col("__salt"))).alias("__sa"))
+
+    l, r = left.alias("l"), right.alias("r")
+    same = [F.col(f"l.{k}") == F.col(f"r.{k}")
+            for k in [*keys, "__sa", "__sb"]]
+    # diagonal blocks see both orientations -> order there; off-diagonal
+    # blocks see each pair once in a fixed (salt-determined) orientation
+    # -> must not drop on id order
+    ids = F.when(F.col("l.__sa") == F.col("l.__sb"),
+                 F.col("l.id") < F.col("r.id")) \
+        .otherwise(F.col("l.id") != F.col("r.id"))
+    cond = functools.reduce(operator.and_, same) & ids
+
+    lo = F.col("l.id") < F.col("r.id")
+    cols = [F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+            F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b")]
+    for p in payload:
+        cols.append(F.when(lo, F.col(f"l.{p}"))
+                    .otherwise(F.col(f"r.{p}")).alias(f"{p}_a"))
+        cols.append(F.when(lo, F.col(f"r.{p}"))
+                    .otherwise(F.col(f"l.{p}")).alias(f"{p}_b"))
+    return l.join(r, cond).select(cols).dropDuplicates(["id_a", "id_b"])
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -62,6 +128,37 @@ def duplicate_groups(df: DataFrame, text_col: str = "text",
             .filter(F.col("n_dups") > 1))
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node u connects its LARGER neighbors
+    to the minimum of its closed neighborhood. Edges in: any (u, v)
+    set; edges out: (v, min(Γ(u) ∪ {u})) for v ∈ Γ(u), v > u."""
+    sym = (e.select("u", "v")
+           .union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+           .distinct())
+    mins = (sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("u", "__mn").alias("__m")))
+    return (sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: every node u connects its SMALLER
+    neighbors (and itself) to the minimum among them. Edges are first
+    oriented large→small so each undirected edge is counted once."""
+    dir_ = (e.select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+    mins = dir_.groupBy("u").agg(F.min("v").alias("__m"))
+    out = (dir_.join(mins, "u")
+           .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+           .union(mins.select("u", F.col("__m").alias("v"))))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
 def connected_components(edges: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iter: int = 50) -> DataFrame:
@@ -69,38 +166,55 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     ``(id, component)`` where component is the minimum id reachable.
 
     This is the step that turns pairwise near-dup hits into dedup
-    groups (keep one doc per component). Algorithm: hash-min label
-    propagation — every node repeatedly takes the min label across its
-    neighborhood until fixpoint. Each round is one join + one groupBy
-    (two shuffles on uniformly-hashed ids), and rounds are bounded by
-    the graph diameter, which for dedup graphs is tiny (near-dup
-    clusters are dense). ``localCheckpoint`` truncates the plan each
-    round so the lineage never grows; at extreme diameters switch to
-    the large-star/small-star variant which converges in
-    O(log^2 n) rounds.
+    groups (keep one doc per component). Algorithm: alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — each round is two groupBy+join passes over
+    the edge set, and the edge set provably contracts to a star forest
+    (every node pointing at its component minimum) in O(log^2 n)
+    rounds on ANY graph shape. Hash-min label propagation, the obvious
+    alternative, needs O(diameter) rounds: a chain-shaped near-dup
+    graph (doc A ~ B ~ C ~ ... — common for serially-edited boilerplate)
+    degrades it to O(n) rounds. ``localCheckpoint`` truncates lineage
+    each round.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    reaching the fixpoint — silently returning partial labels would
+    let ``dedup_keepers_from_pairs`` keep false "keepers".
     """
-    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    e = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    raw = edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    e = (raw.filter(F.col("u") != F.col("v"))
          .distinct()
          .localCheckpoint())
-    labels = (e.select(F.col("a").alias("id")).distinct()
-              .withColumn("component", F.col("id"))
-              .localCheckpoint())
+    # nodes from the UNfiltered input: a node seen only in self-loop
+    # pairs still labels itself
+    nodes = (raw.select("u").union(raw.select(F.col("v").alias("u")))
+             .distinct()
+             .select(F.col("u").alias("id"))
+             .localCheckpoint())
+
+    n_edges = e.count()
+    converged = n_edges == 0
     for _ in range(max_iter):
-        prop = (e.join(labels, e["a"] == labels["id"])
-                .select(F.col("b").alias("id"), F.col("component")))
-        new_labels = (labels.union(prop)
-                      .groupBy("id")
-                      .agg(F.min("component").alias("component"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
-        labels = new_labels
-        if changed == 0:
+        if converged:
             break
-    return labels
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        n2 = e2.count()
+        if n2 == n_edges and e2.exceptAll(e).isEmpty():
+            converged = True
+        e, n_edges = e2, n2
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "rounds — raise max_iter (the star-contraction needs "
+            "O(log^2 n) rounds; this graph exceeded that budget)")
+
+    # fixpoint is a star forest: every edge is (child, root). Roots and
+    # isolated nodes label themselves.
+    labels = (e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+              .groupBy("id").agg(F.min("component").alias("component")))
+    roots = (nodes.join(labels, "id", "left_anti")
+             .select("id", F.col("id").alias("component")))
+    return labels.union(roots)
 
 
 def dedup_keepers_from_pairs(df: DataFrame, pairs: DataFrame,
@@ -175,12 +289,16 @@ def minhash_signature_df(df: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k_shingle: int = 3,
                       num_hashes: int = 32, bands: int = 8,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7,
+                      bucket_cap: int = 2000) -> DataFrame:
     """Candidate pairs from banded minhash buckets, verified with exact
     jaccard over distinct shingles. Returns (id_a, id_b, jaccard).
 
     Scale path: the self-join keys on (band, bucket-hash) — a uniform
-    hash key — so candidates are generated per-bucket, never O(n^2).
+    hash key — so candidates are generated per-bucket, never O(n^2);
+    ``bucket_cap`` tiles any hot bucket (k near-identical docs — the
+    common case on web corpora) into bounded block tasks instead of
+    one O(k^2) straggler (see ``_bounded_bucket_pairs``).
     """
     rows_per_band = num_hashes // bands
     # the shingle/signature projection is the expensive stage: checkpoint
@@ -205,15 +323,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         ])).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
 
-    left = band_entries.alias("l")
-    right = band_entries.alias("r")
-    cand = (left.join(right,
-                      (F.col("l.band") == F.col("r.band"))
-                      & (F.col("l.bucket") == F.col("r.bucket"))
-                      & (F.col("l.id") < F.col("r.id")))
-            .select(F.col("l.id").alias("id_a"),
-                    F.col("r.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    cand = _bounded_bucket_pairs(band_entries, ["band", "bucket"],
+                                 bucket_cap=bucket_cap)
 
     # verify candidates only: attach shingle sets by id
     cand = (cand
@@ -396,12 +507,15 @@ def simhash_df(df: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  bucket_cap: int = 2000) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
     Candidates come from 4x16-bit band buckets (two fingerprints within
     hamming 3 of each other must agree on at least one 16-bit band);
-    verification uses built-in bit_count(xor) — all JVM-side.
+    verification uses built-in bit_count(xor) — all JVM-side. A hot
+    band bucket (identical fingerprints, e.g. boilerplate) is tiled by
+    ``bucket_cap`` (see ``_bounded_bucket_pairs``).
     """
     # two narrow columns; checkpoint so the pandas-UDF hashing stage runs
     # once, not on both sides of the self-join
@@ -415,15 +529,11 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
             for b in range(4)
         ])).alias("bb")
     ).select("id", "simhash", "bb.band", "bb.bucket")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"),
-                    F.col("a.simhash").alias("sh_a"),
-                    F.col("b.simhash").alias("sh_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    cand = (_bounded_bucket_pairs(bands, ["band", "bucket"],
+                                  payload=["simhash"],
+                                  bucket_cap=bucket_cap)
+            .withColumnRenamed("simhash_a", "sh_a")
+            .withColumnRenamed("simhash_b", "sh_b"))
     ham = F.expr("bit_count(sh_a ^ sh_b)")
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
@@ -440,12 +550,14 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             n_planes: int = 12, threshold: float = 0.95,
                             seed: int = 42, exact: bool = False,
                             n_blocks: int | None = None,
-                            n_tables: int = 1) -> DataFrame:
+                            n_tables: int = 1,
+                            bucket_cap: int = 2000) -> DataFrame:
     """Cosine-similar pairs (sim >= threshold).
 
     ``exact=False`` (approximate scale path): random-hyperplane LSH —
     vectors agreeing on all ``n_planes`` sign bits land in one bucket;
-    exact cosine runs on same-bucket pairs only, JVM-side.
+    exact cosine runs on same-bucket pairs only, JVM-side; hot buckets
+    are tiled into bounded block tasks by ``bucket_cap``.
 
     ``exact=True`` (exact, still distributed): block-partitioned matrix
     join. Each vector is hashed into one of B blocks; every unordered
@@ -542,15 +654,10 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     sig = (v.select("id", "vec",
                     F.posexplode(F.array(*sigs)).alias("__t", "__sig"))
            .localCheckpoint(eager=False))
-    a, b = sig.alias("a"), sig.alias("b")
-    pairs = (a.join(b, (F.col("a.__t") == F.col("b.__t"))
-                    & (F.col("a.__sig") == F.col("b.__sig"))
-                    & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"),
-                     F.col("b.id").alias("id_b"),
-                     F.col("a.vec").alias("vec_a"),
-                     F.col("b.vec").alias("vec_b"))
-             .dropDuplicates(["id_a", "id_b"]))
+    # hot signature buckets (many near-identical embeddings) are tiled
+    # into bounded block tasks — see _bounded_bucket_pairs
+    pairs = _bounded_bucket_pairs(sig, ["__t", "__sig"], payload=["vec"],
+                                  bucket_cap=bucket_cap)
     sim = cosine(F.col("vec_a"), F.col("vec_b"))
     return (pairs.select("id_a", "id_b", sim.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
