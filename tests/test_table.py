@@ -11,7 +11,7 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-from xdlake_spark import DeltaTable
+from xdlake_spark import CommitConflictError, DeltaTable
 from xdlake_spark.log import DeltaLog
 from xdlake_spark.sources.storage import Location
 
@@ -228,6 +228,78 @@ class TestRestoreCloneImport:
         spark.createDataFrame(pdf).write.parquet(src)
         t = DeltaTable(spark, f"{tmp_table_dir}/t")
         t = t.import_refs(src, partitioning=None)
+        assert_frames_equivalent(t.to_pandas(), pdf)
+
+    def test_import_refs_partition_flavor_matrix(self, spark,
+                                                 tmp_table_dir):
+        """hive / filename / directory foreign layouts in ONE import —
+        the reference's coverage (tests/test_xdlake.py:178-212)."""
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        def arrow_us(pdf):
+            # parquet nanos are unreadable as Spark timestamp_ntz
+            tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+            return tbl.cast(pa.schema([
+                pa.field(f.name, pa.timestamp("us")
+                         if pa.types.is_timestamp(f.type) else f.type)
+                for f in tbl.schema]))
+
+        part_schema = pa.schema([("cats", pa.string()),
+                                 ("bats", pa.string())])
+        flavors = {
+            "hive": pads.partitioning(part_schema, flavor="hive"),
+            "filename": pads.partitioning(part_schema, flavor="filename"),
+            "directory": pads.partitioning(part_schema, flavor=None),
+        }
+        frames, datasets = [], []
+        for name, pt in flavors.items():
+            pdf = gen_pdf()
+            frames.append(pdf)
+            loc = f"{tmp_table_dir}/{name}"
+            pads.write_dataset(arrow_us(pdf), loc,
+                               format="parquet", partitioning=pt)
+            datasets.append(pads.dataset(loc, format="parquet",
+                                         partitioning=pt))
+
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.import_refs(datasets, partition_by=["cats", "bats"])
+        expected = pd.concat(frames, ignore_index=True)
+        assert_frames_equivalent(t.to_pandas(), expected)
+        # zero-copy: every add is an absolute foreign path
+        assert all(p.startswith("/") for p in t.adds)
+        # partition values were recovered from all three layouts
+        assert t.to_df(where="cats = 'S'").count() \
+            == int((expected["cats"] == "S").sum())
+
+        # the imported table stays fully mutable (reference runs
+        # clone+delete+restore after import): CoW delete over foreign
+        # absolute-path files, then restore
+        before = len(expected)
+        n_s = int((expected["cats"] == "S").sum())
+        t2 = t.delete("cats = 'S'")
+        assert t2.to_df().count() == before - n_s
+        assert t2.restore(0).to_df().count() == before
+
+    @pytest.mark.parametrize("flavor", ["filename", None])
+    def test_import_refs_path_with_flavor(self, spark, tmp_table_dir,
+                                          flavor):
+        """Path-based import with an explicit non-hive partitioning."""
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        pt = pads.partitioning(pa.schema([("cats", pa.string())]),
+                               flavor=flavor)
+        pdf = gen_pdf()
+        loc = f"{tmp_table_dir}/foreign"
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        tbl = tbl.cast(pa.schema([
+            pa.field(f.name, pa.timestamp("us")
+                     if pa.types.is_timestamp(f.type) else f.type)
+            for f in tbl.schema]))
+        pads.write_dataset(tbl, loc, format="parquet", partitioning=pt)
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.import_refs(loc, partition_by=["cats"], partitioning=pt)
         assert_frames_equivalent(t.to_pandas(), pdf)
 
 
@@ -582,6 +654,137 @@ class TestOptimizeWhere:
                         target_file_size=64 * 1024)
         assert other <= set(t2.adds)
         assert_frames_equivalent(t2.to_pandas(), expected)
+
+
+class TestDeletionVectorGuard:
+    def test_dv_bearing_add_fails_loudly(self, spark, tmp_table_dir):
+        """A table whose log carries a non-null deletionVector (as
+        written by modern delta-rs / delta-spark) must refuse to scan
+        rather than silently return deleted rows."""
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        # graft a DV onto the committed add, delta-spark style
+        log_file = f"{tmp_table_dir}/t/_delta_log/{0:020d}.json"
+        lines = []
+        with open(log_file) as fh:
+            for line in fh:
+                obj = json.loads(line)
+                if "add" in obj:
+                    obj["add"]["deletionVector"] = {
+                        "storageType": "u", "pathOrInlineDv": "ab^-aqEH.-t",
+                        "offset": 1, "sizeInBytes": 36, "cardinality": 2}
+                lines.append(json.dumps(obj))
+        with open(log_file, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+        t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
+        with pytest.raises(NotImplementedError, match="deletion vector"):
+            t2.to_df()
+        with pytest.raises(NotImplementedError, match="deletion vector"):
+            t2.delete("flag = true")
+        # a DV field that is null/absent stays readable
+        assert t.to_df().count() == len(pdf)
+
+
+class TestWriterOptions:
+    def test_write_options_passthrough_zstd(self, spark, tmp_table_dir):
+        import pyarrow.parquet as pq
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf),
+                    write_options={"compression": "zstd"})
+        assert len(t.adds) >= 1
+        for rel in t.adds:
+            meta = pq.ParquetFile(f"{tmp_table_dir}/t/{rel}").metadata
+            codecs = {meta.row_group(g).column(c).compression
+                      for g in range(meta.num_row_groups)
+                      for c in range(meta.num_columns)}
+            assert codecs == {"ZSTD"}
+        assert_frames_equivalent(t.to_pandas(), pdf)
+
+
+class TestCommitConflictDetection:
+    """Commit-time logical conflict checks: snapshot-built entries
+    (delete/update/merge/optimize) rebase past disjoint concurrent
+    commits and raise CommitConflictError on true conflicts."""
+
+    def _fixed_pdf(self, n=20):
+        pdf = gen_pdf(n)
+        pdf["cats"] = (["S"] * (n // 2)) + (["A"] * (n - n // 2))
+        return pdf
+
+    def test_disjoint_append_rebases_delete(self, spark, tmp_table_dir):
+        pdf = self._fixed_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf), partition_by=["cats"])
+        stale = DeltaTable(spark, f"{tmp_table_dir}/t")
+        # concurrent append of rows ONLY in partition cats='A' — provably
+        # disjoint from a delete on cats='S'
+        extra = self._fixed_pdf()
+        extra = extra[extra["cats"] == "A"]
+        t.write(spark.createDataFrame(extra), partition_by=["cats"])
+        out = stale.delete("cats = 'S'")
+        # both commits land: append at v1, rebased delete at v2
+        assert out.version == 2
+        fresh = DeltaTable(spark, f"{tmp_table_dir}/t")
+        want = pd.concat([pdf[pdf["cats"] == "A"], extra])
+        assert_frames_equivalent(fresh.to_pandas(), want)
+
+    def test_matching_append_conflicts_delete(self, spark, tmp_table_dir):
+        pdf = self._fixed_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf), partition_by=["cats"])
+        stale = DeltaTable(spark, f"{tmp_table_dir}/t")
+        # concurrent append INTO the partition the delete reads
+        extra = self._fixed_pdf()
+        extra = extra[extra["cats"] == "S"]
+        t.write(spark.createDataFrame(extra), partition_by=["cats"])
+        with pytest.raises(CommitConflictError, match="match this"):
+            stale.delete("cats = 'S'")
+        # conflict left the winner's commit intact and added nothing
+        fresh = DeltaTable(spark, f"{tmp_table_dir}/t")
+        assert fresh.version == 1
+        assert_frames_equivalent(fresh.to_pandas(),
+                                 pd.concat([pdf, extra]))
+
+    def test_concurrent_remove_conflicts_optimize(self, spark,
+                                                  tmp_table_dir):
+        pdf = self._fixed_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        # two small files in one partition so optimize wants to compact
+        t = t.write(spark.createDataFrame(pdf))
+        t = t.write(spark.createDataFrame(self._fixed_pdf()))
+        stale = DeltaTable(spark, f"{tmp_table_dir}/t")
+        # a concurrent delete-all tombstones the files optimize compacts
+        t.delete()
+        with pytest.raises(CommitConflictError, match="removed"):
+            stale.optimize(target_file_size=1 << 30)
+
+    def test_append_rebases_optimize(self, spark, tmp_table_dir):
+        pdf = self._fixed_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        t = t.write(spark.createDataFrame(self._fixed_pdf()))
+        stale = DeltaTable(spark, f"{tmp_table_dir}/t")
+        extra = self._fixed_pdf()
+        t.write(spark.createDataFrame(extra))
+        # compaction is metadata-only w.r.t. concurrent appends: rebase
+        out = stale.optimize(target_file_size=1 << 30)
+        assert out.version == 3
+        fresh = DeltaTable(spark, f"{tmp_table_dir}/t")
+        assert fresh.to_df().count() == 60
+
+    def test_concurrent_append_conflicts_merge(self, spark, tmp_table_dir):
+        pdf = self._fixed_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        stale = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t.write(spark.createDataFrame(self._fixed_pdf()))
+        with pytest.raises(CommitConflictError):
+            stale.merge(spark.createDataFrame(pdf.head(2)),
+                        "t.order = s.order",
+                        when_matched_update={"i64": "s.i64"})
 
 
 class TestMutatorConflicts:

@@ -10,7 +10,7 @@ designed for 100 TB-scale pipelines.
 
 from .log import DeltaLog, SchemaMode, WriteMode
 from .sources.storage import Location, register_filesystem
-from .table import DeltaTable
+from .table import CommitConflictError, DeltaTable
 
 
 def register_data_source(spark) -> None:
@@ -20,5 +20,6 @@ def register_data_source(spark) -> None:
 
 
 __all__ = ["DeltaTable", "DeltaLog", "WriteMode", "SchemaMode",
-           "Location", "register_filesystem", "register_data_source"]
+           "Location", "register_filesystem", "register_data_source",
+           "CommitConflictError"]
 __version__ = "0.1.0"

@@ -60,6 +60,16 @@ from .sources.inputs import union_dataframe
 from .sources.storage import Location
 
 
+class CommitConflictError(FileExistsError):
+    """A concurrent commit logically conflicts with this operation's read
+    snapshot (it removed files this operation rewrites, or added files
+    this operation's predicate reads). The operation must be redone
+    against a fresh handle — replaying the same entry would lose the
+    concurrent writer's update. Subclasses ``FileExistsError`` so callers
+    catching the documented optimistic-concurrency signal keep working.
+    """
+
+
 def _strip_scheme(url: str) -> str:
     """Normalize a URL to a bare path for file-identity joins (s3 vs s3a
     vs file:// spellings of the same object must compare equal)."""
@@ -159,6 +169,18 @@ class DeltaTable:
     def _scan(self, adds: dict[str, Add]) -> DataFrame:
         schema = self.schema
         assert schema is not None
+        # Deletion vectors (written by modern delta-rs / delta-spark) mark
+        # rows within a live file as deleted. We carry the field through
+        # the log tolerantly but do NOT apply the bitmap — scanning such a
+        # file would silently resurrect deleted rows, so fail loudly.
+        dv = [p for p, a in adds.items()
+              if (a.extra or {}).get("deletionVector")]
+        if dv:
+            raise NotImplementedError(
+                f"{len(dv)} live file(s) carry deletion vectors (e.g. "
+                f"{dv[0]!r}); scanning would return logically-deleted "
+                "rows. Rewrite the table without DVs (delta-rs/Spark "
+                "`REORG TABLE ... APPLY (PURGE)`) before reading it here.")
         if not adds:
             return self.spark.createDataFrame([], schema)
         pcols = [c for c in self.partition_columns if c in schema.fieldNames()]
@@ -427,7 +449,8 @@ class DeltaTable:
               partition_by: list[str] | None = None,
               custom_metadata: dict | None = None,
               max_commit_retries: int = 0,
-              max_records_per_file: int | None = None) -> "DeltaTable":
+              max_records_per_file: int | None = None,
+              write_options: dict | None = None) -> "DeltaTable":
         """Write data (reference __init__.py:153-190).
 
         ``data``: DataFrame | pandas | pyarrow Table/RecordBatch | parquet
@@ -445,6 +468,11 @@ class DeltaTable:
         no extra shuffle (the reference's ``write_arrow_dataset_options``
         knob, __init__.py:159,170). For a byte-size target instead, see
         ``optimize(target_file_size=...)``.
+
+        ``write_options``: arbitrary Spark parquet writer options passed
+        through verbatim (``compression``, ``parquet.block.size``, ...) —
+        the general analogue of the reference's
+        ``write_arrow_dataset_options`` dict (__init__.py:159,170).
         """
         mode = WriteMode.coerce(mode)
         schema_mode_e = SchemaMode.coerce(schema_mode)
@@ -472,7 +500,8 @@ class DeltaTable:
 
         new_adds = self._write_data(self._apply_constraints(df),
                                     partition_by,
-                                    max_records_per_file=max_records_per_file)
+                                    max_records_per_file=max_records_per_file,
+                                    write_options=write_options)
 
         if not self.log:
             entry = create_table_entry(schema, partition_by,
@@ -501,7 +530,8 @@ class DeltaTable:
         return self._commit(entry)
 
     def _write_data(self, df: DataFrame, partition_by: list[str],
-                    max_records_per_file: int | None = None) -> list[Add]:
+                    max_records_per_file: int | None = None,
+                    write_options: dict | None = None) -> list[Add]:
         """Physical write via a per-commit staging directory.
 
         Executors write hive-partitioned parquet under
@@ -521,6 +551,8 @@ class DeltaTable:
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile",
                                    int(max_records_per_file))
+        if write_options:
+            writer = writer.options(**write_options)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         try:
@@ -601,6 +633,72 @@ class DeltaTable:
                 pass  # a checkpoint is an optimization, never a failure
         return new
 
+    def _commit_checked(self, entry: DeltaLogEntry, read_version: int,
+                        where_sql: str | None = None,
+                        reads_table: bool = True,
+                        max_commit_retries: int = 2) -> "DeltaTable":
+        """Commit with Delta-style logical conflict detection — the
+        rebase path for snapshot-built entries (delete/update/merge/
+        optimize/restore). Losing the optimistic-concurrency race does
+        not by itself invalidate such an entry; it depends on WHAT the
+        winners did. On a version collision, examine every commit that
+        landed after ``read_version``:
+
+        - a winner REMOVED a file this entry also removes → the data we
+          rewrote/compacted is gone: ``CommitConflictError``;
+        - ``reads_table`` and a winner ADDED files this operation's
+          predicate could match (manifest prune over the new files'
+          stats + partition values; ``where_sql=None`` = the whole
+          table was read, so any add matches) → our result was computed
+          without those rows and replaying it would clobber them:
+          ``CommitConflictError``;
+        - otherwise the winners are logically disjoint (typically
+          appends the predicate provably cannot touch): REBASE — replay
+          the identical entry at the next version.
+
+        Conservative by construction: a checkpoint entry that collapsed
+        history into a version above ``read_version`` reports all its
+        live files as concurrent adds, which can only produce a
+        spurious conflict, never a lost update.
+        """
+        our_removes = {r.path for r in entry.removes}
+        handle = self
+        for attempt in range(max_commit_retries + 1):
+            try:
+                return handle._commit(entry)
+            except CommitConflictError:
+                raise
+            except FileExistsError:
+                handle = type(self)(self.spark, self.location,
+                                    self.log_location)
+                conc_adds: dict[str, Add] = {}
+                conc_removed: set[str] = set()
+                for v, e in handle.log.entries.items():
+                    if v <= read_version:
+                        continue
+                    for a in e.adds:
+                        conc_adds[a.path] = a
+                    for r in e.removes:
+                        conc_removed.add(r.path)
+                clobbered = our_removes & conc_removed
+                if clobbered:
+                    raise CommitConflictError(
+                        f"concurrent commit removed {len(clobbered)} "
+                        "file(s) this operation rewrites — re-read the "
+                        "table and redo the operation")
+                if reads_table and conc_adds:
+                    matching = (prune_manifest(conc_adds, where_sql,
+                                               handle.partition_columns)
+                                if where_sql else conc_adds)
+                    if matching:
+                        raise CommitConflictError(
+                            f"{len(matching)} concurrently-added file(s) "
+                            "match this operation's read predicate — "
+                            "re-read the table and redo the operation")
+                if attempt == max_commit_retries:
+                    raise
+        raise AssertionError("unreachable")
+
     # -- delete (copy-on-write) -------------------------------------------------
 
     def delete(self, where: "str | Column | None" = None,
@@ -631,7 +729,7 @@ class DeltaTable:
             }
             entry = delete_table_entry([], removes, "true", read_version,
                                        metrics, custom_metadata)
-            return self._commit(entry)
+            return self._commit_checked(entry, read_version)
 
         where_sql = where if isinstance(where, str) else None
         pred = F.expr(where) if isinstance(where, str) else where
@@ -645,7 +743,8 @@ class DeltaTable:
                 {"num_added_files": 0, "num_removed_files": 0,
                  "num_copied_rows": 0, "num_deleted_rows": 0},
                 custom_metadata)
-            return self._commit(entry)
+            return self._commit_checked(entry, read_version,
+                                        where_sql=where_sql)
 
         rel_of = self._rel_by_uri(candidates)
 
@@ -668,7 +767,8 @@ class DeltaTable:
                 {"num_added_files": 0, "num_removed_files": 0,
                  "num_copied_rows": 0, "num_deleted_rows": 0},
                 custom_metadata)
-            return self._commit(entry)
+            return self._commit_checked(entry, read_version,
+                                        where_sql=where_sql)
 
         new_adds: list[Add] = []
         if n_survivors > 0:
@@ -686,7 +786,8 @@ class DeltaTable:
         entry = delete_table_entry(new_adds, removes,
                                    where_sql or "<expr>", read_version,
                                    metrics, custom_metadata)
-        return self._commit(entry)
+        return self._commit_checked(entry, read_version,
+                                    where_sql=where_sql)
 
     # -- update (copy-on-write) --------------------------------------------------
 
@@ -767,7 +868,8 @@ class DeltaTable:
         entry = update_table_entry(new_adds, removes,
                                    where_sql or "true", read_version,
                                    metrics, custom_metadata)
-        return self._commit(entry)
+        return self._commit_checked(entry, read_version,
+                                    where_sql=where_sql)
 
     def _rel_by_uri(self, adds: dict[str, Add]) -> Callable[[str], str]:
         """Constant-time map from ``input_file_name()`` URIs back to
@@ -817,7 +919,7 @@ class DeltaTable:
                                     target.partition_columns(),
                                     restore_version, self.version,
                                     custom_metadata)
-        return self._commit(entry)
+        return self._commit_checked(entry, self.version)
 
     def clone(self, dst_location: "str | Location",
               dst_log_location: "str | Location | None" = None
@@ -851,15 +953,24 @@ class DeltaTable:
     def import_refs(self, refs: Any, mode: "str | WriteMode" = "append",
                     schema_mode: "str | SchemaMode" = "overwrite",
                     partition_by: list[str] | None = None,
-                    partitioning: str | None = "hive",
+                    partitioning: Any = "hive",
                     custom_metadata: dict | None = None) -> "DeltaTable":
         """Zero-copy import of foreign parquet: register absolute-path adds
         with footer stats; no data is read or moved
         (reference __init__.py:192-229, 398-423).
 
-        ``refs``: file/dir path(s). Partition values are discovered via
-        pyarrow dataset partitioning inference (hive by default) — driver-
-        side listing + footer reads only.
+        ``refs``: file/dir path(s) and/or prebuilt ``pyarrow.dataset``
+        objects (the reference accepts both, tests/test_xdlake.py:179-212).
+        Partition values are discovered via pyarrow dataset partitioning
+        inference — driver-side listing + footer reads only.
+
+        ``partitioning``: how foreign directory layouts encode partition
+        values — ``"hive"`` (``cats=S/``), a
+        ``pyarrow.dataset.partitioning(schema, flavor="filename")``
+        object (``S_part.parquet``), a ``flavor=None`` partitioning
+        object (bare ``S/`` directories), or ``None`` for unpartitioned
+        data. Ignored for refs that are already datasets (they carry
+        their own).
         """
         import pyarrow.dataset as pads
 
@@ -870,10 +981,13 @@ class DeltaTable:
         if self.log and mode == WriteMode.ignore:
             return self
 
-        if isinstance(refs, (str, Location)):
+        if isinstance(refs, (str, Location)) or hasattr(refs, "get_fragments"):
             refs = [refs]
-        datasets = [pads.dataset(Location.resolve(r).path, format="parquet",
-                                 partitioning=partitioning) for r in refs]
+        datasets = [
+            r if hasattr(r, "get_fragments")
+            else pads.dataset(Location.resolve(r).path, format="parquet",
+                              partitioning=partitioning)
+            for r in refs]
 
         from .log.schema import arrow_schema_to_spark, merge_schemas
         incoming = merge_schemas(
@@ -961,7 +1075,8 @@ class DeltaTable:
                    "numFilesRemoved": len(removes)}
         entry = optimize_table_entry(new_adds, removes, self.version,
                                      metrics, custom_metadata)
-        return self._commit(entry)
+        return self._commit_checked(entry, self.version,
+                                    reads_table=False)
 
     def _zorder(self, columns: list[str], target_file_size: int,
                 custom_metadata: dict | None,
@@ -1013,7 +1128,8 @@ class DeltaTable:
                    "zOrderBy": ",".join(columns)}
         entry = optimize_table_entry(new_adds, removes, self.version,
                                      metrics, custom_metadata)
-        return self._commit(entry)
+        return self._commit_checked(entry, self.version,
+                                    reads_table=False)
 
     def vacuum(self, retention_hours: float = 168.0,
                dry_run: bool = False) -> list[str]:
@@ -1162,7 +1278,9 @@ class DeltaTable:
                    "numTargetFilesRemoved": len(removes)}
         entry = merge_table_entry(new_adds, removes, condition,
                                   read_version, metrics, custom_metadata)
-        return self._commit(entry)
+        # MERGE reads the whole target (probe + anti joins): any
+        # concurrent add conflicts, so no where_sql narrowing here
+        return self._commit_checked(entry, read_version)
 
 
 def schemas_match(a: T.StructType | None, b: T.StructType | None) -> bool:
