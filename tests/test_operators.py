@@ -477,6 +477,44 @@ class TestBoundedBucketPairs:
 
         assert pairs(20) == pairs(10**9)
 
+    def test_ngram_jaccard_capped_equals_uncapped(self, spark, documents):
+        base = documents.limit(60).select("doc_id", "text")
+        one = documents.limit(1).select("text")
+        hot = (spark.range(80)
+               .select((F.col("id") + 500000).alias("doc_id"))
+               .crossJoin(one))
+        corpus = base.unionByName(hot)
+
+        def pairs(cap):
+            return sorted(
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in dedup.ngram_jaccard_pairs(
+                    corpus, threshold=0.5, bucket_cap=cap).collect())
+
+        capped = pairs(15)
+        assert capped == pairs(10**9)
+        # hot group fully paired with jaccard exactly 1
+        hot_pairs = [p for p in capped if p[0] >= 500000]
+        assert len(hot_pairs) == 80 * 79 // 2
+        assert all(j == 1.0 for _, _, j in hot_pairs)
+
+    def test_winnow_capped_equals_uncapped(self, spark, documents):
+        base = documents.limit(60).select("doc_id", "text")
+        one = documents.limit(1).select("text")
+        hot = (spark.range(50)
+               .select((F.col("id") + 500000).alias("doc_id"))
+               .crossJoin(one))
+        corpus = base.unionByName(hot)
+
+        def pairs(cap):
+            return sorted(
+                (r["id_a"], r["id_b"], r["n_shared"],
+                 round(r["overlap"], 9))
+                for r in textops.winnow_overlap_pairs(
+                    corpus, threshold=0.5, bucket_cap=cap).collect())
+
+        assert pairs(10) == pairs(10**9)
+
     def test_simhash_capped_equals_uncapped(self, spark, docs_with_dups):
         def pairs(cap):
             return sorted(

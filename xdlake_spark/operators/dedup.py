@@ -39,9 +39,15 @@ from ..functions.vectors import cosine, hyperplane_signature
 
 def _bounded_bucket_pairs(entries: DataFrame, keys: list[str],
                           payload: list[str] | None = None,
-                          bucket_cap: int = 2000) -> DataFrame:
+                          bucket_cap: int = 2000,
+                          distinct: bool = True) -> DataFrame:
     """All unordered same-bucket id pairs, with per-task pair work
     bounded by ~``bucket_cap``^2 regardless of bucket size.
+
+    ``distinct=False`` keeps one output row per (bucket, pair) — every
+    pair is emitted exactly once per bucket it co-occurs in (never
+    duplicated by the tiling), which lets inverted-index callers
+    aggregate co-occurrence counts instead of deduping.
 
     ``entries`` has one row per (id, bucket); ``keys`` name the bucket
     columns. A bucket of n members yields n*(n-1)/2 pairs; in a naive
@@ -97,7 +103,8 @@ def _bounded_bucket_pairs(entries: DataFrame, keys: list[str],
                     .otherwise(F.col(f"r.{p}")).alias(f"{p}_a"))
         cols.append(F.when(lo, F.col(f"r.{p}"))
                     .otherwise(F.col(f"l.{p}")).alias(f"{p}_b"))
-    return l.join(r, cond).select(cols).dropDuplicates(["id_a", "id_b"])
+    out = l.join(r, cond).select(cols)
+    return out.dropDuplicates(["id_a", "id_b"]) if distinct else out
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -358,7 +365,8 @@ def minhash_dedup(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k_shingle: int = 3,
                         threshold: float = 0.5,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = None,
+                        bucket_cap: int = 2000) -> DataFrame:
     """Exact jaccard similarity join via explode-on-shingle.
 
     |A ∩ B| comes from grouping the shingle-inverted index; pairs sharing
@@ -372,6 +380,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     the union sizes — jaccard is then computed exactly over the
     discriminative shingle sets (the standard prefix/stop-shingle
     practice for web-scale similarity joins). None = textbook-exact.
+
+    Independently of that semantic knob, the inverted-index self-join is
+    always tiled per shingle by ``bucket_cap`` (_bounded_bucket_pairs,
+    count-preserving mode): even with ``max_doc_freq=None`` a shingle
+    shared by k docs does its k^2/2 pair emissions across bounded block
+    tasks instead of one straggler — result identical.
     """
     sh = (ensure_parallelism(df)
           .select(F.col(id_col).alias("id"),
@@ -391,11 +405,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     else:
         sizes = sh.select("id", F.size("sh").alias("n_sh"))
 
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.id") < F.col("b.id")))
-             .groupBy(F.col("a.id").alias("id_a"),
-                      F.col("b.id").alias("id_b"))
+    inter = (_bounded_bucket_pairs(inv, ["shingle"],
+                                   bucket_cap=bucket_cap, distinct=False)
+             .groupBy("id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("n_inter")))
 
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))

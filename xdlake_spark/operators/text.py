@@ -103,7 +103,8 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 8,
                          window: int = 4,
-                         threshold: float = 0.5) -> DataFrame:
+                         threshold: float = 0.5,
+                         bucket_cap: int = 2000) -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint overlap (the MOSS
     match metric): pairs whose shared fingerprints cover >= threshold
     of the SMALLER document's fingerprint set (overlap coefficient —
@@ -112,16 +113,21 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
     Inverted-index join on the fingerprint (same shape as the ngram
     jaccard join): only docs sharing at least one fingerprint are ever
     paired, so candidate generation is ~linear in corpus size, never
-    all-pairs. One shuffle on the fingerprint, one on the pair.
+    all-pairs. One shuffle on the fingerprint, one on the pair. The
+    per-fingerprint join is tiled by ``bucket_cap``
+    (dedup._bounded_bucket_pairs, count-preserving mode) so one
+    boilerplate fingerprint shared by k docs spreads its k^2/2 pair
+    emissions over bounded block tasks — result identical.
     """
+    from .dedup import _bounded_bucket_pairs
+
     fps = winnow_fingerprints(df, text_col, id_col, k, window) \
         .localCheckpoint(eager=False)
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
-    a, b = fps.alias("a"), fps.alias("b")
-    inter = (a.join(b, (F.col("a.fingerprint") == F.col("b.fingerprint"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("id_a"),
-                      F.col("b.doc_id").alias("id_b"))
+    inter = (_bounded_bucket_pairs(
+                fps.select(F.col("doc_id").alias("id"), "fingerprint"),
+                ["fingerprint"], bucket_cap=bucket_cap, distinct=False)
+             .groupBy("id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("n_shared")))
     sa = sizes.select(F.col("doc_id").alias("id_a"),
                       F.col("__n").alias("__na"))
