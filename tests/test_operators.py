@@ -498,6 +498,29 @@ class TestBoundedBucketPairs:
         assert len(hot_pairs) == 80 * 79 // 2
         assert all(j == 1.0 for _, _, j in hot_pairs)
 
+    def test_winnow_arrow_equals_jvm(self, spark, documents):
+        """The vectorized winnowing path must reproduce the JVM
+        expression path bit-for-bit (same pattern as simhash)."""
+        d = documents.limit(300)
+        jvm = {(r["doc_id"], r["fingerprint"]) for r in
+               textops.winnow_fingerprints(d, use_arrow=False).collect()}
+        arr = {(r["doc_id"], r["fingerprint"]) for r in
+               textops.winnow_fingerprints(d, use_arrow=True).collect()}
+        assert jvm == arr and len(jvm) > 0
+
+    def test_winnow_arrow_edge_cases(self, spark):
+        # short-text (< k chars), whitespace-only, empty, unicode
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["ab", "   ", "", "héllo wörld ünïcode text",
+                     "Tab\tand\nnewline   spaces"]})
+        d = spark.createDataFrame(pdf)
+        jvm = {(r["doc_id"], r["fingerprint"]) for r in
+               textops.winnow_fingerprints(d, use_arrow=False).collect()}
+        arr = {(r["doc_id"], r["fingerprint"]) for r in
+               textops.winnow_fingerprints(d, use_arrow=True).collect()}
+        assert jvm == arr
+
     def test_winnow_capped_equals_uncapped(self, spark, documents):
         base = documents.limit(60).select("doc_id", "text")
         one = documents.limit(1).select("text")

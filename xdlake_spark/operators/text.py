@@ -7,6 +7,8 @@ over a 100 TB documents table with zero Python in the row path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,9 +73,61 @@ def token_count_summary(df: DataFrame, text_col: str = "text",
             .orderBy(group_col))
 
 
+def _winnow_arrow_udf(k: int, window: int):
+    """Vectorized winnowing: identical semantics to the JVM expression
+    path (same normalize / codepoint / 31-bit Rabin-Karp math), but the
+    per-position gram fold runs as k numpy vector ops per document
+    instead of n interpreted HOF lambdas — Spark does not codegen
+    lambda bodies inside transform/aggregate, which makes the JVM path
+    the suite's hottest interpreter loop on large corpora."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    mod = X.ROLL_MOD
+    base = X.ROLL_BASE
+    # Java regex \s (ASCII-only) — python's unicode \s would diverge
+    ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+
+    @pandas_udf("array<long>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            s = ws.sub(" ", (t or "").lower()).strip()
+            if not s:
+                out.append([])
+                continue
+            cps = np.frombuffer(s.encode("utf-32-le"),
+                                dtype=np.uint32).astype(np.int64)
+            n = len(cps)
+            if n >= k:
+                m = n - k + 1
+                h = np.zeros(m, dtype=np.int64)
+                for j in range(k):  # Horner step across all positions
+                    h = (h * base + cps[j:j + m]) % mod
+            else:
+                acc = 0
+                for c in cps.tolist():
+                    acc = (acc * base + c) % mod
+                h = np.array([acc], dtype=np.int64)
+            g = len(h)
+            if g >= window:
+                m2 = g - window + 1
+                mn = h[:m2].copy()
+                for j in range(1, window):
+                    np.minimum(mn, h[j:j + m2], out=mn)
+            else:
+                mn = h.min(keepdims=True)
+            out.append(np.unique(mn).tolist())
+        return pd.Series(out)
+
+    return _winnow
+
+
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 8,
-                        window: int = 4) -> DataFrame:
+                        window: int = 4,
+                        use_arrow: "bool | None" = None) -> DataFrame:
     """Winnowing document fingerprints (the MOSS scheme): the distinct
     minima over every ``window`` of consecutive k-char-gram rolling
     hashes of the normalized text. Robust to local edits — an edit only
@@ -81,21 +135,41 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     the fingerprint-set overlap a plagiarism/near-dup signal.
 
     Output: one row per (doc_id, fingerprint); texts whose normalized
-    form is empty produce no rows. The k-gram hash array is bound as a
-    lambda variable (single evaluation) before the window fold — the
-    same non-CSE-safe HOF pattern as minhash.
+    form is empty produce no rows.
+
+    Two equivalent plans (asserted identical in tests, the same pattern
+    as ``simhash_df``):
+
+    - pure JVM (small corpora): the k-gram hash array is bound as a
+      lambda variable (single evaluation) before the window fold — but
+      HOF lambda bodies are interpreted, not codegen'd, so the fold
+      costs n*k interpreter steps per document;
+    - arrow (default past a few thousand docs): the same math as k+window
+      numpy vector ops per document in an Arrow-batched pandas UDF.
+
+    ``use_arrow=None`` picks by corpus size with one metadata-cheap
+    count job; pass an explicit bool for derived inputs.
     """
     from . import ensure_parallelism
 
-    hashes = X.kgram_hashes(F.col(text_col), k)
+    if use_arrow is None:
+        use_arrow = df.count() >= 2000
+
     base = (ensure_parallelism(df)
-            .filter(F.length(X.normalize_text(F.col(text_col))) > 0)
-            .select(F.col(id_col).alias("doc_id"), hashes.alias("__h")))
+            .filter(F.length(X.normalize_text(F.col(text_col))) > 0))
+
+    if use_arrow:
+        fps = _winnow_arrow_udf(k, window)(F.col(text_col))
+        return base.select(F.col(id_col).alias("doc_id"),
+                           F.explode(fps).alias("fingerprint"))
+
+    hashes = X.kgram_hashes(F.col(text_col), k)
+    withh = base.select(F.col(id_col).alias("doc_id"), hashes.alias("__h"))
     mins = F.transform(
         F.sequence(F.lit(1),
                    F.greatest(F.size("__h") - window + 1, F.lit(1))),
         lambda i: F.array_min(F.slice("__h", i, window)))
-    return base.select(
+    return withh.select(
         "doc_id",
         F.explode(F.array_sort(F.array_distinct(mins))).alias("fingerprint"))
 
@@ -104,7 +178,8 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 8,
                          window: int = 4,
                          threshold: float = 0.5,
-                         bucket_cap: int = 2000) -> DataFrame:
+                         bucket_cap: int = 2000,
+                         use_arrow: "bool | None" = None) -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint overlap (the MOSS
     match metric): pairs whose shared fingerprints cover >= threshold
     of the SMALLER document's fingerprint set (overlap coefficient —
@@ -121,7 +196,8 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
     """
     from .dedup import _bounded_bucket_pairs
 
-    fps = winnow_fingerprints(df, text_col, id_col, k, window) \
+    fps = winnow_fingerprints(df, text_col, id_col, k, window,
+                              use_arrow=use_arrow) \
         .localCheckpoint(eager=False)
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
     inter = (_bounded_bucket_pairs(
