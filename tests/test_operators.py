@@ -568,9 +568,23 @@ class TestConnectedComponentsScale:
         n = 2000
         edges = spark.createDataFrame(
             pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)}))
-        comp = dedup.connected_components(edges, max_iter=15)
+        # driver_threshold=0 forces the distributed star contraction
+        comp = dedup.connected_components(edges, max_iter=15,
+                                          driver_threshold=0)
         assert comp.count() == n
         assert comp.filter("component != 0").count() == 0
+
+    def test_driver_path_equals_distributed(self, spark):
+        rng = np.random.default_rng(23)
+        a = rng.integers(0, 300, size=500)
+        b = rng.integers(0, 300, size=500)
+        edges = spark.createDataFrame(pd.DataFrame({"id_a": a, "id_b": b}))
+        fast = {(r["id"], r["component"]) for r in
+                dedup.connected_components(edges).collect()}
+        dist = {(r["id"], r["component"]) for r in
+                dedup.connected_components(
+                    edges, driver_threshold=0).collect()}
+        assert fast == dist
 
     def test_random_graph_matches_union_find(self, spark):
         rng = np.random.default_rng(7)
@@ -597,7 +611,8 @@ class TestConnectedComponentsScale:
             want[x] = roots[r]
 
         got = {r["id"]: r["component"]
-               for r in dedup.connected_components(edges).collect()}
+               for r in dedup.connected_components(
+                   edges, driver_threshold=0).collect()}
         assert got == want
 
     def test_non_convergence_raises(self, spark):
@@ -605,7 +620,8 @@ class TestConnectedComponentsScale:
         edges = spark.createDataFrame(
             pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)}))
         with pytest.raises(RuntimeError, match="did not converge"):
-            dedup.connected_components(edges, max_iter=1)
+            dedup.connected_components(edges, max_iter=1,
+                                       driver_threshold=0)
 
 
 class TestSampling:
