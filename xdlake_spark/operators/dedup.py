@@ -198,7 +198,11 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     reaching the fixpoint — silently returning partial labels would
     let ``dedup_keepers_from_pairs`` keep false "keepers".
     """
-    raw = edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # checkpoint the RAW pair projection once — e, nodes, and the
+    # driver collect all derive from it, so the (possibly expensive)
+    # upstream pair pipeline is evaluated exactly once
+    raw = (edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+           .localCheckpoint())
     e = (raw.filter(F.col("u") != F.col("v"))
          .distinct()
          .localCheckpoint())
