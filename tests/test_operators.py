@@ -458,6 +458,42 @@ class TestBoundedBucketPairs:
         assert rows == {(1, 2): ("a", "b"), (1, 3): ("a", "c"),
                         (2, 3): ("b", "c"), (10, 11): ("x", "y")}
 
+    @pytest.mark.parametrize("seed,cap", [(1, 1), (2, 3), (3, 7), (4, 10**6)])
+    def test_randomized_differential_vs_naive(self, spark, seed, cap):
+        """Random bucket memberships, extreme caps (cap=1 = maximal
+        tiling): pair set must equal the naive per-bucket combinations,
+        and multiplicity (distinct=False) must equal per-bucket
+        co-occurrence counts."""
+        import itertools
+        from collections import Counter
+
+        rng = np.random.default_rng(seed)
+        n_ids, n_buckets = 40, 6
+        rows = [(int(i), int(b))
+                for i in range(n_ids) for b in range(n_buckets)
+                if rng.random() < 0.4]
+        entries = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["id", "bucket"]))
+
+        by_bucket: dict[int, list[int]] = {}
+        for i, b in rows:
+            by_bucket.setdefault(b, []).append(i)
+        want = Counter()
+        for members in by_bucket.values():
+            for x, y in itertools.combinations(sorted(members), 2):
+                want[(x, y)] += 1
+
+        got_multi = Counter(
+            (r["id_a"], r["id_b"]) for r in dedup._bounded_bucket_pairs(
+                entries, ["bucket"], bucket_cap=cap,
+                distinct=False).collect())
+        assert got_multi == want
+
+        got_set = sorted(
+            (r["id_a"], r["id_b"]) for r in dedup._bounded_bucket_pairs(
+                entries, ["bucket"], bucket_cap=cap).collect())
+        assert got_set == sorted(set(want))
+
     def test_minhash_capped_equals_uncapped_on_hot_bucket(
             self, spark, documents):
         # 120 identical docs = one hot bucket in every band; tiling must
