@@ -269,6 +269,29 @@ class TestTextAnalysis:
         assert out[1] == "en"
         assert out[2] == "es"
 
+    def test_repetition_stats(self, spark):
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "same line\nsame line\nsame line\nunique line",  # 2/4 dup
+                "spam spam spam spam spam",      # all 2-grams identical
+                "a perfectly normal sentence with no repeats",
+                "",                              # degenerate
+            ]})
+        out = {r["doc_id"]: r for r in
+               textops.repetition_stats(
+                   spark.createDataFrame(pdf)).collect()}
+        assert out[1]["dup_line_frac"] == pytest.approx(0.5)
+        assert out[1]["is_repetitive"]
+        # 4 bigrams, all "spam spam" -> 3/4 duplicates
+        assert out[2]["dup_2gram_frac"] == pytest.approx(0.75)
+        assert out[2]["is_repetitive"]
+        assert out[3]["dup_line_frac"] == 0.0
+        assert out[3]["dup_2gram_frac"] == 0.0
+        assert not out[3]["is_repetitive"]
+        assert out[4]["dup_line_frac"] == 0.0
+        assert not out[4]["is_repetitive"]
+
     def test_quality_filter(self, spark, documents):
         total = documents.count()
         kept = textops.quality_filter(documents, 0.5).count()

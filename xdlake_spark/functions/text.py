@@ -110,6 +110,35 @@ def quality_score(col: Column) -> Column:
     ).cast("double")
 
 
+def dup_line_fraction(col: Column) -> Column:
+    """Fraction of non-empty trimmed lines that repeat an earlier line —
+    the Gopher-style line-repetition quality signal. 0 when the text has
+    no non-empty lines."""
+    lines = F.filter(
+        F.transform(F.split(col, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: F.length(ln) > 0)
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(lines))).cast("double") / n) \
+        .otherwise(F.lit(0.0))
+
+
+def dup_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams (in order, with repeats) that duplicate
+    an earlier n-gram — the Gopher duplicate-n-gram signal. 0 when the
+    text has fewer than n tokens."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    m = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(
+        m > 0,
+        (m - F.size(F.array_distinct(grams))).cast("double") / m) \
+        .otherwise(F.lit(0.0))
+
+
 def lang_score(col: Column, markers: list[str]) -> Column:
     """Number of DISTINCT marker words present in the text."""
     toks = F.array_distinct(F.split(F.lower(F.trim(col)), r"\s+"))

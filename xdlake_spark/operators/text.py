@@ -73,6 +73,29 @@ def token_count_summary(df: DataFrame, text_col: str = "text",
             .orderBy(group_col))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_dup_line_frac: float = 0.3,
+                     max_dup_2gram_frac: float = 0.2) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    non-empty lines that repeat an earlier line and the fractions of
+    word 2-/3-grams that repeat — plus an ``is_repetitive`` flag at the
+    published thresholds (0.30 duplicate lines / 0.20 duplicate
+    2-grams). Pure JVM column expressions; one pass over the text.
+    """
+    c = F.col(text_col)
+    dl = X.dup_line_fraction(c)
+    d2 = X.dup_ngram_fraction(c, 2)
+    d3 = X.dup_ngram_fraction(c, 3)
+    return df.select(
+        F.col(id_col),
+        F.round(dl, 6).alias("dup_line_frac"),
+        F.round(d2, 6).alias("dup_2gram_frac"),
+        F.round(d3, 6).alias("dup_3gram_frac"),
+        ((dl > max_dup_line_frac) | (d2 > max_dup_2gram_frac))
+        .alias("is_repetitive"))
+
+
 def _winnow_arrow_udf(k: int, window: int):
     """Vectorized winnowing: identical semantics to the JVM expression
     path (same normalize / codepoint / 31-bit Rabin-Karp math), but the

@@ -1044,6 +1044,50 @@ def token_summary(spark, sf_dir):
                       F.round("avg_quality", 4).alias("avg_quality"))
 
 
+@register("text_repetition", """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)),
+                     x -> length(x) > 0) AS lines,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, lines,
+         len(toks) - 1 AS m2,
+         len(toks) - 2 AS m3,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]
+                             || ' ' || toks[i + 2]) AS g3
+  FROM base
+)
+SELECT doc_id,
+  round(CASE WHEN len(lines) > 0
+        THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+             / len(lines) ELSE 0.0 END, 6) AS dup_line_frac,
+  round(CASE WHEN m2 > 0
+        THEN CAST(m2 - len(list_distinct(g2)) AS DOUBLE) / m2
+        ELSE 0.0 END, 6) AS dup_2gram_frac,
+  round(CASE WHEN m3 > 0
+        THEN CAST(m3 - len(list_distinct(g3)) AS DOUBLE) / m3
+        ELSE 0.0 END, 6) AS dup_3gram_frac,
+  (CASE WHEN len(lines) > 0
+        THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+             / len(lines) ELSE 0.0 END) > 0.3
+  OR (CASE WHEN m2 > 0
+      THEN CAST(m2 - len(list_distinct(g2)) AS DOUBLE) / m2
+      ELSE 0.0 END) > 0.2 AS is_repetitive
+FROM grams
+""")
+def text_repetition_q(spark, sf_dir):
+    """Gopher-style repetition quality signals (duplicate-line and
+    duplicate-2/3-gram fractions + threshold flag) — standard
+    pre-training corpus filters (operators/text.py repetition_stats)."""
+    return textops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Dedup (documents) + embeddings similarity
 # ===========================================================================
