@@ -292,6 +292,27 @@ class TestTextAnalysis:
         assert out[4]["dup_line_frac"] == 0.0
         assert not out[4]["is_repetitive"]
 
+    def test_pii_stats_and_redaction(self, spark):
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567",
+                "server at 192.168.0.1 and 10.0.0.255 responded",
+                "nothing sensitive here at all",
+            ]})
+        out = {r["doc_id"]: r for r in
+               textops.pii_stats(spark.createDataFrame(pdf),
+                                 redacted=True).collect()}
+        assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+        assert out[1]["has_pii"]
+        assert "<EMAIL>" in out[1]["text_redacted"]
+        assert "<PHONE>" in out[1]["text_redacted"]
+        assert "jane.doe" not in out[1]["text_redacted"]
+        assert out[2]["n_ipv4"] == 2
+        assert out[2]["text_redacted"].count("<IP>") == 2
+        assert not out[3]["has_pii"]
+        assert out[3]["text_redacted"] == pdf["text"][2]
+
     def test_quality_filter(self, spark, documents):
         total = documents.count()
         kept = textops.quality_filter(documents, 0.5).count()

@@ -110,6 +110,31 @@ def quality_score(col: Column) -> Column:
     ).cast("double")
 
 
+#: PII patterns — deliberately restricted to syntax shared by Java regex
+#: (Spark) and RE2 (DuckDB) so the same string drives both engines.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9() -]{6,}[0-9]"
+
+
+def pii_counts(col: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ipv4, n_phones) occurrence counts."""
+    def n(pat):
+        # idx=0 (whole match): the patterns carry no capture groups
+        return F.size(F.regexp_extract_all(col, F.lit(pat),
+                                           F.lit(0))).cast("long")
+    return n(PII_EMAIL), n(PII_IPV4), n(PII_PHONE)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails / IPv4s / phone numbers with typed placeholders —
+    the standard pre-release scrub. Order matters: emails first so an
+    address is never half-eaten by the phone pattern."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
 def dup_line_fraction(col: Column) -> Column:
     """Fraction of non-empty trimmed lines that repeat an earlier line —
     the Gopher-style line-repetition quality signal. 0 when the text has

@@ -96,6 +96,26 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         .alias("is_repetitive"))
 
 
+def pii_stats(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id",
+              redacted: bool = False) -> DataFrame:
+    """Per-document PII accounting: email / IPv4 / phone occurrence
+    counts plus a ``has_pii`` flag; ``redacted=True`` adds the scrubbed
+    text (typed placeholders). Pure JVM regex passes — the patterns are
+    restricted to the Java∩RE2 dialect so the DuckDB oracle runs the
+    very same strings.
+    """
+    c = F.col(text_col)
+    ne, ni, np_ = X.pii_counts(c)
+    cols = [F.col(id_col),
+            ne.alias("n_emails"), ni.alias("n_ipv4"),
+            np_.alias("n_phones"),
+            ((ne + ni + np_) > 0).alias("has_pii")]
+    if redacted:
+        cols.append(X.redact_pii(c).alias("text_redacted"))
+    return df.select(*cols)
+
+
 def _winnow_arrow_udf(k: int, window: int):
     """Vectorized winnowing: identical semantics to the JVM expression
     path (same normalize / codepoint / 31-bit Rabin-Karp math), but the

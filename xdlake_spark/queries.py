@@ -1088,6 +1088,32 @@ def text_repetition_q(spark, sf_dir):
     return textops.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+@register("pii_stats", f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{X.PII_EMAIL}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text, '{X.PII_IPV4}')) AS BIGINT)
+           AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{X.PII_PHONE}')) AS BIGINT)
+           AS n_phones,
+       len(regexp_extract_all(text, '{X.PII_EMAIL}'))
+         + len(regexp_extract_all(text, '{X.PII_IPV4}'))
+         + len(regexp_extract_all(text, '{X.PII_PHONE}')) > 0 AS has_pii,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{X.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{X.PII_IPV4}', '<IP>', 'g'),
+           '{X.PII_PHONE}', '<PHONE>', 'g') AS text_redacted
+FROM documents
+""")
+def pii_stats_q(spark, sf_dir):
+    """PII detection + redaction (emails / IPv4 / phones) — the
+    standard pre-release scrub; patterns restricted to the Java∩RE2
+    regex dialect so Spark and the DuckDB oracle execute identical
+    strings (operators/text.py pii_stats)."""
+    return textops.pii_stats(_t(spark, sf_dir, "documents"),
+                             redacted=True)
+
+
 # ===========================================================================
 # Dedup (documents) + embeddings similarity
 # ===========================================================================
