@@ -704,6 +704,40 @@ class TestConnectedComponentsScale:
                                        driver_threshold=0)
 
 
+class TestParagraphDedup:
+    def test_first_occurrence_wins(self, spark):
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                "intro\nshared boilerplate\nbody one",
+                "shared boilerplate\nbody two",
+                "body two\n\nbody three",
+            ]})
+        out = {r["doc_id"]: r["text"] for r in
+               dedup.paragraph_dedup(
+                   spark.createDataFrame(pdf)).collect()}
+        assert out[1] == "intro\nshared boilerplate\nbody one"
+        assert out[2] == "body two"        # boilerplate deduped away
+        # "body two" already claimed by doc 2; empty line kept
+        assert out[3] == "\nbody three"
+
+    def test_all_deduped_doc_survives_empty(self, spark):
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["only para", "only para"]})
+        out = {r["doc_id"]: r["text"] for r in
+               dedup.paragraph_dedup(
+                   spark.createDataFrame(pdf)).collect()}
+        assert out == {1: "only para", 2: ""}
+
+    def test_within_doc_repeats_collapse(self, spark):
+        pdf = pd.DataFrame({
+            "doc_id": [7],
+            "text": ["x\nx\nx\ny"]})
+        out = dedup.paragraph_dedup(spark.createDataFrame(pdf)).collect()
+        assert out[0]["text"] == "x\ny"
+
+
 class TestSampling:
     def test_hash_split_stable_and_proportional(self, spark, documents):
         from xdlake_spark.operators import sampling

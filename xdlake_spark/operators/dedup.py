@@ -240,6 +240,45 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     return labels.union(roots)
 
 
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """Corpus-level exact paragraph dedup (the Dolma/CCNet pass):
+    every distinct paragraph (trim-keyed) keeps only its FIRST
+    occurrence — lowest ``(doc_id, position)`` — across the whole
+    corpus; later occurrences are dropped and each document is
+    reassembled from its surviving paragraphs in original order.
+    Whitespace-only segments are structural and always kept; documents
+    whose every paragraph was deduped away come back as empty text.
+
+    Scale: first-occurrence selection is a map-side-combinable
+    ``min(struct(doc, pos))`` groupBy on the paragraph key — a
+    boilerplate paragraph occurring a million times partial-aggregates
+    per partition instead of feeding one hot window; reassembly is one
+    groupBy on doc_id.
+    """
+    parts = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "par"))
+    key = F.trim(F.col("par"))
+    content = parts.filter(F.length(key) > 0).withColumn("key", key)
+    firsts = (content.groupBy("key")
+              .agg(F.min(F.struct("id", "pos")).alias("first")))
+    surv = (content.join(firsts, "key")
+            .filter((F.col("id") == F.col("first.id"))
+                    & (F.col("pos") == F.col("first.pos")))
+            .select("id", "pos", "par"))
+    keep = surv.union(parts.filter(F.length(key) == 0)
+                      .select("id", "pos", "par"))
+    rebuilt = (keep.groupBy("id")
+               .agg(F.concat_ws(sep, F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "par"))),
+                   lambda s: s["par"])).alias("__text")))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(rebuilt, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("__text", F.lit("")).alias(text_col)))
+
+
 def _driver_union_find(e: DataFrame, nodes: DataFrame) -> DataFrame:
     """Exact same (id, component=min reachable id) labels as the
     distributed path, for edge sets small enough to collect (bounded by

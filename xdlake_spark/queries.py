@@ -1114,6 +1114,33 @@ def pii_stats_q(spark, sf_dir):
                              redacted=True)
 
 
+@register("dedup_paragraphs", """
+WITH split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents
+), idx AS (
+  SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS pos FROM split
+), parts AS (
+  SELECT doc_id, pos, ps[pos] AS par FROM idx
+), ranked AS (
+  SELECT doc_id, pos, par,
+         CASE WHEN length(trim(par)) = 0 THEN 1
+              ELSE row_number() OVER (PARTITION BY trim(par)
+                                      ORDER BY doc_id, pos)
+         END AS rn
+  FROM parts
+), rebuilt AS (
+  SELECT doc_id, string_agg(par, chr(10) ORDER BY pos) AS text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+""")
+def dedup_paragraphs_q(spark, sf_dir):
+    """Corpus-level exact paragraph dedup, first occurrence wins
+    (operators/dedup.py paragraph_dedup) vs a window-based SQL oracle."""
+    return dedup.paragraph_dedup(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Dedup (documents) + embeddings similarity
 # ===========================================================================
