@@ -126,6 +126,35 @@ class TestCodegen:
         assert re.search(r"\*\(\d+\)", plan), plan
 
 
+class TestSkewSafeJoins:
+    """The new-round scale guarantees: no cartesian products anywhere in
+    the bucketed self-joins, and paragraph-dedup's first-occurrence
+    choice partial-aggregates map-side (no window over a hot key)."""
+
+    @pytest.mark.parametrize("name", [
+        "dedup_minhash_pairs", "dedup_simhash_pairs",
+        "dedup_ngram_jaccard_pairs", "dedup_winnow_pairs",
+        "embedding_neardup_lsh",
+    ])
+    def test_bucket_self_joins_never_cartesian(self, spark, name):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_paragraph_dedup_partial_aggregates(self, spark):
+        plan = plan_of(spark, "dedup_paragraphs")
+        # the min(struct(doc,pos)) keeper choice and the per-doc rebuild
+        # both run with a partial (map-side) phase before the shuffle
+        assert "partial_min" in plan or "partial" in plan.lower(), plan
+        assert "Window" not in plan, plan
+
+    def test_pii_and_repetition_stay_jvm(self, spark):
+        for name in ("pii_stats", "text_repetition"):
+            plan = plan_of(spark, name)
+            assert "BatchEvalPython" not in plan, plan
+            assert "ArrowEvalPython" not in plan, plan
+
+
 class TestTopK:
     def test_sort_limit_is_take_ordered(self, spark):
         # ORDER BY + LIMIT must run as TakeOrderedAndProject (k rows per
