@@ -50,6 +50,9 @@ HEADLINE = [
     "text_stats",
     "lang_detect",
     "token_count_by_lang",
+    "text_repetition",
+    "pii_stats",
+    "dedup_paragraphs",
     "dedup_exact_keepers",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard_pairs",

@@ -152,12 +152,19 @@ def dup_line_fraction(col: Column) -> Column:
 def dup_ngram_fraction(col: Column, n: int = 2) -> Column:
     """Fraction of word n-grams (in order, with repeats) that duplicate
     an earlier n-gram — the Gopher duplicate-n-gram signal. 0 when the
-    text has fewer than n tokens."""
+    text has fewer than n tokens.
+
+    Built as ``arrays_zip`` of n shifted slices, not a per-position
+    transform lambda: HOF lambda bodies are interpreted, so the lambda
+    form costs O(tokens) interpreter round-trips per document while the
+    zip form is a handful of vectorized array ops (tokens contain no
+    whitespace, so zipped tuples and space-joined strings dedupe
+    identically — the DuckDB oracle keeps the join form)."""
     toks = F.split(F.lower(F.trim(col)), r"\s+")
     m = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    safe_m = F.greatest(m, F.lit(1))
+    grams = F.arrays_zip(
+        *[F.slice(toks, F.lit(i + 1), safe_m) for i in range(n)])
     return F.when(
         m > 0,
         (m - F.size(F.array_distinct(grams))).cast("double") / m) \
