@@ -65,6 +65,26 @@ class TestMinHash:
         assert out.count() == docs_with_dups.count() - len(doomed)
 
 
+class TestMinhashArrow:
+    def test_signature_arrow_equals_jvm(self, spark, documents):
+        d = documents.limit(200)
+        jvm = {r["id"]: r["signature"] for r in
+               dedup.minhash_signature_df(d, use_arrow=False).collect()}
+        arr = {r["id"]: r["signature"] for r in
+               dedup.minhash_signature_df(d, use_arrow=True).collect()}
+        assert jvm == arr and len(jvm) == 200
+
+    def test_signature_arrow_null_and_short_text(self, spark):
+        pdf = pd.DataFrame({"doc_id": [1, 2],
+                            "text": ["ab", "one two three four"]})
+        d = spark.createDataFrame(pdf)
+        jvm = {r["id"]: r["signature"] for r in
+               dedup.minhash_signature_df(d, use_arrow=False).collect()}
+        arr = {r["id"]: r["signature"] for r in
+               dedup.minhash_signature_df(d, use_arrow=True).collect()}
+        assert jvm == arr
+
+
 class TestNgramJaccard:
     def test_matches_manual_jaccard(self, spark):
         pdf = pd.DataFrame({

@@ -339,24 +339,34 @@ def _minhash_coeffs(n: int) -> list[tuple[int, int]]:
 
 def minhash_signature_df(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", k_shingle: int = 3,
-                         num_hashes: int = 32) -> DataFrame:
+                         num_hashes: int = 32,
+                         use_arrow: "bool | None" = None) -> DataFrame:
     """id + array of ``num_hashes`` minhash values.
 
-    One xxhash64 per shingle folded to 31 bits, then ``num_hashes``
-    affine re-hashes ``(a_i*h + b_i) mod (2^31-1)`` — the classic
-    universal family — folded to their minimum in a SINGLE pass
-    (``aggregate`` + ``zip_with``). The naive form (one
-    ``array_min(transform(...))`` per hash) embeds the whole
-    shingle-and-hash pipeline ``num_hashes`` times in the projection,
-    which Catalyst does not common-subexpression-eliminate inside
-    higher-order functions — measured ~30x slower. The input is also
-    repartitioned to the session parallelism first: a small parquet
-    arrives as one split, and this projection is the job's hot loop.
+    One xxhash64 per shingle folded to 31 bits (always JVM-side — the
+    hash must match Spark's), then ``num_hashes`` affine re-hashes
+    ``(a_i*h + b_i) mod (2^31-1)`` — the classic universal family —
+    folded to their minimum. Two equivalent plans for that fold
+    (asserted identical in tests, same pattern as ``simhash_df``):
+
+    - pure JVM: a SINGLE ``aggregate`` + ``zip_with`` pass. (The naive
+      form — one ``array_min(transform(...))`` per hash — embeds the
+      pipeline ``num_hashes`` times; Catalyst does not CSE inside HOFs:
+      measured ~30x slower.) Still interpreted per shingle*hash.
+    - arrow (default past a few thousand docs): the folded 31-bit hash
+      array ships to a pandas UDF; the S x num_hashes affine grid and
+      column-min run as three numpy ops per document (products stay
+      below 2^62, inside int64).
+
+    The input is repartitioned to the session parallelism first: a
+    small parquet arrives as one split, and this projection is the
+    job's hot loop.
     """
     coeffs = _minhash_coeffs(num_hashes)
     m = F.lit(_MERSENNE_31).cast("long")
-    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
-    b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
+
+    if use_arrow is None:
+        use_arrow = df.count() >= 2000
 
     hashed = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
@@ -366,6 +376,32 @@ def minhash_signature_df(df: DataFrame, text_col: str = "text",
         F.transform("__shingles",
                     lambda s: F.pmod(F.xxhash64(s), m)).alias("__h"),
     )
+
+    if use_arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        a_np = np.array([a for a, _ in coeffs], dtype=np.int64)
+        b_np = np.array([b for _, b in coeffs], dtype=np.int64)
+        empty = [_MERSENNE_31] * num_hashes  # == the JVM fold's init
+
+        @pandas_udf("array<long>")
+        def _sig(hs: pd.Series) -> pd.Series:
+            out = []
+            for h in hs:
+                if h is None or len(h) == 0:
+                    out.append(empty)
+                    continue
+                hv = np.asarray(h, dtype=np.int64)
+                grid = (hv[:, None] * a_np[None, :] + b_np[None, :]) \
+                    % _MERSENNE_31
+                out.append(grid.min(axis=0).tolist())
+            return pd.Series(out)
+
+        return hashed.select("id", "__shingles",
+                             _sig(F.col("__h")).alias("signature"))
+
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
     per_shingle = F.transform(
         "__h", lambda h: F.zip_with(a_arr, b_arr,
                                     lambda a, b: F.pmod(h * a + b, m)))
