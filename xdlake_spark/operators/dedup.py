@@ -66,6 +66,9 @@ def _bounded_bucket_pairs(entries: DataFrame, keys: list[str],
     across buckets.
     """
     payload = payload or []
+    # entries feeds three consumers (bucket counts + both join sides);
+    # callers checkpoint the expensive upstream (signatures/shingles)
+    # themselves, so no extra materialization here
     cnt = entries.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
     e = (entries.join(cnt, keys)
          .withColumn("__ns", F.ceil(F.col("__n") / F.lit(bucket_cap))
