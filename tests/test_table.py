@@ -656,6 +656,35 @@ class TestOptimizeWhere:
         assert_frames_equivalent(t2.to_pandas(), expected)
 
 
+class TestTimestampTravel:
+    def test_load_as_timestamp(self, spark, tmp_table_dir):
+        import datetime
+        import time as _time
+
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        sizes = []
+        for _ in range(3):
+            t = t.write(spark.createDataFrame(gen_pdf()))
+            sizes.append(t.to_df().count())
+            _time.sleep(0.05)
+        stamps = {h["version"]: h["timestamp"] for h in t.history()}
+
+        # exactly at v1's commit time -> v1
+        got = t.load_as_timestamp(stamps[1])
+        assert got.version == 1 and got.to_df().count() == sizes[1]
+        # just before v2 -> still v1
+        assert t.load_as_timestamp(stamps[2] - 1).version == 1
+        # far future -> head; ISO string + datetime forms accepted
+        assert t.load_as_timestamp(stamps[2] + 10_000).version == 2
+        dt = datetime.datetime.fromtimestamp(
+            (stamps[2] + 10_000) / 1000, tz=datetime.timezone.utc)
+        assert t.load_as_timestamp(dt).version == 2
+        assert t.load_as_timestamp(dt.isoformat()).version == 2
+        # before the table existed -> error
+        with pytest.raises(ValueError, match="at or before"):
+            t.load_as_timestamp(stamps[0] - 60_000)
+
+
 class TestDeletionVectorGuard:
     def test_dv_bearing_add_fails_loudly(self, spark, tmp_table_dir):
         """A table whose log carries a non-null deletionVector (as

@@ -138,6 +138,37 @@ class DeltaTable:
         return DeltaTable(self.spark, self.location, self.log_location,
                           version=version)
 
+    def load_as_timestamp(self, ts: Any) -> "DeltaTable":
+        """Time travel to the newest version committed at or before
+        ``ts`` — Delta's ``timestampAsOf`` (the reference supports only
+        version pinning). ``ts``: epoch milliseconds, ``datetime``, or
+        ISO-8601 string (naive values read as UTC). Raises if every
+        known commit is later than ``ts``. Under a checkpointed load,
+        commits collapsed into the checkpoint resolve with the
+        checkpoint's own timestamp — older targets than that raise.
+        """
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            ms = int(ts.timestamp() * 1000)
+        else:
+            ms = int(ts)
+
+        best: int | None = None
+        for h in self.history(reverse=False):
+            t = h.get("timestamp")
+            if t is not None and int(t) <= ms:
+                best = h["version"]
+        if best is None:
+            raise ValueError(
+                f"No version of {self.location.url} exists at or before "
+                f"timestamp {ms} (epoch ms)")
+        return self.load_as_version(best)
+
     def file_uris(self) -> list[str]:
         """Absolute URIs of live files (reference __init__.py:122-125)."""
         return [self.location.absloc(p).url for p in self.adds]
