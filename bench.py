@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_winnow_pairs",
     "dedup_connected_components",
+    "contamination_check",
     "embedding_neardup_pairs",
     "similarity_topk_cosine",
     "knn_join_labels",
@@ -103,8 +104,18 @@ def main() -> None:
             .write.format("noop").mode("overwrite").save()
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # wall-clock safety valve: a heavily loaded host must not blow a
+    # harness timeout — finish the pass in flight, then stop early and
+    # report whatever passes completed (>=1 always)
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    t_start = time.time()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for pass_i in range(n_runs):
+        if pass_i > 0 and time.time() - t_start > budget_s:
+            print(f"# stopping after {pass_i} passes: "
+                  f"{time.time() - t_start:.0f}s > {budget_s:.0f}s budget",
+                  file=sys.stderr)
+            break
         for i, name in enumerate(HEADLINE):
             fn = qs[name]
             t0 = time.time()
@@ -133,7 +144,7 @@ def main() -> None:
         "queries": mins,
         "queries_median": medians,
         "sf": sf,
-        "runs_per_query": n_runs,
+        "runs_per_query": len(next(iter(samples.values()))),
         "stat": "min-of-interleaved-passes",
     }))
     spark.stop()

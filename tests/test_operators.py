@@ -724,6 +724,40 @@ class TestConnectedComponentsScale:
                                        driver_threshold=0)
 
 
+class TestContamination:
+    def test_embedded_benchmark_detected(self, spark):
+        bench_text = "the quick brown fox jumps over the lazy dog"
+        train = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": [
+                "intro text " + bench_text + " trailing words here",
+                "completely unrelated training document content",
+            ]}))
+        evals = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [100, 200],
+            "text": [bench_text,
+                     "another benchmark item nothing shares"]}))
+        got = {(r["train_id"], r["eval_id"]): r["containment"]
+               for r in dedup.contamination_pairs(
+                   train, evals, threshold=0.8).collect()}
+        # doc 1 fully contains the benchmark: every 3-gram of the eval
+        # doc appears in the train doc
+        assert got == {(1, 100): pytest.approx(1.0)}
+
+    def test_jaccard_blind_containment_caught(self, spark):
+        # short eval doc inside a LONG train doc: jaccard would be tiny,
+        # containment is 1.0 — the reason decontamination uses it
+        short = "alpha beta gamma delta"
+        long_doc = " ".join(f"w{i}" for i in range(300)) + " " + short
+        train = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [1], "text": [long_doc]}))
+        evals = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [9], "text": [short]}))
+        out = dedup.contamination_pairs(train, evals,
+                                        threshold=0.99).collect()
+        assert len(out) == 1 and out[0]["containment"] == pytest.approx(1.0)
+
+
 class TestParagraphDedup:
     def test_first_occurrence_wins(self, spark):
         pdf = pd.DataFrame({

@@ -243,6 +243,53 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     return labels.union(roots)
 
 
+def contamination_pairs(train: DataFrame, eval_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k_shingle: int = 3, threshold: float = 0.8,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Benchmark-contamination check: (train_id, eval_id, containment)
+    for every train document whose shingle set covers >= ``threshold``
+    of an eval document's shingles (containment = |A∩B| / |B|, B = the
+    eval doc — the decontamination metric: a short benchmark item fully
+    embedded in a long train doc scores 1.0 where jaccard would
+    vanish).
+
+    Bipartite inverted-index join on 64-bit hashed shingles — only
+    (train, eval) pairs sharing a shingle materialize. ``max_doc_freq``
+    drops shingles whose TRAIN document frequency exceeds it from both
+    the index and nothing else (containment denominators come from the
+    eval side, which stays exact).
+    """
+    def inv(df_, tag):
+        sh = (ensure_parallelism(df_)
+              .select(F.col(id_col).alias(f"{tag}_id"),
+                      shingles(F.col(text_col), k_shingle).alias("sh")))
+        return sh
+
+    tr = inv(train, "train").localCheckpoint(eager=False)
+    ev = inv(eval_df, "eval").localCheckpoint(eager=False)
+    tr_inv = (tr.select("train_id", F.explode("sh").alias("__s"))
+              .select("train_id", F.xxhash64("__s").alias("shingle")))
+    if max_doc_freq is not None:
+        keep = (tr_inv.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_doc_freq)
+                .select("shingle"))
+        tr_inv = tr_inv.join(keep, "shingle")
+    ev_inv = (ev.select("eval_id", F.explode("sh").alias("__s"))
+              .select("eval_id", F.xxhash64("__s").alias("shingle")))
+    ev_sizes = ev.select("eval_id", F.size("sh").alias("n_eval"))
+
+    inter = (tr_inv.join(ev_inv, "shingle")
+             .groupBy("train_id", "eval_id")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    return (inter.join(ev_sizes, "eval_id")
+            .withColumn("containment",
+                        F.col("n_inter").cast("double") / F.col("n_eval"))
+            .filter(F.col("containment") >= threshold)
+            .select("train_id", "eval_id", "containment"))
+
+
 def paragraph_dedup(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
     """Corpus-level exact paragraph dedup (the Dolma/CCNet pass):

@@ -1141,6 +1141,59 @@ def dedup_paragraphs_q(spark, sf_dir):
     return dedup.paragraph_dedup(_t(spark, sf_dir, "documents"))
 
 
+@register("contamination_check", """
+WITH train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+), eval_set AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+), tsh AS (
+  SELECT doc_id AS train_id,
+         unnest(list_distinct(
+           CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
+                THEN list_transform(
+                  range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
+                  i -> string_split_regex(lower(trim(text)), '\\s+')[i]
+                       || ' ' || string_split_regex(lower(trim(text)), '\\s+')[i+1]
+                       || ' ' || string_split_regex(lower(trim(text)), '\\s+')[i+2])
+                ELSE [trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))]
+           END)) AS s
+  FROM train
+), esh_base AS (
+  SELECT doc_id AS eval_id,
+         list_distinct(
+           CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
+                THEN list_transform(
+                  range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
+                  i -> string_split_regex(lower(trim(text)), '\\s+')[i]
+                       || ' ' || string_split_regex(lower(trim(text)), '\\s+')[i+1]
+                       || ' ' || string_split_regex(lower(trim(text)), '\\s+')[i+2])
+                ELSE [trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))]
+           END) AS ss
+  FROM eval_set
+), esh AS (
+  SELECT eval_id, unnest(ss) AS s FROM esh_base
+), sizes AS (
+  SELECT eval_id, len(ss) AS n_eval FROM esh_base
+), inter AS (
+  SELECT t.train_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_inter
+  FROM tsh t JOIN esh e ON t.s = e.s
+  GROUP BY 1, 2
+)
+SELECT train_id, eval_id,
+       CAST(n_inter AS DOUBLE) / n_eval AS containment
+FROM inter JOIN sizes USING (eval_id)
+WHERE CAST(n_inter AS DOUBLE) / n_eval >= 0.8
+""")
+def contamination_q(spark, sf_dir):
+    """Benchmark decontamination: train docs containing >=80% of an
+    eval doc's word-3-gram shingles (operators/dedup.py
+    contamination_pairs; eval set = doc_id % 10 == 0)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.contamination_pairs(
+        d.filter("doc_id % 10 != 0"), d.filter("doc_id % 10 = 0"),
+        threshold=0.8)
+
+
 # ===========================================================================
 # Dedup (documents) + embeddings similarity
 # ===========================================================================
