@@ -134,7 +134,7 @@ class TestSkewSafeJoins:
     @pytest.mark.parametrize("name", [
         "dedup_minhash_pairs", "dedup_simhash_pairs",
         "dedup_ngram_jaccard_pairs", "dedup_winnow_pairs",
-        "embedding_neardup_lsh",
+        "embedding_neardup_lsh", "contamination_check",
     ])
     def test_bucket_self_joins_never_cartesian(self, spark, name):
         plan = plan_of(spark, name)
