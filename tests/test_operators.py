@@ -312,6 +312,31 @@ class TestTextAnalysis:
         assert out[4]["dup_line_frac"] == 0.0
         assert not out[4]["is_repetitive"]
 
+    def test_repetition_random_differential(self, spark):
+        """Random word soups: the arrays_zip n-gram fractions must match
+        a straightforward python reference exactly."""
+        rng = np.random.default_rng(99)
+        words = [f"w{i}" for i in range(12)]
+        texts = [" ".join(rng.choice(words, size=int(n)))
+                 for n in rng.integers(1, 60, size=30)]
+        pdf = pd.DataFrame({"doc_id": range(30), "text": texts})
+        out = {r["doc_id"]: r for r in
+               textops.repetition_stats(
+                   spark.createDataFrame(pdf)).collect()}
+
+        def frac(toks, n):
+            grams = [tuple(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)]
+            return (len(grams) - len(set(grams))) / len(grams) \
+                if grams else 0.0
+
+        for i, t in enumerate(texts):
+            toks = t.lower().split()
+            assert out[i]["dup_2gram_frac"] == pytest.approx(
+                round(frac(toks, 2), 6)), (i, t)
+            assert out[i]["dup_3gram_frac"] == pytest.approx(
+                round(frac(toks, 3), 6)), (i, t)
+
     def test_pii_stats_and_redaction(self, spark):
         pdf = pd.DataFrame({
             "doc_id": [1, 2, 3],
