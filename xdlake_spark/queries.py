@@ -1114,6 +1114,60 @@ def pii_stats_q(spark, sf_dir):
                              redacted=True)
 
 
+@register("corpus_filter_funnel", f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         {_QUALITY_SQL} AS q,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)),
+                     x -> length(x) > 0) AS lines,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), rep AS (
+  SELECT doc_id, lang, text, q,
+         CASE WHEN len(lines) > 0
+              THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                   / len(lines) ELSE 0.0 END AS dl,
+         CASE WHEN len(toks) - 1 > 0
+              THEN CAST(len(toks) - 1 - len(list_distinct(
+                     list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1])))
+                   AS DOUBLE) / (len(toks) - 1)
+              ELSE 0.0 END AS d2
+  FROM scored
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS tokens_ws
+FROM rep
+WHERE q >= 0.5 AND dl <= 0.3 AND d2 <= 0.2
+  AND len(regexp_extract_all(text, '{X.PII_EMAIL}'))
+    + len(regexp_extract_all(text, '{X.PII_IPV4}'))
+    + len(regexp_extract_all(text, '{X.PII_PHONE}')) = 0
+GROUP BY lang
+ORDER BY lang
+""")
+def corpus_filter_funnel_q(spark, sf_dir):
+    """The realistic chained pre-training filter: quality >= 0.5 AND
+    not repetitive (Gopher thresholds) AND no PII, then token
+    accounting per language — composes quality_score,
+    dup_line/ngram_fraction, and pii_counts in ONE pass over the text
+    (each regex/split runs once per document)."""
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    ne, ni, np_ = X.pii_counts(c)
+    keep = ((X.quality_score(c) >= 0.5)
+            & (X.dup_line_fraction(c) <= 0.3)
+            & (X.dup_ngram_fraction(c, 2) <= 0.2)
+            & ((ne + ni + np_) == 0))
+    return (d.filter(keep)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(X.token_count_ws(c)).alias("tokens_ws"))
+            .orderBy("lang"))
+
+
 @register("dedup_paragraphs", """
 WITH split AS (
   SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents
