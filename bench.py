@@ -52,6 +52,7 @@ HEADLINE = [
     "token_count_by_lang",
     "text_repetition",
     "pii_stats",
+    "corpus_filter_funnel",
     "dedup_paragraphs",
     "dedup_exact_keepers",
     "dedup_minhash_pairs",
