@@ -646,6 +646,52 @@ class TestBoundedBucketPairs:
                textops.winnow_fingerprints(d, use_arrow=True).collect()}
         assert jvm == arr
 
+    def test_winnow_arrow_unicode_whitespace(self, spark):
+        """Non-ASCII whitespace at string edges: Java's \\s is ASCII-only,
+        so the JVM path keeps a leading \\u00a0 / \\u3000; the arrow path
+        must not python-strip() it away."""
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [" padded with nbsp ",
+                     "　ideographic space lead",
+                     "mixed   inner and outer "]})
+        d = spark.createDataFrame(pdf)
+        jvm = {(r["doc_id"], r["fingerprint"]) for r in
+               textops.winnow_fingerprints(d, use_arrow=False).collect()}
+        arr = {(r["doc_id"], r["fingerprint"]) for r in
+               textops.winnow_fingerprints(d, use_arrow=True).collect()}
+        assert jvm == arr
+
+    def test_winnow_valve_noop_at_low_df(self, spark, documents):
+        """max_doc_freq above every fingerprint's document frequency
+        must be a semantic no-op (same pattern as capped==uncapped)."""
+        d = documents.limit(80).select("doc_id", "text")
+
+        def pairs(mdf):
+            return sorted(
+                (r["id_a"], r["id_b"], r["n_shared"],
+                 round(r["overlap"], 9))
+                for r in textops.winnow_overlap_pairs(
+                    d, threshold=0.3, max_doc_freq=mdf).collect())
+
+        assert pairs(10**9) == pairs(None)
+
+    def test_winnow_valve_drops_boilerplate(self, spark, documents):
+        """Fingerprints shared by more than max_doc_freq docs are
+        dropped from index AND denominators: a clone group larger than
+        the valve loses all its (identical) fingerprints, so none of
+        its pairs can appear."""
+        base = documents.limit(30).select("doc_id", "text")
+        one = documents.limit(1).select("text")
+        hot = (spark.range(40)
+               .select((F.col("id") + 500000).alias("doc_id"))
+               .crossJoin(one))
+        corpus = base.unionByName(hot)
+        valve = {(r["id_a"], r["id_b"])
+                 for r in textops.winnow_overlap_pairs(
+                     corpus, threshold=0.5, max_doc_freq=35).collect()}
+        assert not any(a >= 500000 for a, _ in valve)
+
     def test_winnow_capped_equals_uncapped(self, spark, documents):
         base = documents.limit(60).select("doc_id", "text")
         one = documents.limit(1).select("text")

@@ -136,7 +136,10 @@ def _winnow_arrow_udf(k: int, window: int):
     def _winnow(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            s = ws.sub(" ", (t or "").lower()).strip()
+            # strip ASCII space ONLY: python's bare strip() removes
+            # unicode whitespace ( , 　 ...) that the JVM
+            # path's ASCII \s+ collapse + trim leaves in place
+            s = ws.sub(" ", (t or "").lower()).strip(" ")
             if not s:
                 out.append([])
                 continue
@@ -222,6 +225,7 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
                          window: int = 4,
                          threshold: float = 0.5,
                          bucket_cap: int = 2000,
+                         max_doc_freq: int | None = None,
                          use_arrow: "bool | None" = None) -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint overlap (the MOSS
     match metric): pairs whose shared fingerprints cover >= threshold
@@ -236,12 +240,27 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
     (dedup._bounded_bucket_pairs, count-preserving mode) so one
     boilerplate fingerprint shared by k docs spreads its k^2/2 pair
     emissions over bounded block tasks — result identical.
+
+    ``max_doc_freq``: scale valve for skew (same knob as
+    ``ngram_jaccard_pairs``). A fingerprint present in s docs emits
+    s*(s-1)/2 candidate pairs, so one boilerplate fingerprint can
+    dominate the join even when tiled (the tiling bounds the straggler,
+    not the total work). Setting a cutoff drops fingerprints whose
+    document frequency exceeds it from BOTH the index and the overlap
+    denominators, so the overlap coefficient stays a true ratio over
+    the surviving (discriminative) fingerprint sets. None = exact MOSS.
     """
     from .dedup import _bounded_bucket_pairs
 
     fps = winnow_fingerprints(df, text_col, id_col, k, window,
                               use_arrow=use_arrow) \
         .localCheckpoint(eager=False)
+    if max_doc_freq is not None:
+        keep = (fps.groupBy("fingerprint")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_doc_freq)
+                .select("fingerprint"))
+        fps = fps.join(keep, "fingerprint").localCheckpoint(eager=False)
     sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
     inter = (_bounded_bucket_pairs(
                 fps.select(F.col("doc_id").alias("id"), "fingerprint"),
