@@ -206,28 +206,46 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     # upstream pair pipeline is evaluated exactly once
     raw = (edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
            .localCheckpoint())
+    # lazy checkpoints: e is materialized by the first _stats job, nodes
+    # by whichever action reads it first — no standalone warmup jobs
     e = (raw.filter(F.col("u") != F.col("v"))
          .distinct()
-         .localCheckpoint())
+         .localCheckpoint(eager=False))
     # nodes from the UNfiltered input: a node seen only in self-loop
     # pairs still labels itself
     nodes = (raw.select("u").union(raw.select(F.col("v").alias("u")))
              .distinct()
              .select(F.col("u").alias("id"))
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
 
-    n_edges = e.count()
+    def _stats(d: DataFrame) -> tuple:
+        """(row count, order-insensitive sum/xor checksums) in ONE job —
+        this action also materializes d's lazy localCheckpoint."""
+        # sum over a 20-bit fold stays ANSI-safe (no long overflow) up
+        # to 2^43 edges; the xor term keeps full 64-bit discrimination
+        r = d.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.pmod(F.xxhash64("u", "v"),
+                               F.lit(1 << 20))).alias("s"),
+                  F.expr("bit_xor(xxhash64(u, v))").alias("x")).collect()[0]
+        return r["n"], r["s"], r["x"]
+
+    n_edges, *chk = _stats(e)
     if 0 < n_edges <= driver_threshold:
         return _driver_union_find(e, nodes)
     converged = n_edges == 0
     for _ in range(max_iter):
         if converged:
             break
-        e2 = _small_star(_large_star(e)).localCheckpoint()
-        n2 = e2.count()
-        if n2 == n_edges and e2.exceptAll(e).isEmpty():
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        n2, *chk2 = _stats(e2)
+        # cheap screen first: identical (count, sum, xor) of row hashes
+        # is necessary for set equality, so rounds that still contract
+        # pay exactly one job; the exact exceptAll confirmation runs
+        # only on checksum-stable rounds (≈ once, at the fixpoint)
+        if n2 == n_edges and chk2 == chk \
+                and e2.exceptAll(e).isEmpty():
             converged = True
-        e, n_edges = e2, n2
+        e, n_edges, chk = e2, n2, chk2
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} "
