@@ -75,14 +75,19 @@ class TestMinhashArrow:
         assert jvm == arr and len(jvm) == 200
 
     def test_signature_arrow_null_and_short_text(self, spark):
-        pdf = pd.DataFrame({"doc_id": [1, 2],
-                            "text": ["ab", "one two three four"]})
+        pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                            "text": ["ab", "one two three four", None]})
         d = spark.createDataFrame(pdf)
         jvm = {r["id"]: r["signature"] for r in
                dedup.minhash_signature_df(d, use_arrow=False).collect()}
         arr = {r["id"]: r["signature"] for r in
                dedup.minhash_signature_df(d, use_arrow=True).collect()}
         assert jvm == arr
+        # null text canonicalizes upstream: shingles(null) -> [""] (the
+        # whole-text shingle of the empty string), so BOTH paths emit
+        # the same real signature — null-text docs neither bucket
+        # together spuriously nor silently drop out of the equi-join
+        assert jvm[3] is not None and jvm[3] == arr[3]
 
 
 class TestNgramJaccard:

@@ -163,3 +163,33 @@ class TestTopK:
         assert "TakeOrderedAndProject" in plan, plan
         plan = plan_of(spark, "similarity_topk_cosine")
         assert "TakeOrderedAndProject" in plan, plan
+
+
+class TestArrowGateNoJob:
+    """The JVM-vs-Arrow strategy gates must decide from Catalyst plan
+    statistics, never by running a count job at plan-build time (an
+    eager count on a derived input recomputes the whole upstream)."""
+
+    def test_gate_runs_no_job(self, spark):
+        from xdlake_spark.operators import dedup as D
+        from xdlake_spark.operators import text as X
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        sc = spark.sparkContext
+        sc.setJobGroup("arrow-gate-probe", "plan build must be job-free")
+        try:
+            D.minhash_signature_df(d)         # build only — no action
+            D.simhash_df(d)
+            X.winnow_fingerprints(d)
+        finally:
+            sc.setJobGroup(None, None)
+        tracker = sc.statusTracker()
+        jobs = tracker.getJobIdsForGroup("arrow-gate-probe")
+        assert list(jobs) == [], f"gate ran Spark jobs: {list(jobs)}"
+
+    def test_gate_picks_by_scale(self, spark):
+        from xdlake_spark.operators import plan_row_estimate
+
+        small = spark.read.parquet(f"{SF}/documents.parquet")
+        est = plan_row_estimate(small)
+        assert est is not None and est < 2000  # 500 docs, ~65 KB file

@@ -21,3 +21,55 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
+
+
+#: Parquet-compressed bytes per document row, calibrated on the test
+#: corpora (sf0.001: 131 B/doc, sf0.1: 119 B/doc). Only used to turn a
+#: plan's sizeInBytes into a row-order-of-magnitude guess.
+_BYTES_PER_ROW_GUESS = 128
+
+
+def plan_row_estimate(df: DataFrame) -> "int | None":
+    """Catalyst's row estimate for ``df`` from plan statistics —
+    metadata only, NEVER runs a job.
+
+    The JVM-vs-Arrow physical-strategy gates (minhash/simhash/winnow)
+    previously ran an eager ``df.count()`` at plan-build time, which on
+    a derived input recomputes the whole upstream pipeline. Plan stats
+    are free: the exact ``rowCount`` when Catalyst carries one (CBO,
+    LocalRelation), else ``sizeInBytes`` — for file scans that is the
+    sum of file sizes from the (already loaded) file index — divided by
+    a per-row byte guess. Estimation errors only flip which of two
+    result-identical plans runs; joins/aggregates inflate sizeInBytes,
+    which errs toward Arrow — the right direction at scale. Returns
+    None when no statistic is available.
+    """
+    def as_int(x) -> int:
+        # py4j hands back Python ints for some numeric returns and
+        # JavaObjects (scala BigInt) for others
+        try:
+            return int(x)
+        except TypeError:
+            return int(x.toString())
+
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return as_int(rc.get())
+        size = as_int(stats.sizeInBytes())
+        if size > 0:
+            return size // _BYTES_PER_ROW_GUESS
+    except Exception:
+        pass
+    return None
+
+
+def arrow_gate(df: DataFrame, threshold: int = 2000) -> bool:
+    """True when ``df`` is (estimated) large enough that the Arrow
+    physical plan beats the JVM-HOF one. Plan-statistics first (no
+    job); the count job only as a last resort."""
+    est = plan_row_estimate(df)
+    if est is None:
+        est = df.count()
+    return est >= threshold

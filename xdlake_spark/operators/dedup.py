@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import ensure_parallelism
+from . import arrow_gate, ensure_parallelism, plan_row_estimate
 from ..functions.text import fingerprint_md5, shingles
 from ..functions.vectors import cosine, hyperplane_signature
 
@@ -434,7 +434,7 @@ def minhash_signature_df(df: DataFrame, text_col: str = "text",
     m = F.lit(_MERSENNE_31).cast("long")
 
     if use_arrow is None:
-        use_arrow = df.count() >= 2000
+        use_arrow = arrow_gate(df)  # plan statistics — no count job
 
     hashed = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
@@ -456,7 +456,12 @@ def minhash_signature_df(df: DataFrame, text_col: str = "text",
         def _sig(hs: pd.Series) -> pd.Series:
             out = []
             for h in hs:
-                if h is None or len(h) == 0:
+                if h is None:
+                    # null text -> null signature, matching the JVM
+                    # aggregate (null array folds to null)
+                    out.append(None)
+                    continue
+                if len(h) == 0:
                     out.append(empty)
                     continue
                 hv = np.asarray(h, dtype=np.int64)
@@ -484,7 +489,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k_shingle: int = 3,
                       num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.7,
-                      bucket_cap: int = 2000) -> DataFrame:
+                      bucket_cap: int = 2000,
+                      use_arrow: "bool | None" = None) -> DataFrame:
     """Candidate pairs from banded minhash buckets, verified with exact
     jaccard over distinct shingles. Returns (id_a, id_b, jaccard).
 
@@ -501,7 +507,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # at cluster scale this would be persist(MEMORY_AND_DISK) or an
     # intermediate table
     sigs = minhash_signature_df(df, text_col, id_col, k_shingle,
-                                num_hashes).localCheckpoint(eager=True)
+                                num_hashes,
+                                use_arrow=use_arrow).localCheckpoint(eager=True)
     sh = sigs.select("id", "__shingles")
 
     band_entries = sigs.select(
@@ -628,13 +635,15 @@ def simhash_df(df: DataFrame, text_col: str = "text",
       once the corpus is past a few thousand docs, at the price of
       Python worker startup.
 
-    ``use_arrow=None`` (default) picks by corpus size with one count job
-    — metadata-cheap for plain scans. Pass an explicit bool for derived
-    inputs where recomputing the upstream for the count is not free.
+    ``use_arrow=None`` (default) picks by corpus size from Catalyst
+    plan statistics (``plan_row_estimate`` — metadata only, no job).
+    Pass an explicit bool to override the heuristic.
     """
     n_rows = None
     if use_arrow is None:
-        n_rows = df.count()
+        n_rows = plan_row_estimate(df)  # metadata only — no count job
+        if n_rows is None:
+            n_rows = df.count()
         use_arrow = n_rows >= 2000
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
@@ -707,7 +716,8 @@ def simhash_df(df: DataFrame, text_col: str = "text",
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  bucket_cap: int = 2000) -> DataFrame:
+                  bucket_cap: int = 2000,
+                  use_arrow: "bool | None" = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
     Candidates come from 4x16-bit band buckets (two fingerprints within
@@ -718,7 +728,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     """
     # two narrow columns; checkpoint so the pandas-UDF hashing stage runs
     # once, not on both sides of the self-join
-    sh = simhash_df(df, text_col, id_col).localCheckpoint(eager=False)
+    sh = simhash_df(df, text_col, id_col,
+                    use_arrow=use_arrow).localCheckpoint(eager=False)
     bands = sh.select(
         "id", "simhash",
         F.explode(F.array(*[

@@ -193,13 +193,13 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     - arrow (default past a few thousand docs): the same math as k+window
       numpy vector ops per document in an Arrow-batched pandas UDF.
 
-    ``use_arrow=None`` picks by corpus size with one metadata-cheap
-    count job; pass an explicit bool for derived inputs.
+    ``use_arrow=None`` picks by corpus size from Catalyst plan
+    statistics (no job); pass an explicit bool to override.
     """
-    from . import ensure_parallelism
+    from . import arrow_gate, ensure_parallelism
 
     if use_arrow is None:
-        use_arrow = df.count() >= 2000
+        use_arrow = arrow_gate(df)
 
     base = (ensure_parallelism(df)
             .filter(F.length(X.normalize_text(F.col(text_col))) > 0))
