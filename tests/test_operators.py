@@ -833,6 +833,40 @@ class TestContamination:
                                         threshold=0.99).collect()
         assert len(out) == 1 and out[0]["containment"] == pytest.approx(1.0)
 
+    def test_max_doc_freq_shrinks_denominator_too(self, spark):
+        """The valve must drop train-hot shingles from the eval side
+        and the containment denominator, not just the index — else an
+        eval item built from common shingles is systematically
+        undercounted (false negatives)."""
+        train = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["x y", "x f2", "x f3", "x f4", "x f5"]}))
+        evals = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [9], "text": ["x y"]}))
+        # x has train df=5 > 3 -> dropped everywhere; surviving eval set
+        # is {y}, fully covered by train doc 1 -> containment 1.0 (the
+        # index-only drop would have scored 1/2 and missed it)
+        got = {(r["train_id"], r["eval_id"]): r["containment"]
+               for r in dedup.contamination_pairs(
+                   train, evals, k_shingle=1, threshold=0.8,
+                   max_doc_freq=3).collect()}
+        assert got == {(1, 9): pytest.approx(1.0)}
+
+    def test_max_doc_freq_keeps_unseen_eval_shingles(self, spark):
+        """Eval shingles absent from train still count in the
+        denominator — the valve removes train-hot shingles only."""
+        train = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3], "text": ["a b", "a c", "a d"]}))
+        evals = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [9], "text": ["b zzz"]}))
+        # 'a' dropped (df=3 > 2); eval set {b, zzz}: b matched by train
+        # 1, zzz unseen but still in the denominator -> containment 0.5
+        got = {(r["train_id"], r["eval_id"]): r["containment"]
+               for r in dedup.contamination_pairs(
+                   train, evals, k_shingle=1, threshold=0.4,
+                   max_doc_freq=2).collect()}
+        assert got == {(1, 9): pytest.approx(0.5)}
+
 
 class TestParagraphDedup:
     def test_first_occurrence_wins(self, spark):
@@ -866,6 +900,22 @@ class TestParagraphDedup:
             "text": ["x\nx\nx\ny"]})
         out = dedup.paragraph_dedup(spark.createDataFrame(pdf)).collect()
         assert out[0]["text"] == "x\ny"
+
+    def test_sep_is_literal_not_regex(self, spark):
+        """A separator containing regex metacharacters must split
+        literally ('.' used to split on EVERY character; '||' threw)."""
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["aaa.bbb.aaa", "bbb.ccc"]})
+        out = {r["doc_id"]: r["text"] for r in
+               dedup.paragraph_dedup(
+                   spark.createDataFrame(pdf), sep=".").collect()}
+        assert out == {1: "aaa.bbb", 2: "ccc"}
+
+        pdf2 = pd.DataFrame({"doc_id": [1], "text": ["p||q||p"]})
+        out2 = dedup.paragraph_dedup(
+            spark.createDataFrame(pdf2), sep="||").collect()
+        assert out2[0]["text"] == "p||q"
 
 
 class TestSampling:

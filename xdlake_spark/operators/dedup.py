@@ -274,9 +274,15 @@ def contamination_pairs(train: DataFrame, eval_df: DataFrame,
 
     Bipartite inverted-index join on 64-bit hashed shingles — only
     (train, eval) pairs sharing a shingle materialize. ``max_doc_freq``
-    drops shingles whose TRAIN document frequency exceeds it from both
-    the index and nothing else (containment denominators come from the
-    eval side, which stays exact).
+    (skew valve) drops shingles whose TRAIN document frequency exceeds
+    it from the train index, the eval index, AND the containment
+    denominator — containment stays a true ratio over the surviving
+    shingle set. (Dropping them from the index alone would undercount
+    n_inter against a full-size denominator: an eval item built from
+    common shingles could then score below threshold — false negatives
+    in decontamination.) Eval shingles absent from train entirely still
+    count in the denominator: the valve removes only train-hot
+    shingles, not unseen ones.
     """
     def inv(df_, tag):
         sh = (ensure_parallelism(df_)
@@ -288,15 +294,22 @@ def contamination_pairs(train: DataFrame, eval_df: DataFrame,
     ev = inv(eval_df, "eval").localCheckpoint(eager=False)
     tr_inv = (tr.select("train_id", F.explode("sh").alias("__s"))
               .select("train_id", F.xxhash64("__s").alias("shingle")))
-    if max_doc_freq is not None:
-        keep = (tr_inv.groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("__df"))
-                .filter(F.col("__df") <= max_doc_freq)
-                .select("shingle"))
-        tr_inv = tr_inv.join(keep, "shingle")
     ev_inv = (ev.select("eval_id", F.explode("sh").alias("__s"))
               .select("eval_id", F.xxhash64("__s").alias("shingle")))
-    ev_sizes = ev.select("eval_id", F.size("sh").alias("n_eval"))
+    if max_doc_freq is not None:
+        hot = (tr_inv.groupBy("shingle")
+               .agg(F.count(F.lit(1)).alias("__df"))
+               .filter(F.col("__df") > max_doc_freq)
+               .select("shingle"))
+        tr_inv = tr_inv.join(hot, "shingle", "left_anti")
+        # shingles() is per-doc distinct, so the surviving count IS the
+        # per-eval surviving set size
+        ev_inv = (ev_inv.join(hot, "shingle", "left_anti")
+                  .localCheckpoint(eager=False))
+        ev_sizes = (ev_inv.groupBy("eval_id")
+                    .agg(F.count(F.lit(1)).alias("n_eval")))
+    else:
+        ev_sizes = ev.select("eval_id", F.size("sh").alias("n_eval"))
 
     inter = (tr_inv.join(ev_inv, "shingle")
              .groupBy("train_id", "eval_id")
@@ -324,9 +337,13 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     per partition instead of feeding one hot window; reassembly is one
     groupBy on doc_id.
     """
+    # F.split takes a Java regex; quote sep (Pattern.quote semantics) so
+    # a separator containing metacharacters ('.', '||', '\n\n') splits
+    # literally, matching the docstring and the concat_ws reassembly
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     parts = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "par"))
+        F.posexplode(F.split(F.col(text_col), sep_rx)).alias("pos", "par"))
     key = F.trim(F.col("par"))
     content = parts.filter(F.length(key) > 0).withColumn("key", key)
     firsts = (content.groupBy("key")
