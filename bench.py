@@ -71,6 +71,7 @@ HEADLINE = [
     "similarity_topk_cosine",
     "knn_join_labels",
     "multimodal_meta",
+    "multimodal_decode_real",
     "pack_sequences_running_sum",
     "pack_first_fit_stats",
 ]

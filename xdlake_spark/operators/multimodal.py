@@ -2,11 +2,16 @@
 
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages. The decode kernels themselves are
-STUBBED (no image/audio libs in this container — clearly marked below);
-everything Spark-side is real: schemas, batch iteration, partitioning,
-output contracts. Swapping the stub for PIL/librosa/ffmpeg changes one
-function body, not the pipeline.
+Arrow-batched ``mapInPandas`` stages.
+
+Decode is REAL for the uncompressed public formats a pure-numpy decoder
+can handle — PPM/PGM (netpbm P6/P5), BMP (24-bpp BI_RGB), and WAV
+(RIFF PCM16) — implemented below with no codec libraries. Compressed
+formats (JPEG/PNG/FLAC/MP4) still need an imaging/audio/container
+library this environment lacks and raise ``NotImplementedError`` with a
+clear message; swapping in PIL/soundfile/ffmpeg extends one dispatch
+function, not the pipeline. ``deterministic_fake=True`` keeps the
+hash-keyed fake for payloads that are not real media.
 
 Scale notes: binary payloads never pass through the driver; Arrow batch
 size bounds executor memory (`spark.sql.execution.arrow.maxRecordsPerBatch`
@@ -17,6 +22,7 @@ within one stage — no shuffle unless the caller groups.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -37,15 +43,133 @@ IMAGE_META_SCHEMA = T.StructType([
 ])
 
 
-def _decode_image_real(payload: bytes):
-    """REAL decode path — requires an imaging library.
+def _parse_pnm(data: bytes) -> np.ndarray:
+    """Decode netpbm P6 (PPM, RGB) / P5 (PGM, gray) to a (h, w, c)
+    uint8 array. Header = magic, then width/height/maxval as ASCII ints
+    separated by whitespace (``#`` comments allowed), then ONE
+    whitespace byte, then the raster."""
+    magic = data[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos] in b" \t\r\n":
+            pos += 1
+        if pos < len(data) and data[pos:pos + 1] == b"#":
+            while pos < len(data) and data[pos] not in b"\r\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and data[pos] in b"0123456789":
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PNM header")
+        vals.append(int(data[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PNM rasters supported")
+    c = 3 if magic == b"P6" else 1
+    need = w * h * c
+    raster = np.frombuffer(data, np.uint8, need, pos)
+    return raster.reshape(h, w, c)
 
-    STUB: this container has no image codecs; at deploy time replace with
-    e.g. PIL.Image.open(io.BytesIO(payload)).
-    """
+
+def _encode_pnm(pix: np.ndarray) -> bytes:
+    """(h, w, c) uint8 -> binary PPM (c=3) / PGM (c=1) payload —
+    the inverse of :func:`_parse_pnm`, so resize output re-decodes."""
+    h, w, c = pix.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + \
+        np.ascontiguousarray(pix).tobytes()
+
+
+def _parse_bmp(data: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bpp BI_RGB BMP to (h, w, 3) uint8
+    (RGB, top-down). Rows in the file are 4-byte padded and stored
+    bottom-up unless height is negative."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    w = struct.unpack_from("<i", data, 18)[0]
+    h_signed = struct.unpack_from("<i", data, 22)[0]
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bpp uncompressed BMP supported (got {bpp} bpp, "
+            f"compression {comp})")
+    h = abs(h_signed)
+    row_size = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(data, np.uint8, row_size * h, pix_off)
+    pix = rows.reshape(h, row_size)[:, :w * 3].reshape(h, w, 3)[..., ::-1]
+    return pix if h_signed < 0 else pix[::-1]
+
+
+def _image_features(pix: np.ndarray) -> np.ndarray:
+    """Deterministic 8-dim feature vector from decoded pixels:
+    per-channel means (gray replicated), global std/min/max, and the
+    two aspect fractions."""
+    h, w, c = pix.shape
+    flat = pix.astype(np.float32) / 255.0
+    means = [float(flat[..., i].mean()) for i in range(c)]
+    while len(means) < 3:
+        means.append(means[0])
+    feats = np.array(means + [float(flat.std()), float(flat.min()),
+                              float(flat.max()), w / (w + h), h / (w + h)],
+                     dtype=np.float32)
+    return feats.round(6)
+
+
+def _decode_image_real(payload: bytes):
+    """REAL image decode, pure numpy: PPM/PGM (netpbm) and 24-bpp BMP.
+    Dispatches on magic bytes; compressed formats (JPEG/PNG/...) need a
+    codec library this environment lacks and raise."""
+    pix = _decode_pixels_real(payload)
+    h, w, c = pix.shape
+    return w, h, c, _image_features(pix)
+
+
+def _decode_pixels_real(payload: bytes) -> np.ndarray:
+    if payload[:2] in (b"P6", b"P5"):
+        return _parse_pnm(payload)
+    if payload[:2] == b"BM":
+        return _parse_bmp(payload)
     raise NotImplementedError(
-        "image decode requires an imaging library (e.g. PIL); "
-        "not available in this environment — use deterministic_fake=True")
+        "real decode supports uncompressed PPM/PGM/BMP only; compressed "
+        "formats require an imaging library (e.g. PIL) not available in "
+        "this environment — use deterministic_fake=True for opaque "
+        "payloads")
+
+
+def _parse_wav(data: bytes):
+    """Decode RIFF/WAVE PCM16 to (sample_rate, float32 mono samples in
+    [-1, 1), raw_pcm_bytes). Multi-channel audio is averaged to mono.
+    Chunk-walks the container, so extra chunks (LIST, fact) are fine."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, n_ch, bits, raw = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt, n_ch, sr = struct.unpack_from("<HHI", data, body)
+            bits = struct.unpack_from("<H", data, body + 14)[0]
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 WAV supported (format {fmt}, "
+                    f"{bits}-bit)")
+        elif cid == b"data":
+            raw = data[body:body + size]
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if sr is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    pcm = np.frombuffer(raw[:len(raw) - (len(raw) % (2 * n_ch))],
+                        dtype="<i2").astype(np.float32) / 32768.0
+    if n_ch > 1:
+        pcm = pcm.reshape(-1, n_ch).mean(axis=1)
+    return sr, pcm, raw
 
 
 def _decode_image_fake(payload: bytes):
@@ -150,10 +274,12 @@ def resize_images(df: DataFrame, payload_col: str = "payload",
     """Image payload -> fixed-size payload (binary in, binary out), so the
     output chains into extract_features / decode stages unchanged.
 
-    The fake resamples payload bytes at a uniform stride down to
-    ``target_w * target_h * channels`` bytes (channels from the fake
-    decode) — deterministic, size-exact, no codecs. The real path needs an
-    imaging library and raises.
+    REAL path (default): decode PPM/PGM/BMP pixels, nearest-neighbor
+    resample to (target_w, target_h), re-encode as PPM/PGM — output
+    payloads re-decode, so resize -> decode -> features chains work on
+    real rasters. The fake resamples payload bytes at a uniform stride
+    down to ``target_w * target_h * channels`` bytes (channels from the
+    fake decode) — deterministic, size-exact, for opaque payloads.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -161,17 +287,26 @@ def resize_images(df: DataFrame, payload_col: str = "payload",
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                if not deterministic_fake:
-                    _decode_image_real(data)  # raises NotImplementedError
-                _, _, channels, _ = _decode_image_fake(data)
-                n_out = target_w * target_h * channels
-                src = np.frombuffer(data, dtype=np.uint8) if data else \
-                    np.zeros(1, dtype=np.uint8)
-                idx = np.linspace(0, len(src) - 1, n_out).astype(np.int64)
+                if deterministic_fake:
+                    _, _, channels, _ = _decode_image_fake(data)
+                    n_out = target_w * target_h * channels
+                    src = np.frombuffer(data, dtype=np.uint8) if data \
+                        else np.zeros(1, dtype=np.uint8)
+                    idx = np.linspace(0, len(src) - 1,
+                                      n_out).astype(np.int64)
+                    out_payload = src[idx].tobytes()
+                else:
+                    pix = _decode_pixels_real(data)
+                    h, w, channels = pix.shape
+                    yi = np.linspace(0, h - 1,
+                                     target_h).round().astype(np.int64)
+                    xi = np.linspace(0, w - 1,
+                                     target_w).round().astype(np.int64)
+                    out_payload = _encode_pnm(pix[yi][:, xi])
                 rows.append({
                     "doc_id": int(doc_id), "width": target_w,
                     "height": target_h, "n_channels": channels,
-                    "payload": src[idx].tobytes(),
+                    "payload": out_payload,
                 })
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               RESIZED_SCHEMA.fields])
@@ -191,30 +326,46 @@ FEATURES_SCHEMA = T.StructType([
 def extract_features(df: DataFrame, payload_col: str = "payload",
                      id_col: str = "doc_id", dim: int = 16,
                      deterministic_fake: bool = False) -> DataFrame:
-    """Payload -> ``dim``-dimensional float vector, batch-vectorized: the
-    per-row work is only the digest; the matrix normalization is one numpy
-    op per Arrow batch. Output is embedding-shaped, so it feeds directly
-    into the similarity operators (operators/similarity.py).
+    """Payload -> ``dim``-dimensional float vector, batch-vectorized.
+    Output is embedding-shaped, so it feeds directly into the
+    similarity operators (operators/similarity.py).
+
+    REAL path (default): decode the raster (PPM/PGM/BMP) and emit an
+    L1-normalized ``dim``-bin grayscale intensity histogram — the
+    classic codec-free image descriptor. Fake path: ``dim`` bytes of
+    the payload digest (per-row work is only the digest; the matrix
+    normalization is one numpy op per Arrow batch).
     """
-    if dim > 32:
+    if deterministic_fake and dim > 32:
         raise ValueError("fake extractor derives at most 32 dims per digest")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                _decode_image_real(b"")  # raises NotImplementedError
-            digests = [hashlib.sha256(
-                bytes(p) if p is not None else b"").digest()
-                for p in pdf[payload_col]]
-            if digests:
-                mat = np.frombuffer(b"".join(digests), dtype=np.uint8)
-                mat = mat.reshape(len(digests), 32)[:, :dim]
-                feats = (mat.astype(np.float32) / 255.0).round(6)
+            if deterministic_fake:
+                digests = [hashlib.sha256(
+                    bytes(p) if p is not None else b"").digest()
+                    for p in pdf[payload_col]]
+                if digests:
+                    mat = np.frombuffer(b"".join(digests), dtype=np.uint8)
+                    mat = mat.reshape(len(digests), 32)[:, :dim]
+                    feats = (mat.astype(np.float32) / 255.0).round(6)
+                else:
+                    feats = np.zeros((0, dim), dtype=np.float32)
+                rows = [row.tolist() for row in feats]
             else:
-                feats = np.zeros((0, dim), dtype=np.float32)
+                rows = []
+                for p in pdf[payload_col]:
+                    pix = _decode_pixels_real(
+                        bytes(p) if p is not None else b"")
+                    gray = pix.astype(np.float32).mean(axis=2)
+                    hist, _ = np.histogram(gray, bins=dim,
+                                           range=(0.0, 256.0))
+                    v = hist.astype(np.float32)
+                    v /= max(float(v.sum()), 1.0)
+                    rows.append(v.round(6).tolist())
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64").values,
-                "features": [row.tolist() for row in feats],
+                "features": rows,
             }, columns=[f.name for f in FEATURES_SCHEMA.fields])
 
     return df.select(id_col, payload_col).mapInPandas(
@@ -223,16 +374,63 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
 
 def attach_fake_payloads(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id",
-                         size: int = 4096) -> DataFrame:
-    """Deterministically synthesize a binary payload column from text
-    (repeat text bytes to ``size``) — test fixture for the multimodal
-    pipeline in an environment without real media files."""
-    repeats = (F.lit(size) / F.greatest(F.length(F.col(text_col)),
-                                        F.lit(1))).cast("int") + 1
-    repeated = F.repeat(F.col(text_col), repeats)
-    return df.select(F.col(id_col),
-                     F.encode(F.substring(repeated, 1, size),
-                              "utf-8").alias("payload"))
+                         size: int = 4096,
+                         media: str = "text") -> DataFrame:
+    """Deterministically synthesize a binary payload column — the test
+    fixture for the multimodal pipeline in an environment without real
+    media files.
+
+    ``media="text"``: repeat text bytes to ``size`` (opaque payload for
+    the deterministic_fake decode paths). ``media="ppm"`` / ``"wav"``:
+    REAL uncompressed media keyed on the id — a P6 RGB gradient raster
+    (dimensions and pattern derived from the id) / a PCM16 RIFF WAV
+    sine tone (frequency derived from the id) — which the real decode
+    paths parse end-to-end.
+    """
+    if media == "text":
+        repeats = (F.lit(size) / F.greatest(F.length(F.col(text_col)),
+                                            F.lit(1))).cast("int") + 1
+        repeated = F.repeat(F.col(text_col), repeats)
+        return df.select(F.col(id_col),
+                         F.encode(F.substring(repeated, 1, size),
+                                  "utf-8").alias("payload"))
+    if media not in ("ppm", "wav"):
+        raise ValueError(f"unknown media kind: {media!r}")
+
+    from pyspark.sql.functions import pandas_udf
+
+    if media == "ppm":
+        @pandas_udf("binary")
+        def _gen(ids: pd.Series) -> pd.Series:
+            out = []
+            for i in ids:
+                i = int(i)
+                w, h = 16 + i % 17, 12 + i % 13
+                y, x = np.mgrid[0:h, 0:w]
+                pix = np.stack([(x * 3 + y * 5 + c * 7 + i) % 256
+                                for c in range(3)],
+                               axis=2).astype(np.uint8)
+                out.append(_encode_pnm(pix))
+            return pd.Series(out)
+    else:
+        @pandas_udf("binary")
+        def _gen(ids: pd.Series) -> pd.Series:
+            out = []
+            sr, n = 8000, 2000  # 0.25 s
+            t = np.arange(n, dtype=np.float64) / sr
+            for i in ids:
+                i = int(i)
+                freq = 200.0 + (i % 200)
+                pcm = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767.0) \
+                    .astype("<i2").tobytes()
+                hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) +
+                       b"WAVE" + b"fmt " + struct.pack(
+                           "<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16) +
+                       b"data" + struct.pack("<I", len(pcm)))
+                out.append(hdr + pcm)
+            return pd.Series(out)
+
+    return df.select(F.col(id_col), _gen(F.col(id_col)).alias("payload"))
 
 
 #: Audio chunking output: one row per fixed-duration chunk.
@@ -254,33 +452,37 @@ def chunk_audio(df: DataFrame, payload_col: str = "payload",
     (rms / peak), the front half of any speech/audio training pipeline
     (VAD thresholding, silence trimming, caption alignment).
 
-    The payload is interpreted as PCM16 mono at ``sample_rate``
-    (``deterministic_fake`` path — bytes as-is; a REAL deployment
-    replaces the interpretation with an audio decoder, e.g.
-    soundfile/librosa, which this container lacks). Per-chunk numpy is
-    vectorized inside Arrow batches; fan-out shape matches
-    :func:`sample_frames`.
+    REAL path (default): the payload is parsed as a RIFF/WAVE PCM16
+    container (pure numpy+struct, no audio library) — the fmt chunk's
+    own sample rate drives the chunking and multi-channel audio is
+    averaged to mono. ``deterministic_fake`` interprets the raw bytes
+    as headerless PCM16 mono at ``sample_rate`` for opaque payloads.
+    Per-chunk numpy is vectorized inside Arrow batches; fan-out shape
+    matches :func:`sample_frames`.
     """
-    chunk_len = max(1, int(sample_rate * chunk_seconds))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                if not deterministic_fake:
-                    raise NotImplementedError(
-                        "audio decode requires an audio library (e.g. "
-                        "soundfile); not available — use "
-                        "deterministic_fake=True")
-                if len(data) < 2:
-                    continue
-                pcm = np.frombuffer(
-                    data[: len(data) - (len(data) % 2)],
-                    dtype="<i2").astype(np.float32) / 32768.0
+                if deterministic_fake:
+                    if len(data) < 2:
+                        continue
+                    sr = sample_rate
+                    raw = data[: len(data) - (len(data) % 2)]
+                    pcm = np.frombuffer(raw, dtype="<i2") \
+                        .astype(np.float32) / 32768.0
+                else:
+                    sr, pcm, raw = _parse_wav(data)
+                    if not len(pcm):
+                        continue
+                chunk_len = max(1, int(sr * chunk_seconds))
+                bytes_per_sample = len(raw) // max(len(pcm), 1)
                 for ci in range(0, len(pcm), chunk_len):
                     chunk = pcm[ci:ci + chunk_len]
-                    raw = data[ci * 2:(ci + len(chunk)) * 2]
+                    rb = raw[ci * bytes_per_sample:
+                             (ci + len(chunk)) * bytes_per_sample]
                     rows.append({
                         "doc_id": int(doc_id),
                         "chunk_index": ci // chunk_len,
@@ -288,7 +490,7 @@ def chunk_audio(df: DataFrame, payload_col: str = "payload",
                         "rms": float(np.sqrt(np.mean(chunk ** 2))),
                         "peak": float(np.max(np.abs(chunk))),
                         "chunk_sha256":
-                            hashlib.sha256(raw).hexdigest(),
+                            hashlib.sha256(rb).hexdigest(),
                     })
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               AUDIO_CHUNK_SCHEMA.fields])

@@ -1508,6 +1508,28 @@ def multimodal_decode(spark, sf_dir):
     return multimodal.decode_images(payloads, deterministic_fake=True)
 
 
+# rows-only: REAL decode path end-to-end — payloads are genuine P6 PPM
+# rasters generated from the id, decoded by the pure-numpy PNM parser
+# (operators/multimodal.py _parse_pnm), with pixel-derived features.
+# DuckDB has no raster decoder, so no SQL oracle; pinned instead by
+# tests (known dimensions, resize->decode roundtrip).
+@register("multimodal_decode_real", None)
+def multimodal_decode_real(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payloads(d, media="ppm")
+    return multimodal.decode_images(payloads)
+
+
+# rows-only: REAL audio path — RIFF/WAVE PCM16 sine payloads parsed by
+# the pure-numpy WAV walker, chunked at the container's own sample rate
+# with rms/peak energies.
+@register("multimodal_audio_chunks_real", None)
+def multimodal_audio_real(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payloads(d, media="wav")
+    return multimodal.chunk_audio(payloads, chunk_seconds=0.1)
+
+
 # rows-only: DuckDB's sha256 accepts VARCHAR, not BLOB, so the
 # byte-exact frame digests cannot be reproduced in the oracle
 @register("multimodal_frame_sample", None)
