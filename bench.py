@@ -73,6 +73,7 @@ HEADLINE = [
     "multimodal_meta",
     "multimodal_decode_real",
     "pack_sequences_running_sum",
+    "chunk_and_pack",
     "pack_first_fit_stats",
 ]
 

@@ -1100,6 +1100,74 @@ class TestPacking:
         assert stats[2]["fill"] == pytest.approx(2048 / 2048, abs=0.51)
 
 
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        from xdlake_spark.operators import packing
+        text = " ".join(f"t{i}" for i in range(20))  # 20 tokens
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [7], "text": [text]}))
+        rows = sorted(packing.chunk_documents(
+            df, max_tokens=8, overlap=2).collect(),
+            key=lambda r: r["chunk_index"])
+        # stride 6: starts 0, 6, 12 -> ceil((20-8)/6)+1 = 3 chunks
+        assert [r["chunk_index"] for r in rows] == [0, 1, 2]
+        assert rows[0]["chunk_text"].split() == [f"t{i}" for i in range(8)]
+        assert rows[1]["chunk_text"].split() == \
+            [f"t{i}" for i in range(6, 14)]
+        assert rows[2]["chunk_text"].split() == \
+            [f"t{i}" for i in range(12, 20)]
+        # consecutive chunks share exactly `overlap` tokens
+        assert rows[0]["chunk_text"].split()[-2:] == \
+            rows[1]["chunk_text"].split()[:2]
+        assert [r["n_tokens"] for r in rows] == [8, 8, 8]
+        assert rows[1]["chunk_id"] == 7 * (1 << 20) + 1
+
+    def test_short_doc_single_window(self, spark):
+        from xdlake_spark.operators import packing
+        df = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["a b c", "exactly four token doc"]}))
+        rows = packing.chunk_documents(df, max_tokens=4,
+                                       overlap=1).collect()
+        got = {r["doc_id"]: (r["chunk_index"], r["chunk_text"],
+                             r["n_tokens"]) for r in rows}
+        assert len(rows) == 2
+        assert got[1] == (0, "a b c", 3)
+        assert got[2] == (0, "exactly four token doc", 4)
+
+    def test_final_window_never_empty(self, spark):
+        from xdlake_spark.operators import packing
+        # n = max_tokens + 1: second window must hold overlap+1 tokens,
+        # not a stray single token beyond an empty window
+        text = " ".join(f"t{i}" for i in range(9))
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": [text]}))
+        rows = sorted(packing.chunk_documents(
+            df, max_tokens=8, overlap=2).collect(),
+            key=lambda r: r["chunk_index"])
+        assert [r["n_tokens"] for r in rows] == [8, 3]
+
+    def test_invalid_overlap_raises(self, spark):
+        from xdlake_spark.operators import packing
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+        with pytest.raises(ValueError, match="overlap"):
+            packing.chunk_documents(df, max_tokens=8, overlap=8)
+
+    def test_chains_into_pack(self, spark, documents):
+        from xdlake_spark.operators import packing
+        chunks = packing.chunk_documents(documents, max_tokens=16,
+                                         overlap=4)
+        packed = packing.pack_running_sum(chunks, "n_tokens", "chunk_id",
+                                          capacity=64)
+        stats = packing.packing_stats(packed, "n_tokens", 64).collect()
+        # running-sum bins use absolute capacity-multiple boundaries, so
+        # a bin can overshoot by at most one item (< max_tokens)
+        assert all(r["tokens"] <= 64 + 16 - 1 for r in stats)
+        # every chunk fits its window, so no chunk gets a lone bin from
+        # the over-capacity clamp
+        assert chunks.filter("n_tokens > 16").count() == 0
+
+
 class TestWinnowOverlap:
     def test_identical_and_contained(self, spark):
         pdf = pd.DataFrame({

@@ -13,8 +13,9 @@ Two strategies, both scale-designed:
   so the packing parallelizes to any cluster size; rows-only checked
   (greedy FFD is not SQL-expressible).
 
-Documents longer than the capacity get a bin of their own (the caller
-chunks them upstream if needed).
+Documents longer than the capacity get a bin of their own; chain
+:func:`chunk_documents` upstream to split them into overlapping
+windows first (chunk -> pack is the standard pre-training layout).
 
 Extends the reference's surface; mandated by the build brief's
 training-data-pipeline component.
@@ -60,6 +61,52 @@ def pack_running_sum(df: DataFrame, token_col: str, id_col: str,
     else:
         out = out.withColumn("bin", local)
     return out.drop("__toks", "__cum")
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", max_tokens: int = 512,
+                    overlap: int = 64) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    upstream stage that makes every row fit a context window before
+    :func:`pack_running_sum` / :func:`pack_first_fit`.
+
+    Tokens are whitespace splits (the same tokenization as
+    ``functions.text.token_count_ws``). Window ``i`` covers tokens
+    ``[i*stride, i*stride + max_tokens)`` with
+    ``stride = max_tokens - overlap``; a document of ``n`` tokens
+    yields ``ceil((n - max_tokens) / stride) + 1`` windows (one if it
+    already fits), so consecutive chunks share ``overlap`` tokens and
+    the final window is never empty.
+
+    Entirely JVM-side (split / sequence / slice / posexplode — no
+    Python in the row path); the explode is the only fan-out and
+    chunking each document is embarrassingly parallel. Output:
+    ``chunk_id`` (= id * 2^20 + index, unique while a document has
+    fewer than ~10^6 chunks), ``doc_id``, ``chunk_index``,
+    ``chunk_text``, ``n_tokens``. Null texts yield no rows.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(max_tokens)) / F.lit(stride)).cast("long") + 1)
+    starts = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: i * stride)
+    exploded = df.select(
+        F.col(id_col), toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_index", "__start"))
+    chunk_toks = F.slice("__toks", F.col("__start").cast("int") + 1,
+                         F.lit(max_tokens))
+    return exploded.select(
+        (F.col(id_col).cast("long") * F.lit(1 << 20)
+         + F.col("chunk_index")).alias("chunk_id"),
+        F.col(id_col),
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.concat_ws(" ", chunk_toks).alias("chunk_text"),
+        F.size(chunk_toks).cast("long").alias("n_tokens"))
 
 
 def pack_first_fit(df: DataFrame, token_col: str, id_col: str,

@@ -1729,6 +1729,62 @@ def pack_running_sum_q(spark, sf_dir):
             .select("doc_id", "bin"))
 
 
+#: Chunking CTE shared by the two chunk queries: 16-token windows,
+#: 4-token overlap (stride 12) — small enough that the test corpus's
+#: short documents actually split.
+_CHUNK_SQL = r"""
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id, w, len(w) AS n,
+         CASE WHEN len(w) <= 16 THEN 1
+              ELSE CAST(ceil((len(w) - 16) / 12.0) AS BIGINT) + 1 END AS nc
+  FROM toks
+), idx AS (
+  SELECT doc_id, w, n, unnest(range(0, nc)) AS i FROM base
+), chunks AS (
+  SELECT doc_id * 1048576 + i AS chunk_id,
+         doc_id,
+         CAST(i AS BIGINT) AS chunk_index,
+         array_to_string(w[i*12 + 1 : i*12 + 16], ' ') AS chunk_text,
+         CAST(least(16, n - i*12) AS BIGINT) AS n_tokens
+  FROM idx
+)"""
+
+
+@register("text_chunk_windows", f"""
+WITH {_CHUNK_SQL}
+SELECT chunk_id, doc_id, chunk_index, chunk_text, n_tokens FROM chunks
+""")
+def text_chunk_windows_q(spark, sf_dir):
+    """Overlapping token-window chunking (operators/packing.py
+    chunk_documents) — JVM split/sequence/slice/posexplode only."""
+    d = _t(spark, sf_dir, "documents")
+    return packing.chunk_documents(d, max_tokens=16, overlap=4)
+
+
+@register("chunk_and_pack", f"""
+WITH {_CHUNK_SQL}
+SELECT chunk_id, doc_id, chunk_index, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY chunk_id
+                                       ROWS UNBOUNDED PRECEDING) - 1)
+                  / 64) AS BIGINT) AS bin
+FROM chunks
+""")
+def chunk_and_pack_q(spark, sf_dir):
+    """The full pre-training layout pipeline: chunk over-capacity
+    documents into overlapping windows, then pack the chunks into
+    64-token context windows by running total — chunking explode and
+    packing window, no Python anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = packing.chunk_documents(d, max_tokens=16, overlap=4)
+    return (packing.pack_running_sum(chunks, "n_tokens", "chunk_id",
+                                     capacity=64)
+            .select("chunk_id", "doc_id", "chunk_index", "n_tokens",
+                    "bin"))
+
+
 # rows-only: greedy first-fit-decreasing is not SQL-expressible; bin
 # VALIDITY (capacity respected, all docs placed, waste <= running-sum)
 # is asserted in test_operators.py
