@@ -127,6 +127,24 @@ class TestReferenceReadsMaintenanceCommits:
         assert len(ref) == t.to_df().count()
         assert (ref["l_quantity"] == 99.0).sum() == 50
 
+    def test_reference_reads_after_nmbs_merge(self, spark, tmp_table_dir,
+                                              lineitem):
+        # MERGE with the NOT MATCHED BY SOURCE clause family: the
+        # resulting log (removes + rewritten adds) must replay cleanly
+        # in the reference reader
+        li = lineitem.select("l_orderkey", "l_linenumber",
+                             "l_quantity").limit(400)
+        t = DeltaTable(spark, tmp_table_dir).write(li)
+        src = li.filter("l_linenumber = 1").limit(50) \
+            .select("l_orderkey", "l_linenumber")
+        t = t.merge(src,
+                    "t.l_orderkey = s.l_orderkey AND "
+                    "t.l_linenumber = s.l_linenumber",
+                    when_matched_update={"l_quantity": "t.l_quantity"},
+                    when_not_matched_by_source_delete=True)
+        ref = _ref_read_sorted(tmp_table_dir)
+        assert len(ref) == 50 == t.to_df().count()
+
     def test_reference_reads_after_update_and_constraints(
             self, spark, tmp_table_dir, lineitem):
         li = lineitem.select("l_orderkey", "l_quantity").limit(300)

@@ -420,6 +420,83 @@ class TestMaintenance:
         assert not got["order"].isin([lo + 2, lo + 3]).any()  # deleted
         assert got["order"].isin(src.tail(2)["order"]).sum() == 2  # inserted
 
+    def test_merge_not_matched_by_source_sync(self, spark, tmp_table_dir):
+        # the mirror-from-source shape: update matched, insert new,
+        # DELETE target rows the source no longer carries
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        src = pd.concat([pdf.head(6), gen_pdf(2)]).copy()
+        src["i64"] = 555
+        t2 = t.merge(
+            spark.createDataFrame(src), "t.order = s.order",
+            when_matched_update={"i64": "s.i64"},
+            when_not_matched_insert={c: f"s.{c}" for c in pdf.columns},
+            when_not_matched_by_source_delete=True,
+        )
+        got = t2.to_pandas().sort_values("order").reset_index(drop=True)
+        # table IS the source now
+        assert sorted(got["order"]) == sorted(src["order"])
+        assert (got["i64"] == 555).all()
+        h = next(t2.history())
+        assert h["operation"] == "MERGE"
+
+    def test_merge_not_matched_by_source_update_and_delete(
+            self, spark, tmp_table_dir):
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        lo = int(pdf["order"].min())
+        src = pdf.head(4).copy()
+        src["i64"] = 999
+        t2 = t.merge(
+            spark.createDataFrame(src), "t.order = s.order",
+            when_matched_update={"i64": "s.i64"},
+            when_not_matched_by_source_update={"i64": "t.i64 + 10"},
+            when_not_matched_by_source_update_condition=
+            f"t.order < {lo + 8}",
+            when_not_matched_by_source_delete=f"t.order >= {lo + 16}",
+        )
+        got = t2.to_pandas().sort_values("order").reset_index(drop=True)
+        exp = pdf.sort_values("order").reset_index(drop=True)
+        # rows >= lo+16 (not in source) deleted
+        assert len(got) == len(pdf) - 4
+        assert (got["order"] < lo + 16).all()
+        # matched head updated to source value
+        assert (got.head(4)["i64"] == 999).all()
+        # unmatched rows under lo+8 demoted by +10, the rest untouched
+        mid = got[(got["order"] >= lo + 4) & (got["order"] < lo + 8)]
+        assert (mid["i64"].to_numpy()
+                == exp[(exp["order"] >= lo + 4)
+                       & (exp["order"] < lo + 8)]["i64"].to_numpy() + 10
+                ).all()
+        rest = got[(got["order"] >= lo + 8) & (got["order"] < lo + 16)]
+        assert (rest["i64"].to_numpy()
+                == exp[(exp["order"] >= lo + 8)
+                       & (exp["order"] < lo + 16)]["i64"].to_numpy()).all()
+
+    def test_merge_nmbs_untouched_files_not_rewritten(self, spark,
+                                                      tmp_table_dir):
+        # file granularity: a partition with no matched row and no
+        # clause-affected row must keep its original data file
+        pdf = gen_pdf()
+        pdf["cat"] = ["a"] * 7 + ["b"] * 7 + ["c"] * 6
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf), partition_by=["cat"])
+        before = {f for f in t.file_uris() if "/cat=c/" in f}
+        src = pdf[pdf["cat"] == "a"].head(3).copy()
+        src["i64"] = 1
+        t2 = t.merge(
+            spark.createDataFrame(src), "t.order = s.order",
+            when_matched_update={"i64": "s.i64"},
+            when_not_matched_by_source_delete="t.cat = 'b'",
+        )
+        after = {f for f in t2.file_uris() if "/cat=c/" in f}
+        assert before == after          # partition c untouched on disk
+        got = t2.to_pandas()
+        assert not (got["cat"] == "b").any()       # b fully pruned
+        assert (got["cat"] == "c").sum() == 6      # c intact
+
 
 class TestUpdate:
     def test_predicate_update(self, spark, tmp_table_dir):

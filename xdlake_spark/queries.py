@@ -880,6 +880,56 @@ def delta_merge_full(spark, sf_dir):
         (F.floor(F.col("o_totalprice") * 100) / 100).alias("totalprice"))
 
 
+@register("delta_merge_not_matched_by_source", """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice * 2 AS new_price
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT -o_orderkey, 123.45 FROM orders WHERE o_orderkey % 100 = 7
+),
+m AS (
+  SELECT o.o_orderkey,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price
+              WHEN o.o_orderkey % 5 = 1 THEN o.o_totalprice + 1
+              ELSE o.o_totalprice END AS totalprice,
+         (s.o_orderkey IS NULL AND o.o_orderkey % 5 <> 1
+          AND o.o_orderkey % 5 = 2) AS deleted
+  FROM orders o LEFT JOIN src s ON o.o_orderkey = s.o_orderkey
+)
+SELECT o_orderkey, floor(totalprice * 100) / 100 AS totalprice
+FROM m WHERE NOT deleted
+UNION ALL
+SELECT o_orderkey, floor(new_price * 100) / 100 AS totalprice
+FROM src WHERE o_orderkey < 0
+""")
+def delta_merge_nmbs(spark, sf_dir):
+    """All three MERGE clause families in one call: matched update,
+    not-matched insert, and WHEN NOT MATCHED BY SOURCE update
+    (conditional demotion) + delete (conditional mirror-prune) —
+    Delta's full sync-from-source shape."""
+    from .table import DeltaTable
+    o = _t(spark, sf_dir, "orders")
+    t = DeltaTable(spark, _delta_tmp()).write(o)
+    matched = (o.filter("o_orderkey % 3 = 0")
+               .select("o_orderkey",
+                       (F.col("o_totalprice") * 2).alias("new_price")))
+    inserts = (o.filter("o_orderkey % 100 = 7")
+               .select((-F.col("o_orderkey")).alias("o_orderkey"),
+                       F.lit(123.45).alias("new_price")))
+    t = t.merge(
+        matched.unionByName(inserts), "t.o_orderkey = s.o_orderkey",
+        when_matched_update={"o_totalprice": "s.new_price"},
+        when_not_matched_insert={"o_orderkey": "s.o_orderkey",
+                                 "o_totalprice": "s.new_price"},
+        when_not_matched_by_source_update={
+            "o_totalprice": "t.o_totalprice + 1"},
+        when_not_matched_by_source_update_condition="t.o_orderkey % 5 = 1",
+        when_not_matched_by_source_delete="t.o_orderkey % 5 = 2")
+    return t.to_df().select(
+        "o_orderkey",
+        (F.floor(F.col("o_totalprice") * 100) / 100).alias("totalprice"))
+
+
 # ===========================================================================
 # Text analysis (documents)
 # ===========================================================================

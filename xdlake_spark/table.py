@@ -1190,6 +1190,9 @@ class DeltaTable:
               when_matched_update_condition: str | None = None,
               when_matched_delete: "bool | str" = False,
               when_not_matched_insert: dict[str, str] | None = None,
+              when_not_matched_by_source_update: dict[str, str] | None = None,
+              when_not_matched_by_source_update_condition: str | None = None,
+              when_not_matched_by_source_delete: "bool | str" = False,
               custom_metadata: dict | None = None,
               broadcast_threshold_rows: int = 4_000_000) -> "DeltaTable":
         """MERGE INTO (SURVEY §2.5): join-on-condition + conditional rewrite.
@@ -1211,6 +1214,16 @@ class DeltaTable:
         updated; a matched row that does not but satisfies the delete
         condition is deleted; other matched rows pass through unchanged.
         ``when_matched_delete=True`` keeps the original unconditional form.
+
+        ``WHEN NOT MATCHED BY SOURCE`` (Delta's third clause family —
+        mirror upstream deletes/demotions): target rows with NO matching
+        source row are updated (``when_not_matched_by_source_update``,
+        expressions over ``t.`` only, gated by
+        ``when_not_matched_by_source_update_condition``) or deleted
+        (``when_not_matched_by_source_delete``, True or a ``t.``
+        condition string; update clause wins when both apply). Only
+        files actually holding an affected row are rewritten — detected
+        with one anti-join probe.
 
         Scale: the source is counted once and broadcast-hinted when small
         (the canonical small-upsert case — avoids shuffling the full target
@@ -1257,15 +1270,43 @@ class DeltaTable:
         rel_of = self._rel_by_uri(self.adds)
         hit_rels = sorted({rel_of(u) for u in matched_files})
 
+        nmbs_update = when_not_matched_by_source_update
+        nmbs_delete = when_not_matched_by_source_delete
+        rewrite_rels = set(hit_rels)
+        if nmbs_update or nmbs_delete:
+            # phase 1c: which files hold a target row with NO source
+            # match that satisfies a BY SOURCE clause gate — only those
+            # need a rewrite (a file of fully-matched or gate-failing
+            # rows stays untouched). One anti-join job.
+            gates = []
+            if nmbs_update:
+                gates.append(
+                    F.expr(when_not_matched_by_source_update_condition)
+                    if when_not_matched_by_source_update_condition
+                    else F.lit(True))
+            if nmbs_delete:
+                gates.append(F.expr(nmbs_delete)
+                             if isinstance(nmbs_delete, str)
+                             else F.lit(True))
+            any_gate = gates[0]
+            for g in gates[1:]:
+                any_gate = any_gate | g
+            aff = (t.join(src, cond, "left_anti")
+                   .filter(F.coalesce(any_gate, F.lit(False)))
+                   .select("__xdl_file").distinct().collect())
+            rewrite_rels |= {rel_of(r["__xdl_file"]) for r in aff}
+        rewrite_rels = sorted(rewrite_rels)
+
         out_cols = [f.name for f in self.schema.fields]
         new_adds: list[Add] = []
 
-        if hit_rels:
-            hit_adds = {r: self.adds[r] for r in hit_rels}
+        if rewrite_rels:
+            hit_adds = {r: self.adds[r] for r in rewrite_rels}
             th = self._scan(hit_adds).alias("t")
             joined = th.join(src, cond, "left")
             is_matched = F.col("s.__xdl_matched").isNotNull()
-            if when_matched_update or when_matched_delete:
+            if (when_matched_update or when_matched_delete
+                    or nmbs_update or nmbs_delete):
                 upd_active = F.lit(False)
                 if when_matched_update:
                     gate = (F.expr(when_matched_update_condition)
@@ -1276,18 +1317,43 @@ class DeltaTable:
                     gate = (F.expr(when_matched_delete)
                             if isinstance(when_matched_delete, str)
                             else F.lit(True))
-                    del_active = is_matched & ~upd_active & gate
+                    # NULL update gate = "clause does not apply" (Delta
+                    # semantics): evaluation falls through to delete
+                    del_active = is_matched \
+                        & ~F.coalesce(upd_active, F.lit(False)) & gate
+                nmbs_upd_active = F.lit(False)
+                if nmbs_update:
+                    gate = (F.expr(when_not_matched_by_source_update_condition)
+                            if when_not_matched_by_source_update_condition
+                            else F.lit(True))
+                    nmbs_upd_active = ~is_matched & gate
+                nmbs_del_active = F.lit(False)
+                if nmbs_delete:
+                    gate = (F.expr(nmbs_delete)
+                            if isinstance(nmbs_delete, str)
+                            else F.lit(True))
+                    nmbs_del_active = ~is_matched \
+                        & ~F.coalesce(nmbs_upd_active, F.lit(False)) & gate
                 sel = []
                 for c in out_cols:
-                    upd = (when_matched_update or {}).get(c)
-                    expr = (F.when(upd_active, F.expr(upd))
-                            .otherwise(F.col(f"t.{c}"))
-                            if upd else F.col(f"t.{c}"))
+                    branches = []
+                    if when_matched_update and c in when_matched_update:
+                        branches.append((upd_active, when_matched_update[c]))
+                    if nmbs_update and c in nmbs_update:
+                        branches.append((nmbs_upd_active, nmbs_update[c]))
+                    if branches:
+                        expr = F.when(branches[0][0], F.expr(branches[0][1]))
+                        for cnd, ex in branches[1:]:
+                            expr = expr.when(cnd, F.expr(ex))
+                        expr = expr.otherwise(F.col(f"t.{c}"))
+                    else:
+                        expr = F.col(f"t.{c}")
                     sel.append(expr.cast(self.schema[c].dataType).alias(c))
                 # NULL-safe: a NULL clause condition means "clause does
                 # not apply" (Delta semantics), never "drop the row"
-                rewritten = joined.filter(
-                    ~F.coalesce(del_active, F.lit(False))).select(sel)
+                drop = (F.coalesce(del_active, F.lit(False))
+                        | F.coalesce(nmbs_del_active, F.lit(False)))
+                rewritten = joined.filter(~drop).select(sel)
             else:
                 rewritten = th.select(out_cols)
             new_adds.extend(self._write_data(
@@ -1304,7 +1370,7 @@ class DeltaTable:
             new_adds.extend(self._write_data(
                 self._apply_constraints(ins), self.partition_columns))
 
-        removes = [self.adds[r].to_remove() for r in hit_rels]
+        removes = [self.adds[r].to_remove() for r in rewrite_rels]
         metrics = {"numTargetFilesAdded": len(new_adds),
                    "numTargetFilesRemoved": len(removes)}
         entry = merge_table_entry(new_adds, removes, condition,
