@@ -54,6 +54,8 @@ HEADLINE = [
     "delta_import_refs_scan",
     "delta_schema_evolution",
     "text_stats",
+    "text_tfidf_top_terms",
+    "vocab_coverage",
     "lang_detect",
     "token_count_by_lang",
     "text_repetition",

@@ -1230,9 +1230,71 @@ class TestAudioChunks:
         assert all(sorted(c["chunk_index"] for c in v) == [0, 1]
                    for v in by_doc.values())
 
-    def test_real_path_stubbed(self, spark, documents):
+    def test_real_path_rejects_non_wav(self, spark, documents):
+        # a non-RIFF payload through the REAL path must fail loudly,
+        # never be silently interpreted as headerless PCM
         payloads = multimodal.attach_fake_payloads(documents.limit(1))
         out = multimodal.chunk_audio(payloads)
         import pytest as _p
-        with _p.raises(Exception, match="audio"):
+        with _p.raises(Exception, match="RIFF|WAVE"):
             out.collect()
+
+
+class TestCorpusAnalysis:
+    def test_tfidf_manual(self, spark):
+        from xdlake_spark.operators import corpus
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["apple banana apple", "banana cherry", "cherry dates"]})
+        out = corpus.tfidf_top_terms(spark.createDataFrame(pdf),
+                                     k=2, min_df=1).collect()
+        import math
+        got = {(r["doc_id"], r["term"]): (r["tf"], r["df"], r["score"])
+               for r in out}
+        # apple: tf 2 in doc1, df 1 -> 2*ln(3)
+        assert got[(1, "apple")] == (2, 1, round(2 * math.log(3), 6))
+        # banana in doc1: tf 1, df 2 -> ln(1.5)
+        assert got[(1, "banana")] == (1, 2, round(math.log(1.5), 6))
+        # every doc yields at most k rows
+        per_doc: dict = {}
+        for (d, _t2), _ in got.items():
+            per_doc[d] = per_doc.get(d, 0) + 1
+        assert all(v <= 2 for v in per_doc.values())
+
+    def test_vocab_coverage_monotonic(self, spark, documents):
+        from xdlake_spark.operators import corpus
+        rows = sorted(corpus.build_vocab(documents).collect(),
+                      key=lambda r: r["rank"])
+        assert rows[0]["rank"] == 1
+        # counts non-increasing, coverage non-decreasing to ~1.0
+        ns = [r["n"] for r in rows]
+        assert ns == sorted(ns, reverse=True)
+        covs = [r["coverage"] for r in rows]
+        assert covs == sorted(covs)
+        assert covs[-1] == pytest.approx(1.0, abs=1e-4)
+
+    def test_corpus_mix_fractions_sum_to_one(self, spark, documents):
+        from xdlake_spark.operators import corpus
+        rows = corpus.corpus_mix(documents).collect()
+        assert sum(r["doc_frac"] for r in rows) == pytest.approx(1.0,
+                                                                 abs=1e-3)
+        assert sum(r["token_frac"] for r in rows) == pytest.approx(
+            1.0, abs=1e-3)
+        assert sum(r["n_docs"] for r in rows) == documents.count()
+
+    def test_encoding_quality_flags_mojibake(self, spark):
+        from xdlake_spark.operators import corpus
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["perfectly clean text here",
+                     "damag�d t�xt with r�placements",
+                     "ctrl\x01char\x02soup"]})
+        got = {r["doc_id"]: r for r in corpus.encoding_quality(
+            spark.createDataFrame(pdf)).collect()}
+        assert got[1]["is_clean"] and got[1]["bad_frac"] == 0.0
+        assert got[2]["n_replacement"] == 3 and not got[2]["is_clean"]
+        assert got[3]["n_control"] == 2 and not got[3]["is_clean"]
+        # tab/newline are NOT control-flagged
+        pdf2 = pd.DataFrame({"doc_id": [9], "text": ["a\tb\nc\rd"]})
+        r = corpus.encoding_quality(spark.createDataFrame(pdf2)).collect()[0]
+        assert r["n_control"] == 0 and r["is_clean"]

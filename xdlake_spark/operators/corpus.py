@@ -1,0 +1,144 @@
+"""Corpus-level text statistics: TF-IDF, vocabulary, mix accounting,
+encoding quality.
+
+These answer the questions a training-data curator asks of a whole
+corpus ("what are the distinctive terms", "what vocabulary covers 95%
+of tokens", "how is the mix split across sources/languages", "which
+docs are mojibake") — all as single-pass DataFrame plans with map-side
+partial aggregation and zero Python in the row path. Extends the
+reference's surface; mandated by the build brief's
+training-data-pipeline component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str):
+    """Lowercased whitespace tokens — the same tokenization as
+    functions.text.token_count_ws / shingles."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5,
+                    min_df: int = 1) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document:
+    ``score = tf * ln(N / df)`` (raw term frequency, plain idf).
+
+    Plan shape: one token explode feeds BOTH aggregations — per-(doc,
+    token) counts (tf) and per-token distinct-doc counts (df) — joined
+    on the token; N arrives as a broadcast single-row cross join. All
+    shuffles key on the token hash (uniform); the final top-k is a
+    row_number window per doc (score desc, token asc for deterministic
+    ties), never a global sort.
+
+    ``min_df`` drops hapax noise (terms in fewer than min_df docs).
+    Output: (doc_id, term, tf, df, score) — score rounded to 6 for
+    cross-engine comparability.
+    """
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(_tokens(text_col)).alias("term"))
+            .filter(F.length("term") > 0))
+    tf = (toks.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (tf.groupBy("term")
+             .agg(F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") >= min_df))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("__n"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("score",
+                          F.round(F.col("tf")
+                                  * F.log(F.col("__n") / F.col("df")), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                             F.col("term"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("doc_id", "term", "tf", "df", "score"))
+
+
+def build_vocab(df: DataFrame, text_col: str = "text",
+                max_size: int | None = None) -> DataFrame:
+    """Frequency-ranked corpus vocabulary with cumulative coverage —
+    the tokenizer-training prep report ("how many types cover 95% of
+    tokens").
+
+    One explode + one map-side-combinable count per token; rank and
+    running coverage are a single window over the (small) type table,
+    ordered (count desc, token asc) for determinism. Output:
+    (rank, token, n, coverage) with coverage = cumulative token
+    fraction, rounded to 6.
+    """
+    counts = (df.select(F.explode(_tokens(text_col)).alias("token"))
+              .filter(F.length("token") > 0)
+              .groupBy("token")
+              .agg(F.count(F.lit(1)).alias("n")))
+    total = counts.agg(F.sum("n").alias("__total"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    out = (counts.crossJoin(F.broadcast(total))
+           .withColumn("rank", F.row_number().over(w).cast("long"))
+           .withColumn("coverage",
+                       F.round(F.sum("n").over(
+                           w.rowsBetween(Window.unboundedPreceding, 0))
+                           / F.col("__total"), 6))
+           .select("rank", "token", "n", "coverage"))
+    if max_size is not None:
+        out = out.filter(F.col("rank") <= max_size)
+    return out
+
+
+def corpus_mix(df: DataFrame, group_cols: list[str] | None = None,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Training-mix accounting per stratum (default source x lang):
+    document and whitespace-token counts plus each stratum's fraction
+    of corpus documents and tokens — the report behind mix-weighting
+    decisions. One pass; totals ride along as a broadcast single row.
+    """
+    group_cols = group_cols or ["source", "lang"]
+    per_row = df.select(
+        *group_cols,
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long").alias("__t"))
+    agg = (per_row.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("__t").alias("n_tokens")))
+    totals = agg.agg(F.sum("n_docs").alias("__d"),
+                     F.sum("n_tokens").alias("__k"))
+    return (agg.crossJoin(F.broadcast(totals))
+            .select(*group_cols, "n_docs", "n_tokens",
+                    F.round(F.col("n_docs") / F.col("__d"), 6)
+                    .alias("doc_frac"),
+                    F.round(F.col("n_tokens") / F.col("__k"), 6)
+                    .alias("token_frac")))
+
+
+#: Java ∩ RE2 classes so the DuckDB oracle runs the same strings.
+REPLACEMENT_CHAR_RX = "�"
+CONTROL_CHAR_RX = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+def encoding_quality(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_bad_frac: float = 0.001) -> DataFrame:
+    """Mojibake / encoding-damage report per document: counts of
+    U+FFFD replacement characters (the signature of a wrong-charset
+    decode) and C0 control characters (minus tab/newline/CR), their
+    fraction of the text, and an ``is_clean`` flag at ``max_bad_frac``.
+    Pure JVM regex passes; one projection.
+    """
+    c = F.col(text_col)
+    n_repl = F.regexp_count(c, F.lit(REPLACEMENT_CHAR_RX))
+    n_ctrl = F.regexp_count(c, F.lit(CONTROL_CHAR_RX))
+    bad_frac = F.round((n_repl + n_ctrl)
+                       / F.greatest(F.length(c), F.lit(1)), 6)
+    return df.select(
+        F.col(id_col),
+        n_repl.cast("long").alias("n_replacement"),
+        n_ctrl.cast("long").alias("n_control"),
+        bad_frac.alias("bad_frac"),
+        (bad_frac <= max_bad_frac).alias("is_clean"))

@@ -931,6 +931,115 @@ def delta_merge_nmbs(spark, sf_dir):
 
 
 # ===========================================================================
+# Corpus-level analysis (documents)
+# ===========================================================================
+
+@register("text_tfidf_top_terms", r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), toks2 AS (
+  SELECT * FROM toks WHERE length(term) > 0
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY 1, 2
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) >= 2
+), n AS (
+  SELECT count(DISTINCT doc_id) AS nd FROM documents
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * ln(CAST(nd AS DOUBLE) / df), 6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term) <= 5
+""")
+def tfidf_q(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (operators/corpus.py): one
+    token explode feeds tf and df aggregations, N broadcast, top-k by
+    per-doc window."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    return corpus.tfidf_top_terms(d, k=5, min_df=2)
+
+
+@register("vocab_coverage", r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, count(*) AS n FROM toks WHERE length(token) > 0
+  GROUP BY 1
+), tot AS (SELECT sum(n) AS total FROM counts)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+       token, n,
+       round(sum(n) OVER (ORDER BY n DESC, token
+                          ROWS UNBOUNDED PRECEDING)
+             / CAST(total AS DOUBLE), 6) AS coverage
+FROM counts CROSS JOIN tot
+QUALIFY row_number() OVER (ORDER BY n DESC, token) <= 500
+""")
+def vocab_q(spark, sf_dir):
+    """Frequency-ranked vocabulary with cumulative token coverage —
+    tokenizer-training prep (operators/corpus.py build_vocab)."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    return corpus.build_vocab(d, max_size=500)
+
+
+@register("corpus_mix_report", r"""
+WITH per AS (
+  SELECT source, lang,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS t
+  FROM documents
+), agg AS (
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(t) AS BIGINT) AS n_tokens
+  FROM per GROUP BY 1, 2
+), tot AS (
+  SELECT sum(n_docs) AS d, sum(n_tokens) AS k FROM agg
+)
+SELECT source, lang, n_docs, n_tokens,
+       round(n_docs / CAST(d AS DOUBLE), 6) AS doc_frac,
+       round(n_tokens / CAST(k AS DOUBLE), 6) AS token_frac
+FROM agg CROSS JOIN tot
+""")
+def corpus_mix_q(spark, sf_dir):
+    """Training-mix accounting per (source, lang): doc/token counts
+    and corpus fractions (operators/corpus.py corpus_mix)."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    return corpus.corpus_mix(d)
+
+
+@register("encoding_quality", r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+           AS n_replacement,
+       CAST(len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]'))
+           AS BIGINT) AS n_control,
+       round((len(regexp_extract_all(text, '�'))
+              + len(regexp_extract_all(text,
+                    '[\x00-\x08\x0b\x0c\x0e-\x1f]')))
+             / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS bad_frac,
+       (round((len(regexp_extract_all(text, '�'))
+               + len(regexp_extract_all(text,
+                     '[\x00-\x08\x0b\x0c\x0e-\x1f]')))
+              / CAST(greatest(length(text), 1) AS DOUBLE), 6) <= 0.001)
+           AS is_clean
+FROM documents
+""")
+def encoding_quality_q(spark, sf_dir):
+    """Mojibake / encoding-damage report: U+FFFD and C0-control counts
+    per document with a cleanliness flag (operators/corpus.py)."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    return corpus.encoding_quality(d)
+
+
+# ===========================================================================
 # Text analysis (documents)
 # ===========================================================================
 
