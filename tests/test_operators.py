@@ -1298,3 +1298,14 @@ class TestCorpusAnalysis:
         pdf2 = pd.DataFrame({"doc_id": [9], "text": ["a\tb\nc\rd"]})
         r = corpus.encoding_quality(spark.createDataFrame(pdf2)).collect()[0]
         assert r["n_control"] == 0 and r["is_clean"]
+
+    def test_length_report_exact_percentiles(self, spark):
+        from xdlake_spark.operators import corpus
+        pdf = pd.DataFrame({
+            "doc_id": range(5),
+            "lang": ["en"] * 5,
+            "text": ["a", "a b", "a b c", "a b c d", "a b c d e"]})
+        r = corpus.length_report(spark.createDataFrame(pdf)).collect()[0]
+        assert r["n_docs"] == 5 and r["mean_tokens"] == 3.0
+        assert r["p50"] == 3.0                      # exact median
+        assert r["p90"] == pytest.approx(4.6)       # linear interpolation

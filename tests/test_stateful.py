@@ -48,6 +48,45 @@ class TestStreamingDedup:
         assert len(out) == 50
 
 
+class TestStreamingDedupWithinWatermark:
+    def test_close_duplicates_suppressed(self, spark, tmp_table_dir,
+                                         documents):
+        from xdlake_spark.streaming.stateful import \
+            streaming_dedup_within_watermark
+        src = f"{tmp_table_dir}/in_wm"
+        base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        d1 = documents.limit(40).withColumn("ts", base)
+        # duplicates arriving 1 minute later — inside the watermark
+        d2 = (documents.limit(25)
+              .withColumn("doc_id", F.col("doc_id") + 1000)
+              .withColumn("ts", base + F.expr("INTERVAL 1 MINUTE")))
+        d1.write.parquet(src)
+        d2.write.mode("append").parquet(src)
+        schema = d1.schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        out = streaming_dedup_within_watermark(stream, "ts",
+                                               watermark="10 minutes")
+        q = (out.writeStream.format("memory").queryName("dedup_wm")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.sql("select * from dedup_wm").collect()
+        fps = [r["fingerprint"] for r in rows]
+        assert len(fps) == len(set(fps)) == 40  # 25 close dups dropped
+
+    def test_batch_fallback_keeps_first(self, spark, documents):
+        from xdlake_spark.streaming.stateful import \
+            streaming_dedup_within_watermark
+        d = (documents.limit(30)
+             .withColumn("ts", F.to_timestamp(
+                 F.lit("2024-01-01 00:00:00"))))
+        dup = d.withColumn("doc_id", F.col("doc_id") + 5000)
+        out = streaming_dedup_within_watermark(
+            d.unionByName(dup), "ts").collect()
+        assert len(out) == 30
+        assert all(r["doc_id"] < 5000 for r in out)
+
+
 class TestRunningUserStats:
     def test_stream_final_state_matches_batch(self, spark, tmp_table_dir,
                                               events):

@@ -912,3 +912,47 @@ class TestMutatorConflicts:
         fresh = DeltaTable(spark, f"{tmp_table_dir}/t")
         assert fresh.version == 1
         assert fresh.to_df().count() == 2 * len(pdf)
+
+
+class TestAppendOnly:
+    def test_append_only_lifecycle(self, spark, tmp_table_dir):
+        from tests.utils import gen_pdf
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        t = t.set_properties({"delta.appendOnly": "true"})
+        assert t.append_only
+        assert t.describe_detail()["properties"]["delta.appendOnly"] == "true"
+
+        # appends still work
+        t = t.write(spark.createDataFrame(gen_pdf(3)))
+        assert t.to_df().count() == len(pdf) + 3
+
+        # row-removing/modifying operations all refuse
+        import pytest as _p
+        with _p.raises(ValueError, match="append-only"):
+            t.delete("flag = true")
+        with _p.raises(ValueError, match="append-only"):
+            t.update({"i64": "i64 + 1"}, "flag = true")
+        with _p.raises(ValueError, match="append-only"):
+            t.write(spark.createDataFrame(pdf), mode="overwrite")
+        with _p.raises(ValueError, match="append-only"):
+            t.restore(0)
+        src = spark.createDataFrame(pdf.head(2))
+        with _p.raises(ValueError, match="append-only"):
+            t.merge(src, "t.order = s.order",
+                    when_matched_update={"i64": "s.i64"})
+        # insert-only MERGE is an append and stays allowed
+        new = gen_pdf(2)
+        t = t.merge(spark.createDataFrame(new), "t.order = s.order",
+                    when_not_matched_insert={
+                        c: f"s.{c}" for c in pdf.columns})
+        assert t.to_df().count() == len(pdf) + 3 + 2
+
+        # unset re-enables mutation; None removes the key
+        t = t.set_properties({"delta.appendOnly": None})
+        assert not t.append_only
+        t = t.delete("flag = true")
+        assert t.to_df().filter("flag = true").count() == 0
+        h = next(t.load_as_version(t.version - 1).history())
+        assert h["operation"] == "SET TBLPROPERTIES"

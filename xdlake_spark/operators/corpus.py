@@ -117,6 +117,28 @@ def corpus_mix(df: DataFrame, group_cols: list[str] | None = None,
                     .alias("token_frac")))
 
 
+def length_report(df: DataFrame, group_col: str = "lang",
+                  text_col: str = "text") -> DataFrame:
+    """Per-stratum document-length distribution: exact p50/p90/p99 of
+    whitespace token counts plus mean — the histogram behind context-
+    window and chunk-size decisions. ``percentile`` (exact linear
+    interpolation, matching DuckDB's quantile_cont) over one map-side-
+    combinable projection; the stratum table is small, so the exact
+    sort-based percentile is cheap. For a quantile over billions of
+    ROWS per stratum at 100 TB, swap in approx_percentile.
+    """
+    per = df.select(
+        group_col,
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long").alias("__t"))
+    return (per.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("__t"), 6).alias("mean_tokens"),
+                 F.round(F.percentile("__t", 0.5), 6).alias("p50"),
+                 F.round(F.percentile("__t", 0.9), 6).alias("p90"),
+                 F.round(F.percentile("__t", 0.99), 6).alias("p99")))
+
+
 #: Java ∩ RE2 classes so the DuckDB oracle runs the same strings.
 REPLACEMENT_CHAR_RX = "�"
 CONTROL_CHAR_RX = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"

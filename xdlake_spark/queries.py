@@ -1014,6 +1014,27 @@ def corpus_mix_q(spark, sf_dir):
     return corpus.corpus_mix(d)
 
 
+@register("length_report_by_lang", r"""
+WITH per AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS t
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(t), 6) AS mean_tokens,
+       round(quantile_cont(t, 0.5), 6) AS p50,
+       round(quantile_cont(t, 0.9), 6) AS p90,
+       round(quantile_cont(t, 0.99), 6) AS p99
+FROM per GROUP BY lang
+""")
+def length_report_q(spark, sf_dir):
+    """Per-language token-length distribution: exact p50/p90/p99 +
+    mean (operators/corpus.py length_report) vs DuckDB quantile_cont."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    return corpus.length_report(d, group_col="lang")
+
+
 @register("encoding_quality", r"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '�')) AS BIGINT)

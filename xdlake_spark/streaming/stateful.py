@@ -64,6 +64,41 @@ def streaming_dedup(df: DataFrame, text_col: str = "text",
                                     GroupStateTimeout.NoTimeout))
 
 
+def streaming_dedup_within_watermark(df: DataFrame, ts_col: str,
+                                     watermark: str = "10 minutes",
+                                     text_col: str = "text",
+                                     id_col: str = "doc_id") -> DataFrame:
+    """Bounded-state streaming dedup: emit a document once per distinct
+    content fingerprint among rows whose event times fall within the
+    watermark of each other (Spark's ``dropDuplicatesWithinWatermark``).
+
+    This is the production shape for unbounded streams:
+    :func:`streaming_dedup` keeps one state entry per fingerprint
+    FOREVER (exact, but state grows with the corpus), while here the
+    state store evicts entries as the watermark passes — O(state) is
+    bounded by the dedup window, the right trade when duplicates arrive
+    close together (retries, crawler revisits). A duplicate arriving
+    later than the watermark is re-emitted by design.
+
+    Batch fallback (for oracle/tests): plain first-per-fingerprint
+    dedup, the whole-input equivalent. Output:
+    (fingerprint, doc_id, ``ts_col``).
+    """
+    keyed = df.select(
+        fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(ts_col))
+
+    if not df.isStreaming:
+        from pyspark.sql import Window
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        return (keyed.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn"))
+
+    return (keyed.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["fingerprint"]))
+
+
 def running_user_stats(df: DataFrame, user_col: str = "user_id",
                        value_col: str = "value") -> DataFrame:
     """Per-user running (n_events, sum_value) emitted after every batch.

@@ -378,6 +378,46 @@ class DeltaTable:
             self.version, custom_metadata)
         return self._commit(entry)
 
+    def set_properties(self, props: dict[str, "str | None"],
+                       custom_metadata: dict | None = None) -> "DeltaTable":
+        """SET/UNSET TBLPROPERTIES: metadata-only commit merging
+        ``props`` into the table configuration; a None value removes
+        the key. Recognized behavior keys take effect immediately —
+        ``delta.appendOnly='true'`` makes every subsequent
+        delete/update/row-modifying-merge/overwrite/restore raise
+        (Delta's append-only table contract)."""
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        import dataclasses
+        md = self.log.metadata()
+        cfg = dict(md.configuration or {})
+        for k, v in props.items():
+            if v is None:
+                cfg.pop(k, None)
+            else:
+                cfg[k] = str(v)
+        md = dataclasses.replace(md, configuration=cfg)
+        entry = properties_table_entry(
+            md, "SET TBLPROPERTIES",
+            {"properties": json.dumps(
+                {k: v for k, v in props.items()})},
+            self.version, custom_metadata)
+        return self._commit(entry)
+
+    @property
+    def append_only(self) -> bool:
+        """True when delta.appendOnly='true' is set on the table."""
+        if not self.log:
+            return False
+        cfg = self.log.metadata().configuration or {}
+        return str(cfg.get("delta.appendOnly", "false")).lower() == "true"
+
+    def _require_mutable(self, op: str) -> None:
+        if self.append_only:
+            raise ValueError(
+                f"{op} is not allowed: table is append-only "
+                "(delta.appendOnly=true); unset the property first")
+
     def describe_detail(self) -> dict:
         """DESCRIBE DETAIL-style summary of the current snapshot."""
         if self.schema is None:
@@ -514,6 +554,8 @@ class DeltaTable:
                     f"Table already exists at {self.location.url}")
             if mode == WriteMode.ignore:
                 return self
+            if mode == WriteMode.overwrite:
+                self._require_mutable("OVERWRITE")
 
         partition_by = self.log.validate_partition_by(partition_by)
 
@@ -744,6 +786,7 @@ class DeltaTable:
         Files fully covered by the predicate are tombstoned without any
         rewrite; untouched files keep their add actions.
         """
+        self._require_mutable("DELETE")
         if self.schema is None:
             raise ValueError(f"No delta table at {self.location.url}")
         read_version = self.version
@@ -839,6 +882,7 @@ class DeltaTable:
         right hive directories automatically (the rewrite partitions by
         the table's partition columns).
         """
+        self._require_mutable("UPDATE")
         if self.schema is None:
             raise ValueError(f"No delta table at {self.location.url}")
         if not set:
@@ -933,6 +977,7 @@ class DeltaTable:
                 custom_metadata: dict | None = None) -> "DeltaTable":
         """Reinstate a previous version's add-set as a new commit
         (reference __init__.py:317-333)."""
+        self._require_mutable("RESTORE")
         try:
             # pinned load handles restore targets older than the newest
             # checkpoint (falls back to full JSON replay)
@@ -1233,6 +1278,11 @@ class DeltaTable:
         """
         if self.schema is None:
             raise ValueError(f"No delta table at {self.location.url}")
+        if (when_matched_update or when_matched_delete
+                or when_not_matched_by_source_update
+                or when_not_matched_by_source_delete):
+            # insert-only MERGE is pure append and stays allowed
+            self._require_mutable("MERGE with update/delete clauses")
         read_version = self.version
         # __xdl_matched: guaranteed-non-null marker — after a left join,
         # NULL here means "no source row matched", regardless of NULLs in
