@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_ngram_jaccard_pairs",
     "dedup_simhash_pairs",
     "dedup_winnow_pairs",
+    "substring_dup_stats",
     "dedup_connected_components",
     "contamination_check",
     "embedding_neardup_pairs",

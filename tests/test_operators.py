@@ -1309,3 +1309,49 @@ class TestCorpusAnalysis:
         assert r["n_docs"] == 5 and r["mean_tokens"] == 3.0
         assert r["p50"] == 3.0                      # exact median
         assert r["p90"] == pytest.approx(4.6)       # linear interpolation
+
+
+class TestSubstringDup:
+    def test_planted_duplicated_span(self, spark):
+        boiler = "SHARED BOILERPLATE SEGMENT THAT REPEATS EVERYWHERE"
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["unique alpha prose here " + boiler,
+                     boiler + " other unique words trailing",
+                     "totally different content without repeats xyz"]})
+        out = {r["doc_id"]: r for r in dedup.substring_dup_stats(
+            spark.createDataFrame(pdf), k=12).collect()}
+        # the shared span is duplicated in docs 1 and 2, absent in 3
+        assert out[1]["dup_char_frac"] > 0.4
+        assert out[2]["dup_char_frac"] > 0.4
+        assert out[3]["n_dup_grams"] == 0
+        assert out[3]["dup_char_frac"] == 0.0
+        # coverage merges overlapping gram intervals: never exceeds 1
+        assert all(r["dup_char_frac"] <= 1.0 for r in out.values())
+
+    def test_identical_docs_fully_covered(self, spark):
+        t = "an entirely duplicated document body of some length"
+        pdf = pd.DataFrame({"doc_id": [1, 2], "text": [t, t]})
+        out = dedup.substring_dup_stats(
+            spark.createDataFrame(pdf), k=12).collect()
+        assert all(r["dup_gram_frac"] == 1.0 for r in out)
+        assert all(r["dup_char_frac"] == 1.0 for r in out)
+
+    def test_arrow_equals_jvm(self, spark, documents):
+        d = documents.limit(150)
+        jvm = {(r["doc_id"], r["n_dup_grams"], r["dup_char_frac"])
+               for r in dedup.substring_dup_stats(
+                   d, use_arrow=False).collect()}
+        arr = {(r["doc_id"], r["n_dup_grams"], r["dup_char_frac"])
+               for r in dedup.substring_dup_stats(
+                   d, use_arrow=True).collect()}
+        assert jvm == arr and len(jvm) == 150
+
+    def test_short_doc_clamped(self, spark):
+        # doc shorter than k: one whole-text gram; duplicated coverage
+        # clamps to the doc length (frac exactly 1, never > 1)
+        pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["tiny", "tiny"]})
+        out = dedup.substring_dup_stats(
+            spark.createDataFrame(pdf), k=12).collect()
+        assert all(r["n_grams"] == 1 and r["dup_char_frac"] == 1.0
+                   for r in out)

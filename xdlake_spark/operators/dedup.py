@@ -404,6 +404,75 @@ def dedup_keepers_from_pairs(df: DataFrame, pairs: DataFrame,
     return df.join(losers, id_col, "left_anti")
 
 
+def substring_dup_stats(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 12,
+                        min_count: int = 2,
+                        use_arrow: "bool | None" = None) -> DataFrame:
+    """Exact-substring duplication signals per document — the
+    train-data-dedup measurement of Lee et al. ("Deduplicating
+    Training Data Makes Language Models Better"), at character-gram
+    granularity: which fraction of a document consists of substrings
+    that also occur elsewhere in the corpus (other documents OR
+    repeated within the same one).
+
+    A length-``k`` character gram is *duplicated* when its rolling
+    hash occurs >= ``min_count`` times corpus-wide. Reported per doc:
+
+    - ``dup_gram_frac``: duplicated grams / total grams;
+    - ``dup_char_frac``: fraction of normalized characters covered by
+      at least one duplicated gram — overlapping gram intervals
+      [pos, pos+k) are merged with a lag window
+      (``least(k, pos - lag(pos))``, first interval counts k), so a
+      run of consecutive duplicated grams is not double-counted.
+
+    Plan shape: one position explode of the (single-pass) k-gram hash
+    array, a map-side-combinable global count per hash, a semi-join of
+    positions against duplicated hashes, and one per-doc window — every
+    shuffle keys on a uniform hash or the doc id. This is the scalable
+    form of the suffix-array pass: O(total chars) rows, no suffix sort.
+    """
+    from ..functions.text import kgram_hashes, normalize_text
+    from .text import _kgram_arrow_udf
+
+    if use_arrow is None:
+        use_arrow = arrow_gate(df)  # plan statistics — no count job
+    hashes = (_kgram_arrow_udf(k)(F.col(text_col)) if use_arrow
+              else kgram_hashes(F.col(text_col), k))
+    base = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.length(normalize_text(F.col(text_col))).alias("__n"),
+                    hashes.alias("__h"))
+            .filter(F.col("__n") > 0)
+            .localCheckpoint(eager=False))  # gram hashing runs once
+    grams = base.select("doc_id", "__n",
+                        F.posexplode("__h").alias("pos", "h"))
+    dup_hashes = (grams.groupBy("h")
+                  .agg(F.count(F.lit(1)).alias("__c"))
+                  .filter(F.col("__c") >= min_count)
+                  .select("h"))
+    dup = grams.join(dup_hashes, "h", "left_semi")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    contrib = F.least(F.lit(k).cast("long"),
+                      (F.col("pos") - F.lag("pos").over(w)).cast("long"))
+    covered = (dup.withColumn("__cov",
+                              F.coalesce(contrib, F.lit(k).cast("long")))
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_dup_grams"),
+                    F.sum("__cov").alias("__covered")))
+
+    sizes = base.select("doc_id", "__n", F.size("__h").alias("n_grams"))
+    return (sizes.join(covered, "doc_id", "left")
+            .select(
+                "doc_id", "n_grams",
+                F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+                F.round(F.coalesce("n_dup_grams", F.lit(0))
+                        / F.col("n_grams"), 6).alias("dup_gram_frac"),
+                F.round(F.least(F.coalesce("__covered", F.lit(0)),
+                                F.col("__n").cast("long"))
+                        / F.col("__n"), 6).alias("dup_char_frac")))
+
+
 # ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------

@@ -116,6 +116,46 @@ def pii_stats(df: DataFrame, text_col: str = "text",
     return df.select(*cols)
 
 
+def _kgram_arrow_udf(k: int):
+    """Vectorized k-gram rolling hashes: identical math to
+    functions.text.kgram_hashes (normalize / codepoint / 31-bit
+    Rabin-Karp), all positions in order — k numpy vector ops per
+    document instead of n*k interpreted HOF steps."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    mod = X.ROLL_MOD
+    base = X.ROLL_BASE
+    ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")  # Java \s (ASCII-only)
+
+    @pandas_udf("array<long>")
+    def _grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            s = ws.sub(" ", (t or "").lower()).strip(" ")
+            if not s:
+                out.append([])
+                continue
+            cps = np.frombuffer(s.encode("utf-32-le"),
+                                dtype=np.uint32).astype(np.int64)
+            n = len(cps)
+            if n >= k:
+                m = n - k + 1
+                h = np.zeros(m, dtype=np.int64)
+                for j in range(k):  # Horner step across all positions
+                    h = (h * base + cps[j:j + m]) % mod
+            else:
+                acc = 0
+                for c in cps.tolist():
+                    acc = (acc * base + c) % mod
+                h = np.array([acc], dtype=np.int64)
+            out.append(h.tolist())
+        return pd.Series(out)
+
+    return _grams
+
+
 def _winnow_arrow_udf(k: int, window: int):
     """Vectorized winnowing: identical semantics to the JVM expression
     path (same normalize / codepoint / 31-bit Rabin-Karp math), but the

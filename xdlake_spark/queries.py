@@ -1014,6 +1014,61 @@ def corpus_mix_q(spark, sf_dir):
     return corpus.corpus_mix(d)
 
 
+@register("substring_dup_stats", r"""
+WITH cp AS (
+  SELECT doc_id,
+         list_transform(
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                              'g')), ''),
+             c -> CAST(ascii(c) AS BIGINT)) AS cps
+  FROM documents
+  WHERE length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) > 0
+), kh AS (
+  SELECT doc_id, len(cps) AS n,
+         CASE WHEN len(cps) >= 12 THEN
+           list_transform(range(1, len(cps) - 12 + 2),
+             i -> list_reduce(cps[i:i+11],
+                              (a, b) -> (a * 257 + b) % 2147483647))
+         ELSE [list_reduce(cps, (a, b) -> (a * 257 + b) % 2147483647)]
+         END AS hs
+  FROM cp
+), idx AS (
+  SELECT doc_id, n, hs, unnest(range(1, len(hs) + 1)) AS i FROM kh
+), grams AS (
+  SELECT doc_id, n, CAST(i - 1 AS BIGINT) AS pos, hs[i] AS h FROM idx
+), duph AS (
+  SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+), dup AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN duph USING (h)
+), cov0 AS (
+  SELECT doc_id,
+         coalesce(least(12, pos - lag(pos) OVER (
+             PARTITION BY doc_id ORDER BY pos)), 12) AS c
+  FROM dup
+), cov AS (
+  SELECT doc_id, count(*) AS n_dup_grams,
+         CAST(sum(c) AS BIGINT) AS covered
+  FROM cov0 GROUP BY doc_id
+), sizes AS (
+  SELECT doc_id, n, len(hs) AS n_grams FROM kh
+)
+SELECT s.doc_id, CAST(s.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       round(coalesce(n_dup_grams, 0) / CAST(s.n_grams AS DOUBLE), 6)
+           AS dup_gram_frac,
+       round(least(coalesce(covered, 0), s.n) / CAST(s.n AS DOUBLE), 6)
+           AS dup_char_frac
+FROM sizes s LEFT JOIN cov USING (doc_id)
+""")
+def substring_dup_q(spark, sf_dir):
+    """Exact-substring duplication per doc (operators/dedup.py
+    substring_dup_stats): fraction of 12-char grams whose rolling hash
+    repeats corpus-wide, and the merged-interval character coverage —
+    the Lee-et-al train-dedup signal, suffix-sort-free."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.substring_dup_stats(d, k=12)
+
+
 @register("length_report_by_lang", r"""
 WITH per AS (
   SELECT lang,
