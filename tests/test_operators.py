@@ -1355,3 +1355,21 @@ class TestSubstringDup:
             spark.createDataFrame(pdf), k=12).collect()
         assert all(r["n_grams"] == 1 and r["dup_char_frac"] == 1.0
                    for r in out)
+
+
+class TestBpePairCounts:
+    def test_bpe_pair_counts_manual(self, spark):
+        from xdlake_spark.operators import corpus
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["a b a b c", "a b x"]})
+        rows = corpus.bpe_pair_counts(spark.createDataFrame(pdf)).collect()
+        got = {(r["left"], r["right"]): (r["rank"], r["n"]) for r in rows}
+        # pairs: doc1 (a,b)(b,a)(a,b)(b,c); doc2 (a,b)(b,x)
+        assert got[("a", "b")] == (1, 3)   # most frequent -> rank 1
+        assert got[("b", "a")][1] == 1
+        assert got[("b", "c")][1] == 1 and got[("b", "x")][1] == 1
+        # deterministic tie order: count desc, then left, right asc
+        ranked = sorted(rows, key=lambda r: r["rank"])
+        assert [(r["left"], r["right"]) for r in ranked] == \
+            [("a", "b"), ("b", "a"), ("b", "c"), ("b", "x")]

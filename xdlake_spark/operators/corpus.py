@@ -117,6 +117,33 @@ def corpus_mix(df: DataFrame, group_cols: list[str] | None = None,
                     .alias("token_frac")))
 
 
+def bpe_pair_counts(df: DataFrame, text_col: str = "text",
+                    top_n: int | None = None) -> DataFrame:
+    """Adjacent-token-pair frequencies — the statistic behind one BPE
+    merge step (the most frequent pair is the next merge). One explode
+    of per-document bigrams (``zip_with`` of the token array against
+    its own tail — single pass, JVM-side) into a map-side-combinable
+    count; ranked (count desc, pair asc) for determinism. Output:
+    (rank, left, right, n).
+    """
+    toks = _tokens(text_col)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")))
+    counts = (df.select(F.explode(pairs).alias("p"))
+              .select("p.left", "p.right")
+              .filter((F.length("left") > 0) & (F.length("right") > 0))
+              .groupBy("left", "right")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy(F.col("n").desc(), F.col("left"), F.col("right"))
+    out = (counts.withColumn("rank", F.row_number().over(w).cast("long"))
+           .select("rank", "left", "right", "n"))
+    if top_n is not None:
+        out = out.filter(F.col("rank") <= top_n)
+    return out
+
+
 def length_report(df: DataFrame, group_col: str = "lang",
                   text_col: str = "text") -> DataFrame:
     """Per-stratum document-length distribution: exact p50/p90/p99 of

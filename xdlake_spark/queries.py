@@ -1014,6 +1014,32 @@ def corpus_mix_q(spark, sf_dir):
     return corpus.corpus_mix(d)
 
 
+@register("bpe_pair_counts", r"""
+WITH toks AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), idx AS (
+  SELECT w, unnest(range(1, len(w))) AS i FROM toks
+), pairs AS (
+  SELECT w[i] AS "left", w[i + 1] AS "right" FROM idx
+  WHERE length(w[i]) > 0 AND length(w[i + 1]) > 0
+), counts AS (
+  SELECT "left", "right", count(*) AS n FROM pairs GROUP BY 1, 2
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, "left", "right") AS BIGINT)
+           AS rank,
+       "left", "right", n
+FROM counts
+QUALIFY row_number() OVER (ORDER BY n DESC, "left", "right") <= 200
+""")
+def bpe_pairs_q(spark, sf_dir):
+    """Adjacent-token-pair frequencies (one BPE merge step's statistic)
+    — operators/corpus.py bpe_pair_counts."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    return corpus.bpe_pair_counts(d, top_n=200)
+
+
 @register("substring_dup_stats", r"""
 WITH cp AS (
   SELECT doc_id,
