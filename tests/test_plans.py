@@ -193,3 +193,15 @@ class TestArrowGateNoJob:
         small = spark.read.parquet(f"{SF}/documents.parquet")
         est = plan_row_estimate(small)
         assert est is not None and est < 2000  # 500 docs, ~65 KB file
+
+
+class TestTopNBeforeRankWindow:
+    """Ranked-vocabulary reports must select their top-N with a
+    distributed TakeOrderedAndProject BEFORE the (single-reducer)
+    rank/coverage window — the window may only ever see <= N rows."""
+
+    @pytest.mark.parametrize("name", ["vocab_coverage",
+                                      "bpe_pair_counts"])
+    def test_take_ordered_feeds_window(self, spark, name):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, plan

@@ -78,17 +78,23 @@ def build_vocab(df: DataFrame, text_col: str = "text",
               .groupBy("token")
               .agg(F.count(F.lit(1)).alias("n")))
     total = counts.agg(F.sum("n").alias("__total"))
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    out = (counts.crossJoin(F.broadcast(total))
-           .withColumn("rank", F.row_number().over(w).cast("long"))
-           .withColumn("coverage",
-                       F.round(F.sum("n").over(
-                           w.rowsBetween(Window.unboundedPreceding, 0))
-                           / F.col("__total"), 6))
-           .select("rank", "token", "n", "coverage"))
     if max_size is not None:
-        out = out.filter(F.col("rank") <= max_size)
-    return out
+        # distributed top-N selection FIRST (TakeOrderedAndProject — k
+        # rows per partition, no global shuffle), so the rank/coverage
+        # window below runs over <= max_size rows instead of pulling
+        # every vocabulary type into one reducer. Ranks within the
+        # top-N prefix equal global ranks (same total order), and the
+        # coverage denominator stays the full-corpus token total.
+        counts = counts.orderBy(F.col("n").desc(),
+                                F.col("token")).limit(max_size)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (counts.crossJoin(F.broadcast(total))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .withColumn("coverage",
+                        F.round(F.sum("n").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))
+                            / F.col("__total"), 6))
+            .select("rank", "token", "n", "coverage"))
 
 
 def corpus_mix(df: DataFrame, group_cols: list[str] | None = None,
@@ -136,12 +142,14 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text",
               .filter((F.length("left") > 0) & (F.length("right") > 0))
               .groupBy("left", "right")
               .agg(F.count(F.lit(1)).alias("n")))
-    w = Window.orderBy(F.col("n").desc(), F.col("left"), F.col("right"))
-    out = (counts.withColumn("rank", F.row_number().over(w).cast("long"))
-           .select("rank", "left", "right", "n"))
     if top_n is not None:
-        out = out.filter(F.col("rank") <= top_n)
-    return out
+        # same pattern as build_vocab: distributed TakeOrdered top-N
+        # before the single-reducer rank window ever sees a row
+        counts = counts.orderBy(F.col("n").desc(), F.col("left"),
+                                F.col("right")).limit(top_n)
+    w = Window.orderBy(F.col("n").desc(), F.col("left"), F.col("right"))
+    return (counts.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("rank", "left", "right", "n"))
 
 
 def length_report(df: DataFrame, group_col: str = "lang",
