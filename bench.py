@@ -71,6 +71,7 @@ HEADLINE = [
     "dedup_connected_components",
     "contamination_check",
     "embedding_neardup_pairs",
+    "semantic_dedup_keepers",
     "similarity_topk_cosine",
     "knn_join_labels",
     "multimodal_meta",
@@ -115,7 +116,11 @@ def main() -> None:
         read_parquet_any(spark, f"{sf_dir}/{t}.parquet") \
             .write.format("noop").mode("overwrite").save()
 
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # 5 interleaved passes: the shared host shows 1.3-3x load spikes
+    # lasting ~a pass, and the median of 5 discards two polluted passes
+    # where the median of 3 could only discard one (~7 min total,
+    # inside the 900 s budget valve)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     # wall-clock safety valve: a heavily loaded host must not blow a
     # harness timeout — finish the pass in flight, then stop early and
     # report whatever passes completed (>=1 always)

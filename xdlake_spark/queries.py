@@ -1637,6 +1637,43 @@ def embedding_neardup(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"))
 
 
+@register("semantic_dedup_keepers", """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.3
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM edges
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+), losers AS (
+  SELECT id FROM comp WHERE id <> component
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM losers)
+""")
+def semantic_dedup_q(spark, sf_dir):
+    """SemDeDup-style end-to-end semantic dedup: exact block-matrix
+    cosine pairs -> connected components -> one keeper (min id) per
+    semantic cluster, every other member dropped. Composes
+    embedding_neardup_pairs(exact=True) + dedup_keepers_from_pairs;
+    the DuckDB oracle rebuilds components with a recursive CTE."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_neardup_pairs(e, threshold=0.3, exact=True)
+    keep = dedup.dedup_keepers_from_pairs(e.select("vec_id"), pairs,
+                                          id_col="vec_id")
+    return keep.select("vec_id")
+
+
 # rows-only: multi-table hyperplane LSH is approximate by design; its
 # recall (>=0.9 on planted near-dups) and subset-of-exact soundness are
 # asserted in test_operators.py
