@@ -61,6 +61,7 @@ HEADLINE = [
     "text_repetition",
     "pii_stats",
     "corpus_filter_funnel",
+    "corpus_prep_pipeline",
     "dedup_paragraphs",
     "dedup_exact_keepers",
     "dedup_minhash_pairs",
@@ -193,6 +194,7 @@ def main() -> None:
 #: User-story queries timed on DuckDB as a single-node baseline column.
 DUCKDB_BASELINE = [
     "corpus_filter_funnel",
+    "corpus_prep_pipeline",
     "dedup_paragraphs",
     "dedup_exact_keepers",
     "text_stats",

@@ -1429,6 +1429,101 @@ def corpus_filter_funnel_q(spark, sf_dir):
             .orderBy("lang"))
 
 
+@register("corpus_prep_pipeline", f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         {_QUALITY_SQL} AS q,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)),
+                     x -> length(x) > 0) AS lines,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), surv AS (
+  SELECT doc_id, text FROM scored
+  WHERE q >= 0.75
+    AND (CASE WHEN len(lines) > 0
+              THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                   / len(lines) ELSE 0.0 END) <= 0.3
+    AND (CASE WHEN len(toks) - 1 > 0
+              THEN CAST(len(toks) - 1 - len(list_distinct(
+                     list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1])))
+                   AS DOUBLE) / (len(toks) - 1)
+              ELSE 0.0 END) <= 0.2
+    AND len(regexp_extract_all(text, '{X.PII_EMAIL}'))
+      + len(regexp_extract_all(text, '{X.PII_IPV4}'))
+      + len(regexp_extract_all(text, '{X.PII_PHONE}')) = 0
+), split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ps FROM surv
+), idx0 AS (
+  SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS pos FROM split
+), parts AS (
+  SELECT doc_id, pos, ps[pos] AS par FROM idx0
+), ranked AS (
+  SELECT doc_id, pos, par,
+         CASE WHEN length(trim(par)) = 0 THEN 1
+              ELSE row_number() OVER (PARTITION BY trim(par)
+                                      ORDER BY doc_id, pos)
+         END AS rn
+  FROM parts
+), rebuilt AS (
+  SELECT doc_id, string_agg(par, chr(10) ORDER BY pos) AS text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+), para AS (
+  SELECT s.doc_id, coalesce(r.text, '') AS text
+  FROM surv s LEFT JOIN rebuilt r USING (doc_id)
+), exact AS (
+  SELECT doc_id, text FROM para
+  QUALIFY row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) = 1
+), toks2 AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM exact
+), base2 AS (
+  SELECT doc_id, w, len(w) AS n,
+         CASE WHEN len(w) <= 16 THEN 1
+              ELSE CAST(ceil((len(w) - 16) / 12.0) AS BIGINT) + 1 END AS nc
+  FROM toks2
+), idx2 AS (
+  SELECT doc_id, n, unnest(range(0, nc)) AS i FROM base2
+), chunks AS (
+  SELECT doc_id * 1048576 + i AS chunk_id, doc_id,
+         CAST(i AS BIGINT) AS chunk_index,
+         CAST(least(16, n - i*12) AS BIGINT) AS n_tokens
+  FROM idx2
+)
+SELECT chunk_id, doc_id, chunk_index, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY chunk_id
+                                       ROWS UNBOUNDED PRECEDING) - 1)
+                  / 64) AS BIGINT) AS bin
+FROM chunks
+""")
+def corpus_prep_pipeline_q(spark, sf_dir):
+    """The full corpus-prep user story in ONE oracle-checked plan:
+    funnel filter (quality >= 0.75 AND not-repetitive AND no-PII, one
+    text pass) -> corpus-level paragraph dedup (first-occurrence-wins) ->
+    exact dedup (min-id keeper per normalized fingerprint) ->
+    overlapping 16-token chunking -> running-sum packing into 64-token
+    context windows. Every stage is an existing operator; the pipeline
+    is their straight composition, and the DuckDB oracle rebuilds the
+    identical chain."""
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    ne, ni, np_ = X.pii_counts(c)
+    keep = ((X.quality_score(c) >= 0.75)
+            & (X.dup_line_fraction(c) <= 0.3)
+            & (X.dup_ngram_fraction(c, 2) <= 0.2)
+            & ((ne + ni + np_) == 0))
+    surv = d.filter(keep).select("doc_id", "text")
+    para = dedup.paragraph_dedup(surv)
+    exact = dedup.exact_dedup(para)
+    chunks = packing.chunk_documents(exact, max_tokens=16, overlap=4)
+    return (packing.pack_running_sum(chunks, "n_tokens", "chunk_id",
+                                     capacity=64)
+            .select("chunk_id", "doc_id", "chunk_index", "n_tokens",
+                    "bin"))
+
+
 @register("dedup_paragraphs", """
 WITH split AS (
   SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents
