@@ -1373,3 +1373,43 @@ class TestBpePairCounts:
         ranked = sorted(rows, key=lambda r: r["rank"])
         assert [(r["left"], r["right"]) for r in ranked] == \
             [("a", "b"), ("b", "a"), ("b", "c"), ("b", "x")]
+
+
+class TestChunkDocumentsInvariants:
+    @pytest.mark.parametrize("max_tokens, overlap", [
+        (8, 2), (8, 7), (5, 0), (16, 4)])
+    def test_against_python_reference(self, spark, max_tokens, overlap):
+        """Differential: every (doc length, max, overlap) combo in one
+        DataFrame vs an independent python re-implementation — window
+        starts, chunk contents, token coverage, and overlap sharing."""
+        from xdlake_spark.operators import packing
+        docs = {n: " ".join(f"w{i}" for i in range(n))
+                for n in range(1, 41)}
+        df = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": list(docs), "text": list(docs.values())}))
+        got: dict = {}
+        for r in packing.chunk_documents(df, max_tokens=max_tokens,
+                                         overlap=overlap).collect():
+            got.setdefault(r["doc_id"], {})[r["chunk_index"]] = \
+                (r["chunk_text"].split(), r["n_tokens"])
+
+        stride = max_tokens - overlap
+        for n, text in docs.items():
+            toks = text.split()
+            exp_chunks = 1 if n <= max_tokens else -(-(n - max_tokens)
+                                                     // stride) + 1
+            chunks = got[n]
+            assert len(chunks) == exp_chunks, (n, max_tokens, overlap)
+            covered = set()
+            for i in range(exp_chunks):
+                start = i * stride
+                exp = toks[start:start + max_tokens]
+                assert chunks[i][0] == exp
+                assert chunks[i][1] == len(exp) > 0
+                covered.update(range(start, start + len(exp)))
+                if i > 0:  # consecutive windows share exactly `overlap`
+                    prev = set(range((i - 1) * stride,
+                                     min((i - 1) * stride + max_tokens, n)))
+                    cur = set(range(start, start + len(exp)))
+                    assert len(prev & cur) == min(overlap, len(cur))
+            assert covered == set(range(n))  # no token lost
