@@ -956,3 +956,104 @@ class TestAppendOnly:
         assert t.to_df().filter("flag = true").count() == 0
         h = next(t.load_as_version(t.version - 1).history())
         assert h["operation"] == "SET TBLPROPERTIES"
+
+
+class TestColumnMappingRead:
+    def _make_mapped_table(self, spark, loc, partitioned=True):
+        """Hand-craft a 'name'-mode column-mapped table: parquet files
+        carry physical col-<tag> names, the log carries the logical
+        schema + per-field physicalName metadata (the layout modern
+        delta-spark writes with delta.columnMapping.mode=name)."""
+        import uuid as _uuid
+
+        from pyspark.sql import functions as F
+        os.makedirs(loc, exist_ok=True)
+
+        def write_file(rows, rel):
+            df = spark.createDataFrame(
+                rows, "`col-aaa` long, `col-bbb` string").coalesce(1)
+            stage = f"{loc}/_stage_{_uuid.uuid4().hex}"
+            df.write.parquet(stage)
+            part = [f for f in os.listdir(stage)
+                    if f.endswith(".parquet")][0]
+            os.makedirs(os.path.dirname(f"{loc}/{rel}"), exist_ok=True)
+            os.replace(f"{stage}/{part}", f"{loc}/{rel}")
+
+        fields = [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "val", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+        ]
+        pcols = []
+        if partitioned:
+            fields.append(
+                {"name": "part", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 3,
+                              "delta.columnMapping.physicalName":
+                                  "col-ccc"}})
+            pcols = ["part"]
+        schema_str = json.dumps({"type": "struct", "fields": fields})
+        adds = []
+        if partitioned:
+            write_file([(1, "a"), (2, "b")], "x0.parquet")
+            write_file([(3, "c")], "x1.parquet")
+            adds = [
+                {"path": "x0.parquet",
+                 "partitionValues": {"col-ccc": "p0"},
+                 "size": 1, "modificationTime": 0, "dataChange": True},
+                {"path": "x1.parquet",
+                 "partitionValues": {"col-ccc": "p1"},
+                 "size": 1, "modificationTime": 0, "dataChange": True},
+            ]
+        else:
+            write_file([(1, "a"), (2, "b"), (3, "c")], "x0.parquet")
+            adds = [{"path": "x0.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}]
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": str(_uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_str,
+                "partitionColumns": pcols,
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": "3"},
+                "createdTime": 0}},
+        ] + [{"add": a} for a in adds]
+        os.makedirs(f"{loc}/_delta_log", exist_ok=True)
+        with open(f"{loc}/_delta_log/"
+                  f"00000000000000000000.json", "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions))
+
+    def test_read_partitioned_mapped_table(self, spark, tmp_table_dir):
+        loc = f"{tmp_table_dir}/cm"
+        self._make_mapped_table(spark, loc, partitioned=True)
+        t = DeltaTable(spark, loc)
+        assert t.column_mapping_mode == "name"
+        got = t.to_pandas().sort_values("id").reset_index(drop=True)
+        assert list(got.columns) == ["id", "val", "part"]
+        assert list(got["id"]) == [1, 2, 3]
+        assert list(got["val"]) == ["a", "b", "c"]
+        assert list(got["part"]) == ["p0", "p0", "p1"]
+        # predicates on logical names work (manifest prune stays sound)
+        sub = t.to_df(where="part = 'p1'").toPandas()
+        assert list(sub["id"]) == [3]
+
+    def test_read_unpartitioned_mapped_table(self, spark, tmp_table_dir):
+        loc = f"{tmp_table_dir}/cmu"
+        self._make_mapped_table(spark, loc, partitioned=False)
+        got = DeltaTable(spark, loc).to_pandas().sort_values("id")
+        assert list(got["val"]) == ["a", "b", "c"]
+
+    def test_write_to_mapped_table_refused(self, spark, tmp_table_dir):
+        loc = f"{tmp_table_dir}/cmw"
+        self._make_mapped_table(spark, loc, partitioned=False)
+        t = DeltaTable(spark, loc)
+        pdf = pd.DataFrame({"id": [9], "val": ["z"]})
+        with pytest.raises(NotImplementedError, match="column-mapped"):
+            t.write(spark.createDataFrame(pdf))

@@ -212,6 +212,14 @@ class DeltaTable:
                 f"{dv[0]!r}); scanning would return logically-deleted "
                 "rows. Rewrite the table without DVs (delta-rs/Spark "
                 "`REORG TABLE ... APPLY (PURGE)`) before reading it here.")
+        cm = self.column_mapping_mode
+        if cm == "name":
+            return self._scan_column_mapped(adds)
+        if cm not in ("none", ""):
+            raise NotImplementedError(
+                f"column mapping mode {cm!r} is not supported (only "
+                "'name'-mode reads — id-mode needs parquet field-id "
+                "resolution)")
         if not adds:
             return self.spark.createDataFrame([], schema)
         pcols = [c for c in self.partition_columns if c in schema.fieldNames()]
@@ -257,6 +265,72 @@ class DeltaTable:
             out = out.withColumn(
                 c, F.col(f"__pv_{c}").cast(schema[c].dataType))
         return out.select(schema.fieldNames())
+
+    @property
+    def column_mapping_mode(self) -> str:
+        """delta.columnMapping.mode of the table ('none' when unset)."""
+        if not self.log:
+            return "none"
+        cfg = self.log.metadata().configuration or {}
+        return cfg.get("delta.columnMapping.mode", "none")
+
+    def _physical_names(self) -> dict[str, str]:
+        """logical column name -> physical (parquet) column name, from
+        the per-field delta.columnMapping.physicalName metadata."""
+        assert self.schema is not None
+        return {f.name: (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name)
+                for f in self.schema.fields}
+
+    def _scan_column_mapped(self, adds: dict[str, Add]) -> DataFrame:
+        """Read a 'name'-mode column-mapped table (written by modern
+        delta-spark/delta-rs with `delta.columnMapping.mode = name`):
+        parquet files and add.partitionValues use per-field PHYSICAL
+        names (`col-<uuid>`), the logical schema lives only in the log.
+        Scan with the physical data schema, rename to logical, attach
+        partition values via the broadcast-manifest join (tolerating
+        either physical- or logical-keyed partitionValues). One scan
+        relation, same shape as the general absolute-path scan path.
+        """
+        schema = self.schema
+        assert schema is not None
+        if not adds:
+            return self.spark.createDataFrame([], schema)
+        phys = self._physical_names()
+        pcols = [c for c in self.partition_columns
+                 if c in schema.fieldNames()]
+        data_fields = [f for f in schema.fields if f.name not in pcols]
+        phys_schema = T.StructType([
+            T.StructField(phys[f.name], f.dataType, f.nullable)
+            for f in data_fields])
+        files = [self.location.absloc(p).url for p in adds]
+        scan = self.spark.read.schema(phys_schema).parquet(*files)
+        renamed = [F.col(phys[f.name]).alias(f.name) for f in data_fields]
+        if not pcols:
+            return scan.select(renamed)
+
+        def pv(add: Add, c: str):
+            d = add.partitionValues or {}
+            return d.get(phys[c], d.get(c))
+
+        mrows = [(_strip_scheme(self.location.absloc(p).url),
+                  *[pv(add, c) for c in pcols])
+                 for p, add in adds.items()]
+        mschema = T.StructType(
+            [T.StructField("__xdl_path", T.StringType())]
+            + [T.StructField(f"__pv_{c}", T.StringType()) for c in pcols])
+        manifest = self.spark.createDataFrame(mrows, mschema)
+        raw = F.regexp_replace(F.input_file_name(),
+                               "^[a-zA-Z0-9+.-]+://?", "/")
+        raw = F.regexp_replace(raw, "^//+", "/")
+        scan = scan.withColumn(
+            "__xdl_path", F.coalesce(F.try_url_decode(raw), raw))
+        out = scan.join(F.broadcast(manifest), "__xdl_path")
+        cols = {f.name: F.col(phys[f.name]).alias(f.name)
+                for f in data_fields}
+        cols.update({c: F.col(f"__pv_{c}").cast(schema[c].dataType)
+                     .alias(c) for c in pcols})
+        return out.select([cols[n] for n in schema.fieldNames()])
 
     def _is_hive_relative(self, path: str, pcols: list[str]) -> bool:
         if "://" in path or path.startswith("/"):
@@ -618,6 +692,13 @@ class DeltaTable:
         directory diff would (commit atomicity itself comes from the
         put-if-absent log write).
         """
+        if self.column_mapping_mode not in ("none", ""):
+            # we would emit logical column names into files whose live
+            # siblings use physical names — corrupting the mapping
+            raise NotImplementedError(
+                "writing to a column-mapped table is not supported "
+                "(reads are); disable delta.columnMapping or rewrite "
+                "the table without mapping first")
         root = self.location
         staging = root.join(f"_staging-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
