@@ -1413,3 +1413,23 @@ class TestChunkDocumentsInvariants:
                     cur = set(range(start, start + len(exp)))
                     assert len(prev & cur) == min(overlap, len(cur))
             assert covered == set(range(n))  # no token lost
+
+
+class TestUnigramLogprob:
+    def test_manual_model(self, spark):
+        import math
+
+        from xdlake_spark.operators import corpus
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["a a b", "c"]})
+        got = {r["doc_id"]: (r["n_tokens"], r["avg_neg_logp"])
+               for r in corpus.unigram_logprob(
+                   spark.createDataFrame(pdf)).collect()}
+        # corpus counts: a=2, b=1, c=1, total=4
+        exp1 = (2 * (math.log(4) - math.log(2))
+                + (math.log(4) - math.log(1))) / 3
+        assert got[1] == (3, round(exp1, 6))
+        assert got[2] == (1, round(math.log(4), 6))
+        # the all-rare-tokens doc scores HIGHER (less corpus-typical)
+        assert got[2][1] > got[1][1]

@@ -174,6 +174,35 @@ def length_report(df: DataFrame, group_col: str = "lang",
                  F.round(F.percentile("__t", 0.99), 6).alias("p99")))
 
 
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram language-model score against the corpus's
+    own token distribution — the CCNet-style fluency signal (documents
+    full of corpus-atypical tokens score high): for each document the
+    mean token negative log-probability
+    ``avg(-ln(count(token) / total_tokens))``; ``exp`` of it is the
+    self-perplexity.
+
+    One token explode feeds both the corpus counts and the per-doc
+    token stream; the count table joins back on the (uniform) token
+    key; totals are a broadcast single row. Every token occurrence in
+    a doc contributes (occurrences weighted naturally, no distinct).
+    Output: (doc_id, n_tokens, avg_neg_logp), rounded to 6.
+    """
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(_tokens(text_col)).alias("token"))
+            .filter(F.length("token") > 0))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    total = counts.agg(F.sum("__c").alias("__total"))
+    scored = (toks.join(counts, "token")
+              .crossJoin(F.broadcast(total))
+              .withColumn("__nlp", F.log(F.col("__total"))
+                          - F.log(F.col("__c"))))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg("__nlp"), 6).alias("avg_neg_logp")))
+
+
 #: Java ∩ RE2 classes so the DuckDB oracle runs the same strings.
 REPLACEMENT_CHAR_RX = "�"
 CONTROL_CHAR_RX = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"

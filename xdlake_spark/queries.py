@@ -1095,6 +1095,32 @@ def substring_dup_q(spark, sf_dir):
     return dedup.substring_dup_stats(d, k=12)
 
 
+@register("unigram_logprob_scores", r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), toks2 AS (
+  SELECT * FROM toks WHERE length(token) > 0
+), counts AS (
+  SELECT token, count(*) AS c FROM toks2 GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total FROM counts
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(CAST(total AS DOUBLE)) - ln(CAST(c AS DOUBLE))), 6)
+           AS avg_neg_logp
+FROM toks2 JOIN counts USING (token) CROSS JOIN tot
+GROUP BY doc_id
+""")
+def unigram_logprob_q(spark, sf_dir):
+    """CCNet-style unigram LM fluency score per document
+    (operators/corpus.py unigram_logprob) vs the same model in SQL."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    return corpus.unigram_logprob(d)
+
+
 @register("length_report_by_lang", r"""
 WITH per AS (
   SELECT lang,
