@@ -1433,3 +1433,41 @@ class TestUnigramLogprob:
         assert got[2] == (1, round(math.log(4), 6))
         # the all-rare-tokens doc scores HIGHER (less corpus-typical)
         assert got[2][1] > got[1][1]
+
+
+class TestWeightedSample:
+    def test_rates_and_nesting(self, spark, documents):
+        from xdlake_spark.operators import sampling
+        full = documents.count()
+        half = sampling.weighted_sample(
+            documents, "lang", "doc_id", {}, default_rate=0.5)
+        quarter = sampling.weighted_sample(
+            documents, "lang", "doc_id", {}, default_rate=0.25)
+        nh, nq = half.count(), quarter.count()
+        assert 0.35 * full < nh < 0.65 * full
+        assert 0.12 * full < nq < 0.4 * full
+        # nested: the lower-rate sample is a strict subset
+        hids = {r["doc_id"] for r in half.select("doc_id").collect()}
+        qids = {r["doc_id"] for r in quarter.select("doc_id").collect()}
+        assert qids <= hids
+        # deterministic across partitionings
+        again = {r["doc_id"] for r in sampling.weighted_sample(
+            documents.repartition(13), "lang", "doc_id", {},
+            default_rate=0.5).select("doc_id").collect()}
+        assert again == hids
+
+    def test_per_stratum_rates(self, spark, documents):
+        from xdlake_spark.operators import sampling
+        out = sampling.weighted_sample(
+            documents, "lang", "doc_id",
+            {"en": 1.0, "de": 0.0}, default_rate=1.0)
+        langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+        assert "de" not in langs
+        n_en = documents.filter("lang = 'en'").count()
+        assert out.filter("lang = 'en'").count() == n_en  # rate 1.0 keeps all
+
+    def test_bad_rate_raises(self, spark, documents):
+        from xdlake_spark.operators import sampling
+        with pytest.raises(ValueError, match="rate"):
+            sampling.weighted_sample(documents, "lang", "doc_id",
+                                     {"en": 1.5})

@@ -60,6 +60,38 @@ def hash_split(df: DataFrame, id_col: str,
     return df.withColumn("split", expr)
 
 
+def weighted_sample(df: DataFrame, stratum_col: str, id_col: str,
+                    rates: dict[str, float],
+                    default_rate: float = 1.0) -> DataFrame:
+    """Mix reweighting: keep each row with a per-stratum probability —
+    the downsampling step a curator runs after a ``corpus_mix`` report
+    says one source/language is over-represented.
+
+    Deterministic by construction: the keep decision is
+    ``hash_bucket(id) < rate * 10000``, so the SAME rows survive on any
+    cluster layout and re-run (and a stratum's sample at rate r is a
+    strict SUBSET of its sample at any higher rate — nested samples,
+    which lets you dial a mix down without resampling from scratch).
+    Strata missing from ``rates`` keep ``default_rate``. Single-pass
+    column expression, no shuffle.
+    """
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0, 1]: {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1]: {default_rate}")
+    bucket = hash_bucket(id_col, 10000)
+    thresh = None
+    for name, r in sorted(rates.items()):
+        t = F.lit(int(round(r * 10000)))
+        cond = F.col(stratum_col) == name
+        thresh = (F.when(cond, t) if thresh is None
+                  else thresh.when(cond, t))
+    dflt = F.lit(int(round(default_rate * 10000)))
+    thresh = dflt if thresh is None else thresh.otherwise(dflt)
+    return df.filter(bucket < thresh)
+
+
 def stratum_cap(df: DataFrame, stratum_col: str, id_col: str,
                 cap: int) -> DataFrame:
     """Budgeted per-stratum cap: keep at most ``cap`` rows per stratum,

@@ -2109,6 +2109,25 @@ def sample_stratum_cap(spark, sf_dir):
             .select("doc_id", "lang"))
 
 
+@register("sample_weighted_mix", f"""
+SELECT doc_id, source, lang FROM documents
+WHERE (doc_id * {_KNUTH}) % 10000 <
+      CASE WHEN lang = 'en' THEN 10000
+           WHEN lang = 'de' THEN 5000
+           WHEN lang = 'zh' THEN 2500
+           ELSE 7500 END
+""")
+def sample_weighted_mix(spark, sf_dir):
+    """Mix reweighting (operators/sampling.py weighted_sample): keep
+    rows with a per-language probability via the deterministic id-hash
+    bucket — downsample over-represented strata, nested samples."""
+    d = _t(spark, sf_dir, "documents")
+    return (sampling.weighted_sample(
+                d, "lang", "doc_id",
+                {"en": 1.0, "de": 0.5, "zh": 0.25}, default_rate=0.75)
+            .select("doc_id", "source", "lang"))
+
+
 @register("sample_shuffle_order", f"""
 SELECT doc_id,
        ((doc_id + 7919) * {_KNUTH}) % 4294967296 AS shuffle_key,
