@@ -87,3 +87,59 @@ class TestRangeJoin:
         k = ["l_event_id", "r_event_id"]
         assert sorted(map(tuple, wide.select(k).collect())) == \
             sorted(map(tuple, narrow.select(k).collect()))
+
+
+class TestBucketGapfill:
+    def test_gaps_filled_and_locf(self, spark):
+        import datetime as dt
+
+        import pandas as pd
+
+        from xdlake_spark.operators.temporal import bucket_gapfill
+        t0 = dt.datetime(2024, 1, 1, 0, 30)
+        rows = [
+            # series A: hours 0, 1, 3 (hour 2 is a gap)
+            ("A", t0, 10.0), ("A", t0 + dt.timedelta(hours=1), 20.0),
+            ("A", t0 + dt.timedelta(hours=3), 40.0),
+            # series B: hour 1 only
+            ("B", t0 + dt.timedelta(hours=1), 7.0),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["event_type", "ts", "value"]))
+        got = {(r["series"], r["bucket"].hour):
+               (r["n_events"], r["avg_value"], r["value_locf"],
+                r["is_gap"])
+               for r in bucket_gapfill(df).collect()}
+        # full grid: 2 series x hours 0..3
+        assert len(got) == 8
+        assert got[("A", 2)] == (0, None, 20.0, True)     # gap + locf
+        assert got[("A", 3)] == (1, 40.0, 40.0, False)
+        # B before its first observation: gap with NULL locf
+        assert got[("B", 0)] == (0, None, None, True)
+        assert got[("B", 1)] == (1, 7.0, 7.0, False)
+        assert got[("B", 3)] == (0, None, 7.0, True)      # carried fwd
+
+    def test_no_locf_mode(self, spark):
+        import datetime as dt
+
+        import pandas as pd
+
+        from xdlake_spark.operators.temporal import bucket_gapfill
+        df = spark.createDataFrame(pd.DataFrame(
+            [("A", dt.datetime(2024, 1, 1, 0, 5), 1.0),
+             ("A", dt.datetime(2024, 1, 1, 2, 5), 3.0)],
+            columns=["event_type", "ts", "value"]))
+        out = bucket_gapfill(df, locf=False)
+        assert "value_locf" not in out.columns
+        assert out.count() == 3  # hours 0, 1, 2
+
+    def test_bad_bucket_raises(self, spark):
+        import pandas as pd
+
+        from xdlake_spark.operators.temporal import bucket_gapfill
+        df = spark.createDataFrame(pd.DataFrame(
+            {"event_type": ["A"], "ts": [pd.Timestamp("2024-01-01")],
+             "value": [1.0]}))
+        import pytest as _p
+        with _p.raises(ValueError, match="bucket"):
+            bucket_gapfill(df, bucket="fortnight")

@@ -150,3 +150,55 @@ def _interval_micros(df: DataFrame, interval: str) -> int:
                 f"(day-time units only)")
         total += int(float(qty) * _INTERVAL_UNITS_US[u])
     return total
+
+
+def bucket_gapfill(events: DataFrame, ts_col: str = "ts",
+                   series_col: str = "event_type",
+                   value_col: str = "value",
+                   bucket: str = "hour",
+                   locf: bool = True) -> DataFrame:
+    """Time-bucket aggregation with gap filling — the hypertable
+    ``time_bucket_gapfill`` shape: aggregate per (series, bucket), then
+    materialize EVERY bucket between the corpus's first and last for
+    every series, flagging the empty ones and (optionally) carrying the
+    last observed aggregate forward (LOCF) — what dashboards and
+    downstream resamplers need from sparse event streams.
+
+    Fully distributed: the dense bucket grid comes from
+    ``sequence(min_bucket, max_bucket, interval)`` on a broadcast
+    1-row range — no driver collect, no generate_series on the driver;
+    the grid join and the LOCF window both key on the series (bounded
+    cardinality). Output: (series, bucket, n_events, avg_value,
+    value_locf, is_gap).
+    """
+    if bucket not in ("hour", "day", "week", "month", "minute"):
+        raise ValueError(f"unsupported bucket unit: {bucket!r}")
+    b = F.date_trunc(bucket, F.col(ts_col))
+    agg = (ensure_parallelism(events)
+           .select(F.col(series_col).alias("series"), b.alias("bucket"),
+                   F.col(value_col).alias("__v"))
+           .groupBy("series", "bucket")
+           .agg(F.count(F.lit(1)).alias("__n"), F.avg("__v").alias("__a")))
+    rng = agg.agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
+    series = agg.select("series").distinct()
+    grid = (series.crossJoin(F.broadcast(rng))
+            .select("series",
+                    F.explode(F.sequence(
+                        F.col("__lo"), F.col("__hi"),
+                        F.expr(f"interval 1 {bucket}"))).alias("bucket")))
+    j = grid.join(agg, ["series", "bucket"], "left")
+    out = j.select(
+        "series", "bucket",
+        F.coalesce("__n", F.lit(0)).alias("n_events"),
+        F.round("__a", 6).alias("avg_value"),
+        F.col("__a").alias("__raw"),
+        F.col("__n").isNull().alias("is_gap"))
+    if locf:
+        w = (Window.partitionBy("series").orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        out = out.withColumn(
+            "value_locf",
+            F.round(F.last("__raw", ignorenulls=True).over(w), 6))
+    return out.drop("__raw").select(
+        "series", "bucket", "n_events", "avg_value",
+        *(["value_locf"] if locf else []), "is_gap")

@@ -1959,6 +1959,41 @@ def multimodal_frames(spark, sf_dir):
                                     deterministic_fake=True)
 
 
+@register("events_gapfill_locf", """
+WITH agg AS (
+  SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
+         count(*) AS n, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), rng AS (
+  SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg
+), series AS (
+  SELECT DISTINCT series FROM agg
+), grid AS (
+  SELECT series, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM series CROSS JOIN rng
+), j AS (
+  SELECT g.series, g.bucket, a.n, a.v
+  FROM grid g LEFT JOIN agg a USING (series, bucket)
+)
+SELECT series, bucket,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+       round(v, 6) AS avg_value,
+       round(last_value(v IGNORE NULLS) OVER (
+           PARTITION BY series ORDER BY bucket
+           ROWS UNBOUNDED PRECEDING), 6) AS value_locf,
+       (n IS NULL) AS is_gap
+FROM j
+""")
+def events_gapfill_q(spark, sf_dir):
+    """Hourly bucket aggregation with gap filling + LOCF
+    (operators/temporal.py bucket_gapfill): every hour between the
+    corpus's first and last materializes per series, empty ones
+    flagged, last observed average carried forward."""
+    from .operators import temporal
+    ev = _t(spark, sf_dir, "events")
+    return temporal.bucket_gapfill(ev, bucket="hour")
+
+
 @register("events_multires_rollup", """
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS bucket, event_type,
