@@ -89,3 +89,57 @@ class TestStreamingSink:
         # no new source data -> no new table version
         drain()
         assert DeltaTable(registered, loc).version == 1
+
+
+class TestStreamingDedupIntoSink:
+    def test_watermark_dedup_feeds_delta_sink(self, registered,
+                                              tmp_table_dir):
+        """End-to-end ingest pipeline: file stream -> bounded-state
+        dedup within the watermark -> xdlake streaming sink. The table
+        receives exactly the deduped set, with one ACID commit per
+        micro-batch and batch-id idempotence on replay."""
+        from pyspark.sql import functions as F
+
+        from xdlake_spark.streaming.stateful import \
+            streaming_dedup_within_watermark
+        spark = registered
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        d1 = docs.limit(40).withColumn("ts", base)
+        d2 = (docs.limit(25)
+              .withColumn("doc_id", F.col("doc_id") + 1000)
+              .withColumn("ts", base + F.expr("INTERVAL 1 MINUTE")))
+        src = f"{tmp_table_dir}/src"
+        d1.write.parquet(src)
+        d2.write.mode("append").parquet(src)
+
+        loc = f"{tmp_table_dir}/t"
+        ckpt = f"{tmp_table_dir}/ck"
+        stream = (spark.readStream.schema(d1.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        deduped = streaming_dedup_within_watermark(stream, "ts")
+
+        from xdlake_spark import DeltaTable
+        DeltaTable(spark, loc).write(deduped.sparkSession.createDataFrame(
+            [], deduped.schema))  # declare schema
+
+        def drain():
+            q = (deduped.writeStream.format("xdlake")
+                 .option("path", loc)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        drain()
+        t = DeltaTable(spark, loc)
+        got = t.to_pandas()
+        # exactly the 40 distinct texts landed; close dups suppressed
+        assert len(got) == 40
+        assert got["fingerprint"].is_unique
+        assert (got["doc_id"] < 1000).all()
+        # replay with no new data: no extra commits, no extra rows
+        v = t.version
+        drain()
+        t2 = DeltaTable(spark, loc)
+        assert t2.version == v and t2.to_df().count() == 40
