@@ -135,6 +135,7 @@ class TestSkewSafeJoins:
         "dedup_minhash_pairs", "dedup_simhash_pairs",
         "dedup_ngram_jaccard_pairs", "dedup_winnow_pairs",
         "embedding_neardup_lsh", "contamination_check",
+        "substring_dup_stats", "corpus_prep_pipeline",
     ])
     def test_bucket_self_joins_never_cartesian(self, spark, name):
         plan = plan_of(spark, name)
@@ -205,3 +206,24 @@ class TestTopNBeforeRankWindow:
     def test_take_ordered_feeds_window(self, spark, name):
         plan = plan_of(spark, name)
         assert "TakeOrderedAndProject" in plan, plan
+
+
+class TestTotalsAttachment:
+    """Queries that attach a 1-row aggregate (corpus totals, bucket
+    range) to every row: a BroadcastNestedLoopJoin whose build side is
+    the broadcast single row is the CORRECT plan (it is what Spark
+    itself emits for scalar subqueries) — but it must be the ONLY
+    nested-loop in the plan and a true CartesianProduct is still
+    banned."""
+
+    @pytest.mark.parametrize("name", [
+        "text_tfidf_top_terms", "unigram_logprob_scores",
+        "vocab_coverage", "corpus_mix_report", "events_gapfill_locf",
+    ])
+    def test_only_single_row_broadcast_loops(self, spark, name):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, plan
+        # every BNLJ must build on the broadcast (1-row) side
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "BuildRight" in line or "BuildLeft" in line, line
