@@ -1471,3 +1471,41 @@ class TestWeightedSample:
         with pytest.raises(ValueError, match="rate"):
             sampling.weighted_sample(documents, "lang", "doc_id",
                                      {"en": 1.5})
+
+
+class TestHistogramAndReadability:
+    def test_histogram_manual(self, spark):
+        from xdlake_spark.operators import corpus
+        pdf = pd.DataFrame({"v": [-5.0, 0.0, 4.9, 5.0, 99.0, 150.0, None]})
+        rows = corpus.value_histogram(
+            spark.createDataFrame(pdf), "v", lo=0.0, hi=100.0,
+            n_bins=20).collect()
+        got = {r["bin"]: r["n"] for r in rows}
+        # -5 clamps into bin 0; 150 clamps into bin 19; None dropped
+        assert got[0] == 3      # -5.0, 0.0, 4.9
+        assert got[1] == 1      # 5.0
+        assert got[19] == 2     # 99.0, 150.0
+        assert sum(got.values()) == 6
+        r0 = next(r for r in rows if r["bin"] == 0)
+        assert (r0["bin_lo"], r0["bin_hi"]) == (0.0, 5.0)
+
+    def test_histogram_bad_range_raises(self, spark):
+        from xdlake_spark.operators import corpus
+        df = spark.createDataFrame(pd.DataFrame({"v": [1.0]}))
+        with pytest.raises(ValueError, match="hi > lo"):
+            corpus.value_histogram(df, "v", lo=5.0, hi=5.0)
+
+    def test_readability_manual(self, spark):
+        from xdlake_spark.operators import corpus
+        pdf = pd.DataFrame({
+            "doc_id": [1],
+            "text": ["The cat sat. The dog ran!"]})
+        r = corpus.readability_scores(
+            spark.createDataFrame(pdf)).collect()[0]
+        # 2 sentences, 6 words, 6 vowel groups (one per word)
+        assert (r["n_sentences"], r["n_words"], r["n_syllables"]) \
+            == (2, 6, 6)
+        flesch = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+        assert r["flesch"] == round(flesch, 4)
+        fk = 0.39 * 3 + 11.8 * 1 - 15.59
+        assert r["fk_grade"] == round(fk, 4)

@@ -203,6 +203,74 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
                  F.round(F.avg("__nlp"), 6).alias("avg_neg_logp")))
 
 
+def value_histogram(df: DataFrame, value_col: str, lo: float, hi: float,
+                    n_bins: int = 20,
+                    group_col: str | None = None) -> DataFrame:
+    """Fixed-width histogram of a numeric column (optionally per
+    group): the distribution report behind threshold tuning (quality
+    cutoffs, outlier clips). Values below ``lo`` clamp into bin 0,
+    at/above ``hi`` into the last bin. One map-side-combinable groupBy
+    on the bin index — a single shuffle of ``n_bins`` rows per group.
+    Output: ([group,] bin, bin_lo, bin_hi, n).
+    """
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(F.greatest(F.floor((v - F.lit(lo)) / F.lit(width))
+                              .cast("long"), F.lit(0)),
+                   F.lit(n_bins - 1))
+    keys = ([group_col] if group_col else []) + ["bin"]
+    # NaN is NOT null to Spark and would clamp into bin 0 — drop both
+    return (df.filter(v.isNotNull() & ~F.isnan(v))
+            .select(*([group_col] if group_col else []),
+                    bin_.alias("bin"))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("bin_lo",
+                        F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6))
+            .withColumn("bin_hi",
+                        F.round(F.lit(lo) + (F.col("bin") + 1)
+                                * F.lit(width), 6))
+            .select(*keys, "bin_lo", "bin_hi", "n"))
+
+
+#: Sentence terminators / vowel groups for the readability heuristic —
+#: Java ∩ RE2 regexes so the DuckDB oracle runs the same strings.
+SENTENCE_RX = "[.!?]+"
+VOWEL_GROUP_RX = "[aeiouyAEIOUY]+"
+
+
+def readability_scores(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document, with
+    the classic vowel-group syllable heuristic (a syllable ~= one
+    maximal vowel run): crude but deterministic, language-agnostic-ish,
+    and exactly reproducible in SQL — the point here is the corpus
+    -level distribution, not linguistic truth. Pure JVM regex counts,
+    one projection. Output: (doc_id, n_sentences, n_words,
+    n_syllables, flesch, fk_grade), rounded to 4.
+    """
+    c = F.col(text_col)
+    n_sent = F.greatest(F.regexp_count(c, F.lit(SENTENCE_RX)), F.lit(1)) \
+        .cast("double")
+    n_words = F.greatest(
+        F.size(F.split(F.trim(c), r"\s+")), F.lit(1)).cast("double")
+    n_syll = F.greatest(F.regexp_count(c, F.lit(VOWEL_GROUP_RX)),
+                        F.lit(1)).cast("double")
+    flesch = (F.lit(206.835) - F.lit(1.015) * (n_words / n_sent)
+              - F.lit(84.6) * (n_syll / n_words))
+    fk = (F.lit(0.39) * (n_words / n_sent)
+          + F.lit(11.8) * (n_syll / n_words) - F.lit(15.59))
+    return df.select(
+        F.col(id_col),
+        n_sent.cast("long").alias("n_sentences"),
+        n_words.cast("long").alias("n_words"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.round(flesch, 4).alias("flesch"),
+        F.round(fk, 4).alias("fk_grade"))
+
+
 #: Java ∩ RE2 classes so the DuckDB oracle runs the same strings.
 REPLACEMENT_CHAR_RX = "�"
 CONTROL_CHAR_RX = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"

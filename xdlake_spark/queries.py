@@ -1095,6 +1095,64 @@ def substring_dup_q(spark, sf_dir):
     return dedup.substring_dup_stats(d, k=12)
 
 
+@register("events_value_histogram", r"""
+WITH binned AS (
+  SELECT event_type,
+         least(greatest(CAST(floor((value - 0.0) / 5.0) AS BIGINT), 0),
+               19) AS bin
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, bin, round(0.0 + bin * 5.0, 6) AS bin_lo,
+       round(0.0 + (bin + 1) * 5.0, 6) AS bin_hi,
+       count(*) AS n
+FROM binned GROUP BY event_type, bin
+""")
+def events_histogram_q(spark, sf_dir):
+    """Fixed-width per-type value histogram (operators/corpus.py
+    value_histogram) — one map-side-combinable shuffle of bin rows."""
+    from .operators import corpus
+    ev = _t(spark, sf_dir, "events")
+    return corpus.value_histogram(ev, "value", lo=0.0, hi=100.0,
+                                  n_bins=20, group_col="event_type")
+
+
+@register("text_readability", rf"""
+SELECT doc_id,
+       CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+            AS BIGINT) AS n_sentences,
+       CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1)
+            AS BIGINT) AS n_words,
+       CAST(greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1)
+            AS BIGINT) AS n_syllables,
+       round(206.835
+             - 1.015 * (greatest(len(string_split_regex(trim(text),
+                                                        '\s+')), 1)
+                        / CAST(greatest(len(regexp_extract_all(
+                              text, '[.!?]+')), 1) AS DOUBLE))
+             - 84.6 * (greatest(len(regexp_extract_all(
+                           text, '[aeiouyAEIOUY]+')), 1)
+                       / CAST(greatest(len(string_split_regex(
+                             trim(text), '\s+')), 1) AS DOUBLE)),
+             4) AS flesch,
+       round(0.39 * (greatest(len(string_split_regex(trim(text),
+                                                     '\s+')), 1)
+                     / CAST(greatest(len(regexp_extract_all(
+                           text, '[.!?]+')), 1) AS DOUBLE))
+             + 11.8 * (greatest(len(regexp_extract_all(
+                           text, '[aeiouyAEIOUY]+')), 1)
+                       / CAST(greatest(len(string_split_regex(
+                             trim(text), '\s+')), 1) AS DOUBLE))
+             - 15.59, 4) AS fk_grade
+FROM documents
+""")
+def readability_q(spark, sf_dir):
+    """Flesch / Flesch-Kincaid readability with the vowel-group
+    syllable heuristic (operators/corpus.py readability_scores)."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    return corpus.readability_scores(d)
+
+
 @register("unigram_logprob_scores", r"""
 WITH toks AS (
   SELECT doc_id,
