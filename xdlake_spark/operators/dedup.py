@@ -341,9 +341,16 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     # a separator containing metacharacters ('.', '||', '\n\n') splits
     # literally, matching the docstring and the concat_ws reassembly
     sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
-    parts = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep_rx)).alias("pos", "par"))
+    # the input feeds BOTH the paragraph explode and the final per-doc
+    # reassembly join; checkpoint the narrow projection so a derived
+    # upstream (e.g. a regex-heavy quality funnel) evaluates ONCE, not
+    # once per consumer
+    src = (df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).alias("__text"))
+           .localCheckpoint(eager=False))
+    parts = src.select(
+        "id",
+        F.posexplode(F.split(F.col("__text"), sep_rx)).alias("pos", "par"))
     key = F.trim(F.col("par"))
     content = parts.filter(F.length(key) > 0).withColumn("key", key)
     firsts = (content.groupBy("key")
@@ -357,11 +364,11 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     rebuilt = (keep.groupBy("id")
                .agg(F.concat_ws(sep, F.transform(
                    F.array_sort(F.collect_list(F.struct("pos", "par"))),
-                   lambda s: s["par"])).alias("__text")))
-    return (df.select(F.col(id_col).alias("id"))
+                   lambda s: s["par"])).alias("__rebuilt")))
+    return (src.select("id")
             .join(rebuilt, "id", "left")
             .select(F.col("id").alias(id_col),
-                    F.coalesce("__text", F.lit("")).alias(text_col)))
+                    F.coalesce("__rebuilt", F.lit("")).alias(text_col)))
 
 
 def _driver_union_find(e: DataFrame, nodes: DataFrame) -> DataFrame:
