@@ -42,8 +42,11 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     toks = (df.select(F.col(id_col).alias("doc_id"),
                       F.explode(_tokens(text_col)).alias("term"))
             .filter(F.length("term") > 0))
+    # tf feeds BOTH the df aggregation and the score join — checkpoint
+    # so the corpus explode runs once, not per consumer
     tf = (toks.groupBy("doc_id", "term")
-          .agg(F.count(F.lit(1)).alias("tf")))
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=False))
     dfreq = (tf.groupBy("term")
              .agg(F.count(F.lit(1)).alias("df"))
              .filter(F.col("df") >= min_df))
@@ -76,7 +79,8 @@ def build_vocab(df: DataFrame, text_col: str = "text",
     counts = (df.select(F.explode(_tokens(text_col)).alias("token"))
               .filter(F.length("token") > 0)
               .groupBy("token")
-              .agg(F.count(F.lit(1)).alias("n")))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .localCheckpoint(eager=False))  # feeds total AND top-N
     total = counts.agg(F.sum("n").alias("__total"))
     if max_size is not None:
         # distributed top-N selection FIRST (TakeOrderedAndProject — k
@@ -112,7 +116,8 @@ def corpus_mix(df: DataFrame, group_cols: list[str] | None = None,
         .cast("long").alias("__t"))
     agg = (per_row.groupBy(*group_cols)
            .agg(F.count(F.lit(1)).alias("n_docs"),
-                F.sum("__t").alias("n_tokens")))
+                F.sum("__t").alias("n_tokens"))
+           .localCheckpoint(eager=False))  # feeds totals AND the join
     totals = agg.agg(F.sum("n_docs").alias("__d"),
                      F.sum("n_tokens").alias("__k"))
     return (agg.crossJoin(F.broadcast(totals))
@@ -191,7 +196,8 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     """
     toks = (df.select(F.col(id_col).alias("doc_id"),
                       F.explode(_tokens(text_col)).alias("token"))
-            .filter(F.length("token") > 0))
+            .filter(F.length("token") > 0)
+            .localCheckpoint(eager=False))  # feeds counts AND the join
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
     total = counts.agg(F.sum("__c").alias("__total"))
     scored = (toks.join(counts, "token")

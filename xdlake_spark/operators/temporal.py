@@ -178,7 +178,8 @@ def bucket_gapfill(events: DataFrame, ts_col: str = "ts",
            .select(F.col(series_col).alias("series"), b.alias("bucket"),
                    F.col(value_col).alias("__v"))
            .groupBy("series", "bucket")
-           .agg(F.count(F.lit(1)).alias("__n"), F.avg("__v").alias("__a")))
+           .agg(F.count(F.lit(1)).alias("__n"), F.avg("__v").alias("__a"))
+           .localCheckpoint(eager=False))  # feeds rng, series, and join
     rng = agg.agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
     series = agg.select("series").distinct()
     grid = (series.crossJoin(F.broadcast(rng))
