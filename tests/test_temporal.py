@@ -143,3 +143,49 @@ class TestBucketGapfill:
         import pytest as _p
         with _p.raises(ValueError, match="bucket"):
             bucket_gapfill(df, bucket="fortnight")
+
+
+class TestConversionFunnel:
+    def test_manual_funnel(self, spark):
+        import datetime as dt
+
+        import pandas as pd
+
+        from xdlake_spark.operators.temporal import conversion_funnel
+        t = dt.datetime(2024, 1, 1)
+        h = dt.timedelta(hours=1)
+        rows = [
+            # u1: full ordered funnel
+            (1, "view", t), (1, "click", t + h), (1, "buy", t + 2 * h),
+            # u2: view then click, no buy
+            (2, "view", t), (2, "click", t + h),
+            # u3: click BEFORE view -> click must not count (order!)
+            (3, "click", t), (3, "view", t + h),
+            # u4: view only
+            (4, "view", t),
+            # u5: never viewed; click+buy don't count at all
+            (5, "click", t), (5, "buy", t + h),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "event_type", "ts"]))
+        got = {r["step"]: (r["n_users"], r["conversion"])
+               for r in conversion_funnel(
+                   df, ["view", "click", "buy"]).collect()}
+        assert got["view"] == (4, 1.0)          # u1, u2, u3, u4
+        assert got["click"] == (2, 0.5)         # u1, u2 (u3 out of order)
+        assert got["buy"] == (1, 0.25)          # u1 only
+
+    def test_same_timestamp_not_counted(self, spark):
+        # a step at the SAME instant as the previous one is not "after"
+        import datetime as dt
+
+        import pandas as pd
+
+        from xdlake_spark.operators.temporal import conversion_funnel
+        t = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(pd.DataFrame(
+            [(1, "a", t), (1, "b", t)],
+            columns=["user_id", "event_type", "ts"]))
+        got = {r["step"]: r["n_users"]
+               for r in conversion_funnel(df, ["a", "b"]).collect()}
+        assert got == {"a": 1, "b": 0}

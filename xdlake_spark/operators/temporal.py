@@ -152,6 +152,77 @@ def _interval_micros(df: DataFrame, interval: str) -> int:
     return total
 
 
+def conversion_funnel(events: DataFrame, steps: list[str],
+                      ts_col: str = "ts", user_col: str = "user_id",
+                      type_col: str = "event_type") -> DataFrame:
+    """Ordered conversion funnel: for each step ``i``, how many users
+    performed steps ``0..i`` IN ORDER (each step strictly after the
+    previous one's earliest qualifying occurrence) — the
+    product-analytics staple, plus per-step conversion fractions.
+
+    Semantics: a user converts through step i at time
+    ``t_i = min(ts of step-i events with ts > t_{i-1})`` — earliest-
+    possible-completion, the standard funnel definition; a step never
+    matches an event at or before the previous step's time.
+
+    Plan: one shuffle on the user id collects each user's per-step
+    sorted event-time lists; the earliest-completion chain
+    (``t_i = first element of step i's list with ts > t_{i-1}``) is a
+    pure JVM expression, and a failed step nulls every later ``t_i``,
+    so a user's funnel depth is simply the count of non-null stage
+    times. Output: (step_index, step, n_users, conversion) with
+    conversion = fraction of step-0 completers.
+    """
+    if not steps:
+        raise ValueError("need at least one funnel step")
+    per_user = (events
+                .filter(F.col(type_col).isin(steps))
+                .groupBy(F.col(user_col).alias("user"))
+                .agg(*[F.array_sort(F.collect_list(
+                        F.when(F.col(type_col) == s, F.col(ts_col))))
+                       .alias(f"__ts_{i}")
+                       for i, s in enumerate(steps)]))
+    prev_t = None
+    stage_ts = []
+    for i in range(len(steps)):
+        arr = F.col(f"__ts_{i}")
+        if prev_t is None:
+            t_i = F.try_element_at(arr, F.lit(1))
+        else:
+            p = prev_t
+            t_i = F.try_element_at(F.filter(arr, lambda x: x > p),
+                                   F.lit(1))
+        stage_ts.append(t_i.alias(f"__t_{i}"))
+        prev_t = t_i
+    staged = per_user.select(*stage_ts)
+    depth = sum((F.col(f"__t_{i}").isNotNull().cast("int")
+                 for i in range(len(steps))), F.lit(-1))
+    counts = (staged.select(depth.alias("__depth"))
+              .filter(F.col("__depth") >= 0)
+              .groupBy("__depth")
+              .agg(F.count(F.lit(1)).alias("__n")))
+    # a user at depth d completed every step <= d: suffix-sum over the
+    # <= len(steps) count rows
+    w = (Window.orderBy(F.col("__depth").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (counts.withColumn("n_users", F.sum("__n").over(w))
+           .select(F.col("__depth").alias("step_index"), "n_users"))
+    rows = events.sparkSession.createDataFrame(
+        [(i, s) for i, s in enumerate(steps)],
+        "step_index: long, step: string")
+    out = (rows.join(cum, "step_index", "left")
+           .withColumn("n_users", F.coalesce("n_users", F.lit(0))))
+    base = out.filter(F.col("step_index") == 0) \
+        .select(F.col("n_users").alias("__base"))
+    return (out.crossJoin(F.broadcast(base))
+            .withColumn("conversion",
+                        F.when(F.col("__base") > 0,
+                               F.round(F.col("n_users") / F.col("__base"),
+                                       6)).otherwise(F.lit(0.0)))
+            .select("step_index", "step", "n_users", "conversion")
+            .orderBy("step_index"))
+
+
 def bucket_gapfill(events: DataFrame, ts_col: str = "ts",
                    series_col: str = "event_type",
                    value_col: str = "value",

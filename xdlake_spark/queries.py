@@ -2052,6 +2052,59 @@ def events_gapfill_q(spark, sf_dir):
     return temporal.bucket_gapfill(ev, bucket="hour")
 
 
+@register("events_conversion_funnel", """
+WITH f AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), pu AS (
+  SELECT user_id,
+         list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS l0,
+         list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS l1,
+         list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS l2
+  FROM f GROUP BY user_id
+), c0 AS (
+  SELECT user_id, l1, l2, l0[1] AS t0 FROM pu
+), c1 AS (
+  SELECT user_id, l2, t0, list_filter(l1, x -> x > t0)[1] AS t1 FROM c0
+), c2 AS (
+  SELECT user_id, t0, t1, list_filter(l2, x -> x > t1)[1] AS t2 FROM c1
+), depth AS (
+  SELECT (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) - 1 AS d
+  FROM c2
+), counts AS (
+  SELECT d, count(*) AS n FROM depth WHERE d >= 0 GROUP BY d
+), cum AS (
+  SELECT d AS step_index,
+         CAST(sum(n) OVER (ORDER BY d DESC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_users
+  FROM counts
+), stepnames AS (
+  SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'view'),
+                        (CAST(1 AS BIGINT), 'click'),
+                        (CAST(2 AS BIGINT), 'purchase'))
+         AS t(step_index, step)
+), outq AS (
+  SELECT s.step_index, s.step, coalesce(c.n_users, 0) AS n_users
+  FROM stepnames s LEFT JOIN cum c USING (step_index)
+), base AS (
+  SELECT n_users AS b FROM outq WHERE step_index = 0
+)
+SELECT step_index, step, n_users,
+       CASE WHEN b > 0 THEN round(n_users / CAST(b AS DOUBLE), 6)
+            ELSE 0.0 END AS conversion
+FROM outq CROSS JOIN base ORDER BY step_index
+""")
+def events_funnel_q(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase
+    (operators/temporal.py conversion_funnel): earliest-completion
+    chain, per-step user counts + conversion fractions."""
+    from .operators import temporal
+    ev = _t(spark, sf_dir, "events")
+    return temporal.conversion_funnel(ev, ["view", "click", "purchase"])
+
+
 @register("events_multires_rollup", """
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS bucket, event_type,
