@@ -189,3 +189,40 @@ class TestConversionFunnel:
         got = {r["step"]: r["n_users"]
                for r in conversion_funnel(df, ["a", "b"]).collect()}
         assert got == {"a": 1, "b": 0}
+
+
+class TestAnomalyFlags:
+    def test_manual_zscores(self, spark):
+        import datetime as dt
+
+        import pandas as pd
+
+        from xdlake_spark.operators.temporal import anomaly_flags
+        t = dt.datetime(2024, 1, 1, 10, 15)
+        # one bucket: values 1..9 plus one wild outlier
+        vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 100.0]
+        df = spark.createDataFrame(pd.DataFrame({
+            "event_id": range(10), "event_type": ["a"] * 10,
+            "ts": [t] * 10, "value": vals}))
+        rows = {r["id"]: r for r in anomaly_flags(df, k=2.0).collect()}
+        import statistics
+        mu, sigma = statistics.mean(vals), statistics.stdev(vals)
+        assert rows[9]["zscore"] == round((100.0 - mu) / sigma, 4)
+        assert rows[9]["is_anomaly"]
+        assert not any(rows[i]["is_anomaly"] for i in range(9))
+
+    def test_degenerate_buckets_flag_nothing(self, spark):
+        import datetime as dt
+
+        import pandas as pd
+
+        from xdlake_spark.operators.temporal import anomaly_flags
+        t = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(pd.DataFrame({
+            "event_id": [1, 2, 3],
+            "event_type": ["solo", "flat", "flat"],
+            "ts": [t, t, t],
+            "value": [5.0, 7.0, 7.0]}))  # 1-row bucket + zero variance
+        rows = anomaly_flags(df).collect()
+        assert all(not r["is_anomaly"] for r in rows)
+        assert all(r["zscore"] is None for r in rows)

@@ -223,6 +223,39 @@ def conversion_funnel(events: DataFrame, steps: list[str],
             .orderBy("step_index"))
 
 
+def anomaly_flags(events: DataFrame, ts_col: str = "ts",
+                  series_col: str = "event_type",
+                  value_col: str = "value", id_col: str = "event_id",
+                  bucket: str = "hour", k: float = 3.0) -> DataFrame:
+    """Per-bucket z-score anomaly detection: an event is flagged when
+    its value sits more than ``k`` sample standard deviations from its
+    own (series, time-bucket) mean — the monitoring primitive for
+    pipeline health dashboards.
+
+    One aggregation computes per-(series, bucket) mean/std, then joins
+    back to the events on the same (uniform) key — map-side combinable,
+    no window over the raw stream. Buckets with fewer than two events
+    (std undefined) or zero variance flag nothing. Output: (id, series,
+    bucket, value, zscore, is_anomaly), zscore rounded to 4.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    base = ensure_parallelism(events).select(
+        F.col(id_col).alias("id"),
+        F.col(series_col).alias("series"),
+        b.alias("bucket"),
+        F.col(value_col).cast("double").alias("v"))
+    stats = (base.groupBy("series", "bucket")
+             .agg(F.avg("v").alias("__mu"),
+                  F.stddev_samp("v").alias("__sigma")))
+    z = F.when(F.col("__sigma") > 0,
+               (F.col("v") - F.col("__mu")) / F.col("__sigma"))
+    return (base.join(stats, ["series", "bucket"])
+            .select("id", "series", "bucket", F.col("v").alias("value"),
+                    F.round(z, 4).alias("zscore"),
+                    F.coalesce(F.abs(z) > F.lit(k), F.lit(False))
+                    .alias("is_anomaly")))
+
+
 def bucket_gapfill(events: DataFrame, ts_col: str = "ts",
                    series_col: str = "event_type",
                    value_col: str = "value",

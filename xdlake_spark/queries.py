@@ -2052,6 +2052,31 @@ def events_gapfill_q(spark, sf_dir):
     return temporal.bucket_gapfill(ev, bucket="hour")
 
 
+@register("events_anomaly_flags", """
+WITH base AS (
+  SELECT event_id AS id, event_type AS series,
+         date_trunc('hour', ts) AS bucket, CAST(value AS DOUBLE) AS v
+  FROM events
+), stats AS (
+  SELECT series, bucket, avg(v) AS mu, stddev_samp(v) AS sigma
+  FROM base GROUP BY 1, 2
+)
+SELECT id, series, bucket, v AS value,
+       round(CASE WHEN sigma > 0 THEN (v - mu) / sigma END, 4) AS zscore,
+       coalesce(CASE WHEN sigma > 0
+                     THEN abs((v - mu) / sigma) > 2.0 END,
+                FALSE) AS is_anomaly
+FROM base JOIN stats USING (series, bucket)
+""")
+def events_anomaly_q(spark, sf_dir):
+    """Per-(type, hour) z-score anomaly flags at k=2
+    (operators/temporal.py anomaly_flags) — one aggregation + an
+    equi-join back, no window over the raw stream."""
+    from .operators import temporal
+    ev = _t(spark, sf_dir, "events")
+    return temporal.anomaly_flags(ev, k=2.0)
+
+
 @register("events_conversion_funnel", """
 WITH f AS (
   SELECT user_id, event_type, ts FROM events
