@@ -43,6 +43,9 @@ HEADLINE = [
     "window_top_order_per_customer",
     "events_hourly_tumbling",
     "events_session_windows",
+    "events_gapfill_locf",
+    "events_conversion_funnel",
+    "events_anomaly_flags",
     "asof_join_hourly",
     "range_join_followups",
     "user_sessions",
