@@ -1057,3 +1057,34 @@ class TestColumnMappingRead:
         pdf = pd.DataFrame({"id": [9], "val": ["z"]})
         with pytest.raises(NotImplementedError, match="column-mapped"):
             t.write(spark.createDataFrame(pdf))
+
+
+class TestMergeNmbsMultiMatch:
+    def test_multiply_matched_passthrough_not_duplicated(
+            self, spark, tmp_table_dir):
+        # regression: an NMBS-only merge must copy a target row matched
+        # by SEVERAL source rows exactly once (a left-join rewrite
+        # fanned it out into one copy per source match)
+        target = spark.createDataFrame(
+            pd.DataFrame({"key": [1, 2], "val": ["keep", "drop"]}))
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(target)
+        src = spark.createDataFrame(
+            pd.DataFrame({"key": [1, 1, 1], "x": [10, 20, 30]}))
+        t2 = t.merge(src, "t.key = s.key",
+                     when_not_matched_by_source_delete=True)
+        got = t2.to_pandas()
+        assert len(got) == 1
+        assert list(got["key"]) == [1] and list(got["val"]) == ["keep"]
+
+    def test_nmbs_only_update_with_multimatch(self, spark,
+                                              tmp_table_dir):
+        target = spark.createDataFrame(
+            pd.DataFrame({"key": [1, 2, 3], "val": [0, 0, 0]}))
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(target)
+        src = spark.createDataFrame(
+            pd.DataFrame({"key": [1, 1]}))  # key 1 matched twice
+        t2 = t.merge(src, "t.key = s.key",
+                     when_not_matched_by_source_update={"val": "t.val + 7"})
+        got = t2.to_pandas().sort_values("key").reset_index(drop=True)
+        assert list(got["key"]) == [1, 2, 3]     # no duplication
+        assert list(got["val"]) == [0, 7, 7]     # unmatched demoted

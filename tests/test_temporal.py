@@ -226,3 +226,22 @@ class TestAnomalyFlags:
         rows = anomaly_flags(df).collect()
         assert all(not r["is_anomaly"] for r in rows)
         assert all(r["zscore"] is None for r in rows)
+
+    def test_everyone_completes_whole_funnel(self, spark):
+        # regression: a step where nobody STOPPED must inherit the
+        # deeper depths' counts, not report 0
+        import datetime as dt
+
+        import pandas as pd
+
+        from xdlake_spark.operators.temporal import conversion_funnel
+        t = dt.datetime(2024, 1, 1)
+        h = dt.timedelta(hours=1)
+        df = spark.createDataFrame(pd.DataFrame(
+            [(1, "view", t), (1, "click", t + h), (1, "buy", t + 2 * h)],
+            columns=["user_id", "event_type", "ts"]))
+        got = {r["step"]: (r["n_users"], r["conversion"])
+               for r in conversion_funnel(
+                   df, ["view", "click", "buy"]).collect()}
+        assert got == {"view": (1, 1.0), "click": (1, 1.0),
+                       "buy": (1, 1.0)}

@@ -201,17 +201,21 @@ def conversion_funnel(events: DataFrame, steps: list[str],
               .filter(F.col("__depth") >= 0)
               .groupBy("__depth")
               .agg(F.count(F.lit(1)).alias("__n")))
-    # a user at depth d completed every step <= d: suffix-sum over the
-    # <= len(steps) count rows
-    w = (Window.orderBy(F.col("__depth").desc())
-         .rowsBetween(Window.unboundedPreceding, 0))
-    cum = (counts.withColumn("n_users", F.sum("__n").over(w))
-           .select(F.col("__depth").alias("step_index"), "n_users"))
+    # a user at depth d completed every step <= d, so step i's count is
+    # the suffix sum of stop-depth counts over d >= i. The suffix sum
+    # must run over the COMPLETE step list (zero-filling depths where
+    # nobody stopped) — summing only the present count rows would
+    # report 0 for a step everyone passed straight through.
     rows = events.sparkSession.createDataFrame(
         [(i, s) for i, s in enumerate(steps)],
         "step_index: long, step: string")
-    out = (rows.join(cum, "step_index", "left")
-           .withColumn("n_users", F.coalesce("n_users", F.lit(0))))
+    w = (Window.orderBy(F.col("step_index").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = (rows.join(counts, rows.step_index == counts["__depth"], "left")
+           .select("step_index", "step",
+                   F.coalesce("__n", F.lit(0)).alias("__n"))
+           .withColumn("n_users", F.sum("__n").over(w))
+           .drop("__n"))
     base = out.filter(F.col("step_index") == 0) \
         .select(F.col("n_users").alias("__base"))
     return (out.crossJoin(F.broadcast(base))

@@ -1100,7 +1100,7 @@ WITH binned AS (
   SELECT event_type,
          least(greatest(CAST(floor((value - 0.0) / 5.0) AS BIGINT), 0),
                19) AS bin
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 )
 SELECT event_type, bin, round(0.0 + bin * 5.0, 6) AS bin_lo,
        round(0.0 + (bin + 1) * 5.0, 6) AS bin_hi,
@@ -2100,19 +2100,21 @@ WITH f AS (
   FROM c2
 ), counts AS (
   SELECT d, count(*) AS n FROM depth WHERE d >= 0 GROUP BY d
-), cum AS (
-  SELECT d AS step_index,
-         CAST(sum(n) OVER (ORDER BY d DESC
-                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_users
-  FROM counts
 ), stepnames AS (
   SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'view'),
                         (CAST(1 AS BIGINT), 'click'),
                         (CAST(2 AS BIGINT), 'purchase'))
          AS t(step_index, step)
+), filled AS (
+  -- suffix-sum over the COMPLETE step list: a depth where nobody
+  -- stopped still inherits the deeper depths' counts
+  SELECT s.step_index, s.step, coalesce(c.n, 0) AS n
+  FROM stepnames s LEFT JOIN counts c ON s.step_index = c.d
 ), outq AS (
-  SELECT s.step_index, s.step, coalesce(c.n_users, 0) AS n_users
-  FROM stepnames s LEFT JOIN cum c USING (step_index)
+  SELECT step_index, step,
+         CAST(sum(n) OVER (ORDER BY step_index DESC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_users
+  FROM filled
 ), base AS (
   SELECT n_users AS b FROM outq WHERE step_index = 0
 )

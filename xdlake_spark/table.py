@@ -1434,10 +1434,45 @@ class DeltaTable:
         if rewrite_rels:
             hit_adds = {r: self.adds[r] for r in rewrite_rels}
             th = self._scan(hit_adds).alias("t")
-            joined = th.join(src, cond, "left")
-            is_matched = F.col("s.__xdl_matched").isNotNull()
-            if (when_matched_update or when_matched_delete
-                    or nmbs_update or nmbs_delete):
+            if not (when_matched_update or when_matched_delete) \
+                    and (nmbs_update or nmbs_delete):
+                # NMBS-only merge: matched rows pass through UNCHANGED,
+                # so the multi-match guard does not fire (Delta's rule
+                # covers modified rows only) — and a left join would
+                # fan a multiply-matched pass-through row into N
+                # copies. Semi/anti joins preserve multiplicity by
+                # construction: matched rows copy verbatim, unmatched
+                # rows take the BY SOURCE clauses.
+                keep = th.join(src, cond, "left_semi").select(out_cols)
+                um = th.join(src, cond, "left_anti")
+                nmbs_upd_active = F.lit(False)
+                if nmbs_update:
+                    gate = (F.expr(when_not_matched_by_source_update_condition)
+                            if when_not_matched_by_source_update_condition
+                            else F.lit(True))
+                    nmbs_upd_active = gate
+                nmbs_del_active = F.lit(False)
+                if nmbs_delete:
+                    gate = (F.expr(nmbs_delete)
+                            if isinstance(nmbs_delete, str)
+                            else F.lit(True))
+                    nmbs_del_active = \
+                        ~F.coalesce(nmbs_upd_active, F.lit(False)) & gate
+                sel = []
+                for c in out_cols:
+                    if nmbs_update and c in nmbs_update:
+                        expr = F.when(nmbs_upd_active,
+                                      F.expr(nmbs_update[c])) \
+                            .otherwise(F.col(f"t.{c}"))
+                    else:
+                        expr = F.col(f"t.{c}")
+                    sel.append(expr.cast(self.schema[c].dataType).alias(c))
+                rewritten = keep.unionByName(
+                    um.filter(~F.coalesce(nmbs_del_active, F.lit(False)))
+                    .select(sel))
+            elif (when_matched_update or when_matched_delete):
+                joined = th.join(src, cond, "left")
+                is_matched = F.col("s.__xdl_matched").isNotNull()
                 upd_active = F.lit(False)
                 if when_matched_update:
                     gate = (F.expr(when_matched_update_condition)
@@ -1488,7 +1523,8 @@ class DeltaTable:
             else:
                 rewritten = th.select(out_cols)
             new_adds.extend(self._write_data(
-                self._apply_constraints(rewritten), self.partition_columns))
+                self._apply_constraints(rewritten),
+                self.partition_columns))
 
         if when_not_matched_insert:
             anti = src.join(t, cond, "left_anti")
