@@ -1435,6 +1435,71 @@ class TestUnigramLogprob:
         assert got[2][1] > got[1][1]
 
 
+class TestBigramLogprob:
+    def test_manual_model(self, spark):
+        import math
+
+        from xdlake_spark.operators import corpus
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["a b a b", "a b", "x"]})
+        got = {r["doc_id"]: (r["n_bigrams"], r["avg_neg_logp"])
+               for r in corpus.bigram_logprob(
+                   spark.createDataFrame(pdf)).collect()}
+        # bigrams: (a,b)x3, (b,a)x1; c1: a=3, b=1; V = {a,b,x} = 3
+        p_ab = (3 + 1) / (3 + 3)
+        p_ba = (1 + 1) / (1 + 3)
+        exp1 = (2 * -math.log(p_ab) + -math.log(p_ba)) / 3
+        assert got[1] == (3, round(exp1, 6))
+        assert got[2] == (1, round(-math.log(p_ab), 6))
+        # single-token doc has no bigrams and drops out
+        assert 3 not in got
+
+    def test_transition_signal(self, spark):
+        """Word salad with common unigrams but rare transitions scores
+        higher than fluent repetition of the same tokens."""
+        from xdlake_spark.operators import corpus
+        fluent = "the cat sat . " * 10
+        salad = "sat the . cat cat . the sat"
+        pdf = pd.DataFrame({"doc_id": [1, 2],
+                            "text": [fluent.strip(), salad]})
+        got = {r["doc_id"]: r["avg_neg_logp"]
+               for r in corpus.bigram_logprob(
+                   spark.createDataFrame(pdf)).collect()}
+        assert got[2] > got[1]
+
+
+class TestLinearClassifier:
+    def test_manual_model(self, spark):
+        import math
+
+        from xdlake_spark.operators import corpus
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["good good bad", "meh meh", "bad"]})
+        got = {r["doc_id"]: (r["n_tokens"], r["score"], r["label"])
+               for r in corpus.linear_classifier_scores(
+                   spark.createDataFrame(pdf),
+                   {"good": 1.0, "bad": -1.0}, bias=0.5).collect()}
+
+        def sig(x):
+            return round(1.0 / (1.0 + math.exp(-x)), 6)
+
+        # doc 1: mean = (1 + 1 - 1)/3; doc 2: all OOV -> mean 0
+        assert got[1] == (3, sig(0.5 + 1.0 / 3.0), True)
+        assert got[2] == (2, sig(0.5), True)
+        assert got[3] == (1, sig(0.5 - 1.0), False)
+
+    def test_weight_join_broadcasts(self, spark):
+        from xdlake_spark.operators import corpus
+        pdf = pd.DataFrame({"doc_id": [1], "text": ["a b"]})
+        plan = corpus.linear_classifier_scores(
+            spark.createDataFrame(pdf),
+            {"a": 1.0})._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+
 class TestWeightedSample:
     def test_rates_and_nesting(self, spark, documents):
         from xdlake_spark.operators import sampling

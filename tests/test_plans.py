@@ -218,6 +218,7 @@ class TestTotalsAttachment:
 
     @pytest.mark.parametrize("name", [
         "text_tfidf_top_terms", "unigram_logprob_scores",
+        "bigram_logprob_scores",
         "vocab_coverage", "corpus_mix_report", "events_gapfill_locf",
     ])
     def test_only_single_row_broadcast_loops(self, spark, name):

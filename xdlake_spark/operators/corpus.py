@@ -209,6 +209,98 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
                  F.round(F.avg("__nlp"), 6).alias("avg_neg_logp")))
 
 
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: float = 1.0) -> DataFrame:
+    """Per-document bigram language-model score with add-``k``
+    smoothing against the corpus's own bigram distribution — the
+    KenLM-style fluency signal one order up from
+    :func:`unigram_logprob` (word salad whose unigrams are all common
+    still scores high, because its *transitions* are rare):
+
+    ``p(w2 | w1) = (c(w1 w2) + k) / (c(w1 .) + k * V)``
+
+    with ``V`` = corpus vocabulary size (distinct token types) and
+    ``c(w1 .)`` = occurrences of ``w1`` as a bigram left context. The
+    document score is ``avg(-ln p)`` over its bigrams; documents with
+    fewer than two tokens have no bigrams and drop out.
+
+    Plan shape: one regex split per doc builds the token array; the
+    bigram stream is ``arrays_zip`` of the two shifted slices (no
+    per-position lambda), exploded once and lazily checkpointed so it
+    feeds the bigram counts, the left-context counts, AND the scoring
+    join without recomputing the split. Both count tables shuffle on
+    uniform token-hash keys; V arrives as a broadcast single row. At
+    100 TB this is two token-keyed aggregations plus one token-keyed
+    join — the same scale shape as TF-IDF.
+
+    Output: (doc_id, n_bigrams, avg_neg_logp), rounded to 6.
+    """
+    t = F.filter(_tokens(text_col), lambda x: F.length(x) > 0)
+    n = F.size(t)
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))).alias("w2"))
+    base = (df.select(F.col(id_col).alias("doc_id"), t.alias("__t"),
+                      pairs.alias("__p"))
+            .localCheckpoint(eager=False))  # split once, three consumers
+    bg = (base.select("doc_id", F.explode("__p").alias("__bg"))
+          .select("doc_id", F.col("__bg.w1").alias("w1"),
+                  F.col("__bg.w2").alias("w2"))
+          .localCheckpoint(eager=False))
+    c12 = (bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12")))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    vocab = (base.select(F.explode("__t").alias("token"))
+             .agg(F.countDistinct("token").alias("__v")))
+    scored = (bg.join(c12, ["w1", "w2"]).join(c1, "w1")
+              .crossJoin(F.broadcast(vocab))
+              .withColumn("__nlp",
+                          F.log(F.col("__c1") + F.lit(k) * F.col("__v"))
+                          - F.log(F.col("__c12") + F.lit(k))))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg("__nlp"), 6).alias("avg_neg_logp")))
+
+
+def linear_classifier_scores(df: DataFrame, weights: dict[str, float],
+                             bias: float = 0.0, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             threshold: float = 0.5) -> DataFrame:
+    """fastText-style linear text classifier scoring — the shape of the
+    model-based quality filters real corpus pipelines run at scale
+    (a bag-of-tokens linear model distilled from a reference corpus):
+
+    ``score = sigmoid(bias + mean(weight(token)))``
+
+    with out-of-vocabulary tokens contributing weight 0 (they still
+    count in the mean's denominator, as fastText's averaging does).
+    ``label`` is ``score >= threshold``.
+
+    Plan shape: one token explode, a broadcast left join against the
+    (small, driver-held) weight vocabulary, one per-doc aggregation —
+    at 100 TB the weights ship once per executor and the only shuffle
+    keys on doc_id. Empty docs drop out (no tokens, undefined mean).
+
+    Output: (doc_id, n_tokens, score, label), score rounded to 6.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(t, float(w)) for t, w in sorted(weights.items())],
+        "token string, __w double")
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(_tokens(text_col)).alias("token"))
+            .filter(F.length("token") > 0))
+    scored = (toks.join(F.broadcast(wdf), "token", "left")
+              .withColumn("__w", F.coalesce(F.col("__w"), F.lit(0.0))))
+    agg = (scored.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                F.avg("__w").alias("__mean")))
+    score = F.lit(1.0) / (F.lit(1.0)
+                          + F.exp(-(F.lit(float(bias)) + F.col("__mean"))))
+    return (agg.withColumn("score", F.round(score, 6))
+            .withColumn("label", F.col("score") >= F.lit(float(threshold)))
+            .drop("__mean"))
+
+
 def value_histogram(df: DataFrame, value_col: str, lo: float, hi: float,
                     n_bins: int = 20,
                     group_col: str | None = None) -> DataFrame:

@@ -1179,6 +1179,82 @@ def unigram_logprob_q(spark, sf_dir):
     return corpus.unigram_logprob(d)
 
 
+@register("bigram_logprob_scores", r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(t[1:len(t)-1]) AS w1,
+         unnest(t[2:len(t)]) AS w2
+  FROM base WHERE len(t) >= 2
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM base)
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(ln(c1 + 1.0 * v) - ln(c12 + 1.0)), 6) AS avg_neg_logp
+FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+GROUP BY doc_id
+""")
+def bigram_logprob_q(spark, sf_dir):
+    """Add-one-smoothed bigram LM fluency score per document
+    (operators/corpus.py bigram_logprob) vs the same model in SQL —
+    the transition-level signal unigram fluency misses."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    return corpus.bigram_logprob(d)
+
+
+#: Demo weight vector for the linear quality classifier query — a tiny
+#: hand-set model over the synthetic corpus's vocabulary (positive:
+#: query-engine jargon, negative: filler). Mirrored literally in the
+#: oracle's VALUES list; any real deployment would load distilled
+#: fastText weights instead.
+CLASSIFIER_WEIGHTS = {
+    "query": 0.9, "join": 0.8, "vector": 0.7, "scan": 0.6,
+    "window": 0.5, "merge": 0.4, "stream": 0.3,
+    "a": -0.4, "the": -0.5, "slow": -0.8, "of": -0.3, "and": -0.3,
+}
+
+
+@register("quality_classifier_scores", r"""
+WITH w(token, w) AS (
+  VALUES ('query', 0.9), ('join', 0.8), ('vector', 0.7), ('scan', 0.6),
+         ('window', 0.5), ('merge', 0.4), ('stream', 0.3),
+         ('a', -0.4), ('the', -0.5), ('slow', -0.8), ('of', -0.3),
+         ('and', -0.3)
+), toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), toks2 AS (
+  SELECT * FROM toks WHERE length(token) > 0
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(1.0 / (1.0 + exp(-(0.1 + avg(coalesce(w, 0.0))))), 6)
+           AS score,
+       round(1.0 / (1.0 + exp(-(0.1 + avg(coalesce(w, 0.0))))), 6) >= 0.5
+           AS label
+FROM toks2 LEFT JOIN w USING (token)
+GROUP BY doc_id
+""")
+def quality_classifier_q(spark, sf_dir):
+    """fastText-style linear quality-classifier scores (operators/
+    corpus.py linear_classifier_scores): broadcast weight join, per-doc
+    mean, sigmoid — vs the identical model inlined in SQL."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    return corpus.linear_classifier_scores(
+        d, CLASSIFIER_WEIGHTS, bias=0.1)
+
+
 @register("length_report_by_lang", r"""
 WITH per AS (
   SELECT lang,
