@@ -47,6 +47,7 @@ HEADLINE = [
     "events_conversion_funnel",
     "events_anomaly_flags",
     "asof_join_hourly",
+    "asof_join_nearest",
     "range_join_followups",
     "user_sessions",
     "stateful_user_stats",
@@ -57,6 +58,8 @@ HEADLINE = [
     "delta_import_refs_scan",
     "delta_schema_evolution",
     "text_stats",
+    "bigram_logprob_scores",
+    "quality_classifier_scores",
     "text_tfidf_top_terms",
     "vocab_coverage",
     "lang_detect",

@@ -47,6 +47,64 @@ class TestAsofJoin:
                           tolerance="'30' MINUTE").collect()[0]["px"]
         assert fresh == 9.0 and stale is None
 
+    def test_forward_inclusive(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, _ts(5)), (1, 11, _ts(10)), (1, 12, _ts(30)),
+             (2, 20, _ts(7))],
+            "user_id INT, event_id INT, ts TIMESTAMP")
+        right = spark.createDataFrame(
+            [(1, _ts(0), 100.0), (1, _ts(10), 110.0), (1, _ts(20), 120.0),
+             (2, _ts(5), 200.0)],
+            "user_id INT, ts TIMESTAMP, px DOUBLE")
+        out = {r["event_id"]: r["px"]
+               for r in asof_join(left, right, on="ts", by="user_id",
+                                  right_cols=["px"],
+                                  direction="forward").collect()}
+        # t=5 -> r@10; t=10 -> r@10 (inclusive); t=30 -> none ahead;
+        # user 2 t=7 -> nothing at/after 7
+        assert out == {10: 110.0, 11: 110.0, 12: None, 20: None}
+
+    def test_nearest_picks_closer_and_backward_ties(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, _ts(4)), (1, 11, _ts(16)), (1, 12, _ts(10)),
+             (1, 13, _ts(15)), (2, 20, _ts(7))],
+            "user_id INT, event_id INT, ts TIMESTAMP")
+        right = spark.createDataFrame(
+            [(1, _ts(0), 100.0), (1, _ts(10), 110.0), (1, _ts(20), 120.0)],
+            "user_id INT, ts TIMESTAMP, px DOUBLE")
+        out = {r["event_id"]: r["px"]
+               for r in asof_join(left, right, on="ts", by="user_id",
+                                  right_cols=["px"],
+                                  direction="nearest").collect()}
+        # t=4: back@0 (d=4) vs fwd@10 (d=6) -> back; t=16: back@10 (6)
+        # vs fwd@20 (4) -> fwd; t=10: exact -> 110; t=15: equidistant
+        # 10/20 -> backward wins tie; user 2: no right rows -> NULL
+        assert out == {10: 100.0, 11: 120.0, 12: 110.0,
+                       13: 110.0, 20: None}
+
+    def test_nearest_tolerance_gates_each_side(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, _ts(18))], "user_id INT, event_id INT, ts TIMESTAMP")
+        right = spark.createDataFrame(
+            [(1, _ts(0), 100.0), (1, _ts(25), 125.0)],
+            "user_id INT, ts TIMESTAMP, px DOUBLE")
+        # nearest overall is fwd@25 (d=7) vs back@0 (d=18); a 5-minute
+        # tolerance kills both
+        near = asof_join(left, right, on="ts", by="user_id",
+                         right_cols=["px"],
+                         direction="nearest").collect()[0]["px"]
+        gated = asof_join(left, right, on="ts", by="user_id",
+                          right_cols=["px"], direction="nearest",
+                          tolerance="'5' MINUTE").collect()[0]["px"]
+        assert near == 125.0 and gated is None
+
+    def test_bad_direction_raises(self, spark):
+        import pytest
+        left = spark.createDataFrame(
+            [(1, 1, _ts(5))], "user_id INT, event_id INT, ts TIMESTAMP")
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(left, left, direction="sideways")
+
     def test_left_rows_preserved(self, spark, sf_dir):
         from xdlake_spark.sources.readers import read_parquet_any
         ev = read_parquet_any(spark, f"{sf_dir}/events.parquet") \

@@ -7,10 +7,11 @@ custom-operator requirement.
 Both are expressed as compositions of built-in DataFrame ops so Catalyst
 plans them (no Python in the hot path):
 
-- ``asof_join``: union the two sides, one window sort per key, carry the
-  most recent right-side values forward with ``last(ignorenulls)``. ONE
-  shuffle on the key — never an inequality nested-loop join. This is the
-  standard time-series point-in-time join (market data, feature stores).
+- ``asof_join``: union the two sides, one window sort per key, carry
+  right-side values across with ``last``/``first(ignorenulls)``
+  (backward / forward / nearest directions). ONE shuffle on the key —
+  never an inequality nested-loop join. This is the standard
+  time-series point-in-time join (market data, feature stores).
 
 - ``range_join``: equi-join on (key, time-bucket) with the right side
   exploded to the buckets its match window can reach, then an exact
@@ -30,25 +31,42 @@ from . import ensure_parallelism
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: str = "user_id",
               right_cols: list[str] | None = None,
-              tolerance: str | None = None) -> DataFrame:
-    """For every left row, attach the right row with the greatest
-    ``on`` <= left.``on`` within the same ``by`` group (backward as-of,
-    inclusive — DuckDB/pandas ``ASOF JOIN`` semantics).
+              tolerance: str | None = None,
+              direction: str = "backward") -> DataFrame:
+    """For every left row, attach the matching right row within the
+    same ``by`` group (pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+    semantics, exact matches allowed):
+
+    - ``direction='backward'`` (default): greatest right ``on`` <=
+      left ``on``.
+    - ``'forward'``: smallest right ``on`` >= left ``on``.
+    - ``'nearest'``: whichever of the two is closer in time; backward
+      wins exact-distance ties (an equal-timestamp right row has
+      distance 0 and is always taken).
 
     ``right_cols``: right columns to carry (default: all but key/time).
-    ``tolerance``: optional max staleness as a SQL interval string
-    (e.g. ``'2 hours'``) — older matches become NULL.
+    ``tolerance``: optional max distance as a SQL interval string
+    (e.g. ``'2 hours'``) — farther matches become NULL; under
+    ``nearest`` it gates each side before the closer one is chosen.
 
-    Plan: tag sides, union, single window over (by, on) carrying right
-    values forward. Right rows order before left rows at equal ``on``
-    so equality matches. One shuffle; no inequality join anywhere.
+    Plan: tag sides, union, one window sort over (by, on) carrying
+    right values with ``last``/``first(ignorenulls)``; at equal ``on``
+    the right row sorts toward the frame that should see it. ONE
+    shuffle regardless of direction (``nearest``'s two frames share
+    the same sort) — never an inequality nested-loop join.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]
     lcols = left.columns
 
+    # at equal `on`, the right row must land inside the frame that
+    # matches exactly: before the left row for backward/nearest
+    # (backward frame ends at currentRow), after it for forward
+    r_side, l_side = (0, 1) if direction != "forward" else (1, 0)
     l_tagged = left.select(
-        *lcols, F.lit(1).alias("__side"),
+        *lcols, F.lit(l_side).alias("__side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
           for c in right_cols])
     r_tagged = right.select(
@@ -56,31 +74,64 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
           else F.lit(None).cast(left.schema[c].dataType).alias(c)
           if c in lcols else F.lit(None).alias(c)
           for c in lcols],
-        F.lit(0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols])
 
     unioned = l_tagged.unionByName(r_tagged)
-    w = (Window.partitionBy(by).orderBy(on, "__side")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = unioned.select(
-        *lcols, "__side",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-          for c in right_cols],
-        F.max(F.when(F.col("__side") == 0, F.col(on)))
-        .over(w).alias("__r_ts"))
+    base_w = Window.partitionBy(by).orderBy(on, "__side")
+    wb = base_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base_w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    is_r = F.col("__side") == F.lit(r_side)
 
-    out = carried.filter(F.col("__side") == 1)
-    if tolerance is not None:
-        fresh = F.col("__r_ts") >= F.col(on) - F.expr(
+    carry = []
+    if direction in ("backward", "nearest"):
+        carry += [F.last(f"__r_{c}", ignorenulls=True).over(wb)
+                  .alias(f"__b_{c}") for c in right_cols]
+        carry.append(F.max(F.when(is_r, F.col(on))).over(wb)
+                     .alias("__b_ts"))
+    if direction in ("forward", "nearest"):
+        carry += [F.first(f"__r_{c}", ignorenulls=True).over(wf)
+                  .alias(f"__f_{c}") for c in right_cols]
+        carry.append(F.min(F.when(is_r, F.col(on))).over(wf)
+                     .alias("__f_ts"))
+    carried = unioned.select(*lcols, "__side", *carry)
+    out = carried.filter(F.col("__side") == l_side)
+
+    def fresh_back():
+        return F.col("__b_ts") >= F.col(on) - F.expr(
             f"INTERVAL {tolerance}")
-        out = out.select(
-            *lcols,
-            *[F.when(fresh, F.col(f"__c_{c}")).alias(c)
-              for c in right_cols])
-    else:
-        out = out.select(*lcols,
-                         *[F.col(f"__c_{c}").alias(c) for c in right_cols])
-    return out
+
+    def fresh_fwd():
+        return F.col("__f_ts") <= F.col(on) + F.expr(
+            f"INTERVAL {tolerance}")
+
+    if direction == "backward":
+        keep = fresh_back() if tolerance is not None else F.lit(True)
+        return out.select(
+            *lcols, *[F.when(keep, F.col(f"__b_{c}")).alias(c)
+                      for c in right_cols])
+    if direction == "forward":
+        keep = fresh_fwd() if tolerance is not None else F.lit(True)
+        return out.select(
+            *lcols, *[F.when(keep, F.col(f"__f_{c}")).alias(c)
+                      for c in right_cols])
+
+    # nearest: gate each side by tolerance, then take the closer match
+    # (cast to double = epoch seconds for timestamps, identity for
+    # numerics — subtraction-safe either way)
+    b_ok = F.col("__b_ts").isNotNull()
+    f_ok = F.col("__f_ts").isNotNull()
+    if tolerance is not None:
+        b_ok = b_ok & fresh_back()
+        f_ok = f_ok & fresh_fwd()
+    d_back = F.col(on).cast("double") - F.col("__b_ts").cast("double")
+    d_fwd = F.col("__f_ts").cast("double") - F.col(on).cast("double")
+    choose_back = b_ok & (~f_ok | (d_back <= d_fwd))
+    return out.select(
+        *lcols,
+        *[F.when(choose_back, F.col(f"__b_{c}"))
+          .when(f_ok, F.col(f"__f_{c}")).alias(c)
+          for c in right_cols])
 
 
 def range_join(left: DataFrame, right: DataFrame, by: str = "user_id",

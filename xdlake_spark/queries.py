@@ -535,6 +535,64 @@ def asof_join_q(spark, sf_dir):
                      right_cols=["hourly_value"]).drop("ts")
 
 
+@register("asof_join_forward", """
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS ts,
+         round(sum(value), 2) AS hourly_value
+  FROM events GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, r.hourly_value
+FROM events l
+ASOF LEFT JOIN hourly r ON l.user_id = r.user_id AND l.ts <= r.ts
+""")
+def asof_join_forward_q(spark, sf_dir):
+    """Forward as-of join (smallest right ts >= left ts) — the
+    next-scheduled-observation lookup; rows in a user's final hour
+    stay NULL. Same one-shuffle window plan as backward."""
+    from .operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts"))
+              .agg(F.round(F.sum("value"), 2).alias("hourly_value")))
+    return asof_join(ev.select("event_id", "user_id", "ts"), hourly,
+                     on="ts", by="user_id", right_cols=["hourly_value"],
+                     direction="forward").drop("ts")
+
+
+@register("asof_join_nearest", """
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS ts,
+         round(sum(value), 2) AS hourly_value
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT l.event_id, l.user_id, l.ts, r.ts AS b_ts,
+         r.hourly_value AS b_v
+  FROM events l
+  ASOF LEFT JOIN hourly r ON l.user_id = r.user_id AND l.ts >= r.ts
+), f AS (
+  SELECT l.event_id, r.ts AS f_ts, r.hourly_value AS f_v
+  FROM events l
+  ASOF LEFT JOIN hourly r ON l.user_id = r.user_id AND l.ts <= r.ts
+)
+SELECT b.event_id, b.user_id,
+       CASE WHEN b_ts IS NOT NULL
+                 AND (f_ts IS NULL
+                      OR epoch(b.ts) - epoch(b_ts)
+                         <= epoch(f_ts) - epoch(b.ts)) THEN b_v
+            WHEN f_ts IS NOT NULL THEN f_v END AS hourly_value
+FROM b JOIN f USING (event_id)
+""")
+def asof_join_nearest_q(spark, sf_dir):
+    """Nearest as-of join (closer of backward/forward, backward wins
+    ties) vs a two-ASOF-join + CASE oracle."""
+    from .operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts"))
+              .agg(F.round(F.sum("value"), 2).alias("hourly_value")))
+    return asof_join(ev.select("event_id", "user_id", "ts"), hourly,
+                     on="ts", by="user_id", right_cols=["hourly_value"],
+                     direction="nearest").drop("ts")
+
+
 @register("range_join_followups", """
 SELECT a.event_id AS l_event_id, b.event_id AS r_event_id
 FROM events a JOIN events b
