@@ -1469,6 +1469,91 @@ class TestBigramLogprob:
         assert got[2] > got[1]
 
 
+class TestKmeans:
+    @staticmethod
+    def _blobs(spark, n_per=40):
+        """Three well-separated 3-d blobs with deterministic jitter."""
+        rows = []
+        centers = [(0.0, 0.0, 0.0), (10.0, 10.0, 0.0), (-10.0, 5.0, 5.0)]
+        for i in range(n_per * 3):
+            cx, cy, cz = centers[i % 3]
+            j = ((i * 2654435761) % 1000) / 1000.0 - 0.5  # in [-0.5, 0.5)
+            rows.append((i, [cx + j, cy - j, cz + j / 2]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    def test_recovers_blobs(self, spark):
+        from xdlake_spark.operators import clustering
+        df = self._blobs(spark)
+        assigned, cents = clustering.kmeans(df, n_clusters=3, iters=4)
+        rows = assigned.select("vec_id", "cluster").collect()
+        # every blob lands in exactly one cluster and vice versa
+        blob_to_cluster = {}
+        for r in rows:
+            b = r["vec_id"] % 3
+            blob_to_cluster.setdefault(b, set()).add(r["cluster"])
+        assert all(len(cs) == 1 for cs in blob_to_cluster.values())
+        assert len(set.union(*blob_to_cluster.values())) == 3
+
+    def test_inertia_non_increasing(self, spark):
+        from xdlake_spark.operators import clustering
+        df = self._blobs(spark)
+        inertias = []
+        for iters in (0, 1, 2, 4):
+            rep = clustering.cluster_report(df, 3, iters=iters)
+            inertias.append(sum(r["inertia"] for r in rep.collect()))
+        assert all(a >= b - 1e-6 for a, b in zip(inertias, inertias[1:])), \
+            inertias
+
+    def test_deterministic_across_partitionings(self, spark):
+        from xdlake_spark.operators import clustering
+        df = self._blobs(spark)
+        a = {(r["vec_id"], r["cluster"])
+             for r in clustering.kmeans(df, 3, iters=2)[0]
+             .select("vec_id", "cluster").collect()}
+        b = {(r["vec_id"], r["cluster"])
+             for r in clustering.kmeans(df.repartition(13), 3, iters=2)[0]
+             .select("vec_id", "cluster").collect()}
+        assert a == b
+
+    def test_assign_matches_numpy(self, spark):
+        import numpy as np
+
+        from xdlake_spark.operators import clustering
+        df = self._blobs(spark, n_per=10)
+        cents = np.array([[0.0, 0.0, 0.0], [10.0, 10.0, 0.0],
+                          [-10.0, 5.0, 5.0]])
+        got = {r["vec_id"]: r["cluster"]
+               for r in clustering.assign_to_centroids(df, cents)
+               .collect()}
+        for r in df.collect():
+            x = np.array(r["embedding"])
+            want = int(np.argmin(((cents - x) ** 2).sum(axis=1)))
+            assert got[r["vec_id"]] == want
+
+    def test_balanced_sample_caps_and_nests(self, spark):
+        from xdlake_spark.operators import clustering
+        df = self._blobs(spark)
+        out = clustering.cluster_balanced_sample(df, 3, per_cluster=7,
+                                                 iters=2)
+        sizes = {r["cluster"]: r["n"] for r in out.groupBy("cluster")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert all(v <= 7 for v in sizes.values()) and len(sizes) == 3
+        # smaller cap selects a subset of the bigger cap's rows
+        small = {r["vec_id"] for r in clustering.cluster_balanced_sample(
+            df, 3, per_cluster=3, iters=2).select("vec_id").collect()}
+        big = {r["vec_id"] for r in out.select("vec_id").collect()}
+        assert small <= big
+
+    def test_too_few_rows_raises(self, spark):
+        import pytest
+
+        from xdlake_spark.operators import clustering
+        df = self._blobs(spark, n_per=1)
+        with pytest.raises(ValueError, match="seed"):
+            clustering.kmeans(df, n_clusters=10)
+
+
 class TestLinearClassifier:
     def test_manual_model(self, spark):
         import math

@@ -1,0 +1,216 @@
+"""Distributed k-means clustering over embedding columns.
+
+The clustering layer behind corpus curation at scale: SemDeDup-style
+semantic dedup prunes within clusters, diversity ("cluster-balanced")
+sampling caps each cluster's contribution, and IVF similarity search is
+a cosine k-means in disguise (operators/similarity.py ivf_build shares
+this design). Extends the reference's surface (xbrianh/xdlake has no
+vector operators — SURVEY §2.4); mandated by the build brief.
+
+Scale design: Lloyd iterations run as Spark jobs — assignment is a pure
+JVM column expression (an ``array_max`` over (score, cid) structs, so
+whole-stage codegen evaluates k dot products per row with no Python in
+the row path), and the centroid update is one map-side-combinable
+``posexplode`` aggregation whose result is only ``k x dim`` rows; the
+centroid matrix is the ONLY thing that ever reaches the driver, and it
+ships back broadcast inside the next iteration's expression. For k*dim
+past ~10^5 (where the codegen'd expression bloats), switch the
+assignment to the numpy block-matmul shape used by
+``dedup.embedding_neardup_pairs`` — same contract, Arrow batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import ensure_parallelism
+from ..functions.vectors import dot, lit_vector
+
+
+def _assign_expr(centroids: np.ndarray, vec_col: str):
+    """argmin_c ||x - c||^2 as a codegen-friendly argmax over structs:
+    ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, and ||x||^2 is constant per
+    row, so argmin is argmax of (x.c - ||c||^2 / 2). Struct ordering
+    compares score first, then breaks ties on the HIGHER cid (struct
+    max) — deterministic either way."""
+    scored = F.array(*[
+        F.struct((dot(F.col(vec_col), lit_vector(c))
+                  - F.lit(float(np.dot(c, c)) / 2.0)).alias("score"),
+                 F.lit(ci).alias("cid"))
+        for ci, c in enumerate(centroids)
+    ])
+    return F.array_max(scored)["cid"]
+
+
+def assign_to_centroids(df: DataFrame, centroids,
+                        vec_col: str = "embedding",
+                        out_col: str = "cluster") -> DataFrame:
+    """Attach the nearest-centroid (euclidean) index for a fixed
+    ``k x dim`` centroid matrix — the deterministic building block
+    under :func:`kmeans`; also useful standalone to re-apply a trained
+    quantizer to new data. Pure JVM expression, no shuffle."""
+    return df.withColumn(
+        out_col, _assign_expr(np.asarray(centroids, dtype="float64"),
+                              vec_col))
+
+
+def _farthest_point_init(base: DataFrame, n_clusters: int,
+                         vec_col: str, id_col: str,
+                         seed: int) -> np.ndarray:
+    """Deterministic farthest-point ("maximin") seeding: start from the
+    lowest-``xxhash64(id, seed)`` vector, then repeatedly take the
+    point maximizing the min squared distance to the chosen set (ties
+    break on id). k TakeOrdered jobs of ONE row each — robust to the
+    two-seeds-in-one-blob local optimum that random/hash seeding feeds
+    Lloyd, at the cost of evaluating O(k^2/2) dot products over the
+    corpus across the k passes (fine for curation-scale k; pass
+    ``init='hash'`` to skip it for large k)."""
+    first = (base.select(id_col, vec_col)
+             .orderBy(F.xxhash64(F.col(id_col).cast("string"),
+                                 F.lit(seed)), F.col(id_col))
+             .limit(1).collect())
+    if not first:
+        raise ValueError("cannot seed clusters from an empty input")
+    chosen = [np.asarray(list(first[0][vec_col]), dtype="float64")]
+    x2 = dot(F.col(vec_col), F.col(vec_col))
+    while len(chosen) < n_clusters:
+        d2s = [x2 - 2.0 * dot(F.col(vec_col), lit_vector(c))
+               + F.lit(float(np.dot(c, c))) for c in chosen]
+        d2min = d2s[0] if len(d2s) == 1 else F.least(*d2s)
+        far = (base.select(id_col, vec_col, d2min.alias("__d2"))
+               .orderBy(F.col("__d2").desc(), F.col(id_col))
+               .limit(1).collect())
+        chosen.append(np.asarray(list(far[0][vec_col]), dtype="float64"))
+    return np.stack(chosen)
+
+
+def kmeans(df: DataFrame, n_clusters: int = 8,
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           iters: int = 5, seed: int = 42, init: str = "farthest"):
+    """Lloyd's k-means (euclidean) over an ``array<float>`` column.
+
+    Deterministic init, two flavors:
+
+    - ``'farthest'`` (default): maximin farthest-point seeding — k
+      one-row TakeOrdered jobs; immune to the split-blob local optimum.
+    - ``'hash'``: the ``n_clusters`` vectors with the smallest
+      ``xxhash64(id, seed)`` — one job, a reproducible pseudo-random
+      sample independent of partitioning; cheaper for large k.
+
+    Each iteration: one distributed assign + one ``(cluster, pos)``
+    partial-aggregated mean job (k*dim result rows). Clusters that
+    lose all members keep their previous centroid (the standard
+    empty-cluster rule). No data rows are ever collected.
+
+    Returns ``(assigned, centroids)``: ``assigned`` is ``df`` plus a
+    ``cluster`` int column (computed with the FINAL centroids),
+    ``centroids`` the ``k x dim`` numpy array.
+    """
+    if n_clusters < 1:
+        raise ValueError("n_clusters must be >= 1")
+    if init not in ("farthest", "hash"):
+        raise ValueError(f"unknown init {init!r}")
+    # k init jobs + iters assign/update jobs + the final assignment all
+    # rescan the input — checkpoint the (narrow) projection once
+    base = ensure_parallelism(df).localCheckpoint(eager=False)
+    if init == "farthest":
+        if base.select(id_col).limit(n_clusters).count() < n_clusters:
+            raise ValueError(
+                f"need >= {n_clusters} rows to seed {n_clusters} clusters")
+        centroids = _farthest_point_init(base, n_clusters, vec_col,
+                                         id_col, seed)
+    else:
+        sample = (df.select(id_col, vec_col)
+                  .orderBy(F.xxhash64(F.col(id_col).cast("string"),
+                                      F.lit(seed)), F.col(id_col))
+                  .limit(n_clusters).collect())
+        if len(sample) < n_clusters:
+            raise ValueError(
+                f"need >= {n_clusters} rows to seed {n_clusters} "
+                f"clusters, got {len(sample)}")
+        centroids = np.array([list(r[vec_col]) for r in sample],
+                             dtype="float64")
+
+    for _ in range(iters):
+        # withColumn, then a separate generator select: a posexplode in
+        # the same select strips the struct field aliases the argmax
+        # lookup needs
+        means = (base.withColumn("__c", _assign_expr(centroids, vec_col))
+                 .select("__c",
+                         F.posexplode(F.col(vec_col)).alias("__pos",
+                                                            "__val"))
+                 .groupBy("__c", "__pos")
+                 .agg(F.avg("__val").alias("__avg"))
+                 .collect())  # k x dim rows — metadata-sized
+        new = centroids.copy()  # empty clusters keep their centroid
+        for r in means:
+            new[r["__c"], r["__pos"]] = r["__avg"]
+        if np.allclose(new, centroids):
+            centroids = new
+            break
+        centroids = new
+
+    assigned = base.withColumn("cluster",
+                               _assign_expr(centroids, vec_col))
+    return assigned, centroids
+
+
+def cluster_report(df: DataFrame, n_clusters: int = 8,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   iters: int = 5, seed: int = 42) -> DataFrame:
+    """Per-cluster curation report: size and inertia (sum of squared
+    euclidean distance to the centroid — the k-means objective), plus
+    the root-mean-square distance. One extra pass over the assigned
+    table; distances come from the same JVM dot-product expressions as
+    the assignment (no Python).
+
+    Output: (cluster, n, inertia, rms_dist), rounded to 4.
+    """
+    assigned, centroids = kmeans(df, n_clusters, vec_col, id_col,
+                                 iters, seed)
+    # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2, branch on cluster id
+    x2 = dot(F.col(vec_col), F.col(vec_col))
+    d2 = F.lit(None).cast("double")
+    expr = None
+    for ci, c in enumerate(centroids):
+        term = (x2 - 2.0 * dot(F.col(vec_col), lit_vector(c))
+                + F.lit(float(np.dot(c, c))))
+        expr = F.when(F.col("cluster") == ci, term) if expr is None \
+            else expr.when(F.col("cluster") == ci, term)
+    d2 = F.greatest(expr, F.lit(0.0))  # clamp float cancellation
+    return (assigned.select("cluster", d2.alias("__d2"))
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("__d2"), 4).alias("inertia"),
+                 F.round(F.sqrt(F.avg("__d2")), 4).alias("rms_dist"))
+            .orderBy("cluster"))
+
+
+def cluster_balanced_sample(df: DataFrame, n_clusters: int = 8,
+                            per_cluster: int = 100,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            iters: int = 5, seed: int = 42) -> DataFrame:
+    """Diversity sampling: cluster the corpus, then keep at most
+    ``per_cluster`` rows per cluster, chosen by the same deterministic
+    ``xxhash64(id, seed)`` order as every other sampler here (stable
+    across partitionings and scale factors).
+
+    This is the cluster-balanced mix used to keep a dominant mode
+    (boilerplate, one source's house style) from swamping a training
+    set. Same window shape as sampling.stratum_cap (one shuffle on the
+    cluster id) but ordered by the hash, not the raw id, so the kept
+    rows are an unbiased sample of each cluster rather than its oldest
+    ids.
+    """
+    from pyspark.sql import Window
+
+    assigned, _ = kmeans(df, n_clusters, vec_col, id_col, iters, seed)
+    w = (Window.partitionBy("cluster")
+         .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
+                  F.col(id_col)))
+    return (assigned.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= per_cluster)
+            .drop("__rn"))

@@ -1174,6 +1174,31 @@ def events_histogram_q(spark, sf_dir):
                                   n_bins=20, group_col="event_type")
 
 
+@register("events_json_extract", """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decade,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY 1
+""")
+def events_json_extract_q(spark, sf_dir):
+    """Semi-structured extraction: parse the JSON ``props`` column with
+    a typed ``from_json`` schema (JVM-side Jackson, whole-stage
+    codegen — no Python), then aggregate by a derived bucket. The
+    schema-on-read path every event pipeline needs; DuckDB oracle uses
+    json_extract. At scale the parse is a per-row map fused into the
+    scan stage — the only shuffle is the map-side-combinable groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("__p", F.from_json("props", "k BIGINT"))
+    return (parsed.filter(F.col("__p.k").isNotNull())
+            .groupBy(F.floor(F.col("__p.k") / 10).alias("k_decade"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
 @register("text_readability", rf"""
 SELECT doc_id,
        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
@@ -1985,6 +2010,69 @@ def semantic_dedup_q(spark, sf_dir):
     keep = dedup.dedup_keepers_from_pairs(e.select("vec_id"), pairs,
                                           id_col="vec_id")
     return keep.select("vec_id")
+
+
+@register("embedding_assign_nearest", """
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+), scored AS (
+  SELECT e.vec_id, e.label, c.cid,
+         list_inner_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[])
+         - list_inner_product(c.embedding::DOUBLE[],
+                              c.embedding::DOUBLE[]) / 2.0 AS score
+  FROM embeddings e CROSS JOIN c
+), best AS (
+  SELECT vec_id, label, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cid DESC) AS rn
+  FROM scored
+)
+SELECT cid AS cluster, count(*) AS n,
+       count(DISTINCT label) AS n_labels
+FROM best WHERE rn = 1 GROUP BY 1
+""")
+def embedding_assign_q(spark, sf_dir):
+    """Deterministic nearest-centroid assignment (operators/
+    clustering.py assign_to_centroids): quantize every embedding
+    against a fixed codebook (here: the 8 lowest-id vectors, so the
+    oracle can rebuild it) and report cluster occupancy. The euclidean
+    argmin runs as the same codegen'd ``x.c - ||c||^2/2`` struct-argmax
+    the k-means iterations use; both engines accumulate the dot product
+    in double left-to-right, so the comparison is exact."""
+    import numpy as np
+
+    from .operators.clustering import assign_to_centroids
+    e = _t(spark, sf_dir, "embeddings")
+    rows = e.orderBy("vec_id").limit(8).collect()  # 8 rows, driver-held
+    cents = np.array([list(r["embedding"]) for r in rows], dtype="float64")
+    return (assign_to_centroids(e, cents)
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("label").alias("n_labels")))
+
+
+# rows-only: k-means centroid means accumulate floating-point sums in
+# partition order, so borderline assignments are not bit-reproducible
+# across engines; invariants (monotone inertia, blob recovery,
+# determinism across partitionings) are asserted in test_operators.py
+@register("embedding_cluster_report", None)
+def embedding_cluster_report_q(spark, sf_dir):
+    from .operators import clustering
+    e = _t(spark, sf_dir, "embeddings")
+    return clustering.cluster_report(e, n_clusters=8, iters=3)
+
+
+@register("cluster_balanced_sample", None)
+def cluster_balanced_sample_q(spark, sf_dir):
+    """Diversity sampling: k-means clusters capped at 200 rows each
+    (operators/clustering.py cluster_balanced_sample) — rows-only for
+    the same float-accumulation reason as the cluster report."""
+    from .operators import clustering
+    e = _t(spark, sf_dir, "embeddings")
+    return (clustering.cluster_balanced_sample(e, n_clusters=8,
+                                               per_cluster=200, iters=3)
+            .select("vec_id", "cluster"))
 
 
 # rows-only: multi-table hyperplane LSH is approximate by design; its
