@@ -110,6 +110,47 @@ class TestNgramJaccard:
             assert (i, i + 100000) in got
 
 
+class TestCrossCorpusDedup:
+    def test_bipartite_pairs_and_admission(self, spark):
+        new = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [10, 11, 12],
+            "text": ["a b c d e", "q r s t u", "z z z z z"]}))
+        corpus = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["a b c d x", "a b c d e"]}))
+        pairs = dedup.cross_corpus_jaccard_pairs(new, corpus,
+                                                 threshold=0.1)
+        got = {(r["new_id"], r["corpus_id"]): r["jaccard"]
+               for r in pairs.collect()}
+        # new 10 vs corpus 1: inter 2 of union 4; vs corpus 2: identical
+        assert got[(10, 1)] == pytest.approx(0.5)
+        assert got[(10, 2)] == pytest.approx(1.0)
+        assert all(k[0] == 10 for k in got)  # 11, 12 share nothing
+        kept = {r["doc_id"] for r in dedup.cross_corpus_dedup(
+            new, corpus, threshold=0.5).collect()}
+        assert kept == {11, 12}
+
+    def test_never_pairs_new_with_new(self, spark):
+        new = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2], "text": ["a b c d e", "a b c d e"]}))
+        corpus = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [9], "text": ["totally different words here"]}))
+        # identical new docs survive: only corpus matches can evict
+        assert dedup.cross_corpus_dedup(new, corpus).count() == 2
+
+    def test_valve_noop_below_cutoff(self, spark, documents):
+        new = documents.filter(F.col("doc_id") % 4 == 0)
+        corpus = documents.filter(F.col("doc_id") % 4 != 0)
+        base = {(r["new_id"], r["corpus_id"], r["jaccard"]) for r in
+                dedup.cross_corpus_jaccard_pairs(
+                    new, corpus, threshold=0.2).collect()}
+        valved = {(r["new_id"], r["corpus_id"], r["jaccard"]) for r in
+                  dedup.cross_corpus_jaccard_pairs(
+                      new, corpus, threshold=0.2,
+                      max_doc_freq=10 ** 9).collect()}
+        assert base == valved and len(base) > 0
+
+
 class TestSimHash:
     def test_identical_docs_zero_hamming(self, spark, docs_with_dups):
         pairs = dedup.simhash_pairs(docs_with_dups, max_hamming=3)

@@ -110,6 +110,8 @@ class TestCodegen:
     @pytest.mark.parametrize("name", [
         "q1_pricing_summary", "q3_shipping_priority", "q6_forecast_revenue",
         "filter_predicate_ops", "text_stats", "q12_priority_class",
+        "events_json_extract", "quality_classifier_scores",
+        "asof_join_nearest",
     ])
     def test_no_python_in_relational_path(self, spark, name):
         # relational + text queries are pure JVM: no Python UDF

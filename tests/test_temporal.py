@@ -98,6 +98,24 @@ class TestAsofJoin:
                           tolerance="'5' MINUTE").collect()[0]["px"]
         assert near == 125.0 and gated is None
 
+    def test_single_shuffle_all_directions(self, spark):
+        """Every direction plans ONE exchange (the window sort on the
+        key) — nearest's two frames must share it, and no direction may
+        fall back to an inequality nested-loop join."""
+        left = spark.createDataFrame(
+            [(1, 1, _ts(5))], "user_id INT, event_id INT, ts TIMESTAMP")
+        right = spark.createDataFrame(
+            [(1, _ts(0), 1.0)], "user_id INT, ts TIMESTAMP, px DOUBLE")
+        for d in ("backward", "forward", "nearest"):
+            plan = asof_join(left, right, on="ts", by="user_id",
+                             right_cols=["px"], direction=d) \
+                ._jdf.queryExecution().executedPlan().toString()
+            import re
+            assert len(re.findall(r"Exchange hashpartitioning", plan)) \
+                == 1, (d, plan)
+            assert "NestedLoop" not in plan and "Cartesian" not in plan, d
+            assert plan.count("Window") == 1, (d, plan)
+
     def test_bad_direction_raises(self, spark):
         import pytest
         left = spark.createDataFrame(

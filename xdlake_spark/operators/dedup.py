@@ -708,6 +708,85 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+def cross_corpus_jaccard_pairs(new: DataFrame, corpus: DataFrame,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               k_shingle: int = 3,
+                               threshold: float = 0.5,
+                               max_doc_freq: int | None = None
+                               ) -> DataFrame:
+    """Incremental-dedup join: exact jaccard pairs between a NEW batch
+    and an EXISTING corpus (bipartite — new-vs-new pairs are not
+    produced; dedup the batch internally with
+    :func:`ngram_jaccard_pairs` first if needed). This is the
+    crawl-pipeline shape: each incoming snapshot is checked against the
+    accumulated corpus without ever re-joining the corpus to itself.
+
+    Same inverted-index design as :func:`ngram_jaccard_pairs`: shingles
+    hash to 64-bit keys, only pairs sharing a shingle materialize, and
+    ``max_doc_freq`` (document frequency across BOTH sides, matching
+    the self-join's whole-input semantics) drops boilerplate shingles
+    from both indexes AND both size denominators, keeping jaccard a
+    true ratio over the surviving sets. A shingle in ``s_new`` batch
+    docs and ``s_cor`` corpus docs fans out ``s_new * s_cor`` pairs —
+    the valve is the skew control.
+
+    Returns (new_id, corpus_id, jaccard).
+    """
+    def prep(df_, tag):
+        return (ensure_parallelism(df_)
+                .select(F.col(id_col).alias(f"{tag}_id"),
+                        shingles(F.col(text_col), k_shingle).alias("sh"))
+                .localCheckpoint(eager=False))
+
+    shn, shc = prep(new, "new"), prep(corpus, "corpus")
+    ninv = (shn.select("new_id", F.explode("sh").alias("__s"))
+            .select("new_id", F.xxhash64("__s").alias("shingle")))
+    cinv = (shc.select("corpus_id", F.explode("sh").alias("__s"))
+            .select("corpus_id", F.xxhash64("__s").alias("shingle")))
+    if max_doc_freq is not None:
+        both = ninv.select("shingle").union(cinv.select("shingle"))
+        keep = (both.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_doc_freq)
+                .select("shingle"))
+        ninv = ninv.join(keep, "shingle").localCheckpoint(eager=False)
+        cinv = cinv.join(keep, "shingle").localCheckpoint(eager=False)
+        n_sizes = ninv.groupBy("new_id").agg(
+            F.count(F.lit(1)).alias("n_a"))
+        c_sizes = cinv.groupBy("corpus_id").agg(
+            F.count(F.lit(1)).alias("n_b"))
+    else:
+        n_sizes = shn.select("new_id", F.size("sh").alias("n_a"))
+        c_sizes = shc.select("corpus_id", F.size("sh").alias("n_b"))
+
+    inter = (ninv.join(cinv, "shingle")
+             .groupBy("new_id", "corpus_id")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    return (inter.join(n_sizes, "new_id").join(c_sizes, "corpus_id")
+            .withColumn("jaccard",
+                        F.col("n_inter").cast("double")
+                        / (F.col("n_a") + F.col("n_b")
+                           - F.col("n_inter")).cast("double"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("new_id", "corpus_id", "jaccard"))
+
+
+def cross_corpus_dedup(new: DataFrame, corpus: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       k_shingle: int = 3, threshold: float = 0.5,
+                       max_doc_freq: int | None = None) -> DataFrame:
+    """Keep only the NEW-batch rows with no near-duplicate in the
+    existing corpus (anti-join over :func:`cross_corpus_jaccard_pairs`
+    — one extra shuffle on the id). The batch-admission filter of an
+    incremental ingestion pipeline."""
+    dup_ids = (cross_corpus_jaccard_pairs(
+                   new, corpus, text_col, id_col, k_shingle, threshold,
+                   max_doc_freq)
+               .select(F.col("new_id").alias(id_col)).distinct())
+    return new.join(dup_ids, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

@@ -1898,6 +1898,48 @@ def dedup_ngram(spark, sf_dir):
                       F.round("jaccard", 6).alias("jaccard"))
 
 
+@register("incremental_dedup_keepers", """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+              ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM toks
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+), ninv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 4 = 0
+), cinv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 4 != 0
+), inter AS (
+  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS n_inter
+  FROM ninv n JOIN cinv c USING (shingle) GROUP BY 1, 2
+), dups AS (
+  SELECT DISTINCT new_id FROM inter
+  JOIN sizes sa ON sa.doc_id = new_id
+  JOIN sizes sb ON sb.doc_id = corpus_id
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id % 4 = 0 AND doc_id NOT IN (SELECT new_id FROM dups)
+""")
+def incremental_dedup_q(spark, sf_dir):
+    """Incremental ingestion dedup (operators/dedup.py
+    cross_corpus_dedup): an incoming batch (doc_id % 4 = 0 as the
+    stand-in snapshot) is admitted only where it has no jaccard>=0.2
+    near-dup in the accumulated corpus — bipartite inverted-index
+    join, never corpus-vs-corpus."""
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 4 == 0)
+    corpus = d.filter(F.col("doc_id") % 4 != 0)
+    return dedup.cross_corpus_dedup(new, corpus, threshold=0.2) \
+        .select("doc_id", "lang")
+
+
 _NGRAM_PAIRS_SQL = REGISTRY["dedup_ngram_jaccard_pairs"][1]
 
 @register("dedup_connected_components", f"""
