@@ -400,6 +400,127 @@ def rollup(spark, sf_dir):
                     .alias("linestatus"), "n"))
 
 
+@register("cube_counts", """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def cube_counts(spark, sf_dir):
+    """CUBE aggregation — all 2^k grouping-set slices in one pass
+    (Spark expands the sets map-side; still a single shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL"))
+                    .alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL"))
+                    .alias("linestatus"), "n", "sum_qty"))
+
+
+@register("customer_value_deciles", """
+SELECT decile, count(*) AS n,
+       round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+FROM (SELECT c_acctbal,
+             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer)
+GROUP BY decile
+""")
+def customer_deciles(spark, sf_dir):
+    """Exact ntile decile report (identical bucket-remainder semantics
+    in Spark and DuckDB; ties broken on the key). The global-order
+    window is single-reducer by construction — at 100 TB swap in
+    approx_percentile bounds and bucket by comparison, which shuffles
+    nothing; this exact form is the oracle-able baseline."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("c_acctbal"), 2).alias("lo"),
+                 F.round(F.max("c_acctbal"), 2).alias("hi")))
+
+
+@register("events_trailing_avg", """
+SELECT event_id,
+       round(avg(value) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+           AS trailing_avg
+FROM events
+""")
+def events_trailing_avg_q(spark, sf_dir):
+    """Trailing 1-hour per-user average — a RANGE window frame keyed on
+    epoch microseconds (exact in both engines; an interval frame over
+    the raw timestamp would round differently). One shuffle on user_id;
+    the frame is evaluated streaming within each partition."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (Window.partitionBy("user_id").orderBy(us.alias("__us"))
+         .rangeBetween(-3_600_000_000, 0))
+    return ev.select("event_id",
+                     F.round(F.avg("value").over(w), 4)
+                     .alias("trailing_avg"))
+
+
+@register("lineitem_unpivot", """
+SELECT measure, count(*) AS n, round(sum(val), 2) AS total
+FROM (
+  SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'price', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'discount', l_discount FROM lineitem
+)
+GROUP BY measure
+""")
+def lineitem_unpivot_q(spark, sf_dir):
+    """Wide-to-long unpivot (melt) of three measure columns, then a
+    per-measure aggregate. Spark's native unpivot emits the long form
+    inside the scan projection — no self-union, ONE pass over the
+    table where the SQL formulation reads it three times."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = (li.select(F.col("l_quantity").alias("quantity"),
+                      F.col("l_extendedprice").alias("price"),
+                      F.col("l_discount").alias("discount"))
+            .unpivot([], ["quantity", "price", "discount"],
+                     "measure", "val"))
+    return (long.groupBy("measure")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("val"), 2).alias("total")))
+
+
+#: The events table's closed vocabulary of types — pivot columns must be
+#: enumerated (Spark would otherwise run an extra distinct job; the
+#: oracle needs literal column names anyway).
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register("events_pivot_types", """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'error')    AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'view')     AS view
+FROM events
+GROUP BY 1
+""")
+def events_pivot_q(spark, sf_dir):
+    """Long-to-wide pivot: daily event counts, one column per type.
+    The type list is pinned (EVENT_TYPES) so Spark skips the implicit
+    distinct job and the plan is a single map-side-combinable
+    aggregation with 5 conditional counts."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    out = (ev.groupBy(day.alias("day"))
+           .pivot("event_type", EVENT_TYPES)
+           .count())
+    # pivot leaves NULL for empty cells; the oracle's FILTER counts 0
+    return out.select("day", *[F.coalesce(F.col(t), F.lit(0)).alias(t)
+                               for t in EVENT_TYPES])
+
+
 # ===========================================================================
 # Events: time handling, windows, sessionization
 # ===========================================================================
