@@ -198,6 +198,29 @@ class TestArrowGateNoJob:
         assert est is not None and est < 2000  # 500 docs, ~65 KB file
 
 
+class TestPivotShape:
+    def test_unpivot_is_single_scan(self, spark):
+        """Native unpivot expands wide->long inside one scan; the
+        3-measure melt must not read lineitem three times."""
+        plan = plan_of(spark, "lineitem_unpivot")
+        assert plan.count("FileScan parquet") == 1, plan
+        assert "Expand" in plan, plan
+
+    def test_pivot_has_no_distinct_job_and_one_agg_pair(self, spark):
+        """With the type vocabulary pinned, pivot plans as one
+        partial+final aggregate pair — no extra distinct-values scan,
+        no join."""
+        plan = plan_of(spark, "events_pivot_types")
+        assert plan.count("FileScan parquet") == 1, plan
+        assert "Join" not in plan, plan
+
+    def test_cube_single_shuffle(self, spark):
+        plan = plan_of(spark, "cube_counts")
+        assert "Expand" in plan, plan
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, \
+            plan
+
+
 class TestTopNBeforeRankWindow:
     """Ranked-vocabulary reports must select their top-N with a
     distributed TakeOrderedAndProject BEFORE the (single-reducer)
