@@ -138,6 +138,22 @@ class TestCrossCorpusDedup:
         # identical new docs survive: only corpus matches can evict
         assert dedup.cross_corpus_dedup(new, corpus).count() == 2
 
+    def test_tiled_equals_untiled(self, spark, documents):
+        """A tiny bucket_cap forces multi-block tiling on every shared
+        shingle; the pair set must be identical to the effectively
+        untiled run (same guarantee as the self-join bucket test)."""
+        new = documents.filter(F.col("doc_id") % 4 == 0).limit(60)
+        corpus = documents.filter(F.col("doc_id") % 4 != 0).limit(120)
+        untiled = {(r["new_id"], r["corpus_id"], r["jaccard"]) for r in
+                   dedup.cross_corpus_jaccard_pairs(
+                       new, corpus, threshold=0.1,
+                       bucket_cap=10 ** 9).collect()}
+        tiled = {(r["new_id"], r["corpus_id"], r["jaccard"]) for r in
+                 dedup.cross_corpus_jaccard_pairs(
+                     new, corpus, threshold=0.1,
+                     bucket_cap=2).collect()}
+        assert tiled == untiled and len(tiled) > 0
+
     def test_valve_noop_below_cutoff(self, spark, documents):
         new = documents.filter(F.col("doc_id") % 4 == 0)
         corpus = documents.filter(F.col("doc_id") % 4 != 0)

@@ -138,6 +138,7 @@ class TestSkewSafeJoins:
         "dedup_ngram_jaccard_pairs", "dedup_winnow_pairs",
         "embedding_neardup_lsh", "contamination_check",
         "substring_dup_stats", "corpus_prep_pipeline",
+        "incremental_dedup_keepers",
     ])
     def test_bucket_self_joins_never_cartesian(self, spark, name):
         plan = plan_of(spark, name)

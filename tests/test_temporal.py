@@ -98,6 +98,34 @@ class TestAsofJoin:
                           tolerance="'5' MINUTE").collect()[0]["px"]
         assert near == 125.0 and gated is None
 
+    def test_null_right_value_not_skipped(self, spark):
+        """A NULL payload on the matched right row must come through as
+        NULL (pandas merge_asof semantics) — not fall through to an
+        older/farther row's non-null value, which would silently
+        violate tolerance and nearest-side gating."""
+        left = spark.createDataFrame(
+            [(1, 10, _ts(12))], "user_id INT, event_id INT, ts TIMESTAMP")
+        right = spark.createDataFrame(
+            [(1, _ts(0), 100.0), (1, _ts(10), None)],
+            "user_id INT, ts TIMESTAMP, px DOUBLE")
+        for d in ("backward", "nearest"):
+            got = asof_join(left, right, on="ts", by="user_id",
+                            right_cols=["px"], direction=d,
+                            tolerance="'5' MINUTE").collect()[0]["px"]
+            assert got is None, d
+        # and without tolerance: still the matched (NULL) row's value
+        got = asof_join(left, right, on="ts", by="user_id",
+                        right_cols=["px"]).collect()[0]["px"]
+        assert got is None
+        # forward mirror: next row has NULL, a farther one has a value
+        right_f = spark.createDataFrame(
+            [(1, _ts(15), None), (1, _ts(40), 200.0)],
+            "user_id INT, ts TIMESTAMP, px DOUBLE")
+        got = asof_join(left, right_f, on="ts", by="user_id",
+                        right_cols=["px"],
+                        direction="forward").collect()[0]["px"]
+        assert got is None
+
     def test_single_shuffle_all_directions(self, spark):
         """Every direction plans ONE exchange (the window sort on the
         key) — nearest's two frames must share it, and no direction may

@@ -29,19 +29,25 @@ from . import ensure_parallelism
 from ..functions.vectors import dot, lit_vector
 
 
-def _assign_expr(centroids: np.ndarray, vec_col: str):
+def _best_struct(centroids: np.ndarray, vec_col: str):
     """argmin_c ||x - c||^2 as a codegen-friendly argmax over structs:
     ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, and ||x||^2 is constant per
     row, so argmin is argmax of (x.c - ||c||^2 / 2). Struct ordering
     compares score first, then breaks ties on the HIGHER cid (struct
-    max) — deterministic either way."""
+    max) — deterministic either way. Returns the winning (score, cid)
+    struct: cid is the assignment, and the squared distance falls out
+    as ``||x||^2 - 2 * score`` without re-evaluating any dot product."""
     scored = F.array(*[
         F.struct((dot(F.col(vec_col), lit_vector(c))
                   - F.lit(float(np.dot(c, c)) / 2.0)).alias("score"),
                  F.lit(ci).alias("cid"))
         for ci, c in enumerate(centroids)
     ])
-    return F.array_max(scored)["cid"]
+    return F.array_max(scored)
+
+
+def _assign_expr(centroids: np.ndarray, vec_col: str):
+    return _best_struct(centroids, vec_col)["cid"]
 
 
 def assign_to_centroids(df: DataFrame, centroids,
@@ -122,7 +128,7 @@ def kmeans(df: DataFrame, n_clusters: int = 8,
         centroids = _farthest_point_init(base, n_clusters, vec_col,
                                          id_col, seed)
     else:
-        sample = (df.select(id_col, vec_col)
+        sample = (base.select(id_col, vec_col)
                   .orderBy(F.xxhash64(F.col(id_col).cast("string"),
                                       F.lit(seed)), F.col(id_col))
                   .limit(n_clusters).collect())
@@ -170,17 +176,17 @@ def cluster_report(df: DataFrame, n_clusters: int = 8,
     """
     assigned, centroids = kmeans(df, n_clusters, vec_col, id_col,
                                  iters, seed)
-    # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2, branch on cluster id
+    # one struct-argmax yields BOTH the assignment (cid) and the
+    # distance (||x||^2 - 2 * score) — no second bank of dot products;
+    # overwriting `cluster` lets Catalyst prune the original column and
+    # reuse kmeans' checkpointed lineage
+    best = _best_struct(centroids, vec_col)
     x2 = dot(F.col(vec_col), F.col(vec_col))
-    d2 = F.lit(None).cast("double")
-    expr = None
-    for ci, c in enumerate(centroids):
-        term = (x2 - 2.0 * dot(F.col(vec_col), lit_vector(c))
-                + F.lit(float(np.dot(c, c))))
-        expr = F.when(F.col("cluster") == ci, term) if expr is None \
-            else expr.when(F.col("cluster") == ci, term)
-    d2 = F.greatest(expr, F.lit(0.0))  # clamp float cancellation
-    return (assigned.select("cluster", d2.alias("__d2"))
+    scored = (assigned.withColumn("__best", best)
+              .withColumn("cluster", F.col("__best.cid")))
+    d2 = F.greatest(x2 - 2.0 * F.col("__best.score"),
+                    F.lit(0.0))  # clamp float cancellation
+    return (scored.select("cluster", d2.alias("__d2"))
             .groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("__d2"), 4).alias("inertia"),

@@ -109,6 +109,64 @@ def _bounded_bucket_pairs(entries: DataFrame, keys: list[str],
     out = l.join(r, cond).select(cols)
     return out.dropDuplicates(["id_a", "id_b"]) if distinct else out
 
+def _bounded_bipartite_pairs(a: DataFrame, b: DataFrame,
+                             keys: list[str],
+                             bucket_cap: int = 2000) -> DataFrame:
+    """All cross-side (a_id, b_id) same-bucket pairs — the bipartite
+    analog of :func:`_bounded_bucket_pairs`, with per-task pair work
+    bounded by ~``bucket_cap``^2 regardless of bucket size.
+
+    ``a`` has one row per (a_id, bucket), ``b`` one per (b_id, bucket).
+    Each side is salted into ``ceil(n_side / cap)`` groups by id hash
+    and the full grid of (salt_a, salt_b) blocks is enumerated — an A
+    row replicates to every B salt and vice versa, so a pair meets in
+    exactly ONE block and a hot bucket (s_a x s_b members) spreads its
+    s_a*s_b pair emissions over block tasks of ~cap^2 each. Attaching
+    the opposite side's count also prunes buckets present on one side
+    only before any fan-out. Emits one row per (bucket, pair); callers
+    aggregate co-occurrence counts.
+    """
+    ca = a.groupBy(*keys).agg(F.count(F.lit(1)).alias("__na"))
+    cb = b.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nb"))
+    ea = (a.join(ca, keys).join(cb, keys)
+          .withColumn("__sa", F.pmod(F.xxhash64("a_id"),
+                                     F.ceil(F.col("__na")
+                                            / F.lit(bucket_cap)))
+          .cast("int"))
+          .withColumn("__sb", F.explode(F.sequence(
+              F.lit(0), (F.ceil(F.col("__nb") / F.lit(bucket_cap))
+                         - 1).cast("int"))))
+          .drop("__na", "__nb"))
+    eb = (b.join(cb, keys).join(ca, keys)
+          .withColumn("__sb", F.pmod(F.xxhash64("b_id"),
+                                     F.ceil(F.col("__nb")
+                                            / F.lit(bucket_cap)))
+          .cast("int"))
+          .withColumn("__sa", F.explode(F.sequence(
+              F.lit(0), (F.ceil(F.col("__na") / F.lit(bucket_cap))
+                         - 1).cast("int"))))
+          .drop("__na", "__nb"))
+    return (ea.join(eb, [*keys, "__sa", "__sb"])
+            .select("a_id", "b_id"))
+
+
+def _doc_freq_valve(invs: list[DataFrame], key: str,
+                    max_doc_freq: int) -> list[DataFrame]:
+    """Drop ``key`` values whose combined document frequency across the
+    given inverted indexes exceeds ``max_doc_freq``; returns the
+    filtered (lazily checkpointed) indexes. Shared by the self-join and
+    bipartite jaccard joins so the valve semantics cannot diverge."""
+    all_keys = invs[0].select(key)
+    for inv in invs[1:]:
+        all_keys = all_keys.union(inv.select(key))
+    keep = (all_keys.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select(key))
+    return [inv.join(keep, key).localCheckpoint(eager=False)
+            for inv in invs]
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -683,11 +741,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     inv = (sh.select("id", F.explode("sh").alias("__s"))
            .select("id", F.xxhash64("__s").alias("shingle")))
     if max_doc_freq is not None:
-        keep = (inv.groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("__df"))
-                .filter(F.col("__df") <= max_doc_freq)
-                .select("shingle"))
-        inv = inv.join(keep, "shingle").localCheckpoint(eager=False)
+        inv, = _doc_freq_valve([inv], "shingle", max_doc_freq)
         sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     else:
         sizes = sh.select("id", F.size("sh").alias("n_sh"))
@@ -713,8 +767,8 @@ def cross_corpus_jaccard_pairs(new: DataFrame, corpus: DataFrame,
                                id_col: str = "doc_id",
                                k_shingle: int = 3,
                                threshold: float = 0.5,
-                               max_doc_freq: int | None = None
-                               ) -> DataFrame:
+                               max_doc_freq: int | None = None,
+                               bucket_cap: int = 2000) -> DataFrame:
     """Incremental-dedup join: exact jaccard pairs between a NEW batch
     and an EXISTING corpus (bipartite — new-vs-new pairs are not
     produced; dedup the batch internally with
@@ -727,9 +781,13 @@ def cross_corpus_jaccard_pairs(new: DataFrame, corpus: DataFrame,
     ``max_doc_freq`` (document frequency across BOTH sides, matching
     the self-join's whole-input semantics) drops boilerplate shingles
     from both indexes AND both size denominators, keeping jaccard a
-    true ratio over the surviving sets. A shingle in ``s_new`` batch
-    docs and ``s_cor`` corpus docs fans out ``s_new * s_cor`` pairs —
-    the valve is the skew control.
+    true ratio over the surviving sets.
+
+    Independently of that semantic knob, the shingle join is always
+    tiled by ``bucket_cap`` (:func:`_bounded_bipartite_pairs`): a
+    shingle in ``s_new`` batch docs and ``s_cor`` corpus docs fans out
+    ``s_new * s_cor`` pairs, and the grid tiling spreads them over
+    ~cap^2 block tasks instead of one straggler — result identical.
 
     Returns (new_id, corpus_id, jaccard).
     """
@@ -745,23 +803,24 @@ def cross_corpus_jaccard_pairs(new: DataFrame, corpus: DataFrame,
     cinv = (shc.select("corpus_id", F.explode("sh").alias("__s"))
             .select("corpus_id", F.xxhash64("__s").alias("shingle")))
     if max_doc_freq is not None:
-        both = ninv.select("shingle").union(cinv.select("shingle"))
-        keep = (both.groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("__df"))
-                .filter(F.col("__df") <= max_doc_freq)
-                .select("shingle"))
-        ninv = ninv.join(keep, "shingle").localCheckpoint(eager=False)
-        cinv = cinv.join(keep, "shingle").localCheckpoint(eager=False)
+        ninv, cinv = _doc_freq_valve([ninv, cinv], "shingle",
+                                     max_doc_freq)
         n_sizes = ninv.groupBy("new_id").agg(
             F.count(F.lit(1)).alias("n_a"))
         c_sizes = cinv.groupBy("corpus_id").agg(
             F.count(F.lit(1)).alias("n_b"))
     else:
+        ninv = ninv.localCheckpoint(eager=False)
+        cinv = cinv.localCheckpoint(eager=False)
         n_sizes = shn.select("new_id", F.size("sh").alias("n_a"))
         c_sizes = shc.select("corpus_id", F.size("sh").alias("n_b"))
 
-    inter = (ninv.join(cinv, "shingle")
-             .groupBy("new_id", "corpus_id")
+    inter = (_bounded_bipartite_pairs(
+                 ninv.select(F.col("new_id").alias("a_id"), "shingle"),
+                 cinv.select(F.col("corpus_id").alias("b_id"), "shingle"),
+                 ["shingle"], bucket_cap=bucket_cap)
+             .groupBy(F.col("a_id").alias("new_id"),
+                      F.col("b_id").alias("corpus_id"))
              .agg(F.count(F.lit(1)).alias("n_inter")))
     return (inter.join(n_sizes, "new_id").join(c_sizes, "corpus_id")
             .withColumn("jaccard",
@@ -775,14 +834,15 @@ def cross_corpus_jaccard_pairs(new: DataFrame, corpus: DataFrame,
 def cross_corpus_dedup(new: DataFrame, corpus: DataFrame,
                        text_col: str = "text", id_col: str = "doc_id",
                        k_shingle: int = 3, threshold: float = 0.5,
-                       max_doc_freq: int | None = None) -> DataFrame:
+                       max_doc_freq: int | None = None,
+                       bucket_cap: int = 2000) -> DataFrame:
     """Keep only the NEW-batch rows with no near-duplicate in the
     existing corpus (anti-join over :func:`cross_corpus_jaccard_pairs`
     — one extra shuffle on the id). The batch-admission filter of an
     incremental ingestion pipeline."""
     dup_ids = (cross_corpus_jaccard_pairs(
                    new, corpus, text_col, id_col, k_shingle, threshold,
-                   max_doc_freq)
+                   max_doc_freq, bucket_cap)
                .select(F.col("new_id").alias(id_col)).distinct())
     return new.join(dup_ids, id_col, "left_anti")
 

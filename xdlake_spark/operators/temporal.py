@@ -49,6 +49,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     (e.g. ``'2 hours'``) — farther matches become NULL; under
     ``nearest`` it gates each side before the closer one is chosen.
 
+    The right side should be unique per ``(by, on)`` — when several
+    right rows share a timestamp, which one's values are carried is
+    unspecified (the same caveat as pandas ``merge_asof`` and DuckDB
+    ``ASOF JOIN``); pre-aggregate to one row per key first.
+
     Plan: tag sides, union, one window sort over (by, on) carrying
     right values with ``last``/``first(ignorenulls)``; at equal ``on``
     the right row sorts toward the frame that should see it. ONE
@@ -77,60 +82,62 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         F.lit(r_side).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols])
 
+    # carry ONE struct per direction, not per-column values: the struct
+    # is non-null for every right row even when its payload columns are
+    # NULL, so last/first(ignorenulls) always picks the row that
+    # actually matched — carrying columns individually would let a NULL
+    # payload fall through to an older/farther row's value (violating
+    # tolerance and nearest-side gating; pandas merge_asof returns NaN)
     unioned = l_tagged.unionByName(r_tagged)
+    is_r = F.col("__side") == F.lit(r_side)
+    rs = F.when(is_r, F.struct(
+        F.col(on).alias("__rts"),
+        *[F.col(f"__r_{c}").alias(c) for c in right_cols]))
     base_w = Window.partitionBy(by).orderBy(on, "__side")
     wb = base_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wf = base_w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    is_r = F.col("__side") == F.lit(r_side)
 
     carry = []
     if direction in ("backward", "nearest"):
-        carry += [F.last(f"__r_{c}", ignorenulls=True).over(wb)
-                  .alias(f"__b_{c}") for c in right_cols]
-        carry.append(F.max(F.when(is_r, F.col(on))).over(wb)
-                     .alias("__b_ts"))
+        carry.append(F.last(rs, ignorenulls=True).over(wb).alias("__b"))
     if direction in ("forward", "nearest"):
-        carry += [F.first(f"__r_{c}", ignorenulls=True).over(wf)
-                  .alias(f"__f_{c}") for c in right_cols]
-        carry.append(F.min(F.when(is_r, F.col(on))).over(wf)
-                     .alias("__f_ts"))
+        carry.append(F.first(rs, ignorenulls=True).over(wf).alias("__f"))
     carried = unioned.select(*lcols, "__side", *carry)
     out = carried.filter(F.col("__side") == l_side)
+    b_ts, f_ts = F.col("__b.__rts"), F.col("__f.__rts")
 
     def fresh_back():
-        return F.col("__b_ts") >= F.col(on) - F.expr(
-            f"INTERVAL {tolerance}")
+        return b_ts >= F.col(on) - F.expr(f"INTERVAL {tolerance}")
 
     def fresh_fwd():
-        return F.col("__f_ts") <= F.col(on) + F.expr(
-            f"INTERVAL {tolerance}")
+        return f_ts <= F.col(on) + F.expr(f"INTERVAL {tolerance}")
 
     if direction == "backward":
         keep = fresh_back() if tolerance is not None else F.lit(True)
         return out.select(
-            *lcols, *[F.when(keep, F.col(f"__b_{c}")).alias(c)
+            *lcols, *[F.when(keep, F.col(f"__b.{c}")).alias(c)
                       for c in right_cols])
     if direction == "forward":
         keep = fresh_fwd() if tolerance is not None else F.lit(True)
         return out.select(
-            *lcols, *[F.when(keep, F.col(f"__f_{c}")).alias(c)
+            *lcols, *[F.when(keep, F.col(f"__f.{c}")).alias(c)
                       for c in right_cols])
 
     # nearest: gate each side by tolerance, then take the closer match
     # (cast to double = epoch seconds for timestamps, identity for
     # numerics — subtraction-safe either way)
-    b_ok = F.col("__b_ts").isNotNull()
-    f_ok = F.col("__f_ts").isNotNull()
+    b_ok = b_ts.isNotNull()
+    f_ok = f_ts.isNotNull()
     if tolerance is not None:
         b_ok = b_ok & fresh_back()
         f_ok = f_ok & fresh_fwd()
-    d_back = F.col(on).cast("double") - F.col("__b_ts").cast("double")
-    d_fwd = F.col("__f_ts").cast("double") - F.col(on).cast("double")
+    d_back = F.col(on).cast("double") - b_ts.cast("double")
+    d_fwd = f_ts.cast("double") - F.col(on).cast("double")
     choose_back = b_ok & (~f_ok | (d_back <= d_fwd))
     return out.select(
         *lcols,
-        *[F.when(choose_back, F.col(f"__b_{c}"))
-          .when(f_ok, F.col(f"__f_{c}")).alias(c)
+        *[F.when(choose_back, F.col(f"__b.{c}"))
+          .when(f_ok, F.col(f"__f.{c}")).alias(c)
           for c in right_cols])
 
 

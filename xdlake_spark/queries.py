@@ -1296,7 +1296,8 @@ def events_histogram_q(spark, sf_dir):
 
 
 @register("events_json_extract", """
-SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decade,
+SELECT CAST(floor(CAST(json_extract(props, '$.k') AS BIGINT) / 10.0)
+            AS BIGINT) AS k_decade,
        count(*) AS n,
        round(sum(value), 2) AS sum_value,
        count(DISTINCT user_id) AS n_users
