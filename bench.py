@@ -77,7 +77,9 @@ HEADLINE = [
     "substring_dup_stats",
     "dedup_connected_components",
     "contamination_check",
+    "incremental_dedup_keepers",
     "embedding_neardup_pairs",
+    "embedding_assign_nearest",
     "semantic_dedup_keepers",
     "similarity_topk_cosine",
     "knn_join_labels",
