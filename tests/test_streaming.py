@@ -50,6 +50,37 @@ class TestStreamIngest:
         assert t.to_df().count() == 200
 
 
+class TestStreamStaticJoin:
+    def test_stream_enriched_by_broadcast_dim(self, spark, tmp_table_dir,
+                                              events):
+        """Stream-static join: a streaming fact source enriched by a
+        broadcast static dimension — the standard streaming-ETL
+        enrichment shape (the dim re-resolves per micro-batch, no state
+        store involved). Verified batch-vs-stream equivalent."""
+        src = f"{tmp_table_dir}/facts"
+        events.limit(400).write.parquet(src)
+        dim = (events.select("user_id").distinct()
+               .withColumn("user_tier",
+                           F.when(F.col("user_id") % 3 == 0, "gold")
+                           .otherwise("basic")))
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        out_dir = f"{tmp_table_dir}/enriched"
+        q = (stream.join(F.broadcast(dim), "user_id")
+             .select("event_id", "user_id", "user_tier")
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", f"{tmp_table_dir}/ck2")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["event_id"], r["user_tier"])
+               for r in spark.read.parquet(out_dir).collect()}
+        want = {(r["event_id"], r["user_tier"])
+                for r in spark.read.parquet(src)
+                .join(dim, "user_id")
+                .select("event_id", "user_tier").collect()}
+        assert got == want and len(got) == 400
+
+
 class TestWindows:
     def test_tumbling_batch_counts_total(self, spark, events):
         out = tumbling_window_counts(events, window="1 hour")

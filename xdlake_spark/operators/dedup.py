@@ -261,9 +261,13 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     """
     # checkpoint the RAW pair projection once — e, nodes, and the
     # driver collect all derive from it, so the (possibly expensive)
-    # upstream pair pipeline is evaluated exactly once
+    # upstream pair pipeline is evaluated exactly once. LAZY: the first
+    # consumer (_stats on e) materializes it through the normal AQE
+    # path; eager=True goes through the non-adaptive df.rdd
+    # materialization, which measured ~8 s of pure overhead on the
+    # sf0.1 pair pipeline (7.4 s eager vs 0.4 s lazy+count)
     raw = (edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-           .localCheckpoint())
+           .localCheckpoint(eager=False))
     # lazy checkpoints: e is materialized by the first _stats job, nodes
     # by whichever action reads it first — no standalone warmup jobs
     e = (raw.filter(F.col("u") != F.col("v"))
