@@ -222,6 +222,16 @@ class TestPivotShape:
             plan
 
 
+class TestRangeFrameWindow:
+    def test_trailing_avg_single_shuffle_window(self, spark):
+        """The RANGE-frame trailing average is one Exchange on user_id
+        plus one Window — no join, no extra shuffle."""
+        plan = plan_of(spark, "events_trailing_avg")
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, \
+            plan
+        assert plan.count("Window") == 1 and "Join" not in plan, plan
+
+
 class TestTopNBeforeRankWindow:
     """Ranked-vocabulary reports must select their top-N with a
     distributed TakeOrderedAndProject BEFORE the (single-reducer)
