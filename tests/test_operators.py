@@ -1526,6 +1526,33 @@ class TestBigramLogprob:
         assert got[2] > got[1]
 
 
+class TestLeakageSafeSplit:
+    def test_components_monochromatic_and_unpaired_match_hash_split(
+            self, spark, documents):
+        from xdlake_spark.operators import sampling
+        pairs = dedup.ngram_jaccard_pairs(documents, k_shingle=3,
+                                          threshold=0.2)
+        out = sampling.leakage_safe_split(documents, pairs)
+        rows = {r["doc_id"]: r["split"]
+                for r in out.select("doc_id", "split").collect()}
+        # every near-dup pair shares a split (transitively: components)
+        leaked = [(r["id_a"], r["id_b"]) for r in pairs.collect()
+                  if rows[r["id_a"]] != rows[r["id_b"]]]
+        assert leaked == []
+        # docs in no pair split exactly as plain hash_split would
+        paired = {x for r in pairs.collect()
+                  for x in (r["id_a"], r["id_b"])}
+        plain = {r["doc_id"]: r["split"] for r in sampling.hash_split(
+            documents, "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1})
+            .select("doc_id", "split").collect()}
+        for d, s in rows.items():
+            if d not in paired:
+                assert s == plain[d], d
+        # all three splits are populated at this corpus size
+        assert set(rows.values()) == {"train", "val", "test"}
+
+
 class TestKmeans:
     @staticmethod
     def _blobs(spark, n_per=40):

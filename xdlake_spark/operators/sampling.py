@@ -115,3 +115,41 @@ def shuffle_order(df: DataFrame, id_col: str,
     return (df.withColumn("shuffle_key", key)
             .withColumn("shard", F.pmod(F.col("shuffle_key"),
                                         F.lit(n_shards))))
+
+
+def leakage_safe_split(df: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       weights: dict[str, float] | None = None,
+                       id_a: str = "id_a", id_b: str = "id_b"
+                       ) -> DataFrame:
+    """Train/val/test split that keeps every near-duplicate component in
+    ONE split — the leakage-safe version of :func:`hash_split`.
+
+    A plain per-document hash split puts two near-identical documents
+    in train and test with probability ~2·p·(1-p): the classic
+    train/test contamination that inflates eval scores. Here each
+    document is first labeled with its connected-component
+    representative (min reachable id, via
+    ``dedup.connected_components`` over the near-dup ``pairs``;
+    unpaired documents represent themselves), and the Knuth hash split
+    is applied to the REPRESENTATIVE — so a whole dup cluster moves as
+    a unit, and unpaired docs split exactly as ``hash_split`` would.
+
+    Scale shape: the component labeling is the star-contraction (or the
+    size-gated union-find) plus one left join on the id; the split
+    itself is a pure column expression. Deterministic by construction,
+    hence DuckDB-oracle-checkable end to end (recursive-CTE components
+    + the same multiplicative-hash CASE).
+
+    Returns ``df`` plus ``split``.
+    """
+    from .dedup import connected_components
+
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    comp = (connected_components(pairs, id_a=id_a, id_b=id_b)
+            .withColumnRenamed("id", id_col))
+    labeled = (df.join(comp, id_col, "left")
+               .withColumn("__rep", F.coalesce(F.col("component"),
+                                               F.col(id_col))))
+    return hash_split(labeled, "__rep", weights) \
+        .drop("__rep", "component")

@@ -2118,6 +2118,46 @@ def dedup_neardup_keepers(spark, sf_dir):
             .select("doc_id", "lang"))
 
 
+@register("leakage_safe_split", f"""
+WITH RECURSIVE pairs AS (
+{_NGRAM_PAIRS_SQL}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM edges
+), reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+), bucketed AS (
+  SELECT doc_id, lang,
+         ((coalesce(component, doc_id) * 2654435761) % 10000 + 10000)
+             % 10000 AS bucket
+  FROM documents LEFT JOIN comp ON comp.id = doc_id
+)
+SELECT doc_id, lang,
+       CASE WHEN bucket < 1000 THEN 'test'
+            WHEN bucket < 9000 THEN 'train'
+            ELSE 'val' END AS split
+FROM bucketed
+""")
+def leakage_safe_split_q(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/sampling.py
+    leakage_safe_split): every near-dup component lands in exactly one
+    split — the contamination-proof version of hash_split. Oracle
+    rebuilds components with a recursive CTE and applies the identical
+    multiplicative-hash CASE."""
+    from .operators import sampling
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.2)
+    return (sampling.leakage_safe_split(d, pairs)
+            .select("doc_id", "lang", "split"))
+
+
 #: Deterministic 64-dim query vector shared by Spark and oracle literals.
 QUERY_VEC = [round((1.0 if i % 3 == 0 else (0.5 if i % 3 == 1 else -0.5))
                    * (1 + i / 64.0), 6) for i in range(64)]
