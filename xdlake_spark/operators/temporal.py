@@ -344,7 +344,7 @@ def bucket_gapfill(events: DataFrame, ts_col: str = "ts",
            .select(F.col(series_col).alias("series"), b.alias("bucket"),
                    F.col(value_col).alias("__v"))
            .groupBy("series", "bucket")
-           .agg(F.count(F.lit(1)).alias("__n"), F.avg("__v").alias("__a"))
+           .agg(F.count(F.lit(1)).alias("__n"), F.sum("__v").alias("__s"))
            .localCheckpoint(eager=False))  # feeds rng, series, and join
     rng = agg.agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
     series = agg.select("series").distinct()
@@ -354,18 +354,36 @@ def bucket_gapfill(events: DataFrame, ts_col: str = "ts",
                         F.col("__lo"), F.col("__hi"),
                         F.expr(f"interval 1 {bucket}"))).alias("bucket")))
     j = grid.join(agg, ["series", "bucket"], "left")
+
+    def snap_avg(s, n):
+        # cross-engine-stable average: snap the SUM to 2 decimals (a
+        # boundary so coarse a 1-ulp accumulation difference cannot
+        # flip it), then divide and truncate with floor — identical
+        # input doubles make every later float op bit-identical. A raw
+        # round(avg, 6) is unstable two ways: independent accumulation
+        # orders differ by ulps, and Spark's round() rounds the
+        # shortest decimal repr (HALF_UP on "...5") while DuckDB
+        # rounds the true binary value.
+        return F.floor(F.round(s, 2) / n * 1000000) / 1000000
+
     out = j.select(
         "series", "bucket",
         F.coalesce("__n", F.lit(0)).alias("n_events"),
-        F.round("__a", 6).alias("avg_value"),
-        F.col("__a").alias("__raw"),
+        snap_avg(F.col("__s"), F.col("__n")).alias("avg_value"),
+        F.col("__s").alias("__raw_s"),
+        F.col("__n").alias("__raw_n"),
         F.col("__n").isNull().alias("is_gap"))
     if locf:
         w = (Window.partitionBy("series").orderBy("bucket")
              .rowsBetween(Window.unboundedPreceding, 0))
+        # __raw_s and __raw_n are null on exactly the same (gap) rows,
+        # so the two ignorenulls-lasts pick the same source row
         out = out.withColumn(
             "value_locf",
-            F.round(F.last("__raw", ignorenulls=True).over(w), 6))
+            snap_avg(F.last("__raw_s", ignorenulls=True).over(w),
+                     F.last("__raw_n", ignorenulls=True).over(w)))
+    out = out.drop("__raw_n")
+    out = out.withColumnRenamed("__raw_s", "__raw")
     return out.drop("__raw").select(
         "series", "bucket", "n_events", "avg_value",
         *(["value_locf"] if locf else []), "is_gap")

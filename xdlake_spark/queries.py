@@ -546,11 +546,20 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*)             AS n_events,
        round(sum(value), 2) AS sum_value,
-       round(avg(value), 4) AS avg_value
+       floor(round(sum(value), 2) / count(*) * 10000) / 10000
+           AS avg_value
 FROM events
 GROUP BY 1, 2
 """)
 def events_hourly(spark, sf_dir):
+    """Hourly tumbling aggregate. avg_value is the snapped sum divided
+    by the count, TRUNCATED with floor(x*1e4)/1e4 rather than round():
+    Spark's round() rounds the double's shortest decimal repr
+    ("47.25375" -> 47.2538 half-up) while DuckDB rounds the true binary
+    value (47.2537499... -> 47.2537), so identical doubles can round
+    apart at a boundary (observed at sf0.1, 1512.12/32). floor is pure
+    float arithmetic — bit-identical in both engines given identical
+    inputs."""
     ev = _t(spark, sf_dir, "events")
     out = tumbling_window_counts(ev, window="1 hour")
     return out.select(
@@ -558,7 +567,8 @@ def events_hourly(spark, sf_dir):
         .alias("window_start"),
         "event_type", "n_events",
         F.round("sum_value", 2).alias("sum_value"),
-        F.round("avg_value", 4).alias("avg_value"))
+        (F.floor(F.round("sum_value", 2) / F.col("n_events")
+                 * 10000) / 10000).alias("avg_value"))
 
 
 @register("user_sessions", """
@@ -2446,7 +2456,7 @@ def multimodal_frames(spark, sf_dir):
 @register("events_gapfill_locf", """
 WITH agg AS (
   SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
-         count(*) AS n, avg(value) AS v
+         count(*) AS n, sum(value) AS s
   FROM events GROUP BY 1, 2
 ), rng AS (
   SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg
@@ -2456,15 +2466,19 @@ WITH agg AS (
   SELECT series, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
   FROM series CROSS JOIN rng
 ), j AS (
-  SELECT g.series, g.bucket, a.n, a.v
+  SELECT g.series, g.bucket, a.n, a.s
   FROM grid g LEFT JOIN agg a USING (series, bucket)
 )
 SELECT series, bucket,
        CAST(coalesce(n, 0) AS BIGINT) AS n_events,
-       round(v, 6) AS avg_value,
-       round(last_value(v IGNORE NULLS) OVER (
-           PARTITION BY series ORDER BY bucket
-           ROWS UNBOUNDED PRECEDING), 6) AS value_locf,
+       floor(round(s, 2) / n * 1000000) / 1000000 AS avg_value,
+       floor(round(last_value(s IGNORE NULLS) OVER (
+                 PARTITION BY series ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING), 2)
+             / last_value(n IGNORE NULLS) OVER (
+                 PARTITION BY series ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) * 1000000) / 1000000
+           AS value_locf,
        (n IS NULL) AS is_gap
 FROM j
 """)
