@@ -445,24 +445,29 @@ def customer_deciles(spark, sf_dir):
 
 @register("events_trailing_avg", """
 SELECT event_id,
-       round(avg(value) OVER (
-           PARTITION BY user_id ORDER BY epoch_us(ts)
-           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
-           AS trailing_avg
+       floor(round(sum(value) OVER w, 2) / count(*) OVER w * 10000)
+           / 10000 AS trailing_avg
 FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """)
 def events_trailing_avg_q(spark, sf_dir):
     """Trailing 1-hour per-user average — a RANGE window frame keyed on
     epoch microseconds (exact in both engines; an interval frame over
     the raw timestamp would round differently). One shuffle on user_id;
-    the frame is evaluated streaming within each partition."""
+    the frame is evaluated streaming within each partition. The average
+    derives from the 2-decimal-snapped frame sum and a floor-truncated
+    quotient — the cross-engine-stable form (see bucket_gapfill's
+    snap_avg for the two failure modes a raw round(avg) has)."""
     ev = _t(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = (Window.partitionBy("user_id").orderBy(us.alias("__us"))
          .rangeBetween(-3_600_000_000, 0))
-    return ev.select("event_id",
-                     F.round(F.avg("value").over(w), 4)
-                     .alias("trailing_avg"))
+    return ev.select(
+        "event_id",
+        (F.floor(F.round(F.sum("value").over(w), 2)
+                 / F.count(F.lit(1)).over(w) * 10000) / 10000)
+        .alias("trailing_avg"))
 
 
 @register("lineitem_unpivot", """
