@@ -41,6 +41,12 @@ HEADLINE = [
     "q5_revenue_by_nation",
     "filter_predicate_ops",
     "window_top_order_per_customer",
+    "cube_counts",
+    "customer_value_deciles",
+    "lineitem_unpivot",
+    "events_pivot_types",
+    "events_json_extract",
+    "events_trailing_avg",
     "events_hourly_tumbling",
     "events_session_windows",
     "events_gapfill_locf",
@@ -88,6 +94,7 @@ HEADLINE = [
     "pack_sequences_running_sum",
     "chunk_and_pack",
     "pack_first_fit_stats",
+    "leakage_safe_split",
 ]
 
 
