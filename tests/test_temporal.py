@@ -164,6 +164,95 @@ class TestAsofJoin:
         assert out.filter(F.col("n").isNull()).count() == 0
 
 
+class TestAsofDifferentialVsPandas:
+    def test_random_tables_all_directions(self, spark):
+        """Randomized differential test: 40 random (left, right) group
+        scenarios — varying densities, empty right sides, duplicate
+        left timestamps, NULL payloads — joined in ONE Spark call per
+        direction and compared row-for-row against pandas merge_asof
+        (an independent reference implementation)."""
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(1234)
+        lrows, rrows = [], []
+        base = datetime.datetime(2024, 1, 1)
+        eid = 0
+        for g in range(40):
+            n_l = int(rng.integers(1, 12))
+            n_r = int(rng.integers(0, 10))  # sometimes empty
+            for _ in range(n_l):
+                eid += 1
+                lrows.append((g, eid, base + datetime.timedelta(
+                    seconds=int(rng.integers(0, 3600)))))
+            for _ in range(n_r):
+                ts = base + datetime.timedelta(
+                    seconds=int(rng.integers(0, 3600)))
+                px = None if rng.random() < 0.15 \
+                    else round(float(rng.uniform(1, 100)), 2)
+                rrows.append((g, ts, px))
+        lpdf = pd.DataFrame(lrows, columns=["user_id", "event_id", "ts"])
+        # pandas merge_asof requires unique right keys per time for a
+        # well-defined answer — dedup right on (group, ts)
+        rpdf = (pd.DataFrame(rrows, columns=["user_id", "ts", "px"])
+                .drop_duplicates(["user_id", "ts"]))
+        left = spark.createDataFrame(lpdf)
+        right = spark.createDataFrame(rpdf)
+
+        def norm(v):
+            # createDataFrame maps pandas NaN payloads to Spark NaN
+            # (not NULL); both encode "missing px" here
+            return None if v is None or pd.isna(v) else v
+
+        for d in ("backward", "forward", "nearest"):
+            got = {r["event_id"]: norm(r["px"])
+                   for r in asof_join(left, right, on="ts", by="user_id",
+                                      right_cols=["px"],
+                                      direction=d).collect()}
+            exp = pd.merge_asof(
+                lpdf.sort_values("ts", kind="stable"),
+                rpdf.sort_values("ts", kind="stable"),
+                on="ts", by="user_id", direction=d)
+            for _, row in exp.iterrows():
+                e = norm(row["px"])
+                assert got[row["event_id"]] == e, \
+                    (d, row["event_id"], got[row["event_id"]], e)
+
+    def test_tolerance_matches_pandas(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(77)
+        base = datetime.datetime(2024, 1, 1)
+        lpdf = pd.DataFrame(
+            [(g, 100 * g + i, base + datetime.timedelta(
+                seconds=int(rng.integers(0, 1800))))
+             for g in range(15) for i in range(int(rng.integers(1, 6)))],
+            columns=["user_id", "event_id", "ts"])
+        rpdf = pd.DataFrame(
+            [(g, base + datetime.timedelta(
+                seconds=int(rng.integers(0, 1800))),
+              round(float(rng.uniform(1, 9)), 2))
+             for g in range(15) for _ in range(int(rng.integers(0, 4)))],
+            columns=["user_id", "ts", "px"]).drop_duplicates(
+                ["user_id", "ts"])
+        left = spark.createDataFrame(lpdf)
+        right = spark.createDataFrame(rpdf)
+        for d in ("backward", "forward", "nearest"):
+            got = {r["event_id"]: r["px"]
+                   for r in asof_join(left, right, on="ts", by="user_id",
+                                      right_cols=["px"], direction=d,
+                                      tolerance="'3' MINUTE").collect()}
+            exp = pd.merge_asof(
+                lpdf.sort_values("ts", kind="stable"),
+                rpdf.sort_values("ts", kind="stable"),
+                on="ts", by="user_id", direction=d,
+                tolerance=pd.Timedelta("3min"))
+            for _, row in exp.iterrows():
+                e = None if pd.isna(row["px"]) else row["px"]
+                assert got[row["event_id"]] == e, (d, row["event_id"])
+
+
 class TestRangeJoin:
     def test_open_closed_bounds(self, spark):
         left = spark.createDataFrame([(1, 1, _ts(0))],
