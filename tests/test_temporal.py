@@ -312,6 +312,49 @@ class TestBucketGapfill:
         assert got[("B", 1)] == (1, 7.0, 7.0, False)
         assert got[("B", 3)] == (0, None, 7.0, True)      # carried fwd
 
+    def test_all_null_value_bucket_keeps_locf_pair_aligned(self, spark):
+        """A bucket whose rows all have NULL values has a row count but
+        no sum — the LOCF carry must take sum AND count from the same
+        observed bucket (regression: independent ignorenulls-lasts
+        paired hour1's sum with hour2's count, halving the carry)."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from xdlake_spark.operators.temporal import bucket_gapfill
+        t0 = dt.datetime(2024, 1, 1, 0, 30)
+        rows = [("A", t0, 2.0),
+                ("A", t0 + dt.timedelta(hours=1), None),
+                ("A", t0 + dt.timedelta(hours=1), None),
+                ("A", t0 + dt.timedelta(hours=2), None)]
+        # DDL schema, not pandas: pandas converts None -> NaN, which
+        # Spark treats as a VALUE (sum = NaN), not a NULL
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double")
+        got = {r["bucket"].hour: (r["n_events"], r["avg_value"],
+                                  r["value_locf"], r["is_gap"])
+               for r in bucket_gapfill(df).collect()}
+        assert got[0] == (1, 2.0, 2.0, False)
+        # hour 1: two rows, no values -> no average, carry hour 0's 2.0
+        # (NOT 2.0/2=1.0 from the misaligned pair)
+        assert got[1] == (2, None, 2.0, False)
+        assert got[2] == (1, None, 2.0, False)
+
+    def test_partially_null_bucket_divides_by_value_count(self, spark):
+        """avg_value matches F.avg semantics: NULL values don't count
+        in the denominator."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from xdlake_spark.operators.temporal import bucket_gapfill
+        t0 = dt.datetime(2024, 1, 1, 0, 30)
+        df = spark.createDataFrame(
+            [("A", t0, 4.0), ("A", t0, None)],
+            "event_type string, ts timestamp, value double")
+        r = bucket_gapfill(df).collect()[0]
+        assert (r["n_events"], r["avg_value"]) == (2, 4.0)
+
     def test_no_locf_mode(self, spark):
         import datetime as dt
 

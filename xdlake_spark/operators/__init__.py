@@ -73,3 +73,28 @@ def arrow_gate(df: DataFrame, threshold: int = 2000) -> bool:
     if est is None:
         est = df.count()
     return est >= threshold
+
+
+def snapped_avg(sum_col, count_col, decimals: int = 6):
+    """Cross-engine-stable small-count average:
+    ``floor(round(sum, 2) / count * 10^decimals) / 10^decimals``.
+
+    A raw ``round(avg(x), N)`` diverges between Spark and an oracle
+    engine two ways: (1) independently accumulated sums differ by ulps,
+    and (2) Spark's ``round()`` rounds the double's shortest decimal
+    repr (HALF_UP on "...5") while DuckDB rounds the true binary value
+    — 2-decimal data summed and divided by power-of-two counts lands on
+    those "...5" boundaries constantly. Snapping the SUM to 2 decimals
+    first makes both engines divide (almost always) identical doubles,
+    and the floor truncation is pure float arithmetic — bit-identical
+    given identical inputs. Residual risk: the snap itself flips only
+    when the sum sits within an ulp of a .005 boundary, orders of
+    magnitude rarer than the average-boundary case (and absent from
+    terminating 2-decimal data). Oracles must mirror the exact same
+    expression. Used by every small-count-average query (gapfill,
+    tumbling, trailing windows).
+    """
+    from pyspark.sql import functions as F
+
+    scale = 10 ** decimals
+    return F.floor(F.round(sum_col, 2) / count_col * scale) / scale

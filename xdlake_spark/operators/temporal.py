@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from . import ensure_parallelism
+from . import ensure_parallelism, snapped_avg
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
@@ -344,7 +344,9 @@ def bucket_gapfill(events: DataFrame, ts_col: str = "ts",
            .select(F.col(series_col).alias("series"), b.alias("bucket"),
                    F.col(value_col).alias("__v"))
            .groupBy("series", "bucket")
-           .agg(F.count(F.lit(1)).alias("__n"), F.sum("__v").alias("__s"))
+           .agg(F.count(F.lit(1)).alias("__n"),      # rows (n_events)
+                F.count("__v").alias("__nv"),        # non-null values
+                F.sum("__v").alias("__s"))
            .localCheckpoint(eager=False))  # feeds rng, series, and join
     rng = agg.agg(F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi"))
     series = agg.select("series").distinct()
@@ -355,35 +357,28 @@ def bucket_gapfill(events: DataFrame, ts_col: str = "ts",
                         F.expr(f"interval 1 {bucket}"))).alias("bucket")))
     j = grid.join(agg, ["series", "bucket"], "left")
 
-    def snap_avg(s, n):
-        # cross-engine-stable average: snap the SUM to 2 decimals (a
-        # boundary so coarse a 1-ulp accumulation difference cannot
-        # flip it), then divide and truncate with floor — identical
-        # input doubles make every later float op bit-identical. A raw
-        # round(avg, 6) is unstable two ways: independent accumulation
-        # orders differ by ulps, and Spark's round() rounds the
-        # shortest decimal repr (HALF_UP on "...5") while DuckDB
-        # rounds the true binary value.
-        return F.floor(F.round(s, 2) / n * 1000000) / 1000000
-
+    # last OBSERVED (sum, value-count) carried as ONE struct — non-null
+    # only where a sum exists, so the ignorenulls-last cannot pair a
+    # sum and a count from different buckets (an all-NULL-values bucket
+    # has a count but no sum); same pattern as asof_join's payload
+    # carry. The average divides by the non-null VALUE count (F.avg
+    # semantics), not the row count.
+    obs = F.when(F.col("__s").isNotNull(),
+                 F.struct(F.col("__s").alias("s"),
+                          F.col("__nv").alias("nv")))
     out = j.select(
         "series", "bucket",
         F.coalesce("__n", F.lit(0)).alias("n_events"),
-        snap_avg(F.col("__s"), F.col("__n")).alias("avg_value"),
-        F.col("__s").alias("__raw_s"),
-        F.col("__n").alias("__raw_n"),
+        snapped_avg(F.col("__s"), F.col("__nv")).alias("avg_value"),
+        obs.alias("__obs"),
         F.col("__n").isNull().alias("is_gap"))
     if locf:
         w = (Window.partitionBy("series").orderBy("bucket")
              .rowsBetween(Window.unboundedPreceding, 0))
-        # __raw_s and __raw_n are null on exactly the same (gap) rows,
-        # so the two ignorenulls-lasts pick the same source row
+        last_obs = F.last("__obs", ignorenulls=True).over(w)
         out = out.withColumn(
             "value_locf",
-            snap_avg(F.last("__raw_s", ignorenulls=True).over(w),
-                     F.last("__raw_n", ignorenulls=True).over(w)))
-    out = out.drop("__raw_n")
-    out = out.withColumnRenamed("__raw_s", "__raw")
-    return out.drop("__raw").select(
+            snapped_avg(last_obs["s"], last_obs["nv"]))
+    return out.select(
         "series", "bucket", "n_events", "avg_value",
         *(["value_locf"] if locf else []), "is_gap")

@@ -445,7 +445,7 @@ def customer_deciles(spark, sf_dir):
 
 @register("events_trailing_avg", """
 SELECT event_id,
-       floor(round(sum(value) OVER w, 2) / count(*) OVER w * 10000)
+       floor(round(sum(value) OVER w, 2) / count(value) OVER w * 10000)
            / 10000 AS trailing_avg
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -456,18 +456,18 @@ def events_trailing_avg_q(spark, sf_dir):
     epoch microseconds (exact in both engines; an interval frame over
     the raw timestamp would round differently). One shuffle on user_id;
     the frame is evaluated streaming within each partition. The average
-    derives from the 2-decimal-snapped frame sum and a floor-truncated
-    quotient — the cross-engine-stable form (see bucket_gapfill's
-    snap_avg for the two failure modes a raw round(avg) has)."""
+    is operators.snapped_avg over the frame sum and non-null value
+    count — the cross-engine-stable form (see its docstring for the
+    two failure modes a raw round(avg) has)."""
+    from .operators import snapped_avg
     ev = _t(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = (Window.partitionBy("user_id").orderBy(us.alias("__us"))
          .rangeBetween(-3_600_000_000, 0))
     return ev.select(
         "event_id",
-        (F.floor(F.round(F.sum("value").over(w), 2)
-                 / F.count(F.lit(1)).over(w) * 10000) / 10000)
-        .alias("trailing_avg"))
+        snapped_avg(F.sum("value").over(w), F.count("value").over(w),
+                    decimals=4).alias("trailing_avg"))
 
 
 @register("lineitem_unpivot", """
@@ -551,20 +551,18 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*)             AS n_events,
        round(sum(value), 2) AS sum_value,
-       floor(round(sum(value), 2) / count(*) * 10000) / 10000
+       floor(round(sum(value), 2) / count(value) * 10000) / 10000
            AS avg_value
 FROM events
 GROUP BY 1, 2
 """)
 def events_hourly(spark, sf_dir):
-    """Hourly tumbling aggregate. avg_value is the snapped sum divided
-    by the count, TRUNCATED with floor(x*1e4)/1e4 rather than round():
-    Spark's round() rounds the double's shortest decimal repr
-    ("47.25375" -> 47.2538 half-up) while DuckDB rounds the true binary
-    value (47.2537499... -> 47.2537), so identical doubles can round
-    apart at a boundary (observed at sf0.1, 1512.12/32). floor is pure
-    float arithmetic — bit-identical in both engines given identical
-    inputs."""
+    """Hourly tumbling aggregate. avg_value uses operators.snapped_avg
+    (see its docstring for the two cross-engine instabilities a raw
+    round(avg) has — observed here at sf0.1, 1512.12/32 = 47.25375);
+    the denominator is the non-null VALUE count (avg semantics), not
+    the row count."""
+    from .operators import snapped_avg
     ev = _t(spark, sf_dir, "events")
     out = tumbling_window_counts(ev, window="1 hour")
     return out.select(
@@ -572,8 +570,8 @@ def events_hourly(spark, sf_dir):
         .alias("window_start"),
         "event_type", "n_events",
         F.round("sum_value", 2).alias("sum_value"),
-        (F.floor(F.round("sum_value", 2) / F.col("n_events")
-                 * 10000) / 10000).alias("avg_value"))
+        snapped_avg(F.col("sum_value"), F.col("n_values"),
+                    decimals=4).alias("avg_value"))
 
 
 @register("user_sessions", """
@@ -2079,10 +2077,11 @@ def incremental_dedup_q(spark, sf_dir):
 
 _NGRAM_PAIRS_SQL = REGISTRY["dedup_ngram_jaccard_pairs"][1]
 
-@register("dedup_connected_components", f"""
-WITH RECURSIVE pairs AS (
-{_NGRAM_PAIRS_SQL}
-), edges AS (
+#: Recursive-CTE connected components over the near-dup pair graph —
+#: shared verbatim by every component-based oracle so the reachability
+#: semantics cannot drift between them. Expects a `pairs`(id_a, id_b)
+#: CTE in scope; defines `comp`(id, component = min reachable id).
+_COMPONENTS_SQL = """edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
   SELECT id_b, id_a FROM pairs
@@ -2092,8 +2091,15 @@ WITH RECURSIVE pairs AS (
   SELECT id, id FROM nodes
   UNION
   SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
-)
-SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+)"""
+
+@register("dedup_connected_components", f"""
+WITH RECURSIVE pairs AS (
+{_NGRAM_PAIRS_SQL}
+), {_COMPONENTS_SQL}
+SELECT id AS doc_id, component FROM comp
 """)
 def dedup_components(spark, sf_dir):
     """Near-dup pair graph -> dedup groups: hash-min label propagation
@@ -2108,19 +2114,7 @@ def dedup_components(spark, sf_dir):
 @register("dedup_neardup_keepers", f"""
 WITH RECURSIVE pairs AS (
 {_NGRAM_PAIRS_SQL}
-), edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b, id_a FROM pairs
-), nodes AS (
-  SELECT DISTINCT a AS id FROM edges
-), reach(id, r) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
-), comp AS (
-  SELECT id, min(r) AS component FROM reach GROUP BY id
-)
+), {_COMPONENTS_SQL}
 SELECT doc_id, lang FROM documents
 WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component)
 """)
@@ -2136,19 +2130,8 @@ def dedup_neardup_keepers(spark, sf_dir):
 @register("leakage_safe_split", f"""
 WITH RECURSIVE pairs AS (
 {_NGRAM_PAIRS_SQL}
-), edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b, id_a FROM pairs
-), nodes AS (
-  SELECT DISTINCT a AS id FROM edges
-), reach(id, r) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
-), comp AS (
-  SELECT id, min(r) AS component FROM reach GROUP BY id
-), bucketed AS (
+), {_COMPONENTS_SQL}
+, bucketed AS (
   SELECT doc_id, lang,
          ((coalesce(component, doc_id) * 2654435761) % 10000 + 10000)
              % 10000 AS bucket
@@ -2194,29 +2177,15 @@ def embedding_neardup(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"))
 
 
-@register("semantic_dedup_keepers", """
+@register("semantic_dedup_keepers", f"""
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
   WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                b.embedding::DOUBLE[]) >= 0.3
-), edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b, id_a FROM pairs
-), nodes AS (
-  SELECT DISTINCT a AS id FROM edges
-), reach(id, r) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
-), comp AS (
-  SELECT id, min(r) AS component FROM reach GROUP BY id
-), losers AS (
-  SELECT id FROM comp WHERE id <> component
-)
+), {_COMPONENTS_SQL}
 SELECT vec_id FROM embeddings
-WHERE vec_id NOT IN (SELECT id FROM losers)
+WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)
 """)
 def semantic_dedup_q(spark, sf_dir):
     """SemDeDup-style end-to-end semantic dedup: exact block-matrix
@@ -2461,7 +2430,7 @@ def multimodal_frames(spark, sf_dir):
 @register("events_gapfill_locf", """
 WITH agg AS (
   SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
-         count(*) AS n, sum(value) AS s
+         count(*) AS n, count(value) AS nv, sum(value) AS s
   FROM events GROUP BY 1, 2
 ), rng AS (
   SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg
@@ -2471,21 +2440,23 @@ WITH agg AS (
   SELECT series, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
   FROM series CROSS JOIN rng
 ), j AS (
-  SELECT g.series, g.bucket, a.n, a.s
+  SELECT g.series, g.bucket, a.n, a.nv, a.s
   FROM grid g LEFT JOIN agg a USING (series, bucket)
+), carried AS (
+  SELECT series, bucket, n, nv, s,
+         last_value(CASE WHEN s IS NOT NULL
+                         THEN {'s': s, 'nv': nv} END IGNORE NULLS)
+             OVER (PARTITION BY series ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS obs
+  FROM j
 )
 SELECT series, bucket,
        CAST(coalesce(n, 0) AS BIGINT) AS n_events,
-       floor(round(s, 2) / n * 1000000) / 1000000 AS avg_value,
-       floor(round(last_value(s IGNORE NULLS) OVER (
-                 PARTITION BY series ORDER BY bucket
-                 ROWS UNBOUNDED PRECEDING), 2)
-             / last_value(n IGNORE NULLS) OVER (
-                 PARTITION BY series ORDER BY bucket
-                 ROWS UNBOUNDED PRECEDING) * 1000000) / 1000000
+       floor(round(s, 2) / nv * 1000000) / 1000000 AS avg_value,
+       floor(round((obs).s, 2) / (obs).nv * 1000000) / 1000000
            AS value_locf,
        (n IS NULL) AS is_gap
-FROM j
+FROM carried
 """)
 def events_gapfill_q(spark, sf_dir):
     """Hourly bucket aggregation with gap filling + LOCF

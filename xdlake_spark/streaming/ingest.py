@@ -64,11 +64,13 @@ def tumbling_window_counts(events: DataFrame, window: str = "1 hour",
     df = _with_event_time(events, ts_col, watermark)
     return (df.groupBy(F.window(ts_col, window).alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count("value").alias("n_values"),
                  F.sum("value").alias("sum_value"),
                  F.avg("value").alias("avg_value"))
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
-                    "event_type", "n_events", "sum_value", "avg_value"))
+                    "event_type", "n_events", "n_values",
+                    "sum_value", "avg_value"))
 
 
 def sliding_window_counts(events: DataFrame, window: str = "1 hour",
