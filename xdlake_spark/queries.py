@@ -495,6 +495,37 @@ def lineitem_unpivot_q(spark, sf_dir):
                  F.round(F.sum("val"), 2).alias("total")))
 
 
+@register("events_value_quantiles", """
+SELECT event_type,
+       count(value) AS n,
+       floor(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)
+             / 100 * 10000) / 10000 AS p50,
+       floor(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95)
+             / 100 * 10000) / 10000 AS p95
+FROM events
+GROUP BY 1
+""")
+def events_quantiles_q(spark, sf_dir):
+    """EXACT per-type value quantiles (median + p95) via Spark's
+    non-approximate percentile — the distribution report behind
+    threshold tuning. Values are snapped to integer cents BEFORE the
+    percentile so the linear interpolation runs on exact integers
+    (midpoints stay exactly representable; raw-double interpolation
+    accumulates engine-specific rounding), then the result is
+    floor-snapped. At 100 TB swap in approx_percentile — this exact
+    form is the oracle-able baseline (same pattern as the ntile
+    deciles)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count("value").alias("n"),
+                 (F.floor(F.expr(
+                     "percentile(CAST(round(value * 100) AS BIGINT), 0.5)")
+                     / 100 * 10000) / 10000).alias("p50"),
+                 (F.floor(F.expr(
+                     "percentile(CAST(round(value * 100) AS BIGINT), 0.95)")
+                     / 100 * 10000) / 10000).alias("p95")))
+
+
 #: The events table's closed vocabulary of types — pivot columns must be
 #: enumerated (Spark would otherwise run an extra distinct job; the
 #: oracle needs literal column names anyway).
