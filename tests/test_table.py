@@ -193,6 +193,23 @@ class TestRestoreCloneImport:
         assert t2.version == 3
         assert_frames_equivalent(t2.to_pandas(), v1)
 
+    def test_restore_to_timestamp(self, spark, tmp_table_dir):
+        import pytest
+        t, _ = write_rounds(spark, f"{tmp_table_dir}/t", 3)
+        ts1 = list(t.history(reverse=False))[1]["timestamp"]
+        v1 = t.load_as_version(1).to_pandas()
+        t2 = t.restore(timestamp=ts1)  # epoch-ms form
+        assert t2.version == 3
+        assert_frames_equivalent(t2.to_pandas(), v1)
+        # exactly one of version/timestamp
+        with pytest.raises(ValueError, match="exactly one"):
+            t.restore(1, timestamp=ts1)
+        with pytest.raises(ValueError, match="exactly one"):
+            t.restore()
+        # timestamp before every commit raises like load_as_timestamp
+        with pytest.raises(ValueError, match="at or before"):
+            t.restore(timestamp=0)
+
     def test_restore_after_delete(self, spark, tmp_table_dir):
         t, expected = write_rounds(spark, f"{tmp_table_dir}/t", 2)
         t2 = t.delete("f64 > 0.5")

@@ -147,6 +147,12 @@ class DeltaTable:
         commits collapsed into the checkpoint resolve with the
         checkpoint's own timestamp — older targets than that raise.
         """
+        return self.load_as_version(self._version_at_timestamp(ts))
+
+    def _version_at_timestamp(self, ts: Any) -> int:
+        """Newest version committed at or before ``ts`` (epoch ms /
+        datetime / ISO string; naive datetimes read as UTC) — shared by
+        timestamp time travel and RESTORE TO TIMESTAMP."""
         import datetime as _dt
 
         if isinstance(ts, str):
@@ -167,7 +173,7 @@ class DeltaTable:
             raise ValueError(
                 f"No version of {self.location.url} exists at or before "
                 f"timestamp {ms} (epoch ms)")
-        return self.load_as_version(best)
+        return best
 
     def file_uris(self) -> list[str]:
         """Absolute URIs of live files (reference __init__.py:122-125)."""
@@ -1054,10 +1060,19 @@ class DeltaTable:
 
     # -- restore / clone / import ------------------------------------------------
 
-    def restore(self, restore_version: int,
-                custom_metadata: dict | None = None) -> "DeltaTable":
+    def restore(self, restore_version: int | None = None,
+                custom_metadata: dict | None = None, *,
+                timestamp: Any = None) -> "DeltaTable":
         """Reinstate a previous version's add-set as a new commit
-        (reference __init__.py:317-333)."""
+        (reference __init__.py:317-333). Pass either a version or
+        ``timestamp=`` (Delta's RESTORE TO TIMESTAMP — epoch ms /
+        datetime / ISO string, resolved to the newest version committed
+        at or before it)."""
+        if (restore_version is None) == (timestamp is None):
+            raise ValueError(
+                "pass exactly one of restore_version or timestamp")
+        if timestamp is not None:
+            restore_version = self._version_at_timestamp(timestamp)
         self._require_mutable("RESTORE")
         try:
             # pinned load handles restore targets older than the newest
