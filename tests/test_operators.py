@@ -1526,6 +1526,18 @@ class TestBigramLogprob:
         assert got[2] > got[1]
 
 
+class TestApproxDistinct:
+    def test_sketch_within_rsd_of_exact(self, spark, sf_dir):
+        from xdlake_spark.queries import queries
+        rows = queries()["events_approx_distinct"](spark, sf_dir) \
+            .collect()
+        assert len(rows) > 0
+        for r in rows:
+            # HLL++ at rsd=0.02: allow 3 sigma
+            assert abs(r["approx_users"] - r["exact_users"]) \
+                <= max(3, 0.06 * r["exact_users"]), dict(r.asDict())
+
+
 class TestLeakageSafeSplit:
     def test_components_monochromatic_and_unpaired_match_hash_split(
             self, spark, documents):

@@ -779,6 +779,73 @@ class TestTimestampTravel:
             t.load_as_timestamp(stamps[0] - 60_000)
 
 
+class TestReaderProtocolGate:
+    @staticmethod
+    def _graft_protocol(tmp_table_dir, proto: dict):
+        log_file = f"{tmp_table_dir}/t/_delta_log/{0:020d}.json"
+        lines = []
+        with open(log_file) as fh:
+            for line in fh:
+                obj = json.loads(line)
+                if "protocol" in obj:
+                    obj["protocol"] = proto
+                lines.append(json.dumps(obj))
+        with open(log_file, "w") as fh:
+            fh.write("\n".join(lines))
+
+    def test_unknown_reader_feature_refuses_scan(self, spark,
+                                                 tmp_table_dir):
+        """A v3 protocol demanding a feature this engine does not
+        implement (v2Checkpoint here) must refuse to scan — reading
+        anyway could silently return wrong rows. Metadata ops stay
+        available."""
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(gen_pdf()))
+        self._graft_protocol(tmp_table_dir, {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"]})
+        t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
+        with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+            t2.to_df().count()
+        assert len(list(t2.history())) >= 1  # metadata still readable
+
+    def test_supported_feature_set_scans(self, spark, tmp_table_dir):
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(gen_pdf()))
+        n = t.to_df().count()
+        self._graft_protocol(tmp_table_dir, {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz", "deletionVectors"],
+            "writerFeatures": ["timestampNtz", "deletionVectors"]})
+        t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
+        assert t2.to_df().count() == n  # no live DVs -> readable
+
+    def test_features_survive_checkpoint_roundtrip(self, spark,
+                                                   tmp_table_dir):
+        from xdlake_spark.log import DeltaLog
+        from xdlake_spark.log.checkpoint import (
+            read_checkpoint,
+            write_checkpoint,
+        )
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(gen_pdf()))
+        self._graft_protocol(tmp_table_dir, {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"]})
+        t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
+        write_checkpoint(t2.log_location, t2.log)
+        protos = [a for a in read_checkpoint(t2.log_location, t2.version)
+                  if type(a).__name__ == "Protocol"]
+        assert protos[0].minReaderVersion == 3
+        assert protos[0].extra["readerFeatures"] == ["v2Checkpoint"]
+        # and a checkpoint-fast-path load still refuses to scan
+        log = DeltaLog.load(t2.log_location)
+        assert log.protocol().extra.get("readerFeatures") \
+            == ["v2Checkpoint"]
+
+
 class TestDeletionVectorGuard:
     def test_dv_bearing_add_fails_loudly(self, spark, tmp_table_dir):
         """A table whose log carries a non-null deletionVector (as

@@ -38,6 +38,12 @@ _SCHEMA = pa.schema([
     pa.field("protocol", pa.struct([
         pa.field("minReaderVersion", pa.int32()),
         pa.field("minWriterVersion", pa.int32()),
+        # vacuous for tables this engine writes (never past version
+        # 1/2), but a foreign v3 table checkpointed here must not have
+        # its feature list silently stripped — the reader-protocol gate
+        # keys on it
+        pa.field("readerFeatures", pa.list_(pa.string())),
+        pa.field("writerFeatures", pa.list_(pa.string())),
     ])),
     pa.field("metaData", pa.struct([
         pa.field("id", pa.string()),
@@ -89,6 +95,8 @@ def write_checkpoint(log_location, log: "DeltaLog") -> int:
     rows.append(_row("protocol", {
         "minReaderVersion": proto.minReaderVersion,
         "minWriterVersion": proto.minWriterVersion,
+        "readerFeatures": (proto.extra or {}).get("readerFeatures"),
+        "writerFeatures": (proto.extra or {}).get("writerFeatures"),
     }))
     md = log.metadata()
     rows.append(_row("metaData", {
@@ -157,9 +165,15 @@ def read_checkpoint(log_location, version: int) -> list[Action]:
     for row in table.to_pylist():
         if row.get("protocol"):
             p = row["protocol"]
+            # keep feature lists (and any other foreign keys) — the
+            # reader-protocol gate must survive a checkpoint round-trip
+            extra = {k: v for k, v in p.items()
+                     if k not in ("minReaderVersion", "minWriterVersion")
+                     and v is not None}
             actions.append(Protocol(
                 minReaderVersion=p["minReaderVersion"] or 1,
-                minWriterVersion=p["minWriterVersion"] or 2))
+                minWriterVersion=p["minWriterVersion"] or 2,
+                extra=extra))
         elif row.get("metaData"):
             m = row["metaData"]
             fmt = m.get("format") or {}

@@ -495,6 +495,25 @@ def lineitem_unpivot_q(spark, sf_dir):
                  F.round(F.sum("val"), 2).alias("total")))
 
 
+# rows-only: HyperLogLog++ counts are implementation-specific (Spark's
+# sketch differs from DuckDB's approx_count_distinct); the 2%-of-exact
+# accuracy gate lives in test_operators.py
+@register("events_approx_distinct", None)
+def events_approx_distinct_q(spark, sf_dir):
+    """Sketch-based daily distinct users (approx_count_distinct, HLL++
+    rsd=0.02) next to the exact count — the cardinality pattern that
+    scales where count(DISTINCT) shuffles every key: the sketch
+    partial-aggregates map-side into a fixed-size buffer, so 100 TB of
+    events per day still shuffles kilobytes per group."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    return (ev.groupBy(day.alias("day"))
+            .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                 .alias("approx_users"),
+                 F.countDistinct("user_id").alias("exact_users"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
 @register("events_value_quantiles", """
 SELECT event_type,
        count(value) AS n,

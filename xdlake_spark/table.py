@@ -203,9 +203,38 @@ class DeltaTable:
             df = df.filter(where)
         return df
 
+    #: Delta reader features this engine actually implements. Anything
+    #: else declared by a minReaderVersion>=3 protocol (v2Checkpoint,
+    #: type widening, ...) would be silently misread — refuse instead.
+    SUPPORTED_READER_FEATURES = frozenset(
+        {"columnMapping", "timestampNtz", "deletionVectors"})
+
+    def _check_reader_protocol(self) -> None:
+        """Delta protocol gate: a reader MUST refuse tables whose
+        protocol demands features it does not implement (the reference
+        ignores protocol entirely; modern tables would be misread).
+        minReaderVersion 1-2 are fully handled (2 = column mapping,
+        gated separately by mode); 3 enumerates readerFeatures — each
+        must be one we implement. deletionVectors is accepted at the
+        protocol level because every LIVE DV-bearing add still fails
+        loudly in _scan (a table whose DVs were purged reads fine)."""
+        proto = self.log.protocol()
+        if proto.minReaderVersion <= 2:
+            return
+        feats = set((proto.extra or {}).get("readerFeatures") or [])
+        unknown = feats - self.SUPPORTED_READER_FEATURES
+        if proto.minReaderVersion > 3 or unknown:
+            raise NotImplementedError(
+                f"table requires reader version "
+                f"{proto.minReaderVersion} with features "
+                f"{sorted(feats)}; unsupported: "
+                f"{sorted(unknown) or proto.minReaderVersion}. Reading "
+                "anyway could silently return wrong rows.")
+
     def _scan(self, adds: dict[str, Add]) -> DataFrame:
         schema = self.schema
         assert schema is not None
+        self._check_reader_protocol()
         # Deletion vectors (written by modern delta-rs / delta-spark) mark
         # rows within a live file as deleted. We carry the field through
         # the log tolerantly but do NOT apply the bitmap — scanning such a
