@@ -216,6 +216,8 @@ DUCKDB_BASELINE = [
     "contamination_check",
     "q1_pricing_summary",
     "dedup_ngram_jaccard_pairs",
+    "incremental_dedup_keepers",
+    "leakage_safe_split",
 ]
 
 
