@@ -495,6 +495,71 @@ def lineitem_unpivot_q(spark, sf_dir):
                  F.round(F.sum("val"), 2).alias("total")))
 
 
+@register("events_lag_features", """
+WITH daily AS (
+  SELECT event_type AS series, date_trunc('day', ts) AS day,
+         count(*) AS n, round(sum(value), 2) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT series, day, n, total,
+       lag(total, 1) OVER w AS total_lag1,
+       lag(total, 7) OVER w AS total_lag7,
+       round(total - lag(total, 1) OVER w, 2) AS delta1
+FROM daily
+WINDOW w AS (PARTITION BY series ORDER BY day)
+""")
+def events_lag_features_q(spark, sf_dir):
+    """Supervised-learning feature prep: per-series daily totals with
+    1-day and 7-day lags and the day-over-day delta — one aggregation
+    plus one window sort per series (bounded cardinality). Deltas
+    subtract already-snapped 2-decimal totals, so the arithmetic is
+    cross-engine exact."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.col("event_type").alias("series"),
+                        F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("value"), 2).alias("total")))
+    w = Window.partitionBy("series").orderBy("day")
+    return daily.select(
+        "series", "day", "n", "total",
+        F.lag("total", 1).over(w).alias("total_lag1"),
+        F.lag("total", 7).over(w).alias("total_lag7"),
+        F.round(F.col("total") - F.lag("total", 1).over(w), 2)
+        .alias("delta1"))
+
+
+@register("events_type_correlation", """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         round(sum(value) FILTER (event_type = 'click'), 2) AS click,
+         round(sum(value) FILTER (event_type = 'view'), 2) AS view,
+         round(sum(value) FILTER (event_type = 'purchase'), 2)
+             AS purchase
+  FROM events GROUP BY 1
+)
+SELECT round(corr(click, view), 4) AS click_view,
+       round(corr(click, purchase), 4) AS click_purchase,
+       round(corr(view, purchase), 4) AS view_purchase,
+       count(*) AS n_days
+FROM daily
+""")
+def events_type_correlation_q(spark, sf_dir):
+    """Cross-series correlation of daily totals (are clicks and views
+    moving together?) — a pivot to one row per day, then Pearson corr
+    over the (snapped) series columns. Inputs to corr are identical
+    2-decimal doubles in both engines; corr values are irrational, so
+    a round-to-4 boundary hit is measure-zero."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+             .pivot("event_type", ["click", "view", "purchase"])
+             .agg(F.round(F.sum("value"), 2)))
+    return daily.agg(
+        F.round(F.corr("click", "view"), 4).alias("click_view"),
+        F.round(F.corr("click", "purchase"), 4).alias("click_purchase"),
+        F.round(F.corr("view", "purchase"), 4).alias("view_purchase"),
+        F.count(F.lit(1)).alias("n_days"))
+
+
 # rows-only: HyperLogLog++ counts are implementation-specific (Spark's
 # sketch differs from DuckDB's approx_count_distinct); the 2%-of-exact
 # accuracy gate lives in test_operators.py
