@@ -52,6 +52,10 @@ HEADLINE = [
     "events_gapfill_locf",
     "events_conversion_funnel",
     "events_anomaly_flags",
+    "events_lag_features",
+    "events_type_correlation",
+    "events_value_quantiles",
+    "events_approx_distinct",
     "asof_join_hourly",
     "asof_join_nearest",
     "range_join_followups",
