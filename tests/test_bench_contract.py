@@ -27,6 +27,12 @@ def test_duckdb_baseline_subset_of_headline_oracles():
         os.path.abspath(__file__))), "bench.py")).read()
     base = re.findall(r'"([a-z0-9_]+)",',
                       src.split("DUCKDB_BASELINE = [")[1].split("]")[0])
+    head = re.findall(r'"([a-z0-9_]+)",',
+                      src.split("HEADLINE = [")[1].split("]")[0])
     oracles = oracle_sql()
     missing = [n for n in base if n not in oracles]
     assert missing == [], missing
+    # every duckdb_s entry must have a Spark headline median to compare
+    # against, or the baseline column is silently incomparable
+    not_in_headline = [n for n in base if n not in head]
+    assert not_in_headline == [], not_in_headline

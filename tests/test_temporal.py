@@ -319,8 +319,6 @@ class TestBucketGapfill:
         paired hour1's sum with hour2's count, halving the carry)."""
         import datetime as dt
 
-        import pandas as pd
-
         from xdlake_spark.operators.temporal import bucket_gapfill
         t0 = dt.datetime(2024, 1, 1, 0, 30)
         rows = [("A", t0, 2.0),
@@ -344,8 +342,6 @@ class TestBucketGapfill:
         """avg_value matches F.avg semantics: NULL values don't count
         in the denominator."""
         import datetime as dt
-
-        import pandas as pd
 
         from xdlake_spark.operators.temporal import bucket_gapfill
         t0 = dt.datetime(2024, 1, 1, 0, 30)

@@ -165,8 +165,12 @@ def read_checkpoint(log_location, version: int) -> list[Action]:
     for row in table.to_pylist():
         if row.get("protocol"):
             p = row["protocol"]
-            # keep feature lists (and any other foreign keys) — the
-            # reader-protocol gate must survive a checkpoint round-trip
+            # keep whatever extra fields the checkpoint carries — from
+            # OUR checkpoints that is exactly the reader/writer feature
+            # lists (_SCHEMA persists only those; other foreign protocol
+            # keys do NOT survive a write_checkpoint), from a foreign
+            # classic checkpoint it is whatever its schema held. The
+            # protocol gates key on the feature lists, which round-trip.
             extra = {k: v for k, v in p.items()
                      if k not in ("minReaderVersion", "minWriterVersion")
                      and v is not None}

@@ -501,31 +501,47 @@ WITH daily AS (
          count(*) AS n, round(sum(value), 2) AS total
   FROM events GROUP BY 1, 2
 )
-SELECT series, day, n, total,
-       lag(total, 1) OVER w AS total_lag1,
-       lag(total, 7) OVER w AS total_lag7,
-       round(total - lag(total, 1) OVER w, 2) AS delta1
-FROM daily
-WINDOW w AS (PARTITION BY series ORDER BY day)
+SELECT d.series, d.day, d.n, d.total,
+       l1.total AS total_lag1,
+       l7.total AS total_lag7,
+       round(d.total - l1.total, 2) AS delta1
+FROM daily d
+LEFT JOIN daily l1 ON l1.series = d.series
+                  AND l1.day = d.day - INTERVAL 1 DAY
+LEFT JOIN daily l7 ON l7.series = d.series
+                  AND l7.day = d.day - INTERVAL 7 DAY
 """)
 def events_lag_features_q(spark, sf_dir):
     """Supervised-learning feature prep: per-series daily totals with
-    1-day and 7-day lags and the day-over-day delta — one aggregation
-    plus one window sort per series (bounded cardinality). Deltas
-    subtract already-snapped 2-decimal totals, so the arithmetic is
-    cross-engine exact."""
+    CALENDAR 1-day and 7-day lags and the day-over-day delta. The lags
+    are equi-joins on (series, day - interval) — a positional
+    lag(total, 7) over the existing rows would silently skip calendar
+    days with zero events and misalign the feature on sparse series.
+    Deltas subtract already-snapped 2-decimal totals, so the
+    arithmetic is cross-engine exact. Missing calendar predecessors
+    yield NULL features, as a trainer expects."""
     ev = _t(spark, sf_dir, "events")
     daily = (ev.groupBy(F.col("event_type").alias("series"),
                         F.date_trunc("day", "ts").alias("day"))
              .agg(F.count(F.lit(1)).alias("n"),
-                  F.round(F.sum("value"), 2).alias("total")))
-    w = Window.partitionBy("series").orderBy("day")
-    return daily.select(
-        "series", "day", "n", "total",
-        F.lag("total", 1).over(w).alias("total_lag1"),
-        F.lag("total", 7).over(w).alias("total_lag7"),
-        F.round(F.col("total") - F.lag("total", 1).over(w), 2)
-        .alias("delta1"))
+                  F.round(F.sum("value"), 2).alias("total"))
+             .localCheckpoint(eager=False))  # three consumers
+    d, l1, l7 = daily.alias("d"), daily.alias("l1"), daily.alias("l7")
+    return (d
+            .join(l1, (F.col("l1.series") == F.col("d.series"))
+                  & (F.col("l1.day") ==
+                     F.col("d.day") - F.expr("INTERVAL 1 DAY")), "left")
+            .join(l7, (F.col("l7.series") == F.col("d.series"))
+                  & (F.col("l7.day") ==
+                     F.col("d.day") - F.expr("INTERVAL 7 DAY")), "left")
+            .select(F.col("d.series").alias("series"),
+                    F.col("d.day").alias("day"),
+                    F.col("d.n").alias("n"),
+                    F.col("d.total").alias("total"),
+                    F.col("l1.total").alias("total_lag1"),
+                    F.col("l7.total").alias("total_lag7"),
+                    F.round(F.col("d.total") - F.col("l1.total"), 2)
+                    .alias("delta1")))
 
 
 @register("events_type_correlation", """

@@ -224,12 +224,14 @@ class DeltaTable:
         feats = set((proto.extra or {}).get("readerFeatures") or [])
         unknown = feats - self.SUPPORTED_READER_FEATURES
         if proto.minReaderVersion > 3 or unknown:
+            why = (f"unsupported features {sorted(unknown)}" if unknown
+                   else f"reader version {proto.minReaderVersion} is "
+                        "newer than this engine understands")
             raise NotImplementedError(
                 f"table requires reader version "
                 f"{proto.minReaderVersion} with features "
-                f"{sorted(feats)}; unsupported: "
-                f"{sorted(unknown) or proto.minReaderVersion}. Reading "
-                "anyway could silently return wrong rows.")
+                f"{sorted(feats)}; {why}. Reading anyway could "
+                "silently return wrong rows.")
 
     def _scan(self, adds: dict[str, Add]) -> DataFrame:
         schema = self.schema
@@ -807,7 +809,39 @@ class DeltaTable:
     #: table opens O(recent commits) instead of O(all commits).
     checkpoint_interval: int = 10
 
+    #: Delta writer features this engine actually honors when
+    #: committing. Anything else declared by a minWriterVersion>=7
+    #: protocol (rowTracking, icebergCompatV2, ...) would have its
+    #: invariants silently broken by our commits — refuse instead.
+    SUPPORTED_WRITER_FEATURES = frozenset(
+        {"appendOnly", "checkConstraints", "timestampNtz",
+         "columnMapping"})  # mapped WRITES still raise in the writer
+    #: path; the flag alone (read-mapped table, metadata-only commit)
+    #: must not block.
+
+    def _check_writer_protocol(self) -> None:
+        """Delta spec: a writer MUST refuse to commit unless it
+        implements every feature the table's writer protocol demands
+        (the reference ignores protocol entirely). Legacy versions
+        <= 4 imply features we either honor (appendOnly, CHECK
+        constraints) or that only bite when actually used (invariants,
+        generated columns — both absent from tables this engine or
+        delta-rs write; their enforcement-bearing metadata lives in
+        schema field metadata we preserve verbatim on rewrite)."""
+        proto = self.log.protocol()
+        if proto.minWriterVersion < 7:
+            return
+        feats = set((proto.extra or {}).get("writerFeatures") or [])
+        unknown = feats - self.SUPPORTED_WRITER_FEATURES
+        if unknown:
+            raise NotImplementedError(
+                f"table requires writer features {sorted(feats)}; this "
+                f"engine does not implement {sorted(unknown)} — "
+                "committing would break the table's invariants for "
+                "other engines.")
+
     def _commit(self, entry: DeltaLogEntry) -> "DeltaTable":
+        self._check_writer_protocol()
         with self.commit_context(self._version_to_write):
             commit_entry(self.log_location, self._version_to_write, entry)
         new = type(self)(self.spark, self.location, self.log_location)
