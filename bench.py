@@ -98,6 +98,7 @@ HEADLINE = [
     "pack_sequences_running_sum",
     "chunk_and_pack",
     "pack_first_fit_stats",
+    "pack_first_fit_exact",
     "leakage_safe_split",
 ]
 

@@ -112,3 +112,211 @@ class TestZOrderAndChanges:
         t = t.optimize(target_file_size=10 * 1024 * 1024)              # v2
         assert t.version == 2
         assert t.table_changes(1).count() == 0     # rewrite, not data
+
+
+class TestCheckpointProtocolFeatures:
+    """A checkpoint written without reader/writerFeatures columns (a
+    pre-feature build of this engine, or a foreign writer) must not
+    strip a v3/v7 table's feature lists — the protocol gates key on
+    them. read_checkpoint refuses such a protocol; DeltaLog.load then
+    replays the JSON log, which carries the truth."""
+
+    @staticmethod
+    def _strip_features_from_checkpoint(log_dir, version):
+        """Rewrite the checkpoint parquet without feature columns,
+        simulating a pre-feature-schema writer."""
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(log_dir, checkpoint_filename(version))
+        table = pq.read_table(path)
+        rows = table.to_pylist()
+        for row in rows:
+            if row.get("protocol"):
+                row["protocol"] = {
+                    "minReaderVersion": row["protocol"]["minReaderVersion"],
+                    "minWriterVersion": row["protocol"]["minWriterVersion"]}
+        old = table.schema
+        fields = []
+        for f in old:
+            if f.name == "protocol":
+                fields.append(pa.field("protocol", pa.struct([
+                    pa.field("minReaderVersion", pa.int32()),
+                    pa.field("minWriterVersion", pa.int32())])))
+            else:
+                fields.append(f)
+        stripped = pa.Table.from_pylist(rows, schema=pa.schema(fields))
+        buf = io.BytesIO()
+        pq.write_table(stripped, buf)
+        with open(path, "wb") as fh:
+            fh.write(buf.getvalue())
+
+    @staticmethod
+    def _graft_v3_protocol(log_dir):
+        import json as _json
+
+        log_file = os.path.join(log_dir, f"{0:020d}.json")
+        lines = []
+        with open(log_file) as fh:
+            for line in fh:
+                obj = _json.loads(line)
+                if "protocol" in obj:
+                    obj["protocol"] = {
+                        "minReaderVersion": 3, "minWriterVersion": 7,
+                        "readerFeatures": ["v2Checkpoint"],
+                        "writerFeatures": ["v2Checkpoint"]}
+                lines.append(_json.dumps(obj))
+        with open(log_file, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    def test_stripped_checkpoint_falls_back_to_json_truth(
+            self, spark, tmp_table_dir):
+        import pytest
+
+        _build(spark, tmp_table_dir, 12)
+        log_dir = os.path.join(tmp_table_dir, "_delta_log")
+        self._graft_v3_protocol(log_dir)
+        # re-checkpoint so it captures the v3 protocol, then strip the
+        # feature columns the way a pre-feature writer would
+        from xdlake_spark.log.checkpoint import write_checkpoint
+
+        loc = Location.resolve(log_dir)
+        write_checkpoint(loc, DeltaLog.load(loc, use_checkpoint=False))
+        self._strip_features_from_checkpoint(log_dir, 11)
+        log = DeltaLog.load(loc)
+        # fell back to full replay: every JSON entry parsed, features
+        # recovered from version 0
+        assert 0 in log.entries
+        assert log.protocol().extra.get("readerFeatures") \
+            == ["v2Checkpoint"]
+        # and the reader gate still refuses the scan
+        t = DeltaTable(spark, tmp_table_dir)
+        with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+            t.to_df().count()
+
+    def test_stripped_checkpoint_with_cleaned_log_refuses(
+            self, spark, tmp_table_dir):
+        """If the JSON tail was cleaned up (no version 0), the fallback
+        would silently lose protocol/metaData — refuse instead."""
+        import pytest
+
+        _build(spark, tmp_table_dir, 12)
+        log_dir = os.path.join(tmp_table_dir, "_delta_log")
+        self._graft_v3_protocol(log_dir)
+        # checkpoint write happens at v10 with features intact; re-write
+        # checkpoint from the now-v3 log so it would carry features,
+        # then strip them AND remove early JSON entries
+        from xdlake_spark.log.checkpoint import write_checkpoint
+
+        loc = Location.resolve(log_dir)
+        write_checkpoint(loc, DeltaLog.load(loc, use_checkpoint=False))
+        self._strip_features_from_checkpoint(log_dir, 11)
+        for v in range(0, 10):
+            os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+        with pytest.raises(ValueError, match="readerFeatures"):
+            DeltaLog.load(loc)
+
+
+class TestForeignCheckpointRead:
+    """Cross-engine checkpoint read: a classic checkpoint parquet in
+    delta-spark's column layout (txn struct, add.tags,
+    remove.partitionValues, no feature columns on a v1/v2 protocol)
+    hand-built to the protocol spec's struct layout — proves the fast
+    path opens tables checkpointed by other engines, matching the
+    reference's cross-engine log posture."""
+
+    def test_reads_delta_spark_layout(self, spark, tmp_table_dir):
+        import io
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = _build(spark, tmp_table_dir, 3)  # versions 0..2, no checkpoint
+        log_dir = os.path.join(tmp_table_dir, "_delta_log")
+        full = DeltaLog.load(Location.resolve(log_dir),
+                             use_checkpoint=False)
+        md = full.metadata()
+        adds = full.add_actions()
+
+        # delta-spark classic checkpoint layout (superset/reordering of
+        # ours, plus txn and tags/partitionValues on remove)
+        schema = pa.schema([
+            pa.field("txn", pa.struct([
+                pa.field("appId", pa.string()),
+                pa.field("version", pa.int64()),
+                pa.field("lastUpdated", pa.int64())])),
+            pa.field("add", pa.struct([
+                pa.field("path", pa.string()),
+                pa.field("partitionValues",
+                         pa.map_(pa.string(), pa.string())),
+                pa.field("size", pa.int64()),
+                pa.field("modificationTime", pa.int64()),
+                pa.field("dataChange", pa.bool_()),
+                pa.field("stats", pa.string()),
+                pa.field("tags", pa.map_(pa.string(), pa.string()))])),
+            pa.field("remove", pa.struct([
+                pa.field("path", pa.string()),
+                pa.field("deletionTimestamp", pa.int64()),
+                pa.field("dataChange", pa.bool_()),
+                pa.field("extendedFileMetadata", pa.bool_()),
+                pa.field("partitionValues",
+                         pa.map_(pa.string(), pa.string())),
+                pa.field("size", pa.int64())])),
+            pa.field("metaData", pa.struct([
+                pa.field("id", pa.string()),
+                pa.field("name", pa.string()),
+                pa.field("description", pa.string()),
+                pa.field("format", pa.struct([
+                    pa.field("provider", pa.string()),
+                    pa.field("options",
+                             pa.map_(pa.string(), pa.string()))])),
+                pa.field("schemaString", pa.string()),
+                pa.field("partitionColumns", pa.list_(pa.string())),
+                pa.field("configuration",
+                         pa.map_(pa.string(), pa.string())),
+                pa.field("createdTime", pa.int64())])),
+            pa.field("protocol", pa.struct([
+                pa.field("minReaderVersion", pa.int32()),
+                pa.field("minWriterVersion", pa.int32())])),
+        ])
+        blank = {f.name: None for f in schema}
+        rows = [
+            {**blank, "protocol": {"minReaderVersion": 1,
+                                   "minWriterVersion": 2}},
+            {**blank, "txn": {"appId": "some-foreign-stream",
+                              "version": 7, "lastUpdated": 1}},
+            {**blank, "metaData": {
+                "id": md.id, "name": None, "description": None,
+                "format": {"provider": "parquet", "options": []},
+                "schemaString": md.schemaString,
+                "partitionColumns": list(md.partitionColumns),
+                "configuration": [], "createdTime": md.createdTime}},
+        ]
+        for add in adds.values():
+            rows.append({**blank, "add": {
+                "path": add.path,
+                "partitionValues": list(
+                    (add.partitionValues or {}).items()),
+                "size": add.size,
+                "modificationTime": add.modificationTime,
+                "dataChange": False, "stats": add.stats,
+                "tags": [("INSERTION_TIME", "1")]}})
+        table = pa.Table.from_pylist(rows, schema=schema)
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        with open(os.path.join(log_dir, checkpoint_filename(2)),
+                  "wb") as fh:
+            fh.write(buf.getvalue())
+        with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+            fh.write(_json.dumps({"version": 2, "size": len(rows)}))
+
+        log = DeltaLog.load(Location.resolve(log_dir))
+        # the checkpoint fast path was actually taken (v0/v1 JSONs
+        # skipped), and the state matches the full replay
+        assert set(log.entries) == {2}
+        assert set(log.add_actions()) == set(adds)
+        assert log.schema() == full.schema()
+        assert DeltaTable(spark, tmp_table_dir).to_df().count() == 30

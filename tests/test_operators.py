@@ -520,6 +520,52 @@ class TestMultimodalRealDecode:
             assert len(r["features"]) == 8
             assert 0.0 <= r["features"][0] <= 1.0
 
+    def test_png_decode_real(self, spark, documents):
+        d = documents.limit(25)
+        payloads = multimodal.attach_fake_payloads(d, media="png")
+        rows = multimodal.decode_images(payloads).collect()
+        assert len(rows) == 25
+        for r in rows:
+            assert r["width"] == 16 + r["doc_id"] % 17
+            assert r["height"] == 12 + r["doc_id"] % 13
+            assert r["n_channels"] == 3
+            # real compression happened: gradient rasters shrink
+            assert r["byte_size"] < (r["width"] * r["height"] * 3 + 100)
+
+    def test_png_ppm_differential_identical_features(self, spark,
+                                                     documents):
+        """The PNG path (zlib + unfiltering, every filter type) must
+        reconstruct byte-identical pixels to the PPM path for the same
+        generator pattern — so decoded features match exactly."""
+        d = documents.limit(30)
+        ppm = multimodal.decode_images(
+            multimodal.attach_fake_payloads(d, media="ppm")).collect()
+        png = multimodal.decode_images(
+            multimodal.attach_fake_payloads(d, media="png")).collect()
+        by_id_ppm = {r["doc_id"]: r for r in ppm}
+        for r in png:
+            ref = by_id_ppm[r["doc_id"]]
+            assert (r["width"], r["height"], r["n_channels"]) == \
+                (ref["width"], ref["height"], ref["n_channels"])
+            assert r["features"] == ref["features"]
+
+    def test_png_unsupported_variants_raise(self, spark):
+        import pytest as _pytest
+
+        from xdlake_spark.operators.multimodal import (_encode_png,
+                                                       _parse_png)
+        import numpy as np
+        pix = np.zeros((4, 4, 3), np.uint8)
+        data = bytearray(_encode_png(pix))
+        # corrupt IHDR bit depth 8 -> 16 (offset: 8 sig + 8 hdr + 8 = 24)
+        data[24] = 16
+        with _pytest.raises(NotImplementedError, match="8-bit"):
+            _parse_png(bytes(data))
+        data = bytearray(_encode_png(pix))
+        data[28] = 1  # interlace flag
+        with _pytest.raises(NotImplementedError, match="interlaced"):
+            _parse_png(bytes(data))
+
     def test_resize_then_decode_roundtrip_real(self, spark, documents):
         d = documents.limit(10)
         payloads = multimodal.attach_fake_payloads(d, media="ppm")

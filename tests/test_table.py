@@ -909,6 +909,121 @@ class TestDeletionVectorGuard:
         assert t.to_df().count() == len(pdf)
 
 
+class TestLegacyWriterVersionGate:
+    """Legacy writer versions <7 imply fixed feature sets (Delta spec);
+    they must flow through the same gate as v7's explicit list — a v6
+    table with a live identity column, or a v4 CDF table receiving a
+    copy-on-write DELETE, must be refused, while merely-declared-but-
+    unused features stay vacuously committable."""
+
+    @staticmethod
+    def _graft(tmp_table_dir, proto: dict, field_meta: dict | None = None,
+               config: dict | None = None):
+        """Rewrite v0's protocol and optionally graft schema field
+        metadata / table configuration onto the metaData action."""
+        log_file = f"{tmp_table_dir}/t/_delta_log/{0:020d}.json"
+        lines = []
+        with open(log_file) as fh:
+            for line in fh:
+                obj = json.loads(line)
+                if "protocol" in obj:
+                    obj["protocol"] = proto
+                if "metaData" in obj:
+                    if config:
+                        obj["metaData"].setdefault(
+                            "configuration", {}).update(config)
+                    if field_meta:
+                        schema = json.loads(
+                            obj["metaData"]["schemaString"])
+                        for f in schema["fields"]:
+                            if f["name"] in field_meta:
+                                f["metadata"] = {
+                                    **f.get("metadata", {}),
+                                    **field_meta[f["name"]]}
+                        obj["metaData"]["schemaString"] = \
+                            json.dumps(schema)
+                lines.append(json.dumps(obj))
+        with open(log_file, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    def _table(self, spark, tmp_table_dir):
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        return t.write(spark.createDataFrame(gen_pdf()))
+
+    def test_v6_identity_column_refuses_commit(self, spark,
+                                               tmp_table_dir):
+        self._table(spark, tmp_table_dir)
+        self._graft(tmp_table_dir,
+                    {"minReaderVersion": 1, "minWriterVersion": 6},
+                    field_meta={"i64": {"delta.identity.start": 1,
+                                        "delta.identity.step": 1,
+                                        "delta.identity.allowExplicitInsert":
+                                            False}})
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        assert t.to_df().count() > 0  # reads unaffected
+        with pytest.raises(NotImplementedError, match="identityColumns"):
+            t.write(spark.createDataFrame(gen_pdf()), mode="append")
+
+    def test_v6_without_identity_columns_commits(self, spark,
+                                                 tmp_table_dir):
+        t = self._table(spark, tmp_table_dir)
+        n = t.to_df().count()
+        self._graft(tmp_table_dir,
+                    {"minReaderVersion": 1, "minWriterVersion": 6})
+        t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t3 = t2.write(spark.createDataFrame(gen_pdf()), mode="append")
+        assert t3.to_df().count() == 2 * n
+
+    def test_v4_cdf_refuses_mutations_allows_appends(self, spark,
+                                                     tmp_table_dir):
+        t = self._table(spark, tmp_table_dir)
+        n = t.to_df().count()
+        self._graft(tmp_table_dir,
+                    {"minReaderVersion": 1, "minWriterVersion": 4},
+                    config={"delta.enableChangeDataFeed": "true"})
+        t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
+        # appends are CDC-derivable from add actions: allowed
+        t3 = t2.write(spark.createDataFrame(gen_pdf()), mode="append")
+        assert t3.to_df().count() == 2 * n
+        # copy-on-write mutations would corrupt other engines' CDF reads
+        with pytest.raises(NotImplementedError, match="ChangeDataFeed"):
+            t3.delete("flag = true")
+        with pytest.raises(NotImplementedError, match="ChangeDataFeed"):
+            t3.update(where="flag = true", set={"i64": "0"})
+
+    def test_v4_without_cdf_mutates(self, spark, tmp_table_dir):
+        self._table(spark, tmp_table_dir)
+        self._graft(tmp_table_dir,
+                    {"minReaderVersion": 1, "minWriterVersion": 4})
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        assert t.delete("flag = true").to_df().count() >= 0
+
+    def test_v2_invariant_column_refuses_commit(self, spark,
+                                                tmp_table_dir):
+        self._table(spark, tmp_table_dir)
+        self._graft(
+            tmp_table_dir,
+            {"minReaderVersion": 1, "minWriterVersion": 2},
+            field_meta={"i64": {"delta.invariants":
+                                '{"expression":{"expression":"i64 > 0"}}'}})
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        with pytest.raises(NotImplementedError, match="invariants"):
+            t.write(spark.createDataFrame(gen_pdf()), mode="append")
+
+    def test_v7_generated_column_refuses_commit(self, spark,
+                                                tmp_table_dir):
+        self._table(spark, tmp_table_dir)
+        self._graft(
+            tmp_table_dir,
+            {"minReaderVersion": 1, "minWriterVersion": 7,
+             "writerFeatures": ["generatedColumns"]},
+            field_meta={"i32": {"delta.generationExpression":
+                                "i64 + 1"}})
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        with pytest.raises(NotImplementedError, match="generatedColumns"):
+            t.write(spark.createDataFrame(gen_pdf()), mode="append")
+
+
 class TestWriterOptions:
     def test_write_options_passthrough_zstd(self, spark, tmp_table_dir):
         import pyarrow.parquet as pq

@@ -300,7 +300,14 @@ class DeltaLog:
                 entries[cp_v] = DeltaLogEntry(
                     read_checkpoint(log_location, cp_v))
             except Exception:
-                cp_v = None  # unreadable checkpoint: full replay
+                # Unreadable (or feature-stripped — see read_checkpoint)
+                # checkpoint: fall back to full JSON replay, but only
+                # when the JSON log still reaches back to version 0 —
+                # replaying a cleaned-up tail would silently drop the
+                # protocol/metaData the checkpoint was supposed to carry.
+                if json_names and 0 not in json_names:
+                    raise
+                cp_v = None
 
         for v, name in json_names.items():
             if version is not None and v > version:

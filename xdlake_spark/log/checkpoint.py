@@ -174,9 +174,28 @@ def read_checkpoint(log_location, version: int) -> list[Action]:
             extra = {k: v for k, v in p.items()
                      if k not in ("minReaderVersion", "minWriterVersion")
                      and v is not None}
+            min_r = p["minReaderVersion"] or 1
+            min_w = p["minWriterVersion"] or 2
+            # A v3/v7 protocol MUST carry its feature lists (Delta spec);
+            # a checkpoint whose schema lacks the columns (pre-feature
+            # builds of this engine, some foreign writers) would
+            # otherwise silently strip them — and the protocol gates
+            # would wave through a table whose real demands are unknown.
+            # Raising here sends DeltaLog.load to full JSON replay,
+            # which recovers the true lists.
+            if min_r >= 3 and "readerFeatures" not in extra:
+                raise ValueError(
+                    f"checkpoint protocol has minReaderVersion={min_r} "
+                    "but no readerFeatures column — feature list was "
+                    "stripped; replay the JSON log instead")
+            if min_w >= 7 and "writerFeatures" not in extra:
+                raise ValueError(
+                    f"checkpoint protocol has minWriterVersion={min_w} "
+                    "but no writerFeatures column — feature list was "
+                    "stripped; replay the JSON log instead")
             actions.append(Protocol(
-                minReaderVersion=p["minReaderVersion"] or 1,
-                minWriterVersion=p["minWriterVersion"] or 2,
+                minReaderVersion=min_r,
+                minWriterVersion=min_w,
                 extra=extra))
         elif row.get("metaData"):
             m = row["metaData"]

@@ -9,16 +9,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _as_int(x) -> int:
+    # py4j hands back Python ints for some numeric returns and
+    # JavaObjects (scala BigInt) for others
+    try:
+        return int(x)
+    except TypeError:
+        return int(x.toString())
+
+
+_BYTE_SUFFIX = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+                "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+                "t": 1 << 40, "tb": 1 << 40}
+
+
+def _parse_bytes(s: str) -> int:
+    s = str(s).strip().lower()
+    for suf in sorted(_BYTE_SUFFIX, key=len, reverse=True):
+        if s.endswith(suf):
+            return int(float(s[:-len(suf)])) * _BYTE_SUFFIX[suf]
+    return int(float(s))
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the input
-    arrives with fewer splits.
+    (likely) arrives with fewer splits.
 
     Small parquet inputs land as a single split, which serializes every
     expensive projection downstream. At cluster scale the repartition is
     a no-op (file inputs already carry >= defaultParallelism splits).
+
+    The split count is estimated from plan statistics
+    (``sizeInBytes / spark.sql.files.maxPartitionBytes`` — pure
+    metadata), NOT from ``df.rdd.getNumPartitions()``: the rdd probe
+    forces a full non-AQE physical-plan compile per call, a flat
+    ~0.1-0.3 s tax on every small query. Derived plans (joins/aggs)
+    inflate sizeInBytes, which errs toward NOT repartitioning — the
+    safe direction, since those plans already carry shuffle
+    parallelism. The rdd probe remains only as the no-stats fallback.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        size = _as_int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = None
+    if size is None:
+        if df.rdd.getNumPartitions() < par:
+            return df.repartition(par)
+        return df
+    try:
+        max_pb = _parse_bytes(spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"))
+    except Exception:
+        max_pb = 134217728
+    est_splits = max(1, (size + max_pb - 1) // max_pb)
+    if est_splits < par:
         return df.repartition(par)
     return df
 
@@ -44,20 +91,12 @@ def plan_row_estimate(df: DataFrame) -> "int | None":
     which errs toward Arrow — the right direction at scale. Returns
     None when no statistic is available.
     """
-    def as_int(x) -> int:
-        # py4j hands back Python ints for some numeric returns and
-        # JavaObjects (scala BigInt) for others
-        try:
-            return int(x)
-        except TypeError:
-            return int(x.toString())
-
     try:
         stats = df._jdf.queryExecution().optimizedPlan().stats()
         rc = stats.rowCount()
         if rc.isDefined():
-            return as_int(rc.get())
-        size = as_int(stats.sizeInBytes())
+            return _as_int(rc.get())
+        size = _as_int(stats.sizeInBytes())
         if size > 0:
             return size // _BYTES_PER_ROW_GUESS
     except Exception:

@@ -36,14 +36,28 @@ def _best_struct(centroids: np.ndarray, vec_col: str):
     compares score first, then breaks ties on the HIGHER cid (struct
     max) — deterministic either way. Returns the winning (score, cid)
     struct: cid is the assignment, and the squared distance falls out
-    as ``||x||^2 - 2 * score`` without re-evaluating any dot product."""
+    as ``||x||^2 - 2 * score`` without re-evaluating any dot product.
+
+    ||c||^2 is accumulated with an explicit left-to-right loop, NOT
+    ``np.dot``: BLAS may reorder/block the accumulation, while both the
+    JVM ``aggregate`` twin and DuckDB's ``list_inner_product`` sum
+    sequentially — matching the order keeps near-tie assignments
+    bit-identical across engines (the ``embedding_assign_nearest``
+    oracle's exactness claim)."""
     scored = F.array(*[
         F.struct((dot(F.col(vec_col), lit_vector(c))
-                  - F.lit(float(np.dot(c, c)) / 2.0)).alias("score"),
+                  - F.lit(_seq_self_dot(c) / 2.0)).alias("score"),
                  F.lit(ci).alias("cid"))
         for ci, c in enumerate(centroids)
     ])
     return F.array_max(scored)
+
+
+def _seq_self_dot(c) -> float:
+    total = 0.0
+    for v in c:
+        total += float(v) * float(v)
+    return total
 
 
 def _assign_expr(centroids: np.ndarray, vec_col: str):
@@ -83,7 +97,7 @@ def _farthest_point_init(base: DataFrame, n_clusters: int,
     x2 = dot(F.col(vec_col), F.col(vec_col))
     while len(chosen) < n_clusters:
         d2s = [x2 - 2.0 * dot(F.col(vec_col), lit_vector(c))
-               + F.lit(float(np.dot(c, c))) for c in chosen]
+               + F.lit(_seq_self_dot(c)) for c in chosen]
         d2min = d2s[0] if len(d2s) == 1 else F.least(*d2s)
         far = (base.select(id_col, vec_col, d2min.alias("__d2"))
                .orderBy(F.col("__d2").desc(), F.col(id_col))

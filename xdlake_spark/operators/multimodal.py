@@ -4,14 +4,15 @@ Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages.
 
-Decode is REAL for the uncompressed public formats a pure-numpy decoder
-can handle — PPM/PGM (netpbm P6/P5), BMP (24-bpp BI_RGB), and WAV
-(RIFF PCM16) — implemented below with no codec libraries. Compressed
-formats (JPEG/PNG/FLAC/MP4) still need an imaging/audio/container
-library this environment lacks and raise ``NotImplementedError`` with a
-clear message; swapping in PIL/soundfile/ffmpeg extends one dispatch
-function, not the pipeline. ``deterministic_fake=True`` keeps the
-hash-keyed fake for payloads that are not real media.
+Decode is REAL for every format a pure-numpy + stdlib decoder can
+handle — PPM/PGM (netpbm P6/P5), BMP (24-bpp BI_RGB), PNG (8-bit
+gray/RGB/GA/RGBA via stdlib ``zlib`` + per-scanline unfiltering), and
+WAV (RIFF PCM16) — implemented below with no codec libraries. Formats
+whose compression is not in the stdlib (JPEG/FLAC/MP4) raise
+``NotImplementedError`` with a clear message; swapping in
+PIL/soundfile/ffmpeg extends one dispatch function, not the pipeline.
+``deterministic_fake=True`` keeps the hash-keyed fake for payloads that
+are not real media.
 
 Scale notes: binary payloads never pass through the driver; Arrow batch
 size bounds executor memory (`spark.sql.execution.arrow.maxRecordsPerBatch`
@@ -106,6 +107,130 @@ def _parse_bmp(data: bytes) -> np.ndarray:
     return pix if h_signed < 0 else pix[::-1]
 
 
+def _parse_png(data: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG (grayscale, RGB, gray+alpha or
+    RGBA) to (h, w, c) uint8 — pure stdlib ``zlib`` + numpy, no codec
+    library. PNG is the one compressed format fully implementable from
+    the public spec (RFC 2083): chunk walk -> concatenate IDAT ->
+    zlib-inflate -> per-scanline unfilter (None/Sub/Up/Average/Paeth).
+    """
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"only 8-bit depth gray/RGB/GA/RGBA PNG supported (depth "
+            f"{depth}, color type {color})")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG raster truncated")
+    lines = np.frombuffer(raw, np.uint8, h * (stride + 1)) \
+        .reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        ftype, row = lines[y, 0], lines[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else \
+            np.zeros(stride, np.int32)
+        if ftype == 0:            # None
+            rec = row
+        elif ftype == 2:          # Up
+            rec = (row + prev) & 0xFF
+        elif ftype == 1:          # Sub: recon[x] = raw[x] + recon[x-bpp]
+            rec = row.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif ftype == 3:          # Average
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:          # Paeth
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else \
+                    (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, channels)
+
+
+def _encode_png(pix: np.ndarray, filter_cycle: bool = False) -> bytes:
+    """(h, w, c) uint8 -> PNG payload — inverse of :func:`_parse_png`.
+    ``filter_cycle`` applies filter type ``y % 5`` to scanline ``y``
+    (instead of all-None), so fixtures exercise every unfilter path."""
+    import zlib
+
+    h, w, c = pix.shape
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[c]
+    pix = np.ascontiguousarray(pix)
+    stride = w * c
+    rows = pix.reshape(h, stride).astype(np.int32)
+    lines = bytearray()
+    for y in range(h):
+        ftype = (y % 5) if filter_cycle else 0
+        row = rows[y]
+        prev = rows[y - 1] if y else np.zeros(stride, np.int32)
+        left = np.concatenate([np.zeros(c, np.int32), row[:-c]]) \
+            if stride > c else np.zeros(stride, np.int32)
+        upleft = np.concatenate([np.zeros(c, np.int32), prev[:-c]]) \
+            if stride > c else np.zeros(stride, np.int32)
+        if ftype == 0:
+            enc = row
+        elif ftype == 1:
+            enc = row - left
+        elif ftype == 2:
+            enc = row - prev
+        elif ftype == 3:
+            enc = row - ((left + prev) >> 1)
+        else:  # Paeth predictor (same selection rule as the decoder)
+            p = left + prev - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = row - pred
+        lines.append(ftype)
+        lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + \
+            struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", zlib.compress(bytes(lines))) +
+            chunk(b"IEND", b""))
+
+
 def _image_features(pix: np.ndarray) -> np.ndarray:
     """Deterministic 8-dim feature vector from decoded pixels:
     per-channel means (gray replicated), global std/min/max, and the
@@ -122,9 +247,9 @@ def _image_features(pix: np.ndarray) -> np.ndarray:
 
 
 def _decode_image_real(payload: bytes):
-    """REAL image decode, pure numpy: PPM/PGM (netpbm) and 24-bpp BMP.
-    Dispatches on magic bytes; compressed formats (JPEG/PNG/...) need a
-    codec library this environment lacks and raise."""
+    """REAL image decode, pure numpy/stdlib: PPM/PGM (netpbm), 24-bpp
+    BMP, and 8-bit PNG. Dispatches on magic bytes; formats needing a
+    codec library this environment lacks (JPEG/...) raise."""
     pix = _decode_pixels_real(payload)
     h, w, c = pix.shape
     return w, h, c, _image_features(pix)
@@ -135,8 +260,10 @@ def _decode_pixels_real(payload: bytes) -> np.ndarray:
         return _parse_pnm(payload)
     if payload[:2] == b"BM":
         return _parse_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _parse_png(payload)
     raise NotImplementedError(
-        "real decode supports uncompressed PPM/PGM/BMP only; compressed "
+        "real decode supports PPM/PGM/BMP/PNG only; JPEG and other "
         "formats require an imaging library (e.g. PIL) not available in "
         "this environment — use deterministic_fake=True for opaque "
         "payloads")
@@ -381,11 +508,14 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
     media files.
 
     ``media="text"``: repeat text bytes to ``size`` (opaque payload for
-    the deterministic_fake decode paths). ``media="ppm"`` / ``"wav"``:
-    REAL uncompressed media keyed on the id — a P6 RGB gradient raster
-    (dimensions and pattern derived from the id) / a PCM16 RIFF WAV
-    sine tone (frequency derived from the id) — which the real decode
-    paths parse end-to-end.
+    the deterministic_fake decode paths). ``media="ppm"`` / ``"png"`` /
+    ``"wav"``: REAL media keyed on the id — an RGB gradient raster
+    (dimensions and pattern derived from the id; the SAME pixels for
+    ppm and png, so the two decoders can be differentially tested) /
+    a PCM16 RIFF WAV sine tone (frequency derived from the id) — which
+    the real decode paths parse end-to-end. PNG payloads cycle the
+    scanline filter type (None/Sub/Up/Average/Paeth by row), exercising
+    every unfilter branch.
     """
     if media == "text":
         repeats = (F.lit(size) / F.greatest(F.length(F.col(text_col)),
@@ -394,12 +524,15 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
         return df.select(F.col(id_col),
                          F.encode(F.substring(repeated, 1, size),
                                   "utf-8").alias("payload"))
-    if media not in ("ppm", "wav"):
+    if media not in ("ppm", "png", "wav"):
         raise ValueError(f"unknown media kind: {media!r}")
 
     from pyspark.sql.functions import pandas_udf
 
-    if media == "ppm":
+    if media in ("ppm", "png"):
+        encode = _encode_pnm if media == "ppm" else \
+            (lambda pix: _encode_png(pix, filter_cycle=True))
+
         @pandas_udf("binary")
         def _gen(ids: pd.Series) -> pd.Series:
             out = []
@@ -410,7 +543,7 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
                 pix = np.stack([(x * 3 + y * 5 + c * 7 + i) % 256
                                 for c in range(3)],
                                axis=2).astype(np.uint8)
-                out.append(_encode_pnm(pix))
+                out.append(encode(pix))
             return pd.Series(out)
     else:
         @pandas_udf("binary")

@@ -110,14 +110,19 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
 
 
 def pack_first_fit(df: DataFrame, token_col: str, id_col: str,
-                   capacity: int, n_buckets: int = 64) -> DataFrame:
+                   capacity: int, n_buckets: int = 64,
+                   bucket_col: str | None = None) -> DataFrame:
     """Greedy first-fit-decreasing packing inside hash buckets.
 
-    Rows hash into ``n_buckets`` independent groups; within each group
-    an Arrow batch runs classic FFD (sort by size descending, place
-    each doc into the first bin with room). Bin ids are globally unique
-    as ``bucket * 2^32 + local_bin``. Padding waste is strictly <= the
-    running-sum packer's; parallelism = n_buckets.
+    Rows hash into ``n_buckets`` independent groups (or group on a
+    caller-provided ``bucket_col`` — any SQL-expressible bucketing, which
+    also makes the packing reproducible by other engines); within each
+    group an Arrow batch runs classic FFD (sort by clipped size
+    descending, ties broken on ascending id — fully deterministic
+    regardless of incoming row order; place each doc into the first bin
+    with room). Bin ids are globally unique as
+    ``bucket * 2^32 + local_bin``. Padding waste is strictly <= the
+    running-sum packer's; parallelism = number of buckets.
     """
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -127,7 +132,10 @@ def pack_first_fit(df: DataFrame, token_col: str, id_col: str,
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(key[0])
         sizes = pdf[token_col].clip(lower=1, upper=cap).astype("int64")
-        order = sizes.sort_values(ascending=False, kind="mergesort").index
+        order = (pdf.assign(__size=sizes)
+                 .sort_values(["__size", id_col],
+                              ascending=[False, True],
+                              kind="mergesort").index)
         bins: list[int] = []   # remaining room per local bin
         assign = pd.Series(0, index=pdf.index, dtype="int64")
         for idx in order:
@@ -144,6 +152,9 @@ def pack_first_fit(df: DataFrame, token_col: str, id_col: str,
         out["bin"] = (bucket << 32) + assign
         return out
 
+    if bucket_col is not None:
+        return (df.groupBy(bucket_col)
+                .applyInPandas(pack, schema=out_schema))
     bucketed = df.withColumn(
         "__bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)))
     return (bucketed.groupBy("__bucket")

@@ -2533,9 +2533,15 @@ def multimodal_decode(spark, sf_dir):
 # tests (known dimensions, resize->decode roundtrip).
 @register("multimodal_decode_real", None)
 def multimodal_decode_real(spark, sf_dir):
+    # Mixed-format corpus: even ids carry netpbm P6 payloads, odd ids
+    # zlib-compressed PNGs (filter-cycled) — one decode_images call
+    # dispatches on magic bytes and parses both for real.
     d = _t(spark, sf_dir, "documents")
-    payloads = multimodal.attach_fake_payloads(d, media="ppm")
-    return multimodal.decode_images(payloads)
+    ppm = multimodal.attach_fake_payloads(
+        d.filter(F.col("doc_id") % 2 == 0), media="ppm")
+    png = multimodal.attach_fake_payloads(
+        d.filter(F.col("doc_id") % 2 == 1), media="png")
+    return multimodal.decode_images(ppm.unionByName(png))
 
 
 # rows-only: REAL audio path — RIFF/WAVE PCM16 sine payloads parsed by
@@ -2944,6 +2950,75 @@ def chunk_and_pack_q(spark, sf_dir):
 
 
 # rows-only: greedy first-fit-decreasing is not SQL-expressible; bin
+# Exact-oracle companion to pack_first_fit_stats: SQL-expressible
+# bucketing (doc_id % 64) + the operator's deterministic FFD order
+# (clipped size desc, doc_id asc) lets DuckDB replay the exact greedy
+# placement with a recursive CTE that advances every bucket one doc per
+# iteration, carrying each bucket's bins' remaining room as a list.
+# Capacity 256 forces multiple bins per bucket, so the first-fit
+# branch (reuse vs open) is genuinely exercised.
+@register("pack_first_fit_exact", r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, doc_id % 64 AS bucket,
+         least(greatest(len(string_split_regex(trim(text), '\s+')), 1),
+               256) AS n
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, bucket, n,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY n DESC, doc_id) AS rn
+  FROM toks
+),
+ff AS (
+  SELECT bucket, rn, doc_id, n,
+         CAST(0 AS BIGINT) AS local_bin,
+         [256 - n] AS rooms
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.n,
+         CASE WHEN coalesce(list_position(
+                        list_transform(f.rooms, r -> r >= o.n), true),
+                      0) = 0
+              THEN CAST(len(f.rooms) AS BIGINT)
+              ELSE CAST(list_position(
+                     list_transform(f.rooms, r -> r >= o.n), true) - 1
+                   AS BIGINT) END,
+         CASE WHEN coalesce(list_position(
+                        list_transform(f.rooms, r -> r >= o.n), true),
+                      0) = 0
+              THEN list_append(f.rooms, 256 - o.n)
+              ELSE list_transform(
+                     range(1, len(f.rooms) + 1),
+                     i -> CASE WHEN i = list_position(
+                                  list_transform(f.rooms, r -> r >= o.n),
+                                  true)
+                               THEN f.rooms[i] - o.n
+                               ELSE f.rooms[i] END) END
+  FROM ff f JOIN ordered o
+    ON o.bucket = f.bucket AND o.rn = f.rn + 1
+)
+SELECT bucket * 4294967296 + local_bin AS bin,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS tokens,
+       round(sum(n) / 256.0, 4) AS fill
+FROM ff GROUP BY 1 ORDER BY bin
+""")
+def pack_first_fit_exact_q(spark, sf_dir):
+    """First-fit-decreasing packing with an exact DuckDB replay
+    (operators/packing.py pack_first_fit): same bucketing, same
+    deterministic order, same greedy placement — per-bin stats
+    hash-match."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.withColumn(
+        "n_tok", F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .withColumn("__bucket", F.pmod(F.col("doc_id"), F.lit(64))))
+    packed = packing.pack_first_fit(toks, "n_tok", "doc_id",
+                                    capacity=256, bucket_col="__bucket")
+    return (packing.packing_stats(packed, "n_tok", 256)
+            .orderBy("bin"))
+
+
 # VALIDITY (capacity respected, all docs placed, waste <= running-sum)
 # is asserted in test_operators.py
 @register("pack_first_fit_stats", None)

@@ -46,6 +46,7 @@ from .log import (
     delete_table_entry,
     log_entry_filename,
     merge_table_entry,
+    Operation,
     optimize_table_entry,
     overwrite_table_entry,
     properties_table_entry,
@@ -809,7 +810,7 @@ class DeltaTable:
     #: table opens O(recent commits) instead of O(all commits).
     checkpoint_interval: int = 10
 
-    #: Delta writer features this engine actually honors when
+    #: Delta writer features this engine honors unconditionally when
     #: committing. Anything else declared by a minWriterVersion>=7
     #: protocol (rowTracking, icebergCompatV2, ...) would have its
     #: invariants silently broken by our commits — refuse instead.
@@ -819,29 +820,113 @@ class DeltaTable:
     #: path; the flag alone (read-mapped table, metadata-only commit)
     #: must not block.
 
-    def _check_writer_protocol(self) -> None:
+    #: Features we can commit under only when the table doesn't
+    #: actually USE them (checked against schema field metadata /
+    #: table configuration / the operation being committed).
+    CONDITIONAL_WRITER_FEATURES = frozenset(
+        {"invariants", "generatedColumns", "identityColumns",
+         "changeDataFeed"})
+
+    #: Delta spec's legacy writer-version table: each version <7
+    #: implies the union of these feature sets up to and including it.
+    LEGACY_WRITER_IMPLIED: dict[int, frozenset] = {
+        2: frozenset({"appendOnly", "invariants"}),
+        3: frozenset({"checkConstraints"}),
+        4: frozenset({"changeDataFeed", "generatedColumns"}),
+        5: frozenset({"columnMapping"}),
+        6: frozenset({"identityColumns"}),
+    }
+
+    def _check_writer_protocol(self, entry: DeltaLogEntry | None = None
+                               ) -> None:
         """Delta spec: a writer MUST refuse to commit unless it
         implements every feature the table's writer protocol demands
-        (the reference ignores protocol entirely). Legacy versions
-        <= 4 imply features we either honor (appendOnly, CHECK
-        constraints) or that only bite when actually used (invariants,
-        generated columns — both absent from tables this engine or
-        delta-rs write; their enforcement-bearing metadata lives in
-        schema field metadata we preserve verbatim on rewrite)."""
+        (the reference ignores protocol entirely). Legacy versions <7
+        imply fixed feature sets (v2 appendOnly+invariants, v3 CHECK
+        constraints, v4 CDF+generated columns, v5 column mapping, v6
+        identity columns) — mapped here through the same gate as v7's
+        explicit writerFeatures list, so e.g. a v6 table with a real
+        identity column is refused rather than silently committed
+        (identity writers must maintain the high watermark; ours
+        can't)."""
         proto = self.log.protocol()
-        if proto.minWriterVersion < 7:
-            return
-        feats = set((proto.extra or {}).get("writerFeatures") or [])
-        unknown = feats - self.SUPPORTED_WRITER_FEATURES
+        if proto.minWriterVersion >= 7:
+            demanded = set((proto.extra or {}).get("writerFeatures") or [])
+        else:
+            demanded = set()
+            for v, feats in self.LEGACY_WRITER_IMPLIED.items():
+                if proto.minWriterVersion >= v:
+                    demanded |= feats
+        unknown = (demanded - self.SUPPORTED_WRITER_FEATURES
+                   - self.CONDITIONAL_WRITER_FEATURES)
         if unknown:
             raise NotImplementedError(
-                f"table requires writer features {sorted(feats)}; this "
+                f"table requires writer features {sorted(demanded)}; this "
                 f"engine does not implement {sorted(unknown)} — "
                 "committing would break the table's invariants for "
                 "other engines.")
+        conditional = demanded & self.CONDITIONAL_WRITER_FEATURES
+        if conditional:
+            self._check_conditional_writer_features(conditional, entry)
+
+    def _check_conditional_writer_features(self, feats: set,
+                                           entry: DeltaLogEntry | None
+                                           ) -> None:
+        """Refuse commits that would break a feature the table actively
+        uses; a merely-declared-but-unused feature is vacuously safe.
+
+        - invariants / generatedColumns / identityColumns live in schema
+          field metadata (``delta.invariants``,
+          ``delta.generationExpression``, ``delta.identity.*``): if any
+          field declares one, this engine can't enforce/compute it.
+        - changeDataFeed (``delta.enableChangeDataFeed=true``): CDC
+          readers fall back to add/remove actions when a commit carries
+          no cdc files — sound for inserts and full-file deletes, WRONG
+          for copy-on-write DELETE/UPDATE/MERGE (rewritten survivor rows
+          would read back as spurious delete+insert pairs), so those
+          operations are refused on CDF tables.
+        """
+        md_keys = {
+            "invariants": ("delta.invariants",),
+            "generatedColumns": ("delta.generationExpression",),
+            "identityColumns": ("delta.identity.start",
+                                "delta.identity.step",
+                                "delta.identity.allowExplicitInsert"),
+        }
+        try:
+            fields = self.log.schema().fields
+        except ValueError:  # no metaData yet (first commit): nothing used
+            fields = []
+        for feat, keys in md_keys.items():
+            if feat not in feats:
+                continue
+            used = [f.name for f in fields
+                    if any(k in (f.metadata or {}) for k in keys)]
+            if used:
+                raise NotImplementedError(
+                    f"table uses writer feature '{feat}' on column(s) "
+                    f"{used}; this engine cannot maintain it — refusing "
+                    "to commit.")
+        if "changeDataFeed" in feats:
+            try:
+                cfg = self.log.metadata().configuration or {}
+            except ValueError:
+                cfg = {}
+            cdf_on = str(cfg.get("delta.enableChangeDataFeed", "false")
+                         ).lower() == "true"
+            op = None
+            if entry is not None and entry.commit_info is not None:
+                op = entry.commit_info.operation
+            if cdf_on and op in (Operation.DELETE, Operation.UPDATE,
+                                 Operation.MERGE):
+                raise NotImplementedError(
+                    f"delta.enableChangeDataFeed=true requires {op} "
+                    "commits to carry CDC files, which this engine does "
+                    "not write — other engines' CDF readers would see "
+                    "spurious changes. Refusing to commit.")
 
     def _commit(self, entry: DeltaLogEntry) -> "DeltaTable":
-        self._check_writer_protocol()
+        self._check_writer_protocol(entry)
         with self.commit_context(self._version_to_write):
             commit_entry(self.log_location, self._version_to_write, entry)
         new = type(self)(self.spark, self.location, self.log_location)
