@@ -998,20 +998,34 @@ class TestLegacyWriterVersionGate:
         t = DeltaTable(spark, f"{tmp_table_dir}/t")
         assert t.delete("flag = true").to_df().count() >= 0
 
-    def test_v2_invariant_column_refuses_commit(self, spark,
-                                                tmp_table_dir):
+    def test_v2_invariant_enforced_on_append(self, spark,
+                                             tmp_table_dir):
+        """Writer-v2 column invariants are ENFORCED (Delta writer
+        spec), not refused: violating appends abort, satisfying ones
+        commit."""
         self._table(spark, tmp_table_dir)
         self._graft(
             tmp_table_dir,
             {"minReaderVersion": 1, "minWriterVersion": 2},
             field_meta={"i64": {"delta.invariants":
-                                '{"expression":{"expression":"i64 > 0"}}'}})
+                                '{"expression":{"expression":"i64 > -2000"}}'}})
         t = DeltaTable(spark, f"{tmp_table_dir}/t")
-        with pytest.raises(NotImplementedError, match="invariants"):
-            t.write(spark.createDataFrame(gen_pdf()), mode="append")
+        n = t.to_df().count()
+        # gen_pdf i64 is in [-1000, 1000): satisfies > -2000
+        t = t.write(spark.createDataFrame(gen_pdf()), mode="append")
+        assert t.to_df().count() == 2 * n
+        bad = gen_pdf()
+        bad["i64"] = -5000
+        with pytest.raises(Exception, match="invariant"):
+            t.write(spark.createDataFrame(bad), mode="append")
+        # failed write left the table intact
+        assert DeltaTable(spark,
+                          f"{tmp_table_dir}/t").to_df().count() == 2 * n
 
-    def test_v7_generated_column_refuses_commit(self, spark,
-                                                tmp_table_dir):
+    def test_v7_generated_column_computed_and_verified(self, spark,
+                                                       tmp_table_dir):
+        """Generated columns are computed when omitted and verified
+        when supplied (Delta writer spec)."""
         self._table(spark, tmp_table_dir)
         self._graft(
             tmp_table_dir,
@@ -1020,8 +1034,39 @@ class TestLegacyWriterVersionGate:
             field_meta={"i32": {"delta.generationExpression":
                                 "i64 + 1"}})
         t = DeltaTable(spark, f"{tmp_table_dir}/t")
-        with pytest.raises(NotImplementedError, match="generatedColumns"):
-            t.write(spark.createDataFrame(gen_pdf()), mode="append")
+        # omitted -> computed
+        pdf = gen_pdf().drop(columns=["i32"])
+        t = t.write(spark.createDataFrame(pdf), mode="append")
+        new = t.to_df().filter(
+            f"order >= {int(pdf['order'].min())}").collect()
+        assert len(new) == len(pdf)
+        assert all(r["i32"] == r["i64"] + 1 for r in new)
+        # supplied-and-correct -> accepted
+        ok_pdf = gen_pdf()
+        ok_pdf["i32"] = (ok_pdf["i64"] + 1).astype("int32")
+        t = t.write(spark.createDataFrame(ok_pdf), mode="append")
+        # supplied-and-wrong -> refused
+        bad = gen_pdf()
+        bad["i32"] = 0
+        with pytest.raises(Exception, match="generat"):
+            t.write(spark.createDataFrame(bad), mode="append")
+
+    def test_generated_column_recomputed_on_update(self, spark,
+                                                   tmp_table_dir):
+        self._table(spark, tmp_table_dir)
+        self._graft(
+            tmp_table_dir,
+            {"minReaderVersion": 1, "minWriterVersion": 4},
+            field_meta={"i32": {"delta.generationExpression":
+                                "i64 + 1"}})
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        # existing rows violate i32 = i64+1 (random data), but UPDATE
+        # recomputes every generated column on the rewritten files
+        # (where=None rewrites them all)
+        t = t.update(set={"i64": "100"})
+        rows = t.to_df().collect()
+        assert rows and all(r["i64"] == 100 and r["i32"] == 101
+                            for r in rows)
 
 
 class TestWriterOptions:

@@ -610,20 +610,95 @@ class DeltaTable:
             self.version, custom_metadata)
         return self._commit(entry)
 
+    def _invariants(self) -> dict[str, str]:
+        """Column invariants (legacy writer-v2 feature): schema field
+        metadata ``delta.invariants`` holds
+        ``{"expression": {"expression": "<sql>"}}``. Enforced on every
+        data-adding path exactly like CHECK constraints."""
+        if self.schema is None:
+            return {}
+        out: dict[str, str] = {}
+        for f in self.schema.fields:
+            inv = (f.metadata or {}).get("delta.invariants")
+            if not inv:
+                continue
+            try:
+                out[f.name] = json.loads(inv)["expression"]["expression"]
+            except (ValueError, KeyError, TypeError):
+                raise NotImplementedError(
+                    f"unparseable delta.invariants on column "
+                    f"{f.name!r}: {inv!r} — refusing to write without "
+                    "enforcing it")
+        return out
+
+    def _generated_columns(self) -> dict[str, str]:
+        """Generated columns (writer-v4 feature): schema field metadata
+        ``delta.generationExpression`` -> SQL expression over the other
+        columns. The writer computes them when absent from the input and
+        verifies them when provided (Delta writer spec)."""
+        if self.schema is None:
+            return {}
+        return {f.name: (f.metadata or {})["delta.generationExpression"]
+                for f in self.schema.fields
+                if (f.metadata or {}).get("delta.generationExpression")}
+
     def _apply_constraints(self, df: DataFrame) -> DataFrame:
-        """Inline CHECK enforcement: an always-true filter built from
-        ``assert_true`` — zero extra scan of the incoming data; the
-        write job itself raises on the first violating row (violations
-        abort the commit; the staged files are cleaned up)."""
-        cons = self.constraints
-        if not cons:
+        """Inline CHECK + column-invariant enforcement: an always-true
+        filter built from ``assert_true`` — zero extra scan of the
+        incoming data; the write job itself raises on the first
+        violating row (violations abort the commit; the staged files
+        are cleaned up). NULL satisfies (SQL CHECK semantics, matching
+        Delta)."""
+        checks = [(f"CHECK constraint {n} ({e})", e)
+                  for n, e in sorted(self.constraints.items())]
+        checks += [(f"column invariant on {c} ({e})", e)
+                   for c, e in sorted(self._invariants().items())]
+        if not checks:
             return df
         pred = F.lit(True)
-        for n, e in sorted(cons.items()):
+        for label, e in checks:
             ok = F.coalesce(F.expr(e), F.lit(True))
             pred = pred & F.assert_true(
-                ok, F.lit(f"CHECK constraint {n} ({e}) violated")).isNull()
+                ok, F.lit(f"{label} violated")).isNull()
         return df.filter(pred)
+
+    def _apply_generated_columns(self, df: DataFrame,
+                                 provided: "set[str] | None" = None,
+                                 recompute_all: bool = False) -> DataFrame:
+        """Compute absent generated columns and verify provided ones.
+
+        ``provided``: column names the caller actually supplied (before
+        null-fill alignment). Absent generated columns are computed from
+        their generation expression; provided ones are verified
+        null-safe-equal to it inline (``assert_true``, fused into the
+        write job). ``recompute_all`` recomputes every generated column
+        instead (the UPDATE rewrite path, where dependencies may have
+        changed) — deterministic expressions leave untouched rows'
+        values identical.
+        """
+        gens = self._generated_columns()
+        if not gens:
+            return df
+        out = df
+        verify: list[tuple[str, str]] = []
+        for name, expr in sorted(gens.items()):
+            dt = out.schema[name].dataType
+            if recompute_all or (provided is not None
+                                 and name not in provided):
+                out = out.withColumn(name, F.expr(expr).cast(dt))
+            else:
+                verify.append((name, expr))
+        if verify:
+            pred = F.lit(True)
+            for name, expr in verify:
+                ok = F.col(name).eqNullSafe(
+                    F.expr(expr).cast(out.schema[name].dataType))
+                pred = pred & F.assert_true(ok, F.lit(
+                    f"generated column {name} does not match its "
+                    f"generation expression ({expr}); omit the column "
+                    "to have it computed")).isNull()
+            out = out.filter(pred)
+        return out
 
     # -- write -----------------------------------------------------------------
 
@@ -674,6 +749,14 @@ class DeltaTable:
         df = union_dataframe(self.spark, data,
                              schema_mode=schema_mode_e.value
                              if schema_mode_e == SchemaMode.merge else "common")
+        provided_cols = set(df.columns)
+        # compute absent generated columns BEFORE schema evaluation so
+        # omitting them doesn't read as a schema mismatch (Delta writer
+        # spec: the writer supplies them when the input doesn't)
+        for c, e in sorted(self._generated_columns().items()):
+            if c not in provided_cols:
+                df = df.withColumn(
+                    c, F.expr(e).cast(self.schema[c].dataType))
         schema = self.log.evaluate_schema(df.schema, mode, schema_mode_e)
         # align to evolved schema (fill missing columns with nulls)
         if [f.name for f in schema.fields] != df.columns or \
@@ -682,6 +765,7 @@ class DeltaTable:
                 F.col(f.name).cast(f.dataType) if f.name in df.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in schema.fields])
+        df = self._apply_generated_columns(df, provided=provided_cols)
 
         new_adds = self._write_data(self._apply_constraints(df),
                                     partition_by,
@@ -816,16 +900,18 @@ class DeltaTable:
     #: invariants silently broken by our commits — refuse instead.
     SUPPORTED_WRITER_FEATURES = frozenset(
         {"appendOnly", "checkConstraints", "timestampNtz",
-         "columnMapping"})  # mapped WRITES still raise in the writer
-    #: path; the flag alone (read-mapped table, metadata-only commit)
-    #: must not block.
+         "columnMapping",  # mapped WRITES still raise in the writer
+         # path; the flag alone (read-mapped table, metadata-only
+         # commit) must not block.
+         "invariants",        # enforced inline (_apply_constraints)
+         "generatedColumns",  # computed/verified on write+update
+         })
 
     #: Features we can commit under only when the table doesn't
     #: actually USE them (checked against schema field metadata /
     #: table configuration / the operation being committed).
     CONDITIONAL_WRITER_FEATURES = frozenset(
-        {"invariants", "generatedColumns", "identityColumns",
-         "changeDataFeed"})
+        {"identityColumns", "changeDataFeed"})
 
     #: Delta spec's legacy writer-version table: each version <7
     #: implies the union of these feature sets up to and including it.
@@ -874,11 +960,13 @@ class DeltaTable:
                                            ) -> None:
         """Refuse commits that would break a feature the table actively
         uses; a merely-declared-but-unused feature is vacuously safe.
+        (invariants and generatedColumns are NOT here — they are
+        actually enforced/computed on the write paths, see
+        ``_apply_constraints`` / ``_apply_generated_columns``.)
 
-        - invariants / generatedColumns / identityColumns live in schema
-          field metadata (``delta.invariants``,
-          ``delta.generationExpression``, ``delta.identity.*``): if any
-          field declares one, this engine can't enforce/compute it.
+        - identityColumns live in schema field metadata
+          (``delta.identity.*``): if any field declares one, this
+          engine can't maintain the identity high watermark.
         - changeDataFeed (``delta.enableChangeDataFeed=true``): CDC
           readers fall back to add/remove actions when a commit carries
           no cdc files — sound for inserts and full-file deletes, WRONG
@@ -887,8 +975,6 @@ class DeltaTable:
           operations are refused on CDF tables.
         """
         md_keys = {
-            "invariants": ("delta.invariants",),
-            "generatedColumns": ("delta.generationExpression",),
             "identityColumns": ("delta.identity.start",
                                 "delta.identity.step",
                                 "delta.identity.allowExplicitInsert"),
@@ -1165,6 +1251,12 @@ class DeltaTable:
                         if c in set else F.col(c))
                 sel.append(expr)
             rewritten = self._scan(hit_adds).select(sel)
+            # a SET may have changed a generated column's dependencies:
+            # recompute every generated column not explicitly SET
+            # (deterministic exprs leave untouched rows identical);
+            # explicitly-SET ones are verified against their expression
+            rewritten = self._apply_generated_columns(
+                rewritten, provided={*set})  # `set` = the SET dict here
             new_adds = self._write_data(self._apply_constraints(rewritten),
                                         self.partition_columns)
 
@@ -1685,6 +1777,12 @@ class DeltaTable:
                 rewritten = joined.filter(~drop).select(sel)
             else:
                 rewritten = th.select(out_cols)
+            # generated columns: VERIFIED on the matched-rewrite path
+            # (an UPDATE clause that broke one fails loudly with a
+            # message naming the expression) — clause semantics make a
+            # silent recompute ambiguous here
+            rewritten = self._apply_generated_columns(
+                rewritten, provided=set(out_cols))
             new_adds.extend(self._write_data(
                 self._apply_constraints(rewritten),
                 self.partition_columns))
@@ -1697,6 +1795,10 @@ class DeltaTable:
                 if c in when_not_matched_insert
                 else F.lit(None).cast(self.schema[c].dataType).alias(c)
                 for c in out_cols])
+            # generated columns: COMPUTED for insert clauses that do
+            # not assign them, verified for ones that do
+            ins = self._apply_generated_columns(
+                ins, provided=set(when_not_matched_insert))
             new_adds.extend(self._write_data(
                 self._apply_constraints(ins), self.partition_columns))
 
