@@ -1,0 +1,204 @@
+"""Deletion-vector reads: codec (Z85 / roaring / file framing) and the
+scan-level anti-join that filters logically-deleted rows.
+
+The sandbox has neither delta-spark nor pyroaring, so foreign fixtures
+are built with log/dv.py's own spec-derived serializer; byte-level
+hand-built cases pin the wire format against the published spec
+independently of the serializer.
+"""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xdlake_spark import DeltaTable
+from xdlake_spark.log import dv
+from xdlake_spark.sources.storage import Location
+
+from .utils import gen_pdf
+
+
+class TestDvCodec:
+    def test_z85_spec_vector(self):
+        # the ZeroMQ Z85 reference test vector
+        raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+        assert dv.z85_encode(raw) == "HelloWorld"
+        assert dv.z85_decode("HelloWorld") == raw
+
+    @pytest.mark.parametrize("use_runs", [False, True])
+    def test_roundtrip_container_types(self, use_runs):
+        rng = np.random.default_rng(11)
+        cases = [
+            [0],
+            list(range(4096)),                       # array boundary
+            list(range(5000)),                       # bitmap container
+            list(rng.choice(1 << 20, 9000, replace=False)),
+            [2**32 + 5, 2**33 + 7, 123],             # multiple bitmaps
+            list(range(70000, 80000)) + [1, 65535, 65536],
+        ]
+        for c in cases:
+            got = dv.deserialize_dv_data(
+                dv.serialize_dv_data(c, use_runs=use_runs))
+            assert np.array_equal(got,
+                                  np.array(sorted(set(c)), dtype=np.int64))
+
+    def test_handbuilt_array_container(self):
+        # cookie 12346, one container, key 0, card-1=1, offset, values {7,9}
+        raw = (struct.pack("<II", 12346, 1) + struct.pack("<HH", 0, 1)
+               + struct.pack("<I", 16) + struct.pack("<HH", 7, 9))
+        vals, pos = dv._parse_roaring32(memoryview(raw), 0)
+        assert list(vals) == [7, 9] and pos == len(raw)
+
+    def test_handbuilt_run_container(self):
+        # cookie 12347 (n-1=0 in high bits), run flag byte 0x01,
+        # key 0 card-1=2, one run (start 10, len-1 2) -> {10,11,12}
+        raw = (struct.pack("<I", 12347) + b"\x01"
+               + struct.pack("<HH", 0, 2) + struct.pack("<H", 1)
+               + struct.pack("<HH", 10, 2))
+        vals, pos = dv._parse_roaring32(memoryview(raw), 0)
+        assert list(vals) == [10, 11, 12] and pos == len(raw)
+
+    def test_file_framing_and_checksum(self, tmp_table_dir):
+        loc = Location.resolve(tmp_table_dir)
+        desc = dv.write_dv_file(loc, [3, 5, 2**32 + 1])
+        got = dv.deleted_row_indexes(loc, desc)
+        assert list(got) == [3, 5, 2**32 + 1]
+        # corrupt one data byte -> checksum failure
+        rel = dv.dv_relative_path(desc["pathOrInlineDv"])
+        path = f"{tmp_table_dir}/{rel}"
+        raw = bytearray(open(path, "rb").read())
+        raw[7] ^= 0xFF
+        open(path, "wb").write(bytes(raw))
+        with pytest.raises(ValueError, match="checksum"):
+            dv.deleted_row_indexes(loc, desc)
+
+    def test_inline_storage(self):
+        data = dv.serialize_dv_data([1, 4, 9])
+        pad = (-len(data)) % 4
+        desc = {"storageType": "i",
+                "pathOrInlineDv": dv.z85_encode(data + b"\x00" * pad),
+                "sizeInBytes": len(data), "cardinality": 3}
+        got = dv.deleted_row_indexes(None, desc)
+        assert list(got) == [1, 4, 9]
+
+    def test_cardinality_mismatch_raises(self, tmp_table_dir):
+        loc = Location.resolve(tmp_table_dir)
+        desc = dv.write_dv_file(loc, [1, 2, 3])
+        desc["cardinality"] = 7
+        with pytest.raises(ValueError, match="cardinality"):
+            dv.deleted_row_indexes(loc, desc)
+
+
+def _graft_dv(table_dir: str, version: int, row_indexes,
+              which: int = 0, inline: bool = False) -> dict:
+    """Attach a spec-format DV to the ``which``-th add of ``version``'s
+    log entry, the way a foreign engine's DELETE would."""
+    loc = Location.resolve(table_dir)
+    if inline:
+        data = dv.serialize_dv_data(row_indexes)
+        pad = (-len(data)) % 4
+        desc = {"storageType": "i",
+                "pathOrInlineDv": dv.z85_encode(data + b"\x00" * pad),
+                "sizeInBytes": len(data),
+                "cardinality": len(set(map(int, row_indexes)))}
+    else:
+        desc = dv.write_dv_file(loc, row_indexes)
+    log_file = f"{table_dir}/_delta_log/{version:020d}.json"
+    lines, seen = [], 0
+    with open(log_file) as fh:
+        for line in fh:
+            obj = json.loads(line)
+            if "add" in obj:
+                if seen == which:
+                    obj["add"]["deletionVector"] = desc
+                seen += 1
+            lines.append(json.dumps(obj))
+    assert seen > which, "fewer adds than expected"
+    with open(log_file, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return desc
+
+
+class TestDvScan:
+    def test_scan_filters_deleted_rows(self, spark, tmp_table_dir):
+        pdf = gen_pdf(50)
+        t = DeltaTable(spark, tmp_table_dir)
+        t = t.write(spark.createDataFrame(pdf).coalesce(1))
+        # delete file-row positions 0, 3, 17 from the single data file
+        _graft_dv(tmp_table_dir, 0, [0, 3, 17])
+        t2 = DeltaTable(spark, tmp_table_dir)
+        got = t2.to_df().toPandas().sort_values("order")
+        assert len(got) == 47
+        # which rows survived: parquet row order == written order
+        kept = pdf.drop(pdf.index[[0, 3, 17]])
+        assert sorted(got["order"]) == sorted(kept["order"])
+
+    def test_scan_mixed_dv_and_clean_files(self, spark, tmp_table_dir):
+        pdf1, pdf2 = gen_pdf(30), gen_pdf(30)
+        t = DeltaTable(spark, tmp_table_dir)
+        t = t.write(spark.createDataFrame(pdf1).coalesce(1))
+        t = t.write(spark.createDataFrame(pdf2).coalesce(1),
+                    mode="append")
+        # DV only on version 1's file
+        _graft_dv(tmp_table_dir, 1, [5, 6, 7], inline=True)
+        t2 = DeltaTable(spark, tmp_table_dir)
+        got = t2.to_df().toPandas()
+        assert len(got) == 57
+        kept2 = pdf2.drop(pdf2.index[[5, 6, 7]])
+        assert sorted(got["order"]) == sorted(
+            list(pdf1["order"]) + list(kept2["order"]))
+
+    def test_scan_partitioned_table_with_dv(self, spark, tmp_table_dir):
+        pdf = gen_pdf(40)
+        t = DeltaTable(spark, tmp_table_dir)
+        t = t.write(spark.createDataFrame(pdf), partition_by=["flag"])
+        # graft onto the first add (one hive partition's file)
+        desc = _graft_dv(tmp_table_dir, 0, [0, 1])
+        t2 = DeltaTable(spark, tmp_table_dir)
+        got = t2.to_df()
+        assert got.count() == len(pdf) - 2
+        # filters still compose with the DV anti-join
+        n_true = got.filter("flag = true").count()
+        n_false = got.filter("flag = false").count()
+        assert n_true + n_false == len(pdf) - 2
+        assert desc["cardinality"] == 2
+
+    def test_count_and_where_pushdown_paths(self, spark, tmp_table_dir):
+        pdf = gen_pdf(60)
+        t = DeltaTable(spark, tmp_table_dir)
+        t = t.write(spark.createDataFrame(pdf).coalesce(1))
+        _graft_dv(tmp_table_dir, 0, list(range(10)))
+        t2 = DeltaTable(spark, tmp_table_dir)
+        assert t2.to_df().count() == 50
+        kept = pdf.drop(pdf.index[list(range(10))])
+        want = int((kept["i64"] > 0).sum())
+        assert t2.to_df(where="i64 > 0").count() == want
+
+    def test_mutations_still_refused_via_writer_gate(self, spark,
+                                                     tmp_table_dir):
+        """DV tables declare the deletionVectors writer feature; this
+        engine doesn't hold it, so mutations keep refusing at commit
+        while reads work."""
+        t = DeltaTable(spark, tmp_table_dir)
+        t = t.write(spark.createDataFrame(gen_pdf(20)).coalesce(1))
+        _graft_dv(tmp_table_dir, 0, [1])
+        log_file = f"{tmp_table_dir}/_delta_log/{0:020d}.json"
+        lines = []
+        for line in open(log_file):
+            obj = json.loads(line)
+            if "protocol" in obj:
+                obj["protocol"] = {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"]}
+            lines.append(json.dumps(obj))
+        open(log_file, "w").write("\n".join(lines) + "\n")
+        t2 = DeltaTable(spark, tmp_table_dir)
+        assert t2.to_df().count() == 19  # read path fine
+        with pytest.raises(NotImplementedError, match="deletionVectors"):
+            t2.delete("flag = true")
+        with pytest.raises(NotImplementedError, match="deletionVectors"):
+            t2.write(spark.createDataFrame(gen_pdf(5)), mode="append")

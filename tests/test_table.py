@@ -879,10 +879,12 @@ class TestReaderProtocolGate:
 
 
 class TestDeletionVectorGuard:
-    def test_dv_bearing_add_fails_loudly(self, spark, tmp_table_dir):
-        """A table whose log carries a non-null deletionVector (as
-        written by modern delta-rs / delta-spark) must refuse to scan
-        rather than silently return deleted rows."""
+    def test_corrupt_dv_descriptor_fails_loudly(self, spark,
+                                                tmp_table_dir):
+        """Valid deletion vectors are decoded and applied (see
+        tests/test_dv.py); a descriptor whose bitmap cannot be resolved
+        (garbage pathOrInlineDv here) must fail the scan loudly rather
+        than silently return logically-deleted rows."""
         pdf = gen_pdf()
         t = DeltaTable(spark, f"{tmp_table_dir}/t")
         t = t.write(spark.createDataFrame(pdf))
@@ -901,9 +903,9 @@ class TestDeletionVectorGuard:
             fh.write("\n".join(lines) + "\n")
 
         t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
-        with pytest.raises(NotImplementedError, match="deletion vector"):
+        with pytest.raises(ValueError, match="deletion vector"):
             t2.to_df()
-        with pytest.raises(NotImplementedError, match="deletion vector"):
+        with pytest.raises(ValueError, match="deletion vector"):
             t2.delete("flag = true")
         # a DV field that is null/absent stays readable
         assert t.to_df().count() == len(pdf)

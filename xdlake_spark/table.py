@@ -216,9 +216,9 @@ class DeltaTable:
         ignores protocol entirely; modern tables would be misread).
         minReaderVersion 1-2 are fully handled (2 = column mapping,
         gated separately by mode); 3 enumerates readerFeatures — each
-        must be one we implement. deletionVectors is accepted at the
-        protocol level because every LIVE DV-bearing add still fails
-        loudly in _scan (a table whose DVs were purged reads fine)."""
+        must be one we implement. deletionVectors is genuinely
+        implemented: _scan decodes each live add's bitmap and
+        anti-joins the deleted row positions out (log/dv.py)."""
         proto = self.log.protocol()
         if proto.minReaderVersion <= 2:
             return
@@ -239,17 +239,26 @@ class DeltaTable:
         assert schema is not None
         self._check_reader_protocol()
         # Deletion vectors (written by modern delta-rs / delta-spark) mark
-        # rows within a live file as deleted. We carry the field through
-        # the log tolerantly but do NOT apply the bitmap — scanning such a
-        # file would silently resurrect deleted rows, so fail loudly.
-        dv = [p for p, a in adds.items()
-              if (a.extra or {}).get("deletionVector")]
-        if dv:
-            raise NotImplementedError(
-                f"{len(dv)} live file(s) carry deletion vectors (e.g. "
-                f"{dv[0]!r}); scanning would return logically-deleted "
-                "rows. Rewrite the table without DVs (delta-rs/Spark "
-                "`REORG TABLE ... APPLY (PURGE)`) before reading it here.")
+        # rows within a live file as deleted. Decode each referenced
+        # bitmap (log/dv.py, pure-numpy roaring reader) and anti-join the
+        # DV'd files' scan on (file, _metadata.row_index); DV-free files
+        # scan untouched. Mutations on DV tables still refuse at commit
+        # (deletionVectors is a writer feature this engine doesn't hold).
+        dv_adds = {p: a for p, a in adds.items()
+                   if (a.extra or {}).get("deletionVector")}
+        if dv_adds:
+            import dataclasses
+            clean = {p: a for p, a in adds.items() if p not in dv_adds}
+            stripped = {
+                p: dataclasses.replace(
+                    a, extra={k: v for k, v in (a.extra or {}).items()
+                              if k != "deletionVector"})
+                for p, a in dv_adds.items()}
+            df = self._apply_deletion_vectors(self._scan(stripped),
+                                              dv_adds)
+            if clean:
+                df = self._scan(clean).unionByName(df)
+            return df
         cm = self.column_mapping_mode
         if cm == "name":
             return self._scan_column_mapped(adds)
@@ -1273,18 +1282,51 @@ class DeltaTable:
         return self._commit_checked(entry, read_version,
                                     where_sql=where_sql)
 
+    def _apply_deletion_vectors(self, df: DataFrame,
+                                dv_adds: dict[str, Add]) -> DataFrame:
+        """Filter logically-deleted rows out of a scan of DV-bearing
+        files: decode each add's roaring bitmap (driver-side — DVs are
+        per-file deleted-row sets, orders of magnitude smaller than the
+        data; cardinality-checked), build a (file, row_index) frame of
+        deleted positions, and LEFT ANTI join against the scan keyed on
+        ``_metadata.file_path`` + ``_metadata.row_index``. Broadcast
+        when small; past ~2M positions it degrades to a shuffle join,
+        still correct. Paths are normalized identically on both sides
+        (scheme stripped, url-decoded — the `_rel_by_uri` convention).
+        """
+        import pandas as pd
+
+        from .log.dv import deleted_row_indexes
+
+        rows: list[tuple[str, int]] = []
+        for p, a in dv_adds.items():
+            desc = (a.extra or {})["deletionVector"]
+            idx = deleted_row_indexes(self.location, desc)
+            url = _norm_uri(self.location.absloc(p).url)
+            rows.extend((url, int(i)) for i in idx)
+        if not rows:
+            return df
+        deleted = self.spark.createDataFrame(
+            pd.DataFrame(rows, columns=["__dv_file", "__dv_pos"]))
+        if len(rows) <= 2_000_000:
+            deleted = F.broadcast(deleted)
+        norm_file = F.url_decode(F.regexp_replace(F.regexp_replace(
+            F.col("_metadata.file_path"),
+            "^[a-zA-Z0-9+.-]+://?", "/"), "^//+", "/"))
+        tagged = df.withColumns({
+            "__xdl_dv_file": norm_file,
+            "__xdl_dv_pos": F.col("_metadata.row_index"),
+        })
+        cond = (F.col("__xdl_dv_file") == F.col("__dv_file")) & \
+            (F.col("__xdl_dv_pos") == F.col("__dv_pos"))
+        return (tagged.join(deleted, cond, "left_anti")
+                .drop("__xdl_dv_file", "__xdl_dv_pos"))
+
     def _rel_by_uri(self, adds: dict[str, Add]) -> Callable[[str], str]:
         """Constant-time map from ``input_file_name()`` URIs back to
         manifest-relative paths (same normalization as the scan's
         manifest join: scheme stripped, url-decoded)."""
-        def norm(u: str) -> str:
-            u = re.sub(r"^[a-zA-Z0-9+.-]+://?", "/", u)
-            u = re.sub(r"^//+", "/", u)
-            try:
-                return urllib.parse.unquote(u)
-            except Exception:
-                return u
-
+        norm = _norm_uri
         table = {norm(self.location.absloc(p).url): p for p in adds}
 
         def rel_of(uri: str) -> str:
@@ -1810,6 +1852,19 @@ class DeltaTable:
         # MERGE reads the whole target (probe + anti joins): any
         # concurrent add conflicts, so no where_sql narrowing here
         return self._commit_checked(entry, read_version)
+
+
+def _norm_uri(u: str) -> str:
+    """Scheme stripped, leading slashes collapsed, url-decoded — the
+    canonical form for matching Spark-reported file URIs against
+    manifest paths (mirrored in Spark SQL by
+    ``_apply_deletion_vectors``)."""
+    u = re.sub(r"^[a-zA-Z0-9+.-]+://?", "/", u)
+    u = re.sub(r"^//+", "/", u)
+    try:
+        return urllib.parse.unquote(u)
+    except Exception:
+        return u
 
 
 def schemas_match(a: T.StructType | None, b: T.StructType | None) -> bool:
