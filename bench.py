@@ -95,6 +95,7 @@ HEADLINE = [
     "knn_join_labels",
     "multimodal_meta",
     "multimodal_decode_real",
+    "bpe_train_merges",
     "pack_sequences_running_sum",
     "chunk_and_pack",
     "pack_first_fit_stats",

@@ -1801,3 +1801,65 @@ class TestHistogramAndReadability:
         assert r["flesch"] == round(flesch, 4)
         fk = 0.39 * 3 + 11.8 * 1 - 15.59
         assert r["fk_grade"] == round(fk, 4)
+
+
+class TestBpe:
+    """Distributed BPE trainer vs the pure-Python classic algorithm
+    (operators/bpe.py reference_bpe — same tie-breaks)."""
+
+    def _word_freqs(self, documents, n):
+        import collections
+        wf = collections.Counter()
+        for r in documents.limit(n).select("text").collect():
+            for w in (r[0] or "").lower().split():
+                wf[w] += 1
+        return dict(wf)
+
+    def test_exact_match_classic(self, spark, documents):
+        from xdlake_spark.operators import bpe
+        d = documents.limit(120)
+        got = [(r["rank"], r["left"], r["right"], r["merged"],
+                r["pair_count"])
+               for r in bpe.train_bpe(d, n_merges=15,
+                                      batch_k=1).collect()]
+        want = bpe.reference_bpe(self._word_freqs(documents, 120), 15)
+        assert got == want
+
+    def test_batched_deterministic_and_disjoint(self, spark, documents):
+        from xdlake_spark.operators import bpe
+        d = documents.limit(120)
+        a = bpe.train_bpe(d, n_merges=16, batch_k=5).collect()
+        b = bpe.train_bpe(d, n_merges=16, batch_k=5).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        # first merge always equals the classic first merge
+        want = bpe.reference_bpe(self._word_freqs(documents, 120), 1)
+        assert (a[0]["left"], a[0]["right"]) == (want[0][1], want[0][2])
+
+    def test_apply_reconstructs_words(self, spark, documents):
+        from xdlake_spark.operators import bpe
+        d = documents.limit(60)
+        m = bpe.train_bpe(d, n_merges=20, batch_k=5)
+        toks = bpe.apply_bpe(d, m).collect()
+        texts = {r["doc_id"]: r["text"] for r in d.collect()}
+        assert len(toks) == 60
+        for r in toks:
+            joined = "".join(r["tokens"]).replace(bpe.EOW, " ").split()
+            assert joined == texts[r["id"]].lower().split()
+            assert r["n_tokens"] == len(r["tokens"])
+
+    def test_merges_reduce_token_count(self, spark, documents):
+        from xdlake_spark.operators import bpe
+        d = documents.limit(60)
+        m = bpe.train_bpe(d, n_merges=25, batch_k=5)
+        with_merges = bpe.apply_bpe(d, m) \
+            .agg(F.sum("n_tokens")).collect()[0][0]
+        without = bpe.apply_bpe(d, []) \
+            .agg(F.sum("n_tokens")).collect()[0][0]
+        assert with_merges < without
+
+    def test_early_stop_on_min_count(self, spark, documents):
+        from xdlake_spark.operators import bpe
+        d = documents.limit(20)
+        m = bpe.train_bpe(d, n_merges=500, batch_k=8,
+                          min_pair_count=10_000_000)
+        assert m.count() == 0

@@ -1363,6 +1363,41 @@ def bpe_pairs_q(spark, sf_dir):
     return corpus.bpe_pair_counts(d, top_n=200)
 
 
+# rows-only: BPE training is an iterative driver-coordinated loop (one
+# argmax + one re-segmentation per round) that SQL/recursive CTEs can't
+# express (no aggregation over the recursive term); exactness vs the
+# classic sequential algorithm is differential-tested in
+# tests/test_operators.py::TestBpe instead.
+@register("bpe_train_merges", None)
+def bpe_train_q(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py): 40
+    merges learned over the distinct-word table, 8 disjoint merges per
+    round."""
+    from .operators import bpe
+    d = _t(spark, sf_dir, "documents")
+    return bpe.train_bpe(d, n_merges=40, batch_k=8)
+
+
+# rows-only: tokenization applies the learned merge table (itself
+# iterative, above) per word via an Arrow-batched UDF.
+@register("bpe_tokenize_stats", None)
+def bpe_tokenize_q(spark, sf_dir):
+    """Train a small BPE vocab, tokenize the corpus with it, and report
+    per-language token stats — the end-to-end tokenizer-training
+    pipeline."""
+    from .operators import bpe
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(d, n_merges=24, batch_k=8)
+    toks = bpe.apply_bpe(d, merges)
+    return (toks.join(d.select(F.col("doc_id").alias("id"), "lang"),
+                      "id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.round(F.avg("n_tokens"), 4).alias("avg_tokens"))
+            .orderBy("lang"))
+
+
 @register("substring_dup_stats", r"""
 WITH cp AS (
   SELECT doc_id,
