@@ -1328,13 +1328,144 @@ class TestColumnMappingRead:
         got = DeltaTable(spark, loc).to_pandas().sort_values("id")
         assert list(got["val"]) == ["a", "b", "c"]
 
-    def test_write_to_mapped_table_refused(self, spark, tmp_table_dir):
+    def test_append_to_mapped_table_roundtrips(self, spark,
+                                               tmp_table_dir):
+        """Writes emit PHYSICAL column names into the files; the
+        mapped read path resolves them back to logical."""
         loc = f"{tmp_table_dir}/cmw"
         self._make_mapped_table(spark, loc, partitioned=False)
         t = DeltaTable(spark, loc)
         pdf = pd.DataFrame({"id": [9], "val": ["z"]})
-        with pytest.raises(NotImplementedError, match="column-mapped"):
-            t.write(spark.createDataFrame(pdf))
+        t2 = t.write(spark.createDataFrame(pdf), mode="append")
+        got = t2.to_pandas().sort_values("id")
+        assert list(got["id"]) == [1, 2, 3, 9]
+        assert list(got["val"]) == ["a", "b", "c", "z"]
+        # the new file really carries physical names
+        import pyarrow.parquet as pq
+        new_add = [p for p in t2.adds if p.startswith("1-")][0]
+        names = pq.read_schema(f"{loc}/{new_add}").names
+        assert names == ["col-aaa", "col-bbb"]
+
+    def test_append_to_partitioned_mapped_table(self, spark,
+                                                tmp_table_dir):
+        loc = f"{tmp_table_dir}/cmp"
+        self._make_mapped_table(spark, loc, partitioned=True)
+        t = DeltaTable(spark, loc)
+        pdf = pd.DataFrame({"id": [9], "val": ["z"], "part": ["p1"]})
+        t2 = t.write(spark.createDataFrame(pdf), mode="append",
+                     partition_by=["part"])
+        got = t2.to_pandas().sort_values("id")
+        assert list(got["id"]) == [1, 2, 3, 9]
+        assert list(got["part"]) == ["p0", "p0", "p1", "p1"]
+        # hive dir + partitionValues use the physical name
+        new_add, add = [(p, a) for p, a in t2.adds.items()
+                        if p.split("/")[-1].startswith("1-")][0]
+        assert new_add.startswith("col-ccc=p1/")
+        assert add.partitionValues == {"col-ccc": "p1"}
+        # logical-predicate reads still correct
+        assert sorted(t2.to_df(where="part = 'p1'").toPandas()["id"]) \
+            == [3, 9]
+
+    def test_schema_evolution_on_mapped_table_refused(self, spark,
+                                                      tmp_table_dir):
+        loc = f"{tmp_table_dir}/cme"
+        self._make_mapped_table(spark, loc, partitioned=False)
+        t = DeltaTable(spark, loc)
+        pdf = pd.DataFrame({"id": [9], "val": ["z"], "extra": [1.0]})
+        with pytest.raises(NotImplementedError, match="physical"):
+            t.write(spark.createDataFrame(pdf), mode="append",
+                    schema_mode="merge")
+
+
+class TestColumnMappingIdRead:
+    """id-mode column mapping: columns resolve by parquet FIELD ID.
+    The second data file's physical column names deliberately differ
+    from the log's physicalName metadata — name-based resolution would
+    misread it; field-id resolution must not."""
+
+    def _make_id_mapped_table(self, loc):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        os.makedirs(f"{loc}/_delta_log", exist_ok=True)
+
+        def fschema(names):
+            return pa.schema([
+                pa.field(names[0], pa.int64(),
+                         metadata={b"PARQUET:field_id": b"1"}),
+                pa.field(names[1], pa.string(),
+                         metadata={b"PARQUET:field_id": b"2"})])
+
+        s1 = fschema(["col-aaa", "col-bbb"])
+        pq.write_table(
+            pa.table({"col-aaa": [1, 2], "col-bbb": ["a", "b"]},
+                     schema=s1), f"{loc}/x0.parquet")
+        # drifted physical names, same field ids
+        s2 = fschema(["col-zzz", "col-yyy"])
+        pq.write_table(
+            pa.table({"col-zzz": [3], "col-yyy": ["c"]}, schema=s2),
+            f"{loc}/x1.parquet")
+
+        fields = [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aaa"}},
+            {"name": "val", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bbb"}},
+        ]
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": str(_uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(
+                    {"type": "struct", "fields": fields}),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "2"},
+                "createdTime": 0}},
+            {"add": {"path": "x0.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+            {"add": {"path": "x1.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ]
+        with open(f"{loc}/_delta_log/"
+                  f"00000000000000000000.json", "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions))
+
+    def test_read_resolves_by_field_id(self, spark, tmp_table_dir):
+        loc = f"{tmp_table_dir}/cmid"
+        self._make_id_mapped_table(loc)
+        t = DeltaTable(spark, loc)
+        assert t.column_mapping_mode == "id"
+        got = t.to_pandas().sort_values("id").reset_index(drop=True)
+        assert list(got.columns) == ["id", "val"]
+        assert list(got["id"]) == [1, 2, 3]
+        assert list(got["val"]) == ["a", "b", "c"]
+
+    def test_missing_field_ids_refused(self, spark, tmp_table_dir):
+        loc = f"{tmp_table_dir}/cmid2"
+        self._make_id_mapped_table(loc)
+        # strip the columnMapping.id from the log's schema metadata
+        log_file = f"{loc}/_delta_log/00000000000000000000.json"
+        lines = []
+        for line in open(log_file):
+            obj = json.loads(line)
+            if "metaData" in obj:
+                s = json.loads(obj["metaData"]["schemaString"])
+                for f in s["fields"]:
+                    f["metadata"].pop("delta.columnMapping.id", None)
+                obj["metaData"]["schemaString"] = json.dumps(s)
+            lines.append(json.dumps(obj))
+        open(log_file, "w").write("\n".join(lines) + "\n")
+        t = DeltaTable(spark, loc)
+        with pytest.raises(NotImplementedError, match="columnMapping.id"):
+            t.to_df().count()
 
 
 class TestMergeNmbsMultiMatch:
@@ -1366,3 +1497,23 @@ class TestMergeNmbsMultiMatch:
         got = t2.to_pandas().sort_values("key").reset_index(drop=True)
         assert list(got["key"]) == [1, 2, 3]     # no duplication
         assert list(got["val"]) == [0, 7, 7]     # unmatched demoted
+
+
+class TestColumnMappingIdWrite:
+    def test_append_writes_field_ids(self, spark, tmp_table_dir):
+        """id-mode writes attach parquet field ids so future files
+        survive physical-name drift."""
+        loc = f"{tmp_table_dir}/cmidw"
+        TestColumnMappingIdRead()._make_id_mapped_table(loc)
+        t = DeltaTable(spark, loc)
+        pdf = pd.DataFrame({"id": [9], "val": ["z"]})
+        t2 = t.write(spark.createDataFrame(pdf), mode="append")
+        got = t2.to_pandas().sort_values("id")
+        assert list(got["id"]) == [1, 2, 3, 9]
+        assert list(got["val"]) == ["a", "b", "c", "z"]
+        import pyarrow.parquet as pq
+        new_add = [p for p in t2.adds if p.startswith("1-")][0]
+        sch = pq.read_schema(f"{loc}/{new_add}")
+        ids = {f.name: f.metadata.get(b"PARQUET:field_id")
+               for f in sch}
+        assert ids == {"col-aaa": b"1", "col-bbb": b"2"}

@@ -260,13 +260,12 @@ class DeltaTable:
                 df = self._scan(clean).unionByName(df)
             return df
         cm = self.column_mapping_mode
-        if cm == "name":
-            return self._scan_column_mapped(adds)
+        if cm in ("name", "id"):
+            return self._scan_column_mapped(adds, by_id=(cm == "id"))
         if cm not in ("none", ""):
             raise NotImplementedError(
-                f"column mapping mode {cm!r} is not supported (only "
-                "'name'-mode reads — id-mode needs parquet field-id "
-                "resolution)")
+                f"column mapping mode {cm!r} is not supported "
+                "(name- and id-mode reads are)")
         if not adds:
             return self.spark.createDataFrame([], schema)
         pcols = [c for c in self.partition_columns if c in schema.fieldNames()]
@@ -329,15 +328,25 @@ class DeltaTable:
                     "delta.columnMapping.physicalName", f.name)
                 for f in self.schema.fields}
 
-    def _scan_column_mapped(self, adds: dict[str, Add]) -> DataFrame:
-        """Read a 'name'-mode column-mapped table (written by modern
-        delta-spark/delta-rs with `delta.columnMapping.mode = name`):
-        parquet files and add.partitionValues use per-field PHYSICAL
-        names (`col-<uuid>`), the logical schema lives only in the log.
-        Scan with the physical data schema, rename to logical, attach
-        partition values via the broadcast-manifest join (tolerating
-        either physical- or logical-keyed partitionValues). One scan
-        relation, same shape as the general absolute-path scan path.
+    def _scan_column_mapped(self, adds: dict[str, Add],
+                            by_id: bool = False) -> DataFrame:
+        """Read a column-mapped table (written by modern
+        delta-spark/delta-rs with `delta.columnMapping.mode` = name or
+        id): parquet files and add.partitionValues use per-field
+        PHYSICAL names (`col-<uuid>`), the logical schema lives only in
+        the log. Scan with the physical data schema, rename to logical,
+        attach partition values via the broadcast-manifest join
+        (tolerating either physical- or logical-keyed partitionValues).
+        One scan relation, same shape as the general absolute-path scan
+        path.
+
+        ``by_id`` (mode = id): columns resolve by parquet FIELD ID, not
+        name — the read schema's fields carry ``parquet.field.id``
+        metadata (from the log's ``delta.columnMapping.id``) and
+        Spark's native field-id resolution
+        (``spark.sql.parquet.fieldId.read.enabled``) matches them
+        against the files' footers, so files whose physical column
+        names have drifted still read correctly.
         """
         schema = self.schema
         assert schema is not None
@@ -347,9 +356,25 @@ class DeltaTable:
         pcols = [c for c in self.partition_columns
                  if c in schema.fieldNames()]
         data_fields = [f for f in schema.fields if f.name not in pcols]
-        phys_schema = T.StructType([
-            T.StructField(phys[f.name], f.dataType, f.nullable)
-            for f in data_fields])
+        if by_id:
+            ids = {f.name: (f.metadata or {}).get("delta.columnMapping.id")
+                   for f in schema.fields}
+            missing = [n for n in ids
+                       if ids[n] is None and n not in pcols]
+            if missing:
+                raise NotImplementedError(
+                    f"id-mode column mapping but columns {missing} "
+                    "carry no delta.columnMapping.id — cannot resolve")
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true")
+            phys_schema = T.StructType([
+                T.StructField(phys[f.name], f.dataType, f.nullable,
+                              {"parquet.field.id": int(ids[f.name])})
+                for f in data_fields])
+        else:
+            phys_schema = T.StructType([
+                T.StructField(phys[f.name], f.dataType, f.nullable)
+                for f in data_fields])
         files = [self.location.absloc(p).url for p in adds]
         scan = self.spark.read.schema(phys_schema).parquet(*files)
         renamed = [F.col(phys[f.name]).alias(f.name) for f in data_fields]
@@ -823,13 +848,47 @@ class DeltaTable:
         directory diff would (commit atomicity itself comes from the
         put-if-absent log write).
         """
-        if self.column_mapping_mode not in ("none", ""):
-            # we would emit logical column names into files whose live
-            # siblings use physical names — corrupting the mapping
+        cm = self.column_mapping_mode
+        if cm in ("name", "id"):
+            # emit PHYSICAL column names (and, in id mode, parquet
+            # field ids) into the files, per the Delta column-mapping
+            # spec — the logical schema lives only in the log. Hive
+            # partition dirs and add.partitionValues follow the
+            # physical names automatically. Stats read back from the
+            # footers stay physically-keyed, matching delta-spark;
+            # logical predicates then skip no files (safe fallback) but
+            # read correctly through the mapped scan.
+            phys = self._physical_names()
+            unmapped = [c for c in df.columns if c not in phys]
+            if unmapped:
+                raise NotImplementedError(
+                    f"schema evolution on a column-mapped table would "
+                    f"need new physical names/ids for {unmapped} "
+                    "(maxColumnId bookkeeping) — not supported; write "
+                    "with the table's existing columns")
+            if cm == "id":
+                ids = {f.name: (f.metadata or {}).get(
+                           "delta.columnMapping.id")
+                       for f in self.schema.fields}
+                no_id = [c for c in df.columns if ids.get(c) is None]
+                if no_id:
+                    raise NotImplementedError(
+                        f"id-mode table but columns {no_id} carry no "
+                        "delta.columnMapping.id")
+                self.spark.conf.set(
+                    "spark.sql.parquet.fieldId.write.enabled", "true")
+                df = df.select([
+                    F.col(c).alias(phys[c], metadata={
+                        "parquet.field.id": int(ids[c])})
+                    for c in df.columns])
+            else:
+                df = df.select([F.col(c).alias(phys[c])
+                                for c in df.columns])
+            partition_by = [phys[c] for c in partition_by]
+        elif cm not in ("none", ""):
             raise NotImplementedError(
-                "writing to a column-mapped table is not supported "
-                "(reads are); disable delta.columnMapping or rewrite "
-                "the table without mapping first")
+                f"writing to a table with column mapping mode {cm!r} "
+                "is not supported")
         root = self.location
         staging = root.join(f"_staging-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
@@ -909,9 +968,7 @@ class DeltaTable:
     #: invariants silently broken by our commits — refuse instead.
     SUPPORTED_WRITER_FEATURES = frozenset(
         {"appendOnly", "checkConstraints", "timestampNtz",
-         "columnMapping",  # mapped WRITES still raise in the writer
-         # path; the flag alone (read-mapped table, metadata-only
-         # commit) must not block.
+         "columnMapping",     # physical-name (+field-id) writes
          "invariants",        # enforced inline (_apply_constraints)
          "generatedColumns",  # computed/verified on write+update
          })
