@@ -93,9 +93,11 @@ class TestDvCodec:
 
 
 def _graft_dv(table_dir: str, version: int, row_indexes,
-              which: int = 0, inline: bool = False) -> dict:
-    """Attach a spec-format DV to the ``which``-th add of ``version``'s
-    log entry, the way a foreign engine's DELETE would."""
+              which: int = 0, inline: bool = False,
+              path: "str | None" = None) -> dict:
+    """Attach a spec-format DV to the ``which``-th add (or the add with
+    relative ``path``) of ``version``'s log entry, the way a foreign
+    engine's DELETE would."""
     loc = Location.resolve(table_dir)
     if inline:
         data = dv.serialize_dv_data(row_indexes)
@@ -112,9 +114,13 @@ def _graft_dv(table_dir: str, version: int, row_indexes,
         for line in fh:
             obj = json.loads(line)
             if "add" in obj:
-                if seen == which:
+                hit = (obj["add"]["path"] == path) if path is not None \
+                    else (seen == which)
+                if hit:
                     obj["add"]["deletionVector"] = desc
-                seen += 1
+                    seen += 1
+                elif path is None:
+                    seen += 1
             lines.append(json.dumps(obj))
     assert seen > which, "fewer adds than expected"
     with open(log_file, "w") as fh:
@@ -152,19 +158,26 @@ class TestDvScan:
             list(pdf1["order"]) + list(kept2["order"]))
 
     def test_scan_partitioned_table_with_dv(self, spark, tmp_table_dir):
+        import pyarrow.parquet as pq
+
         pdf = gen_pdf(40)
         t = DeltaTable(spark, tmp_table_dir)
         t = t.write(spark.createDataFrame(pdf), partition_by=["flag"])
-        # graft onto the first add (one hive partition's file)
-        desc = _graft_dv(tmp_table_dir, 0, [0, 1])
+        # graft onto the first add (one hive partition's file) — delete
+        # as many of positions {0,1} as the file actually has rows
+        first_rel = sorted(t.adds)[0]
+        n_rows = pq.read_metadata(
+            f"{tmp_table_dir}/{first_rel}").num_rows
+        kill = list(range(min(2, n_rows)))
+        desc = _graft_dv(tmp_table_dir, 0, kill, path=first_rel)
         t2 = DeltaTable(spark, tmp_table_dir)
         got = t2.to_df()
-        assert got.count() == len(pdf) - 2
+        assert got.count() == len(pdf) - len(kill)
         # filters still compose with the DV anti-join
         n_true = got.filter("flag = true").count()
         n_false = got.filter("flag = false").count()
-        assert n_true + n_false == len(pdf) - 2
-        assert desc["cardinality"] == 2
+        assert n_true + n_false == len(pdf) - len(kill)
+        assert desc["cardinality"] == len(kill)
 
     def test_count_and_where_pushdown_paths(self, spark, tmp_table_dir):
         pdf = gen_pdf(60)

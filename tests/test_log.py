@@ -89,9 +89,22 @@ class TestActions:
         assert isinstance(a, Add)
 
     def test_unknown_action_preserved(self):
-        raw = {"cdc": {"path": "y", "weird": 1}}
+        # domainMetadata is a real Delta action this engine does not
+        # implement — it must round-trip verbatim, not be dropped
+        raw = {"domainMetadata": {"domain": "d", "configuration": "{}",
+                                  "removed": False}}
         a = load_action(raw)
         assert isinstance(a, UnknownAction)
+        assert a.to_json() == raw
+
+    def test_cdc_action_roundtrip(self):
+        raw = {"cdc": {"path": "_change_data/c0.parquet", "size": 9,
+                       "partitionValues": {}, "dataChange": False,
+                       "tags": {"x": "1"}}}
+        a = load_action(raw)
+        from xdlake_spark.log import Cdc
+        assert isinstance(a, Cdc)
+        assert a.extra["tags"] == {"x": "1"}
         assert a.to_json() == raw
 
     def test_tolerant_extra_fields_roundtrip(self):

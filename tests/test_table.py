@@ -976,8 +976,8 @@ class TestLegacyWriterVersionGate:
         t3 = t2.write(spark.createDataFrame(gen_pdf()), mode="append")
         assert t3.to_df().count() == 2 * n
 
-    def test_v4_cdf_refuses_mutations_allows_appends(self, spark,
-                                                     tmp_table_dir):
+    def test_v4_cdf_mutations_write_cdc_merge_refused(self, spark,
+                                                      tmp_table_dir):
         t = self._table(spark, tmp_table_dir)
         n = t.to_df().count()
         self._graft(tmp_table_dir,
@@ -987,11 +987,14 @@ class TestLegacyWriterVersionGate:
         # appends are CDC-derivable from add actions: allowed
         t3 = t2.write(spark.createDataFrame(gen_pdf()), mode="append")
         assert t3.to_df().count() == 2 * n
-        # copy-on-write mutations would corrupt other engines' CDF reads
-        with pytest.raises(NotImplementedError, match="ChangeDataFeed"):
-            t3.delete("flag = true")
-        with pytest.raises(NotImplementedError, match="ChangeDataFeed"):
-            t3.update(where="flag = true", set={"i64": "0"})
+        # DELETE/UPDATE now write real cdc files (see TestChangeDataFeed)
+        t4 = t3.delete("flag = true")
+        assert t4.log.entries[t4.version].cdcs
+        # MERGE still refuses (no per-clause change rows yet)
+        pdf = gen_pdf(2)
+        with pytest.raises(NotImplementedError, match="MERGE"):
+            t4.merge(spark.createDataFrame(pdf), "t.order = s.order",
+                     when_matched_update={"i64": "s.i64"})
 
     def test_v4_without_cdf_mutates(self, spark, tmp_table_dir):
         self._table(spark, tmp_table_dir)
@@ -1517,3 +1520,90 @@ class TestColumnMappingIdWrite:
         ids = {f.name: f.metadata.get(b"PARQUET:field_id")
                for f in sch}
         assert ids == {"col-aaa": b"1", "col-bbb": b"2"}
+
+
+class TestChangeDataFeed:
+    """Row-level CDF: DELETE/UPDATE write cdc files under
+    _change_data/; change_feed() returns them per the Delta spec
+    (commits with cdc actions yield exactly those rows; others derive
+    insert/delete from add/remove actions)."""
+
+    def _cdf_table(self, spark, loc, pdf):
+        t = DeltaTable(spark, loc).write(spark.createDataFrame(pdf))
+        return t.set_properties({"delta.enableChangeDataFeed": "true"})
+
+    def test_delete_writes_cdc_and_feed_reads_it(self, spark,
+                                                 tmp_table_dir):
+        pdf = gen_pdf(30)
+        t = self._cdf_table(spark, f"{tmp_table_dir}/t", pdf)
+        t = t.delete("i64 > 0")  # v2
+        entry = t.log.entries[t.version]
+        assert entry.cdcs, "DELETE on a CDF table must emit cdc actions"
+        assert all(c.path.startswith("_change_data/")
+                   for c in entry.cdcs)
+        feed = t.change_feed(1).toPandas()  # just the delete commit
+        want = pdf[pdf["i64"] > 0]
+        assert set(feed["_change_type"]) == {"delete"}
+        assert sorted(feed["order"]) == sorted(want["order"])
+        assert set(feed["_commit_version"]) == {2}
+        # the post-delete table itself excludes those rows
+        assert t.to_df().count() == len(pdf) - len(want)
+
+    def test_update_writes_pre_and_post_images(self, spark,
+                                               tmp_table_dir):
+        pdf = gen_pdf(30)
+        t = self._cdf_table(spark, f"{tmp_table_dir}/t", pdf)
+        t = t.update({"i64": "i64 + 1000"}, "flag = true")
+        feed = t.change_feed(1).toPandas()
+        matched = pdf[pdf["flag"]]
+        pre = feed[feed["_change_type"] == "update_preimage"]
+        post = feed[feed["_change_type"] == "update_postimage"]
+        assert len(pre) == len(post) == len(matched)
+        by_order_pre = pre.set_index("order")["i64"]
+        by_order_post = post.set_index("order")["i64"]
+        for o, v in matched.set_index("order")["i64"].items():
+            assert by_order_pre[o] == v
+            assert by_order_post[o] == v + 1000
+
+    def test_insert_derivation_without_cdc(self, spark, tmp_table_dir):
+        pdf1, pdf2 = gen_pdf(10), gen_pdf(10)
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf1))
+        t = t.write(spark.createDataFrame(pdf2), mode="append")
+        feed = t.change_feed(0).toPandas()
+        assert set(feed["_change_type"]) == {"insert"}
+        assert sorted(feed["order"]) == sorted(pdf2["order"])
+        full = t.change_feed(-1).toPandas()
+        assert len(full) == 20
+
+    def test_cdc_files_partitioned_like_table(self, spark,
+                                              tmp_table_dir):
+        pdf = gen_pdf(40)
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(
+            spark.createDataFrame(pdf), partition_by=["flag"])
+        t = t.set_properties({"delta.enableChangeDataFeed": "true"})
+        t = t.delete("i64 > 0")
+        entry = t.log.entries[t.version]
+        assert entry.cdcs
+        for c in entry.cdcs:
+            assert "flag=" in c.path
+            assert set(c.partitionValues) == {"flag"}
+        feed = t.change_feed(t.version - 1).toPandas()
+        want = pdf[pdf["i64"] > 0]
+        assert sorted(feed["order"]) == sorted(want["order"])
+        # partition column values survived the cdc roundtrip
+        m = pdf.set_index("order")["flag"]
+        for _, r in feed.iterrows():
+            assert bool(r["flag"]) == bool(m[r["order"]])
+
+    def test_vacuum_spares_cdc_files(self, spark, tmp_table_dir):
+        import os as _os
+        pdf = gen_pdf(20)
+        t = self._cdf_table(spark, f"{tmp_table_dir}/t", pdf)
+        t = t.delete("i64 > 0")
+        doomed = t.vacuum(retention_hours=0.0)
+        assert all(not p.startswith("_change_data") for p in doomed)
+        cdc_dir = f"{tmp_table_dir}/t/_change_data"
+        assert _os.path.isdir(cdc_dir)
+        feed = t.change_feed(1)
+        assert feed.count() == int((pdf["i64"] > 0).sum())

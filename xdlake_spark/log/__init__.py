@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 from .actions import (
     Action,
     Add,
+    Cdc,
     Operation,
     Protocol,
     Remove,
@@ -102,6 +103,10 @@ class DeltaLogEntry:
     @property
     def removes(self) -> list[Remove]:
         return self._of(Remove)
+
+    @property
+    def cdcs(self) -> "list[Cdc]":
+        return self._of(Cdc)
 
     @property
     def metadata(self) -> TableMetadata | None:
@@ -471,7 +476,7 @@ def commit_entry(log_location, version: int, entry: DeltaLogEntry) -> None:
 
 
 __all__ = [
-    "Action", "Add", "Remove", "Protocol", "SetTransaction",
+    "Action", "Add", "Cdc", "Remove", "Protocol", "SetTransaction",
     "TableMetadata", "TableCommit",
     "UnknownAction", "Operation", "WriteMode", "SchemaMode", "DeltaLog",
     "DeltaLogEntry", "load_action", "log_entry_filename", "timestamp_ms",

@@ -158,6 +158,23 @@ class Operation:
 
 
 @dataclass(kw_only=True)
+class Cdc(Action):
+    """``cdc``: a change-data file under ``_change_data/`` carrying the
+    row-level changes of one commit (Delta protocol Change Data Feed).
+    Rows in the file have the table schema plus a ``_change_type``
+    column (insert / delete / update_preimage / update_postimage).
+    When a commit has cdc actions, CDF readers use them INSTEAD of
+    deriving changes from its add/remove actions."""
+
+    action_name: ClassVar[str] = "cdc"
+
+    path: str
+    size: int = 0
+    partitionValues: dict[str, str] = field(default_factory=dict)
+    dataChange: bool = False
+
+
+@dataclass(kw_only=True)
 class TableCommit(Action):
     """``commitInfo``: operation name, parameters, metrics
     (reference: actions.py:104-150)."""

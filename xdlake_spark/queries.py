@@ -1117,6 +1117,38 @@ def delta_changes(spark, sf_dir):
     return t.table_changes(0).select("l_orderkey", "l_linenumber")
 
 
+@register("delta_change_feed", """
+WITH src AS (
+  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+  WHERE l_linenumber = 1
+)
+SELECT l_orderkey, round(l_quantity, 2) AS l_quantity,
+       'insert' AS change_type,
+       CAST(0 AS BIGINT) AS commit_version
+FROM src
+UNION ALL
+SELECT l_orderkey, round(l_quantity, 2) AS l_quantity,
+       'delete' AS change_type,
+       CAST(2 AS BIGINT) AS commit_version
+FROM src WHERE l_quantity > 40
+""")
+def delta_change_feed_q(spark, sf_dir):
+    """Row-level Change Data Feed (table.py change_feed): v0 create
+    derives inserts from add actions; the CDF-enabled DELETE at v2
+    writes real cdc files under _change_data/ which the feed reads
+    back verbatim."""
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem").filter("l_linenumber = 1") \
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    t = DeltaTable(spark, _delta_tmp()).write(li)
+    t = t.set_properties({"delta.enableChangeDataFeed": "true"})  # v1
+    t = t.delete("l_quantity > 40")                               # v2
+    return t.change_feed(-1).select(
+        "l_orderkey", F.round("l_quantity", 2).alias("l_quantity"),
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"))
+
+
 @register("delta_format_batch_read", """
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem WHERE l_linenumber <= 2

@@ -36,6 +36,7 @@ from pyspark.sql import types as T
 
 from .log import (
     Add,
+    Cdc,
     DeltaLog,
     DeltaLogEntry,
     SchemaMode,
@@ -433,6 +434,155 @@ class DeltaTable:
         if not changed:
             return self.spark.createDataFrame([], self.schema)
         return self._scan(changed)
+
+    #: CDF change-type column name (Delta protocol).
+    _CHANGE_TYPE = "_change_type"
+
+    @property
+    def cdf_enabled(self) -> bool:
+        """True when delta.enableChangeDataFeed='true' is set."""
+        if not self.log:
+            return False
+        cfg = self.log.metadata().configuration or {}
+        return str(cfg.get("delta.enableChangeDataFeed", "false")
+                   ).lower() == "true"
+
+    def _write_change_data(self, df: DataFrame) -> list[Cdc]:
+        """Write a change-data frame (table schema + ``_change_type``)
+        under ``_change_data/`` and return the cdc actions. Same
+        stage-and-rename shape as ``_write_data``; hive-partitioned on
+        the table's partition columns so cdc files prune like data
+        files. No stats (cdc files are never data-skipped)."""
+        root = self.location
+        staging = root.join(f"_staging-cdc-{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        pcols = [c for c in self.partition_columns
+                 if c in df.columns]
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        try:
+            writer.parquet(staging.url)
+        except Exception:
+            staging.delete_dir()
+            raise
+        written = sorted(
+            rel for rel in staging.list_files_recursive()
+            if rel.endswith(".parquet")
+            and not posixpath.basename(rel).startswith((".", "_")))
+        version, token = self._version_to_write, uuid.uuid4().hex[:12]
+        cdcs: list[Cdc] = []
+        for i, rel in enumerate(written):
+            hive_dir = posixpath.dirname(rel)
+            base = f"cdc-{version}-{token}-{i}.parquet"
+            dst_rel = posixpath.join("_change_data", hive_dir, base) \
+                if hive_dir else posixpath.join("_change_data", base)
+            staging.join(rel).rename(root.join(dst_rel))
+            pvals = {}
+            for seg in rel.split("/")[:-1]:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    v = urllib.parse.unquote(v)
+                    pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
+                        else v
+            cdcs.append(Cdc(path=dst_rel,
+                            size=root.join(dst_rel).file_size(),
+                            partitionValues=pvals))
+        staging.delete_dir()
+        return cdcs
+
+    def change_feed(self, start_version: int,
+                    end_version: int | None = None) -> DataFrame:
+        """Row-level Change Data Feed for versions
+        ``(start_version, end_version]``: table schema plus
+        ``_change_type`` (insert / delete / update_preimage /
+        update_postimage) and ``_commit_version``.
+
+        Per the Delta CDF spec: a commit WITH cdc actions yields exactly
+        its cdc files' rows; a commit without them derives changes from
+        its add/remove actions (adds with dataChange -> insert;
+        removes with dataChange -> delete, scanning the tombstoned file,
+        which is valid until VACUUM expires it).
+        """
+        schema = self.schema
+        assert schema is not None
+        full = DeltaLog.load(self.log_location, use_checkpoint=False)
+        end = end_version if end_version is not None else full.version
+        out: DataFrame | None = None
+
+        def stack(df: DataFrame):
+            nonlocal out
+            out = df if out is None else out.unionByName(df)
+
+        cols = schema.fieldNames()
+        for v in sorted(full.entries):
+            if not (start_version < v <= end):
+                continue
+            entry = full.entries[v]
+            cdcs = entry.cdcs
+            if cdcs:
+                files = [self.location.absloc(c.path).url for c in cdcs]
+                cdc_schema = T.StructType(
+                    list(schema.fields)
+                    + [T.StructField(self._CHANGE_TYPE, T.StringType())])
+                df = self.spark.read.schema(cdc_schema).parquet(*files)
+                # hive-partitioned cdc files: re-attach partition values
+                pcols = [c for c in self.partition_columns if c in cols]
+                if pcols:
+                    by_path = {}
+                    for c in cdcs:
+                        by_path[_norm_uri(
+                            self.location.absloc(c.path).url)] = c
+                    raw = F.regexp_replace(
+                        F.input_file_name(),
+                        "^[a-zA-Z0-9+.-]+://?", "/")
+                    raw = F.regexp_replace(raw, "^//+", "/")
+                    df = df.withColumn(
+                        "__xdl_path",
+                        F.coalesce(F.try_url_decode(raw), raw))
+                    mrows = [(p, *[(c.partitionValues or {}).get(pc)
+                                   for pc in pcols])
+                             for p, c in by_path.items()]
+                    mschema = T.StructType(
+                        [T.StructField("__xdl_path", T.StringType())]
+                        + [T.StructField(f"__pv_{pc}", T.StringType())
+                           for pc in pcols])
+                    manifest = self.spark.createDataFrame(mrows, mschema)
+                    df = df.join(F.broadcast(manifest), "__xdl_path")
+                    for pc in pcols:
+                        df = df.withColumn(
+                            pc, F.col(f"__pv_{pc}")
+                            .cast(schema[pc].dataType))
+                df = df.select(*cols, self._CHANGE_TYPE)
+                stack(df.withColumn("_commit_version", F.lit(v)))
+                continue
+            ins = {a.path: a for a in entry.adds if a.dataChange}
+            if ins:
+                stack(self._scan(ins)
+                      .withColumn(self._CHANGE_TYPE, F.lit("insert"))
+                      .withColumn("_commit_version", F.lit(v)))
+            dels = {r.path: None for r in entry.removes if r.dataChange}
+            if dels:
+                # the removed files' content: find their add actions in
+                # earlier versions (still on disk until VACUUM)
+                add_of: dict[str, Add] = {}
+                for pv in sorted(full.entries):
+                    if pv >= v:
+                        break
+                    for a in full.entries[pv].adds:
+                        if a.path in dels:
+                            add_of[a.path] = a
+                if add_of:
+                    stack(self._scan(add_of)
+                          .withColumn(self._CHANGE_TYPE,
+                                      F.lit("delete"))
+                          .withColumn("_commit_version", F.lit(v)))
+        if out is None:
+            cdc_schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(self._CHANGE_TYPE, T.StringType()),
+                   T.StructField("_commit_version", T.LongType())])
+            return self.spark.createDataFrame([], cdc_schema)
+        return out
 
     def create_or_replace_view(self, name: str) -> "DeltaTable":
         """Register this snapshot as a temp view so the full Spark SQL
@@ -1033,12 +1183,14 @@ class DeltaTable:
         - identityColumns live in schema field metadata
           (``delta.identity.*``): if any field declares one, this
           engine can't maintain the identity high watermark.
-        - changeDataFeed (``delta.enableChangeDataFeed=true``): CDC
-          readers fall back to add/remove actions when a commit carries
-          no cdc files — sound for inserts and full-file deletes, WRONG
-          for copy-on-write DELETE/UPDATE/MERGE (rewritten survivor rows
-          would read back as spurious delete+insert pairs), so those
-          operations are refused on CDF tables.
+        - changeDataFeed (``delta.enableChangeDataFeed=true``): DELETE
+          and UPDATE write real cdc files (``_write_change_data``), and
+          appends are insert-derivable from their add actions — all
+          allowed. MERGE does not emit per-clause change rows yet;
+          committing one without cdc files would make other engines'
+          CDF readers mis-derive spurious changes from the
+          copy-on-write add/remove pairs, so MERGE alone is refused on
+          CDF tables.
         """
         md_keys = {
             "identityColumns": ("delta.identity.start",
@@ -1069,13 +1221,13 @@ class DeltaTable:
             op = None
             if entry is not None and entry.commit_info is not None:
                 op = entry.commit_info.operation
-            if cdf_on and op in (Operation.DELETE, Operation.UPDATE,
-                                 Operation.MERGE):
+            if cdf_on and op == Operation.MERGE:
                 raise NotImplementedError(
                     f"delta.enableChangeDataFeed=true requires {op} "
-                    "commits to carry CDC files, which this engine does "
-                    "not write — other engines' CDF readers would see "
-                    "spurious changes. Refusing to commit.")
+                    "commits to carry CDC files; MERGE does not emit "
+                    "per-clause change rows yet — other engines' CDF "
+                    "readers would see spurious changes. Refusing to "
+                    "commit.")
 
     def _commit(self, entry: DeltaLogEntry) -> "DeltaTable":
         self._check_writer_protocol(entry)
@@ -1231,9 +1383,9 @@ class DeltaTable:
             return self._commit_checked(entry, read_version,
                                         where_sql=where_sql)
 
+        hit_adds = {r: self.adds[r] for r in hit_rels}
         new_adds: list[Add] = []
         if n_survivors > 0:
-            hit_adds = {r: self.adds[r] for r in hit_rels}
             survivors = self._scan(hit_adds).filter(~pred)
             new_adds = self._write_data(survivors, self.partition_columns)
 
@@ -1247,6 +1399,13 @@ class DeltaTable:
         entry = delete_table_entry(new_adds, removes,
                                    where_sql or "<expr>", read_version,
                                    metrics, custom_metadata)
+        if self.cdf_enabled:
+            # CDF: record the deleted rows as change data — readers of
+            # this commit then use the cdc files instead of mis-deriving
+            # spurious changes from the copy-on-write add/remove pairs
+            deleted_rows = self._scan(hit_adds).filter(pred).withColumn(
+                self._CHANGE_TYPE, F.lit("delete"))
+            entry.actions.extend(self._write_change_data(deleted_rows))
         return self._commit_checked(entry, read_version,
                                     where_sql=where_sql)
 
@@ -1336,6 +1495,21 @@ class DeltaTable:
         entry = update_table_entry(new_adds, removes,
                                    where_sql or "true", read_version,
                                    metrics, custom_metadata)
+        if self.cdf_enabled and hit_rels:
+            # CDF: pre- and post-images of exactly the matched rows
+            hit_adds_cdf = {r: self.adds[r] for r in hit_rels}
+            matched = self._scan(hit_adds_cdf).filter(pred)
+            pre = matched.withColumn(self._CHANGE_TYPE,
+                                     F.lit("update_preimage"))
+            out_cols = [f.name for f in self.schema.fields]
+            post = matched.select([
+                F.expr(set[c]).cast(self.schema[c].dataType).alias(c)
+                if c in set else F.col(c) for c in out_cols])
+            post = self._apply_generated_columns(post, provided={*set})
+            post = post.withColumn(self._CHANGE_TYPE,
+                                   F.lit("update_postimage"))
+            entry.actions.extend(
+                self._write_change_data(pre.unionByName(post)))
         return self._commit_checked(entry, read_version,
                                     where_sql=where_sql)
 
