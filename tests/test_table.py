@@ -976,25 +976,20 @@ class TestLegacyWriterVersionGate:
         t3 = t2.write(spark.createDataFrame(gen_pdf()), mode="append")
         assert t3.to_df().count() == 2 * n
 
-    def test_v4_cdf_mutations_write_cdc_merge_refused(self, spark,
-                                                      tmp_table_dir):
+    def test_v4_cdf_mutations_write_cdc(self, spark, tmp_table_dir):
         t = self._table(spark, tmp_table_dir)
         n = t.to_df().count()
         self._graft(tmp_table_dir,
                     {"minReaderVersion": 1, "minWriterVersion": 4},
                     config={"delta.enableChangeDataFeed": "true"})
         t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
-        # appends are CDC-derivable from add actions: allowed
+        # appends are CDC-derivable from add actions: allowed, no cdc
         t3 = t2.write(spark.createDataFrame(gen_pdf()), mode="append")
         assert t3.to_df().count() == 2 * n
-        # DELETE/UPDATE now write real cdc files (see TestChangeDataFeed)
+        assert not t3.log.entries[t3.version].cdcs
+        # every mutation writes real cdc files (see TestChangeDataFeed)
         t4 = t3.delete("flag = true")
         assert t4.log.entries[t4.version].cdcs
-        # MERGE still refuses (no per-clause change rows yet)
-        pdf = gen_pdf(2)
-        with pytest.raises(NotImplementedError, match="MERGE"):
-            t4.merge(spark.createDataFrame(pdf), "t.order = s.order",
-                     when_matched_update={"i64": "s.i64"})
 
     def test_v4_without_cdf_mutates(self, spark, tmp_table_dir):
         self._table(spark, tmp_table_dir)
@@ -1607,3 +1602,84 @@ class TestChangeDataFeed:
         assert _os.path.isdir(cdc_dir)
         feed = t.change_feed(1)
         assert feed.count() == int((pdf["i64"] > 0).sum())
+
+
+class TestMergeChangeDataFeed:
+    """MERGE on CDF tables emits per-clause change rows: matched
+    updates as pre/post-images, matched deletes as deletes, inserts as
+    inserts — and insert-only merges no longer rewrite matched files."""
+
+    def _table(self, spark, loc, pdf):
+        t = DeltaTable(spark, loc).write(
+            spark.createDataFrame(pdf).coalesce(1))
+        return t.set_properties({"delta.enableChangeDataFeed": "true"})
+
+    def test_upsert_merge_feed(self, spark, tmp_table_dir):
+        pdf = gen_pdf(20)
+        t = self._table(spark, f"{tmp_table_dir}/t", pdf)
+        src = pdf.head(5).copy()
+        src["i64"] = src["i64"] + 7
+        new = gen_pdf(3)
+        src = pd.concat([src, new])
+        t = t.merge(spark.createDataFrame(src), "t.order = s.order",
+                    when_matched_update={"i64": "s.i64"},
+                    when_not_matched_insert={
+                        c: f"s.{c}" for c in pdf.columns})
+        entry = t.log.entries[t.version]
+        assert entry.cdcs
+        feed = t.change_feed(1).toPandas()
+        counts = feed["_change_type"].value_counts().to_dict()
+        assert counts == {"update_preimage": 5, "update_postimage": 5,
+                          "insert": 3}
+        post = feed[feed["_change_type"] == "update_postimage"] \
+            .set_index("order")["i64"]
+        pre = feed[feed["_change_type"] == "update_preimage"] \
+            .set_index("order")["i64"]
+        for o, v in pdf.head(5).set_index("order")["i64"].items():
+            assert pre[o] == v and post[o] == v + 7
+        assert sorted(feed[feed["_change_type"] == "insert"]["order"]) \
+            == sorted(new["order"])
+
+    def test_matched_delete_merge_feed(self, spark, tmp_table_dir):
+        pdf = gen_pdf(20)
+        t = self._table(spark, f"{tmp_table_dir}/t", pdf)
+        src = pdf.head(4)
+        t = t.merge(spark.createDataFrame(src), "t.order = s.order",
+                    when_matched_delete=True)
+        feed = t.change_feed(1).toPandas()
+        assert set(feed["_change_type"]) == {"delete"}
+        assert sorted(feed["order"]) == sorted(src["order"])
+        assert t.to_df().count() == len(pdf) - 4
+
+    def test_insert_only_merge_rewrites_nothing(self, spark,
+                                                tmp_table_dir):
+        pdf = gen_pdf(20)
+        t = self._table(spark, f"{tmp_table_dir}/t", pdf)
+        before = set(t.adds)
+        src = pd.concat([pdf.head(5), gen_pdf(2)])
+        t = t.merge(spark.createDataFrame(src), "t.order = s.order",
+                    when_not_matched_insert={
+                        c: f"s.{c}" for c in pdf.columns})
+        entry = t.log.entries[t.version]
+        # matched files untouched: no removes, only the insert add
+        assert not entry.removes
+        assert before <= set(t.adds)
+        feed = t.change_feed(t.version - 1).toPandas()
+        assert set(feed["_change_type"]) == {"insert"}
+        assert len(feed) == 2
+
+    def test_gated_update_matching_no_rows_still_carries_cdc(
+            self, spark, tmp_table_dir):
+        pdf = gen_pdf(20)
+        t = self._table(spark, f"{tmp_table_dir}/t", pdf)
+        src = pdf.head(3)
+        t = t.merge(spark.createDataFrame(src), "t.order = s.order",
+                    when_matched_update={"i64": "s.i64"},
+                    when_matched_update_condition="s.i64 > 99999999")
+        entry = t.log.entries[t.version]
+        # files were rewritten (pass-through) but nothing changed:
+        # the commit still carries a cdc action so CDF readers don't
+        # mis-derive the copy-on-write churn
+        if entry.removes:
+            assert entry.cdcs
+        assert t.change_feed(t.version - 1).count() == 0

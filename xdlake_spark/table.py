@@ -47,7 +47,6 @@ from .log import (
     delete_table_entry,
     log_entry_filename,
     merge_table_entry,
-    Operation,
     optimize_table_entry,
     overwrite_table_entry,
     properties_table_entry,
@@ -471,6 +470,23 @@ class DeltaTable:
             and not posixpath.basename(rel).startswith((".", "_")))
         version, token = self._version_to_write, uuid.uuid4().hex[:12]
         cdcs: list[Cdc] = []
+        if not written:
+            # zero-row change set (e.g. a MERGE whose clause gates
+            # matched no rows but still rewrote files): the commit MUST
+            # still carry a cdc action, or CDF readers fall back to
+            # mis-deriving the copy-on-write add/remove churn. Write an
+            # explicit empty parquet with the cdc schema.
+            import io as _io
+
+            import pyarrow.parquet as _pq
+            buf = _io.BytesIO()
+            _pq.write_table(df.limit(0).toArrow(), buf)
+            dst_rel = posixpath.join("_change_data",
+                                     f"cdc-{version}-{token}-0.parquet")
+            root.join(dst_rel).write_bytes(buf.getvalue())
+            staging.delete_dir()
+            return [Cdc(path=dst_rel,
+                        size=root.join(dst_rel).file_size())]
         for i, rel in enumerate(written):
             hive_dir = posixpath.dirname(rel)
             base = f"cdc-{version}-{token}-{i}.parquet"
@@ -1121,13 +1137,13 @@ class DeltaTable:
          "columnMapping",     # physical-name (+field-id) writes
          "invariants",        # enforced inline (_apply_constraints)
          "generatedColumns",  # computed/verified on write+update
+         "changeDataFeed",    # DELETE/UPDATE/MERGE write cdc files
          })
 
     #: Features we can commit under only when the table doesn't
     #: actually USE them (checked against schema field metadata /
     #: table configuration / the operation being committed).
-    CONDITIONAL_WRITER_FEATURES = frozenset(
-        {"identityColumns", "changeDataFeed"})
+    CONDITIONAL_WRITER_FEATURES = frozenset({"identityColumns"})
 
     #: Delta spec's legacy writer-version table: each version <7
     #: implies the union of these feature sets up to and including it.
@@ -1183,14 +1199,9 @@ class DeltaTable:
         - identityColumns live in schema field metadata
           (``delta.identity.*``): if any field declares one, this
           engine can't maintain the identity high watermark.
-        - changeDataFeed (``delta.enableChangeDataFeed=true``): DELETE
-          and UPDATE write real cdc files (``_write_change_data``), and
-          appends are insert-derivable from their add actions — all
-          allowed. MERGE does not emit per-clause change rows yet;
-          committing one without cdc files would make other engines'
-          CDF readers mis-derive spurious changes from the
-          copy-on-write add/remove pairs, so MERGE alone is refused on
-          CDF tables.
+        (changeDataFeed graduated to SUPPORTED_WRITER_FEATURES:
+        DELETE/UPDATE/MERGE write real cdc files and appends derive
+        from add actions.)
         """
         md_keys = {
             "identityColumns": ("delta.identity.start",
@@ -1211,23 +1222,6 @@ class DeltaTable:
                     f"table uses writer feature '{feat}' on column(s) "
                     f"{used}; this engine cannot maintain it — refusing "
                     "to commit.")
-        if "changeDataFeed" in feats:
-            try:
-                cfg = self.log.metadata().configuration or {}
-            except ValueError:
-                cfg = {}
-            cdf_on = str(cfg.get("delta.enableChangeDataFeed", "false")
-                         ).lower() == "true"
-            op = None
-            if entry is not None and entry.commit_info is not None:
-                op = entry.commit_info.operation
-            if cdf_on and op == Operation.MERGE:
-                raise NotImplementedError(
-                    f"delta.enableChangeDataFeed=true requires {op} "
-                    "commits to carry CDC files; MERGE does not emit "
-                    "per-clause change rows yet — other engines' CDF "
-                    "readers would see spurious changes. Refusing to "
-                    "commit.")
 
     def _commit(self, entry: DeltaLogEntry) -> "DeltaTable":
         self._check_writer_protocol(entry)
@@ -1931,7 +1925,12 @@ class DeltaTable:
 
         nmbs_update = when_not_matched_by_source_update
         nmbs_delete = when_not_matched_by_source_delete
-        rewrite_rels = set(hit_rels)
+        # matched files only need rewriting when a matched clause can
+        # change them — an insert-only MERGE leaves them untouched
+        # (previously they were rewritten as identical copies: wasted
+        # I/O, and spurious add/remove churn for CDF readers)
+        rewrite_rels = set(hit_rels) \
+            if (when_matched_update or when_matched_delete) else set()
         if nmbs_update or nmbs_delete:
             # phase 1c: which files hold a target row with NO source
             # match that satisfies a BY SOURCE clause gate — only those
@@ -1958,6 +1957,11 @@ class DeltaTable:
 
         out_cols = [f.name for f in self.schema.fields]
         new_adds: list[Add] = []
+        cdc_df: DataFrame | None = None  # CDF rows accumulated per clause
+
+        def cdc_add(df: DataFrame):
+            nonlocal cdc_df
+            cdc_df = df if cdc_df is None else cdc_df.unionByName(df)
 
         if rewrite_rels:
             hit_adds = {r: self.adds[r] for r in rewrite_rels}
@@ -1998,6 +2002,20 @@ class DeltaTable:
                 rewritten = keep.unionByName(
                     um.filter(~F.coalesce(nmbs_del_active, F.lit(False)))
                     .select(sel))
+                if self.cdf_enabled:
+                    t_sel = [F.col(f"t.{c}")
+                             .cast(self.schema[c].dataType).alias(c)
+                             for c in out_cols]
+                    upd = um.filter(
+                        F.coalesce(nmbs_upd_active, F.lit(False)))
+                    cdc_add(upd.select(t_sel).withColumn(
+                        self._CHANGE_TYPE, F.lit("update_preimage")))
+                    cdc_add(upd.select(sel).withColumn(
+                        self._CHANGE_TYPE, F.lit("update_postimage")))
+                    cdc_add(um.filter(
+                        F.coalesce(nmbs_del_active, F.lit(False)))
+                        .select(t_sel).withColumn(
+                            self._CHANGE_TYPE, F.lit("delete")))
             elif (when_matched_update or when_matched_delete):
                 joined = th.join(src, cond, "left")
                 is_matched = F.col("s.__xdl_matched").isNotNull()
@@ -2048,6 +2066,21 @@ class DeltaTable:
                 drop = (F.coalesce(del_active, F.lit(False))
                         | F.coalesce(nmbs_del_active, F.lit(False)))
                 rewritten = joined.filter(~drop).select(sel)
+                if self.cdf_enabled:
+                    t_sel = [F.col(f"t.{c}")
+                             .cast(self.schema[c].dataType).alias(c)
+                             for c in out_cols]
+                    any_upd = (F.coalesce(upd_active, F.lit(False))
+                               | F.coalesce(nmbs_upd_active,
+                                            F.lit(False)))
+                    upd = joined.filter(any_upd)
+                    cdc_add(upd.select(t_sel).withColumn(
+                        self._CHANGE_TYPE, F.lit("update_preimage")))
+                    cdc_add(upd.select(sel).withColumn(
+                        self._CHANGE_TYPE, F.lit("update_postimage")))
+                    cdc_add(joined.filter(drop).select(t_sel)
+                            .withColumn(self._CHANGE_TYPE,
+                                        F.lit("delete")))
             else:
                 rewritten = th.select(out_cols)
             # generated columns: VERIFIED on the matched-rewrite path
@@ -2074,12 +2107,21 @@ class DeltaTable:
                 ins, provided=set(when_not_matched_insert))
             new_adds.extend(self._write_data(
                 self._apply_constraints(ins), self.partition_columns))
+            if self.cdf_enabled:
+                cdc_add(ins.withColumn(self._CHANGE_TYPE,
+                                       F.lit("insert")))
 
         removes = [self.adds[r].to_remove() for r in rewrite_rels]
         metrics = {"numTargetFilesAdded": len(new_adds),
                    "numTargetFilesRemoved": len(removes)}
         entry = merge_table_entry(new_adds, removes, condition,
                                   read_version, metrics, custom_metadata)
+        if self.cdf_enabled and cdc_df is not None:
+            # cdc_df covers every clause (update pre/post, deletes,
+            # inserts); its presence — even zero-row when all gates
+            # filtered — keeps CDF readers off the add/remove fallback,
+            # which would mis-derive the copy-on-write churn as changes
+            entry.actions.extend(self._write_change_data(cdc_df))
         # MERGE reads the whole target (probe + anti joins): any
         # concurrent add conflicts, so no where_sql narrowing here
         return self._commit_checked(entry, read_version)
