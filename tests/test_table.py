@@ -952,8 +952,12 @@ class TestLegacyWriterVersionGate:
         t = DeltaTable(spark, f"{tmp_table_dir}/t")
         return t.write(spark.createDataFrame(gen_pdf()))
 
-    def test_v6_identity_column_refuses_commit(self, spark,
-                                               tmp_table_dir):
+    def test_v6_identity_column_generates_on_append(self, spark,
+                                                    tmp_table_dir):
+        """Identity columns are now maintained, not refused: omitted
+        values are generated past the high watermark; explicit values
+        refuse when allowExplicitInsert=false (TestIdentityColumns has
+        the full matrix)."""
         self._table(spark, tmp_table_dir)
         self._graft(tmp_table_dir,
                     {"minReaderVersion": 1, "minWriterVersion": 6},
@@ -962,9 +966,16 @@ class TestLegacyWriterVersionGate:
                                         "delta.identity.allowExplicitInsert":
                                             False}})
         t = DeltaTable(spark, f"{tmp_table_dir}/t")
-        assert t.to_df().count() > 0  # reads unaffected
-        with pytest.raises(NotImplementedError, match="identityColumns"):
+        n = t.to_df().count()
+        # explicit values refused
+        with pytest.raises(ValueError, match="allowExplicitInsert"):
             t.write(spark.createDataFrame(gen_pdf()), mode="append")
+        # omitted -> generated, all fresh and positive-grid
+        t2 = t.write(spark.createDataFrame(
+            gen_pdf().drop(columns=["i64"])), mode="append")
+        assert t2.to_df().count() == 2 * n
+        new = t2.to_df().filter("i64 >= 1").count()
+        assert new >= n  # the generated half is on the identity grid
 
     def test_v6_without_identity_columns_commits(self, spark,
                                                  tmp_table_dir):
@@ -1683,3 +1694,110 @@ class TestMergeChangeDataFeed:
         if entry.removes:
             assert entry.cdcs
         assert t.change_feed(t.version - 1).count() == 0
+
+
+class TestIdentityColumns:
+    """Writer-v6 identity columns: omitted values generated past the
+    high watermark, explicit values gated by allowExplicitInsert,
+    watermark re-declared in the commit's metaData so other writers
+    never reuse values."""
+
+    @staticmethod
+    def _graft_identity(table_dir, start=100, step=10,
+                        allow_explicit=False):
+        log_file = f"{table_dir}/t/_delta_log/{0:020d}.json"
+        lines = []
+        for line in open(log_file):
+            obj = json.loads(line)
+            if "metaData" in obj:
+                s = json.loads(obj["metaData"]["schemaString"])
+                for f in s["fields"]:
+                    if f["name"] == "i64":
+                        f["metadata"] = {
+                            "delta.identity.start": start,
+                            "delta.identity.step": step,
+                            "delta.identity.allowExplicitInsert":
+                                allow_explicit}
+                obj["metaData"]["schemaString"] = json.dumps(s)
+            lines.append(json.dumps(obj))
+        open(log_file, "w").write("\n".join(lines) + "\n")
+
+    def _fresh(self, spark, tmp_table_dir, **kw):
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(gen_pdf(10)))
+        self._graft_identity(tmp_table_dir, **kw)
+        return DeltaTable(spark, f"{tmp_table_dir}/t")
+
+    def test_generation_grid_watermark_and_no_reuse(self, spark,
+                                                    tmp_table_dir):
+        t = self._fresh(spark, tmp_table_dir, start=100, step=10)
+        t2 = t.write(spark.createDataFrame(
+            gen_pdf(10).drop(columns=["i64"])), mode="append")
+        # the appended rows' ids: unique, >= start, on the grid
+        base = set(r["i64"] for r in t.to_df().collect())
+        gen = [r["i64"] for r in t2.to_df().collect()
+               if r["i64"] not in base]
+        assert len(gen) == 10 and len(set(gen)) == 10
+        assert all(v >= 100 and (v - 100) % 10 == 0 for v in gen)
+        # watermark persisted in the new metaData
+        ids = t2._identity_columns()
+        assert ids["i64"]["highWaterMark"] == max(gen)
+        # a second append starts past it — no reuse
+        t3 = t2.write(spark.createDataFrame(
+            gen_pdf(10).drop(columns=["i64"])), mode="append")
+        gen2 = [r["i64"] for r in t3.to_df().collect()
+                if r["i64"] not in base and r["i64"] not in set(gen)]
+        assert len(gen2) == 10
+        assert min(gen2) > max(gen)
+        assert all((v - 100) % 10 == 0 for v in gen2)
+
+    def test_explicit_insert_gate_and_off_grid_recovery(
+            self, spark, tmp_table_dir):
+        t = self._fresh(spark, tmp_table_dir, start=100, step=10,
+                        allow_explicit=True)
+        pdf = gen_pdf(5)
+        pdf["i64"] = [1003, 1001, 1002, 1004, 1007]  # off the grid
+        t2 = t.write(spark.createDataFrame(pdf), mode="append")
+        assert t2._identity_columns()["i64"]["highWaterMark"] == 1007
+        # generation resumes ABOVE 1007 and back ON the grid
+        t3 = t2.write(spark.createDataFrame(
+            gen_pdf(5).drop(columns=["i64"])), mode="append")
+        known = set(r["i64"] for r in t2.to_df().collect())
+        gen = [r["i64"] for r in t3.to_df().collect()
+               if r["i64"] not in known]
+        assert all(v > 1007 and (v - 100) % 10 == 0 for v in gen)
+
+    def test_update_set_identity_refused(self, spark, tmp_table_dir):
+        t = self._fresh(spark, tmp_table_dir)
+        with pytest.raises(ValueError, match="identity"):
+            t.update({"i64": "0"})
+
+    def test_merge_insert_generates_identity(self, spark,
+                                             tmp_table_dir):
+        t = self._fresh(spark, tmp_table_dir, start=50, step=5)
+        src = gen_pdf(3).drop(columns=["i64"])
+        cols = [c for c in src.columns]
+        t2 = t.merge(spark.createDataFrame(src), "t.order = s.order",
+                     when_not_matched_insert={
+                         c: f"s.{c}" for c in cols})
+        base = set(r["i64"] for r in t.to_df().collect())
+        gen = [r["i64"] for r in t2.to_df().collect()
+               if r["i64"] not in base]
+        assert len(gen) == 3 and len(set(gen)) == 3
+        assert all(v >= 50 and (v - 50) % 5 == 0 for v in gen)
+        assert t2._identity_columns()["i64"]["highWaterMark"] == max(gen)
+
+    def test_identity_base_helper(self):
+        from xdlake_spark.table import DeltaTable as DT
+        assert DT._identity_base(
+            {"start": 100, "step": 10, "highWaterMark": None}) == 100
+        assert DT._identity_base(
+            {"start": 100, "step": 10, "highWaterMark": 100}) == 110
+        assert DT._identity_base(
+            {"start": 100, "step": 10, "highWaterMark": 1007}) == 1010
+        assert DT._identity_base(
+            {"start": 0, "step": -5, "highWaterMark": None}) == 0
+        assert DT._identity_base(
+            {"start": 0, "step": -5, "highWaterMark": -20}) == -25
+        assert DT._identity_base(
+            {"start": 0, "step": -5, "highWaterMark": -23}) == -25

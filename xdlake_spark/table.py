@@ -54,7 +54,7 @@ from .log import (
     timestamp_ms,
     update_table_entry,
 )
-from .log.schema import partition_value_to_python
+from .log.schema import partition_value_to_python, schema_to_string
 from .log.statistics import Statistics
 from .plans.skipping import prune_manifest
 from .sources.inputs import union_dataframe
@@ -842,6 +842,133 @@ class DeltaTable:
                 for f in self.schema.fields
                 if (f.metadata or {}).get("delta.generationExpression")}
 
+    def _identity_columns(self) -> dict[str, dict]:
+        """Identity columns (writer-v6 feature): per-field
+        ``delta.identity.start`` / ``delta.identity.step`` /
+        ``delta.identity.allowExplicitInsert`` /
+        ``delta.identity.highWaterMark`` metadata. The writer generates
+        values when the column is omitted and maintains the high
+        watermark (Delta spec; the previous posture refused commits)."""
+        if self.schema is None:
+            return {}
+        out: dict[str, dict] = {}
+        for f in self.schema.fields:
+            md = f.metadata or {}
+            if "delta.identity.start" not in md \
+                    and "delta.identity.step" not in md:
+                continue
+            step = int(md.get("delta.identity.step", 1))
+            if step == 0:
+                raise ValueError(
+                    f"identity column {f.name!r} has step 0")
+            out[f.name] = {
+                "start": int(md.get("delta.identity.start", 1)),
+                "step": step,
+                "allowExplicitInsert": bool(
+                    md.get("delta.identity.allowExplicitInsert", False)),
+                "highWaterMark": (
+                    int(md["delta.identity.highWaterMark"])
+                    if "delta.identity.highWaterMark" in md else None),
+            }
+        return out
+
+    @staticmethod
+    def _identity_base(spec: dict) -> int:
+        """First value to generate: ``start`` on a fresh column, else
+        the smallest (largest, for negative step) value strictly past
+        the high watermark that stays congruent to ``start`` mod
+        ``step`` — explicit inserts may have pushed the watermark off
+        the grid, and generated values must return to it (Delta
+        identity spec)."""
+        start, step, hwm = spec["start"], spec["step"], \
+            spec["highWaterMark"]
+        if hwm is None:
+            return start
+        r = (start - hwm) % step  # python %: sign follows step
+        return hwm + (r if r != 0 else step)
+
+    def _generate_identity(self, df: DataFrame, provided: set
+                           ) -> tuple[DataFrame, list[str]]:
+        """Fill omitted identity columns with fresh unique values past
+        the watermark; validate explicit values are allowed. Returns
+        (df, names of identity columns present in this write).
+        Generation is ``base + step * monotonically_increasing_id()``
+        — distributed, no coordination; gaps are allowed by the spec
+        (the id space is per-partition blocks), uniqueness and
+        congruence are guaranteed."""
+        ids = self._identity_columns()
+        if not ids:
+            return df, []
+        touched = []
+        for c, spec in sorted(ids.items()):
+            touched.append(c)
+            if c in provided:
+                if not spec["allowExplicitInsert"]:
+                    raise ValueError(
+                        f"identity column {c!r} has "
+                        "allowExplicitInsert=false; omit it to have "
+                        "values generated")
+                continue
+            base = self._identity_base(spec)
+            df = df.withColumn(
+                c, (F.lit(base) + F.lit(spec["step"])
+                    * F.monotonically_increasing_id())
+                .cast(self.schema[c].dataType))
+        return df, touched
+
+    def _identity_watermark_schema(self, new_adds: list[Add],
+                                   touched: list[str]
+                                   ) -> "T.StructType | None":
+        """After a write involving identity columns, advance each high
+        watermark from the new files' footer stats (no extra job) and
+        return an updated schema to re-declare in the commit's
+        metaData; None when nothing advanced."""
+        if not touched or not new_adds:
+            return None
+        ids = self._identity_columns()
+        changed = False
+        new_fields = []
+        for f in self.schema.fields:
+            if f.name not in ids or f.name not in touched:
+                new_fields.append(f)
+                continue
+            spec = ids[f.name]
+            step = spec["step"]
+            vals, missing = [], []
+            for a in new_adds:
+                st = a.stats_dict or {}
+                key = "maxValues" if step > 0 else "minValues"
+                v = (st.get(key) or {}).get(f.name)
+                if v is None:
+                    missing.append(a.path)
+                else:
+                    vals.append(int(v))
+            if missing:
+                # footer stats absent for some file: one agg job over
+                # just those files — the watermark MUST advance, or the
+                # next write would regenerate the same values
+                files = [self.location.absloc(p).url for p in missing]
+                agg = F.max(f.name) if step > 0 else F.min(f.name)
+                row = (self.spark.read.parquet(*files)
+                       .agg(agg.alias("v")).collect()[0])
+                if row["v"] is not None:
+                    vals.append(int(row["v"]))
+            if not vals:
+                new_fields.append(f)
+                continue
+            extreme = max(vals) if step > 0 else min(vals)
+            hwm = spec["highWaterMark"]
+            if hwm is None or (step > 0 and extreme > hwm) \
+                    or (step < 0 and extreme < hwm):
+                md = dict(f.metadata or {})
+                md["delta.identity.highWaterMark"] = extreme
+                new_fields.append(T.StructField(
+                    f.name, f.dataType, f.nullable, md))
+                changed = True
+            else:
+                new_fields.append(f)
+        return T.StructType(new_fields) if changed else None
+
     def _apply_constraints(self, df: DataFrame) -> DataFrame:
         """Inline CHECK + column-invariant enforcement: an always-true
         filter built from ``assert_true`` — zero extra scan of the
@@ -957,6 +1084,10 @@ class DeltaTable:
             if c not in provided_cols:
                 df = df.withColumn(
                     c, F.expr(e).cast(self.schema[c].dataType))
+        # identity columns: generate omitted values past the watermark,
+        # validate explicit ones (also pre-schema-evaluation)
+        df, id_touched = self._generate_identity(df, provided_cols) \
+            if self.log else (df, [])
         schema = self.log.evaluate_schema(df.schema, mode, schema_mode_e)
         # align to evolved schema (fill missing columns with nulls)
         if [f.name for f in schema.fields] != df.columns or \
@@ -972,6 +1103,14 @@ class DeltaTable:
                                     max_records_per_file=max_records_per_file,
                                     write_options=write_options)
 
+        # advance identity high watermarks (footer stats, no extra job)
+        # — the updated schema must be re-declared in this commit's
+        # metaData or the next writer would regenerate the same values
+        wm_schema = self._identity_watermark_schema(new_adds, id_touched) \
+            if id_touched else None
+        if wm_schema is not None:
+            schema = wm_schema
+
         if not self.log:
             entry = create_table_entry(schema, partition_by,
                                        self.location.url, new_adds,
@@ -981,7 +1120,9 @@ class DeltaTable:
                                           schema, partition_by,
                                           custom_metadata)
         else:
-            evolved = schema if not schemas_match(schema, self.schema) else None
+            evolved = schema if (wm_schema is not None or
+                                 not schemas_match(schema, self.schema)) \
+                else None
             entry = append_table_entry(new_adds, partition_by,
                                        schema=evolved,
                                        custom_metadata=custom_metadata)
@@ -1138,12 +1279,15 @@ class DeltaTable:
          "invariants",        # enforced inline (_apply_constraints)
          "generatedColumns",  # computed/verified on write+update
          "changeDataFeed",    # DELETE/UPDATE/MERGE write cdc files
+         "identityColumns",   # generated + high watermark maintained
          })
 
     #: Features we can commit under only when the table doesn't
     #: actually USE them (checked against schema field metadata /
-    #: table configuration / the operation being committed).
-    CONDITIONAL_WRITER_FEATURES = frozenset({"identityColumns"})
+    #: table configuration / the operation being committed). Empty
+    #: since identityColumns graduated; the machinery stays for the
+    #: next partially-supportable feature.
+    CONDITIONAL_WRITER_FEATURES = frozenset()
 
     #: Delta spec's legacy writer-version table: each version <7
     #: implies the union of these feature sets up to and including it.
@@ -1192,22 +1336,14 @@ class DeltaTable:
                                            ) -> None:
         """Refuse commits that would break a feature the table actively
         uses; a merely-declared-but-unused feature is vacuously safe.
-        (invariants and generatedColumns are NOT here — they are
-        actually enforced/computed on the write paths, see
-        ``_apply_constraints`` / ``_apply_generated_columns``.)
-
-        - identityColumns live in schema field metadata
-          (``delta.identity.*``): if any field declares one, this
-          engine can't maintain the identity high watermark.
-        (changeDataFeed graduated to SUPPORTED_WRITER_FEATURES:
-        DELETE/UPDATE/MERGE write real cdc files and appends derive
-        from add actions.)
+        Currently empty: invariants and generatedColumns are enforced/
+        computed on the write paths (``_apply_constraints`` /
+        ``_apply_generated_columns``), changeDataFeed mutations write
+        cdc files, and identityColumns are generated with the high
+        watermark maintained (``_generate_identity``). The machinery
+        stays for the next partially-supportable feature.
         """
-        md_keys = {
-            "identityColumns": ("delta.identity.start",
-                                "delta.identity.step",
-                                "delta.identity.allowExplicitInsert"),
-        }
+        md_keys: dict[str, tuple] = {}
         try:
             fields = self.log.schema().fields
         except ValueError:  # no metaData yet (first commit): nothing used
@@ -1430,6 +1566,10 @@ class DeltaTable:
         for c in set:
             if c not in [f.name for f in self.schema.fields]:
                 raise ValueError(f"Unknown column in SET: {c!r}")
+            if c in self._identity_columns():
+                raise ValueError(
+                    f"cannot UPDATE identity column {c!r} (Delta "
+                    "identity semantics: values are system-maintained)")
         read_version = self.version
 
         where_sql = where if isinstance(where, str) else None
@@ -2102,20 +2242,36 @@ class DeltaTable:
                 else F.lit(None).cast(self.schema[c].dataType).alias(c)
                 for c in out_cols])
             # generated columns: COMPUTED for insert clauses that do
-            # not assign them, verified for ones that do
+            # not assign them, verified for ones that do; identity
+            # columns likewise generated past the watermark
             ins = self._apply_generated_columns(
                 ins, provided=set(when_not_matched_insert))
-            new_adds.extend(self._write_data(
-                self._apply_constraints(ins), self.partition_columns))
+            ins, id_touched = self._generate_identity(
+                ins, provided=set(when_not_matched_insert))
+            ins_adds = self._write_data(
+                self._apply_constraints(ins), self.partition_columns)
+            new_adds.extend(ins_adds)
+            wm_schema = self._identity_watermark_schema(
+                ins_adds, id_touched) if id_touched else None
             if self.cdf_enabled:
                 cdc_add(ins.withColumn(self._CHANGE_TYPE,
                                        F.lit("insert")))
+        else:
+            wm_schema = None
 
         removes = [self.adds[r].to_remove() for r in rewrite_rels]
         metrics = {"numTargetFilesAdded": len(new_adds),
                    "numTargetFilesRemoved": len(removes)}
         entry = merge_table_entry(new_adds, removes, condition,
                                   read_version, metrics, custom_metadata)
+        if wm_schema is not None:
+            # identity watermark advanced by the insert clause: re-
+            # declare metaData in this commit
+            import dataclasses
+            md = dataclasses.replace(
+                self.log.metadata(),
+                schemaString=schema_to_string(wm_schema))
+            entry.actions.insert(0, md)
         if self.cdf_enabled and cdc_df is not None:
             # cdc_df covers every clause (update pre/post, deletes,
             # inserts); its presence — even zero-row when all gates
