@@ -143,3 +143,61 @@ class TestStreamingDedupIntoSink:
         drain()
         t2 = DeltaTable(spark, loc)
         assert t2.version == v and t2.to_df().count() == 40
+
+
+class TestStreamingChangeFeed:
+    """readStream.format('xdlake').option('readChangeFeed', 'true'):
+    streams row-level changes — cdc files verbatim for commits that
+    have them, insert/delete derivation otherwise."""
+
+    def test_cdf_stream_end_to_end(self, registered, tmp_table_dir,
+                                   lineitem):
+        li = lineitem.limit(200).select("l_orderkey", "l_linenumber",
+                                        "l_quantity")
+        t = DeltaTable(registered, tmp_table_dir).write(
+            li.coalesce(1))                                     # v0
+        t = t.set_properties(
+            {"delta.enableChangeDataFeed": "true"})             # v1
+        t = t.delete("l_quantity > 30")                         # v2 cdc
+        out, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp()
+
+        def drain():
+            q = (registered.readStream.format("xdlake")
+                 .option("readChangeFeed", "true").load(tmp_table_dir)
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        drain()
+        got = registered.read.parquet(out)
+        assert set(got.columns) == {"l_orderkey", "l_linenumber",
+                                    "l_quantity", "_change_type",
+                                    "_commit_version"}
+        n_del = li.filter("l_quantity > 30").count()
+        assert got.filter("_change_type = 'insert'").count() == 200
+        assert got.filter(
+            "_change_type = 'insert' AND _commit_version = 0").count() \
+            == 200
+        assert got.filter(
+            "_change_type = 'delete' AND _commit_version = 2").count() \
+            == n_del
+        # incremental: a new append arrives as inserts only
+        t.write(li.limit(10).withColumn(
+            "l_orderkey", F.col("l_orderkey") + 7_000_000),
+            mode="append")
+        drain()
+        got = registered.read.parquet(out)
+        assert got.filter("l_orderkey >= 7000000").count() == 10
+        assert got.filter(
+            "l_orderkey >= 7000000 AND _change_type = 'insert'") \
+            .count() == 10
+
+    def test_batch_cdf_option_refused(self, registered, tmp_table_dir,
+                                      lineitem):
+        DeltaTable(registered, tmp_table_dir).write(lineitem.limit(10))
+        import pytest as _p
+        with _p.raises(Exception, match="readChangeFeed"):
+            (registered.read.format("xdlake")
+             .option("readChangeFeed", "true")
+             .load(tmp_table_dir).count())

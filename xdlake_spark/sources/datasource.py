@@ -36,15 +36,24 @@ from pyspark.sql.types import StructType
 
 class _FilePartition(InputPartition):
     def __init__(self, url: str, partition_values: dict,
-                 schema_json: str):
+                 schema_json: str, fixed_change: "str | None" = None,
+                 commit_version: "int | None" = None):
         self.url = url
         self.partition_values = partition_values
         self.schema_json = schema_json
+        #: CDF mode: constant _change_type for derived changes
+        #: ("insert"/"delete"); None = the file itself carries the
+        #: column (a cdc file) or the stream is not in CDF mode.
+        self.fixed_change = fixed_change
+        #: CDF mode: _commit_version value; None outside CDF mode.
+        self.commit_version = commit_version
 
 
 def _read_file_partition(part: _FilePartition):
     """Executor-side: one parquet file -> arrow batches aligned to the
-    table schema (partition columns re-attached from the manifest)."""
+    table schema (partition columns re-attached from the manifest; in
+    CDF mode ``_change_type``/``_commit_version`` attached from the
+    partition plan or read from the cdc file itself)."""
     import json
 
     import pyarrow as pa
@@ -54,9 +63,11 @@ def _read_file_partition(part: _FilePartition):
     from ..log.schema import partition_value_to_python, spark_type_to_arrow
 
     spark_schema = _St.fromJson(json.loads(part.schema_json))
+    cdf = part.commit_version is not None
     arrow_schema = pa.schema([
         pa.field(f.name, spark_type_to_arrow(f.dataType), f.nullable)
-        for f in spark_schema.fields])
+        for f in spark_schema.fields
+        if f.name not in ("_change_type", "_commit_version")])
     path = part.url
     if path.startswith("file://"):
         path = path[len("file://"):]
@@ -71,7 +82,20 @@ def _read_file_partition(part: _FilePartition):
                 part.partition_values.get(field.name),
                 spark_schema[field.name].dataType)
             cols.append(pa.array([v] * n).cast(field.type))
-    out = pa.table(cols, schema=arrow_schema)
+    fields = list(arrow_schema)
+    if cdf:
+        if part.fixed_change is not None:
+            change = pa.array([part.fixed_change] * n)
+        elif "_change_type" in table.column_names:
+            change = table.column("_change_type").cast(pa.string())
+        else:
+            raise ValueError(
+                f"cdc file {part.url} lacks a _change_type column")
+        cols.append(change)
+        fields.append(pa.field("_change_type", pa.string()))
+        cols.append(pa.array([part.commit_version] * n, pa.int64()))
+        fields.append(pa.field("_commit_version", pa.int64()))
+    out = pa.table(cols, schema=pa.schema(fields))
     for batch in out.to_batches(max_chunksize=65536):
         yield batch
 
@@ -98,9 +122,61 @@ def _plan_partitions(location_url: str, start_v: int,
     return parts
 
 
+def _plan_cdf_partitions(location_url: str, start_v: int,
+                         end_v: int) -> list[_FilePartition]:
+    """Driver-side CDF planner for (start_v, end_v]: per version, cdc
+    files when the commit has them, else insert-derivation from
+    dataChange adds and delete-derivation from dataChange removes
+    (scanning the tombstoned file — valid until VACUUM), matching
+    ``DeltaTable.change_feed``."""
+    from ..log import DeltaLog
+    from .storage import Location
+
+    loc = Location.resolve(location_url)
+    log = DeltaLog.load(loc.join("_delta_log"), use_checkpoint=False)
+    if not log:
+        return []
+    schema_json = log.schema().json()
+    parts: list[_FilePartition] = []
+    for v in sorted(log.entries):
+        if not (start_v < v <= end_v):
+            continue
+        entry = log.entries[v]
+        cdcs = entry.cdcs
+        if cdcs:
+            for c in cdcs:
+                parts.append(_FilePartition(
+                    loc.absloc(c.path).url,
+                    dict(c.partitionValues or {}), schema_json,
+                    fixed_change=None, commit_version=v))
+            continue
+        for add in entry.adds:
+            if add.dataChange:
+                parts.append(_FilePartition(
+                    loc.absloc(add.path).url,
+                    dict(add.partitionValues or {}), schema_json,
+                    fixed_change="insert", commit_version=v))
+        dels = {r.path for r in entry.removes if r.dataChange}
+        if dels:
+            add_of = {}
+            for pv in sorted(log.entries):
+                if pv >= v:
+                    break
+                for a in log.entries[pv].adds:
+                    if a.path in dels:
+                        add_of[a.path] = a  # latest add before v wins
+            for a in add_of.values():
+                parts.append(_FilePartition(
+                    loc.absloc(a.path).url,
+                    dict(a.partitionValues or {}), schema_json,
+                    fixed_change="delete", commit_version=v))
+    return parts
+
+
 class _XdlakeStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str):
+    def __init__(self, path: str, read_change_feed: bool = False):
         self.path = path
+        self.read_change_feed = read_change_feed
 
     def _current_version(self) -> int:
         from ..log import DeltaLog
@@ -116,8 +192,10 @@ class _XdlakeStreamReader(DataSourceStreamReader):
         return {"version": self._current_version()}
 
     def partitions(self, start: dict, end: dict):
-        return _plan_partitions(self.path, int(start["version"]),
-                                int(end["version"]))
+        plan = _plan_cdf_partitions if self.read_change_feed \
+            else _plan_partitions
+        return plan(self.path, int(start["version"]),
+                    int(end["version"]))
 
     def read(self, partition) -> Iterator:
         yield from _read_file_partition(partition)
@@ -166,20 +244,38 @@ class XdlakeDataSource(DataSource):
             raise ValueError("xdlake source requires .load(<table path>)")
         return path
 
+    def _cdf(self) -> bool:
+        return str(self.options.get("readChangeFeed", "false")
+                   ).lower() == "true"
+
     def schema(self) -> StructType:
+        from pyspark.sql.types import LongType, StringType, StructField
+
         from ..log import DeltaLog
         from .storage import Location
         log = DeltaLog.load(
             Location.resolve(self._path()).join("_delta_log"))
         if not log:
             raise ValueError(f"No delta table at {self._path()}")
-        return log.schema()
+        schema = log.schema()
+        if self._cdf():
+            schema = StructType(
+                list(schema.fields)
+                + [StructField("_change_type", StringType()),
+                   StructField("_commit_version", LongType())])
+        return schema
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self._cdf():
+            raise ValueError(
+                "readChangeFeed is a STREAMING option "
+                "(spark.readStream); for batch use "
+                "DeltaTable.change_feed(start, end)")
         return _XdlakeBatchReader(self._path())
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
-        return _XdlakeStreamReader(self._path())
+        return _XdlakeStreamReader(self._path(),
+                                   read_change_feed=self._cdf())
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> "DataSourceStreamWriter":
