@@ -215,3 +215,31 @@ class TestDvScan:
             t2.delete("flag = true")
         with pytest.raises(NotImplementedError, match="deletionVectors"):
             t2.write(spark.createDataFrame(gen_pdf(5)), mode="append")
+
+
+class TestDvOtherReadPaths:
+    """Every read surface must honor (or loudly refuse) deletion
+    vectors — not just the Spark scan."""
+
+    def test_format_batch_read_applies_dv(self, spark, tmp_table_dir):
+        from xdlake_spark.sources.datasource import register
+        register(spark)
+        pdf = gen_pdf(30)
+        t = DeltaTable(spark, tmp_table_dir)
+        t.write(spark.createDataFrame(pdf).coalesce(1))
+        _graft_dv(tmp_table_dir, 0, [2, 4, 6])
+        df = spark.read.format("xdlake").load(tmp_table_dir)
+        assert df.count() == 27
+        kept = pdf.drop(pdf.index[[2, 4, 6]])
+        assert sorted(r["order"] for r in df.select("order").collect()) \
+            == sorted(kept["order"])
+
+    def test_pyarrow_dataset_refuses_dv(self, spark, tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir)
+        t.write(spark.createDataFrame(gen_pdf(10)).coalesce(1))
+        _graft_dv(tmp_table_dir, 0, [1])
+        t2 = DeltaTable(spark, tmp_table_dir)
+        with pytest.raises(NotImplementedError, match="deletion vector"):
+            t2.to_pyarrow_dataset()
+        # the Spark paths still work
+        assert t2.to_df().count() == 9

@@ -37,7 +37,8 @@ from pyspark.sql.types import StructType
 class _FilePartition(InputPartition):
     def __init__(self, url: str, partition_values: dict,
                  schema_json: str, fixed_change: "str | None" = None,
-                 commit_version: "int | None" = None):
+                 commit_version: "int | None" = None,
+                 deleted_rows: "list[int] | None" = None):
         self.url = url
         self.partition_values = partition_values
         self.schema_json = schema_json
@@ -47,6 +48,9 @@ class _FilePartition(InputPartition):
         self.fixed_change = fixed_change
         #: CDF mode: _commit_version value; None outside CDF mode.
         self.commit_version = commit_version
+        #: Deletion-vector row indexes for this file (decoded on the
+        #: driver — per-file KB/MB scale); executor drops them.
+        self.deleted_rows = deleted_rows
 
 
 def _read_file_partition(part: _FilePartition):
@@ -72,6 +76,12 @@ def _read_file_partition(part: _FilePartition):
     if path.startswith("file://"):
         path = path[len("file://"):]
     table = pq.read_table(path)
+    if part.deleted_rows:
+        import numpy as np
+        mask = np.ones(table.num_rows, dtype=bool)
+        idx = np.asarray(part.deleted_rows, dtype=np.int64)
+        mask[idx[idx < table.num_rows]] = False
+        table = table.filter(pa.array(mask))
     n = table.num_rows
     cols = []
     for field in arrow_schema:
@@ -100,6 +110,16 @@ def _read_file_partition(part: _FilePartition):
         yield batch
 
 
+def _dv_rows(loc, add) -> "list[int] | None":
+    """Decode an add's deletion vector (if any) into row indexes —
+    driver-side, per-file KB/MB scale."""
+    desc = (add.extra or {}).get("deletionVector")
+    if not desc:
+        return None
+    from ..log.dv import deleted_row_indexes
+    return [int(i) for i in deleted_row_indexes(loc, desc)]
+
+
 def _plan_partitions(location_url: str, start_v: int,
                      end_v: int) -> list[_FilePartition]:
     """Driver-side: manifest of files added in (start_v, end_v]."""
@@ -118,7 +138,8 @@ def _plan_partitions(location_url: str, start_v: int,
                 if add.dataChange:
                     parts.append(_FilePartition(
                         loc.absloc(add.path).url,
-                        dict(add.partitionValues or {}), schema_json))
+                        dict(add.partitionValues or {}), schema_json,
+                        deleted_rows=_dv_rows(loc, add)))
     return parts
 
 
@@ -222,7 +243,8 @@ class _XdlakeBatchReader(DataSourceReader):
         schema_json = log.schema().json()
         return [
             _FilePartition(loc.absloc(p).url,
-                           dict(a.partitionValues or {}), schema_json)
+                           dict(a.partitionValues or {}), schema_json,
+                           deleted_rows=_dv_rows(loc, a))
             for p, a in log.add_actions().items()
         ]
 
@@ -257,6 +279,13 @@ class XdlakeDataSource(DataSource):
             Location.resolve(self._path()).join("_delta_log"))
         if not log:
             raise ValueError(f"No delta table at {self._path()}")
+        cm = (log.metadata().configuration or {}).get(
+            "delta.columnMapping.mode", "none")
+        if cm in ("name", "id"):
+            raise NotImplementedError(
+                "the xdlake format reads files by logical column name; "
+                f"this table uses column mapping mode {cm!r} — use "
+                "DeltaTable.to_df(), which resolves the mapping.")
         schema = log.schema()
         if self._cdf():
             schema = StructType(

@@ -630,6 +630,22 @@ class DeltaTable:
 
         if self.schema is None:
             raise ValueError(f"No delta table at {self.location.url}")
+        # this path hands raw file fragments to the caller — row-level
+        # deletes and physical-name mapping CANNOT be applied lazily
+        # here, so refuse rather than silently return wrong data (the
+        # Spark scan handles both: use to_df()/to_arrow() instead)
+        dv = [p for p, a in self.adds.items()
+              if (a.extra or {}).get("deletionVector")]
+        if dv:
+            raise NotImplementedError(
+                f"{len(dv)} live file(s) carry deletion vectors (e.g. "
+                f"{dv[0]!r}); a raw pyarrow dataset would resurrect "
+                "deleted rows — use to_df()/to_arrow(), which apply "
+                "the bitmaps.")
+        if self.column_mapping_mode in ("name", "id"):
+            raise NotImplementedError(
+                "column-mapped tables expose physical parquet names; "
+                "use to_df()/to_arrow(), which resolve the mapping.")
         try:
             from pyspark.sql.pandas.types import to_arrow_schema
             full = to_arrow_schema(self.schema)
