@@ -157,25 +157,31 @@ def _parse_png(data: bytes) -> np.ndarray:
         elif ftype == 2:          # Up
             rec = (row + prev) & 0xFF
         elif ftype == 1:          # Sub: recon[x] = raw[x] + recon[x-bpp]
-            rec = row.copy()
-            for x in range(bpp, stride):
-                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
-        elif ftype == 3:          # Average
-            rec = row.copy()
+            # per-lane prefix sum mod 256 — fully vectorized
+            rec = (row.reshape(-1, bpp).cumsum(axis=0) & 0xFF) \
+                .reshape(stride)
+        elif ftype == 3:          # Average (sequential in `left`: the
+            # scalar loop runs on plain lists — numpy scalar indexing
+            # is ~5x slower per element)
+            rl, pl = row.tolist(), prev.tolist()
+            rec_l = [0] * stride
             for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:          # Paeth
-            rec = row.copy()
+                left = rec_l[x - bpp] if x >= bpp else 0
+                rec_l[x] = (rl[x] + ((left + pl[x]) >> 1)) & 0xFF
+            rec = np.asarray(rec_l, dtype=np.int32)
+        elif ftype == 4:          # Paeth (same list-loop rationale)
+            rl, pl = row.tolist(), prev.tolist()
+            rec_l = [0] * stride
             for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
+                a = rec_l[x - bpp] if x >= bpp else 0
+                b = pl[x]
+                c = pl[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else \
                     (b if pb <= pc else c)
-                rec[x] = (rec[x] + pred) & 0xFF
+                rec_l[x] = (rl[x] + pred) & 0xFF
+            rec = np.asarray(rec_l, dtype=np.int32)
         else:
             raise ValueError(f"invalid PNG filter type {ftype}")
         out[y] = rec.astype(np.uint8)
