@@ -264,3 +264,49 @@ class TestTotalsAttachment:
         for line in plan.splitlines():
             if "BroadcastNestedLoopJoin" in line:
                 assert "BuildRight" in line or "BuildLeft" in line, line
+
+
+class TestRound6PlanShapes:
+    """Plan pins for the round-6 operators."""
+
+    def test_bpe_pair_counts_partial_aggregation(self, spark):
+        from xdlake_spark.operators import bpe
+        from xdlake_spark.sources.readers import read_parquet_any
+        d = read_parquet_any(spark, f"{SF}/documents.parquet")
+        words = bpe._init_symbols(bpe._word_freq(d, "text", True))
+        plan = bpe._pair_counts(words)._jdf.queryExecution() \
+            .executedPlan().toString()
+        # pair counts map-side combine before shuffling on the pair key
+        assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+    def test_dv_scan_is_broadcast_anti_join(self, spark, tmp_path):
+        import json as _json
+
+        from xdlake_spark import DeltaTable
+        from xdlake_spark.log import dv as _dv
+        from xdlake_spark.sources.readers import read_parquet_any
+        from xdlake_spark.sources.storage import Location
+        li = read_parquet_any(spark, f"{SF}/lineitem.parquet").limit(100)
+        loc = str(tmp_path / "t")
+        DeltaTable(spark, loc).write(li.coalesce(1))
+        desc = _dv.write_dv_file(Location.resolve(loc), [0, 1])
+        log0 = f"{loc}/_delta_log/{0:020d}.json"
+        lines = []
+        for line in open(log0):
+            obj = _json.loads(line)
+            if "add" in obj:
+                obj["add"]["deletionVector"] = desc
+            lines.append(_json.dumps(obj))
+        open(log0, "w").write("\n".join(lines) + "\n")
+        df = DeltaTable(spark, loc).to_df()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # small DV -> broadcast hash LEFT ANTI, never a shuffle join
+        assert re.search(r"BroadcastHashJoin.*LeftAnti", plan), plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_first_fit_exact_single_shuffle(self, spark):
+        plan = plan_of(spark, "pack_first_fit_exact")
+        # one exchange for the groupBy-bucket applyInPandas, one for the
+        # stats groupBy — no extra repartitions snuck in
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, \
+            plan
