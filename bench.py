@@ -82,6 +82,7 @@ HEADLINE = [
     "dedup_exact_keepers",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard_pairs",
+    "dedup_edit_distance_pairs",
     "dedup_simhash_pairs",
     "dedup_winnow_pairs",
     "substring_dup_stats",

@@ -1863,3 +1863,31 @@ class TestBpe:
         m = bpe.train_bpe(d, n_merges=500, batch_k=8,
                           min_pair_count=10_000_000)
         assert m.count() == 0
+
+
+class TestEditDistancePairs:
+    def test_known_near_dups(self, spark):
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["the quick brown fox jumps over the lazy dog",
+                     "the quick brown fox jumps over the lazy cat",
+                     "the quick brown fox leaps over the lazy dog",
+                     "completely different content with other words"]})
+        out = {(r["id_a"], r["id_b"]): r["distance"]
+               for r in dedup.edit_distance_pairs(
+                   spark.createDataFrame(pdf), k_shingle=3,
+                   max_distance=10).collect()}
+        assert out[(1, 2)] == 3   # dog -> cat
+        assert out[(1, 3)] == 3   # jumps -> leaps
+        assert (1, 4) not in out and (2, 4) not in out
+        # pairs are ordered and symmetric-free
+        assert all(a < b for a, b in out)
+
+    def test_threshold_and_len_guards(self, spark):
+        long_text = "word " * 200  # 1000 chars > max_len=400
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": [long_text, long_text + "tail"]})
+        out = dedup.edit_distance_pairs(
+            spark.createDataFrame(pdf), max_len=400).collect()
+        assert out == []  # both excluded by the length guard

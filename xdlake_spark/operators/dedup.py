@@ -1107,3 +1107,49 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     sim = cosine(F.col("vec_a"), F.col("vec_b"))
     return (pairs.select("id_a", "id_b", sim.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def edit_distance_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k_shingle: int = 5,
+                        max_distance: int = 20, max_len: int = 400,
+                        bucket_cap: int = 2000) -> DataFrame:
+    """Near-duplicate pairs by Levenshtein distance over whitespace-
+    normalized text: candidates from the k-word-shingle inverted index
+    (pairs sharing no shingle never compare), verified with the JVM
+    built-in ``levenshtein`` with an early-exit threshold — the
+    classic candidate-then-verify edit-distance join, fully
+    SQL-expressible (DuckDB's ``levenshtein`` is the oracle).
+
+    ``max_len`` bounds the O(n*m) verify per pair (edit distance on
+    megabyte documents is never the right tool — use jaccard/minhash
+    there); the threshold arg makes the JVM verify O(n * max_distance).
+    Returns (id_a, id_b, distance), ordered pairs id_a < id_b.
+
+    Scale: candidate generation is the same tiled inverted-index join
+    as :func:`ngram_jaccard_pairs` (hot shingles block-tiled); the
+    verify joins only candidate ids back to their texts — two
+    broadcast-or-shuffle hash joins on id, no text ever in the
+    candidate shuffle.
+    """
+    from ..functions.text import shingles
+
+    norm = F.concat_ws(
+        " ", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    base = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("id"), norm.alias("__t"))
+            .filter((F.length("__t") > 0)
+                    & (F.length("__t") <= max_len))
+            .localCheckpoint(eager=False))
+    inv = (base.select("id", F.explode(
+        shingles(F.col("__t"), k_shingle)).alias("__s"))
+        .select("id", F.xxhash64("__s").alias("shingle")))
+    cand = _bounded_bucket_pairs(inv, ["shingle"],
+                                 bucket_cap=bucket_cap, distinct=True)
+    a = base.select(F.col("id").alias("id_a"), F.col("__t").alias("__ta"))
+    b = base.select(F.col("id").alias("id_b"), F.col("__t").alias("__tb"))
+    return (cand.join(a, "id_a").join(b, "id_b")
+            .withColumn("distance",
+                        F.levenshtein("__ta", "__tb",
+                                      int(max_distance)))
+            .filter(F.col("distance") >= 0)
+            .select("id_a", "id_b", "distance"))

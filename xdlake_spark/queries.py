@@ -2231,6 +2231,45 @@ def dedup_ngram(spark, sf_dir):
                       F.round("jaccard", 6).alias("jaccard"))
 
 
+@register("dedup_edit_distance_pairs", r"""
+WITH base AS (
+  SELECT doc_id,
+         array_to_string(string_split_regex(lower(trim(text)), '\s+'),
+                         ' ') AS t
+  FROM documents
+), lim AS (
+  SELECT doc_id, t FROM base WHERE length(t) > 0 AND length(t) <= 400
+), toks AS (
+  SELECT doc_id, t, string_split(t, ' ') AS w FROM lim
+), sh AS (
+  SELECT doc_id, t,
+         CASE WHEN len(w) >= 5
+              THEN list_distinct(list_transform(range(1, len(w) - 3),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                                  w[i+4])))
+              ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM toks
+), inv AS (
+  SELECT doc_id, t, unnest(shingles) AS shingle FROM sh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.t AS ta, b.t AS tb
+  FROM inv a JOIN inv b ON a.shingle = b.shingle
+                        AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(levenshtein(ta, tb) AS INTEGER) AS distance
+FROM cand WHERE levenshtein(ta, tb) <= 20
+""")
+def dedup_edit_distance_q(spark, sf_dir):
+    """Candidate-then-verify Levenshtein near-dup join
+    (operators/dedup.py edit_distance_pairs): 5-word-shingle inverted
+    index proposes, the JVM levenshtein-with-threshold verifies."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.edit_distance_pairs(d, k_shingle=5, max_distance=20,
+                                     max_len=400)
+
+
 @register("incremental_dedup_keepers", """
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
