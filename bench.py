@@ -71,6 +71,7 @@ HEADLINE = [
     "bigram_logprob_scores",
     "quality_classifier_scores",
     "text_tfidf_top_terms",
+    "heavy_hitter_terms",
     "vocab_coverage",
     "lang_detect",
     "token_count_by_lang",

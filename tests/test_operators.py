@@ -1891,3 +1891,54 @@ class TestEditDistancePairs:
         out = dedup.edit_distance_pairs(
             spark.createDataFrame(pdf), max_len=400).collect()
         assert out == []  # both excluded by the length guard
+
+
+class TestHeavyHitters:
+    """Misra-Gries guarantees: estimates never overcount, true counts
+    lie within [est, est + max_err], and every sufficiently-frequent
+    item survives; exact when cap exceeds the cardinality."""
+
+    def _toks(self, spark, documents, n=200):
+        return documents.limit(n).select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+            .alias("tok"))
+
+    def test_bounds_and_coverage_under_pressure(self, spark, documents):
+        from xdlake_spark.operators.sketch import heavy_hitters
+        toks = self._toks(spark, documents)
+        hh = heavy_hitters(toks, "tok", k=30, cap=16).collect()
+        exact = {r["tok"]: r["count"] for r in
+                 toks.groupBy("tok").count().collect()}
+        n = sum(exact.values())
+        err = hh[0]["max_err"]
+        assert 0 < err  # cap 16 << vocab: reductions happened
+        for r in hh:
+            true = exact[r["term"]]
+            assert r["est_count"] <= true <= r["est_count"] + err, \
+                (r["term"], r["est_count"], err, true)
+        # MG guarantee: anything with count > n/cap-summed error bound
+        # must appear among the survivors' estimates
+        top_est = {r["term"] for r in
+                   heavy_hitters(toks, "tok", k=10**6,
+                                 cap=16).collect()}
+        for term, c in exact.items():
+            if c > err:
+                assert term in top_est, (term, c, err)
+
+    def test_exact_when_cap_exceeds_cardinality(self, spark, documents):
+        from xdlake_spark.operators.sketch import heavy_hitters
+        toks = self._toks(spark, documents, 100)
+        hh = heavy_hitters(toks, "tok", k=25, cap=10**6).collect()
+        exact = (toks.groupBy("tok").count()
+                 .orderBy(F.col("count").desc(), "tok").limit(25)
+                 .collect())
+        assert [(r["term"], r["est_count"]) for r in hh] \
+            == [(r["tok"], r["count"]) for r in exact]
+        assert all(r["max_err"] == 0 for r in hh)
+
+    def test_deterministic(self, spark, documents):
+        from xdlake_spark.operators.sketch import heavy_hitters
+        toks = self._toks(spark, documents)
+        a = heavy_hitters(toks, "tok", k=20, cap=256).collect()
+        b = heavy_hitters(toks, "tok", k=20, cap=256).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -1395,6 +1395,36 @@ def bpe_pairs_q(spark, sf_dir):
     return corpus.bpe_pair_counts(d, top_n=200)
 
 
+# Misra-Gries heavy hitters: the summary is EXACT whenever the
+# per-partition capacity exceeds the vocabulary (true at every oracle
+# scale here — the synthetic corpus has ~10^2 distinct tokens), so the
+# plain top-k SQL is a valid oracle; the approximation guarantees under
+# pressure (cap << vocab) are pytest-gated (TestHeavyHitters).
+@register("heavy_hitter_terms", r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), counts AS (
+  SELECT term, count(*) AS est_count FROM toks
+  WHERE length(term) > 0 GROUP BY 1
+)
+SELECT term, est_count, CAST(0 AS BIGINT) AS max_err
+FROM counts
+ORDER BY est_count DESC, term
+LIMIT 40
+""")
+def heavy_hitter_terms_q(spark, sf_dir):
+    """Mergeable Misra-Gries top-k terms (operators/sketch.py): one
+    cap-bounded summary per partition, one cap-bounded shuffle — never
+    a full-cardinality groupBy at scale."""
+    from .operators.sketch import heavy_hitters
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(
+        F.split(F.lower(F.trim("text")), r"\s+")).alias("term")) \
+        .filter(F.length("term") > 0)
+    return heavy_hitters(toks, "term", k=40, cap=8192)
+
+
 # rows-only: BPE training is an iterative driver-coordinated loop (one
 # argmax + one re-segmentation per round) that SQL/recursive CTEs can't
 # express (no aggregation over the recursive term); exactness vs the
