@@ -1,0 +1,288 @@
+"""Unit tests for the pure-numpy media codecs (no Spark session).
+
+JPEG/GIF/G.711/IMA-ADPCM are implemented from public specs in
+xdlake_spark/operators/codecs.py; these tests pin (a) encoder->decoder
+roundtrip error bounds, (b) spec conventions via hand-assembled golden
+bytes that do NOT pass through our encoder (so a shared encoder/decoder
+bug cannot hide), and (c) the WAV container dispatch for every format.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from xdlake_spark.operators import codecs as C
+from xdlake_spark.operators.multimodal import _parse_wav
+
+
+def _gradient(h, w, seed=0):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(x * 3 + y * 5 + c * 7 + seed) % 256
+                     for c in range(3)], axis=2).astype(np.uint8)
+
+
+class TestJpeg:
+    @pytest.mark.parametrize("quality,subsample,rst,tol", [
+        (95, False, 0, 4), (90, True, 0, 8), (85, False, 3, 8),
+        (75, True, 2, 14),
+    ])
+    def test_roundtrip_gradient(self, quality, subsample, rst, tol):
+        y, x = np.mgrid[0:29, 0:37]
+        pix = np.stack([(x * 2 + y * 3 + c * 5) % 200 + 20
+                        for c in range(3)], axis=2)  # smooth ramp
+        data = C.encode_jpeg(pix.astype(np.uint8), quality=quality,
+                             subsample=subsample, restart_interval=rst)
+        dec = C.parse_jpeg(data)
+        assert dec.shape == pix.shape
+        err = np.abs(dec.astype(int) - pix.astype(int))
+        assert err.max() <= tol, f"max pixel error {err.max()}"
+
+    def test_roundtrip_grayscale(self):
+        pix = (np.linspace(0, 255, 23 * 31).reshape(23, 31, 1)
+               .astype(np.uint8))
+        dec = C.parse_jpeg(C.encode_jpeg(pix, quality=95))
+        assert dec.shape == (23, 31, 1)
+        assert np.abs(dec.astype(int) - pix.astype(int)).max() <= 4
+
+    def test_odd_dims_with_420(self):
+        # 4:2:0 with dims not divisible by 16 exercises MCU padding/trim
+        for h, w in [(9, 9), (17, 33), (8, 24), (15, 16)]:
+            pix = _gradient(h, w) % 128 + 64
+            dec = C.parse_jpeg(C.encode_jpeg(pix.astype(np.uint8),
+                                             quality=90, subsample=True))
+            assert dec.shape == (h, w, 3)
+
+    def test_noise_survives(self):
+        rng = np.random.default_rng(3)
+        pix = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+        dec = C.parse_jpeg(C.encode_jpeg(pix, quality=50))
+        assert dec.shape == pix.shape  # lossy, just must not crash/drift
+
+    def test_golden_dc_only_handassembled(self):
+        """A JPEG assembled bit-by-bit BY HAND (never touching our
+        encoder): one 8x8 grayscale block, DC category 3 value +5,
+        q[0,0]=16 -> every pixel must decode to 5*16/8 + 128 = 138.
+        Pins: marker layout, DHT canonical code assignment, MSB-first
+        bit order, EXTEND, zigzag DQT order, IDCT scaling, +128 shift.
+        """
+        qt = bytes([16] + [1] * 63)               # zigzag order, q00=16
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(
+                ">H", len(body) + 2) + body
+        data = (b"\xFF\xD8" +
+                seg(0xDB, b"\x00" + qt) +
+                seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) +
+                    bytes([1, 0x11, 0])) +
+                # DC table 0: one code of length 2 -> symbol 3
+                seg(0xC4, bytes([0x00, 0, 1] + [0] * 14) + bytes([3])) +
+                # AC table 0: one code of length 2 -> symbol 0x00 (EOB)
+                seg(0xC4, bytes([0x10, 0, 1] + [0] * 14) + bytes([0])) +
+                seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) +
+                # bits: DC code '00', mag '101' (=5), EOB '00', pad '1'
+                bytes([0b00101001]) +
+                b"\xFF\xD9")
+        dec = C.parse_jpeg(data)
+        assert dec.shape == (8, 8, 1)
+        assert (dec == 138).all()
+
+    def test_progressive_raises(self):
+        pix = _gradient(8, 8)
+        data = bytearray(C.encode_jpeg(pix, quality=90))
+        i = data.find(b"\xFF\xC0")
+        data[i + 1] = 0xC2                        # SOF0 -> SOF2
+        with pytest.raises(NotImplementedError, match="non-baseline"):
+            C.parse_jpeg(bytes(data))
+
+    def test_byte_stuffing_roundtrip(self):
+        # high-entropy block at quality 100 produces 0xFF bytes in the
+        # entropy stream with high probability; stuffing must roundtrip
+        rng = np.random.default_rng(11)
+        pix = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        data = C.encode_jpeg(pix, quality=100)
+        dec = C.parse_jpeg(data)
+        assert np.abs(dec.astype(int) - pix.astype(int)).mean() < 16
+
+
+class TestGif:
+    @pytest.mark.parametrize("interlace", [False, True])
+    def test_roundtrip_exact(self, interlace):
+        rng = np.random.default_rng(5)
+        pal = rng.integers(0, 256, (200, 3), dtype=np.uint8)
+        idx = rng.integers(0, 200, (45, 61), dtype=np.uint8)
+        out = C.parse_gif(C.encode_gif(idx, pal, interlace=interlace))
+        assert (out == pal[idx]).all()
+
+    def test_dictionary_reset_path(self):
+        # enough distinct phrases to hit the 4096-entry LZW cap
+        rng = np.random.default_rng(9)
+        pal = np.arange(256, dtype=np.uint8).repeat(3).reshape(256, 3)
+        idx = rng.integers(0, 256, (120, 120), dtype=np.uint8)
+        out = C.parse_gif(C.encode_gif(idx, pal))
+        assert (out == pal[idx]).all()
+
+    def test_golden_handassembled_2x2(self):
+        """GIF87a assembled by hand: 2x2 image, 2-color palette,
+        indices [[0,1],[1,0]]; LZW min code 2 (clear=4, end=5), codes
+        packed LSB-first.  Width grows 3 -> 4 after the dictionary's
+        entry 7 is created ("early change"), exactly where a spec
+        encoder would grow it: clear,0,1 at width 3; 1,0,end at 4."""
+        codes = [(4, 3), (0, 3), (1, 3), (1, 4), (0, 4), (5, 4)]
+        acc = nbits = 0
+        body = bytearray()
+        for c, w in codes:
+            acc |= c << nbits
+            nbits += w
+            while nbits >= 8:
+                body.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            body.append(acc & 0xFF)
+        data = (b"GIF87a" + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0) +
+                bytes([255, 0, 0, 0, 0, 255] + [0] * 6) +  # pal: red, blue
+                b"\x2C" + struct.pack("<HHHHB", 0, 0, 2, 2, 0) +
+                bytes([2, len(body)]) + bytes(body) + b"\x00\x3B")
+        out = C.parse_gif(data)
+        expect = np.array([[[255, 0, 0], [0, 0, 255]],
+                           [[0, 0, 255], [255, 0, 0]]], np.uint8)
+        assert (out == expect).all()
+
+    def test_89a_extension_blocks_skipped(self):
+        pal = np.zeros((4, 3), np.uint8)
+        idx = np.zeros((3, 3), np.uint8)
+        data = bytearray(C.encode_gif(idx, pal))
+        # splice a graphic-control extension after the header+palette
+        gce = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
+        insert_at = 13 + 4 * 3
+        data[insert_at:insert_at] = gce
+        data[:6] = b"GIF89a"
+        assert C.parse_gif(bytes(data)).shape == (3, 3, 3)
+
+
+class TestG711:
+    def test_mulaw_spec_anchors(self):
+        # G.711 table anchors: 0xFF -> 0, 0x7F -> -0 (both silence);
+        # 0x80 -> loudest negative, 0x00 -> loudest positive magnitude
+        assert C.ULAW_TABLE[0xFF] == 0
+        assert C.ULAW_TABLE[0x7F] == 0
+        assert C.ULAW_TABLE[0x00] == -(C.ULAW_TABLE[0x80])
+        assert abs(int(C.ULAW_TABLE[0x80])) == 32124
+
+    def test_alaw_spec_anchors(self):
+        # A-law quietest codes decode to +-8; loudest to +-32256
+        assert C.ALAW_TABLE[0xD5] == 8
+        assert C.ALAW_TABLE[0x55] == -8
+        assert int(np.max(C.ALAW_TABLE)) == 32256
+        assert int(np.min(C.ALAW_TABLE)) == -32256
+
+    @pytest.mark.parametrize("enc,dec,maxrel", [
+        (C.ulaw_encode, C.ulaw_decode, 0.07),
+        (C.alaw_encode, C.alaw_decode, 0.13),
+    ])
+    def test_compand_roundtrip(self, enc, dec, maxrel):
+        rng = np.random.default_rng(1)
+        pcm = rng.integers(-32768, 32768, 4000).astype(np.int16)
+        rec = dec(enc(pcm))
+        rel = (np.abs(rec.astype(int) - pcm.astype(int)) /
+               np.maximum(np.abs(pcm.astype(int)), 64))
+        assert rel.max() <= maxrel
+        # idempotent on the codec's own output levels
+        assert (dec(enc(rec)) == rec).all()
+
+    def test_decode_tables_are_bijective_on_magnitudes(self):
+        # 256 codes -> 256 distinct (sign, magnitude) pairs except the
+        # two zero codes in mu-law
+        assert len(set(C.ULAW_TABLE.tolist())) == 255
+        assert len(set(C.ALAW_TABLE.tolist())) == 256
+
+
+class TestImaAdpcm:
+    def test_sine_snr(self):
+        t = np.arange(1 + 2 * 502, dtype=np.float64)
+        sig = (np.sin(2 * np.pi * 440 * t / 8000) * 12000).astype(np.int16)
+        rec = C.ima_adpcm_decode_block(
+            C.ima_adpcm_encode_block(sig), len(sig))
+        err = rec.astype(float) - sig.astype(float)
+        snr = 10 * np.log10((sig.astype(float) ** 2).mean() /
+                            (err ** 2).mean())
+        assert snr > 25.0, f"ADPCM SNR {snr:.1f} dB"
+
+    def test_step_clamping_on_impulse(self):
+        sig = np.zeros(101, np.int16)
+        sig[50] = 32767                            # worst-case impulse
+        rec = C.ima_adpcm_decode_block(
+            C.ima_adpcm_encode_block(sig), len(sig))
+        assert len(rec) == len(sig)                # no crash, full length
+
+    def test_block_layout(self):
+        sig = np.arange(0, 2020, 20, dtype=np.int16)  # 101 samples
+        blk = C.ima_adpcm_encode_block(sig)
+        assert len(blk) == 4 + 50                  # header + 100 nibbles
+        pred, idx, _ = struct.unpack_from("<hBB", blk)
+        assert pred == 0 and 0 <= idx <= 88
+
+
+class TestWavDispatch:
+    def _wav(self, fmt, bits, frames, sr=8000, align=2):
+        return (b"RIFF" + struct.pack("<I", 36 + len(frames)) + b"WAVE" +
+                b"fmt " + struct.pack("<IHHIIHH", 16, fmt, 1, sr,
+                                      sr * max(align, 1), align, bits) +
+                b"data" + struct.pack("<I", len(frames)) + frames)
+
+    @pytest.fixture
+    def sine(self):
+        t = np.arange(2000, dtype=np.float64) / 8000
+        return np.sin(2 * np.pi * 300 * t) * 0.5
+
+    def test_all_formats_agree(self, sine):
+        ints = np.round(sine * 32767).astype(np.int16)
+        variants = {
+            "pcm16": self._wav(1, 16, ints.astype("<i2").tobytes()),
+            "pcm8": self._wav(1, 8, ((ints.astype(np.int32) // 256) +
+                                     128).astype(np.uint8).tobytes(),
+                              align=1),
+            "pcm24": self._wav(1, 24, b"".join(
+                struct.pack("<i", int(v) << 8)[:3] for v in ints),
+                align=3),
+            "pcm32": self._wav(1, 32, (ints.astype(np.int32) << 16)
+                               .astype("<i4").tobytes(), align=4),
+            "f32": self._wav(3, 32, sine.astype("<f4").tobytes(),
+                             align=4),
+            "f64": self._wav(3, 64, sine.astype("<f8").tobytes(),
+                             align=8),
+            "ulaw": self._wav(7, 8, C.ulaw_encode(ints).tobytes(),
+                              align=1),
+            "alaw": self._wav(6, 8, C.alaw_encode(ints).tobytes(),
+                              align=1),
+        }
+        spb = 505
+        blocks = b"".join(C.ima_adpcm_encode_block(ints[s:s + spb])
+                          for s in range(0, len(ints), spb))
+        variants["adpcm"] = self._wav(0x11, 4, blocks, align=256)
+        tol = {"pcm16": 0.0001, "pcm8": 0.009, "pcm24": 0.0001,
+               "pcm32": 0.0001, "f32": 0.0001, "f64": 0.0001,
+               "ulaw": 0.02, "alaw": 0.02, "adpcm": 0.05}
+        for name, payload in variants.items():
+            sr, pcm, canonical = _parse_wav(payload)
+            assert sr == 8000
+            assert len(pcm) == 2000, name
+            err = np.abs(pcm - sine.astype(np.float32))
+            assert err.max() <= tol[name], f"{name}: {err.max():.4f}"
+            # canonical bytes are always a 2-bytes-per-sample PCM16 view
+            assert len(canonical) == 2 * len(pcm) or name == "pcm16"
+
+    def test_stereo_mixdown(self, sine):
+        ints = np.round(sine * 32767).astype(np.int16)
+        stereo = np.stack([ints, -ints], axis=1).reshape(-1)
+        payload = (b"RIFF" + struct.pack("<I", 36 + stereo.nbytes) +
+                   b"WAVE" + b"fmt " +
+                   struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16) +
+                   b"data" + struct.pack("<I", stereo.nbytes) +
+                   stereo.astype("<i2").tobytes())
+        _, pcm, _ = _parse_wav(payload)
+        assert np.abs(pcm).max() < 1e-4           # L + R cancel
+
+    def test_unknown_format_raises(self):
+        with pytest.raises(NotImplementedError, match="unsupported WAV"):
+            _parse_wav(self._wav(2, 4, b"\x00" * 64))  # MS-ADPCM

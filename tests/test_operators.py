@@ -623,15 +623,76 @@ class TestMultimodalRealDecode:
         r = multimodal.decode_images(df).collect()[0]
         assert (r["width"], r["height"], r["n_channels"]) == (5, 4, 3)
 
-    def test_compressed_format_still_raises(self, spark):
-        # a JPEG magic payload must fail loudly, not decode garbage
+    def test_unknown_format_still_raises(self, spark):
+        # a TIFF magic payload must fail loudly, not decode garbage
         df = spark.createDataFrame(
-            [(1, bytearray(b"\xff\xd8\xff\xe0" + b"x" * 64))],
+            [(1, bytearray(b"II*\x00" + b"x" * 64))],
             "doc_id: long, payload: binary")
         with pytest.raises(Exception) as exc_info:
             multimodal.decode_images(df).collect()
         assert "NotImplementedError" in str(exc_info.value) or \
             "PPM" in str(exc_info.value)
+
+    def test_jpeg_decode_real(self, spark, documents):
+        d = documents.limit(25)
+        payloads = multimodal.attach_fake_payloads(d, media="jpeg")
+        rows = multimodal.decode_images(payloads).collect()
+        assert len(rows) == 25
+        for r in rows:
+            assert r["width"] == 16 + r["doc_id"] % 17
+            assert r["height"] == 12 + r["doc_id"] % 13
+            assert r["n_channels"] == 3
+
+    def test_jpeg_ppm_differential_features_close(self, spark,
+                                                  documents):
+        """JPEG is lossy, so the decoded features must be CLOSE to the
+        PPM ground truth (same generator pixels), never equal-by-luck:
+        mean-intensity feature within a few gray levels at quality 92."""
+        d = documents.limit(20)
+        ppm = {r["doc_id"]: r for r in multimodal.decode_images(
+            multimodal.attach_fake_payloads(d, media="ppm")).collect()}
+        jpg = multimodal.decode_images(
+            multimodal.attach_fake_payloads(d, media="jpeg")).collect()
+        for r in jpg:
+            ref = ppm[r["doc_id"]]
+            assert (r["width"], r["height"], r["n_channels"]) == \
+                (ref["width"], ref["height"], ref["n_channels"])
+            # feature[0] is mean/255; the generator raster is noisy
+            # (mod-256 wraps), so allow a few gray levels of drift
+            assert abs(r["features"][0] - ref["features"][0]) < 0.04
+
+    def test_gif_decode_real(self, spark, documents):
+        d = documents.limit(24)
+        payloads = multimodal.attach_fake_payloads(d, media="gif")
+        rows = multimodal.decode_images(payloads).collect()
+        assert len(rows) == 24
+        for r in rows:
+            assert r["width"] == 16 + r["doc_id"] % 17
+            assert r["height"] == 12 + r["doc_id"] % 13
+            assert r["n_channels"] == 3
+
+    @pytest.mark.parametrize("kind,rms_lo,rms_hi", [
+        ("wav_ulaw", 0.2, 0.4), ("wav_alaw", 0.2, 0.4),
+        ("wav_adpcm", 0.2, 0.4), ("wav_f32", 0.2, 0.4)])
+    def test_wav_codec_variants_chunk_real(self, spark, documents,
+                                           kind, rms_lo, rms_hi):
+        """G.711 / IMA-ADPCM / float WAV payloads chunk identically to
+        the PCM16 path: same chunk geometry, energy within codec
+        tolerance of the 0.5-amplitude sine."""
+        d = documents.limit(6)
+        payloads = multimodal.attach_fake_payloads(d, media=kind)
+        rows = multimodal.chunk_audio(payloads,
+                                      chunk_seconds=0.1).collect()
+        per_doc: dict = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(per_doc) == 6
+        for chunks in per_doc.values():
+            assert sorted(c["chunk_index"] for c in chunks) == [0, 1, 2]
+            assert sum(c["n_samples"] for c in chunks) == 2000
+            for c in chunks:
+                assert rms_lo < c["rms"] < rms_hi
+                assert 0.3 < c["peak"] <= 0.55
 
 
 class TestWinnowing:

@@ -6,10 +6,12 @@ Arrow-batched ``mapInPandas`` stages.
 
 Decode is REAL for every format a pure-numpy + stdlib decoder can
 handle — PPM/PGM (netpbm P6/P5), BMP (24-bpp BI_RGB), PNG (8-bit
-gray/RGB/GA/RGBA via stdlib ``zlib`` + per-scanline unfiltering), and
-WAV (RIFF PCM16) — implemented below with no codec libraries. Formats
-whose compression is not in the stdlib (JPEG/FLAC/MP4) raise
-``NotImplementedError`` with a clear message; swapping in
+gray/RGB/GA/RGBA via stdlib ``zlib`` + per-scanline unfiltering),
+baseline JPEG and GIF (via :mod:`.codecs`, implemented from the public
+ITU-T T.81 / GIF specs), and WAV (RIFF PCM 8/16/24/32, IEEE float,
+G.711 A-law/mu-law, mono IMA ADPCM) — with no codec libraries. Formats
+that remain out of reach without a codec library (MP3/MP4/ffmpeg
+video) raise ``NotImplementedError`` with a clear message; swapping in
 PIL/soundfile/ffmpeg extends one dispatch function, not the pipeline.
 ``deterministic_fake=True`` keeps the hash-keyed fake for payloads that
 are not real media.
@@ -254,8 +256,8 @@ def _image_features(pix: np.ndarray) -> np.ndarray:
 
 def _decode_image_real(payload: bytes):
     """REAL image decode, pure numpy/stdlib: PPM/PGM (netpbm), 24-bpp
-    BMP, and 8-bit PNG. Dispatches on magic bytes; formats needing a
-    codec library this environment lacks (JPEG/...) raise."""
+    BMP, 8-bit PNG, baseline JPEG, and GIF87a/89a (first frame).
+    Dispatches on magic bytes; anything else raises."""
     pix = _decode_pixels_real(payload)
     h, w, c = pix.shape
     return w, h, c, _image_features(pix)
@@ -268,41 +270,109 @@ def _decode_pixels_real(payload: bytes) -> np.ndarray:
         return _parse_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _parse_png(payload)
+    if payload[:2] == b"\xFF\xD8":
+        from .codecs import parse_jpeg
+        return parse_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        from .codecs import parse_gif
+        return parse_gif(payload)
     raise NotImplementedError(
-        "real decode supports PPM/PGM/BMP/PNG only; JPEG and other "
-        "formats require an imaging library (e.g. PIL) not available in "
-        "this environment — use deterministic_fake=True for opaque "
-        "payloads")
+        "real decode supports PPM/PGM/BMP/PNG/JPEG/GIF; other formats "
+        "require an imaging library (e.g. PIL) not available in this "
+        "environment — use deterministic_fake=True for opaque payloads")
 
 
 def _parse_wav(data: bytes):
-    """Decode RIFF/WAVE PCM16 to (sample_rate, float32 mono samples in
-    [-1, 1), raw_pcm_bytes). Multi-channel audio is averaged to mono.
-    Chunk-walks the container, so extra chunks (LIST, fact) are fine."""
+    """Decode a RIFF/WAVE payload to (sample_rate, float32 mono samples
+    in [-1, 1), canonical_bytes). Multi-channel audio is averaged to
+    mono. Chunk-walks the container, so extra chunks (LIST, fact) are
+    fine.
+
+    Supported formats (all pure numpy/stdlib — companders and ADPCM via
+    :mod:`xdlake_spark.operators.codecs`): PCM 8/16/24/32-bit (fmt 1),
+    IEEE float32/float64 (fmt 3), A-law (fmt 6), mu-law (fmt 7), and
+    mono IMA ADPCM (fmt 0x11).  ``canonical_bytes`` is the original
+    data chunk for PCM16 (hash-stable with earlier releases) and the
+    decoded mono PCM16 little-endian bytes for every other format, so
+    downstream per-chunk hashing always maps a fixed 2 bytes/sample.
+    """
+    from . import codecs as _codecs
+
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, sr, n_ch, bits, raw = 12, None, None, None, None
+    pos, fmt, sr, n_ch, bits, align, raw = 12, None, None, None, None, 0, None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
         body = pos + 8
         if cid == b"fmt ":
-            fmt, n_ch, sr = struct.unpack_from("<HHI", data, body)
+            fmt, n_ch, sr, _brate, align = struct.unpack_from(
+                "<HHIIH", data, body)
             bits = struct.unpack_from("<H", data, body + 14)[0]
-            if fmt != 1 or bits != 16:
-                raise NotImplementedError(
-                    f"only PCM16 WAV supported (format {fmt}, "
-                    f"{bits}-bit)")
         elif cid == b"data":
             raw = data[body:body + size]
         pos = body + size + (size & 1)  # chunks are word-aligned
     if sr is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
-    pcm = np.frombuffer(raw[:len(raw) - (len(raw) % (2 * n_ch))],
-                        dtype="<i2").astype(np.float32) / 32768.0
+    if fmt == 1 and bits == 16:
+        usable = raw[:len(raw) - (len(raw) % (2 * n_ch))]
+        pcm = np.frombuffer(usable, dtype="<i2") \
+            .astype(np.float32) / 32768.0
+        canonical = raw
+    elif fmt == 1 and bits == 8:                 # unsigned 8-bit PCM
+        pcm = (np.frombuffer(raw, np.uint8).astype(np.float32)
+               - 128.0) / 128.0
+        canonical = None
+    elif fmt == 1 and bits in (24, 32):
+        width = bits // 8
+        usable = raw[:len(raw) - (len(raw) % width)]
+        b = np.frombuffer(usable, np.uint8).reshape(-1, width)
+        val = np.zeros(len(b), np.int64)
+        for i in range(width):                   # little-endian assemble
+            val |= b[:, i].astype(np.int64) << (8 * i)
+        val = np.where(val >= 1 << (bits - 1), val - (1 << bits), val)
+        pcm = (val / float(1 << (bits - 1))).astype(np.float32)
+        canonical = None
+    elif fmt == 3 and bits in (32, 64):          # IEEE float
+        dt = "<f4" if bits == 32 else "<f8"
+        width = bits // 8
+        usable = raw[:len(raw) - (len(raw) % width)]
+        pcm = np.frombuffer(usable, dt).astype(np.float32)
+        canonical = None
+    elif fmt == 6:                               # G.711 A-law
+        pcm = _codecs.alaw_decode(np.frombuffer(raw, np.uint8)) \
+            .astype(np.float32) / 32768.0
+        canonical = None
+    elif fmt == 7:                               # G.711 mu-law
+        pcm = _codecs.ulaw_decode(np.frombuffer(raw, np.uint8)) \
+            .astype(np.float32) / 32768.0
+        canonical = None
+    elif fmt == 0x11:                            # IMA ADPCM (mono)
+        if n_ch != 1:
+            raise NotImplementedError("only mono IMA-ADPCM WAV supported")
+        if align <= 4:
+            raise ValueError("IMA-ADPCM blockAlign too small")
+        spb = (align - 4) * 2 + 1
+        blocks = [raw[i:i + align] for i in range(0, len(raw), align)]
+        pieces = [_codecs.ima_adpcm_decode_block(blk, spb)
+                  for blk in blocks if len(blk) >= 5]
+        ints = np.concatenate(pieces) if pieces else \
+            np.zeros(0, np.int16)
+        pcm = ints.astype(np.float32) / 32768.0
+        canonical = ints.astype("<i2").tobytes()
+        n_ch = 1
+    else:
+        raise NotImplementedError(
+            f"unsupported WAV encoding (format {fmt}, {bits}-bit) — "
+            "supported: PCM 8/16/24/32, IEEE float, A-law, mu-law, "
+            "mono IMA ADPCM")
     if n_ch > 1:
-        pcm = pcm.reshape(-1, n_ch).mean(axis=1)
-    return sr, pcm, raw
+        pcm = pcm[:len(pcm) - (len(pcm) % n_ch)] \
+            .reshape(-1, n_ch).mean(axis=1)
+    if canonical is None:
+        canonical = np.clip(np.round(pcm * 32768.0), -32768, 32767) \
+            .astype("<i2").tobytes()
+    return sr, pcm, canonical
 
 
 def _decode_image_fake(payload: bytes):
@@ -514,14 +584,17 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
     media files.
 
     ``media="text"``: repeat text bytes to ``size`` (opaque payload for
-    the deterministic_fake decode paths). ``media="ppm"`` / ``"png"`` /
-    ``"wav"``: REAL media keyed on the id — an RGB gradient raster
-    (dimensions and pattern derived from the id; the SAME pixels for
-    ppm and png, so the two decoders can be differentially tested) /
-    a PCM16 RIFF WAV sine tone (frequency derived from the id) — which
-    the real decode paths parse end-to-end. PNG payloads cycle the
-    scanline filter type (None/Sub/Up/Average/Paeth by row), exercising
-    every unfilter branch.
+    the deterministic_fake decode paths). Image kinds ``"ppm"`` /
+    ``"png"`` / ``"jpeg"`` / ``"gif"``: REAL media keyed on the id — an
+    RGB gradient raster (dimensions and pattern derived from the id;
+    the SAME pixels for ppm/png/jpeg, so the decoders can be
+    differentially tested — jpeg is lossy, so compare with tolerance).
+    PNG payloads cycle the scanline filter type per row; JPEG payloads
+    cycle 4:4:4 / 4:2:0 and restart intervals; GIF payloads quantize to
+    a 64-color palette and alternate interlacing. Audio kinds
+    ``"wav"`` (PCM16) / ``"wav_ulaw"`` / ``"wav_alaw"`` (G.711) /
+    ``"wav_adpcm"`` (IMA) / ``"wav_f32"`` (IEEE float): a RIFF sine
+    tone (frequency derived from the id) in that encoding.
     """
     if media == "text":
         repeats = (F.lit(size) / F.greatest(F.length(F.col(text_col)),
@@ -530,14 +603,36 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
         return df.select(F.col(id_col),
                          F.encode(F.substring(repeated, 1, size),
                                   "utf-8").alias("payload"))
-    if media not in ("ppm", "png", "wav"):
+    image_kinds = ("ppm", "png", "jpeg", "gif")
+    audio_kinds = ("wav", "wav_ulaw", "wav_alaw", "wav_adpcm", "wav_f32")
+    if media not in image_kinds + audio_kinds:
         raise ValueError(f"unknown media kind: {media!r}")
 
     from pyspark.sql.functions import pandas_udf
 
-    if media in ("ppm", "png"):
-        encode = _encode_pnm if media == "ppm" else \
-            (lambda pix: _encode_png(pix, filter_cycle=True))
+    if media in image_kinds:
+        from . import codecs as _codecs
+
+        if media == "ppm":
+            encode = lambda pix, i=0: _encode_pnm(pix)
+        elif media == "png":
+            encode = lambda pix, i=0: _encode_png(pix, filter_cycle=True)
+        elif media == "jpeg":
+            # vary subsampling / restart markers so every decode path runs
+            encode = lambda pix, i=0: _codecs.encode_jpeg(
+                pix, quality=92, subsample=bool(i % 2),
+                restart_interval=(i % 3))
+        else:  # gif — quantize the gradient to a 64-color palette
+            def encode(pix, i=0):
+                flat = pix.reshape(-1, 3) >> 2
+                idx = (flat[:, 0] + flat[:, 1] + flat[:, 2]) % 64
+                palette = np.stack([np.arange(64) * 4,
+                                    (np.arange(64) * 7 + i) % 256,
+                                    np.arange(64)[::-1] * 4],
+                                   axis=1).astype(np.uint8)
+                return _codecs.encode_gif(
+                    idx.reshape(pix.shape[:2]).astype(np.uint8),
+                    palette, interlace=bool(i % 2))
 
         @pandas_udf("binary")
         def _gen(ids: pd.Series) -> pd.Series:
@@ -549,9 +644,19 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
                 pix = np.stack([(x * 3 + y * 5 + c * 7 + i) % 256
                                 for c in range(3)],
                                axis=2).astype(np.uint8)
-                out.append(encode(pix))
+                out.append(encode(pix, i))
             return pd.Series(out)
     else:
+        from . import codecs as _codecs
+
+        def _wav(fmt: int, bits: int, frames: bytes, sr: int,
+                 align: int) -> bytes:
+            return (b"RIFF" + struct.pack("<I", 36 + len(frames)) +
+                    b"WAVE" + b"fmt " + struct.pack(
+                        "<IHHIIHH", 16, fmt, 1, sr,
+                        sr * max(align, 1), align, bits) +
+                    b"data" + struct.pack("<I", len(frames)) + frames)
+
         @pandas_udf("binary")
         def _gen(ids: pd.Series) -> pd.Series:
             out = []
@@ -560,13 +665,29 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
             for i in ids:
                 i = int(i)
                 freq = 200.0 + (i % 200)
-                pcm = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767.0) \
-                    .astype("<i2").tobytes()
-                hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) +
-                       b"WAVE" + b"fmt " + struct.pack(
-                           "<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16) +
-                       b"data" + struct.pack("<I", len(pcm)))
-                out.append(hdr + pcm)
+                wave = np.sin(2 * np.pi * freq * t) * 0.5
+                ints = np.round(wave * 32767.0).astype(np.int16)
+                if media == "wav":
+                    out.append(_wav(1, 16, ints.astype("<i2").tobytes(),
+                                    sr, 2))
+                elif media == "wav_ulaw":
+                    out.append(_wav(7, 8,
+                                    _codecs.ulaw_encode(ints).tobytes(),
+                                    sr, 1))
+                elif media == "wav_alaw":
+                    out.append(_wav(6, 8,
+                                    _codecs.alaw_encode(ints).tobytes(),
+                                    sr, 1))
+                elif media == "wav_f32":
+                    out.append(_wav(3, 32,
+                                    wave.astype("<f4").tobytes(), sr, 4))
+                else:  # wav_adpcm — 505 samples/block (align 256)
+                    align, spb = 256, 505
+                    blocks = [
+                        _codecs.ima_adpcm_encode_block(ints[s:s + spb])
+                        for s in range(0, len(ints), spb)
+                        if len(ints[s:s + spb]) > 1]
+                    out.append(_wav(0x11, 4, b"".join(blocks), sr, align))
             return pd.Series(out)
 
     return df.select(F.col(id_col), _gen(F.col(id_col)).alias("payload"))

@@ -2669,25 +2669,36 @@ def multimodal_decode(spark, sf_dir):
 # tests (known dimensions, resize->decode roundtrip).
 @register("multimodal_decode_real", None)
 def multimodal_decode_real(spark, sf_dir):
-    # Mixed-format corpus: even ids carry netpbm P6 payloads, odd ids
-    # zlib-compressed PNGs (filter-cycled) — one decode_images call
-    # dispatches on magic bytes and parses both for real.
+    # Mixed-format corpus: ids cycle netpbm P6 / zlib PNG (filter-
+    # cycled) / baseline JPEG (4:2:0 + restart markers) / GIF (LZW,
+    # interlace-cycled) payloads — one decode_images call dispatches on
+    # magic bytes and parses all four for real (PNG/JPEG decoders are
+    # pure stdlib-zlib/numpy, see operators/codecs.py).
     d = _t(spark, sf_dir, "documents")
-    ppm = multimodal.attach_fake_payloads(
-        d.filter(F.col("doc_id") % 2 == 0), media="ppm")
-    png = multimodal.attach_fake_payloads(
-        d.filter(F.col("doc_id") % 2 == 1), media="png")
-    return multimodal.decode_images(ppm.unionByName(png))
+    parts = [multimodal.attach_fake_payloads(
+        d.filter(F.col("doc_id") % 4 == i), media=kind)
+        for i, kind in enumerate(("ppm", "png", "jpeg", "gif"))]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return multimodal.decode_images(allp)
 
 
-# rows-only: REAL audio path — RIFF/WAVE PCM16 sine payloads parsed by
-# the pure-numpy WAV walker, chunked at the container's own sample rate
-# with rms/peak energies.
+# rows-only: REAL audio path — RIFF/WAVE sine payloads cycling four
+# encodings (PCM16, G.711 mu-law, IMA ADPCM, IEEE float32) parsed by
+# the pure-numpy WAV walker + codecs, chunked at the container's own
+# sample rate with rms/peak energies.
 @register("multimodal_audio_chunks_real", None)
 def multimodal_audio_real(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    payloads = multimodal.attach_fake_payloads(d, media="wav")
-    return multimodal.chunk_audio(payloads, chunk_seconds=0.1)
+    parts = [multimodal.attach_fake_payloads(
+        d.filter(F.col("doc_id") % 4 == i), media=kind)
+        for i, kind in enumerate(("wav", "wav_ulaw", "wav_adpcm",
+                                  "wav_f32"))]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return multimodal.chunk_audio(allp, chunk_seconds=0.1)
 
 
 # rows-only: DuckDB's sha256 accepts VARCHAR, not BLOB, so the
