@@ -160,6 +160,31 @@ class TestGif:
         assert C.parse_gif(bytes(data)).shape == (3, 3, 3)
 
 
+class TestAviMjpeg:
+    def test_container_roundtrip_exact_frames(self):
+        frames = [C.encode_jpeg(_gradient(12, 16, seed=f), quality=90)
+                  for f in range(5)]
+        avi = C.encode_avi_mjpeg(frames, 16, 12, fps=10.0)
+        fps, out = C.parse_avi_mjpeg(avi)
+        assert fps == pytest.approx(10.0, rel=1e-4)
+        assert len(out) == 5
+        # the container must hand back the JPEG bytes untouched
+        assert all(a == b for a, b in zip(out, frames))
+        assert C.parse_jpeg(out[3]).shape == (12, 16, 3)
+
+    def test_odd_sized_frames_pad_correctly(self):
+        # odd-length chunk bodies are word-padded in RIFF; parser must
+        # still recover every frame boundary
+        frames = [b"\xFF\xD8" + bytes([f]) * (99 + f) + b"\xFF\xD9"
+                  for f in range(4)]
+        _, out = C.parse_avi_mjpeg(C.encode_avi_mjpeg(frames, 2, 2))
+        assert out == frames
+
+    def test_not_avi_raises(self):
+        with pytest.raises(ValueError, match="RIFF/AVI"):
+            C.parse_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+
+
 class TestG711:
     def test_mulaw_spec_anchors(self):
         # G.711 table anchors: 0xFF -> 0, 0x7F -> -0 (both silence);

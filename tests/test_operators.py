@@ -671,6 +671,39 @@ class TestMultimodalRealDecode:
             assert r["height"] == 12 + r["doc_id"] % 13
             assert r["n_channels"] == 3
 
+    def test_avi_frame_sampling_real(self, spark, documents):
+        """MJPEG AVI payloads: the RIFF walk + per-frame JPEG decode
+        runs for real — sampled rows carry true frame dims and a hash
+        of the DECODED pixels (stable across runs)."""
+        d = documents.limit(8)
+        payloads = multimodal.attach_fake_payloads(d, media="avi")
+        rows = multimodal.sample_frames(payloads, every_n=5).collect()
+        per_doc: dict = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(per_doc) == 8
+        for doc_id, frames in per_doc.items():
+            # 12 frames sampled every 5 -> indexes 0, 5, 10
+            assert sorted(f["frame_index"] for f in frames) == [0, 5, 10]
+            for f in frames:
+                assert f["width"] == 16 + doc_id % 17
+                assert f["height"] == 12 + doc_id % 13
+                assert len(f["frame_sha256"]) == 64
+        again = {(r["doc_id"], r["frame_index"]): r["frame_sha256"]
+                 for r in multimodal.sample_frames(
+                     payloads, every_n=5).collect()}
+        for r in rows:
+            assert again[(r["doc_id"], r["frame_index"])] == \
+                r["frame_sha256"]
+
+    def test_mp4_video_still_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x00\x00\x00\x20ftypisom" + b"x" * 64))],
+            "doc_id: long, payload: binary")
+        with pytest.raises(Exception) as exc_info:
+            multimodal.sample_frames(df, every_n=2).collect()
+        assert "MJPEG AVI" in str(exc_info.value)
+
     @pytest.mark.parametrize("kind,rms_lo,rms_hi", [
         ("wav_ulaw", 0.2, 0.4), ("wav_alaw", 0.2, 0.4),
         ("wav_adpcm", 0.2, 0.4), ("wav_f32", 0.2, 0.4)])

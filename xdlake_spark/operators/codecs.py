@@ -692,6 +692,69 @@ def _lzw_encode(data: bytes, min_code: int) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# AVI container with MJPEG video — RIFF walk; frames are baseline JPEGs
+# --------------------------------------------------------------------------
+
+def parse_avi_mjpeg(data: bytes) -> tuple[float, list[bytes]]:
+    """AVI bytes -> (fps, [jpeg_frame_bytes, ...]).
+
+    Walks the RIFF tree (LIST hdrl / LIST movi) and collects the video
+    stream's compressed chunks (``00dc``/``00db``).  Only the container
+    is parsed here — each returned frame is a standalone baseline JPEG
+    for :func:`parse_jpeg`.  fps comes from the main AVI header's
+    microseconds-per-frame field (0 -> 0.0).
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    frames: list[bytes] = []
+    fps = 0.0
+
+    def walk(start: int, end: int) -> None:
+        nonlocal fps
+        pos = start
+        while pos + 8 <= end:
+            fourcc = data[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body = pos + 8
+            if fourcc in (b"RIFF", b"LIST"):
+                walk(body + 4, body + size)      # skip the form type
+            elif fourcc == b"avih" and size >= 4:
+                (usec_pf,) = struct.unpack_from("<I", data, body)
+                if usec_pf:
+                    fps = 1e6 / usec_pf
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(data[body:body + size])
+            pos = body + size + (size & 1)       # chunks are word-aligned
+    walk(12, len(data))
+    return fps, frames
+
+
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
+                     fps: float = 10.0) -> bytes:
+    """JPEG frame list -> minimal MJPEG AVI (RIFF hdrl + movi)."""
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + \
+            (b"\x00" if len(body) & 1 else b"")
+
+    def lst(formtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", formtype + body)
+
+    usec_pf = int(round(1e6 / fps)) if fps else 0
+    avih = struct.pack("<IIIIIIIIIIIIII", usec_pf, 0, 0, 0x10,
+                       len(frames), 0, 1, 0, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+                                            1, max(int(fps), 1), 0,
+                                            len(frames), 0, 0, 0, 0) +
+            struct.pack("<hhhh", 0, 0, width, height))
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                       0x47504A4D, width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) +
+               lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+# --------------------------------------------------------------------------
 # G.711 companders (mu-law / A-law) — exact integer lookup, vectorized
 # --------------------------------------------------------------------------
 

@@ -420,11 +420,15 @@ def decode_images(df: DataFrame, payload_col: str = "payload",
         run, schema=IMAGE_META_SCHEMA)
 
 
-#: Frame-sampling output: one row per sampled frame.
+#: Frame-sampling output: one row per sampled frame. width/height are
+#: NULL on the deterministic-fake path (opaque byte slices have no
+#: raster geometry).
 FRAME_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("frame_index", T.IntegerType()),
     T.StructField("frame_sha256", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
 ])
 
 
@@ -433,25 +437,48 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
                   deterministic_fake: bool = False) -> DataFrame:
     """Video payload -> every-Nth-frame rows (fan-out via mapInPandas).
 
-    The fake treats each 1 KiB slice of payload as one 'frame' so the
-    row-expansion plumbing is real and testable.
+    REAL path (default): the payload is parsed as an MJPEG AVI (RIFF
+    container walk + per-frame baseline-JPEG decode, both pure
+    numpy/stdlib — operators/codecs.py); each sampled row carries the
+    decoded frame's dimensions and the sha256 of its RGB pixel bytes,
+    proving the frame really decoded.  Container formats needing
+    ffmpeg (MP4/MKV/H.264) raise.  The fake treats each 1 KiB slice of
+    payload as one 'frame' so the row-expansion plumbing is testable
+    on opaque payloads.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs as _codecs
+
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                if not deterministic_fake:
+                if deterministic_fake:
+                    n_frames = max(1, len(data) // 1024)
+                    for i in range(0, n_frames, every_n):
+                        chunk = data[i * 1024:(i + 1) * 1024]
+                        rows.append({
+                            "doc_id": int(doc_id), "frame_index": i,
+                            "frame_sha256":
+                                hashlib.sha256(chunk).hexdigest(),
+                            "width": None, "height": None,
+                        })
+                    continue
+                if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
                     raise NotImplementedError(
-                        "video decode requires ffmpeg; not available — "
-                        "use deterministic_fake=True")
-                n_frames = max(1, len(data) // 1024)
-                for i in range(0, n_frames, every_n):
-                    chunk = data[i * 1024:(i + 1) * 1024]
+                        "real video decode supports MJPEG AVI only; "
+                        "MP4/MKV need ffmpeg — use "
+                        "deterministic_fake=True for opaque payloads")
+                _fps, frames = _codecs.parse_avi_mjpeg(data)
+                for i in range(0, len(frames), every_n):
+                    pix = _codecs.parse_jpeg(frames[i])
                     rows.append({
                         "doc_id": int(doc_id), "frame_index": i,
-                        "frame_sha256": hashlib.sha256(chunk).hexdigest(),
+                        "frame_sha256":
+                            hashlib.sha256(pix.tobytes()).hexdigest(),
+                        "width": int(pix.shape[1]),
+                        "height": int(pix.shape[0]),
                     })
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               FRAME_SCHEMA.fields])
@@ -605,10 +632,34 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
                                   "utf-8").alias("payload"))
     image_kinds = ("ppm", "png", "jpeg", "gif")
     audio_kinds = ("wav", "wav_ulaw", "wav_alaw", "wav_adpcm", "wav_f32")
-    if media not in image_kinds + audio_kinds:
+    if media not in image_kinds + audio_kinds + ("avi",):
         raise ValueError(f"unknown media kind: {media!r}")
 
     from pyspark.sql.functions import pandas_udf
+
+    if media == "avi":
+        from . import codecs as _codecs
+
+        @pandas_udf("binary")
+        def _gen(ids: pd.Series) -> pd.Series:
+            # an MJPEG AVI of 12 frames: the id-keyed gradient raster
+            # panned one pixel right per frame, JPEG-encoded at q92
+            out = []
+            for i in ids:
+                i = int(i)
+                w, h = 16 + i % 17, 12 + i % 13
+                y, x = np.mgrid[0:h, 0:w]
+                frames = [_codecs.encode_jpeg(
+                    np.stack([(x * 3 + y * 5 + c * 7 + i + f) % 256
+                              for c in range(3)],
+                             axis=2).astype(np.uint8), quality=92)
+                    for f in range(12)]
+                out.append(_codecs.encode_avi_mjpeg(frames, w, h,
+                                                    fps=10.0))
+            return pd.Series(out)
+
+        return df.select(F.col(id_col),
+                         _gen(F.col(id_col)).alias("payload"))
 
     if media in image_kinds:
         from . import codecs as _codecs

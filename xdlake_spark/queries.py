@@ -2711,6 +2711,21 @@ def multimodal_frames(spark, sf_dir):
                                     deterministic_fake=True)
 
 
+# rows-only: REAL video path — MJPEG AVI payloads (RIFF container walk
+# + per-frame baseline-JPEG decode, operators/codecs.py); sampled rows
+# carry decoded frame dims + pixel-bytes sha256. No SQL oracle (DuckDB
+# decodes no video); pinned by tests (frame count, dims, determinism).
+@register("multimodal_frame_sample_real", None)
+def multimodal_frames_real(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    # cap the corpus: 12 JPEG frames per doc is ~40x the per-row work
+    # of the image queries, and the operator's scaling story is frames
+    # per payload, not payload count
+    payloads = multimodal.attach_fake_payloads(
+        d.filter(F.col("doc_id") % 7 == 0), media="avi")
+    return multimodal.sample_frames(payloads, every_n=4)
+
+
 @register("events_gapfill_locf", """
 WITH agg AS (
   SELECT event_type AS series, date_trunc('hour', ts) AS bucket,
