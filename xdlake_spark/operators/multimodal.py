@@ -622,7 +622,17 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
     ``"wav"`` (PCM16) / ``"wav_ulaw"`` / ``"wav_alaw"`` (G.711) /
     ``"wav_adpcm"`` (IMA) / ``"wav_f32"`` (IEEE float): a RIFF sine
     tone (frequency derived from the id) in that encoding.
+
+    The input is spread to the session's default parallelism first
+    (stats-based, no eager plan compile): the documents table is a
+    handful of parquet splits at test scale, which would otherwise
+    serialize the per-payload encode AND every decode stage chained
+    after it onto a few cores.  At cluster scale the repartition is a
+    no-op — real payload corpora arrive with plenty of splits.
     """
+    from . import ensure_parallelism
+
+    df = ensure_parallelism(df)
     if media == "text":
         repeats = (F.lit(size) / F.greatest(F.length(F.col(text_col)),
                                             F.lit(1))).cast("int") + 1
