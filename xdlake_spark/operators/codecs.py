@@ -113,7 +113,7 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
 
-    def read(self, nbits: int) -> int:
+    def _fill(self, nbits: int) -> None:
         while self.nbits < nbits:
             # Past the end of the segment the spec allows 1-fill (the
             # final EOB may rely on pad bits).
@@ -121,32 +121,59 @@ class _BitReader:
             self.pos += 1
             self.acc = (self.acc << 8) | byte
             self.nbits += 8
+
+    def read(self, nbits: int) -> int:
+        self._fill(nbits)
         self.nbits -= nbits
         val = (self.acc >> self.nbits) & ((1 << nbits) - 1)
         self.acc &= (1 << self.nbits) - 1
         return val
 
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
 
-def _build_huff_decode(bits: list[int], values: bytes) -> dict:
-    """Canonical Huffman (T.81 C.2): {(length, code): symbol}."""
-    table, code, k = {}, 0, 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = values[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+    def skip(self, nbits: int) -> None:
+        self.nbits -= nbits
+        self.acc &= (1 << self.nbits) - 1
 
 
-def _huff_decode(reader: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read(1)
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+class _HuffTable:
+    """Canonical Huffman decoder (T.81 C.2 / F.2.2.3) using the classic
+    mincode/maxcode/valptr arrays — decode peeks 16 bits once and finds
+    the code length with integer compares (no per-bit dict lookups)."""
+
+    __slots__ = ("maxcode", "delta", "values")
+
+    def __init__(self, bits: list[int], values: bytes) -> None:
+        # maxcode[L] holds the largest L-bit code LEFT-ALIGNED in 16
+        # bits so the peeked word compares directly; delta[L] maps a
+        # code to its index in `values`.
+        self.maxcode = [-1] * 17
+        self.delta = [0] * 17
+        self.values = values
+        code, k = 0, 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.delta[length] = k - code
+                code += n
+                k += n
+                # left-align and fill the low bits so the raw peeked
+                # word compares in one go
+                self.maxcode[length] = ((code - 1) << (16 - length)) | \
+                    ((1 << (16 - length)) - 1)
+            code <<= 1
+
+    def decode(self, reader: _BitReader) -> int:
+        word = reader.peek16()
+        for length in range(1, 17):
+            mc = self.maxcode[length]
+            if word <= mc:          # mc is -1 for empty lengths
+                reader.skip(length)
+                return self.values[(word >> (16 - length))
+                                   + self.delta[length]]
+        raise ValueError("invalid JPEG Huffman code")
 
 
 def _extend(value: int, size: int) -> int:
@@ -400,7 +427,7 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[b + 1:b + 17])
                 n = sum(bits)
                 values = bytes(body[b + 17:b + 17 + n])
-                huff[(tc, th)] = _build_huff_decode(bits, values)
+                huff[(tc, th)] = _HuffTable(bits, values)
                 b += 17 + n
         elif marker == 0xDD:                     # DRI
             (restart_interval,) = struct.unpack_from(">H", body)
@@ -443,10 +470,16 @@ def parse_jpeg(data: bytes) -> np.ndarray:
     fw, fh = frame["w"], frame["h"]
     mcus_x = -(-fw // (8 * h_max))
     mcus_y = -(-fh // (8 * v_max))
-    planes = [np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]))
-              for c in comps]
     scan_order = [by_id[s["id"]] for s in scan_comps]
 
+    # Entropy pass: pure-Python Huffman decode into one flat coefficient
+    # list per component, in MCU raster order.  All numpy work
+    # (dequantize, IDCT, block placement) happens ONCE per component on
+    # the batched array afterwards — per-block numpy calls dominate the
+    # naive implementation's cost at these block sizes.
+    comp_zz: list[list[int]] = [[] for _ in comps]
+    tables = [(huff[(0, s["dc"])], huff[(1, s["ac"])])
+              for s in scan_comps]
     seg_i = 0
     reader = _BitReader(segments[0])
     preds = [0] * len(comps)
@@ -457,45 +490,45 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("JPEG truncated at restart boundary")
             reader = _BitReader(segments[seg_i])
             preds = [0] * len(comps)
-        my, mx = divmod(mcu, mcus_x)
         for si, ci in enumerate(scan_order):
             comp = comps[ci]
-            q = qtbls[comp["tq"]]
-            dc_tbl = huff[(0, scan_comps[si]["dc"])]
-            ac_tbl = huff[(1, scan_comps[si]["ac"])]
-            for by in range(comp["v"]):
-                for bx in range(comp["h"]):
-                    zz = np.zeros(64, np.int64)
-                    s = _huff_decode(reader, dc_tbl)
-                    preds[ci] += _extend(reader.read(s), s)
-                    zz[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(reader, ac_tbl)
-                        r, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if r == 15:          # ZRL
-                                k += 16
-                                continue
-                            break                # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC index overflow")
-                        zz[k] = _extend(reader.read(size), size)
-                        k += 1
-                    nat = np.zeros(64, np.int64)
-                    nat[ZIGZAG] = zz
-                    block = _DCT_A.T @ (nat * q).reshape(8, 8).astype(
-                        np.float64) @ _DCT_A + 128.0
-                    y0 = (my * comp["v"] + by) * 8
-                    x0 = (mx * comp["h"] + bx) * 8
-                    planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+            dc_tbl, ac_tbl = tables[si]
+            out = comp_zz[ci]
+            for _blk in range(comp["v"] * comp["h"]):
+                zz = [0] * 64
+                s = dc_tbl.decode(reader)
+                preds[ci] += _extend(reader.read(s), s)
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = ac_tbl.decode(reader)
+                    r, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if r == 15:              # ZRL
+                            k += 16
+                            continue
+                        break                    # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC index overflow")
+                    zz[k] = _extend(reader.read(size), size)
+                    k += 1
+                out.extend(zz)
 
-    # Upsample to full resolution and trim padding.
+    # Batched numpy pass per component: dequantize + IDCT + placement.
     full = []
-    for comp, plane in zip(comps, planes):
-        ry = v_max // comp["v"]
-        rx = h_max // comp["h"]
+    for ci, comp in enumerate(comps):
+        cv, ch = comp["v"], comp["h"]
+        n = mcus_x * mcus_y * cv * ch
+        arr = np.asarray(comp_zz[ci], np.int64).reshape(n, 64)
+        nat = np.zeros((n, 64), np.float64)
+        nat[:, ZIGZAG] = arr * qtbls[comp["tq"]][ZIGZAG]
+        blocks = _DCT_A.T @ nat.reshape(n, 8, 8) @ _DCT_A + 128.0
+        # blocks arrive ordered (my, mx, by, bx) -> scatter by reshape
+        plane = blocks.reshape(mcus_y, mcus_x, cv, ch, 8, 8) \
+            .transpose(0, 2, 4, 1, 3, 5) \
+            .reshape(mcus_y * cv * 8, mcus_x * ch * 8)
+        ry, rx = v_max // cv, h_max // ch
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         full.append(plane[:fh, :fw])
