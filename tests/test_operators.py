@@ -2036,3 +2036,67 @@ class TestHeavyHitters:
         a = heavy_hitters(toks, "tok", k=20, cap=256).collect()
         b = heavy_hitters(toks, "tok", k=20, cap=256).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+class TestTdigest:
+    """t-digest accuracy gates: rank error of every estimate against
+    the exact empirical quantile, tail behavior, and merge-invariance
+    across partition layouts."""
+
+    def _vals(self, n=50_000, seed=7):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        return rng.lognormal(3.0, 1.0, n)
+
+    def test_rank_error_within_bound(self, spark):
+        import numpy as np
+
+        from xdlake_spark.operators.sketch import tdigest_quantiles
+        vals = self._vals()
+        df = spark.createDataFrame([(float(v),) for v in vals],
+                                   "v: double").repartition(8)
+        qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+        est = {r["q"]: r["value_est"] for r in
+               tdigest_quantiles(df, "v", qs, delta=100).collect()}
+        svals = np.sort(vals)
+        for q in qs:
+            rank = np.searchsorted(svals, est[q]) / len(svals)
+            # k1 scale: rank error ~ q(1-q)/delta; 0.01 is ~10x slack
+            assert abs(rank - q) < 0.01, f"q={q}: rank err {abs(rank-q)}"
+
+    def test_partition_layout_invariance_is_bounded(self, spark):
+        # a mergeable sketch must give (nearly) the same answer no
+        # matter how the rows are split across partitions
+        from xdlake_spark.operators.sketch import tdigest_quantiles
+        vals = self._vals(20_000)
+        rows = [(float(v),) for v in vals]
+        qs = [0.1, 0.5, 0.9]
+        outs = []
+        for nparts in (1, 4, 16):
+            df = spark.createDataFrame(rows, "v: double") \
+                .repartition(nparts)
+            outs.append({r["q"]: r["value_est"] for r in
+                         tdigest_quantiles(df, "v", qs).collect()})
+        for q in qs:
+            vs = [o[q] for o in outs]
+            spread = (max(vs) - min(vs)) / max(abs(max(vs)), 1e-9)
+            assert spread < 0.05, f"q={q}: layouts disagree by {spread}"
+
+    def test_extremes_clamped_to_observed_range(self, spark):
+        from xdlake_spark.operators.sketch import tdigest_quantiles
+        vals = self._vals(5_000)
+        df = spark.createDataFrame([(float(v),) for v in vals],
+                                   "v: double").repartition(4)
+        est = {r["q"]: r["value_est"] for r in
+               tdigest_quantiles(df, "v", [0.0, 1.0]).collect()}
+        assert est[0.0] >= float(vals.min()) - 1e-9
+        assert est[1.0] <= float(vals.max()) + 1e-9
+
+    def test_nulls_ignored(self, spark):
+        from xdlake_spark.operators.sketch import tdigest_quantiles
+        df = spark.createDataFrame(
+            [(None,)] * 50 + [(float(i),) for i in range(1, 100)],
+            "v: double").repartition(4)
+        est = tdigest_quantiles(df, "v", [0.5]).collect()
+        assert len(est) == 1
+        assert abs(est[0]["value_est"] - 50.0) < 5.0

@@ -91,3 +91,148 @@ def heavy_hitters(df: DataFrame, term_col: str, k: int = 50,
             .orderBy(F.col("est_count").desc(), "term")
             .limit(k)
             .select("term", "est_count", "max_err"))
+
+
+# --------------------------------------------------------------------------
+# t-digest: mergeable approximate quantiles (Dunning & Ertl, public:
+# "Computing Extremely Accurate Quantiles Using t-Digests", 2019)
+# --------------------------------------------------------------------------
+
+_TD_PARTIAL_SCHEMA = T.StructType([
+    T.StructField("mean", T.DoubleType()),
+    T.StructField("weight", T.DoubleType()),
+    T.StructField("lo", T.DoubleType()),      # partition min (tail clamp)
+    T.StructField("hi", T.DoubleType()),      # partition max
+])
+
+_TD_RESULT_SCHEMA = T.StructType([
+    T.StructField("q", T.DoubleType()),
+    T.StructField("value_est", T.DoubleType()),
+])
+
+
+def _td_compress(means, weights, delta: float):
+    """Merge sorted-by-mean centroids under the k1 scale function
+    ``k(q) = delta/(2*pi) * asin(2q - 1)``: adjacent centroids combine
+    while the merged span covers <= 1 unit of k — tight centroids near
+    the tails (asin steepens), wide in the middle. Returns <= ~2*delta
+    centroids regardless of input size."""
+    import math
+
+    import numpy as np
+
+    order = np.argsort(means, kind="mergesort")
+    m = np.asarray(means, np.float64)[order]
+    w = np.asarray(weights, np.float64)[order]
+    total = float(w.sum())
+
+    def k(q: float) -> float:
+        return delta / (2.0 * math.pi) * \
+            math.asin(max(-1.0, min(1.0, 2.0 * q - 1.0)))
+
+    out_m, out_w = [], []
+    cur_m, cur_w = float(m[0]), float(w[0])
+    w_done = 0.0
+    for i in range(1, len(m)):
+        q0 = w_done / total
+        q2 = (w_done + cur_w + float(w[i])) / total
+        if k(q2) - k(q0) <= 1.0:
+            nw = cur_w + float(w[i])
+            cur_m += (float(m[i]) - cur_m) * float(w[i]) / nw
+            cur_w = nw
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_done += cur_w
+            cur_m, cur_w = float(m[i]), float(w[i])
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return out_m, out_w
+
+
+def _td_quantile(means, weights, lo: float, hi: float, q: float) -> float:
+    """Interpolated quantile from a compressed digest: centroid i's
+    mass is centered at its cumulative midpoint; linear between
+    midpoints, clamped to the exact [lo, hi] observed range."""
+    total = sum(weights)
+    target = q * total
+    cum = 0.0
+    prev_mid, prev_mean = 0.0, lo
+    for m, w in zip(means, weights):
+        mid = cum + w / 2.0
+        if target < mid:
+            if mid == prev_mid:
+                return m
+            frac = (target - prev_mid) / (mid - prev_mid)
+            return prev_mean + frac * (m - prev_mean)
+        prev_mid, prev_mean = mid, m
+        cum += w
+    return hi
+
+
+def tdigest_quantiles(df: DataFrame, value_col: str,
+                      qs: "list[float]", delta: float = 100.0,
+                      ) -> DataFrame:
+    """Approximate quantiles of ``value_col`` via a mergeable t-digest.
+
+    One Arrow-batched pass builds a ~2*delta-centroid digest per
+    partition; the O(partitions * delta) partial rows (tiny — they are
+    centroids, not data) merge in a single-task reduce that re-runs
+    the same compression, so the final digest is identical to digesting
+    the concatenated partials. At 100 TB this never shuffles data rows:
+    the exact-quantile companion's full sort is replaced by a constant
+    ~200 rows per input partition. Rank error is O(q(1-q)/delta) —
+    tightest at the tails (k1 scale function). Returns (q, value_est)
+    ordered by q; the exact companion query doubles as the accuracy
+    gate in tests.
+    """
+    import numpy as np
+
+    qs = sorted(float(q) for q in qs)
+    delta = float(delta)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        means: list = []
+        weights: list = []
+        lo, hi = float("inf"), float("-inf")
+        for pdf in batches:
+            v = pd.to_numeric(pdf[value_col], errors="coerce") \
+                .dropna().to_numpy(np.float64)
+            if not len(v):
+                continue
+            lo = min(lo, float(v.min()))
+            hi = max(hi, float(v.max()))
+            means.extend(v.tolist())
+            weights.extend([1.0] * len(v))
+            if len(means) > 32 * int(delta):
+                means, weights = _td_compress(means, weights, delta)
+        if not means:
+            return
+        means, weights = _td_compress(means, weights, delta)
+        yield pd.DataFrame({"mean": means, "weight": weights,
+                            "lo": lo, "hi": hi})
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        means: list = []
+        weights: list = []
+        lo, hi = float("inf"), float("-inf")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            means.extend(pdf["mean"].tolist())
+            weights.extend(pdf["weight"].tolist())
+            lo = min(lo, float(pdf["lo"].min()))
+            hi = max(hi, float(pdf["hi"].max()))
+        if not means:
+            return
+        means, weights = _td_compress(means, weights, delta)
+        yield pd.DataFrame({
+            "q": qs,
+            "value_est": [_td_quantile(means, weights, lo, hi, q)
+                          for q in qs]})
+
+    partials = df.select(value_col).mapInPandas(
+        build, schema=_TD_PARTIAL_SCHEMA)
+    return (partials.repartition(1)
+            .mapInPandas(merge, schema=_TD_RESULT_SCHEMA)
+            .orderBy("q"))

@@ -1425,6 +1425,23 @@ def heavy_hitter_terms_q(spark, sf_dir):
     return heavy_hitters(toks, "term", k=40, cap=8192)
 
 
+# rows-only: t-digest quantile estimates can't hash-match DuckDB's
+# exact interpolation (that's the point of a sketch); the accuracy
+# gate vs numpy's exact quantiles lives in
+# tests/test_operators.py::TestTdigest, and `events_value_quantiles`
+# is the oracle-exact companion on the same column.
+@register("events_value_tdigest", None)
+def events_tdigest_q(spark, sf_dir):
+    """Mergeable t-digest quantiles (operators/sketch.py): one
+    ~2*delta-centroid digest per partition, one centroid-sized reduce —
+    replaces the exact companion's full per-group sort at scale."""
+    from .operators.sketch import tdigest_quantiles
+    ev = _t(spark, sf_dir, "events")
+    return tdigest_quantiles(ev, "value",
+                             qs=[0.05, 0.25, 0.5, 0.75, 0.95],
+                             delta=100.0)
+
+
 # rows-only: BPE training is an iterative driver-coordinated loop (one
 # argmax + one re-segmentation per round) that SQL/recursive CTEs can't
 # express (no aggregation over the recursive term); exactness vs the
