@@ -97,6 +97,9 @@ HEADLINE = [
     "knn_join_labels",
     "multimodal_meta",
     "multimodal_decode_real",
+    "multimodal_audio_chunks_real",
+    "multimodal_frame_sample_real",
+    "events_value_tdigest",
     "bpe_train_merges",
     "pack_sequences_running_sum",
     "chunk_and_pack",

@@ -2100,3 +2100,34 @@ class TestTdigest:
         est = tdigest_quantiles(df, "v", [0.5]).collect()
         assert len(est) == 1
         assert abs(est[0]["value_est"] - 50.0) < 5.0
+
+
+class TestWeightedReservoir:
+    """A-RES selection: layout-independent, weight-sensitive, without
+    replacement."""
+
+    def test_layout_invariant_and_no_duplicates(self, spark, documents):
+        from xdlake_spark.operators import sampling
+        d = documents.withColumn("w", F.length("text")) \
+            .filter(F.col("w") > 0)
+        a = sampling.weighted_reservoir(d.repartition(2), "doc_id",
+                                        "w", k=40).collect()
+        b = sampling.weighted_reservoir(d.repartition(13), "doc_id",
+                                        "w", k=40).collect()
+        ids_a = sorted(r["doc_id"] for r in a)
+        ids_b = sorted(r["doc_id"] for r in b)
+        assert ids_a == ids_b            # same winners, any layout
+        assert len(set(ids_a)) == 40     # without replacement
+
+    def test_weights_bias_selection(self, spark):
+        # two strata with 100x weight gap: the heavy stratum must
+        # dominate the sample far beyond its population share
+        from xdlake_spark.operators import sampling
+        rows = [(i, 1000.0 if i % 10 == 0 else 10.0)
+                for i in range(5000)]
+        df = spark.createDataFrame(rows, "doc_id: long, w: double")
+        got = sampling.weighted_reservoir(df, "doc_id", "w", k=200) \
+            .collect()
+        heavy = sum(1 for r in got if r["doc_id"] % 10 == 0)
+        # heavy stratum is 10% of rows but ~91% of total weight
+        assert heavy > 120, f"only {heavy}/200 heavy rows selected"

@@ -153,3 +153,32 @@ def leakage_safe_split(df: DataFrame, pairs: DataFrame,
                                                F.col(id_col))))
     return hash_split(labeled, "__rep", weights) \
         .drop("__rep", "component")
+
+
+def weighted_reservoir(df: DataFrame, id_col: str, weight_col,
+                       k: int = 100) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``k`` rows
+    (Efraimidis & Spirakis A-RES, public): each row draws a uniform
+    ``u`` from the md5 of its id and ranks by ``ln(u) / weight`` —
+    the top-k by that key is a weighted sample, and because ``u`` is a
+    content hash (not an RNG), the same rows win on every run and
+    every cluster layout, which also makes the selection
+    oracle-checkable against any engine with md5.
+
+    ``ln(u)/w`` is a monotone transform of the textbook ``u^(1/w)``
+    key (one log instead of one pow). The uniform takes the first 13
+    md5 hex chars (52 bits — exact in a double); +1 offsets guard
+    ``ln(0)``.
+
+    Scale: one TakeOrdered (k rows per partition to the driver-side
+    merge) — no global sort, no shuffle of data rows.
+    """
+    u = ((F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13),
+                 16, 10).cast("double") + F.lit(1.0))
+         / F.lit(float(16 ** 13 + 1)))
+    key = F.log(u) / F.col(weight_col) if isinstance(weight_col, str) \
+        else F.log(u) / weight_col
+    return (df.withColumn("__ares_key", key)
+            .orderBy(F.col("__ares_key").desc(), F.col(id_col))
+            .limit(k)
+            .drop("__ares_key"))

@@ -3033,6 +3033,31 @@ def sample_weighted_mix(spark, sf_dir):
             .select("doc_id", "source", "lang"))
 
 
+@register("sample_weighted_reservoir", """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, length(text) AS n_chars,
+         ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+             ::BIGINT + 1.0) / 4503599627370497.0)
+           / length(text) AS ares_key
+  FROM documents
+  WHERE length(text) > 0
+) ORDER BY ares_key DESC, doc_id
+LIMIT 60
+""")
+def sample_weighted_reservoir_q(spark, sf_dir):
+    """Deterministic weighted sample without replacement (operators/
+    sampling.py weighted_reservoir — Efraimidis-Spirakis A-RES with a
+    content-hash uniform): longer documents win proportionally more
+    often, identical winners on every run/layout, one TakeOrdered (k
+    rows per partition to the driver merge, no global sort). The md5
+    uniform makes the exact selection reproducible in DuckDB."""
+    d = _t(spark, sf_dir, "documents") \
+        .withColumn("n_chars", F.length("text")) \
+        .filter(F.col("n_chars") > 0)
+    return (sampling.weighted_reservoir(d, "doc_id", "n_chars", k=60)
+            .select("doc_id", "lang", "n_chars"))
+
+
 @register("sample_shuffle_order", f"""
 SELECT doc_id,
        ((doc_id + 7919) * {_KNUTH}) % 4294967296 AS shuffle_key,
