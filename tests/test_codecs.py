@@ -148,6 +148,44 @@ class TestGif:
                            [[0, 0, 255], [255, 0, 0]]], np.uint8)
         assert (out == expect).all()
 
+    @pytest.mark.parametrize("disposal", [1, 2, 3])
+    def test_animation_composition(self, disposal):
+        """Animated GIF composition against an independent numpy
+        replay: transparency holes keep the prior canvas, disposal 2
+        restores the background, disposal 3 restores the previous
+        canvas."""
+        rng = np.random.default_rng(13)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        frames_idx = [rng.integers(0, 16, (10, 14), dtype=np.uint8)
+                      for _ in range(4)]
+        transparent = 5
+        gif = C.encode_gif_animation(frames_idx, pal,
+                                     transparent=transparent,
+                                     disposal=disposal)
+        got = C.parse_gif_frames(gif)
+        assert len(got) == 4
+        # independent composition replay
+        bg = pal[0]
+        canvas = np.broadcast_to(bg, (10, 14, 3)).copy()
+        for f, idx in enumerate(frames_idx):
+            prev = canvas.copy()
+            opaque = idx != transparent
+            canvas[opaque] = pal[idx][opaque]
+            assert (got[f] == canvas).all(), f"frame {f} mismatch"
+            if disposal == 2:
+                canvas = np.broadcast_to(bg, (10, 14, 3)).copy()
+            elif disposal == 3:
+                canvas = prev
+
+    def test_animation_first_frame_matches_parse_gif(self):
+        rng = np.random.default_rng(21)
+        pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+        frames_idx = [rng.integers(0, 8, (6, 6), dtype=np.uint8)
+                      for _ in range(3)]
+        gif = C.encode_gif_animation(frames_idx, pal)
+        assert (C.parse_gif(gif) ==
+                C.parse_gif_frames(gif, max_frames=1)[0]).all()
+
     def test_89a_extension_blocks_skipped(self):
         pal = np.zeros((4, 3), np.uint8)
         idx = np.zeros((3, 3), np.uint8)

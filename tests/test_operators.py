@@ -696,6 +696,23 @@ class TestMultimodalRealDecode:
             assert again[(r["doc_id"], r["frame_index"])] == \
                 r["frame_sha256"]
 
+    def test_animated_gif_frame_sampling_real(self, spark, documents):
+        """Animated GIF payloads run the full composition decode
+        (transparency + per-id disposal method) — 12 frames sampled
+        every 4 at logical-screen dimensions, deterministic digests."""
+        d = documents.limit(9)
+        payloads = multimodal.attach_fake_payloads(d, media="agif")
+        rows = multimodal.sample_frames(payloads, every_n=4).collect()
+        per_doc: dict = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(per_doc) == 9
+        for doc_id, frames in per_doc.items():
+            assert sorted(f["frame_index"] for f in frames) == [0, 4, 8]
+            for f in frames:
+                assert f["width"] == 16 + doc_id % 17
+                assert f["height"] == 12 + doc_id % 13
+
     def test_mp4_video_still_raises(self, spark):
         df = spark.createDataFrame(
             [(1, bytearray(b"\x00\x00\x00\x20ftypisom" + b"x" * 64))],

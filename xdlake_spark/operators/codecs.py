@@ -546,32 +546,53 @@ def parse_jpeg(data: bytes) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 def parse_gif(data: bytes) -> np.ndarray:
-    """GIF bytes -> (h, w, 3) uint8 RGB of the FIRST image frame.
+    """GIF bytes -> (h, w, 3) uint8 RGB of the FIRST image frame."""
+    return parse_gif_frames(data, max_frames=1)[0]
 
-    Handles global/local color tables, interlaced row order, and 89a
-    extension blocks (skipped).  LZW per the GIF spec: variable-width
-    codes packed LSB-first, clear/end codes, 12-bit dictionary cap.
+
+def parse_gif_frames(data: bytes, max_frames: int | None = None,
+                     ) -> list[np.ndarray]:
+    """GIF bytes -> list of composed (sh, sw, 3) uint8 RGB frames.
+
+    Handles global/local color tables, interlaced row order, and GIF89a
+    animation: each image descriptor paints its rectangle onto the
+    logical-screen canvas honoring the preceding graphic-control
+    extension's transparency index and disposal method (1 = keep, 2 =
+    restore background, 3 = restore previous).  LZW per the GIF spec:
+    variable-width codes packed LSB-first, clear/end codes, 12-bit
+    dictionary cap.
     """
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    sw, sh, flags, bg_idx, _ar = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
         gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    bg_rgb = gct[bg_idx] if gct is not None and bg_idx < len(gct) \
+        else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    transparent = None                           # from the pending GCE
+    disposal = 0
     while pos < len(data):
         block = data[pos]
         pos += 1
         if block == 0x21:                        # extension: label + subblocks
+            label = data[pos]
             pos += 1
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                gflags = data[pos + 1]
+                disposal = (gflags >> 2) & 0x07
+                transparent = data[pos + 4] if gflags & 1 else None
             while data[pos]:
                 pos += 1 + data[pos]
             pos += 1
         elif block == 0x2C:                      # image descriptor
-            _left, _top, iw, ih, iflags = struct.unpack_from("<HHHHB",
-                                                             data, pos)
+            left, top, iw, ih, iflags = struct.unpack_from("<HHHHB",
+                                                           data, pos)
             pos += 9
             table = gct
             if iflags & 0x80:
@@ -599,12 +620,30 @@ def parse_gif(data: bytes) -> np.ndarray:
                 idx = out
             if int(idx.max(initial=0)) >= len(table):
                 raise ValueError("GIF pixel index out of palette range")
-            return table[idx]
+            prev_region = canvas[top:top + ih, left:left + iw].copy()
+            region = canvas[top:top + ih, left:left + iw]
+            rgb = table[idx]
+            if transparent is not None:
+                opaque = idx != transparent
+                region[opaque] = rgb[opaque]
+            else:
+                region[...] = rgb
+            frames.append(canvas.copy())
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+            if disposal == 2:                    # restore to background
+                canvas[top:top + ih, left:left + iw] = bg_rgb
+            elif disposal == 3:                  # restore to previous
+                canvas[top:top + ih, left:left + iw] = prev_region
+            transparent = None
+            disposal = 0
         elif block == 0x3B:                      # trailer
             break
         else:
             raise ValueError(f"unknown GIF block 0x{block:02X}")
-    raise ValueError("GIF contains no image data")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
 
 
 def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> list[int]:
@@ -676,6 +715,44 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray,
         chunk = body[i:i + 255]
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3B"
+    return bytes(out)
+
+
+def encode_gif_animation(frames: "list[np.ndarray]", palette: np.ndarray,
+                         transparent: int | None = None,
+                         disposal: int = 1, delay_cs: int = 10) -> bytes:
+    """List of (h, w) index rasters + shared palette -> animated GIF89a.
+
+    Every frame covers the full logical screen at (0, 0); a graphic
+    control extension precedes each with the given disposal method and
+    optional transparency index, so decoders must run the real
+    composition path."""
+    h, w = frames[0].shape
+    n = len(palette)
+    depth = max(1, (n - 1).bit_length())
+    size = 1 << depth
+    pal = np.zeros((size, 3), np.uint8)
+    pal[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7), 0, 0)
+    out += pal.tobytes()
+    for idx in frames:
+        gflags = (disposal & 7) << 2
+        tidx = 0
+        if transparent is not None:
+            gflags |= 1
+            tidx = transparent
+        out += bytes([0x21, 0xF9, 4, gflags, delay_cs & 0xFF,
+                      (delay_cs >> 8) & 0xFF, tidx, 0])
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([max(2, depth)])
+        body = _lzw_encode(idx.astype(np.uint8).reshape(-1).tobytes(),
+                           max(2, depth))
+        for i in range(0, len(body), 255):
+            chunk = body[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
     return bytes(out)
 
 

@@ -438,11 +438,13 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
     """Video payload -> every-Nth-frame rows (fan-out via mapInPandas).
 
     REAL path (default): the payload is parsed as an MJPEG AVI (RIFF
-    container walk + per-frame baseline-JPEG decode, both pure
-    numpy/stdlib — operators/codecs.py); each sampled row carries the
-    decoded frame's dimensions and the sha256 of its RGB pixel bytes,
-    proving the frame really decoded.  Container formats needing
-    ffmpeg (MP4/MKV/H.264) raise.  The fake treats each 1 KiB slice of
+    container walk + per-frame baseline-JPEG decode) or an animated
+    GIF (full GIF89a composition: transparency + keep/restore-
+    background/restore-previous disposal), both pure numpy/stdlib —
+    operators/codecs.py; each sampled row carries the decoded frame's
+    dimensions and the sha256 of its composed RGB pixel bytes, proving
+    the frame really decoded.  Container formats needing ffmpeg
+    (MP4/MKV/H.264) raise.  The fake treats each 1 KiB slice of
     payload as one 'frame' so the row-expansion plumbing is testable
     on opaque payloads.
     """
@@ -465,14 +467,21 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
                             "width": None, "height": None,
                         })
                     continue
-                if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+                if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    _fps, jpegs = _codecs.parse_avi_mjpeg(data)
+                    pix_frames = ((i, _codecs.parse_jpeg(jpegs[i]))
+                                  for i in range(0, len(jpegs), every_n))
+                elif data[:4] == b"GIF8":
+                    composed = _codecs.parse_gif_frames(data)
+                    pix_frames = ((i, composed[i])
+                                  for i in range(0, len(composed),
+                                                 every_n))
+                else:
                     raise NotImplementedError(
-                        "real video decode supports MJPEG AVI only; "
-                        "MP4/MKV need ffmpeg — use "
+                        "real video decode supports MJPEG AVI and "
+                        "animated GIF; MP4/MKV need ffmpeg — use "
                         "deterministic_fake=True for opaque payloads")
-                _fps, frames = _codecs.parse_avi_mjpeg(data)
-                for i in range(0, len(frames), every_n):
-                    pix = _codecs.parse_jpeg(frames[i])
+                for i, pix in pix_frames:
                     rows.append({
                         "doc_id": int(doc_id), "frame_index": i,
                         "frame_sha256":
@@ -642,30 +651,42 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
                                   "utf-8").alias("payload"))
     image_kinds = ("ppm", "png", "jpeg", "gif")
     audio_kinds = ("wav", "wav_ulaw", "wav_alaw", "wav_adpcm", "wav_f32")
-    if media not in image_kinds + audio_kinds + ("avi",):
+    if media not in image_kinds + audio_kinds + ("avi", "agif"):
         raise ValueError(f"unknown media kind: {media!r}")
 
     from pyspark.sql.functions import pandas_udf
 
-    if media == "avi":
+    if media in ("avi", "agif"):
         from . import codecs as _codecs
 
         @pandas_udf("binary")
         def _gen(ids: pd.Series) -> pd.Series:
-            # an MJPEG AVI of 12 frames: the id-keyed gradient raster
-            # panned one pixel right per frame, JPEG-encoded at q92
+            # a 12-frame video: the id-keyed gradient raster panned one
+            # pixel per frame — MJPEG AVI (q92 JPEG frames) or animated
+            # GIF (16-color palette, disposal cycling by id)
             out = []
             for i in ids:
                 i = int(i)
                 w, h = 16 + i % 17, 12 + i % 13
                 y, x = np.mgrid[0:h, 0:w]
-                frames = [_codecs.encode_jpeg(
-                    np.stack([(x * 3 + y * 5 + c * 7 + i + f) % 256
-                              for c in range(3)],
-                             axis=2).astype(np.uint8), quality=92)
-                    for f in range(12)]
-                out.append(_codecs.encode_avi_mjpeg(frames, w, h,
-                                                    fps=10.0))
+                if media == "avi":
+                    frames = [_codecs.encode_jpeg(
+                        np.stack([(x * 3 + y * 5 + c * 7 + i + f) % 256
+                                  for c in range(3)],
+                                 axis=2).astype(np.uint8), quality=92)
+                        for f in range(12)]
+                    out.append(_codecs.encode_avi_mjpeg(frames, w, h,
+                                                        fps=10.0))
+                else:
+                    palette = np.stack(
+                        [np.arange(16) * 16, (np.arange(16) * 5 + i)
+                         % 256, np.arange(16)[::-1] * 16],
+                        axis=1).astype(np.uint8)
+                    frames = [((x + 2 * y + i + f) % 16)
+                              .astype(np.uint8) for f in range(12)]
+                    out.append(_codecs.encode_gif_animation(
+                        frames, palette, transparent=3,
+                        disposal=1 + i % 3))
             return pd.Series(out)
 
         return df.select(F.col(id_col),
