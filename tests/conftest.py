@@ -47,3 +47,8 @@ def documents(spark):
 @pytest.fixture(scope="session")
 def embeddings(spark):
     return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+@pytest.fixture(scope="session")
+def events(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/events.parquet")

@@ -2109,6 +2109,22 @@ class TestTdigest:
         assert est[0.0] >= float(vals.min()) - 1e-9
         assert est[1.0] <= float(vals.max()) + 1e-9
 
+    def test_grouped_tdigest_matches_exact_per_group(self, spark, events):
+        import numpy as np
+
+        from xdlake_spark.operators.sketch import tdigest_quantiles_by
+        got = {r["key"]: r for r in tdigest_quantiles_by(
+            events, "event_type", "value", [0.5, 0.95]).collect()}
+        pdf = events.select("event_type", "value").toPandas()
+        for key, grp in pdf.groupby("event_type"):
+            v = grp["value"].dropna().to_numpy()
+            r = got[str(key)]
+            assert abs(r["n_est"] - len(v)) < 1e-6
+            sv = np.sort(v)
+            for q, est in zip([0.5, 0.95], r["value_est"]):
+                rank = np.searchsorted(sv, est) / len(sv)
+                assert abs(rank - q) < 0.02, f"{key} q={q}"
+
     def test_nulls_ignored(self, spark):
         from xdlake_spark.operators.sketch import tdigest_quantiles
         df = spark.createDataFrame(

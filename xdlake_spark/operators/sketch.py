@@ -236,3 +236,75 @@ def tdigest_quantiles(df: DataFrame, value_col: str,
     return (partials.repartition(1)
             .mapInPandas(merge, schema=_TD_RESULT_SCHEMA)
             .orderBy("q"))
+
+
+def tdigest_quantiles_by(df: DataFrame, key_col: str, value_col: str,
+                         qs: "list[float]", delta: float = 100.0,
+                         ) -> DataFrame:
+    """Per-group approximate quantiles via two-level t-digest merge.
+
+    Level 1 (map side): one digest per (input partition, key) built in
+    a single Arrow pass — the shuffle then carries only centroid rows
+    (~2*delta per partition-key), never data rows.  Level 2: centroids
+    group by key and merge under the same compression, so the result
+    is layout-independent.  This is the scalable form of
+    ``GROUP BY key -> percentile(value)``: the exact form sorts every
+    group; this shuffles a constant per group.  Returns one row per
+    key with a ``value_est`` array aligned to ``qs`` (ascending).
+    """
+    import numpy as np
+
+    qs = sorted(float(q) for q in qs)
+    delta = float(delta)
+
+    partial_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("weight", T.DoubleType()),
+        T.StructField("lo", T.DoubleType()),
+        T.StructField("hi", T.DoubleType()),
+    ])
+    result_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("n_est", T.DoubleType()),
+        T.StructField("value_est", T.ArrayType(T.DoubleType())),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict = {}
+        for pdf in batches:
+            v = pd.to_numeric(pdf[value_col], errors="coerce")
+            for key, grp in v.groupby(pdf[key_col].astype(str)):
+                grp = grp.dropna().to_numpy(np.float64)
+                if not len(grp):
+                    continue
+                means, weights, lo, hi = state.get(
+                    key, ([], [], float("inf"), float("-inf")))
+                means.extend(grp.tolist())
+                weights.extend([1.0] * len(grp))
+                lo = min(lo, float(grp.min()))
+                hi = max(hi, float(grp.max()))
+                if len(means) > 32 * int(delta):
+                    means, weights = _td_compress(means, weights, delta)
+                state[key] = (means, weights, lo, hi)
+        for key, (means, weights, lo, hi) in state.items():
+            means, weights = _td_compress(means, weights, delta)
+            yield pd.DataFrame({"key": key, "mean": means,
+                                "weight": weights, "lo": lo, "hi": hi})
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        means, weights = _td_compress(pdf["mean"].to_numpy(),
+                                      pdf["weight"].to_numpy(), delta)
+        lo, hi = float(pdf["lo"].min()), float(pdf["hi"].max())
+        return pd.DataFrame({
+            "key": [key[0]],
+            "n_est": [float(sum(weights))],
+            "value_est": [[_td_quantile(means, weights, lo, hi, q)
+                           for q in qs]]})
+
+    partials = df.select(F.col(key_col).cast("string").alias(key_col),
+                         value_col) \
+        .mapInPandas(build, schema=partial_schema)
+    return (partials.groupBy("key")
+            .applyInPandas(merge, schema=result_schema)
+            .orderBy("key"))

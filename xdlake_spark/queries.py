@@ -1442,6 +1442,21 @@ def events_tdigest_q(spark, sf_dir):
                              delta=100.0)
 
 
+# rows-only: same sketch rationale as events_value_tdigest; the
+# per-group accuracy gate is TestTdigest
+# ::test_grouped_tdigest_matches_exact_per_group and the exact
+# companion is `events_value_quantiles` (oracle-backed).
+@register("events_type_tdigest", None)
+def events_type_tdigest_q(spark, sf_dir):
+    """Per-event-type t-digest quantiles (two-level merge: map-side
+    digests per partition-key, centroid-only shuffle, applyInPandas
+    merge) — the scalable form of GROUP BY + percentile."""
+    from .operators.sketch import tdigest_quantiles_by
+    ev = _t(spark, sf_dir, "events")
+    return tdigest_quantiles_by(ev, "event_type", "value",
+                                qs=[0.5, 0.95], delta=100.0)
+
+
 # rows-only: BPE training is an iterative driver-coordinated loop (one
 # argmax + one re-segmentation per round) that SQL/recursive CTEs can't
 # express (no aggregation over the recursive term); exactness vs the
