@@ -217,6 +217,12 @@ def main() -> None:
         "duckdb_baseline_sum_s": round(sum(duckdb_s.values()), 3),
         "runs_per_query": len(next(iter(samples.values()))),
         "stat": "median-of-interleaved-passes",
+        # per-pass suite totals expose shared-host load spikes: a wide
+        # spread here means `value` (median) is inflated by external
+        # load and `total_min_s` is the engine-capability number
+        "pass_totals_s": [
+            round(sum(s[i] for s in samples.values()), 1)
+            for i in range(len(next(iter(samples.values()))))],
         "detail": "bench_detail.json",
     }, separators=(",", ":"))
     assert len(line) < 1500, f"final bench line {len(line)}B >= 1500B cap"
