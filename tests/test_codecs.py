@@ -349,3 +349,155 @@ class TestWavDispatch:
     def test_unknown_format_raises(self):
         with pytest.raises(NotImplementedError, match="unsupported WAV"):
             _parse_wav(self._wav(2, 4, b"\x00" * 64))  # MS-ADPCM
+
+
+class TestFlac:
+    def _sig(self, n=6000, seed=3):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / 8000
+        return (np.sin(2 * np.pi * 440 * t) * 12000 +
+                rng.normal(0, 50, n)).astype(np.int16)
+
+    def test_mono_roundtrip_bitexact_and_compressed(self):
+        sig = self._sig()
+        flac = C.encode_flac(sig, 8000)
+        sr, pcm = C.parse_flac(flac)
+        assert sr == 8000
+        assert (pcm[:, 0] == sig).all()          # lossless
+        assert len(flac) < sig.nbytes            # really compressed
+
+    def test_stereo_roundtrip_bitexact(self):
+        sig = self._sig()
+        stereo = np.stack([sig, sig[::-1] // 2], axis=1)
+        sr, pcm = C.parse_flac(C.encode_flac(stereo, 44100,
+                                             block_size=1000))
+        assert sr == 44100 and (pcm == stereo).all()
+
+    def test_constant_signal(self):
+        flat = np.full(500, -7, np.int16)
+        _, pcm = C.parse_flac(C.encode_flac(flat, 16000))
+        assert (pcm[:, 0] == flat).all()
+
+    def test_header_crc_verified(self):
+        flac = bytearray(C.encode_flac(self._sig(1000), 8000))
+        # find the first frame sync and corrupt its blocksize field
+        i = flac.index(b"\xff\xf8", 4)
+        flac[i + 2] ^= 0x10
+        with pytest.raises(ValueError, match="CRC"):
+            C.parse_flac(bytes(flac))
+
+    def _handmade(self, subframes, block, channels=1, bps=16,
+                  chan_code=None, sr=8000):
+        """Assemble one FLAC frame from raw subframe bit layouts the
+        ENCODER never produces, so the decoder paths are pinned
+        independently."""
+        import struct as S
+        n = block
+        info = bytearray()
+        info += S.pack(">HH", block, block)
+        info += b"\x00\x00\x00" * 2
+        info += bytes([(sr >> 12) & 0xFF, (sr >> 4) & 0xFF,
+                       ((sr & 0x0F) << 4) | ((channels - 1) << 1)
+                       | ((bps - 1) >> 4),
+                       (((bps - 1) & 0x0F) << 4)])
+        info += S.pack(">I", n)
+        info += b"\x00" * 16
+        out = bytearray(b"fLaC")
+        out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+        cc = chan_code if chan_code is not None else channels - 1
+        hdr = bytearray([0xFF, 0xF8, (0x07 << 4), (cc << 4) | (4 << 1),
+                         0])
+        hdr += S.pack(">H", block - 1)
+        hdr.append(C._crc8(bytes(hdr)))
+        bw = C._FlacBitWriter()
+        for write_sub in subframes:
+            write_sub(bw)
+        frame = bytes(hdr) + bw.pad()
+        out += frame + S.pack(">H", C._crc16(frame))
+        return bytes(out)
+
+    def test_verbatim_and_constant_subframes(self):
+        vals = [5, -3, 700, -32768, 32767, 0, 1, -1]
+
+        def verbatim(bw):
+            bw.write(0, 1)
+            bw.write(1, 6)                       # VERBATIM
+            bw.write(0, 1)
+            for v in vals:
+                bw.write(v & 0xFFFF, 16)
+
+        _, pcm = C.parse_flac(self._handmade([verbatim], len(vals)))
+        assert pcm[:, 0].tolist() == vals
+
+        def constant(bw):
+            bw.write(0, 1)
+            bw.write(0, 6)                       # CONSTANT
+            bw.write(0, 1)
+            bw.write((-42) & 0xFFFF, 16)
+
+        _, pcm = C.parse_flac(self._handmade([constant], 12))
+        assert pcm[:, 0].tolist() == [-42] * 12
+
+    def test_lpc_subframe(self):
+        # order-1 LPC: coef=2, shift=1 -> pred = (2*prev)>>1 = prev;
+        # residuals rice(param=2): signal = warmup + cumulative
+        sig = [100, 103, 101, 101, 106, 104, 99, 102]
+        res = [sig[i] - sig[i - 1] for i in range(1, len(sig))]
+
+        def lpc(bw):
+            bw.write(0, 1)
+            bw.write(32, 6)                      # LPC, order 1
+            bw.write(0, 1)
+            bw.write(sig[0] & 0xFFFF, 16)        # warmup
+            bw.write(3 - 1, 4)                   # precision 3 bits
+            bw.write(1, 5)                       # shift 1
+            bw.write(2, 3)                       # coef +2 in 3 bits
+            bw.write(0, 2)                       # rice method 0
+            bw.write(0, 4)                       # partition order 0
+            bw.write(2, 4)                       # rice param 2
+            C._rice_write(bw, res, 2)
+
+        _, pcm = C.parse_flac(self._handmade([lpc], len(sig)))
+        assert pcm[:, 0].tolist() == sig
+
+    def test_mid_side_and_left_side(self):
+        left = [100, 120, -50, 7, 33, -1]
+        right = [90, 125, -60, 7, 30, 4]
+
+        def verb(vals, bits):
+            def w(bw):
+                bw.write(0, 1)
+                bw.write(1, 6)
+                bw.write(0, 1)
+                for v in vals:
+                    bw.write(v & ((1 << bits) - 1), bits)
+            return w
+
+        side = [l - r for l, r in zip(left, right)]
+        # left/side (chan_code 8)
+        data = self._handmade([verb(left, 16), verb(side, 17)],
+                              len(left), channels=2, chan_code=8)
+        _, pcm = C.parse_flac(data)
+        assert pcm[:, 0].tolist() == left and pcm[:, 1].tolist() == right
+        # mid/side (chan_code 10)
+        mid = [(l + r) >> 1 for l, r in zip(left, right)]
+        data = self._handmade([verb(mid, 16), verb(side, 17)],
+                              len(left), channels=2, chan_code=10)
+        _, pcm = C.parse_flac(data)
+        assert pcm[:, 0].tolist() == left and pcm[:, 1].tolist() == right
+
+    def test_wasted_bits_and_rice_escape(self):
+        # every sample divisible by 4 -> 2 wasted bits; escape partition
+        vals = [8, -4, 16, 0, -8, 12]
+
+        def wasted(bw):
+            bw.write(0, 1)
+            bw.write(1, 6)                       # VERBATIM
+            bw.write(1, 1)                       # wasted-bits flag
+            bw.write(0, 1)                       # unary 1 -> k=2
+            bw.write(1, 1)
+            for v in vals:
+                bw.write((v >> 2) & 0x3FFF, 14)  # bps - wasted
+
+        _, pcm = C.parse_flac(self._handmade([wasted], len(vals)))
+        assert pcm[:, 0].tolist() == vals

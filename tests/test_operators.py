@@ -723,7 +723,8 @@ class TestMultimodalRealDecode:
 
     @pytest.mark.parametrize("kind,rms_lo,rms_hi", [
         ("wav_ulaw", 0.2, 0.4), ("wav_alaw", 0.2, 0.4),
-        ("wav_adpcm", 0.2, 0.4), ("wav_f32", 0.2, 0.4)])
+        ("wav_adpcm", 0.2, 0.4), ("wav_f32", 0.2, 0.4),
+        ("flac", 0.2, 0.4)])
     def test_wav_codec_variants_chunk_real(self, spark, documents,
                                            kind, rms_lo, rms_hi):
         """G.711 / IMA-ADPCM / float WAV payloads chunk identically to

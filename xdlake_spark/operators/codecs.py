@@ -1016,3 +1016,305 @@ def ima_adpcm_encode_block(samples: np.ndarray,
     for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
         out.append(lo | (hi << 4))
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# FLAC — free lossless audio codec (RFC 9639, public spec)
+# --------------------------------------------------------------------------
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 with polynomial x^8 + x^2 + x + 1 (0x07), per FLAC."""
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
+                else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 with polynomial x^16 + x^15 + x^2 + 1 (0x8005), per FLAC."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBits(_BitReader):
+    def unary(self) -> int:
+        n = 0
+        while self.read(1) == 0:
+            n += 1
+        return n
+
+    def signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v >= (1 << (nbits - 1)) else v
+
+
+#: FIXED-predictor residual coefficients by order (RFC 9639 §9.2.1).
+_FLAC_FIXED = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]]
+
+
+def _rice_read(br: _FlacBits, n: int, method: int) -> list[int]:
+    """One rice-coded residual partition: unary quotient + param-bit
+    remainder, zigzag-signed; escape param means raw n-bit values."""
+    pbits = 4 if method == 0 else 5
+    param = br.read(pbits)
+    if param == (1 << pbits) - 1:                # escape: raw
+        raw = br.read(5)
+        return [br.signed(raw) if raw else 0 for _ in range(n)]
+    out = []
+    for _ in range(n):
+        q = br.unary()
+        u = (q << param) | (br.read(param) if param else 0)
+        out.append((u >> 1) ^ -(u & 1))          # unzigzag
+    return out
+
+
+def _flac_subframe(br: _FlacBits, block: int, bps: int) -> list[int]:
+    if br.read(1):
+        raise ValueError("FLAC subframe padding bit set")
+    ftype = br.read(6)
+    wasted = 0
+    if br.read(1):                               # wasted-bits flag
+        wasted = 1 + br.unary()
+        bps -= wasted
+    if ftype == 0:                               # CONSTANT
+        out = [br.signed(bps)] * block
+    elif ftype == 1:                             # VERBATIM
+        out = [br.signed(bps) for _ in range(block)]
+    elif 8 <= ftype <= 12 or ftype >= 32:        # FIXED / LPC
+        if ftype >= 32:
+            order = (ftype & 0x1F) + 1
+            warm = [br.signed(bps) for _ in range(order)]
+            prec = br.read(4) + 1
+            shift = br.signed(5)
+            coefs = [br.signed(prec) for _ in range(order)]
+        else:
+            order = ftype - 8
+            warm = [br.signed(bps) for _ in range(order)]
+            shift = 0
+            coefs = _FLAC_FIXED[order]
+        method = br.read(2)
+        if method > 1:
+            raise ValueError("reserved FLAC residual coding method")
+        porder = br.read(4)
+        nparts = 1 << porder
+        res: list[int] = []
+        for p in range(nparts):
+            n = block >> porder
+            if p == 0:
+                n -= order
+            res.extend(_rice_read(br, n, method))
+        out = list(warm)
+        for e in res:
+            pred = sum(c * out[-1 - i] for i, c in enumerate(coefs))
+            out.append(e + (pred >> shift if ftype >= 32 else pred))
+    else:
+        raise ValueError(f"reserved FLAC subframe type {ftype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def parse_flac(data: bytes):
+    """FLAC bytes -> (sample_rate, (n, channels) int32 PCM).
+
+    Implements the full frame layer of RFC 9639: constant / verbatim /
+    fixed / LPC subframes, both rice methods with escapes and
+    partitioned residuals, wasted bits, all stereo decorrelation modes
+    (left-side / right-side / mid-side), and CRC-8 header verification.
+    """
+    import numpy as np
+
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    sr = channels = bps = None
+    total = 0
+    while True:                                  # metadata blocks
+        hdr = data[pos]
+        (length,) = ((data[pos + 1] << 16) | (data[pos + 2] << 8)
+                     | data[pos + 3],)
+        body = data[pos + 4:pos + 4 + length]
+        if hdr & 0x7F == 0:                      # STREAMINFO
+            sr = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            channels = ((body[12] >> 1) & 0x07) + 1
+            bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+            total = ((body[13] & 0x0F) << 32) | int.from_bytes(
+                body[14:18], "big")
+        pos += 4 + length
+        if hdr & 0x80:                           # last-metadata flag
+            break
+    if sr is None:
+        raise ValueError("FLAC missing STREAMINFO")
+
+    out = [[] for _ in range(channels)]
+    while pos < len(data) and (total == 0 or len(out[0]) < total):
+        hstart = pos
+        if data[pos] != 0xFF or (data[pos + 1] & 0xFC) != 0xF8:
+            raise ValueError("FLAC frame sync lost")
+        bs_code = data[pos + 2] >> 4
+        sr_code = data[pos + 2] & 0x0F
+        chan_code = data[pos + 3] >> 4
+        pos += 4
+        # UTF-8-coded frame/sample number: skip by its leading byte
+        lead = data[pos]
+        n_more = 0
+        while lead & (0x80 >> n_more):
+            n_more += 1
+        pos += max(1, n_more)
+        if bs_code == 6:
+            block = data[pos] + 1
+            pos += 1
+        elif bs_code == 7:
+            block = (data[pos] << 8 | data[pos + 1]) + 1
+            pos += 2
+        elif bs_code == 1:
+            block = 192
+        elif 2 <= bs_code <= 5:
+            block = 576 << (bs_code - 2)
+        else:
+            block = 256 << (bs_code - 8)
+        if sr_code == 12:
+            pos += 1
+        elif sr_code in (13, 14):
+            pos += 2
+        if _crc8(data[hstart:pos]) != data[pos]:
+            raise ValueError("FLAC frame header CRC mismatch")
+        pos += 1
+
+        br = _FlacBits(data[pos:])
+        if chan_code < 8:
+            subs = [_flac_subframe(br, block, bps)
+                    for _ in range(channels)]
+        elif chan_code == 8:                     # left/side
+            left = _flac_subframe(br, block, bps)
+            side = _flac_subframe(br, block, bps + 1)
+            subs = [left, [l - s for l, s in zip(left, side)]]
+        elif chan_code == 9:                     # right/side
+            side = _flac_subframe(br, block, bps + 1)
+            right = _flac_subframe(br, block, bps)
+            subs = [[r + s for r, s in zip(right, side)], right]
+        elif chan_code == 10:                    # mid/side
+            mid = _flac_subframe(br, block, bps)
+            side = _flac_subframe(br, block, bps + 1)
+            subs = [[], []]
+            for m, s in zip(mid, side):
+                m = (m << 1) | (s & 1)
+                subs[0].append((m + s) >> 1)
+                subs[1].append((m - s) >> 1)
+        else:
+            raise ValueError("reserved FLAC channel assignment")
+        for ch in range(channels):
+            out[ch].extend(subs[ch])
+        # frame footer: skip to byte boundary + 16-bit CRC
+        consumed = br.pos - (br.nbits // 8)
+        pos += consumed + 2
+    n = min(len(c) for c in out)
+    if total:
+        n = min(n, total)
+    return sr, np.stack([np.asarray(c[:n], np.int32) for c in out],
+                        axis=1)
+
+
+def _rice_write(bw: "_FlacBitWriter", values: "list[int]",
+                param: int) -> None:
+    for v in values:
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1   # zigzag
+        q = u >> param
+        bw.write(0, q)
+        bw.write(1, 1)
+        if param:
+            bw.write(u & ((1 << param) - 1), param)
+
+
+class _FlacBitWriter(_BitWriter):
+    """MSB-first packer WITHOUT JPEG byte stuffing."""
+
+    def write(self, value: int, nbits: int) -> None:  # no 0xFF stuffing
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.out.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad(self) -> bytes:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+        return bytes(self.out)
+
+
+def encode_flac(samples, sample_rate: int, bps: int = 16,
+                block_size: int = 4096) -> bytes:
+    """(n,) or (n, channels) int PCM -> FLAC bytes (independent
+    channels, fixed order-2 prediction, one rice partition per
+    subframe) — a valid, lossless, spec-conformant encoding that the
+    decoder (or any FLAC decoder) reproduces bit-exactly."""
+    import numpy as np
+
+    pcm = np.asarray(samples, np.int64)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, channels = pcm.shape
+
+    out = bytearray(b"fLaC")
+    info = bytearray()
+    info += struct.pack(">HH", block_size, block_size)
+    info += b"\x00\x00\x00" * 2                  # frame sizes unknown
+    info += bytes([(sample_rate >> 12) & 0xFF,
+                   (sample_rate >> 4) & 0xFF,
+                   ((sample_rate & 0x0F) << 4) | ((channels - 1) << 1)
+                   | ((bps - 1) >> 4),
+                   (((bps - 1) & 0x0F) << 4) | ((n >> 32) & 0x0F)])
+    info += struct.pack(">I", n & 0xFFFFFFFF)
+    info += b"\x00" * 16                         # md5 unset
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+
+    for fi, start in enumerate(range(0, n, block_size)):
+        block = pcm[start:start + block_size]
+        blen = len(block)
+        hdr = bytearray([0xFF, 0xF8])
+        hdr.append((0x07 << 4) | 0x00)           # 16-bit blocksize; sr in
+        hdr.append(((channels - 1) << 4) | (0x04 << 1))  # indep; 16 bps
+        # UTF-8 frame number (fits 7 bits for test payloads; multi-byte
+        # beyond)
+        if fi < 0x80:
+            hdr.append(fi)
+        else:
+            hdr.append(0xC0 | (fi >> 6))
+            hdr.append(0x80 | (fi & 0x3F))
+        hdr += struct.pack(">H", blen - 1)
+        hdr.append(_crc8(bytes(hdr)))
+        bw = _FlacBitWriter()
+        for ch in range(channels):
+            sig = block[:, ch].tolist()
+            bw.write(0, 1)
+            order = 2 if blen > 2 else 0
+            bw.write(8 + order, 6)               # FIXED subframe
+            bw.write(0, 1)                       # no wasted bits
+            for w in sig[:order]:
+                bw.write(w & ((1 << bps) - 1), bps)
+            if order:
+                res = [sig[i] - 2 * sig[i - 1] + sig[i - 2]
+                       for i in range(order, blen)]
+            else:
+                res = sig
+            mean = sum(abs(r) for r in res) / max(len(res), 1)
+            param = min(14, max(0, int(mean).bit_length()))
+            bw.write(0, 2)                       # rice method 0
+            bw.write(0, 4)                       # partition order 0
+            bw.write(param, 4)
+            _rice_write(bw, res, param)
+        body = bw.pad()
+        frame = bytes(hdr) + body
+        out += frame + struct.pack(">H", _crc16(frame))
+    return bytes(out)

@@ -8,8 +8,10 @@ Decode is REAL for every format a pure-numpy + stdlib decoder can
 handle — PPM/PGM (netpbm P6/P5), BMP (24-bpp BI_RGB), PNG (8-bit
 gray/RGB/GA/RGBA via stdlib ``zlib`` + per-scanline unfiltering),
 baseline JPEG and GIF (via :mod:`.codecs`, implemented from the public
-ITU-T T.81 / GIF specs), and WAV (RIFF PCM 8/16/24/32, IEEE float,
-G.711 A-law/mu-law, mono IMA ADPCM) — with no codec libraries. Formats
+ITU-T T.81 / GIF specs), WAV (RIFF PCM 8/16/24/32, IEEE float,
+G.711 A-law/mu-law, mono IMA ADPCM), and FLAC (RFC 9639: fixed + LPC
+prediction, rice residuals, stereo decorrelation — lossless, chunk
+digests byte-identical to the PCM16 path) — with no codec libraries. Formats
 that remain out of reach without a codec library (MP3/MP4/ffmpeg
 video) raise ``NotImplementedError`` with a clear message; swapping in
 PIL/soundfile/ffmpeg extends one dispatch function, not the pipeline.
@@ -375,6 +377,24 @@ def _parse_wav(data: bytes):
     return sr, pcm, canonical
 
 
+def _parse_audio(data: bytes):
+    """Audio container dispatch on magic bytes: RIFF/WAVE (all
+    encodings of :func:`_parse_wav`) or FLAC (lossless, decoded by
+    :func:`xdlake_spark.operators.codecs.parse_flac`).  Same contract
+    as ``_parse_wav``: (sample_rate, float32 mono, canonical PCM16
+    bytes)."""
+    if data[:4] == b"fLaC":
+        from .codecs import parse_flac
+
+        sr, pcm_int = parse_flac(data)
+        mono = pcm_int.astype(np.float64).mean(axis=1)
+        pcm = (mono / 32768.0).astype(np.float32)
+        canonical = np.clip(np.round(mono), -32768, 32767) \
+            .astype("<i2").tobytes()
+        return sr, pcm, canonical
+    return _parse_wav(data)
+
+
 def _decode_image_fake(payload: bytes):
     """Deterministic fake decode keyed on the payload hash: stable
     (width, height, channels, 8-dim feature vector). Lets the full Spark
@@ -650,7 +670,8 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
                          F.encode(F.substring(repeated, 1, size),
                                   "utf-8").alias("payload"))
     image_kinds = ("ppm", "png", "jpeg", "gif")
-    audio_kinds = ("wav", "wav_ulaw", "wav_alaw", "wav_adpcm", "wav_f32")
+    audio_kinds = ("wav", "wav_ulaw", "wav_alaw", "wav_adpcm", "wav_f32",
+                   "flac")
     if media not in image_kinds + audio_kinds + ("avi", "agif"):
         raise ValueError(f"unknown media kind: {media!r}")
 
@@ -763,6 +784,9 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
                 elif media == "wav_f32":
                     out.append(_wav(3, 32,
                                     wave.astype("<f4").tobytes(), sr, 4))
+                elif media == "flac":
+                    out.append(_codecs.encode_flac(ints, sr,
+                                                   block_size=512))
                 else:  # wav_adpcm — 505 samples/block (align 256)
                     align, spb = 256, 505
                     blocks = [
@@ -816,7 +840,7 @@ def chunk_audio(df: DataFrame, payload_col: str = "payload",
                     pcm = np.frombuffer(raw, dtype="<i2") \
                         .astype(np.float32) / 32768.0
                 else:
-                    sr, pcm, raw = _parse_wav(data)
+                    sr, pcm, raw = _parse_audio(data)
                     if not len(pcm):
                         continue
                 chunk_len = max(1, int(sr * chunk_seconds))
