@@ -86,12 +86,12 @@ class TestJpeg:
         assert dec.shape == (8, 8, 1)
         assert (dec == 138).all()
 
-    def test_progressive_raises(self):
+    def test_lossless_mode_raises(self):
         pix = _gradient(8, 8)
         data = bytearray(C.encode_jpeg(pix, quality=90))
         i = data.find(b"\xFF\xC0")
-        data[i + 1] = 0xC2                        # SOF0 -> SOF2
-        with pytest.raises(NotImplementedError, match="non-baseline"):
+        data[i + 1] = 0xC3                        # SOF3: lossless
+        with pytest.raises(NotImplementedError, match="unsupported"):
             C.parse_jpeg(bytes(data))
 
     def test_byte_stuffing_roundtrip(self):
@@ -501,3 +501,152 @@ class TestFlac:
 
         _, pcm = C.parse_flac(self._handmade([wasted], len(vals)))
         assert pcm[:, 0].tolist() == vals
+
+
+class TestJpegProgressive:
+    """Progressive (SOF2) decode: scans hand-assembled bit-by-bit with
+    the fixed encoder tables, expectations computed via an independent
+    numpy IDCT of the final coefficient matrix."""
+
+    def _tables(self):
+        # DHT payloads for the fixed near-uniform tables
+        dc = bytes([0x00] + C._ENC_DC_BITS) + C._ENC_DC_VALUES
+        ac = bytes([0x10] + C._ENC_AC_BITS) + C._ENC_AC_VALUES
+        return dc, ac
+
+    def _seg(self, marker, body):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(body) + 2) + body
+
+    def _sos(self, comps, Ss, Se, Ah, Al):
+        body = bytearray([len(comps)])
+        for cid in comps:
+            body += bytes([cid, 0x00])
+        body += bytes([Ss, Se, (Ah << 4) | Al])
+        return self._seg(0xDA, bytes(body))
+
+    def _emit(self, bw, symbol, ac):
+        code, n = C._enc_code(symbol, ac)
+        bw.write(code, n)
+
+    def _emit_coef(self, bw, run, v, ac=True):
+        s = int(abs(v)).bit_length()
+        self._emit(bw, (run << 4) | s, ac)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+    def _expected_block(self, coef_zz):
+        nat = np.zeros(64)
+        nat[C.ZIGZAG] = coef_zz                  # q == 1 everywhere
+        px = C._DCT_A.T @ nat.reshape(8, 8) @ C._DCT_A + 128.0
+        return np.clip(np.round(px), 0, 255).astype(np.uint8)
+
+    def _header(self, w, h):
+        dc, ac = self._tables()
+        qt = bytes([0x00] + [1] * 64)            # identity quant table
+        return (b"\xFF\xD8" + self._seg(0xDB, qt) +
+                self._seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) +
+                          bytes([1, 0x11, 0])) +
+                self._seg(0xC4, dc) + self._seg(0xC4, ac))
+
+    def test_four_scan_progression_single_block(self):
+        # final coefficients (zigzag): DC=-9, k1=6, k3=-3, k20=5
+        final = [0] * 64
+        final[0], final[1], final[3], final[20] = -9, 6, -3, 5
+
+        out = bytearray(self._header(8, 8))
+        # scan 1: DC first, Al=1 -> encode -9>>1 = -5 (arithmetic shift)
+        bw = C._BitWriter()
+        self._emit_coef(bw, 0, -5, ac=False)
+        out += self._sos([1], 0, 0, 0, 1) + bw.flush()
+        # scan 2: DC refine, Al=0 -> bit0 of -9 (two's comp arith: the
+        # decoder ORs the bit into the stored value); -5<<1 = -10, we
+        # need -9 -> bit = 1
+        bw = C._BitWriter()
+        bw.write(1, 1)
+        out += self._sos([1], 0, 0, 1, 0) + bw.flush()
+        # scan 3: AC first, Ss=1 Se=63, Al=1: k1 -> 3, k3 -> -1 (toward
+        # zero), k20 -> 2 (16 zeros before it -> ZRL + run 0)
+        bw = C._BitWriter()
+        self._emit_coef(bw, 0, 3)                # k=1
+        self._emit_coef(bw, 1, -1)               # k=3 (one zero at k=2)
+        self._emit(bw, 0xF0, True)               # ZRL: k=4..19
+        self._emit_coef(bw, 0, 2)                # k=20
+        self._emit(bw, 0x00, True)               # EOB
+        out += self._sos([1], 1, 63, 0, 1) + bw.flush()
+        # scan 4: AC refinement, Ah=1 Al=0: correction bits for k1 (6 =
+        # 3<<1|0), k3 (-3 -> |v| bit0 = 1), k20 (5 = 2<<1|1); k=2 and
+        # k=4..19 and k>20 stay zero -> one new-coef path unused; EOB
+        # with trailing corrections
+        bw = C._BitWriter()
+        self._emit(bw, 0x00, True)               # EOB (run 0) for block
+        # trailing correction bits for every nonzero-history coef k>=Ss
+        bw.write(0, 1)                           # k1: 6 bit0 = 0
+        bw.write(1, 1)                           # k3: |-3| bit0 = 1
+        bw.write(1, 1)                           # k20: 5 bit0 = 1
+        out += self._sos([1], 1, 63, 1, 0) + bw.flush()
+        out += b"\xFF\xD9"
+
+        dec = C.parse_jpeg(bytes(out))
+        assert dec.shape == (8, 8, 1)
+        assert (dec[:, :, 0] == self._expected_block(final)).all()
+
+    def test_eob_run_spans_blocks(self):
+        # 24x8 grayscale: 3 blocks; DC scan gives all blocks DC=8;
+        # AC scan: block 1 has k1=4 then EOB2 covers blocks 2 and 3
+        out = bytearray(self._header(24, 8))
+        bw = C._BitWriter()
+        self._emit_coef(bw, 0, 8, ac=False)      # block 1 DC diff
+        self._emit_coef(bw, 0, 0, ac=False)      # diff 0
+        self._emit_coef(bw, 0, 0, ac=False)
+        out += self._sos([1], 0, 0, 0, 0) + bw.flush()
+        bw = C._BitWriter()
+        self._emit_coef(bw, 0, 4)                # block 1: k1=4
+        self._emit(bw, 0x00, True)               # EOB block 1
+        self._emit(bw, 0x10, True)               # EOB2: r=1 ...
+        bw.write(0, 1)                           # ... extra bit 0 -> 2
+        out += self._sos([1], 1, 63, 0, 0) + bw.flush()
+        out += b"\xFF\xD9"
+
+        dec = C.parse_jpeg(bytes(out))
+        assert dec.shape == (8, 24, 1)
+        b1 = [0] * 64
+        b1[0], b1[1] = 8, 4
+        rest = [0] * 64
+        rest[0] = 8
+        assert (dec[:, 0:8, 0] == self._expected_block(b1)).all()
+        assert (dec[:, 8:16, 0] == self._expected_block(rest)).all()
+        assert (dec[:, 16:24, 0] == self._expected_block(rest)).all()
+
+    def test_ac_refine_new_coefficient(self):
+        # refinement scan introduces a coefficient that was zero in
+        # history: k2 becomes +1 at Al=0, while k1 (history 2) gets a
+        # correction bit
+        out = bytearray(self._header(8, 8))
+        bw = C._BitWriter()
+        self._emit_coef(bw, 0, 3, ac=False)      # DC = 3
+        out += self._sos([1], 0, 0, 0, 0) + bw.flush()
+        bw = C._BitWriter()
+        self._emit_coef(bw, 0, 1)                # AC first Al=1: k1 = 1
+        self._emit(bw, 0x00, True)               # EOB
+        out += self._sos([1], 1, 63, 0, 1) + bw.flush()
+        bw = C._BitWriter()
+        # AC refine Ah=1 Al=0: new coef at k2 (+1): symbol run=0,s=1,
+        # sign bit 1; preceded by correction bit for k1 as we pass it
+        self._emit(bw, 0x01, True)               # (0<<4)|1
+        bw.write(1, 1)                           # sign of new coef: +
+        bw.write(1, 1)                           # correction for k1 -> 3
+        self._emit(bw, 0x00, True)               # EOB
+        out += self._sos([1], 1, 63, 1, 0) + bw.flush()
+        out += b"\xFF\xD9"
+
+        dec = C.parse_jpeg(bytes(out))
+        final = [0] * 64
+        final[0], final[1], final[2] = 3, 3, 1   # k1: 1<<1 | corr 1 = 3
+        assert (dec[:, :, 0] == self._expected_block(final)).all()
+
+    def test_arithmetic_coding_raises(self):
+        data = bytearray(self._header(8, 8))
+        i = bytes(data).index(b"\xFF\xC2")
+        data[i + 1] = 0xC9                       # SOF9: arithmetic
+        with pytest.raises(NotImplementedError, match="unsupported"):
+            C.parse_jpeg(bytes(data) + b"\xFF\xD9")

@@ -1,7 +1,8 @@
 """Pure-numpy/stdlib media codecs for the multimodal pipeline.
 
-Baseline JPEG (ITU-T T.81 sequential DCT, Huffman), GIF87a/89a (LZW),
-and the G.711 / IMA-ADPCM audio companders — implemented from the
+JPEG (ITU-T T.81: sequential AND progressive DCT, Huffman),
+GIF87a/89a (LZW, incl. animation), MJPEG AVI, FLAC (RFC 9639), and the
+G.711 / IMA-ADPCM audio companders — implemented from the
 public specifications with no codec libraries, so the multimodal
 operators in :mod:`xdlake_spark.operators.multimodal` can REALLY decode
 compressed payloads in this environment.  Each decoder ships with its
@@ -366,20 +367,187 @@ def encode_jpeg(pix: np.ndarray, quality: int = 90,
     return bytes(out)
 
 
-def parse_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w, c) uint8 (c = 1 grayscale, 3 RGB).
+def _jpeg_unstuff(data: bytes, pos: int):
+    """Entropy-coded segment starting at ``pos`` -> (segments split at
+    restart markers, position of the next marker)."""
+    segments, cur = [], bytearray()
+    while pos < len(data):
+        byte = data[pos]
+        if byte != 0xFF:
+            cur.append(byte)
+            pos += 1
+            continue
+        nxt = data[pos + 1] if pos + 1 < len(data) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:                                    # EOI or next header
+            break
+    segments.append(bytes(cur))
+    return segments, pos
 
-    Supports SOF0/SOF1 (sequential, Huffman), arbitrary legal Huffman
-    and quant tables, 4:4:4 / 4:2:2 / 4:2:0 sampling, and restart
-    markers.  Progressive (SOF2) and arithmetic coding raise.
+
+def _jpeg_decode_scan(segments, frame, scan_comps, huff,
+                      restart_interval, coefs, params):
+    """Decode ONE scan into the per-component coefficient grids.
+
+    Handles sequential scans (Ss=0, Se=63, Ah=Al=0: full DC+AC per
+    block) and every progressive scan type of T.81 Annex G: DC first /
+    DC refinement (interleaved or not), AC first with EOB runs, and AC
+    refinement with correction bits.  ``coefs[ci]`` is a flat list of
+    64-length lists in (by, bx) grid order, zigzag index order —
+    revisited across scans.
+    """
+    Ss, Se, Ah, Al = params
+    comps = frame["comps"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    h_max = max(c["h"] for c in comps)
+    v_max = max(c["v"] for c in comps)
+    fw, fh = frame["w"], frame["h"]
+    mcus_x = -(-fw // (8 * h_max))
+    mcus_y = -(-fh // (8 * v_max))
+    scan_order = [by_id[s["id"]] for s in scan_comps]
+    interleaved = len(scan_comps) > 1
+
+    tables = []
+    for s in scan_comps:
+        dc = huff.get((0, s["dc"])) if Ss == 0 else None
+        ac = huff.get((1, s["ac"])) if Se > 0 else None
+        tables.append((dc, ac))
+
+    state = {"seg": 0, "reader": _BitReader(segments[0]),
+             "preds": [0] * len(comps), "eobrun": 0}
+
+    def restart() -> None:
+        state["seg"] += 1
+        if state["seg"] >= len(segments):
+            raise ValueError("JPEG truncated at restart boundary")
+        state["reader"] = _BitReader(segments[state["seg"]])
+        state["preds"] = [0] * len(comps)
+        state["eobrun"] = 0
+
+    def decode_block(si: int, ci: int, zz: list) -> None:
+        reader = state["reader"]
+        dc_tbl, ac_tbl = tables[si]
+        if Ss == 0:                              # DC (or full sequential)
+            if Ah == 0:
+                s = dc_tbl.decode(reader)
+                state["preds"][ci] += _extend(reader.read(s), s)
+                zz[0] = state["preds"][ci] << Al
+            else:                                # DC refinement
+                if reader.read(1):
+                    zz[0] |= 1 << Al
+            if Se == 0:
+                return
+            k = 1                                # sequential: AC follows
+        else:
+            k = Ss
+        if Ah == 0:                              # AC first (or sequential)
+            if state["eobrun"]:
+                state["eobrun"] -= 1
+                return
+            while k <= Se:
+                rs = ac_tbl.decode(reader)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:                  # ZRL
+                        k += 16
+                        continue
+                    if r:                        # progressive EOB run
+                        state["eobrun"] = (1 << r) - 1 + reader.read(r)
+                    return
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG AC index overflow")
+                zz[k] = _extend(reader.read(s), s) << Al
+                k += 1
+        else:                                    # AC refinement (G.1.2.3)
+            p1, m1 = 1 << Al, -1 << Al
+            if state["eobrun"] == 0:
+                while k <= Se:
+                    rs = ac_tbl.decode(reader)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            state["eobrun"] = (1 << r) - 1 + \
+                                (reader.read(r) if r else 0)
+                            break
+                        # r == 15: skip 16 zero-history coefficients
+                    else:                        # s == 1: new coefficient
+                        val = p1 if reader.read(1) else m1
+                    while k <= Se:
+                        if zz[k]:
+                            if reader.read(1) and not (zz[k] & p1):
+                                zz[k] += p1 if zz[k] >= 0 else m1
+                        else:
+                            r -= 1
+                            if r < 0:
+                                if s:
+                                    zz[k] = val
+                                k += 1
+                                break
+                        k += 1
+            else:
+                state["eobrun"] -= 1
+            while k <= Se:                       # trailing corrections
+                if zz[k]:
+                    if state["reader"].read(1) and not (zz[k] & p1):
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                k += 1
+
+    if interleaved:
+        for mcu in range(mcus_x * mcus_y):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                restart()
+            my, mx = divmod(mcu, mcus_x)
+            for si, ci in enumerate(scan_order):
+                comp = comps[ci]
+                bw_pad = mcus_x * comp["h"]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        idx = (my * comp["v"] + by) * bw_pad + \
+                            (mx * comp["h"] + bx)
+                        decode_block(si, ci, coefs[ci][idx])
+    else:
+        ci = scan_order[0]
+        comp = comps[ci]
+        bw_pad = mcus_x * comp["h"]
+        # non-interleaved scans cover only the component's REAL blocks
+        cw = -(-(fw * comp["h"]) // h_max)   # component sample dims
+        chh = -(-(fh * comp["v"]) // v_max)
+        bw_use = -(-cw // 8)                 # real (unpadded) blocks
+        bh_use = -(-chh // 8)
+        n = 0
+        for by in range(bh_use):
+            for bx in range(bw_use):
+                if restart_interval and n and n % restart_interval == 0:
+                    restart()
+                decode_block(0, ci, coefs[ci][by * bw_pad + bx])
+                n += 1
+
+
+def parse_jpeg(data: bytes) -> np.ndarray:
+    """JPEG bytes -> (h, w, c) uint8 (c = 1 grayscale, 3 RGB).
+
+    Supports sequential (SOF0/SOF1) AND progressive (SOF2) frames with
+    Huffman coding: arbitrary legal Huffman/quant tables, 4:4:4 /
+    4:2:2 / 4:2:0 sampling, restart markers, multi-scan spectral
+    selection and successive approximation.  Arithmetic coding and
+    lossless/hierarchical modes raise.
     """
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
     qtbls: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}       # (class, id) -> decode table
+    huff: dict[tuple[int, int], _HuffTable] = {}
     frame = None
+    coefs = None
     restart_interval = 0
-    scan_comps = None
+    n_scans = 0
     pos = 2
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -405,7 +573,7 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                 nat[ZIGZAG] = zz
                 qtbls[tq] = nat
                 b += 65
-        elif marker in (0xC0, 0xC1):             # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/1 seq, SOF2 prog
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -415,11 +583,19 @@ def parse_jpeg(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            h_max = max(c["h"] for c in comps)
+            v_max = max(c["v"] for c in comps)
+            mcus_x = -(-fw // (8 * h_max))
+            mcus_y = -(-fh // (8 * v_max))
+            coefs = [[[0] * 64
+                      for _ in range(mcus_x * c["h"] * mcus_y * c["v"])]
+                     for c in comps]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02X}) — only "
-                "sequential DCT with Huffman coding is supported")
+                f"unsupported JPEG mode (SOF marker 0x{marker:02X}) — "
+                "sequential and progressive DCT with Huffman coding "
+                "are supported")
         elif marker == 0xC4:                     # DHT
             b = 0
             while b < len(body):
@@ -432,102 +608,42 @@ def parse_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:                     # DRI
             (restart_interval,) = struct.unpack_from(">H", body)
         elif marker == 0xDA:                     # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
             scan_comps = []
             for i in range(ns):
-                cs, tables = body[1 + 2 * i:3 + 2 * i]
-                scan_comps.append({"id": cs, "dc": tables >> 4,
-                                   "ac": tables & 0x0F})
-            break                                # entropy data follows
+                cs, t = body[1 + 2 * i:3 + 2 * i]
+                scan_comps.append({"id": cs, "dc": t >> 4,
+                                   "ac": t & 0x0F})
+            Ss, Se, a = body[1 + 2 * ns:4 + 2 * ns]
+            segments, pos = _jpeg_unstuff(data, pos)
+            _jpeg_decode_scan(segments, frame, scan_comps, huff,
+                              restart_interval, coefs,
+                              (Ss, Se, a >> 4, a & 0x0F))
+            n_scans += 1
         # APPn / COM / others: skipped
-    if frame is None or scan_comps is None:
+    if frame is None or n_scans == 0:
         raise ValueError("JPEG missing SOF/SOS")
 
-    # Unstuff the entropy-coded data, splitting at restart markers.
-    segments, cur = [], bytearray()
-    while pos < len(data):
-        byte = data[pos]
-        if byte != 0xFF:
-            cur.append(byte)
-            pos += 1
-            continue
-        nxt = data[pos + 1] if pos + 1 < len(data) else 0xD9
-        if nxt == 0x00:
-            cur.append(0xFF)
-            pos += 2
-        elif 0xD0 <= nxt <= 0xD7:
-            segments.append(bytes(cur))
-            cur = bytearray()
-            pos += 2
-        else:                                    # EOI or next header
-            break
-    segments.append(bytes(cur))
-
+    # Batched numpy pass per component: dequantize + IDCT + placement.
     comps = frame["comps"]
-    by_id = {c["id"]: i for i, c in enumerate(comps)}
     h_max = max(c["h"] for c in comps)
     v_max = max(c["v"] for c in comps)
     fw, fh = frame["w"], frame["h"]
     mcus_x = -(-fw // (8 * h_max))
     mcus_y = -(-fh // (8 * v_max))
-    scan_order = [by_id[s["id"]] for s in scan_comps]
-
-    # Entropy pass: pure-Python Huffman decode into one flat coefficient
-    # list per component, in MCU raster order.  All numpy work
-    # (dequantize, IDCT, block placement) happens ONCE per component on
-    # the batched array afterwards — per-block numpy calls dominate the
-    # naive implementation's cost at these block sizes.
-    comp_zz: list[list[int]] = [[] for _ in comps]
-    tables = [(huff[(0, s["dc"])], huff[(1, s["ac"])])
-              for s in scan_comps]
-    seg_i = 0
-    reader = _BitReader(segments[0])
-    preds = [0] * len(comps)
-    for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_i += 1
-            if seg_i >= len(segments):
-                raise ValueError("JPEG truncated at restart boundary")
-            reader = _BitReader(segments[seg_i])
-            preds = [0] * len(comps)
-        for si, ci in enumerate(scan_order):
-            comp = comps[ci]
-            dc_tbl, ac_tbl = tables[si]
-            out = comp_zz[ci]
-            for _blk in range(comp["v"] * comp["h"]):
-                zz = [0] * 64
-                s = dc_tbl.decode(reader)
-                preds[ci] += _extend(reader.read(s), s)
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = ac_tbl.decode(reader)
-                    r, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if r == 15:              # ZRL
-                            k += 16
-                            continue
-                        break                    # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG AC index overflow")
-                    zz[k] = _extend(reader.read(size), size)
-                    k += 1
-                out.extend(zz)
-
-    # Batched numpy pass per component: dequantize + IDCT + placement.
     full = []
     for ci, comp in enumerate(comps):
         cv, ch = comp["v"], comp["h"]
-        n = mcus_x * mcus_y * cv * ch
-        arr = np.asarray(comp_zz[ci], np.int64).reshape(n, 64)
-        nat = np.zeros((n, 64), np.float64)
+        bh_pad, bw_pad = mcus_y * cv, mcus_x * ch
+        arr = np.asarray(coefs[ci], np.int64)    # (n, 64) zigzag order
+        nat = np.zeros((len(arr), 64), np.float64)
         nat[:, ZIGZAG] = arr * qtbls[comp["tq"]][ZIGZAG]
-        blocks = _DCT_A.T @ nat.reshape(n, 8, 8) @ _DCT_A + 128.0
-        # blocks arrive ordered (my, mx, by, bx) -> scatter by reshape
-        plane = blocks.reshape(mcus_y, mcus_x, cv, ch, 8, 8) \
-            .transpose(0, 2, 4, 1, 3, 5) \
-            .reshape(mcus_y * cv * 8, mcus_x * ch * 8)
+        blocks = _DCT_A.T @ nat.reshape(-1, 8, 8) @ _DCT_A + 128.0
+        # blocks are in (by, bx) grid order -> scatter by reshape
+        plane = blocks.reshape(bh_pad, bw_pad, 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(bh_pad * 8, bw_pad * 8)
         ry, rx = v_max // cv, h_max // ch
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)

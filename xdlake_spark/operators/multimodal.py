@@ -7,7 +7,8 @@ Arrow-batched ``mapInPandas`` stages.
 Decode is REAL for every format a pure-numpy + stdlib decoder can
 handle — PPM/PGM (netpbm P6/P5), BMP (24-bpp BI_RGB), PNG (8-bit
 gray/RGB/GA/RGBA via stdlib ``zlib`` + per-scanline unfiltering),
-baseline JPEG and GIF (via :mod:`.codecs`, implemented from the public
+JPEG — sequential AND progressive — and GIF (via :mod:`.codecs`,
+implemented from the public
 ITU-T T.81 / GIF specs), WAV (RIFF PCM 8/16/24/32, IEEE float,
 G.711 A-law/mu-law, mono IMA ADPCM), and FLAC (RFC 9639: fixed + LPC
 prediction, rice residuals, stereo decorrelation — lossless, chunk
