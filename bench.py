@@ -64,6 +64,7 @@ HEADLINE = [
     "delta_roundtrip_scan",
     "delta_filtered_scan_skipping",
     "delta_delete_cow",
+    "delta_delete_dv",
     "delta_merge_upsert",
     "delta_import_refs_scan",
     "delta_schema_evolution",

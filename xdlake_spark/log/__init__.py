@@ -351,15 +351,22 @@ class DeltaLog:
         return (max(self.entries) + 1) if self.entries else 0
 
     def add_actions(self) -> dict[str, Add]:
-        """Replay: live files = adds minus later removes, in version order
-        (reference delta_log/__init__.py:336-346)."""
+        """Replay: live files = adds minus removes in ACTION order, per
+        version (reference delta_log/__init__.py:336-346).
+
+        Within one commit the last action for a path wins — a commit
+        may legitimately carry remove+add of the SAME path (deletion-
+        vector re-adds, delta-spark's DV/metadata rewrites), where the
+        remove tombstones the previous version's entry and the add
+        establishes the new one.  Applying all adds then all removes
+        would wrongly drop such files."""
         live: dict[str, Add] = {}
         for v in sorted(self.entries):
-            entry = self.entries[v]
-            for add in entry.adds:
-                live[add.path] = add
-            for rm in entry.removes:
-                live.pop(rm.path, None)
+            for action in self.entries[v].actions:
+                if isinstance(action, Add):
+                    live[action.path] = action
+                elif isinstance(action, Remove):
+                    live.pop(action.path, None)
         return live
 
     def schema(self) -> T.StructType:

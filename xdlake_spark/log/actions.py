@@ -294,8 +294,12 @@ class Add(Action):
             return None
 
     def to_remove(self, *, data_change: bool = True) -> "Remove":
-        """Tombstone for this file (reference: actions.py:230-248)."""
-        return Remove(
+        """Tombstone for this file (reference: actions.py:230-248).
+
+        Carries the add's deletionVector descriptor through (protocol
+        'remove' SHOULD include it) so VACUUM can later reclaim the
+        orphaned DV file alongside the data file."""
+        rm = Remove(
             path=self.path,
             dataChange=data_change,
             deletionTimestamp=timestamp_ms(),
@@ -303,6 +307,10 @@ class Add(Action):
             partitionValues=dict(self.partitionValues),
             size=self.size,
         )
+        dv = (self.extra or {}).get("deletionVector")
+        if dv:
+            rm.extra = {**(rm.extra or {}), "deletionVector": dv}
+        return rm
 
 
 @dataclass(kw_only=True)

@@ -34,6 +34,15 @@ def checkpoint_filename(version: int) -> str:
     return f"{version:020d}.checkpoint.parquet"
 
 
+#: deletionVector descriptor struct (spec field names/types).
+_DV_STRUCT = pa.struct([
+    pa.field("storageType", pa.string()),
+    pa.field("pathOrInlineDv", pa.string()),
+    pa.field("offset", pa.int32()),
+    pa.field("sizeInBytes", pa.int32()),
+    pa.field("cardinality", pa.int64()),
+])
+
 _SCHEMA = pa.schema([
     pa.field("protocol", pa.struct([
         pa.field("minReaderVersion", pa.int32()),
@@ -65,6 +74,9 @@ _SCHEMA = pa.schema([
         pa.field("modificationTime", pa.int64()),
         pa.field("dataChange", pa.bool_()),
         pa.field("stats", pa.string()),
+        # merge-on-read DELETE: without this column a checkpointed DV
+        # table would RESURRECT its logically-deleted rows on reload
+        pa.field("deletionVector", _DV_STRUCT),
     ])),
     pa.field("remove", pa.struct([
         pa.field("path", pa.string()),
@@ -72,6 +84,7 @@ _SCHEMA = pa.schema([
         pa.field("dataChange", pa.bool_()),
         pa.field("extendedFileMetadata", pa.bool_()),
         pa.field("size", pa.int64()),
+        pa.field("deletionVector", _DV_STRUCT),  # VACUUM needs it
     ])),
 ])
 
@@ -118,6 +131,7 @@ def write_checkpoint(log_location, log: "DeltaLog") -> int:
             "modificationTime": add.modificationTime,
             "dataChange": False,
             "stats": add.stats,
+            "deletionVector": (add.extra or {}).get("deletionVector"),
         }))
 
     # newest tombstone per non-live path
@@ -133,6 +147,7 @@ def write_checkpoint(log_location, log: "DeltaLog") -> int:
             "dataChange": False,
             "extendedFileMetadata": rm.extendedFileMetadata,
             "size": rm.size,
+            "deletionVector": (rm.extra or {}).get("deletionVector"),
         }))
 
     table = pa.Table.from_pylist(rows, schema=_SCHEMA)
@@ -210,19 +225,29 @@ def read_checkpoint(log_location, version: int) -> list[Action]:
                 createdTime=m.get("createdTime") or 0))
         elif row.get("add"):
             a = row["add"]
-            actions.append(Add(
+            add = Add(
                 path=a["path"],
                 partitionValues=dict(a.get("partitionValues") or []),
                 size=a.get("size") or 0,
                 modificationTime=a.get("modificationTime") or 0,
                 dataChange=bool(a.get("dataChange")),
-                stats=a.get("stats")))
+                stats=a.get("stats"))
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") is not None:
+                add.extra = {"deletionVector": {
+                    k: v for k, v in dv.items() if v is not None}}
+            actions.append(add)
         elif row.get("remove"):
             r = row["remove"]
-            actions.append(Remove(
+            rm = Remove(
                 path=r["path"],
                 deletionTimestamp=r.get("deletionTimestamp") or 0,
                 dataChange=bool(r.get("dataChange")),
                 extendedFileMetadata=bool(r.get("extendedFileMetadata")),
-                size=r.get("size")))
+                size=r.get("size"))
+            dv = r.get("deletionVector")
+            if dv and dv.get("storageType") is not None:
+                rm.extra = {"deletionVector": {
+                    k: v for k, v in dv.items() if v is not None}}
+            actions.append(rm)
     return actions

@@ -948,6 +948,29 @@ def delta_delete(spark, sf_dir):
     return t.to_df().select("l_orderkey", "l_linenumber")
 
 
+@register("delta_delete_dv", """
+SELECT l_orderkey, l_linenumber
+FROM lineitem
+WHERE NOT (l_quantity > 45 AND l_returnflag = 'A')
+  AND NOT (l_quantity < 3)
+""")
+def delta_delete_dv_q(spark, sf_dir):
+    """Merge-on-read DELETE via deletion vectors (table.py _dv_delete):
+    NO data file is rewritten — each hit file gets a roaring bitmap of
+    deleted positions (spec DV layout, log/dv.py) and is re-added with
+    the descriptor; two successive deletes union their bitmaps. The
+    oracle is the plain survivor SELECT, so the scan's position
+    anti-join must reproduce row-exact SQL delete semantics."""
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        li, partition_by=["l_returnflag"])
+    t = t.delete("l_quantity > 45 AND l_returnflag = 'A'",
+                 mode="merge-on-read")
+    t = t.delete("l_quantity < 3", mode="merge-on-read")
+    return t.to_df().select("l_orderkey", "l_linenumber")
+
+
 @register("delta_update_cow", """
 SELECT l_orderkey, l_linenumber,
        round(CASE WHEN l_quantity > 45 AND l_returnflag = 'A'
@@ -3840,9 +3863,9 @@ DRIVER_WINDOW = [
     "asof_join_nearest", "range_join_followups", "stateful_user_stats",
     # delta table lifecycle
     "delta_roundtrip_scan", "delta_filtered_scan_skipping",
-    "delta_delete_cow", "delta_merge_upsert", "delta_time_travel",
-    "delta_overwrite_restore", "delta_schema_evolution",
-    "delta_import_refs_scan",
+    "delta_delete_cow", "delta_delete_dv", "delta_merge_upsert",
+    "delta_time_travel", "delta_overwrite_restore",
+    "delta_schema_evolution",
     # text / corpus analysis
     "text_stats", "lang_detect", "token_count_by_lang", "pii_stats",
     "corpus_filter_funnel", "corpus_prep_pipeline",

@@ -49,6 +49,7 @@ from .log import (
     merge_table_entry,
     optimize_table_entry,
     overwrite_table_entry,
+    Protocol,
     properties_table_entry,
     restore_table_entry,
     timestamp_ms,
@@ -238,12 +239,11 @@ class DeltaTable:
         schema = self.schema
         assert schema is not None
         self._check_reader_protocol()
-        # Deletion vectors (written by modern delta-rs / delta-spark) mark
-        # rows within a live file as deleted. Decode each referenced
-        # bitmap (log/dv.py, pure-numpy roaring reader) and anti-join the
-        # DV'd files' scan on (file, _metadata.row_index); DV-free files
-        # scan untouched. Mutations on DV tables still refuse at commit
-        # (deletionVectors is a writer feature this engine doesn't hold).
+        # Deletion vectors (written by modern delta-rs / delta-spark —
+        # or by our own merge-on-read DELETE) mark rows within a live
+        # file as deleted. Decode each referenced bitmap (log/dv.py,
+        # pure-numpy roaring reader) and anti-join the DV'd files' scan
+        # on (file, _metadata.row_index); DV-free files scan untouched.
         dv_adds = {p: a for p, a in adds.items()
                    if (a.extra or {}).get("deletionVector")}
         if dv_adds:
@@ -1296,6 +1296,7 @@ class DeltaTable:
          "generatedColumns",  # computed/verified on write+update
          "changeDataFeed",    # DELETE/UPDATE/MERGE write cdc files
          "identityColumns",   # generated + high watermark maintained
+         "deletionVectors",   # merge-on-read DELETE writes DV bitmaps
          })
 
     #: Features we can commit under only when the table doesn't
@@ -1460,20 +1461,41 @@ class DeltaTable:
     # -- delete (copy-on-write) -------------------------------------------------
 
     def delete(self, where: "str | Column | None" = None,
-               custom_metadata: dict | None = None) -> "DeltaTable":
+               custom_metadata: dict | None = None,
+               mode: str = "auto") -> "DeltaTable":
         """Predicate delete; ``where=None`` deletes everything
         (reference __init__.py:259-315).
 
-        Two-phase, file-granular:
-        1. manifest prune + one agg job grouped on ``input_file_name()``
-           finds files that truly contain matching rows;
-        2. one write job rewrites the surviving rows of only those files.
-        Files fully covered by the predicate are tombstoned without any
-        rewrite; untouched files keep their add actions.
+        ``mode`` picks the physical strategy:
+
+        - ``"copy-on-write"`` (two-phase, file-granular): manifest
+          prune + one agg job grouped on ``input_file_name()`` finds
+          files that truly contain matching rows; one write job
+          rewrites the surviving rows of only those files.  Files fully
+          covered by the predicate are tombstoned without any rewrite.
+        - ``"merge-on-read"``: deletion vectors (Delta reader v3 /
+          writer v7 feature).  No data file is rewritten — each hit
+          file gets a roaring bitmap of its deleted row positions
+          (spec DV file layout, log/dv.py) and is re-added with the
+          descriptor.  At 100 TB this turns "delete 10 rows from a
+          1 GB file" from a 1 GB rewrite into a KB-sized bitmap write;
+          every read surface anti-joins the positions back out
+          (:meth:`_scan`).  Fully-deleted files are tombstoned
+          directly (no pointless DV).
+        - ``"auto"`` (default): merge-on-read when the table property
+          ``delta.enableDeletionVectors`` is ``true`` (the delta-spark
+          opt-in convention), copy-on-write otherwise.
         """
         self._require_mutable("DELETE")
         if self.schema is None:
             raise ValueError(f"No delta table at {self.location.url}")
+        if mode not in ("auto", "copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown delete mode {mode!r}")
+        if mode == "auto":
+            cfg = self.log.metadata().configuration or {}
+            mode = "merge-on-read" \
+                if str(cfg.get("delta.enableDeletionVectors", "false")
+                       ).lower() == "true" else "copy-on-write"
         read_version = self.version
 
         if where is None:
@@ -1504,6 +1526,10 @@ class DeltaTable:
                 custom_metadata)
             return self._commit_checked(entry, read_version,
                                         where_sql=where_sql)
+
+        if mode == "merge-on-read":
+            return self._dv_delete(candidates, pred, where_sql,
+                                   read_version, custom_metadata)
 
         rel_of = self._rel_by_uri(candidates)
 
@@ -1549,6 +1575,171 @@ class DeltaTable:
             # CDF: record the deleted rows as change data — readers of
             # this commit then use the cdc files instead of mis-deriving
             # spurious changes from the copy-on-write add/remove pairs
+            deleted_rows = self._scan(hit_adds).filter(pred).withColumn(
+                self._CHANGE_TYPE, F.lit("delete"))
+            entry.actions.extend(self._write_change_data(deleted_rows))
+        return self._commit_checked(entry, read_version,
+                                    where_sql=where_sql)
+
+    def _dv_protocol_action(self) -> "Protocol | None":
+        """Protocol upgrade for the first deletion-vector commit:
+        (3, 7) with ``deletionVectors`` in BOTH feature lists, legacy
+        implied features enumerated per the spec's upgrade rule.
+        Returns None when the table already declares the feature."""
+        proto = self.log.protocol()
+        extra = proto.extra or {}
+        rf = set(extra.get("readerFeatures") or [])
+        wf = set(extra.get("writerFeatures") or [])
+        if proto.minReaderVersion >= 3 and proto.minWriterVersion >= 7 \
+                and "deletionVectors" in rf and "deletionVectors" in wf:
+            return None
+        # legacy versions imply feature sets; enumerate them explicitly
+        # when crossing to the table-features protocol
+        implied_w = {2: {"appendOnly", "invariants"},
+                     3: {"checkConstraints"},
+                     4: {"changeDataFeed", "generatedColumns"},
+                     5: {"columnMapping"},
+                     6: {"identityColumns"}}
+        if proto.minWriterVersion < 7:
+            for v, feats in implied_w.items():
+                if proto.minWriterVersion >= v:
+                    wf |= feats
+        if proto.minReaderVersion == 2 or "columnMapping" in wf:
+            rf |= {"columnMapping"}
+        rf |= {"deletionVectors"}
+        wf |= {"deletionVectors"}
+        up = Protocol(minReaderVersion=3, minWriterVersion=7)
+        up.extra = {"readerFeatures": sorted(rf),
+                    "writerFeatures": sorted(wf)}
+        return up
+
+    def _dv_delete(self, candidates: dict[str, Add], pred,
+                   where_sql: "str | None", read_version: int,
+                   custom_metadata: dict | None) -> "DeltaTable":
+        """Merge-on-read DELETE: write deletion-vector bitmaps instead
+        of rewriting data files.
+
+        One job: scan the candidate files (old DVs anti-joined out so
+        already-deleted rows can't re-match), tag each row with its
+        file and physical ``_metadata.row_index``, filter the
+        predicate, and serialize ONE roaring bitmap per file
+        executor-side (``applyInPandas`` groupBy file) — the driver
+        collects only (file, bitmap bytes, count), manifest-sized, not
+        positions.  Per hit file: union with any existing DV, write the
+        spec-layout ``.bin``, re-add the file with the descriptor
+        (stats kept — min/max stay conservative for skipping), and
+        tombstone the old add.  A file whose every physical row is
+        deleted is tombstoned outright instead of carrying a 100%% DV.
+        """
+        import dataclasses
+
+        import pandas as pd
+
+        from .log.dv import (deleted_row_indexes, deserialize_dv_data,
+                             serialize_dv_data, write_dv_file)
+
+        dv_candidates = {p: a for p, a in candidates.items()
+                         if (a.extra or {}).get("deletionVector")}
+        stripped = {
+            p: (dataclasses.replace(
+                a, extra={k: v for k, v in (a.extra or {}).items()
+                          if k != "deletionVector"})
+                if p in dv_candidates else a)
+            for p, a in candidates.items()}
+        rel_of = self._rel_by_uri(candidates)
+
+        tagged = self._scan(stripped).withColumns({
+            "__xdl_file": F.input_file_name(),
+            "__xdl_pos": F.col("_metadata.row_index"),
+        })
+        if dv_candidates:
+            rows = []
+            for p, a in dv_candidates.items():
+                desc = (a.extra or {})["deletionVector"]
+                url = _norm_uri(self.location.absloc(p).url)
+                rows.extend((url, int(i)) for i in
+                            deleted_row_indexes(self.location, desc))
+            if rows:
+                already = F.broadcast(self.spark.createDataFrame(
+                    pd.DataFrame(rows, columns=["__dv_file",
+                                                "__dv_pos"])))
+                norm_file = F.url_decode(F.regexp_replace(
+                    F.regexp_replace(F.col("__xdl_file"),
+                                     "^[a-zA-Z0-9+.-]+://?", "/"),
+                    "^//+", "/"))
+                tagged = (tagged.withColumn("__xdl_nfile", norm_file)
+                          .join(already,
+                                (F.col("__xdl_nfile") ==
+                                 F.col("__dv_file")) &
+                                (F.col("__xdl_pos") ==
+                                 F.col("__dv_pos")),
+                                "left_anti")
+                          .drop("__xdl_nfile"))
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            data = serialize_dv_data(pdf["__xdl_pos"].tolist())
+            return pd.DataFrame({"file": [pdf["__xdl_file"].iloc[0]],
+                                 "dv": [bytearray(data)],
+                                 "hits": [len(pdf)]})
+
+        packed = (tagged.filter(pred)
+                  .select("__xdl_file", "__xdl_pos")
+                  .groupBy("__xdl_file")
+                  .applyInPandas(pack,
+                                 "file string, dv binary, hits long")
+                  .collect())  # one bitmap-sized row per hit file
+
+        if not packed:
+            entry = delete_table_entry(
+                [], [], where_sql or "<expr>", read_version,
+                {"num_added_files": 0, "num_removed_files": 0,
+                 "num_copied_rows": 0, "num_deleted_rows": 0},
+                custom_metadata)
+            return self._commit_checked(entry, read_version,
+                                        where_sql=where_sql)
+
+        new_adds: list[Add] = []
+        removes = []
+        n_deleted = 0
+        n_dv_files = 0
+        now = timestamp_ms()
+        for row in packed:
+            rel = rel_of(row["file"])
+            old = self.adds[rel]
+            new_idx = deserialize_dv_data(bytes(row["dv"]))
+            n_deleted += int(row["hits"])
+            old_desc = (old.extra or {}).get("deletionVector")
+            all_idx = set(int(i) for i in new_idx)
+            if old_desc:
+                all_idx |= set(int(i) for i in deleted_row_indexes(
+                    self.location, old_desc))
+            removes.append(old.to_remove())
+            total = (old.stats_dict or {}).get("numRecords")
+            if total is not None and len(all_idx) >= int(total):
+                continue                  # fully deleted: tombstone only
+            desc = write_dv_file(self.location, sorted(all_idx))
+            add = dataclasses.replace(old, modificationTime=now)
+            add.extra = {**{k: v for k, v in (old.extra or {}).items()},
+                         "deletionVector": desc}
+            new_adds.append(add)
+            n_dv_files += 1
+
+        metrics = {
+            "num_added_files": 0,
+            "num_removed_files": len(removes) - len(new_adds),
+            "num_copied_rows": 0,
+            "num_deleted_rows": int(n_deleted),
+            "num_deletion_vectors_added": n_dv_files,
+        }
+        entry = delete_table_entry(new_adds, removes,
+                                   where_sql or "<expr>", read_version,
+                                   metrics, custom_metadata)
+        proto_up = self._dv_protocol_action()
+        if proto_up is not None:
+            entry.actions.insert(0, proto_up)
+        if self.cdf_enabled:
+            hit_rels = {rel_of(r["file"]) for r in packed}
+            hit_adds = {r: self.adds[r] for r in hit_rels}
             deleted_rows = self._scan(hit_adds).filter(pred).withColumn(
                 self._CHANGE_TYPE, F.lit("delete"))
             entry.actions.extend(self._write_change_data(deleted_rows))
@@ -1748,7 +1939,12 @@ class DeltaTable:
             raise ValueError(f"Version {restore_version} does not exist")
         cur = self.adds
         tgt = target.add_actions()
-        re_adds = [a for p, a in tgt.items() if p not in cur]
+        # re-add a path when it is not live OR its live entry differs
+        # from the target version's (e.g. a deletion-vector re-add kept
+        # the path alive with different metadata — value equality
+        # covers extra fields like the DV descriptor)
+        re_adds = [a for p, a in tgt.items()
+                   if p not in cur or cur[p] != a]
         removes = [a.to_remove() for p, a in cur.items() if p not in tgt]
         entry = restore_table_entry(re_adds, removes, target.schema(),
                                     target.partition_columns(),
@@ -1970,9 +2166,18 @@ class DeltaTable:
                dry_run: bool = False) -> list[str]:
         """Physically delete tombstoned files older than the retention
         window. Returns deleted (or would-delete) relative paths."""
+        from .log.dv import dv_relative_path
+
         now = timestamp_ms()
         horizon = now - int(retention_hours * 3600 * 1000)
         live = set(self.adds)
+        # DV files referenced by LIVE adds must survive regardless of
+        # any tombstone that mentions the same bitmap
+        live_dvs = set()
+        for a in self.adds.values():
+            desc = (a.extra or {}).get("deletionVector")
+            if desc and desc.get("storageType") == "u":
+                live_dvs.add(dv_relative_path(desc["pathOrInlineDv"]))
         candidates: dict[str, int] = {}
         # entries only: under a checkpointed load the pre-checkpoint
         # tombstones are carried inside the checkpoint entry itself
@@ -1981,6 +2186,14 @@ class DeltaTable:
                 if rm.path not in live and "://" not in rm.path \
                         and not rm.path.startswith("/"):
                     candidates[rm.path] = rm.deletionTimestamp or 0
+                # a tombstone carrying a DV descriptor orphans that
+                # bitmap file (unless a live add still references it —
+                # e.g. a remove of a fully-superseded old version)
+                desc = (rm.extra or {}).get("deletionVector")
+                if desc and desc.get("storageType") == "u":
+                    rel = dv_relative_path(desc["pathOrInlineDv"])
+                    if rel not in live_dvs:
+                        candidates[rel] = rm.deletionTimestamp or 0
         doomed = sorted(p for p, ts in candidates.items() if ts <= horizon)
         if not dry_run:
             for p in doomed:
