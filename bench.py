@@ -65,6 +65,7 @@ HEADLINE = [
     "delta_filtered_scan_skipping",
     "delta_delete_cow",
     "delta_delete_dv",
+    "delta_update_dv",
     "delta_merge_upsert",
     "delta_import_refs_scan",
     "delta_schema_evolution",

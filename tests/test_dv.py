@@ -381,3 +381,66 @@ class TestDvDelete:
         rows = changes.filter("_change_type = 'delete'").collect()
         assert len(rows) == 25
         assert all(r["idx"] < 25 for r in rows)
+
+
+class TestDvUpdate:
+    """Merge-on-read UPDATE: DV-mask old row versions + append only the
+    transformed rows."""
+
+    def _table(self, spark, path, n=200):
+        pdf = gen_pdf(n)
+        pdf["idx"] = range(n)
+        t = DeltaTable(spark, path)
+        return t.write(spark.createDataFrame(pdf).repartition(3))
+
+    def test_values_and_no_rewrite_of_untouched_rows(self, spark,
+                                                     tmp_table_dir):
+        import glob
+        t = self._table(spark, tmp_table_dir)
+        pq_before = set(glob.glob(f"{tmp_table_dir}/**/*.parquet",
+                                  recursive=True))
+        t2 = t.update({"f64": "f64 + 1000"}, where="idx < 40",
+                      mode="merge-on-read")
+        df = t2.to_df()
+        assert df.count() == 200                  # row count preserved
+        assert df.filter("idx < 40 and f64 < 1000").count() == 0
+        assert df.filter("idx >= 40 and f64 >= 1000").count() == 0
+        pq_after = set(glob.glob(f"{tmp_table_dir}/**/*.parquet",
+                                 recursive=True))
+        # originals still on disk untouched; only NEW small files added
+        assert pq_before <= pq_after
+        assert len(pq_after) > len(pq_before)
+        assert glob.glob(f"{tmp_table_dir}/deletion_vector_*.bin")
+
+    def test_update_then_delete_compose(self, spark, tmp_table_dir):
+        t = self._table(spark, tmp_table_dir)
+        t2 = t.update({"i64": "9999"}, where="idx < 50",
+                      mode="merge-on-read")
+        t3 = t2.delete("i64 = 9999", mode="merge-on-read")
+        assert t3.to_df().count() == 150
+        assert t3.to_df().filter("idx < 50").count() == 0
+
+    def test_no_match_is_noop(self, spark, tmp_table_dir):
+        t = self._table(spark, tmp_table_dir)
+        v = t.version
+        t2 = t.update({"f64": "0.0"}, where="idx > 10000",
+                      mode="merge-on-read")
+        assert t2.to_df().count() == 200
+        assert t2.to_df().filter("f64 = 0.0").count() == 0
+
+    def test_cdf_pre_and_post_images(self, spark, tmp_table_dir):
+        pdf = gen_pdf(100)
+        pdf["idx"] = range(100)
+        t = DeltaTable(spark, tmp_table_dir)
+        t = t.write(spark.createDataFrame(pdf).repartition(2))
+        t = t.set_properties({"delta.enableChangeDataFeed": "true",
+                              "delta.enableDeletionVectors": "true"})
+        t2 = t.update({"f64": "f64 + 50"}, where="idx < 10")  # auto mode
+        ch = t2.change_feed(start_version=t2.version - 1,
+                            end_version=t2.version)
+        pre = ch.filter("_change_type = 'update_preimage'").collect()
+        post = ch.filter("_change_type = 'update_postimage'").collect()
+        assert len(pre) == 10 and len(post) == 10
+        by_idx = {r["idx"]: r["f64"] for r in pre}
+        for r in post:
+            assert abs(r["f64"] - (by_idx[r["idx"]] + 50)) < 1e-9

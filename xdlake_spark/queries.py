@@ -990,6 +990,29 @@ def delta_update(spark, sf_dir):
                             F.round("l_quantity", 2).alias("qty"))
 
 
+@register("delta_update_dv", """
+SELECT l_orderkey, l_linenumber,
+       round(CASE WHEN l_quantity > 45 AND l_returnflag = 'A'
+                  THEN l_quantity * 2 ELSE l_quantity END, 2) AS qty
+FROM lineitem
+""")
+def delta_update_dv_q(spark, sf_dir):
+    """Merge-on-read UPDATE (table.py _dv_update): deletion vectors
+    mask the old versions of matching rows; ONLY the transformed rows
+    append as new files — untouched rows of hit files are never
+    rewritten. Same oracle as the copy-on-write variant: the two
+    strategies must be observationally identical."""
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        li, partition_by=["l_returnflag"])
+    t = t.update({"l_quantity": "l_quantity * 2"},
+                 "l_quantity > 45 AND l_returnflag = 'A'",
+                 mode="merge-on-read")
+    return t.to_df().select("l_orderkey", "l_linenumber",
+                            F.round("l_quantity", 2).alias("qty"))
+
+
 @register("delta_time_travel", """
 SELECT l_orderkey, l_linenumber
 FROM lineitem

@@ -1613,11 +1613,9 @@ class DeltaTable:
                     "writerFeatures": sorted(wf)}
         return up
 
-    def _dv_delete(self, candidates: dict[str, Add], pred,
-                   where_sql: "str | None", read_version: int,
-                   custom_metadata: dict | None) -> "DeltaTable":
-        """Merge-on-read DELETE: write deletion-vector bitmaps instead
-        of rewriting data files.
+    def _dv_mask_files(self, candidates: dict[str, Add], pred):
+        """Shared merge-on-read core: mask every pred-matching row out
+        of its file via deletion vectors.
 
         One job: scan the candidate files (old DVs anti-joined out so
         already-deleted rows can't re-match), tag each row with its
@@ -1629,7 +1627,9 @@ class DeltaTable:
         spec-layout ``.bin``, re-add the file with the descriptor
         (stats kept — min/max stay conservative for skipping), and
         tombstone the old add.  A file whose every physical row is
-        deleted is tombstoned outright instead of carrying a 100%% DV.
+        masked is tombstoned outright instead of carrying a 100%% DV.
+
+        Returns ``(new_adds, removes, n_hit_rows, hit_rels)``.
         """
         import dataclasses
 
@@ -1689,25 +1689,15 @@ class DeltaTable:
                                  "file string, dv binary, hits long")
                   .collect())  # one bitmap-sized row per hit file
 
-        if not packed:
-            entry = delete_table_entry(
-                [], [], where_sql or "<expr>", read_version,
-                {"num_added_files": 0, "num_removed_files": 0,
-                 "num_copied_rows": 0, "num_deleted_rows": 0},
-                custom_metadata)
-            return self._commit_checked(entry, read_version,
-                                        where_sql=where_sql)
-
         new_adds: list[Add] = []
         removes = []
-        n_deleted = 0
-        n_dv_files = 0
+        n_hit = 0
         now = timestamp_ms()
         for row in packed:
             rel = rel_of(row["file"])
             old = self.adds[rel]
             new_idx = deserialize_dv_data(bytes(row["dv"]))
-            n_deleted += int(row["hits"])
+            n_hit += int(row["hits"])
             old_desc = (old.extra or {}).get("deletionVector")
             all_idx = set(int(i) for i in new_idx)
             if old_desc:
@@ -1716,20 +1706,37 @@ class DeltaTable:
             removes.append(old.to_remove())
             total = (old.stats_dict or {}).get("numRecords")
             if total is not None and len(all_idx) >= int(total):
-                continue                  # fully deleted: tombstone only
+                continue                   # fully masked: tombstone only
             desc = write_dv_file(self.location, sorted(all_idx))
             add = dataclasses.replace(old, modificationTime=now)
             add.extra = {**{k: v for k, v in (old.extra or {}).items()},
                          "deletionVector": desc}
             new_adds.append(add)
-            n_dv_files += 1
+        hit_rels = sorted(rel_of(r["file"]) for r in packed)
+        return new_adds, removes, n_hit, hit_rels
+
+    def _dv_delete(self, candidates: dict[str, Add], pred,
+                   where_sql: "str | None", read_version: int,
+                   custom_metadata: dict | None) -> "DeltaTable":
+        """Merge-on-read DELETE: deletion-vector bitmaps instead of
+        rewriting data files (see :meth:`_dv_mask_files`)."""
+        new_adds, removes, n_deleted, hit_rels = \
+            self._dv_mask_files(candidates, pred)
+        if not hit_rels:
+            entry = delete_table_entry(
+                [], [], where_sql or "<expr>", read_version,
+                {"num_added_files": 0, "num_removed_files": 0,
+                 "num_copied_rows": 0, "num_deleted_rows": 0},
+                custom_metadata)
+            return self._commit_checked(entry, read_version,
+                                        where_sql=where_sql)
 
         metrics = {
             "num_added_files": 0,
             "num_removed_files": len(removes) - len(new_adds),
             "num_copied_rows": 0,
             "num_deleted_rows": int(n_deleted),
-            "num_deletion_vectors_added": n_dv_files,
+            "num_deletion_vectors_added": len(new_adds),
         }
         entry = delete_table_entry(new_adds, removes,
                                    where_sql or "<expr>", read_version,
@@ -1738,7 +1745,6 @@ class DeltaTable:
         if proto_up is not None:
             entry.actions.insert(0, proto_up)
         if self.cdf_enabled:
-            hit_rels = {rel_of(r["file"]) for r in packed}
             hit_adds = {r: self.adds[r] for r in hit_rels}
             deleted_rows = self._scan(hit_adds).filter(pred).withColumn(
                 self._CHANGE_TYPE, F.lit("delete"))
@@ -1750,20 +1756,30 @@ class DeltaTable:
 
     def update(self, set: dict[str, str],
                where: "str | Column | None" = None,
-               custom_metadata: dict | None = None) -> "DeltaTable":
+               custom_metadata: dict | None = None,
+               mode: str = "auto") -> "DeltaTable":
         """UPDATE ... SET (standard Delta operation; beyond reference
-        parity like MERGE/OPTIMIZE/VACUUM): predicate copy-on-write at
-        file granularity.
+        parity like MERGE/OPTIMIZE/VACUUM).
 
         ``set`` maps target column -> SQL expression over the row's
-        current values. Same two-phase shape as :meth:`delete`: manifest
-        prune + one agg job finds files that truly contain matching
-        rows; one write job rewrites ONLY those files, applying ``set``
-        to matching rows and copying the rest verbatim. Untouched files
-        keep their add actions. CHECK constraints are enforced on the
-        rewrite. Updating a partition column re-places rows into the
-        right hive directories automatically (the rewrite partitions by
-        the table's partition columns).
+        current values.  ``mode`` picks the physical strategy (same
+        contract as :meth:`delete`):
+
+        - ``"copy-on-write"``: manifest prune + one agg job finds files
+          that truly contain matching rows; one write job rewrites ONLY
+          those files, applying ``set`` to matching rows and copying
+          the rest verbatim.
+        - ``"merge-on-read"``: deletion vectors mask the OLD versions
+          of matching rows out of their files (no rewrite of untouched
+          rows) and only the transformed rows append as new files — an
+          update of 10 rows in a 1 GB file writes a KB bitmap plus a
+          10-row file instead of a 1 GB rewrite.
+        - ``"auto"``: merge-on-read when the table property
+          ``delta.enableDeletionVectors`` is ``true``.
+
+        Untouched files keep their add actions.  CHECK constraints are
+        enforced on every written row.  Updating a partition column
+        re-places rows into the right hive directories automatically.
         """
         self._require_mutable("UPDATE")
         if self.schema is None:
@@ -1789,6 +1805,16 @@ class DeltaTable:
         candidates = (prune_manifest(self.adds, where_sql,
                                      self.partition_columns)
                       if where_sql else self.adds)
+        if mode not in ("auto", "copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown update mode {mode!r}")
+        if mode == "auto":
+            cfg = self.log.metadata().configuration or {}
+            mode = "merge-on-read" \
+                if str(cfg.get("delta.enableDeletionVectors", "false")
+                       ).lower() == "true" else "copy-on-write"
+        if mode == "merge-on-read" and candidates:
+            return self._dv_update(candidates, set, pred, where_sql,
+                                   read_version, custom_metadata)
         rel_of = self._rel_by_uri(candidates)
         n_updated = 0
         hit_rels: list[str] = []
@@ -1851,6 +1877,70 @@ class DeltaTable:
                                    F.lit("update_postimage"))
             entry.actions.extend(
                 self._write_change_data(pre.unionByName(post)))
+        return self._commit_checked(entry, read_version,
+                                    where_sql=where_sql)
+
+    def _dv_update(self, candidates: dict[str, Add],
+                   set: dict[str, str], pred,
+                   where_sql: "str | None", read_version: int,
+                   custom_metadata: dict | None) -> "DeltaTable":
+        """Merge-on-read UPDATE: deletion vectors mask the old row
+        versions (:meth:`_dv_mask_files`); ONLY the transformed
+        matching rows are written out as new files — the non-matching
+        rows of hit files are never rewritten."""
+        hit_scan = self._scan(candidates).filter(pred)
+        out_cols = [f.name for f in self.schema.fields]
+        post = hit_scan.select([
+            F.expr(set[c]).cast(self.schema[c].dataType).alias(c)
+            if c in set else F.col(c) for c in out_cols])
+        post = self._apply_generated_columns(post, provided={*set})
+        appended = self._write_data(self._apply_constraints(post),
+                                    self.partition_columns)
+
+        dv_adds, removes, n_updated, hit_rels = \
+            self._dv_mask_files(candidates, pred)
+        if not hit_rels:
+            # no matching rows: drop the (empty) appended files
+            for a in appended:
+                loc = self.location.join(a.path)
+                if loc.exists():
+                    loc.delete()
+            entry = update_table_entry(
+                [], [], where_sql or "true", read_version,
+                {"num_added_files": 0, "num_removed_files": 0,
+                 "num_updated_rows": 0, "num_copied_rows": 0},
+                custom_metadata)
+            return self._commit_checked(entry, read_version,
+                                        where_sql=where_sql)
+
+        new_adds = [*dv_adds, *appended]
+        metrics = {
+            "num_added_files": len(appended),
+            "num_removed_files": len(removes) - len(dv_adds),
+            "num_updated_rows": int(n_updated),
+            "num_copied_rows": 0,
+            "num_deletion_vectors_added": len(dv_adds),
+        }
+        entry = update_table_entry(new_adds, removes,
+                                   where_sql or "true", read_version,
+                                   metrics, custom_metadata)
+        proto_up = self._dv_protocol_action()
+        if proto_up is not None:
+            entry.actions.insert(0, proto_up)
+        if self.cdf_enabled:
+            hit_adds_cdf = {r: self.adds[r] for r in hit_rels}
+            matched = self._scan(hit_adds_cdf).filter(pred)
+            pre = matched.withColumn(self._CHANGE_TYPE,
+                                     F.lit("update_preimage"))
+            post_cdf = matched.select([
+                F.expr(set[c]).cast(self.schema[c].dataType).alias(c)
+                if c in set else F.col(c) for c in out_cols])
+            post_cdf = self._apply_generated_columns(post_cdf,
+                                                     provided={*set})
+            post_cdf = post_cdf.withColumn(self._CHANGE_TYPE,
+                                           F.lit("update_postimage"))
+            entry.actions.extend(
+                self._write_change_data(pre.unionByName(post_cdf)))
         return self._commit_checked(entry, read_version,
                                     where_sql=where_sql)
 
