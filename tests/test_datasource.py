@@ -63,6 +63,38 @@ class TestStreamingFormat:
         assert got.filter("l_orderkey >= 9000000").count() == 50
 
 
+class TestSkipChangeCommits:
+    def test_dv_delete_commit_skipped(self, registered, tmp_table_dir,
+                                      lineitem):
+        """With skipChangeCommits, a merge-on-read DELETE's re-adds are
+        not re-emitted; without it the surviving rows of the DV'd file
+        come through again (ignoreChanges-style)."""
+        li = lineitem.limit(200)
+        t = DeltaTable(registered, tmp_table_dir).write(li)
+        out, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp()
+
+        def drain(skip):
+            q = (registered.readStream.format("xdlake")
+                 .option("skipChangeCommits", str(skip).lower())
+                 .load(tmp_table_dir)
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        drain(True)
+        assert registered.read.parquet(out).count() == 200
+        t = t.delete("l_quantity > 25", mode="merge-on-read")
+        append = li.limit(10).withColumn(
+            "l_orderkey", F.col("l_orderkey") + 9_000_000)
+        t.write(append)
+        drain(True)
+        got = registered.read.parquet(out)
+        # delete commit skipped entirely; append flowed through
+        assert got.count() == 210
+        assert got.filter("l_orderkey >= 9000000").count() == 10
+
+
 class TestStreamingSink:
     def test_per_batch_commits_and_idempotence(self, registered,
                                                tmp_table_dir, lineitem):

@@ -428,6 +428,15 @@ class TestDvUpdate:
         assert t2.to_df().count() == 200
         assert t2.to_df().filter("f64 = 0.0").count() == 0
 
+    def test_describe_detail_surfaces_dv_counts(self, spark,
+                                                 tmp_table_dir):
+        t = self._table(spark, tmp_table_dir)
+        t2 = t.delete("idx < 30", mode="merge-on-read")
+        d = t2.describe_detail()
+        assert d["numDeletionVectors"] >= 1
+        assert d["numDeletedRecords"] == 30
+        assert d["numRecords"] - d["numDeletedRecords"] == 170
+
     def test_cdf_pre_and_post_images(self, spark, tmp_table_dir):
         pdf = gen_pdf(100)
         pdf["idx"] = range(100)

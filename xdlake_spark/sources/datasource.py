@@ -121,8 +121,18 @@ def _dv_rows(loc, add) -> "list[int] | None":
 
 
 def _plan_partitions(location_url: str, start_v: int,
-                     end_v: int) -> list[_FilePartition]:
-    """Driver-side: manifest of files added in (start_v, end_v]."""
+                     end_v: int,
+                     skip_change_commits: bool = False,
+                     ) -> list[_FilePartition]:
+    """Driver-side: manifest of files added in (start_v, end_v].
+
+    ``skip_change_commits`` is Delta's ``skipChangeCommits``: a commit
+    that REMOVES data (delete/update/merge — copy-on-write rewrites
+    and deletion-vector re-adds alike) is skipped wholesale, so the
+    stream emits only pure appends and never re-emits rows a rewrite
+    or DV re-add carried.  Without it such commits re-emit their
+    surviving rows (the historical behavior, matching Delta's
+    ignoreChanges)."""
     from ..log import DeltaLog
     from .storage import Location
 
@@ -134,7 +144,11 @@ def _plan_partitions(location_url: str, start_v: int,
     parts: list[_FilePartition] = []
     for v in sorted(log.entries):
         if start_v < v <= end_v:
-            for add in log.entries[v].adds:
+            entry = log.entries[v]
+            if skip_change_commits and any(
+                    rm.dataChange for rm in entry.removes):
+                continue
+            for add in entry.adds:
                 if add.dataChange:
                     parts.append(_FilePartition(
                         loc.absloc(add.path).url,
@@ -195,9 +209,11 @@ def _plan_cdf_partitions(location_url: str, start_v: int,
 
 
 class _XdlakeStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, read_change_feed: bool = False):
+    def __init__(self, path: str, read_change_feed: bool = False,
+                 skip_change_commits: bool = False):
         self.path = path
         self.read_change_feed = read_change_feed
+        self.skip_change_commits = skip_change_commits
 
     def _current_version(self) -> int:
         from ..log import DeltaLog
@@ -213,10 +229,13 @@ class _XdlakeStreamReader(DataSourceStreamReader):
         return {"version": self._current_version()}
 
     def partitions(self, start: dict, end: dict):
-        plan = _plan_cdf_partitions if self.read_change_feed \
-            else _plan_partitions
-        return plan(self.path, int(start["version"]),
-                    int(end["version"]))
+        if self.read_change_feed:
+            return _plan_cdf_partitions(self.path,
+                                        int(start["version"]),
+                                        int(end["version"]))
+        return _plan_partitions(self.path, int(start["version"]),
+                                int(end["version"]),
+                                self.skip_change_commits)
 
     def read(self, partition) -> Iterator:
         yield from _read_file_partition(partition)
@@ -303,8 +322,11 @@ class XdlakeDataSource(DataSource):
         return _XdlakeBatchReader(self._path())
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        skip = str(self.options.get("skipChangeCommits", "false")
+                   ).lower() == "true"
         return _XdlakeStreamReader(self._path(),
-                                   read_change_feed=self._cdf())
+                                   read_change_feed=self._cdf(),
+                                   skip_change_commits=skip)
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> "DataSourceStreamWriter":

@@ -760,6 +760,14 @@ class DeltaTable:
             "sizeInBytes": sum(a.size or 0 for a in self.adds.values()),
             "numRecords": sum((a.stats_dict or {}).get("numRecords", 0)
                               for a in self.adds.values()),
+            # physical numRecords minus DV cardinality = logical rows
+            "numDeletionVectors": sum(
+                1 for a in self.adds.values()
+                if (a.extra or {}).get("deletionVector")),
+            "numDeletedRecords": sum(
+                int(((a.extra or {}).get("deletionVector") or {})
+                    .get("cardinality") or 0)
+                for a in self.adds.values()),
             "partitionColumns": list(self.partition_columns),
             "properties": dict(md.configuration or {}),
             "minReaderVersion": self.log.protocol().minReaderVersion,
