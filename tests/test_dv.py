@@ -453,3 +453,33 @@ class TestDvUpdate:
         by_idx = {r["idx"]: r["f64"] for r in pre}
         for r in post:
             assert abs(r["f64"] - (by_idx[r["idx"]] + 50)) < 1e-9
+
+
+class TestReorgPurge:
+    def test_purge_materializes_and_drops_dvs(self, spark,
+                                              tmp_table_dir):
+        import glob
+        pdf = gen_pdf(200)
+        pdf["idx"] = range(200)
+        t = DeltaTable(spark, tmp_table_dir).write(
+            spark.createDataFrame(pdf).repartition(3))
+        t = t.delete("idx < 60", mode="merge-on-read")
+        assert t.describe_detail()["numDeletionVectors"] >= 1
+        t2 = t.reorg_purge()
+        assert t2.to_df().count() == 140
+        assert t2.to_df().filter("idx < 60").count() == 0
+        d = t2.describe_detail()
+        assert d["numDeletionVectors"] == 0
+        assert d["numRecords"] == 140            # physical == logical now
+        # superseded bitmaps reclaimed by vacuum
+        doomed = t2.vacuum(retention_hours=0.0)
+        assert any(p.startswith("deletion_vector_") for p in doomed)
+        assert DeltaTable(spark, tmp_table_dir).to_df().count() == 140
+
+    def test_purge_noop_without_dvs(self, spark, tmp_table_dir):
+        pdf = gen_pdf(50)
+        t = DeltaTable(spark, tmp_table_dir).write(
+            spark.createDataFrame(pdf))
+        v = t.version
+        assert t.reorg_purge() is t             # no commit
+        assert t.version == v

@@ -2207,6 +2207,37 @@ class DeltaTable:
         return self._commit_checked(entry, self.version,
                                     reads_table=False)
 
+    def reorg_purge(self, where: str | None = None,
+                    custom_metadata: dict | None = None) -> "DeltaTable":
+        """REORG TABLE ... APPLY (PURGE) (delta-spark parity): rewrite
+        ONLY the files carrying deletion vectors, materializing their
+        soft deletes into clean parquet and dropping the bitmaps.
+        DV-free files are untouched — the targeted complement to
+        merge-on-read DELETE/UPDATE: deletes stay cheap day-to-day,
+        and a periodic purge bounds the DV read-time anti-join cost.
+        ``where`` restricts to a partition predicate (manifest prune).
+        Superseded DV ``.bin`` files become VACUUM-reclaimable via the
+        descriptors carried on the tombstones."""
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        self._require_mutable("REORG PURGE")
+        scope = (prune_manifest(self.adds, where, self.partition_columns)
+                 if where else self.adds)
+        dv_files = {p: a for p, a in scope.items()
+                    if (a.extra or {}).get("deletionVector")}
+        if not dv_files:
+            return self
+        df = self._scan(dv_files)            # DV anti-join applied
+        new_adds = self._write_data(df, self.partition_columns)
+        removes = [a.to_remove() for a in dv_files.values()]
+        metrics = {"numFilesAdded": len(new_adds),
+                   "numFilesRemoved": len(removes),
+                   "numDeletionVectorsRemoved": len(dv_files)}
+        entry = optimize_table_entry(new_adds, removes, self.version,
+                                     metrics, custom_metadata)
+        return self._commit_checked(entry, self.version,
+                                    reads_table=False)
+
     def _zorder(self, columns: list[str], target_file_size: int,
                 custom_metadata: dict | None,
                 scope: dict[str, Add] | None = None) -> "DeltaTable":
