@@ -483,3 +483,37 @@ class TestReorgPurge:
         v = t.version
         assert t.reorg_purge() is t             # no commit
         assert t.version == v
+
+
+class TestDvConcurrency:
+    def test_concurrent_dv_deletes_same_file_conflict(self, spark,
+                                                      tmp_table_dir):
+        """Two handles DV-deleting rows of the SAME file: the second
+        commit's bitmap was computed against a superseded add — it must
+        raise CommitConflictError, not silently drop the first delete."""
+        from xdlake_spark.table import CommitConflictError
+        pdf = gen_pdf(100)
+        pdf["idx"] = range(100)
+        base = DeltaTable(spark, tmp_table_dir).write(
+            spark.createDataFrame(pdf).coalesce(1))
+        h1 = DeltaTable(spark, tmp_table_dir)
+        h2 = DeltaTable(spark, tmp_table_dir)
+        h1.delete("idx < 10", mode="merge-on-read")
+        with pytest.raises(CommitConflictError):
+            h2.delete("idx >= 90", mode="merge-on-read")
+
+    def test_concurrent_append_rebases_past_dv_delete(self, spark,
+                                                      tmp_table_dir):
+        pdf = gen_pdf(100)
+        pdf["idx"] = range(100)
+        base = DeltaTable(spark, tmp_table_dir).write(
+            spark.createDataFrame(pdf).coalesce(1))
+        h1 = DeltaTable(spark, tmp_table_dir)
+        h2 = DeltaTable(spark, tmp_table_dir)
+        h1.delete("idx < 10", mode="merge-on-read")
+        pdf2 = gen_pdf(20)
+        pdf2["idx"] = range(1000, 1020)
+        out = h2.write(spark.createDataFrame(pdf2), mode="append",
+                       max_commit_retries=3)
+        fresh = DeltaTable(spark, tmp_table_dir)
+        assert fresh.to_df().count() == 110   # 90 survivors + 20 new

@@ -420,7 +420,12 @@ class DeltaTable:
         version window; compaction rewrites (``dataChange=false``) are
         excluded. Row-level deletes are not replayed as retractions —
         this is the append stream, the common feed for training-data
-        ingestion. The scan is manifest-driven: no listing, no diffing.
+        ingestion. Delete/update commits re-emit their surviving rows
+        (copy-on-write rewrites and deletion-vector re-adds behave
+        identically); use :meth:`change_feed` for true row-level
+        semantics, or the streaming source's ``skipChangeCommits`` to
+        drop such commits wholesale. The scan is manifest-driven: no
+        listing, no diffing.
         """
         full = DeltaLog.load(self.log_location, use_checkpoint=False)
         end = end_version if end_version is not None else full.version
