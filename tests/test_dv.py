@@ -517,3 +517,40 @@ class TestDvConcurrency:
                        max_commit_retries=3)
         fresh = DeltaTable(spark, tmp_table_dir)
         assert fresh.to_df().count() == 110   # 90 survivors + 20 new
+
+
+class TestPackedDvFile:
+    def test_one_bin_per_commit_many_files(self, spark, tmp_table_dir):
+        import glob
+        pdf = gen_pdf(300)
+        pdf["idx"] = range(300)
+        t = DeltaTable(spark, tmp_table_dir).write(
+            spark.createDataFrame(pdf).repartition(6))
+        t2 = t.delete("idx % 3 = 0", mode="merge-on-read")
+        # six hit files, ONE deletion-vector .bin
+        descs = [(a.extra or {}).get("deletionVector")
+                 for a in t2.adds.values()]
+        descs = [d for d in descs if d]
+        assert len(descs) == 6
+        assert len({d["pathOrInlineDv"] for d in descs}) == 1
+        assert len({d["offset"] for d in descs}) == 6
+        assert len(glob.glob(
+            f"{tmp_table_dir}/deletion_vector_*.bin")) == 1
+        assert t2.to_df().count() == 200
+        # every descriptor decodes independently from its offset
+        from xdlake_spark.log.dv import deleted_row_indexes
+        total = sum(len(deleted_row_indexes(t2.location, d))
+                    for d in descs)
+        assert total == 100
+
+    def test_tight_bounds_false_on_dv_adds(self, spark, tmp_table_dir):
+        pdf = gen_pdf(100)
+        pdf["idx"] = range(100)
+        t = DeltaTable(spark, tmp_table_dir).write(
+            spark.createDataFrame(pdf).coalesce(1))
+        t2 = t.delete("idx < 5", mode="merge-on-read")
+        add = next(a for a in t2.adds.values()
+                   if (a.extra or {}).get("deletionVector"))
+        assert add.stats_dict.get("tightBounds") is False
+        # min/max survive for (conservative) skipping
+        assert "minValues" in add.stats_dict

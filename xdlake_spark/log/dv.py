@@ -283,14 +283,32 @@ def write_dv_file(location, row_indexes,
                   use_runs: bool = False) -> dict:
     """Write a spec-layout DV file under the table root and return the
     add-action descriptor referencing it ('u' storage)."""
-    data = serialize_dv_data(row_indexes, use_runs=use_runs)
+    return write_dv_files_packed(location, [row_indexes],
+                                 use_runs=use_runs)[0]
+
+
+def write_dv_files_packed(location, index_sets,
+                          use_runs: bool = False) -> "list[dict]":
+    """Pack MANY deletion vectors into ONE spec-layout ``.bin`` (the
+    delta-spark convention): a single 1-byte-version file whose entries
+    sit at increasing offsets, each ``<4B BE size><data><4B BE crc>``.
+    Returns one descriptor per input index set, all sharing the same
+    ``pathOrInlineDv`` with distinct offsets.  At scale this turns a
+    delete touching thousands of files into ONE object-store PUT
+    instead of thousands."""
     u = _uuid.uuid4()
     rel = f"deletion_vector_{u}.bin"
-    body = (b"\x01" + struct.pack(">i", len(data)) + data +
-            struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
-    location.join(rel).write_bytes(body)
-    return {"storageType": "u",
-            "pathOrInlineDv": z85_encode(u.bytes),
-            "offset": 1,
-            "sizeInBytes": len(data),
-            "cardinality": len(set(int(v) for v in row_indexes))}
+    body = bytearray(b"\x01")
+    descs: list[dict] = []
+    for row_indexes in index_sets:
+        data = serialize_dv_data(row_indexes, use_runs=use_runs)
+        descs.append({"storageType": "u",
+                      "pathOrInlineDv": z85_encode(u.bytes),
+                      "offset": len(body),
+                      "sizeInBytes": len(data),
+                      "cardinality": len(set(int(v)
+                                             for v in row_indexes))})
+        body += struct.pack(">i", len(data)) + data + \
+            struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    location.join(rel).write_bytes(bytes(body))
+    return descs

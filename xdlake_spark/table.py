@@ -1649,7 +1649,7 @@ class DeltaTable:
         import pandas as pd
 
         from .log.dv import (deleted_row_indexes, deserialize_dv_data,
-                             serialize_dv_data, write_dv_file)
+                             serialize_dv_data, write_dv_files_packed)
 
         dv_candidates = {p: a for p, a in candidates.items()
                          if (a.extra or {}).get("deletionVector")}
@@ -1702,10 +1702,10 @@ class DeltaTable:
                                  "file string, dv binary, hits long")
                   .collect())  # one bitmap-sized row per hit file
 
-        new_adds: list[Add] = []
         removes = []
         n_hit = 0
         now = timestamp_ms()
+        keep: list[tuple[Add, set]] = []     # (old add, merged indexes)
         for row in packed:
             rel = rel_of(row["file"])
             old = self.adds[rel]
@@ -1720,10 +1720,27 @@ class DeltaTable:
             total = (old.stats_dict or {}).get("numRecords")
             if total is not None and len(all_idx) >= int(total):
                 continue                   # fully masked: tombstone only
-            desc = write_dv_file(self.location, sorted(all_idx))
+            keep.append((old, all_idx))
+        # ONE packed .bin for the whole commit (delta-spark convention):
+        # a delete touching thousands of files costs one PUT, not
+        # thousands — each descriptor points at its offset
+        descs = write_dv_files_packed(
+            self.location, [sorted(idx) for _, idx in keep]) \
+            if keep else []
+        new_adds: list[Add] = []
+        for (old, _idx), desc in zip(keep, descs):
             add = dataclasses.replace(old, modificationTime=now)
             add.extra = {**{k: v for k, v in (old.extra or {}).items()},
                          "deletionVector": desc}
+            # spec: stats under a DV are no longer tight row bounds
+            sd = add.stats_dict
+            if sd is not None and "tightBounds" not in sd:
+                import json as _json
+                add = dataclasses.replace(
+                    add, stats=_json.dumps({**sd, "tightBounds": False}))
+                add.extra = {**{k: v
+                                for k, v in (old.extra or {}).items()},
+                             "deletionVector": desc}
             new_adds.append(add)
         hit_rels = sorted(rel_of(r["file"]) for r in packed)
         return new_adds, removes, n_hit, hit_rels
