@@ -650,3 +650,91 @@ class TestJpegProgressive:
         data[i + 1] = 0xC9                       # SOF9: arithmetic
         with pytest.raises(NotImplementedError, match="unsupported"):
             C.parse_jpeg(bytes(data) + b"\xFF\xD9")
+
+
+class TestCodecProperties:
+    """Hypothesis property tests: the lossless codecs roundtrip
+    arbitrary inputs exactly; the lossy ones never crash and stay
+    in-range."""
+
+    def test_flac_roundtrip_random_pcm(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        @settings(max_examples=25, deadline=None)
+        @given(arrays(np.int16, st.integers(3, 700),
+                      elements=st.integers(-32768, 32767)),
+               st.sampled_from([127, 256, 4096]))
+        def run(sig, block):
+            _, pcm = C.parse_flac(C.encode_flac(sig, 8000,
+                                                block_size=block))
+            assert (pcm[:, 0] == sig).all()
+        run()
+
+    def test_gif_roundtrip_random_rasters(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        @settings(max_examples=20, deadline=None)
+        @given(st.integers(1, 40), st.integers(1, 40),
+               st.integers(2, 256), st.booleans(), st.randoms())
+        def run(h, w, ncolors, interlace, rnd):
+            rng = np.random.default_rng(rnd.randint(0, 2**31))
+            pal = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+            idx = rng.integers(0, ncolors, (h, w), dtype=np.uint8)
+            out = C.parse_gif(C.encode_gif(idx, pal,
+                                           interlace=interlace))
+            assert (out == pal[idx]).all()
+        run()
+
+    def test_g711_idempotent_on_own_levels(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        @settings(max_examples=25, deadline=None)
+        @given(arrays(np.int16, st.integers(1, 500),
+                      elements=st.integers(-32768, 32767)))
+        def run(pcm):
+            for enc, dec in ((C.ulaw_encode, C.ulaw_decode),
+                             (C.alaw_encode, C.alaw_decode)):
+                level = dec(enc(pcm))
+                assert (dec(enc(level)) == level).all()
+        run()
+
+    def test_jpeg_random_images_bounded(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=10, deadline=None)
+        @given(st.integers(1, 40), st.integers(1, 40), st.booleans(),
+               st.integers(0, 4), st.randoms())
+        def run(h, w, sub, rst, rnd):
+            rng = np.random.default_rng(rnd.randint(0, 2**31))
+            pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            dec = C.parse_jpeg(C.encode_jpeg(pix, quality=85,
+                                             subsample=sub,
+                                             restart_interval=rst))
+            assert dec.shape == (h, w, 3)
+            assert dec.dtype == np.uint8
+        run()
+
+    def test_adpcm_bounded_error_on_smooth_signals(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=15, deadline=None)
+        @given(st.floats(50, 3000), st.floats(0.05, 0.9), st.randoms())
+        def run(freq, amp, rnd):
+            n = 801
+            t = np.arange(n) / 8000.0
+            sig = (np.sin(2 * np.pi * freq * t) * amp * 32767) \
+                .astype(np.int16)
+            rec = C.ima_adpcm_decode_block(
+                C.ima_adpcm_encode_block(sig), n)
+            err = rec.astype(float) - sig.astype(float)
+            # step tracking bounds error well under full scale
+            assert np.abs(err).max() < 0.35 * 32767 * amp + 2000
+        run()
