@@ -165,8 +165,8 @@ class TestCheckpointProtocolFeatures:
                 if "protocol" in obj:
                     obj["protocol"] = {
                         "minReaderVersion": 3, "minWriterVersion": 7,
-                        "readerFeatures": ["v2Checkpoint"],
-                        "writerFeatures": ["v2Checkpoint"]}
+                        "readerFeatures": ["typeWidening"],
+                        "writerFeatures": ["typeWidening"]}
                 lines.append(_json.dumps(obj))
         with open(log_file, "w") as fh:
             fh.write("\n".join(lines) + "\n")
@@ -190,10 +190,10 @@ class TestCheckpointProtocolFeatures:
         # recovered from version 0
         assert 0 in log.entries
         assert log.protocol().extra.get("readerFeatures") \
-            == ["v2Checkpoint"]
+            == ["typeWidening"]
         # and the reader gate still refuses the scan
         t = DeltaTable(spark, tmp_table_dir)
-        with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+        with pytest.raises(NotImplementedError, match="typeWidening"):
             t.to_df().count()
 
     def test_stripped_checkpoint_with_cleaned_log_refuses(
@@ -319,4 +319,209 @@ class TestForeignCheckpointRead:
         assert set(log.entries) == {2}
         assert set(log.add_actions()) == set(adds)
         assert log.schema() == full.schema()
+        assert DeltaTable(spark, tmp_table_dir).to_df().count() == 30
+
+
+class TestCheckpointTxnAndLayouts:
+    """Round-6 checkpoint upgrades: txn watermarks survive the collapse,
+    and all three spec layouts (classic / multi-part / v2+sidecar) read
+    back to the same replayed state."""
+
+    def test_txn_watermark_survives_checkpoint(self, spark, tmp_table_dir):
+        from xdlake_spark.log import SetTransaction, append_table_entry
+
+        t = _build(spark, tmp_table_dir, 9)  # versions 0..8
+        entry = append_table_entry(
+            [], [], txn=SetTransaction(appId="stream-app", version=41,
+                                       lastUpdated=1))
+        t = t._commit(entry)  # v9
+        df = spark.range(5).select(
+            F.col("id"), F.lit("0").alias("cat"))
+        t = t.write(df)  # v10 -> checkpoint written at 10
+
+        log_dir = os.path.join(tmp_table_dir, "_delta_log")
+        loc = Location.resolve(log_dir)
+        assert last_checkpoint_version(loc) == 10
+        fast = DeltaLog.load(loc)
+        # fast path taken: the txn's own JSON (v9) was NOT re-parsed
+        assert set(fast.entries) == {10}
+        # ...yet the idempotence watermark is still known (the
+        # checkpoint carries the latest txn per appId, per spec)
+        assert fast.latest_txn_version("stream-app") == 41
+        assert DeltaTable(spark, tmp_table_dir).txn_version(
+            "stream-app") == 41
+
+    def test_txn_chains_across_checkpoints(self, spark, tmp_table_dir):
+        """A second checkpoint (loaded from the first, lazy JSON) must
+        re-carry the watermark it learned from checkpoint rows."""
+        from xdlake_spark.log import SetTransaction, append_table_entry
+        from xdlake_spark.log.checkpoint import write_checkpoint
+
+        t = _build(spark, tmp_table_dir, 2)  # v0..1
+        t = t._commit(append_table_entry(
+            [], [], txn=SetTransaction(appId="app", version=5)))  # v2
+        log_dir = Location.resolve(
+            os.path.join(tmp_table_dir, "_delta_log"))
+        write_checkpoint(log_dir, DeltaLog.load(log_dir))  # cp at v2
+        t = DeltaTable(spark, tmp_table_dir)
+        df = spark.range(3).select(F.col("id"), F.lit("0").alias("cat"))
+        t = t.write(df)  # v3
+        # second checkpoint built FROM the checkpointed load
+        write_checkpoint(log_dir, DeltaLog.load(log_dir))  # cp at v3
+        fast = DeltaLog.load(log_dir)
+        assert set(fast.entries) == {3}
+        assert fast.latest_txn_version("app") == 5
+
+    def test_multipart_roundtrip(self, spark, tmp_table_dir):
+        from xdlake_spark.log.checkpoint import (multipart_filename,
+                                                 write_checkpoint)
+
+        t = _build(spark, tmp_table_dir, 3)  # v0..2, 9 adds + md + proto
+        log_dir = os.path.join(tmp_table_dir, "_delta_log")
+        loc = Location.resolve(log_dir)
+        full = DeltaLog.load(loc, use_checkpoint=False)
+        n = write_checkpoint(loc, full, part_size=4)
+        n_parts = -(-n // 4)
+        assert n_parts > 1
+        assert not os.path.exists(
+            os.path.join(log_dir, checkpoint_filename(2)))
+        for i in range(1, n_parts + 1):
+            assert os.path.exists(os.path.join(
+                log_dir, multipart_filename(2, i, n_parts)))
+
+        fast = DeltaLog.load(loc)
+        assert set(fast.entries) == {2}
+        assert set(fast.add_actions()) == set(full.add_actions())
+        assert fast.schema() == full.schema()
+        assert DeltaTable(spark, tmp_table_dir).to_df().count() == 30
+
+    def test_multipart_missing_part_refuses_fast_path(
+            self, spark, tmp_table_dir):
+        """An incomplete part set must not silently replay a partial
+        state — the loader falls back to full JSON replay."""
+        from xdlake_spark.log.checkpoint import (multipart_filename,
+                                                 write_checkpoint)
+
+        t = _build(spark, tmp_table_dir, 3)
+        log_dir = os.path.join(tmp_table_dir, "_delta_log")
+        loc = Location.resolve(log_dir)
+        n = write_checkpoint(loc, DeltaLog.load(loc, use_checkpoint=False),
+                             part_size=4)
+        n_parts = -(-n // 4)
+        os.remove(os.path.join(log_dir,
+                               multipart_filename(2, n_parts, n_parts)))
+        log = DeltaLog.load(loc)  # falls back (JSON reaches version 0)
+        assert set(log.entries) == {0, 1, 2}
+        assert DeltaTable(spark, tmp_table_dir).to_df().count() == 30
+
+    def test_v2_write_and_read(self, spark, tmp_table_dir):
+        from xdlake_spark.log import SetTransaction, append_table_entry
+        from xdlake_spark.log.checkpoint import write_checkpoint
+
+        t = _build(spark, tmp_table_dir, 2)
+        t = t._commit(append_table_entry(
+            [], [], txn=SetTransaction(appId="app", version=3)))  # v2
+        log_dir = os.path.join(tmp_table_dir, "_delta_log")
+        loc = Location.resolve(log_dir)
+        full = DeltaLog.load(loc, use_checkpoint=False)
+        write_checkpoint(loc, full, v2=True)
+        assert not os.path.exists(
+            os.path.join(log_dir, checkpoint_filename(2)))
+        uuid_named = [n for n in os.listdir(log_dir)
+                      if n.startswith(f"{2:020d}.checkpoint.")
+                      and n.endswith(".parquet")]
+        assert len(uuid_named) == 1
+
+        fast = DeltaLog.load(loc)
+        assert set(fast.entries) == {2}
+        assert set(fast.add_actions()) == set(full.add_actions())
+        assert fast.latest_txn_version("app") == 3
+        assert DeltaTable(spark, tmp_table_dir).to_df().count() == 20
+
+    def test_v2_commit_path_writes_v2_when_protocol_demands(
+            self, spark, tmp_table_dir):
+        from xdlake_spark.log import DeltaLogEntry
+        from xdlake_spark.log.actions import Protocol, TableCommit
+
+        t = _build(spark, tmp_table_dir, 9)  # v0..8
+        up = Protocol(minReaderVersion=3, minWriterVersion=7)
+        up.extra = {
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["appendOnly", "invariants",
+                               "v2Checkpoint"]}
+        t = t._commit(DeltaLogEntry([up, TableCommit(
+            operation="UPGRADE PROTOCOL")]))  # v9
+        df = spark.range(5).select(F.col("id"), F.lit("0").alias("cat"))
+        t = t.write(df)  # v10 -> auto checkpoint, must be v2 form
+        log_dir = os.path.join(tmp_table_dir, "_delta_log")
+        assert not os.path.exists(
+            os.path.join(log_dir, checkpoint_filename(10)))
+        assert last_checkpoint_version(Location.resolve(log_dir)) == 10
+        loc = Location.resolve(log_dir)
+        fast = DeltaLog.load(loc)
+        assert set(fast.entries) == {10}
+        assert DeltaTable(spark, tmp_table_dir).to_df().count() == 95
+
+    def test_v2_json_manifest_with_sidecars(self, spark, tmp_table_dir):
+        """Foreign-engine v2 layout: JSON manifest + parquet sidecars
+        under _delta_log/_sidecars/ (hand-built to the spec)."""
+        import io
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from xdlake_spark.log.checkpoint import _SCHEMA
+
+        t = _build(spark, tmp_table_dir, 3)  # v0..2
+        log_dir = os.path.join(tmp_table_dir, "_delta_log")
+        full = DeltaLog.load(Location.resolve(log_dir),
+                             use_checkpoint=False)
+        md = full.metadata()
+        adds = list(full.add_actions().values())
+
+        # two sidecars, adds split between them
+        os.makedirs(os.path.join(log_dir, "_sidecars"), exist_ok=True)
+        blank = {f.name: None for f in _SCHEMA}
+        sidecar_names = []
+        for i, chunk in enumerate([adds[:len(adds) // 2],
+                                   adds[len(adds) // 2:]]):
+            rows = [{**blank, "add": {
+                "path": a.path,
+                "partitionValues": list((a.partitionValues or {}).items()),
+                "size": a.size, "modificationTime": a.modificationTime,
+                "dataChange": False, "stats": a.stats,
+                "deletionVector": None}} for a in chunk]
+            buf = io.BytesIO()
+            pq.write_table(pa.Table.from_pylist(rows, schema=_SCHEMA), buf)
+            name = f"sidecar-{i}.parquet"
+            with open(os.path.join(log_dir, "_sidecars", name),
+                      "wb") as fh:
+                fh.write(buf.getvalue())
+            sidecar_names.append(name)
+
+        manifest = [
+            {"checkpointMetadata": {"version": 2}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {
+                "id": md.id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": md.schemaString,
+                "partitionColumns": list(md.partitionColumns),
+                "configuration": {}, "createdTime": md.createdTime}},
+            {"txn": {"appId": "foreign-stream", "version": 9}},
+        ] + [{"sidecar": {"path": n, "sizeInBytes": 1,
+                          "modificationTime": 1}}
+             for n in sidecar_names]
+        mname = f"{2:020d}.checkpoint." \
+                "0f0e0d0c-0b0a-0908-0706-050403020100.json"
+        with open(os.path.join(log_dir, mname), "w") as fh:
+            fh.write("\n".join(_json.dumps(m) for m in manifest))
+        with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+            fh.write(_json.dumps({"version": 2, "size": len(manifest)}))
+
+        log = DeltaLog.load(Location.resolve(log_dir))
+        assert set(log.entries) == {2}
+        assert set(log.add_actions()) == {a.path for a in adds}
+        assert log.latest_txn_version("foreign-stream") == 9
         assert DeltaTable(spark, tmp_table_dir).to_df().count() == 30

@@ -11,27 +11,52 @@ so a reader parses one parquet file + only the JSON entries after it.
 
 Layout follows the Delta spec's classic checkpoint: one parquet file, one
 row per action, one struct column per action type (protocol / metaData /
-add / remove), exactly one non-null struct per row.
+add / remove / txn), exactly one non-null struct per row. Reading also
+understands the spec's two other checkpoint layouts written by foreign
+engines:
+
+- **multi-part classic**: ``{v:020}.checkpoint.{i:010}.{n:010}.parquet``,
+  actions distributed arbitrarily across the ``n`` parts
+  (``_last_checkpoint`` carries ``"parts"``); written by this engine too
+  when ``part_size`` caps rows per file so a 100 TB table's multi-million
+  -file manifest parallelizes across writers/readers;
+- **v2 / UUID-named**: ``{v:020}.checkpoint.{uuid}.{parquet|json}`` — a
+  manifest holding protocol/metaData/txn plus ``sidecar`` actions that
+  point at add/remove-bearing parquet files under ``_delta_log/_sidecars/``
+  (reader feature ``v2Checkpoint``). File actions may also appear inline.
 """
 
 from __future__ import annotations
 
 import json
+import re
 from typing import TYPE_CHECKING
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .actions import Action, Add, Protocol, Remove, TableMetadata
+from .actions import (Action, Add, Protocol, Remove, SetTransaction,
+                      TableMetadata)
 
 if TYPE_CHECKING:
     from . import DeltaLog
 
 LAST_CHECKPOINT = "_last_checkpoint"
 
+#: multi-part classic checkpoint: version, part index (1-based), n parts
+_MULTIPART_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+#: v2 UUID-named checkpoint manifest
+_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.[0-9a-fA-F-]{8,}\.(parquet|json)$")
+
 
 def checkpoint_filename(version: int) -> str:
     return f"{version:020d}.checkpoint.parquet"
+
+
+def multipart_filename(version: int, part: int, parts: int) -> str:
+    return f"{version:020d}.checkpoint.{part:010d}.{parts:010d}.parquet"
 
 
 #: deletionVector descriptor struct (spec field names/types).
@@ -86,6 +111,15 @@ _SCHEMA = pa.schema([
         pa.field("size", pa.int64()),
         pa.field("deletionVector", _DV_STRUCT),  # VACUUM needs it
     ])),
+    # Delta spec: a checkpoint MUST carry the latest txn action per
+    # appId — without it a checkpointed reload forgets the streaming
+    # sink's idempotence watermark and a replayed micro-batch commits
+    # twice (latest_txn_version only scans loaded entries)
+    pa.field("txn", pa.struct([
+        pa.field("appId", pa.string()),
+        pa.field("version", pa.int64()),
+        pa.field("lastUpdated", pa.int64()),
+    ])),
 ])
 
 
@@ -93,13 +127,22 @@ def _row(kind: str, body: dict) -> dict:
     return {f.name: (body if f.name == kind else None) for f in _SCHEMA}
 
 
-def write_checkpoint(log_location, log: "DeltaLog") -> int:
+def write_checkpoint(log_location, log: "DeltaLog",
+                     part_size: int = 0, v2: bool = False) -> int:
     """Materialize ``log``'s replayed state at its current version.
 
-    Includes: protocol, newest metaData, every live add, and every
-    remove tombstone whose file is not live (kept so VACUUM still sees
-    them after older JSON entries stop being read). Returns the number
-    of actions written.
+    Includes: protocol, newest metaData, every live add, every remove
+    tombstone whose file is not live (kept so VACUUM still sees them
+    after older JSON entries stop being read), and the latest ``txn``
+    watermark per appId (streaming idempotence must survive the
+    checkpoint collapsing its JSON commit). Returns the number of
+    actions written.
+
+    ``part_size`` > 0 caps rows per file: the state is split into the
+    spec's multi-part layout (``{v}.checkpoint.{i}.{n}.parquet`` +
+    ``"parts"`` in ``_last_checkpoint``) so a huge table's manifest is
+    written — and later read — as parallel chunks instead of one
+    monolithic file.
     """
     version = log.version
     rows: list[dict] = []
@@ -150,33 +193,214 @@ def write_checkpoint(log_location, log: "DeltaLog") -> int:
             "deletionVector": (rm.extra or {}).get("deletionVector"),
         }))
 
-    table = pa.Table.from_pylist(rows, schema=_SCHEMA)
+    # latest txn watermark per appId (a prior checkpoint's txn rows are
+    # in log.entries[cp_v], so watermarks chain across checkpoints)
+    txns: dict[str, SetTransaction] = {}
+    for v in sorted(log.entries):
+        for a in log.entries[v].actions:
+            if isinstance(a, SetTransaction):
+                prev = txns.get(a.appId)
+                if prev is None or a.version > prev.version:
+                    txns[a.appId] = a
+    for t in txns.values():
+        rows.append(_row("txn", {
+            "appId": t.appId, "version": t.version,
+            "lastUpdated": t.lastUpdated,
+        }))
+
     import io
-    buf = io.BytesIO()
-    pq.write_table(table, buf)
-    log_location.join(checkpoint_filename(version)).write_bytes(
-        buf.getvalue())
-    log_location.join(LAST_CHECKPOINT).write_bytes(json.dumps(
-        {"version": version, "size": len(rows)}).encode())
+
+    def _write_rows(chunk: list[dict], name: str,
+                    schema: pa.Schema = _SCHEMA) -> None:
+        buf = io.BytesIO()
+        pq.write_table(pa.Table.from_pylist(chunk, schema=schema), buf)
+        log_location.join(name).write_bytes(buf.getvalue())
+
+    pointer = {"version": version, "size": len(rows)}
+    if v2:
+        # v2 manifest: UUID-named, carries a checkpointMetadata row;
+        # file actions stay inline (the spec allows either inline or
+        # sidecars — inline keeps single-writer commits one PUT)
+        import uuid as _uuid
+        schema = _v2_schema()
+        v2_rows = [{**{f.name: None for f in schema},
+                    "checkpointMetadata": {"version": version}}]
+        v2_rows += [{**r, "checkpointMetadata": None, "sidecar": None}
+                    for r in rows]
+        _write_rows(v2_rows, f"{version:020d}.checkpoint."
+                             f"{_uuid.uuid4()}.parquet", schema)
+        pointer["size"] = len(v2_rows)
+    elif part_size and len(rows) > part_size:
+        chunks = [rows[i:i + part_size]
+                  for i in range(0, len(rows), part_size)]
+        for i, chunk in enumerate(chunks, start=1):
+            _write_rows(chunk, multipart_filename(version, i, len(chunks)))
+        pointer["parts"] = len(chunks)
+    else:
+        _write_rows(rows, checkpoint_filename(version))
+    log_location.join(LAST_CHECKPOINT).write_bytes(
+        json.dumps(pointer).encode())
     return len(rows)
 
 
-def last_checkpoint_version(log_location) -> int | None:
+def _v2_schema() -> pa.Schema:
+    """Classic schema + the v2-only manifest columns."""
+    return pa.schema(list(_SCHEMA) + [
+        pa.field("checkpointMetadata", pa.struct([
+            pa.field("version", pa.int64()),
+        ])),
+        pa.field("sidecar", pa.struct([
+            pa.field("path", pa.string()),
+            pa.field("sizeInBytes", pa.int64()),
+            pa.field("modificationTime", pa.int64()),
+        ])),
+    ])
+
+
+def last_checkpoint_meta(log_location) -> dict | None:
+    """Parsed ``_last_checkpoint`` JSON, or None if absent/corrupt."""
     loc = log_location.join(LAST_CHECKPOINT)
     try:
         if not loc.exists():
             return None
-        return int(json.loads(loc.read_bytes())["version"])
-    except (ValueError, KeyError, OSError):
+        meta = json.loads(loc.read_bytes())
+        int(meta["version"])
+        return meta
+    except (ValueError, KeyError, TypeError, OSError):
         return None
 
 
+def last_checkpoint_version(log_location) -> int | None:
+    meta = last_checkpoint_meta(log_location)
+    return int(meta["version"]) if meta is not None else None
+
+
 def read_checkpoint(log_location, version: int) -> list[Action]:
-    """Parse a checkpoint parquet back into action objects."""
+    """Parse the checkpoint at ``version`` back into action objects.
+
+    Dispatches on the three spec layouts: classic single-file,
+    multi-part classic (all parts read and concatenated), and v2
+    UUID-named manifests (parquet or json) whose ``sidecar`` actions
+    are followed into ``_delta_log/_sidecars/``.
+    """
+    single = log_location.join(checkpoint_filename(version))
+    if single.exists():
+        actions, sidecars = _parse_parquet(single.read_bytes())
+        return actions + _read_sidecars(log_location, sidecars)
+
+    names = log_location.list_files()
+    parts = sorted(
+        (int(m.group(2)), int(m.group(3)), n) for n in names
+        if (m := _MULTIPART_RE.match(n)) and int(m.group(1)) == version)
+    if parts:
+        # every filename declares the total part count — demand a
+        # complete, consistent 1..n set (a missing part would silently
+        # drop a slice of the table's live files)
+        declared = {t for _, t, _ in parts}
+        if len(declared) != 1 or \
+                [p for p, _, _ in parts] != list(range(1, parts[0][1] + 1)):
+            raise ValueError(
+                f"multi-part checkpoint at version {version} is "
+                f"incomplete: found parts "
+                f"{[(p, t) for p, t, _ in parts]}")
+        actions = []
+        for _, _, name in parts:
+            acts, sidecars = _parse_parquet(
+                log_location.join(name).read_bytes())
+            if sidecars:
+                raise ValueError(
+                    "sidecar action in a multi-part classic checkpoint")
+            actions.extend(acts)
+        return actions
+
+    v2 = sorted(n for n in names
+                if (m := _V2_RE.match(n)) and int(m.group(1)) == version)
+    if v2:
+        name = v2[-1]  # any complete manifest is valid; pick stably
+        data = log_location.join(name).read_bytes()
+        if name.endswith(".json"):
+            actions, sidecars = _parse_json_manifest(data)
+        else:
+            actions, sidecars = _parse_parquet(data)
+        return actions + _read_sidecars(log_location, sidecars)
+
+    raise FileNotFoundError(
+        f"no checkpoint files found at version {version}")
+
+
+def _read_sidecars(log_location, sidecar_paths: list[str]) -> list[Action]:
+    """Read v2 sidecar parquet files (add/remove actions only)."""
+    from ..sources.storage import Location
+
+    out: list[Action] = []
+    for path in sidecar_paths:
+        if "://" in path:
+            loc = Location.resolve(
+                path, storage_options=log_location.storage_options)
+        else:
+            loc = log_location.join("_sidecars", path)
+        acts, nested = _parse_parquet(loc.read_bytes())
+        if nested:
+            raise ValueError(f"sidecar {path} itself declares sidecars")
+        for a in acts:
+            if not isinstance(a, (Add, Remove)):
+                raise ValueError(
+                    f"sidecar {path} holds a non-file action "
+                    f"{type(a).__name__}")
+        out.extend(acts)
+    return out
+
+
+def _parse_json_manifest(data: bytes) -> tuple[list[Action], list[str]]:
+    """A v2 checkpoint manifest in JSON form: one action per line, same
+    vocabulary as a commit file plus ``sidecar``/``checkpointMetadata``."""
+    from .actions import load_action
+
+    actions: list[Action] = []
+    sidecars: list[str] = []
+    for line in data.splitlines():
+        if not line.strip():
+            continue
+        obj = json.loads(line)
+        if "sidecar" in obj:
+            sidecars.append(obj["sidecar"]["path"])
+        elif "checkpointMetadata" in obj:
+            continue  # carries only {version, tags}; nothing to replay
+        else:
+            a = load_action(obj)
+            if isinstance(a, (Protocol, TableMetadata, Add, Remove,
+                              SetTransaction)):
+                actions.append(a)
+    _check_protocol_features(actions)
+    return actions, sidecars
+
+
+def _check_protocol_features(actions: list[Action]) -> None:
+    """A v3/v7 protocol parsed from any checkpoint form must carry its
+    feature lists — otherwise the gates would wave the table through
+    with its real demands unknown (see the parquet-path twin below)."""
+    for a in actions:
+        if isinstance(a, Protocol):
+            extra = a.extra or {}
+            if a.minReaderVersion >= 3 and "readerFeatures" not in extra:
+                raise ValueError(
+                    f"checkpoint protocol has minReaderVersion="
+                    f"{a.minReaderVersion} but no readerFeatures — "
+                    "feature list was stripped; replay the JSON log")
+            if a.minWriterVersion >= 7 and "writerFeatures" not in extra:
+                raise ValueError(
+                    f"checkpoint protocol has minWriterVersion="
+                    f"{a.minWriterVersion} but no writerFeatures — "
+                    "feature list was stripped; replay the JSON log")
+
+
+def _parse_parquet(data: bytes) -> tuple[list[Action], list[str]]:
+    """Parse one checkpoint-layout parquet (classic file, multi-part
+    part, v2 manifest, or sidecar) into (actions, sidecar paths)."""
     import io
-    data = log_location.join(checkpoint_filename(version)).read_bytes()
     table = pq.read_table(io.BytesIO(data))
     actions: list[Action] = []
+    sidecars: list[str] = []
     for row in table.to_pylist():
         if row.get("protocol"):
             p = row["protocol"]
@@ -250,4 +474,14 @@ def read_checkpoint(log_location, version: int) -> list[Action]:
                 rm.extra = {"deletionVector": {
                     k: v for k, v in dv.items() if v is not None}}
             actions.append(rm)
-    return actions
+        elif row.get("txn"):
+            t = row["txn"]
+            if t.get("appId") is not None:
+                actions.append(SetTransaction(
+                    appId=t["appId"], version=t.get("version") or 0,
+                    lastUpdated=t.get("lastUpdated")))
+        elif row.get("sidecar"):
+            s = row["sidecar"]
+            if s.get("path"):
+                sidecars.append(s["path"])
+    return actions, sidecars

@@ -209,7 +209,10 @@ class DeltaTable:
     #: else declared by a minReaderVersion>=3 protocol (v2Checkpoint,
     #: type widening, ...) would be silently misread — refuse instead.
     SUPPORTED_READER_FEATURES = frozenset(
-        {"columnMapping", "timestampNtz", "deletionVectors"})
+        {"columnMapping", "timestampNtz", "deletionVectors",
+         "v2Checkpoint",         # UUID-named manifests + sidecar reads
+         "vacuumProtocolCheck",  # reader side is a spec'd no-op
+         })
 
     def _check_reader_protocol(self) -> None:
         """Delta protocol gate: a reader MUST refuse tables whose
@@ -1298,6 +1301,12 @@ class DeltaTable:
     #: table opens O(recent commits) instead of O(all commits).
     checkpoint_interval: int = 10
 
+    #: Rows per checkpoint file (0 = single file). At 100 TB a table's
+    #: manifest is millions of adds; capping rows per part switches to
+    #: the spec's multi-part layout so the checkpoint is written and
+    #: read as parallel chunks instead of one monolithic parquet.
+    checkpoint_part_size: int = 0
+
     #: Delta writer features this engine honors unconditionally when
     #: committing. Anything else declared by a minWriterVersion>=7
     #: protocol (rowTracking, icebergCompatV2, ...) would have its
@@ -1310,6 +1319,8 @@ class DeltaTable:
          "changeDataFeed",    # DELETE/UPDATE/MERGE write cdc files
          "identityColumns",   # generated + high watermark maintained
          "deletionVectors",   # merge-on-read DELETE writes DV bitmaps
+         "v2Checkpoint",      # commits checkpoint in v2 manifest form
+         "vacuumProtocolCheck",  # vacuum() runs this gate pre-delete
          })
 
     #: Features we can commit under only when the table doesn't
@@ -1398,7 +1409,13 @@ class DeltaTable:
                 and new.version % self.checkpoint_interval == 0:
             from .log.checkpoint import write_checkpoint
             try:
-                write_checkpoint(new.log_location, new.log)
+                # a table whose writer protocol demands v2Checkpoint
+                # must not gain classic-format checkpoints
+                proto = new.log.protocol()
+                wf = set((proto.extra or {}).get("writerFeatures") or [])
+                write_checkpoint(new.log_location, new.log,
+                                 part_size=self.checkpoint_part_size,
+                                 v2="v2Checkpoint" in wf)
                 new = type(self)(self.spark, self.location,
                                  self.log_location)
             except Exception:
@@ -2319,6 +2336,12 @@ class DeltaTable:
         window. Returns deleted (or would-delete) relative paths."""
         from .log.dv import dv_relative_path
 
+        # Delta's vacuumProtocolCheck feature pins exactly this: VACUUM
+        # must run the writer-protocol gate BEFORE deleting, so an
+        # engine that doesn't understand a feature can't destroy files
+        # that feature still references (e.g. un-modeled sidecars).
+        if not dry_run:
+            self._check_writer_protocol()
         now = timestamp_ms()
         horizon = now - int(retention_hours * 3600 * 1000)
         live = set(self.adds)
