@@ -1801,3 +1801,97 @@ class TestIdentityColumns:
             {"start": 0, "step": -5, "highWaterMark": -20}) == -25
         assert DT._identity_base(
             {"start": 0, "step": -5, "highWaterMark": -23}) == -25
+
+
+class TestInCommitTimestamps:
+    """Delta's inCommitTimestamp writer feature: the commitInfo carries
+    the table's authoritative monotonic clock."""
+
+    def _mk(self, spark, path):
+        return DeltaTable(spark, path).write(spark.range(10))
+
+    def test_enablement_commit_shape(self, spark, tmp_table_dir):
+        import json as _json
+        import os
+
+        t = self._mk(spark, f"{tmp_table_dir}/t")  # v0
+        t = t.set_properties(
+            {"delta.enableInCommitTimestamps": "true"})  # v1
+        proto = t.log.protocol()
+        assert proto.minWriterVersion == 7
+        assert "inCommitTimestamp" in proto.extra["writerFeatures"]
+        cfg = t.log.metadata().configuration
+        assert cfg["delta.inCommitTimestampEnablementVersion"] == "1"
+        ict = int(cfg["delta.inCommitTimestampEnablementTimestamp"])
+
+        # the enabling commit file: commitInfo FIRST, carrying the ICT
+        log_file = os.path.join(tmp_table_dir, "t", "_delta_log",
+                                f"{1:020d}.json")
+        first = _json.loads(open(log_file).readline())
+        assert "commitInfo" in first
+        assert first["commitInfo"]["inCommitTimestamp"] == ict
+
+    def test_monotonic_across_commits(self, spark, tmp_table_dir):
+        import json as _json
+        import os
+
+        t = self._mk(spark, f"{tmp_table_dir}/t")
+        t = t.set_properties({"delta.enableInCommitTimestamps": "true"})
+        t = t.write(spark.range(5))   # v2
+        t = t.delete("id < 2")  # v3
+        icts = []
+        for v in (1, 2, 3):
+            log_file = os.path.join(tmp_table_dir, "t", "_delta_log",
+                                    f"{v:020d}.json")
+            first = _json.loads(open(log_file).readline())
+            assert "commitInfo" in first, f"v{v} commitInfo not first"
+            icts.append(first["commitInfo"]["inCommitTimestamp"])
+        assert icts == sorted(icts) and len(set(icts)) == 3
+
+    def test_timestamp_travel_prefers_ict(self, spark, tmp_table_dir):
+        import json as _json
+        import os
+
+        t = self._mk(spark, f"{tmp_table_dir}/t")
+        t = t.set_properties({"delta.enableInCommitTimestamps": "true"})
+        t = t.write(spark.range(7))  # v2
+        ict2 = t._last_ict()
+        # doctor v2's plain timestamp far into the future; ICT stays —
+        # a reader keyed on `timestamp` would now miss v2
+        log_file = os.path.join(tmp_table_dir, "t", "_delta_log",
+                                f"{2:020d}.json")
+        lines = [_json.loads(x) for x in open(log_file)]
+        for o in lines:
+            if "commitInfo" in o:
+                o["commitInfo"]["timestamp"] = ict2 + 10 ** 9
+        open(log_file, "w").write(
+            "\n".join(_json.dumps(o) for o in lines))
+
+        t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
+        assert t2._version_at_timestamp(ict2) == 2
+        assert t2.load_as_timestamp(ict2).to_df().count() == 17
+
+    def test_streaming_sink_stamps_ict(self, spark, tmp_table_dir):
+        import json as _json
+        import os
+
+        t = self._mk(spark, f"{tmp_table_dir}/t")
+        t = t.set_properties({"delta.enableInCommitTimestamps": "true"})
+        prev = t._last_ict()
+        from xdlake_spark.sources.datasource import register
+        register(spark)
+        src = f"{tmp_table_dir}/src"
+        spark.range(4).write.parquet(src)
+        q = (spark.readStream.schema("id LONG").parquet(src)
+             .writeStream.format("xdlake")
+             .option("path", f"{tmp_table_dir}/t")
+             .option("checkpointLocation", f"{tmp_table_dir}/ck")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
+        log_file = os.path.join(
+            tmp_table_dir, "t", "_delta_log",
+            f"{t2.version:020d}.json")
+        first = _json.loads(open(log_file).readline())
+        assert "commitInfo" in first
+        assert first["commitInfo"]["inCommitTimestamp"] > prev

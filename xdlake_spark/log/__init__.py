@@ -406,6 +406,18 @@ class DeltaLog:
                         best = a.version
         return best
 
+    def last_ict(self) -> int | None:
+        """Newest commit's inCommitTimestamp if it carries one (lazy
+        JSON re-read under a checkpointed load)."""
+        if not self.entries:
+            return None
+        e = self._history_entry(self.version)
+        ci = e.commit_info if e is not None else None
+        if ci is None:
+            return None
+        ict = (ci.extra or {}).get("inCommitTimestamp")
+        return int(ict) if ict is not None else None
+
     def protocol(self) -> Protocol:
         """Newest protocol action; spec default if none recorded."""
         for v in sorted(self.entries, reverse=True):

@@ -433,6 +433,25 @@ class _XdlakeStreamWriter(DataSourceStreamWriter):
             adds, [], custom_metadata={"streamingBatchId": batchId},
             txn=SetTransaction(appId=app_id, version=batchId,
                                lastUpdated=timestamp_ms()))
+
+        def _stamp_ict_if_enabled() -> None:
+            # an ICT-enabled table's clock must stay monotonic through
+            # streaming commits too; re-stamped per retry so a winner's
+            # newer ICT is still strictly exceeded
+            cfg = log.metadata().configuration or {}
+            if str(cfg.get("delta.enableInCommitTimestamps", "false")
+                   ).lower() != "true":
+                return
+            prev = log.last_ict()
+            ci = entry.commit_info
+            ict = max(timestamp_ms(),
+                      (prev + 1) if prev is not None else 0)
+            ci.extra["inCommitTimestamp"] = ict
+            ci.timestamp = ict
+            entry.actions.remove(ci)
+            entry.actions.insert(0, ci)
+
+        _stamp_ict_if_enabled()
         for attempt in range(5):
             try:
                 commit_entry(log_loc, log.version_to_write, entry)
@@ -441,6 +460,7 @@ class _XdlakeStreamWriter(DataSourceStreamWriter):
                 if attempt == 4:
                     raise
                 log = DeltaLog.load(log_loc)
+                _stamp_ict_if_enabled()
 
     def abort(self, messages, batchId: int) -> None:
         from .storage import Location

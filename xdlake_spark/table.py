@@ -52,6 +52,7 @@ from .log import (
     Protocol,
     properties_table_entry,
     restore_table_entry,
+    TableCommit,
     timestamp_ms,
     update_table_entry,
 )
@@ -168,7 +169,10 @@ class DeltaTable:
 
         best: int | None = None
         for h in self.history(reverse=False):
-            t = h.get("timestamp")
+            # in-commit timestamps, when present, are the table's
+            # authoritative clock (monotonic by construction; file
+            # mtimes drift under copies/restores)
+            t = h.get("inCommitTimestamp", h.get("timestamp"))
             if t is not None and int(t) <= ms:
                 best = h["version"]
         if best is None:
@@ -454,6 +458,36 @@ class DeltaTable:
         return str(cfg.get("delta.enableChangeDataFeed", "false")
                    ).lower() == "true"
 
+    @property
+    def ict_enabled(self) -> bool:
+        """True when delta.enableInCommitTimestamps='true' is set."""
+        if not self.log:
+            return False
+        cfg = self.log.metadata().configuration or {}
+        return str(cfg.get("delta.enableInCommitTimestamps", "false")
+                   ).lower() == "true"
+
+    def _last_ict(self) -> int | None:
+        """Newest commit's inCommitTimestamp, if it carries one."""
+        return self.log.last_ict() if self.log else None
+
+    def _stamp_ict(self, entry: DeltaLogEntry) -> None:
+        """Delta's inCommitTimestamp writer feature: the commit's own
+        commitInfo carries a monotonically increasing timestamp that is
+        the table's authoritative clock (file modification times drift
+        under copies/restores). The spec demands strictly-greater-than
+        -previous and commitInfo as the FIRST action in the file."""
+        prev = self._last_ict()
+        ict = max(timestamp_ms(), (prev + 1) if prev is not None else 0)
+        ci = entry.commit_info
+        if ci is None:
+            ci = TableCommit(operation="WRITE")
+            entry.actions.append(ci)
+        ci.extra["inCommitTimestamp"] = ict
+        ci.timestamp = ict
+        entry.actions.remove(ci)
+        entry.actions.insert(0, ci)
+
     def _write_change_data(self, df: DataFrame) -> list[Cdc]:
         """Write a change-data frame (table schema + ``_change_type``)
         under ``_change_data/`` and return the cdc actions. Same
@@ -732,12 +766,39 @@ class DeltaTable:
                 cfg.pop(k, None)
             else:
                 cfg[k] = str(v)
+        # Enabling in-commit timestamps on an existing table: the spec
+        # requires the enabling commit itself to (a) declare the writer
+        # feature, (b) carry an inCommitTimestamp, and (c) record the
+        # enablement version + timestamp as table properties so readers
+        # know where the ICT clock starts.
+        enabling_ict = (
+            str(props.get("delta.enableInCommitTimestamps", "")
+                ).lower() == "true" and not self.ict_enabled)
+        ict = None
+        if enabling_ict:
+            prev = self._last_ict()
+            ict = max(timestamp_ms(),
+                      (prev + 1) if prev is not None else 0)
+            cfg.setdefault("delta.inCommitTimestampEnablementVersion",
+                           str(self.version + 1))
+            cfg.setdefault("delta.inCommitTimestampEnablementTimestamp",
+                           str(ict))
         md = dataclasses.replace(md, configuration=cfg)
         entry = properties_table_entry(
             md, "SET TBLPROPERTIES",
             {"properties": json.dumps(
                 {k: v for k, v in props.items()})},
             self.version, custom_metadata)
+        if enabling_ict:
+            up = self._feature_protocol_action(set(),
+                                               {"inCommitTimestamp"})
+            if up is not None:
+                entry.actions.insert(0, up)
+            ci = entry.commit_info
+            ci.extra["inCommitTimestamp"] = ict
+            ci.timestamp = ict
+            entry.actions.remove(ci)
+            entry.actions.insert(0, ci)
         return self._commit(entry)
 
     @property
@@ -1321,6 +1382,7 @@ class DeltaTable:
          "deletionVectors",   # merge-on-read DELETE writes DV bitmaps
          "v2Checkpoint",      # commits checkpoint in v2 manifest form
          "vacuumProtocolCheck",  # vacuum() runs this gate pre-delete
+         "inCommitTimestamp",    # monotonic commitInfo clock maintained
          })
 
     #: Features we can commit under only when the table doesn't
@@ -1402,6 +1464,8 @@ class DeltaTable:
 
     def _commit(self, entry: DeltaLogEntry) -> "DeltaTable":
         self._check_writer_protocol(entry)
+        if self.ict_enabled:
+            self._stamp_ict(entry)
         with self.commit_context(self._version_to_write):
             commit_entry(self.log_location, self._version_to_write, entry)
         new = type(self)(self.spark, self.location, self.log_location)
@@ -1613,15 +1677,27 @@ class DeltaTable:
 
     def _dv_protocol_action(self) -> "Protocol | None":
         """Protocol upgrade for the first deletion-vector commit:
-        (3, 7) with ``deletionVectors`` in BOTH feature lists, legacy
-        implied features enumerated per the spec's upgrade rule.
+        (3, 7) with ``deletionVectors`` in BOTH feature lists.
         Returns None when the table already declares the feature."""
+        return self._feature_protocol_action({"deletionVectors"},
+                                             {"deletionVectors"})
+
+    def _feature_protocol_action(self, rf_new: set, wf_new: set
+                                 ) -> "Protocol | None":
+        """Protocol upgrade adding table features: (3, 7) with the new
+        reader/writer features merged in, legacy implied features
+        enumerated per the spec's upgrade rule. Writer-only features
+        pass ``rf_new=set()`` (minReaderVersion still moves to 3 only
+        if it must — spec keeps reader version untouched when no
+        reader feature is added and the table predates features).
+        Returns None when the table already declares everything."""
         proto = self.log.protocol()
         extra = proto.extra or {}
         rf = set(extra.get("readerFeatures") or [])
         wf = set(extra.get("writerFeatures") or [])
-        if proto.minReaderVersion >= 3 and proto.minWriterVersion >= 7 \
-                and "deletionVectors" in rf and "deletionVectors" in wf:
+        if proto.minWriterVersion >= 7 and wf_new <= wf \
+                and (not rf_new
+                     or (proto.minReaderVersion >= 3 and rf_new <= rf)):
             return None
         # legacy versions imply feature sets; enumerate them explicitly
         # when crossing to the table-features protocol
@@ -1634,13 +1710,17 @@ class DeltaTable:
             for v, feats in implied_w.items():
                 if proto.minWriterVersion >= v:
                     wf |= feats
-        if proto.minReaderVersion == 2 or "columnMapping" in wf:
-            rf |= {"columnMapping"}
-        rf |= {"deletionVectors"}
-        wf |= {"deletionVectors"}
-        up = Protocol(minReaderVersion=3, minWriterVersion=7)
-        up.extra = {"readerFeatures": sorted(rf),
-                    "writerFeatures": sorted(wf)}
+        wf |= wf_new
+        min_r = proto.minReaderVersion
+        if rf_new or min_r >= 3:
+            if min_r == 2 or "columnMapping" in wf:
+                rf |= {"columnMapping"}
+            rf |= rf_new
+            min_r = 3
+        up = Protocol(minReaderVersion=min_r, minWriterVersion=7)
+        up.extra = {"writerFeatures": sorted(wf)}
+        if min_r >= 3:
+            up.extra["readerFeatures"] = sorted(rf)
         return up
 
     def _dv_mask_files(self, candidates: dict[str, Add], pred):
