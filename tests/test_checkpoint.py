@@ -525,3 +525,36 @@ class TestCheckpointTxnAndLayouts:
         assert set(log.add_actions()) == {a.path for a in adds}
         assert log.latest_txn_version("foreign-stream") == 9
         assert DeltaTable(spark, tmp_table_dir).to_df().count() == 30
+
+
+class TestHilbertOptimize:
+    def test_hilbert_identity_pruning_and_tighter_than_z(
+            self, spark, tmp_table_dir, lineitem):
+        from xdlake_spark.plans.skipping import prune_manifest
+
+        before = lineitem.count()
+        t = DeltaTable(spark, f"{tmp_table_dir}/h").write(lineitem)
+        t = t.optimize(hilbert_by=["l_partkey", "l_suppkey"],
+                       target_file_size=12 * 1024)
+        assert t.to_df().count() == before
+        assert len(t.adds) > 1
+        hist = next(iter(t.history()))
+        assert "hilbertClusterBy" in str(
+            hist.get("operationMetrics") or hist)
+        pruned = prune_manifest(t.adds, "l_partkey <= 5", [])
+        assert len(pruned) < len(t.adds)
+        # the multi-column bounding box prunes too — the whole point
+        # of curve clustering over a single-column sort
+        pruned2 = prune_manifest(
+            t.adds, "l_partkey <= 5 AND l_suppkey <= 3", [])
+        assert len(pruned2) <= len(pruned)
+        assert len(pruned2) < len(t.adds)
+
+    def test_zorder_and_hilbert_mutually_exclusive(
+            self, spark, tmp_table_dir, lineitem):
+        import pytest
+
+        t = DeltaTable(spark, f"{tmp_table_dir}/x").write(
+            lineitem.limit(10))
+        with pytest.raises(ValueError, match="not both"):
+            t.optimize(zorder_by=["l_partkey"], hilbert_by=["l_suppkey"])

@@ -2165,3 +2165,92 @@ class TestWeightedReservoir:
         heavy = sum(1 for r in got if r["doc_id"] % 10 == 0)
         # heavy stratum is 10% of rows but ~91% of total weight
         assert heavy > 120, f"only {heavy}/200 heavy rows selected"
+
+
+class TestHilbertIndex:
+    """plans/hilbert.py: the clustering curve must be a bijection whose
+    consecutive cells are L1-adjacent (the locality property Z-order
+    lacks — exactly why per-file bounds come out tighter)."""
+
+    def test_bijective_and_adjacent_2d(self):
+        import numpy as np
+
+        from xdlake_spark.plans.hilbert import hilbert_index
+
+        n_bits = 4
+        side = 1 << n_bits
+        xs, ys = np.meshgrid(np.arange(side), np.arange(side))
+        coords = np.column_stack([xs.ravel(), ys.ravel()])
+        idx = hilbert_index(coords, n_bits)
+        assert sorted(idx.tolist()) == list(range(side * side))
+        order = coords[np.argsort(idx)]
+        steps = np.abs(np.diff(order.astype(int), axis=0)).sum(axis=1)
+        assert (steps == 1).all()          # face-adjacent walk
+        assert (order[0] == [0, 0]).all()  # canonical start
+
+    def test_bijective_and_adjacent_3d(self):
+        import numpy as np
+
+        from xdlake_spark.plans.hilbert import hilbert_index
+
+        n_bits = 3
+        side = 1 << n_bits
+        g = np.arange(side)
+        coords = np.stack(np.meshgrid(g, g, g), -1).reshape(-1, 3)
+        idx = hilbert_index(coords, n_bits)
+        assert sorted(idx.tolist()) == list(range(side ** 3))
+        order = coords[np.argsort(idx)]
+        steps = np.abs(np.diff(order.astype(int), axis=0)).sum(axis=1)
+        assert (steps == 1).all()
+
+    def test_matches_scalar_reference(self):
+        """Differential vs a straight-from-the-paper scalar
+        transcription (Skilling 2004), on random coordinates."""
+        import numpy as np
+
+        from xdlake_spark.plans.hilbert import hilbert_index
+
+        def scalar(coords, b):
+            X = list(coords)
+            n = len(X)
+            q = 1 << (b - 1)
+            while q > 1:
+                p = q - 1
+                for i in range(n):
+                    if X[i] & q:
+                        X[0] ^= p
+                    else:
+                        t = (X[0] ^ X[i]) & p
+                        X[0] ^= t
+                        X[i] ^= t
+                q >>= 1
+            for i in range(1, n):
+                X[i] ^= X[i - 1]
+            t = 0
+            q = 1 << (b - 1)
+            while q > 1:
+                if X[n - 1] & q:
+                    t ^= q - 1
+                q >>= 1
+            for i in range(n):
+                X[i] ^= t
+            h = 0
+            for bit in range(b):
+                for i in range(n):
+                    h |= ((X[i] >> bit) & 1) << (bit * n + (n - 1 - i))
+            return h
+
+        rng = np.random.default_rng(7)
+        for d, b in [(2, 8), (3, 7), (4, 5), (7, 8)]:
+            coords = rng.integers(0, 1 << b, size=(200, d))
+            got = hilbert_index(coords, b)
+            exp = [scalar(row.tolist(), b) for row in coords]
+            assert got.tolist() == exp, (d, b)
+
+    def test_first_dim_only_is_identity(self):
+        import numpy as np
+
+        from xdlake_spark.plans.hilbert import hilbert_index
+
+        r = np.arange(256).reshape(-1, 1)
+        assert hilbert_index(r, 8).tolist() == list(range(256))

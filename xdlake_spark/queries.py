@@ -1152,6 +1152,26 @@ def delta_zorder(spark, sf_dir):
             .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
 
 
+@register("delta_hilbert_scan", """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+FROM lineitem WHERE l_partkey <= 50 AND l_suppkey <= 5
+""")
+def delta_hilbert(spark, sf_dir):
+    """OPTIMIZE with Hilbert-curve clustering (table.py optimize
+    hilbert_by; plans/hilbert.py Skilling kernel): same rewrite shape
+    as Z-order but consecutive rows stay L1-adjacent in rank space, so
+    per-file min/max envelopes on BOTH columns are tight and the
+    two-column predicate prunes files before any Spark job."""
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(li)
+    t = t.optimize(hilbert_by=["l_partkey", "l_suppkey"],
+                   target_file_size=256 * 1024)
+    return (t.to_df(where="l_partkey <= 50 AND l_suppkey <= 5")
+            .select("l_orderkey", "l_linenumber", "l_partkey",
+                    "l_suppkey"))
+
+
 @register("delta_table_changes", """
 SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 2 = 1
 """)

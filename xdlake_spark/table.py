@@ -58,6 +58,7 @@ from .log import (
 )
 from .log.schema import partition_value_to_python, schema_to_string
 from .log.statistics import Statistics
+from .plans.hilbert import hilbert_key_udf as _hilbert_key_udf
 from .plans.skipping import prune_manifest
 from .sources.inputs import union_dataframe
 from .sources.storage import Location
@@ -2275,6 +2276,7 @@ class DeltaTable:
     def optimize(self, target_file_size: int = 128 * 1024 * 1024,
                  custom_metadata: dict | None = None,
                  zorder_by: list[str] | None = None,
+                 hilbert_by: list[str] | None = None,
                  where: str | None = None) -> "DeltaTable":
         """Compaction: coalesce small files per partition into ~target-size
         files; a metadata-only change (``dataChange=false``).
@@ -2284,6 +2286,12 @@ class DeltaTable:
         per-file min/max intervals are tight on every Z-order column, so
         manifest pruning (plans/skipping.py) skips files for predicates
         on any of them, not only the first sort key.
+
+        ``hilbert_by``: same rewrite but ordered along the Hilbert
+        curve (plans/hilbert.py) — consecutive rows are always
+        L1-adjacent in rank space, so per-file bounding boxes come out
+        tighter than Z-order's (which jumps across the space at bit
+        seams); the better default for multi-column skipping at scale.
 
         ``where``: OPTIMIZE ... WHERE — restrict the operation to files
         matched by a partition predicate (manifest prune; non-partition
@@ -2295,9 +2303,15 @@ class DeltaTable:
             raise ValueError(f"No delta table at {self.location.url}")
         scope = (prune_manifest(self.adds, where, self.partition_columns)
                  if where else self.adds)
+        if zorder_by and hilbert_by:
+            raise ValueError("pass zorder_by or hilbert_by, not both")
         if zorder_by:
             return self._zorder(zorder_by, target_file_size,
                                 custom_metadata, scope=scope)
+        if hilbert_by:
+            return self._zorder(hilbert_by, target_file_size,
+                                custom_metadata, scope=scope,
+                                curve="hilbert")
         small = {p: a for p, a in scope.items()
                  if a.size < target_file_size}
         # group by partition; only partitions with >1 small file benefit
@@ -2359,17 +2373,25 @@ class DeltaTable:
 
     def _zorder(self, columns: list[str], target_file_size: int,
                 custom_metadata: dict | None,
-                scope: dict[str, Add] | None = None) -> "DeltaTable":
-        """Z-order clustering rewrite.
+                scope: dict[str, Add] | None = None,
+                curve: str = "z") -> "DeltaTable":
+        """Space-filling-curve clustering rewrite (Z-order or Hilbert).
 
         Per column: 256 approx-quantile boundaries (one lightweight agg
-        job) map values to an 8-bit rank; ranks interleave bit-by-bit
-        into the Z-value; a range repartition + in-partition sort on Z
-        places similar (c1, c2, ...) rows in the same files. No global
-        sort through one reducer — range partitioning samples boundaries
-        the same way orderBy does, and all heavy work is executor-side.
+        job) map values to an 8-bit rank. ``curve="z"`` interleaves the
+        rank bits into the Z-value with pure JVM shift/mask expressions;
+        ``curve="hilbert"`` maps the rank tuple through the Hilbert
+        curve (plans/hilbert.py, Arrow-batched numpy kernel) — same
+        cost structure, tighter per-file bounding boxes (consecutive
+        rows are always L1-adjacent in rank space, no Z-order seams).
+        Either way a range repartition + in-partition sort on the curve
+        key places similar (c1, c2, ...) rows in the same files. No
+        global sort through one reducer — range partitioning samples
+        boundaries the same way orderBy does, and all heavy work is
+        executor-side.
         """
-        n_bits = 8
+        # keep the curve key inside a signed long for both curves
+        n_bits = min(8, 63 // max(1, len(columns)))
         scope = self.adds if scope is None else scope
         df = self._scan(scope)
         probs = [i / (1 << n_bits) for i in range(1, 1 << n_bits)]
@@ -2385,13 +2407,17 @@ class DeltaTable:
 
         ranked = df.select(
             "*", *[r.alias(f"__r{j}") for j, r in enumerate(rank_cols)])
-        z = F.lit(0).cast("long")
-        for bit in range(n_bits):
-            for j in range(len(columns)):
-                z = z + F.shiftleft(
-                    F.shiftrightunsigned(F.col(f"__r{j}"), bit)
-                    .bitwiseAND(F.lit(1)),
-                    bit * len(columns) + j)
+        if curve == "hilbert":
+            z = _hilbert_key_udf(n_bits)(
+                *[F.col(f"__r{j}") for j in range(len(columns))])
+        else:
+            z = F.lit(0).cast("long")
+            for bit in range(n_bits):
+                for j in range(len(columns)):
+                    z = z + F.shiftleft(
+                        F.shiftrightunsigned(F.col(f"__r{j}"), bit)
+                        .bitwiseAND(F.lit(1)),
+                        bit * len(columns) + j)
 
         total_bytes = sum(a.size for a in scope.values())
         n_out = max(1, -(-total_bytes // target_file_size))  # ceil
@@ -2402,9 +2428,10 @@ class DeltaTable:
                                     for j in range(len(columns))]))
         new_adds = self._write_data(clustered, self.partition_columns)
         removes = [a.to_remove() for a in scope.values()]
+        key = "hilbertClusterBy" if curve == "hilbert" else "zOrderBy"
         metrics = {"numFilesAdded": len(new_adds),
                    "numFilesRemoved": len(removes),
-                   "zOrderBy": ",".join(columns)}
+                   key: ",".join(columns)}
         entry = optimize_table_entry(new_adds, removes, self.version,
                                      metrics, custom_metadata)
         return self._commit_checked(entry, self.version,
