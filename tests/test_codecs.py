@@ -286,6 +286,34 @@ class TestImaAdpcm:
         assert pred == 0 and 0 <= idx <= 88
 
 
+class TestImaAdpcmStereo:
+    def test_block_roundtrip_snr_per_channel(self):
+        t = np.arange(505, dtype=np.float64)
+        left = (np.sin(2 * np.pi * 440 * t / 8000) * 12000)
+        right = (np.sin(2 * np.pi * 220 * t / 8000) * 9000)
+        sig = np.stack([left, right], axis=1).astype(np.int16)
+        blk = C.ima_adpcm_encode_block_stereo(sig)
+        assert len(blk) == 8 + 504      # 2 headers + 1008 nibbles
+        rec = C.ima_adpcm_decode_block_stereo(blk, 505)
+        assert rec.shape == (505, 2)
+        for ch in range(2):
+            err = rec[:, ch].astype(float) - sig[:, ch].astype(float)
+            snr = 10 * np.log10((sig[:, ch].astype(float) ** 2).mean()
+                                / (err ** 2).mean())
+            assert snr > 25.0, f"ch{ch} SNR {snr:.1f} dB"
+
+    def test_channels_are_independent(self):
+        """The interleave is 4-byte groups per channel: a silent right
+        channel must decode silent regardless of the left signal."""
+        t = np.arange(505, dtype=np.float64)
+        left = (np.sin(2 * np.pi * 440 * t / 8000) * 12000)
+        sig = np.stack([left, np.zeros(505)], axis=1).astype(np.int16)
+        rec = C.ima_adpcm_decode_block_stereo(
+            C.ima_adpcm_encode_block_stereo(sig), 505)
+        assert np.abs(rec[:, 1].astype(int)).max() <= 16
+        assert np.abs(rec[:, 0].astype(int)).mean() > 1000
+
+
 class TestWavDispatch:
     def _wav(self, fmt, bits, frames, sr=8000, align=2):
         return (b"RIFF" + struct.pack("<I", 36 + len(frames)) + b"WAVE" +
@@ -345,6 +373,40 @@ class TestWavDispatch:
                    stereo.astype("<i2").tobytes())
         _, pcm, _ = _parse_wav(payload)
         assert np.abs(pcm).max() < 1e-4           # L + R cancel
+
+    def test_stereo_adpcm_wav(self, sine):
+        ints = np.round(sine * 12000).astype(np.int16)
+        spb = 505
+        # opposite channels cancel on downmix
+        stereo = np.stack([ints, (-ints).astype(np.int16)], axis=1)
+        blocks = b"".join(
+            C.ima_adpcm_encode_block_stereo(stereo[s:s + spb])
+            for s in range(0, len(ints), spb))
+        payload = (b"RIFF" + struct.pack("<I", 36 + len(blocks)) +
+                   b"WAVE" + b"fmt " +
+                   struct.pack("<IHHIIHH", 16, 0x11, 2, 8000,
+                               8000, 512, 4) +
+                   b"data" + struct.pack("<I", len(blocks)) + blocks)
+        sr, pcm, canonical = _parse_wav(payload)
+        assert sr == 8000
+        assert len(pcm) >= 2000
+        # two independent quantizers don't cancel exactly; the
+        # residual is bounded by both channels' step noise
+        assert np.abs(pcm).max() < 0.03          # L + R cancel
+        assert len(canonical) == 2 * len(pcm)
+        # identical channels survive the downmix ~= the mono signal
+        dup = np.stack([ints, ints], axis=1)
+        blocks = b"".join(
+            C.ima_adpcm_encode_block_stereo(dup[s:s + spb])
+            for s in range(0, len(ints), spb))
+        payload = (b"RIFF" + struct.pack("<I", 36 + len(blocks)) +
+                   b"WAVE" + b"fmt " +
+                   struct.pack("<IHHIIHH", 16, 0x11, 2, 8000,
+                               8000, 512, 4) +
+                   b"data" + struct.pack("<I", len(blocks)) + blocks)
+        _, pcm, _ = _parse_wav(payload)
+        ref = ints.astype(np.float32) / 32768.0
+        assert np.abs(pcm[:2000] - ref).max() < 0.05
 
     def test_unknown_format_raises(self):
         with pytest.raises(NotImplementedError, match="unsupported WAV"):

@@ -562,9 +562,45 @@ class TestMultimodalRealDecode:
         with _pytest.raises(NotImplementedError, match="8-bit"):
             _parse_png(bytes(data))
         data = bytearray(_encode_png(pix))
-        data[28] = 1  # interlace flag
-        with _pytest.raises(NotImplementedError, match="interlaced"):
+        data[28] = 3  # invalid interlace method
+        with _pytest.raises(ValueError, match="interlace"):
             _parse_png(bytes(data))
+
+    def test_png_adam7_roundtrip_matches_sequential(self):
+        """Adam7: every pass geometry (odd sizes hit empty passes),
+        every channel count, interleaved filters — the interlaced
+        decode must equal the sequential decode of the same pixels."""
+        import numpy as np
+
+        from xdlake_spark.operators.multimodal import (_encode_png,
+                                                       _parse_png)
+
+        rng = np.random.default_rng(3)
+        for h, w in [(1, 1), (3, 5), (7, 7), (8, 8), (9, 10), (16, 13),
+                     (2, 31)]:
+            for c in (1, 2, 3, 4):
+                pix = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+                seq = _parse_png(_encode_png(pix, filter_cycle=True))
+                inter = _parse_png(_encode_png(pix, filter_cycle=True,
+                                               interlace=True))
+                assert (seq == pix).all()
+                assert (inter == pix).all(), (h, w, c)
+
+    def test_png_adam7_flows_through_decode_images(self, spark,
+                                                   documents):
+        """An interlaced payload decodes through the full pipeline to
+        the same features as its sequential twin."""
+        import numpy as np
+
+        from xdlake_spark.operators.multimodal import (_encode_png,
+                                                       _parse_png,
+                                                       _decode_pixels_real)
+
+        rng = np.random.default_rng(5)
+        pix = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+        a = _decode_pixels_real(_encode_png(pix, interlace=True))
+        b = _decode_pixels_real(_encode_png(pix))
+        assert (a == b).all()
 
     def test_resize_then_decode_roundtrip_real(self, spark, documents):
         d = documents.limit(10)

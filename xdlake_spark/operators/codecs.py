@@ -1049,7 +1049,7 @@ def alaw_encode(pcm: np.ndarray) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
-# IMA ADPCM (DVI4 / WAV format 0x11), mono
+# IMA ADPCM (DVI4 / WAV format 0x11), mono and stereo
 # --------------------------------------------------------------------------
 
 IMA_STEPS = np.asarray([
@@ -1132,6 +1132,77 @@ def ima_adpcm_encode_block(samples: np.ndarray,
     for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
         out.append(lo | (hi << 4))
     return bytes(out)
+
+
+def ima_adpcm_decode_block_stereo(block: bytes,
+                                  samples_per_block: int) -> np.ndarray:
+    """One stereo IMA-ADPCM WAV block -> (samples_per_block, 2) int16.
+
+    Stereo layout (WAV fmt 0x11): a 4-byte state header per channel
+    (int16 predictor, uint8 step index, reserved), then the nibble
+    stream interleaves in 4-byte groups — 8 left samples, 8 right
+    samples, repeating."""
+    pred = [0, 0]
+    index = [0, 0]
+    for ch in range(2):
+        p, i = struct.unpack_from("<hB", block, 4 * ch)
+        pred[ch], index[ch] = p, max(0, min(88, i))
+    out = [[pred[0]], [pred[1]]]
+    data = block[8:]
+    for g in range(0, len(data), 8):
+        for ch in range(2):
+            chunk = data[g + 4 * ch:g + 4 * ch + 4]
+            for byte in chunk:
+                for nibble in (byte & 0x0F, byte >> 4):
+                    p, i = _ima_step(pred[ch], index[ch], nibble)
+                    pred[ch], index[ch] = p, i
+                    out[ch].append(p)
+    left = np.asarray(out[0][:samples_per_block], np.int16)
+    right = np.asarray(out[1][:samples_per_block], np.int16)
+    n = min(len(left), len(right))
+    return np.stack([left[:n], right[:n]], axis=1)
+
+
+def ima_adpcm_encode_block_stereo(samples: np.ndarray) -> bytes:
+    """(n, 2) int16 -> one stereo WAV ADPCM block (inverse layout of
+    :func:`ima_adpcm_decode_block_stereo`); greedy nearest-nibble per
+    channel, step index seeded per channel like the mono encoder."""
+    samples = np.asarray(samples, np.int32)
+    n = samples.shape[0]
+    heads = bytearray()
+    nibs: list[list[int]] = []
+    for ch in range(2):
+        col = samples[:, ch]
+        slew = float(np.abs(np.diff(col)).mean()) if n > 1 else 0.0
+        index = max(0, min(88, int(np.searchsorted(IMA_STEPS, slew))))
+        pred = int(col[0])
+        heads += struct.pack("<hBB", pred, index, 0)
+        chn = []
+        for target in col[1:]:
+            step = int(IMA_STEPS[index])
+            diff = int(target) - pred
+            nibble = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nibble |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nibble |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nibble |= 1
+            pred, index = _ima_step(pred, index, nibble)
+            chn.append(nibble)
+        while len(chn) % 8:
+            chn.append(0)
+        nibs.append(chn)
+    body = bytearray()
+    for g in range(0, len(nibs[0]), 8):
+        for ch in range(2):
+            grp = nibs[ch][g:g + 8]
+            for lo, hi in zip(grp[0::2], grp[1::2]):
+                body.append(lo | (hi << 4))
+    return bytes(heads + body)
 
 
 # --------------------------------------------------------------------------

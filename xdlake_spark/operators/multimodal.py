@@ -113,11 +113,13 @@ def _parse_bmp(data: bytes) -> np.ndarray:
 
 
 def _parse_png(data: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit PNG (grayscale, RGB, gray+alpha or
-    RGBA) to (h, w, c) uint8 — pure stdlib ``zlib`` + numpy, no codec
-    library. PNG is the one compressed format fully implementable from
-    the public spec (RFC 2083): chunk walk -> concatenate IDAT ->
-    zlib-inflate -> per-scanline unfilter (None/Sub/Up/Average/Paeth).
+    """Decode an 8-bit PNG (grayscale, RGB, gray+alpha or RGBA;
+    sequential or Adam7-interlaced) to (h, w, c) uint8 — pure stdlib
+    ``zlib`` + numpy, no codec library. PNG is the one compressed
+    format fully implementable from the public spec (RFC 2083): chunk
+    walk -> concatenate IDAT -> zlib-inflate -> per-scanline unfilter
+    (None/Sub/Up/Average/Paeth), once per raster for sequential images
+    and once per reduced pass for Adam7.
     """
     import zlib
 
@@ -143,16 +145,43 @@ def _parse_png(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"only 8-bit depth gray/RGB/GA/RGBA PNG supported (depth "
             f"{depth}, color type {color})")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
+    if interlace == 0:
+        return _png_unfilter(raw, 0, h, w * channels, channels) \
+            .reshape(h, w, channels)
+    if interlace != 1:
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    # Adam7: seven reduced passes, each an independently-filtered
+    # raster, concatenated in the inflate stream; scatter each pass's
+    # pixels onto its (x0::dx, y0::dy) grid
+    img = np.zeros((h, w, channels), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes zero bytes
+        sub = _png_unfilter(raw, off, ph, pw * channels, channels)
+        off += ph * (pw * channels + 1)
+        img[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+    return img
+
+
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step), spec order.
+_ADAM7_PASSES = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_unfilter(raw: bytes, offset: int, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering for ``h`` lines of ``stride``
+    bytes starting at ``offset`` in the inflated stream; returns
+    (h, stride) uint8."""
+    if len(raw) - offset < h * (stride + 1):
         raise ValueError("PNG raster truncated")
-    lines = np.frombuffer(raw, np.uint8, h * (stride + 1)) \
+    lines = np.frombuffer(raw, np.uint8, h * (stride + 1), offset) \
         .reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels
     for y in range(h):
         ftype, row = lines[y, 0], lines[y, 1:].astype(np.int32)
         prev = out[y - 1].astype(np.int32) if y else \
@@ -190,20 +219,48 @@ def _parse_png(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"invalid PNG filter type {ftype}")
         out[y] = rec.astype(np.uint8)
-    return out.reshape(h, w, channels)
+    return out
 
 
-def _encode_png(pix: np.ndarray, filter_cycle: bool = False) -> bytes:
+def _encode_png(pix: np.ndarray, filter_cycle: bool = False,
+                interlace: bool = False) -> bytes:
     """(h, w, c) uint8 -> PNG payload — inverse of :func:`_parse_png`.
     ``filter_cycle`` applies filter type ``y % 5`` to scanline ``y``
-    (instead of all-None), so fixtures exercise every unfilter path."""
+    (instead of all-None), so fixtures exercise every unfilter path.
+    ``interlace`` emits the Adam7 layout (each reduced pass filtered
+    independently, spec pass order)."""
     import zlib
 
     h, w, c = pix.shape
     color = {1: 0, 3: 2, 2: 4, 4: 6}[c]
     pix = np.ascontiguousarray(pix)
-    stride = w * c
-    rows = pix.reshape(h, stride).astype(np.int32)
+    if interlace:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            sub = pix[y0::dy, x0::dx]
+            if sub.size:
+                lines += _png_filter_lines(sub, filter_cycle)
+    else:
+        lines = _png_filter_lines(pix, filter_cycle)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + \
+            struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0,
+                       1 if interlace else 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", zlib.compress(bytes(lines))) +
+            chunk(b"IEND", b""))
+
+
+def _png_filter_lines(pix: np.ndarray, filter_cycle: bool) -> bytearray:
+    """Filter one raster's scanlines (spec filters 0-4)."""
+    h = pix.shape[0]
+    c = pix.shape[2]
+    stride = pix.shape[1] * c
+    rows = np.ascontiguousarray(pix).reshape(h, stride).astype(np.int32)
     lines = bytearray()
     for y in range(h):
         ftype = (y % 5) if filter_cycle else 0
@@ -230,16 +287,7 @@ def _encode_png(pix: np.ndarray, filter_cycle: bool = False) -> bytes:
             enc = row - pred
         lines.append(ftype)
         lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
-
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
-        return struct.pack(">I", len(body)) + ctype + body + \
-            struct.pack(">I", crc)
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
-            chunk(b"IDAT", zlib.compress(bytes(lines))) +
-            chunk(b"IEND", b""))
+    return lines
 
 
 def _image_features(pix: np.ndarray) -> np.ndarray:
@@ -350,25 +398,34 @@ def _parse_wav(data: bytes):
         pcm = _codecs.ulaw_decode(np.frombuffer(raw, np.uint8)) \
             .astype(np.float32) / 32768.0
         canonical = None
-    elif fmt == 0x11:                            # IMA ADPCM (mono)
-        if n_ch != 1:
-            raise NotImplementedError("only mono IMA-ADPCM WAV supported")
-        if align <= 4:
+    elif fmt == 0x11:                            # IMA ADPCM
+        if n_ch not in (1, 2):
+            raise NotImplementedError(
+                "only mono/stereo IMA-ADPCM WAV supported")
+        if align <= 4 * n_ch:
             raise ValueError("IMA-ADPCM blockAlign too small")
-        spb = (align - 4) * 2 + 1
+        spb = (align - 4 * n_ch) * 2 // n_ch + 1
         blocks = [raw[i:i + align] for i in range(0, len(raw), align)]
-        pieces = [_codecs.ima_adpcm_decode_block(blk, spb)
-                  for blk in blocks if len(blk) >= 5]
-        ints = np.concatenate(pieces) if pieces else \
-            np.zeros(0, np.int16)
-        pcm = ints.astype(np.float32) / 32768.0
-        canonical = ints.astype("<i2").tobytes()
-        n_ch = 1
+        if n_ch == 1:
+            pieces = [_codecs.ima_adpcm_decode_block(blk, spb)
+                      for blk in blocks if len(blk) >= 5]
+            ints = np.concatenate(pieces) if pieces else \
+                np.zeros(0, np.int16)
+            pcm = ints.astype(np.float32) / 32768.0
+            canonical = ints.astype("<i2").tobytes()
+        else:
+            pieces = [_codecs.ima_adpcm_decode_block_stereo(blk, spb)
+                      for blk in blocks if len(blk) >= 9]
+            ints = np.concatenate(pieces) if pieces else \
+                np.zeros((0, 2), np.int16)
+            # interleaved float -> the shared downmix + canonical path
+            pcm = ints.reshape(-1).astype(np.float32) / 32768.0
+            canonical = None
     else:
         raise NotImplementedError(
             f"unsupported WAV encoding (format {fmt}, {bits}-bit) — "
             "supported: PCM 8/16/24/32, IEEE float, A-law, mu-law, "
-            "mono IMA ADPCM")
+            "mono/stereo IMA ADPCM")
     if n_ch > 1:
         pcm = pcm[:len(pcm) - (len(pcm) % n_ch)] \
             .reshape(-1, n_ch).mean(axis=1)
