@@ -2013,6 +2013,87 @@ class TestBpe:
         assert m.count() == 0
 
 
+class TestUnigram:
+    """Distributed unigram-LM trainer vs the pure-Python sequential EM
+    (operators/unigram.py reference_unigram — same seed, EM schedule and
+    prune tie-breaks); float tolerance covers partition-order sums."""
+
+    def _word_freqs(self, documents, n):
+        import collections
+        wf = collections.Counter()
+        for r in documents.limit(n).select("text").collect():
+            for w in (r[0] or "").lower().split():
+                wf[w] += 1
+        return dict(wf)
+
+    def test_exact_match_reference(self, spark, documents):
+        from xdlake_spark.operators import unigram
+        d = documents.limit(120)
+        got = {r["piece"]: r["logprob"]
+               for r in unigram.train_unigram(
+                   d, vocab_size=200, seed_size=1000,
+                   em_iters=2).collect()}
+        want = unigram.reference_unigram(
+            self._word_freqs(documents, 120), 200, seed_size=1000,
+            em_iters=2)
+        assert set(got) == set(want)
+        assert max(abs(got[k] - want[k]) for k in got) < 1e-9
+
+    def test_deterministic(self, spark, documents):
+        from xdlake_spark.operators import unigram
+        d = documents.limit(100)
+        a = unigram.train_unigram(d, vocab_size=150, seed_size=800,
+                                  em_iters=1).collect()
+        b = unigram.train_unigram(d, vocab_size=150, seed_size=800,
+                                  em_iters=1).collect()
+        assert [(r["piece"], r["logprob"]) for r in a] \
+            == [(r["piece"], r["logprob"]) for r in b]
+
+    def test_probs_normalized_and_chars_kept(self, spark, documents):
+        import math
+        from xdlake_spark.operators import unigram
+        d = documents.limit(80)
+        rows = unigram.train_unigram(d, vocab_size=100, seed_size=500,
+                                     em_iters=1).collect()
+        # probabilities from the final M-step sum to ~1
+        assert abs(sum(math.exp(r["logprob"]) for r in rows) - 1) < 1e-9
+        # every single character of the corpus with nonzero expected
+        # count survives (never pruned), so every word is segmentable
+        assert any(len(r["piece"]) == 1 for r in rows)
+
+    def test_apply_covers_corpus(self, spark, documents):
+        from xdlake_spark.operators import unigram
+        d = documents.limit(60)
+        vocab = unigram.train_unigram(d, vocab_size=150, seed_size=800,
+                                      em_iters=1)
+        toks = unigram.apply_unigram(d, vocab).collect()
+        texts = {r["doc_id"]: r["text"] for r in d.collect()}
+        assert len(toks) == 60
+        for r in toks:
+            n_words = len(texts[r["id"]].lower().split())
+            # at least one piece per word, never more than characters
+            assert r["n_tokens"] >= n_words
+            assert r["n_unk"] == 0  # in-corpus text is fully known
+
+    def test_viterbi_unknown_char_fallback(self):
+        from xdlake_spark.operators import unigram
+        logp = {"a": -1.0, "b": -1.0, "ab": -0.5}
+        assert unigram.viterbi_segment("ab", logp, 8) == ["ab"]
+        # 'z' is unseen: falls back to a single-char piece, never fails
+        assert unigram.viterbi_segment("azb", logp, 8) == ["a", "z", "b"]
+
+    def test_merges_reduce_token_count(self, spark, documents):
+        from xdlake_spark.operators import unigram
+        d = documents.limit(60)
+        vocab = unigram.train_unigram(d, vocab_size=200, seed_size=800,
+                                      em_iters=1)
+        with_vocab = unigram.apply_unigram(d, vocab) \
+            .agg(F.sum("n_tokens")).collect()[0][0]
+        chars_only = unigram.apply_unigram(d, {}) \
+            .agg(F.sum("n_tokens")).collect()[0][0]
+        assert with_vocab < chars_only
+
+
 class TestEditDistancePairs:
     def test_known_near_dups(self, spark):
         pdf = pd.DataFrame({

@@ -1558,6 +1558,45 @@ def bpe_tokenize_q(spark, sf_dir):
             .orderBy("lang"))
 
 
+# rows-only: unigram-LM tokenizer training is an iterative EM loop
+# (distributed E-step, driver-side M-step/prune over the vocab-sized
+# count vector) that SQL can't express; exactness vs the sequential
+# SentencePiece-style algorithm is differential-tested in
+# tests/test_operators.py::TestUnigram instead.
+@register("unigram_train_vocab", None)
+def unigram_train_q(spark, sf_dir):
+    """Distributed unigram-LM (SentencePiece-style) tokenizer training
+    (operators/unigram.py): EM + prune schedule over the distinct-word
+    table, returning the surviving piece vocabulary."""
+    from .operators import unigram
+    d = _t(spark, sf_dir, "documents")
+    return unigram.train_unigram(d, vocab_size=300, seed_size=2000,
+                                 em_iters=2).drop("expected_count") \
+        .withColumn("logprob", F.round("logprob", 6))
+
+
+# rows-only: tokenization applies the EM-trained vocab (itself
+# iterative, above) per word via Viterbi in an Arrow-batched UDF.
+@register("unigram_tokenize_stats", None)
+def unigram_tokenize_q(spark, sf_dir):
+    """Train a unigram-LM vocab, Viterbi-tokenize the corpus with it,
+    and report per-language token stats — the probabilistic twin of
+    ``bpe_tokenize_stats``."""
+    from .operators import unigram
+    d = _t(spark, sf_dir, "documents")
+    vocab = unigram.train_unigram(d, vocab_size=200, seed_size=1500,
+                                  em_iters=2)
+    toks = unigram.apply_unigram(d, vocab)
+    return (toks.join(d.select(F.col("doc_id").alias("id"), "lang"),
+                      "id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum("n_unk").alias("total_unk"),
+                 F.round(F.avg("n_tokens"), 4).alias("avg_tokens"))
+            .orderBy("lang"))
+
+
 @register("substring_dup_stats", r"""
 WITH cp AS (
   SELECT doc_id,
