@@ -2371,3 +2371,200 @@ class TestHilbertIndex:
 
         r = np.arange(256).reshape(-1, 1)
         assert hilbert_index(r, 8).tolist() == list(range(256))
+
+
+class TestBM25:
+    def _mk(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    def test_hand_computed(self, spark):
+        import math
+        # corpus: 3 docs, query {"cat"}; df(cat)=2, N=3, dls 2,2,4 avgdl=8/3
+        d = self._mk(spark, ["cat dog", "cat cat cat dog",  # dl 2,4
+                             "fish dog"])
+        from xdlake_spark.operators import retrieval
+        rows = {r["doc_id"]: r for r in
+                retrieval.bm25_scores(d, ["cat"]).collect()}
+        idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+        avgdl = (2 + 4 + 2) / 3
+        def s(tf, dl):
+            return round(idf * tf * 2.2
+                         / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+        assert set(rows) == {0, 1}  # doc 2 has no query term
+        assert rows[0]["score"] == s(1, 2)
+        assert rows[1]["score"] == s(3, 4)
+        # ranking: tf=3 beats tf=1 despite the length penalty here
+        assert rows[1]["score"] > rows[0]["score"]
+
+    def test_multi_term_sums_and_topk(self, spark):
+        from xdlake_spark.operators import retrieval
+        d = self._mk(spark, ["a b", "a", "b", "c"])
+        both = {r["doc_id"]: r["n_terms"] for r in
+                retrieval.bm25_scores(d, ["a", "b"]).collect()}
+        assert both == {0: 2, 1: 1, 2: 1}
+        top1 = retrieval.bm25_scores(d, ["a", "b"], top_k=1).collect()
+        assert len(top1) == 1 and top1[0]["doc_id"] == 0
+
+    def test_empty_query_raises(self, spark):
+        from xdlake_spark.operators import retrieval
+        with pytest.raises(ValueError):
+            retrieval.bm25_scores(self._mk(spark, ["x"]), [])
+
+
+class TestPageRank:
+    def _ranks(self, spark, edges, **kw):
+        from xdlake_spark.operators import retrieval
+        e = spark.createDataFrame(edges, "src long, dst long")
+        return {r["node"]: r["rank"]
+                for r in retrieval.pagerank(e, **kw).collect()}
+
+    def test_mass_conserved_and_symmetric(self, spark):
+        # triangle: symmetry forces the uniform fixed point exactly
+        r = self._ranks(spark, [(1, 2), (2, 3), (3, 1),
+                                (2, 1), (3, 2), (1, 3)])
+        assert abs(sum(r.values()) - 1.0) < 1e-5
+        assert r[1] == r[2] == r[3]
+
+    def test_dangling_mass_redistributed(self, spark):
+        # star into a sink: without dangling handling, total mass decays
+        r = self._ranks(spark, [(1, 4), (2, 4), (3, 4)], iterations=6)
+        assert abs(sum(r.values()) - 1.0) < 1e-5
+        assert r[4] > r[1] == r[2] == r[3]
+
+    def test_authority_ordering(self, spark):
+        # node 10 is linked by everyone and spreads back evenly
+        edges = ([(i, 10) for i in range(1, 6)]
+                 + [(10, i) for i in range(1, 6)])
+        r = self._ranks(spark, edges)
+        assert r[10] == max(r.values())
+
+    def test_deterministic(self, spark):
+        edges = [(i, (i * 7) % 23) for i in range(80)]
+        assert self._ranks(spark, edges) == self._ranks(spark, edges)
+
+
+class TestKneserNey:
+    def test_probability_decomposition(self, spark):
+        import math
+        # corpus "a b a b a c": c(a b)=2 c(a c)=1 c(b a)=2 -> c1(a)=3
+        # T(a.)=2, T(.b)=1, T(.a)=1, T(.c)=1, B=3
+        d = spark.createDataFrame([(0, "a b a b a c")],
+                                  "doc_id long, text string")
+        from xdlake_spark.operators import corpus
+        row = corpus.bigram_logprob_kn(d).collect()[0]
+        D = 0.75
+        p_ab = (2 - D) / 3 + D * 2 / 3 * (1 / 3)
+        p_ac = (1 - D) / 3 + D * 2 / 3 * (1 / 3)
+        p_ba = (2 - D) / 2 + D * 1 / 2 * (1 / 3)
+        want = (-math.log(p_ab) * 2 - math.log(p_ac)
+                - math.log(p_ba) * 2) / 5
+        assert row["n_bigrams"] == 5
+        assert abs(row["avg_neg_logp"] - want) < 1e-6
+
+    def test_salad_scores_worse_than_fluent(self, spark):
+        # fluent docs repeat a fixed phrase (transitions recur across
+        # docs); salad docs use the SAME unigram mix but scrambled
+        # per-doc (transitions are mostly novel). Scored jointly under
+        # one shared model, the fluent population must win — the
+        # continuation-probability property add-k lacks.
+        import random
+        from xdlake_spark.operators import corpus
+        words = "the quick brown fox jumps over the lazy dog".split()
+        rnd = random.Random(11)
+        rows = []
+        for i in range(40):
+            rows.append((i, " ".join(words * 3)))
+            shuffled = words * 3
+            rnd.shuffle(shuffled)
+            rows.append((1000000 + i, " ".join(shuffled)))
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        scores = {r["doc_id"]: r["avg_neg_logp"]
+                  for r in corpus.bigram_logprob_kn(d).collect()}
+        fluent = [v for k, v in scores.items() if k < 1000000]
+        salad = [v for k, v in scores.items() if k >= 1000000]
+        assert sum(fluent) / len(fluent) < sum(salad) / len(salad)
+
+    def test_bad_discount_raises(self, spark):
+        from xdlake_spark.operators import corpus
+        d = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            corpus.bigram_logprob_kn(d, discount=1.5)
+
+
+class TestTokenBudget:
+    def _docs(self, spark, n=300):
+        import random
+        rnd = random.Random(7)
+        rows = [(i, round(rnd.uniform(0, 1), 4), rnd.randint(10, 200))
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "doc_id long, score double, n_tok long")
+
+    def test_matches_naive_global_window(self, spark):
+        from pyspark.sql import Window
+        from xdlake_spark.operators import sampling
+        d = self._docs(spark)
+        got = sampling.token_budget_select(d, "score", "n_tok",
+                                           "doc_id", 5000)
+        w = (Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+        naive = (d.withColumn("running_tokens", F.sum("n_tok").over(w))
+                 .filter(F.col("running_tokens") <= 5000))
+        a = sorted((r["doc_id"], r["running_tokens"])
+                   for r in got.collect())
+        b = sorted((r["doc_id"], r["running_tokens"])
+                   for r in naive.collect())
+        assert a == b and len(a) > 0
+
+    def test_ties_break_on_id(self, spark):
+        from xdlake_spark.operators import sampling
+        d = spark.createDataFrame(
+            [(i, 0.5, 10) for i in range(10)],
+            "doc_id long, score double, n_tok long")
+        kept = sorted(r["doc_id"] for r in sampling.token_budget_select(
+            d, "score", "n_tok", "doc_id", 35).collect())
+        assert kept == [0, 1, 2]  # lowest ids first within the tie
+
+    def test_zero_budget_and_negative_raise(self, spark):
+        from xdlake_spark.operators import sampling
+        d = self._docs(spark, 20)
+        assert sampling.token_budget_select(
+            d, "score", "n_tok", "doc_id", 0).count() == 0
+        with pytest.raises(ValueError):
+            sampling.token_budget_select(d, "score", "n_tok",
+                                         "doc_id", -1)
+
+
+class TestTemperatureRates:
+    def test_alpha_one_keeps_natural_mix(self, spark, documents):
+        from xdlake_spark.operators import sampling
+        rates = sampling.temperature_rates(documents, "source", alpha=1.0)
+        assert rates and all(r == 1.0 for r in rates.values())
+
+    def test_alpha_zero_flattens(self, spark):
+        from xdlake_spark.operators import sampling
+        rows = ([(i, "big") for i in range(400)]
+                + [(i + 400, "small") for i in range(100)])
+        d = spark.createDataFrame(rows, "doc_id long, source string")
+        rates = sampling.temperature_rates(d, "source", alpha=0.0)
+        # alpha=0 targets a uniform mix: big gets 100/400, small keeps 1
+        assert rates == {"big": 0.25, "small": 1.0}
+        kept = sampling.weighted_sample(d, "source", "doc_id", rates)
+        counts = {r["source"]: r["n"] for r in
+                  kept.groupBy("source").agg(
+                      F.count(F.lit(1)).alias("n")).collect()}
+        # hash thresholding approximates the target rate on 400 ids
+        assert abs(counts["big"] - 100) < 30
+        assert counts["small"] == 100
+
+    def test_monotone_in_alpha(self, spark, documents):
+        from xdlake_spark.operators import sampling
+        lo = sampling.temperature_rates(documents, "source", alpha=0.2)
+        hi = sampling.temperature_rates(documents, "source", alpha=0.8)
+        assert all(lo[s] >= hi[s] or lo[s] == 1.0 for s in lo)
+
+    def test_bad_alpha_raises(self, spark, documents):
+        from xdlake_spark.operators import sampling
+        with pytest.raises(ValueError):
+            sampling.temperature_rates(documents, "source", alpha=2.0)

@@ -261,6 +261,73 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
                  F.round(F.avg("__nlp"), 6).alias("avg_neg_logp")))
 
 
+def bigram_logprob_kn(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      discount: float = 0.75) -> DataFrame:
+    """Per-document bigram score under interpolated Kneser-Ney
+    smoothing — the modern-LM upgrade of :func:`bigram_logprob`'s
+    add-k (KN's continuation probability fixes add-k's systematic
+    over-scoring of high-frequency-unigram word salad):
+
+    ``p(w2 | w1) = max(c(w1 w2) - D, 0) / c(w1 .)
+                   + D * T(w1 .) / c(w1 .) * P_cont(w2)``
+
+    with ``D`` the absolute discount, ``T(w1 .)`` = distinct token
+    types following ``w1``, and the continuation probability
+    ``P_cont(w2) = T(. w2) / B`` (distinct bigram types ending in
+    ``w2`` over total distinct bigram types ``B``). Every scored
+    bigram is in-corpus (the model scores its own training stream),
+    so ``c(w1 .) > 0`` always; out-of-corpus scoring would need an
+    explicit unigram backoff. Document score is ``avg(-ln p)``; docs
+    with < 2 tokens drop out.
+
+    Plan shape: same as :func:`bigram_logprob` — one split, one
+    exploded bigram stream lazily checkpointed, now feeding FOUR
+    map-side-combinable aggregations (c12, c1, left-context type
+    counts, right-continuation type counts; the type counts aggregate
+    the already-small c12 table, not the stream) joined back on the
+    w1/w2 hash keys, with ``B`` a broadcast single row. At 100 TB the
+    cost is the same two token-keyed shuffles; the three derived count
+    tables are vocabulary-sized.
+
+    Output: (doc_id, n_bigrams, avg_neg_logp), rounded to 6.
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1): {discount}")
+    t = F.filter(_tokens(text_col), lambda x: F.length(x) > 0)
+    n = F.size(t)
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))).alias("w2"))
+    bg = (df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(pairs).alias("__bg"))
+          .select("doc_id", F.col("__bg.w1").alias("w1"),
+                  F.col("__bg.w2").alias("w2"))
+          .localCheckpoint(eager=False))  # one stream, four consumers
+    c12 = (bg.groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).cast("double").alias("__c12"))
+           .localCheckpoint(eager=False))  # feeds c1/t1/tc/score join
+    c1 = c12.groupBy("w1").agg(F.sum("__c12").alias("__c1"),
+                               F.count(F.lit(1)).cast("double")
+                               .alias("__t1"))
+    tcont = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("double")
+                                  .alias("__tc"))
+    btypes = c12.agg(F.count(F.lit(1)).cast("double").alias("__b"))
+    d = F.lit(discount)
+    scored = (bg.join(c12, ["w1", "w2"]).join(c1, "w1")
+              .join(tcont, "w2")
+              .crossJoin(F.broadcast(btypes))
+              .withColumn(
+                  "__p",
+                  F.greatest(F.col("__c12") - d, F.lit(0.0))
+                  / F.col("__c1")
+                  + d * F.col("__t1") / F.col("__c1")
+                  * (F.col("__tc") / F.col("__b"))))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg(-F.log("__p")), 6).alias("avg_neg_logp")))
+
+
 def linear_classifier_scores(df: DataFrame, weights: dict[str, float],
                              bias: float = 0.0, text_col: str = "text",
                              id_col: str = "doc_id",

@@ -1,0 +1,166 @@
+"""Corpus retrieval and graph-centrality operators: BM25 ranking and
+fixed-iteration PageRank.
+
+Both answer curator questions the reference's surface can't ("which
+documents best match this probe query", "which nodes carry authority
+in the interaction graph") and both are pure DataFrame plans — token-
+keyed aggregations for BM25, edge-keyed join+agg rounds for PageRank —
+with no Python in the row path. Extends the reference's surface
+(xbrianh/xdlake has no relational operators — SURVEY §2.4); mandated
+by the build brief's training-data-pipeline component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .corpus import _tokens
+
+
+def bm25_scores(df: DataFrame, query_terms: list[str],
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75,
+                top_k: int | None = None) -> DataFrame:
+    """Okapi BM25 document ranking for a fixed probe query.
+
+    ``score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b *
+    dl/avgdl))`` with the Lucene-style non-negative idf
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))``. ``df`` counts
+    documents containing ``t`` across the WHOLE corpus (not just
+    matches), ``dl`` is the document's whitespace-token count and
+    ``avgdl`` the corpus mean.
+
+    Plan shape: the token explode is filtered to the query terms
+    *before* any aggregation, so the shuffled data is only the posting
+    lists of the |q| probe terms, never the full corpus explode; df and
+    tf come from that same filtered stream. ``dl``/``avgdl``/``N`` are
+    a scan-level projection (no explode — ``size(split(...))``), with
+    the corpus constants arriving as one broadcast row. The final
+    top-k is TakeOrdered (k rows per partition to the driver), never a
+    global sort. At 100 TB: one filtered explode + two tiny term-keyed
+    aggregations + one doc-keyed join — the posting lists of a handful
+    of terms are millions of rows, not trillions.
+
+    Skew note: a stop-word probe term concentrates its posting list on
+    one term key; tf aggregation keys on (doc, term) — uniform — and
+    the df count is map-side combinable, so no single reducer sees a
+    term's full posting list.
+
+    Output: (doc_id, n_terms, score) — score rounded to 6, descending,
+    doc_id ascending tiebreak.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("__text"))
+    # corpus constants: N docs and average doc length (one broadcast row)
+    dl = base.select(
+        "doc_id",
+        F.size(F.filter(_tokens("__text"),
+                        lambda x: F.length(x) > 0))
+        .cast("double").alias("dl"))
+    consts = dl.agg(F.count(F.lit(1)).cast("double").alias("__n"),
+                    F.avg("dl").alias("__avgdl"))
+    toks = (base.select("doc_id",
+                        F.explode(_tokens("__text")).alias("term"))
+            .filter(F.col("term").isin(terms)))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(consts))
+              .withColumn(
+                  "__idf",
+                  F.log(F.lit(1.0) + (F.col("__n") - F.col("df")
+                                      + F.lit(0.5))
+                        / (F.col("df") + F.lit(0.5))))
+              .withColumn(
+                  "__s",
+                  F.col("__idf") * F.col("tf") * F.lit(k1 + 1.0)
+                  / (F.col("tf") + F.lit(k1)
+                     * (F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl") / F.col("__avgdl")))))
+    out = (scored.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_terms"),
+                F.round(F.sum("__s"), 6).alias("score"))
+           .orderBy(F.col("score").desc(), F.col("doc_id")))
+    if top_k is not None:
+        out = out.limit(top_k)
+    return out
+
+
+def pagerank(edges: DataFrame, iterations: int = 4,
+             damping: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Fixed-iteration PageRank with dangling-mass redistribution —
+    authority weighting over an interaction graph (the signal behind
+    harmonic-centrality-style corpus quality weights).
+
+    ``r_{i+1}(v) = (1-d)/N + d * (sum_{u->v} r_i(u)/deg(u) +
+    dangling_i / N)`` where ``dangling_i`` is the total rank held by
+    nodes with no out-edges (redistributed uniformly, the standard
+    fix). ``r_0 = 1/N``. A FIXED iteration count keeps the operator
+    deterministic and oracle-comparable (the unrolled-SQL twin runs
+    the same rounds); convergence-driven stopping belongs to the
+    caller (compare successive outputs).
+
+    Plan shape per round: one join of the edge list with the rank
+    table on the source key + one dst-keyed sum — both shuffles on
+    graph keys, exactly the page-rank-on-MapReduce shape that scales
+    linearly in |E|. The edge list is hash-repartitioned ONCE on src
+    and lazily checkpointed, so every round's join reuses the same
+    co-location instead of re-shuffling the (big, static) edges;
+    only the (small, |V|-row) rank table moves each round. Dangling
+    mass is a single-row broadcast aggregate. Ranks are rounded to 12
+    per round IN BOTH ENGINES so cross-partition float-sum drift can't
+    compound across rounds (same posture as ``snapped_avg``).
+
+    Output: (node, rank) over all nodes (sources + sinks), rank
+    rounded to 6.
+    """
+    spark = edges.sparkSession
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct()
+         .repartition("src")
+         .localCheckpoint(eager=False))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double")
+                               .alias("deg"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=False))
+    n_nodes = float(nodes.count())  # scalar; |V| is a metadata-scale count
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iterations):
+        r = ranks.join(deg, ranks.node == deg.src, "left") \
+                 .select("node", "rank", "deg")
+        # dangling = total rank on out-degree-0 nodes (one broadcast row)
+        dang = r.agg(F.coalesce(
+            F.sum(F.when(F.col("deg").isNull(), F.col("rank"))),
+            F.lit(0.0)).alias("__dang"))
+        contribs = (e.join(r.filter(F.col("deg").isNotNull())
+                           .withColumnRenamed("node", "src"), "src")
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("rank") / F.col("deg"))
+                         .alias("__in")))
+        ranks = (nodes
+                 .join(contribs, nodes.node == contribs.dst, "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select(
+                     "node",
+                     F.round(
+                         F.lit((1.0 - damping) / n_nodes)
+                         + F.lit(damping)
+                         * (F.coalesce(F.col("__in"), F.lit(0.0))
+                            + F.col("__dang") / F.lit(n_nodes)),
+                         12).alias("rank"))
+                 # each round's output feeds the next round twice (deg
+                 # join + contribs join) — pin it so lineage doesn't
+                 # re-execute all prior rounds per consumer
+                 .localCheckpoint(eager=False))
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -182,3 +182,100 @@ def weighted_reservoir(df: DataFrame, id_col: str, weight_col,
             .orderBy(F.col("__ares_key").desc(), F.col(id_col))
             .limit(k)
             .drop("__ares_key"))
+
+
+def temperature_rates(df: DataFrame, stratum_col: str,
+                      alpha: float = 0.5) -> dict[str, float]:
+    """Temperature-scaled mixture rates: keep-probability per stratum
+    so the SAMPLED mix follows ``p_s' ∝ n_s^alpha`` (the multilingual-
+    LM sampling rule; ``alpha=1`` keeps the natural mix, ``alpha=0``
+    flattens it to uniform). The returned dict feeds
+    :func:`weighted_sample`, which applies it with nested-sample
+    determinism.
+
+    Rates are pure downsampling (this engine never duplicates rows):
+    ``m_s = c * n_s^alpha`` rows kept per stratum with ``c`` chosen as
+    large as every stratum allows — the binding constraint is the
+    SMALLEST stratum, so ``rate_s = (n_min / n_s)^(1-alpha)`` (the
+    smallest stratum keeps everything). Rates are rounded to 4
+    decimals so the 1/10000 hash-bucket threshold in weighted_sample
+    represents them exactly (oracle-reproducible).
+
+    The aggregate is one map-side-combinable count per stratum —
+    stratum cardinality is report-sized, so the dict is driver-safe.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    counts = {r[0]: r[1] for r in
+              df.groupBy(stratum_col)
+              .agg(F.count(F.lit(1)).alias("n")).collect()
+              if r[0] is not None}
+    if not counts:
+        return {}
+    n_min = min(counts.values())
+    return {s: round(min(1.0, (n_min / n) ** (1.0 - alpha)), 4)
+            for s, n in sorted(counts.items())}
+
+
+def token_budget_select(df: DataFrame, score_col: str, token_col: str,
+                        id_col: str, budget: int) -> DataFrame:
+    """Greedy data selection under a token budget: walk documents in
+    (score desc, id asc) order and keep each while the running token
+    total stays within ``budget`` — the standard quality-first corpus
+    budgeting step ("best N-token subset by this quality signal").
+
+    A naive exact implementation is a global-order running sum — ONE
+    reducer holding the whole corpus. This one is exact WITHOUT a
+    global window, via score-binned two-pass prefix sums:
+
+    1. bin each row by its score ROUNDED to ``_BIN_DECIMALS`` —
+       rounding is monotone, so bin order refines to the exact total
+       order (ties land in the same bin);
+    2. aggregate token sums per bin (map-side combinable; the bin
+       table is at most ~10^_BIN_DECIMALS * score-range rows — report-
+       sized), compute each bin's STARTING offset driver-side, and
+       broadcast it back;
+    3. run the running sum as a window PARTITIONED BY bin (ordered by
+       exact score desc, id) plus the bin's offset — per-bin state,
+       no single-reducer stage.
+
+    The kept set is byte-identical to the naive global version; rows
+    whose running total would cross the budget are dropped (first-fit
+    prefix, not best-fit). Output: df's columns + ``running_tokens``
+    (the total AFTER including the row).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0: {budget}")
+    binned = df.withColumn("__bin", F.round(F.col(score_col),
+                                            _BIN_DECIMALS))
+    per_bin = (binned.groupBy("__bin")
+               .agg(F.sum(F.col(token_col)).alias("__bt"))
+               .collect())
+    offsets, acc = {}, 0
+    for row in sorted(per_bin, key=lambda r: -r["__bin"]):
+        offsets[row["__bin"]] = acc
+        acc += row["__bt"]
+        if acc > budget and offsets[row["__bin"]] > budget:
+            # bins entirely past the budget can't contribute rows;
+            # stop materializing offsets for them (broadcast stays
+            # small even when the corpus is huge)
+            break
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        [(b, int(o)) for b, o in offsets.items()],
+        schema="__bin double, __off long")
+    w = (Window.partitionBy("__bin")
+         .orderBy(F.col(score_col).desc(), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (binned.join(F.broadcast(off), "__bin")
+            .withColumn("running_tokens",
+                        F.col("__off")
+                        + F.sum(F.col(token_col)).over(w))
+            .filter(F.col("running_tokens") <= budget)
+            .drop("__bin", "__off"))
+
+
+#: Score-bin width for token_budget_select: 3 decimals keeps the bin
+#: table tiny for [0,1]-ish quality scores while still splitting the
+#: global running sum across thousands of independent window groups.
+_BIN_DECIMALS = 3

@@ -3921,6 +3921,225 @@ def q11(spark, sf_dir):
                     F.round("val", 2).alias("val")))
 
 
+# ===========================================================================
+# Retrieval, graph centrality, modern-LM scoring, budgeted selection
+# ===========================================================================
+
+@register("bm25_probe_ranking", r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM base
+), consts AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+), toks AS (
+  SELECT doc_id, unnest(t) AS term FROM base
+), toks2 AS (
+  SELECT * FROM toks WHERE term IN ('hash', 'merge', 'spark', 'window')
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks2 GROUP BY 1, 2
+), dfq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+         ln(1.0::DOUBLE + (n - df + 0.5) / (df + 0.5))
+         * tf * (1.2::DOUBLE + 1.0)
+         / (tf + 1.2::DOUBLE
+                 * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)) AS s
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN consts
+)
+SELECT doc_id, count(*) AS n_terms, round(sum(s), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 25
+""")
+def bm25_probe_q(spark, sf_dir):
+    """Okapi BM25 top-25 documents for a fixed probe query
+    (operators/retrieval.py bm25_scores): query-term-filtered posting
+    lists, corpus df/avgdl constants broadcast, TakeOrdered top-k."""
+    from .operators import retrieval
+    d = _t(spark, sf_dir, "documents")
+    return retrieval.bm25_scores(
+        d, ["hash", "merge", "spark", "window"], top_k=25)
+
+
+@register("bigram_kn_scores", r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(t[1:len(t)-1]) AS w1,
+         unnest(t[2:len(t)]) AS w2
+  FROM base WHERE len(t) >= 2
+), c12 AS (
+  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, sum(c12) AS c1, CAST(count(*) AS DOUBLE) AS t1
+  FROM c12 GROUP BY 1
+), tc AS (
+  SELECT w2, CAST(count(*) AS DOUBLE) AS tc FROM c12 GROUP BY 1
+), bt AS (
+  SELECT CAST(count(*) AS DOUBLE) AS b FROM c12
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(-ln(greatest(c12 - 0.75::DOUBLE, 0.0) / c1
+                     + 0.75::DOUBLE * t1 / c1 * (tc / b))), 6)
+           AS avg_neg_logp
+FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) JOIN tc USING (w2)
+        CROSS JOIN bt
+GROUP BY doc_id
+""")
+def bigram_kn_q(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram fluency score per document
+    (operators/corpus.py bigram_logprob_kn) vs the same model in SQL —
+    continuation-probability smoothing, the modern-LM upgrade of the
+    add-k variant."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    return corpus.bigram_logprob_kn(d)
+
+
+def _pagerank_iter_sql(prev: str, this: str) -> str:
+    """One unrolled PageRank round (mirrors operators/retrieval.py
+    pagerank exactly: same double literals, same op order, same
+    per-round round(..., 12); the symmetric graph has no dangling
+    nodes, so the Spark side's dangling term is exactly 0.0)."""
+    return f"""{this} AS (
+  SELECT nodes.node,
+         round((1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+               + 0.85::DOUBLE * coalesce(c.i, 0.0), 12) AS rank
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.deg) AS i
+             FROM e JOIN {prev} r ON r.node = e.src
+                    JOIN deg ON deg.src = e.src
+             GROUP BY e.dst) c ON c.node = nodes.node
+)"""
+
+
+@register("pagerank_interaction_graph", f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey + 10000000 AS src,
+                  l_suppkey + 20000000 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), e AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), deg AS (
+  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), r0 AS (
+  SELECT node, 1.0::DOUBLE / nn.n AS rank FROM nodes CROSS JOIN nn
+), {_pagerank_iter_sql('r0', 'r1')},
+{_pagerank_iter_sql('r1', 'r2')},
+{_pagerank_iter_sql('r2', 'r3')},
+{_pagerank_iter_sql('r3', 'r4')}
+SELECT node, round(rank, 6) AS rank FROM r4
+""")
+def pagerank_q(spark, sf_dir):
+    """4-round PageRank over the customer<->supplier interaction graph
+    (operators/retrieval.py pagerank) vs the identical rounds unrolled
+    in SQL — authority weighting of the corpus-quality kind, exercised
+    on the namespaced bipartite graph derived from orders x lineitem."""
+    from .operators import retrieval
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = (o.join(li, o.o_orderkey == li.l_orderkey)
+           .select((F.col("o_custkey") + 10000000).alias("src"),
+                   (F.col("l_suppkey") + 20000000).alias("dst"))
+           .distinct())
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    return retrieval.pagerank(edges, iterations=4, damping=0.85)
+
+
+@register("token_budget_selection", r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), toks2 AS (
+  SELECT * FROM toks WHERE length(token) > 0
+), counts AS (
+  SELECT token, count(*) AS c FROM toks2 GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total FROM counts
+), scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         -round(avg(ln(CAST(total AS DOUBLE)) - ln(CAST(c AS DOUBLE))), 6)
+             AS score
+  FROM toks2 JOIN counts USING (token) CROSS JOIN tot
+  GROUP BY doc_id
+), cum AS (
+  SELECT doc_id, n_tokens, score,
+         CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS running_tokens
+  FROM scored
+)
+SELECT doc_id, n_tokens, round(score, 6) AS score, running_tokens
+FROM cum WHERE running_tokens <= 8000
+""")
+def token_budget_q(spark, sf_dir):
+    """Greedy quality-first selection under an 8000-token budget
+    (operators/sampling.py token_budget_select): unigram-LM fluency as
+    the quality signal, exact prefix semantics via score-binned
+    two-pass prefix sums — the oracle is the naive single-window
+    version the binned plan must match byte-for-byte."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    scored = (corpus.unigram_logprob(d)
+              .withColumn("score", -F.col("avg_neg_logp")))
+    sel = sampling.token_budget_select(scored, "score", "n_tokens",
+                                       "doc_id", 8000)
+    return sel.select("doc_id", "n_tokens",
+                      F.round("score", 6).alias("score"),
+                      "running_tokens")
+
+
+@register("temperature_mix_sample", f"""
+WITH c AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY 1
+), mx AS (
+  SELECT min(n) AS m FROM c
+), r AS (
+  SELECT source,
+         round(least(1.0::DOUBLE,
+                     pow(CAST(m AS DOUBLE) / CAST(n AS DOUBLE),
+                         0.5::DOUBLE)), 4) AS rate
+  FROM c CROSS JOIN mx
+)
+SELECT d.source, r.rate, count(*) AS n_kept
+FROM documents d JOIN r ON r.source = d.source
+WHERE (d.doc_id * {_KNUTH}) % 10000 < CAST(round(r.rate * 10000) AS BIGINT)
+GROUP BY d.source, r.rate
+""")
+def temperature_mix_q(spark, sf_dir):
+    """Temperature-scaled mix rebalancing (alpha=0.5, the multilingual
+    p proportional to n^alpha rule): temperature_rates computes per-source keep
+    rates from the corpus itself, weighted_sample applies them with
+    nested-sample determinism (operators/sampling.py); the oracle
+    recomputes both steps in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    rates = sampling.temperature_rates(d, "source", alpha=0.5)
+    kept = sampling.weighted_sample(d, "source", "doc_id", rates)
+    rate_expr = None
+    for s, r in sorted(rates.items()):
+        rate_expr = (F.when(F.col("source") == s, F.lit(r))
+                     if rate_expr is None
+                     else rate_expr.when(F.col("source") == s, F.lit(r)))
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+            .withColumn("rate", rate_expr))
+
+
 #: The driver's correctness harness oracle-checks exactly the FIRST 50
 #: entries of ``queries()`` (insertion order). This curated window makes
 #: those 50 span every operator family — relational, agg/window,
