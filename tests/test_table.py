@@ -1895,3 +1895,113 @@ class TestInCommitTimestamps:
         first = _json.loads(open(log_file).readline())
         assert "commitInfo" in first
         assert first["commitInfo"]["inCommitTimestamp"] > prev
+
+
+class TestColumnMappingDDL:
+    """enable_column_mapping / rename_column / drop_column — the
+    metadata-only ALTERs the Delta column-mapping spec unlocks
+    (delta-spark parity; beyond the reference, which has no mapping)."""
+
+    def _mk(self, spark, loc, partition_by=None):
+        pdf = pd.DataFrame({"id": [1, 2, 3], "val": [10.0, 20.0, 30.0],
+                            "cat": ["a", "b", "a"]})
+        return DeltaTable(spark, loc).write(
+            spark.createDataFrame(pdf), partition_by=partition_by)
+
+    def test_enable_assigns_ids_and_physical_names(self, spark,
+                                                   tmp_table_dir):
+        t = self._mk(spark, f"{tmp_table_dir}/t")
+        t = t.enable_column_mapping()
+        assert t.column_mapping_mode == "name"
+        metas = {f.name: f.metadata for f in t.schema.fields}
+        assert [metas[n]["delta.columnMapping.id"]
+                for n in ("id", "val", "cat")] == [1, 2, 3]
+        # upgrade keeps physical = logical so old files still resolve
+        assert all(metas[n]["delta.columnMapping.physicalName"] == n
+                   for n in metas)
+        cfg = t.describe_detail()["properties"]
+        assert cfg["delta.columnMapping.maxColumnId"] == "3"
+        # protocol now declares the feature both sides
+        proto = t.log.protocol()
+        assert "columnMapping" in (proto.extra or {}).get(
+            "writerFeatures", [])
+        # pre-upgrade data still reads
+        assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2, 3]
+
+    def test_enable_idempotent_and_id_mode_guard(self, spark,
+                                                 tmp_table_dir):
+        t = self._mk(spark, f"{tmp_table_dir}/t")
+        t = t.enable_column_mapping()
+        v = t.version
+        assert t.enable_column_mapping().version == v  # no-op commit
+        with pytest.raises(NotImplementedError):
+            t.enable_column_mapping("id")  # mode switch
+        t2 = self._mk(spark, f"{tmp_table_dir}/t2")
+        with pytest.raises(NotImplementedError):
+            t2.enable_column_mapping("id")  # has data files
+
+    def test_rename_is_metadata_only_and_reads_back(self, spark,
+                                                    tmp_table_dir):
+        t = self._mk(spark, f"{tmp_table_dir}/t").enable_column_mapping()
+        files_before = sorted(t.adds)
+        t = t.rename_column("val", "amount")
+        assert sorted(t.adds) == files_before  # no data rewritten
+        got = {r["id"]: r["amount"] for r in t.to_df().collect()}
+        assert got == {1: 10.0, 2: 20.0, 3: 30.0}
+        # physical identity preserved
+        f = next(f for f in t.schema.fields if f.name == "amount")
+        assert f.metadata["delta.columnMapping.physicalName"] == "val"
+        # time travel still shows the old name
+        old = t.load_as_version(t.version - 1)
+        assert "val" in old.to_df().columns
+
+    def test_rename_partition_column(self, spark, tmp_table_dir):
+        t = self._mk(spark, f"{tmp_table_dir}/t", partition_by=["cat"])
+        t = t.enable_column_mapping().rename_column("cat", "category")
+        assert t.partition_columns == ["category"]
+        got = t.to_df().groupBy("category").count().collect()
+        assert {r["category"]: r["count"] for r in got} == {"a": 2, "b": 1}
+
+    def test_drop_column_and_id_burning(self, spark, tmp_table_dir):
+        t = self._mk(spark, f"{tmp_table_dir}/t").enable_column_mapping()
+        t = t.drop_column("val")
+        assert [f.name for f in t.schema.fields] == ["id", "cat"]
+        assert "val" not in t.to_df().columns
+        # re-adding the same name gets a FRESH physical identity:
+        # old bytes must not resurrect
+        t = t.add_columns({"val": "double"})
+        f = next(f for f in t.schema.fields if f.name == "val")
+        assert f.metadata["delta.columnMapping.id"] == 4
+        assert f.metadata["delta.columnMapping.physicalName"] \
+            .startswith("col-")
+        assert t.describe_detail()["properties"][
+            "delta.columnMapping.maxColumnId"] == "4"
+        vals = [r["val"] for r in t.to_df().collect()]
+        assert vals == [None, None, None]
+
+    def test_write_after_rename_and_add(self, spark, tmp_table_dir):
+        t = self._mk(spark, f"{tmp_table_dir}/t").enable_column_mapping()
+        t = t.rename_column("val", "amount")
+        pdf = pd.DataFrame({"id": [4], "amount": [40.0], "cat": ["c"]})
+        t = t.write(spark.createDataFrame(pdf))
+        got = {r["id"]: r["amount"] for r in t.to_df().collect()}
+        assert got == {1: 10.0, 2: 20.0, 3: 30.0, 4: 40.0}
+
+    def test_guards(self, spark, tmp_table_dir):
+        t = self._mk(spark, f"{tmp_table_dir}/t", partition_by=["cat"])
+        with pytest.raises(NotImplementedError):
+            t.rename_column("val", "x")  # mapping not enabled
+        with pytest.raises(NotImplementedError):
+            t.drop_column("val")
+        t = t.enable_column_mapping()
+        with pytest.raises(ValueError):
+            t.rename_column("nope", "x")
+        with pytest.raises(ValueError):
+            t.rename_column("val", "id")  # target exists
+        with pytest.raises(ValueError):
+            t.drop_column("cat")  # partition column
+        t = t.add_constraint("positive", "val > 0")
+        with pytest.raises(ValueError):
+            t.rename_column("val", "x")  # constraint references it
+        with pytest.raises(ValueError):
+            t.drop_column("val")

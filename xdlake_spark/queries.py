@@ -1095,6 +1095,34 @@ def delta_schema_evolution(spark, sf_dir):
     return t.to_df()
 
 
+@register("delta_column_mapping_ddl", """
+SELECT doc_id, lang AS language, CAST(NULL AS VARCHAR) AS origin
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, lang AS language, source AS origin
+FROM documents WHERE doc_id % 3 = 1
+""")
+def delta_column_mapping_ddl(spark, sf_dir):
+    """Column-mapping DDL end-to-end (table.py enable_column_mapping /
+    rename_column / drop_column / mapped add_columns + write): upgrade
+    a populated table, rename a column (metadata-only — the parquet
+    bytes keep the old physical name), drop one, add a fresh one, then
+    append THROUGH the mapping and scan. Delta-spark parity surface;
+    the reference has no column mapping at all."""
+    from .table import DeltaTable
+    d = _t(spark, sf_dir, "documents")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        d.filter("doc_id % 3 = 0").select("doc_id", "lang", "n_chars"))
+    t = (t.enable_column_mapping()
+         .rename_column("lang", "language")
+         .drop_column("n_chars")
+         .add_columns({"origin": "string"}))
+    t = t.write(d.filter("doc_id % 3 = 1")
+                .select("doc_id", F.col("lang").alias("language"),
+                        F.col("source").alias("origin")))
+    return t.to_df()
+
+
 @register("delta_vacuum_scan", """
 SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 47
 """)

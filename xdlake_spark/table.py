@@ -740,12 +740,185 @@ class DeltaTable:
         for f in new_fields:
             if f.name in existing:
                 raise ValueError(f"Column already exists: {f.name!r}")
+        md = self.log.metadata()
+        cfg = dict(md.configuration or {})
+        if self.column_mapping_mode in ("name", "id"):
+            # column-mapped tables: every new field needs a fresh
+            # physical name and a field id past the high watermark
+            # (delta.columnMapping.maxColumnId), per the spec — ids are
+            # never reused even across drops
+            next_id = int(cfg.get("delta.columnMapping.maxColumnId", 0))
+            mapped = []
+            for f in new_fields:
+                next_id += 1
+                fmeta = dict(f.metadata or {})
+                fmeta["delta.columnMapping.id"] = next_id
+                fmeta["delta.columnMapping.physicalName"] = \
+                    f"col-{uuid.uuid4()}"
+                mapped.append(T.StructField(f.name, f.dataType,
+                                            f.nullable, fmeta))
+            new_fields = mapped
+            cfg["delta.columnMapping.maxColumnId"] = str(next_id)
         schema = T.StructType(list(self.schema.fields) + new_fields)
-        md = dataclasses.replace(self.log.metadata(),
-                                 schemaString=schema_to_string(schema))
+        md = dataclasses.replace(md, schemaString=schema_to_string(schema),
+                                 configuration=cfg)
         entry = properties_table_entry(
             md, "ADD COLUMNS",
             {"columns": json.dumps([f.name for f in new_fields])},
+            self.version, custom_metadata)
+        return self._commit(entry)
+
+    def enable_column_mapping(self, mode: str = "name",
+                              custom_metadata: dict | None = None
+                              ) -> "DeltaTable":
+        """Upgrade the table to column mapping (``delta.columnMapping.
+        mode`` = ``name`` or ``id``), unlocking :meth:`rename_column` /
+        :meth:`drop_column` as metadata-only operations.
+
+        Per the Delta spec's upgrade rule: every existing field gets
+        ``delta.columnMapping.id`` (1..n in schema order) and
+        ``delta.columnMapping.physicalName`` = its CURRENT name — so
+        parquet files written before the upgrade keep resolving —
+        ``delta.columnMapping.maxColumnId`` records the id high
+        watermark, and the enabling commit carries a protocol upgrade
+        declaring columnMapping as a reader AND writer feature
+        (readers that ignore mapping would misread renamed tables).
+
+        ``id`` mode resolves columns by parquet FIELD ID, which files
+        written before the upgrade do not carry — so id mode is only
+        allowed while the table has no live data files (same posture
+        as delta-spark, which restricts id mode to new tables).
+        Columns added later get ``col-<uuid>`` physical names.
+        """
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        if mode not in ("name", "id"):
+            raise ValueError(
+                f"column mapping mode must be 'name' or 'id': {mode!r}")
+        cur = self.column_mapping_mode
+        if cur == mode:
+            return self
+        if cur not in ("none", ""):
+            raise NotImplementedError(
+                f"cannot switch column mapping {cur!r} -> {mode!r}")
+        if mode == "id" and self.adds:
+            raise NotImplementedError(
+                "id-mode column mapping resolves by parquet field id, "
+                "which files written before the upgrade do not carry — "
+                "enable id mode only on a table with no data files "
+                "(use mode='name' here)")
+        import dataclasses
+        fields = []
+        for i, f in enumerate(self.schema.fields, start=1):
+            fmeta = dict(f.metadata or {})
+            fmeta["delta.columnMapping.id"] = i
+            fmeta["delta.columnMapping.physicalName"] = f.name
+            fields.append(T.StructField(f.name, f.dataType, f.nullable,
+                                        fmeta))
+        md = self.log.metadata()
+        cfg = dict(md.configuration or {})
+        cfg["delta.columnMapping.mode"] = mode
+        cfg["delta.columnMapping.maxColumnId"] = str(len(fields))
+        md = dataclasses.replace(
+            md, schemaString=schema_to_string(T.StructType(fields)),
+            configuration=cfg)
+        entry = properties_table_entry(
+            md, "SET TBLPROPERTIES",
+            {"properties": json.dumps({"delta.columnMapping.mode": mode})},
+            self.version, custom_metadata)
+        up = self._feature_protocol_action({"columnMapping"},
+                                           {"columnMapping"})
+        if up is not None:
+            entry.actions.insert(0, up)
+        return self._commit(entry)
+
+    def _check_column_unreferenced(self, name: str, op: str) -> None:
+        """Refuse rename/drop when a CHECK constraint or generated
+        column expression references the column — the stored SQL text
+        would silently break (delta-spark blocks the same way)."""
+        import re as _re
+        pat = _re.compile(rf"\b{_re.escape(name)}\b", _re.IGNORECASE)
+        for cname, expr in self.constraints.items():
+            if pat.search(expr):
+                raise ValueError(
+                    f"{op} {name!r}: CHECK constraint {cname!r} "
+                    f"references it ({expr}); drop the constraint first")
+        for f in self.schema.fields:
+            gexpr = (f.metadata or {}).get("delta.generationExpression")
+            if gexpr and f.name != name and pat.search(gexpr):
+                raise ValueError(
+                    f"{op} {name!r}: generated column {f.name!r} "
+                    f"references it ({gexpr})")
+
+    def rename_column(self, old: str, new: str,
+                      custom_metadata: dict | None = None
+                      ) -> "DeltaTable":
+        """ALTER TABLE RENAME COLUMN — metadata-only: the logical name
+        changes in the log while the field keeps its physical name and
+        id, so no data file is touched and concurrent readers of older
+        versions still resolve. Requires column mapping
+        (:meth:`enable_column_mapping`); renaming a partition column
+        updates ``partitionColumns`` too (add.partitionValues are
+        physically keyed, so existing files keep working)."""
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        if self.column_mapping_mode not in ("name", "id"):
+            raise NotImplementedError(
+                "RENAME COLUMN requires column mapping — call "
+                "enable_column_mapping() first (without it, parquet "
+                "files are keyed by the logical name)")
+        names = [f.name for f in self.schema.fields]
+        if old not in names:
+            raise ValueError(f"No such column: {old!r}")
+        if new in names:
+            raise ValueError(f"Column already exists: {new!r}")
+        self._check_column_unreferenced(old, "cannot rename")
+        import dataclasses
+        fields = [f if f.name != old
+                  else T.StructField(new, f.dataType, f.nullable,
+                                     dict(f.metadata or {}))
+                  for f in self.schema.fields]
+        md = self.log.metadata()
+        pcols = [new if c == old else c for c in md.partitionColumns]
+        md = dataclasses.replace(
+            md, schemaString=schema_to_string(T.StructType(fields)),
+            partitionColumns=pcols)
+        entry = properties_table_entry(
+            md, "RENAME COLUMN",
+            {"from": old, "to": new}, self.version, custom_metadata)
+        return self._commit(entry)
+
+    def drop_column(self, name: str,
+                    custom_metadata: dict | None = None) -> "DeltaTable":
+        """ALTER TABLE DROP COLUMN — metadata-only: the field leaves
+        the logical schema; its data stays in the parquet files
+        (readable via time travel) but no longer scans. Requires
+        column mapping; partition columns and the last remaining
+        column cannot be dropped. The field's id stays burned
+        (maxColumnId never decreases), so a later same-named column
+        gets a fresh physical identity instead of resurrecting the
+        old bytes."""
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        if self.column_mapping_mode not in ("name", "id"):
+            raise NotImplementedError(
+                "DROP COLUMN requires column mapping — call "
+                "enable_column_mapping() first")
+        names = [f.name for f in self.schema.fields]
+        if name not in names:
+            raise ValueError(f"No such column: {name!r}")
+        if name in self.partition_columns:
+            raise ValueError(f"Cannot drop partition column {name!r}")
+        if len(names) == 1:
+            raise ValueError("Cannot drop the only column")
+        self._check_column_unreferenced(name, "cannot drop")
+        import dataclasses
+        fields = [f for f in self.schema.fields if f.name != name]
+        md = dataclasses.replace(
+            self.log.metadata(),
+            schemaString=schema_to_string(T.StructType(fields)))
+        entry = properties_table_entry(
+            md, "DROP COLUMN", {"column": name},
             self.version, custom_metadata)
         return self._commit(entry)
 
