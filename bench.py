@@ -108,6 +108,11 @@ HEADLINE = [
     "pack_first_fit_stats",
     "pack_first_fit_exact",
     "leakage_safe_split",
+    "bm25_probe_ranking",
+    "bigram_kn_scores",
+    "pagerank_interaction_graph",
+    "token_budget_selection",
+    "unigram_tokenize_stats",
 ]
 
 
