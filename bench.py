@@ -113,6 +113,8 @@ HEADLINE = [
     "pagerank_interaction_graph",
     "token_budget_selection",
     "unigram_tokenize_stats",
+    "nb_lang_classify",
+    "dsir_importance_weights",
 ]
 
 

@@ -2568,3 +2568,128 @@ class TestTemperatureRates:
         from xdlake_spark.operators import sampling
         with pytest.raises(ValueError):
             sampling.temperature_rates(documents, "source", alpha=2.0)
+
+
+class TestNaiveBayes:
+    def test_hand_computed_model(self, spark):
+        import math
+
+        from xdlake_spark.operators import classify
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "lang": ["x", "y", "x"],
+            "text": ["a a b", "b c", "a"]})
+        rows = {r["doc_id"]: r for r in
+                classify.nb_train_classify(
+                    spark.createDataFrame(pdf)).collect()}
+        # model: tok_x=4 (a:3,b:1), tok_y=2 (b:1,c:1), V=3, N=3
+        assert rows[3]["pred"] == "x"
+        assert rows[2]["pred"] == "y"
+        assert rows[1]["pred"] == "x"
+        # doc 3 = "a": score(x) = ln(2/3) + ln((3+1)/(4+3))
+        want = round(math.log(2 / 3) + math.log(4 / 7), 6)
+        assert rows[3]["score"] == want
+        assert rows[3]["n_tokens"] == 1
+        # doc 2 = "b c": score(y) = ln(1/3) + ln(2/5) + ln(2/5)
+        want2 = round(math.log(1 / 3) + 2 * math.log(2 / 5), 6)
+        assert rows[2]["score"] == want2
+
+    def test_self_training_recovers_labels(self, spark):
+        # two lexically distinct classes with a little shared noise: NB
+        # trained on the labels should recover them (the driver's
+        # documents table can't test this — its lang column is random
+        # metadata over one shared vocabulary, so chance is the ceiling)
+        from xdlake_spark.operators import classify
+        rows = []
+        for i in range(40):
+            w = ["alpha", "beta", "gamma"][i % 3]
+            rows.append((i, "x", f"{w} {w} noise{i % 5} shared"))
+        for i in range(40, 80):
+            w = ["delta", "eps", "zeta"][i % 3]
+            rows.append((i, "y", f"{w} shared {w} noise{i % 7}"))
+        d = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                        "text string")
+        got = classify.nb_train_classify(d) \
+            .withColumn("ok", (F.col("pred") == F.col("label"))
+                        .cast("int")) \
+            .agg(F.avg("ok").alias("acc"), F.count("*").alias("n")) \
+            .collect()[0]
+        assert got["n"] == 80
+        assert got["acc"] == 1.0, got["acc"]
+
+    def test_plan_has_no_python_eval(self, spark, documents):
+        from xdlake_spark.operators import classify
+        plan = classify.nb_train_classify(documents) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # the class/consts side must broadcast, never sort-merge
+        assert "BroadcastNestedLoopJoin" in plan or \
+            "BroadcastHashJoin" in plan
+
+
+class TestDsirWeights:
+    @staticmethod
+    def _py_bucket(term: str, n_buckets: int) -> int:
+        import hashlib
+        return int(hashlib.md5(term.encode()).hexdigest()[:13], 16) \
+            % n_buckets
+
+    def test_matches_direct_computation(self, spark):
+        import math
+
+        from xdlake_spark.operators import classify
+        pdf = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "lang": ["en", "en", "fr", "fr"],
+            "text": ["the cat sat", "the dog ran", "le chat noir",
+                     "le chien the"]})
+        B = 64
+        got = {r["doc_id"]: r["logweight"] for r in
+               classify.dsir_weights(
+                   spark.createDataFrame(pdf), F.col("lang") == "en",
+                   n_buckets=B).collect()}
+
+        toks = {i: t.split() for i, t in zip(pdf.doc_id, pdf.text)}
+        raw: dict[int, int] = {}
+        tgt: dict[int, int] = {}
+        for i, ts in toks.items():
+            for t in ts:
+                b = self._py_bucket(t, B)
+                raw[b] = raw.get(b, 0) + 1
+                if i in (1, 2):
+                    tgt[b] = tgt.get(b, 0) + 1
+        t_raw, t_tgt = sum(raw.values()), sum(tgt.values())
+        for i, ts in toks.items():
+            w = sum(
+                math.log((tgt.get(self._py_bucket(t, B), 0) + 1)
+                         / (t_tgt + B))
+                - math.log((raw[self._py_bucket(t, B)] + 1) / (t_raw + B))
+                for t in ts)
+            assert got[i] == round(w, 6), (i, got[i], w)
+
+    def test_target_docs_rank_higher(self, spark):
+        # target domain has its own vocabulary: every target-looking
+        # doc must outrank every raw-only-looking doc (the driver's
+        # documents table has one shared vocabulary across langs, so it
+        # can't separate — synthetic domains can)
+        from xdlake_spark.operators import classify
+        rows = [(i, "tgt", "quantum flux entangle qubit gate")
+                for i in range(30)]
+        rows += [(i + 30, "raw", "invoice payment ledger account tax")
+                 for i in range(30)]
+        d = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                        "text string")
+        top = classify.dsir_weights(
+            d, F.col("lang") == "tgt", top_k=30) \
+            .join(d.select("doc_id", "lang"), "doc_id") \
+            .filter(F.col("lang") == "tgt").count()
+        assert top == 30, top
+
+    def test_ratio_join_broadcasts(self, spark, documents):
+        from xdlake_spark.operators import classify
+        plan = classify.dsir_weights(documents, F.col("lang") == "en") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "BroadcastHashJoin" in plan

@@ -4168,6 +4168,110 @@ def temperature_mix_q(spark, sf_dir):
             .withColumn("rate", rate_expr))
 
 
+@register("nb_lang_classify", r"""
+WITH base AS (
+  SELECT doc_id, lang AS label,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, label, unnest(t) AS term FROM base
+), ctc AS (
+  SELECT label AS cls, term, CAST(count(*) AS DOUBLE) AS ctc
+  FROM toks GROUP BY 1, 2
+), cls AS (
+  SELECT cls, sum(ctc) AS tok_c FROM ctc GROUP BY 1
+), dc AS (
+  SELECT label AS cls, CAST(count(*) AS DOUBLE) AS docs_c
+  FROM base GROUP BY 1
+), consts AS (
+  SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM toks
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM base
+), dtc AS (
+  SELECT doc_id, label, term, CAST(count(*) AS DOUBLE) AS cnt
+  FROM toks GROUP BY 1, 2, 3
+), scored AS (
+  SELECT dtc.doc_id, dtc.label, cls.cls,
+         ln(dc.docs_c / nn.n)
+           + sum(dtc.cnt * ln((COALESCE(ctc.ctc, 0.0) + 1.0)
+                              / (cls.tok_c + consts.v))) AS raw_score,
+         sum(dtc.cnt) AS n_tokens
+  FROM dtc
+  CROSS JOIN cls
+  JOIN dc ON dc.cls = cls.cls
+  CROSS JOIN consts CROSS JOIN nn
+  LEFT JOIN ctc ON ctc.cls = cls.cls AND ctc.term = dtc.term
+  GROUP BY dtc.doc_id, dtc.label, cls.cls, dc.docs_c, nn.n
+)
+SELECT doc_id, label, pred, n_tokens, score FROM (
+  SELECT doc_id, label, cls AS pred,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         round(raw_score, 6) AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY raw_score DESC, cls) AS rk
+  FROM scored
+) WHERE rk = 1
+""")
+def nb_lang_classify_q(spark, sf_dir):
+    """Multinomial Naive Bayes trained on the corpus's own language
+    labels, classifying every document in the same plan
+    (operators/classify.py nb_train_classify) — distributed model
+    training as pure count aggregation, oracle-exact vs the identical
+    counts+logs in SQL."""
+    from .operators import classify
+    d = _t(spark, sf_dir, "documents")
+    return classify.nb_train_classify(d)
+
+
+@register("dsir_importance_weights", r"""
+WITH base AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, is_t, unnest(t) AS term FROM base
+), tokb AS (
+  SELECT doc_id, is_t,
+         ('0x' || substring(md5(term), 1, 13))::BIGINT % 4096 AS bucket
+  FROM toks
+), raw AS (
+  SELECT bucket, CAST(count(*) AS DOUBLE) AS c_raw
+  FROM tokb GROUP BY 1
+), tgt AS (
+  SELECT bucket, CAST(count(*) AS DOUBLE) AS c_tgt
+  FROM tokb WHERE is_t GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS t_raw,
+         CAST(count(*) FILTER (WHERE is_t) AS DOUBLE) AS t_tgt
+  FROM tokb
+), ratio AS (
+  SELECT raw.bucket,
+         ln((COALESCE(c_tgt, 0.0) + 1.0) / (t_tgt + 4096.0))
+           - ln((c_raw + 1.0) / (t_raw + 4096.0)) AS lr
+  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+), dbc AS (
+  SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS cnt
+  FROM tokb GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       round(sum(cnt * lr), 6) AS logweight
+FROM dbc JOIN ratio USING (bucket)
+GROUP BY doc_id
+ORDER BY logweight DESC, doc_id
+LIMIT 100
+""")
+def dsir_importance_q(spark, sf_dir):
+    """DSIR importance resampling weights (hashed unigram features,
+    target = English subset) — the top-100 raw documents that look most
+    like the target domain (operators/classify.py dsir_weights), with
+    the md5 feature hash reproduced exactly by the oracle."""
+    from .operators import classify
+    d = _t(spark, sf_dir, "documents")
+    return classify.dsir_weights(d, F.col("lang") == "en", top_k=100)
+
+
 #: The driver's correctness harness oracle-checks exactly the FIRST 50
 #: entries of ``queries()`` (insertion order). This curated window makes
 #: those 50 span every operator family — relational, agg/window,
