@@ -115,6 +115,8 @@ HEADLINE = [
     "unigram_tokenize_stats",
     "nb_lang_classify",
     "dsir_importance_weights",
+    "multimodal_phash_neardup",
+    "audio_fingerprint_match",
 ]
 
 

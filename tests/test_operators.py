@@ -2693,3 +2693,148 @@ class TestDsirWeights:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestImageHash:
+    def _payloads(self, spark, n=120):
+        from xdlake_spark.operators import multimodal
+        d = spark.range(n).withColumnRenamed("id", "doc_id") \
+            .withColumn("text", F.lit("x"))
+        return multimodal.attach_fake_payloads(d, media="noise_ppm")
+
+    def test_differential_vs_numpy(self, spark):
+        from xdlake_spark.operators import imagehash, multimodal
+        rows = self._payloads(spark, 24).collect()
+        for kind in ("ahash", "dhash", "phash"):
+            got = {r["doc_id"]: r["hash"] for r in
+                   imagehash.phash_images(
+                       self._payloads(spark, 24), kind=kind).collect()}
+            for r in rows:
+                pix = multimodal._decode_pixels_real(bytes(r["payload"]))
+                want = imagehash.hash_pixels(pix, kind)
+                assert got[r["doc_id"]] == want, (kind, r["doc_id"])
+
+    def test_dhash_brightness_invariant(self, spark):
+        import numpy as np
+
+        from xdlake_spark.operators import imagehash
+        rng = np.random.default_rng(7)
+        pix = rng.integers(8, 240, size=(33, 47, 3)).astype(np.uint8)
+        shifted = (pix.astype(np.int16) + 9).astype(np.uint8)
+        assert imagehash.hash_pixels(pix, "dhash") == \
+            imagehash.hash_pixels(shifted, "dhash")
+        # unrelated noise must be far: expected Hamming ~32
+        other = rng.integers(8, 240, size=(33, 47, 3)).astype(np.uint8)
+        x = imagehash.hash_pixels(pix, "dhash") ^ \
+            imagehash.hash_pixels(other, "dhash")
+        assert bin(x & ((1 << 64) - 1)).count("1") > 12
+
+    def test_banded_pairs_full_recall(self, spark):
+        # every within-group pair must be found: banding with 4x16-bit
+        # bands has perfect recall for hamming <= 15 by pigeonhole
+        from xdlake_spark.operators import imagehash
+        hashes = imagehash.phash_images(self._payloads(spark, 120),
+                                        kind="dhash")
+        got = {(r["id_a"], r["id_b"]) for r in
+               imagehash.phash_neardup_pairs(hashes, max_hamming=15)
+               .collect()}
+        hs = {r["doc_id"]: r["hash"] for r in hashes.collect()}
+
+        def ham(a, b):
+            return bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+
+        want = {(a, b) for a in range(120) for b in range(a + 1, 120)
+                if ham(a, b) <= 15}
+        assert got == want
+        # the planted groups (id % 40) are all recovered
+        assert all((a % 40) == (b % 40) for a, b in got)
+        assert len(got) == 40 * 3  # 3 members per group -> C(3,2)=3
+
+    def test_no_python_after_hash(self, spark):
+        from xdlake_spark.operators import imagehash
+        hashes = imagehash.phash_images(self._payloads(spark, 24))
+        plan = imagehash.phash_neardup_pairs(hashes) \
+            ._jdf.queryExecution().executedPlan().toString()
+        # the decode ran once into the checkpoint: the pair plan reads
+        # the materialized hash table, with NO Python stage and no
+        # all-pairs join — banding + bit_count verify are pure JVM
+        assert "MapInPandas" not in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "bit_count" in plan
+
+    def test_bad_kind_raises(self, spark):
+        from xdlake_spark.operators import imagehash
+        with pytest.raises(ValueError):
+            imagehash.phash_images(self._payloads(spark, 4),
+                                   kind="whash")
+        with pytest.raises(ValueError):
+            imagehash.phash_neardup_pairs(
+                imagehash.phash_images(self._payloads(spark, 4)),
+                max_hamming=16)
+
+
+class TestAudioFingerprint:
+    def _melodies(self, spark, n, snip=False):
+        from xdlake_spark.operators import multimodal
+        d = spark.range(n).withColumnRenamed("id", "doc_id") \
+            .withColumn("text", F.lit("x"))
+        return multimodal.attach_fake_payloads(
+            d, media="melody_snip" if snip else "melody_wav")
+
+    def test_snippet_recovers_exact_offset(self, spark):
+        from xdlake_spark.operators import audiofp
+        corpus = audiofp.audio_fingerprints(self._melodies(spark, 60))
+        snips = audiofp.audio_fingerprints(
+            self._melodies(spark, 4, snip=True))
+        # valve = 2: every melody exists in exactly 2 copies, so its
+        # own hashes survive while any landmark shared across groups
+        # (present in >= 4 docs) is dropped before the join
+        got = audiofp.match_fingerprints(corpus_fp=corpus,
+                                         query_fp=snips,
+                                         min_votes=40,
+                                         max_hash_freq=2).collect()
+        matches = {(r["query_id"], r["corpus_id"]): r for r in got}
+        # each snippet q hits both copies of its melody (q and q+30)
+        for q in range(4):
+            for c in (q, q + 30):
+                r = matches[(q, c)]
+                # snip = notes 2..5 -> 2*2048 samples / 256 hop = 16
+                assert r["offset"] == 16, r
+        assert all((q % 30) == (c % 30) for q, c in matches)
+
+    def test_fingerprints_deterministic(self, spark):
+        import numpy as np
+
+        from xdlake_spark.operators import audiofp, multimodal
+        rows = self._melodies(spark, 3).collect()
+        fps = audiofp.audio_fingerprints(self._melodies(spark, 3)) \
+            .collect()
+        by_doc: dict = {}
+        for r in fps:
+            by_doc.setdefault(r["doc_id"], set()).add((r["hash"], r["t"]))
+        for r in rows:
+            _, mono, _ = multimodal._parse_audio(bytes(r["payload"]))
+            want = set(audiofp.fingerprint_samples(
+                mono.astype(np.float64)))
+            assert by_doc[r["doc_id"]] == want
+
+    def test_stop_hash_valve(self, spark):
+        from xdlake_spark.operators import audiofp
+        corpus = audiofp.audio_fingerprints(self._melodies(spark, 60))
+        # a valve of 1 drops every hash shared by the two copies of
+        # each melody -> no matches survive
+        snips = audiofp.audio_fingerprints(
+            self._melodies(spark, 2, snip=True))
+        got = audiofp.match_fingerprints(snips, corpus, min_votes=1,
+                                         max_hash_freq=1).count()
+        assert got == 0
+
+    def test_match_plan_is_hash_join(self, spark):
+        from xdlake_spark.operators import audiofp
+        corpus = audiofp.audio_fingerprints(self._melodies(spark, 8))
+        snips = audiofp.audio_fingerprints(
+            self._melodies(spark, 2, snip=True))
+        plan = audiofp.match_fingerprints(snips, corpus) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -730,10 +730,38 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
     image_kinds = ("ppm", "png", "jpeg", "gif")
     audio_kinds = ("wav", "wav_ulaw", "wav_alaw", "wav_adpcm", "wav_f32",
                    "flac")
-    if media not in image_kinds + audio_kinds + ("avi", "agif"):
+    if media not in image_kinds + audio_kinds + (
+            "avi", "agif", "noise_ppm", "melody_wav", "melody_snip"):
         raise ValueError(f"unknown media kind: {media!r}")
 
     from pyspark.sql.functions import pandas_udf
+
+    if media == "noise_ppm":
+        # near-dup fixture for perceptual hashing: ids sharing id % 40
+        # get the SAME noise raster (seeded PCG64), with the non-canonic
+        # members brightness-shifted (range [8, 240) so no clipping —
+        # dhash's gradient signs are exactly invariant) plus a 1x2
+        # perturbed patch (a few flipped hash bits). Different groups
+        # are independent noise: expected Hamming ~32, so the banded
+        # join has essentially zero cross-group candidates.
+        @pandas_udf("binary")
+        def _gen(ids: pd.Series) -> pd.Series:
+            out = []
+            for i in ids:
+                i = int(i)
+                rng = np.random.default_rng(1000 + i % 40)
+                pix = rng.integers(8, 240, size=(20, 24, 3),
+                                   dtype=np.int16)
+                v = (i // 40) % 4
+                if v:
+                    pix = pix + 2 * v
+                    r, c = (i * 7) % 19, (i * 5) % 23
+                    pix[r, c:c + 2] = (i * 31) % 200 + 8
+                out.append(_encode_pnm(pix.astype(np.uint8)))
+            return pd.Series(out)
+
+        return df.select(F.col(id_col),
+                         _gen(F.col(id_col)).alias("payload"))
 
     if media in ("avi", "agif"):
         from . import codecs as _codecs
@@ -817,6 +845,39 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
                         "<IHHIIHH", 16, fmt, 1, sr,
                         sr * max(align, 1), align, bits) +
                     b"data" + struct.pack("<I", len(frames)) + frames)
+
+        if media in ("melody_wav", "melody_snip"):
+            # audio-fingerprint fixture: an 8-note PCM16 "melody" keyed
+            # on id % 30 (docs in a group share the exact recording);
+            # the snip kind is notes 2..5 of the same melody — 4096
+            # samples in, an exact multiple of the fingerprinting hop,
+            # so snippet frames align sample-for-sample with the full
+            # recording and matching recovers offset = 16 frames.
+            @pandas_udf("binary")
+            def _gen(ids: pd.Series) -> pd.Series:
+                out = []
+                sr, seg, nseg = 8000, 2048, 8
+                ts = np.arange(seg, dtype=np.float64) / sr
+                for i in ids:
+                    i = int(i)
+                    rng = np.random.default_rng(2000 + i % 30)
+                    # 3-note chords spread across the spectral bands so
+                    # the per-band peak constellation discriminates
+                    # between melodies (a lone sine would light up one
+                    # band and alias across groups)
+                    chords = 200.0 + rng.integers(0, 60, (nseg, 3)) * 40.0
+                    take = range(2, 6) if media == "melody_snip" \
+                        else range(nseg)
+                    wave = np.concatenate(
+                        [np.sin(2 * np.pi * chords[s][:, None] * ts)
+                         .sum(axis=0) * 0.3 for s in take])
+                    ints = np.round(wave * 32767.0).astype(np.int16)
+                    out.append(_wav(1, 16, ints.astype("<i2").tobytes(),
+                                    sr, 2))
+                return pd.Series(out)
+
+            return df.select(F.col(id_col),
+                             _gen(F.col(id_col)).alias("payload"))
 
         @pandas_udf("binary")
         def _gen(ids: pd.Series) -> pd.Series:

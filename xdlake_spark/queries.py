@@ -4272,6 +4272,45 @@ def dsir_importance_q(spark, sf_dir):
     return classify.dsir_weights(d, F.col("lang") == "en", top_k=100)
 
 
+# rows-only (no SQL engine decodes pixels): perceptual-hash image
+# dedup end-to-end — decode a noise-raster PPM corpus with planted
+# near-dup groups (id % 40 shares a base image; members are
+# brightness-shifted + patch-perturbed), dhash each payload once in
+# Arrow batches, then find pairs by 4x16-bit banded Hamming join with
+# JVM bit_count verification. The hash kernels are differentially
+# tested against direct numpy in tests/test_operators.py.
+@register("multimodal_phash_neardup", None)
+def multimodal_phash_neardup_q(spark, sf_dir):
+    from .operators import imagehash
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    payloads = multimodal.attach_fake_payloads(d, media="noise_ppm")
+    hashes = imagehash.phash_images(payloads, kind="dhash")
+    return (imagehash.phash_neardup_pairs(hashes, max_hamming=8)
+            .orderBy("id_a", "id_b"))
+
+
+# rows-only (no SQL engine runs an FFT): Shazam-style audio search —
+# fingerprint a corpus of 8-chord PCM16 melodies (ids sharing id % 30
+# are the same recording), fingerprint 4-chord snippets cut from the
+# middle of the first ten melodies, and match snippet -> recording by
+# landmark-hash join + time-offset voting. Every snippet must hit all
+# 8 copies of its source recording at exactly offset 16 frames; the
+# offset recovery is pinned in tests/test_operators.py.
+@register("audio_fingerprint_match", None)
+def audio_fingerprint_match_q(spark, sf_dir):
+    from .operators import audiofp
+    d = _t(spark, sf_dir, "documents")
+    corpus = multimodal.attach_fake_payloads(
+        d.filter(F.col("doc_id") < 240), media="melody_wav")
+    snips = multimodal.attach_fake_payloads(
+        d.filter(F.col("doc_id") < 10), media="melody_snip")
+    return (audiofp.match_fingerprints(
+        audiofp.audio_fingerprints(snips),
+        audiofp.audio_fingerprints(corpus),
+        min_votes=100, max_hash_freq=60)
+        .orderBy("query_id", "corpus_id"))
+
+
 #: The driver's correctness harness oracle-checks exactly the FIRST 50
 #: entries of ``queries()`` (insertion order). This curated window makes
 #: those 50 span every operator family — relational, agg/window,
