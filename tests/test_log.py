@@ -89,12 +89,20 @@ class TestActions:
         assert isinstance(a, Add)
 
     def test_unknown_action_preserved(self):
-        # domainMetadata is a real Delta action this engine does not
-        # implement — it must round-trip verbatim, not be dropped
+        # checkpointMetadata is a real Delta action this engine keeps
+        # opaque in JSON logs — it must round-trip verbatim, not drop
+        raw = {"checkpointMetadata": {"version": 4, "tags": None}}
+        a = load_action(raw)
+        assert isinstance(a, UnknownAction)
+        assert a.to_json() == raw
+
+    def test_domain_metadata_roundtrip(self):
+        from xdlake_spark.log import DomainMetadata
         raw = {"domainMetadata": {"domain": "d", "configuration": "{}",
                                   "removed": False}}
         a = load_action(raw)
-        assert isinstance(a, UnknownAction)
+        assert isinstance(a, DomainMetadata)
+        assert a.domain == "d" and not a.removed
         assert a.to_json() == raw
 
     def test_cdc_action_roundtrip(self):

@@ -825,19 +825,19 @@ class TestReaderProtocolGate:
                                                    tmp_table_dir):
         """Delta spec: a writer MUST refuse to commit unless it
         implements every writerFeature — our commits would silently
-        break e.g. rowTracking invariants for other engines. Reads
+        break e.g. icebergCompatV2 invariants for other engines. Reads
         stay available (reader protocol is v1 here)."""
         t = DeltaTable(spark, f"{tmp_table_dir}/t")
         t = t.write(spark.createDataFrame(gen_pdf()))
         n = t.to_df().count()
         self._graft_protocol(tmp_table_dir, {
             "minReaderVersion": 1, "minWriterVersion": 7,
-            "writerFeatures": ["rowTracking"]})
+            "writerFeatures": ["icebergCompatV2"]})
         t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
         assert t2.to_df().count() == n  # reading is fine
-        with pytest.raises(NotImplementedError, match="rowTracking"):
+        with pytest.raises(NotImplementedError, match="icebergCompatV2"):
             t2.write(spark.createDataFrame(gen_pdf()), mode="append")
-        with pytest.raises(NotImplementedError, match="rowTracking"):
+        with pytest.raises(NotImplementedError, match="icebergCompatV2"):
             t2.delete("f64 > 0.5")
 
     def test_supported_writer_features_commit(self, spark,

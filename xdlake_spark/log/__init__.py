@@ -23,6 +23,7 @@ from .actions import (
     Action,
     Add,
     Cdc,
+    DomainMetadata,
     Operation,
     Protocol,
     Remove,
@@ -206,11 +207,15 @@ def update_table_entry(adds: list[Add], removes: list[Remove],
 
 
 def restore_table_entry(adds: list[Add], removes: list[Remove],
-                        schema: T.StructType, partition_by: list[str],
+                        metadata: TableMetadata,
                         restore_version: int, read_version: int,
                         custom_metadata: dict | None = None) -> DeltaLogEntry:
-    md = TableMetadata(schemaString=schema_to_string(schema),
-                       partitionColumns=list(partition_by or []))
+    """RESTORE reinstates the target version's FULL metaData — schema,
+    partitioning AND configuration (Delta's RESTORE semantics). A
+    schema-only rebuild here would silently drop table properties like
+    delta.columnMapping.mode and misread every restored file."""
+    import dataclasses
+    md = dataclasses.replace(metadata)
     commit = TableCommit.restore(restore_version=restore_version,
                                  read_version=read_version,
                                  metadata=custom_metadata)
@@ -406,6 +411,41 @@ class DeltaLog:
                         best = a.version
         return best
 
+    def domain_metadata(self, domain: str) -> DomainMetadata | None:
+        """Newest ``domainMetadata`` action for ``domain`` per log
+        replay (latest wins), or None if never set or tombstoned by a
+        ``removed=True`` action."""
+        for v in sorted(self.entries, reverse=True):
+            for a in self.entries[v].actions:
+                if isinstance(a, DomainMetadata) and a.domain == domain:
+                    return None if a.removed else a
+        return None
+
+    def live_domain_metadata(self) -> "dict[str, DomainMetadata]":
+        """All live domains (newest non-removed action per domain) —
+        the set a checkpoint must carry forward."""
+        out: dict[str, DomainMetadata] = {}
+        seen: set[str] = set()
+        for v in sorted(self.entries, reverse=True):
+            for a in self.entries[v].actions:
+                if isinstance(a, DomainMetadata) and a.domain not in seen:
+                    seen.add(a.domain)
+                    if not a.removed:
+                        out[a.domain] = a
+        return out
+
+    def row_id_high_watermark(self) -> int:
+        """Highest row id ever assigned (Delta row tracking), from the
+        ``delta.rowTracking`` domain; -1 before any assignment."""
+        dm = self.domain_metadata("delta.rowTracking")
+        if dm is None:
+            return -1
+        try:
+            return int(json.loads(dm.configuration or "{}")
+                       .get("rowIdHighWaterMark", -1))
+        except (ValueError, TypeError):
+            return -1
+
     def last_ict(self) -> int | None:
         """Newest commit's inCommitTimestamp if it carries one (lazy
         JSON re-read under a checkpointed load)."""
@@ -495,7 +535,8 @@ def commit_entry(log_location, version: int, entry: DeltaLogEntry) -> None:
 
 
 __all__ = [
-    "Action", "Add", "Cdc", "Remove", "Protocol", "SetTransaction",
+    "Action", "Add", "Cdc", "DomainMetadata", "Remove", "Protocol",
+    "SetTransaction",
     "TableMetadata", "TableCommit",
     "UnknownAction", "Operation", "WriteMode", "SchemaMode", "DeltaLog",
     "DeltaLogEntry", "load_action", "log_entry_filename", "timestamp_ms",

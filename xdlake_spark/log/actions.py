@@ -69,9 +69,9 @@ class Action:
 def load_action(obj: dict[str, Any]) -> Action:
     """Dispatch one parsed log line to its action class.
 
-    Unknown action types (e.g. ``cdc``, ``domainMetadata``) are preserved as
-    :class:`UnknownAction` rather than failing — required for reading logs
-    written by other engines.
+    Unknown action types (e.g. ``checkpointMetadata``, future protocol
+    additions) are preserved as :class:`UnknownAction` rather than
+    failing — required for reading logs written by other engines.
     """
     for key, body in obj.items():
         cls = Action._registry.get(key)
@@ -155,6 +155,21 @@ class Operation:
     VACUUM_START = "VACUUM START"
     VACUUM_END = "VACUUM END"
     STREAMING_UPDATE = "STREAMING UPDATE"
+
+
+@dataclass(kw_only=True)
+class DomainMetadata(Action):
+    """``domainMetadata``: a named key/value domain attached to the
+    table state (Delta protocol Domain Metadata). Log replay keeps the
+    newest action per domain; ``removed=True`` tombstones the domain.
+    This engine writes the ``delta.rowTracking`` domain (row-id high
+    watermark) and round-trips any foreign domain verbatim."""
+
+    action_name: ClassVar[str] = "domainMetadata"
+
+    domain: str
+    configuration: str = ""
+    removed: bool = False
 
 
 @dataclass(kw_only=True)

@@ -102,6 +102,10 @@ _SCHEMA = pa.schema([
         # merge-on-read DELETE: without this column a checkpointed DV
         # table would RESURRECT its logically-deleted rows on reload
         pa.field("deletionVector", _DV_STRUCT),
+        # row tracking: fresh row ids are baseRowId + row_index; a
+        # checkpoint that dropped these would reassign different ids
+        pa.field("baseRowId", pa.int64()),
+        pa.field("defaultRowCommitVersion", pa.int64()),
     ])),
     pa.field("remove", pa.struct([
         pa.field("path", pa.string()),
@@ -119,6 +123,14 @@ _SCHEMA = pa.schema([
         pa.field("appId", pa.string()),
         pa.field("version", pa.int64()),
         pa.field("lastUpdated", pa.int64()),
+    ])),
+    # Delta spec: a checkpoint MUST carry every live domainMetadata —
+    # dropping them would reset the row-id high watermark (and any
+    # foreign engine's domains) when old JSON entries stop being read
+    pa.field("domainMetadata", pa.struct([
+        pa.field("domain", pa.string()),
+        pa.field("configuration", pa.string()),
+        pa.field("removed", pa.bool_()),
     ])),
 ])
 
@@ -175,6 +187,9 @@ def write_checkpoint(log_location, log: "DeltaLog",
             "dataChange": False,
             "stats": add.stats,
             "deletionVector": (add.extra or {}).get("deletionVector"),
+            "baseRowId": (add.extra or {}).get("baseRowId"),
+            "defaultRowCommitVersion":
+                (add.extra or {}).get("defaultRowCommitVersion"),
         }))
 
     # newest tombstone per non-live path
@@ -206,6 +221,12 @@ def write_checkpoint(log_location, log: "DeltaLog",
         rows.append(_row("txn", {
             "appId": t.appId, "version": t.version,
             "lastUpdated": t.lastUpdated,
+        }))
+
+    for dm in log.live_domain_metadata().values():
+        rows.append(_row("domainMetadata", {
+            "domain": dm.domain, "configuration": dm.configuration,
+            "removed": False,
         }))
 
     import io
@@ -460,6 +481,13 @@ def _parse_parquet(data: bytes) -> tuple[list[Action], list[str]]:
             if dv and dv.get("storageType") is not None:
                 add.extra = {"deletionVector": {
                     k: v for k, v in dv.items() if v is not None}}
+            if a.get("baseRowId") is not None:
+                add.extra = {**(add.extra or {}),
+                             "baseRowId": int(a["baseRowId"])}
+            if a.get("defaultRowCommitVersion") is not None:
+                add.extra = {**(add.extra or {}),
+                             "defaultRowCommitVersion":
+                                 int(a["defaultRowCommitVersion"])}
             actions.append(add)
         elif row.get("remove"):
             r = row["remove"]
@@ -480,6 +508,14 @@ def _parse_parquet(data: bytes) -> tuple[list[Action], list[str]]:
                 actions.append(SetTransaction(
                     appId=t["appId"], version=t.get("version") or 0,
                     lastUpdated=t.get("lastUpdated")))
+        elif row.get("domainMetadata"):
+            d = row["domainMetadata"]
+            if d.get("domain") is not None:
+                from .actions import DomainMetadata
+                actions.append(DomainMetadata(
+                    domain=d["domain"],
+                    configuration=d.get("configuration") or "",
+                    removed=bool(d.get("removed"))))
         elif row.get("sidecar"):
             s = row["sidecar"]
             if s.get("path"):

@@ -4272,6 +4272,35 @@ def dsir_importance_q(spark, sf_dir):
     return classify.dsir_weights(d, F.col("lang") == "en", top_k=100)
 
 
+@register("delta_row_tracking_scan", """
+SELECT doc_id, lang, _row_id, CAST(1 AS BIGINT) AS _commit_version
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (ORDER BY doc_id) - 1 AS _row_id
+  FROM documents
+)
+WHERE lang <> 'fr'
+""")
+def delta_row_tracking_q(spark, sf_dir):
+    """Row tracking end-to-end (table.py enable_row_tracking /
+    to_df_with_row_ids): write documents doc_id-ordered into one file,
+    enable row tracking (the version-1 enabling commit backfills base
+    ids, so _commit_version is 1 everywhere), DV-delete the French
+    docs — survivors must KEEP their ids because the deletion vector
+    masks rows without rewriting the file — and read back _row_id.
+    The oracle assigns each doc its rank over ALL documents first and
+    filters afterwards: deleted rows still occupied physical indexes,
+    exactly like baseRowId + _metadata.row_index on the Spark side."""
+    from .table import DeltaTable
+    d = _t(spark, sf_dir, "documents") \
+        .select("doc_id", "lang").orderBy("doc_id").coalesce(1)
+    t = DeltaTable(spark, _delta_tmp()).write(d)
+    t = t.enable_row_tracking()
+    t = t.delete("lang = 'fr'", mode="merge-on-read")
+    return (t.to_df_with_row_ids()
+            .select("doc_id", "lang", "_row_id", "_commit_version"))
+
+
 # rows-only (no SQL engine decodes pixels): perceptual-hash image
 # dedup end-to-end — decode a noise-raster PPM corpus with planted
 # near-dup groups (id % 40 shares a base image; members are

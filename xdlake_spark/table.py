@@ -989,6 +989,232 @@ class DeltaTable:
                 f"{op} is not allowed: table is append-only "
                 "(delta.appendOnly=true); unset the property first")
 
+    @property
+    def row_tracking_enabled(self) -> bool:
+        """True when delta.enableRowTracking='true' is set."""
+        if not self.log:
+            return False
+        cfg = self.log.metadata().configuration or {}
+        return str(cfg.get("delta.enableRowTracking", "false")
+                   ).lower() == "true"
+
+    @property
+    def _row_tracking_supported(self) -> bool:
+        """True when the writer protocol declares the rowTracking
+        feature. Spec: a writer on such a table MUST assign fresh row
+        ids to every new add even if delta.enableRowTracking is unset
+        (supported != enabled — enablement only governs whether
+        readers may rely on the ids)."""
+        if not self.log:
+            return False
+        proto = self.log.protocol()
+        wf = set((proto.extra or {}).get("writerFeatures") or [])
+        return "rowTracking" in wf
+
+    def enable_row_tracking(self,
+                            custom_metadata: dict | None = None
+                            ) -> "DeltaTable":
+        """Enable Delta row tracking: every subsequently-committed add
+        carries ``baseRowId`` / ``defaultRowCommitVersion``, the row-id
+        high watermark is maintained in the ``delta.rowTracking``
+        domain metadata, and :meth:`to_df_with_row_ids` surfaces stable
+        ``_row_id`` / ``_commit_version`` columns (fresh row id =
+        baseRowId + physical row index — no materialized column
+        needed until a row is rewritten).
+
+        The enabling commit upgrades the writer protocol to (.., 7)
+        with the ``rowTracking`` + ``domainMetadata`` features (spec:
+        rowTracking requires domainMetadata). Files written BEFORE
+        enablement have no ids; this engine backfills them in the
+        enabling commit by assigning base ids to every live add (in
+        path order) so the whole table is immediately addressable.
+
+        Limitation (documented, loud): without materialized row-id
+        columns, a rewrite (OPTIMIZE / copy-on-write DELETE-update
+        survivors) assigns FRESH ids to the rewritten rows — this
+        matches the spec's fresh-row-id fallback, not its row-id
+        preservation guarantee.
+        """
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        if self.row_tracking_enabled:
+            return self
+        import dataclasses
+        md = self.log.metadata()
+        cfg = dict(md.configuration or {})
+        cfg["delta.enableRowTracking"] = "true"
+        md = dataclasses.replace(md, configuration=cfg)
+        entry = properties_table_entry(
+            md, "SET TBLPROPERTIES",
+            {"properties": json.dumps({"delta.enableRowTracking":
+                                       "true"})},
+            self.version, custom_metadata)
+        up = self._feature_protocol_action(
+            set(), {"rowTracking", "domainMetadata"})
+        if up is not None:
+            entry.actions.insert(0, up)
+        # backfill: re-add every live file with a fresh base id so
+        # pre-enablement data gets row ids in the same commit
+        hw = self.log.row_id_high_watermark()
+        for path in sorted(self.adds):
+            add = self.adds[path]
+            n = (add.stats_dict or {}).get("numRecords")
+            if n is None:
+                raise ValueError(
+                    f"cannot enable row tracking: live file {path!r} "
+                    "has no numRecords statistics to size its row-id "
+                    "range")
+            new = dataclasses.replace(
+                add, dataChange=False,
+                extra={**(add.extra or {}), "baseRowId": hw + 1,
+                       "defaultRowCommitVersion": self.version + 1})
+            hw += int(n)
+            entry.actions.append(new)
+        from .log.actions import DomainMetadata
+        entry.actions.append(DomainMetadata(
+            domain="delta.rowTracking",
+            configuration=json.dumps({"rowIdHighWaterMark": hw})))
+        return self._commit(entry)
+
+    def _stamp_row_tracking(self, entry: DeltaLogEntry) -> None:
+        """Assign fresh row ids to this commit's new adds (row tracking
+        enabled): consecutive baseRowId ranges from the current high
+        watermark, in add order, sized by each file's numRecords;
+        defaultRowCommitVersion = the version being committed; the
+        watermark advances via a ``delta.rowTracking`` domainMetadata
+        action in the same commit.
+
+        Re-entrant for the OCC retry path: the set of adds stamped by
+        the FIRST attempt is remembered on the entry, so a rebase
+        re-stamps exactly those adds from the rebased log's watermark
+        (an add that already carried an id from a prior commit — e.g.
+        a restore re-adding an old file — keeps it)."""
+        from .log.actions import DomainMetadata
+
+        stamped = getattr(entry, "_rt_paths", None)
+        if stamped is None:
+            stamped = {a.path for a in entry.adds
+                       if "baseRowId" not in (a.extra or {})}
+            entry._rt_paths = stamped
+        if not stamped:
+            return  # e.g. RESTORE re-adding already-tracked files
+        hw = self.log.row_id_high_watermark()
+        for add in entry.adds:
+            if add.path not in stamped:
+                continue
+            n = (add.stats_dict or {}).get("numRecords")
+            if n is None:
+                raise ValueError(
+                    f"row tracking requires numRecords statistics on "
+                    f"every add: {add.path!r} has none")
+            add.extra = {**(add.extra or {}), "baseRowId": hw + 1,
+                         "defaultRowCommitVersion":
+                             self._version_to_write}
+            hw += int(n)
+        entry.actions = [a for a in entry.actions
+                         if not (isinstance(a, DomainMetadata)
+                                 and a.domain == "delta.rowTracking")]
+        entry.actions.append(DomainMetadata(
+            domain="delta.rowTracking",
+            configuration=json.dumps({"rowIdHighWaterMark": hw})))
+
+    def to_df_with_row_ids(self, where: str | None = None) -> DataFrame:
+        """Snapshot scan with row tracking columns: the table schema
+        plus ``_row_id`` (stable fresh row id = add.baseRowId +
+        physical ``_metadata.row_index``) and ``_commit_version``
+        (the add's defaultRowCommitVersion).
+
+        One scan over all live files + a broadcast manifest join keyed
+        on the file path (the same shape as the general partition-
+        attach path — manifest-sized driver state, never row-sized).
+        Deletion vectors compose: masked rows are anti-joined out
+        AFTER position tagging, so surviving rows keep their original
+        physical index and therefore their original row id."""
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        if not self.row_tracking_enabled:
+            raise ValueError(
+                "row tracking is not enabled on this table — call "
+                "enable_row_tracking() first")
+        if self.column_mapping_mode not in ("none", ""):
+            raise NotImplementedError(
+                "row-id reads on column-mapped tables are not "
+                "supported yet")
+        self._check_reader_protocol()
+        schema = self.schema
+        adds = (prune_manifest(self.adds, where, self.partition_columns)
+                if where else self.adds)
+        if not adds:
+            out_schema = T.StructType(
+                schema.fields
+                + [T.StructField("_row_id", T.LongType()),
+                   T.StructField("_commit_version", T.LongType())])
+            return self.spark.createDataFrame([], out_schema)
+        pcols = [c for c in self.partition_columns
+                 if c in schema.fieldNames()]
+        data_schema = T.StructType(
+            [f for f in schema.fields if f.name not in pcols])
+        files = [self.location.absloc(p).url for p in adds]
+        mrows = []
+        for p, add in adds.items():
+            base = (add.extra or {}).get("baseRowId")
+            if base is None:
+                raise ValueError(
+                    f"live file {p!r} has no baseRowId — it was "
+                    "committed by an engine that ignored the row "
+                    "tracking feature; the table's row ids are not "
+                    "trustworthy")
+            mrows.append(
+                (_strip_scheme(self.location.absloc(p).url), int(base),
+                 int((add.extra or {}).get("defaultRowCommitVersion")
+                     or -1),
+                 *[(add.partitionValues or {}).get(c) for c in pcols]))
+        mschema = T.StructType(
+            [T.StructField("__xdl_path", T.StringType()),
+             T.StructField("__base_rid", T.LongType()),
+             T.StructField("__dcv", T.LongType())]
+            + [T.StructField(f"__pv_{c}", T.StringType())
+               for c in pcols])
+        manifest = self.spark.createDataFrame(mrows, mschema)
+        scan = (self.spark.read.schema(data_schema).parquet(*files)
+                .withColumn("__xdl_pos", F.col("_metadata.row_index")))
+        raw = F.regexp_replace(F.input_file_name(),
+                               "^[a-zA-Z0-9+.-]+://?", "/")
+        raw = F.regexp_replace(raw, "^//+", "/")
+        scan = scan.withColumn(
+            "__xdl_path", F.coalesce(F.try_url_decode(raw), raw))
+        dv_adds = {p: a for p, a in adds.items()
+                   if (a.extra or {}).get("deletionVector")}
+        if dv_adds:
+            from .log.dv import deleted_row_indexes
+            rows = []
+            for p, a in dv_adds.items():
+                desc = (a.extra or {})["deletionVector"]
+                url = _strip_scheme(self.location.absloc(p).url)
+                rows.extend((url, int(i)) for i in
+                            deleted_row_indexes(self.location, desc))
+            if rows:
+                import pandas as pd
+                dead = F.broadcast(self.spark.createDataFrame(
+                    pd.DataFrame(rows, columns=["__dv_file",
+                                                "__dv_pos"])))
+                scan = (scan.join(
+                    dead, (F.col("__xdl_path") == F.col("__dv_file"))
+                    & (F.col("__xdl_pos") == F.col("__dv_pos")),
+                    "left_anti"))
+        out = scan.join(F.broadcast(manifest), "__xdl_path")
+        for c in pcols:
+            out = out.withColumn(
+                c, F.col(f"__pv_{c}").cast(schema[c].dataType))
+        out = (out.withColumn("_row_id",
+                              F.col("__base_rid") + F.col("__xdl_pos"))
+               .withColumn("_commit_version", F.col("__dcv")))
+        out = out.select(*schema.fieldNames(), "_row_id",
+                         "_commit_version")
+        if where:
+            out = out.filter(where)
+        return out
+
     def describe_detail(self) -> dict:
         """DESCRIBE DETAIL-style summary of the current snapshot."""
         if self.schema is None:
@@ -1557,6 +1783,8 @@ class DeltaTable:
          "v2Checkpoint",      # commits checkpoint in v2 manifest form
          "vacuumProtocolCheck",  # vacuum() runs this gate pre-delete
          "inCommitTimestamp",    # monotonic commitInfo clock maintained
+         "domainMetadata",    # replayed, checkpointed, conflict-safe
+         "rowTracking",       # baseRowId assignment + watermark domain
          })
 
     #: Features we can commit under only when the table doesn't
@@ -1638,6 +1866,9 @@ class DeltaTable:
 
     def _commit(self, entry: DeltaLogEntry) -> "DeltaTable":
         self._check_writer_protocol(entry)
+        if entry.adds and (self.row_tracking_enabled
+                           or self._row_tracking_supported):
+            self._stamp_row_tracking(entry)
         if self.ict_enabled:
             self._stamp_ict(entry)
         with self.commit_context(self._version_to_write):
@@ -2337,8 +2568,7 @@ class DeltaTable:
         re_adds = [a for p, a in tgt.items()
                    if p not in cur or cur[p] != a]
         removes = [a.to_remove() for p, a in cur.items() if p not in tgt]
-        entry = restore_table_entry(re_adds, removes, target.schema(),
-                                    target.partition_columns(),
+        entry = restore_table_entry(re_adds, removes, target.metadata(),
                                     restore_version, self.version,
                                     custom_metadata)
         return self._commit_checked(entry, self.version)
