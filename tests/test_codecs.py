@@ -800,3 +800,92 @@ class TestCodecProperties:
             # step tracking bounds error well under full scale
             assert np.abs(err).max() < 0.35 * 32767 * amp + 2000
         run()
+
+
+class TestMp3Stream:
+    """MPEG-audio frame layer: hand-assembled streams pin the walker
+    (sizes, padding accumulator, tag skip, resync, VBR) and the
+    zero-spectrum decode; general PCM decode must refuse loudly (the
+    spec's Huffman/window constants are unverifiable in-sandbox)."""
+
+    def test_frame_sizes_and_padding_accumulator(self):
+        # 128 kbps @ 44.1 kHz: ideal 417.959 bytes/frame -> the
+        # fractional-slot accumulator yields a 417/418 pattern with
+        # 24 padded frames per 25 (0.959...)
+        s = C.build_mp3_stream(50, sample_rate=44100, bitrate=128)
+        info = C.parse_mp3_frames(s)
+        sizes = [sz for _, sz, _ in info["frames"]]
+        assert set(sizes) == {417, 418}
+        assert abs(sum(sizes) / 50 - 144 * 128000 / 44100) < 1
+        # 48 kHz divides evenly: every frame exactly 384 bytes
+        s2 = C.build_mp3_stream(10, sample_rate=48000, bitrate=128)
+        assert {sz for _, sz, _ in
+                C.parse_mp3_frames(s2)["frames"]} == {384}
+
+    def test_id3v2_skip_and_id3v1_trailer(self):
+        s = C.build_mp3_stream(7, id3_title="unit") + b"TAG" + b"\x00" * 125
+        info = C.parse_mp3_frames(s)
+        assert info["n_frames"] == 7
+        assert info["first_frame_offset"] > 0  # past the ID3v2 tag
+
+    def test_resync_over_garbage(self):
+        a = C.build_mp3_stream(3)
+        b = C.build_mp3_stream(4)
+        info = C.parse_mp3_frames(a + b"\x12\x34junkjunk" + b)
+        assert info["n_frames"] == 7
+
+    def test_vbr_detection_and_mean_bitrate(self):
+        s = C.build_mp3_stream(9, vbr_bitrates=[96, 160, 256])
+        info = C.parse_mp3_frames(s)
+        assert info["is_vbr"]
+        assert info["bitrate_kbps"] == pytest.approx((96 + 160 + 256) / 3)
+        assert not C.parse_mp3_frames(C.build_mp3_stream(9))["is_vbr"]
+
+    def test_xing_header_detected(self):
+        # graft a Xing tag into the first frame's main-data area
+        s = bytearray(C.build_mp3_stream(5))
+        off = 4 + 17                      # header + mono side info
+        s[off:off + 8] = b"Xing" + struct.pack(">I", 1)
+        s[off + 8:off + 12] = struct.pack(">I", 4)  # frame count
+        info = C.parse_mp3_frames(bytes(s))
+        assert info["has_xing"] and info["xing_frames"] == 4
+        assert info["n_frames"] == 4      # metadata frame excluded
+
+    def test_stereo_side_info_and_channels(self):
+        s = C.build_mp3_stream(6, channels=2)
+        info = C.parse_mp3_frames(s)
+        assert info["channels"] == 2
+        sr, pcm = C.parse_mp3_silence(s)
+        assert sr == 44100 and len(pcm) == 6 * 1152 and not pcm.any()
+
+    def test_silence_decodes_to_exact_zeros(self):
+        sr, pcm = C.parse_mp3_silence(C.build_mp3_stream(12))
+        assert sr == 44100
+        assert pcm.dtype == np.float32 and len(pcm) == 12 * 1152
+        assert not pcm.any()
+
+    def test_nonzero_spectrum_refuses_loudly(self):
+        s = bytearray(C.build_mp3_stream(3))
+        # set granule 0 part2_3_length (first 12 bits after the 9-bit
+        # main_data_begin + 5 private + 4 scfsi = bit 18 of side info)
+        side = 4
+        s[side + 2] |= 0x08               # a bit inside part2_3_length
+        with pytest.raises(NotImplementedError, match="Huffman"):
+            C.parse_mp3_silence(bytes(s))
+
+    def test_mpeg2_and_layer1_frame_geometry(self):
+        # hand-assemble single headers: MPEG-2 Layer III 16 kHz 64 kbps
+        # -> 72*64000/16000 = 288 bytes, 576 samples
+        h2 = bytes([0xFF, 0xF0 | (2 << 3) | (1 << 1) | 1,
+                    (8 << 4) | (2 << 2), 0xC0])
+        f = C._mp3_frame_header(h2 + b"\x00" * 300, 0)
+        assert (f["version"], f["size"], f["samples"]) == (2, 288, 576)
+        # MPEG-1 Layer I 384 kbps 48 kHz -> (12*384000/48000)*4 = 384
+        h1 = bytes([0xFF, 0xE0 | (3 << 3) | (3 << 1) | 1,
+                    (12 << 4) | (1 << 2), 0xC0])
+        f1 = C._mp3_frame_header(h1 + b"\x00" * 400, 0)
+        assert (f1["layer"], f1["size"], f1["samples"]) == (1, 384, 384)
+
+    def test_no_frames_raises_valueerror(self):
+        with pytest.raises(ValueError, match="no MPEG"):
+            C.parse_mp3_frames(b"\x00" * 1000)

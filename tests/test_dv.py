@@ -194,8 +194,36 @@ class TestDvScan:
             self, spark, tmp_table_dir):
         """This engine holds the deletionVectors writer feature (it
         writes DVs itself), so mutating a foreign DV table works; a
-        table demanding a feature we do NOT hold (rowTracking) still
-        refuses at commit while reads pass the reader gate."""
+        table demanding a feature we do NOT hold (icebergCompatV2)
+        still refuses at commit while reads pass the reader gate."""
+        t = DeltaTable(spark, tmp_table_dir)
+        t = t.write(spark.createDataFrame(gen_pdf(20)).coalesce(1))
+        _graft_dv(tmp_table_dir, 0, [1])
+        log_file = f"{tmp_table_dir}/_delta_log/{0:020d}.json"
+        lines = []
+        for line in open(log_file):
+            obj = json.loads(line)
+            if "protocol" in obj:
+                obj["protocol"] = {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors",
+                                       "icebergCompatV2"]}
+            lines.append(json.dumps(obj))
+        open(log_file, "w").write("\n".join(lines) + "\n")
+        t2 = DeltaTable(spark, tmp_table_dir)
+        assert t2.to_df().count() == 19  # read path fine
+        with pytest.raises(NotImplementedError, match="icebergCompatV2"):
+            t2.delete("flag = true")
+        with pytest.raises(NotImplementedError, match="icebergCompatV2"):
+            t2.write(spark.createDataFrame(gen_pdf(5)), mode="append")
+
+    def test_dv_table_mutation_under_row_tracking_works(
+            self, spark, tmp_table_dir):
+        """Positive twin: rowTracking graduated to a held writer
+        feature (table.py SUPPORTED_WRITER_FEATURES), so a table
+        demanding deletionVectors + rowTracking accepts mutations,
+        and the appended files are stamped with baseRowId ranges."""
         t = DeltaTable(spark, tmp_table_dir)
         t = t.write(spark.createDataFrame(gen_pdf(20)).coalesce(1))
         _graft_dv(tmp_table_dir, 0, [1])
@@ -213,10 +241,51 @@ class TestDvScan:
         open(log_file, "w").write("\n".join(lines) + "\n")
         t2 = DeltaTable(spark, tmp_table_dir)
         assert t2.to_df().count() == 19  # read path fine
-        with pytest.raises(NotImplementedError, match="rowTracking"):
-            t2.delete("flag = true")
-        with pytest.raises(NotImplementedError, match="rowTracking"):
-            t2.write(spark.createDataFrame(gen_pdf(5)), mode="append")
+        t3 = t2.write(spark.createDataFrame(gen_pdf(5)).coalesce(1),
+                      mode="append")
+        assert t3.to_df().count() == 24
+        new_adds = [a for a in t3.log.add_actions().values()
+                    if (a.extra or {}).get("baseRowId") is not None]
+        assert new_adds, "appended file must carry a baseRowId stamp"
+
+
+class TestDvBroadcastGate:
+    """Every DV anti-join path (scan, row-id read, mutation) shares
+    one gated helper: broadcast under _DV_BROADCAST_MAX deleted
+    positions, plain shuffle-joinable frame past it (no driver/executor
+    OOM on a heavily-DV'd table)."""
+
+    def _hinted(self, df):
+        plan = df._jdf.queryExecution().logical().toString()
+        return "broadcast" in plan.lower()
+
+    def test_small_set_broadcasts(self, spark, tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir)
+        t = t.write(spark.createDataFrame(gen_pdf(5)))
+        rows = [("/a.parquet", i) for i in range(10)]
+        assert self._hinted(t._dv_positions_frame(rows))
+
+    def test_large_set_does_not_broadcast(self, spark, tmp_table_dir,
+                                          monkeypatch):
+        t = DeltaTable(spark, tmp_table_dir)
+        t = t.write(spark.createDataFrame(gen_pdf(5)))
+        monkeypatch.setattr(type(t), "_DV_BROADCAST_MAX", 5)
+        rows = [("/a.parquet", i) for i in range(10)]
+        assert not self._hinted(t._dv_positions_frame(rows))
+
+    def test_mutation_path_still_correct_past_gate(
+            self, spark, tmp_table_dir, monkeypatch):
+        """DELETE on a table whose prior DVs exceed the gate must run
+        the shuffle path and still mask exactly the right rows."""
+        monkeypatch.setattr(DeltaTable, "_DV_BROADCAST_MAX", 3)
+        pdf = gen_pdf(40)
+        pdf["idx"] = range(40)
+        t = DeltaTable(spark, tmp_table_dir)
+        t = t.write(spark.createDataFrame(pdf).coalesce(1))
+        t = t.delete("idx < 10", mode="merge-on-read")   # 10 > gate
+        t = t.delete("idx >= 30", mode="merge-on-read")  # prior DVs big
+        left = t.to_df().select("idx").toPandas()["idx"]
+        assert sorted(left) == list(range(10, 30))
 
 
 class TestDvOtherReadPaths:

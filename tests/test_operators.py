@@ -2773,6 +2773,51 @@ class TestImageHash:
                 max_hamming=16)
 
 
+class TestMp3StreamInfo:
+    def test_walker_matches_closed_form(self, spark):
+        """mp3_stream_info byte-walks synthesized streams; every field
+        must equal the closed form of doc_id the corpus generator used
+        (the same arithmetic the DuckDB oracle runs)."""
+        from xdlake_spark.operators import multimodal
+        d = spark.range(24).withColumnRenamed("id", "doc_id") \
+            .withColumn("text", F.lit("x"))
+        p = multimodal.attach_fake_payloads(d, media="mp3")
+        out = {r["doc_id"]: r for r in
+               multimodal.mp3_stream_info(p).collect()}
+        assert len(out) == 24
+        for i in range(24):
+            r = out[i]
+            n = 8 + i % 17
+            assert r["sample_rate"] == 44100
+            assert r["channels"] == 1 + i % 2
+            assert r["n_frames"] == n
+            assert r["duration_s"] == pytest.approx(n * 1152 / 44100)
+            if i % 3 == 0:
+                sched = [96, 160, 256]
+                want = sum(sched[f % 3] for f in range(n)) / n
+                assert r["is_vbr"]
+            else:
+                want = (64, 128, 192, 320)[i % 4]
+                assert not r["is_vbr"]
+            assert r["bitrate_kbps"] == pytest.approx(want)
+
+    def test_undecodable_payload_drops_row(self, spark):
+        from xdlake_spark.operators import multimodal
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x00" * 64))], "doc_id long, payload binary")
+        assert multimodal.mp3_stream_info(df).count() == 0
+
+    def test_parse_audio_dispatches_mp3(self):
+        import numpy as np
+
+        from xdlake_spark.operators import codecs, multimodal
+        sr, pcm, canon = multimodal._parse_audio(
+            codecs.build_mp3_stream(5, id3_title="t"))
+        assert sr == 44100 and len(pcm) == 5 * 1152
+        assert not np.asarray(pcm).any()
+        assert canon == b"\x00" * (5 * 1152 * 2)
+
+
 class TestAudioFingerprint:
     def _melodies(self, spark, n, snip=False):
         from xdlake_spark.operators import multimodal
@@ -2801,6 +2846,21 @@ class TestAudioFingerprint:
                 # snip = notes 2..5 -> 2*2048 samples / 256 hop = 16
                 assert r["offset"] == 16, r
         assert all((q % 30) == (c % 30) for q, c in matches)
+
+    def test_packed_hash_field_bounds_validated(self):
+        """fanout >= 512 would overflow dt into the f2 bit field of
+        f1<<18 | f2<<9 | dt, silently colliding hashes; same for a
+        frame whose rFFT bin count exceeds the 9-bit frequency
+        fields. Both must refuse loudly."""
+        import numpy as np
+
+        from xdlake_spark.operators import audiofp
+        sig = np.random.default_rng(0).standard_normal(4096)
+        with pytest.raises(ValueError, match="fanout"):
+            audiofp.fingerprint_samples(sig, fanout=512)
+        with pytest.raises(ValueError, match="frame"):
+            audiofp.fingerprint_samples(sig, frame=2048)
+        assert audiofp.fingerprint_samples(sig, fanout=511)
 
     def test_fingerprints_deterministic(self, spark):
         import numpy as np

@@ -34,6 +34,21 @@ class TestRowTracking:
         # enabling again is a no-op
         assert t.enable_row_tracking() is t
 
+    def test_reenable_keeps_existing_row_ids(self, spark, tmpdir,
+                                             nation):
+        """Disable → re-enable must NOT reassign ids already stamped
+        on live files — row-id stability is the feature's contract."""
+        t = _make(spark, tmpdir, nation).enable_row_tracking()
+        before = (t.to_df_with_row_ids().toPandas()
+                  .set_index("n_nationkey")["_row_id"])
+        t2 = t.set_properties({"delta.enableRowTracking": None})
+        assert not t2.row_tracking_enabled
+        t3 = t2.enable_row_tracking()
+        after = (t3.to_df_with_row_ids().toPandas()
+                 .set_index("n_nationkey")["_row_id"])
+        assert after.sort_index().tolist() \
+            == before.sort_index().tolist()
+
     def test_append_continues_watermark(self, spark, tmpdir, nation):
         t = _make(spark, tmpdir, nation).enable_row_tracking()
         t2 = t.write(nation.limit(5), mode="append")

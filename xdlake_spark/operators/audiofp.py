@@ -59,6 +59,16 @@ def fingerprint_samples(samples: np.ndarray, frame: int = 512,
     constraint, which also caps fan-out at bands x fanout hashes per
     frame); hash packs (f1, f2, dt) as f1<<18 | f2<<9 | dt.
     """
+    if not 1 <= fanout < 512:
+        raise ValueError(
+            f"fanout={fanout} overflows the 9-bit dt field of the "
+            "packed landmark hash (f1<<18 | f2<<9 | dt); must be "
+            "1 <= fanout < 512")
+    if frame // 2 + 1 > 512:
+        raise ValueError(
+            f"frame={frame} yields {frame // 2 + 1} rFFT bins, "
+            "overflowing the 9-bit frequency fields of the packed "
+            "hash; must be frame <= 1022")
     n = (len(samples) - frame) // hop + 1
     if n <= 0:
         return []

@@ -1505,3 +1505,244 @@ def encode_flac(samples, sample_rate: int, bps: int = 16,
         frame = bytes(hdr) + body
         out += frame + struct.pack(">H", _crc16(frame))
     return bytes(out)
+
+
+# -- MPEG audio (MP3) stream layer ------------------------------------------
+#
+# Honest scope (documented in README "codec coverage"): the FRAME layer
+# of ISO 11172-3 / 13818-3 is fully implemented from the public header
+# layout — sync walk, header fields, bitrate/samplerate tables, frame
+# sizing, CRC flag, ID3v2/ID3v1 skip, Xing/Info VBR detection, Layer III
+# side-info parse, duration/bitrate aggregation. Full PCM decode of
+# arbitrary Layer III is NOT implemented: it requires the spec's 34
+# Huffman code tables and the 512-tap synthesis-window constants, which
+# are unverifiable in this environment (no reference decoder, no
+# network) — shipping guessed constants would decode real audio *wrongly
+# but silently*, the worst failure mode for a 100 TB corpus. The one
+# PCM case that needs no spec constants — an all-zero-spectrum granule
+# (part2_3_length == 0), which every conformant encoder emits for
+# digital silence — IS decoded exactly (zeros); anything else raises
+# loudly.
+
+#: kbit/s by (mpeg_version 1|2, layer 1|2|3), bitrate index 1..14.
+#: MPEG-2.5 shares MPEG-2's rows.  Public table, ISO 11172-3 / 13818-3.
+_MP3_BITRATES = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256,
+             288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128,
+             160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112,
+             128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128,
+             144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64,
+             80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64,
+             80, 96, 112, 128, 144, 160),
+}
+
+#: Hz by version key (1, 2, 25=MPEG-2.5), samplerate index 0..2.
+_MP3_SAMPLERATES = {1: (44100, 48000, 32000),
+                    2: (22050, 24000, 16000),
+                    25: (11025, 12000, 8000)}
+
+
+def _mp3_frame_header(data: bytes, pos: int):
+    """Parse the 4-byte frame header at ``pos``; returns a dict or
+    None if not a valid sync/header combination."""
+    if pos + 4 > len(data):
+        return None
+    b0, b1, b2, b3 = data[pos:pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b1 >> 3) & 0x3       # 00=2.5 01=res 10=2 11=1
+    layer_bits = (b1 >> 1) & 0x3     # 01=III 10=II 11=I
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    version = {0: 25, 2: 2, 3: 1}[ver_bits]
+    layer = 4 - layer_bits           # 1, 2, 3
+    bri = (b2 >> 4) & 0xF
+    sri = (b2 >> 2) & 0x3
+    if bri in (0, 15) or sri == 3:   # free-format / invalid
+        return None
+    bitrate = _MP3_BITRATES[(1 if version == 1 else 2, layer)][bri - 1]
+    sr = _MP3_SAMPLERATES[version][sri]
+    padding = (b2 >> 1) & 1
+    mode = (b3 >> 6) & 0x3           # 0 stereo 1 joint 2 dual 3 mono
+    if layer == 1:
+        size = (12 * bitrate * 1000 // sr + padding) * 4
+        spf = 384
+    else:
+        # MPEG-2/2.5 Layer III frames carry 576 samples (72 slots/kbit)
+        per = 144 if (version == 1 or layer == 2) else 72
+        size = per * bitrate * 1000 // sr + padding
+        spf = 1152 if (version == 1 or layer == 2) else 576
+    return {"version": version, "layer": layer, "bitrate": bitrate,
+            "sample_rate": sr, "padding": padding,
+            "crc": (b1 & 1) == 0,    # protection bit 0 => CRC16 present
+            "channels": 1 if mode == 3 else 2, "mode": mode,
+            "size": size, "samples": spf}
+
+
+def _skip_id3v2(data: bytes, pos: int = 0) -> int:
+    """Return the offset just past an ID3v2 tag at ``pos`` (synchsafe
+    size), or ``pos`` unchanged."""
+    if data[pos:pos + 3] != b"ID3" or pos + 10 > len(data):
+        return pos
+    s = data[pos + 6:pos + 10]
+    size = ((s[0] & 0x7F) << 21 | (s[1] & 0x7F) << 14
+            | (s[2] & 0x7F) << 7 | (s[3] & 0x7F))
+    footer = 10 if (data[pos + 5] & 0x10) else 0
+    return pos + 10 + size + footer
+
+
+def parse_mp3_frames(data: bytes, max_resync: int = 65536) -> dict:
+    """Walk an MPEG audio stream: per-frame headers + aggregates.
+
+    Returns ``{sample_rate, channels, layer, version, n_frames,
+    duration_s, bitrate_kbps, is_vbr, has_xing, xing_frames,
+    first_frame_offset, frames}`` where ``frames`` is a list of
+    (offset, size, bitrate) triples.  Skips leading ID3v2 and trailing
+    ID3v1 tags; resynchronizes across up to ``max_resync`` bytes of
+    garbage between frames (corpus-crawl MP3s are routinely truncated
+    or spliced).  Raises ValueError when no frame is found at all.
+    """
+    pos = _skip_id3v2(bytes(data))
+    end = len(data)
+    if end - pos >= 128 and data[end - 128:end - 125] == b"TAG":
+        end -= 128                               # ID3v1 trailer
+    frames, first = [], None
+    sr = ch = layer = version = None
+    has_xing = False
+    xing_frames = None
+    while pos < end:
+        h = _mp3_frame_header(data, pos)
+        if h is None or (sr is not None and
+                         (h["sample_rate"] != sr or h["layer"] != layer)):
+            # resync: scan forward for the next plausible header
+            nxt = data.find(b"\xFF", pos + 1, min(end, pos + max_resync))
+            if nxt < 0 or (first is not None and not frames):
+                break
+            pos = nxt if nxt > pos else pos + 1
+            continue
+        if sr is None:
+            sr, ch = h["sample_rate"], h["channels"]
+            layer, version = h["layer"], h["version"]
+            first = pos
+            # Xing/Info header sits after the Layer III side info
+            if layer == 3:
+                side = (17 if ch == 1 else 32) if version == 1 \
+                    else (9 if ch == 1 else 17)
+                off = pos + 4 + (2 if h["crc"] else 0) + side
+                tag = data[off:off + 4]
+                if tag in (b"Xing", b"Info"):
+                    has_xing = True
+                    flags = struct.unpack_from(">I", data, off + 4)[0]
+                    if flags & 1:
+                        xing_frames = struct.unpack_from(
+                            ">I", data, off + 8)[0]
+        frames.append((pos, h["size"], h["bitrate"]))
+        pos += h["size"]
+    if not frames:
+        raise ValueError("no MPEG audio frame found")
+    n_audio = len(frames) - (1 if has_xing else 0)
+    spf = 1152 if (version == 1 or layer == 2) else \
+        (384 if layer == 1 else 576)
+    brs = [b for _, _, b in frames]
+    return {
+        "sample_rate": sr, "channels": ch, "layer": layer,
+        "version": version, "n_frames": n_audio,
+        "duration_s": n_audio * spf / sr,
+        "bitrate_kbps": sum(brs) / len(brs),
+        "is_vbr": len(set(brs)) > 1 or bool(
+            has_xing and xing_frames is not None),
+        "has_xing": has_xing, "xing_frames": xing_frames,
+        "first_frame_offset": frames[0][0],
+        "frames": frames,
+    }
+
+
+def parse_mp3_silence(data: bytes):
+    """Exact PCM decode of the zero-spectrum subset of MPEG-1 Layer
+    III: every granule with ``part2_3_length == 0`` (no scalefactors,
+    no Huffman data) decodes to 576 zero samples on ANY conformant
+    decoder, independent of the spec's Huffman/window constants.
+    Returns (sample_rate, float32 zeros of n_frames*1152).  A frame
+    carrying actual spectral data raises NotImplementedError with the
+    scope rationale (see module comment above `_MP3_BITRATES`).
+    """
+    info = parse_mp3_frames(data)
+    if info["layer"] != 3 or info["version"] != 1:
+        raise NotImplementedError(
+            f"PCM decode implemented for MPEG-1 Layer III only "
+            f"(got version {info['version']} layer {info['layer']})")
+    ch = info["channels"]
+    for off, size, _br in info["frames"]:
+        h = _mp3_frame_header(data, off)
+        body = off + 4 + (2 if h["crc"] else 0)
+        side = data[body:body + (17 if ch == 1 else 32)]
+        # (a Xing/Info metadata frame has all-zero side info, so it
+        # passes the zero-spectrum gate like any silence frame)
+        br = _BitReader(side)
+        main_data_begin = br.read(9)
+        br.read(5 if ch == 1 else 3)             # private bits
+        br.read(4 * ch)                          # scfsi
+        for _gr in range(2):
+            for _c in range(ch):
+                p23 = br.read(12)
+                if p23 != 0 or main_data_begin != 0:
+                    raise NotImplementedError(
+                        "general MP3 PCM decode requires ISO 11172-3 "
+                        "Huffman tables and synthesis-window constants "
+                        "that cannot be verified in this environment; "
+                        "only zero-spectrum (silence) granules are "
+                        "decoded — see README codec coverage")
+                br.read(9 + 8 + 4 + 1 + 22 + 1 + 1 + 1)  # rest of granule
+    n = info["n_frames"] * 1152
+    return info["sample_rate"], np.zeros(n, dtype=np.float32)
+
+
+def build_mp3_stream(n_frames: int, sample_rate: int = 44100,
+                     bitrate: int = 128, channels: int = 1,
+                     vbr_bitrates: "list[int] | None" = None,
+                     id3_title: "str | None" = None) -> bytes:
+    """Assemble a spec-conformant MPEG-1 Layer III silence stream:
+    every granule has part2_3_length == 0 (side info all-zero), so any
+    decoder renders digital silence.  Optional per-frame bitrate
+    schedule (``vbr_bitrates`` cycled) and a minimal ID3v2.3 TIT2 tag.
+    The padding bit follows the standard fractional-slot accumulator,
+    so 44.1 kHz streams carry the real alternating padding pattern.
+    """
+    table = _MP3_BITRATES[(1, 3)]
+    out = bytearray()
+    if id3_title is not None:
+        tit = id3_title.encode()
+        frame = b"TIT2" + struct.pack(">I", len(tit) + 1) + b"\x00\x00" \
+            + b"\x00" + tit
+        body = frame
+        sz = len(body)
+        out += b"ID3\x03\x00\x00" + bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+             (sz >> 7) & 0x7F, sz & 0x7F]) + body
+    side_len = 17 if channels == 1 else 32
+    rest = 0.0
+    for i in range(n_frames):
+        br = (vbr_bitrates[i % len(vbr_bitrates)]
+              if vbr_bitrates else bitrate)
+        bri = table.index(br) + 1
+        ideal = 144.0 * br * 1000 / sample_rate
+        size = int(ideal)
+        rest += ideal - size
+        pad = 0
+        if rest >= 1.0:
+            pad, rest = 1, rest - 1.0
+        size += pad
+        sri = _MP3_SAMPLERATES[1].index(sample_rate)
+        hdr = bytes([
+            0xFF,
+            0xE0 | (3 << 3) | (1 << 1) | 1,      # MPEG1, Layer III, no CRC
+            (bri << 4) | (sri << 2) | (pad << 1),
+            ((3 if channels == 1 else 0) << 6) | 0x04,  # original bit
+        ])
+        out += hdr + b"\x00" * (size - 4)
+    return bytes(out)

@@ -450,6 +450,17 @@ def _parse_audio(data: bytes):
         canonical = np.clip(np.round(mono), -32768, 32767) \
             .astype("<i2").tobytes()
         return sr, pcm, canonical
+    if data[:3] == b"ID3" or (len(data) >= 2 and data[0] == 0xFF
+                              and (data[1] & 0xE0) == 0xE0):
+        # MPEG audio: zero-spectrum (silence) frames decode exactly;
+        # frames with real spectral data raise loudly (see the codec-
+        # coverage rationale in codecs.py / README)
+        from .codecs import parse_mp3_silence
+
+        sr, pcm = parse_mp3_silence(data)
+        canonical = np.clip(np.round(pcm * 32768.0), -32768, 32767) \
+            .astype("<i2").tobytes()
+        return sr, pcm, canonical
     return _parse_wav(data)
 
 
@@ -731,10 +742,33 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
     audio_kinds = ("wav", "wav_ulaw", "wav_alaw", "wav_adpcm", "wav_f32",
                    "flac")
     if media not in image_kinds + audio_kinds + (
-            "avi", "agif", "noise_ppm", "melody_wav", "melody_snip"):
+            "avi", "agif", "noise_ppm", "melody_wav", "melody_snip",
+            "mp3"):
         raise ValueError(f"unknown media kind: {media!r}")
 
     from pyspark.sql.functions import pandas_udf
+
+    if media == "mp3":
+        from . import codecs as _codecs
+
+        @pandas_udf("binary")
+        def _gen(ids: pd.Series) -> pd.Series:
+            # id-keyed silence streams exercising every walker path:
+            # frame count/bitrate vary with the id; every 3rd doc is
+            # VBR; every 4th carries an ID3v2 tag
+            out = []
+            for i in ids:
+                i = int(i)
+                out.append(_codecs.build_mp3_stream(
+                    n_frames=8 + i % 17,
+                    bitrate=(64, 128, 192, 320)[i % 4],
+                    channels=1 + i % 2,
+                    vbr_bitrates=[96, 160, 256] if i % 3 == 0 else None,
+                    id3_title=f"doc-{i}" if i % 4 == 0 else None))
+            return pd.Series(out)
+
+        return df.select(F.col(id_col),
+                         _gen(F.col(id_col)).alias("payload"))
 
     if media == "noise_ppm":
         # near-dup fixture for perceptual hashing: ids sharing id % 40
@@ -916,6 +950,59 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
             return pd.Series(out)
 
     return df.select(F.col(id_col), _gen(F.col(id_col)).alias("payload"))
+
+
+#: MP3 stream-walk output: one metadata row per document.
+MP3_INFO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("layer", T.IntegerType()),
+    T.StructField("mpeg_version", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("bitrate_kbps", T.DoubleType()),
+    T.StructField("is_vbr", T.BooleanType()),
+    T.StructField("has_xing", T.BooleanType()),
+])
+
+
+def mp3_stream_info(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "doc_id") -> DataFrame:
+    """MPEG-audio frame walk over binary payloads → one metadata row
+    per document (sample rate, channel count, frame count, duration,
+    mean bitrate, VBR/Xing detection).  This is the media-triage front
+    of an audio corpus pipeline: duration/bitrate histograms, CBR/VBR
+    split, and corrupt-stream detection at 100 TB need only the frame
+    layer, never PCM.  Pure header arithmetic inside Arrow batches
+    (``mapInPandas``) — payload bytes never shuffle, and a payload with
+    no recognizable frame yields no row (count the drop as
+    input − output)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import parse_mp3_frames
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    m = parse_mp3_frames(bytes(data))
+                except ValueError:
+                    continue
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "sample_rate": m["sample_rate"],
+                    "channels": m["channels"], "layer": m["layer"],
+                    "mpeg_version": m["version"],
+                    "n_frames": m["n_frames"],
+                    "duration_s": m["duration_s"],
+                    "bitrate_kbps": m["bitrate_kbps"],
+                    "is_vbr": m["is_vbr"], "has_xing": m["has_xing"],
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              MP3_INFO_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=MP3_INFO_SCHEMA)
 
 
 #: Audio chunking output: one row per fixed-duration chunk.

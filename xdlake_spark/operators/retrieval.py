@@ -108,16 +108,18 @@ def pagerank(edges: DataFrame, iterations: int = 4,
     the same rounds); convergence-driven stopping belongs to the
     caller (compare successive outputs).
 
-    Plan shape per round: one join of the edge list with the rank
-    table on the source key + one dst-keyed sum — both shuffles on
-    graph keys, exactly the page-rank-on-MapReduce shape that scales
-    linearly in |E|. The edge list is hash-repartitioned ONCE on src
-    and lazily checkpointed, so every round's join reuses the same
-    co-location instead of re-shuffling the (big, static) edges;
-    only the (small, |V|-row) rank table moves each round. Dangling
-    mass is a single-row broadcast aggregate. Ranks are rounded to 12
-    per round IN BOTH ENGINES so cross-partition float-sum drift can't
-    compound across rounds (same posture as ``snapped_avg``).
+    Plan shape per round: ONE shuffle join of the (big, static,
+    src-partitioned) edge list with the rank table + ONE dst-keyed
+    partial-aggregated sum — exactly the page-rank-on-MapReduce shape
+    that scales linearly in |E|. The out-degree is joined into the
+    rank table ONCE before the loop and carried through every update
+    (it is static), and the dangling mass rides the same shuffle as
+    the contributions: the edge join is a RIGHT join, so an
+    out-degree-0 node survives with a NULL dst and its rank sums into
+    the null group of the very same aggregation — no separate
+    dangling scan/job per round. Ranks are rounded to 12 per round IN
+    BOTH ENGINES so cross-partition float-sum drift can't compound
+    across rounds (same posture as ``snapped_avg``).
 
     Output: (node, rank) over all nodes (sources + sinks), rank
     rounded to 6.
@@ -130,37 +132,44 @@ def pagerank(edges: DataFrame, iterations: int = 4,
          .localCheckpoint(eager=False))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double")
                                .alias("deg"))
+    # (node, deg) for ALL nodes — deg NULL marks dangling; static, so
+    # computed once and carried through every round's rank table
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
              .distinct()
+             .join(deg, F.col("node") == deg.src, "left")
+             .select("node", "deg")
              .localCheckpoint(eager=False))
     n_nodes = float(nodes.count())  # scalar; |V| is a metadata-scale count
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iterations):
-        r = ranks.join(deg, ranks.node == deg.src, "left") \
-                 .select("node", "rank", "deg")
-        # dangling = total rank on out-degree-0 nodes (one broadcast row)
-        dang = r.agg(F.coalesce(
-            F.sum(F.when(F.col("deg").isNull(), F.col("rank"))),
-            F.lit(0.0)).alias("__dang"))
-        contribs = (e.join(r.filter(F.col("deg").isNotNull())
-                           .withColumnRenamed("node", "src"), "src")
-                    .groupBy("dst")
-                    .agg(F.sum(F.col("rank") / F.col("deg"))
-                         .alias("__in")))
+        # one join + one agg: e RIGHT JOIN ranks keeps dangling nodes
+        # as null-dst rows, whose rank sums into the null group —
+        # contributions and dangling mass from a single shuffle pass
+        flow = (e.join(ranks.withColumnRenamed("node", "src"),
+                       "src", "right")
+                .groupBy("dst")
+                .agg(F.sum(F.when(F.col("deg").isNull(), F.col("rank"))
+                           .otherwise(F.col("rank") / F.col("deg")))
+                     .alias("__in"))
+                .localCheckpoint(eager=False))
+        dang = (flow.filter(F.col("dst").isNull())
+                .select(F.col("__in").alias("__d"))
+                .agg(F.coalesce(F.sum("__d"), F.lit(0.0))
+                     .alias("__dang")))
         ranks = (nodes
-                 .join(contribs, nodes.node == contribs.dst, "left")
+                 .join(flow.filter(F.col("dst").isNotNull()),
+                       nodes.node == F.col("dst"), "left")
                  .crossJoin(F.broadcast(dang))
                  .select(
-                     "node",
+                     "node", "deg",
                      F.round(
                          F.lit((1.0 - damping) / n_nodes)
                          + F.lit(damping)
                          * (F.coalesce(F.col("__in"), F.lit(0.0))
                             + F.col("__dang") / F.lit(n_nodes)),
                          12).alias("rank"))
-                 # each round's output feeds the next round twice (deg
-                 # join + contribs join) — pin it so lineage doesn't
-                 # re-execute all prior rounds per consumer
+                 # each round's output feeds the next round; pin it so
+                 # lineage doesn't re-execute all prior rounds
                  .localCheckpoint(eager=False))
     return ranks.select("node", F.round("rank", 6).alias("rank"))

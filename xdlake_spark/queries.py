@@ -2849,21 +2849,56 @@ def multimodal_decode_real(spark, sf_dir):
     return multimodal.decode_images(allp)
 
 
-# rows-only: REAL audio path — RIFF/WAVE sine payloads cycling four
-# encodings (PCM16, G.711 mu-law, IMA ADPCM, IEEE float32) parsed by
-# the pure-numpy WAV walker + codecs, chunked at the container's own
+# rows-only: REAL audio path — payloads cycling five containers
+# (RIFF/WAVE PCM16, G.711 mu-law, IMA ADPCM, IEEE float32, plus
+# zero-spectrum MP3 streams walked by the MPEG frame layer) parsed by
+# the pure-numpy walkers + codecs, chunked at each container's own
 # sample rate with rms/peak energies.
 @register("multimodal_audio_chunks_real", None)
 def multimodal_audio_real(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     parts = [multimodal.attach_fake_payloads(
-        d.filter(F.col("doc_id") % 4 == i), media=kind)
+        d.filter(F.col("doc_id") % 5 == i), media=kind)
         for i, kind in enumerate(("wav", "wav_ulaw", "wav_adpcm",
-                                  "wav_f32"))]
+                                  "wav_f32", "mp3"))]
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)
     return multimodal.chunk_audio(allp, chunk_seconds=0.1)
+
+
+# ORACLE-EXACT even though DuckDB can't parse MP3: the corpus is
+# synthesized by a closed form of doc_id (attach_fake_payloads
+# media="mp3"), so the oracle computes the walker's expected output
+# analytically while the Spark side genuinely walks every frame header
+# (sync, bitrate/samplerate tables, padding accumulator, ID3 skip) —
+# a byte-level parser differentially tested against arithmetic.
+@register("multimodal_mp3_stream_info", """
+SELECT doc_id,
+       44100                         AS sample_rate,
+       CAST(1 + doc_id % 2 AS INT)   AS channels,
+       CAST(8 + doc_id % 17 AS INT)  AS n_frames,
+       round((8 + doc_id % 17) * 1152 / 44100.0, 6) AS duration_s,
+       round(CASE WHEN doc_id % 3 = 0 THEN
+           (512.0 * ((8 + doc_id % 17) // 3)
+            + CASE (8 + doc_id % 17) % 3
+              WHEN 0 THEN 0 WHEN 1 THEN 96 ELSE 256 END)
+           / (8 + doc_id % 17)
+         ELSE CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 128
+              WHEN 2 THEN 192 ELSE 320 END
+         END, 6)                     AS bitrate_kbps,
+       doc_id % 3 = 0                AS is_vbr
+FROM documents
+""")
+def multimodal_mp3_info(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payloads(d, media="mp3")
+    out = multimodal.mp3_stream_info(payloads)
+    return out.select(
+        "doc_id", "sample_rate", "channels", "n_frames",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("bitrate_kbps", 6).alias("bitrate_kbps"),
+        "is_vbr")
 
 
 # rows-only: DuckDB's sha256 accepts VARCHAR, not BLOB, so the

@@ -1053,11 +1053,16 @@ class DeltaTable:
             set(), {"rowTracking", "domainMetadata"})
         if up is not None:
             entry.actions.insert(0, up)
-        # backfill: re-add every live file with a fresh base id so
-        # pre-enablement data gets row ids in the same commit
+        # backfill: re-add live files LACKING a base id so
+        # pre-enablement data gets row ids in the same commit; a file
+        # that already carries baseRowId (disable → re-enable cycle)
+        # keeps its ids — row-id stability over reassignment, matching
+        # _stamp_row_tracking's keep-existing-id behavior
         hw = self.log.row_id_high_watermark()
         for path in sorted(self.adds):
             add = self.adds[path]
+            if (add.extra or {}).get("baseRowId") is not None:
+                continue
             n = (add.stats_dict or {}).get("numRecords")
             if n is None:
                 raise ValueError(
@@ -1194,10 +1199,7 @@ class DeltaTable:
                 rows.extend((url, int(i)) for i in
                             deleted_row_indexes(self.location, desc))
             if rows:
-                import pandas as pd
-                dead = F.broadcast(self.spark.createDataFrame(
-                    pd.DataFrame(rows, columns=["__dv_file",
-                                                "__dv_pos"])))
+                dead = self._dv_positions_frame(rows)
                 scan = (scan.join(
                     dead, (F.col("__xdl_path") == F.col("__dv_file"))
                     & (F.col("__xdl_pos") == F.col("__dv_pos")),
@@ -2175,9 +2177,7 @@ class DeltaTable:
                 rows.extend((url, int(i)) for i in
                             deleted_row_indexes(self.location, desc))
             if rows:
-                already = F.broadcast(self.spark.createDataFrame(
-                    pd.DataFrame(rows, columns=["__dv_file",
-                                                "__dv_pos"])))
+                already = self._dv_positions_frame(rows)
                 norm_file = F.url_decode(F.regexp_replace(
                     F.regexp_replace(F.col("__xdl_file"),
                                      "^[a-zA-Z0-9+.-]+://?", "/"),
@@ -2476,6 +2476,23 @@ class DeltaTable:
         return self._commit_checked(entry, read_version,
                                     where_sql=where_sql)
 
+    #: Deleted-position count above which the DV anti-join degrades
+    #: from a driver-built broadcast to a shuffle join (every DV
+    #: read/mutation path shares this gate via _dv_positions_frame).
+    _DV_BROADCAST_MAX = 2_000_000
+
+    def _dv_positions_frame(self, rows: "list[tuple[str, int]]"):
+        """(file, position) deleted-row pairs → join-ready DataFrame.
+        Broadcast while small; past ``_DV_BROADCAST_MAX`` positions it
+        stays a plain frame (shuffle join) so a heavily-DV'd table
+        can't OOM the driver or executors on the broadcast."""
+        import pandas as pd
+        df = self.spark.createDataFrame(
+            pd.DataFrame(rows, columns=["__dv_file", "__dv_pos"]))
+        if len(rows) <= self._DV_BROADCAST_MAX:
+            df = F.broadcast(df)
+        return df
+
     def _apply_deletion_vectors(self, df: DataFrame,
                                 dv_adds: dict[str, Add]) -> DataFrame:
         """Filter logically-deleted rows out of a scan of DV-bearing
@@ -2488,8 +2505,6 @@ class DeltaTable:
         still correct. Paths are normalized identically on both sides
         (scheme stripped, url-decoded — the `_rel_by_uri` convention).
         """
-        import pandas as pd
-
         from .log.dv import deleted_row_indexes
 
         rows: list[tuple[str, int]] = []
@@ -2500,10 +2515,7 @@ class DeltaTable:
             rows.extend((url, int(i)) for i in idx)
         if not rows:
             return df
-        deleted = self.spark.createDataFrame(
-            pd.DataFrame(rows, columns=["__dv_file", "__dv_pos"]))
-        if len(rows) <= 2_000_000:
-            deleted = F.broadcast(deleted)
+        deleted = self._dv_positions_frame(rows)
         norm_file = F.url_decode(F.regexp_replace(F.regexp_replace(
             F.col("_metadata.file_path"),
             "^[a-zA-Z0-9+.-]+://?", "/"), "^//+", "/"))
