@@ -117,6 +117,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "multimodal_phash_neardup",
     "audio_fingerprint_match",
+    "multimodal_mp3_stream_info",
     "delta_row_tracking_scan",
 ]
 

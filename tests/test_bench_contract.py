@@ -66,6 +66,25 @@ def test_driver_window_covers_families_with_oracles():
         assert all(m in DRIVER_WINDOW for m in members), fam
 
 
+def test_driver_sample_stays_oracle_backed():
+    """Pin the driver's sampled-50 window to the round-6 recorded list:
+    every query the driver has historically green-checked must stay in
+    DRIVER_WINDOW (and therefore oracle-backed), so a registry refactor
+    can't silently rotate oracle coverage between rounds."""
+    import json
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "CORRECTNESS_r06.json")
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("driver artifact not present")
+    recorded = list(json.load(open(path)))
+    from xdlake_spark.queries import DRIVER_WINDOW
+    assert set(recorded) == set(DRIVER_WINDOW), (
+        "driver window drifted from the recorded round-6 sample; "
+        "update COVERAGE.md 'Driver correctness window' deliberately "
+        "if this is intentional")
+
+
 def test_final_bench_line_is_compact():
     """Rounds 4 and 5 both lost their headline value to the driver's
     2000-byte stdout-tail truncation. Pin that the printed final line

@@ -403,10 +403,9 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     # a separator containing metacharacters ('.', '||', '\n\n') splits
     # literally, matching the docstring and the concat_ws reassembly
     sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
-    # the input feeds BOTH the paragraph explode and the final per-doc
-    # reassembly join; checkpoint the narrow projection so a derived
-    # upstream (e.g. a regex-heavy quality funnel) evaluates ONCE, not
-    # once per consumer
+    # the input feeds the paragraph explode AND the per-doc sentinel;
+    # checkpoint the narrow projection so a derived upstream (e.g. a
+    # regex-heavy quality funnel) evaluates ONCE, not once per consumer
     src = (df.select(F.col(id_col).alias("id"),
                      F.col(text_col).alias("__text"))
            .localCheckpoint(eager=False))
@@ -421,16 +420,22 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
             .filter((F.col("id") == F.col("first.id"))
                     & (F.col("pos") == F.col("first.pos")))
             .select("id", "pos", "par"))
-    keep = surv.union(parts.filter(F.length(key) == 0)
-                      .select("id", "pos", "par"))
-    rebuilt = (keep.groupBy("id")
-               .agg(F.concat_ws(sep, F.transform(
-                   F.array_sort(F.collect_list(F.struct("pos", "par"))),
-                   lambda s: s["par"])).alias("__rebuilt")))
-    return (src.select("id")
-            .join(rebuilt, "id", "left")
+    # a NULL-paragraph sentinel per doc rides the reassembly groupBy,
+    # so a document whose every paragraph deduped away still comes
+    # back (as '' — concat_ws skips nulls): no final per-doc left
+    # join, one fewer shuffle stage than joining rebuilt text onto
+    # the id list
+    sentinel = src.select("id", F.lit(-1).alias("pos"),
+                          F.lit(None).cast("string").alias("par"))
+    keep = (surv.union(parts.filter(F.length(key) == 0)
+                       .select("id", "pos", "par"))
+            .union(sentinel))
+    return (keep.groupBy("id")
+            .agg(F.concat_ws(sep, F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "par"))),
+                lambda s: s["par"])).alias("__rebuilt"))
             .select(F.col("id").alias(id_col),
-                    F.coalesce("__rebuilt", F.lit("")).alias(text_col)))
+                    F.col("__rebuilt").alias(text_col)))
 
 
 def _driver_union_find(e: DataFrame, nodes: DataFrame) -> DataFrame:

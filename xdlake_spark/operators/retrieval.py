@@ -125,10 +125,14 @@ def pagerank(edges: DataFrame, iterations: int = 4,
     rounded to 6.
     """
     spark = edges.sparkSession
+    # ONE shuffle builds the canonical edge list: hash(src)
+    # partitioning satisfies the (src, dst) clustering the dedup
+    # needs, so repartition + dropDuplicates fuse into a single
+    # exchange (vs .distinct().repartition(): two)
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"))
-         .distinct()
          .repartition("src")
+         .dropDuplicates(["src", "dst"])
          .localCheckpoint(eager=False))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double")
                                .alias("deg"))
@@ -145,31 +149,32 @@ def pagerank(edges: DataFrame, iterations: int = 4,
     for _ in range(iterations):
         # one join + one agg: e RIGHT JOIN ranks keeps dangling nodes
         # as null-dst rows, whose rank sums into the null group —
-        # contributions and dangling mass from a single shuffle pass
+        # contributions and dangling mass from a single shuffle pass.
+        # The EAGER checkpoint is the round's only materialization; it
+        # bounds lineage, so the lazy rank update needs no checkpoint
+        # of its own (one action per round, not three)
         flow = (e.join(ranks.withColumnRenamed("node", "src"),
                        "src", "right")
                 .groupBy("dst")
                 .agg(F.sum(F.when(F.col("deg").isNull(), F.col("rank"))
                            .otherwise(F.col("rank") / F.col("deg")))
                      .alias("__in"))
-                .localCheckpoint(eager=False))
-        dang = (flow.filter(F.col("dst").isNull())
-                .select(F.col("__in").alias("__d"))
-                .agg(F.coalesce(F.sum("__d"), F.lit(0.0))
-                     .alias("__dang")))
+                .localCheckpoint(eager=True))
+        # dangling mass: ONE row of the checkpointed flow — a driver
+        # scalar, not a data collect (|row| == 1 at any graph size)
+        row = (flow.filter(F.col("dst").isNull())
+               .agg(F.coalesce(F.sum("__in"), F.lit(0.0))
+                    .alias("__dang")).first())
+        dang_val = float(row["__dang"])
         ranks = (nodes
                  .join(flow.filter(F.col("dst").isNotNull()),
                        nodes.node == F.col("dst"), "left")
-                 .crossJoin(F.broadcast(dang))
                  .select(
                      "node", "deg",
                      F.round(
                          F.lit((1.0 - damping) / n_nodes)
                          + F.lit(damping)
                          * (F.coalesce(F.col("__in"), F.lit(0.0))
-                            + F.col("__dang") / F.lit(n_nodes)),
-                         12).alias("rank"))
-                 # each round's output feeds the next round; pin it so
-                 # lineage doesn't re-execute all prior rounds
-                 .localCheckpoint(eager=False))
+                            + F.lit(dang_val / n_nodes)),
+                         12).alias("rank")))
     return ranks.select("node", F.round("rank", 6).alias("rank"))
