@@ -118,6 +118,7 @@ HEADLINE = [
     "multimodal_phash_neardup",
     "audio_fingerprint_match",
     "multimodal_mp3_stream_info",
+    "multimodal_mp4_container_info",
     "delta_row_tracking_scan",
 ]
 

@@ -889,3 +889,87 @@ class TestMp3Stream:
     def test_no_frames_raises_valueerror(self):
         with pytest.raises(ValueError, match="no MPEG"):
             C.parse_mp3_frames(b"\x00" * 1000)
+
+
+class TestMp4Container:
+    """ISO-BMFF box walker: hand-assembled box trees pin the grammar
+    (32/64-bit sizes, size-0 to-end boxes, container recursion,
+    version-1 headers, truncation tolerance)."""
+
+    def _simple(self):
+        return C.build_mp4([
+            {"handler": "vide", "codec": "avc1", "n_samples": 30,
+             "sample_size": 1000, "width": 640, "height": 360},
+            {"handler": "soun", "codec": "mp4a", "n_samples": 43,
+             "sample_size": 768}], duration_ms=2500)
+
+    def test_round_trip_metadata(self):
+        m = C.parse_mp4(self._simple())
+        assert m["major_brand"] == "isom"
+        assert m["duration_s"] == pytest.approx(2.5)
+        assert m["n_tracks"] == 2
+        v, a = m["tracks"]
+        assert (v["handler"], v["codec"], v["n_samples"],
+                v["width"], v["height"]) == ("vide", "avc1", 30,
+                                             640, 360)
+        assert v["total_sample_bytes"] == 30000
+        assert (a["handler"], a["codec"], a["n_samples"]) \
+            == ("soun", "mp4a", 43)
+        assert not m["has_fragments"]
+
+    def test_largesize_and_size0_boxes(self):
+        body = self._simple()
+        # wrap the mdat as a 64-bit largesize box, then append a
+        # size-0 (to-EOF) free box; the walker must accept both
+        mdat64 = struct.pack(">I", 1) + b"mdat" \
+            + struct.pack(">Q", 16 + 4) + b"\x00" * 4
+        free0 = struct.pack(">I", 0) + b"free" + b"\x00" * 6
+        data = body[:-8] + mdat64 + free0   # drop the empty mdat
+        boxes = [t for t, *_ in C.parse_mp4_boxes(data)]
+        assert b"mdat" in boxes and b"free" in boxes
+        assert C.parse_mp4(data)["n_tracks"] == 2
+
+    def test_version1_mvhd_mdhd(self):
+        # hand-build a moov with 64-bit (version 1) headers
+        mvhd = C._box(b"mvhd", struct.pack(
+            ">B3xQQIQ", 1, 0, 0, 90000, 90000 * 7) + b"\x00" * 80)
+        mdhd = C._box(b"mdhd", struct.pack(
+            ">B3xQQIQ", 1, 0, 0, 48000, 48000 * 7) + b"\x00" * 4)
+        hdlr = C._box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 13)
+        trak = C._box(b"trak", C._box(b"mdia", mdhd + hdlr))
+        data = C._box(b"ftyp", b"mp42" + b"\x00" * 4) \
+            + C._box(b"moov", mvhd + trak)
+        m = C.parse_mp4(data)
+        assert m["major_brand"] == "mp42"
+        assert m["duration_s"] == pytest.approx(7.0)
+        assert m["tracks"][0]["timescale"] == 48000
+        assert m["tracks"][0]["duration_s"] == pytest.approx(7.0)
+
+    def test_fragmented_flag(self):
+        data = self._simple() + C._box(b"moof", C._box(
+            b"traf", b""))
+        assert C.parse_mp4(data)["has_fragments"]
+
+    def test_variable_stsz_sums_sizes(self):
+        stsz = C._box(b"stsz", struct.pack(">B3xII", 0, 0, 3)
+                      + struct.pack(">3I", 10, 20, 30))
+        stsd = C._box(b"stsd", struct.pack(">B3xI", 0, 1)
+                      + C._box(b"avc1", b"\x00" * 78))
+        hdlr = C._box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 13)
+        trak = C._box(b"trak", C._box(b"mdia", hdlr + C._box(
+            b"minf", C._box(b"stbl", stsd + stsz))))
+        data = C._box(b"ftyp", b"isom\x00\x00\x00\x00") \
+            + C._box(b"moov", trak)
+        t = C.parse_mp4(data)["tracks"][0]
+        assert t["n_samples"] == 3 and t["total_sample_bytes"] == 60
+
+    def test_truncation_tolerated(self):
+        data = self._simple()
+        m = C.parse_mp4(data[:len(data) - 6])  # clipped final box
+        assert m["n_tracks"] == 2              # moov already parsed
+
+    def test_non_bmff_raises(self):
+        with pytest.raises(ValueError, match="ISO-BMFF"):
+            C.parse_mp4(b"RIFF" + b"\x00" * 100)
+        with pytest.raises(ValueError, match="ISO-BMFF"):
+            C.parse_mp4(b"\x00" * 4)

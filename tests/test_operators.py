@@ -2818,6 +2818,38 @@ class TestMp3StreamInfo:
         assert canon == b"\x00" * (5 * 1152 * 2)
 
 
+class TestMp4ContainerInfo:
+    def test_walker_matches_closed_form(self, spark):
+        from xdlake_spark.operators import multimodal
+        d = spark.range(18).withColumnRenamed("id", "doc_id") \
+            .withColumn("text", F.lit("x"))
+        p = multimodal.attach_fake_payloads(d, media="mp4")
+        out = {r["doc_id"]: r for r in
+               multimodal.mp4_stream_info(p).collect()}
+        dims = ((640, 360), (1280, 720), (1920, 1080), (320, 240))
+        assert len(out) == 18
+        for i in range(18):
+            r = out[i]
+            assert r["major_brand"] == "isom"
+            assert r["duration_s"] == pytest.approx(
+                (500 + (i % 20) * 250) / 1000.0)
+            assert r["video_codec"] == ("avc1", "hev1")[i % 2]
+            assert (r["width"], r["height"]) == dims[i % 4]
+            assert r["n_video_samples"] == 24 + i % 30
+            if i % 3 == 0:
+                assert r["n_tracks"] == 1 and r["audio_codec"] is None
+            else:
+                assert r["n_tracks"] == 2
+                assert r["audio_codec"] == "mp4a"
+                assert r["n_audio_samples"] == 40 + i % 25
+
+    def test_undecodable_payload_drops_row(self, spark):
+        from xdlake_spark.operators import multimodal
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\xff" * 64))], "doc_id long, payload binary")
+        assert multimodal.mp4_stream_info(df).count() == 0
+
+
 class TestAudioFingerprint:
     def _melodies(self, spark, n, snip=False):
         from xdlake_spark.operators import multimodal

@@ -1746,3 +1746,178 @@ def build_mp3_stream(n_frames: int, sample_rate: int = 44100,
         ])
         out += hdr + b"\x00" * (size - 4)
     return bytes(out)
+
+
+# -- ISO base media file format (MP4/MOV) container layer --------------------
+#
+# Same honest posture as the MPEG-audio layer above: the CONTAINER is
+# fully implemented from the public ISO 14496-12 box grammar — box
+# walk (32/64-bit sizes), ftyp brands, movie/track/media headers,
+# handler types, sample-description fourccs, sample counts/sizes from
+# the sample table — which is the media-triage surface (duration,
+# resolution, codec id, track layout, bitrate estimate) a corpus
+# pipeline needs at 100 TB. Decoding the CODEC payloads (H.264/HEVC/
+# AAC) is out of scope without a codec library; see README.
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl",
+                   b"edts", b"dinf", b"udta", b"mvex", b"moof",
+                   b"traf"}
+
+
+def parse_mp4_boxes(data: bytes, start: int = 0, end: int | None = None,
+                    depth: int = 0):
+    """Yield (type, payload_start, payload_end, depth) for every box,
+    recursing into known container boxes. Tolerates a truncated final
+    box (crawl corpora) by stopping cleanly."""
+    pos = start
+    end = len(data) if end is None else end
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", data, pos)[0]
+        btype = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:                       # 64-bit largesize
+            if pos + 16 > end:
+                break
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:                     # to end of enclosing box
+            size = end - pos
+        if size < 8 or pos + size > end:
+            break                           # truncated/corrupt tail
+        yield btype, body, pos + size, depth
+        if btype in _MP4_CONTAINERS:
+            yield from parse_mp4_boxes(data, body, pos + size, depth + 1)
+        pos += size
+
+
+def parse_mp4(data: bytes) -> dict:
+    """ISO-BMFF metadata walk: returns ``{major_brand, duration_s,
+    timescale, n_tracks, tracks: [{handler, codec, timescale,
+    duration_s, n_samples, total_sample_bytes, width, height}],
+    has_fragments}``. Raises ValueError when no ftyp/moov structure is
+    found."""
+    if len(data) < 12 or data[4:8] not in (b"ftyp", b"moov", b"mdat",
+                                           b"free", b"skip", b"wide",
+                                           b"styp"):
+        raise ValueError("not an ISO-BMFF (MP4/MOV) payload")
+    major = None
+    mv_timescale = mv_duration = None
+    tracks = []
+    cur = None
+    has_frag = False
+    for btype, a, b, _d in parse_mp4_boxes(data):
+        if btype == b"ftyp":
+            major = data[a:a + 4].decode("latin1")
+        elif btype == b"mvhd":
+            ver = data[a]
+            if ver == 1:
+                mv_timescale = struct.unpack_from(">I", data, a + 20)[0]
+                mv_duration = struct.unpack_from(">Q", data, a + 24)[0]
+            else:
+                mv_timescale = struct.unpack_from(">I", data, a + 12)[0]
+                mv_duration = struct.unpack_from(">I", data, a + 16)[0]
+        elif btype == b"trak":
+            cur = {"handler": None, "codec": None, "timescale": None,
+                   "duration_s": None, "n_samples": 0,
+                   "total_sample_bytes": 0, "width": None,
+                   "height": None}
+            tracks.append(cur)
+        elif btype in (b"moof", b"mvex"):
+            has_frag = True
+        elif cur is not None:
+            if btype == b"tkhd":
+                ver = data[a]
+                off = a + (84 if ver == 1 else 72)
+                if off + 8 <= b:
+                    # 16.16 fixed-point width/height
+                    w = struct.unpack_from(">I", data, off)[0] >> 16
+                    h = struct.unpack_from(">I", data, off + 4)[0] >> 16
+                    cur["width"], cur["height"] = (w or None), (h or None)
+            elif btype == b"mdhd":
+                ver = data[a]
+                if ver == 1:
+                    ts = struct.unpack_from(">I", data, a + 20)[0]
+                    du = struct.unpack_from(">Q", data, a + 24)[0]
+                else:
+                    ts = struct.unpack_from(">I", data, a + 12)[0]
+                    du = struct.unpack_from(">I", data, a + 16)[0]
+                cur["timescale"] = ts
+                cur["duration_s"] = du / ts if ts else None
+            elif btype == b"hdlr":
+                cur["handler"] = data[a + 8:a + 12].decode("latin1")
+            elif btype == b"stsd":
+                n = struct.unpack_from(">I", data, a + 4)[0]
+                if n >= 1 and a + 16 <= b:
+                    cur["codec"] = data[a + 12:a + 16].decode("latin1")
+            elif btype == b"stsz":
+                sample_size = struct.unpack_from(">I", data, a + 4)[0]
+                n = struct.unpack_from(">I", data, a + 8)[0]
+                cur["n_samples"] = n
+                if sample_size:
+                    cur["total_sample_bytes"] = sample_size * n
+                else:
+                    # bound by the box payload so a corrupt count
+                    # can't read past the table
+                    n_avail = min(n, max(0, (b - (a + 12)) // 4))
+                    sizes = struct.unpack_from(f">{n_avail}I", data,
+                                               a + 12)
+                    cur["total_sample_bytes"] = int(sum(sizes))
+    if major is None and mv_timescale is None:
+        raise ValueError("no ftyp/moov metadata in ISO-BMFF payload")
+    return {
+        "major_brand": major,
+        "timescale": mv_timescale,
+        "duration_s": (mv_duration / mv_timescale
+                       if mv_timescale and mv_duration is not None
+                       else None),
+        "n_tracks": len(tracks),
+        "tracks": tracks,
+        "has_fragments": has_frag,
+    }
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def build_mp4(tracks: "list[dict]", timescale: int = 1000,
+              duration_ms: int = 1000,
+              major_brand: bytes = b"isom") -> bytes:
+    """Assemble a structurally-valid ISO-BMFF file: ftyp + moov with
+    one trak per entry (``{"handler": "vide"|"soun", "codec": 4cc,
+    "n_samples": n, "sample_size": bytes, "width": w, "height": h}``)
+    and an empty mdat. Grammar-conformant (any MP4 demuxer walks it);
+    sample payloads are absent, mirroring the metadata-only scope of
+    :func:`parse_mp4`."""
+    mv_dur = duration_ms * timescale // 1000
+    mvhd = _box(b"mvhd", struct.pack(
+        ">B3x4I", 0, 0, 0, timescale, mv_dur) + b"\x00" * 80)
+    traks = b""
+    for i, t in enumerate(tracks):
+        w, h = t.get("width") or 0, t.get("height") or 0
+        tkhd = _box(b"tkhd", struct.pack(">B3xIIII", 0, 0, 0, i + 1, 0)
+                    + b"\x00" * 52
+                    + struct.pack(">II", w << 16, h << 16))
+        mdhd = _box(b"mdhd", struct.pack(
+            ">B3x2I", 0, 0, 0) + struct.pack(
+            ">IIHH", timescale, mv_dur, 0x55C4, 0))
+        hdlr = _box(b"hdlr", b"\x00" * 8
+                    + t["handler"].encode("latin1") + b"\x00" * 12
+                    + b"\x00")
+        entry = _box(t["codec"].encode("latin1"), b"\x00" * 78)
+        stsd = _box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+        n = t.get("n_samples", 0)
+        ssz = t.get("sample_size", 0)
+        stsz = _box(b"stsz", struct.pack(">B3xII", 0, ssz, n))
+        stts = _box(b"stts", struct.pack(">B3xI", 0, 1)
+                    + struct.pack(">II", n, max(1, mv_dur // max(n, 1))))
+        stco = _box(b"stco", struct.pack(">B3xI", 0, 0))
+        stbl = _box(b"stbl", stsd + stts + stsz + stco)
+        minf = _box(b"minf", _box(b"dinf", _box(
+            b"dref", struct.pack(">B3xI", 0, 0))) + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        traks += _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + traks)
+    ftyp = _box(b"ftyp", major_brand + struct.pack(">I", 0)
+                + b"isomiso2mp41")
+    return ftyp + moov + _box(b"mdat", b"")

@@ -743,10 +743,38 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
                    "flac")
     if media not in image_kinds + audio_kinds + (
             "avi", "agif", "noise_ppm", "melody_wav", "melody_snip",
-            "mp3"):
+            "mp3", "mp4"):
         raise ValueError(f"unknown media kind: {media!r}")
 
     from pyspark.sql.functions import pandas_udf
+
+    if media == "mp4":
+        from . import codecs as _codecs
+
+        @pandas_udf("binary")
+        def _gen(ids: pd.Series) -> pd.Series:
+            # id-keyed ISO-BMFF stubs: resolution/codec/track layout
+            # cycle with the id; every 3rd doc is video-only
+            dims = ((640, 360), (1280, 720), (1920, 1080), (320, 240))
+            out = []
+            for i in ids:
+                i = int(i)
+                w, h = dims[i % 4]
+                tracks = [{"handler": "vide",
+                           "codec": ("avc1", "hev1")[i % 2],
+                           "n_samples": 24 + i % 30,
+                           "sample_size": 800 + i % 100,
+                           "width": w, "height": h}]
+                if i % 3 != 0:
+                    tracks.append({"handler": "soun", "codec": "mp4a",
+                                   "n_samples": 40 + i % 25,
+                                   "sample_size": 256 + i % 64})
+                out.append(_codecs.build_mp4(
+                    tracks, duration_ms=500 + (i % 20) * 250))
+            return pd.Series(out)
+
+        return df.select(F.col(id_col),
+                         _gen(F.col(id_col)).alias("payload"))
 
     if media == "mp3":
         from . import codecs as _codecs
@@ -1003,6 +1031,72 @@ def mp3_stream_info(df: DataFrame, payload_col: str = "payload",
 
     return df.select(id_col, payload_col).mapInPandas(
         run, schema=MP3_INFO_SCHEMA)
+
+
+#: MP4/ISO-BMFF container-walk output: one metadata row per document.
+MP4_INFO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("major_brand", T.StringType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("n_tracks", T.IntegerType()),
+    T.StructField("video_codec", T.StringType()),
+    T.StructField("audio_codec", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_video_samples", T.IntegerType()),
+    T.StructField("n_audio_samples", T.IntegerType()),
+    T.StructField("media_bytes", T.LongType()),
+    T.StructField("has_fragments", T.BooleanType()),
+])
+
+
+def mp4_stream_info(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "doc_id") -> DataFrame:
+    """ISO-BMFF (MP4/MOV) box walk over binary payloads → one metadata
+    row per document: brand, duration, track layout, codec fourccs,
+    resolution, sample counts, media byte totals, fragmentation flag.
+    Container-only (ISO 14496-12) — the triage surface for video
+    corpora (length/resolution/codec histograms, corrupt-file
+    detection) without decoding a single codec frame.  Pure header
+    arithmetic inside Arrow batches (``mapInPandas``); payload bytes
+    never shuffle; unparseable payloads drop their row (count the
+    drop as input − output)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import parse_mp4
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    m = parse_mp4(bytes(data))
+                except ValueError:
+                    continue
+                vid = next((t for t in m["tracks"]
+                            if t["handler"] == "vide"), None)
+                aud = next((t for t in m["tracks"]
+                            if t["handler"] == "soun"), None)
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "major_brand": m["major_brand"],
+                    "duration_s": m["duration_s"],
+                    "n_tracks": m["n_tracks"],
+                    "video_codec": vid["codec"] if vid else None,
+                    "audio_codec": aud["codec"] if aud else None,
+                    "width": vid["width"] if vid else None,
+                    "height": vid["height"] if vid else None,
+                    "n_video_samples":
+                        vid["n_samples"] if vid else None,
+                    "n_audio_samples":
+                        aud["n_samples"] if aud else None,
+                    "media_bytes": sum(t["total_sample_bytes"]
+                                       for t in m["tracks"]),
+                    "has_fragments": m["has_fragments"],
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              MP4_INFO_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=MP4_INFO_SCHEMA)
 
 
 #: Audio chunking output: one row per fixed-duration chunk.

@@ -2901,6 +2901,46 @@ def multimodal_mp3_info(spark, sf_dir):
         "is_vbr")
 
 
+# ORACLE-EXACT by the same closed-form construction as the MP3 query:
+# the Spark side genuinely walks ISO-BMFF boxes (ftyp/moov/trak/mdhd/
+# hdlr/stsd/stsz, 14496-12 grammar) over synthesized containers, the
+# oracle computes the walker's expected output analytically.
+@register("multimodal_mp4_container_info", """
+SELECT doc_id,
+       'isom'                                   AS major_brand,
+       round((500 + (doc_id % 20) * 250) / 1000.0, 6) AS duration_s,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT)
+                                                AS n_tracks,
+       CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END
+                                                AS video_codec,
+       CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'mp4a' END
+                                                AS audio_codec,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 640 WHEN 1 THEN 1280
+            WHEN 2 THEN 1920 ELSE 320 END AS INT)  AS width,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 360 WHEN 1 THEN 720
+            WHEN 2 THEN 1080 ELSE 240 END AS INT)  AS height,
+       CAST(24 + doc_id % 30 AS INT)            AS n_video_samples,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE 40 + doc_id % 25 END AS INT)   AS n_audio_samples,
+       CAST((24 + doc_id % 30) * (800 + doc_id % 100)
+            + CASE WHEN doc_id % 3 = 0 THEN 0
+              ELSE (40 + doc_id % 25) * (256 + doc_id % 64) END
+            AS BIGINT)                          AS media_bytes,
+       false                                    AS has_fragments
+FROM documents
+""")
+def multimodal_mp4_info(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    payloads = multimodal.attach_fake_payloads(d, media="mp4")
+    out = multimodal.mp4_stream_info(payloads)
+    return out.select(
+        "doc_id", "major_brand",
+        F.round("duration_s", 6).alias("duration_s"),
+        "n_tracks", "video_codec", "audio_codec", "width", "height",
+        "n_video_samples", "n_audio_samples", "media_bytes",
+        "has_fragments")
+
+
 # rows-only: DuckDB's sha256 accepts VARCHAR, not BLOB, so the
 # byte-exact frame digests cannot be reproduced in the oracle
 @register("multimodal_frame_sample", None)
