@@ -120,6 +120,8 @@ HEADLINE = [
     "multimodal_mp3_stream_info",
     "multimodal_mp4_container_info",
     "delta_row_tracking_scan",
+    "gopher_quality_rules",
+    "html_extract_main_text",
 ]
 
 

@@ -1,0 +1,177 @@
+"""Web-corpus filter rule sets (operators/webfilter.py).
+
+Targeted synthetic documents exercising each Gopher/C4 rule in
+isolation, the HTML strip chain's exact-recovery invariant, and the
+URL parser — plus plan checks that the whole family stays JVM-side.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xdlake_spark.operators import webfilter
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+#: 72 words; required-stopword hits: 'the' and 'and'.
+GOOD = ("the quick brown fox jumps over and back " * 9).strip()
+
+
+class TestGopher:
+    def test_passes_clean_doc(self, spark):
+        df = webfilter.gopher_rules(_docs(spark, [(1, GOOD)]))
+        row = df.collect()[0]
+        assert row.n_words == 72
+        assert row.passes_gopher
+        assert row.stopword_hits == 2
+        assert row.alpha_word_frac == 1.0
+
+    def test_each_rule_fails_independently(self, spark):
+        rows = [
+            # too few words
+            (1, "the little doc that could stop here"),
+            # mean word length too low (single letters)
+            (2, " ".join(["a b c d e f g h the of"] * 8)),
+            # symbol ratio: a '#' per word
+            (3, " ".join(["#word the of"] * 30)),
+            # bullet lines dominate
+            (4, "\n".join(["- the bullet point here"] * 20)),
+            # ellipsis endings dominate
+            (5, "\n".join(["the line trails off..."] * 20)),
+            # non-alphabetic words dominate
+            (6, " ".join(["1234 5678 the 9012"] * 20)),
+            # no required stopwords at all
+            (7, " ".join(["quick brown foxes jump high"] * 15)),
+        ]
+        out = {r.doc_id: r for r in
+               webfilter.gopher_rules(_docs(spark, rows)).collect()}
+        assert not out[1].passes_gopher and out[1].n_words == 7
+        assert not out[2].passes_gopher and out[2].mean_word_len < 3.0
+        assert not out[3].passes_gopher and out[3].symbol_ratio > 0.1
+        assert not out[4].passes_gopher and out[4].bullet_line_frac == 1.0
+        assert not out[5].passes_gopher and out[5].ellipsis_line_frac == 1.0
+        assert not out[6].passes_gopher and out[6].alpha_word_frac < 0.8
+        assert not out[7].passes_gopher and out[7].stopword_hits == 0
+
+    def test_stopword_hits_counts_distinct_required_words(self, spark):
+        df = webfilter.gopher_rules(
+            _docs(spark, [(1, "the and of the and to be that have with")]))
+        assert df.collect()[0].stopword_hits == 8
+
+    def test_empty_text_is_safe(self, spark):
+        row = webfilter.gopher_rules(_docs(spark, [(1, "")])).collect()[0]
+        assert row.n_words == 0 and not row.passes_gopher
+
+    def test_threshold_overrides(self, spark):
+        doc = "the quick brown fox jumps over the lazy dog again and again"
+        strict = webfilter.gopher_rules(_docs(spark, [(1, doc)]))
+        loose = webfilter.gopher_rules(_docs(spark, [(1, doc)]),
+                                       min_words=5, min_stopword_hits=1)
+        assert not strict.collect()[0].passes_gopher  # 12 words < 50
+        assert loose.collect()[0].passes_gopher
+
+
+class TestC4:
+    def test_line_rules(self, spark):
+        text = "\n".join([
+            "This line has exactly six words.",      # kept
+            "Too short.",                             # < 5 words
+            "no terminal punctuation on this line",   # no [.!?"]
+            "Please enable JavaScript to view comments.",  # javascript
+            "Another perfectly fine sentence lives right here!",  # kept
+            'A quoted ending also counts as terminal."',          # kept
+        ])
+        row = webfilter.c4_line_filter(
+            _docs(spark, [(1, text)])).collect()[0]
+        assert row.n_lines == 6
+        assert row.n_kept_lines == 3
+        assert row.keep_doc
+        assert row.clean_text.count("\n") == 2
+
+    def test_doc_level_drops(self, spark):
+        keepable = "\n".join(["The sentence here is long enough."] * 4)
+        rows = [
+            (1, keepable + "\nSome lorem ipsum filler text appears."),
+            (2, keepable + "\nvar f = function() { return; }"),
+            (3, "\n".join(["The sentence here is long enough."] * 2)),
+            (4, keepable),
+        ]
+        out = {r.doc_id: r for r in
+               webfilter.c4_line_filter(_docs(spark, rows)).collect()}
+        assert not out[1].keep_doc and out[1].clean_text == ""
+        assert not out[2].keep_doc  # brace
+        assert not out[3].keep_doc  # only 2 kept lines
+        assert out[4].keep_doc and out[4].n_kept_lines == 4
+
+
+class TestHtml:
+    def test_strip_recovers_body_and_drops_boilerplate(self, spark):
+        html = ("<html><head><title>My Page</title>"
+                "<style>p { color: red; }</style>"
+                "<script>if (1 < 2) { alert('x'); }</script></head>"
+                "<body><nav><a href=\"/\">Home</a></nav>"
+                "<!-- hidden comment -->"
+                "<p>Tom &amp; Jerry say 1 &lt; 2 &amp;&nbsp;3 &gt; 2.</p>"
+                "<p>Second&#39;s &quot;quoted&quot; paragraph.</p>"
+                "<footer>(c) corp</footer></body></html>")
+        row = webfilter.html_main_text(
+            _docs(spark, [(1, html)]).withColumnRenamed("text", "html")
+        ).collect()[0]
+        assert row.main_text == ('My Page Tom & Jerry say 1 < 2 & 3 > 2. '
+                                 'Second\'s "quoted" paragraph.')
+
+    def test_escape_decode_roundtrip_on_hostile_text(self, spark):
+        hostile = "a &lt; b &amp; <tag> literal &amp;amp; 5>3"
+        df = _docs(spark, [(1, hostile)]).select(
+            "doc_id",
+            webfilter.html_escape(F.col("text")).alias("html"))
+        row = webfilter.html_main_text(df).collect()[0]
+        # escape makes markup inert; decode restores every literal char
+        # except the <tag>, which the strip (correctly) cannot see as
+        # text once unescaped -- so roundtrip compares against escape's
+        # own inverse, not tag survival.
+        assert row.main_text == "a &lt; b &amp; <tag> literal &amp;amp; 5>3"
+
+    def test_multiline_script_block_dropped(self, spark):
+        html = "<p>Keep.</p><script>\nvar a;\nvar b;\n</script><p>Also.</p>"
+        row = webfilter.html_main_text(
+            spark.createDataFrame([(1, html)], ["doc_id", "html"])
+        ).collect()[0]
+        assert row.main_text == "Keep. Also."
+
+
+class TestUrl:
+    def test_host_stats(self, spark):
+        rows = [(1, "https://a.example.com/en/doc-1", "en"),
+                (2, "https://a.example.com/de/doc-2", "de"),
+                (3, "http://b.example.org/en/x/deep/doc-3", "en")]
+        df = spark.createDataFrame(rows, ["doc_id", "url", "lang"])
+        out = {r.host: r for r in webfilter.url_host_stats(df).collect()}
+        assert out["a.example.com"].n_docs == 2
+        assert out["a.example.com"].n_langs == 2
+        assert out["a.example.com"].avg_path_depth == 2.0
+        assert out["b.example.org"].avg_path_depth == 4.0
+
+
+class TestPlans:
+    def test_no_python_in_row_path(self, spark):
+        df = spark.createDataFrame([(1, "the text here.")],
+                                   ["doc_id", "text"])
+        for out in (webfilter.gopher_rules(df),
+                    webfilter.c4_line_filter(df),
+                    webfilter.html_main_text(df.withColumnRenamed(
+                        "text", "html"))):
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "BatchEvalPython" not in plan
+            assert "ArrowEvalPython" not in plan
+
+    def test_url_stats_single_shuffle(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://h/x/doc", "en")], ["doc_id", "url", "lang"])
+        plan = (webfilter.url_host_stats(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        # partial agg before the exchange (map-side combine)
+        assert plan.count("HashAggregate") >= 2

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from .functions import text as X
 from .functions.vectors import cosine, lit_vector
 from .operators import dedup, multimodal, packing, sampling, similarity
+from .operators import webfilter
 from .operators import text as textops
 from .sources.readers import read_parquet_any
 from .streaming.ingest import tumbling_window_counts
@@ -4413,6 +4414,288 @@ def audio_fingerprint_match_q(spark, sf_dir):
         audiofp.audio_fingerprints(corpus),
         min_votes=100, max_hash_freq=60)
         .orderBy("query_id", "corpus_id"))
+
+
+# ===========================================================================
+# Web-corpus filter rule sets (operators/webfilter.py): Gopher, C4, HTML, URL
+# ===========================================================================
+
+@register("gopher_quality_rules", """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> length(t) > 0) AS toks,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)),
+                     x -> length(x) > 0) AS lines,
+         text
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         greatest(len(toks), 1) AS sw,
+         greatest(len(lines), 1) AS sl,
+         coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS wl,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3
+           + (length(text) - length(replace(text, '…', ''))) AS syms,
+         len(list_filter(lines, l -> starts_with(l, '- ')
+             OR starts_with(l, '* ')
+             OR starts_with(l, '• '))) AS bullets,
+         len(list_filter(lines, l -> ends_with(l, '...')
+             OR ends_with(l, '…'))) AS ells,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+             AS alpha,
+         CAST(list_contains(list_transform(toks, t -> lower(t)), 'the')
+              AS INT)
+           + CAST(list_contains(list_transform(toks, t -> lower(t)), 'be')
+                  AS INT)
+           + CAST(list_contains(list_transform(toks, t -> lower(t)), 'to')
+                  AS INT)
+           + CAST(list_contains(list_transform(toks, t -> lower(t)), 'of')
+                  AS INT)
+           + CAST(list_contains(list_transform(toks, t -> lower(t)), 'and')
+                  AS INT)
+           + CAST(list_contains(list_transform(toks, t -> lower(t)), 'that')
+                  AS INT)
+           + CAST(list_contains(list_transform(toks, t -> lower(t)), 'have')
+                  AS INT)
+           + CAST(list_contains(list_transform(toks, t -> lower(t)), 'with')
+                  AS INT) AS hits
+  FROM base
+), r AS (
+  SELECT doc_id, n_words,
+         round(CAST(wl AS DOUBLE) / sw, 4) AS mean_word_len,
+         round(CAST(syms AS DOUBLE) / sw, 6) AS symbol_ratio,
+         round(CAST(bullets AS DOUBLE) / sl, 6) AS bullet_line_frac,
+         round(CAST(ells AS DOUBLE) / sl, 6) AS ellipsis_line_frac,
+         round(CAST(alpha AS DOUBLE) / sw, 6) AS alpha_word_frac,
+         CAST(hits AS BIGINT) AS stopword_hits
+  FROM m
+)
+SELECT *,
+       n_words >= 30 AND n_words <= 100000
+       AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       AND symbol_ratio <= 0.1
+       AND bullet_line_frac <= 0.9
+       AND ellipsis_line_frac <= 0.3
+       AND alpha_word_frac >= 0.8
+       AND stopword_hits >= 1 AS passes_gopher
+FROM r
+""")
+def gopher_quality_rules_q(spark, sf_dir):
+    """Full Gopher document-quality rule set (Rae et al. 2021 A1):
+    word-count bounds, mean word length, symbol-to-word ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction,
+    required-stopword hits — one narrow codegen stage per document
+    (operators/webfilter.py gopher_rules). Thresholds calibrated to
+    the synthetic corpus (30-word floor, 1 required stopword) so the
+    pass flag splits it; canonical Gopher values stay the operator's
+    defaults."""
+    return webfilter.gopher_rules(_t(spark, sf_dir, "documents"),
+                                  min_words=30, min_stopword_hits=1)
+
+
+@register("c4_line_filter", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> length(t) > 0) AS w
+  FROM documents
+), page AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+             range(0, CAST(ceil(len(w) / 8.0) AS INT)),
+             i -> array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ')
+                  || (CASE CAST(i % 3 AS INT) WHEN 0 THEN '.'
+                      WHEN 1 THEN '!' ELSE '' END)), chr(10))
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'Enable javascript to view this page.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN chr(10) || 'function f() { return 1; }'
+                 ELSE '' END AS text
+  FROM toks
+), base AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)),
+                     x -> length(x) > 0) AS lines
+  FROM page
+), k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+             AND len(string_split_regex(l, '\\s+')) >= 5
+             AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+         AND NOT contains(text, '{') AS keep_doc,
+       CASE WHEN len(kept) >= 3
+                 AND NOT contains(lower(text), 'lorem ipsum')
+                 AND NOT contains(text, '{')
+            THEN array_to_string(kept, chr(10)) ELSE '' END AS clean_text
+FROM k
+""")
+def c4_line_filter_q(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020): keep lines ending
+    in terminal punctuation with >= 5 words and no javascript mention;
+    drop documents with < 3 kept lines, lorem ipsum, or code braces
+    (operators/webfilter.py c4_line_filter). The corpus text is
+    single-line and unpunctuated, so both engines first re-page it
+    deterministically: 8-word sentences with rotating ./!/none
+    terminals, a javascript boilerplate line on every 7th doc, a
+    brace'd code line on every 11th — exercising each rule."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                 lambda t: F.length(t) > 0)
+    nch = F.ceil(F.size(w) / F.lit(8.0)).cast("int")
+    punct = F.array(F.lit("."), F.lit("!"), F.lit(""))
+    lines = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(w, i * 8 + 1, F.lit(8)), " "),
+            F.element_at(punct, (i % 3) + 1)))
+    page = F.concat(
+        F.array_join(lines, "\n"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("\nEnable javascript to view this page."))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("\nfunction f() { return 1; }"))
+        .otherwise(F.lit("")))
+    return webfilter.c4_line_filter(
+        d.select("doc_id", page.alias("text")))
+
+
+#: Shared HTML-synthesis recipe for the extraction query: both engines
+#: wrap each document's escaped text in an identical page template so the
+#: strip operator's output is exactly checkable against the original.
+_HTML_ORACLE = """
+WITH esc AS (
+  SELECT doc_id, source, text,
+         replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+                 '>', '&gt;') AS etext
+  FROM documents
+), page AS (
+  SELECT doc_id, source, text,
+         '<html><head><title>' || source ||
+         '</title><style>p{margin:0}</style>' ||
+         '<script>var x = 1 < 2;</script></head><body>' ||
+         '<nav><a href="/">Home</a> | <a href="/about">About</a></nav>' ||
+         array_to_string(list_transform(
+             list_filter(list_transform(string_split(etext, chr(10)),
+                                        x -> trim(x)),
+                         x -> length(x) > 0),
+             l -> '<p>' || l || '</p>'), '') ||
+         '<footer>&copy; 2026 example.com</footer></body></html>' AS html
+  FROM esc
+), stripped AS (
+  SELECT doc_id, source, text, html,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(html,
+                   '(?s)<script.*?</script>', ' ', 'g'),
+                   '(?s)<style.*?</style>', ' ', 'g'),
+                   '(?s)<nav.*?</nav>', ' ', 'g'),
+                   '(?s)<header.*?</header>', ' ', 'g'),
+                   '(?s)<footer.*?</footer>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS main_text
+  FROM page
+)
+SELECT doc_id,
+       CAST(length(html) AS BIGINT) AS n_chars_html,
+       CAST(length(main_text) AS BIGINT) AS n_chars_main,
+       main_text,
+       main_text = trim(regexp_replace(source || ' ' || text,
+                                       '\\s+', ' ', 'g')) AS roundtrip_ok
+FROM stripped
+"""
+
+
+@register("html_extract_main_text", _HTML_ORACLE)
+def html_extract_main_text_q(spark, sf_dir):
+    """HTML boilerplate-strip: wrap each document in a deterministic
+    page template (title/style/script/nav/footer + entity-escaped body
+    paragraphs), then recover the visible main text with the
+    block-drop -> tag-strip -> entity-decode -> whitespace-collapse
+    chain. roundtrip_ok proves the extraction exactly recovers
+    title + body for every document (operators/webfilter.py
+    html_main_text)."""
+    d = _t(spark, sf_dir, "documents")
+    etext = webfilter.html_escape(F.col("text"))
+    paras = F.array_join(
+        F.transform(
+            F.filter(F.transform(F.split(etext, "\n"),
+                                 lambda x: F.trim(x)),
+                     lambda x: F.length(x) > 0),
+            lambda ln: F.concat(F.lit("<p>"), ln, F.lit("</p>"))), "")
+    page = d.withColumn("html", F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit("</title><style>p{margin:0}</style>"
+              "<script>var x = 1 < 2;</script></head><body>"
+              "<nav><a href=\"/\">Home</a> | "
+              "<a href=\"/about\">About</a></nav>"),
+        paras,
+        F.lit("<footer>&copy; 2026 example.com</footer></body></html>")))
+    out = webfilter.html_main_text(page)
+    expected = F.trim(F.regexp_replace(
+        F.concat(F.col("source"), F.lit(" "), F.col("text")), r"\s+", " "))
+    return out.select(
+        "doc_id",
+        F.length("html").cast("long").alias("n_chars_html"),
+        F.length("main_text").cast("long").alias("n_chars_main"),
+        "main_text",
+        (F.col("main_text") == expected).alias("roundtrip_ok"))
+
+
+@register("url_host_stats", """
+WITH u AS (
+  SELECT doc_id, lang,
+         'https://' || lower(source) || '.example.' ||
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'com'
+              WHEN 1 THEN 'org' ELSE 'net' END ||
+         '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), parsed AS (
+  SELECT lang,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         len(string_split(
+             regexp_extract(url, '^[a-z]+://[^/]*(/[^?#]*)', 1),
+             '/')) - 1 AS path_depth
+  FROM u
+)
+SELECT host,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(avg(CAST(path_depth AS DOUBLE)), 4) AS avg_path_depth
+FROM parsed
+GROUP BY host
+ORDER BY host
+""")
+def url_host_stats_q(spark, sf_dir):
+    """Domain-level corpus triage: synthesize deterministic URLs per
+    document, parse host/path with a shared Java-and-RE2 regex, and
+    aggregate per host — one partial-agg shuffle moving a row per
+    (host, lang) group (operators/webfilter.py url_host_stats)."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.lower(F.col("source")), F.lit(".example."),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("org"))
+        .otherwise(F.lit("net")),
+        F.lit("/"), F.col("lang"), F.lit("/doc-"),
+        F.col("doc_id").cast("string"))
+    return webfilter.url_host_stats(d.withColumn("url", url))
 
 
 #: The driver's correctness harness oracle-checks exactly the FIRST 50
