@@ -1,0 +1,173 @@
+"""PQ ANN, Rocchio classifier, and count-min sketch quality gates."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xdlake_spark.operators import classify, similarity, sketch
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+class TestPQ:
+    def test_codebook_shape_and_determinism(self, emb):
+        b1 = similarity.pq_train(emb, m=8, n_codes=16)
+        b2 = similarity.pq_train(emb, m=8, n_codes=16)
+        assert b1.shape == (8, 16, 8)
+        assert np.array_equal(b1, b2)
+
+    def test_dim_not_divisible_raises(self, emb):
+        with pytest.raises(ValueError, match="not divisible"):
+            similarity.pq_train(emb, m=7)
+
+    def test_adc_exact_when_vectors_are_centroids(self, spark):
+        # corpus whose vectors ARE products of codebook centroids ->
+        # quantization error is zero and ADC equals true sq-distance
+        books = np.array([[[0.0, 0.0], [1.0, 1.0], [2.0, 0.0], [0.0, 3.0]]
+                          for _ in range(2)])  # m=2, 4 codes, sub=2
+        rows = []
+        vid = 0
+        for c0 in range(4):
+            for c1 in range(4):
+                rows.append((vid, [float(x) for x in
+                                   list(books[0][c0]) + list(books[1][c1])]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+        enc = similarity.pq_encode(df, books)
+        q = [0.5, 0.5, 0.5, 0.5]
+        got = similarity.pq_topk(enc, books, q, k=16).collect()
+        truth = {r[0]: sum((a - b) ** 2 for a, b in zip(r[1], q))
+                 for r in rows}
+        for r in got:
+            assert r.adc_dist == pytest.approx(truth[r.vec_id], abs=1e-6)
+
+    def _exact_top10(self, emb, qv):
+        qlit = F.array(*[F.lit(float(v)) for v in qv])
+        d2 = F.aggregate(
+            F.zip_with("embedding", qlit,
+                       lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return [r.vec_id for r in
+                emb.select("vec_id", d2.alias("d"))
+                .orderBy(F.col("d").asc(), "vec_id").limit(10).collect()]
+
+    def test_recall_vs_brute_force(self, emb):
+        from xdlake_spark.queries import QUERY_VEC
+        books = similarity.pq_train(emb, m=16, n_codes=16)
+        enc = similarity.pq_encode(emb, books)
+        exact = self._exact_top10(emb, QUERY_VEC)
+        # pure ADC ranking: weak floor (quantization-limited)
+        adc = [r.vec_id for r in
+               similarity.pq_topk(enc, books, QUERY_VEC, k=10).collect()]
+        assert len(set(exact) & set(adc)) / 10 >= 0.2
+        # shortlist + exact re-rank: high recall floor
+        rer = [r.vec_id for r in
+               similarity.pq_topk(enc, books, QUERY_VEC, k=10,
+                                  vec_col="embedding",
+                                  oversample=8).collect()]
+        recall = len(set(exact) & set(rer)) / 10
+        assert recall >= 0.8, f"re-ranked PQ recall@10 too low: {recall}"
+
+    def test_plan_jvm_only_and_take_ordered(self, emb):
+        books = similarity.pq_train(emb, m=8, n_codes=16)
+        enc = similarity.pq_encode(emb, books)
+        plan = (similarity.pq_topk(enc, books, [0.0] * 64, k=10)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "TakeOrderedAndProject" in plan
+        # no key shuffle: the only allowed Exchange is the round-robin
+        # ensure_parallelism repartition of a tiny local relation
+        assert "hashpartitioning" not in plan
+
+
+class TestRocchio:
+    def test_separable_blobs_classify_perfectly(self, spark):
+        rows = []
+        for i in range(30):
+            rows.append((i, [10.0 + (i % 5) * 0.1, 0.0], 0))
+            rows.append((100 + i, [0.0, 10.0 + (i % 5) * 0.1], 1))
+        df = spark.createDataFrame(
+            rows, "vec_id INT, embedding ARRAY<DOUBLE>, label INT")
+        out = classify.rocchio_classify(df)
+        assert out.filter(F.col("pred_label") != F.col("label")).count() == 0
+
+    def test_tie_breaks_to_higher_label(self, spark):
+        # two classes with IDENTICAL centroids -> every score ties ->
+        # prediction must be the higher label on every row
+        rows = [(1, [1.0, 1.0], 3), (2, [1.0, 1.0], 7),
+                (3, [2.0, 0.0], 3), (4, [2.0, 0.0], 7)]
+        df = spark.createDataFrame(
+            rows, "vec_id INT, embedding ARRAY<DOUBLE>, label INT")
+        out = classify.rocchio_classify(df)
+        assert {r.pred_label for r in out.collect()} == {7}
+
+    def test_empty_raises(self, spark):
+        df = spark.createDataFrame(
+            [], "vec_id INT, embedding ARRAY<DOUBLE>, label INT")
+        with pytest.raises(ValueError, match="empty"):
+            classify.rocchio_classify(df)
+
+    def test_accuracy_on_real_embeddings(self, emb):
+        out = classify.rocchio_classify(emb)
+        n = out.count()
+        ok = out.filter(F.col("pred_label") == F.col("label")).count()
+        # the synthetic labels are only weakly embedding-correlated;
+        # gate at 2.5x the 10-class chance rate
+        assert ok / n >= 0.25, f"rocchio accuracy {ok}/{n}"
+
+
+class TestCMS:
+    def _items(self, spark, counts):
+        rows = [(tok,) for tok, n in counts.items() for _ in range(n)]
+        return spark.createDataFrame(rows, "tok STRING")
+
+    def test_never_underestimates(self, spark):
+        counts = {f"t{i}": (i % 7) + 1 for i in range(300)}
+        items = self._items(spark, counts)
+        sk = sketch.cms_build(items, "tok", depth=4, width=64)
+        cand = items.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+        est = sketch.cms_estimate(sk, cand, "tok", depth=4, width=64)
+        bad = est.filter(F.col("cms_est") < F.col("exact_n")).count()
+        assert bad == 0
+
+    def test_exact_when_width_large(self, spark):
+        counts = {"a": 5, "b": 3, "c": 11}
+        items = self._items(spark, counts)
+        sk = sketch.cms_build(items, "tok", depth=4, width=4096)
+        cand = items.select("tok").distinct()
+        est = {r.tok: r.cms_est for r in
+               sketch.cms_estimate(sk, cand, "tok", depth=4,
+                                   width=4096).collect()}
+        assert est == counts
+
+    def test_sketch_size_bounded(self, spark):
+        counts = {f"t{i}": 2 for i in range(1000)}
+        sk = sketch.cms_build(self._items(spark, counts), "tok",
+                              depth=4, width=32)
+        assert sk.count() <= 4 * 32
+
+    def test_merge_by_cell_addition(self, spark):
+        c1, c2 = {"a": 3, "b": 1}, {"a": 2, "c": 4}
+        s1 = sketch.cms_build(self._items(spark, c1), "tok", width=64)
+        s2 = sketch.cms_build(self._items(spark, c2), "tok", width=64)
+        merged = (s1.unionByName(s2).groupBy("row_i", "bucket")
+                  .agg(F.sum("cnt").alias("cnt")))
+        both = self._items(spark, {"a": 5, "b": 1, "c": 4})
+        direct = sketch.cms_build(both, "tok", width=64)
+        assert sorted(map(tuple, merged.collect())) == \
+            sorted(map(tuple, direct.collect()))
+
+    def test_estimator_broadcasts_sketch(self, spark):
+        items = self._items(spark, {"a": 2, "b": 2})
+        sk = sketch.cms_build(items, "tok", width=64)
+        plan = (sketch.cms_estimate(sk, items.distinct(), "tok", width=64)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan

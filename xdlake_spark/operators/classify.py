@@ -184,3 +184,61 @@ def dsir_weights(df: DataFrame, target_filter,
         out = out.orderBy(F.desc("logweight"), F.asc("doc_id")) \
                  .limit(top_k)
     return out
+
+
+def rocchio_classify(df: DataFrame, label_col: str = "label",
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     round_digits: int = 6) -> DataFrame:
+    """Nearest-class-mean (Rocchio) classifier over an embedding column.
+
+    Train + classify in one plan: per-class centroids come from ONE
+    partial-aggregated ``posexplode`` mean job (``n_labels x dim``
+    result rows — the only thing that reaches the driver), then every
+    vector is assigned to the nearest centroid with the codegen'd
+    ``x.c - ||c||^2/2`` struct-argmax (clustering._best_struct's shape):
+    no Python in the row path, no shuffle of the vectors. At 100 TB the
+    train pass moves ``n_labels * dim`` rows and the classify pass is a
+    narrow projection.
+
+    Centroid components are rounded to ``round_digits`` before use so
+    the assignment is bit-reproducible across engines (the house rule
+    for float aggregates — partial-sum order varies, the rounded mean
+    does not); the DuckDB oracle applies the identical round. Ties
+    break toward the higher class id on both sides.
+
+    Returns ``df`` plus ``pred_<label_col>``.
+    """
+    from ..functions.vectors import dot, lit_vector
+
+    means = (df.select(label_col,
+                       F.posexplode(F.col(vec_col)).alias("__pos", "__val"))
+             .groupBy(label_col, "__pos")
+             .agg(F.round(F.avg("__val"), round_digits).alias("__avg"))
+             .collect())  # n_labels x dim rows — metadata-sized
+    by_label: dict = {}
+    for r in means:
+        by_label.setdefault(r[label_col], {})[r["__pos"]] = r["__avg"]
+    labels = sorted(by_label)
+    if not labels:
+        raise ValueError("rocchio_classify: empty input")
+    dim = max(max(d) for d in by_label.values()) + 1
+
+    def seq_dot(vals):
+        total = 0.0
+        for v in vals:
+            total += float(v) * float(v)
+        return total
+
+    scored = F.array(*[
+        F.struct((dot(F.col(vec_col),
+                      lit_vector([by_label[lab].get(p, 0.0)
+                                  for p in range(dim)]))
+                  - F.lit(seq_dot([by_label[lab].get(p, 0.0)
+                                   for p in range(dim)]) / 2.0))
+                 .alias("score"),
+                 F.lit(ci).alias("cid"))
+        for ci, lab in enumerate(labels)
+    ])
+    pred = F.element_at(F.array(*[F.lit(lab) for lab in labels]),
+                        F.array_max(scored)["cid"] + 1)
+    return df.withColumn(f"pred_{label_col}", pred)

@@ -184,3 +184,149 @@ def ivf_topk(assigned: DataFrame, centroids, query_vec, k: int = 10,
     return (cand.select(F.col(id_col), sim.alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN scale path
+# ---------------------------------------------------------------------------
+
+def pq_train(df: DataFrame, m: int = 8, n_codes: int = 16,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             sample_size: int = 2048, iters: int = 10,
+             seed: int = 42) -> np.ndarray:
+    """Train per-subspace PQ codebooks (Jegou et al. 2011).
+
+    The vector dimension is split into ``m`` contiguous subspaces and
+    each gets an ``n_codes``-centroid k-means codebook, trained on a
+    deterministic hash-ordered sample (bounded driver transfer:
+    ``sample_size`` rows regardless of corpus size — at 100 TB the
+    codebooks still train on the same few thousand vectors, which is
+    the standard PQ recipe; encoding, the linear-cost step, stays
+    distributed). Returns an ``(m, n_codes, subdim)`` float64 array.
+    """
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("cannot train PQ on an empty DataFrame")
+    dim = dim_row["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    rows = (df.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)),
+                     F.col(id_col))
+            .limit(sample_size).collect())
+    X = np.array([list(r[vec_col]) for r in rows], dtype="float64")
+    if len(X) < n_codes:
+        raise ValueError(f"need >= {n_codes} sample vectors, got {len(X)}")
+    books = np.empty((m, n_codes, sub), dtype="float64")
+    for j in range(m):
+        S = X[:, j * sub:(j + 1) * sub]
+        # deterministic seeding: first n_codes DISTINCT subvectors in
+        # the (already hash-shuffled) sample order
+        seen, init = set(), []
+        for v in S:
+            t = tuple(v)
+            if t not in seen:
+                seen.add(t)
+                init.append(v)
+            if len(init) == n_codes:
+                break
+        C = np.array(init + [S[i % len(S)]
+                             for i in range(n_codes - len(init))])
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            newC = C.copy()
+            for c in range(n_codes):
+                mask = a == c
+                if mask.any():
+                    newC[c] = S[mask].mean(axis=0)
+            if np.allclose(newC, C):
+                break
+            C = newC
+        books[j] = C
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding",
+              code_col: str = "codes") -> DataFrame:
+    """Attach the ``m``-byte PQ code array to every row.
+
+    Pure JVM expression: per subspace, argmin over ``n_codes`` centroid
+    distances via the ``array_max``-over-structs trick on a sliced
+    vector (same codegen shape as clustering._best_struct — no Python
+    in the row path, no shuffle; the encoded table is what you persist,
+    at m bytes/vector instead of 4*dim).
+    """
+    m, n_codes, sub = codebooks.shape
+
+    def seq_dot(c):
+        total = 0.0
+        for v in c:
+            total += float(v) * float(v)
+        return total
+
+    codes = []
+    for j in range(m):
+        s = F.slice(F.col(vec_col), j * sub + 1, sub)
+        scored = F.array(*[
+            F.struct((dot(s, lit_vector(c))
+                      - F.lit(seq_dot(c) / 2.0)).alias("score"),
+                     F.lit(ci).alias("cid"))
+            for ci, c in enumerate(codebooks[j])
+        ])
+        codes.append(F.array_max(scored)["cid"])
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_topk(encoded: DataFrame, codebooks: np.ndarray, query_vec,
+            k: int = 10, id_col: str = "vec_id",
+            code_col: str = "codes", vec_col: str | None = None,
+            oversample: int = 4) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes.
+
+    The driver precomputes the ``m x n_codes`` table of squared
+    distances from the query's subvectors to every centroid; executors
+    score each row with m array lookups + a sum (no vector arithmetic,
+    no decode), then TakeOrdered keeps k rows per partition. This is
+    the plan whose scan cost is bytes-of-codes, not bytes-of-vectors —
+    the reason PQ survives a 100 TB corpus on a fixed memory budget.
+
+    When ``vec_col`` is given, the standard shortlist+re-rank refinement
+    runs: ADC keeps ``k * oversample`` candidates (still TakeOrdered —
+    only that many full vectors are ever touched again), then exact
+    squared euclidean re-ranks the shortlist. Output column is
+    ``adc_dist`` either way (exact distance when re-ranked).
+    """
+    m, n_codes, sub = codebooks.shape
+    q = np.asarray(query_vec, dtype="float64")
+    if q.shape[0] != m * sub:
+        raise ValueError(f"query dim {q.shape[0]} != {m * sub}")
+    tables = ((q.reshape(m, 1, sub) - codebooks) ** 2).sum(axis=2)
+    adc = None
+    for j in range(m):
+        t = F.array(*[F.lit(float(v)) for v in tables[j]])
+        term = F.element_at(t, F.col(code_col)[j] + 1)
+        adc = term if adc is None else adc + term
+    base = ensure_parallelism(encoded)
+    if vec_col is None:
+        return (base
+                .select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+                .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+                .limit(k))
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    exact = F.aggregate(
+        F.zip_with(F.col(vec_col), qlit,
+                   lambda a, b: (a.cast("double") - b)
+                   * (a.cast("double") - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    shortlist = (base
+                 .select(F.col(id_col), F.col(vec_col),
+                         F.round(adc, 6).alias("__adc"))
+                 .orderBy(F.col("__adc").asc(), F.col(id_col))
+                 .limit(k * oversample))
+    return (shortlist
+            .select(F.col(id_col), F.round(exact, 6).alias("adc_dist"))
+            .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+            .limit(k))

@@ -308,3 +308,65 @@ def tdigest_quantiles_by(df: DataFrame, key_col: str, value_col: str,
     return (partials.groupBy("key")
             .applyInPandas(merge, schema=result_schema)
             .orderBy("key"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — deterministic, portable
+# ---------------------------------------------------------------------------
+
+#: 13 md5 hex chars = 52 bits: exactly representable in a double and
+#: parsable by DuckDB's ('0x' || ...)::BIGINT — the portable hash basis
+#: shared with classify._bucket / sampling.weighted_reservoir.
+_CMS_MD5_CHARS = 13
+
+
+def _cms_bucket(row_col, value_col, width: int):
+    """Seeded portable bucket: md5 of "<row>:<value>" parsed as a 52-bit
+    int, mod width. DuckDB reproduces it bit-for-bit as
+    ``('0x' || substring(md5(i || ':' || x), 1, 13))::BIGINT % width``."""
+    seeded = F.concat(row_col.cast("string"), F.lit(":"), value_col)
+    return F.pmod(
+        F.conv(F.substring(F.md5(seeded), 1, _CMS_MD5_CHARS), 16, 10)
+        .cast("long"), F.lit(width))
+
+
+def _with_cells(df: DataFrame, value_col: str, depth: int,
+                width: int) -> DataFrame:
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)]))
+    return (df.withColumn("row_i", rows)
+            .withColumn("bucket", _cms_bucket(F.col("row_i"),
+                                              F.col(value_col), width)))
+
+
+def cms_build(items: DataFrame, value_col: str, depth: int = 4,
+              width: int = 256) -> DataFrame:
+    """Build a count-min sketch over a stream of values.
+
+    One pass: each occurrence fans out to ``depth`` (row, bucket) cells
+    (a generator explode, still narrow), then ONE partial-aggregated
+    groupBy whose result is at most ``depth * width`` rows — the whole
+    sketch — independent of stream cardinality. That fixed size is the
+    point at 100 TB: sketches from different days/shards merge by cell
+    addition (union + re-groupBy), and the finished sketch BROADCASTS
+    to any estimator join. Returns ``(row_i, bucket, cnt)``.
+    """
+    return (_with_cells(items.select(F.col(value_col)), value_col,
+                        depth, width)
+            .groupBy("row_i", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, candidates: DataFrame,
+                 value_col: str, depth: int = 4,
+                 width: int = 256) -> DataFrame:
+    """Point-estimate each candidate's count from a built sketch:
+    min over the ``depth`` addressed cells (the classic CMS guarantee —
+    never an underestimate, overestimate bounded by collisions). The
+    sketch side (``<= depth * width`` rows) is broadcast; candidates
+    stream through with no shuffle before the per-candidate min."""
+    probes = _with_cells(candidates, value_col, depth, width)
+    joined = probes.join(F.broadcast(sketch), ["row_i", "bucket"],
+                         "left")
+    return (joined.groupBy(*candidates.columns)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("cms_est")))

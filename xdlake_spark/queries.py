@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from .functions import text as X
 from .functions.vectors import cosine, lit_vector
 from .operators import dedup, multimodal, packing, sampling, similarity
-from .operators import webfilter
+from .operators import classify, sketch, webfilter
 from .operators import text as textops
 from .sources.readers import read_parquet_any
 from .streaming.ingest import tumbling_window_counts
@@ -4696,6 +4696,117 @@ def url_host_stats_q(spark, sf_dir):
         F.lit("/"), F.col("lang"), F.lit("/doc-"),
         F.col("doc_id").cast("string"))
     return webfilter.url_host_stats(d.withColumn("url", url))
+
+
+# rows-only: PQ is approximate by construction (codebook quantization);
+# its recall against brute force and its ADC-exactness-on-centroids
+# property are gated in tests/test_similarity_pq.py
+@register("similarity_pq_topk", None)
+def similarity_pq_q(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011): hash-sampled
+    codebook training, JVM-side encode to m-byte codes, asymmetric-
+    distance top-k via broadcast lookup tables — the memory-bound scale
+    path where the scan reads codes, not vectors
+    (operators/similarity.py pq_train/pq_encode/pq_topk)."""
+    e = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(e, m=16, n_codes=16)
+    enc = similarity.pq_encode(e, books)
+    return similarity.pq_topk(enc, books, QUERY_VEC, k=10,
+                              vec_col="embedding", oversample=8)
+
+
+@register("rocchio_label_classify", """
+WITH pos AS (
+  SELECT label, t.i AS pos, round(avg(embedding[t.i + 1]), 6) AS v
+  FROM embeddings CROSS JOIN range(64) t(i)
+  GROUP BY label, t.i
+), cm AS (
+  SELECT label, list(v ORDER BY pos) AS cvec FROM pos GROUP BY label
+), scored AS (
+  SELECT e.vec_id, e.label AS true_label, c.label AS cand,
+         list_inner_product(e.embedding::DOUBLE[], c.cvec)
+           - list_inner_product(c.cvec, c.cvec) / 2.0 AS score
+  FROM embeddings e CROSS JOIN cm c
+), best AS (
+  SELECT vec_id, true_label, cand,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cand DESC) AS rn
+  FROM scored
+)
+SELECT true_label AS label, cand AS pred_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM best WHERE rn = 1
+GROUP BY 1, 2
+ORDER BY 1, 2
+""")
+def rocchio_label_classify_q(spark, sf_dir):
+    """Nearest-class-mean (Rocchio) classifier, train + confusion
+    matrix in one plan: per-class centroids from one posexplode mean
+    job (rounded to 6 decimals on both sides — the house float rule —
+    so the argmin is bit-reproducible), assignment via the codegen'd
+    ``x.c - ||c||^2/2`` struct-argmax, ties to the higher class id
+    (operators/classify.py rocchio_classify). The embeddings tables
+    are dim-64 at every SF (range(64) in the oracle)."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = classify.rocchio_classify(e)
+    return (out.groupBy(F.col("label"),
+                        F.col("pred_label"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("label", "pred_label"))
+
+
+@register("cms_heavy_hitters", """
+WITH toks AS (
+  SELECT lower(t.tok) AS tok
+  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+), exact_c AS (
+  SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok
+), cells AS (
+  SELECT t.i AS row_i,
+         ('0x' || substring(md5(CAST(t.i AS VARCHAR) || ':' || tok),
+                            1, 13))::BIGINT % 256 AS bucket,
+         count(*) AS cnt
+  FROM toks CROSS JOIN range(4) t(i)
+  GROUP BY 1, 2
+), est AS (
+  SELECT e.tok, min(coalesce(c.cnt, 0)) AS cms_est
+  FROM exact_c e CROSS JOIN range(4) t(i)
+  LEFT JOIN cells c ON c.row_i = t.i
+    AND c.bucket = ('0x' || substring(md5(CAST(t.i AS VARCHAR) || ':'
+                                          || e.tok), 1, 13))::BIGINT % 256
+  GROUP BY e.tok
+)
+SELECT e.tok, CAST(e.exact_n AS BIGINT) AS exact_n,
+       CAST(s.cms_est AS BIGINT) AS cms_est,
+       CAST(s.cms_est - e.exact_n AS BIGINT) AS overestimate
+FROM exact_c e JOIN est s USING (tok)
+WHERE e.exact_n >= 50
+ORDER BY e.tok
+""")
+def cms_heavy_hitters_q(spark, sf_dir):
+    """Count-min sketch end to end (operators/sketch.py cms_build /
+    cms_estimate): one pass builds the depth*width cell table (fixed
+    size, mergeable, broadcastable), heavy-hitter candidates are
+    estimated by min-over-cells, and the output carries the exact
+    count beside the estimate so the never-underestimates guarantee is
+    visible (overestimate >= 0 for every row). The seeded md5 bucket
+    hash is reproduced bit-for-bit by the DuckDB oracle —
+    deterministic sketch, oracle-exact query."""
+    d = _t(spark, sf_dir, "documents")
+    items = (d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                      .alias("tok"))
+             .filter(F.length("tok") > 0)
+             .select(F.lower("tok").alias("tok")))
+    sk = sketch.cms_build(items, "tok", depth=4, width=256)
+    cand = (items.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("exact_n"))
+            .filter(F.col("exact_n") >= 50))
+    est = sketch.cms_estimate(sk, cand, "tok", depth=4, width=256)
+    return (est.select("tok", "exact_n", "cms_est",
+                       (F.col("cms_est") - F.col("exact_n"))
+                       .alias("overestimate"))
+            .orderBy("tok"))
 
 
 #: The driver's correctness harness oracle-checks exactly the FIRST 50
