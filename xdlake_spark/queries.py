@@ -1201,6 +1201,27 @@ def delta_hilbert(spark, sf_dir):
                     "l_suppkey"))
 
 
+@register("delta_clustered_optimize_scan", """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+FROM lineitem WHERE l_partkey <= 50 AND l_suppkey <= 5
+""")
+def delta_clustered_optimize(spark, sf_dir):
+    """Liquid clustering end to end (table.py cluster_by): CLUSTER BY
+    records the column set in the delta.clustering metadata domain and
+    upgrades the protocol to the ``clustering`` writer feature; a later
+    bare OPTIMIZE picks the domain up and Hilbert-clusters the live
+    files — delta-spark's lazy clustered-table maintenance model. The
+    scan after maintenance must equal the plain relational result."""
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(li)
+    t = t.cluster_by(["l_partkey", "l_suppkey"])
+    t = t.optimize(target_file_size=256 * 1024)  # no explicit columns
+    return (t.to_df(where="l_partkey <= 50 AND l_suppkey <= 5")
+            .select("l_orderkey", "l_linenumber", "l_partkey",
+                    "l_suppkey"))
+
+
 @register("delta_table_changes", """
 SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 2 = 1
 """)

@@ -1787,6 +1787,7 @@ class DeltaTable:
          "inCommitTimestamp",    # monotonic commitInfo clock maintained
          "domainMetadata",    # replayed, checkpointed, conflict-safe
          "rowTracking",       # baseRowId assignment + watermark domain
+         "clustering",        # CLUSTER BY domain + clustered OPTIMIZE
          })
 
     #: Features we can commit under only when the table doesn't
@@ -2688,6 +2689,80 @@ class DeltaTable:
 
     # -- maintenance (SURVEY §2.5 stretch ops) ------------------------------------
 
+    #: Metadata domain holding a clustered table's column set (Delta
+    #: protocol "Clustered Table" / liquid clustering).
+    CLUSTERING_DOMAIN = "delta.clustering"
+
+    def clustering_columns(self) -> list[str]:
+        """LOGICAL clustering columns of a clustered (liquid) table,
+        from the ``delta.clustering`` metadata domain; ``[]`` when the
+        table is not clustered (or was ``CLUSTER BY NONE``'d). The
+        domain stores physical names under column mapping (spec), so
+        they map back through the schema here."""
+        dm = self.log.domain_metadata(self.CLUSTERING_DOMAIN)
+        if dm is None or dm.removed:
+            return []
+        try:
+            stored = json.loads(dm.configuration or "{}") \
+                .get("clusteringColumns", [])
+        except json.JSONDecodeError:
+            return []
+        back = {p: l for l, p in self._physical_names().items()}
+        out = []
+        for path in stored:
+            name = path[0] if isinstance(path, list) else path
+            out.append(back.get(name, name))
+        return out
+
+    def cluster_by(self, columns: list[str],
+                   custom_metadata: dict | None = None) -> "DeltaTable":
+        """ALTER TABLE ... CLUSTER BY (liquid clustering, delta-spark
+        parity; the reference has no clustering at all — beyond
+        parity). Records the clustering column set in the
+        ``delta.clustering`` metadata domain (physical names under
+        column mapping, per spec) and upgrades the writer protocol to
+        hold ``clustering`` + ``domainMetadata``. ``columns=[]`` is
+        CLUSTER BY NONE. Data is NOT rewritten here — a later
+        :meth:`optimize` picks the domain up and Hilbert-clusters the
+        live files, which is exactly delta-spark's lazy model (writes
+        stay cheap; clustering is maintained by maintenance runs)."""
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        names = {f.name for f in self.schema.fields}
+        unknown = [c for c in columns if c not in names]
+        if unknown:
+            raise ValueError(f"CLUSTER BY columns not in schema: "
+                             f"{unknown}")
+        overlap = [c for c in columns if c in self.partition_columns]
+        if overlap:
+            raise ValueError("clustering columns cannot also be "
+                             f"partition columns: {overlap}")
+        if len(columns) > 4:
+            raise ValueError("Delta supports at most 4 clustering "
+                             f"columns, got {len(columns)}")
+        phys = self._physical_names()
+        stored = [[phys.get(c, c)] for c in columns]
+        commit = TableCommit(
+            operation="CLUSTER BY",
+            operationParameters={"clusterBy":
+                                 json.dumps([c for c in columns])},
+            readVersion=self.version)
+        commit.extra.update(custom_metadata or {})
+        from .log.actions import DomainMetadata
+        entry = DeltaLogEntry([
+            DomainMetadata(
+                domain=self.CLUSTERING_DOMAIN,
+                configuration=json.dumps(
+                    {"clusteringColumns": stored},
+                    separators=(",", ":"))),
+            commit,
+        ])
+        up = self._feature_protocol_action(
+            set(), {"clustering", "domainMetadata"})
+        if up is not None:
+            entry.actions.insert(0, up)
+        return self._commit(entry)
+
     def optimize(self, target_file_size: int = 128 * 1024 * 1024,
                  custom_metadata: dict | None = None,
                  zorder_by: list[str] | None = None,
@@ -2720,6 +2795,12 @@ class DeltaTable:
                  if where else self.adds)
         if zorder_by and hilbert_by:
             raise ValueError("pass zorder_by or hilbert_by, not both")
+        if not zorder_by and not hilbert_by:
+            # clustered (liquid) table: OPTIMIZE maintains the declared
+            # clustering — delta-spark semantics — via the Hilbert path
+            clustered = self.clustering_columns()
+            if clustered:
+                hilbert_by = clustered
         if zorder_by:
             return self._zorder(zorder_by, target_file_size,
                                 custom_metadata, scope=scope)
