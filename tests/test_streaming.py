@@ -117,3 +117,55 @@ class TestWindows:
         total = sum(r["n_events"] for r in rows)
         assert total == events.count()
         assert all(r["session_end"] > r["session_start"] for r in rows)
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_stream_equals_batch(self, spark,
+                                               tmp_table_dir, events):
+        """Stream-stream interval join under watermarks == the batch
+        range join on the same data (inner joins emit eagerly; the
+        watermark only bounds state)."""
+        from xdlake_spark.operators.temporal import range_join
+        from xdlake_spark.streaming.join import stream_interval_join
+
+        src = f"{tmp_table_dir}/ev"
+        ev = events.limit(400).select("event_id", "user_id", "ts")
+        ev.write.parquet(src)
+
+        batch = range_join(ev, ev, by="user_id", on="ts",
+                           lower="0 seconds", upper="15 minutes")
+        want = sorted((r.l_event_id, r.r_event_id)
+                      for r in batch.select("l_event_id",
+                                            "r_event_id").collect())
+
+        ls = spark.readStream.schema(ev.schema).parquet(src)
+        rs = spark.readStream.schema(ev.schema).parquet(src)
+        out = stream_interval_join(ls, rs, key="user_id", on="ts",
+                                   upper="15 minutes")
+        assert out.isStreaming
+        q = (out.select("event_id", "r_event_id")
+             .writeStream.format("memory").queryName("ssj_test")
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = sorted((r.event_id, r.r_event_id) for r in
+                     spark.sql("SELECT * FROM ssj_test").collect())
+        assert got == want and len(want) > 0
+
+    def test_batch_passthrough_matches_range_join(self, spark, events):
+        from xdlake_spark.operators.temporal import range_join
+        from xdlake_spark.streaming.join import stream_interval_join
+        ev = events.limit(300).select("event_id", "user_id", "ts")
+        a = sorted((r.event_id, r.r_event_id) for r in
+                   stream_interval_join(ev, ev, upper="10 minutes")
+                   .select("event_id", "r_event_id").collect())
+        b = sorted((r.l_event_id, r.r_event_id) for r in
+                   range_join(ev, ev, by="user_id", on="ts",
+                              lower="0 seconds", upper="10 minutes")
+                   .select("l_event_id", "r_event_id").collect())
+        assert a == b
+
+    def test_rejects_unknown_join_type(self, spark, events):
+        from xdlake_spark.streaming.join import stream_interval_join
+        with pytest.raises(ValueError, match="unsupported"):
+            stream_interval_join(events, events, how="fullOuter")
