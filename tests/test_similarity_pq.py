@@ -171,3 +171,28 @@ class TestCMS:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestRRF:
+    def _ranked(self, spark, pairs):
+        return spark.createDataFrame(pairs, "doc_id INT, rank INT")
+
+    def test_both_lists_beat_single_list(self, spark):
+        from xdlake_spark.operators.retrieval import rrf_fuse
+        a = self._ranked(spark, [(1, 1), (2, 2)])
+        b = self._ranked(spark, [(1, 2), (3, 1)])
+        out = rrf_fuse([a, b], top_k=3).collect()
+        assert out[0].doc_id == 1 and out[0].n_lists == 2
+        # doc 3 (rank 1 in one list) beats doc 2 (rank 2 in one list)
+        assert [r.doc_id for r in out] == [1, 3, 2]
+
+    def test_score_formula(self, spark):
+        from xdlake_spark.operators.retrieval import rrf_fuse
+        a = self._ranked(spark, [(7, 3)])
+        row = rrf_fuse([a], k=60, top_k=1).collect()[0]
+        assert row.rrf_score == round(1.0 / 63.0, 6)
+
+    def test_empty_rankings_raise(self, spark):
+        from xdlake_spark.operators.retrieval import rrf_fuse
+        with pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([])

@@ -178,3 +178,34 @@ def pagerank(edges: DataFrame, iterations: int = 4,
                             + F.lit(dang_val / n_nodes)),
                          12).alias("rank")))
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
+             k: int = 60, top_k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of ranked lists.
+
+    Each input carries ``(id_col, rank)`` (1-based); a document absent
+    from a list simply contributes nothing for it — the standard
+    top-N-per-ranker RRF. ``score = sum_l 1/(k + rank_l)``.
+
+    Scale shape: the inputs are already top-N lists (each produced by
+    its own TakeOrdered/limit), so fusion unions a few hundred rows,
+    one tiny groupBy, one TakeOrdered — driver-side nothing. The heavy
+    lifting stays in the upstream rankers (BM25 posting lists, ANN
+    probes), which is the point of fusing RANKS instead of scores: no
+    cross-ranker score calibration, no full-corpus re-join.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [r.select(F.col(id_col),
+                      (F.lit(1.0) / (F.lit(float(k)) + F.col("rank")))
+                      .alias("__contrib"))
+             for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (u.groupBy(id_col)
+            .agg(F.round(F.sum("__contrib"), 6).alias("rrf_score"),
+                 F.count(F.lit(1)).alias("n_lists"))
+            .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+            .limit(top_k))

@@ -4830,6 +4830,80 @@ def cms_heavy_hitters_q(spark, sf_dir):
             .orderBy("tok"))
 
 
+@register("hybrid_rrf_ranking", r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM base
+), consts AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+), toks AS (
+  SELECT doc_id, unnest(t) AS term FROM base
+), toks2 AS (
+  SELECT * FROM toks WHERE term IN ('hash', 'merge', 'spark', 'window')
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks2 GROUP BY 1, 2
+), dfq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+), bscored AS (
+  SELECT tf.doc_id,
+         ln(1.0::DOUBLE + (n - df + 0.5) / (df + 0.5))
+         * tf * (1.2::DOUBLE + 1.0)
+         / (tf + 1.2::DOUBLE
+                 * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)) AS s
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN consts
+), bm25 AS (
+  SELECT doc_id, round(sum(s), 6) AS score FROM bscored GROUP BY doc_id
+), bm25r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM bm25 QUALIFY rank <= 50
+), cosr AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(
+                      embedding::DOUBLE[], {qv}), 4) DESC,
+                    vec_id) AS rank
+  FROM embeddings QUALIFY rank <= 50
+), fused AS (
+  SELECT doc_id, 1.0 / (60.0 + rank) AS contrib FROM bm25r
+  UNION ALL
+  SELECT doc_id, 1.0 / (60.0 + rank) AS contrib FROM cosr
+)
+SELECT doc_id, round(sum(contrib), 6) AS rrf_score,
+       count(*) AS n_lists
+FROM fused GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+""".replace("{qv}", _QV_SQL))
+def hybrid_rrf_q(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-50 and embedding-cosine
+    top-50 fused by reciprocal-rank fusion (operators/retrieval.py
+    rrf_fuse) — the standard modern search stack (sparse + dense,
+    rank-level fusion so scores never need calibration). Both ranked
+    lists order on ROUNDED scores with id tiebreaks, so ranks — and
+    therefore the fusion — are bit-identical cross-engine. Documents
+    and embeddings align on doc_id == vec_id."""
+    from .operators import retrieval
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    bm = (retrieval.bm25_scores(d, ["hash", "merge", "spark", "window"])
+          .select("doc_id", "score")
+          .withColumn("rank", F.row_number().over(w))
+          .filter(F.col("rank") <= 50))
+    cos = (e.select(F.col("vec_id").alias("doc_id"),
+                    F.round(cosine(F.col("embedding"),
+                                   lit_vector(QUERY_VEC)), 4)
+                    .alias("score"))
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 50))
+    return retrieval.rrf_fuse([bm, cos], top_k=10)
+
+
 #: The driver's correctness harness oracle-checks exactly the FIRST 50
 #: entries of ``queries()`` (insertion order). This curated window makes
 #: those 50 span every operator family — relational, agg/window,

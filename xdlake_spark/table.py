@@ -1530,7 +1530,12 @@ class DeltaTable:
               custom_metadata: dict | None = None,
               max_commit_retries: int = 0,
               max_records_per_file: int | None = None,
-              write_options: dict | None = None) -> "DeltaTable":
+              write_options: dict | None = None,
+              optimize_write: bool = False,
+              target_file_size: int = 128 * 1024 * 1024,
+              _extra_actions: list | None = None,
+              _operation: "str | None" = None,
+              _operation_params: dict | None = None) -> "DeltaTable":
         """Write data (reference __init__.py:153-190).
 
         ``data``: DataFrame | pandas | pyarrow Table/RecordBatch | parquet
@@ -1593,10 +1598,27 @@ class DeltaTable:
                 for f in schema.fields])
         df = self._apply_generated_columns(df, provided=provided_cols)
 
-        new_adds = self._write_data(self._apply_constraints(df),
-                                    partition_by,
-                                    max_records_per_file=max_records_per_file,
-                                    write_options=write_options)
+        if optimize_write:
+            df = self._optimize_write_partitions(df, partition_by,
+                                                 target_file_size)
+            _ADV = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+            prev_adv = self.spark.conf.get(_ADV, None)
+            self.spark.conf.set(_ADV, str(target_file_size))
+            try:
+                new_adds = self._write_data(
+                    self._apply_constraints(df), partition_by,
+                    max_records_per_file=max_records_per_file,
+                    write_options=write_options)
+            finally:
+                if prev_adv is None:
+                    self.spark.conf.unset(_ADV)
+                else:
+                    self.spark.conf.set(_ADV, prev_adv)
+        else:
+            new_adds = self._write_data(
+                self._apply_constraints(df), partition_by,
+                max_records_per_file=max_records_per_file,
+                write_options=write_options)
 
         # advance identity high watermarks (footer stats, no extra job)
         # — the updated schema must be re-declared in this commit's
@@ -1621,6 +1643,8 @@ class DeltaTable:
             entry = append_table_entry(new_adds, partition_by,
                                        schema=evolved,
                                        custom_metadata=custom_metadata)
+            self._decorate_entry(entry, _extra_actions, _operation,
+                                 _operation_params)
             handle = self
             for attempt in range(max_commit_retries + 1):
                 try:
@@ -1632,7 +1656,50 @@ class DeltaTable:
                     # head and replay the same append at the next version
                     handle = type(self)(self.spark, self.location,
                                         self.log_location)
+        self._decorate_entry(entry, _extra_actions, _operation,
+                             _operation_params)
         return self._commit(entry)
+
+    def _optimize_write_partitions(self, df: DataFrame,
+                                   partition_by: list[str],
+                                   target_file_size: int) -> DataFrame:
+        """delta-spark ``optimizeWrite`` analogue: REBALANCE the write
+        so a fragmented upstream plan doesn't spray thousands of tiny
+        files (the small-files problem OPTIMIZE exists to undo —
+        cheaper to not create them). Spark's AQE rebalance is the
+        purpose-built mechanism: it coalesces small post-shuffle
+        partitions AND splits skewed ones toward
+        ``spark.sql.adaptive.advisoryPartitionSizeInBytes``
+        (``target_file_size`` here, scoped to this plan via the
+        per-write session override the caller holds), clustered on the
+        table's hive partition columns when it has them so each
+        partition dir gets contiguous writers. Runtime-measured sizes,
+        not plan-stats guesses — exact even for local relations and
+        post-join plans where ``sizeInBytes`` is unknown."""
+        if partition_by:
+            return df.hint("rebalance", *partition_by)
+        return df.hint("rebalance")
+
+    @staticmethod
+    def _decorate_entry(entry: DeltaLogEntry, extra_actions, operation,
+                        operation_params) -> None:
+        """Internal write() hook: graft extra actions (e.g. a metadata
+        domain that must commit ATOMICALLY with the data) and/or
+        rebrand the commitInfo operation (COPY INTO). Idempotent across
+        the append retry loop (the same entry object is replayed)."""
+        if extra_actions:
+            existing = set(map(id, entry.actions))
+            entry.actions.extend(a for a in extra_actions
+                                 if id(a) not in existing)
+        if operation or operation_params:
+            for a in entry.actions:
+                if isinstance(a, TableCommit):
+                    if operation:
+                        a.operation = operation
+                    if operation_params:
+                        a.operationParameters = {
+                            **(a.operationParameters or {}),
+                            **operation_params}
 
     def _write_data(self, df: DataFrame, partition_by: list[str],
                     max_records_per_file: int | None = None,
@@ -2614,6 +2681,82 @@ class DeltaTable:
             dst_log.join(log_entry_filename(v)).put_if_absent(
                 DeltaLogEntry(actions).to_bytes())
         return DeltaTable(self.spark, dst, dst_log)
+
+    #: Metadata domain tracking files already loaded by copy_into.
+    COPY_INTO_DOMAIN = "xdlake.copyInto"
+
+    def copy_into(self, source: "str | list[str]",
+                  custom_metadata: dict | None = None) -> "DeltaTable":
+        """COPY INTO-style idempotent parquet ingestion (delta-spark's
+        COPY INTO semantics, beyond the reference): each source file
+        loads into the table EXACTLY ONCE — a retried or repeated call
+        skips files already ingested, so load jobs are safely
+        re-runnable.
+
+        ``source``: a directory (all ``*.parquet`` under it,
+        recursively) or an explicit list of file paths. Already-loaded
+        files are identified by an md5 digest of (url, size); the
+        digest set lives in the ``xdlake.copyInto`` metadata domain and
+        commits ATOMICALLY with the appended data, so a crash between
+        "data visible" and "file marked loaded" cannot happen and a
+        retry cannot double-load. Returns ``self`` untouched when
+        nothing is new.
+
+        Scale note: the domain carries one 32-hex digest per ingested
+        file — fine into the tens of thousands of loads; a pipeline
+        cycling millions of files should VACUUM the source instead
+        (or window it) rather than grow table metadata unboundedly.
+        """
+        from .log.actions import DomainMetadata
+
+        srcs = [source] if isinstance(source, str) else list(source)
+        files: list[Location] = []
+        for s in srcs:
+            loc = Location.resolve(s, self.storage_options)
+            names = ([n for n in loc.list_files_recursive()
+                      if n.endswith(".parquet")
+                      and not n.startswith("_")]
+                     if not loc.url.endswith(".parquet") else None)
+            if names is None:
+                files.append(loc)
+            else:
+                files.extend(loc.join(n) for n in sorted(names))
+        if not files:
+            raise ValueError(f"no parquet files under {srcs!r}")
+
+        import hashlib
+        dm = self.log.domain_metadata(self.COPY_INTO_DOMAIN) \
+            if self.log else None
+        seen = set()
+        if dm is not None and not dm.removed:
+            seen = set(json.loads(dm.configuration or "{}")
+                       .get("ingested", []))
+        new: list[tuple[Location, str]] = []
+        for f in files:
+            digest = hashlib.md5(
+                f"{f.url}|{f.file_size()}".encode()).hexdigest()
+            if digest not in seen:
+                new.append((f, digest))
+        if not new:
+            return self
+
+        df = union_dataframe(self.spark, [f.url for f, _ in new])
+        marker = DomainMetadata(
+            domain=self.COPY_INTO_DOMAIN,
+            configuration=json.dumps(
+                {"ingested": sorted(seen | {d for _, d in new})},
+                separators=(",", ":")))
+        extra = [marker]
+        up = self._feature_protocol_action(set(), {"domainMetadata"}) \
+            if self.log else None
+        if up is not None:
+            extra.insert(0, up)
+        return self.write(
+            df, mode="append", custom_metadata=custom_metadata,
+            _extra_actions=extra, _operation="COPY INTO",
+            _operation_params={"numSourceFiles": len(new),
+                               "skippedSourceFiles":
+                                   len(files) - len(new)})
 
     def import_refs(self, refs: Any, mode: "str | WriteMode" = "append",
                     schema_mode: "str | SchemaMode" = "overwrite",
