@@ -1,0 +1,99 @@
+"""Graph analytics operators (operators/graph.py): triangle census,
+label propagation, bounded BFS — hand-built graphs with known answers."""
+
+import pytest
+
+from xdlake_spark.operators.graph import (bfs_hops, label_propagation,
+                                          triangle_stats)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _bidir(pairs):
+    return pairs + [(b, a) for a, b in pairs]
+
+
+class TestTriangles:
+    def test_k4_is_all_triangles(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        row = triangle_stats(_edges(spark, k4)).collect()[0]
+        assert row.n_nodes == 4 and row.n_edges == 6
+        assert row.n_wedges == 12 and row.n_triangles == 4
+        assert row.clustering_coeff == 1.0
+
+    def test_path_has_no_triangles(self, spark):
+        row = triangle_stats(_edges(spark, [(1, 2), (2, 3)])) \
+            .collect()[0]
+        assert row.n_triangles == 0 and row.n_wedges == 1
+        assert row.clustering_coeff == 0.0
+
+    def test_duplicate_reversed_and_self_edges_canonicalize(self,
+                                                            spark):
+        tri = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+        row = triangle_stats(_edges(spark, tri)).collect()[0]
+        assert row.n_edges == 3 and row.n_triangles == 1
+
+    def test_two_sharing_an_edge(self, spark):
+        # triangles {1,2,3} and {2,3,4} share edge (2,3)
+        g = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+        row = triangle_stats(_edges(spark, g)).collect()[0]
+        assert row.n_triangles == 2
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        c1 = [(1, 2), (1, 3), (2, 3)]
+        c2 = [(7, 8), (7, 9), (8, 9)]
+        bridge = [(3, 7)]
+        lab = {r.node: r.label
+               for r in label_propagation(
+                   _edges(spark, _bidir(c1 + c2 + bridge)),
+                   iterations=3).collect()}
+        # each clique converges to one label; the two differ
+        assert lab[1] == lab[2]
+        assert lab[8] == lab[9]
+        assert lab[1] != lab[8]
+
+    def test_isolated_pair_keeps_own_community(self, spark):
+        lab = {r.node: r.label
+               for r in label_propagation(
+                   _edges(spark, _bidir([(1, 2), (5, 6)])),
+                   iterations=2).collect()}
+        # after round 1 each node holds its neighbor's label; round 2
+        # swaps back — the pair stays a 2-cycle, deterministic
+        assert {lab[1], lab[2]} <= {1, 2}
+        assert {lab[5], lab[6]} <= {5, 6}
+
+    def test_bad_iterations_raise(self, spark):
+        with pytest.raises(ValueError, match=">= 1"):
+            label_propagation(_edges(spark, [(1, 2)]), iterations=0)
+
+
+class TestBfs:
+    def test_path_distances_and_cutoff(self, spark):
+        path = _bidir([(1, 2), (2, 3), (3, 4), (4, 5)])
+        hops = {r.node: r.hops
+                for r in bfs_hops(_edges(spark, path), 1,
+                                  max_hops=3).collect()}
+        assert hops == {1: 0, 2: 1, 3: 2, 4: 3}  # node 5 beyond cutoff
+
+    def test_min_distance_not_revisited(self, spark):
+        # diamond: 1-2-4 and 1-3-4, plus long way 2-3
+        g = _bidir([(1, 2), (1, 3), (2, 4), (3, 4), (2, 3)])
+        hops = {r.node: r.hops
+                for r in bfs_hops(_edges(spark, g), 1,
+                                  max_hops=4).collect()}
+        assert hops == {1: 0, 2: 1, 3: 1, 4: 2}
+
+    def test_early_stop_on_exhausted_component(self, spark):
+        g = _bidir([(1, 2), (8, 9)])
+        hops = {r.node: r.hops
+                for r in bfs_hops(_edges(spark, g), 1,
+                                  max_hops=4).collect()}
+        assert hops == {1: 0, 2: 1}
+
+    def test_bad_max_hops_raises(self, spark):
+        with pytest.raises(ValueError, match=">= 0"):
+            bfs_hops(_edges(spark, [(1, 2)]), 1, max_hops=-1)

@@ -1,0 +1,181 @@
+"""Distributed graph analytics: triangles, communities, reachability.
+
+Complements operators/retrieval.py's PageRank and operators/dedup.py's
+connected components with the remaining classic graph primitives a
+corpus-quality pipeline leans on: triangle/clustering statistics (link-
+farm and spam-cluster detection), label-propagation communities (topic
+or mirror-site grouping), and bounded-hop BFS (crawl-frontier distance,
+contamination blast radius).
+
+Scale design (the point of each algorithm's shape):
+
+- ``triangle_stats`` uses the degree-ordered orientation of Suri &
+  Vassilvitskii (WWW'11): every undirected edge points from its
+  lower-(degree, id) endpoint to the higher one, so each triangle is
+  counted exactly once AND the wedge join's fan-out per node is bounded
+  by its oriented out-degree — O(m^1.5) work total regardless of skew
+  (a celebrity node of degree 10M contributes almost no wedges because
+  nearly all its edges point INTO it). No node ever materializes its
+  full neighborhood.
+- ``label_propagation`` is synchronous (deterministic) LPA: one
+  hash join edges x labels + one count aggregation per round, label
+  table is the only thing that moves between rounds. Ties break to the
+  smallest label so results are bit-stable cross-engine.
+- ``bfs_hops`` moves only the FRONTIER (newly settled nodes) through
+  the join each round, not the full distance table; settled nodes
+  drop out via left_anti, so total work is O(edges touched), the
+  textbook distributed BFS.
+
+All three take an ``edges`` DataFrame with ``src``/``dst`` long
+columns. Undirected inputs should contain each edge once in either
+direction for ``triangle_stats`` (it canonicalizes), and BOTH
+directions for ``label_propagation``/``bfs_hops`` (neighbor semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canonical_undirected(edges: DataFrame) -> DataFrame:
+    """Distinct undirected edges as (lo, hi), self-loops dropped."""
+    return (edges
+            .select(F.least("src", "dst").alias("lo"),
+                    F.greatest("src", "dst").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct())
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census: one row
+    ``(n_nodes, n_edges, n_wedges, n_triangles, clustering_coeff)``.
+
+    ``clustering_coeff`` is the global (transitivity) coefficient
+    ``3 * triangles / wedges``, rounded to 6 places for cross-engine
+    stability. Wedges are counted exactly from degrees
+    (``sum deg*(deg-1)/2``) — no join needed for that term.
+    """
+    und = _canonical_undirected(edges)
+    deg = (und.select(F.col("lo").alias("node"))
+           .unionAll(und.select(F.col("hi").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+
+    # orient each edge from the lower-(deg, id) endpoint to the higher
+    dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("dlo"))
+    dh = deg.select(F.col("node").alias("hi"), F.col("deg").alias("dhi"))
+    keyed = (und.join(dl, "lo").join(dh, "hi")
+             .select(
+                 F.when((F.col("dlo") < F.col("dhi"))
+                        | ((F.col("dlo") == F.col("dhi"))
+                           & (F.col("lo") < F.col("hi"))),
+                        F.col("lo")).otherwise(F.col("hi")).alias("a"),
+                 F.when((F.col("dlo") < F.col("dhi"))
+                        | ((F.col("dlo") == F.col("dhi"))
+                           & (F.col("lo") < F.col("hi"))),
+                        F.col("hi")).otherwise(F.col("lo")).alias("b")))
+
+    # wedges at the LOW corner: (a->b, a->c) with b != c; each triangle
+    # has exactly one low corner, so a semi-join of the open pair (b, c)
+    # against the oriented edge set counts each triangle once
+    e1 = keyed.select(F.col("a"), F.col("b").alias("x"))
+    e2 = keyed.select(F.col("a"), F.col("b").alias("y"))
+    open_pairs = (e1.join(e2, "a")
+                  .filter(F.col("x") < F.col("y"))
+                  .select("x", "y"))
+    closed = (open_pairs.join(
+        keyed.select(F.least("a", "b").alias("x"),
+                     F.greatest("a", "b").alias("y")),
+        ["x", "y"], "left_semi"))
+
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("long").alias("n_wedges"))
+    # both sides are 1-row aggregates: the crossJoin is a broadcast of
+    # one row, keeping the whole census one lazy plan
+    return stats.crossJoin(tri).select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        F.round(F.when(F.col("n_wedges") > 0,
+                       3.0 * F.col("n_triangles") / F.col("n_wedges"))
+                .otherwise(F.lit(0.0)), 6).alias("clustering_coeff"))
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3
+                      ) -> DataFrame:
+    """Synchronous label propagation: every node starts as its own
+    label; each round it adopts the most frequent label among its
+    neighbors, ties to the SMALLEST label (deterministic — the async
+    variants of LPA are run-order dependent and untestable).
+
+    ``edges`` must carry both directions of each undirected edge.
+    Returns ``(node, label)``.
+
+    Scale: per round exactly one shuffle join (edges x labels, labels
+    are the small, shrinking-entropy side) and one two-level
+    aggregation; the edge table itself is never re-shuffled when the
+    caller pre-partitions it on ``src`` (same posture as
+    retrieval.pagerank).
+    """
+    if iterations < 1:
+        raise ValueError("label_propagation needs >= 1 iteration")
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionAll(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        votes = (edges.join(labels.withColumnRenamed("node", "src"),
+                            "src")
+                 .groupBy(F.col("dst").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
+        best = (votes.groupBy("node")
+                .agg(F.max(F.struct(F.col("cnt"),
+                                    (-F.col("label")).alias("neg")))
+                     .alias("top"))
+                .select("node", (-F.col("top.neg")).alias("label")))
+        # isolated nodes (no incoming votes) keep their current label
+        labels = (nodes.join(best, "node", "left")
+                  .join(labels.withColumnRenamed("label", "old"),
+                        "node")
+                  .select("node",
+                          F.coalesce("label", "old").alias("label")))
+    return labels
+
+
+def bfs_hops(edges: DataFrame, source: int, max_hops: int = 4
+             ) -> DataFrame:
+    """Single-source bounded BFS: ``(node, hops)`` for every node
+    reachable from ``source`` in at most ``max_hops`` edge traversals
+    (directed — feed both directions for undirected semantics).
+
+    Frontier-based: round k joins only the nodes first settled at
+    distance k-1 against the edge table, anti-joins out already-settled
+    nodes, and the settled set accumulates. Work is proportional to
+    edges incident to the reached set, never |V| x rounds.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    spark = edges.sparkSession
+    settled = spark.createDataFrame([(int(source), 0)],
+                                    "node long, hops long")
+    frontier = settled
+    for k in range(1, max_hops + 1):
+        nxt = (edges.join(frontier.withColumnRenamed("node", "src")
+                          .select("src"), "src")
+               .select(F.col("dst").alias("node")).distinct()
+               .join(settled.select("node"), "node", "left_anti")
+               .withColumn("hops", F.lit(k)))
+        if k < max_hops:
+            # materialize the frontier once (it feeds both the union
+            # and the next round's join) and stop early when empty —
+            # take(1) on the checkpointed frame is O(1), no rdd probe
+            nxt = nxt.localCheckpoint(eager=True)
+            frontier = nxt
+            settled = settled.unionAll(frontier)
+            if not nxt.take(1):
+                break
+        else:
+            frontier = nxt
+            settled = settled.unionAll(frontier)
+    return settled

@@ -427,3 +427,81 @@ def prune_manifest(adds: dict[str, Any], predicate_sql: str | None,
         if _eval_node(tree, fs) is not False:
             out[path] = add
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact (all-rows) evaluation over PARTITION columns — the metadata-only
+# DELETE fast path. A partition column is constant across every row of a
+# file, so a predicate touching only partition columns evaluates to ONE
+# truth value per file; when it is exactly True the whole file is covered
+# and can be tombstoned without any Spark job. Kleene three-valued logic,
+# sound in the strict direction: True/False only when provable for EVERY
+# row, None as soon as a non-partition column or unparseable construct
+# appears.
+# ---------------------------------------------------------------------------
+
+
+def _eval_exact(node, fs: FileStats) -> Optional[bool]:
+    if isinstance(node, Comparison):
+        if node.column not in fs.partition_columns \
+                or node.column not in fs.partition_values:
+            return None
+        # A null partition value makes the comparison SQL NULL for
+        # every row — Kleene-unknown, NOT False (inverting it under
+        # NOT must not manufacture True).
+        if fs.partition_values[node.column] is None:
+            return None
+        # _eval_comparison is exact (not merely prunable) on a
+        # partition column with a recorded non-null value: the
+        # constant row-level answer, or None on failed coercion.
+        return _eval_comparison(node, fs)
+    if isinstance(node, InList):
+        results = [_eval_exact(Comparison(node.column, "=", v), fs)
+                   for v in node.values]
+        if any(r is None for r in results):
+            return None
+        hit = any(results)
+        return (not hit) if node.negated else hit
+    if isinstance(node, IsNull):
+        if node.column in fs.partition_columns \
+                and node.column in fs.partition_values:
+            is_null = fs.partition_values[node.column] is None
+            return is_null != node.negated
+        return None
+    if isinstance(node, BoolOp):
+        results = [_eval_exact(op, fs) for op in node.operands]
+        if node.op == "and":
+            if any(r is False for r in results):
+                return False
+            return True if all(r is True for r in results) else None
+        if any(r is True for r in results):
+            return True
+        return False if all(r is False for r in results) else None
+    if isinstance(node, NotOp):
+        r = _eval_exact(node.operand, fs)
+        return None if r is None else not r
+    return None  # Unknown
+
+
+def split_certain_matches(adds: dict[str, Any], predicate_sql: str | None,
+                          partition_columns: list[str]
+                          ) -> tuple[dict[str, Any], dict[str, Any]]:
+    """Split ``adds`` into ``(certain, rest)``: *certain* holds files
+    where the predicate is provably True for EVERY row (partition-value
+    proof only — no data is read), *rest* holds everything else.
+    DELETE uses this to tombstone certain files metadata-only and scan
+    only the rest; a pure partition-predicate DELETE on a 100 TB table
+    becomes a log commit with zero Spark jobs."""
+    if not predicate_sql or not partition_columns:
+        return {}, dict(adds)
+    tree = parse_predicate(predicate_sql)
+    if isinstance(tree, Unknown):
+        return {}, dict(adds)
+    certain, rest = {}, {}
+    for path, add in adds.items():
+        fs = FileStats(add, partition_columns)
+        if _eval_exact(tree, fs) is True:
+            certain[path] = add
+        else:
+            rest[path] = add
+    return certain, rest

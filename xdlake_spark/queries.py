@@ -972,6 +972,33 @@ def delta_delete_dv_q(spark, sf_dir):
     return t.to_df().select("l_orderkey", "l_linenumber")
 
 
+@register("delta_delete_partition", """
+SELECT l_orderkey, l_linenumber, l_returnflag
+FROM lineitem
+WHERE l_returnflag != 'R'
+  AND NOT (l_returnflag = 'A' AND l_quantity > 40)
+""")
+def delta_delete_partition_q(spark, sf_dir):
+    """Metadata-only DELETE (plans/skipping.py split_certain_matches +
+    table.py delete fast path, delta-spark's partition-predicate
+    optimization): the first delete's predicate touches only the
+    partition column, so every covered file is proven full-match from
+    its partition values and tombstoned straight from the manifest —
+    ZERO Spark jobs (pinned by tests/test_delete_metadata_only.py).
+    The second delete mixes a partition conjunct with a row predicate:
+    the certain files skip the scan, the rest classify normally. At
+    100 TB, `DELETE WHERE date < retention` on a date-partitioned
+    table is a pure log commit."""
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        li, partition_by=["l_returnflag"])
+    t = t.delete("l_returnflag = 'R'")          # metadata-only
+    t = t.delete("l_returnflag = 'A' AND l_quantity > 40")
+    return t.to_df().select("l_orderkey", "l_linenumber",
+                            "l_returnflag")
+
+
 @register("delta_update_cow", """
 SELECT l_orderkey, l_linenumber,
        round(CASE WHEN l_quantity > 45 AND l_returnflag = 'A'
@@ -4902,6 +4929,138 @@ def hybrid_rrf_q(spark, sf_dir):
            .withColumn("rank", F.row_number().over(w))
            .filter(F.col("rank") <= 50))
     return retrieval.rrf_fuse([bm, cos], top_k=10)
+
+
+def _lpa_iter_sql(prev: str, this: str) -> str:
+    """One unrolled synchronous label-propagation round (mirrors
+    operators/graph.py label_propagation exactly: most frequent
+    neighbor label, ties to the smallest label, isolated nodes keep
+    their previous label)."""
+    return f"""{this} AS (
+  SELECT n.node, coalesce(b.label, p.label) AS label
+  FROM nodes n JOIN {prev} p USING (node)
+  LEFT JOIN (
+    SELECT node, label FROM (
+      SELECT e.dst AS node, l.label, count(*) AS cnt,
+             row_number() OVER (PARTITION BY e.dst
+                                ORDER BY count(*) DESC, l.label) AS rn
+      FROM e JOIN {prev} l ON l.node = e.src
+      GROUP BY e.dst, l.label)
+    WHERE rn = 1) b USING (node)
+)"""
+
+
+@register("graph_triangle_census", """
+WITH pairs AS (
+  SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS lo,
+                  greatest(a.l_suppkey, b.l_suppkey) AS hi
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+), deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT lo AS node FROM pairs UNION ALL SELECT hi FROM pairs)
+  GROUP BY 1
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM pairs ab JOIN pairs bc ON ab.hi = bc.lo
+       JOIN pairs ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(CAST(sum(deg) AS BIGINT) / 2 AS BIGINT) AS n_edges,
+       CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+       any_value(n_triangles) AS n_triangles,
+       round(3.0 * any_value(n_triangles) / sum(deg * (deg - 1) / 2),
+             6) AS clustering_coeff
+FROM deg CROSS JOIN tri
+""")
+def graph_triangle_census_q(spark, sf_dir):
+    """Global triangle census of the supplier co-occurrence graph
+    (suppliers sharing an order) via degree-ordered edge orientation
+    (operators/graph.py triangle_stats, Suri & Vassilvitskii WWW'11):
+    each triangle counted once at its lowest-(degree, id) corner, wedge
+    fan-out bounded by oriented out-degree — O(m^1.5) regardless of
+    hub skew. The co-occurrence self-join is bounded too: TPC-H orders
+    carry <= 7 lines, so pairs-per-order <= 21. The oracle counts
+    triangles the naive canonical-join way — same census, different
+    algorithm."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("s1"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("s2"))
+    edges = (a.join(b, "l_orderkey")
+             .filter(F.col("s1") < F.col("s2"))
+             .select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+             .distinct())
+    from .operators import graph
+    return graph.triangle_stats(edges)
+
+
+@register("graph_label_propagation", f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey + 10000000 AS src,
+                  l_suppkey + 20000000 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_custkey <= 150
+), e AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e
+), l0 AS (
+  SELECT node, node AS label FROM nodes
+), {_lpa_iter_sql('l0', 'l1')},
+{_lpa_iter_sql('l1', 'l2')},
+{_lpa_iter_sql('l2', 'l3')}
+SELECT node, label FROM l3
+""")
+def graph_label_propagation_q(spark, sf_dir):
+    """3-round synchronous label propagation over the (restricted)
+    customer<->supplier interaction graph (operators/graph.py
+    label_propagation) vs the identical rounds unrolled in SQL —
+    deterministic community detection: most frequent neighbor label,
+    ties to the smallest label."""
+    from .operators import graph
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 150)
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = (o.join(li, o.o_orderkey == li.l_orderkey)
+           .select((F.col("o_custkey") + 10000000).alias("src"),
+                   (F.col("l_suppkey") + 20000000).alias("dst"))
+           .distinct())
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    return graph.label_propagation(edges, iterations=3)
+
+
+@register("graph_bfs_hops", """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT o_custkey + 10000000 AS src,
+                  l_suppkey + 20000000 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), e AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), walk(node, d) AS (
+  SELECT CAST(10000001 AS BIGINT), 0
+  UNION
+  SELECT e.dst, walk.d + 1
+  FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.d < 3
+)
+SELECT node, CAST(min(d) AS BIGINT) AS hops FROM walk GROUP BY node
+""")
+def graph_bfs_hops_q(spark, sf_dir):
+    """Bounded single-source BFS from customer 1 over the interaction
+    graph (operators/graph.py bfs_hops): frontier-only joins, settled
+    nodes anti-joined out, 3 hops. The oracle is DuckDB's recursive
+    CTE with min-distance aggregation — reachability blast radius, the
+    contamination-tracing shape."""
+    from .operators import graph
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = (o.join(li, o.o_orderkey == li.l_orderkey)
+           .select((F.col("o_custkey") + 10000000).alias("src"),
+                   (F.col("l_suppkey") + 20000000).alias("dst"))
+           .distinct())
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    return graph.bfs_hops(edges, 10000001, max_hops=3)
 
 
 #: The driver's correctness harness oracle-checks exactly the FIRST 50

@@ -59,7 +59,7 @@ from .log import (
 from .log.schema import partition_value_to_python, schema_to_string
 from .log.statistics import Statistics
 from .plans.hilbert import hilbert_key_udf as _hilbert_key_udf
-from .plans.skipping import prune_manifest
+from .plans.skipping import prune_manifest, split_certain_matches
 from .sources.inputs import union_dataframe
 from .sources.storage import Location
 
@@ -2096,13 +2096,51 @@ class DeltaTable:
             return self._commit_checked(entry, read_version,
                                         where_sql=where_sql)
 
+        # Metadata-only fast path (delta-spark's partition-predicate
+        # DELETE): a file whose PARTITION VALUES prove every row matches
+        # is tombstoned straight from the manifest — no scan, no
+        # rewrite, no DV. `DELETE WHERE date_part < '2023-01'` on a
+        # 100 TB date-partitioned table is a pure log commit with ZERO
+        # Spark jobs. Files without a usable live-row count fall back
+        # to the scanning path so numDeletedRows stays exact; CDF
+        # tables always scan (the change feed must materialize the
+        # deleted rows anyway).
+        certain: dict[str, Add] = {}
+        rest = candidates
+        if where_sql and not self.cdf_enabled:
+            certain, rest = split_certain_matches(
+                candidates, where_sql, self.partition_columns)
+            unknown = {p for p, a in certain.items()
+                       if self._live_row_count(a) is None}
+            if unknown:
+                rest = {**rest,
+                        **{p: certain[p] for p in unknown}}
+                certain = {p: a for p, a in certain.items()
+                           if p not in unknown}
+        meta_removes = [a.to_remove() for a in certain.values()]
+        n_meta = sum(self._live_row_count(a) for a in certain.values())
+
+        if certain and not rest:
+            metrics = {
+                "num_added_files": 0,
+                "num_removed_files": len(meta_removes),
+                "num_copied_rows": 0,
+                "num_deleted_rows": int(n_meta),
+            }
+            entry = delete_table_entry([], meta_removes,
+                                       where_sql, read_version,
+                                       metrics, custom_metadata)
+            return self._commit_checked(entry, read_version,
+                                        where_sql=where_sql)
+
         if mode == "merge-on-read":
-            return self._dv_delete(candidates, pred, where_sql,
-                                   read_version, custom_metadata)
+            return self._dv_delete(rest, pred, where_sql,
+                                   read_version, custom_metadata,
+                                   certain=certain)
 
-        rel_of = self._rel_by_uri(candidates)
+        rel_of = self._rel_by_uri(rest)
 
-        scan = self._scan(candidates).withColumn(
+        scan = self._scan(rest).withColumn(
             "__xdl_file", F.input_file_name())
         per_file = (scan.groupBy("__xdl_file")
                     .agg(F.count(F.lit(1)).alias("total"),
@@ -2111,11 +2149,11 @@ class DeltaTable:
 
         hit_rels = [rel_of(r["__xdl_file"]) for r in per_file
                     if (r["hits"] or 0) > 0]
-        n_deleted = sum(int(r["hits"] or 0) for r in per_file)
+        n_deleted = sum(int(r["hits"] or 0) for r in per_file) + n_meta
         n_survivors = sum(int(r["total"]) - int(r["hits"] or 0)
                           for r in per_file if (r["hits"] or 0) > 0)
 
-        if not hit_rels:
+        if not hit_rels and not meta_removes:
             entry = delete_table_entry(
                 [], [], where_sql or "<expr>", read_version,
                 {"num_added_files": 0, "num_removed_files": 0,
@@ -2130,7 +2168,8 @@ class DeltaTable:
             survivors = self._scan(hit_adds).filter(~pred)
             new_adds = self._write_data(survivors, self.partition_columns)
 
-        removes = [self.adds[r].to_remove() for r in hit_rels]
+        removes = [self.adds[r].to_remove() for r in hit_rels] \
+            + meta_removes
         metrics = {
             "num_added_files": len(new_adds),
             "num_removed_files": len(removes),
@@ -2315,14 +2354,35 @@ class DeltaTable:
         hit_rels = sorted(rel_of(r["file"]) for r in packed)
         return new_adds, removes, n_hit, hit_rels
 
+    @staticmethod
+    def _live_row_count(add: Add) -> "int | None":
+        """Rows still visible in a file: footer-stat numRecords minus
+        the cardinality of any attached deletion vector. None when the
+        add carries no stats (foreign log) — callers needing exact
+        delete metrics must then scan."""
+        nr = (add.stats_dict or {}).get("numRecords")
+        if nr is None:
+            return None
+        desc = (add.extra or {}).get("deletionVector") or {}
+        return int(nr) - int(desc.get("cardinality") or 0)
+
     def _dv_delete(self, candidates: dict[str, Add], pred,
                    where_sql: "str | None", read_version: int,
-                   custom_metadata: dict | None) -> "DeltaTable":
+                   custom_metadata: dict | None,
+                   certain: "dict[str, Add] | None" = None
+                   ) -> "DeltaTable":
         """Merge-on-read DELETE: deletion-vector bitmaps instead of
-        rewriting data files (see :meth:`_dv_mask_files`)."""
+        rewriting data files (see :meth:`_dv_mask_files`). Files in
+        ``certain`` are fully covered by the predicate (proven from
+        partition values by the caller) and are tombstoned outright —
+        no scan, no pointless 100% DV."""
+        certain = certain or {}
+        meta_removes = [a.to_remove() for a in certain.values()]
+        n_meta = sum(self._live_row_count(a) for a in certain.values())
         new_adds, removes, n_deleted, hit_rels = \
-            self._dv_mask_files(candidates, pred)
-        if not hit_rels:
+            self._dv_mask_files(candidates, pred) if candidates \
+            else ([], [], 0, [])
+        if not hit_rels and not meta_removes:
             entry = delete_table_entry(
                 [], [], where_sql or "<expr>", read_version,
                 {"num_added_files": 0, "num_removed_files": 0,
@@ -2331,17 +2391,21 @@ class DeltaTable:
             return self._commit_checked(entry, read_version,
                                         where_sql=where_sql)
 
+        removes = removes + meta_removes
         metrics = {
             "num_added_files": 0,
             "num_removed_files": len(removes) - len(new_adds),
             "num_copied_rows": 0,
-            "num_deleted_rows": int(n_deleted),
+            "num_deleted_rows": int(n_deleted) + int(n_meta),
             "num_deletion_vectors_added": len(new_adds),
         }
         entry = delete_table_entry(new_adds, removes,
                                    where_sql or "<expr>", read_version,
                                    metrics, custom_metadata)
-        proto_up = self._dv_protocol_action()
+        # the feature upgrade is only needed when a DV descriptor is
+        # actually committed — a delete that merely tombstones files
+        # (fully-masked or partition-certain) adds no DV
+        proto_up = self._dv_protocol_action() if new_adds else None
         if proto_up is not None:
             entry.actions.insert(0, proto_up)
         if self.cdf_enabled:
