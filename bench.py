@@ -122,6 +122,10 @@ HEADLINE = [
     "delta_row_tracking_scan",
     "gopher_quality_rules",
     "html_extract_main_text",
+    "hybrid_rrf_ranking",
+    "delta_delete_partition",
+    "graph_triangle_census",
+    "graph_bfs_hops",
 ]
 
 

@@ -1,0 +1,195 @@
+"""Streaming source admission control (maxFilesPerTrigger) and
+live-set initial snapshot (sources/datasource.py offset model)."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from xdlake_spark import DeltaTable
+from xdlake_spark.sources.datasource import _XdlakeStreamReader, register
+
+
+@pytest.fixture()
+def registered(spark):
+    try:
+        register(spark)
+    except Exception:
+        pass  # already registered on this session
+    return spark
+
+
+@pytest.fixture()
+def lineitem(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+
+class TestReaderProtocol:
+    """Drive the reader exactly as MicroBatchExecution does (observed
+    order: latestOffset BEFORE initialOffset on a fresh stream), so the
+    admission control is pinned deterministically — no trigger timing."""
+
+    def _table(self, spark, path, lineitem, commits, files_per=1):
+        t = DeltaTable(spark, path)
+        for k in range(commits):
+            df = lineitem.limit(10 * files_per).withColumn(
+                "l_orderkey", F.col("l_orderkey") + k)
+            t = t.write(df.repartition(files_per), mode="append")
+        return t
+
+    def test_fresh_stream_snapshot_then_capped_tail(
+            self, registered, tmp_table_dir, lineitem):
+        t = self._table(registered, tmp_table_dir, lineitem, 3)
+        r = _XdlakeStreamReader(tmp_table_dir, max_files=2)
+        o1 = r.latestOffset()            # engine asks latest FIRST
+        init = r.initialOffset()
+        assert init["snapshot"] == -2
+        assert o1 == {"version": 2, "index": -1}
+        batch0 = r.partitions(init, o1)  # live snapshot, uncapped
+        assert len(batch0) == 3
+        assert r.latestOffset() == o1    # caught up: same offset
+
+        for k in range(5):               # backlog of 5 single-file adds
+            t = t.write(lineitem.limit(5).coalesce(1), mode="append")
+        offs, sizes = [o1], []
+        while True:
+            nxt = r.latestOffset()
+            if nxt == offs[-1]:
+                break
+            sizes.append(len(r.partitions(offs[-1], nxt)))
+            offs.append(nxt)
+        assert sizes == [2, 2, 1]        # <= cap per batch, all consumed
+        assert offs[-1] == {"version": 7, "index": 1}
+
+    def test_cap_splits_inside_a_version(self, registered, tmp_path,
+                                         lineitem):
+        path = str(tmp_path / "t")
+        self._table(registered, path, lineitem, 1, files_per=1)
+        r = _XdlakeStreamReader(path, max_files=3)
+        o1 = r.latestOffset()
+        init = r.initialOffset()
+        r.partitions(init, o1)
+        t = DeltaTable(registered, path)
+        t.write(lineitem.limit(40).repartition(4), mode="append")
+        o2 = r.latestOffset()
+        assert o2 == {"version": 1, "index": 3}   # mid-version offset
+        assert len(r.partitions(o1, o2)) == 3
+        o3 = r.latestOffset()
+        assert o3 == {"version": 1, "index": 4}
+        assert len(r.partitions(o2, o3)) == 1
+        assert r.latestOffset() == o3
+
+    def test_restart_is_uncapped_catchup_then_caps(
+            self, registered, tmp_path, lineitem):
+        path = str(tmp_path / "t")
+        t = self._table(registered, path, lineitem, 4)
+        # a fresh reader with NO initialOffset call = restarted stream
+        r = _XdlakeStreamReader(path, max_files=1)
+        o1 = r.latestOffset()
+        assert o1 == {"version": 3, "index": -1}  # blind catch-up
+        # checkpointed start says v0 consumed: span (v0, v3] = 3 files
+        assert len(r.partitions({"version": 0}, o1)) == 3
+        t.write(lineitem.limit(5).coalesce(1), mode="append")
+        t2 = DeltaTable(registered, path)
+        t2.write(lineitem.limit(5).coalesce(1), mode="append")
+        o2 = r.latestOffset()
+        assert o2 == {"version": 4, "index": 1}   # capped from now on
+        assert len(r.partitions(o1, o2)) == 1
+
+    def test_skipped_change_commit_advances_with_zero_files(
+            self, registered, tmp_path, lineitem):
+        path = str(tmp_path / "t")
+        t = self._table(registered, path, lineitem, 1)
+        r = _XdlakeStreamReader(path, max_files=2,
+                                skip_change_commits=True)
+        o1 = r.latestOffset()
+        r.partitions(r.initialOffset(), o1)
+        t = t.delete("l_quantity > 25")           # change commit
+        t.write(lineitem.limit(5).coalesce(1), mode="append")
+        o2 = r.latestOffset()
+        assert o2 == {"version": 2, "index": 1}
+        parts = r.partitions(o1, o2)
+        assert len(parts) == 1                    # delete emitted nothing
+
+
+class TestMaxFilesPerTriggerE2E:
+    def test_live_tail_batches_are_bounded(self, registered,
+                                           tmp_table_dir, lineitem):
+        t = DeltaTable(registered, tmp_table_dir).write(
+            lineitem.limit(10).coalesce(1))
+        sizes = []
+        q = (registered.readStream.format("xdlake")
+             .option("maxFilesPerTrigger", "2").load(tmp_table_dir)
+             .writeStream.foreachBatch(
+                 lambda df, bid: sizes.append(df.count()))
+             .option("checkpointLocation", tempfile.mkdtemp())
+             .trigger(processingTime="0 seconds").start())
+        try:
+            q.processAllAvailable()        # initial snapshot (1 file)
+            for k in range(6):             # backlog builds while live
+                t = t.write(lineitem.limit(10).coalesce(1),
+                            mode="append")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert sum(sizes) == 70
+        # every batch after the snapshot admits <= 2 files x 10 rows
+        assert all(s <= 20 for s in sizes[1:])
+
+    def test_bad_option_values_fail_at_load(self, registered,
+                                            tmp_table_dir, lineitem):
+        DeltaTable(registered, tmp_table_dir).write(lineitem.limit(5))
+        with pytest.raises(Exception, match="maxFilesPerTrigger"):
+            (registered.readStream.format("xdlake")
+             .option("maxFilesPerTrigger", "0").load(tmp_table_dir))
+        with pytest.raises(Exception, match="readChangeFeed"):
+            (registered.readStream.format("xdlake")
+             .option("maxFilesPerTrigger", "2")
+             .option("readChangeFeed", "true").load(tmp_table_dir))
+
+
+class TestLiveSetSnapshot:
+    def test_initial_snapshot_dedups_rewrites(self, registered,
+                                              tmp_table_dir, lineitem):
+        """A fresh stream over a table with a historical CoW delete
+        must emit the LIVE rows once — not the original file plus the
+        rewrite's survivors (per-version replay double-counted them)."""
+        li = lineitem.limit(200)
+        t = DeltaTable(registered, tmp_table_dir).write(li)
+        t = t.delete("l_quantity > 25")      # CoW rewrite commit
+        live = t.to_df().count()
+        assert live < 200
+        out, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp()
+        q = (registered.readStream.format("xdlake").load(tmp_table_dir)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert registered.read.parquet(out).count() == live
+
+    def test_tail_after_snapshot_still_incremental(self, registered,
+                                                   tmp_table_dir,
+                                                   lineitem):
+        li = lineitem.limit(100)
+        t = DeltaTable(registered, tmp_table_dir).write(li)
+        t = t.delete("l_quantity > 40")
+        live = t.to_df().count()
+        out, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp()
+
+        def drain():
+            q = (registered.readStream.format("xdlake")
+                 .load(tmp_table_dir)
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        drain()
+        assert registered.read.parquet(out).count() == live
+        # restart with new appends: only the delta flows
+        t.write(li.limit(30).withColumn(
+            "l_orderkey", F.col("l_orderkey") + 9_000_000))
+        drain()
+        got = registered.read.parquet(out)
+        assert got.count() == live + 30
+        assert got.filter("l_orderkey >= 9000000").count() == 30

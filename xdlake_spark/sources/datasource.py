@@ -9,13 +9,17 @@ a STREAMING source that tails the transaction log by version:
     s  = (spark.readStream.format("xdlake").load(path)       # tail
           .writeStream...)
 
-Offsets are log versions, so each micro-batch reads exactly the data
-files ADDED in ``(start_version, end_version]`` with ``dataChange``
-(compaction rewrites are skipped) — the same contract as
-``DeltaTable.table_changes``. One InputPartition per file: executors read
-their file with pyarrow and yield Arrow batches, the driver only plans
-manifests. The reference is batch-only (SURVEY §2.4 — streaming absent);
-this extends it.
+Offsets are ``(version, file-index, snapshot-version)`` tuples
+(delta-spark's reservoir design): a fresh stream pins its initial
+snapshot to the table's LIVE file set (rewrites deduped, deletes
+honored), then tails the log version by version reading exactly the
+``dataChange`` adds of each commit (compaction rewrites are skipped) —
+the same incremental contract as ``DeltaTable.table_changes``.
+``maxFilesPerTrigger`` bounds each micro-batch's file admission so a
+deep backlog is consumed in rate-limited steps. One InputPartition per
+file: executors read their file with pyarrow and yield Arrow batches,
+the driver only plans manifests. The reference is batch-only (SURVEY
+§2.4 — streaming absent); this extends it.
 
 For heavy batch analytics prefer ``DeltaTable.to_df`` — that path scans
 parquet natively in the JVM. This source trades a Python/Arrow hop for
@@ -120,41 +124,93 @@ def _dv_rows(loc, add) -> "list[int] | None":
     return [int(i) for i in deleted_row_indexes(loc, desc)]
 
 
-def _plan_partitions(location_url: str, start_v: int,
-                     end_v: int,
-                     skip_change_commits: bool = False,
-                     ) -> list[_FilePartition]:
-    """Driver-side: manifest of files added in (start_v, end_v].
+def _iter_units(location_url: str, skip_change_commits: bool,
+                lo_v: int, hi_v: int):
+    """Driver-side unit lists for the stream offset model: yields
+    ``(version, [Add], loc, schema_json)`` for versions in
+    ``[lo_v, hi_v]`` in version order — each version's ``dataChange``
+    adds in log order (deterministic, so an index into the list is a
+    durable offset).
 
     ``skip_change_commits`` is Delta's ``skipChangeCommits``: a commit
     that REMOVES data (delete/update/merge — copy-on-write rewrites
     and deletion-vector re-adds alike) is skipped wholesale, so the
     stream emits only pure appends and never re-emits rows a rewrite
-    or DV re-add carried.  Without it such commits re-emit their
-    surviving rows (the historical behavior, matching Delta's
-    ignoreChanges)."""
+    or DV re-add carried. Without it such commits re-emit their
+    surviving rows (matching Delta's ignoreChanges).
+    """
     from ..log import DeltaLog
     from .storage import Location
 
     loc = Location.resolve(location_url)
     log = DeltaLog.load(loc.join("_delta_log"), use_checkpoint=False)
     if not log:
+        return
+    schema_json = log.schema().json()
+    for v in sorted(log.entries):
+        if not (lo_v <= v <= hi_v):
+            continue
+        entry = log.entries[v]
+        if skip_change_commits and any(
+                rm.dataChange for rm in entry.removes):
+            yield (v, [], loc, schema_json)
+            continue
+        yield (v, [a for a in entry.adds if a.dataChange],
+               loc, schema_json)
+
+
+def _unit_counts(location_url: str, skip_change_commits: bool,
+                 lo_v: int, hi_v: int) -> "list[tuple[int, int]]":
+    """``(version, file count)`` pairs for latestOffset's admission
+    walk — manifest-scale, no data touched."""
+    return [(v, len(units)) for v, units, _, _ in
+            _iter_units(location_url, skip_change_commits, lo_v, hi_v)]
+
+
+def _plan_span(location_url: str, skip_change_commits: bool,
+               start_v: int, start_i: int,
+               end_v: int, end_i: int) -> "list[_FilePartition]":
+    """Files between offsets (start_v, start_i) exclusive and
+    (end_v, end_i) inclusive. Index ``-1`` means the whole version."""
+    parts: list[_FilePartition] = []
+    for v, units, loc, schema_json in _iter_units(
+            location_url, skip_change_commits, max(start_v, 0), end_v):
+        if v < start_v:
+            continue
+        lo = (len(units) if start_i == -1 else start_i) \
+            if v == start_v else 0
+        hi = (len(units) if end_i == -1 else end_i) \
+            if v == end_v else len(units)
+        for add in units[lo:hi]:
+            parts.append(_FilePartition(
+                loc.absloc(add.path).url,
+                dict(add.partitionValues or {}), schema_json,
+                deleted_rows=_dv_rows(loc, add)))
+    return parts
+
+
+def _plan_live_snapshot(location_url: str, version: int
+                        ) -> "list[_FilePartition]":
+    """A fresh stream's initial snapshot: the LIVE file set at
+    ``version`` (path-sorted) — every add replayed against its removes,
+    so historical rewrites emit once and deleted files not at all."""
+    from ..log import DeltaLog
+    from .storage import Location
+
+    if version < 0:
+        return []
+    loc = Location.resolve(location_url)
+    log = DeltaLog.load(loc.join("_delta_log"), version=version,
+                        use_checkpoint=False)
+    if not log:
         return []
     schema_json = log.schema().json()
-    parts: list[_FilePartition] = []
-    for v in sorted(log.entries):
-        if start_v < v <= end_v:
-            entry = log.entries[v]
-            if skip_change_commits and any(
-                    rm.dataChange for rm in entry.removes):
-                continue
-            for add in entry.adds:
-                if add.dataChange:
-                    parts.append(_FilePartition(
-                        loc.absloc(add.path).url,
-                        dict(add.partitionValues or {}), schema_json,
-                        deleted_rows=_dv_rows(loc, add)))
-    return parts
+    live = log.add_actions()
+    return [_FilePartition(
+        loc.absloc(p).url,
+        dict(live[p].partitionValues or {}), schema_json,
+        deleted_rows=_dv_rows(loc, live[p]))
+        for p in sorted(live)]
 
 
 def _plan_cdf_partitions(location_url: str, start_v: int,
@@ -209,11 +265,39 @@ def _plan_cdf_partitions(location_url: str, start_v: int,
 
 
 class _XdlakeStreamReader(DataSourceStreamReader):
+    """Log-tailing stream source with delta-spark-style offsets.
+
+    Offsets are ``{"version": v, "index": i}``: versions before ``v``
+    fully consumed, plus the first ``i`` ``dataChange`` adds of ``v``
+    in log order (``i == -1`` = all of ``v``; checkpoints from older
+    releases lack the field and resume identically). A fresh stream's
+    ``initialOffset`` additionally carries the marker ``snapshot: -2``;
+    a batch starting there plans the table's LIVE file set at the end
+    offset's version — rewrites deduped and deletes honored, matching
+    delta-spark's initial snapshot — instead of replaying every add
+    ever committed.
+
+    ``max_files`` (``maxFilesPerTrigger``) caps how many files each
+    micro-batch admits — a stream tailing a busy table consumes its
+    commits in bounded steps instead of unbounded batches. Python's
+    DataSource API passes ``latestOffset`` no start offset, so the cap
+    rides on reader-tracked state and the FIRST batch of any run is
+    uncapped (fresh stream: the whole initial snapshot; checkpoint
+    restart: one catch-up to current — the reader learns its position
+    only when Spark hands the start offset to ``partitions``). Every
+    batch after that honors the cap. Use a processing-time trigger
+    with it (``availableNow`` pins its target at the first offset and
+    stops there).
+    """
+
     def __init__(self, path: str, read_change_feed: bool = False,
-                 skip_change_commits: bool = False):
+                 skip_change_commits: bool = False,
+                 max_files: "int | None" = None):
         self.path = path
         self.read_change_feed = read_change_feed
         self.skip_change_commits = skip_change_commits
+        self.max_files = max_files
+        self._last: "dict | None" = None
 
     def _current_version(self) -> int:
         from ..log import DeltaLog
@@ -223,25 +307,73 @@ class _XdlakeStreamReader(DataSourceStreamReader):
         return log.version if log else -1
 
     def initialOffset(self) -> dict:
-        return {"version": -1}  # stream starts with the full snapshot
+        off = {"version": -1, "index": 0, "snapshot": -2}
+        if self._last is None:
+            # the engine asks for latestOffset BEFORE initialOffset on
+            # a fresh stream; never regress state already advanced
+            self._last = off
+        return off
 
     def latestOffset(self) -> dict:
-        return {"version": self._current_version()}
+        cur = self._current_version()
+        if self.read_change_feed:
+            return {"version": cur}
+        last = self._last
+        if last is None or int(last.get("snapshot", -1)) == -2:
+            # fresh stream (or blind restart): one uncapped batch up
+            # to the current version; capping starts once we know our
+            # position
+            if last is not None and cur < 0:
+                return last  # fresh stream over an empty table
+            off = {"version": cur, "index": -1}
+            self._last = off
+            return off
+        lv, li = int(last["version"]), int(last.get("index", -1))
+        taken = 0
+        v, i = lv, li
+        for uv, n in _unit_counts(self.path, self.skip_change_commits,
+                                  lv, cur):
+            done = (n if li == -1 else li) if uv == lv else 0
+            avail = n - done
+            if avail <= 0:
+                if uv > v:
+                    v, i = uv, n  # advance past empty/consumed commits
+                continue
+            room = (avail if self.max_files is None
+                    else min(avail, self.max_files - taken))
+            if room <= 0:
+                break
+            taken += room
+            v, i = uv, done + room
+            if self.max_files is not None and taken >= self.max_files:
+                break
+        if (v, i) == (lv, li):
+            return self._last  # nothing new: same offset, no batch
+        off = {"version": v, "index": i}
+        self._last = off
+        return off
 
     def partitions(self, start: dict, end: dict):
         if self.read_change_feed:
             return _plan_cdf_partitions(self.path,
                                         int(start["version"]),
                                         int(end["version"]))
-        return _plan_partitions(self.path, int(start["version"]),
-                                int(end["version"]),
-                                self.skip_change_commits)
+        self._last = dict(end)
+        if int(start.get("snapshot", -1)) == -2:
+            # fresh stream's first batch: the LIVE set at the end
+            # version IS the initial snapshot
+            return _plan_live_snapshot(self.path, int(end["version"]))
+        return _plan_span(self.path, self.skip_change_commits,
+                          int(start["version"]),
+                          int(start.get("index", -1)),
+                          int(end["version"]),
+                          int(end.get("index", -1)))
 
     def read(self, partition) -> Iterator:
         yield from _read_file_partition(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are durable in the checkpoint; nothing to ack
+        self._last = dict(end)  # offsets are durable in the checkpoint
 
 
 class _XdlakeBatchReader(DataSourceReader):
@@ -289,7 +421,24 @@ class XdlakeDataSource(DataSource):
         return str(self.options.get("readChangeFeed", "false")
                    ).lower() == "true"
 
+    def _max_files(self) -> "int | None":
+        """Validated maxFilesPerTrigger — checked in ``schema()`` too
+        so a bad value fails at ``.load()`` instead of asynchronously
+        inside the stream."""
+        raw = self.options.get("maxFilesPerTrigger")
+        if raw is None:
+            return None
+        max_files = int(raw)
+        if max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        if self._cdf():
+            raise ValueError(
+                "maxFilesPerTrigger is not supported with "
+                "readChangeFeed (CDF batches are version-granular)")
+        return max_files
+
     def schema(self) -> StructType:
+        self._max_files()
         from pyspark.sql.types import LongType, StringType, StructField
 
         from ..log import DeltaLog
@@ -326,7 +475,8 @@ class XdlakeDataSource(DataSource):
                    ).lower() == "true"
         return _XdlakeStreamReader(self._path(),
                                    read_change_feed=self._cdf(),
-                                   skip_change_commits=skip)
+                                   skip_change_commits=skip,
+                                   max_files=self._max_files())
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> "DataSourceStreamWriter":
