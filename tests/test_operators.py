@@ -2930,3 +2930,28 @@ class TestAudioFingerprint:
             ._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestNormalizeText:
+    def _norm(self, spark, texts):
+        from xdlake_spark.operators.text import normalize_text
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "doc_id int, text string")
+        rows = normalize_text(df).orderBy("doc_id").collect()
+        return [r.norm_text for r in rows]
+
+    def test_nfc_composes_decomposed_accents(self, spark):
+        composed, decomposed = "caf\u00e9", "cafe\u0301"
+        assert self._norm(spark, [composed, decomposed]) == \
+            ["caf\u00e9", "caf\u00e9"]
+
+    def test_zero_width_and_soft_hyphen_stripped(self, spark):
+        dirty = "a\u200bb\u200cc\u200dd\ufeffe\u00adf"
+        assert self._norm(spark, [dirty]) == ["abcdef"]
+
+    def test_case_whitespace_and_trim(self, spark):
+        assert self._norm(spark, ["  Hello\t\tWORLD \n"]) == \
+            ["hello world"]
+
+    def test_null_passthrough(self, spark):
+        assert self._norm(spark, [None, "x"]) == [None, "x"]

@@ -317,3 +317,33 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
             .withColumn("overlap", overlap)
             .filter(F.col("overlap") >= threshold)
             .select("id_a", "id_b", "n_shared", "overlap"))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "norm_text") -> DataFrame:
+    """Canonical text normalization for dedup/matching: Unicode NFC
+    composition, lowercase, zero-width/soft-hyphen/BOM stripping, and
+    whitespace collapse — the standard prep before exact or fuzzy
+    dedup so visually-identical variants (decomposed accents, sneaky
+    ZWSPs, case and spacing noise) hash identically.
+
+    NFC is the one step Spark has no built-in for (it needs the full
+    Unicode composition tables), so it runs as an Arrow-batched pandas
+    UDF over ``unicodedata.normalize`` — vectorized transfer, never
+    row-at-a-time Python; every other step is a JVM expression. The
+    UDF is position-stable and stateless, safe at any parallelism.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+
+    # ZWSP, ZWNJ, ZWJ, BOM/ZWNBSP, soft hyphen
+    cleaned = F.regexp_replace(
+        F.lower(_nfc(F.col(text_col))),
+        "[\u200b\u200c\u200d\ufeff\u00ad]", "")
+    collapsed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.withColumn(out_col, collapsed)

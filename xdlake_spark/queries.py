@@ -5063,6 +5063,56 @@ def graph_bfs_hops_q(spark, sf_dir):
     return graph.bfs_hops(edges, 10000001, max_hops=3)
 
 
+@register("text_normalize_dedup", r"""
+WITH dirty AS (
+  SELECT doc_id + 100000 AS doc_id,
+         'Cafe' || chr(769) || chr(8203) || '  ' || upper(text) AS text
+  FROM documents
+), clean AS (
+  SELECT doc_id, 'Caf' || chr(233) || ' ' || text AS text
+  FROM documents
+), allv AS (
+  SELECT * FROM clean UNION ALL SELECT * FROM dirty
+), norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             lower(nfc_normalize(text)),
+             '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]', '', 'g'),
+           '\s+', ' ', 'g')) AS norm_text
+  FROM allv
+)
+SELECT md5(norm_text) AS norm_hash,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       min(doc_id) AS keeper_id, max(doc_id) AS dup_id
+FROM norm GROUP BY 1
+""")
+def text_normalize_dedup_q(spark, sf_dir):
+    """Unicode-normalized exact dedup (operators/text.py
+    normalize_text): every document gets a composed-form twin and a
+    hostile twin (decomposed accent + zero-width space + doubled
+    spaces + case noise); NFC + casefold + zero-width strip +
+    whitespace collapse must make each pair hash-identical. The oracle
+    runs DuckDB's utf8proc ``nfc_normalize`` against our
+    unicodedata-backed Arrow UDF — two independent Unicode
+    implementations agreeing byte-for-byte."""
+    from .operators import text as T
+    d = _t(spark, sf_dir, "documents")
+    clean = d.select(
+        "doc_id",
+        F.concat(F.lit("Caf\u00e9 "), F.col("text")).alias("text"))
+    dirty = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("Cafe\u0301\u200b  "),
+                 F.upper("text")).alias("text"))
+    norm = T.normalize_text(clean.unionByName(dirty), "text",
+                            "norm_text")
+    return (norm.groupBy(F.md5("norm_text").alias("norm_hash"))
+            .agg(F.count(F.lit(1)).alias("n_variants"),
+                 F.min("doc_id").alias("keeper_id"),
+                 F.max("doc_id").alias("dup_id")))
+
+
 #: The driver's correctness harness oracle-checks exactly the FIRST 50
 #: entries of ``queries()`` (insertion order). This curated window makes
 #: those 50 span every operator family — relational, agg/window,

@@ -2822,6 +2822,47 @@ class DeltaTable:
                                "skippedSourceFiles":
                                    len(files) - len(new)})
 
+    def fsck(self, dry_run: bool = True):
+        """FSCK REPAIR TABLE (delta-spark parity, beyond the
+        reference): detect add entries whose data file — or whose
+        deletion-vector file — is missing from storage, and with
+        ``dry_run=False`` commit removes for them so scans stop failing
+        on manifest-vs-storage drift (a misbehaving lifecycle policy,
+        a partial restore, an out-of-band rm).
+
+        Returns the sorted list of broken relative paths when
+        ``dry_run`` (or when nothing is broken), else the repaired
+        table handle. The check is manifest-driven: one existence
+        probe per live file, no data read, no Spark job — at 100 TB
+        this is a metadata sweep, not a scan.
+        """
+        from .log.dv import dv_relative_path
+
+        read_version = self.version
+        broken: list[str] = []
+        for rel, add in (self.adds or {}).items():
+            if not self.location.absloc(rel).exists():
+                broken.append(rel)
+                continue
+            desc = (add.extra or {}).get("deletionVector")
+            if desc and desc.get("storageType") == "u":
+                dv_rel = dv_relative_path(desc["pathOrInlineDv"])
+                if not self.location.absloc(dv_rel).exists():
+                    broken.append(rel)
+        broken.sort()
+        if dry_run or not broken:
+            return broken
+        removes = [self.adds[r].to_remove() for r in broken]
+        entry = delete_table_entry(
+            [], removes, "<fsck>", read_version,
+            {"num_added_files": 0, "num_removed_files": len(removes),
+             "num_copied_rows": 0,
+             "num_missing_files": len(broken)})
+        self._decorate_entry(entry, None, "FSCK",
+                             {"numMissingFiles": len(broken),
+                              "dryRun": False})
+        return self._commit_checked(entry, read_version)
+
     def import_refs(self, refs: Any, mode: "str | WriteMode" = "append",
                     schema_mode: "str | SchemaMode" = "overwrite",
                     partition_by: list[str] | None = None,
