@@ -430,6 +430,138 @@ def prune_manifest(adds: dict[str, Any], predicate_sql: str | None,
 
 
 # ---------------------------------------------------------------------------
+# Generated-column partition pruning (delta-spark's
+# OptimizeGeneratedColumn): when a partition column is GENERATED from a
+# base column by a monotonic non-decreasing time transform — CAST(ts AS
+# DATE), YEAR(ts), DATE_FORMAT(ts, 'yyyy[-MM[-dd]]'), DATE_TRUNC(unit,
+# ts) — a predicate on the BASE column implies a partition predicate:
+# ts >= T  =>  part >= f(T), because t1 <= t2 -> f(t1) <= f(t2). A query
+# filtering the raw timestamp then prunes date partitions without the
+# user ever mentioning the partition column — on a 100 TB date-
+# partitioned table the difference between one day's files and all of
+# them. Only top-level AND-ed comparisons derive (OR/NOT branches are
+# ignored — sound: fewer derived constraints only means less pruning).
+# ---------------------------------------------------------------------------
+
+_GEN_CAST_DATE = re.compile(
+    r"^\s*CAST\s*\(\s*`?(\w+)`?\s+AS\s+DATE\s*\)\s*$", re.I)
+_GEN_YEAR = re.compile(r"^\s*YEAR\s*\(\s*`?(\w+)`?\s*\)\s*$", re.I)
+_GEN_DATE_FORMAT = re.compile(
+    r"^\s*DATE_FORMAT\s*\(\s*`?(\w+)`?\s*,\s*"
+    r"'(yyyy|yyyy-MM|yyyy-MM-dd)'\s*\)\s*$", re.I)
+_GEN_TRUNC = re.compile(
+    r"^\s*DATE_TRUNC\s*\(\s*'(YEAR|MONTH|WEEK|DAY|HOUR)'\s*,\s*"
+    r"`?(\w+)`?\s*\)\s*$", re.I)
+
+#: op on the base column -> implied op on the (non-decreasing)
+#: transform of the literal. Strict bounds weaken to inclusive; != is
+#: not derivable.
+_MONOTONE_OP = {"=": "=", ">": ">=", ">=": ">=", "<": "<=", "<=": "<="}
+
+
+def _lit_datetime(lit: Any) -> "datetime.datetime | None":
+    if isinstance(lit, datetime.datetime):
+        return lit
+    if type(lit) is datetime.date:
+        return datetime.datetime(lit.year, lit.month, lit.day)
+    if isinstance(lit, str):
+        try:
+            return datetime.datetime.fromisoformat(
+                lit.replace("Z", "+00:00")).replace(tzinfo=None)
+        except ValueError:
+            return None
+    return None
+
+
+def _gen_transform(expr: str):
+    """Parse a generation expression -> (base_col, literal transform),
+    or None when the expression is not a recognized monotonic form."""
+    m = _GEN_CAST_DATE.match(expr)
+    if m:
+        return m.group(1), lambda v: (d := _lit_datetime(v)) and d.date()
+    m = _GEN_YEAR.match(expr)
+    if m:
+        return m.group(1), lambda v: (d := _lit_datetime(v)) and d.year
+    m = _GEN_DATE_FORMAT.match(expr)
+    if m:
+        fmt = {"yyyy": "%Y", "yyyy-MM": "%Y-%m",
+               "yyyy-MM-dd": "%Y-%m-%d"}[m.group(2)]
+        return m.group(1), \
+            lambda v: (d := _lit_datetime(v)) and d.strftime(fmt)
+    m = _GEN_TRUNC.match(expr)
+    if m:
+        unit = m.group(1).upper()
+
+        def trunc(v):
+            d = _lit_datetime(v)
+            if d is None:
+                return None
+            if unit == "HOUR":
+                return d.replace(minute=0, second=0, microsecond=0)
+            d = d.replace(hour=0, minute=0, second=0, microsecond=0)
+            if unit == "DAY":
+                return d
+            if unit == "WEEK":
+                return d - datetime.timedelta(days=d.weekday())
+            if unit == "MONTH":
+                return d.replace(day=1)
+            return d.replace(month=1, day=1)
+
+        return m.group(2), trunc
+    return None
+
+
+def derive_partition_nodes(predicate_sql: str,
+                           gen_partitions: dict[str, str]) -> list:
+    """Partition-column comparison nodes implied by the predicate's
+    top-level AND-ed comparisons on generated partition columns' base
+    columns. Returns prunable nodes for :func:`prune_with_nodes`."""
+    tree = parse_predicate(predicate_sql)
+
+    def flatten(n):
+        if isinstance(n, BoolOp) and n.op == "and":
+            for op in n.operands:
+                yield from flatten(op)
+        else:
+            yield n
+
+    conjuncts = list(flatten(tree))
+    nodes = []
+    for pcol, expr in gen_partitions.items():
+        parsed = _gen_transform(expr)
+        if parsed is None:
+            continue
+        base, f = parsed
+        for c in conjuncts:
+            if isinstance(c, Comparison) and c.column == base \
+                    and c.op in _MONOTONE_OP:
+                lit = f(c.value)
+                if lit is not None:
+                    nodes.append(Comparison(pcol, _MONOTONE_OP[c.op],
+                                            lit))
+            elif isinstance(c, InList) and c.column == base \
+                    and not c.negated:
+                lits = [f(v) for v in c.values]
+                if all(v is not None for v in lits):
+                    nodes.append(InList(pcol, lits))
+    return nodes
+
+
+def prune_with_nodes(adds: dict[str, Any], nodes: list,
+                     partition_columns: list[str]) -> dict[str, Any]:
+    """Drop files provably excluded by EVERY given node (conjunction
+    semantics, same three-valued soundness as :func:`prune_manifest`)."""
+    if not nodes:
+        return dict(adds)
+    out = {}
+    for path, add in adds.items():
+        fs = FileStats(add, partition_columns)
+        if all(_eval_node(n, fs) is not False for n in nodes):
+            out[path] = add
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Exact (all-rows) evaluation over PARTITION columns — the metadata-only
 # DELETE fast path. A partition column is constant across every row of a
 # file, so a predicate touching only partition columns evaluates to ONE

@@ -59,7 +59,8 @@ from .log import (
 from .log.schema import partition_value_to_python, schema_to_string
 from .log.statistics import Statistics
 from .plans.hilbert import hilbert_key_udf as _hilbert_key_udf
-from .plans.skipping import prune_manifest, split_certain_matches
+from .plans.skipping import (derive_partition_nodes, prune_manifest,
+                             prune_with_nodes, split_certain_matches)
 from .sources.inputs import union_dataframe
 from .sources.storage import Location
 
@@ -203,12 +204,31 @@ class DeltaTable:
         """
         if self.schema is None:
             raise ValueError(f"No delta table at {self.location.url}")
-        adds = (prune_manifest(self.adds, where, self.partition_columns)
-                if where else self.adds)
+        adds = self._pruned_adds(where)
         df = self._scan(adds)
         if where:
             df = df.filter(where)
         return df
+
+    def _pruned_adds(self, where: "str | None") -> dict:
+        """Manifest prune for a scan predicate: partition values +
+        min/max stats, PLUS generated-column partition pruning
+        (delta-spark's OptimizeGeneratedColumn) — a filter on a raw
+        timestamp prunes partitions GENERATED from it (CAST AS DATE /
+        YEAR / DATE_FORMAT / DATE_TRUNC) without the query mentioning
+        the partition column (plans/skipping.py
+        derive_partition_nodes)."""
+        if not where:
+            return self.adds
+        adds = prune_manifest(self.adds, where, self.partition_columns)
+        gp = {c: e for c, e in self._generated_columns().items()
+              if c in self.partition_columns}
+        if gp and adds:
+            nodes = derive_partition_nodes(where, gp)
+            if nodes:
+                adds = prune_with_nodes(adds, nodes,
+                                        self.partition_columns)
+        return adds
 
     #: Delta reader features this engine actually implements. Anything
     #: else declared by a minReaderVersion>=3 protocol (v2Checkpoint,
@@ -1147,8 +1167,7 @@ class DeltaTable:
                 "supported yet")
         self._check_reader_protocol()
         schema = self.schema
-        adds = (prune_manifest(self.adds, where, self.partition_columns)
-                if where else self.adds)
+        adds = self._pruned_adds(where)
         if not adds:
             out_schema = T.StructType(
                 schema.fields
