@@ -1,0 +1,108 @@
+"""Streaming MERGE upsert sink (streaming/ingest.py stream_upsert):
+per-batch MERGE with SetTransaction idempotence."""
+
+import glob
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from xdlake_spark import DeltaTable
+from xdlake_spark.sources.datasource import register
+from xdlake_spark.streaming.ingest import stream_upsert
+
+
+@pytest.fixture()
+def registered(spark):
+    try:
+        register(spark)
+    except Exception:
+        pass
+    return spark
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, n long")
+
+
+class TestMergeTxn:
+    def test_txn_stamped_atomically(self, spark, tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(
+            _kv(spark, [(1, "a", 1), (2, "b", 1)]))
+        t = t.merge(_kv(spark, [(2, "B", 2), (3, "c", 1)]),
+                    "t.k = s.k",
+                    when_matched_update={"v": "s.v", "n": "s.n"},
+                    when_not_matched_insert={"k": "s.k", "v": "s.v",
+                                             "n": "s.n"},
+                    txn=("app-1", 7))
+        assert t.txn_version("app-1") == 7
+        assert t.txn_version("other") is None
+        got = {r.k: (r.v, r.n) for r in t.to_df().collect()}
+        assert got == {1: ("a", 1), 2: ("B", 2), 3: ("c", 1)}
+
+
+class TestStreamUpsert:
+    def test_upsert_and_replay_is_noop(self, registered, tmp_path):
+        spark = registered
+        src_loc = str(tmp_path / "src")
+        tgt_loc = str(tmp_path / "tgt")
+        ckpt = tempfile.mkdtemp()
+
+        DeltaTable(spark, tgt_loc).write(
+            _kv(spark, [(1, "a", 1), (2, "b", 1)]))
+        DeltaTable(spark, src_loc).write(
+            _kv(spark, [(2, "B", 2), (3, "c", 1), (3, "c", 1)]))
+
+        def drain():
+            q = stream_upsert(
+                spark.readStream.format("xdlake").load(src_loc),
+                tgt_loc, ckpt, keys=["k"])
+            try:
+                q.awaitTermination(120)
+            finally:
+                q.stop()
+                q.awaitTermination(30)
+
+        drain()
+        t = DeltaTable(spark, tgt_loc)
+        got = {r.k: (r.v, r.n) for r in t.to_df().collect()}
+        assert got == {1: ("a", 1), 2: ("B", 2), 3: ("c", 1)}
+        v_after = t.version
+
+        # at-least-once replay: wipe the commit marker so Spark re-runs
+        # the last micro-batch — the txn watermark must make it a no-op
+        for f in glob.glob(f"{ckpt}/commits/*") \
+                + glob.glob(f"{ckpt}/commits/.*crc"):
+            os.remove(f)
+        drain()
+        t = DeltaTable(spark, tgt_loc)
+        assert t.version == v_after          # no new commit
+        got = {r.k: (r.v, r.n) for r in t.to_df().collect()}
+        assert got == {1: ("a", 1), 2: ("B", 2), 3: ("c", 1)}
+
+    def test_incremental_second_batch(self, registered, tmp_path):
+        spark = registered
+        src_loc = str(tmp_path / "src")
+        tgt_loc = str(tmp_path / "tgt")
+        ckpt = tempfile.mkdtemp()
+        DeltaTable(spark, tgt_loc).write(_kv(spark, [(1, "a", 1)]))
+        src = DeltaTable(spark, src_loc).write(
+            _kv(spark, [(1, "A", 2)]))
+
+        def drain():
+            q = stream_upsert(
+                spark.readStream.format("xdlake").load(src_loc),
+                tgt_loc, ckpt, keys=["k"])
+            try:
+                q.awaitTermination(120)
+            finally:
+                q.stop()
+                q.awaitTermination(30)
+
+        drain()
+        src.write(_kv(spark, [(9, "z", 1)]), mode="append")
+        drain()
+        got = {r.k: (r.v, r.n)
+               for r in DeltaTable(spark, tgt_loc).to_df().collect()}
+        assert got == {1: ("A", 2), 9: ("z", 1)}

@@ -44,6 +44,54 @@ def stream_append(stream_df: DataFrame, table_location: str,
     return writer.start()
 
 
+def stream_upsert(stream_df: DataFrame, table_location: str,
+                  checkpoint_dir: str, keys: list[str],
+                  trigger_once: bool = True,
+                  app_id: "str | None" = None):
+    """Streaming MERGE upsert (the canonical delta CDC-apply pattern):
+    each micro-batch MERGEs into the target on ``keys`` — matched rows
+    update, new rows insert. Returns the StreamingQuery.
+
+    Exactly-once on at-least-once batch delivery: every applied batch
+    commits a SetTransaction watermark (``app_id``, defaulting to the
+    checkpoint dir, x batch id) ATOMICALLY with the merge; a replayed
+    batch sees ``txn_version >= batch_id`` and is a pure no-op, so a
+    crash between "merge committed" and "offset checkpointed" cannot
+    double-apply updates — the guarantee plain appends get from
+    version-file collisions does NOT extend to merges (a replayed merge
+    of the same rows still rewrites files), hence the watermark.
+
+    Within a batch, later duplicates of a key are dropped
+    (``dropDuplicates(keys)``) — Delta's multiple-source-rows-match
+    guard would otherwise refuse the merge.
+    """
+    spark = stream_df.sparkSession
+    cols = stream_df.columns
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    upd = {c: f"s.{c}" for c in cols if c not in keys}
+    ins = {c: f"s.{c}" for c in cols}
+    aid = app_id or f"stream_upsert:{checkpoint_dir}"
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table = DeltaTable(spark, table_location)
+        last = table.txn_version(aid)
+        if last is not None and last >= batch_id:
+            return  # replayed batch: already applied
+        table.merge(batch_df.dropDuplicates(list(keys)), cond,
+                    when_matched_update=upd or None,
+                    when_not_matched_insert=ins,
+                    custom_metadata={"streaming": True,
+                                     "batchId": int(batch_id)},
+                    txn=(aid, int(batch_id)))
+
+    writer = (stream_df.writeStream
+              .foreachBatch(commit_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _with_event_time(df: DataFrame, ts_col: str, watermark: str) -> DataFrame:
     """Watermarks require TimestampType; normalize ntz event time (session
     timezone is pinned UTC, so the wall-clock is unchanged)."""

@@ -3255,8 +3255,15 @@ class DeltaTable:
               when_not_matched_by_source_update_condition: str | None = None,
               when_not_matched_by_source_delete: "bool | str" = False,
               custom_metadata: dict | None = None,
-              broadcast_threshold_rows: int = 4_000_000) -> "DeltaTable":
+              broadcast_threshold_rows: int = 4_000_000,
+              txn: "tuple[str, int] | None" = None) -> "DeltaTable":
         """MERGE INTO (SURVEY §2.5): join-on-condition + conditional rewrite.
+
+        ``txn=(app_id, version)`` stamps a SetTransaction action into
+        the SAME commit (Delta's idempotent-writes contract): a
+        streaming upsert replaying a micro-batch checks
+        ``txn_version(app_id)`` and skips batches already applied —
+        exactly-once MERGE effects on at-least-once batch delivery.
 
         Copy-on-write at file granularity: only files containing matched
         target rows are rewritten; inserts append. Clause semantics follow
@@ -3537,6 +3544,11 @@ class DeltaTable:
                    "numTargetFilesRemoved": len(removes)}
         entry = merge_table_entry(new_adds, removes, condition,
                                   read_version, metrics, custom_metadata)
+        if txn is not None:
+            from .log.actions import SetTransaction
+            entry.actions.insert(0, SetTransaction(
+                appId=str(txn[0]), version=int(txn[1]),
+                lastUpdated=timestamp_ms()))
         if wm_schema is not None:
             # identity watermark advanced by the insert clause: re-
             # declare metaData in this commit
