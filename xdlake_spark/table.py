@@ -3058,8 +3058,7 @@ class DeltaTable:
         """
         if self.schema is None:
             raise ValueError(f"No delta table at {self.location.url}")
-        scope = (prune_manifest(self.adds, where, self.partition_columns)
-                 if where else self.adds)
+        scope = self._pruned_adds(where)
         if zorder_by and hilbert_by:
             raise ValueError("pass zorder_by or hilbert_by, not both")
         if not zorder_by and not hilbert_by:
@@ -3117,8 +3116,7 @@ class DeltaTable:
         if self.schema is None:
             raise ValueError(f"No delta table at {self.location.url}")
         self._require_mutable("REORG PURGE")
-        scope = (prune_manifest(self.adds, where, self.partition_columns)
-                 if where else self.adds)
+        scope = self._pruned_adds(where)
         dv_files = {p: a for p, a in scope.items()
                     if (a.extra or {}).get("deletionVector")}
         if not dv_files:
