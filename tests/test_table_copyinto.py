@@ -87,3 +87,75 @@ class TestOptimizeWrite:
             by_cat.setdefault(key, []).append(u)
         assert all(len(v) == 1 for v in by_cat.values())
         assert t.to_df().count() == 300
+
+
+class TestCopyIntoCheckpoint:
+    def test_idempotence_survives_checkpoint(self, spark,
+                                             tmp_table_dir, srcdir):
+        """The ingested-file digest set lives in a metadata domain;
+        the Delta spec says checkpoints MUST carry live domainMetadata
+        — so a log loaded from its checkpoint still skips loaded
+        files."""
+        from xdlake_spark.log import DeltaLog
+        from xdlake_spark.log.checkpoint import write_checkpoint
+        from xdlake_spark.sources.storage import Location
+
+        t = DeltaTable(spark, tmp_table_dir).copy_into(str(srcdir))
+        log_loc = Location.resolve(f"{tmp_table_dir}/_delta_log")
+        write_checkpoint(log_loc,
+                         DeltaLog.load(log_loc, use_checkpoint=False))
+        # fresh handle reads via the checkpoint fast path
+        t2 = DeltaTable(spark, tmp_table_dir)
+        assert t2.log.domain_metadata(DeltaTable.COPY_INTO_DOMAIN)
+        v = t2.version
+        t3 = t2.copy_into(str(srcdir))
+        assert t3.version == v          # still a no-op
+        assert t3.to_df().count() == 30
+
+
+class TestAutoCompact:
+    def _seed(self, spark, path, partition_by=None, props=None):
+        t = DeltaTable(spark, path).write(
+            spark.createDataFrame(gen_pdf(20)),
+            partition_by=partition_by or [])
+        return t.set_properties({
+            "delta.autoOptimize.autoCompact": "true",
+            "xdlake.autoCompact.minNumFiles": "4", **(props or {})})
+
+    def test_compacts_after_threshold(self, spark, tmp_path):
+        t = self._seed(spark, str(tmp_path / "t"))
+        for _ in range(4):  # fragment: 1 small file per append
+            t = t.write(spark.createDataFrame(gen_pdf(10)).coalesce(1),
+                        mode="append")
+        # threshold crossed on the last write -> auto OPTIMIZE ran
+        h = next(t.history())
+        assert h["operation"] == "OPTIMIZE"
+        assert len(t.file_uris()) < 5
+        assert t.to_df().count() == 60
+
+    def test_off_by_default(self, spark, tmp_path):
+        t = DeltaTable(spark, str(tmp_path / "t")).write(
+            spark.createDataFrame(gen_pdf(20)).coalesce(1))
+        for _ in range(5):
+            t = t.write(spark.createDataFrame(gen_pdf(10)).coalesce(1),
+                        mode="append")
+        assert next(t.history())["operation"] != "OPTIMIZE"
+        assert len(t.file_uris()) == 6
+
+    def test_scoped_to_written_partitions(self, spark, tmp_path):
+        import pandas as pd
+        t = self._seed(spark, str(tmp_path / "t"),
+                       partition_by=["cats"])
+        other_before = {u for u in t.file_uris() if "cats=S" not in u}
+        for _ in range(4):
+            pdf = gen_pdf(12)
+            pdf["cats"] = "S"        # fragment ONLY the S partition
+            t = t.write(spark.createDataFrame(pdf).coalesce(1),
+                        mode="append")
+        assert next(t.history())["operation"] == "OPTIMIZE"
+        s_files = [u for u in t.file_uris() if "cats=S" in u]
+        assert len(s_files) <= 2     # S compacted
+        # untouched partitions kept their original files
+        other_after = {u for u in t.file_uris() if "cats=S" not in u}
+        assert other_before == other_after
+        assert t.to_df().count() == 20 + 48

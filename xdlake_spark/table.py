@@ -1667,7 +1667,8 @@ class DeltaTable:
             handle = self
             for attempt in range(max_commit_retries + 1):
                 try:
-                    return handle._commit(entry)
+                    return handle._commit(entry) \
+                        ._maybe_auto_compact(new_adds)
                 except FileExistsError:
                     if attempt == max_commit_retries:
                         raise
@@ -1677,7 +1678,55 @@ class DeltaTable:
                                         self.log_location)
         self._decorate_entry(entry, _extra_actions, _operation,
                              _operation_params)
-        return self._commit(entry)
+        return self._commit(entry)._maybe_auto_compact(new_adds)
+
+    def _maybe_auto_compact(self, written: "list[Add]") -> "DeltaTable":
+        """delta's ``autoOptimize.autoCompact``: when the table property
+        ``delta.autoOptimize.autoCompact`` is ``'true'`` and the
+        partitions THIS write touched hold at least
+        ``xdlake.autoCompact.minNumFiles`` (default 8) live files under
+        ``xdlake.autoCompact.smallFileSize`` (default 32 MiB), run the
+        standard OPTIMIZE bin-packing on those partitions right after
+        the commit — small-file debt is paid continuously instead of
+        accruing until someone remembers to OPTIMIZE. Scoping to the
+        written partitions is the point at scale: a daily append to a
+        100 TB table compacts today's partition, never the history.
+        The compaction is its own ``dataChange=false`` commit, so
+        streams tailing the table skip it; the trigger check is
+        manifest-only (footer sizes already in the log), free when the
+        threshold isn't met."""
+        if not self.log:
+            return self
+        cfg = self.log.metadata().configuration or {}
+        if str(cfg.get("delta.autoOptimize.autoCompact", "false")
+               ).lower() != "true":
+            return self
+        min_files = int(cfg.get("xdlake.autoCompact.minNumFiles", "8"))
+        small_max = int(cfg.get("xdlake.autoCompact.smallFileSize",
+                                str(32 * 1024 * 1024)))
+        # scope: the hive partitions this commit wrote into
+        touched = {tuple(sorted((a.partitionValues or {}).items()))
+                   for a in written}
+        in_scope = [a for a in self.adds.values()
+                    if tuple(sorted((a.partitionValues or {}).items()))
+                    in touched]
+        small = sum(1 for a in in_scope if (a.size or 0) < small_max)
+        if small < min_files:
+            return self
+        where = None
+        pcols = self.partition_columns
+        if pcols and all(v is not None for pv in touched
+                         for _, v in pv):
+            vals = {c: sorted({dict(pv)[c] for pv in touched})
+                    for c in pcols}
+            where = " AND ".join(
+                "{} IN ({})".format(
+                    c, ", ".join("'{}'".format(v.replace("'", "''"))
+                                 for v in vals[c]))
+                for c in pcols)
+        return self.optimize(
+            where=where,
+            custom_metadata={"auto": True, "trigger": "autoCompact"})
 
     def _optimize_write_partitions(self, df: DataFrame,
                                    partition_by: list[str],
