@@ -59,7 +59,8 @@ from .log import (
 from .log.schema import partition_value_to_python, schema_to_string
 from .log.statistics import Statistics
 from .plans.hilbert import hilbert_key_udf as _hilbert_key_udf
-from .plans.skipping import (derive_partition_nodes, prune_manifest,
+from .plans.skipping import (Comparison as _SkipComparison,
+                             derive_partition_nodes, prune_manifest,
                              prune_with_nodes, split_certain_matches)
 from .sources.inputs import union_dataframe
 from .sources.storage import Location
@@ -3359,13 +3360,47 @@ class DeltaTable:
         # real source columns.
         src = (union_dataframe(self.spark, source)
                .withColumn("__xdl_matched", F.lit(True)))
-        n_src = src.count()
+
+        # Dynamic file pruning (delta-spark's MERGE DFP): for a pure
+        # conjunction with equi terms t.X = s.Y, the source-count job
+        # ALSO collects each key's [min, max]; target files whose
+        # stats/partition values provably cannot intersect any source
+        # key drop out of the probe, the rewrite AND the insert
+        # anti-join (a source key inside its own global bounds cannot
+        # match a row in a file disjoint from those bounds). The CDC
+        # shape — a small upsert batch into a 100 TB keyed table —
+        # scans only the overlapping files instead of the whole table.
+        # NOT-MATCHED-BY-SOURCE clauses inspect every target row, so
+        # they keep the full scan.
+        eq: list = []
+        if not (when_not_matched_by_source_update
+                or when_not_matched_by_source_delete):
+            eq = [(tc, sc) for tc, sc in _equi_join_pairs(condition)
+                  if tc in self.schema.fieldNames()
+                  and sc in src.columns]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, (_, sc) in enumerate(eq):
+            aggs.append(F.min(F.col(f"`{sc}`")).alias(f"__mn{i}"))
+            aggs.append(F.max(F.col(f"`{sc}`")).alias(f"__mx{i}"))
+        bounds = src.agg(*aggs).collect()[0]
+        n_src = bounds["__n"]
+        scan_adds = self.adds
+        nodes = []
+        for i, (tc, _) in enumerate(eq):
+            mn, mx = bounds[f"__mn{i}"], bounds[f"__mx{i}"]
+            if mn is not None:
+                nodes.append(_SkipComparison(tc, ">=", mn))
+                nodes.append(_SkipComparison(tc, "<=", mx))
+        if nodes:
+            scan_adds = prune_with_nodes(self.adds, nodes,
+                                         self.partition_columns)
+
         if n_src <= broadcast_threshold_rows:
             src = F.broadcast(src)
         src = src.alias("s")
         cond = F.expr(condition)
 
-        target_all = self._scan(self.adds).withColumn(
+        target_all = self._scan(scan_adds).withColumn(
             "__xdl_file", F.input_file_name())
         t = target_all.alias("t")
 
@@ -3613,6 +3648,29 @@ class DeltaTable:
         # MERGE reads the whole target (probe + anti joins): any
         # concurrent add conflicts, so no where_sql narrowing here
         return self._commit_checked(entry, read_version)
+
+
+_EQUI_TERM = re.compile(
+    r"^\s*(?:t\.`?(\w+)`?\s*=\s*s\.`?(\w+)`?"
+    r"|s\.`?(\w+)`?\s*=\s*t\.`?(\w+)`?)\s*$", re.I)
+
+
+def _equi_join_pairs(condition: str) -> "list[tuple[str, str]]":
+    """(target_col, source_col) equi pairs from a MERGE condition that
+    is a pure top-level conjunction; [] when OR/parentheses make
+    per-conjunct reasoning unsound. Non-equi conjuncts are simply
+    skipped — every match must still satisfy each equi conjunct, so
+    any equi term prunes regardless of what else is ANDed on."""
+    if re.search(r"\bOR\b|[()]", condition, re.I):
+        return []
+    out = []
+    for term in re.split(r"\bAND\b", condition, flags=re.I):
+        m = _EQUI_TERM.match(term)
+        if m:
+            tc, sc = (m.group(1), m.group(2)) if m.group(1) \
+                else (m.group(4), m.group(3))
+            out.append((tc, sc))
+    return out
 
 
 def _norm_uri(u: str) -> str:
