@@ -277,3 +277,110 @@ def test_big_int_pruning_exact(files, op, lit):
         if any(r is not None and _OPS[op](r, lit) for r in rows):
             assert f"f{i}.parquet" in kept, (
                 f"big-int file f{i} matches a {op} {lit} but was pruned")
+
+
+# --- metadata-only DELETE: certain-match soundness ------------------------
+
+from xdlake_spark.plans.skipping import split_certain_matches
+
+
+@settings(max_examples=300, deadline=None)
+@given(files=chunks(), pred=predicates)
+def test_certain_match_means_every_row_matches(files, pred):
+    """The metadata-only DELETE invariant, strict direction: a file in
+    `certain` may be tombstoned WITHOUT reading it, so every one of its
+    rows must evaluate to SQL TRUE (never NULL, never FALSE) under the
+    predicate. Column 'a' is the partition column (constant per file);
+    'b' is data the proof must never rely on."""
+    sql, ev = pred
+    adds, parts = {}, []
+    for i, rows in enumerate(files):
+        const_a = rows[0]["a"]
+        rows = [{"a": const_a, "b": r["b"]} for r in rows]
+        parts.append(rows)
+        adds[f"f{i}.parquet"] = Add(
+            path=f"f{i}.parquet",
+            stats=_stats([{"a": None, "b": r["b"]} for r in rows]),
+            partitionValues={
+                "a": None if const_a is None else str(const_a)})
+    certain, rest = split_certain_matches(adds, sql, ["a"])
+    assert set(certain) | set(rest) == set(adds)
+    assert not (set(certain) & set(rest))
+    for i, rows in enumerate(parts):
+        if f"f{i}.parquet" in certain:
+            for r in rows:
+                assert ev(r) is True, (
+                    f"file f{i} claimed certain for {sql!r} but row "
+                    f"{r} evaluates {ev(r)!r}")
+
+
+@settings(max_examples=150, deadline=None)
+@given(files=chunks(), pred=predicates)
+def test_certain_plus_prune_partition_exactness(files, pred):
+    """Combined invariant used by DELETE: certain ∪ (scanned rest)
+    covers exactly the matching rows — i.e. no matching row lives in a
+    file that is neither certain nor in rest after pruning rest."""
+    sql, ev = pred
+    adds, parts = {}, []
+    for i, rows in enumerate(files):
+        const_a = rows[0]["a"]
+        rows = [{"a": const_a, "b": r["b"]} for r in rows]
+        parts.append(rows)
+        adds[f"f{i}.parquet"] = Add(
+            path=f"f{i}.parquet",
+            stats=_stats([{"a": None, "b": r["b"]} for r in rows]),
+            partitionValues={
+                "a": None if const_a is None else str(const_a)})
+    certain, rest = split_certain_matches(adds, sql, ["a"])
+    for i, rows in enumerate(parts):
+        name = f"f{i}.parquet"
+        if any(ev(r) is True for r in rows) and name not in certain:
+            assert name in rest
+
+
+# --- generated-column pruning: derived nodes never drop a match ----------
+
+from xdlake_spark.plans.skipping import (derive_partition_nodes,
+                                         prune_with_nodes)
+
+_GEN_EXPRS = [
+    ("CAST(ts AS DATE)", lambda t: t.date().isoformat()),
+    ("YEAR(ts)", lambda t: str(t.year)),
+    ("DATE_FORMAT(ts, 'yyyy-MM-dd')", lambda t: t.strftime("%Y-%m-%d")),
+    ("DATE_TRUNC('HOUR', ts)",
+     lambda t: t.replace(minute=0, second=0).isoformat(sep=" ")),
+]
+
+
+@settings(max_examples=300, deadline=None)
+@given(files=ts_chunks(), pred=ts_predicates(),
+       gen=st.sampled_from(_GEN_EXPRS))
+def test_generated_partition_derivation_sound(files, pred, gen):
+    """OptimizeGeneratedColumn soundness: each file is one partition of
+    d = f(ts) (all its rows share the transform value — enforced by
+    regrouping rows by transform), the predicate filters raw ts, and
+    pruning on the DERIVED partition nodes must keep every file holding
+    a ts row that satisfies the predicate."""
+    sql, ev = pred
+    expr, pv = gen
+    # regroup rows so each synthetic file is a single partition of f(ts)
+    groups: dict = {}
+    for rows in files:
+        for r in rows:
+            key = None if r is None else pv(r)
+            groups.setdefault(key, []).append(r)
+    adds, parts = {}, []
+    for i, (key, rows) in enumerate(sorted(
+            groups.items(), key=lambda kv: (kv[0] is None, kv[0]))):
+        parts.append(rows)
+        adds[f"f{i}.parquet"] = Add(
+            path=f"f{i}.parquet", stats=_ts_stats(rows),
+            partitionValues={"d": key})
+    nodes = derive_partition_nodes(sql, {"d": expr})
+    kept = set(prune_with_nodes(adds, nodes, ["d"]))
+    for i, rows in enumerate(parts):
+        if any(ev(r) is True for r in rows):
+            assert f"f{i}.parquet" in kept, (
+                f"partition {adds[f'f{i}.parquet'].partitionValues} "
+                f"holds a match for {sql!r} via {expr} but the derived "
+                f"nodes {nodes} pruned it")
