@@ -196,3 +196,36 @@ class TestMetadataOnlyDelete:
         assert t2.to_df().filter("cats = 'S'").count() == 0
         h = next(iter(t2.history()))
         assert int(h["operationMetrics"]["num_deleted_rows"]) == n_s
+
+
+class TestMetadataOnlyCount:
+    def test_plain_count_runs_zero_jobs(self, spark, tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(
+            spark.createDataFrame(gen_pdf(90)), partition_by=["cats"])
+        n, jobs = _jobs_during(spark, "meta-count", t.count)
+        assert jobs == [] and n == 90
+
+    def test_partition_predicate_count_zero_jobs(self, spark,
+                                                 tmp_path):
+        pdf = gen_pdf(90)
+        t = DeltaTable(spark, str(tmp_path / "t")).write(
+            spark.createDataFrame(pdf), partition_by=["cats"])
+        want = int((pdf["cats"] == "S").sum())
+        n, jobs = _jobs_during(spark, "meta-count-p",
+                               lambda: t.count("cats = 'S'"))
+        assert jobs == [] and n == want
+
+    def test_mixed_predicate_scans_only_rest(self, spark, tmp_path):
+        pdf = gen_pdf(90)
+        t = DeltaTable(spark, str(tmp_path / "t")).write(
+            spark.createDataFrame(pdf), partition_by=["cats"])
+        want = int(((pdf["cats"] == "S") | (pdf["i64"] > 0)).sum())
+        assert t.count("cats = 'S' OR i64 > 0") == want
+
+    def test_dv_cardinality_subtracted(self, spark, tmp_path):
+        t = DeltaTable(spark, str(tmp_path / "t")).write(
+            spark.createDataFrame(gen_pdf(60)).coalesce(2))
+        t = t.delete("flag = true", mode="merge-on-read")
+        live = t.to_df().count()
+        n, jobs = _jobs_during(spark, "meta-count-dv", t.count)
+        assert jobs == [] and n == live

@@ -467,14 +467,35 @@ def _driver_union_find(e: DataFrame, nodes: DataFrame) -> DataFrame:
 
 
 def dedup_keepers_from_pairs(df: DataFrame, pairs: DataFrame,
-                             id_col: str = "doc_id") -> DataFrame:
-    """Rows of ``df`` that survive near-dup removal: one keeper (the
-    min-id member) per connected component, plus every row that is in
-    no pair at all. The anti-join side carries only (id, component) —
-    never documents — so the corpus streams once."""
+                             id_col: str = "doc_id",
+                             keep_by: "str | None" = None) -> DataFrame:
+    """Rows of ``df`` that survive near-dup removal: one keeper per
+    connected component, plus every row that is in no pair at all.
+
+    ``keep_by=None`` keeps the min-id member (cheapest: the component
+    label IS the min id, no document data touched). ``keep_by=<col>``
+    keeps the HIGHEST-``keep_by`` member (ties to the smallest id) —
+    what production pipelines actually want: when a near-dup cluster
+    collapses, survive the best-quality copy, not an arbitrary one.
+
+    Scale: either way the anti-join side carries only pair-member ids —
+    never documents — so the corpus streams once; the quality variant
+    adds one broadcast-sized join of component ids against (id, score)
+    and a window over components (pair members only, not the corpus).
+    """
     comp = connected_components(pairs)
-    losers = (comp.filter(F.col("id") != F.col("component"))
-              .select(F.col("id").alias(id_col)))
+    if keep_by is None:
+        losers = (comp.filter(F.col("id") != F.col("component"))
+                  .select(F.col("id").alias(id_col)))
+    else:
+        scored = comp.join(
+            df.select(F.col(id_col).alias("id"),
+                      F.col(keep_by).alias("__score")), "id")
+        w = Window.partitionBy("component").orderBy(
+            F.col("__score").desc(), F.col("id"))
+        losers = (scored.withColumn("__rk", F.row_number().over(w))
+                  .filter(F.col("__rk") > 1)
+                  .select(F.col("id").alias(id_col)))
     return df.join(losers, id_col, "left_anti")
 
 

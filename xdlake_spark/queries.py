@@ -2650,6 +2650,37 @@ def dedup_neardup_keepers(spark, sf_dir):
             .select("doc_id", "lang"))
 
 
+@register("dedup_quality_keepers", f"""
+WITH RECURSIVE pairs AS (
+{_NGRAM_PAIRS_SQL}
+), {_COMPONENTS_SQL}
+, scored AS (
+  SELECT c.id, c.component, length(d.text) AS q
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+), ranked AS (
+  SELECT id, row_number() OVER (PARTITION BY component
+                                ORDER BY q DESC, id) AS rk
+  FROM scored
+)
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rk > 1)
+""")
+def dedup_quality_keepers_q(spark, sf_dir):
+    """Quality-weighted near-dup removal (dedup_keepers_from_pairs
+    keep_by): when a near-dup cluster collapses, the LONGEST member
+    survives (ties to the smallest id) instead of an arbitrary one —
+    what production pipelines do, since boilerplate-heavy duplicates
+    are usually truncations of the fullest copy. The oracle rebuilds
+    components with a recursive CTE and ranks members identically."""
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("n_chars", F.length("text").cast("long")))
+    pairs = dedup.ngram_jaccard_pairs(d, k_shingle=3, threshold=0.2)
+    return (dedup.dedup_keepers_from_pairs(d, pairs,
+                                           keep_by="n_chars")
+            .select("doc_id", "lang", "n_chars"))
+
+
 @register("leakage_safe_split", f"""
 WITH RECURSIVE pairs AS (
 {_NGRAM_PAIRS_SQL}
