@@ -120,9 +120,15 @@ def label_propagation(edges: DataFrame, iterations: int = 3
     """
     if iterations < 1:
         raise ValueError("label_propagation needs >= 1 iteration")
+    # materialize the edge list once (lazily): every round joins it,
+    # and without the checkpoint each round would recompute the whole
+    # upstream lineage (same posture as retrieval.pagerank)
+    edges = (edges.repartition("src")
+             .localCheckpoint(eager=False))
     nodes = (edges.select(F.col("src").alias("node"))
              .unionAll(edges.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct()
+             .localCheckpoint(eager=False))
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iterations):
         votes = (edges.join(labels.withColumnRenamed("node", "src"),
@@ -157,6 +163,12 @@ def bfs_hops(edges: DataFrame, source: int, max_hops: int = 4
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
     spark = edges.sparkSession
+    # every round probes the edge table; checkpoint it once (lazily)
+    # so rounds reuse the materialized blocks instead of recomputing
+    # the upstream lineage per hop
+    if max_hops > 1:
+        edges = (edges.repartition("src")
+                 .localCheckpoint(eager=False))
     settled = spark.createDataFrame([(int(source), 0)],
                                     "node long, hops long")
     frontier = settled
