@@ -165,8 +165,8 @@ class TestCheckpointProtocolFeatures:
                 if "protocol" in obj:
                     obj["protocol"] = {
                         "minReaderVersion": 3, "minWriterVersion": 7,
-                        "readerFeatures": ["typeWidening"],
-                        "writerFeatures": ["typeWidening"]}
+                        "readerFeatures": ["variantType"],
+                        "writerFeatures": ["variantType"]}
                 lines.append(_json.dumps(obj))
         with open(log_file, "w") as fh:
             fh.write("\n".join(lines) + "\n")
@@ -190,10 +190,10 @@ class TestCheckpointProtocolFeatures:
         # recovered from version 0
         assert 0 in log.entries
         assert log.protocol().extra.get("readerFeatures") \
-            == ["typeWidening"]
+            == ["variantType"]
         # and the reader gate still refuses the scan
         t = DeltaTable(spark, tmp_table_dir)
-        with pytest.raises(NotImplementedError, match="typeWidening"):
+        with pytest.raises(NotImplementedError, match="variantType"):
             t.to_df().count()
 
     def test_stripped_checkpoint_with_cleaned_log_refuses(

@@ -796,17 +796,17 @@ class TestReaderProtocolGate:
     def test_unknown_reader_feature_refuses_scan(self, spark,
                                                  tmp_table_dir):
         """A v3 protocol demanding a feature this engine does not
-        implement (typeWidening here) must refuse to scan — reading
+        implement (variantType here) must refuse to scan — reading
         anyway could silently return wrong rows. Metadata ops stay
         available."""
         t = DeltaTable(spark, f"{tmp_table_dir}/t")
         t = t.write(spark.createDataFrame(gen_pdf()))
         self._graft_protocol(tmp_table_dir, {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["typeWidening"],
-            "writerFeatures": ["typeWidening"]})
+            "readerFeatures": ["variantType"],
+            "writerFeatures": ["variantType"]})
         t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
-        with pytest.raises(NotImplementedError, match="typeWidening"):
+        with pytest.raises(NotImplementedError, match="variantType"):
             t2.to_df().count()
         assert len(list(t2.history())) >= 1  # metadata still readable
 

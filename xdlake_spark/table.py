@@ -268,6 +268,8 @@ class DeltaTable:
         {"columnMapping", "timestampNtz", "deletionVectors",
          "v2Checkpoint",         # UUID-named manifests + sidecar reads
          "vacuumProtocolCheck",  # reader side is a spec'd no-op
+         "typeWidening",         # integer/float upcasts on scan
+         "typeWidening-preview",
          })
 
     def _check_reader_protocol(self) -> None:
@@ -293,6 +295,8 @@ class DeltaTable:
                 f"{proto.minReaderVersion} with features "
                 f"{sorted(feats)}; {why}. Reading anyway could "
                 "silently return wrong rows.")
+        if feats & {"typeWidening", "typeWidening-preview"}:
+            self._check_type_widening_readable()
 
     def _scan(self, adds: dict[str, Add]) -> DataFrame:
         schema = self.schema
@@ -818,6 +822,91 @@ class DeltaTable:
             {"columns": json.dumps([f.name for f in new_fields])},
             self.version, custom_metadata)
         return self._commit(entry)
+
+    #: Delta typeWidening transitions this engine supports end-to-end:
+    #: Spark's parquet reader upcasts the narrow physical type to the
+    #: wide table schema natively, so old files need no rewrite. The
+    #: spec's date->timestampNTZ and decimal widenings need per-file
+    #: conversion Spark does not do implicitly — refused loudly.
+    SUPPORTED_WIDENINGS = frozenset({
+        ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+        ("byte", "double"), ("short", "integer"), ("short", "long"),
+        ("short", "double"), ("integer", "long"),
+        ("integer", "double"), ("float", "double"),
+    })
+
+    _DELTA_TYPE_NAMES = {"ByteType": "byte", "ShortType": "short",
+                         "IntegerType": "integer", "LongType": "long",
+                         "FloatType": "float", "DoubleType": "double"}
+
+    def widen_column(self, column: str, new_type: str,
+                     custom_metadata: dict | None = None
+                     ) -> "DeltaTable":
+        """ALTER TABLE ALTER COLUMN TYPE — Delta's ``typeWidening``
+        table feature: a metadata-only commit moves the column to a
+        wider type; files already written keep their narrow physical
+        type and upcast on read (Spark's parquet reader does
+        byte/short/int -> int/long/double and float -> double
+        natively), new writes use the wide type. The widening history
+        is recorded in the field's ``delta.typeChanges`` metadata per
+        the spec, and the protocol gains the feature on both sides.
+        """
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        import dataclasses
+
+        from .log.schema import schema_to_string
+        names = [f.name for f in self.schema.fields]
+        if column not in names:
+            raise ValueError(f"Unknown column: {column!r}")
+        old = self.schema[column]
+        to_t = T._parse_datatype_string(new_type)
+        frm = self._DELTA_TYPE_NAMES.get(type(old.dataType).__name__)
+        to = self._DELTA_TYPE_NAMES.get(type(to_t).__name__)
+        if (frm, to) not in self.SUPPORTED_WIDENINGS:
+            raise ValueError(
+                f"unsupported type widening {column!r}: "
+                f"{old.dataType.simpleString()} -> "
+                f"{to_t.simpleString()} (supported: byte/short/int "
+                "-> wider integer or double, float -> double)")
+        if column in self.partition_columns:
+            raise ValueError(
+                f"cannot widen partition column {column!r} (directory "
+                "values would no longer round-trip)")
+        fmeta = dict(old.metadata or {})
+        changes = list(fmeta.get("delta.typeChanges") or [])
+        changes.append({"fromType": frm, "toType": to})
+        fmeta["delta.typeChanges"] = changes
+        fields = [T.StructField(f.name, to_t, f.nullable, fmeta)
+                  if f.name == column else f
+                  for f in self.schema.fields]
+        md = self.log.metadata()
+        md = dataclasses.replace(
+            md, schemaString=schema_to_string(T.StructType(fields)))
+        entry = properties_table_entry(
+            md, "CHANGE COLUMN",
+            {"column": column, "fromType": frm, "toType": to},
+            self.version, custom_metadata)
+        up = self._feature_protocol_action({"typeWidening"},
+                                           {"typeWidening"})
+        if up is not None:
+            entry.actions.insert(0, up)
+        return self._commit(entry)
+
+    def _check_type_widening_readable(self) -> None:
+        """A table carrying the typeWidening feature may hold widenings
+        we cannot read (date -> timestampNTZ, decimal growth): the
+        parquet scan would fail or — worse — misread. Verify every
+        recorded transition is in the natively-upcast family."""
+        for f in (self.schema.fields if self.schema else []):
+            for ch in ((f.metadata or {}).get("delta.typeChanges")
+                       or []):
+                pair = (ch.get("fromType"), ch.get("toType"))
+                if pair not in self.SUPPORTED_WIDENINGS:
+                    raise NotImplementedError(
+                        f"column {f.name!r} was widened "
+                        f"{pair[0]} -> {pair[1]}; only integer/float "
+                        "widenings are readable by this engine")
 
     def enable_column_mapping(self, mode: str = "name",
                               custom_metadata: dict | None = None
@@ -1953,6 +2042,8 @@ class DeltaTable:
          "inCommitTimestamp",    # monotonic commitInfo clock maintained
          "domainMetadata",    # replayed, checkpointed, conflict-safe
          "rowTracking",       # baseRowId assignment + watermark domain
+         "typeWidening",      # widen_column DDL + upcast-on-scan
+         "typeWidening-preview",
          "clustering",        # CLUSTER BY domain + clustered OPTIMIZE
          })
 
