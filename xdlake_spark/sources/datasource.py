@@ -79,7 +79,23 @@ def _read_file_partition(part: _FilePartition):
     path = part.url
     if path.startswith("file://"):
         path = path[len("file://"):]
-    table = pq.read_table(path)
+    flt = getattr(part, "row_filters", None)
+    expr = None
+    if flt:
+        import pyarrow.dataset as pds
+        for col, op, v in flt:
+            f = pds.field(col)
+            e = (f.isin(list(v)) if op == "in" else
+                 {"=": f == v, ">": f > v, ">=": f >= v,
+                  "<": f < v, "<=": f <= v}[op])
+            expr = e if expr is None else expr & e
+    try:
+        table = pq.read_table(path, filters=expr) if expr is not None \
+            else pq.read_table(path)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError):
+        # uncomparable literal/column combination: read unfiltered —
+        # Spark re-applies the exact predicate, pushdown is I/O-only
+        table = pq.read_table(path)
     if part.deleted_rows:
         import numpy as np
         mask = np.ones(table.num_rows, dtype=bool)
@@ -377,29 +393,86 @@ class _XdlakeStreamReader(DataSourceStreamReader):
 
 
 class _XdlakeBatchReader(DataSourceReader):
+    """Snapshot reads with FILTER PUSHDOWN (Spark 4.1 Python DataSource
+    API): planned filters translate into the same three-valued skipping
+    nodes the native scan path uses, pruning files from the manifest
+    (partition values + footer min/max) before any partition is
+    created, and — for files WITHOUT deletion vectors — into pyarrow
+    row filters applied inside the executor read. Every filter is also
+    returned to Spark (``pushFilters`` contract), so Spark re-applies
+    the exact predicate: the pushdown is pure I/O reduction, never a
+    semantics change. DV'd files skip the row-level push because the
+    deletion bitmap indexes physical row positions — filtering first
+    would misalign the mask."""
+
     def __init__(self, path: str):
         self.path = path
+        self._nodes: list = []
+        self._row_filters: list = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql import datasource as DS
+
+        from ..plans.skipping import Comparison, InList
+        from ..plans.skipping import IsNull as SkipIsNull
+        ops = {DS.EqualTo: "=", DS.GreaterThan: ">",
+               DS.GreaterThanOrEqual: ">=", DS.LessThan: "<",
+               DS.LessThanOrEqual: "<="}
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            node = None
+            for cls, op in ops.items():
+                if type(f) is cls:
+                    node = Comparison(col, op, f.value)
+                    break
+            if node is None and type(f) is DS.In:
+                node = InList(col, list(f.value))
+            if node is None and type(f) is DS.IsNull:
+                node = SkipIsNull(col)
+            if node is not None:
+                self._nodes.append(node)
+                if not isinstance(node, SkipIsNull):
+                    self._row_filters.append(
+                        (col, "in" if isinstance(node, InList)
+                         else node.op, f.value))
+        return filters  # Spark re-applies everything: pruning only
 
     def partitions(self):
         from ..log import DeltaLog
+        from ..plans.skipping import prune_with_nodes
         from .storage import Location
         log = DeltaLog.load(
             Location.resolve(self.path).join("_delta_log"))
         if not log:
             return []
-        # snapshot = everything up to the current version; the shared
-        # planner skips nothing at start=-1 but honors remove-replay by
-        # scanning the LIVE set instead of the raw adds
         loc = Location.resolve(self.path)
         schema_json = log.schema().json()
-        return [
-            _FilePartition(loc.absloc(p).url,
-                           dict(a.partitionValues or {}), schema_json,
-                           deleted_rows=_dv_rows(loc, a))
-            for p, a in log.add_actions().items()
-        ]
+        live = log.add_actions()
+        pcols = log.partition_columns()
+        if self._nodes:
+            live = prune_with_nodes(live, self._nodes, pcols)
+        # row filters only on non-partition columns (partition values
+        # are not in the files) — per-file exclusion of DV'd files
+        # happens at read time
+        row_filters = [(c, op, v) for c, op, v in self._row_filters
+                       if c not in pcols]
+        out = []
+        for p, a in live.items():
+            part = _FilePartition(loc.absloc(p).url,
+                                  dict(a.partitionValues or {}),
+                                  schema_json,
+                                  deleted_rows=_dv_rows(loc, a))
+            part.row_filters = row_filters if not part.deleted_rows \
+                else None
+            out.append(part)
+        return out
 
     def read(self, partition) -> Iterator:
+        if partition is None:
+            return  # every file pruned: Spark still runs one task
         yield from _read_file_partition(partition)
 
 
@@ -488,7 +561,11 @@ class XdlakeDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Register the ``xdlake`` format on a SparkSession."""
+    """Register the ``xdlake`` format on a SparkSession (and enable
+    the Python-data-source filter pushdown the batch reader
+    implements — Spark refuses a pushFilters reader while
+    ``spark.sql.python.filterPushdown.enabled`` is false)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(XdlakeDataSource)
 
 
