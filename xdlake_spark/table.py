@@ -3425,7 +3425,8 @@ class DeltaTable:
               when_not_matched_by_source_delete: "bool | str" = False,
               custom_metadata: dict | None = None,
               broadcast_threshold_rows: int = 4_000_000,
-              txn: "tuple[str, int] | None" = None) -> "DeltaTable":
+              txn: "tuple[str, int] | None" = None,
+              schema_evolution: bool = False) -> "DeltaTable":
         """MERGE INTO (SURVEY §2.5): join-on-condition + conditional rewrite.
 
         ``txn=(app_id, version)`` stamps a SetTransaction action into
@@ -3433,6 +3434,13 @@ class DeltaTable:
         streaming upsert replaying a micro-batch checks
         ``txn_version(app_id)`` and skips batches already applied —
         exactly-once MERGE effects on at-least-once batch delivery.
+
+        ``schema_evolution=True`` (delta-spark's
+        ``withSchemaEvolution``): source columns absent from the target
+        join the table schema in the same commit — existing rows read
+        them as NULL, update/insert clauses may assign them, and the
+        metaData action re-declares the evolved schema atomically with
+        the data.
 
         Copy-on-write at file granularity: only files containing matched
         target rows are rewritten; inserts append. Clause semantics follow
@@ -3548,6 +3556,27 @@ class DeltaTable:
 
         nmbs_update = when_not_matched_by_source_update
         nmbs_delete = when_not_matched_by_source_delete
+
+        # schema evolution: source-only columns join the table schema;
+        # the rewrite/insert paths fill them with NULL wherever the
+        # target has no value, and the commit re-declares metaData
+        new_fields: list = []
+        if schema_evolution:
+            tgt_names = {f.name for f in self.schema.fields}
+            new_fields = [f for f in src.schema.fields
+                          if f.name not in tgt_names
+                          and f.name != "__xdl_matched"]
+        evolved_schema = T.StructType(
+            list(self.schema.fields) + new_fields) if new_fields \
+            else self.schema
+        typ = {f.name: f.dataType for f in evolved_schema.fields}
+        t_has = {f.name for f in self.schema.fields}
+
+        def tcol(c):
+            """Target-side value of column c: NULL for columns the
+            target gained only in this merge."""
+            return F.col(f"t.{c}") if c in t_has \
+                else F.lit(None).cast(typ[c])
         # matched files only need rewriting when a matched clause can
         # change them — an insert-only MERGE leaves them untouched
         # (previously they were rewritten as identical copies: wasted
@@ -3578,7 +3607,20 @@ class DeltaTable:
             rewrite_rels |= {rel_of(r["__xdl_file"]) for r in aff}
         rewrite_rels = sorted(rewrite_rels)
 
-        out_cols = [f.name for f in self.schema.fields]
+        out_cols = [f.name for f in evolved_schema.fields]
+        # an assignment to a column the (possibly evolved) schema does
+        # not hold was previously ignored silently — refuse instead
+        for label, clause in (
+                ("when_matched_update", when_matched_update),
+                ("when_not_matched_insert", when_not_matched_insert),
+                ("when_not_matched_by_source_update", nmbs_update)):
+            for c in (clause or {}):
+                if c not in out_cols:
+                    hint = ("" if schema_evolution else
+                            " (pass schema_evolution=True to adopt "
+                            "source-only columns)")
+                    raise ValueError(
+                        f"{label} assigns unknown column {c!r}{hint}")
         new_adds: list[Add] = []
         cdc_df: DataFrame | None = None  # CDF rows accumulated per clause
 
@@ -3598,7 +3640,8 @@ class DeltaTable:
                 # copies. Semi/anti joins preserve multiplicity by
                 # construction: matched rows copy verbatim, unmatched
                 # rows take the BY SOURCE clauses.
-                keep = th.join(src, cond, "left_semi").select(out_cols)
+                keep = (th.join(src, cond, "left_semi")
+                        .select([tcol(c).alias(c) for c in out_cols]))
                 um = th.join(src, cond, "left_anti")
                 nmbs_upd_active = F.lit(False)
                 if nmbs_update:
@@ -3618,16 +3661,15 @@ class DeltaTable:
                     if nmbs_update and c in nmbs_update:
                         expr = F.when(nmbs_upd_active,
                                       F.expr(nmbs_update[c])) \
-                            .otherwise(F.col(f"t.{c}"))
+                            .otherwise(tcol(c))
                     else:
-                        expr = F.col(f"t.{c}")
-                    sel.append(expr.cast(self.schema[c].dataType).alias(c))
+                        expr = tcol(c)
+                    sel.append(expr.cast(typ[c]).alias(c))
                 rewritten = keep.unionByName(
                     um.filter(~F.coalesce(nmbs_del_active, F.lit(False)))
                     .select(sel))
                 if self.cdf_enabled:
-                    t_sel = [F.col(f"t.{c}")
-                             .cast(self.schema[c].dataType).alias(c)
+                    t_sel = [tcol(c).cast(typ[c]).alias(c)
                              for c in out_cols]
                     upd = um.filter(
                         F.coalesce(nmbs_upd_active, F.lit(False)))
@@ -3680,18 +3722,17 @@ class DeltaTable:
                         expr = F.when(branches[0][0], F.expr(branches[0][1]))
                         for cnd, ex in branches[1:]:
                             expr = expr.when(cnd, F.expr(ex))
-                        expr = expr.otherwise(F.col(f"t.{c}"))
+                        expr = expr.otherwise(tcol(c))
                     else:
-                        expr = F.col(f"t.{c}")
-                    sel.append(expr.cast(self.schema[c].dataType).alias(c))
+                        expr = tcol(c)
+                    sel.append(expr.cast(typ[c]).alias(c))
                 # NULL-safe: a NULL clause condition means "clause does
                 # not apply" (Delta semantics), never "drop the row"
                 drop = (F.coalesce(del_active, F.lit(False))
                         | F.coalesce(nmbs_del_active, F.lit(False)))
                 rewritten = joined.filter(~drop).select(sel)
                 if self.cdf_enabled:
-                    t_sel = [F.col(f"t.{c}")
-                             .cast(self.schema[c].dataType).alias(c)
+                    t_sel = [tcol(c).cast(typ[c]).alias(c)
                              for c in out_cols]
                     any_upd = (F.coalesce(upd_active, F.lit(False))
                                | F.coalesce(nmbs_upd_active,
@@ -3705,7 +3746,8 @@ class DeltaTable:
                             .withColumn(self._CHANGE_TYPE,
                                         F.lit("delete")))
             else:
-                rewritten = th.select(out_cols)
+                rewritten = th.select(
+                    [tcol(c).alias(c) for c in out_cols])
             # generated columns: VERIFIED on the matched-rewrite path
             # (an UPDATE clause that broke one fails loudly with a
             # message naming the expression) — clause semantics make a
@@ -3720,9 +3762,9 @@ class DeltaTable:
             anti = src.join(t, cond, "left_anti")
             ins = anti.select([
                 F.expr(when_not_matched_insert[c]).cast(
-                    self.schema[c].dataType).alias(c)
+                    typ[c]).alias(c)
                 if c in when_not_matched_insert
-                else F.lit(None).cast(self.schema[c].dataType).alias(c)
+                else F.lit(None).cast(typ[c]).alias(c)
                 for c in out_cols])
             # generated columns: COMPUTED for insert clauses that do
             # not assign them, verified for ones that do; identity
@@ -3752,13 +3794,20 @@ class DeltaTable:
             entry.actions.insert(0, SetTransaction(
                 appId=str(txn[0]), version=int(txn[1]),
                 lastUpdated=timestamp_ms()))
+        decl = None
         if wm_schema is not None:
-            # identity watermark advanced by the insert clause: re-
-            # declare metaData in this commit
+            # identity watermark advanced by the insert clause
+            decl = T.StructType(list(wm_schema.fields) + new_fields) \
+                if new_fields else wm_schema
+        elif new_fields:
+            decl = evolved_schema
+        if decl is not None:
+            # re-declare metaData in this commit (evolved columns
+            # and/or identity watermark), atomic with the data
             import dataclasses
             md = dataclasses.replace(
                 self.log.metadata(),
-                schemaString=schema_to_string(wm_schema))
+                schemaString=schema_to_string(decl))
             entry.actions.insert(0, md)
         if self.cdf_enabled and cdc_df is not None:
             # cdc_df covers every clause (update pre/post, deletes,
