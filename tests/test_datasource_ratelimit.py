@@ -193,3 +193,65 @@ class TestLiveSetSnapshot:
         got = registered.read.parquet(out)
         assert got.count() == live + 30
         assert got.filter("l_orderkey >= 9000000").count() == 30
+
+
+class TestStartingVersionAndBytes:
+    def _table(self, spark, path, lineitem, commits):
+        t = DeltaTable(spark, path)
+        for k in range(commits):
+            t = t.write(lineitem.limit(10).coalesce(1), mode="append")
+        return t
+
+    def test_starting_version_skips_history(self, registered,
+                                            tmp_path, lineitem):
+        path = str(tmp_path / "t")
+        self._table(registered, path, lineitem, 4)  # versions 0..3
+        r = _XdlakeStreamReader(path, starting_version=2)
+        init = r.initialOffset()
+        assert init == {"version": 1, "index": -1}
+        o1 = r.latestOffset()
+        parts = r.partitions(init, o1)
+        assert len(parts) == 2          # versions 2 and 3 only
+
+    def test_starting_version_latest_sees_only_new(self, registered,
+                                                   tmp_path, lineitem):
+        path = str(tmp_path / "t")
+        t = self._table(registered, path, lineitem, 3)
+        r = _XdlakeStreamReader(path, starting_version="latest")
+        init = r.initialOffset()
+        # current head (v2) recorded as consumed: only new commits flow
+        assert init == {"version": 2, "index": -1}
+        o1 = r.latestOffset()
+        assert r.partitions(init, o1) == []         # nothing yet
+        t.write(lineitem.limit(5).coalesce(1), mode="append")
+        o2 = r.latestOffset()
+        assert len(r.partitions(o1, o2)) == 1
+
+    def test_max_bytes_admits_at_least_one_file(self, registered,
+                                                tmp_path, lineitem):
+        path = str(tmp_path / "t")
+        t = self._table(registered, path, lineitem, 1)
+        r = _XdlakeStreamReader(path, max_bytes=1)  # < any file
+        o1 = r.latestOffset()
+        r.partitions(r.initialOffset(), o1)
+        for _ in range(3):
+            t = t.write(lineitem.limit(10).coalesce(1), mode="append")
+        sizes = []
+        offs = [o1]
+        while True:
+            nxt = r.latestOffset()
+            if nxt == offs[-1]:
+                break
+            sizes.append(len(r.partitions(offs[-1], nxt)))
+            offs.append(nxt)
+        assert sizes == [1, 1, 1]       # progress guarantee: 1 per batch
+
+    def test_bad_values_fail_at_load(self, registered, tmp_table_dir,
+                                     lineitem):
+        DeltaTable(registered, tmp_table_dir).write(lineitem.limit(5))
+        with pytest.raises(Exception, match="maxBytesPerTrigger"):
+            (registered.readStream.format("xdlake")
+             .option("maxBytesPerTrigger", "0").load(tmp_table_dir))
+        with pytest.raises(Exception, match="startingVersion"):
+            (registered.readStream.format("xdlake")
+             .option("startingVersion", "-3").load(tmp_table_dir))

@@ -175,11 +175,11 @@ def _iter_units(location_url: str, skip_change_commits: bool,
                loc, schema_json)
 
 
-def _unit_counts(location_url: str, skip_change_commits: bool,
-                 lo_v: int, hi_v: int) -> "list[tuple[int, int]]":
-    """``(version, file count)`` pairs for latestOffset's admission
-    walk — manifest-scale, no data touched."""
-    return [(v, len(units)) for v, units, _, _ in
+def _unit_sizes(location_url: str, skip_change_commits: bool,
+                lo_v: int, hi_v: int) -> "list[tuple[int, list]]":
+    """``(version, [file size, ...])`` pairs for latestOffset's
+    admission walk — manifest-scale, no data touched."""
+    return [(v, [a.size or 0 for a in units]) for v, units, _, _ in
             _iter_units(location_url, skip_change_commits, lo_v, hi_v)]
 
 
@@ -308,11 +308,15 @@ class _XdlakeStreamReader(DataSourceStreamReader):
 
     def __init__(self, path: str, read_change_feed: bool = False,
                  skip_change_commits: bool = False,
-                 max_files: "int | None" = None):
+                 max_files: "int | None" = None,
+                 max_bytes: "int | None" = None,
+                 starting_version: "int | str | None" = None):
         self.path = path
         self.read_change_feed = read_change_feed
         self.skip_change_commits = skip_change_commits
         self.max_files = max_files
+        self.max_bytes = max_bytes
+        self.starting_version = starting_version
         self._last: "dict | None" = None
 
     def _current_version(self) -> int:
@@ -323,7 +327,15 @@ class _XdlakeStreamReader(DataSourceStreamReader):
         return log.version if log else -1
 
     def initialOffset(self) -> dict:
-        off = {"version": -1, "index": 0, "snapshot": -2}
+        if self.starting_version is not None:
+            # delta's startingVersion: no initial snapshot — tail the
+            # log from this version on ("latest" = only new commits)
+            sv = (self._current_version() + 1
+                  if self.starting_version == "latest"
+                  else int(self.starting_version))
+            off = {"version": sv - 1, "index": -1}
+        else:
+            off = {"version": -1, "index": 0, "snapshot": -2}
         if self._last is None:
             # the engine asks for latestOffset BEFORE initialOffset on
             # a fresh stream; never regress state already advanced
@@ -345,23 +357,35 @@ class _XdlakeStreamReader(DataSourceStreamReader):
             self._last = off
             return off
         lv, li = int(last["version"]), int(last.get("index", -1))
-        taken = 0
+        admitted, taken_bytes = 0, 0
         v, i = lv, li
-        for uv, n in _unit_counts(self.path, self.skip_change_commits,
-                                  lv, cur):
+        stop = False
+        for uv, sizes in _unit_sizes(self.path,
+                                     self.skip_change_commits,
+                                     lv, cur):
+            n = len(sizes)
             done = (n if li == -1 else li) if uv == lv else 0
-            avail = n - done
-            if avail <= 0:
+            if n - done <= 0:
                 if uv > v:
                     v, i = uv, n  # advance past empty/consumed commits
                 continue
-            room = (avail if self.max_files is None
-                    else min(avail, self.max_files - taken))
-            if room <= 0:
-                break
-            taken += room
-            v, i = uv, done + room
-            if self.max_files is not None and taken >= self.max_files:
+            pos = done
+            while pos < n:
+                # at least one file always admits (progress guarantee);
+                # past that, both caps gate further admission
+                if admitted > 0 and (
+                        (self.max_files is not None
+                         and admitted >= self.max_files)
+                        or (self.max_bytes is not None
+                            and taken_bytes >= self.max_bytes)):
+                    stop = True
+                    break
+                taken_bytes += sizes[pos]
+                admitted += 1
+                pos += 1
+            if pos > done:
+                v, i = uv, pos
+            if stop:
                 break
         if (v, i) == (lv, li):
             return self._last  # nothing new: same offset, no batch
@@ -494,24 +518,42 @@ class XdlakeDataSource(DataSource):
         return str(self.options.get("readChangeFeed", "false")
                    ).lower() == "true"
 
-    def _max_files(self) -> "int | None":
-        """Validated maxFilesPerTrigger — checked in ``schema()`` too
-        so a bad value fails at ``.load()`` instead of asynchronously
-        inside the stream."""
-        raw = self.options.get("maxFilesPerTrigger")
+    def _rate_limits(self) -> "tuple[int | None, int | None]":
+        """Validated maxFilesPerTrigger / maxBytesPerTrigger — checked
+        in ``schema()`` too so a bad value fails at ``.load()`` instead
+        of asynchronously inside the stream."""
+        out = []
+        for opt in ("maxFilesPerTrigger", "maxBytesPerTrigger"):
+            raw = self.options.get(opt)
+            if raw is None:
+                out.append(None)
+                continue
+            val = int(raw)
+            if val < 1:
+                raise ValueError(f"{opt} must be >= 1")
+            if self._cdf():
+                raise ValueError(
+                    f"{opt} is not supported with readChangeFeed "
+                    "(CDF batches are version-granular)")
+            out.append(val)
+        return out[0], out[1]
+
+    def _starting_version(self) -> "int | str | None":
+        """Validated startingVersion: a version number or 'latest'."""
+        raw = self.options.get("startingVersion")
         if raw is None:
             return None
-        max_files = int(raw)
-        if max_files < 1:
-            raise ValueError("maxFilesPerTrigger must be >= 1")
-        if self._cdf():
-            raise ValueError(
-                "maxFilesPerTrigger is not supported with "
-                "readChangeFeed (CDF batches are version-granular)")
-        return max_files
+        if str(raw).lower() == "latest":
+            return "latest"
+        sv = int(raw)
+        if sv < 0:
+            raise ValueError("startingVersion must be >= 0 or "
+                             "'latest'")
+        return sv
 
     def schema(self) -> StructType:
-        self._max_files()
+        self._rate_limits()
+        self._starting_version()
         from pyspark.sql.types import LongType, StringType, StructField
 
         from ..log import DeltaLog
@@ -546,10 +588,13 @@ class XdlakeDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         skip = str(self.options.get("skipChangeCommits", "false")
                    ).lower() == "true"
+        mf, mb = self._rate_limits()
         return _XdlakeStreamReader(self._path(),
                                    read_change_feed=self._cdf(),
                                    skip_change_commits=skip,
-                                   max_files=self._max_files())
+                                   max_files=mf, max_bytes=mb,
+                                   starting_version=
+                                   self._starting_version())
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> "DataSourceStreamWriter":
