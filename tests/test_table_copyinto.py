@@ -162,3 +162,21 @@ class TestAutoCompact:
         other_after = {u for u in t.file_uris() if "cats=S" not in u}
         assert other_before == other_after
         assert t.to_df().count() == 20 + 48
+
+
+class TestDistributedVacuum:
+    def test_distributed_path_deletes_everything(self, spark,
+                                                 tmp_path):
+        import glob
+        t = DeltaTable(spark, str(tmp_path / "t"))
+        t = t.write(spark.createDataFrame(gen_pdf(40)).repartition(8))
+        t = t.write(spark.createDataFrame(gen_pdf(10)).coalesce(1),
+                    mode="overwrite")   # tombstones the 8 files
+        doomed = t.vacuum(retention_hours=0, dry_run=True)
+        assert len(doomed) == 8
+        gone = t.vacuum(retention_hours=0, distributed_threshold=1)
+        assert sorted(gone) == sorted(doomed)
+        left = {p.split("/")[-1]
+                for p in glob.glob(f"{tmp_path}/t/*.parquet")}
+        assert not any(d.split("/")[-1] in left for d in doomed)
+        assert t.to_df().count() == 10  # live data intact

@@ -3370,9 +3370,17 @@ class DeltaTable:
                                     reads_table=False)
 
     def vacuum(self, retention_hours: float = 168.0,
-               dry_run: bool = False) -> list[str]:
+               dry_run: bool = False,
+               distributed_threshold: int = 64) -> list[str]:
         """Physically delete tombstoned files older than the retention
-        window. Returns deleted (or would-delete) relative paths."""
+        window. Returns deleted (or would-delete) relative paths.
+
+        Deletion is DISTRIBUTED once the doomed list passes
+        ``distributed_threshold`` (delta-spark's model): each executor
+        partition deletes its slice in parallel — a vacuum reclaiming
+        millions of files costs one Spark job instead of millions of
+        serial driver round-trips to the object store. Small lists
+        stay on the driver (no job overhead)."""
         from .log.dv import dv_relative_path
 
         # Delta's vacuumProtocolCheck feature pins exactly this: VACUUM
@@ -3409,10 +3417,26 @@ class DeltaTable:
                         candidates[rel] = rm.deletionTimestamp or 0
         doomed = sorted(p for p, ts in candidates.items() if ts <= horizon)
         if not dry_run:
-            for p in doomed:
-                loc = self.location.join(p)
-                if loc.exists():
-                    loc.delete()
+            if len(doomed) >= max(1, distributed_threshold):
+                base, opts = self.location.url, self.storage_options
+
+                def _rm(paths):
+                    from xdlake_spark.sources.storage import Location
+                    root = Location.resolve(base, opts)
+                    for p in paths:
+                        loc = root.join(p)
+                        if loc.exists():
+                            loc.delete()
+
+                n_slices = max(1, min(256, len(doomed) // 16 or 1))
+                (self.spark.sparkContext
+                 .parallelize(doomed, n_slices)
+                 .foreachPartition(_rm))
+            else:
+                for p in doomed:
+                    loc = self.location.join(p)
+                    if loc.exists():
+                        loc.delete()
         return doomed
 
     def merge(self, source: Any, condition: str,
