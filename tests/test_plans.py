@@ -310,3 +310,29 @@ class TestRound6PlanShapes:
         # stats groupBy — no extra repartitions snuck in
         assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, \
             plan
+
+
+class TestGraphPlans:
+    """Round-7 graph operators: no cartesian products, no Python in
+    the row path — everything hash-join + partial-agg shaped."""
+
+    def test_triangle_census_no_cartesian(self, spark):
+        plan = plan_of(spark, "graph_triangle_census")
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        # the 1-row stats x triangles join is a broadcast, not a CP
+        assert "BroadcastNestedLoopJoin" in plan \
+            or "BroadcastHashJoin" in plan
+
+    def test_rrf_fusion_is_pure_jvm(self, spark):
+        plan = plan_of(spark, "hybrid_rrf_ranking")
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan  # top-k never sorts all
+
+    def test_label_propagation_hash_joins_only(self, spark):
+        fn, _ = Q.REGISTRY["graph_label_propagation"]
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
