@@ -2955,3 +2955,31 @@ class TestNormalizeText:
 
     def test_null_passthrough(self, spark):
         assert self._norm(spark, [None, "x"]) == [None, "x"]
+
+
+class TestLshTune:
+    def test_inflection_tracks_threshold(self):
+        from xdlake_spark.operators.dedup import lsh_tune
+        for thr in (0.3, 0.5, 0.7, 0.9):
+            b, r, s50 = lsh_tune(thr, 128)
+            assert b * r == 128
+            assert abs(s50 - thr) < 0.15
+            # collision probability is high right of the threshold...
+            p_hi = 1 - (1 - min(0.999, thr + 0.2) ** r) ** b
+            assert p_hi > 0.75
+            # ...and low well left of it
+            p_lo = 1 - (1 - max(0.001, thr - 0.25) ** r) ** b
+            assert p_lo < 0.45
+
+    def test_known_textbook_point(self):
+        from xdlake_spark.operators.dedup import lsh_tune
+        b, r, s50 = lsh_tune(0.5, 32)
+        assert abs((1.0 / b) ** (1.0 / r) - s50) < 1e-6
+
+    def test_bad_inputs(self):
+        import pytest
+        from xdlake_spark.operators.dedup import lsh_tune
+        with pytest.raises(ValueError):
+            lsh_tune(1.5)
+        with pytest.raises(ValueError):
+            lsh_tune(0.5, 1)

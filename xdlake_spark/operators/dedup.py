@@ -1179,3 +1179,43 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
                                       int(max_distance)))
             .filter(F.col("distance") >= 0)
             .select("id_a", "id_b", "distance"))
+
+
+def lsh_tune(threshold: float, num_hashes: int = 128
+             ) -> "tuple[int, int, float]":
+    """Pick ``(bands, rows_per_band, s50)`` for a MinHash-LSH index
+    from a target Jaccard ``threshold`` (the standard S-curve fit,
+    Leskovec/Rajaraman/Ullman ch. 3): a pair of similarity ``s``
+    collides in at least one band with probability
+    ``1 - (1 - s^r)^b``, whose inflection sits near ``(1/b)^(1/r)``.
+    Among the divisor pairs ``b * r == num_hashes``, choose the one
+    whose inflection point lands closest to the target (ties break to
+    at-or-below it: a verify step restores precision, nothing restores
+    pairs the index never generated), so candidates are dense right of
+    the threshold and sparse left of it. Returns the chosen bands, rows, and the
+    actual inflection similarity ``s50``.
+
+    Pure driver-side math: feed the result straight into
+    ``minhash_lsh_pairs(num_hashes=..., bands=...)``. At 100 TB the
+    tuning IS the scale knob — too many bands floods the bucket join
+    with low-similarity candidates, too few misses true pairs and no
+    verify step can recover them.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        s50 = (1.0 / b) ** (1.0 / r)
+        # closest inflection wins; ties break to at-or-below the
+        # target (recall first — a verify step restores precision,
+        # nothing restores pairs the index never generated)
+        key = (abs(threshold - s50), 0 if s50 <= threshold else 1)
+        if best is None or key < best[0]:
+            best = (key, b, r, s50)
+    _, b, r, s50 = best
+    return b, r, round(s50, 6)
