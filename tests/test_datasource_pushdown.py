@@ -93,3 +93,25 @@ class TestPushdownE2E:
         got = (registered.read.format("xdlake").load(table)
                .filter("l_quantity > 1e9").count())
         assert got == 0
+
+
+class TestNullPushdown:
+    def test_isnotnull_prunes_all_null_files(self, registered,
+                                             tmp_path):
+        t = DeltaTable(registered, str(tmp_path / "t"))
+        t = t.write(registered.createDataFrame(
+            [(1, None), (2, None)], "k long, v string").coalesce(1))
+        t = t.write(registered.createDataFrame(
+            [(3, "x")], "k long, v string").coalesce(1), mode="append")
+        from pyspark.sql.datasource import IsNotNull, IsNull
+        from xdlake_spark.sources.datasource import _XdlakeBatchReader
+        r = _XdlakeBatchReader(str(tmp_path / "t"))
+        r.pushFilters([IsNotNull(("v",))])
+        assert len(r.partitions()) == 1   # the all-null file pruned
+        r2 = _XdlakeBatchReader(str(tmp_path / "t"))
+        r2.pushFilters([IsNull(("v",))])
+        assert len(r2.partitions()) == 1  # the no-null file pruned
+        # e2e exactness
+        df = registered.read.format("xdlake").load(str(tmp_path / "t"))
+        assert df.filter("v IS NOT NULL").count() == 1
+        assert df.filter("v IS NULL").count() == 2

@@ -95,7 +95,8 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
 
 def pagerank(edges: DataFrame, iterations: int = 4,
              damping: float = 0.85,
-             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+             src_col: str = "src", dst_col: str = "dst",
+             personalize: "list | None" = None) -> DataFrame:
     """Fixed-iteration PageRank with dangling-mass redistribution —
     authority weighting over an interaction graph (the signal behind
     harmonic-centrality-style corpus quality weights).
@@ -121,6 +122,15 @@ def pagerank(edges: DataFrame, iterations: int = 4,
     BOTH ENGINES so cross-partition float-sum drift can't compound
     across rounds (same posture as ``snapped_avg``).
 
+    ``personalize``: a seed node list turns this into PERSONALIZED
+    PageRank (topic-sensitive, Haveliwala 2002): restart mass — and
+    dangling mass — flows to the seeds (1/|seeds| each) instead of
+    uniformly, ranking nodes by proximity to the seed set. Ranks
+    initialize from the same restart vector. The seed list is a
+    driver-side literal (a topic seed set, inherently small); for
+    seed sets beyond a few thousand pass a DataFrame-based variant
+    instead of a literal IN.
+
     Output: (node, rank) over all nodes (sources + sinks), rank
     rounded to 6.
     """
@@ -145,7 +155,13 @@ def pagerank(edges: DataFrame, iterations: int = 4,
              .select("node", "deg")
              .localCheckpoint(eager=False))
     n_nodes = float(nodes.count())  # scalar; |V| is a metadata-scale count
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    if personalize:
+        seeds = sorted(set(personalize))
+        restart = F.when(F.col("node").isin(seeds),
+                         F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
+    else:
+        restart = F.lit(1.0 / n_nodes)
+    ranks = nodes.withColumn("rank", restart)
     for _ in range(iterations):
         # one join + one agg: e RIGHT JOIN ranks keeps dangling nodes
         # as null-dst rows, whose rank sums into the null group —
@@ -166,17 +182,23 @@ def pagerank(edges: DataFrame, iterations: int = 4,
                .agg(F.coalesce(F.sum("__in"), F.lit(0.0))
                     .alias("__dang")).first())
         dang_val = float(row["__dang"])
+        if personalize:
+            new_rank = (F.lit(1.0 - damping) * restart
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("__in"), F.lit(0.0))
+                           + F.lit(dang_val) * restart))
+        else:
+            # keep the exact literal shapes of the uniform formula —
+            # the unrolled-SQL oracle reproduces these floats
+            new_rank = (F.lit((1.0 - damping) / n_nodes)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("__in"), F.lit(0.0))
+                           + F.lit(dang_val / n_nodes)))
         ranks = (nodes
                  .join(flow.filter(F.col("dst").isNotNull()),
                        nodes.node == F.col("dst"), "left")
-                 .select(
-                     "node", "deg",
-                     F.round(
-                         F.lit((1.0 - damping) / n_nodes)
-                         + F.lit(damping)
-                         * (F.coalesce(F.col("__in"), F.lit(0.0))
-                            + F.lit(dang_val / n_nodes)),
-                         12).alias("rank")))
+                 .select("node", "deg",
+                         F.round(new_rank, 12).alias("rank")))
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 

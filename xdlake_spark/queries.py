@@ -4285,6 +4285,71 @@ def pagerank_q(spark, sf_dir):
     return retrieval.pagerank(edges, iterations=4, damping=0.85)
 
 
+def _ppr_iter_sql(prev: str, this: str) -> str:
+    """One unrolled PERSONALIZED PageRank round (mirrors
+    operators/retrieval.py pagerank(personalize=...): restart AND
+    dangling mass flow to the seed distribution p)."""
+    return f"""{this} AS (
+  SELECT nodes.node,
+         round((1.0::DOUBLE - 0.85::DOUBLE) * pv.p
+               + 0.85::DOUBLE * (coalesce(c.i, 0.0)
+                                 + dang.d * pv.p), 12) AS rank
+  FROM nodes JOIN pv ON pv.node = nodes.node
+  CROSS JOIN (SELECT coalesce(sum(r.rank), 0.0::DOUBLE) AS d
+              FROM {prev} r LEFT JOIN deg ON deg.src = r.node
+              WHERE deg.src IS NULL) dang
+  LEFT JOIN (SELECT e.dst AS node, sum(r.rank / deg.deg) AS i
+             FROM e JOIN {prev} r ON r.node = e.src
+                    JOIN deg ON deg.src = e.src
+             GROUP BY e.dst) c ON c.node = nodes.node
+)"""
+
+
+@register("pagerank_personalized", f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey + 10000000 AS src,
+                  l_suppkey + 20000000 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), e AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), deg AS (
+  SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e UNION SELECT dst FROM e
+), pv AS (
+  SELECT node, CASE WHEN node IN (10000001, 10000002)
+                    THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END AS p
+  FROM nodes
+), r0 AS (
+  SELECT node, p AS rank FROM pv
+), {_ppr_iter_sql('r0', 'r1')},
+{_ppr_iter_sql('r1', 'r2')},
+{_ppr_iter_sql('r2', 'r3')}
+SELECT node, round(rank, 6) AS rank FROM r3
+WHERE round(rank, 6) > 0
+""")
+def pagerank_personalized_q(spark, sf_dir):
+    """Personalized (topic-sensitive) PageRank, Haveliwala 2002:
+    restart and dangling mass flow to the seed customers instead of
+    uniformly, so rank measures proximity to the seed set — the
+    'pages like these' / seed-expansion signal for corpus curation
+    (operators/retrieval.py pagerank(personalize=...)) vs 3 identical
+    rounds unrolled in SQL. Zero-rank nodes (unreachable in 3 hops)
+    are filtered on the ROUNDED value in both engines."""
+    from .operators import retrieval
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = (o.join(li, o.o_orderkey == li.l_orderkey)
+           .select((F.col("o_custkey") + 10000000).alias("src"),
+                   (F.col("l_suppkey") + 20000000).alias("dst"))
+           .distinct())
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    pr = retrieval.pagerank(edges, iterations=3,
+                            personalize=[10000001, 10000002])
+    return pr.filter(F.col("rank") > 0)
+
+
 @register("token_budget_selection", r"""
 WITH toks AS (
   SELECT doc_id,

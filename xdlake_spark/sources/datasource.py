@@ -456,6 +456,8 @@ class _XdlakeBatchReader(DataSourceReader):
                 node = InList(col, list(f.value))
             if node is None and type(f) is DS.IsNull:
                 node = SkipIsNull(col)
+            if node is None and type(f) is DS.IsNotNull:
+                node = SkipIsNull(col, negated=True)
             if node is not None:
                 self._nodes.append(node)
                 if not isinstance(node, SkipIsNull):
