@@ -126,6 +126,9 @@ HEADLINE = [
     "delta_delete_partition",
     "graph_triangle_census",
     "graph_bfs_hops",
+    "pagerank_personalized",
+    "text_normalize_dedup",
+    "dedup_quality_keepers",
 ]
 
 
