@@ -124,3 +124,44 @@ class TestScanPruning:
         df = t.to_df_with_row_ids(where=where)
         assert len(df.inputFiles()) < len(t.to_df().inputFiles())
         assert df.count() == t.to_df().filter(where).count()
+
+
+class TestMutationPruning:
+    def test_delete_on_raw_ts_prunes_generated_partitions(
+            self, spark, tmp_table_dir):
+        ev = (spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet")
+            .withColumn("d", F.to_date("ts")))
+        t = DeltaTable(spark, tmp_table_dir).write(ev,
+                                                   partition_by=["d"])
+        _graft_generation(tmp_table_dir, "d", "CAST(ts AS DATE)")
+        t = DeltaTable(spark, tmp_table_dir)
+        n_before_files = len(t.adds)
+        where = "ts < TIMESTAMP '2024-01-02 00:00:00'"
+        want_kept = t.to_df().filter(
+            "NOT (ts < TIMESTAMP '2024-01-02 00:00:00')").count()
+        t2 = t.delete(where)
+        assert t2.to_df().count() == want_kept
+        # only files of the covered date partitions were touched
+        removed = set(t.adds) - set(t2.adds)
+        assert removed
+        assert all("d=2024-01-01" in p for p in removed)
+        assert len(t2.adds) >= n_before_files - len(removed)
+
+    def test_update_on_raw_ts_prunes_generated_partitions(
+            self, spark, tmp_path):
+        ev = (spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet")
+            .withColumn("d", F.to_date("ts")))
+        loc = str(tmp_path / "t")
+        t = DeltaTable(spark, loc).write(ev, partition_by=["d"])
+        _graft_generation(loc, "d", "CAST(ts AS DATE)")
+        t = DeltaTable(spark, loc)
+        t2 = t.update({"value": "value + 1000"},
+                      "ts < TIMESTAMP '2024-01-02 00:00:00'")
+        removed = set(t.adds) - set(t2.adds)
+        assert removed and all("d=2024-01-01" in p for p in removed)
+        got = t2.to_df().filter(
+            "ts < TIMESTAMP '2024-01-02 00:00:00'") \
+            .agg(F.min("value")).collect()[0][0]
+        assert got >= 1000

@@ -2275,8 +2275,8 @@ class DeltaTable:
         pred = F.expr(where) if isinstance(where, str) else where
         pred = F.coalesce(pred, F.lit(False))  # null predicate keeps the row
 
-        candidates = prune_manifest(self.adds, where_sql,
-                                    self.partition_columns)
+        candidates = self._pruned_adds(where_sql) \
+            if where_sql else dict(self.adds)
         if not candidates:
             entry = delete_table_entry(
                 [], [], where_sql or "<expr>", read_version,
@@ -2656,8 +2656,7 @@ class DeltaTable:
             pred = F.expr(where) if isinstance(where, str) else where
             pred = F.coalesce(pred, F.lit(False))  # null pred skips row
 
-        candidates = (prune_manifest(self.adds, where_sql,
-                                     self.partition_columns)
+        candidates = (self._pruned_adds(where_sql)
                       if where_sql else self.adds)
         if mode not in ("auto", "copy-on-write", "merge-on-read"):
             raise ValueError(f"unknown update mode {mode!r}")
