@@ -1647,6 +1647,21 @@ def events_type_tdigest_q(spark, sf_dir):
 # express (no aggregation over the recursive term); exactness vs the
 # classic sequential algorithm is differential-tested in
 # tests/test_operators.py::TestBpe instead.
+# rows-only: WordPiece training is iterative with per-round float
+# likelihood scoring — not SQL-expressible; the differential gate vs
+# the pure-Python reference lives in tests/test_wordpiece.py.
+@register("wordpiece_train_merges", None)
+def wordpiece_train_q(spark, sf_dir):
+    """Distributed WordPiece trainer (operators/wordpiece.py, the BERT
+    tokenizer family): 20 likelihood-scored merges
+    (count(ab)/(count(a)*count(b))) over the distinct-word table with
+    ##-prefixed continuations — exact-match differential-tested
+    against the sequential reference algorithm."""
+    from .operators import wordpiece
+    d = _t(spark, sf_dir, "documents")
+    return wordpiece.train_wordpiece(d, n_merges=20)
+
+
 @register("bpe_train_merges", None)
 def bpe_train_q(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/bpe.py): 40
