@@ -1692,6 +1692,32 @@ def bpe_tokenize_q(spark, sf_dir):
             .orderBy("lang"))
 
 
+# rows-only: WordPiece inference is greedy longest-match against the
+# trained vocab (itself iterative) — per-word Python in an Arrow UDF.
+@register("wordpiece_tokenize_stats", None)
+def wordpiece_tokenize_q(spark, sf_dir):
+    """Train a small WordPiece vocab, tokenize the corpus with greedy
+    longest-match, and report per-language token stats — the BERT-
+    tokenizer end-to-end pipeline (operators/wordpiece.py)."""
+    import string
+
+    from .operators import wordpiece
+    d = _t(spark, sf_dir, "documents")
+    merges = wordpiece.train_wordpiece(d, n_merges=24)
+    alpha = set(string.ascii_lowercase + string.digits
+                + string.punctuation)
+    vocab = wordpiece.wordpiece_vocab(
+        merges, alpha | {"##" + c for c in alpha})
+    toks = wordpiece.apply_wordpiece(d, vocab)
+    return (toks.join(d.select(F.col("doc_id").alias("id"), "lang"),
+                      "id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.round(F.avg("n_tokens"), 4).alias("avg_tokens"))
+            .orderBy("lang"))
+
+
 # rows-only: unigram-LM tokenizer training is an iterative EM loop
 # (distributed E-step, driver-side M-step/prune over the vocab-sized
 # count vector) that SQL can't express; exactness vs the sequential
