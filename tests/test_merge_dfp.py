@@ -111,3 +111,47 @@ class TestMergeDfp:
                      when_not_matched_insert={"k": "s.k", "v": "s.v"})
         # null key matches nothing -> inserted as a new row
         assert t2.to_df().count() == 101
+
+
+class TestNaNKeys:
+    def test_nan_source_key_disables_pruning_not_correctness(
+            self, spark, tmp_table_dir, spy_scan):
+        """ADVICE r7: F.max over a float key containing NaN returns
+        NaN, and every stats comparison against NaN is False — naive
+        DFP would prune ALL target files, skip the matched update and
+        re-insert duplicates. NaN bounds must disable pruning."""
+        import math
+        t = DeltaTable(spark, tmp_table_dir)
+        for lo in range(0, 100, 25):
+            df = spark.createDataFrame(
+                [(float(k), f"v{k}") for k in range(lo, lo + 25)],
+                "k double, v string")
+            t = t.write(df.coalesce(1), mode="append")
+        src = spark.createDataFrame(
+            [(float("nan"), "NANROW"), (30.0, "UPD")],
+            "k double, v string")
+        spy_scan.clear()
+        t2 = t.merge(src, "t.k = s.k",
+                     when_matched_update={"v": "s.v"},
+                     when_not_matched_insert={"k": "s.k", "v": "s.v"})
+        got = {r.k: r.v for r in t2.to_df().collect()}
+        assert got[30.0] == "UPD"
+        assert any(math.isnan(k) for k in got)  # NaN row inserted once
+        assert t2.to_df().count() == 101
+        assert t2.to_df().filter("v = 'UPD'").count() == 1
+
+    def test_clean_float_keys_still_prune(self, spark, tmp_table_dir,
+                                          spy_scan):
+        t = DeltaTable(spark, tmp_table_dir)
+        for lo in range(0, 100, 25):
+            df = spark.createDataFrame(
+                [(float(k), f"v{k}") for k in range(lo, lo + 25)],
+                "k double, v string")
+            t = t.write(df.coalesce(1), mode="append")
+        src = spark.createDataFrame([(30.0, "UPD")],
+                                    "k double, v string")
+        spy_scan.clear()
+        t2 = t.merge(src, "t.k = s.k",
+                     when_matched_update={"v": "s.v"})
+        assert any(n == 1 for n in spy_scan)  # pruned to one file
+        assert t2.to_df().filter("v = 'UPD'").count() == 1

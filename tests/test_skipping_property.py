@@ -303,7 +303,8 @@ def test_certain_match_means_every_row_matches(files, pred):
             stats=_stats([{"a": None, "b": r["b"]} for r in rows]),
             partitionValues={
                 "a": None if const_a is None else str(const_a)})
-    certain, rest = split_certain_matches(adds, sql, ["a"])
+    certain, rest = split_certain_matches(adds, sql, ["a"],
+                                          {"a": "bigint"})
     assert set(certain) | set(rest) == set(adds)
     assert not (set(certain) & set(rest))
     for i, rows in enumerate(parts):
@@ -331,7 +332,8 @@ def test_certain_plus_prune_partition_exactness(files, pred):
             stats=_stats([{"a": None, "b": r["b"]} for r in rows]),
             partitionValues={
                 "a": None if const_a is None else str(const_a)})
-    certain, rest = split_certain_matches(adds, sql, ["a"])
+    certain, rest = split_certain_matches(adds, sql, ["a"],
+                                          {"a": "bigint"})
     for i, rows in enumerate(parts):
         name = f"f{i}.parquet"
         if any(ev(r) is True for r in rows) and name not in certain:

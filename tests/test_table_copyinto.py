@@ -113,6 +113,25 @@ class TestCopyIntoCheckpoint:
         assert t3.to_df().count() == 30
 
 
+    def test_creating_commit_declares_domain_feature(
+            self, spark, tmp_table_dir, srcdir):
+        """ADVICE r7: COPY INTO creating a table must carry the
+        domainMetadata writer feature ON the v0 protocol — a
+        domainMetadata action under plain (1,2) violates the spec."""
+        t = DeltaTable(spark, tmp_table_dir).copy_into(str(srcdir))
+        proto = t.log.protocol()
+        assert proto.minWriterVersion == 7
+        assert "domainMetadata" in \
+            (proto.extra or {}).get("writerFeatures", [])
+        # exactly ONE protocol action in the creating commit
+        log_file = f"{tmp_table_dir}/_delta_log/{0:020d}.json"
+        protos = [json.loads(l) for l in open(log_file)
+                  if "protocol" in json.loads(l)]
+        assert len(protos) == 1
+        # and the domain survived alongside it
+        assert t.log.domain_metadata(DeltaTable.COPY_INTO_DOMAIN)
+
+
 class TestAutoCompact:
     def _seed(self, spark, path, partition_by=None, props=None):
         t = DeltaTable(spark, path).write(
@@ -180,3 +199,35 @@ class TestDistributedVacuum:
                 for p in glob.glob(f"{tmp_path}/t/*.parquet")}
         assert not any(d.split("/")[-1] in left for d in doomed)
         assert t.to_df().count() == 10  # live data intact
+
+
+class TestAutoCompactNullPartition:
+    def test_null_partition_compacts_only_itself(self, spark,
+                                                 tmp_path):
+        """ADVICE r7: a null partition value must NOT widen
+        auto-compact to the whole table — it gets an IS NULL disjunct
+        and other partitions keep their files."""
+        pdf = gen_pdf(20)
+        t = DeltaTable(spark, str(tmp_path / "t")).write(
+            spark.createDataFrame(pdf), partition_by=["cats"])
+        t = t.set_properties({
+            "delta.autoOptimize.autoCompact": "true",
+            "xdlake.autoCompact.minNumFiles": "4"})
+        other_before = {u for u in t.file_uris()
+                        if "__HIVE_DEFAULT_PARTITION__" not in u}
+        for _ in range(4):
+            frag = gen_pdf(12)
+            frag["cats"] = None      # fragment ONLY the null partition
+            t = t.write(
+                spark.createDataFrame(frag, schema=t.schema)
+                .coalesce(1), mode="append")
+        ops = [h["operation"] for h in t.history()]
+        assert "OPTIMIZE" in ops
+        null_files = [u for u in t.file_uris()
+                      if "__HIVE_DEFAULT_PARTITION__" in u]
+        assert len(null_files) <= 3
+        other_after = {u for u in t.file_uris()
+                       if "__HIVE_DEFAULT_PARTITION__" not in u}
+        assert other_before == other_after   # history untouched
+        assert t.to_df().count() == 20 + 48
+        assert t.to_df().filter("cats IS NULL").count() == 48

@@ -103,3 +103,41 @@ class TestWidenColumn:
         t2 = DeltaTable(spark, tmp_table_dir)
         with pytest.raises(NotImplementedError, match="widened"):
             t2.to_df().count()
+
+
+    def test_foreign_nested_unreadable_widening_refused(
+            self, spark, tmp_table_dir):
+        """ADVICE r7: delta.typeChanges recorded on a NESTED field
+        (spec: carries a fieldPath) must also be checked — an
+        unsupported nested widening passing the reader gate would
+        misread instead of refusing."""
+        df = spark.sql(
+            "SELECT id, named_struct('d', DATE'2024-01-01') AS s "
+            "FROM range(5)")
+        DeltaTable(spark, tmp_table_dir).write(df)
+        log_file = f"{tmp_table_dir}/_delta_log/{0:020d}.json"
+        lines = []
+        for line in open(log_file):
+            obj = json.loads(line)
+            if "protocol" in obj:
+                obj["protocol"] = {
+                    "minReaderVersion": 3, "minWriterVersion": 7,
+                    "readerFeatures": ["typeWidening"],
+                    "writerFeatures": ["typeWidening"]}
+            if "metaData" in obj:
+                sch = json.loads(obj["metaData"]["schemaString"])
+                for f_ in sch["fields"]:
+                    if f_["name"] == "s":
+                        for inner in f_["type"]["fields"]:
+                            if inner["name"] == "d":
+                                inner["metadata"] = {
+                                    "delta.typeChanges": [
+                                        {"fromType": "date",
+                                         "toType": "timestamp_ntz",
+                                         "fieldPath": "s.d"}]}
+                obj["metaData"]["schemaString"] = json.dumps(sch)
+            lines.append(json.dumps(obj))
+        open(log_file, "w").write("\n".join(lines) + "\n")
+        t2 = DeltaTable(spark, tmp_table_dir)
+        with pytest.raises(NotImplementedError, match="s.d"):
+            t2.to_df().count()

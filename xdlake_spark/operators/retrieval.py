@@ -96,7 +96,8 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
 def pagerank(edges: DataFrame, iterations: int = 4,
              damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
-             personalize: "list | None" = None) -> DataFrame:
+             personalize: "list | DataFrame | None" = None,
+             tol: "float | None" = None) -> DataFrame:
     """Fixed-iteration PageRank with dangling-mass redistribution —
     authority weighting over an interaction graph (the signal behind
     harmonic-centrality-style corpus quality weights).
@@ -122,14 +123,23 @@ def pagerank(edges: DataFrame, iterations: int = 4,
     BOTH ENGINES so cross-partition float-sum drift can't compound
     across rounds (same posture as ``snapped_avg``).
 
-    ``personalize``: a seed node list turns this into PERSONALIZED
-    PageRank (topic-sensitive, Haveliwala 2002): restart mass — and
-    dangling mass — flows to the seeds (1/|seeds| each) instead of
-    uniformly, ranking nodes by proximity to the seed set. Ranks
-    initialize from the same restart vector. The seed list is a
-    driver-side literal (a topic seed set, inherently small); for
-    seed sets beyond a few thousand pass a DataFrame-based variant
-    instead of a literal IN.
+    ``personalize``: a seed set turns this into PERSONALIZED PageRank
+    (topic-sensitive, Haveliwala 2002): restart mass — and dangling
+    mass — flows to the seeds instead of uniformly, ranking nodes by
+    proximity to the seed set. Ranks initialize from the same restart
+    vector. Accepts either a LIST of node ids (driver-side literal —
+    fine for topic seed sets up to a few thousand; each seed gets
+    1/|seeds|) or a DATAFRAME whose first column is the node id with
+    an optional ``weight`` column (normalized to sum 1; uniform when
+    absent). The DataFrame form is the 100 TB path: the restart
+    vector is JOINED onto the static node table once — million-seed
+    restart sets never pass through the driver or the plan text.
+
+    ``tol``: when set, iteration stops early once the L1 delta
+    ``sum(|r_{i+1} - r_i|)`` falls below it (``iterations`` becomes
+    the max). The delta rides the round's eager checkpoint: one extra
+    1-row aggregation per round, no extra shuffle of the rank table.
+    Leave None (fixed rounds) for oracle-comparable runs.
 
     Output: (node, rank) over all nodes (sources + sinks), rank
     rounded to 6.
@@ -155,7 +165,38 @@ def pagerank(edges: DataFrame, iterations: int = 4,
              .select("node", "deg")
              .localCheckpoint(eager=False))
     n_nodes = float(nodes.count())  # scalar; |V| is a metadata-scale count
-    if personalize:
+    personalized = personalize is not None and (
+        not isinstance(personalize, (list, tuple, set, frozenset))
+        or len(personalize) > 0)
+    if personalized and isinstance(personalize, DataFrame):
+        # DataFrame restart vector: normalize weights distributedly
+        # and JOIN onto the static node table — no driver literals,
+        # so seed sets scale with the cluster, not the plan size
+        sdf = personalize
+        ncol = sdf.columns[0]
+        w = sdf.select(
+            F.col(ncol).alias("node"),
+            (F.col("weight").cast("double")
+             if "weight" in sdf.columns[1:] else F.lit(1.0))
+            .alias("__rw"))
+        # seeds absent from the graph are dropped BEFORE normalizing,
+        # so restart mass still sums to 1 (the literal-list path
+        # divides by |seeds| regardless — callers there control
+        # membership)
+        w = (w.join(nodes.select("node"), "node", "left_semi")
+             .groupBy("node").agg(F.sum("__rw").alias("__rw")))
+        tot = float(w.agg(F.sum("__rw")).first()[0] or 0.0)
+        if tot <= 0.0:
+            raise ValueError("personalize weights must sum > 0")
+        w = w.select("node",
+                     (F.col("__rw") / F.lit(tot)).alias("__rw"))
+        nodes = (nodes.join(w, "node", "left")
+                 .select("node", "deg",
+                         F.coalesce(F.col("__rw"), F.lit(0.0))
+                         .alias("__rw"))
+                 .localCheckpoint(eager=False))
+        restart = F.col("__rw")
+    elif personalized:
         seeds = sorted(set(personalize))
         restart = F.when(F.col("node").isin(seeds),
                          F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
@@ -182,7 +223,7 @@ def pagerank(edges: DataFrame, iterations: int = 4,
                .agg(F.coalesce(F.sum("__in"), F.lit(0.0))
                     .alias("__dang")).first())
         dang_val = float(row["__dang"])
-        if personalize:
+        if personalized:
             new_rank = (F.lit(1.0 - damping) * restart
                         + F.lit(damping)
                         * (F.coalesce(F.col("__in"), F.lit(0.0))
@@ -194,11 +235,30 @@ def pagerank(edges: DataFrame, iterations: int = 4,
                         + F.lit(damping)
                         * (F.coalesce(F.col("__in"), F.lit(0.0))
                            + F.lit(dang_val / n_nodes)))
-        ranks = (nodes
-                 .join(flow.filter(F.col("dst").isNotNull()),
-                       nodes.node == F.col("dst"), "left")
-                 .select("node", "deg",
-                         F.round(new_rank, 12).alias("rank")))
+        new_ranks = (nodes
+                     .join(flow.filter(F.col("dst").isNotNull()),
+                           nodes.node == F.col("dst"), "left")
+                     .select("node", "deg",
+                             F.round(new_rank, 12).alias("rank")))
+        if tol is not None:
+            # convergence screen: checkpoint the round (bounds lineage
+            # exactly like the flow checkpoint) and take the L1 delta
+            # vs the previous round — a 1-row driver scalar
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            delta = (new_ranks.select("node",
+                                      F.col("rank").alias("__nr"))
+                     .join(ranks.select("node",
+                                        F.col("rank").alias("__or")),
+                           "node")
+                     .agg(F.coalesce(
+                         F.sum(F.abs(F.col("__nr") - F.col("__or"))),
+                         F.lit(0.0)))
+                     .first()[0])
+            ranks = new_ranks
+            if float(delta) < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 

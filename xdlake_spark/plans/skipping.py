@@ -19,6 +19,7 @@ Pruning is *sound*: any construct the parser doesn't understand degrades to
 from __future__ import annotations
 
 import datetime
+import decimal
 import re
 from dataclasses import dataclass
 from typing import Any, Optional
@@ -283,6 +284,136 @@ def _coerce_pair(a: Any, b: Any):
     return None
 
 
+_INT_TYPES = frozenset(
+    {"byte", "tinyint", "short", "smallint", "int", "integer",
+     "long", "bigint"})
+_FLOAT_TYPES = frozenset({"float", "real", "double"})
+
+
+def _type_kind(tname: "str | None") -> "str | None":
+    """Map a Spark/Delta type name (``simpleString`` shape) onto the
+    comparison kind the typed partition evaluator understands."""
+    if not tname:
+        return None
+    t = tname.strip().lower()
+    if t in _INT_TYPES:
+        return "int"
+    if t in _FLOAT_TYPES:
+        return "float"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t == "string" or t.startswith(("varchar", "char")):
+        return "string"
+    if t == "boolean":
+        return "bool"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    return None
+
+
+def _typed_pair(raw: str, lit: Any, kind: str):
+    """Coerce a partition-value string and a predicate literal to ONE
+    comparable pair under Spark's binary-comparison coercion for a
+    column of ``kind``, or None when the combination is not exactly
+    decidable (then callers must refuse — for the metadata-only DELETE
+    path a wrong answer here permanently deletes rows).
+
+    Mirrors Spark's PromoteStrings/findCommonType: string-vs-numeric
+    compares as DOUBLE, date-vs-timestamp promotes the date side to
+    midnight, int-vs-int stays exact (no float folding past 2^53)."""
+    try:
+        if kind == "int":
+            if isinstance(lit, bool):
+                return None
+            if isinstance(lit, int):
+                return (int(raw), lit)  # exact, incl. past 2^53
+            if isinstance(lit, float):
+                return (float(raw), lit)
+            if isinstance(lit, str):
+                return (float(raw), float(lit))
+            return None
+        if kind == "float":
+            if isinstance(lit, bool):
+                return None
+            if isinstance(lit, (int, float, str)):
+                return (float(raw), float(lit))
+            return None
+        if kind == "decimal":
+            if isinstance(lit, bool):
+                return None
+            if isinstance(lit, int):
+                return (decimal.Decimal(raw), decimal.Decimal(lit))
+            if isinstance(lit, (float, str)):
+                return (float(raw), float(lit))
+            return None
+        if kind == "bool":
+            v = raw.strip().lower()
+            if v not in ("true", "false"):
+                return None
+            if isinstance(lit, bool):
+                return (v == "true", lit)
+            if isinstance(lit, str) and lit.strip().lower() in (
+                    "true", "false"):
+                return (v == "true", lit.strip().lower() == "true")
+            return None
+        if kind == "date":
+            d = datetime.date.fromisoformat(raw)
+            if isinstance(lit, datetime.datetime):
+                lv = lit.replace(tzinfo=None) if lit.tzinfo else lit
+                return (datetime.datetime(d.year, d.month, d.day), lv)
+            if type(lit) is datetime.date:
+                return (d, lit)
+            if isinstance(lit, str):
+                s = lit.strip()
+                if len(s) > 10:  # cast(string AS date) truncates
+                    ld = datetime.datetime.fromisoformat(
+                        s.replace("Z", "+00:00")).date()
+                else:
+                    ld = datetime.date.fromisoformat(s)
+                return (d, ld)
+            return None
+        if kind == "timestamp":
+            v = datetime.datetime.fromisoformat(
+                raw.replace("Z", "+00:00"))
+            if isinstance(lit, datetime.datetime):
+                lv = lit
+            elif type(lit) is datetime.date:
+                lv = datetime.datetime(lit.year, lit.month, lit.day)
+            elif isinstance(lit, str):
+                lv = datetime.datetime.fromisoformat(
+                    lit.strip().replace("Z", "+00:00"))
+            else:
+                return None
+            if (v.tzinfo is None) != (lv.tzinfo is None):
+                v, lv = v.replace(tzinfo=None), lv.replace(tzinfo=None)
+            return (v, lv)
+        if kind == "string":
+            if isinstance(lit, bool):
+                v = raw.strip().lower()
+                if v not in ("true", "false"):
+                    return None
+                return (v == "true", lit)
+            if isinstance(lit, (int, float)):
+                return (float(raw), float(lit))
+            if isinstance(lit, datetime.datetime):
+                v = datetime.datetime.fromisoformat(
+                    raw.replace("Z", "+00:00"))
+                if (v.tzinfo is None) != (lit.tzinfo is None):
+                    v, lit = (v.replace(tzinfo=None),
+                              lit.replace(tzinfo=None))
+                return (v, lit)
+            if type(lit) is datetime.date:
+                return (datetime.date.fromisoformat(raw), lit)
+            if isinstance(lit, str):
+                return (raw, lit)
+            return None
+    except (ValueError, ArithmeticError, decimal.InvalidOperation):
+        return None
+    return None
+
+
 class FileStats:
     """One file's skipping inputs, from its Add action."""
 
@@ -290,11 +421,17 @@ class FileStats:
     #: write store JSON null, but foreign logs may carry the sentinel.
     _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
-    def __init__(self, add, partition_columns: list[str]):
+    def __init__(self, add, partition_columns: list[str],
+                 partition_types: "dict[str, str] | None" = None):
         self.partition_values = {
             k: (None if v == self._HIVE_NULL else v)
             for k, v in (add.partitionValues or {}).items()}
         self.partition_columns = set(partition_columns)
+        #: column -> Spark type name (simpleString); drives the exact,
+        #: schema-aware literal coercion (ADVICE r7: a string literal
+        #: vs a numeric partition column must NOT compare
+        #: lexicographically)
+        self.partition_types = partition_types or {}
         s = add.stats_dict or {}
         self.num_records = s.get("numRecords")
         self.min_values = s.get("minValues") or {}
@@ -326,13 +463,36 @@ def _eval_comparison(node: Comparison, fs: FileStats) -> Optional[bool]:
     if node.column in fs.partition_columns \
             and node.column in fs.partition_values and lo is None:
         return False
-    # partition values are strings: coerce against the literal's type
+    # partition values are strings: coerce against the COLUMN's type
+    # when the schema is known (exact, Spark-faithful), else fall back
+    # to a literal-type heuristic restricted to the unambiguous cases
     if node.column in fs.partition_columns and lo is not None:
+        kind = _type_kind(fs.partition_types.get(node.column))
+        if kind is not None:
+            pair = _typed_pair(lo, node.value, kind)
+            if pair is None:
+                return None
+            v, lit = pair
+            return {
+                "=": v == lit, "!=": v != lit, "<": v < lit,
+                "<=": v <= lit, ">": v > lit, ">=": v >= lit,
+            }[node.op]
         lit = node.value
+        # No schema + string literal: the column might be numeric, and
+        # lexicographic order diverges from numeric order ('99' > '100')
+        # — refuse ordering; equality comparisons of the raw strings
+        # remain the documented heuristic for schema-less callers.
+        if isinstance(lit, str) and node.op not in ("=", "!="):
+            return None
         try:
             if isinstance(lit, bool):
                 lo = hi = lo.lower() == "true"
-            elif isinstance(lit, (int, float)):
+            elif isinstance(lit, int):
+                try:
+                    lo = hi = int(lo)  # exact past 2^53
+                except ValueError:
+                    lo = hi = float(lo)
+            elif isinstance(lit, float):
                 lo = hi = float(lo)
             elif isinstance(lit, datetime.datetime):
                 lo = hi = datetime.datetime.fromisoformat(lo)
@@ -414,8 +574,14 @@ def _eval_node(node, fs: FileStats) -> Optional[bool]:
 
 
 def prune_manifest(adds: dict[str, Any], predicate_sql: str | None,
-                   partition_columns: list[str]) -> dict[str, Any]:
-    """Return the subset of ``adds`` that may contain matching rows."""
+                   partition_columns: list[str],
+                   partition_types: "dict[str, str] | None" = None
+                   ) -> dict[str, Any]:
+    """Return the subset of ``adds`` that may contain matching rows.
+
+    ``partition_types`` (column -> Spark type name) makes partition
+    comparisons schema-exact; without it a restricted literal-type
+    heuristic applies (ordering against string literals is refused)."""
     if not predicate_sql:
         return dict(adds)
     tree = parse_predicate(predicate_sql)
@@ -423,7 +589,7 @@ def prune_manifest(adds: dict[str, Any], predicate_sql: str | None,
         return dict(adds)
     out = {}
     for path, add in adds.items():
-        fs = FileStats(add, partition_columns)
+        fs = FileStats(add, partition_columns, partition_types)
         if _eval_node(tree, fs) is not False:
             out[path] = add
     return out
@@ -548,14 +714,16 @@ def derive_partition_nodes(predicate_sql: str,
 
 
 def prune_with_nodes(adds: dict[str, Any], nodes: list,
-                     partition_columns: list[str]) -> dict[str, Any]:
+                     partition_columns: list[str],
+                     partition_types: "dict[str, str] | None" = None
+                     ) -> dict[str, Any]:
     """Drop files provably excluded by EVERY given node (conjunction
     semantics, same three-valued soundness as :func:`prune_manifest`)."""
     if not nodes:
         return dict(adds)
     out = {}
     for path, add in adds.items():
-        fs = FileStats(add, partition_columns)
+        fs = FileStats(add, partition_columns, partition_types)
         if all(_eval_node(n, fs) is not False for n in nodes):
             out[path] = add
     return out
@@ -582,6 +750,13 @@ def _eval_exact(node, fs: FileStats) -> Optional[bool]:
         # every row — Kleene-unknown, NOT False (inverting it under
         # NOT must not manufacture True).
         if fs.partition_values[node.column] is None:
+            return None
+        # The exact path tombstones files without reading them, so the
+        # comparison must be Spark-faithful — which requires the
+        # COLUMN's type (ADVICE r7: a string literal vs a numeric
+        # partition column compared lexicographically would delete
+        # rows that don't match). No schema -> no fast path.
+        if _type_kind(fs.partition_types.get(node.column)) is None:
             return None
         # _eval_comparison is exact (not merely prunable) on a
         # partition column with a recorded non-null value: the
@@ -616,14 +791,21 @@ def _eval_exact(node, fs: FileStats) -> Optional[bool]:
 
 
 def split_certain_matches(adds: dict[str, Any], predicate_sql: str | None,
-                          partition_columns: list[str]
+                          partition_columns: list[str],
+                          partition_types: "dict[str, str] | None" = None
                           ) -> tuple[dict[str, Any], dict[str, Any]]:
     """Split ``adds`` into ``(certain, rest)``: *certain* holds files
     where the predicate is provably True for EVERY row (partition-value
     proof only — no data is read), *rest* holds everything else.
     DELETE uses this to tombstone certain files metadata-only and scan
     only the rest; a pure partition-predicate DELETE on a 100 TB table
-    becomes a log commit with zero Spark jobs."""
+    becomes a log commit with zero Spark jobs.
+
+    ``partition_types`` (column -> Spark type name) is REQUIRED for any
+    comparison to prove certain: without the column's type the literal
+    coercion cannot be Spark-faithful and a wrong proof permanently
+    deletes rows (ADVICE r7). IS [NOT] NULL needs no type and still
+    proves without it."""
     if not predicate_sql or not partition_columns:
         return {}, dict(adds)
     tree = parse_predicate(predicate_sql)
@@ -631,7 +813,7 @@ def split_certain_matches(adds: dict[str, Any], predicate_sql: str | None,
         return {}, dict(adds)
     certain, rest = {}, {}
     for path, add in adds.items():
-        fs = FileStats(add, partition_columns)
+        fs = FileStats(add, partition_columns, partition_types)
         if _eval_exact(tree, fs) is True:
             certain[path] = add
         else:

@@ -479,7 +479,10 @@ class _XdlakeBatchReader(DataSourceReader):
         live = log.add_actions()
         pcols = log.partition_columns()
         if self._nodes:
-            live = prune_with_nodes(live, self._nodes, pcols)
+            sch = log.schema()
+            ptypes = {c: sch[c].dataType.simpleString()
+                      for c in pcols if c in sch.fieldNames()}
+            live = prune_with_nodes(live, self._nodes, pcols, ptypes)
         # row filters only on non-partition columns (partition values
         # are not in the files) — per-file exclusion of DV'd files
         # happens at read time

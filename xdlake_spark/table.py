@@ -225,7 +225,8 @@ class DeltaTable:
             raise ValueError(f"No delta table at {self.location.url}")
         adds = self._pruned_adds(where)
         certain, rest = (split_certain_matches(
-            adds, where, self.partition_columns)
+            adds, where, self.partition_columns,
+            self._partition_types())
             if where else (adds, {}))
         total = 0
         for p, a in list(certain.items()):
@@ -251,15 +252,30 @@ class DeltaTable:
         derive_partition_nodes)."""
         if not where:
             return self.adds
-        adds = prune_manifest(self.adds, where, self.partition_columns)
+        ptypes = self._partition_types()
+        adds = prune_manifest(self.adds, where, self.partition_columns,
+                              ptypes)
         gp = {c: e for c, e in self._generated_columns().items()
               if c in self.partition_columns}
         if gp and adds:
             nodes = derive_partition_nodes(where, gp)
             if nodes:
                 adds = prune_with_nodes(adds, nodes,
-                                        self.partition_columns)
+                                        self.partition_columns, ptypes)
         return adds
+
+    def _partition_types(self) -> dict:
+        """Partition column -> Spark type name (``simpleString``):
+        the schema handle that makes manifest pruning and the
+        metadata-only DELETE/COUNT proofs coerce literals against the
+        COLUMN's type instead of the literal's (Spark-faithful; a
+        string literal vs a numeric partition column must not compare
+        lexicographically)."""
+        if self.schema is None:
+            return {}
+        names = set(self.schema.fieldNames())
+        return {c: self.schema[c].dataType.simpleString()
+                for c in self.partition_columns if c in names}
 
     #: Delta reader features this engine actually implements. Anything
     #: else declared by a minReaderVersion>=3 protocol (v2Checkpoint,
@@ -897,16 +913,32 @@ class DeltaTable:
         """A table carrying the typeWidening feature may hold widenings
         we cannot read (date -> timestampNTZ, decimal growth): the
         parquet scan would fail or — worse — misread. Verify every
-        recorded transition is in the natively-upcast family."""
-        for f in (self.schema.fields if self.schema else []):
-            for ch in ((f.metadata or {}).get("delta.typeChanges")
-                       or []):
-                pair = (ch.get("fromType"), ch.get("toType"))
-                if pair not in self.SUPPORTED_WIDENINGS:
-                    raise NotImplementedError(
-                        f"column {f.name!r} was widened "
-                        f"{pair[0]} -> {pair[1]}; only integer/float "
-                        "widenings are readable by this engine")
+        recorded transition is in the natively-upcast family. The spec
+        records ``delta.typeChanges`` on NESTED StructFields too (with
+        a fieldPath), so the walk recurses through struct/array/map."""
+        def check_fields(fields, prefix):
+            for f in fields:
+                for ch in ((f.metadata or {}).get("delta.typeChanges")
+                           or []):
+                    pair = (ch.get("fromType"), ch.get("toType"))
+                    if pair not in self.SUPPORTED_WIDENINGS:
+                        raise NotImplementedError(
+                            f"column {prefix + f.name!r} was widened "
+                            f"{pair[0]} -> {pair[1]}; only "
+                            "integer/float widenings are readable by "
+                            "this engine")
+                check_type(f.dataType, prefix + f.name + ".")
+
+        def check_type(dt, prefix):
+            if isinstance(dt, T.StructType):
+                check_fields(dt.fields, prefix)
+            elif isinstance(dt, T.ArrayType):
+                check_type(dt.elementType, prefix + "element.")
+            elif isinstance(dt, T.MapType):
+                check_type(dt.keyType, prefix + "key.")
+                check_type(dt.valueType, prefix + "value.")
+
+        check_fields(self.schema.fields if self.schema else [], "")
 
     def enable_column_mapping(self, mode: str = "name",
                               custom_metadata: dict | None = None
@@ -1835,15 +1867,26 @@ class DeltaTable:
             return self
         where = None
         pcols = self.partition_columns
-        if pcols and all(v is not None for pv in touched
-                         for _, v in pv):
-            vals = {c: sorted({dict(pv)[c] for pv in touched})
+        if pcols:
+            # Scope strictly to the touched partitions — null partition
+            # values get IS NULL disjuncts instead of widening to a
+            # full-table compaction (a severe cost cliff at 100 TB and
+            # it would touch history this write never wrote).
+            vals = {c: {dict(pv).get(c) for pv in touched}
                     for c in pcols}
-            where = " AND ".join(
-                "{} IN ({})".format(
-                    c, ", ".join("'{}'".format(v.replace("'", "''"))
-                                 for v in vals[c]))
-                for c in pcols)
+            conjuncts = []
+            for c in pcols:
+                vs = sorted(v for v in vals[c] if v is not None)
+                terms = []
+                if vs:
+                    terms.append("{} IN ({})".format(
+                        c, ", ".join("'{}'".format(v.replace("'", "''"))
+                                     for v in vs)))
+                if None in vals[c]:
+                    terms.append(f"{c} IS NULL")
+                conjuncts.append("(" + " OR ".join(terms) + ")"
+                                 if len(terms) > 1 else terms[0])
+            where = " AND ".join(conjuncts)
         return self.optimize(
             where=where,
             custom_metadata={"auto": True, "trigger": "autoCompact"})
@@ -1876,6 +1919,12 @@ class DeltaTable:
         rebrand the commitInfo operation (COPY INTO). Idempotent across
         the append retry loop (the same entry object is replayed)."""
         if extra_actions:
+            # An extra Protocol action REPLACES the entry's default one
+            # (a commit must not carry two protocol actions — e.g. COPY
+            # INTO creating a table upgrades the v0 protocol in place)
+            if any(isinstance(a, Protocol) for a in extra_actions):
+                entry.actions = [a for a in entry.actions
+                                 if not isinstance(a, Protocol)]
             existing = set(map(id, entry.actions))
             entry.actions.extend(a for a in extra_actions
                                  if id(a) not in existing)
@@ -2205,9 +2254,10 @@ class DeltaTable:
                         "file(s) this operation rewrites — re-read the "
                         "table and redo the operation")
                 if reads_table and conc_adds:
-                    matching = (prune_manifest(conc_adds, where_sql,
-                                               handle.partition_columns)
-                                if where_sql else conc_adds)
+                    matching = (prune_manifest(
+                        conc_adds, where_sql, handle.partition_columns,
+                        handle._partition_types())
+                        if where_sql else conc_adds)
                     if matching:
                         raise CommitConflictError(
                             f"{len(matching)} concurrently-added file(s) "
@@ -2299,7 +2349,8 @@ class DeltaTable:
         rest = candidates
         if where_sql and not self.cdf_enabled:
             certain, rest = split_certain_matches(
-                candidates, where_sql, self.partition_columns)
+                candidates, where_sql, self.partition_columns,
+                self._partition_types())
             unknown = {p for p, a in certain.items()
                        if self._live_row_count(a) is None}
             if unknown:
@@ -3000,8 +3051,19 @@ class DeltaTable:
                 {"ingested": sorted(seen | {d for _, d in new})},
                 separators=(",", ":")))
         extra = [marker]
-        up = self._feature_protocol_action(set(), {"domainMetadata"}) \
-            if self.log else None
+        if self.log:
+            up = self._feature_protocol_action(set(),
+                                               {"domainMetadata"})
+        else:
+            # Creating commit: the v0 protocol itself must declare the
+            # domainMetadata writer feature — a domainMetadata action
+            # under plain (1,2) violates the spec, and conforming
+            # foreign writers could drop the domain (breaking COPY
+            # INTO's exactly-once guarantee). Writer version 7
+            # enumerates the features version 2 implied.
+            up = Protocol(minReaderVersion=1, minWriterVersion=7)
+            up.extra = {"writerFeatures": sorted(
+                {"appendOnly", "invariants", "domainMetadata"})}
         if up is not None:
             extra.insert(0, up)
         return self.write(
@@ -3540,12 +3602,18 @@ class DeltaTable:
         nodes = []
         for i, (tc, _) in enumerate(eq):
             mn, mx = bounds[f"__mn{i}"], bounds[f"__mx{i}"]
-            if mn is not None:
-                nodes.append(_SkipComparison(tc, ">=", mn))
-                nodes.append(_SkipComparison(tc, "<=", mx))
+            # NaN bounds would evaluate every stats comparison False
+            # and prune ALL files (all comparisons against NaN are
+            # false) — matched rows would be re-inserted as
+            # duplicates. Skip bound derivation for NaN-touched keys.
+            if mn is None or mn != mn or mx != mx:
+                continue
+            nodes.append(_SkipComparison(tc, ">=", mn))
+            nodes.append(_SkipComparison(tc, "<=", mx))
         if nodes:
             scan_adds = prune_with_nodes(self.adds, nodes,
-                                         self.partition_columns)
+                                         self.partition_columns,
+                                         self._partition_types())
 
         if n_src <= broadcast_threshold_rows:
             src = F.broadcast(src)
