@@ -2506,6 +2506,54 @@ class TestPageRank:
         assert conv == long_run
 
 
+class TestRemoveDuplicatedSpans:
+    def test_planted_spans_removed_exactly(self, spark):
+        from xdlake_spark.operators import dedup
+        seg = "the quick brown fox jumps over the lazy dog"
+        docs = [(0, f"alpha unique one {seg} tail zero"),
+                (1, f"beta other words {seg} end one"),
+                (2, "entirely unique content with no repeats here")]
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r.doc_id: r
+               for r in dedup.remove_duplicated_spans(d, k=12)
+               .collect()}
+        assert seg not in out[0].clean_text
+        assert seg not in out[1].clean_text
+        # the shared substring is " seg " — flanking spaces repeat too
+        assert out[0].clean_text == "alpha unique onetail zero"
+        assert out[1].clean_text == "beta other wordsend one"
+        assert out[0].chars_removed == len(seg) + 2
+        assert out[0].n_spans_removed == 1
+        assert out[2].chars_removed == 0
+        assert out[2].n_spans_removed == 0
+        assert out[2].clean_text == docs[2][1]
+
+    def test_whole_short_duplicate_erased(self, spark):
+        from xdlake_spark.operators import dedup
+        # shorter than k: the whole-text hash duplicates -> everything
+        # is one removed span
+        d = spark.createDataFrame(
+            [(0, "tiny dup"), (1, "tiny dup"), (2, "different")],
+            "doc_id long, text string")
+        out = {r.doc_id: r
+               for r in dedup.remove_duplicated_spans(d, k=12)
+               .collect()}
+        assert out[0].clean_text == "" and out[1].clean_text == ""
+        assert out[2].clean_text == "different"
+
+    def test_overlapping_spans_merge(self, spark):
+        from xdlake_spark.operators import dedup
+        # two overlapping duplicated regions merge into ONE span
+        a = "abcdefghijklmnopqrstuvwxyz0123456789"
+        docs = [(0, f"XX{a}YY"), (1, f"PP{a}QQ")]
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r.doc_id: r
+               for r in dedup.remove_duplicated_spans(d, k=12)
+               .collect()}
+        assert out[0].n_spans_removed == 1
+        assert out[0].chars_removed == len(a)
+
+
 class TestKneserNey:
     def test_probability_decomposition(self, spark):
         import math

@@ -140,7 +140,8 @@ def _row(kind: str, body: dict) -> dict:
 
 
 def write_checkpoint(log_location, log: "DeltaLog",
-                     part_size: int = 0, v2: bool = False) -> int:
+                     part_size: int = 0, v2: bool = False,
+                     sidecar_size: int = 50_000) -> int:
     """Materialize ``log``'s replayed state at its current version.
 
     Includes: protocol, newest metaData, every live add, every remove
@@ -155,6 +156,14 @@ def write_checkpoint(log_location, log: "DeltaLog",
     ``"parts"`` in ``_last_checkpoint``) so a huge table's manifest is
     written — and later read — as parallel chunks instead of one
     monolithic file.
+
+    ``v2`` + more than ``sidecar_size`` file actions shards the
+    add/remove rows into ``_delta_log/_sidecars/{uuid}.parquet`` files
+    referenced by ``sidecar`` actions in the manifest (the spec's v2
+    sidecar layout): at 100 TB a multi-million-add checkpoint becomes
+    a small manifest plus parallel-readable/writable shards instead of
+    one monolithic parquet. Below the threshold file actions stay
+    inline (single-writer commits remain one PUT).
     """
     version = log.version
     rows: list[dict] = []
@@ -239,18 +248,41 @@ def write_checkpoint(log_location, log: "DeltaLog",
 
     pointer = {"version": version, "size": len(rows)}
     if v2:
-        # v2 manifest: UUID-named, carries a checkpointMetadata row;
-        # file actions stay inline (the spec allows either inline or
-        # sidecars — inline keeps single-writer commits one PUT)
+        # v2 manifest: UUID-named, carries a checkpointMetadata row.
+        # File actions stay inline up to sidecar_size (single-writer
+        # commits remain one PUT), beyond it they shard into
+        # _sidecars/*.parquet referenced by sidecar actions.
+        import time as _time
         import uuid as _uuid
         schema = _v2_schema()
-        v2_rows = [{**{f.name: None for f in schema},
-                    "checkpointMetadata": {"version": version}}]
-        v2_rows += [{**r, "checkpointMetadata": None, "sidecar": None}
-                    for r in rows]
-        _write_rows(v2_rows, f"{version:020d}.checkpoint."
-                             f"{_uuid.uuid4()}.parquet", schema)
-        pointer["size"] = len(v2_rows)
+        blank = {f.name: None for f in schema}
+        manifest = [{**blank,
+                     "checkpointMetadata": {"version": version}}]
+        file_rows = [r for r in rows
+                     if r.get("add") or r.get("remove")]
+        if sidecar_size and len(file_rows) > sidecar_size:
+            manifest += [{**r, "checkpointMetadata": None,
+                          "sidecar": None}
+                         for r in rows
+                         if not (r.get("add") or r.get("remove"))]
+            now_ms = int(_time.time() * 1000)
+            for i in range(0, len(file_rows), sidecar_size):
+                chunk = file_rows[i:i + sidecar_size]
+                name = f"{_uuid.uuid4()}.parquet"
+                buf = io.BytesIO()
+                pq.write_table(
+                    pa.Table.from_pylist(chunk, schema=_SCHEMA), buf)
+                data = buf.getvalue()
+                log_location.join("_sidecars", name).write_bytes(data)
+                manifest.append({**blank, "sidecar": {
+                    "path": name, "sizeInBytes": len(data),
+                    "modificationTime": now_ms}})
+        else:
+            manifest += [{**r, "checkpointMetadata": None,
+                          "sidecar": None} for r in rows]
+        _write_rows(manifest, f"{version:020d}.checkpoint."
+                              f"{_uuid.uuid4()}.parquet", schema)
+        pointer["size"] = len(rows) + 1
     elif part_size and len(rows) > part_size:
         chunks = [rows[i:i + part_size]
                   for i in range(0, len(rows), part_size)]

@@ -568,6 +568,99 @@ def substring_dup_stats(df: DataFrame, text_col: str = "text",
                         / F.col("__n"), 6).alias("dup_char_frac")))
 
 
+def remove_duplicated_spans(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 12,
+                            min_count: int = 2,
+                            use_arrow: "bool | None" = None
+                            ) -> DataFrame:
+    """REMOVE corpus-duplicated substrings from each document — the
+    action to :func:`substring_dup_stats`'s measurement (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better":
+    production pipelines cut the repeated spans, not just score them).
+
+    A character of the NORMALIZED text (lowercased, whitespace
+    collapsed — cleaning operates on the same canonical form the
+    duplication signal is defined on) is removed when any length-``k``
+    gram covering it has a corpus-wide rolling-hash count >=
+    ``min_count``. Overlapping gram intervals ``[pos, pos+k)`` are
+    merged per document before cutting, so each removed span is
+    maximal.
+
+    Output: ``(doc_id, clean_text, n_spans_removed, chars_removed)``.
+
+    Plan shape: the same one-explode + global-count + semi-join as
+    ``substring_dup_stats``, then a per-doc window assembles merged
+    intervals and ONE ``aggregate`` higher-order function rebuilds the
+    cleaned string JVM-side from the sorted interval array — no
+    Python, no per-char explode; the text itself never shuffles (the
+    interval list, ~bytes per doc, joins back to the checkpointed
+    base)."""
+    from ..functions.text import kgram_hashes, normalize_text
+    from .text import _kgram_arrow_udf
+
+    if use_arrow is None:
+        use_arrow = arrow_gate(df)
+    hashes = (_kgram_arrow_udf(k)(F.col(text_col)) if use_arrow
+              else kgram_hashes(F.col(text_col), k))
+    base = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("doc_id"),
+                    normalize_text(F.col(text_col)).alias("__norm"),
+                    hashes.alias("__h"))
+            .filter(F.length("__norm") > 0)
+            .localCheckpoint(eager=False))
+    grams = base.select("doc_id",
+                        F.posexplode("__h").alias("pos", "h"))
+    dup_hashes = (grams.groupBy("h")
+                  .agg(F.count(F.lit(1)).alias("__c"))
+                  .filter(F.col("__c") >= min_count)
+                  .select("h"))
+    dup = (grams.join(dup_hashes, "h", "left_semi")
+           .select("doc_id", "pos"))
+
+    # merge overlapping/adjacent [pos, pos+k) intervals per document
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    grp = (dup.withColumn(
+               "__new", F.when(prev_end.isNull()
+                               | (F.col("pos") > prev_end), 1)
+               .otherwise(0))
+           .withColumn("__g", F.sum("__new").over(w)))
+    ints = (grp.groupBy("doc_id", "__g")
+            .agg(F.min("pos").alias("s"),
+                 (F.max("pos") + k).alias("e")))
+    iv = (ints.groupBy("doc_id")
+          .agg(F.sort_array(F.collect_list(F.struct("s", "e")))
+               .alias("__iv"),
+               F.count(F.lit(1)).cast("long")
+               .alias("n_spans_removed")))
+
+    joined = base.join(iv, "doc_id", "left")
+    # fold the sorted, disjoint intervals into (cursor, kept-prefix):
+    # each step appends the chars between the cursor and the next
+    # span's start, then jumps the cursor past the span
+    clean = F.expr("""
+        aggregate(__iv,
+                  struct(0 AS p, '' AS t),
+                  (a, x) -> struct(
+                      CAST(least(x.e, length(__norm)) AS INT) AS p,
+                      concat(a.t, substring(__norm, a.p + 1,
+                                            x.s - a.p)) AS t),
+                  a -> concat(a.t, substring(__norm, a.p + 1,
+                                             length(__norm) - a.p)))
+    """)
+    out = joined.select(
+        "doc_id", "__norm",
+        F.when(F.col("__iv").isNull(), F.col("__norm"))
+        .otherwise(clean).alias("clean_text"),
+        F.coalesce("n_spans_removed", F.lit(0).cast("long"))
+        .alias("n_spans_removed"))
+    return out.select(
+        "doc_id", "clean_text", "n_spans_removed",
+        (F.length("__norm") - F.length("clean_text")).cast("long")
+        .alias("chars_removed"))
+
+
 # ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------

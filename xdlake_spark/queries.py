@@ -1812,6 +1812,86 @@ def substring_dup_q(spark, sf_dir):
     return dedup.substring_dup_stats(d, k=12)
 
 
+@register("substring_dedup_clean", r"""
+WITH cp AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                          'g')), '') AS chs,
+         list_transform(
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                              'g')), ''),
+             c -> CAST(ascii(c) AS BIGINT)) AS cps
+  FROM documents
+  WHERE length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) > 0
+), kh AS (
+  SELECT doc_id, len(cps) AS n,
+         CASE WHEN len(cps) >= 12 THEN
+           list_transform(range(1, len(cps) - 12 + 2),
+             i -> list_reduce(cps[i:i+11],
+                              (a, b) -> (a * 257 + b) % 2147483647))
+         ELSE [list_reduce(cps, (a, b) -> (a * 257 + b) % 2147483647)]
+         END AS hs
+  FROM cp
+), idx AS (
+  SELECT doc_id, n, hs, unnest(range(1, len(hs) + 1)) AS i FROM kh
+), grams AS (
+  SELECT doc_id, n, CAST(i - 1 AS BIGINT) AS pos, hs[i] AS h FROM idx
+), duph AS (
+  SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+), dup AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN duph USING (h)
+), ints0 AS (
+  SELECT doc_id, pos AS s, pos + 12 AS e FROM dup
+), grpd AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+             PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ng
+  FROM ints0
+), grp2 AS (
+  SELECT doc_id, s, e,
+         sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS g
+  FROM grpd
+), ints AS (
+  SELECT doc_id, g, min(s) AS s, max(e) AS e
+  FROM grp2 GROUP BY doc_id, g
+), spanagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM ints
+  GROUP BY doc_id
+), txt AS (
+  SELECT doc_id, chs, len(chs) AS n FROM cp
+), chars AS (
+  SELECT doc_id, chs, n, unnest(range(1, n + 1)) AS i FROM txt
+), kept AS (
+  SELECT c.doc_id, c.i, c.chs[c.i] AS ch FROM chars c
+  WHERE NOT EXISTS (SELECT 1 FROM ints x
+                    WHERE x.doc_id = c.doc_id
+                      AND x.s < c.i AND c.i <= least(x.e, c.n))
+), cl AS (
+  SELECT doc_id, string_agg(ch, '' ORDER BY i) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(cl.clean_text, '') AS clean_text,
+       coalesce(sp.n_spans, 0) AS n_spans_removed,
+       CAST(t.n - coalesce(cl.n_kept, 0) AS BIGINT) AS chars_removed
+FROM txt t
+LEFT JOIN cl USING (doc_id)
+LEFT JOIN spanagg sp USING (doc_id)
+""")
+def substring_dedup_clean_q(spark, sf_dir):
+    """Substring-span REMOVAL (operators/dedup.py
+    remove_duplicated_spans): the Lee-et-al action — every character
+    of the normalized text covered by a corpus-duplicated 12-gram is
+    cut, overlapping grams merged into maximal spans first. Oracle
+    rebuilds the cleaned text character-by-character from the same
+    rolling-hash duplication set."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.remove_duplicated_spans(d, k=12)
+
+
 @register("events_value_histogram", r"""
 WITH binned AS (
   SELECT event_type,
