@@ -127,8 +127,11 @@ HEADLINE = [
     "graph_triangle_census",
     "graph_bfs_hops",
     "pagerank_personalized",
+    "pagerank_personalized_df",
     "text_normalize_dedup",
     "dedup_quality_keepers",
+    "substring_dedup_clean",
+    "customer_value_deciles_approx",
 ]
 
 

@@ -255,3 +255,101 @@ class TestStartingVersionAndBytes:
         with pytest.raises(Exception, match="startingVersion"):
             (registered.readStream.format("xdlake")
              .option("startingVersion", "-3").load(tmp_table_dir))
+
+
+class TestAvailableNow:
+    def _backlog(self, spark, path, lineitem, commits=6):
+        t = DeltaTable(spark, path)
+        for _ in range(commits):
+            t = t.write(lineitem.limit(5).coalesce(1), mode="append")
+        return t
+
+    def test_native_trigger_drains_and_terminates(self, registered,
+                                                  tmp_path, lineitem):
+        """trigger(availableNow=True): the AvailableNow wrapper snaps
+        latestOffset once -> ONE batch covering the backlog, then the
+        query terminates (the Python DataSource API exposes no
+        admission control to the wrapper — pinned here so a behavior
+        change is noticed)."""
+        path = str(tmp_path / "t")
+        self._backlog(registered, path, lineitem)
+        batches = []
+        q = (registered.readStream.format("xdlake")
+             .option("maxFilesPerTrigger", "2")
+             .option("startingVersion", "0")
+             .load(path)
+             .writeStream.foreachBatch(
+                 lambda df, bid: batches.append(df.count()))
+             .trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "cp"))
+             .start())
+        q.awaitTermination(120)
+        assert not q.isActive          # terminates on its own
+        assert sum(batches) == 30      # full backlog drained
+
+    def test_backfill_capped_batches_then_stop(self, registered,
+                                               tmp_path, lineitem):
+        """VERDICT r7 item 6: the backfill helper drains the backlog
+        in maxFilesPerTrigger-bounded batches and stops; a second run
+        over the same checkpoint drains only the delta."""
+        from xdlake_spark.streaming.backfill import \
+            available_now_backfill
+        path = str(tmp_path / "t")
+        t = self._backlog(registered, path, lineitem)
+        seen = []
+        res = available_now_backfill(
+            registered, path,
+            lambda df, bid: seen.append(df.count()),
+            checkpoint_location=str(tmp_path / "cp"),
+            max_files_per_trigger=2, timeout_s=180)
+        assert res["reached"] and res["target_version"] == 5
+        assert res["n_rows"] == 30
+        assert res["n_batches"] >= 3           # capped: 2 files/batch
+        assert max(seen) <= 10                 # 2 files x 5 rows
+
+        t.write(lineitem.limit(5).coalesce(1), mode="append")
+        seen2 = []
+        res2 = available_now_backfill(
+            registered, path,
+            lambda df, bid: seen2.append(df.count()),
+            checkpoint_location=str(tmp_path / "cp"),
+            max_files_per_trigger=2, timeout_s=180)
+        assert res2["reached"] and res2["target_version"] == 6
+        assert res2["n_rows"] == 5             # only the delta
+
+    def test_backfill_pins_target_version(self, registered, tmp_path,
+                                          lineitem):
+        """endingVersion pin: commits racing in during the drain are
+        NOT admitted (left for the next run)."""
+        from xdlake_spark.streaming.backfill import \
+            available_now_backfill
+        path = str(tmp_path / "t")
+        t = self._backlog(registered, path, lineitem, commits=4)
+
+        raced = {"done": False}
+
+        def fn(df, bid):
+            if not raced["done"]:
+                # a commit lands while the backfill is mid-drain
+                t.write(lineitem.limit(7).coalesce(1), mode="append")
+                raced["done"] = True
+
+        res = available_now_backfill(
+            registered, path, fn,
+            checkpoint_location=str(tmp_path / "cp"),
+            max_files_per_trigger=1, timeout_s=180)
+        assert res["reached"] and res["target_version"] == 3
+        assert res["n_rows"] == 20             # racing commit excluded
+
+    def test_ending_version_reader_clamp(self, registered, tmp_path,
+                                         lineitem):
+        path = str(tmp_path / "t")
+        self._backlog(registered, path, lineitem, commits=5)
+        r = _XdlakeStreamReader(path, starting_version=0,
+                                ending_version=2, capped_start=True,
+                                max_files=10)
+        offs = [r.latestOffset()]
+        assert offs[0] == {"version": 2, "index": 1}
+        parts = r.partitions({"version": -1, "index": -1}, offs[0])
+        assert len(parts) == 3                 # versions 0..2 only
+        assert r.latestOffset() == offs[0]     # clamped: never past 2

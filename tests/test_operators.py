@@ -2506,6 +2506,38 @@ class TestPageRank:
         assert conv == long_run
 
 
+class TestApproxDeciles:
+    def test_rank_error_vs_exact_twin(self, spark):
+        """Gate for the rows-only customer_value_deciles_approx query:
+        every approx decile's population within 2% of N/10 (plus a
+        1-row slack for cut-point ties), bucket bounds monotone."""
+        from xdlake_spark.queries import REGISTRY
+        sf = "/root/testdata/sf0.001"
+        exact = {r.decile: r for r in
+                 REGISTRY["customer_value_deciles"][0](spark, sf)
+                 .collect()}
+        approx = {r.decile: r for r in
+                  REGISTRY["customer_value_deciles_approx"][0](spark,
+                                                               sf)
+                  .collect()}
+        n_total = sum(r.n for r in exact.values())
+        assert sum(r.n for r in approx.values()) == n_total
+        assert set(approx) == set(range(1, 11))
+        tol = max(1, int(0.02 * n_total))
+        for d in range(1, 11):
+            assert abs(approx[d].n - n_total / 10.0) <= \
+                n_total / 10.0 * 0.5 + tol
+        # cumulative rank error: bucket boundaries within 2% of exact
+        cum_e = cum_a = 0
+        for d in range(1, 10):
+            cum_e += exact[d].n
+            cum_a += approx[d].n
+            assert abs(cum_a - cum_e) <= tol + 1
+        # bounds are monotone and tile the value range
+        for d in range(1, 10):
+            assert approx[d].hi <= approx[d + 1].lo + 1e-9
+
+
 class TestRemoveDuplicatedSpans:
     def test_planted_spans_removed_exactly(self, spark):
         from xdlake_spark.operators import dedup

@@ -444,6 +444,34 @@ def customer_deciles(spark, sf_dir):
                  F.round(F.max("c_acctbal"), 2).alias("hi")))
 
 
+# rows-only: approx_percentile cut points come from Spark's
+# Greenwald-Khanna sketch — not bit-identical to DuckDB's exact
+# interpolation (that's the point); the rank-error gate vs the exact
+# ntile twin lives in tests/test_operators.py::TestApproxDeciles and
+# `customer_value_deciles` is the oracle-exact companion.
+@register("customer_value_deciles_approx", None)
+def customer_deciles_approx_q(spark, sf_dir):
+    """100 TB form of the decile report (COVERAGE's promised
+    approx_percentile path, VERDICT r7 item 7): 9 cut points from ONE
+    partial-aggregable sketch pass — no global-order window, no
+    single reducer — then rows bucket by comparison against the
+    broadcast 9-element cut array and aggregate per bucket. Two scans,
+    zero sorts, every shuffle partial-aggregated."""
+    c = _t(spark, sf_dir, "customer")
+    cuts = c.agg(F.percentile_approx(
+        "c_acctbal", [i / 10.0 for i in range(1, 10)],
+        10000).alias("__cuts"))
+    bucketed = (c.join(F.broadcast(cuts))  # 1-row cut vector
+                .select("c_acctbal",
+                        (F.expr("size(filter(__cuts, "
+                                "x -> x < c_acctbal))") + 1)
+                        .alias("decile")))
+    return (bucketed.groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("c_acctbal"), 2).alias("lo"),
+                 F.round(F.max("c_acctbal"), 2).alias("hi")))
+
+
 @register("events_trailing_avg", """
 SELECT event_id,
        floor(round(sum(value) OVER w, 2) / count(value) OVER w * 10000)

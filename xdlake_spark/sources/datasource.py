@@ -300,23 +300,36 @@ class _XdlakeStreamReader(DataSourceStreamReader):
     rides on reader-tracked state and the FIRST batch of any run is
     uncapped (fresh stream: the whole initial snapshot; checkpoint
     restart: one catch-up to current — the reader learns its position
-    only when Spark hands the start offset to ``partitions``). Every
-    batch after that honors the cap. Use a processing-time trigger
-    with it (``availableNow`` pins its target at the first offset and
-    stops there).
+    only when Spark hands the start offset to ``partitions``).
+    Exception: ``capped_start`` + ``starting_version`` pin the first
+    position WITHOUT a snapshot, so even batch 0 is capped — safe only
+    on fresh checkpoints (streaming/backfill.py gates it).
+    ``ending_version`` clamps admission at a fixed version — the
+    pinned target of an AvailableNow-style drain.
+
+    ``trigger(availableNow=True)`` works but runs as ONE batch:
+    Spark's AvailableNow wrapper snapshots ``latestOffset()`` once and
+    jumps straight to it (the Python DataSource API exposes no
+    admission control to the wrapper). For a rate-limited backfill
+    that stops when caught up, use
+    ``streaming.backfill.available_now_backfill``.
     """
 
     def __init__(self, path: str, read_change_feed: bool = False,
                  skip_change_commits: bool = False,
                  max_files: "int | None" = None,
                  max_bytes: "int | None" = None,
-                 starting_version: "int | str | None" = None):
+                 starting_version: "int | str | None" = None,
+                 ending_version: "int | None" = None,
+                 capped_start: bool = False):
         self.path = path
         self.read_change_feed = read_change_feed
         self.skip_change_commits = skip_change_commits
         self.max_files = max_files
         self.max_bytes = max_bytes
         self.starting_version = starting_version
+        self.ending_version = ending_version
+        self.capped_start = capped_start
         self._last: "dict | None" = None
 
     def _current_version(self) -> int:
@@ -344,13 +357,28 @@ class _XdlakeStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         cur = self._current_version()
+        if self.ending_version is not None:
+            cur = min(cur, self.ending_version)
         if self.read_change_feed:
             return {"version": cur}
         last = self._last
+        if last is None and self.capped_start \
+                and self.starting_version is not None:
+            # cappedStart (set by streaming/backfill.py for FRESH
+            # checkpoints only): startingVersion pins the position
+            # WITHOUT an initial snapshot, so the very first batch can
+            # honor the rate limits — an AvailableNow backfill from
+            # version 0 drains in capped steps instead of one
+            # unbounded batch. Never enabled on a restart: a capped
+            # blind offset could land BEHIND the checkpointed
+            # position and regress the stream.
+            sv = (cur + 1 if self.starting_version == "latest"
+                  else int(self.starting_version))
+            last = self._last = {"version": sv - 1, "index": -1}
         if last is None or int(last.get("snapshot", -1)) == -2:
-            # fresh stream (or blind restart): one uncapped batch up
-            # to the current version; capping starts once we know our
-            # position
+            # fresh snapshot stream (or blind restart): one uncapped
+            # batch up to the current version; capping starts once we
+            # know our position
             if last is not None and cur < 0:
                 return last  # fresh stream over an empty table
             off = {"version": cur, "index": -1}
@@ -556,6 +584,18 @@ class XdlakeDataSource(DataSource):
                              "'latest'")
         return sv
 
+    def _ending_version(self) -> "int | None":
+        """Validated endingVersion: the stream never admits commits
+        past it (streaming/backfill.py pins its AvailableNow drain
+        target with this)."""
+        raw = self.options.get("endingVersion")
+        if raw is None:
+            return None
+        ev = int(raw)
+        if ev < 0:
+            raise ValueError("endingVersion must be >= 0")
+        return ev
+
     def schema(self) -> StructType:
         self._rate_limits()
         self._starting_version()
@@ -599,7 +639,13 @@ class XdlakeDataSource(DataSource):
                                    skip_change_commits=skip,
                                    max_files=mf, max_bytes=mb,
                                    starting_version=
-                                   self._starting_version())
+                                   self._starting_version(),
+                                   ending_version=
+                                   self._ending_version(),
+                                   capped_start=str(
+                                       self.options.get("cappedStart",
+                                                        "false")
+                                   ).lower() == "true")
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> "DataSourceStreamWriter":
