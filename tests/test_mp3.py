@@ -1,0 +1,244 @@
+"""MPEG-1 Layer III PCM codec (operators/mp3.py).
+
+The environment has no reference MP3 decoder, so correctness is pinned
+three ways: (1) structural — every Huffman table is verified
+prefix-free at import, the filterbank round-trips with unity gain at
+the spec delay; (2) differential — decode(encode(x)) approximates x
+with an SNR gate (the encoder is written only from the spec's decode
+semantics, so agreement means both directions implement the same
+math); (3) golden — encoded bytes and decoded PCM of a fixed tone are
+hash-pinned so any numeric drift is loud.
+
+Reference parity note: the reference (xbrianh/xdlake) ships no codecs;
+this surface is build-brief-mandated (multimodal audio pipeline).
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from xdlake_spark.operators import mp3
+from xdlake_spark.operators.codecs import parse_mp3_frames
+
+
+def _snr_db(ref: np.ndarray, out: np.ndarray) -> float:
+    err = ref - out
+    return 10.0 * np.log10(np.sum(ref ** 2)
+                           / max(np.sum(err ** 2), 1e-30))
+
+
+class TestHuffmanTables:
+    def test_all_shipped_tables_prefix_free(self):
+        report = mp3.validate_huffman_tables()
+        for tid in mp3.HUFFMAN_TABLES:
+            if tid == 0:
+                continue
+            assert report[tid]["prefix_free"], tid
+
+    def test_known_transcription_slip_is_excluded(self):
+        # table 8 as transcribed has a codeword collision (idx 29/33
+        # both 0b1/10); the validator must keep it OUT of the
+        # supported set so decode raises instead of misdecoding
+        report = mp3.validate_huffman_tables()
+        assert not report[8]["prefix_free"]
+        assert 8 not in mp3.HUFFMAN_TABLES
+
+    def test_kraft_sums_at_most_one(self):
+        report = mp3.validate_huffman_tables()
+        for name, r in report.items():
+            assert r["kraft"] <= 1.0 + 1e-9, name
+
+    def test_count1_tables_valid(self):
+        report = mp3.validate_huffman_tables()
+        assert report["count1_0"]["prefix_free"]
+        assert report["count1_1"]["prefix_free"]
+        # table B is the complete 4-bit code: Kraft sum exactly 1
+        assert report["count1_1"]["kraft"] == 1.0
+
+
+class TestFilterbank:
+    def test_round_trip_unity_gain_at_spec_delay(self):
+        rng = np.random.RandomState(7)
+        n = 8192
+        x = rng.randn(n)
+        ana, syn = mp3._Analysis(), mp3._Synth()
+        y = np.empty(n)
+        for t in range(n // 32):
+            y[t * 32:(t + 1) * 32] = syn.run(ana.run(
+                x[t * 32:(t + 1) * 32]))
+        a = x[1000:6000]
+        b = y[1000 + 481:6000 + 481]        # 481 = MPEG filterbank delay
+        gain = np.dot(a, b) / np.dot(b, b)
+        assert abs(gain - 1.0) < 0.01
+        assert _snr_db(a, b) > 35.0          # broadband near-PR floor
+
+    @pytest.mark.parametrize("freq,gate", [
+        (1125.0, 55.0),     # band-1 center: complementarity is exact
+        (1000.0, 38.0),     # off-center: transition-region residual
+    ])
+    def test_round_trip_tone_snr(self, freq, gate):
+        n = 8192
+        x = np.sin(2 * np.pi * freq * np.arange(n) / 48000.0)
+        ana, syn = mp3._Analysis(), mp3._Synth()
+        y = np.empty(n)
+        for t in range(n // 32):
+            y[t * 32:(t + 1) * 32] = syn.run(ana.run(
+                x[t * 32:(t + 1) * 32]))
+        assert _snr_db(x[1000:6000], y[1481:6481]) > gate
+
+    def test_prototype_power_complementary(self):
+        h = mp3._PROTO
+        H = np.fft.rfft(h, 16384)
+        m = np.abs(H)
+        k = 16384 // 64                     # bin of pi/32
+        idx = np.arange(k + 1)
+        p = m[idx] ** 2 + m[k - idx] ** 2
+        assert np.max(np.abs(p - 1.0)) < 0.01
+
+
+class TestMDCTChain:
+    def test_mdct_imdct_alias_chain_is_exact(self):
+        """Encoder MDCT + alias-unreduce vs decoder alias-reduce +
+        IMDCT/overlap is numerically exact (the filterbank is the only
+        approximate stage)."""
+        rng = np.random.RandomState(3)
+        g = mp3._Granule()
+        g.window_switching, g.block_type, g.mixed_block = 0, 0, 0
+        sbdata = rng.randn(32, 18 * 5)
+        prev = np.zeros((32, 18))
+        overlap = np.zeros((32, 18))
+        recon = np.zeros((32, 18 * 5))
+        for grn in range(5):
+            sb = sbdata[:, grn * 18:(grn + 1) * 18].copy()
+            sb[1::2, 1::2] *= -1.0
+            xr = np.empty(576)
+            for s in range(32):
+                z = np.concatenate([prev[s], sb[s]]) * mp3._WIN_NORMAL
+                xr[s * 18:(s + 1) * 18] = \
+                    (mp3._IMDCT36.T @ z) * (2.0 / 36.0) * 2.0
+            prev = sb.copy()
+            mp3._alias_unreduce(xr)
+            xr2 = xr.copy()
+            mp3._alias_reduce(xr2)
+            recon[:, grn * 18:(grn + 1) * 18] = \
+                mp3._imdct_granule(xr2, g, overlap)
+        a = sbdata[:, :18 * 3].ravel()
+        b = recon[:, 18:18 * 4].ravel()      # one-granule overlap delay
+        assert _snr_db(a, b) > 200.0
+
+
+class TestCodecRoundTrip:
+    def test_encode_produces_walkable_stream(self):
+        data = mp3.encode_mp3_tone(440.0, n_frames=4)
+        info = parse_mp3_frames(data)
+        assert info["version"] == 1 and info["layer"] == 3
+        assert info["n_frames"] == 4
+        assert info["sample_rate"] == 48000
+        assert info["channels"] == 1
+
+    @pytest.mark.parametrize("freq,channels", [(440.0, 1), (440.0, 2),
+                                               (1200.0, 1)])
+    def test_decode_encode_snr(self, freq, channels):
+        n_frames = 6
+        data = mp3.encode_mp3_tone(freq, n_frames=n_frames,
+                                   channels=channels)
+        sr, pcm = mp3.decode_mp3(data)
+        assert sr == 48000
+        assert pcm.shape == (n_frames * 1152, channels)
+        n = n_frames * 1152
+        t = np.arange(n) / 48000.0
+        ref = 0.5 * np.sin(2 * np.pi * freq * t)
+        # total codec delay: 481 (polyphase) + 576 (granule overlap)
+        lag = 1057
+        a = ref[200:4200]
+        b = pcm[200 + lag:4200 + lag, 0]
+        # SNR floor is the coarse |ix|<=7 quantizer (the finest
+        # no-linbits Huffman table shipped), ~21 dB measured
+        assert _snr_db(a, b) > 15.0
+
+    def test_stereo_second_channel_half_amplitude(self):
+        data = mp3.encode_mp3_tone(660.0, n_frames=5, channels=2)
+        _, pcm = mp3.decode_mp3(data)
+        mid = pcm[2000:5000]
+        r0 = np.sqrt(np.mean(mid[:, 0] ** 2))
+        r1 = np.sqrt(np.mean(mid[:, 1] ** 2))
+        assert 0.35 < r1 / r0 < 0.65
+
+    def test_all_sample_rates(self):
+        for sr in (32000, 44100, 48000):
+            data = mp3.encode_mp3_tone(500.0, n_frames=2,
+                                       sample_rate=sr)
+            got_sr, pcm = mp3.decode_mp3(data)
+            assert got_sr == sr
+            assert len(pcm) == 2 * 1152
+
+    def test_silence_encodes_and_decodes_to_silence(self):
+        data = mp3.encode_mp3(np.zeros(1152), sample_rate=44100)
+        sr, pcm = mp3.decode_mp3(data)
+        assert sr == 44100
+        assert np.max(np.abs(pcm)) == 0.0
+
+
+class TestGolden:
+    def test_encoded_bytes_pinned(self):
+        data = mp3.encode_mp3_tone(440.0, n_frames=2)
+        digest = hashlib.sha256(data).hexdigest()
+        assert len(data) == 2 * (144 * 320000 // 48000)
+        # pinned: any change to the DSP chain or tables shows up here
+        assert digest == PINNED_STREAM_SHA256
+
+    def test_decoded_pcm_pinned(self):
+        data = mp3.encode_mp3_tone(440.0, n_frames=2)
+        _, pcm = mp3.decode_mp3(data)
+        q = np.round(pcm[:, 0] * 32768.0).astype(np.int32)
+        digest = hashlib.sha256(q.tobytes()).hexdigest()
+        assert digest == PINNED_PCM_SHA256
+
+
+class TestErrors:
+    def test_mpeg2_raises(self):
+        from xdlake_spark.operators.codecs import build_mp3_stream
+        # build an MPEG-2 header by patching version bits
+        s = bytearray(build_mp3_stream(3))
+        with pytest.raises((NotImplementedError, ValueError)):
+            s[1] = (s[1] & ~0x18) | 0x10     # version 2
+            mp3.decode_mp3(bytes(s))
+
+    def test_empty_raises(self):
+        with pytest.raises(ValueError):
+            mp3.decode_mp3(b"")
+
+    def test_bad_bitrate_raises(self):
+        with pytest.raises(ValueError):
+            mp3.encode_mp3(np.zeros(1152), bitrate=123)
+
+    def test_bad_sample_rate_raises(self):
+        with pytest.raises(ValueError):
+            mp3.encode_mp3(np.zeros(1152), sample_rate=22050)
+
+    def test_silence_builder_streams_still_decode(self):
+        """build_mp3_stream emits zero-spectrum frames; the FULL
+        decoder must accept them (the multimodal corpus mixes both)."""
+        from xdlake_spark.operators.codecs import build_mp3_stream
+        s = build_mp3_stream(4, sample_rate=44100, channels=2)
+        sr, pcm = mp3.decode_mp3(s)
+        assert sr == 44100
+        assert pcm.shape[1] == 2
+        assert np.max(np.abs(pcm)) == 0.0
+
+
+# golden digests, regenerated only on an intentional codec change:
+#   python -c "from tests.test_mp3 import _regen; _regen()"
+PINNED_STREAM_SHA256 = \
+    "88be49a91fa96147d3181d77f736c1f93774fcb181d86f9bb8c160f326f9e516"
+PINNED_PCM_SHA256 = \
+    "e58d2f2bb77cac392a76b2bfd9b61660b9b95844439268087d0dc4148f8208db"
+
+
+def _regen():
+    data = mp3.encode_mp3_tone(440.0, n_frames=2)
+    _, pcm = mp3.decode_mp3(data)
+    q = np.round(pcm[:, 0] * 32768.0).astype(np.int32)
+    print("stream:", hashlib.sha256(data).hexdigest())
+    print("pcm   :", hashlib.sha256(q.tobytes()).hexdigest())

@@ -621,6 +621,32 @@ class TestMultimodalRealDecode:
             assert len(r["features"]) == 16
             assert sum(r["features"]) == pytest.approx(1.0, abs=1e-3)
 
+    def test_mp3_tone_chunks_real(self, spark, documents):
+        """Full Layer III decode inside Spark: real-spectrum tone MP3s
+        (operators/mp3.py encoder) chunked via _parse_audio ->
+        decode_mp3; steady-state RMS must match the id-keyed tone
+        amplitude (stereo docs downmix the half-amplitude right
+        channel: x0.75)."""
+        d = documents.filter(F.col("doc_id") < 8)
+        payloads = multimodal.attach_fake_payloads(d, media="mp3_tone")
+        rows = multimodal.chunk_audio(payloads,
+                                      chunk_seconds=0.024).collect()
+        per_doc: dict = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(per_doc) == 8
+        for doc_id, chunks in per_doc.items():
+            # 2 frames = 2304 samples at 48 kHz, 1152-sample chunks
+            assert sum(c["n_samples"] for c in chunks) == 2304
+            amp = 0.25 + 0.05 * (doc_id % 6)
+            if doc_id % 2:                  # stereo: mono downmix
+                amp *= 0.75
+            expect = amp / np.sqrt(2.0)
+            steady = max(c["rms"] for c in chunks)
+            # codec SNR ~21 dB (coarse quantizer): 15% tolerance
+            assert abs(steady - expect) / expect < 0.15, \
+                (doc_id, steady, expect)
+
     def test_wav_chunks_real(self, spark, documents):
         d = documents.limit(10)
         payloads = multimodal.attach_fake_payloads(d, media="wav")

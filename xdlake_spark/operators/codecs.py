@@ -1692,11 +1692,10 @@ def parse_mp3_silence(data: bytes):
                 p23 = br.read(12)
                 if p23 != 0 or main_data_begin != 0:
                     raise NotImplementedError(
-                        "general MP3 PCM decode requires ISO 11172-3 "
-                        "Huffman tables and synthesis-window constants "
-                        "that cannot be verified in this environment; "
-                        "only zero-spectrum (silence) granules are "
-                        "decoded — see README codec coverage")
+                        "this is the zero-spectrum fast path; frames "
+                        "with spectral data are decoded by the full "
+                        "Layer III decoder in operators/mp3.py "
+                        "(decode_mp3)")
                 br.read(9 + 8 + 4 + 1 + 22 + 1 + 1 + 1)  # rest of granule
     n = info["n_frames"] * 1152
     return info["sample_rate"], np.zeros(n, dtype=np.float32)

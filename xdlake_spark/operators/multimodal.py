@@ -452,12 +452,15 @@ def _parse_audio(data: bytes):
         return sr, pcm, canonical
     if data[:3] == b"ID3" or (len(data) >= 2 and data[0] == 0xFF
                               and (data[1] & 0xE0) == 0xE0):
-        # MPEG audio: zero-spectrum (silence) frames decode exactly;
-        # frames with real spectral data raise loudly (see the codec-
-        # coverage rationale in codecs.py / README)
-        from .codecs import parse_mp3_silence
+        # MPEG audio: full Layer III PCM decode (operators/mp3.py —
+        # scalefactors, Huffman, requantize, stereo, IMDCT, polyphase).
+        # Frames selecting Huffman tables outside the verified set
+        # raise loudly (see the provenance rationale in mp3.py).
+        from .mp3 import decode_mp3
 
-        sr, pcm = parse_mp3_silence(data)
+        sr, frames = decode_mp3(data)
+        pcm = frames.astype(np.float64).mean(axis=1).astype(np.float32) \
+            if frames.size else np.zeros(0, np.float32)
         canonical = np.clip(np.round(pcm * 32768.0), -32768, 32767) \
             .astype("<i2").tobytes()
         return sr, pcm, canonical
@@ -743,7 +746,7 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
                    "flac")
     if media not in image_kinds + audio_kinds + (
             "avi", "agif", "noise_ppm", "melody_wav", "melody_snip",
-            "mp3", "mp4"):
+            "mp3", "mp3_tone", "mp4"):
         raise ValueError(f"unknown media kind: {media!r}")
 
     from pyspark.sql.functions import pandas_udf
@@ -771,6 +774,28 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
                                    "sample_size": 256 + i % 64})
                 out.append(_codecs.build_mp4(
                     tracks, duration_ms=500 + (i % 20) * 250))
+            return pd.Series(out)
+
+        return df.select(F.col(id_col),
+                         _gen(F.col(id_col)).alias("payload"))
+
+    if media == "mp3_tone":
+        from .mp3 import encode_mp3_tone
+
+        @pandas_udf("binary")
+        def _gen(ids: pd.Series) -> pd.Series:
+            # id-keyed REAL-spectrum MPEG-1 Layer III streams (full
+            # encoder, operators/mp3.py): pitch, amplitude and channel
+            # count cycle with the id, so the decode side exercises the
+            # whole Huffman/requantize/IMDCT/polyphase chain per doc
+            out = []
+            for i in ids:
+                i = int(i)
+                out.append(encode_mp3_tone(
+                    freq=220.0 * (1 + i % 8),
+                    n_frames=2,
+                    channels=1 + i % 2,
+                    amplitude=0.25 + 0.05 * (i % 6)))
             return pd.Series(out)
 
         return df.select(F.col(id_col),

@@ -3121,10 +3121,10 @@ def multimodal_decode_real(spark, sf_dir):
 
 
 # rows-only: REAL audio path — payloads cycling five containers
-# (RIFF/WAVE PCM16, G.711 mu-law, IMA ADPCM, IEEE float32, plus
-# zero-spectrum MP3 streams walked by the MPEG frame layer) parsed by
-# the pure-numpy walkers + codecs, chunked at each container's own
-# sample rate with rms/peak energies.
+# (RIFF/WAVE PCM16, G.711 mu-law, IMA ADPCM, IEEE float32, plus MP3
+# streams run through the full Layer III PCM decoder, operators/mp3.py)
+# parsed by the pure-numpy walkers + codecs, chunked at each
+# container's own sample rate with rms/peak energies.
 @register("multimodal_audio_chunks_real", None)
 def multimodal_audio_real(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -3136,6 +3136,28 @@ def multimodal_audio_real(spark, sf_dir):
     for p in parts[1:]:
         allp = allp.unionByName(p)
     return multimodal.chunk_audio(allp, chunk_seconds=0.1)
+
+
+# rows-only: full MPEG-1 Layer III PCM decode end-to-end in Spark —
+# payloads are REAL-spectrum tone MP3s from the conformant encoder
+# (operators/mp3.py encode_mp3_tone, id-keyed pitch/amplitude/channel
+# count), decoded per-doc by the complete chain (side info, scale-
+# factors, Huffman, requantization, IMDCT, polyphase synthesis) inside
+# chunk_audio's Arrow-batched mapInPandas. No SQL oracle (DuckDB has
+# no MP3 decoder); the decode itself is pinned by tests/test_mp3.py
+# (round-trip SNR, golden bytes) and the per-chunk RMS here is gated
+# against the known tone amplitude in tests/test_multimodal.py.
+# Corpus is every 5th doc: the encoder runs per row, so the query
+# measures decode throughput, not fixture-generation time.
+@register("multimodal_mp3_decode_real", None)
+def multimodal_mp3_decode_real(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    payloads = multimodal.attach_fake_payloads(d, media="mp3_tone")
+    chunks = multimodal.chunk_audio(payloads, chunk_seconds=0.024)
+    return chunks.select(
+        "doc_id", "chunk_index", "n_samples",
+        F.round("rms", 5).alias("rms"),
+        F.round("peak", 5).alias("peak"))
 
 
 # ORACLE-EXACT even though DuckDB can't parse MP3: the corpus is
