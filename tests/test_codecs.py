@@ -864,13 +864,15 @@ class TestMp3Stream:
         assert pcm.dtype == np.float32 and len(pcm) == 12 * 1152
         assert not pcm.any()
 
-    def test_nonzero_spectrum_refuses_loudly(self):
+    def test_nonzero_spectrum_exits_the_fast_path(self):
         s = bytearray(C.build_mp3_stream(3))
         # set granule 0 part2_3_length (first 12 bits after the 9-bit
         # main_data_begin + 5 private + 4 scfsi = bit 18 of side info)
         side = 4
         s[side + 2] |= 0x08               # a bit inside part2_3_length
-        with pytest.raises(NotImplementedError, match="Huffman"):
+        # the zero-spectrum fast path refuses and points at the full
+        # decoder (operators/mp3.py), which owns spectral frames now
+        with pytest.raises(NotImplementedError, match="decode_mp3"):
             C.parse_mp3_silence(bytes(s))
 
     def test_mpeg2_and_layer1_frame_geometry(self):

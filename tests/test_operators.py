@@ -2148,6 +2148,64 @@ class TestEditDistancePairs:
         assert out == []  # both excluded by the length guard
 
 
+class TestBloomFilter:
+    """Bloom-filter guarantees (operators/sketch.py bloom_build /
+    bloom_screen): no false negatives, shard mergeability, sane false
+    positives at the design load, determinism of the seeded md5 bits.
+    The end-to-end screen is also oracle-exact vs DuckDB
+    (bloom_incremental_screen in the registry)."""
+
+    def test_no_false_negatives(self, spark, documents):
+        from xdlake_spark.operators import sketch
+        hist = documents.filter(F.col("doc_id") % 3 != 0)
+        bloom = sketch.bloom_build(hist.select("text"), "text",
+                                   k=3, m_bits=4096)
+        out = sketch.bloom_screen(
+            bloom, documents.select("doc_id", "text"), "text",
+            k=3, m_bits=4096).collect()
+        members = {r["doc_id"] for r in out if r["doc_id"] % 3 != 0}
+        flagged = {r["doc_id"] for r in out if r["maybe_present"]}
+        assert members <= flagged          # never miss a member
+
+    def test_shards_merge_to_the_full_filter(self, spark, documents):
+        from xdlake_spark.operators import sketch
+        full = sketch.bloom_build(documents.select("text"), "text",
+                                  k=3, m_bits=2048)
+        a = sketch.bloom_build(
+            documents.filter(F.col("doc_id") % 2 == 0).select("text"),
+            "text", k=3, m_bits=2048)
+        b = sketch.bloom_build(
+            documents.filter(F.col("doc_id") % 2 == 1).select("text"),
+            "text", k=3, m_bits=2048)
+        merged = (a.unionByName(b).groupBy("word_i")
+                  .agg(F.expr("bit_or(bits)").alias("bits")))
+        f = {r["word_i"]: r["bits"] for r in full.collect()}
+        m = {r["word_i"]: r["bits"] for r in merged.collect()}
+        assert f == m
+
+    def test_false_positive_rate_at_design_load(self, spark):
+        from xdlake_spark.operators import sketch
+        # n=400 values into m=8192, k=3: theoretical FP ~ 0.3%
+        hist = spark.range(400).select(
+            F.concat(F.lit("member-"), F.col("id")).alias("v"))
+        probe = spark.range(4000).select(
+            F.concat(F.lit("novel-"), F.col("id")).alias("v"))
+        bloom = sketch.bloom_build(hist, "v", k=3, m_bits=8192)
+        out = sketch.bloom_screen(bloom, probe, "v",
+                                  k=3, m_bits=8192).collect()
+        fp = sum(1 for r in out if r["maybe_present"])
+        assert fp / len(out) < 0.02        # generous 6x headroom
+
+    def test_deterministic(self, spark, documents):
+        from xdlake_spark.operators import sketch
+        d = documents.limit(50).select("text")
+        a = sorted((r["word_i"], r["bits"]) for r in
+                   sketch.bloom_build(d, "text").collect())
+        b = sorted((r["word_i"], r["bits"]) for r in
+                   sketch.bloom_build(d, "text").collect())
+        assert a == b
+
+
 class TestHeavyHitters:
     """Misra-Gries guarantees: estimates never overcount, true counts
     lie within [est, est + max_err], and every sufficiently-frequent

@@ -621,6 +621,77 @@ class TestConstraints:
         assert DeltaTable(spark, f"{tmp_table_dir}/t").version == t.version
 
 
+class TestColumnDefaults:
+    """Delta allowColumnDefaults writer feature (table.py
+    set_column_default / drop_column_default): constant DEFAULT fills
+    omitted columns on write; the DDL commit declares the feature."""
+
+    def _table(self, spark, loc):
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)],
+            "id long, name string, score int")
+        return DeltaTable(spark, loc).write(df)
+
+    def test_default_fills_omitted_column(self, spark, tmp_table_dir):
+        t = self._table(spark, f"{tmp_table_dir}/t")
+        t = t.set_column_default("score", "42")
+        assert t.column_defaults == {"score": "42"}
+        t = t.write(spark.createDataFrame([(3, "c")],
+                                          "id long, name string"))
+        got = {r["id"]: r["score"] for r in t.to_df().collect()}
+        assert got == {1: 10, 2: 20, 3: 42}
+
+    def test_protocol_declares_feature(self, spark, tmp_table_dir):
+        t = self._table(spark, f"{tmp_table_dir}/t")
+        t = t.set_column_default("name", "'anon'")
+        proto = t.log.protocol()
+        assert proto.minWriterVersion == 7
+        assert "allowColumnDefaults" in \
+            (proto.extra or {}).get("writerFeatures", [])
+
+    def test_persists_across_handles(self, spark, tmp_table_dir):
+        t = self._table(spark, f"{tmp_table_dir}/t")
+        t.set_column_default("name", "'anon'")
+        t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
+        assert t2.column_defaults == {"name": "'anon'"}
+        t2 = t2.write(spark.createDataFrame([(5, 50)],
+                                            "id long, score int"))
+        names = {r["id"]: r["name"] for r in t2.to_df().collect()}
+        assert names[5] == "anon"
+
+    def test_drop_default_restores_strictness(self, spark,
+                                              tmp_table_dir):
+        t = self._table(spark, f"{tmp_table_dir}/t")
+        t = t.set_column_default("score", "42")
+        t = t.drop_column_default("score")
+        assert t.column_defaults == {}
+        # without the default, omission is a schema mismatch again
+        with pytest.raises(ValueError, match="[Ss]chema"):
+            t.write(spark.createDataFrame([(9, "x")],
+                                          "id long, name string"))
+
+    def test_rejects_column_references(self, spark, tmp_table_dir):
+        t = self._table(spark, f"{tmp_table_dir}/t")
+        with pytest.raises(ValueError, match="constant"):
+            t.set_column_default("score", "id + 1")
+
+    def test_rejects_unknown_and_generated(self, spark, tmp_table_dir):
+        t = self._table(spark, f"{tmp_table_dir}/t")
+        with pytest.raises(ValueError, match="Unknown column"):
+            t.set_column_default("nope", "1")
+        with pytest.raises(ValueError, match="No DEFAULT"):
+            t.drop_column_default("score")
+
+    def test_explicit_value_beats_default(self, spark, tmp_table_dir):
+        t = self._table(spark, f"{tmp_table_dir}/t")
+        t = t.set_column_default("score", "42")
+        t = t.write(spark.createDataFrame([(7, "g", 77)],
+                                          "id long, name string, "
+                                          "score int"))
+        got = {r["id"]: r["score"] for r in t.to_df().collect()}
+        assert got[7] == 77
+
+
 class TestCommitRetry:
     def test_append_retries_past_conflict(self, spark, tmp_table_dir):
         pdf = gen_pdf()

@@ -370,3 +370,72 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame,
     return (joined.groupBy(*candidates.columns)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("cms_est")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the incremental-ingest membership screen
+# ---------------------------------------------------------------------------
+
+def _bloom_bits(df: DataFrame, value_col: str, k: int,
+                m_bits: int) -> DataFrame:
+    """Fan each value out to its ``k`` bloom bit addresses:
+    ``pos_i = md5("i:value")[:13 hex] % m_bits`` (the same seeded
+    portable hash as the CMS — DuckDB reproduces it bit-for-bit),
+    packed as ``(word_i = pos div 32, mask = 1 << pos % 32)``. The
+    payload is 32 bits inside a BIGINT so shifted masks stay positive
+    in BOTH engines (no sign-bit divergence at bit 63)."""
+    hashes = F.explode(F.array(*[F.lit(i) for i in range(k)]))
+    seeded = F.concat(F.col("hash_i").cast("string"), F.lit(":"),
+                      F.col(value_col))
+    pos = F.pmod(F.conv(F.substring(F.md5(seeded), 1, _CMS_MD5_CHARS),
+                        16, 10).cast("long"), F.lit(m_bits))
+    return (df.withColumn("hash_i", hashes)
+            .withColumn("__pos", pos)
+            .withColumn("word_i", F.expr("__pos div 32"))
+            .withColumn("mask",
+                        F.expr("shiftleft(1L, cast(__pos % 32 as int))")))
+
+
+def bloom_build(items: DataFrame, value_col: str, k: int = 3,
+                m_bits: int = 4096) -> DataFrame:
+    """Build a Bloom filter over a value column as a ``(word_i, bits)``
+    word table — the membership screen an incremental ingest runs
+    against the historical corpus before paying for exact dedup.
+
+    One pass: each value fans out to ``k`` bit addresses (a generator
+    explode, still narrow), then ONE partial-aggregated ``bit_or``
+    groupBy whose result is at most ``m_bits/32`` rows — the whole
+    filter — independent of corpus cardinality. Like the CMS, that
+    fixed size is the 100 TB point: filters from different days/shards
+    merge by ``union + bit_or``, and the finished filter BROADCASTS to
+    any probe join. Standard sizing: ``m_bits ~ 14.4 * n`` for ~0.1%
+    false positives at ``k = 10``; the defaults here are test-scale.
+
+    Guarantee (pinned in tests + the oracle-exact registry query
+    ``bloom_incremental_screen``): NO false negatives — a value that
+    was inserted always probes ``maybe_present = true``.
+    """
+    return (_bloom_bits(items.select(F.col(value_col)), value_col,
+                        k, m_bits)
+            .groupBy("word_i")
+            .agg(F.expr("bit_or(mask)").alias("bits")))
+
+
+def bloom_screen(bloom: DataFrame, candidates: DataFrame,
+                 value_col: str, k: int = 3,
+                 m_bits: int = 4096) -> DataFrame:
+    """Probe each candidate against a built filter: ``maybe_present``
+    iff ALL ``k`` addressed bits are set. ``false`` is definitive (the
+    row is certainly new — skip exact dedup entirely); ``true`` routes
+    the row to the exact path. The filter side (``<= m_bits/32`` rows)
+    is broadcast; candidates stream through with one narrow fan-out
+    and a per-candidate count — no shuffle of the candidate table
+    beyond the final regroup."""
+    probes = _bloom_bits(candidates, value_col, k, m_bits)
+    joined = probes.join(F.broadcast(bloom), "word_i", "left")
+    hit = (F.col("bits").isNotNull()
+           & (F.col("bits").bitwiseAND(F.col("mask"))
+              == F.col("mask")))
+    return (joined.groupBy(*candidates.columns)
+            .agg((F.sum(F.when(hit, 1).otherwise(0)) == F.lit(k))
+                 .alias("maybe_present")))

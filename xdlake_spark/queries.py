@@ -1193,6 +1193,35 @@ def delta_schema_evolution(spark, sf_dir):
     return t.to_df()
 
 
+@register("delta_column_defaults", """
+SELECT doc_id, lang, source FROM documents WHERE doc_id % 4 = 0
+UNION ALL
+SELECT doc_id, lang, 'backfill' AS source
+FROM documents WHERE doc_id % 4 = 1
+UNION ALL
+SELECT doc_id, 'und' AS lang, 'backfill' AS source
+FROM documents WHERE doc_id % 4 = 2
+ORDER BY doc_id
+""")
+def delta_column_defaults(spark, sf_dir):
+    """Column DEFAULT values end-to-end (table.py set_column_default /
+    drop_column_default — Delta's allowColumnDefaults writer feature):
+    a metadata-only commit stores a constant expression in the field's
+    CURRENT_DEFAULT metadata, after which writes may OMIT the column
+    and get the default instead of a schema-mismatch error. The query
+    appends three waves — full rows, rows missing `source`, rows
+    missing both `source` and `lang` — and scans the union back."""
+    from .table import DeltaTable
+    d = _t(spark, sf_dir, "documents")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        d.filter("doc_id % 4 = 0").select("doc_id", "lang", "source"))
+    t = (t.set_column_default("source", "'backfill'")
+         .write(d.filter("doc_id % 4 = 1").select("doc_id", "lang")))
+    t = (t.set_column_default("lang", "'und'")
+         .write(d.filter("doc_id % 4 = 2").select("doc_id")))
+    return t.to_df().orderBy("doc_id")
+
+
 @register("delta_column_mapping_ddl", """
 SELECT doc_id, lang AS language, CAST(NULL AS VARCHAR) AS origin
 FROM documents WHERE doc_id % 3 = 0
@@ -5218,6 +5247,60 @@ def cms_heavy_hitters_q(spark, sf_dir):
                        (F.col("cms_est") - F.col("exact_n"))
                        .alias("overestimate"))
             .orderBy("tok"))
+
+
+@register("bloom_incremental_screen", """
+WITH hist AS (
+  SELECT text FROM documents WHERE doc_id % 3 <> 0
+), words AS (
+  SELECT pos // 32 AS word_i,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM (
+    SELECT ('0x' || substring(md5(CAST(t.i AS VARCHAR) || ':' || text),
+                              1, 13))::BIGINT % 4096 AS pos
+    FROM hist CROSS JOIN range(3) t(i)
+  ) GROUP BY 1
+), probe AS (
+  SELECT d.doc_id,
+         ('0x' || substring(md5(CAST(t.i AS VARCHAR) || ':' || d.text),
+                            1, 13))::BIGINT % 4096 AS pos
+  FROM documents d CROSS JOIN range(3) t(i)
+), screened AS (
+  SELECT p.doc_id,
+         (count(*) FILTER (WHERE w.bits IS NOT NULL
+            AND (w.bits & (1::BIGINT << CAST(p.pos % 32 AS INT)))
+                = (1::BIGINT << CAST(p.pos % 32 AS INT))) = 3)
+           AS maybe_present
+  FROM probe p LEFT JOIN words w ON w.word_i = p.pos // 32
+  GROUP BY p.doc_id
+)
+SELECT s.doc_id, s.maybe_present,
+       (d.doc_id % 3 <> 0) AS in_history
+FROM screened s JOIN documents d USING (doc_id)
+ORDER BY s.doc_id
+""")
+def bloom_incremental_screen_q(spark, sf_dir):
+    """Bloom-filter membership screen end to end (operators/sketch.py
+    bloom_build / bloom_screen): the historical corpus (docs with
+    doc_id % 3 != 0) builds a fixed-size mergeable word table; every
+    incoming doc probes it. ``in_history`` rides along so the no-
+    false-negatives guarantee is VISIBLE in the output (every
+    in_history row has maybe_present = true; the few false positives
+    among the new docs are the filter's documented trade). The seeded
+    md5 bit addresses are reproduced bit-for-bit by the DuckDB oracle
+    — deterministic filter, oracle-exact query. This is the screen an
+    incremental ingest runs before paying for exact dedup: a
+    maybe_present=false row skips the exact path entirely."""
+    d = _t(spark, sf_dir, "documents")
+    hist = d.filter(F.col("doc_id") % 3 != 0)
+    bloom = sketch.bloom_build(hist.select("text"), "text",
+                               k=3, m_bits=4096)
+    screened = sketch.bloom_screen(
+        bloom, d.select("doc_id", "text"), "text", k=3, m_bits=4096)
+    return (screened
+            .select("doc_id", "maybe_present",
+                    (F.col("doc_id") % 3 != 0).alias("in_history"))
+            .orderBy("doc_id"))
 
 
 @register("hybrid_rrf_ranking", r"""

@@ -1476,6 +1476,113 @@ class DeltaTable:
             self.version, custom_metadata)
         return self._commit(entry)
 
+    # -- column defaults -------------------------------------------------------
+
+    @property
+    def column_defaults(self) -> dict[str, str]:
+        """Active column DEFAULTs: name -> SQL expression, from the
+        field metadata key ``CURRENT_DEFAULT`` (the Delta
+        ``allowColumnDefaults`` feature's storage, shared with Spark's
+        own DEFAULT implementation)."""
+        if self.schema is None:
+            return {}
+        out: dict[str, str] = {}
+        for f in self.schema.fields:
+            d = (f.metadata or {}).get("CURRENT_DEFAULT")
+            if d is not None:
+                out[f.name] = d
+        return out
+
+    def set_column_default(self, column: str, expr: str,
+                           custom_metadata: dict | None = None
+                           ) -> "DeltaTable":
+        """ALTER TABLE ALTER COLUMN SET DEFAULT — Delta's
+        ``allowColumnDefaults`` writer feature: a metadata-only commit
+        records a constant SQL expression in the field's
+        ``CURRENT_DEFAULT`` metadata; every subsequent :meth:`write`
+        that omits the column fills it with the default instead of
+        NULL. Per the spec (and Spark), the expression must be
+        CONSTANT — column references are rejected at DDL time by
+        analyzing it against a zero-column plan. Defaults only apply
+        to columns that already existed when rows were written
+        (existence defaults — backfilling an added column — are
+        explicitly unsupported by the Delta feature). Generated and
+        identity columns already have a writer-supplied value, so a
+        default on one is contradictory and refused."""
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        import dataclasses
+
+        from .log.schema import schema_to_string
+        names = [f.name for f in self.schema.fields]
+        if column not in names:
+            raise ValueError(f"Unknown column: {column!r}")
+        if column in self._generated_columns():
+            raise ValueError(
+                f"column {column!r} is a generated column — its value "
+                "is always computed; a DEFAULT would never apply")
+        if column in self._identity_columns():
+            raise ValueError(
+                f"column {column!r} is an identity column — its value "
+                "is always generated; a DEFAULT would never apply")
+        # constant-fold check: analyze against a columnless plan so any
+        # column reference fails resolution, then cast to the column
+        # type so an incompatible default is refused now, not at write
+        try:
+            self.spark.sql(f"SELECT CAST(({expr}) AS "
+                           f"{self.schema[column].dataType.simpleString()})"
+                           ).collect()
+        except Exception as exc:
+            raise ValueError(
+                f"DEFAULT for {column!r} must be a constant expression "
+                f"castable to {self.schema[column].dataType.simpleString()}"
+                f": {expr!r} ({exc})") from None
+        fields = []
+        for f in self.schema.fields:
+            if f.name == column:
+                fmeta = dict(f.metadata or {})
+                fmeta["CURRENT_DEFAULT"] = expr
+                f = T.StructField(f.name, f.dataType, f.nullable, fmeta)
+            fields.append(f)
+        md = self.log.metadata()
+        md = dataclasses.replace(
+            md, schemaString=schema_to_string(T.StructType(fields)))
+        entry = properties_table_entry(
+            md, "ALTER COLUMN", {"column": column, "default": expr},
+            self.version, custom_metadata)
+        up = self._feature_protocol_action(set(),
+                                           {"allowColumnDefaults"})
+        if up is not None:
+            entry.actions.insert(0, up)
+        return self._commit(entry)
+
+    def drop_column_default(self, column: str,
+                            custom_metadata: dict | None = None
+                            ) -> "DeltaTable":
+        """ALTER TABLE ALTER COLUMN DROP DEFAULT (metadata-only; the
+        feature stays declared — spec features are one-way)."""
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        if column not in self.column_defaults:
+            raise ValueError(f"No DEFAULT on column: {column!r}")
+        import dataclasses
+
+        from .log.schema import schema_to_string
+        fields = []
+        for f in self.schema.fields:
+            if f.name == column:
+                fmeta = dict(f.metadata or {})
+                expr = fmeta.pop("CURRENT_DEFAULT")
+                f = T.StructField(f.name, f.dataType, f.nullable, fmeta)
+            fields.append(f)
+        md = self.log.metadata()
+        md = dataclasses.replace(
+            md, schemaString=schema_to_string(T.StructType(fields)))
+        entry = properties_table_entry(
+            md, "ALTER COLUMN", {"column": column, "dropDefault": expr},
+            self.version, custom_metadata)
+        return self._commit(entry)
+
     def _invariants(self) -> dict[str, str]:
         """Column invariants (legacy writer-v2 feature): schema field
         metadata ``delta.invariants`` holds
@@ -1755,6 +1862,15 @@ class DeltaTable:
             if c not in provided_cols:
                 df = df.withColumn(
                     c, F.expr(e).cast(self.schema[c].dataType))
+        # column DEFAULTs (allowColumnDefaults): omitted columns fill
+        # with their constant default BEFORE schema evaluation — a
+        # default makes the omission legal where it would otherwise be
+        # a schema mismatch
+        if self.log:
+            for c, e in sorted(self.column_defaults.items()):
+                if c not in provided_cols:
+                    df = df.withColumn(
+                        c, F.expr(e).cast(self.schema[c].dataType))
         # identity columns: generate omitted values past the watermark,
         # validate explicit ones (also pre-schema-evaluation)
         df, id_touched = self._generate_identity(df, provided_cols) \
@@ -2094,6 +2210,7 @@ class DeltaTable:
          "typeWidening",      # widen_column DDL + upcast-on-scan
          "typeWidening-preview",
          "clustering",        # CLUSTER BY domain + clustered OPTIMIZE
+         "allowColumnDefaults",  # CURRENT_DEFAULT fill on write
          })
 
     #: Features we can commit under only when the table doesn't
