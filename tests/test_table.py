@@ -10,6 +10,7 @@ import os
 import pandas as pd
 import pyarrow as pa
 import pytest
+from pyspark.sql import functions as F
 
 from xdlake_spark import CommitConflictError, DeltaTable
 from xdlake_spark.log import DeltaLog
@@ -690,6 +691,81 @@ class TestColumnDefaults:
                                           "score int"))
         got = {r["id"]: r["score"] for r in t.to_df().collect()}
         assert got[7] == 77
+
+
+class TestTypeFeatures:
+    """Schema-driven protocol features (table.py _ensure_type_features):
+    a schema containing timestamp_ntz or variant must declare the
+    matching table feature on BOTH protocol sides per the Delta spec —
+    silently committing under (1,2) would let conforming readers that
+    lack the type misread the table."""
+
+    def _features(self, t):
+        p = t.log.protocol()
+        extra = p.extra or {}
+        return (p.minReaderVersion, p.minWriterVersion,
+                set(extra.get("readerFeatures") or []),
+                set(extra.get("writerFeatures") or []))
+
+    def test_variant_create_declares_feature(self, spark,
+                                             tmp_table_dir):
+        df = spark.sql("SELECT id, parse_json(concat('{\"k\":', id, "
+                       "'}')) AS v FROM range(5)")
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(df)
+        mr, mw, rf, wf = self._features(t)
+        assert (mr, mw) == (3, 7)
+        assert "variantType" in rf and "variantType" in wf
+        got = sorted(
+            (r["id"], r["k"]) for r in t.to_df().select(
+                "id", F.expr("variant_get(v, '$.k', 'long')")
+                .alias("k")).collect())
+        assert got == [(i, i) for i in range(5)]
+
+    def test_ntz_create_declares_feature(self, spark, tmp_table_dir):
+        df = spark.sql(
+            "SELECT id, timestamp_ntz'2024-01-01 00:00:00' AS ts "
+            "FROM range(3)")
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(df)
+        _, _, rf, wf = self._features(t)
+        assert "timestampNtz" in rf and "timestampNtz" in wf
+
+    def test_plain_table_stays_legacy(self, spark, tmp_table_dir):
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(
+            spark.range(3))
+        mr, mw, rf, wf = self._features(t)
+        assert (mr, mw) == (1, 2) and not rf and not wf
+
+    def test_evolution_into_variant_upgrades(self, spark,
+                                             tmp_table_dir):
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(
+            spark.range(3))
+        t = t.write(spark.sql("SELECT id, parse_json('1') AS j "
+                              "FROM range(2)"), schema_mode="merge")
+        _, _, rf, wf = self._features(t)
+        assert "variantType" in rf and "variantType" in wf
+        # legacy (1,2)-implied features enumerated per the upgrade rule
+        assert {"appendOnly", "invariants"} <= wf
+
+    def test_variant_add_has_no_stats_but_counts_scan(self, spark,
+                                                      tmp_table_dir):
+        # pyarrow can't parse the variant footer -> the add commits
+        # stats-less (spec-legal); count() must fall back to a scan
+        # and still be right, and delete must work
+        df = spark.sql("SELECT id, parse_json(concat('[', id, ']')) "
+                       "AS v FROM range(10)")
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(df)
+        adds = t.log.add_actions()
+        assert any(a.stats is None for a in adds.values())
+        assert t.count() == 10
+        t = t.delete("id >= 7")
+        assert t.count() == 7
+
+    def test_nested_variant_detected(self, spark, tmp_table_dir):
+        df = spark.sql("SELECT id, array(parse_json('2')) AS arr "
+                       "FROM range(2)")
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(df)
+        _, _, rf, wf = self._features(t)
+        assert "variantType" in rf and "variantType" in wf
 
 
 class TestCommitRetry:

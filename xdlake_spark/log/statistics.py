@@ -67,6 +67,21 @@ class Statistics:
         return cls.from_parquet_metadata(md)
 
     @classmethod
+    def try_from_parquet_file(cls, path: str,
+                              filesystem=None) -> "Statistics | None":
+        """Like :meth:`from_parquet_file` but returns None when the
+        footer cannot be parsed by pyarrow at all — e.g. Spark's
+        VARIANT logical type, which pyarrow's thrift reader does not
+        yet recognize. ``add.stats`` is optional in the Delta spec, so
+        the add is committed without stats (skipping and metadata-only
+        counts degrade to scans for that file, never to wrong
+        answers)."""
+        try:
+            return cls.from_parquet_file(path, filesystem=filesystem)
+        except Exception:
+            return None
+
+    @classmethod
     def from_parquet_metadata(cls, md) -> "Statistics":
         """Fold row-group footer stats into file-level stats
         (reference statistics.py:14-36)."""

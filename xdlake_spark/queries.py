@@ -1193,6 +1193,45 @@ def delta_schema_evolution(spark, sf_dir):
     return t.to_df()
 
 
+@register("delta_variant_json", """
+SELECT doc_id,
+       lang                        AS v_lang,
+       CAST(n_chars AS BIGINT)     AS v_chars,
+       (n_chars > 500)             AS v_long
+FROM documents WHERE doc_id % 7 = 0
+ORDER BY doc_id
+""")
+def delta_variant_json(spark, sf_dir):
+    """VARIANT columns through the full table lifecycle (Delta's
+    variantType feature): semi-structured JSON parsed into Spark's
+    native VariantType, written to a delta table (the creating commit
+    auto-declares variantType on both protocol sides — table.py
+    _ensure_type_features; pyarrow can't parse the variant footer, so
+    the add commits without stats, which the spec allows), scanned
+    back, and shredded with variant_get. The oracle recomputes the
+    same fields relationally from the source columns."""
+    from .table import DeltaTable
+    d = _t(spark, sf_dir, "documents").filter("doc_id % 7 = 0")
+    j = d.select(
+        "doc_id",
+        F.parse_json(F.to_json(F.struct(
+            F.col("lang"), F.col("n_chars"),
+            (F.col("n_chars") > 500).alias("long")))).alias("v"))
+    t = DeltaTable(spark, _delta_tmp()).write(j)
+    proto = t.log.protocol()
+    feats = set((proto.extra or {}).get("writerFeatures") or [])
+    assert "variantType" in feats, "variantType must be declared"
+    return (t.to_df()
+            .select("doc_id",
+                    F.expr("variant_get(v, '$.lang', 'string')")
+                    .alias("v_lang"),
+                    F.expr("variant_get(v, '$.n_chars', 'long')")
+                    .alias("v_chars"),
+                    F.expr("variant_get(v, '$.long', 'boolean')")
+                    .alias("v_long"))
+            .orderBy("doc_id"))
+
+
 @register("delta_column_defaults", """
 SELECT doc_id, lang, source FROM documents WHERE doc_id % 4 = 0
 UNION ALL

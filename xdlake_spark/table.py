@@ -53,6 +53,7 @@ from .log import (
     properties_table_entry,
     restore_table_entry,
     TableCommit,
+    TableMetadata,
     timestamp_ms,
     update_table_entry,
 )
@@ -286,6 +287,8 @@ class DeltaTable:
          "vacuumProtocolCheck",  # reader side is a spec'd no-op
          "typeWidening",         # integer/float upcasts on scan
          "typeWidening-preview",
+         "variantType",          # Spark-native variant scan
+         "variantType-preview",
          })
 
     def _check_reader_protocol(self) -> None:
@@ -2155,7 +2158,7 @@ class DeltaTable:
 
     def _add_for_relpath(self, rel: str) -> Add:
         loc = self.location.join(rel)
-        stats = Statistics.from_parquet_file(loc.path)
+        stats = Statistics.try_from_parquet_file(loc.path)
         pvals = {}
         for seg in rel.split("/")[:-1]:
             if "=" in seg:
@@ -2166,7 +2169,8 @@ class DeltaTable:
                 pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
         return Add(path=rel, size=loc.file_size(),
                    modificationTime=timestamp_ms(),
-                   partitionValues=pvals, stats=stats.to_json())
+                   partitionValues=pvals,
+                   stats=stats.to_json() if stats is not None else None)
 
     def commit_context(self, version: int):
         """Overridable concurrency guard around a commit (reference
@@ -2211,6 +2215,8 @@ class DeltaTable:
          "typeWidening-preview",
          "clustering",        # CLUSTER BY domain + clustered OPTIMIZE
          "allowColumnDefaults",  # CURRENT_DEFAULT fill on write
+         "variantType",       # Spark-native variant physical layout
+         "variantType-preview",
          })
 
     #: Features we can commit under only when the table doesn't
@@ -2290,7 +2296,72 @@ class DeltaTable:
                     f"{used}; this engine cannot maintain it — refusing "
                     "to commit.")
 
+    def _ensure_type_features(self, entry: DeltaLogEntry) -> None:
+        """Delta spec: a schema containing ``timestamp_ntz`` or
+        ``variant`` (anywhere, including nested) requires the
+        ``timestampNtz`` / ``variantType`` table feature on BOTH
+        protocol sides — committing such a metaData under a plain
+        (1,2) protocol is a spec violation (conforming readers that
+        lack the type would misread). Inspects any TableMetadata this
+        entry declares and attaches/merges the protocol upgrade."""
+        mds = [a for a in entry.actions if isinstance(a, TableMetadata)]
+        if not mds:
+            return
+        from .log.schema import schema_from_string
+        need: set = set()
+        type_feats = [(T.TimestampNTZType, "timestampNtz")]
+        if hasattr(T, "VariantType"):
+            type_feats.append((T.VariantType, "variantType"))
+
+        def walk(dt):
+            for cls, feat in type_feats:
+                if isinstance(dt, cls):
+                    need.add(feat)
+            if isinstance(dt, T.StructType):
+                for f in dt.fields:
+                    walk(f.dataType)
+            elif isinstance(dt, T.ArrayType):
+                walk(dt.elementType)
+            elif isinstance(dt, T.MapType):
+                walk(dt.keyType)
+                walk(dt.valueType)
+
+        for md in mds:
+            walk(schema_from_string(md.schemaString))
+        if not need:
+            return
+        protos = [a for a in entry.actions if isinstance(a, Protocol)]
+        if self.log and not protos:
+            up = self._feature_protocol_action(need, need)
+            if up is not None:
+                entry.actions.insert(0, up)
+            return
+        if protos:
+            # merge into the entry's own protocol action (create path's
+            # default, or one attached by another feature this commit)
+            p = protos[0]
+            extra = dict(p.extra or {})
+            rf = set(extra.get("readerFeatures") or [])
+            wf = set(extra.get("writerFeatures") or [])
+            if p.minWriterVersion >= 7 and need <= wf \
+                    and p.minReaderVersion >= 3 and need <= rf:
+                return
+            if p.minWriterVersion < 7:
+                for v, feats in self.LEGACY_WRITER_IMPLIED.items():
+                    if p.minWriterVersion >= v:
+                        wf |= feats
+            if p.minReaderVersion == 2:
+                rf |= {"columnMapping"}
+            rf |= need
+            wf |= need
+            idx = entry.actions.index(p)
+            np_ = Protocol(minReaderVersion=3, minWriterVersion=7)
+            np_.extra = {"readerFeatures": sorted(rf),
+                         "writerFeatures": sorted(wf)}
+            entry.actions[idx] = np_
+
     def _commit(self, entry: DeltaLogEntry) -> "DeltaTable":
+        self._ensure_type_features(entry)
         self._check_writer_protocol(entry)
         if entry.adds and (self.row_tracking_enabled
                            or self._row_tracking_supported):
