@@ -2148,6 +2148,30 @@ class TestEditDistancePairs:
         assert out == []  # both excluded by the length guard
 
 
+class TestKCenterSelect:
+    """Greedy k-center selection (operators/clustering.py
+    kcenter_select): seed determinism, monotone non-increasing
+    coverage radius (the greedy invariant), and selected ids distinct.
+    Exactness vs the unrolled-SQL twin is pinned by the registry
+    (`kcenter_coreset`, oracle-exact)."""
+
+    def test_greedy_invariants(self, spark, embeddings):
+        from xdlake_spark.operators.clustering import kcenter_select
+        rows = kcenter_select(embeddings, k=5).orderBy(
+            "sel_order").collect()
+        assert [r["sel_order"] for r in rows] == list(range(5))
+        ids = [r["id"] for r in rows]
+        assert len(set(ids)) == 5
+        # round 0 seeds at the lowest id; its radius is NULL
+        assert ids[0] == min(
+            r["vec_id"] for r in embeddings.select("vec_id").collect())
+        assert rows[0]["radius"] is None
+        radii = [r["radius"] for r in rows[1:]]
+        assert all(r is not None and r >= 0 for r in radii)
+        # the max-min coverage radius can only shrink as the set grows
+        assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
 class TestBloomFilter:
     """Bloom-filter guarantees (operators/sketch.py bloom_build /
     bloom_screen): no false negatives, shard mergeability, sane false

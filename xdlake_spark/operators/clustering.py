@@ -234,3 +234,53 @@ def cluster_balanced_sample(df: DataFrame, n_clusters: int = 8,
     return (assigned.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= per_cluster)
             .drop("__rn"))
+
+
+def kcenter_select(df: DataFrame, k: int = 8,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Greedy k-center (farthest-point / "maximin") data selection —
+    the coreset construction behind diversity-driven training-data
+    selection (Sener & Savarese 2018's k-Center-Greedy): start from
+    the lowest-id vector, then repeatedly take the point that
+    maximizes the min squared distance to everything selected so far.
+    The greedy choice 2-approximates the optimal k-center cover, and
+    the per-round max-min distance is the corpus' coverage radius —
+    returned so curators can read the diminishing-returns curve and
+    stop at the knee.
+
+    Returns ``(sel_order, id, radius)``: selection order (0-based),
+    the chosen id, and the squared coverage radius at the moment of
+    selection (NULL for the seed row; rounded to 6 like every
+    cross-engine float here, and snapped BEFORE the argmax so the
+    tie-break — smallest id — is bit-reproducible against the
+    unrolled-SQL oracle, `kcenter_coreset` in the registry).
+
+    Scale shape: one scan + TakeOrdered(1) per round — the chosen
+    vectors ride into the next round's plan as broadcast literals
+    (k x dim driver state, metadata-scale), so nothing but the
+    argmax row ever reaches the driver. Total work is O(k |corpus|)
+    dot products across k rounds; for the large-k regime, pre-reduce
+    with :func:`kmeans` and run the greedy over centroids (standard
+    two-level coreset), which this composes with directly.
+    """
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).alias("v"))
+    first = base.orderBy("id").limit(1).collect()
+    if not first:
+        raise ValueError("cannot select from an empty input")
+    spark = df.sparkSession
+    chosen = [np.asarray(list(first[0]["v"]), dtype="float64")]
+    out = [(0, int(first[0]["id"]), None)]
+    x2 = dot(F.col("v"), F.col("v"))
+    while len(chosen) < k:
+        d2s = [x2 - 2.0 * dot(F.col("v"), lit_vector(c))
+               + F.lit(_seq_self_dot(c)) for c in chosen]
+        d2min = F.round(d2s[0] if len(d2s) == 1 else F.least(*d2s), 6)
+        far = (base.select("id", "v", d2min.alias("__d2"))
+               .orderBy(F.col("__d2").desc(), F.col("id"))
+               .limit(1).collect())[0]
+        out.append((len(chosen), int(far["id"]), float(far["__d2"])))
+        chosen.append(np.asarray(list(far["v"]), dtype="float64"))
+    return spark.createDataFrame(
+        out, "sel_order int, id long, radius double")

@@ -2971,6 +2971,51 @@ def semantic_dedup_q(spark, sf_dir):
     return keep.select("vec_id")
 
 
+def _kcenter_oracle_sql(k: int) -> str:
+    """Unrolled greedy k-center twin (same technique as the pagerank
+    oracle): round i takes the argmax of round-i min-distances to the
+    selected set, distances snapped to 6 BEFORE the argmax exactly as
+    the Spark side does, ties to the smallest id."""
+    parts = ["WITH all_e AS (SELECT vec_id,"
+             " embedding::DOUBLE[] AS v FROM embeddings),",
+             "su0 AS (SELECT vec_id, v FROM all_e"
+             " ORDER BY vec_id LIMIT 1)"]
+    for i in range(1, k):
+        parts.append(f""", d{i} AS (
+  SELECT e.vec_id,
+         round(min(list_inner_product(e.v, e.v)
+                   - 2 * list_inner_product(e.v, s.v)
+                   + list_inner_product(s.v, s.v)), 6) AS d2
+  FROM all_e e CROSS JOIN su{i - 1} s GROUP BY e.vec_id
+), s{i} AS (
+  SELECT d.vec_id, a.v, d.d2 FROM d{i} d
+  JOIN all_e a USING (vec_id)
+  ORDER BY d.d2 DESC, d.vec_id LIMIT 1
+), su{i} AS (
+  SELECT vec_id, v FROM su{i - 1}
+  UNION ALL SELECT vec_id, v FROM s{i}
+)""")
+    finals = ["SELECT 0 AS sel_order, vec_id AS id,"
+              " CAST(NULL AS DOUBLE) AS radius FROM su0"]
+    finals += [f"SELECT {i} AS sel_order, vec_id AS id, d2 AS radius "
+               f"FROM s{i}" for i in range(1, k)]
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(finals) \
+        + "\nORDER BY sel_order"
+
+
+@register("kcenter_coreset", _kcenter_oracle_sql(6))
+def kcenter_coreset_q(spark, sf_dir):
+    """Greedy k-center coreset selection (operators/clustering.py
+    kcenter_select — Sener & Savarese's k-Center-Greedy): six rounds
+    of scan + TakeOrdered(1), chosen vectors riding as broadcast
+    literals, per-round coverage radius in the output so the
+    diminishing-returns curve is visible. Oracle: the unrolled
+    per-round SQL twin above, argmax-after-snap reproduced exactly."""
+    from .operators import clustering
+    e = _t(spark, sf_dir, "embeddings")
+    return clustering.kcenter_select(e, k=6).orderBy("sel_order")
+
+
 @register("embedding_assign_nearest", """
 WITH c AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
