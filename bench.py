@@ -132,6 +132,11 @@ HEADLINE = [
     "dedup_quality_keepers",
     "substring_dedup_clean",
     "customer_value_deciles_approx",
+    "bloom_incremental_screen",
+    "kcenter_coreset",
+    "multimodal_mp3_decode_real",
+    "delta_variant_json",
+    "delta_column_defaults",
 ]
 
 

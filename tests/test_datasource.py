@@ -40,6 +40,57 @@ class TestBatchFormat:
         assert df.filter("l_quantity > 25").count() == 0
 
 
+class TestBatchTimeTravel:
+    """versionAsOf / timestampAsOf reader options (delta-spark
+    parity): the batch reader pins the log replay — and the inferred
+    SCHEMA — at the requested version."""
+
+    def test_version_as_of(self, registered, tmp_table_dir, lineitem):
+        t = DeltaTable(registered, tmp_table_dir).write(
+            lineitem.limit(100))
+        t.write(lineitem.limit(300))
+        rd = registered.read.format("xdlake")
+        assert rd.option("versionAsOf", 0).load(
+            tmp_table_dir).count() == 100
+        assert rd.option("versionAsOf", 1).load(
+            tmp_table_dir).count() == 400
+        assert rd.load(tmp_table_dir).count() == 400
+
+    def test_timestamp_as_of(self, registered, tmp_table_dir,
+                             lineitem):
+        import time
+        t = DeltaTable(registered, tmp_table_dir).write(
+            lineitem.limit(100))
+        after_v0 = int(time.time() * 1000)
+        time.sleep(1.1)
+        t.write(lineitem.limit(300))
+        got = (registered.read.format("xdlake")
+               .option("timestampAsOf", after_v0)
+               .load(tmp_table_dir).count())
+        assert got == 100
+
+    def test_schema_pinned_at_version(self, registered, tmp_table_dir,
+                                      spark):
+        t = DeltaTable(registered, tmp_table_dir).write(spark.range(3))
+        t.write(spark.sql("SELECT id, id * 2 AS extra FROM range(2)"),
+                schema_mode="merge")
+        old = (registered.read.format("xdlake")
+               .option("versionAsOf", 0).load(tmp_table_dir))
+        assert old.columns == ["id"]
+
+    def test_option_validation(self, registered, tmp_table_dir,
+                               lineitem):
+        import pytest as _pytest
+        DeltaTable(registered, tmp_table_dir).write(lineitem.limit(10))
+        rd = registered.read.format("xdlake")
+        with _pytest.raises(Exception, match="mutually exclusive"):
+            (rd.option("versionAsOf", 0).option("timestampAsOf", 1)
+             .load(tmp_table_dir).count())
+        with _pytest.raises(Exception, match="no version committed"):
+            (registered.read.format("xdlake")
+             .option("timestampAsOf", 1).load(tmp_table_dir).count())
+
+
 class TestStreamingFormat:
     def test_incremental_tail(self, registered, tmp_table_dir, lineitem):
         li = lineitem.limit(300)

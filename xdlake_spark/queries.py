@@ -1446,6 +1446,28 @@ def delta_format_read(spark, sf_dir):
                     "l_returnflag"))
 
 
+@register("delta_format_time_travel", """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem WHERE l_linenumber = 1
+""")
+def delta_format_time_travel(spark, sf_dir):
+    """Batch time travel through the Spark format surface
+    (sources/datasource.py versionAsOf): version 0 holds only the
+    l_linenumber=1 rows, version 1 appends the rest; reading with
+    versionAsOf=0 must replay the pinned snapshot (and pin the
+    inferred schema), exactly like DeltaTable.load_as_version."""
+    from .sources.datasource import register as register_format
+    from .table import DeltaTable
+    register_format(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    loc = _delta_tmp()
+    t = DeltaTable(spark, loc).write(li.filter("l_linenumber = 1"))
+    t.write(li.filter("l_linenumber > 1"))
+    return (spark.read.format("xdlake").option("versionAsOf", 0)
+            .load(loc)
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
 @register("delta_merge_upsert", """
 WITH src AS (
   SELECT o_orderkey, o_totalprice * 2 AS new_price

@@ -457,8 +457,9 @@ class _XdlakeBatchReader(DataSourceReader):
     deletion bitmap indexes physical row positions — filtering first
     would misalign the mask."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, version: "int | None" = None):
         self.path = path
+        self.version = version
         self._nodes: list = []
         self._row_filters: list = []
 
@@ -499,7 +500,8 @@ class _XdlakeBatchReader(DataSourceReader):
         from ..plans.skipping import prune_with_nodes
         from .storage import Location
         log = DeltaLog.load(
-            Location.resolve(self.path).join("_delta_log"))
+            Location.resolve(self.path).join("_delta_log"),
+            version=self.version)
         if not log:
             return []
         loc = Location.resolve(self.path)
@@ -550,6 +552,46 @@ class XdlakeDataSource(DataSource):
     def _cdf(self) -> bool:
         return str(self.options.get("readChangeFeed", "false")
                    ).lower() == "true"
+
+    def _time_travel_version(self) -> "int | None":
+        """Batch time travel: ``versionAsOf`` / ``timestampAsOf``
+        reader options (delta-spark parity). Timestamps resolve to the
+        newest version committed at or before the target against the
+        log's own clock — in-commit timestamps, when present, are
+        authoritative (file mtimes drift under copies/restores)."""
+        v = self.options.get("versionAsOf")
+        ts = self.options.get("timestampAsOf")
+        if v is not None and ts is not None:
+            raise ValueError(
+                "versionAsOf and timestampAsOf are mutually exclusive")
+        if v is not None:
+            try:
+                return int(v)
+            except (TypeError, ValueError):
+                raise ValueError(f"invalid versionAsOf: {v!r}")
+        if ts is None:
+            return None
+        import datetime as _dt
+        try:
+            ms = int(ts)
+        except (TypeError, ValueError):
+            d = _dt.datetime.fromisoformat(str(ts))
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=_dt.timezone.utc)
+            ms = int(d.timestamp() * 1000)
+        from ..log import DeltaLog
+        from .storage import Location
+        log = DeltaLog.load(
+            Location.resolve(self._path()).join("_delta_log"))
+        best = None
+        for h in log.history(reverse=False):
+            t = h.get("inCommitTimestamp", h.get("timestamp"))
+            if t is not None and int(t) <= ms:
+                best = h["version"]
+        if best is None:
+            raise ValueError(
+                f"no version committed at or before timestampAsOf={ts!r}")
+        return best
 
     def _rate_limits(self) -> "tuple[int | None, int | None]":
         """Validated maxFilesPerTrigger / maxBytesPerTrigger — checked
@@ -604,7 +646,8 @@ class XdlakeDataSource(DataSource):
         from ..log import DeltaLog
         from .storage import Location
         log = DeltaLog.load(
-            Location.resolve(self._path()).join("_delta_log"))
+            Location.resolve(self._path()).join("_delta_log"),
+            version=self._time_travel_version())
         if not log:
             raise ValueError(f"No delta table at {self._path()}")
         cm = (log.metadata().configuration or {}).get(
@@ -628,7 +671,8 @@ class XdlakeDataSource(DataSource):
                 "readChangeFeed is a STREAMING option "
                 "(spark.readStream); for batch use "
                 "DeltaTable.change_feed(start, end)")
-        return _XdlakeBatchReader(self._path())
+        return _XdlakeBatchReader(self._path(),
+                                  version=self._time_travel_version())
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         skip = str(self.options.get("skipChangeCommits", "false")
