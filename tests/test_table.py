@@ -692,6 +692,20 @@ class TestColumnDefaults:
         got = {r["id"]: r["score"] for r in t.to_df().collect()}
         assert got[7] == 77
 
+    def test_merge_insert_fills_default(self, spark, tmp_table_dir):
+        t = self._table(spark, f"{tmp_table_dir}/t")
+        t = t.set_column_default("score", "42")
+        src = spark.createDataFrame([(2, "B"), (9, "i")],
+                                    "id long, name string")
+        t = t.merge(src, "t.id = s.id",
+                    when_matched_update={"name": "s.name"},
+                    when_not_matched_insert={"id": "s.id",
+                                             "name": "s.name"})
+        got = {r["id"]: (r["name"], r["score"])
+               for r in t.to_df().collect()}
+        assert got[2] == ("B", 20)        # update keeps existing score
+        assert got[9] == ("i", 42)        # insert fills the default
+
 
 class TestTypeFeatures:
     """Schema-driven protocol features (table.py _ensure_type_features):

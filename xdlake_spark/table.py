@@ -4039,11 +4039,16 @@ class DeltaTable:
 
         if when_not_matched_insert:
             anti = src.join(t, cond, "left_anti")
+            # column DEFAULTs apply to unassigned columns in the insert
+            # clause (delta-spark parity), before the null fallback
+            defaults = self.column_defaults
             ins = anti.select([
                 F.expr(when_not_matched_insert[c]).cast(
                     typ[c]).alias(c)
                 if c in when_not_matched_insert
-                else F.lit(None).cast(typ[c]).alias(c)
+                else (F.expr(defaults[c]).cast(typ[c]).alias(c)
+                      if c in defaults
+                      else F.lit(None).cast(typ[c]).alias(c))
                 for c in out_cols])
             # generated columns: COMPUTED for insert clauses that do
             # not assign them, verified for ones that do; identity
