@@ -312,6 +312,28 @@ class TestSimilaritySearch:
             assigned, cents, q, k=10, nprobe=4).collect()]
         assert len(set(half) & set(exact)) / 10 >= 0.9
 
+    def test_sq_recall_and_determinism(self, spark, embeddings):
+        """SQ-int8 (sq_train/sq_encode/sq_topk): codes in [0,255],
+        re-ranked shortlist recalls >= 0.9 of brute-force top-10, and
+        encode is deterministic. The approximate path's exactness is
+        pinned by the oracle (`similarity_sq_topk`)."""
+        bounds = similarity.sq_train(embeddings)
+        assert bounds.shape[0] == 2
+        codes = similarity.sq_encode(embeddings, bounds)
+        sample = codes.limit(20).collect()
+        for r in sample:
+            assert all(0 <= c <= 255 for c in r["sq_codes"])
+        exact = [r["vec_id"] for r in similarity.brute_force_topk(
+            embeddings, QUERY_VEC, k=10).collect()]
+        rer = [r["vec_id"] for r in similarity.sq_topk(
+            codes, bounds, QUERY_VEC, k=10,
+            vec_col="embedding").collect()]
+        assert len(set(rer) & set(exact)) / 10 >= 0.9
+        again = similarity.sq_encode(embeddings, bounds).limit(20) \
+            .collect()
+        assert [r["sq_codes"] for r in sample] \
+            == [r["sq_codes"] for r in again]
+
 
 class TestTextAnalysis:
     def test_analyze_matches_python(self, spark, documents):

@@ -330,3 +330,88 @@ def pq_topk(encoded: DataFrame, codebooks: np.ndarray, query_vec,
             .select(F.col(id_col), F.round(exact, 6).alias("adc_dist"))
             .orderBy(F.col("adc_dist").asc(), F.col(id_col))
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ-int8) — the simplest compressed-scan ANN tier
+# ---------------------------------------------------------------------------
+
+def sq_train(df: DataFrame, vec_col: str = "embedding") -> np.ndarray:
+    """Per-dimension (lo, hi) bounds for uint8 scalar quantization —
+    one posexplode + partial-aggregated min/max groupBy whose result is
+    2 x dim driver floats regardless of corpus size (min/max are
+    order-insensitive, so the bounds are exactly reproducible by any
+    engine). Returns a ``(2, dim)`` float64 array."""
+    rows = (df.select(F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.min(F.col("x").cast("double")).alias("lo"),
+                 F.max(F.col("x").cast("double")).alias("hi"))
+            .orderBy("pos").collect())
+    if not rows:
+        raise ValueError("cannot train SQ bounds on an empty input")
+    return np.array([[r["lo"] for r in rows],
+                     [r["hi"] for r in rows]], dtype="float64")
+
+
+def sq_encode(df: DataFrame, bounds: np.ndarray,
+              vec_col: str = "embedding",
+              code_col: str = "sq_codes") -> DataFrame:
+    """Attach the uint8 code array: ``floor((x - lo) * 255/(hi - lo)
+    + 0.5)`` clamped to [0, 255] (floor, not round: floor is
+    bit-identical across engines; a constant dimension encodes 0).
+    Pure JVM zip_with expressions — no Python, no shuffle; the encoded
+    table persists at 1 byte/dim instead of 4."""
+    lo, hi = bounds[0], bounds[1]
+    span = hi - lo
+    scale = np.where(span > 0, 255.0 / np.where(span > 0, span, 1.0),
+                     0.0)
+    shifted = F.zip_with(F.col(vec_col), lit_vector(lo),
+                         lambda x, l: x.cast("double") - l)
+    codes = F.zip_with(
+        shifted, lit_vector(scale),
+        lambda d, s: F.least(
+            F.lit(255),
+            F.greatest(F.lit(0),
+                       F.floor(d * s + F.lit(0.5)).cast("int"))))
+    return df.withColumn(code_col, codes)
+
+
+def sq_topk(encoded: DataFrame, bounds: np.ndarray, query_vec,
+            k: int = 10, id_col: str = "vec_id",
+            code_col: str = "sq_codes", vec_col: "str | None" = None,
+            oversample: int = 4) -> DataFrame:
+    """Asymmetric top-k over SQ codes: each row reconstructs
+    ``lo + code * span/255`` per dimension (two zip_with passes) and
+    takes the sequential dot with the query — the same left-to-right
+    fold DuckDB's list_inner_product runs, so the APPROXIMATE path is
+    itself oracle-exact (`similarity_sq_topk`), unusual for ANN. The
+    scan reads 1 byte/dim; TakeOrdered keeps k rows per partition.
+
+    With ``vec_col``, the standard shortlist + exact-cosine re-rank
+    refinement runs on ``k * oversample`` candidates (recall-gated in
+    tests like IVF/PQ). Output: ``(id, score)`` — approximate
+    reconstruction dot, or exact cosine when re-ranked."""
+    lo, hi = bounds[0], bounds[1]
+    span = hi - lo
+    step = np.where(span > 0, span / 255.0, 0.0)
+    q = np.asarray(query_vec, dtype="float64")
+    recon = F.zip_with(
+        F.zip_with(F.col(code_col), lit_vector(step),
+                   lambda c, s: c.cast("double") * s),
+        lit_vector(lo), lambda d, l: d + l)
+    approx = dot(recon, lit_vector(q))
+    base = ensure_parallelism(encoded)
+    if vec_col is None:
+        return (base.select(F.col(id_col),
+                            F.round(approx, 4).alias("score"))
+                .orderBy(F.col("score").desc(), F.col(id_col))
+                .limit(k))
+    shortlist = (base.select(F.col(id_col), F.col(vec_col),
+                             approx.alias("__a"))
+                 .orderBy(F.col("__a").desc(), F.col(id_col))
+                 .limit(k * oversample))
+    exact = cosine(F.col(vec_col), lit_vector(q))
+    return (shortlist.select(F.col(id_col),
+                             F.round(exact, 4).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))

@@ -3127,6 +3127,50 @@ def similarity_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
+@register("similarity_sq_topk", f"""
+WITH b AS (
+  SELECT t.i AS pos,
+         min(e.embedding[t.i + 1]::DOUBLE) AS lo,
+         max(e.embedding[t.i + 1]::DOUBLE) AS hi
+  FROM embeddings e CROSS JOIN range(64) t(i)
+  GROUP BY 1
+), bl AS (
+  SELECT list(lo ORDER BY pos) AS lo,
+         list(CASE WHEN hi > lo THEN (hi - lo) / 255.0
+              ELSE 0.0 END ORDER BY pos) AS step,
+         list(CASE WHEN hi > lo THEN 255.0 / (hi - lo)
+              ELSE 0.0 END ORDER BY pos) AS scale
+  FROM b
+), recon AS (
+  SELECT e.vec_id,
+         list_transform(range(1, 65), i ->
+           bl.lo[i] + bl.step[i] * least(255, greatest(0,
+             floor((e.embedding[i]::DOUBLE - bl.lo[i]) * bl.scale[i]
+                   + 0.5)))::INT) AS r
+  FROM embeddings e CROSS JOIN bl
+)
+SELECT vec_id,
+       round(list_inner_product({_QV_SQL}, r), 4) AS score
+FROM recon
+ORDER BY list_inner_product({_QV_SQL}, r) DESC, vec_id
+LIMIT 10
+""")
+def similarity_sq_topk_q(spark, sf_dir):
+    """Scalar quantization ANN end to end (operators/similarity.py
+    sq_train / sq_encode / sq_topk): per-dim min/max bounds (2 x dim
+    driver floats), floor-based uint8 encode (floor, not round —
+    bit-identical across engines), reconstruction-dot scoring over
+    1 byte/dim codes. The APPROXIMATE path is itself oracle-exact:
+    DuckDB rebuilds bounds, codes, and the sequential reconstruction
+    dot bit-for-bit — the quantizer is deterministic, so the only
+    'approximation' is information loss, not nondeterminism. The
+    recall of the re-ranked path is gated in test_operators.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    bounds = similarity.sq_train(e)
+    codes = similarity.sq_encode(e, bounds)
+    return similarity.sq_topk(codes, bounds, QUERY_VEC, k=10)
+
+
 @register("similarity_ivf_full_probe", f"""
 SELECT vec_id,
        round(list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 4)
