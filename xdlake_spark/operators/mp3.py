@@ -656,6 +656,12 @@ def decode_mp3(data: bytes) -> tuple:
     reservoir = b""
     synth = [_Synth() for _ in range(ch)]
     overlap = [np.zeros((32, 18)) for _ in range(ch)]
+    # silence fast path: while every filterbank/overlap state is still
+    # zero, an all-zero-spectrum frame (part2_3_length == 0 in every
+    # granule — what encoders emit for digital silence, and what
+    # codecs.build_mp3_stream synthesizes) decodes to exact zeros with
+    # no DSP; the first spectral frame clears the flag for good
+    state_clean = True
     out = []
     for off, size, _br_kbps in info["frames"]:
         h = _mp3_frame_header(data, off)
@@ -666,6 +672,12 @@ def decode_mp3(data: bytes) -> tuple:
             reservoir = (reservoir + frame_main)[-511:]
             continue                       # metadata frame: no audio
         mdb, scfsi, grs = _read_side_info(side, ch)
+        if state_clean and mdb == 0 and all(
+                g.part2_3_length == 0 for row in grs for g in row):
+            out.append(np.zeros((1152, ch), dtype=np.float32))
+            reservoir = (reservoir + frame_main)[-511:]
+            continue
+        state_clean = False
         if mdb > len(reservoir):
             reservoir = (reservoir + frame_main)[-511:]
             out.append(np.zeros((1152, ch), dtype=np.float32))
