@@ -2,6 +2,7 @@
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from xdlake_spark import DeltaTable
@@ -579,6 +580,79 @@ class TestCheckpointTxnAndLayouts:
         assert set(log.add_actions()) == {a.path for a in adds}
         assert log.latest_txn_version("foreign-stream") == 9
         assert DeltaTable(spark, tmp_table_dir).to_df().count() == 30
+
+
+class TestMetadataCleanup:
+    """cleanup_metadata() — delta.logRetentionDuration expiry: log
+    files strictly below the newest checkpoint AND older than the
+    retention window are deleted; everything at/after the checkpoint,
+    _last_checkpoint, and sidecars referenced by retained manifests
+    survive; replay-from-checkpoint and young-version time travel
+    keep working."""
+
+    def test_expires_and_reloads(self, spark, tmp_table_dir):
+        t = _build(spark, tmp_table_dir, 12)  # checkpoint at v10
+        n = t.count()
+        doomed = t.cleanup_metadata(retention_hours=0.0)
+        assert "00000000000000000009.json" in doomed
+        assert all(not d.startswith("00000000000000000010")
+                   and not d.startswith("00000000000000000011")
+                   for d in doomed)
+        t2 = DeltaTable(spark, tmp_table_dir)
+        assert t2.count() == n and t2.version == 11
+        with pytest.raises(Exception):
+            t2.load_as_version(3).to_df().count()
+
+    def test_retention_window_protects_young_commits(self, spark,
+                                                     tmp_table_dir):
+        t = _build(spark, tmp_table_dir, 12)
+        # default 30-day retention: every commit is seconds old
+        assert t.cleanup_metadata(dry_run=True) == []
+        # table-config interval parses and behaves the same
+        t = t.set_properties(
+            {"delta.logRetentionDuration": "interval 2 weeks"})
+        assert t.cleanup_metadata(dry_run=True) == []
+
+    def test_no_checkpoint_is_a_noop(self, spark, tmp_table_dir):
+        t = _build(spark, tmp_table_dir, 3)   # below the interval
+        assert t.cleanup_metadata(retention_hours=0.0) == []
+
+    def test_bad_interval_refused(self, spark, tmp_table_dir):
+        t = _build(spark, tmp_table_dir, 12)
+        t = t.set_properties(
+            {"delta.logRetentionDuration": "sometimes"})
+        with pytest.raises(ValueError, match="logRetentionDuration"):
+            t.cleanup_metadata(dry_run=True)
+
+    def test_superseded_checkpoint_expires_too(self, spark,
+                                               tmp_table_dir):
+        t = _build(spark, tmp_table_dir, 21)  # checkpoints at 10, 20
+        doomed = t.cleanup_metadata(retention_hours=0.0)
+        assert "00000000000000000010.checkpoint.parquet" in doomed
+        assert DeltaTable(spark, tmp_table_dir).count() == t.count()
+
+    def test_sidecars_of_retained_v2_checkpoint_survive(self, spark,
+                                                        tmp_table_dir):
+        from xdlake_spark.log.checkpoint import write_checkpoint
+        t = _build(spark, tmp_table_dir, 12)
+        log_dir = os.path.join(tmp_table_dir, "_delta_log")
+        loc = Location.resolve(log_dir)
+        full = DeltaLog.load(loc, use_checkpoint=False)
+        # newest checkpoint becomes a v2 manifest with sidecars
+        write_checkpoint(loc, full, v2=True, sidecar_size=2)
+        import json as _json
+        _refreshed = DeltaTable(spark, tmp_table_dir)
+        live_sidecars = set(os.listdir(os.path.join(log_dir,
+                                                    "_sidecars")))
+        # plant an unreferenced (orphan) sidecar older than any window
+        orphan = os.path.join(log_dir, "_sidecars", "orphan.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"junk")
+        doomed = _refreshed.cleanup_metadata(retention_hours=0.0)
+        assert "_sidecars/orphan.parquet" in doomed
+        remaining = set(os.listdir(os.path.join(log_dir, "_sidecars")))
+        assert live_sidecars <= remaining
+        assert DeltaTable(spark, tmp_table_dir).count() == t.count()
 
 
 class TestHilbertOptimize:

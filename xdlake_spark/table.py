@@ -3688,6 +3688,108 @@ class DeltaTable:
                         loc.delete()
         return doomed
 
+    _DEFAULT_LOG_RETENTION_HOURS = 30 * 24.0   # delta's 30-day default
+
+    def _log_retention_hours(self) -> float:
+        """Parse ``delta.logRetentionDuration`` ("interval N
+        hours|days|weeks", delta-spark's format); 30 days when unset."""
+        cfg = (self.log.metadata().configuration or {}) if self.log \
+            else {}
+        raw = cfg.get("delta.logRetentionDuration")
+        if not raw:
+            return self._DEFAULT_LOG_RETENTION_HOURS
+        import re as _re
+        m = _re.fullmatch(
+            r"\s*(?:interval\s+)?(\d+)\s*"
+            r"(minute|hour|day|week)s?\s*", str(raw).lower())
+        if not m:
+            raise ValueError(
+                f"unparseable delta.logRetentionDuration: {raw!r} "
+                "(expected 'interval N minutes|hours|days|weeks')")
+        n = int(m.group(1))
+        return n * {"minute": 1 / 60.0, "hour": 1.0, "day": 24.0,
+                    "week": 168.0}[m.group(2)]
+
+    def cleanup_metadata(self, retention_hours: "float | None" = None,
+                         dry_run: bool = False) -> list[str]:
+        """Expire log files superseded by the newest checkpoint —
+        delta-spark's metadata cleanup (``delta.logRetentionDuration``,
+        default 30 days). Without it the ``_delta_log`` grows one JSON
+        per commit forever; at 100 TB scale that is millions of files
+        the next log replay has to list.
+
+        A version's file (its ``.json`` and any checkpoint files FOR
+        that version) is deleted when BOTH (a) it predates the newest
+        checkpoint — replay from the checkpoint never needs it — and
+        (b) its COMMIT timestamp (in-commit timestamps authoritative;
+        never file mtimes, which drift under copies) is older than the
+        retention window. Sidecar files under ``_delta_log/_sidecars``
+        survive while any retained checkpoint manifest references
+        them. ``_last_checkpoint`` and everything at or after the
+        checkpoint version are never touched. Time travel to an
+        expired version fails afterwards — that is the documented
+        trade of log retention, and why the horizon is time-gated, not
+        just checkpoint-gated. Returns the deleted (or would-delete)
+        log-relative names."""
+        if self.log is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        import re as _re
+
+        from .log.checkpoint import last_checkpoint_version
+        ckpt_v = last_checkpoint_version(self.log_location)
+        if ckpt_v is None:
+            return []               # nothing is superseded yet
+        if retention_hours is None:
+            retention_hours = self._log_retention_hours()
+        horizon = timestamp_ms() - int(retention_hours * 3600 * 1000)
+        commit_ts: dict[int, int] = {}
+        for h in self.log.history(reverse=False):
+            t = h.get("inCommitTimestamp", h.get("timestamp"))
+            if t is not None:
+                commit_ts[h["version"]] = int(t)
+        pat = _re.compile(r"^(\d{20})\.(json|checkpoint(\.|$).*|"
+                          r"checkpoint\.parquet)$")
+        doomed: list[str] = []
+        kept_ckpts: list[str] = []
+        for name in self.log_location.list_files():
+            m = pat.match(name)
+            if not m:
+                continue
+            v = int(m.group(1))
+            is_ckpt = ".checkpoint" in name
+            if v >= ckpt_v or commit_ts.get(v, horizon + 1) > horizon:
+                if is_ckpt:
+                    kept_ckpts.append(name)
+                continue
+            doomed.append(name)
+        # sidecars: referenced-by-retained-manifests survive
+        side_dir = self.log_location.join("_sidecars")
+        sidecars = set(side_dir.list_files())
+        if sidecars:
+            referenced: set[str] = set()
+            import pyarrow.parquet as _pq
+            for name in kept_ckpts:
+                try:
+                    path = self.log_location.join(name).path
+                    if "sidecar" not in _pq.read_schema(path).names:
+                        continue          # classic layout: no sidecars
+                    tbl = _pq.read_table(path, columns=["sidecar"])
+                except Exception:
+                    referenced = sidecars     # unreadable: keep all
+                    break
+                for rec in tbl.column("sidecar").to_pylist():
+                    if rec and rec.get("path"):
+                        referenced.add(rec["path"])
+            doomed.extend(f"_sidecars/{s}"
+                          for s in sorted(sidecars - referenced))
+        doomed = sorted(doomed)
+        if not dry_run:
+            for rel in doomed:
+                loc = self.log_location.join(rel)
+                if loc.exists():
+                    loc.delete()
+        return doomed
+
     def merge(self, source: Any, condition: str,
               *, when_matched_update: dict[str, str] | None = None,
               when_matched_update_condition: str | None = None,
