@@ -174,6 +174,67 @@ class TestStreamingSink:
         assert DeltaTable(registered, loc).version == 1
 
 
+class TestPartitionedStreamingSink:
+    """writeStream.format('xdlake') into a PARTITIONED table: each
+    task splits its slice by the table's partition columns, files land
+    in Hive-encoded directories, adds carry partitionValues (nulls as
+    JSON null / __HIVE_DEFAULT_PARTITION__ dirs), and manifest pruning
+    works over the streamed files."""
+
+    def test_partitioned_sink_end_to_end(self, registered,
+                                         tmp_table_dir, spark):
+        import os
+        seed = spark.createDataFrame([(0, "a", 1.0)],
+                                     "id long, cat string, v double")
+        DeltaTable(registered, f"{tmp_table_dir}/t").write(
+            seed, partition_by=["cat"])
+        rows = [(i, "abc"[i % 3] if i % 7 else None, float(i))
+                for i in range(1, 30)]
+        DeltaTable(registered, f"{tmp_table_dir}/src").write(
+            spark.createDataFrame(rows,
+                                  "id long, cat string, v double"))
+        q = (registered.readStream.format("xdlake")
+             .load(f"{tmp_table_dir}/src")
+             .writeStream.format("xdlake")
+             .option("checkpointLocation", f"{tmp_table_dir}/ckpt")
+             .trigger(availableNow=True)
+             .start(f"{tmp_table_dir}/t"))
+        q.awaitTermination(120)
+        t = DeltaTable(registered, f"{tmp_table_dir}/t")
+        assert t.count() == 30
+        dirs = {d for d in os.listdir(f"{tmp_table_dir}/t")
+                if d.startswith("cat=")}
+        assert "cat=__HIVE_DEFAULT_PARTITION__" in dirs
+        assert {"cat=a", "cat=b", "cat=c"} <= dirs
+        # adds carry typed-back partition values; pruning works
+        got = {r["id"] for r in
+               t.to_df(where="cat = 'a'").collect()}
+        expect = {0} | {i for i in range(1, 30)
+                        if i % 7 and "abc"[i % 3] == "a"}
+        assert got == expect
+        nulls = t.to_df(where="cat IS NULL").count()
+        assert nulls == len([i for i in range(1, 30) if i % 7 == 0])
+
+    def test_missing_partition_column_refused(self, registered,
+                                              tmp_table_dir, spark):
+        seed = spark.createDataFrame([(0, "a")], "id long, cat string")
+        DeltaTable(registered, f"{tmp_table_dir}/t").write(
+            seed, partition_by=["cat"])
+        DeltaTable(registered, f"{tmp_table_dir}/src").write(
+            spark.createDataFrame([(1,)], "id long"))
+        import pytest as _pytest
+        q = (registered.readStream.format("xdlake")
+             .load(f"{tmp_table_dir}/src")
+             .writeStream.format("xdlake")
+             .option("checkpointLocation", f"{tmp_table_dir}/ckpt")
+             .trigger(availableNow=True)
+             .start(f"{tmp_table_dir}/t"))
+        # the refusal surfaces when the async stream materializes
+        with _pytest.raises(Exception, match="partition columns"):
+            q.awaitTermination(120)
+        assert DeltaTable(registered, f"{tmp_table_dir}/t").count() == 1
+
+
 class TestStreamingDedupIntoSink:
     def test_watermark_dedup_feeds_delta_sink(self, registered,
                                               tmp_table_dir):

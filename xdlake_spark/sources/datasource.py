@@ -693,11 +693,24 @@ class XdlakeDataSource(DataSource):
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> "DataSourceStreamWriter":
-        """Streaming SINK: one ACID append commit per micro-batch into an
-        EXISTING (unpartitioned) table; replayed batch ids are no-ops.
-        Create the table first with ``DeltaTable.write`` (or use
-        ``streaming.ingest.stream_append`` for partitioned tables)."""
-        return _XdlakeStreamWriter(self._path(), schema.json())
+        """Streaming SINK: one ACID append commit per micro-batch into
+        an EXISTING table (partitioned or not — each task splits its
+        slice by the table's partition columns and the adds carry
+        partitionValues); replayed batch ids are no-ops. Create the
+        table first with ``DeltaTable.write``."""
+        from ..log import DeltaLog
+        from .storage import Location
+        log = DeltaLog.load(
+            Location.resolve(self._path()).join("_delta_log"))
+        pcols = log.partition_columns() if log else []
+        if pcols:
+            missing = [c for c in pcols if c not in schema.fieldNames()]
+            if missing:
+                raise ValueError(
+                    f"stream schema lacks the table's partition "
+                    f"columns: {missing}")
+        return _XdlakeStreamWriter(self._path(), schema.json(),
+                                   partition_cols=pcols)
 
 
 def register(spark) -> None:
@@ -720,20 +733,44 @@ class _WrittenFile(WriterCommitMessage):
     size: int
     stats_json: str
     num_rows: int
+    partition_values: "dict | None" = None
+
+
+@dataclass
+class _WrittenFiles(WriterCommitMessage):
+    """One message per task: the task may emit several files when the
+    table is partitioned (one per distinct partition combo)."""
+    files: list
 
 
 class _XdlakeStreamWriter(DataSourceStreamWriter):
-    """Each executor task writes its partition to one parquet file under
-    the table root (versioned later by the commit); the driver composes
-    add actions and appends them as ONE log commit per micro-batch, with
-    batch-id idempotence so a replayed batch after a failure is a no-op
-    (exactly-once table contents on at-least-once task execution)."""
+    """Each executor task writes its partition slice to parquet files
+    under the table root — one file per distinct table-partition combo,
+    Hive-encoded directories matching the batch writer's layout — and
+    the driver composes add actions (with partitionValues) into ONE log
+    commit per micro-batch, with batch-id idempotence so a replayed
+    batch after a failure is a no-op (exactly-once table contents on
+    at-least-once task execution)."""
 
-    def __init__(self, path: str, schema_json: str):
+    def __init__(self, path: str, schema_json: str,
+                 partition_cols: "list[str] | None" = None):
         self.path = path
         self.schema_json = schema_json
+        self.partition_cols = list(partition_cols or [])
 
-    def write(self, iterator) -> _WrittenFile:
+    @staticmethod
+    def _part_dir(pcols: list, key: tuple) -> str:
+        import urllib.parse
+        segs = []
+        for c, v in zip(pcols, key):
+            if v is None:
+                segs.append(f"{c}=__HIVE_DEFAULT_PARTITION__")
+            else:
+                segs.append(
+                    f"{c}={urllib.parse.quote(str(v), safe='')}")
+        return "/".join(segs)
+
+    def write(self, iterator) -> _WrittenFiles:
         import json
         import os
         import uuid as _uuid
@@ -747,32 +784,49 @@ class _XdlakeStreamWriter(DataSourceStreamWriter):
         from .storage import Location
 
         spark_schema = _St.fromJson(json.loads(self.schema_json))
+        pcols = self.partition_cols
+        # delta convention: partition columns live in the directory +
+        # partitionValues, never in the data file bytes
         arrow_schema = pa.schema([
             pa.field(f.name, spark_type_to_arrow(f.dataType), f.nullable)
-            for f in spark_schema.fields])
+            for f in spark_schema.fields if f.name not in pcols])
         rows = [r.asDict() for r in iterator]
         if not rows:
-            return _WrittenFile("", 0, "", 0)
-        table = pa.Table.from_pylist(rows).cast(arrow_schema)
-        # no leading underscore: Spark's parquet reader treats _/.-
-        # prefixed basenames as hidden and would skip them on scan
-        rel = f"streaming-{_uuid.uuid4().hex}.parquet"
-        loc = Location.resolve(self.path).join(rel)
-        if loc.scheme == "file":
-            os.makedirs(os.path.dirname(loc.path), exist_ok=True)
-            pq.write_table(table, loc.path)
-            size = os.path.getsize(loc.path)
-            stats = Statistics.from_parquet_file(loc.path)
-        else:  # object stores: buffer then put
-            import io
-            buf = io.BytesIO()
-            pq.write_table(table, buf)
-            data = buf.getvalue()
-            loc.write_bytes(data)
-            size = len(data)
-            stats = Statistics.from_parquet_metadata(
-                pq.ParquetFile(io.BytesIO(data)).metadata)
-        return _WrittenFile(rel, size, stats.to_json(), table.num_rows)
+            return _WrittenFiles([])
+        groups: dict[tuple, list] = {}
+        for r in rows:
+            key = tuple(r.get(c) for c in pcols)
+            groups.setdefault(key, []).append(
+                {k: v for k, v in r.items() if k not in pcols})
+        out = []
+        for key, grp in sorted(groups.items(),
+                               key=lambda kv: str(kv[0])):
+            table = pa.Table.from_pylist(grp).cast(arrow_schema)
+            # no leading underscore: Spark's parquet reader treats _/.-
+            # prefixed basenames as hidden and would skip them on scan
+            name = f"streaming-{_uuid.uuid4().hex}.parquet"
+            rel = f"{self._part_dir(pcols, key)}/{name}" if pcols \
+                else name
+            loc = Location.resolve(self.path).join(rel)
+            if loc.scheme == "file":
+                os.makedirs(os.path.dirname(loc.path), exist_ok=True)
+                pq.write_table(table, loc.path)
+                size = os.path.getsize(loc.path)
+                stats = Statistics.from_parquet_file(loc.path)
+            else:  # object stores: buffer then put
+                import io
+                buf = io.BytesIO()
+                pq.write_table(table, buf)
+                data = buf.getvalue()
+                loc.write_bytes(data)
+                size = len(data)
+                stats = Statistics.from_parquet_metadata(
+                    pq.ParquetFile(io.BytesIO(data)).metadata)
+            pvals = {c: (None if v is None else str(v))
+                     for c, v in zip(pcols, key)}
+            out.append(_WrittenFile(rel, size, stats.to_json(),
+                                    table.num_rows, pvals))
+        return _WrittenFiles(out)
 
     def commit(self, messages, batchId: int) -> None:
         from ..log import (DeltaLog, Add, SetTransaction,
@@ -790,14 +844,18 @@ class _XdlakeStreamWriter(DataSourceStreamWriter):
         seen = log.latest_txn_version(app_id)
         if seen is not None and seen >= batchId:
             return
-        adds = [Add(path=m.rel_path, size=m.size,
-                    modificationTime=timestamp_ms(), partitionValues={},
-                    stats=m.stats_json)
-                for m in messages if m is not None and m.num_rows > 0]
+        files = [f for m in messages if m is not None
+                 for f in m.files]
+        adds = [Add(path=f.rel_path, size=f.size,
+                    modificationTime=timestamp_ms(),
+                    partitionValues=f.partition_values or {},
+                    stats=f.stats_json)
+                for f in files if f.num_rows > 0]
         if not adds:
             return
         entry = append_table_entry(
-            adds, [], custom_metadata={"streamingBatchId": batchId},
+            adds, self.partition_cols,
+            custom_metadata={"streamingBatchId": batchId},
             txn=SetTransaction(appId=app_id, version=batchId,
                                lastUpdated=timestamp_ms()))
 
@@ -832,7 +890,8 @@ class _XdlakeStreamWriter(DataSourceStreamWriter):
     def abort(self, messages, batchId: int) -> None:
         from .storage import Location
         for m in messages:
-            if m is not None and m.rel_path:
-                f = Location.resolve(self.path).join(m.rel_path)
-                if f.exists():
-                    f.delete()
+            for wf in (m.files if m is not None else []):
+                if wf.rel_path:
+                    f = Location.resolve(self.path).join(wf.rel_path)
+                    if f.exists():
+                        f.delete()
