@@ -215,11 +215,51 @@ class TestPartitionedStreamingSink:
         nulls = t.to_df(where="cat IS NULL").count()
         assert nulls == len([i for i in range(1, 30) if i % 7 == 0])
 
+    def test_sink_creates_missing_table(self, registered,
+                                        tmp_table_dir, spark):
+        """delta-spark writeStream parity: the first batch CREATES the
+        table from the stream schema + partitionBy option."""
+        DeltaTable(registered, f"{tmp_table_dir}/src").write(
+            spark.createDataFrame(
+                [(i, "ab"[i % 2], float(i)) for i in range(20)],
+                "id long, cat string, v double"))
+        q = (registered.readStream.format("xdlake")
+             .load(f"{tmp_table_dir}/src")
+             .writeStream.format("xdlake")
+             .option("checkpointLocation", f"{tmp_table_dir}/ckpt")
+             .option("partitionBy", "cat")
+             .trigger(availableNow=True)
+             .start(f"{tmp_table_dir}/t"))
+        q.awaitTermination(120)
+        t = DeltaTable(registered, f"{tmp_table_dir}/t")
+        assert t.count() == 20
+        assert t.partition_columns == ["cat"]
+        assert t.version == 0
+        assert next(iter(t.history()))["operation"] == "CREATE TABLE"
+
+    def test_schema_drift_refused(self, registered, tmp_table_dir,
+                                  spark):
+        DeltaTable(registered, f"{tmp_table_dir}/t").write(
+            spark.createDataFrame([(1, "a")], "id long, cat string"))
+        DeltaTable(registered, f"{tmp_table_dir}/src").write(
+            spark.createDataFrame([(1, 2)], "id long, other int"))
+        q = (registered.readStream.format("xdlake")
+             .load(f"{tmp_table_dir}/src")
+             .writeStream.format("xdlake")
+             .option("checkpointLocation", f"{tmp_table_dir}/ckpt")
+             .trigger(availableNow=True)
+             .start(f"{tmp_table_dir}/t"))
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="does not match"):
+            q.awaitTermination(120)
+        assert DeltaTable(registered, f"{tmp_table_dir}/t").count() == 1
+
     def test_missing_partition_column_refused(self, registered,
                                               tmp_table_dir, spark):
-        seed = spark.createDataFrame([(0, "a")], "id long, cat string")
-        DeltaTable(registered, f"{tmp_table_dir}/t").write(
-            seed, partition_by=["cat"])
+        """Create-mode partitionBy naming a column absent from the
+        stream schema is refused (an existing table's drifted stream
+        hits the schema-match check instead — see
+        test_schema_drift_refused)."""
         DeltaTable(registered, f"{tmp_table_dir}/src").write(
             spark.createDataFrame([(1,)], "id long"))
         import pytest as _pytest
@@ -227,12 +267,15 @@ class TestPartitionedStreamingSink:
              .load(f"{tmp_table_dir}/src")
              .writeStream.format("xdlake")
              .option("checkpointLocation", f"{tmp_table_dir}/ckpt")
+             .option("partitionBy", "cat")
              .trigger(availableNow=True)
              .start(f"{tmp_table_dir}/t"))
         # the refusal surfaces when the async stream materializes
         with _pytest.raises(Exception, match="partition columns"):
             q.awaitTermination(120)
-        assert DeltaTable(registered, f"{tmp_table_dir}/t").count() == 1
+        import os
+        assert not os.path.exists(
+            f"{tmp_table_dir}/t/_delta_log")    # nothing created
 
 
 class TestStreamingDedupIntoSink:

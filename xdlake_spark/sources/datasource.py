@@ -693,22 +693,42 @@ class XdlakeDataSource(DataSource):
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> "DataSourceStreamWriter":
-        """Streaming SINK: one ACID append commit per micro-batch into
-        an EXISTING table (partitioned or not — each task splits its
-        slice by the table's partition columns and the adds carry
-        partitionValues); replayed batch ids are no-ops. Create the
-        table first with ``DeltaTable.write``."""
+        """Streaming SINK: one ACID append commit per micro-batch,
+        partitioned or not (each task splits its slice by the table's
+        partition columns and the adds carry partitionValues);
+        replayed batch ids are no-ops. A missing table is CREATED by
+        the first batch (delta-spark writeStream parity) using the
+        stream schema and the optional ``partitionBy`` option
+        (comma-separated); an existing table's schema must match the
+        stream's (name -> type, order-insensitive) — a drifted stream
+        is refused, never silently written."""
         from ..log import DeltaLog
         from .storage import Location
         log = DeltaLog.load(
             Location.resolve(self._path()).join("_delta_log"))
-        pcols = log.partition_columns() if log else []
-        if pcols:
-            missing = [c for c in pcols if c not in schema.fieldNames()]
-            if missing:
+        if log:
+            if self.options.get("partitionBy"):
                 raise ValueError(
-                    f"stream schema lacks the table's partition "
-                    f"columns: {missing}")
+                    "partitionBy only applies when the sink CREATES "
+                    "the table; this table already exists with "
+                    f"partition columns {log.partition_columns()}")
+            pcols = log.partition_columns()
+            want = {f.name: f.dataType for f in log.schema().fields}
+            got = {f.name: f.dataType for f in schema.fields}
+            if want != got:
+                raise ValueError(
+                    "stream schema does not match the table schema: "
+                    f"table={log.schema().simpleString()} "
+                    f"stream={schema.simpleString()}")
+        else:
+            pb = self.options.get("partitionBy")
+            pcols = [c.strip() for c in str(pb).split(",")
+                     if c.strip()] if pb else []
+        missing = [c for c in pcols if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(
+                f"stream schema lacks the table's partition "
+                f"columns: {missing}")
         return _XdlakeStreamWriter(self._path(), schema.json(),
                                    partition_cols=pcols)
 
@@ -829,8 +849,12 @@ class _XdlakeStreamWriter(DataSourceStreamWriter):
         return _WrittenFiles(out)
 
     def commit(self, messages, batchId: int) -> None:
-        from ..log import (DeltaLog, Add, SetTransaction,
-                           append_table_entry, commit_entry, timestamp_ms)
+        import json
+
+        from pyspark.sql import types as _T
+        from ..log import (DeltaLog, Add, Protocol, SetTransaction,
+                           append_table_entry, commit_entry,
+                           create_table_entry, timestamp_ms)
         from .storage import Location
 
         loc = Location.resolve(self.path)
@@ -853,16 +877,41 @@ class _XdlakeStreamWriter(DataSourceStreamWriter):
                 for f in files if f.num_rows > 0]
         if not adds:
             return
-        entry = append_table_entry(
-            adds, self.partition_cols,
-            custom_metadata={"streamingBatchId": batchId},
-            txn=SetTransaction(appId=app_id, version=batchId,
-                               lastUpdated=timestamp_ms()))
+        txn = SetTransaction(appId=app_id, version=batchId,
+                             lastUpdated=timestamp_ms())
+        if not log:
+            # first commit CREATES the table (delta-spark writeStream
+            # parity): metaData from the stream schema + partitionBy
+            schema = _T.StructType.fromJson(json.loads(
+                self.schema_json))
+            entry = create_table_entry(schema, self.partition_cols,
+                                       loc.url, adds)
+            entry.actions.insert(0, txn)
+            # spec: a schema containing timestamp_ntz must declare the
+            # feature on the creating protocol (variant cannot reach
+            # this sink — the arrow conversion refuses it upstream)
+            if any(isinstance(f.dataType, _T.TimestampNTZType)
+                   for f in schema.fields):
+                up = Protocol(minReaderVersion=3, minWriterVersion=7)
+                up.extra = {
+                    "readerFeatures": ["timestampNtz"],
+                    "writerFeatures": sorted(
+                        {"appendOnly", "invariants", "timestampNtz"})}
+                entry.actions = [a for a in entry.actions
+                                 if not isinstance(a, Protocol)]
+                entry.actions.insert(0, up)
+        else:
+            entry = append_table_entry(
+                adds, self.partition_cols,
+                custom_metadata={"streamingBatchId": batchId},
+                txn=txn)
 
         def _stamp_ict_if_enabled() -> None:
             # an ICT-enabled table's clock must stay monotonic through
             # streaming commits too; re-stamped per retry so a winner's
             # newer ICT is still strictly exceeded
+            if not log:
+                return           # creating commit: no prior clock
             cfg = log.metadata().configuration or {}
             if str(cfg.get("delta.enableInCommitTimestamps", "false")
                    ).lower() != "true":
@@ -884,7 +933,15 @@ class _XdlakeStreamWriter(DataSourceStreamWriter):
             except FileExistsError:
                 if attempt == 4:
                     raise
+                was_create = not log
                 log = DeltaLog.load(log_loc)
+                if was_create and log:
+                    # a concurrent writer created v0 first: this
+                    # commit becomes a plain append of the same adds
+                    entry = append_table_entry(
+                        adds, self.partition_cols,
+                        custom_metadata={"streamingBatchId": batchId},
+                        txn=txn)
                 _stamp_ict_if_enabled()
 
     def abort(self, messages, batchId: int) -> None:
