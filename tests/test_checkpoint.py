@@ -582,6 +582,58 @@ class TestCheckpointTxnAndLayouts:
         assert DeltaTable(spark, tmp_table_dir).to_df().count() == 30
 
 
+class TestCheckpointIntervalProperty:
+    def test_table_property_drives_interval(self, spark,
+                                            tmp_table_dir):
+        """delta.checkpointInterval overrides the handle attribute:
+        interval 3 produces a checkpoint at v3 where the default (10)
+        would not."""
+        df = spark.range(5)
+        t = DeltaTable(spark, tmp_table_dir).write(df)
+        t = t.set_properties({"delta.checkpointInterval": "3"})
+        t = t.write(df)                               # v2
+        names = set(os.listdir(os.path.join(tmp_table_dir,
+                                            "_delta_log")))
+        assert not any(".checkpoint." in n for n in names)
+        t = t.write(df)                               # v3 -> checkpoint
+        names = set(os.listdir(os.path.join(tmp_table_dir,
+                                            "_delta_log")))
+        assert checkpoint_filename(3) in names
+        # expired-log cleanup rode the checkpoint, but the 30-day
+        # default retention keeps every young commit
+        assert "00000000000000000000.json" in names
+
+    def test_auto_cleanup_respects_retention_config(self, spark,
+                                                    tmp_table_dir):
+        """With delta.logRetentionDuration = 0 hours, the cleanup that
+        rides the checkpoint expires everything below it."""
+        df = spark.range(5)
+        t = DeltaTable(spark, tmp_table_dir).write(df)
+        t = t.set_properties(
+            {"delta.checkpointInterval": "3",
+             "delta.logRetentionDuration": "interval 0 hours"})
+        t = t.write(df).write(df)                     # v2, v3
+        names = set(os.listdir(os.path.join(tmp_table_dir,
+                                            "_delta_log")))
+        assert checkpoint_filename(3) in names
+        assert "00000000000000000000.json" not in names
+        # 3 data commits x 5 rows (v1 is the properties commit)
+        assert DeltaTable(spark, tmp_table_dir).count() == 15
+
+    def test_cleanup_opt_out(self, spark, tmp_table_dir):
+        df = spark.range(5)
+        t = DeltaTable(spark, tmp_table_dir).write(df)
+        t = t.set_properties(
+            {"delta.checkpointInterval": "3",
+             "delta.logRetentionDuration": "interval 0 hours",
+             "delta.enableExpiredLogCleanup": "false"})
+        t = t.write(df).write(df)
+        names = set(os.listdir(os.path.join(tmp_table_dir,
+                                            "_delta_log")))
+        assert checkpoint_filename(3) in names
+        assert "00000000000000000000.json" in names
+
+
 class TestMetadataCleanup:
     """cleanup_metadata() — delta.logRetentionDuration expiry: log
     files strictly below the newest checkpoint AND older than the

@@ -2371,8 +2371,19 @@ class DeltaTable:
         with self.commit_context(self._version_to_write):
             commit_entry(self.log_location, self._version_to_write, entry)
         new = type(self)(self.spark, self.location, self.log_location)
-        if self.checkpoint_interval and new.version > 0 \
-                and new.version % self.checkpoint_interval == 0:
+        # interval: the delta.checkpointInterval table property wins
+        # over the handle attribute (delta-spark's knob)
+        interval = self.checkpoint_interval
+        cfg = (new.log.metadata().configuration or {}) if new.log \
+            else {}
+        raw = cfg.get("delta.checkpointInterval")
+        if raw is not None:
+            try:
+                interval = int(raw)
+            except (TypeError, ValueError):
+                pass          # malformed property: keep the default
+        if interval and new.version > 0 \
+                and new.version % interval == 0:
             from .log.checkpoint import write_checkpoint
             try:
                 # a table whose writer protocol demands v2Checkpoint
@@ -2384,6 +2395,14 @@ class DeltaTable:
                                  v2="v2Checkpoint" in wf)
                 new = type(self)(self.spark, self.location,
                                  self.log_location)
+                # delta parity: expired-log cleanup rides the
+                # checkpoint unless explicitly disabled (the 30-day
+                # default retention keeps young history safe)
+                if str(cfg.get("delta.enableExpiredLogCleanup",
+                               "true")).lower() == "true":
+                    new.cleanup_metadata()
+                    new = type(self)(self.spark, self.location,
+                                     self.log_location)
             except Exception:
                 pass  # a checkpoint is an optimization, never a failure
         return new
