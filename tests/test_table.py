@@ -707,6 +707,26 @@ class TestColumnDefaults:
         assert got[9] == ("i", 42)        # insert fills the default
 
 
+class TestVacuumRetentionProperty:
+    def test_property_drives_default_window(self, spark,
+                                            tmp_table_dir):
+        """vacuum() with no argument reads
+        delta.deletedFileRetentionDuration; 7 days when unset."""
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(
+            spark.range(10))
+        t = t.delete("id >= 5")
+        # default 7-day window: the fresh tombstone survives
+        assert t.vacuum(dry_run=True) == []
+        # 0-minute window via the table property: it goes
+        t = t.set_properties(
+            {"delta.deletedFileRetentionDuration":
+             "interval 0 minutes"})
+        doomed = t.vacuum(dry_run=True)
+        assert len(doomed) >= 1       # CoW delete tombstoned the hits
+        # explicit argument still wins over the property
+        assert t.vacuum(retention_hours=168.0, dry_run=True) == []
+
+
 class TestTypeFeatures:
     """Schema-driven protocol features (table.py _ensure_type_features):
     a schema containing timestamp_ntz or variant must declare the

@@ -3637,11 +3637,15 @@ class DeltaTable:
         return self._commit_checked(entry, self.version,
                                     reads_table=False)
 
-    def vacuum(self, retention_hours: float = 168.0,
+    def vacuum(self, retention_hours: "float | None" = None,
                dry_run: bool = False,
                distributed_threshold: int = 64) -> list[str]:
         """Physically delete tombstoned files older than the retention
         window. Returns deleted (or would-delete) relative paths.
+
+        ``retention_hours`` defaults from the table's
+        ``delta.deletedFileRetentionDuration`` property (same interval
+        grammar as log retention), else delta's 7-day default.
 
         Deletion is DISTRIBUTED once the doomed list passes
         ``distributed_threshold`` (delta-spark's model): each executor
@@ -3651,6 +3655,9 @@ class DeltaTable:
         stay on the driver (no job overhead)."""
         from .log.dv import dv_relative_path
 
+        if retention_hours is None:
+            retention_hours = self._interval_property_hours(
+                "delta.deletedFileRetentionDuration", 168.0)
         # Delta's vacuumProtocolCheck feature pins exactly this: VACUUM
         # must run the writer-protocol gate BEFORE deleting, so an
         # engine that doesn't understand a feature can't destroy files
@@ -3709,25 +3716,32 @@ class DeltaTable:
 
     _DEFAULT_LOG_RETENTION_HOURS = 30 * 24.0   # delta's 30-day default
 
-    def _log_retention_hours(self) -> float:
-        """Parse ``delta.logRetentionDuration`` ("interval N
-        hours|days|weeks", delta-spark's format); 30 days when unset."""
+    def _interval_property_hours(self, key: str,
+                                 default: float) -> float:
+        """Parse an interval-valued table property ("interval N
+        minutes|hours|days|weeks", delta-spark's grammar) into hours;
+        ``default`` when unset."""
         cfg = (self.log.metadata().configuration or {}) if self.log \
             else {}
-        raw = cfg.get("delta.logRetentionDuration")
+        raw = cfg.get(key)
         if not raw:
-            return self._DEFAULT_LOG_RETENTION_HOURS
+            return default
         import re as _re
         m = _re.fullmatch(
             r"\s*(?:interval\s+)?(\d+)\s*"
             r"(minute|hour|day|week)s?\s*", str(raw).lower())
         if not m:
             raise ValueError(
-                f"unparseable delta.logRetentionDuration: {raw!r} "
+                f"unparseable {key}: {raw!r} "
                 "(expected 'interval N minutes|hours|days|weeks')")
         n = int(m.group(1))
         return n * {"minute": 1 / 60.0, "hour": 1.0, "day": 24.0,
                     "week": 168.0}[m.group(2)]
+
+    def _log_retention_hours(self) -> float:
+        return self._interval_property_hours(
+            "delta.logRetentionDuration",
+            self._DEFAULT_LOG_RETENTION_HOURS)
 
     def cleanup_metadata(self, retention_hours: "float | None" = None,
                          dry_run: bool = False) -> list[str]:
