@@ -2170,6 +2170,23 @@ class TestEditDistancePairs:
         assert out == []  # both excluded by the length guard
 
 
+class TestParagraphDedupWithin:
+    def test_keeps_first_and_structural(self, spark):
+        from xdlake_spark.operators.dedup import paragraph_dedup_within
+        df = spark.createDataFrame(
+            [(1, "a\nb\na\n \nb\nc"),      # dups of a and b
+             (2, "x\nx \n x"),             # trim-keyed dups
+             (3, ""),                      # empty doc
+             (4, "only")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["text"], r["n_removed"])
+               for r in paragraph_dedup_within(df).collect()}
+        assert got[1] == ("a\nb\n \nc", 2)
+        assert got[2] == ("x", 2)          # first original form kept
+        assert got[3] == ("", 0)           # whitespace-only: structural
+        assert got[4] == ("only", 0)
+
+
 class TestKCenterSelect:
     """Greedy k-center selection (operators/clustering.py
     kcenter_select): seed determinism, monotone non-increasing

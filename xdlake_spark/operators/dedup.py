@@ -1312,3 +1312,42 @@ def lsh_tune(threshold: float, num_hashes: int = 128
             best = (key, b, r, s50)
     _, b, r, s50 = best
     return b, r, round(s50, 6)
+
+
+def paragraph_dedup_within(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           sep: str = "\n") -> DataFrame:
+    """INTRA-document repeated-paragraph removal (the Gopher-style
+    per-doc cleanup that precedes corpus passes): within each document,
+    keep only the FIRST occurrence of each trim-keyed paragraph,
+    preserving order; whitespace-only segments are structural and
+    always kept. Returns ``(id, text, n_removed)``.
+
+    Scale: a pure per-row JVM ``aggregate`` fold over the split array —
+    zero Python, ZERO shuffle (contrast :func:`paragraph_dedup`, the
+    corpus-level pass, which must shuffle on the paragraph key). The
+    fold is O(paragraphs^2) per doc via array_contains, fine for
+    real document paragraph counts.
+    """
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    parts = F.split(F.col(text_col), sep_rx, -1)
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("seen"),
+        F.array().cast("array<string>").alias("out"))
+    folded = F.aggregate(
+        parts, acc0,
+        lambda acc, p: F.when(
+            F.trim(p) == "",
+            F.struct(acc["seen"].alias("seen"),
+                     F.concat(acc["out"], F.array(p)).alias("out")))
+        .when(
+            ~F.array_contains(acc["seen"], F.trim(p)),
+            F.struct(F.concat(acc["seen"],
+                              F.array(F.trim(p))).alias("seen"),
+                     F.concat(acc["out"], F.array(p)).alias("out")))
+        .otherwise(acc))
+    return df.select(
+        F.col(id_col),
+        F.array_join(folded["out"], sep).alias(text_col),
+        (F.size(parts) - F.size(folded["out"]))
+        .cast("int").alias("n_removed"))

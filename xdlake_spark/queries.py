@@ -2625,6 +2625,58 @@ def corpus_prep_pipeline_q(spark, sf_dir):
                     "bin"))
 
 
+@register("dedup_paragraphs_within", """
+WITH built AS (
+  SELECT doc_id,
+         concat_ws(chr(10), substr(text, 1, 40), substr(text, 41, 40),
+                   substr(text, 1, 40), '  ',
+                   substr(text, 41, 40)) AS t
+  FROM documents WHERE doc_id % 6 = 0
+), exploded AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS seg,
+         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS ord
+  FROM built
+), paras AS (
+  SELECT doc_id, seg, ord,
+         row_number() OVER (PARTITION BY doc_id, trim(seg)
+                            ORDER BY ord) AS rn
+  FROM exploded
+), kept AS (
+  SELECT doc_id, seg, ord FROM paras
+  WHERE trim(seg) = '' OR rn = 1
+)
+SELECT b.doc_id,
+       coalesce(k.txt, '') AS text,
+       CAST(len(string_split(b.t, chr(10)))
+            - coalesce(k.n, 0) AS INT) AS n_removed
+FROM built b LEFT JOIN (
+  SELECT doc_id, string_agg(seg, chr(10) ORDER BY ord) AS txt,
+         count(*) AS n
+  FROM kept GROUP BY doc_id) k USING (doc_id)
+ORDER BY b.doc_id
+""")
+def dedup_paragraphs_within_q(spark, sf_dir):
+    """Intra-document repeated-paragraph removal (operators/dedup.py
+    paragraph_dedup_within — the per-doc Gopher cleanup): documents
+    are rebuilt with a planted repeat (para1, para2, para1 again, a
+    whitespace-only structural line, para2 again); the transform keeps
+    first occurrences + structural segments in order, counting
+    removals. Pure per-row JVM fold, zero shuffle; the oracle replays
+    the keep-rule with a window over (doc, trimmed-paragraph)."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id % 6 = 0")
+    built = d.select(
+        "doc_id",
+        F.concat_ws("\n",
+                    F.substring("text", 1, 40),
+                    F.substring("text", 41, 40),
+                    F.substring("text", 1, 40),
+                    F.lit("  "),
+                    F.substring("text", 41, 40)).alias("text"))
+    return (dedup.paragraph_dedup_within(built)
+            .orderBy("doc_id"))
+
+
 @register("dedup_paragraphs", """
 WITH split AS (
   SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents
