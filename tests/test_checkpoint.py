@@ -166,8 +166,8 @@ class TestCheckpointProtocolFeatures:
                 if "protocol" in obj:
                     obj["protocol"] = {
                         "minReaderVersion": 3, "minWriterVersion": 7,
-                        "readerFeatures": ["variantType"],
-                        "writerFeatures": ["variantType"]}
+                        "readerFeatures": ["collations"],
+                        "writerFeatures": ["collations"]}
                 lines.append(_json.dumps(obj))
         with open(log_file, "w") as fh:
             fh.write("\n".join(lines) + "\n")
@@ -191,10 +191,10 @@ class TestCheckpointProtocolFeatures:
         # recovered from version 0
         assert 0 in log.entries
         assert log.protocol().extra.get("readerFeatures") \
-            == ["variantType"]
+            == ["collations"]
         # and the reader gate still refuses the scan
         t = DeltaTable(spark, tmp_table_dir)
-        with pytest.raises(NotImplementedError, match="variantType"):
+        with pytest.raises(NotImplementedError, match="collations"):
             t.to_df().count()
 
     def test_stripped_checkpoint_with_cleaned_log_refuses(

@@ -977,17 +977,18 @@ class TestReaderProtocolGate:
     def test_unknown_reader_feature_refuses_scan(self, spark,
                                                  tmp_table_dir):
         """A v3 protocol demanding a feature this engine does not
-        implement (variantType here) must refuse to scan — reading
-        anyway could silently return wrong rows. Metadata ops stay
+        implement (collations here — variantType graduated to the
+        supported set in round 8) must refuse to scan — reading anyway
+        could silently return wrong rows. Metadata ops stay
         available."""
         t = DeltaTable(spark, f"{tmp_table_dir}/t")
         t = t.write(spark.createDataFrame(gen_pdf()))
         self._graft_protocol(tmp_table_dir, {
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["variantType"],
-            "writerFeatures": ["variantType"]})
+            "readerFeatures": ["collations"],
+            "writerFeatures": ["collations"]})
         t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
-        with pytest.raises(NotImplementedError, match="variantType"):
+        with pytest.raises(NotImplementedError, match="collations"):
             t2.to_df().count()
         assert len(list(t2.history())) >= 1  # metadata still readable
 
