@@ -707,6 +707,108 @@ class TestColumnDefaults:
         assert got[9] == ("i", 42)        # insert fills the default
 
 
+class TestDropFeature:
+    """ALTER TABLE DROP FEATURE (table.py drop_feature — Delta 4.0
+    checkpoint-protection flow): trace checks refuse while the feature
+    is in use; the drop writes a protecting checkpoint, removes the
+    feature from the protocol, declares checkpointProtection, and pins
+    requireCheckpointProtectionBeforeVersion; metadata cleanup below
+    the pin becomes all-or-nothing."""
+
+    def test_deletion_vectors_roundtrip(self, spark, tmp_table_dir):
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(
+            spark.range(100))
+        t = t.delete("id % 10 = 0", mode="merge-on-read")
+        with pytest.raises(ValueError, match="reorg_purge"):
+            t.drop_feature("deletionVectors")
+        t = t.reorg_purge()
+        t = t.drop_feature("deletionVectors")
+        p = t.log.protocol()
+        extra = p.extra or {}
+        assert "deletionVectors" not in set(
+            extra.get("readerFeatures") or [])
+        assert "deletionVectors" not in set(extra["writerFeatures"])
+        assert "checkpointProtection" in set(extra["writerFeatures"])
+        pin = t.log.metadata().configuration[
+            "delta.requireCheckpointProtectionBeforeVersion"]
+        assert int(pin) == t.version
+        assert t.count() == 90
+        assert DeltaTable(spark, f"{tmp_table_dir}/t").count() == 90
+        # the protecting checkpoint exists at the pre-drop version
+        import os
+        names = os.listdir(f"{tmp_table_dir}/t/_delta_log")
+        assert any(n.startswith(f"{t.version - 1:020d}.checkpoint")
+                   for n in names)
+
+    def test_column_defaults_roundtrip(self, spark, tmp_table_dir):
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(
+            spark.createDataFrame([(1, 5)], "id long, score int"))
+        t = t.set_column_default("score", "42")
+        with pytest.raises(ValueError, match="DEFAULT"):
+            t.drop_feature("allowColumnDefaults")
+        t = t.drop_column_default("score")
+        t = t.drop_feature("allowColumnDefaults")
+        wf = set((t.log.protocol().extra or {})["writerFeatures"])
+        assert "allowColumnDefaults" not in wf
+
+    def test_undeclared_and_unknown_refused(self, spark,
+                                            tmp_table_dir):
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(
+            spark.range(3))
+        with pytest.raises(ValueError, match="not droppable"):
+            t.drop_feature("someFutureFeature")
+        with pytest.raises(ValueError, match="does not declare"):
+            t.drop_feature("deletionVectors")
+
+    @staticmethod
+    def _age_commit(table_dir, version, ts_ms=1000):
+        """Doctor a commit's commitInfo timestamp so it reads as
+        ancient under any retention window."""
+        path = os.path.join(table_dir, "_delta_log",
+                            f"{version:020d}.json")
+        lines = []
+        with open(path) as fh:
+            for line in fh:
+                obj = json.loads(line)
+                if "commitInfo" in obj:
+                    obj["commitInfo"]["timestamp"] = ts_ms
+                lines.append(json.dumps(obj))
+        with open(path, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    def test_cleanup_below_pin_is_all_or_nothing(self, spark,
+                                                 tmp_table_dir):
+        """While ANY pre-pin version is still inside the retention
+        window, cleanup must delete NONE of them — a partial expiry
+        could leave feature-bearing JSON for a partial replay. Once
+        every pre-pin version is expired, the whole block goes."""
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(
+            spark.range(50))
+        t = t.delete("id % 5 = 0", mode="merge-on-read")
+        t = t.reorg_purge()
+        t = t.drop_feature("deletionVectors")       # pin = 3
+        for _ in range(12):                          # past a checkpoint
+            t = t.write(spark.range(5))
+        pin = int(t.log.metadata().configuration[
+            "delta.requireCheckpointProtectionBeforeVersion"])
+        # age only versions 0 and 1: version 2 (pre-pin) stays young,
+        # so nothing below the pin may be deleted under a 1h window
+        self._age_commit(f"{tmp_table_dir}/t", 0)
+        self._age_commit(f"{tmp_table_dir}/t", 1)
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        doomed = t.cleanup_metadata(retention_hours=1.0,
+                                    dry_run=True)
+        assert all(int(d.split(".")[0]) >= pin for d in doomed
+                   if d[0].isdigit())
+        # expire the remaining pre-pin versions too: the whole block
+        # (and everything else below the newest checkpoint) may go
+        doomed = t.cleanup_metadata(retention_hours=0.0)
+        assert any(int(d.split(".")[0]) < pin for d in doomed
+                   if d[0].isdigit())
+        t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
+        assert t2.count() == t.count()
+
+
 class TestVacuumRetentionProperty:
     def test_property_drives_default_window(self, spark,
                                             tmp_table_dir):

@@ -2217,6 +2217,7 @@ class DeltaTable:
          "allowColumnDefaults",  # CURRENT_DEFAULT fill on write
          "variantType",       # Spark-native variant physical layout
          "variantType-preview",
+         "checkpointProtection",  # cleanup_metadata honors the pin
          })
 
     #: Features we can commit under only when the table doesn't
@@ -2295,6 +2296,154 @@ class DeltaTable:
                     f"table uses writer feature '{feat}' on column(s) "
                     f"{used}; this engine cannot maintain it — refusing "
                     "to commit.")
+
+    #: DROP FEATURE trace checks: feature -> method name returning a
+    #: human-readable blocker description, or None when trace-free.
+    _DROPPABLE_FEATURES = frozenset(
+        {"deletionVectors", "typeWidening", "typeWidening-preview",
+         "changeDataFeed", "inCommitTimestamp", "rowTracking",
+         "allowColumnDefaults", "variantType", "variantType-preview",
+         "v2Checkpoint", "domainMetadata", "checkConstraints",
+         "generatedColumns", "identityColumns", "invariants",
+         "appendOnly", "clustering"})
+
+    def _drop_feature_blocker(self, name: str) -> "str | None":
+        """What still USES the feature (None when trace-free). The
+        drop flow refuses while traces exist — a conforming engine
+        lacking the feature would misread them."""
+        cfg = self.log.metadata().configuration or {}
+
+        def prop_on(key):
+            return str(cfg.get(key, "false")).lower() == "true"
+
+        if name == "deletionVectors":
+            if prop_on("delta.enableDeletionVectors"):
+                return "delta.enableDeletionVectors is true"
+            if any((a.extra or {}).get("deletionVector")
+                   for a in self.adds.values()):
+                return ("live files carry deletion vectors — run "
+                        "reorg_purge() first")
+        elif name in ("typeWidening", "typeWidening-preview"):
+            def has_changes(dt):
+                if isinstance(dt, T.StructType):
+                    return any((f.metadata or {}).get("delta.typeChanges")
+                               or has_changes(f.dataType)
+                               for f in dt.fields)
+                if isinstance(dt, T.ArrayType):
+                    return has_changes(dt.elementType)
+                if isinstance(dt, T.MapType):
+                    return has_changes(dt.keyType) \
+                        or has_changes(dt.valueType)
+                return False
+            if has_changes(self.schema):
+                return ("schema records delta.typeChanges — files "
+                        "must be rewritten to the wide type first")
+        elif name == "changeDataFeed":
+            if prop_on("delta.enableChangeDataFeed"):
+                return "delta.enableChangeDataFeed is true"
+        elif name == "inCommitTimestamp":
+            if prop_on("delta.enableInCommitTimestamps"):
+                return "delta.enableInCommitTimestamps is true"
+        elif name == "rowTracking":
+            if prop_on("delta.enableRowTracking"):
+                return "delta.enableRowTracking is true"
+        elif name == "allowColumnDefaults":
+            if self.column_defaults:
+                return (f"columns still carry DEFAULTs: "
+                        f"{sorted(self.column_defaults)}")
+        elif name in ("variantType", "variantType-preview"):
+            if any(hasattr(T, "VariantType")
+                   and isinstance(f.dataType, T.VariantType)
+                   for f in (self.schema.fields if self.schema else [])):
+                return "schema still contains variant columns"
+        elif name == "clustering":
+            if self.clustering_columns():
+                return ("table is clustered by "
+                        f"{self.clustering_columns()}"
+                        " — cluster_by([]) first")
+        elif name == "domainMetadata":
+            live = self.log.live_domain_metadata()
+            if live:
+                return f"live metadata domains remain: {sorted(live)}"
+        elif name == "checkConstraints":
+            if self.constraints:
+                return f"constraints remain: {sorted(self.constraints)}"
+        elif name == "generatedColumns":
+            if self._generated_columns():
+                return ("generated columns remain: "
+                        f"{sorted(self._generated_columns())}")
+        elif name == "identityColumns":
+            if self._identity_columns():
+                return ("identity columns remain: "
+                        f"{sorted(self._identity_columns())}")
+        elif name == "invariants":
+            if self._invariants():
+                return f"invariants remain: {sorted(self._invariants())}"
+        elif name == "appendOnly":
+            if prop_on("delta.appendOnly"):
+                return "delta.appendOnly is true"
+        return None
+
+    def drop_feature(self, name: str,
+                     custom_metadata: dict | None = None
+                     ) -> "DeltaTable":
+        """ALTER TABLE DROP FEATURE — the Delta 4.0 checkpoint-
+        protection flow: (1) refuse while the table still carries the
+        feature's traces (the per-feature checks name what blocks and
+        how to clear it); (2) write a checkpoint at the current head,
+        so no future reader needs the pre-drop JSON history; (3) one
+        commit removes the feature from the protocol, declares
+        ``checkpointProtection``, and pins
+        ``delta.requireCheckpointProtectionBeforeVersion`` — metadata
+        cleanup below that version is all-or-nothing thereafter (see
+        :meth:`cleanup_metadata`), so an engine lacking the dropped
+        feature can never partially replay history that still used it.
+        """
+        if self.log is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        if name not in self._DROPPABLE_FEATURES:
+            raise ValueError(
+                f"feature {name!r} is not droppable by this engine "
+                f"(droppable: {sorted(self._DROPPABLE_FEATURES)})")
+        proto = self.log.protocol()
+        extra = proto.extra or {}
+        rf = set(extra.get("readerFeatures") or [])
+        wf = set(extra.get("writerFeatures") or [])
+        if proto.minWriterVersion < 7 or (name not in wf
+                                          and name not in rf):
+            raise ValueError(
+                f"table does not declare feature {name!r}")
+        blocker = self._drop_feature_blocker(name)
+        if blocker is not None:
+            raise ValueError(
+                f"cannot drop {name!r}: {blocker}")
+        import dataclasses
+
+        from .log.checkpoint import write_checkpoint
+        # the protecting checkpoint: everything before the drop commit
+        # replays from it, never from feature-bearing JSON
+        write_checkpoint(self.log_location, self.log,
+                         part_size=self.checkpoint_part_size,
+                         v2=("v2Checkpoint" in wf
+                             and name != "v2Checkpoint"))
+        new_wf = (wf | {"checkpointProtection"}) - {name}
+        new_rf = rf - {name}
+        protect_before = self.version + 1
+        up = Protocol(minReaderVersion=3 if new_rf else 1,
+                      minWriterVersion=7)
+        up.extra = {"writerFeatures": sorted(new_wf)}
+        if new_rf:
+            up.extra["readerFeatures"] = sorted(new_rf)
+        md = self.log.metadata()
+        cfg = dict(md.configuration or {})
+        cfg["delta.requireCheckpointProtectionBeforeVersion"] = \
+            str(protect_before)
+        md = dataclasses.replace(md, configuration=cfg)
+        entry = properties_table_entry(
+            md, "DROP FEATURE", {"featureName": name},
+            self.version, custom_metadata)
+        entry.actions.insert(0, up)
+        return self._commit(entry)
 
     def _ensure_type_features(self, entry: DeltaLogEntry) -> None:
         """Delta spec: a schema containing ``timestamp_ntz`` or
@@ -3784,6 +3933,7 @@ class DeltaTable:
                           r"checkpoint\.parquet)$")
         doomed: list[str] = []
         kept_ckpts: list[str] = []
+        expired = {}
         for name in self.log_location.list_files():
             m = pat.match(name)
             if not m:
@@ -3793,8 +3943,31 @@ class DeltaTable:
             if v >= ckpt_v or commit_ts.get(v, horizon + 1) > horizon:
                 if is_ckpt:
                     kept_ckpts.append(name)
+                expired[name] = False
                 continue
             doomed.append(name)
+            expired[name] = True
+        # checkpointProtection (written by DROP FEATURE): history below
+        # the pinned version may only be removed ALL AT ONCE — a
+        # partial expiry could leave feature-bearing JSON that an
+        # engine lacking the dropped feature would replay and misread
+        cfg = (self.log.metadata().configuration or {})
+        raw_p = cfg.get("delta.requireCheckpointProtectionBeforeVersion")
+        if raw_p is not None:
+            try:
+                protect = int(raw_p)
+            except (TypeError, ValueError):
+                protect = None
+            if protect is not None and protect > 0:
+                below = [n for n in expired
+                         if int(pat.match(n).group(1)) < min(protect,
+                                                             ckpt_v)]
+                if below and not all(expired[n] for n in below):
+                    doomed = [n for n in doomed
+                              if int(pat.match(n).group(1)) >= protect]
+                    kept_ckpts = [n for n in expired
+                                  if ".checkpoint" in n
+                                  and n not in set(doomed)]
         # sidecars: referenced-by-retained-manifests survive
         side_dir = self.log_location.join("_sidecars")
         sidecars = set(side_dir.list_files())
