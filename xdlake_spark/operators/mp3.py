@@ -581,6 +581,22 @@ def _reorder_short(xr: np.ndarray, sr: int) -> np.ndarray:
     return out
 
 
+def _reorder_short_inverse(xr: np.ndarray, sr: int) -> np.ndarray:
+    """line-major (IMDCT order) -> sfb-major (Huffman order); the
+    encoder-side inverse of :func:`_reorder_short`."""
+    out = np.zeros(576)
+    sfb_s = SFB_SHORT[sr]
+    for sfb in range(13):
+        s = sfb_s[sfb]
+        e = sfb_s[sfb + 1] if sfb < 12 else 192
+        w_width = e - s
+        for w in range(3):
+            dst = 3 * s + w * w_width
+            for i in range(w_width):
+                out[dst + i] = xr[3 * (s + i) + w]
+    return out
+
+
 def _ms_stereo(xl: np.ndarray, xr: np.ndarray):
     s = np.sqrt(2.0)
     return (xl + xr) / s, (xl - xr) / s
@@ -808,14 +824,20 @@ def _encode_granule_spectrum(xr: np.ndarray):
 
 
 def encode_mp3(pcm: np.ndarray, sample_rate: int = 48000,
-               bitrate: int = 320) -> bytes:
+               bitrate: int = 320, block_type: int = 0) -> bytes:
     """Encode float PCM ([-1,1], shape (n,) or (n, ch<=2)) as a
-    spec-conformant MPEG-1 Layer III stream (long blocks, validated
-    small Huffman tables, no reservoir, scalefactors 0). Input is
-    zero-padded to a frame multiple; the encoder chain is the exact
-    numerical inverse of :func:`decode_mp3`'s DSP, so decode(encode(x))
-    approximates x up to the coarse |ix|<=7 quantizer (SNR-gated in
-    tests) and ANY conformant decoder plays the same audio."""
+    spec-conformant MPEG-1 Layer III stream (validated small Huffman
+    tables, no reservoir, scalefactors 0). ``block_type`` 0 emits
+    long-block granules, 2 emits SHORT-block granules (three 12-point
+    windows per subband, spec reorder — the transient coding mode),
+    exercising the decoder's window-switching path differentially.
+    Input is zero-padded to a frame multiple; the encoder chain is the
+    exact numerical inverse of :func:`decode_mp3`'s DSP, so
+    decode(encode(x)) approximates x up to the coarse |ix|<=7
+    quantizer (SNR-gated in tests) and ANY conformant decoder plays
+    the same audio."""
+    if block_type not in (0, 2):
+        raise ValueError("block_type: 0 (long) or 2 (short) only")
     if sample_rate not in _MP3_SAMPLERATES[1]:
         raise ValueError("MPEG-1 sample rates: 44100/48000/32000")
     pcm = np.asarray(pcm, dtype=np.float64)
@@ -856,18 +878,32 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 48000,
                 for t in range(18):
                     sb[:, t] = ana[c].run(
                         pcm[base + t * 32:base + (t + 1) * 32, c])
-                # frequency inversion (self-inverse), then MDCT with
-                # the long window over [previous 18 | current 18]
+                # frequency inversion (self-inverse), then MDCT over
+                # [previous 18 | current 18]: the long window, or
+                # three short windows per subband (block_type 2)
                 sb[1::2, 1::2] *= -1.0
                 xr = np.empty(576)
-                for s in range(32):
-                    z = np.concatenate([mdct_prev[c][s], sb[s]]) \
-                        * _WIN_NORMAL
-                    # forward MDCT = IMDCT^T * (2/n)
-                    xr[s * 18:(s + 1) * 18] = (_IMDCT36.T @ z) \
-                        * (2.0 / 36.0) * 2.0
+                if block_type == 2:
+                    for s in range(32):
+                        z = np.concatenate([mdct_prev[c][s], sb[s]])
+                        for w in range(3):
+                            seg = z[6 + 6 * w:18 + 6 * w] * _WIN_SHORT
+                            xr[s * 18 + w::3][:6] = \
+                                (_IMDCT12.T @ seg) * (2.0 / 12.0) * 2.0
+                else:
+                    for s in range(32):
+                        z = np.concatenate([mdct_prev[c][s], sb[s]]) \
+                            * _WIN_NORMAL
+                        # forward MDCT = IMDCT^T * (2/n)
+                        xr[s * 18:(s + 1) * 18] = (_IMDCT36.T @ z) \
+                            * (2.0 / 36.0) * 2.0
                 mdct_prev[c] = sb.copy()
-                _alias_unreduce(xr)
+                if block_type == 2:
+                    # spec bitstream order for short blocks is
+                    # sfb-major; no alias butterflies on pure-short
+                    xr = _reorder_short_inverse(xr, sample_rate)
+                else:
+                    _alias_unreduce(xr)
                 gg, tid, bw, bv = _encode_granule_spectrum(xr)
                 if len(bw) > cap_bits // (2 * ch):
                     raise ValueError(
@@ -888,11 +924,20 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 48000,
                 side.write(bv, 9)
                 side.write(gg, 8)
                 side.write(0, 4)              # scalefac_compress
-                side.write(0, 1)              # window_switching
-                for _r in range(3):
-                    side.write(tid, 5)
-                side.write(7, 4)              # region0_count
-                side.write(7, 3)              # region1_count
+                if block_type == 2:
+                    side.write(1, 1)          # window_switching
+                    side.write(2, 2)          # block_type: short
+                    side.write(0, 1)          # not mixed
+                    for _r in range(2):
+                        side.write(tid, 5)
+                    for _w in range(3):
+                        side.write(0, 3)      # subblock_gain
+                else:
+                    side.write(0, 1)          # window_switching
+                    for _r in range(3):
+                        side.write(tid, 5)
+                    side.write(7, 4)          # region0_count
+                    side.write(7, 3)          # region1_count
                 side.write(0, 1)              # preflag
                 side.write(0, 1)              # scalefac_scale
                 side.write(1, 1)              # count1 table B
