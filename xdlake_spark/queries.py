@@ -1193,6 +1193,35 @@ def delta_schema_evolution(spark, sf_dir):
     return t.to_df()
 
 
+@register("delta_drop_feature_scan", """
+SELECT doc_id, lang FROM documents
+WHERE doc_id % 5 = 0 AND doc_id % 3 <> 0
+ORDER BY doc_id
+""")
+def delta_drop_feature_scan(spark, sf_dir):
+    """ALTER TABLE DROP FEATURE end to end (table.py drop_feature —
+    the Delta 4.0 checkpoint-protection flow): a DV delete upgrades
+    the table to deletionVectors, REORG PURGE clears the traces,
+    drop_feature removes the feature behind a protecting checkpoint +
+    checkpointProtection pin, and the post-drop scan (plus a fresh
+    post-drop append, proving the table stays writable under the new
+    protocol) must equal the relational oracle."""
+    from .table import DeltaTable
+    d = _t(spark, sf_dir, "documents").filter("doc_id % 5 = 0")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        d.filter("doc_id % 2 = 0").select("doc_id", "lang"))
+    t = t.delete("doc_id % 3 = 0", mode="merge-on-read")
+    t = t.reorg_purge()
+    t = t.drop_feature("deletionVectors")
+    proto = t.log.protocol()
+    feats = set((proto.extra or {}).get("writerFeatures") or [])
+    assert "deletionVectors" not in feats, "feature must be dropped"
+    assert "checkpointProtection" in feats
+    t = t.write(d.filter("doc_id % 2 = 1 AND doc_id % 3 != 0")
+                .select("doc_id", "lang"))
+    return t.to_df().orderBy("doc_id")
+
+
 @register("delta_variant_json", """
 SELECT doc_id,
        lang                        AS v_lang,
