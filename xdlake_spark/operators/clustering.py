@@ -271,6 +271,7 @@ def kcenter_select(df: DataFrame, k: int = 8,
         raise ValueError("cannot select from an empty input")
     spark = df.sparkSession
     chosen = [np.asarray(list(first[0]["v"]), dtype="float64")]
+    chosen_ids = {int(first[0]["id"])}
     out = [(0, int(first[0]["id"]), None)]
     x2 = dot(F.col("v"), F.col("v"))
     while len(chosen) < k:
@@ -280,7 +281,10 @@ def kcenter_select(df: DataFrame, k: int = 8,
         far = (base.select("id", "v", d2min.alias("__d2"))
                .orderBy(F.col("__d2").desc(), F.col("id"))
                .limit(1).collect())[0]
+        if int(far["id"]) in chosen_ids:
+            break     # k exceeds the number of distinct points
         out.append((len(chosen), int(far["id"]), float(far["__d2"])))
         chosen.append(np.asarray(list(far["v"]), dtype="float64"))
+        chosen_ids.add(int(far["id"]))
     return spark.createDataFrame(
         out, "sel_order int, id long, radius double")
