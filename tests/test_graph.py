@@ -97,3 +97,49 @@ class TestBfs:
     def test_bad_max_hops_raises(self, spark):
         with pytest.raises(ValueError, match=">= 0"):
             bfs_hops(_edges(spark, [(1, 2)]), 1, max_hops=-1)
+
+
+class TestKCore:
+    """k-core peeling (operators/graph.py kcore): hand-built graphs
+    with known cores; the chain-graph query is oracle-exact vs a
+    10-round unrolled peeling twin (`graph_kcore`)."""
+
+    def test_clique_with_tail(self, spark):
+        from xdlake_spark.operators.graph import kcore
+        # K4 clique (0-3) + a tail 3-4-5: the 2-core is the clique
+        pairs = [(a, b) for a in range(4) for b in range(4) if a < b]
+        pairs += [(3, 4), (4, 5)]
+        got = {r["node"]: r["degree"]
+               for r in kcore(_edges(spark, pairs), k=2).collect()}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_cascade_peeling(self, spark):
+        from xdlake_spark.operators.graph import kcore
+        # removing the leaf (5) drops 4 below degree 2, cascading:
+        # a pure chain has NO 2-core at all
+        chain = [(i, i + 1) for i in range(6)]
+        assert kcore(_edges(spark, chain), k=2).count() == 0
+        # but a cycle survives intact (every node degree exactly 2)
+        cycle = chain + [(6, 0)]
+        got = {r["node"]: r["degree"]
+               for r in kcore(_edges(spark, cycle), k=2).collect()}
+        assert got == {i: 2 for i in range(7)}
+
+    def test_k3_of_two_cliques_bridged(self, spark):
+        from xdlake_spark.operators.graph import kcore
+        # two K4s joined by one bridge edge: the bridge never creates
+        # degree-3 outside the cliques, so the 3-core is both cliques
+        k4a = [(a, b) for a in range(4) for b in range(4) if a < b]
+        k4b = [(a + 10, b + 10) for a, b in k4a]
+        pairs = k4a + k4b + [(3, 10)]
+        got = {r["node"] for r in
+               kcore(_edges(spark, pairs), k=3).collect()}
+        assert got == set(range(4)) | set(range(10, 14))
+
+    def test_directed_input_is_canonicalized(self, spark):
+        from xdlake_spark.operators.graph import kcore
+        # duplicate directed edges and self-loops collapse away
+        pairs = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1)]
+        got = {r["node"]: r["degree"]
+               for r in kcore(_edges(spark, pairs), k=2).collect()}
+        assert got == {1: 2, 2: 2, 3: 2}

@@ -191,3 +191,46 @@ def bfs_hops(edges: DataFrame, source: int, max_hops: int = 4
             frontier = nxt
             settled = settled.unionAll(frontier)
     return settled
+
+
+def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 50,
+          src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    nodes of (undirected) degree < k until fixpoint; returns the
+    surviving ``(node, degree)`` with degrees measured INSIDE the
+    core. The standard graph-based quality screen — nodes outside a
+    2-/3-core are weakly connected (drive-by links, spam tails) and
+    the max-core is the densely-interacting region worth keeping.
+
+    Scale shape: each round is one partial-aggregated degree count +
+    two semi-joins that shrink the (lo, hi) edge list; the round's
+    result is eagerly checkpointed so lineage stays flat, and the
+    fixpoint test is the 1-row edge count that checkpoint already
+    computed. Peeling converges in at most O(peeled layers) rounds —
+    typically a handful — and EXTRA rounds are no-ops, which is what
+    makes the unrolled-SQL oracle (`graph_kcore`) exact: both engines
+    land on the same fixpoint regardless of round count.
+    """
+    und = _canonical_undirected(
+        edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")))
+    und = und.localCheckpoint(eager=True)
+    prev_edges = und.count()
+    for _ in range(max_rounds):
+        deg = (und.select(F.col("lo").alias("node"))
+               .unionAll(und.select(F.col("hi").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        und = (und
+               .join(keep.withColumnRenamed("node", "lo"), "lo",
+                     "left_semi")
+               .join(keep.withColumnRenamed("node", "hi"), "hi",
+                     "left_semi")
+               .localCheckpoint(eager=True))
+        n = und.count()
+        if n == prev_edges:
+            break
+        prev_edges = n
+    return (und.select(F.col("lo").alias("node"))
+            .unionAll(und.select(F.col("hi").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))

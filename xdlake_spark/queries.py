@@ -5627,6 +5627,60 @@ def _lpa_iter_sql(prev: str, this: str) -> str:
 )"""
 
 
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling twin: each round keeps degree >= k nodes and
+    filters the edge list; extra rounds past the fixpoint are no-ops,
+    so a generous unroll equals the Spark side's true fixpoint."""
+    # MATERIALIZED is load-bearing: each round references the previous
+    # CTE several times, and inlining would expand the plan
+    # exponentially across 10 rounds
+    parts = ["""WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+                  greatest(a.l_partkey, b.l_partkey) AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey
+   AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey != b.l_partkey
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", d{i} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT lo AS node FROM e{i - 1}
+    UNION ALL SELECT hi FROM e{i - 1}) GROUP BY 1
+), e{i} AS MATERIALIZED (
+  SELECT lo, hi FROM e{i - 1}
+  WHERE lo IN (SELECT node FROM d{i} WHERE deg >= {k})
+    AND hi IN (SELECT node FROM d{i} WHERE deg >= {k})
+)""")
+    parts.append(f"""
+SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT lo AS node FROM e{rounds}
+  UNION ALL SELECT hi FROM e{rounds}) GROUP BY 1
+ORDER BY node""")
+    return "".join(parts)
+
+
+@register("graph_kcore", _kcore_oracle_sql(3, 10))
+def graph_kcore_q(spark, sf_dir):
+    """k-core decomposition of the part co-purchase chain graph
+    (operators/graph.py kcore — iterative peeling to the fixpoint,
+    one degree agg + two shrinking semi-joins per round, eager
+    checkpoint bounding lineage): the graph-based quality screen that
+    keeps the densely-interacting region. Oracle: a 10-round unrolled
+    peeling twin — rounds past the fixpoint are no-ops, so both
+    engines land on the identical core."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", "l_linenumber",
+                  F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey",
+                  (F.col("l_linenumber") - 1).alias("l_linenumber"),
+                  F.col("l_partkey").alias("dst"))
+    edges = (a.join(b, ["l_orderkey", "l_linenumber"])
+             .filter("src != dst").select("src", "dst"))
+    from .operators import graph
+    return graph.kcore(edges, k=3).orderBy("node")
+
+
 @register("graph_triangle_census", """
 WITH pairs AS (
   SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
