@@ -137,6 +137,10 @@ HEADLINE = [
     "multimodal_mp3_decode_real",
     "delta_variant_json",
     "delta_column_defaults",
+    "graph_kcore",
+    "dedup_paragraphs_within",
+    "similarity_sq_topk",
+    "delta_drop_feature_scan",
 ]
 
 
