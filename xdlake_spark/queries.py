@@ -3585,6 +3585,59 @@ def events_anomaly_q(spark, sf_dir):
     return temporal.anomaly_flags(ev, k=2.0)
 
 
+@register("events_cohort_retention", """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('day', f.cohort_week,
+                        date_trunc('week', e.ts)) / 7 AS INT)
+             AS week_offset
+  FROM events e JOIN firsts f USING (user_id)
+), sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY 1
+)
+SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort_week,
+       a.week_offset,
+       CAST(count(*) AS BIGINT) AS n_active,
+       round(count(*) / CAST(any_value(s.cohort_size) AS DOUBLE), 6)
+           AS retention
+FROM activity a JOIN sizes s USING (cohort_week)
+GROUP BY a.cohort_week, a.week_offset
+ORDER BY cohort_week, week_offset
+""")
+def events_cohort_retention_q(spark, sf_dir):
+    """Weekly cohort retention — the canonical product-analytics
+    matrix (cohort = first-seen week; cell = share of the cohort
+    active N weeks later). Two partial-aggregated shuffles on user_id
+    + one on (cohort, offset); the cohort-size side of the final join
+    is weeks-count rows, broadcast. No windows, no Python — the whole
+    matrix is codegen aggregation at any corpus size."""
+    e = _t(spark, sf_dir, "events")
+    firsts = (e.groupBy("user_id")
+              .agg(F.date_trunc("week", F.min("ts"))
+                   .alias("cohort_week")))
+    activity = (e.join(firsts, "user_id")
+                .select("user_id", "cohort_week",
+                        (F.datediff(F.date_trunc("week", F.col("ts")),
+                                    F.col("cohort_week")) / 7)
+                        .cast("int").alias("week_offset"))
+                .distinct())
+    sizes = (firsts.groupBy("cohort_week")
+             .agg(F.count(F.lit(1)).alias("cohort_size")))
+    return (activity.join(F.broadcast(sizes), "cohort_week")
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).alias("n_active"),
+                 F.round(F.count(F.lit(1))
+                         / F.first("cohort_size").cast("double"), 6)
+                 .alias("retention"))
+            .select(F.date_format("cohort_week", "yyyy-MM-dd")
+                    .alias("cohort_week"),
+                    "week_offset", "n_active", "retention")
+            .orderBy("cohort_week", "week_offset"))
+
+
 @register("events_conversion_funnel", """
 WITH f AS (
   SELECT user_id, event_type, ts FROM events
