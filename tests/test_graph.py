@@ -143,3 +143,37 @@ class TestKCore:
         got = {r["node"]: r["degree"]
                for r in kcore(_edges(spark, pairs), k=2).collect()}
         assert got == {1: 2, 2: 2, 3: 2}
+
+
+class TestDeterministicWalks:
+    def test_shape_and_validity(self, spark):
+        from xdlake_spark.operators.graph import deterministic_walks
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)]
+        rows = deterministic_walks(_edges(spark, pairs),
+                                   length=3).collect()
+        adj: dict = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        walks: dict = {}
+        for r in rows:
+            walks.setdefault(r["start"], {})[r["step"]] = r["node"]
+        assert set(walks) == {1, 2, 3, 4}        # one walk per node
+        for start, w in walks.items():
+            assert sorted(w) == [0, 1, 2, 3]     # full length
+            assert w[0] == start
+            for s in range(1, 4):
+                assert w[s] in adj[w[s - 1]]     # every hop is an edge
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from xdlake_spark.operators.graph import deterministic_walks
+        pairs = [(i, j) for i in range(8) for j in range(8) if i < j]
+        e = _edges(spark, pairs)
+        a = sorted(map(tuple, deterministic_walks(e, 4, seed=1)
+                       .collect()))
+        b = sorted(map(tuple, deterministic_walks(e, 4, seed=1)
+                       .collect()))
+        c = sorted(map(tuple, deterministic_walks(e, 4, seed=2)
+                       .collect()))
+        assert a == b
+        assert a != c    # on K8 a different seed changes some hop

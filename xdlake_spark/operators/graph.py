@@ -234,3 +234,53 @@ def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 50,
     return (und.select(F.col("lo").alias("node"))
             .unionAll(und.select(F.col("hi").alias("node")))
             .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+
+
+def deterministic_walks(edges: DataFrame, length: int = 4,
+                        seed: int = 42, src_col: str = "src",
+                        dst_col: str = "dst") -> DataFrame:
+    """Fixed-length walk per node over the undirected graph — the
+    corpus generator behind DeepWalk/node2vec-style graph embeddings.
+    Each step moves to the neighbor minimizing the seeded portable
+    hash ``md5("{seed}:{step}:{cur}:{neighbor}")`` (ties to the
+    smaller neighbor id): "random" enough to decorrelate walks, yet
+    fully DETERMINISTIC — any engine regenerates the identical corpus
+    (the DuckDB twin `graph_walk_corpus` is oracle-exact, unusual for
+    a sampling operator). Returns ``(start, step, node)`` with step 0
+    = the start node.
+
+    Scale shape: ``length`` rounds of one join against the (static,
+    checkpointed) adjacency list + one min_by per walk — walk state is
+    (start, cur), never a growing path column, and the exploded output
+    is assembled from the per-round frontiers. O(length * |E|) total.
+    """
+    und = _canonical_undirected(
+        edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")))
+    adj = (und.select(F.col("lo").alias("cur"),
+                      F.col("hi").alias("nxt"))
+           .unionAll(und.select(F.col("hi").alias("cur"),
+                                F.col("lo").alias("nxt")))
+           .localCheckpoint(eager=True))
+    walk = (adj.select(F.col("cur").alias("start")).distinct()
+            .withColumn("cur", F.col("start")))
+    out = walk.select("start", F.lit(0).alias("step"),
+                      F.col("cur").alias("node"))
+    for step in range(1, length + 1):
+        seeded = F.concat(F.lit(f"{seed}:{step}:"),
+                          F.col("cur").cast("string"), F.lit(":"),
+                          F.col("nxt").cast("string"))
+        h = F.conv(F.substring(F.md5(seeded), 1, 13), 16, 10) \
+            .cast("long")
+        nxt = (walk.join(adj, "cur")
+               .groupBy("start")
+               .agg(F.min(F.struct(h.alias("h"),
+                                   F.col("nxt").alias("n")))
+                    .alias("m"))
+               .select("start", F.col("m.n").alias("cur"))
+               .localCheckpoint(eager=True))
+        out = out.unionAll(nxt.select("start",
+                                      F.lit(step).alias("step"),
+                                      F.col("cur").alias("node")))
+        walk = nxt
+    return out

@@ -5680,6 +5680,61 @@ def _lpa_iter_sql(prev: str, this: str) -> str:
 )"""
 
 
+def _walks_oracle_sql(length: int, seed: int) -> str:
+    """Unrolled walk twin: per step, the same seeded md5 argmin over
+    the adjacency list (window rn=1, ties to smaller neighbor)."""
+    parts = ["""WITH und AS MATERIALIZED (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+                  greatest(a.l_partkey, b.l_partkey) AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey
+   AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey != b.l_partkey
+), adj AS MATERIALIZED (
+  SELECT lo AS cur, hi AS nxt FROM und
+  UNION ALL SELECT hi, lo FROM und
+), w0 AS MATERIALIZED (
+  SELECT DISTINCT cur AS start, cur FROM adj
+)"""]
+    for i in range(1, length + 1):
+        parts.append(f""", c{i} AS MATERIALIZED (
+  SELECT w.start, a.nxt,
+         row_number() OVER (PARTITION BY w.start ORDER BY
+           ('0x' || substring(md5('{seed}:{i}:' || CAST(w.cur AS VARCHAR)
+             || ':' || CAST(a.nxt AS VARCHAR)), 1, 13))::BIGINT,
+           a.nxt) AS rn
+  FROM w{i - 1} w JOIN adj a ON a.cur = w.cur
+), w{i} AS MATERIALIZED (
+  SELECT start, nxt AS cur FROM c{i} WHERE rn = 1
+)""")
+    finals = ["SELECT start, 0 AS step, cur AS node FROM w0"]
+    finals += [f"SELECT start, {i} AS step, cur AS node FROM w{i}"
+               for i in range(1, length + 1)]
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(finals) \
+        + "\nORDER BY start, step"
+
+
+@register("graph_walk_corpus", _walks_oracle_sql(4, 42))
+def graph_walk_corpus_q(spark, sf_dir):
+    """DeepWalk-style walk corpus over the part co-purchase chain
+    graph (operators/graph.py deterministic_walks): one 4-step walk
+    per node, each step the seeded-md5 argmin over the adjacency —
+    a deterministic sampler, so the oracle regenerates the IDENTICAL
+    corpus step by step (rare for sampling operators; same portable
+    hash family as the CMS/bloom)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", "l_linenumber",
+                  F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey",
+                  (F.col("l_linenumber") - 1).alias("l_linenumber"),
+                  F.col("l_partkey").alias("dst"))
+    edges = (a.join(b, ["l_orderkey", "l_linenumber"])
+             .filter("src != dst").select("src", "dst"))
+    from .operators import graph
+    return (graph.deterministic_walks(edges, length=4, seed=42)
+            .orderBy("start", "step"))
+
+
 def _kcore_oracle_sql(k: int, rounds: int) -> str:
     """Unrolled peeling twin: each round keeps degree >= k nodes and
     filters the edge list; extra rounds past the fixpoint are no-ops,
