@@ -141,6 +141,8 @@ HEADLINE = [
     "dedup_paragraphs_within",
     "similarity_sq_topk",
     "delta_drop_feature_scan",
+    "graph_walk_corpus",
+    "events_cohort_retention",
 ]
 
 
