@@ -3272,3 +3272,35 @@ class TestLshTune:
             lsh_tune(1.5)
         with pytest.raises(ValueError):
             lsh_tune(0.5, 1)
+
+
+class TestScriptProfile:
+    def test_counts_dominant_and_mix(self, spark):
+        from xdlake_spark.operators.text import script_profile
+        df = spark.createDataFrame(
+            [(1, "hello world"),
+             (2, "привет hello"),          # cyrillic 6 > latin 5
+             (3, "你好 こんにちは 你好"),     # han 4, kana 5
+             (4, "12345 !!!"),             # no script at all
+             (5, "abcde владимир")],       # cyrillic 8 > latin 5
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in script_profile(df).collect()}
+        assert got[1]["dominant_script"] == "latin"
+        assert got[1]["script_mix"] == 1
+        assert got[2]["dominant_script"] == "cyrillic"
+        assert got[2]["n_cyrillic"] == 6 and got[2]["n_latin"] == 5
+        assert got[3]["dominant_script"] == "kana"
+        assert got[3]["n_han"] == 4 and got[3]["n_kana"] == 5
+        assert got[3]["script_mix"] == 2
+        assert got[4]["dominant_script"] == "none"
+        assert got[4]["script_mix"] == 0
+        assert got[5]["dominant_script"] == "cyrillic"
+
+    def test_tie_breaks_alphabetically(self, spark):
+        from xdlake_spark.operators.text import script_profile
+        # 2 han vs 2 cyrillic: cyrillic wins the tie alphabetically
+        df = spark.createDataFrame([(1, "你好 да")],
+                                   "doc_id long, text string")
+        r = script_profile(df).collect()[0]
+        assert r["n_han"] == 2 and r["n_cyrillic"] == 2
+        assert r["dominant_script"] == "cyrillic"

@@ -347,3 +347,55 @@ def normalize_text(df: DataFrame, text_col: str = "text",
         "[\u200b\u200c\u200d\ufeff\u00ad]", "")
     collapsed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
     return df.withColumn(out_col, collapsed)
+
+
+#: Unicode scripts for corpus triage: profile name -> (Java regex
+#: script class, DuckDB/RE2 class). Script classes, not blocks — both
+#: engines count the same character sets (parity pinned in tests and
+#: the oracle-exact `text_script_profile`).
+SCRIPTS = [
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("greek", r"\p{IsGreek}", r"\p{Greek}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+    ("hebrew", r"\p{IsHebrew}", r"\p{Hebrew}"),
+    ("devanagari", r"\p{IsDevanagari}", r"\p{Devanagari}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("hangul", r"\p{IsHangul}", r"\p{Hangul}"),
+    ("kana", r"[\p{IsHiragana}\p{IsKatakana}]",
+     r"[\p{Hiragana}\p{Katakana}]"),
+]
+
+
+def script_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document Unicode SCRIPT profile — the triage step before
+    language ID in a multilingual corpus (langid models are per-script
+    families; mixed-script docs are their own quality signal). Counts
+    characters per script (regexp_count, pure JVM — one codegen pass,
+    zero shuffle), plus ``dominant_script`` (argmax, ties to the
+    alphabetically first — 'none' when nothing matched) and
+    ``script_mix`` (number of scripts present).
+    """
+    c = F.col(text_col)
+    counts = {name: F.regexp_count(c, F.lit(java)).alias(f"n_{name}")
+              for name, java, _ in SCRIPTS}
+    # argmax via array_max over (n, rank, name) structs: struct compare
+    # is lexicographic, and rank is the DESCENDING alphabetical position
+    # so count ties resolve to the alphabetically-first script
+    ordered = sorted(name for name, _, _ in SCRIPTS)
+    rank = {name: len(ordered) - i for i, name in enumerate(ordered)}
+    scored = F.array(*[
+        F.struct(F.col(f"n_{name}").alias("n"),
+                 F.lit(rank[name]).alias("r"),
+                 F.lit(name).alias("script"))
+        for name, _, _ in SCRIPTS])
+    best = F.array_max(scored)
+    out = df.select(F.col(id_col), *counts.values())
+    return out.select(
+        id_col, *[f"n_{name}" for name, _, _ in SCRIPTS],
+        F.when(best["n"] > 0, best["script"]).otherwise(F.lit("none"))
+        .alias("dominant_script"),
+        sum((F.when(F.col(f"n_{name}") > 0, 1).otherwise(0)
+             for name, _, _ in SCRIPTS), F.lit(0))
+        .cast("int").alias("script_mix"))

@@ -3585,6 +3585,71 @@ def events_anomaly_q(spark, sf_dir):
     return temporal.anomaly_flags(ev, k=2.0)
 
 
+def _script_profile_oracle_sql() -> str:
+    from .operators.text import SCRIPTS
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(t, '{duck}')) AS n_{name}"
+        for name, _, duck in SCRIPTS)
+    names = ", ".join(f"'{n}'" for n, _, _ in SCRIPTS)
+    ns = ", ".join(f"n_{n}" for n, _, _ in SCRIPTS)
+    cols = ", ".join(f"c.n_{n}" for n, _, _ in SCRIPTS)
+    return f"""
+WITH built AS (
+  SELECT doc_id, text || CASE doc_id % 5
+    WHEN 1 THEN ' привет мир'
+    WHEN 2 THEN ' 你好世界 こんにちは'
+    WHEN 3 THEN ' مرحبا بالعالم'
+    WHEN 4 THEN ' Γειά σου κόσμε'
+    ELSE '' END AS t
+  FROM documents WHERE doc_id % 3 = 0
+), counts AS (
+  SELECT doc_id,
+         {counts}
+  FROM built
+), m AS (
+  SELECT doc_id, unnest([{names}]) AS script,
+         unnest([{ns}]) AS n
+  FROM counts
+), dom AS (
+  SELECT doc_id, script, n,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n DESC, script) AS rn
+  FROM m
+)
+SELECT c.doc_id, {cols},
+       CASE WHEN d.n > 0 THEN d.script ELSE 'none' END
+           AS dominant_script,
+       CAST((SELECT count(*) FROM m
+             WHERE m.doc_id = c.doc_id AND m.n > 0) AS INT)
+           AS script_mix
+FROM counts c JOIN dom d ON d.doc_id = c.doc_id AND d.rn = 1
+ORDER BY c.doc_id"""
+
+
+@register("text_script_profile", _script_profile_oracle_sql())
+def text_script_profile_q(spark, sf_dir):
+    """Unicode script triage (operators/text.py script_profile): docs
+    augmented with id-keyed Cyrillic/Han+Kana/Arabic/Greek tails are
+    profiled per script — pure JVM regexp_count, one codegen pass,
+    zero shuffle. Java's \\p{IsX} and RE2's \\p{X} are SCRIPT classes
+    on both engines, so the counts, the alphabetically-tie-broken
+    dominant script, and the mix cardinality are oracle-exact."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id % 3 = 0")
+    built = d.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 5 == 1,
+                        F.lit(" привет мир"))
+                 .when(F.col("doc_id") % 5 == 2,
+                       F.lit(" 你好世界 こんにちは"))
+                 .when(F.col("doc_id") % 5 == 3,
+                       F.lit(" مرحبا بالعالم"))
+                 .when(F.col("doc_id") % 5 == 4,
+                       F.lit(" Γειά σου κόσμε"))
+                 .otherwise(F.lit(""))).alias("text"))
+    return textops.script_profile(built).orderBy("doc_id")
+
+
 @register("events_cohort_retention", """
 WITH firsts AS (
   SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
