@@ -3304,3 +3304,35 @@ class TestScriptProfile:
         r = script_profile(df).collect()[0]
         assert r["n_han"] == 2 and r["n_cyrillic"] == 2
         assert r["dominant_script"] == "cyrillic"
+
+
+class TestCompressionRatio:
+    def test_matches_stdlib_zlib(self, spark, documents):
+        import zlib
+        from xdlake_spark.operators.text import compression_ratio
+        src = {r["doc_id"]: r["text"]
+               for r in documents.limit(30).collect()}
+        got = {r["doc_id"]: r for r in
+               compression_ratio(documents.limit(30)).collect()}
+        assert set(got) == set(src)
+        for doc_id, text in src.items():
+            raw = (text or "").encode("utf-8")
+            comp = zlib.compress(raw, 6)
+            r = got[doc_id]
+            assert r["n_bytes"] == len(raw)
+            assert r["n_compressed"] == len(comp)
+            assert r["ratio"] == round(len(comp) / len(raw), 6)
+
+    def test_repetitive_text_compresses_harder(self, spark):
+        from xdlake_spark.operators.text import compression_ratio
+        import random
+        random.seed(7)
+        noise = "".join(random.choice("abcdefgh ") for _ in range(2000))
+        df = spark.createDataFrame(
+            [(1, "spam " * 400), (2, noise), (3, "")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["ratio"]
+               for r in compression_ratio(df).collect()}
+        assert got[1] < 0.05          # boilerplate crushes
+        assert got[2] > 0.3           # noise resists
+        assert got[3] == 1.0          # empty sentinel

@@ -399,3 +399,50 @@ def script_profile(df: DataFrame, text_col: str = "text",
         sum((F.when(F.col(f"n_{name}") > 0, 1).otherwise(0)
              for name, _, _ in SCRIPTS), F.lit(0))
         .cast("int").alias("script_mix"))
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    repetitiveness/quality signal (RefinedWeb-style: highly
+    compressible text is boilerplate or spam; incompressible text is
+    often binary junk or mojibake). Returns ``(id, n_bytes,
+    n_compressed, ratio)`` with ratio = compressed/original rounded to
+    6 (empty docs: ratio 1.0).
+
+    Python is unavoidable (zlib), so the pass is an Arrow-batched
+    mapInPandas like the codec paths: one worker pass per partition,
+    zero shuffle, text bytes never leave their partition. zlib output
+    is deterministic for a fixed level, pinned by a python twin in
+    tests.
+    """
+    import zlib
+    from collections.abc import Iterator as _It
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("n_compressed", T.IntegerType()),
+        T.StructField("ratio", T.DoubleType()),
+    ])
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                raw = (text or "").encode("utf-8")
+                comp = zlib.compress(raw, level) if raw else b""
+                rows.append({
+                    id_col: int(doc_id),
+                    "n_bytes": len(raw),
+                    "n_compressed": len(comp),
+                    "ratio": round(len(comp) / len(raw), 6)
+                    if raw else 1.0,
+                })
+            yield pd.DataFrame(rows, columns=[f.name
+                                              for f in schema.fields])
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)

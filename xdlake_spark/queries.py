@@ -3585,6 +3585,21 @@ def events_anomaly_q(spark, sf_dir):
     return temporal.anomaly_flags(ev, k=2.0)
 
 
+# rows-only: zlib has no SQL twin; the ratio is deterministic for a
+# fixed level and pinned against stdlib zlib in
+# tests/test_operators.py::TestCompressionRatio.
+@register("text_compression_ratio", None)
+def text_compression_ratio_q(spark, sf_dir):
+    """zlib compression-ratio quality signal (operators/text.py
+    compression_ratio — the RefinedWeb-style repetitiveness filter):
+    Arrow-batched mapInPandas, one worker pass per partition, zero
+    shuffle. Output joins the quality family: highly compressible =
+    boilerplate/spam, incompressible = binary junk."""
+    d = _t(spark, sf_dir, "documents")
+    return (textops.compression_ratio(d)
+            .orderBy("doc_id"))
+
+
 def _script_profile_oracle_sql() -> str:
     from .operators.text import SCRIPTS
     counts = ",\n         ".join(
