@@ -143,6 +143,8 @@ HEADLINE = [
     "delta_drop_feature_scan",
     "graph_walk_corpus",
     "events_cohort_retention",
+    "text_script_profile",
+    "text_compression_ratio",
 ]
 
 

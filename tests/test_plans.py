@@ -336,3 +336,53 @@ class TestGraphPlans:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestRound8PlanShapes:
+    """Plan pins for the round-8 operators: the bloom probe broadcasts
+    its word table (never shuffles the candidate stream), the SQ and
+    bloom paths stay pure JVM, top-k paths run as TakeOrdered, and the
+    per-row transforms introduce no exchange."""
+
+    def test_bloom_screen_broadcasts_the_filter(self, spark):
+        plan = plan_of(spark, "bloom_incremental_screen")
+        assert re.search(r"BroadcastHashJoin|BroadcastNestedLoop",
+                         plan), plan
+        assert "CartesianProduct" not in plan
+
+    @pytest.mark.parametrize("name", [
+        "bloom_incremental_screen",
+        "similarity_sq_topk",
+        "dedup_paragraphs_within",
+        "text_script_profile",
+        "events_cohort_retention",
+    ])
+    def test_no_python_in_round8_relational_paths(self, spark, name):
+        fn, _ = Q.REGISTRY[name]
+        df = fn(spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "MapInPandas" not in plan
+
+    def test_sq_topk_is_take_ordered(self, spark):
+        plan = plan_of(spark, "similarity_sq_topk")
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_paragraph_dedup_within_has_no_exchange(self, spark):
+        """The intra-doc fold is per-row: zero shuffles in the whole
+        plan (the orderBy in the registry query is the only sort and
+        rides the final collect)."""
+        fn, _ = Q.REGISTRY["dedup_paragraphs_within"]
+        from xdlake_spark.operators.dedup import paragraph_dedup_within
+        d = fn(spark, SF)  # registry wrapper adds an orderBy; inspect
+        # the raw operator instead for the no-exchange claim
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        raw = paragraph_dedup_within(docs.select("doc_id", "text"))
+        plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+    def test_cohort_retention_broadcasts_sizes(self, spark):
+        plan = plan_of(spark, "events_cohort_retention")
+        assert re.search(r"BroadcastHashJoin", plan), plan
