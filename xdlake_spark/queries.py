@@ -3585,6 +3585,55 @@ def events_anomaly_q(spark, sf_dir):
     return temporal.anomaly_flags(ev, k=2.0)
 
 
+@register("corpus_zipf_fit", r"""
+WITH toks AS (
+  SELECT lower(t.tok) AS tok
+  FROM documents,
+       unnest(string_split_regex(trim(text), '\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+), freq AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+  FROM freq
+), top AS (
+  SELECT ln(rank) AS lr, ln(n) AS lf FROM ranked WHERE rank <= 500
+)
+SELECT round(regr_slope(lf, lr), 6)     AS zipf_slope,
+       round(regr_intercept(lf, lr), 6) AS zipf_intercept,
+       round(regr_r2(lf, lr), 6)        AS r2,
+       CAST(count(*) AS BIGINT)         AS n_points
+FROM top
+""")
+def corpus_zipf_fit_q(spark, sf_dir):
+    """Zipf-law fit over the term-frequency distribution — the
+    one-number sanity check that a corpus looks like natural language
+    (slope near -1) rather than logs or spam (flatter/steeper): OLS of
+    log-frequency on log-rank over the top 500 terms, with R².
+    One token groupBy + one 500-row window + one tiny aggregate; the
+    regression itself is regr_slope/regr_intercept/regr_r2 in BOTH
+    engines — oracle-exact, ties in the rank order broken by term."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+    freq = (d.select(F.explode(F.split(F.trim("text"), r"\s+"))
+                     .alias("tok"))
+            .filter(F.length("tok") > 0)
+            .select(F.lower("tok").alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
+    ranked = freq.select(
+        "n", F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("tok")))
+        .alias("rank")).filter("rank <= 500")
+    pts = ranked.select(F.log("rank").alias("lr"),
+                        F.log("n").alias("lf"))
+    return pts.agg(
+        F.round(F.expr("regr_slope(lf, lr)"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(lf, lr)"), 6)
+        .alias("zipf_intercept"),
+        F.round(F.expr("regr_r2(lf, lr)"), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n_points"))
+
+
 # rows-only: zlib has no SQL twin; the ratio is deterministic for a
 # fixed level and pinned against stdlib zlib in
 # tests/test_operators.py::TestCompressionRatio.
