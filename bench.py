@@ -145,6 +145,7 @@ HEADLINE = [
     "events_cohort_retention",
     "text_script_profile",
     "text_compression_ratio",
+    "corpus_zipf_fit",
 ]
 
 
