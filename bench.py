@@ -146,6 +146,7 @@ HEADLINE = [
     "text_script_profile",
     "text_compression_ratio",
     "corpus_zipf_fit",
+    "graph_assortativity",
 ]
 
 

@@ -5864,6 +5864,69 @@ def graph_walk_corpus_q(spark, sf_dir):
             .orderBy("start", "step"))
 
 
+@register("graph_assortativity", """
+WITH und AS (
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS lo,
+                  greatest(a.l_partkey, b.l_partkey) AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey
+   AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_partkey != b.l_partkey
+), deg AS (
+  SELECT node, CAST(count(*) AS DOUBLE) AS d FROM (
+    SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)
+  GROUP BY 1
+), ends AS (
+  -- each undirected edge contributes BOTH orientations, the standard
+  -- symmetrized estimator
+  SELECT dl.d AS dx, dh.d AS dy
+  FROM und JOIN deg dl ON dl.node = und.lo
+           JOIN deg dh ON dh.node = und.hi
+  UNION ALL
+  SELECT dh.d, dl.d
+  FROM und JOIN deg dl ON dl.node = und.lo
+           JOIN deg dh ON dh.node = und.hi
+)
+SELECT round(corr(dx, dy), 6) AS assortativity,
+       CAST(count(*) / 2 AS BIGINT) AS n_edges
+FROM ends
+""")
+def graph_assortativity_q(spark, sf_dir):
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over the symmetrized edge list — positive =
+    hubs-link-hubs (social shape), negative = hub-and-spoke
+    (web/infrastructure shape); the one-number structure check run
+    alongside the triangle census. One degree agg + two broadcast-able
+    joins of the degree table onto the edges + a corr() both engines
+    implement identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", "l_linenumber",
+                  F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey",
+                  (F.col("l_linenumber") - 1).alias("l_linenumber"),
+                  F.col("l_partkey").alias("dst"))
+    edges = (a.join(b, ["l_orderkey", "l_linenumber"])
+             .filter("src != dst").select("src", "dst"))
+    und = (edges.select(F.least("src", "dst").alias("lo"),
+                        F.greatest("src", "dst").alias("hi"))
+           .filter("lo != hi").distinct())
+    deg = (und.select(F.col("lo").alias("node"))
+           .unionAll(und.select(F.col("hi").alias("node")))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("double").alias("d")))
+    dl = deg.withColumnRenamed("node", "lo") \
+        .withColumnRenamed("d", "dx")
+    dh = deg.withColumnRenamed("node", "hi") \
+        .withColumnRenamed("d", "dy")
+    joined = und.join(dl, "lo").join(dh, "hi")
+    ends = (joined.select("dx", "dy")
+            .unionAll(joined.select(F.col("dy").alias("dx"),
+                                    F.col("dx").alias("dy"))))
+    return ends.agg(
+        F.round(F.corr("dx", "dy"), 6).alias("assortativity"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"))
+
+
 def _kcore_oracle_sql(k: int, rounds: int) -> str:
     """Unrolled peeling twin: each round keeps degree >= k nodes and
     filters the edge list; extra rounds past the fixpoint are no-ops,
