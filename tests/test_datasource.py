@@ -215,6 +215,35 @@ class TestPartitionedStreamingSink:
         nulls = t.to_df(where="cat IS NULL").count()
         assert nulls == len([i for i in range(1, 30) if i % 7 == 0])
 
+    def test_boolean_partition_values_delta_cased(self, registered,
+                                                  tmp_table_dir,
+                                                  spark):
+        """Boolean partition values must serialize as Delta's
+        lowercase 'true'/'false' — Python str() would write
+        'True'/'False', which foreign engines comparing
+        partitionValues exactly (or parsing Hive dirs) mismatch
+        (r8 ADVICE)."""
+        import os
+        DeltaTable(registered, f"{tmp_table_dir}/src").write(
+            spark.createDataFrame(
+                [(i, i % 2 == 0) for i in range(10)],
+                "id long, flag boolean"))
+        q = (registered.readStream.format("xdlake")
+             .load(f"{tmp_table_dir}/src")
+             .writeStream.format("xdlake")
+             .option("checkpointLocation", f"{tmp_table_dir}/ckpt")
+             .option("partitionBy", "flag")
+             .trigger(availableNow=True)
+             .start(f"{tmp_table_dir}/t"))
+        q.awaitTermination(120)
+        t = DeltaTable(registered, f"{tmp_table_dir}/t")
+        dirs = {d for d in os.listdir(f"{tmp_table_dir}/t")
+                if d.startswith("flag=")}
+        assert dirs == {"flag=true", "flag=false"}
+        pvs = {a.partitionValues["flag"] for a in t.adds.values()}
+        assert pvs == {"true", "false"}
+        assert t.to_df(where="flag = true").count() == 5
+
     def test_sink_creates_missing_table(self, registered,
                                         tmp_table_dir, spark):
         """delta-spark writeStream parity: the first batch CREATES the

@@ -96,6 +96,28 @@ class TestReaderProtocol:
         assert o2 == {"version": 4, "index": 1}   # capped from now on
         assert len(r.partitions(o1, o2)) == 1
 
+    def test_capped_start_on_resumed_checkpoint_refused(
+            self, registered, tmp_path, lineitem):
+        """cappedStart is only restart-safe on a FRESH checkpoint: a
+        resumed query whose checkpointed position is AHEAD of the
+        startingVersion pin must fail loudly instead of planning a
+        backwards batch (r8 ADVICE)."""
+        path = str(tmp_path / "t")
+        self._table(registered, path, lineitem, 5)
+        # restarted stream (no initialOffset): cappedStart pins v0,
+        # but the checkpoint already consumed through v3
+        r = _XdlakeStreamReader(path, max_files=1, starting_version=1,
+                                capped_start=True)
+        o1 = r.latestOffset()   # blind pin: behind the checkpoint
+        with pytest.raises(ValueError, match="cappedStart"):
+            r.partitions({"version": 3, "index": -1}, o1)
+        # a FRESH checkpoint (start == the pin) keeps working
+        r2 = _XdlakeStreamReader(path, max_files=1, starting_version=1,
+                                 capped_start=True)
+        o = r2.latestOffset()
+        assert o == {"version": 1, "index": 1}
+        assert len(r2.partitions({"version": 0, "index": -1}, o)) == 1
+
     def test_skipped_change_commit_advances_with_zero_files(
             self, registered, tmp_path, lineitem):
         path = str(tmp_path / "t")

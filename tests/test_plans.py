@@ -386,3 +386,22 @@ class TestRound8PlanShapes:
     def test_cohort_retention_broadcasts_sizes(self, spark):
         plan = plan_of(spark, "events_cohort_retention")
         assert re.search(r"BroadcastHashJoin", plan), plan
+
+
+class TestRound9PlanShapes:
+    """Round-9 fixes: the last two unpartitioned rank windows over
+    unbounded inputs (corpus_zipf_fit over the full vocabulary,
+    hybrid_rrf_ranking over the full scored sets) now take their
+    top-N with TakeOrderedAndProject FIRST; any rank window in these
+    plans only ever sees <= N pre-limited rows."""
+
+    @pytest.mark.parametrize("name", ["corpus_zipf_fit",
+                                      "hybrid_rrf_ranking"])
+    def test_take_ordered_precedes_rank_window(self, spark, name):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, plan
+        # Spark prints children BELOW parents: every Window must have
+        # a TakeOrderedAndProject somewhere beneath it (its input is
+        # pre-limited), i.e. no window consumes an unlimited input
+        for m in re.finditer(r"\bWindow\b", plan):
+            assert "TakeOrderedAndProject" in plan[m.end():], plan

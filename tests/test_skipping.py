@@ -194,3 +194,29 @@ class TestSoundness:
         assert s.minValues["z"] == 1.0 and s.maxValues["z"] == 3.0
         adds = {"f": Add(path="f", size=1, stats=s.to_json())}
         assert set(prune_manifest(adds, "x > 1e308", [])) == {"f"}
+
+    def test_nan_partition_value_never_pruned(self):
+        """Spark's total order has NaN == NaN and NaN > every double;
+        Python's float comparisons return False for everything. A
+        'NaN' float partition value must therefore never be pruned
+        (r8 ADVICE): x = 'NaN' and x > 1.0 both MATCH in Spark."""
+        adds = {"n": mk_add(pvals={"x": "NaN"}),
+                "one": mk_add(pvals={"x": "1.0"})}
+        types = {"x": "double"}
+        # every comparison keeps the NaN file (None = can't decide)
+        for pred in ("x = 'NaN'", "x > 1.0", "x >= 1.0", "x < 1.0",
+                     "x != 1.0", "x = 1.0"):
+            assert "n" in prune_manifest(adds, pred, ["x"], types), pred
+        # and pruning of normal values still works alongside
+        assert set(prune_manifest(adds, "x > 1.5", ["x"], types)) == {"n"}
+        # NaN literal side: refuse too (keep everything)
+        assert set(prune_manifest(adds, "x = 'NaN'", ["x"], types)) \
+            == {"n", "one"}
+
+    def test_nan_minmax_stats_never_prune(self):
+        """Synthetic NaN min/max stats (a foreign writer could emit
+        them) must leave the file kept, not silently skipped."""
+        adds = {"f": mk_add(mins={"q": float("nan")},
+                            maxs={"q": float("nan")})}
+        for pred in ("q > 30", "q <= 5", "q = 45"):
+            assert set(prune_manifest(adds, pred, [])) == {"f"}, pred

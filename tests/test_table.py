@@ -903,6 +903,25 @@ class TestTypeFeatures:
         _, _, rf, wf = self._features(t)
         assert "variantType" in rf and "variantType" in wf
 
+    def test_nested_variant_blocks_drop_feature(self, spark,
+                                                tmp_table_dir):
+        """drop_feature('variantType') must refuse while a variant
+        hides inside a struct/array (r8 ADVICE): dropping it would
+        stop declaring a type the schema still contains, and
+        conforming foreign readers would misread the table."""
+        df = spark.sql(
+            "SELECT id, named_struct('inner', parse_json('1')) AS s "
+            "FROM range(2)")
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(df)
+        with pytest.raises(ValueError, match="variant"):
+            t.drop_feature("variantType")
+        # dropping the nested variant column unblocks the drop
+        t = t.write(t.to_df().select("id"), mode="overwrite",
+                    schema_mode="overwrite")
+        t = t.drop_feature("variantType")
+        _, _, rf, wf = self._features(t)
+        assert "variantType" not in rf and "variantType" not in wf
+
 
 class TestCommitRetry:
     def test_append_retries_past_conflict(self, spark, tmp_table_dir):

@@ -402,16 +402,19 @@ def sq_topk(encoded: DataFrame, bounds: np.ndarray, query_vec,
     approx = dot(recon, lit_vector(q))
     base = ensure_parallelism(encoded)
     if vec_col is None:
-        return (base.select(F.col(id_col),
-                            F.round(approx, 4).alias("score"))
-                .orderBy(F.col("score").desc(), F.col(id_col))
-                .limit(k))
+        # order by the FULL-precision reconstruction dot (matching the
+        # oracle's ORDER BY) and round only the projected column — two
+        # candidates within 5e-5 at the k boundary must not flip sets
+        return (base.select(F.col(id_col), approx.alias("__s"))
+                .orderBy(F.col("__s").desc(), F.col(id_col))
+                .limit(k)
+                .select(F.col(id_col), F.round("__s", 4).alias("score")))
     shortlist = (base.select(F.col(id_col), F.col(vec_col),
                              approx.alias("__a"))
                  .orderBy(F.col("__a").desc(), F.col(id_col))
                  .limit(k * oversample))
     exact = cosine(F.col(vec_col), lit_vector(q))
-    return (shortlist.select(F.col(id_col),
-                             F.round(exact, 4).alias("score"))
-            .orderBy(F.col("score").desc(), F.col(id_col))
-            .limit(k))
+    return (shortlist.select(F.col(id_col), exact.alias("__s"))
+            .orderBy(F.col("__s").desc(), F.col(id_col))
+            .limit(k)
+            .select(F.col(id_col), F.round("__s", 4).alias("score")))

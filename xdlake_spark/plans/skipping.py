@@ -237,8 +237,33 @@ def parse_predicate(sql: str):
 # ---------------------------------------------------------------------------
 
 
+def _no_nan(pair):
+    """Refuse a comparison pair when either side coerced to float NaN.
+
+    Python's ``float('nan') < x`` is False for EVERY x, but Spark's
+    binary comparisons use a total order where NaN equals itself and
+    sorts greater than every double — evaluating NaN pairs with Python
+    operators would wrongly prune files whose partition value is 'NaN'
+    (and a predicate DELETE would then permanently skip rows Spark
+    matches).  Returning None makes the caller keep the file, which is
+    always safe."""
+    if pair is None:
+        return None
+    a, b = pair
+    if (isinstance(a, float) and a != a) or \
+            (isinstance(b, float) and b != b):
+        return None
+    return pair
+
+
 def _coerce_pair(a: Any, b: Any):
-    """Coerce a stat value and a literal to comparable types, or None."""
+    """Coerce a stat value and a literal to comparable types, or None.
+
+    NaN on either side returns None (see _no_nan)."""
+    return _no_nan(_coerce_pair_raw(a, b))
+
+
+def _coerce_pair_raw(a: Any, b: Any):
     if a is None or b is None:
         return None
     if isinstance(a, bool) or isinstance(b, bool):
@@ -322,7 +347,14 @@ def _typed_pair(raw: str, lit: Any, kind: str):
 
     Mirrors Spark's PromoteStrings/findCommonType: string-vs-numeric
     compares as DOUBLE, date-vs-timestamp promotes the date side to
-    midnight, int-vs-int stays exact (no float folding past 2^53)."""
+    midnight, int-vs-int stays exact (no float folding past 2^53).
+    NaN on either coerced side returns None: Spark's total order has
+    NaN == NaN and NaN > every double, which Python comparison
+    operators would get wrong (see _no_nan)."""
+    return _no_nan(_typed_pair_raw(raw, lit, kind))
+
+
+def _typed_pair_raw(raw: str, lit: Any, kind: str):
     try:
         if kind == "int":
             if isinstance(lit, bool):

@@ -3610,8 +3610,11 @@ def corpus_zipf_fit_q(spark, sf_dir):
     one-number sanity check that a corpus looks like natural language
     (slope near -1) rather than logs or spam (flatter/steeper): OLS of
     log-frequency on log-rank over the top 500 terms, with R².
-    One token groupBy + one 500-row window + one tiny aggregate; the
-    regression itself is regr_slope/regr_intercept/regr_r2 in BOTH
+    One token groupBy, a TakeOrderedAndProject top-500 (k rows per
+    partition — NEVER an unpartitioned window over the full
+    vocabulary, which would funnel billions of distinct terms through
+    one reducer at 100 TB), then the rank window over just 500 rows;
+    the regression itself is regr_slope/regr_intercept/regr_r2 in BOTH
     engines — oracle-exact, ties in the rank order broken by term."""
     d = _t(spark, sf_dir, "documents")
     from pyspark.sql import Window
@@ -3620,10 +3623,14 @@ def corpus_zipf_fit_q(spark, sf_dir):
             .filter(F.length("tok") > 0)
             .select(F.lower("tok").alias("tok"))
             .groupBy("tok").agg(F.count(F.lit(1)).alias("n")))
-    ranked = freq.select(
+    # orderBy().limit(k) = TakeOrderedAndProject (each partition
+    # keeps k, the driver merges) — rank-equivalent to windowing the
+    # whole vocabulary because the window's ORDER BY is identical
+    top = freq.orderBy(F.col("n").desc(), F.col("tok")).limit(500)
+    ranked = top.select(
         "n", F.row_number().over(
             Window.orderBy(F.col("n").desc(), F.col("tok")))
-        .alias("rank")).filter("rank <= 500")
+        .alias("rank"))
     pts = ranked.select(F.log("rank").alias("lr"),
                         F.log("n").alias("lf"))
     return pts.agg(
@@ -5772,21 +5779,32 @@ def hybrid_rrf_q(spark, sf_dir):
     rank-level fusion so scores never need calibration). Both ranked
     lists order on ROUNDED scores with id tiebreaks, so ranks — and
     therefore the fusion — are bit-identical cross-engine. Documents
-    and embeddings align on doc_id == vec_id."""
+    and embeddings align on doc_id == vec_id.
+
+    Each list takes its top-50 with orderBy().limit(50) —
+    TakeOrderedAndProject, k rows per partition — BEFORE the rank
+    window, so no unpartitioned window ever sees the full scored set
+    (the cosine side is the entire embeddings table); the 50-row rank
+    window is then trivially single-partition-safe and rank-identical
+    because its ORDER BY matches the limit's."""
     from .operators import retrieval
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    bm = (retrieval.bm25_scores(d, ["hash", "merge", "spark", "window"])
-          .select("doc_id", "score")
-          .withColumn("rank", F.row_number().over(w))
-          .filter(F.col("rank") <= 50))
-    cos = (e.select(F.col("vec_id").alias("doc_id"),
-                    F.round(cosine(F.col("embedding"),
-                                   lit_vector(QUERY_VEC)), 4)
-                    .alias("score"))
-           .withColumn("rank", F.row_number().over(w))
-           .filter(F.col("rank") <= 50))
+
+    def top50(scored):
+        return (scored
+                .orderBy(F.col("score").desc(), F.col("doc_id"))
+                .limit(50)
+                .withColumn("rank", F.row_number().over(w)))
+
+    bm = top50(retrieval.bm25_scores(
+        d, ["hash", "merge", "spark", "window"])
+        .select("doc_id", "score"))
+    cos = top50(e.select(F.col("vec_id").alias("doc_id"),
+                         F.round(cosine(F.col("embedding"),
+                                        lit_vector(QUERY_VEC)), 4)
+                         .alias("score")))
     return retrieval.rrf_fuse([bm, cos], top_k=10)
 
 

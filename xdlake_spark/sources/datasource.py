@@ -426,6 +426,24 @@ class _XdlakeStreamReader(DataSourceStreamReader):
             return _plan_cdf_partitions(self.path,
                                         int(start["version"]),
                                         int(end["version"]))
+        # cappedStart is only restart-safe on a FRESH checkpoint (the
+        # backfill helper gates this, but users can set the option by
+        # hand): on a resumed query the blind pin can land BEHIND the
+        # checkpointed start, making latestOffset regress the stream.
+        # Spark hands the checkpointed start here — refuse loudly
+        # instead of planning a backwards batch.
+        def _k(o: dict):
+            i = int(o.get("index", -1))  # -1 = all of the version
+            return (int(o["version"]),
+                    float("inf") if i == -1 else i)
+        if self.capped_start and _k(end) < _k(start) \
+                and int(start.get("snapshot", -1)) != -2:
+            raise ValueError(
+                "cappedStart pinned an offset behind this query's "
+                f"checkpointed position (start={start}, end={end}); "
+                "cappedStart is only valid on a fresh checkpoint — "
+                "remove the option (or drop startingVersion) when "
+                "resuming an existing stream")
         self._last = dict(end)
         if int(start.get("snapshot", -1)) == -2:
             # fresh stream's first batch: the LIVE set at the end
@@ -779,7 +797,29 @@ class _XdlakeStreamWriter(DataSourceStreamWriter):
         self.partition_cols = list(partition_cols or [])
 
     @staticmethod
-    def _part_dir(pcols: list, key: tuple) -> str:
+    def _pv_str(v) -> "str | None":
+        """Serialize a partition value to Delta's string conventions
+        (what Spark's own partitionBy writer and delta-spark record):
+        lowercase booleans, ISO dates, space-separated timestamps with
+        the zero fraction trimmed. Python ``str()`` would write
+        'True'/'False', which foreign engines comparing partitionValues
+        exactly (or parsing Hive dirs) would mismatch."""
+        import datetime as _dt
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, _dt.datetime):
+            s = v.strftime("%Y-%m-%d %H:%M:%S")
+            if v.microsecond:
+                s += f".{v.microsecond:06d}".rstrip("0")
+            return s
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return str(v)
+
+    @classmethod
+    def _part_dir(cls, pcols: list, key: tuple) -> str:
         import urllib.parse
         segs = []
         for c, v in zip(pcols, key):
@@ -787,7 +827,8 @@ class _XdlakeStreamWriter(DataSourceStreamWriter):
                 segs.append(f"{c}=__HIVE_DEFAULT_PARTITION__")
             else:
                 segs.append(
-                    f"{c}={urllib.parse.quote(str(v), safe='')}")
+                    f"{c}="
+                    f"{urllib.parse.quote(cls._pv_str(v), safe='')}")
         return "/".join(segs)
 
     def write(self, iterator) -> _WrittenFiles:
@@ -842,8 +883,7 @@ class _XdlakeStreamWriter(DataSourceStreamWriter):
                 size = len(data)
                 stats = Statistics.from_parquet_metadata(
                     pq.ParquetFile(io.BytesIO(data)).metadata)
-            pvals = {c: (None if v is None else str(v))
-                     for c, v in zip(pcols, key)}
+            pvals = {c: self._pv_str(v) for c, v in zip(pcols, key)}
             out.append(_WrittenFile(rel, size, stats.to_json(),
                                     table.num_rows, pvals))
         return _WrittenFiles(out)

@@ -2352,9 +2352,22 @@ class DeltaTable:
                 return (f"columns still carry DEFAULTs: "
                         f"{sorted(self.column_defaults)}")
         elif name in ("variantType", "variantType-preview"):
-            if any(hasattr(T, "VariantType")
-                   and isinstance(f.dataType, T.VariantType)
-                   for f in (self.schema.fields if self.schema else [])):
+            # recurse: a variant nested in a struct/array/map blocks the
+            # drop too — the protocol must keep declaring every type the
+            # schema contains anywhere, not just at top level
+            def has_variant(dt):
+                if hasattr(T, "VariantType") \
+                        and isinstance(dt, T.VariantType):
+                    return True
+                if isinstance(dt, T.StructType):
+                    return any(has_variant(f.dataType) for f in dt.fields)
+                if isinstance(dt, T.ArrayType):
+                    return has_variant(dt.elementType)
+                if isinstance(dt, T.MapType):
+                    return has_variant(dt.keyType) \
+                        or has_variant(dt.valueType)
+                return False
+            if self.schema is not None and has_variant(self.schema):
                 return "schema still contains variant columns"
         elif name == "clustering":
             if self.clustering_columns():
