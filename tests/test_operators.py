@@ -2210,6 +2210,38 @@ class TestKCenterSelect:
         # the max-min coverage radius can only shrink as the set grows
         assert all(a >= b for a, b in zip(radii, radii[1:]))
 
+    def test_large_k_matches_numpy_twin(self, spark):
+        """r9: running-min bookkeeping (one new distance per round,
+        localCheckpoint state, O(1) plan literals) must reproduce the
+        sequential greedy bit-for-bit at curation-scale k — numpy twin
+        replays the identical algorithm (round-6 snap AFTER the min,
+        id tie-breaks), and the run completes without the plan
+        blowing up the way a growing least(*d2s) list would."""
+        import numpy as np
+        from xdlake_spark.operators.clustering import kcenter_select
+        rng = np.random.default_rng(7)
+        n, dim, k = 120, 8, 48
+        vecs = rng.normal(size=(n, dim)).round(3)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>")
+        got = [(r["sel_order"], r["id"], r["radius"])
+               for r in kcenter_select(df, k=k).orderBy(
+                   "sel_order").collect()]
+        # sequential reference: same seed, same snap, same tie-break
+        chosen = [0]
+        dm = ((vecs - vecs[0]) ** 2).sum(axis=1)
+        want = [(0, 0, None)]
+        for r in range(1, k):
+            snapped = np.round(dm, 6)
+            best = min(range(n), key=lambda i: (-snapped[i], i))
+            if best in chosen:
+                break
+            want.append((r, best, float(snapped[best])))
+            chosen.append(best)
+            dm = np.minimum(dm, ((vecs - vecs[best]) ** 2).sum(axis=1))
+        assert got == want
+
 
 class TestBloomFilter:
     """Bloom-filter guarantees (operators/sketch.py bloom_build /

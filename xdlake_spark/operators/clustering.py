@@ -256,13 +256,25 @@ def kcenter_select(df: DataFrame, k: int = 8,
     tie-break — smallest id — is bit-reproducible against the
     unrolled-SQL oracle, `kcenter_coreset` in the registry).
 
-    Scale shape: one scan + TakeOrdered(1) per round — the chosen
-    vectors ride into the next round's plan as broadcast literals
-    (k x dim driver state, metadata-scale), so nothing but the
-    argmax row ever reaches the driver. Total work is O(k |corpus|)
-    dot products across k rounds; for the large-k regime, pre-reduce
-    with :func:`kmeans` and run the greedy over centroids (standard
-    two-level coreset), which this composes with directly.
+    Scale shape — standard k-center++ bookkeeping: the per-point
+    running min-distance is MATERIALIZED (localCheckpoint) once per
+    round, so each round computes exactly ONE new dot product per
+    point (distance to the newest center) and folds it in with
+    ``least`` — true O(k |corpus|) total work, O(1) plan literals
+    per round (only the newest center rides in as a broadcast
+    literal; a growing ``least(*d2s)`` expression list would be
+    O(k²  |corpus|) work and a linearly growing plan). The checkpoint
+    also cuts the lineage, so round r's plan never replays rounds
+    0..r-1. Nothing but the 1-row argmax ever reaches the driver.
+    For the very-large-k regime, pre-reduce with :func:`kmeans` and
+    run the greedy over centroids (standard two-level coreset),
+    which this composes with directly.
+
+    Numerically identical to folding all k distances in one
+    expression: ``least`` is an exact min over floats, so the
+    incremental running min equals the batch min bit-for-bit, and
+    the round-6 snap still happens AFTER the min / BEFORE the argmax
+    (bit-reproducible tie-breaks vs the unrolled-SQL oracle).
     """
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).alias("v"))
@@ -270,21 +282,38 @@ def kcenter_select(df: DataFrame, k: int = 8,
     if not first:
         raise ValueError("cannot select from an empty input")
     spark = df.sparkSession
-    chosen = [np.asarray(list(first[0]["v"]), dtype="float64")]
+    seed = np.asarray(list(first[0]["v"]), dtype="float64")
     chosen_ids = {int(first[0]["id"])}
     out = [(0, int(first[0]["id"]), None)]
     x2 = dot(F.col("v"), F.col("v"))
-    while len(chosen) < k:
-        d2s = [x2 - 2.0 * dot(F.col("v"), lit_vector(c))
-               + F.lit(_seq_self_dot(c)) for c in chosen]
-        d2min = F.round(d2s[0] if len(d2s) == 1 else F.least(*d2s), 6)
-        far = (base.select("id", "v", d2min.alias("__d2"))
+
+    def d2_to(c: np.ndarray):
+        return x2 - 2.0 * dot(F.col("v"), lit_vector(c)) \
+            + F.lit(_seq_self_dot(c))
+
+    # running per-point min squared distance to the chosen set, kept
+    # RAW (unrounded) so the incremental min matches the batch min;
+    # rounded only at argmax time
+    state = base.select("id", "v", d2_to(seed).alias("__dm"))
+    prev = None
+    while len(out) < k:
+        state = state.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        prev = state
+        far = (state.select("id", "v",
+                            F.round(F.col("__dm"), 6).alias("__d2"))
                .orderBy(F.col("__d2").desc(), F.col("id"))
                .limit(1).collect())[0]
         if int(far["id"]) in chosen_ids:
             break     # k exceeds the number of distinct points
-        out.append((len(chosen), int(far["id"]), float(far["__d2"])))
-        chosen.append(np.asarray(list(far["v"]), dtype="float64"))
+        out.append((len(out), int(far["id"]), float(far["__d2"])))
         chosen_ids.add(int(far["id"]))
+        newest = np.asarray(list(far["v"]), dtype="float64")
+        state = state.select(
+            "id", "v",
+            F.least(F.col("__dm"), d2_to(newest)).alias("__dm"))
+    if prev is not None:
+        prev.unpersist()
     return spark.createDataFrame(
         out, "sel_order int, id long, radius double")
