@@ -164,10 +164,6 @@ class TestMaxFilesPerTriggerE2E:
         with pytest.raises(Exception, match="maxFilesPerTrigger"):
             (registered.readStream.format("xdlake")
              .option("maxFilesPerTrigger", "0").load(tmp_table_dir))
-        with pytest.raises(Exception, match="readChangeFeed"):
-            (registered.readStream.format("xdlake")
-             .option("maxFilesPerTrigger", "2")
-             .option("readChangeFeed", "true").load(tmp_table_dir))
 
 
 class TestLiveSetSnapshot:
@@ -375,3 +371,94 @@ class TestAvailableNow:
         parts = r.partitions({"version": -1, "index": -1}, offs[0])
         assert len(parts) == 3                 # versions 0..2 only
         assert r.latestOffset() == offs[0]     # clamped: never past 2
+
+
+class TestCdfRateLimits:
+    """readChangeFeed now composes with maxFilesPerTrigger /
+    maxBytesPerTrigger and startingVersion (r9): the same
+    (version, index) admission walk runs over the CDF unit order, so
+    a big change commit splits across capped micro-batches and the
+    union of all capped batches equals the uncapped change feed."""
+
+    def _cdf_table(self, spark, path, lineitem):
+        li = lineitem.limit(100).select("l_orderkey", "l_linenumber",
+                                        "l_quantity")
+        t = DeltaTable(spark, path).write(li.repartition(3))    # v0
+        t = t.write(li.limit(20).repartition(2), mode="append")  # v1
+        t = t.delete("l_quantity > 40")                          # v2
+        return t
+
+    def test_capped_batches_cover_the_uncapped_feed(
+            self, registered, tmp_path, lineitem):
+        path = str(tmp_path / "t")
+        self._cdf_table(registered, path, lineitem)
+        r = _XdlakeStreamReader(path, read_change_feed=True,
+                                max_files=2)
+        uncapped = _XdlakeStreamReader(path, read_change_feed=True)
+        o_all = uncapped.latestOffset()
+        all_parts = uncapped.partitions(
+            {"version": -1, "index": -1}, o_all)
+        offs = [{"version": -1, "index": -1}]
+        sizes, parts = [], []
+        o1 = r.latestOffset()
+        r._last = offs[0]          # pin the walk's start (fresh pos)
+        while True:
+            nxt = r.latestOffset()
+            if nxt == offs[-1]:
+                break
+            batch = r.partitions(offs[-1], nxt)
+            sizes.append(len(batch))
+            parts.extend(batch)
+            offs.append(nxt)
+        assert max(sizes) <= 2 and len(sizes) >= 3
+        assert [p.url for p in parts] == [p.url for p in all_parts]
+        assert [p.fixed_change for p in parts] == \
+            [p.fixed_change for p in all_parts]
+
+    def test_old_versiononly_offsets_resume(self, registered,
+                                            tmp_path, lineitem):
+        """Pre-r9 checkpoints stored {'version': v} with no index —
+        they must resume as 'whole version consumed'."""
+        path = str(tmp_path / "t")
+        self._cdf_table(registered, path, lineitem)
+        r = _XdlakeStreamReader(path, read_change_feed=True)
+        r._last = {"version": 1}          # legacy offset shape
+        o = r.latestOffset()
+        parts = r.partitions({"version": 1}, o)
+        assert {p.commit_version for p in parts} == {2}
+
+    def test_cdf_starting_version_skips_history(self, registered,
+                                                tmp_path, lineitem):
+        path = str(tmp_path / "t")
+        self._cdf_table(registered, path, lineitem)
+        r = _XdlakeStreamReader(path, read_change_feed=True,
+                                starting_version=2)
+        init = r.initialOffset()
+        o = r.latestOffset()
+        parts = r.partitions(init, o)
+        assert parts and {p.commit_version for p in parts} == {2}
+
+    def test_cdf_stream_capped_equals_batch_change_feed(
+            self, registered, tmp_path, lineitem):
+        """End to end under caps: the capped CDF stream's accumulated
+        output matches batch change_feed row-for-row."""
+        import tempfile
+        path = str(tmp_path / "t")
+        t = self._cdf_table(registered, path, lineitem)
+        out, ckpt = tempfile.mkdtemp(), tempfile.mkdtemp()
+        q = (registered.readStream.format("xdlake")
+             .option("readChangeFeed", "true")
+             .option("maxFilesPerTrigger", "1").load(path)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = registered.read.parquet(out).select(
+            "l_orderkey", "l_linenumber", "_change_type",
+            "_commit_version")
+        want = t.change_feed(-1, t.version).select(  # (start, end]
+            "l_orderkey", "l_linenumber", "_change_type",
+            "_commit_version")
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0

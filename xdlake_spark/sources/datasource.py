@@ -42,10 +42,13 @@ class _FilePartition(InputPartition):
     def __init__(self, url: str, partition_values: dict,
                  schema_json: str, fixed_change: "str | None" = None,
                  commit_version: "int | None" = None,
-                 deleted_rows: "list[int] | None" = None):
+                 deleted_rows: "list[int] | None" = None,
+                 size: int = 0):
         self.url = url
         self.partition_values = partition_values
         self.schema_json = schema_json
+        #: manifest file size — driver-side admission control only
+        self.size = size
         #: CDF mode: constant _change_type for derived changes
         #: ("insert"/"delete"); None = the file itself carries the
         #: column (a cdc file) or the stream is not in CDF mode.
@@ -229,54 +232,86 @@ def _plan_live_snapshot(location_url: str, version: int
         for p in sorted(live)]
 
 
-def _plan_cdf_partitions(location_url: str, start_v: int,
-                         end_v: int) -> list[_FilePartition]:
-    """Driver-side CDF planner for (start_v, end_v]: per version, cdc
-    files when the commit has them, else insert-derivation from
-    dataChange adds and delete-derivation from dataChange removes
-    (scanning the tombstoned file — valid until VACUUM), matching
-    ``DeltaTable.change_feed``."""
+def _iter_cdf_units(location_url: str, lo_v: int, hi_v: int):
+    """Per version in [lo_v, hi_v], the CDF scan units in a
+    DETERMINISTIC order (cdc files in log order when the commit has
+    them, else dataChange adds in log order then delete-derived
+    tombstone scans in first-add order) — the fixed unit order is what
+    lets a (version, index) offset split a version across capped
+    micro-batches. Yields ``(version, [_FilePartition, ...])``;
+    manifest-scale, no data touched."""
     from ..log import DeltaLog
     from .storage import Location
 
     loc = Location.resolve(location_url)
     log = DeltaLog.load(loc.join("_delta_log"), use_checkpoint=False)
     if not log:
-        return []
+        return
     schema_json = log.schema().json()
-    parts: list[_FilePartition] = []
     for v in sorted(log.entries):
-        if not (start_v < v <= end_v):
+        if not (lo_v <= v <= hi_v):
             continue
         entry = log.entries[v]
+        units: list[_FilePartition] = []
         cdcs = entry.cdcs
         if cdcs:
             for c in cdcs:
-                parts.append(_FilePartition(
+                units.append(_FilePartition(
                     loc.absloc(c.path).url,
                     dict(c.partitionValues or {}), schema_json,
-                    fixed_change=None, commit_version=v))
+                    fixed_change=None, commit_version=v,
+                    size=c.size or 0))
+        else:
+            for add in entry.adds:
+                if add.dataChange:
+                    units.append(_FilePartition(
+                        loc.absloc(add.path).url,
+                        dict(add.partitionValues or {}), schema_json,
+                        fixed_change="insert", commit_version=v,
+                        size=add.size or 0))
+            dels = {r.path for r in entry.removes if r.dataChange}
+            if dels:
+                add_of = {}
+                for pv in sorted(log.entries):
+                    if pv >= v:
+                        break
+                    for a in log.entries[pv].adds:
+                        if a.path in dels:
+                            add_of[a.path] = a  # latest add before v
+                for a in add_of.values():
+                    units.append(_FilePartition(
+                        loc.absloc(a.path).url,
+                        dict(a.partitionValues or {}), schema_json,
+                        fixed_change="delete", commit_version=v,
+                        size=a.size or 0))
+        yield v, units
+
+
+def _cdf_unit_sizes(location_url: str, lo_v: int,
+                    hi_v: int) -> "list[tuple[int, list]]":
+    """``(version, [unit size, ...])`` for CDF admission control."""
+    return [(v, [p.size for p in units])
+            for v, units in _iter_cdf_units(location_url, lo_v, hi_v)]
+
+
+def _plan_cdf_partitions(location_url: str, start_v: int, start_i: int,
+                         end_v: int, end_i: int) -> list[_FilePartition]:
+    """Driver-side CDF planner between offsets (start_v, start_i)
+    exclusive and (end_v, end_i) inclusive (index -1 = whole version):
+    per version, cdc files when the commit has them, else
+    insert-derivation from dataChange adds and delete-derivation from
+    dataChange removes (scanning the tombstoned file — valid until
+    VACUUM), matching ``DeltaTable.change_feed``."""
+    parts: list[_FilePartition] = []
+    for v, units in _iter_cdf_units(location_url,
+                                    max(start_v, 0), end_v):
+        if v < start_v:
             continue
-        for add in entry.adds:
-            if add.dataChange:
-                parts.append(_FilePartition(
-                    loc.absloc(add.path).url,
-                    dict(add.partitionValues or {}), schema_json,
-                    fixed_change="insert", commit_version=v))
-        dels = {r.path for r in entry.removes if r.dataChange}
-        if dels:
-            add_of = {}
-            for pv in sorted(log.entries):
-                if pv >= v:
-                    break
-                for a in log.entries[pv].adds:
-                    if a.path in dels:
-                        add_of[a.path] = a  # latest add before v wins
-            for a in add_of.values():
-                parts.append(_FilePartition(
-                    loc.absloc(a.path).url,
-                    dict(a.partitionValues or {}), schema_json,
-                    fixed_change="delete", commit_version=v))
+        lo = (len(units) if start_i == -1 else start_i) \
+            if v == start_v else 0
+        hi = (len(units) if end_i == -1 else end_i) \
+            if v == end_v else len(units)
+        parts.extend(units[lo:hi])
     return parts
 
 
@@ -360,7 +395,7 @@ class _XdlakeStreamReader(DataSourceStreamReader):
         if self.ending_version is not None:
             cur = min(cur, self.ending_version)
         if self.read_change_feed:
-            return {"version": cur}
+            return self._latest_cdf_offset(cur)
         last = self._last
         if last is None and self.capped_start \
                 and self.starting_version is not None:
@@ -384,13 +419,44 @@ class _XdlakeStreamReader(DataSourceStreamReader):
             off = {"version": cur, "index": -1}
             self._last = off
             return off
+        return self._admission_walk(last, cur, _unit_sizes(
+            self.path, self.skip_change_commits,
+            int(last["version"]), cur))
+
+    def _latest_cdf_offset(self, cur: int) -> dict:
+        """CDF latestOffset: the same (version, index) admission walk
+        as the add-tailing path, over the CDF unit order
+        (cdc files / derived insert adds / derived tombstone scans) —
+        maxFilesPerTrigger / maxBytesPerTrigger compose with
+        readChangeFeed, splitting big change commits across capped
+        micro-batches. Pre-r9 checkpoints carry index-less
+        ``{"version": v}`` offsets and resume identically (missing
+        index = whole version consumed)."""
+        last = self._last
+        if last is None and self.capped_start \
+                and self.starting_version is not None:
+            sv = (cur + 1 if self.starting_version == "latest"
+                  else int(self.starting_version))
+            last = self._last = {"version": sv - 1, "index": -1}
+        if last is None or int(last.get("snapshot", -1)) == -2:
+            # blind restart or fresh stream: one uncapped catch-up
+            if last is not None and cur < 0:
+                return last
+            off = {"version": cur, "index": -1}
+            self._last = off
+            return off
+        return self._admission_walk(last, cur, _cdf_unit_sizes(
+            self.path, int(last["version"]), cur))
+
+    def _admission_walk(self, last: dict, cur: int,
+                        unit_sizes) -> dict:
+        """Walk ``(version, [sizes])`` pairs from the last offset,
+        admitting files until the rate caps stop the batch."""
         lv, li = int(last["version"]), int(last.get("index", -1))
         admitted, taken_bytes = 0, 0
         v, i = lv, li
         stop = False
-        for uv, sizes in _unit_sizes(self.path,
-                                     self.skip_change_commits,
-                                     lv, cur):
+        for uv, sizes in unit_sizes:
             n = len(sizes)
             done = (n if li == -1 else li) if uv == lv else 0
             if n - done <= 0:
@@ -423,9 +489,12 @@ class _XdlakeStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         if self.read_change_feed:
+            self._last = dict(end)
             return _plan_cdf_partitions(self.path,
                                         int(start["version"]),
-                                        int(end["version"]))
+                                        int(start.get("index", -1)),
+                                        int(end["version"]),
+                                        int(end.get("index", -1)))
         # cappedStart is only restart-safe on a FRESH checkpoint (the
         # backfill helper gates this, but users can set the option by
         # hand): on a resumed query the blind pin can land BEHIND the
@@ -624,10 +693,6 @@ class XdlakeDataSource(DataSource):
             val = int(raw)
             if val < 1:
                 raise ValueError(f"{opt} must be >= 1")
-            if self._cdf():
-                raise ValueError(
-                    f"{opt} is not supported with readChangeFeed "
-                    "(CDF batches are version-granular)")
             out.append(val)
         return out[0], out[1]
 
