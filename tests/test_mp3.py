@@ -243,13 +243,86 @@ class TestGolden:
         assert digest == PINNED_PCM_SHA256
 
 
+class TestLSF:
+    """MPEG-2 / MPEG-2.5 low-sampling-frequency Layer III (r9): the
+    13818-3 side-info layout (8-bit main_data_begin, one 63-bit
+    granule, 9-bit scalefac_compress, no scfsi/preflag), the LSF
+    scalefactor block algorithm, and 576-sample frames — round-tripped
+    at every LSF rate and digest-pinned at 22.05 kHz."""
+
+    @pytest.mark.parametrize("sr", [22050, 24000, 16000,
+                                    11025, 12000, 8000])
+    def test_round_trip_snr_all_lsf_rates(self, sr):
+        n = 12 * 576
+        t = np.arange(n) / sr
+        ref = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+        data = mp3.encode_mp3(ref, sample_rate=sr, bitrate=64)
+        sr2, pcm = mp3.decode_mp3(data)
+        assert sr2 == sr and pcm.shape == (n, 1)
+        lag = 1057                   # 481 polyphase + 576 overlap
+        a = ref[200:n - lag - 200]
+        b = pcm[200 + lag:n - 200, 0]
+        assert _snr_db(a, b) > 15.0, sr
+
+    def test_lsf_stereo_round_trip(self):
+        n = 8 * 576
+        t = np.arange(n) / 22050.0
+        ref = 0.4 * np.sin(2 * np.pi * 330.0 * t)
+        st = np.stack([ref, 0.5 * ref], axis=1)
+        data = mp3.encode_mp3(st, sample_rate=22050, bitrate=96)
+        sr, pcm = mp3.decode_mp3(data)
+        assert sr == 22050 and pcm.shape == (n, 2)
+        mid = pcm[2000:4000]
+        r = np.abs(mid[:, 1]).mean() / np.abs(mid[:, 0]).mean()
+        assert abs(r - 0.5) < 0.1
+
+    def test_lsf_frame_structure(self):
+        from xdlake_spark.operators.codecs import parse_mp3_frames
+        data = mp3.encode_mp3_tone(440.0, n_frames=3,
+                                   sample_rate=22050, bitrate=64)
+        info = parse_mp3_frames(data)
+        assert info["version"] == 2 and info["layer"] == 3
+        assert info["n_frames"] == 3
+        assert info["sample_rate"] == 22050
+        # 72 slots/kbit: 72 * 64000 / 22050 = 208 bytes per frame
+        assert all(size == 208 for _, size, _ in info["frames"])
+
+    def test_lsf_golden_digests(self):
+        data = mp3.encode_mp3_tone(440.0, n_frames=4,
+                                   sample_rate=22050, bitrate=64)
+        assert hashlib.sha256(data).hexdigest() == \
+            PINNED_LSF_STREAM_SHA256
+        _, pcm = mp3.decode_mp3(data)
+        q = np.round(pcm[:, 0] * 32768.0).astype(np.int32)
+        assert hashlib.sha256(q.tobytes()).hexdigest() == \
+            PINNED_LSF_PCM_SHA256
+
+    def test_lsf_intensity_stereo_raises(self):
+        data = bytearray(mp3.encode_mp3_tone(
+            440.0, n_frames=2, sample_rate=22050,
+            channels=2, bitrate=96))
+        # patch mode to joint-stereo with the intensity bit set
+        data[3] = (data[3] & 0x3F) | (1 << 6) | 0x10
+        with pytest.raises(NotImplementedError, match="intensity"):
+            mp3.decode_mp3(bytes(data))
+
+    def test_lsf_tables_structural(self):
+        for sr in (22050, 24000, 16000, 11025, 12000, 8000):
+            lt, st = mp3.SFB_LONG[sr], mp3.SFB_SHORT[sr]
+            assert len(lt) == 23 and lt[-1] == 576
+            assert len(st) == 14 and st[-1] == 192
+        for bn, kinds in mp3.LSF_NSFB.items():
+            assert (sum(kinds[0]), sum(kinds[1]), sum(kinds[2])) \
+                == (21, 36, 33)
+
+
 class TestErrors:
-    def test_mpeg2_raises(self):
+    def test_mpeg2_layer2_raises(self):
         from xdlake_spark.operators.codecs import build_mp3_stream
-        # build an MPEG-2 header by patching version bits
+        # patch layer bits to Layer II: still refused loudly
         s = bytearray(build_mp3_stream(3))
         with pytest.raises((NotImplementedError, ValueError)):
-            s[1] = (s[1] & ~0x18) | 0x10     # version 2
+            s[1] = (s[1] & ~0x06) | 0x04     # layer II
             mp3.decode_mp3(bytes(s))
 
     def test_empty_raises(self):
@@ -262,7 +335,7 @@ class TestErrors:
 
     def test_bad_sample_rate_raises(self):
         with pytest.raises(ValueError):
-            mp3.encode_mp3(np.zeros(1152), sample_rate=22050)
+            mp3.encode_mp3(np.zeros(1152), sample_rate=7000)
 
     def test_silence_builder_streams_still_decode(self):
         """build_mp3_stream emits zero-spectrum frames; the FULL
@@ -281,6 +354,10 @@ PINNED_STREAM_SHA256 = \
     "88be49a91fa96147d3181d77f736c1f93774fcb181d86f9bb8c160f326f9e516"
 PINNED_PCM_SHA256 = \
     "e58d2f2bb77cac392a76b2bfd9b61660b9b95844439268087d0dc4148f8208db"
+PINNED_LSF_STREAM_SHA256 = \
+    "5ee3dfae9d68ad94e5dfaa5977f86bf615a9e3463df795c49bc6f8cbca597694"
+PINNED_LSF_PCM_SHA256 = \
+    "0fc6b1be9da4b69ac7d4bbdd431261ac21210701eb90e194c992ed51b0d5e28a"
 
 
 def _regen():

@@ -658,7 +658,8 @@ class TestMultimodalRealDecode:
             per_doc.setdefault(r["doc_id"], []).append(r)
         assert len(per_doc) == 8
         for doc_id, chunks in per_doc.items():
-            # 2 frames = 2304 samples at 48 kHz, 1152-sample chunks
+            # 2304 samples per doc: 2 MPEG-1 frames at 48 kHz, or 4
+            # MPEG-2 LSF frames at 22.05 kHz (every 3rd doc, r9)
             assert sum(c["n_samples"] for c in chunks) == 2304
             amp = 0.25 + 0.05 * (doc_id % 6)
             if doc_id % 2:                  # stereo: mono downmix

@@ -74,6 +74,63 @@ SFB_SHORT = {
     32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
 }
 
+# MPEG-2 / MPEG-2.5 low-sampling-frequency (LSF) scalefactor bands
+# (ISO 13818-3 Table B.2, transcribed; same provenance caveat as the
+# MPEG-1 tables above — structurally validated at import: 23/14
+# strictly-increasing boundaries ending at 576/192). Note our own
+# LSF encoder emits scalefactor-0 long-block streams, whose decode
+# gains don't depend on these boundaries at all (only the Huffman
+# region split does, and encoder+decoder share it), so round-trip
+# tests pin the bitstream layout while foreign-stream behavior
+# carries the same documented transcription risk as the prototype.
+SFB_LONG.update({
+    22050: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576],
+    24000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136,
+            162, 194, 232, 278, 332, 394, 464, 540, 576],
+    16000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576],
+    11025: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576],
+    12000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576],
+    8000: [0, 12, 24, 36, 48, 60, 72, 88, 108, 132, 160, 192, 232,
+           280, 336, 400, 476, 566, 568, 570, 572, 574, 576],
+})
+SFB_SHORT.update({
+    22050: [0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192],
+    24000: [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192],
+    16000: [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192],
+    11025: [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192],
+    12000: [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192],
+    8000: [0, 8, 16, 24, 36, 52, 72, 96, 124, 160, 162, 164, 166,
+           192],
+})
+
+for _sr, _t in SFB_LONG.items():
+    assert len(_t) == 23 and _t[0] == 0 and _t[-1] == 576 \
+        and all(a < b for a, b in zip(_t, _t[1:])), _sr
+for _sr, _t in SFB_SHORT.items():
+    assert len(_t) == 14 and _t[0] == 0 and _t[-1] == 192 \
+        and all(a < b for a, b in zip(_t, _t[1:])), _sr
+
+#: LSF scalefactor-group sizes (ISO 13818-3 2.4.3.2): per
+#: block_number, per block kind (0 long / 1 short / 2 mixed), the
+#: number of scalefactor entries read with slen[0..3]. Row sums are
+#: spec-forced (21 long / 36 short / 33 mixed) — asserted below, so a
+#: transcription slip is loud at import.
+LSF_NSFB = {
+    0: {0: (6, 5, 5, 5), 1: (9, 9, 9, 9), 2: (6, 9, 9, 9)},
+    1: {0: (6, 5, 7, 3), 1: (9, 9, 12, 6), 2: (6, 9, 12, 6)},
+    2: {0: (11, 10, 0, 0), 1: (18, 18, 0, 0), 2: (15, 18, 0, 0)},
+    3: {0: (7, 7, 7, 0), 1: (12, 12, 12, 0), 2: (6, 15, 12, 0)},
+    4: {0: (6, 6, 6, 3), 1: (12, 9, 9, 6), 2: (6, 12, 9, 6)},
+    5: {0: (8, 8, 5, 0), 1: (15, 12, 9, 0), 2: (6, 18, 9, 0)},
+}
+for _bn, _kinds in LSF_NSFB.items():
+    assert sum(_kinds[0]) == 21 and sum(_kinds[1]) == 36 \
+        and sum(_kinds[2]) == 33, _bn
+
 #: preemphasis per long scalefactor band (21 bands + sfb21)
 PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
           1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0]
@@ -376,20 +433,29 @@ class _Granule:
                  "scalefac_s")
 
 
-def _read_side_info(data: bytes, ch: int):
+def _read_side_info(data: bytes, ch: int, lsf: bool = False):
+    """Side info for one frame. MPEG-1: 9-bit main_data_begin, scfsi,
+    2 granules of 59 bits. LSF (MPEG-2/2.5, ISO 13818-3): 8-bit
+    main_data_begin, no scfsi, ONE granule of 63 bits per channel
+    (9-bit scalefac_compress, no preflag bit — preflag derives from
+    the scalefactor block number)."""
     br = _BitReader(data)
-    main_data_begin = br.read(9)
-    br.read(5 if ch == 1 else 3)
-    scfsi = [[br.read(1) for _ in range(4)] for _ in range(ch)]
+    main_data_begin = br.read(8 if lsf else 9)
+    if lsf:
+        br.read(1 if ch == 1 else 2)
+        scfsi = [[0] * 4 for _ in range(ch)]
+    else:
+        br.read(5 if ch == 1 else 3)
+        scfsi = [[br.read(1) for _ in range(4)] for _ in range(ch)]
     grs = []
-    for _gr in range(2):
+    for _gr in range(1 if lsf else 2):
         row = []
         for _c in range(ch):
             g = _Granule()
             g.part2_3_length = br.read(12)
             g.big_values = br.read(9)
             g.global_gain = br.read(8)
-            g.scalefac_compress = br.read(4)
+            g.scalefac_compress = br.read(9 if lsf else 4)
             g.window_switching = br.read(1)
             if g.window_switching:
                 g.block_type = br.read(2)
@@ -406,7 +472,7 @@ def _read_side_info(data: bytes, ch: int):
                 g.subblock_gain = [0, 0, 0]
                 g.region0_count = br.read(4)
                 g.region1_count = br.read(3)
-            g.preflag = br.read(1)
+            g.preflag = 0 if lsf else br.read(1)
             g.scalefac_scale = br.read(1)
             g.count1table_select = br.read(1)
             row.append(g)
@@ -450,6 +516,77 @@ def _read_scalefactors(br: _BitReader, g: _Granule, gr: int,
                 for sfb in range(lo, hi):
                     g.scalefac_l[sfb] = br.read(sl)
                     bits += sl
+    return bits
+
+
+def _lsf_slens(g: _Granule, intensity_right: bool):
+    """LSF scalefactor layout (ISO 13818-3 2.4.3.2): decode the 9-bit
+    scalefac_compress into four slen values and a block number, and
+    derive preflag. The intensity-stereo right channel uses the
+    halved-code blocks 3-5."""
+    sc = g.scalefac_compress
+    if not intensity_right:
+        if sc < 400:
+            slen = ((sc >> 4) // 5, (sc >> 4) % 5,
+                    (sc & 15) >> 2, sc & 3)
+            bn = 0
+        elif sc < 500:
+            s = sc - 400
+            slen = ((s >> 2) // 5, (s >> 2) % 5, s & 3, 0)
+            bn = 1
+        else:
+            s = sc - 500
+            slen = (s // 3, s % 3, 0, 0)
+            bn = 2
+            g.preflag = 1
+    else:
+        isc = sc >> 1
+        if isc < 180:
+            slen = (isc // 36, (isc % 36) // 6, isc % 6, 0)
+            bn = 3
+        elif isc < 244:
+            s = isc - 180
+            slen = ((s & 63) >> 4, (s & 15) >> 2, s & 3, 0)
+            bn = 4
+        else:
+            s = isc - 244
+            slen = (s // 3, s % 3, 0, 0)
+            bn = 5
+    return slen, bn
+
+
+def _read_scalefactors_lsf(br: _BitReader, g: _Granule,
+                           intensity_right: bool) -> int:
+    """LSF scalefactors: a flat run of sum(LSF_NSFB[bn][kind]) values
+    (slen[i] bits per group), distributed long-first then
+    window-interleaved short. Returns bits consumed."""
+    slen, bn = _lsf_slens(g, intensity_right)
+    kind = 0
+    if g.window_switching and g.block_type == 2:
+        kind = 2 if g.mixed_block else 1
+    nsfb = LSF_NSFB[bn][kind]
+    bits = 0
+    flat = []
+    for n, sl in zip(nsfb, slen):
+        for _ in range(n):
+            flat.append(br.read(sl) if sl else 0)
+            bits += sl
+    g.scalefac_l = [0] * 22
+    g.scalefac_s = [[0] * 3 for _ in range(13)]
+    it = iter(flat)
+    if kind == 0:
+        for sfb in range(21):
+            g.scalefac_l[sfb] = next(it)
+    elif kind == 1:
+        for sfb in range(12):
+            for w in range(3):
+                g.scalefac_s[sfb][w] = next(it)
+    else:
+        for sfb in range(6):
+            g.scalefac_l[sfb] = next(it)
+        for sfb in range(3, 12):
+            for w in range(3):
+                g.scalefac_s[sfb][w] = next(it)
     return bits
 
 
@@ -653,22 +790,31 @@ def _imdct_granule(xr: np.ndarray, g: _Granule,
 
 
 def decode_mp3(data: bytes) -> tuple:
-    """Full PCM decode of an MPEG-1 Layer III stream.
+    """Full PCM decode of an MPEG-1, MPEG-2 or MPEG-2.5 Layer III
+    stream (LSF support landed r9 — 22.05/24/16 kHz and 11.025/12/8
+    kHz web-crawl audio decodes instead of raising).
 
     Returns ``(sample_rate, float32 array shape (n_samples, channels))``
-    in [-1, 1]. Raises NotImplementedError for MPEG-2/2.5, Layer I/II,
-    or frames selecting Huffman tables outside the verified set; raises
-    ValueError on streams with no MPEG frames. Frames whose reservoir
-    back-pointer reaches before the available data decode as silence
-    (standard decoder behavior on a mid-stream splice).
+    in [-1, 1]. Raises NotImplementedError for Layer I/II, LSF
+    intensity stereo (different ratio algorithm), or frames selecting
+    Huffman tables outside the verified set; raises ValueError on
+    streams with no MPEG frames. Frames whose reservoir back-pointer
+    reaches before the available data decode as silence (standard
+    decoder behavior on a mid-stream splice).
     """
     info = parse_mp3_frames(data)
-    if info["layer"] != 3 or info["version"] != 1:
+    if info["layer"] != 3:
         raise NotImplementedError(
-            f"full PCM decode implemented for MPEG-1 Layer III only "
+            f"full PCM decode implemented for Layer III only "
             f"(got version {info['version']} layer {info['layer']})")
+    lsf = info["version"] != 1
+    n_gr = 1 if lsf else 2
+    spf = 576 if lsf else 1152
     sr, ch = info["sample_rate"], info["channels"]
-    side_len = 17 if ch == 1 else 32
+    if lsf:
+        side_len = 9 if ch == 1 else 17
+    else:
+        side_len = 17 if ch == 1 else 32
     reservoir = b""
     synth = [_Synth() for _ in range(ch)]
     overlap = [np.zeros((32, 18)) for _ in range(ch)]
@@ -687,16 +833,16 @@ def decode_mp3(data: bytes) -> tuple:
         if info["has_xing"] and off == info["first_frame_offset"]:
             reservoir = (reservoir + frame_main)[-511:]
             continue                       # metadata frame: no audio
-        mdb, scfsi, grs = _read_side_info(side, ch)
+        mdb, scfsi, grs = _read_side_info(side, ch, lsf=lsf)
         if state_clean and mdb == 0 and all(
                 g.part2_3_length == 0 for row in grs for g in row):
-            out.append(np.zeros((1152, ch), dtype=np.float32))
+            out.append(np.zeros((spf, ch), dtype=np.float32))
             reservoir = (reservoir + frame_main)[-511:]
             continue
         state_clean = False
         if mdb > len(reservoir):
             reservoir = (reservoir + frame_main)[-511:]
-            out.append(np.zeros((1152, ch), dtype=np.float32))
+            out.append(np.zeros((spf, ch), dtype=np.float32))
             continue
         main = (reservoir[len(reservoir) - mdb:] if mdb else b"") \
             + frame_main
@@ -704,13 +850,22 @@ def decode_mp3(data: bytes) -> tuple:
         mode_ext = (data[off + 3] >> 4) & 0x3
         ms_on = h["mode"] == 1 and bool(mode_ext & 0x2)
         is_on = h["mode"] == 1 and bool(mode_ext & 0x1)
-        frame_pcm = np.zeros((1152, ch), dtype=np.float32)
-        for gr in range(2):
+        if is_on and lsf:
+            raise NotImplementedError(
+                "LSF intensity stereo uses a different ratio "
+                "algorithm (ISO 13818-3) — not implemented; MS "
+                "stereo and mono/dual LSF streams decode")
+        frame_pcm = np.zeros((spf, ch), dtype=np.float32)
+        for gr in range(n_gr):
             xrs = []
             for c in range(ch):
                 g = grs[gr][c]
-                p2 = _read_scalefactors(br, g, gr, scfsi[c],
-                                        grs[0][c] if gr else None)
+                if lsf:
+                    p2 = _read_scalefactors_lsf(
+                        br, g, is_on and c == 1)
+                else:
+                    p2 = _read_scalefactors(br, g, gr, scfsi[c],
+                                            grs[0][c] if gr else None)
                 ix = _huffman_decode(br, g, sr, p2)
                 xr = _requantize(ix, g, sr)
                 if g.window_switching and g.block_type == 2 \
@@ -826,55 +981,76 @@ def _encode_granule_spectrum(xr: np.ndarray):
 def encode_mp3(pcm: np.ndarray, sample_rate: int = 48000,
                bitrate: int = 320, block_type: int = 0) -> bytes:
     """Encode float PCM ([-1,1], shape (n,) or (n, ch<=2)) as a
-    spec-conformant MPEG-1 Layer III stream (validated small Huffman
-    tables, no reservoir, scalefactors 0). ``block_type`` 0 emits
-    long-block granules, 2 emits SHORT-block granules (three 12-point
-    windows per subband, spec reorder — the transient coding mode),
-    exercising the decoder's window-switching path differentially.
-    Input is zero-padded to a frame multiple; the encoder chain is the
-    exact numerical inverse of :func:`decode_mp3`'s DSP, so
+    spec-conformant Layer III stream (validated small Huffman
+    tables, no reservoir, scalefactors 0). MPEG-1 rates
+    (44.1/48/32 kHz) emit 2-granule 1152-sample frames; LSF rates
+    (MPEG-2 22.05/24/16 kHz, MPEG-2.5 11.025/12/8 kHz) emit
+    1-granule 576-sample frames with the 13818-3 side-info layout
+    (8-bit main_data_begin, 9-bit scalefac_compress, no scfsi/
+    preflag bits). ``block_type`` 0 emits long-block granules, 2
+    emits SHORT-block granules (three 12-point windows per subband,
+    spec reorder — the transient coding mode), exercising the
+    decoder's window-switching path differentially. Input is
+    zero-padded to a frame multiple; the encoder chain is the exact
+    numerical inverse of :func:`decode_mp3`'s DSP, so
     decode(encode(x)) approximates x up to the coarse |ix|<=7
     quantizer (SNR-gated in tests) and ANY conformant decoder plays
     the same audio."""
     if block_type not in (0, 2):
         raise ValueError("block_type: 0 (long) or 2 (short) only")
-    if sample_rate not in _MP3_SAMPLERATES[1]:
-        raise ValueError("MPEG-1 sample rates: 44100/48000/32000")
+    if sample_rate in _MP3_SAMPLERATES[1]:
+        version = 1
+    elif sample_rate in _MP3_SAMPLERATES[2]:
+        version = 2
+    elif sample_rate in _MP3_SAMPLERATES[25]:
+        version = 25
+    else:
+        raise ValueError(
+            "sample rates: 44100/48000/32000 (MPEG-1), "
+            "22050/24000/16000 (MPEG-2), 11025/12000/8000 (MPEG-2.5)")
+    lsf = version != 1
+    n_gr = 1 if lsf else 2
+    spf = 576 if lsf else 1152
     pcm = np.asarray(pcm, dtype=np.float64)
     if pcm.ndim == 1:
         pcm = pcm[:, None]
     ch = pcm.shape[1]
     if ch not in (1, 2):
         raise ValueError("mono or stereo only")
-    n_frames = max(1, -(-pcm.shape[0] // 1152))
-    pad = n_frames * 1152 - pcm.shape[0]
+    n_frames = max(1, -(-pcm.shape[0] // spf))
+    pad = n_frames * spf - pcm.shape[0]
     if pad:
         pcm = np.vstack([pcm, np.zeros((pad, ch))])
 
-    table = _MP3_BITRATES[(1, 3)]
+    table = _MP3_BITRATES[(1 if version == 1 else 2, 3)]
     if bitrate not in table:
         raise ValueError(f"invalid Layer III bitrate {bitrate}")
     bri = table.index(bitrate) + 1
-    sri = _MP3_SAMPLERATES[1].index(sample_rate)
-    frame_size = 144 * bitrate * 1000 // sample_rate  # padding unused
-    side_len = 17 if ch == 1 else 32
+    sri = _MP3_SAMPLERATES[version].index(sample_rate)
+    per = 144 if version == 1 else 72
+    frame_size = per * bitrate * 1000 // sample_rate  # padding unused
+    if lsf:
+        side_len = 9 if ch == 1 else 17
+    else:
+        side_len = 17 if ch == 1 else 32
     cap_bits = (frame_size - 4 - side_len) * 8
 
     ana = [_Analysis() for _ in range(ch)]
     mdct_prev = [np.zeros((32, 18)) for _ in range(ch)]
     out = bytearray()
+    ver_bits = {1: 3, 2: 2, 25: 0}[version]
     hdr = bytes([
-        0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+        0xFF, 0xE0 | (ver_bits << 3) | (1 << 1) | 1,
         (bri << 4) | (sri << 2),
         ((3 if ch == 1 else 0) << 6) | 0x04])
 
     for f in range(n_frames):
         granule_data = []     # per (gr, ch): (gg, tid, bw, bv)
-        for gr in range(2):
+        for gr in range(n_gr):
             for c in range(ch):
                 # 18 time slots of 32 samples -> subband matrix
                 sb = np.empty((32, 18))
-                base = f * 1152 + gr * 576
+                base = f * spf + gr * 576
                 for t in range(18):
                     sb[:, t] = ana[c].run(
                         pcm[base + t * 32:base + (t + 1) * 32, c])
@@ -912,18 +1088,22 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 48000,
                 granule_data.append((gg, tid, bw, bv))
 
         side = _BitWriter()
-        side.write(0, 9)                      # main_data_begin
-        side.write(0, 5 if ch == 1 else 3)    # private
-        for _c in range(ch):
-            side.write(0, 4)                  # scfsi
+        side.write(0, 8 if lsf else 9)        # main_data_begin
+        if lsf:
+            side.write(0, 1 if ch == 1 else 2)  # private, no scfsi
+        else:
+            side.write(0, 5 if ch == 1 else 3)  # private
+            for _c in range(ch):
+                side.write(0, 4)              # scfsi
         main = _BitWriter()
-        for gr in range(2):
+        for gr in range(n_gr):
             for c in range(ch):
                 gg, tid, bw, bv = granule_data[gr * ch + c]
                 side.write(len(bw), 12)       # part2_3_length
                 side.write(bv, 9)
                 side.write(gg, 8)
-                side.write(0, 4)              # scalefac_compress
+                # scalefac_compress 0: LSF block 0 slens (0,0,0,0)
+                side.write(0, 9 if lsf else 4)
                 if block_type == 2:
                     side.write(1, 1)          # window_switching
                     side.write(2, 2)          # block_type: short
@@ -938,7 +1118,8 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 48000,
                         side.write(tid, 5)
                     side.write(7, 4)          # region0_count
                     side.write(7, 3)          # region1_count
-                side.write(0, 1)              # preflag
+                if not lsf:
+                    side.write(0, 1)          # preflag
                 side.write(0, 1)              # scalefac_scale
                 side.write(1, 1)              # count1 table B
                 main.bits.extend(bw.bits)
@@ -952,7 +1133,8 @@ def encode_mp3_tone(freq: float = 440.0, n_frames: int = 4,
                     amplitude: float = 0.5,
                     bitrate: int = 320) -> bytes:
     """Deterministic sine-tone MP3 fixture (real spectral data)."""
-    n = n_frames * 1152
+    n = n_frames * (1152 if sample_rate in _MP3_SAMPLERATES[1]
+                    else 576)
     t = np.arange(n) / sample_rate
     tone = amplitude * np.sin(2 * np.pi * freq * t)
     if channels == 2:

@@ -784,18 +784,24 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
 
         @pandas_udf("binary")
         def _gen(ids: pd.Series) -> pd.Series:
-            # id-keyed REAL-spectrum MPEG-1 Layer III streams (full
-            # encoder, operators/mp3.py): pitch, amplitude and channel
-            # count cycle with the id, so the decode side exercises the
-            # whole Huffman/requantize/IMDCT/polyphase chain per doc
+            # id-keyed REAL-spectrum Layer III streams (full encoder,
+            # operators/mp3.py): pitch, amplitude and channel count
+            # cycle with the id, so the decode side exercises the
+            # whole Huffman/requantize/IMDCT/polyphase chain per doc.
+            # Every 3rd doc is a 22.05 kHz MPEG-2 LSF stream (r9) —
+            # real web-crawl audio mixes sampling families, and the
+            # LSF side-info/scalefactor path decodes in the same pass.
             out = []
             for i in ids:
                 i = int(i)
+                lsf = i % 3 == 0
                 out.append(encode_mp3_tone(
                     freq=220.0 * (1 + i % 8),
-                    n_frames=2,
+                    n_frames=4 if lsf else 2,   # same 2304 samples
+                    sample_rate=22050 if lsf else 48000,
                     channels=1 + i % 2,
-                    amplitude=0.25 + 0.05 * (i % 6)))
+                    amplitude=0.25 + 0.05 * (i % 6),
+                    bitrate=160 if lsf else 320))
             return pd.Series(out)
 
         return df.select(F.col(id_col),
