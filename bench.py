@@ -147,6 +147,7 @@ HEADLINE = [
     "text_compression_ratio",
     "corpus_zipf_fit",
     "graph_assortativity",
+    "trained_quality_scores",
 ]
 
 

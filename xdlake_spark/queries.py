@@ -2225,6 +2225,33 @@ def quality_classifier_q(spark, sf_dir):
         d, CLASSIFIER_WEIGHTS, bias=0.1)
 
 
+# rows-only: iterative gradient descent has no closed SQL form. The
+# trainer is pinned by a sequential numpy differential (same zero
+# init, same md5 buckets, same full-batch updates -> same weights to
+# 1e-9) and an AUC > 0.85 gate in tests/test_operators.py
+# TestTrainableQualityClassifier.
+@register("trained_quality_scores", None)
+def trained_quality_scores_q(spark, sf_dir):
+    """TRAINED quality classifier end-to-end (operators/classify.py
+    train_quality_classifier + quality_classifier_predict — the
+    training half linear_classifier_scores consumes, r9): distributed
+    full-batch logistic regression over portable md5-hashed unigram
+    features against a deterministic weak label (document mentions
+    'query'), then scores the whole corpus with the learned weights.
+    Per epoch: one broadcast weight join + two uniform shuffles; the
+    driver holds only the B-float weight vector, so the loop scales to
+    any corpus size — epochs x (2 shuffles), features checkpointed
+    once."""
+    from .operators import classify
+    d = _t(spark, sf_dir, "documents")
+    labeled = d.withColumn(
+        "y", F.col("text").contains("query").cast("int"))
+    w, b = classify.train_quality_classifier(
+        labeled, "y", n_buckets=256, epochs=5)
+    return (classify.quality_classifier_predict(d, w, b)
+            .orderBy("doc_id"))
+
+
 @register("length_report_by_lang", r"""
 WITH per AS (
   SELECT lang,
