@@ -106,3 +106,92 @@ class TestStreamUpsert:
         got = {r.k: (r.v, r.n)
                for r in DeltaTable(spark, tgt_loc).to_df().collect()}
         assert got == {1: ("A", 2), 9: ("z", 1)}
+
+
+class TestStreamUpsertScreened:
+    """Bloom-screened streaming upsert (streaming/ingest.py
+    stream_upsert_screened, r9): identical final table state to the
+    unscreened stream_upsert, with the MERGE probe side shrunk to the
+    maybe-present set — the screening evidence comes back through the
+    stats hook."""
+
+    def _run_both(self, spark, tmp_path, hist_rows, batch_rows):
+        from xdlake_spark.streaming.ingest import \
+            stream_upsert_screened
+        stats: list = []
+        tables = {}
+        for name, fn, kwargs in (
+                ("plain", stream_upsert, {}),
+                ("screened", stream_upsert_screened,
+                 {"stats": stats, "m_bits": 4096})):
+            src_loc = str(tmp_path / f"src_{name}")
+            tgt_loc = str(tmp_path / f"tgt_{name}")
+            DeltaTable(spark, tgt_loc).write(_kv(spark, hist_rows))
+            DeltaTable(spark, src_loc).write(_kv(spark, batch_rows))
+            q = fn(spark.readStream.format("xdlake").load(src_loc),
+                   tgt_loc, tempfile.mkdtemp(), keys=["k"], **kwargs)
+            try:
+                q.awaitTermination(120)
+            finally:
+                q.stop()
+                q.awaitTermination(30)
+            tables[name] = DeltaTable(spark, tgt_loc)
+        return tables, stats
+
+    def test_identical_state_fewer_probe_rows(self, registered,
+                                              tmp_path):
+        spark = registered
+        hist = [(i, "h", 1) for i in range(20)]
+        # batch: 5 duplicates of history + 40 certainly-new keys
+        batch = [(i, "H", 2) for i in range(5)] \
+            + [(1000 + i, "n", 1) for i in range(40)]
+        tables, stats = self._run_both(spark, tmp_path, hist, batch)
+        want = {r.k: (r.v, r.n)
+                for r in tables["plain"].to_df().collect()}
+        got = {r.k: (r.v, r.n)
+               for r in tables["screened"].to_df().collect()}
+        assert got == want
+        assert len(want) == 60
+        # the screen's whole point: the merge probe side is (close to)
+        # the 5-row duplicate tail, never the 45-row batch — false
+        # positives allowed, false negatives not
+        [s] = stats
+        assert s["batch_rows"] == 45
+        assert 5 <= s["probe_rows"] < 20
+        assert s["appended"] == s["batch_rows"] - s["probe_rows"]
+        assert tables["screened"].count() == 60
+
+    def test_screened_replay_is_noop(self, registered, tmp_path):
+        from xdlake_spark.streaming.ingest import \
+            stream_upsert_screened
+        spark = registered
+        src_loc = str(tmp_path / "src")
+        tgt_loc = str(tmp_path / "tgt")
+        ckpt = tempfile.mkdtemp()
+        DeltaTable(spark, tgt_loc).write(_kv(spark, [(1, "a", 1)]))
+        DeltaTable(spark, src_loc).write(
+            _kv(spark, [(1, "A", 2), (9, "x", 1)]))
+
+        def drain():
+            q = stream_upsert_screened(
+                spark.readStream.format("xdlake").load(src_loc),
+                tgt_loc, ckpt, keys=["k"])
+            try:
+                q.awaitTermination(120)
+            finally:
+                q.stop()
+                q.awaitTermination(30)
+
+        drain()
+        t = DeltaTable(spark, tgt_loc)
+        got = {r.k: (r.v, r.n) for r in t.to_df().collect()}
+        assert got == {1: ("A", 2), 9: ("x", 1)}
+        v_after = t.version
+        for f in glob.glob(f"{ckpt}/commits/*") \
+                + glob.glob(f"{ckpt}/commits/.*crc"):
+            os.remove(f)
+        drain()
+        t = DeltaTable(spark, tgt_loc)
+        assert t.version == v_after
+        got = {r.k: (r.v, r.n) for r in t.to_df().collect()}
+        assert got == {1: ("A", 2), 9: ("x", 1)}

@@ -145,3 +145,114 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
             .select(F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
                     "user_id", "n_events", "sum_value"))
+
+
+def stream_upsert_screened(stream_df: DataFrame, table_location: str,
+                           checkpoint_dir: str, keys: list[str],
+                           trigger_once: bool = True,
+                           app_id: "str | None" = None,
+                           k: int = 3, m_bits: int = 4096,
+                           stats: "list | None" = None):
+    """Bloom-screened streaming MERGE upsert — the end-to-end
+    incremental-ingest pattern (r9, VERDICT item 8): per micro-batch,
+    probe the batch keys against a Bloom filter of every key the
+    table has EVER seen; rows the filter rules out (no false
+    negatives, operators/sketch.py bloom_build) are certainly new and
+    take a plain APPEND — they never reach the merge's target-side
+    scan — while only the maybe-present set pays for the exact MERGE.
+    On a mostly-fresh stream (the common crawl-ingest case) the merge
+    probe side shrinks to the duplicate tail, and the filter itself is
+    fixed-size (``m_bits/32`` words) regardless of table cardinality:
+    seeded from the table once at stream start, then OR-maintained on
+    the driver from each batch's own word table (metadata scale, no
+    rescans).
+
+    Commits identical table state to :func:`stream_upsert` (pinned in
+    tests/test_streaming_upsert.py with probe-side row counts). Each
+    path carries its own SetTransaction watermark (``<app>:merge`` /
+    ``<app>:append``), so at-least-once batch replays are no-ops for
+    whichever half already landed.
+
+    ``stats`` (optional list) receives one dict per applied batch:
+    ``{"batch", "batch_rows", "probe_rows", "appended"}`` — the
+    screening-effectiveness evidence.
+    """
+    import numpy as np
+
+    from ..operators.sketch import bloom_build, bloom_screen
+
+    spark = stream_df.sparkSession
+    cols = stream_df.columns
+    cond = " AND ".join(f"t.{kk} = s.{kk}" for kk in keys)
+    upd = {c: f"s.{c}" for c in cols if c not in keys}
+    ins = {c: f"s.{c}" for c in cols}
+    aid = app_id or f"stream_upsert:{checkpoint_dir}"
+    key_expr = F.concat_ws("\x1f", *[F.col(kk).cast("string")
+                                     for kk in keys])
+    words = np.zeros(m_bits // 32, dtype=np.int64)
+    seeded = [False]
+
+    def _filter_df():
+        rows = [(int(i), int(words[i]))
+                for i in np.nonzero(words)[0]]
+        return spark.createDataFrame(rows, "word_i long, bits long")
+
+    def _absorb(df: DataFrame) -> None:
+        for r in bloom_build(df.select(key_expr.alias("__k")),
+                             "__k", k=k, m_bits=m_bits).collect():
+            words[int(r["word_i"])] |= int(r["bits"])
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table = DeltaTable(spark, table_location)
+        if not seeded[0]:
+            # one-time seed: every key currently in the table
+            if table.version >= 0:
+                _absorb(table.to_df().select(*keys))
+            seeded[0] = True
+        batch_df = batch_df.dropDuplicates(list(keys))
+        screened = bloom_screen(
+            _filter_df(), batch_df.withColumn("__k", key_expr),
+            "__k", k=k, m_bits=m_bits).localCheckpoint(eager=True)
+        fresh = screened.filter(~F.col("maybe_present")) \
+            .select(*cols)
+        maybe = screened.filter(F.col("maybe_present")) \
+            .select(*cols)
+        n_batch = screened.count()
+        n_maybe = maybe.count()
+        last_m = table.txn_version(f"{aid}:merge")
+        if n_maybe and not (last_m is not None
+                            and last_m >= batch_id):
+            table = table.merge(
+                maybe, cond,
+                when_matched_update=upd or None,
+                when_not_matched_insert=ins,
+                custom_metadata={"streaming": True,
+                                 "batchId": int(batch_id),
+                                 "bloomScreened": True},
+                txn=(f"{aid}:merge", int(batch_id)))
+        last_a = table.txn_version(f"{aid}:append")
+        n_fresh = n_batch - n_maybe
+        if n_fresh and not (last_a is not None
+                            and last_a >= batch_id):
+            from ..log import SetTransaction, timestamp_ms
+            table.write(fresh, mode="append",
+                        custom_metadata={"streaming": True,
+                                         "batchId": int(batch_id),
+                                         "bloomScreened": True},
+                        _extra_actions=[SetTransaction(
+                            appId=f"{aid}:append",
+                            version=int(batch_id),
+                            lastUpdated=timestamp_ms())])
+        _absorb(batch_df.select(*keys))
+        if stats is not None:
+            stats.append({"batch": int(batch_id),
+                          "batch_rows": int(n_batch),
+                          "probe_rows": int(n_maybe),
+                          "appended": int(n_fresh)})
+
+    writer = (stream_df.writeStream
+              .foreachBatch(commit_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
