@@ -41,6 +41,20 @@ class TestMergeTxn:
         got = {r.k: (r.v, r.n) for r in t.to_df().collect()}
         assert got == {1: ("a", 1), 2: ("B", 2), 3: ("c", 1)}
 
+    def test_insert_condition_gates_unmatched_rows(self, spark,
+                                                   tmp_table_dir):
+        """whenNotMatchedInsert(condition=...) parity (r9): unmatched
+        source rows failing the gate are dropped, not inserted."""
+        t = DeltaTable(spark, tmp_table_dir).write(
+            _kv(spark, [(1, "a", 1)]))
+        t = t.merge(_kv(spark, [(2, "keep", 5), (3, "drop", 99)]),
+                    "t.k = s.k",
+                    when_not_matched_insert={"k": "s.k", "v": "s.v",
+                                             "n": "s.n"},
+                    when_not_matched_insert_condition="s.n < 10")
+        got = {r.k: (r.v, r.n) for r in t.to_df().collect()}
+        assert got == {1: ("a", 1), 2: ("keep", 5)}
+
 
 class TestStreamUpsert:
     def test_upsert_and_replay_is_noop(self, registered, tmp_path):
@@ -195,3 +209,78 @@ class TestStreamUpsertScreened:
         assert t.version == v_after
         got = {r.k: (r.v, r.n) for r in t.to_df().collect()}
         assert got == {1: ("A", 2), 9: ("x", 1)}
+
+
+class TestStreamApplyChanges:
+    """CDC replication (streaming/ingest.py stream_apply_changes, r9):
+    a readChangeFeed stream from table A applied onto replica B via
+    one net-effect MERGE per batch must converge B to A's exact state
+    through inserts, updates, CoW deletes and cdc commits — and stay
+    idempotent under batch replay."""
+
+    def _drain(self, spark, src_loc, tgt_loc, ckpt):
+        from xdlake_spark.streaming.ingest import stream_apply_changes
+        q = stream_apply_changes(
+            spark.readStream.format("xdlake")
+            .option("readChangeFeed", "true").load(src_loc),
+            tgt_loc, ckpt, keys=["k"])
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    def test_replica_converges_through_dml(self, registered, tmp_path):
+        spark = registered
+        src_loc, tgt_loc = str(tmp_path / "a"), str(tmp_path / "b")
+        ckpt = tempfile.mkdtemp()
+        a = DeltaTable(spark, src_loc).write(
+            _kv(spark, [(i, "v", 1) for i in range(10)]))     # v0
+        a = a.set_properties(
+            {"delta.enableChangeDataFeed": "true"})           # v1
+        a = a.delete("k >= 7")                                # v2 cdc
+        a = a.update({"v": "'up'"}, "k < 3")                  # v3 cdc
+        DeltaTable(spark, tgt_loc).write(
+            _kv(spark, []).limit(0))                          # empty B
+        self._drain(spark, src_loc, tgt_loc, ckpt)
+        want = {r.k: (r.v, r.n) for r in a.to_df().collect()}
+        got = {r.k: (r.v, r.n)
+               for r in DeltaTable(spark, tgt_loc).to_df().collect()}
+        assert got == want and len(want) == 7
+        # more DML on A: incremental batches apply the delta only
+        a = a.write(_kv(spark, [(100, "new", 5)]), mode="append")
+        a = a.delete("k = 0")
+        self._drain(spark, src_loc, tgt_loc, ckpt)
+        want = {r.k: (r.v, r.n) for r in a.to_df().collect()}
+        got = {r.k: (r.v, r.n)
+               for r in DeltaTable(spark, tgt_loc).to_df().collect()}
+        assert got == want
+        # delete for a key the replica never held: net no-op, and an
+        # insert+delete inside one span nets to absence
+        a = a.write(_kv(spark, [(200, "ghost", 1)]), mode="append")
+        a = a.delete("k = 200")
+        self._drain(spark, src_loc, tgt_loc, ckpt)
+        got = {r.k for r in
+               DeltaTable(spark, tgt_loc).to_df().collect()}
+        assert 200 not in got
+        assert got == {r.k for r in a.to_df().collect()}
+
+    def test_apply_replay_is_noop(self, registered, tmp_path):
+        spark = registered
+        src_loc, tgt_loc = str(tmp_path / "a"), str(tmp_path / "b")
+        ckpt = tempfile.mkdtemp()
+        a = DeltaTable(spark, src_loc).write(
+            _kv(spark, [(1, "a", 1), (2, "b", 1)]))
+        a.delete("k = 2")
+        DeltaTable(spark, tgt_loc).write(_kv(spark, []).limit(0))
+        self._drain(spark, src_loc, tgt_loc, ckpt)
+        t = DeltaTable(spark, tgt_loc)
+        v_after = t.version
+        assert {r.k for r in t.to_df().collect()} == {1}
+        for f in glob.glob(f"{ckpt}/commits/*") \
+                + glob.glob(f"{ckpt}/commits/.*crc"):
+            os.remove(f)
+        self._drain(spark, src_loc, tgt_loc, ckpt)
+        t = DeltaTable(spark, tgt_loc)
+        assert t.version == v_after
+        assert {r.k for r in t.to_df().collect()} == {1}

@@ -4014,6 +4014,7 @@ class DeltaTable:
               when_matched_update_condition: str | None = None,
               when_matched_delete: "bool | str" = False,
               when_not_matched_insert: dict[str, str] | None = None,
+              when_not_matched_insert_condition: str | None = None,
               when_not_matched_by_source_update: dict[str, str] | None = None,
               when_not_matched_by_source_update_condition: str | None = None,
               when_not_matched_by_source_delete: "bool | str" = False,
@@ -4041,9 +4042,13 @@ class DeltaTable:
         Delta's MERGE: ``when_matched_update`` maps target column ->
         SQL expression over ``s.`` (source) / ``t.`` (target);
         ``when_not_matched_insert`` maps target column -> expression over
-        ``s.``. Like Delta, raises if multiple source rows match one target
-        row while an update/delete clause is present (the rewrite would
-        otherwise fan the target row out non-deterministically).
+        ``s.``, gated by ``when_not_matched_insert_condition``
+        (delta-spark's ``whenNotMatchedInsert(condition=...)`` — an
+        unmatched source row failing the gate is dropped, not
+        inserted). Like Delta, raises if multiple source rows match one
+        target row while an update/delete clause is present (the
+        rewrite would otherwise fan the target row out
+        non-deterministically).
 
         Combined clauses (Delta's ``whenMatched(cond).update(...)
         .whenMatched(cond2).delete()`` chain): pass *both*
@@ -4360,6 +4365,13 @@ class DeltaTable:
 
         if when_not_matched_insert:
             anti = src.join(t, cond, "left_anti")
+            # whenNotMatchedInsert(condition=...) parity: unmatched
+            # source rows failing the gate are dropped, not inserted
+            # (a CDC apply must NOT insert a delete row whose key the
+            # target never held)
+            if when_not_matched_insert_condition:
+                anti = anti.filter(
+                    F.expr(when_not_matched_insert_condition))
             # column DEFAULTs apply to unassigned columns in the insert
             # clause (delta-spark parity), before the null fallback
             defaults = self.column_defaults
