@@ -148,6 +148,7 @@ HEADLINE = [
     "corpus_zipf_fit",
     "graph_assortativity",
     "trained_quality_scores",
+    "classifier_auc_eval",
 ]
 
 

@@ -405,3 +405,13 @@ class TestRound9PlanShapes:
         # pre-limited), i.e. no window consumes an unlimited input
         for m in re.finditer(r"\bWindow\b", plan):
             assert "TakeOrderedAndProject" in plan[m.end():], plan
+
+    def test_auc_windows_are_bin_partitioned(self, spark):
+        """classifier_auc_eval's prefix sums must run PARTITIONED BY
+        the coarse score bin (bounded per-partition state) — never an
+        unpartitioned window over the distinct-score table."""
+        plan = plan_of(spark, "classifier_auc_eval")
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, plan
+        for s in specs:
+            assert "__bin" in s, plan

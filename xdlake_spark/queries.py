@@ -2225,6 +2225,62 @@ def quality_classifier_q(spark, sf_dir):
         d, CLASSIFIER_WEIGHTS, bias=0.1)
 
 
+@register("classifier_auc_eval", r"""
+WITH w(token, w) AS (
+  VALUES ('query', 0.9), ('join', 0.8), ('vector', 0.7), ('scan', 0.6),
+         ('window', 0.5), ('merge', 0.4), ('stream', 0.3),
+         ('a', -0.4), ('the', -0.5), ('slow', -0.8), ('of', -0.3),
+         ('and', -0.3)
+), toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), toks2 AS (
+  SELECT * FROM toks WHERE length(token) > 0
+), scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(0.1 + avg(coalesce(w, 0.0))))), 6)
+             AS score
+  FROM toks2 LEFT JOIN w USING (token) GROUP BY doc_id
+), lab AS (
+  SELECT s.score, (position('query' IN d.text) > 0) AS y
+  FROM scored s JOIN documents d USING (doc_id)
+), per AS (
+  SELECT score, sum(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+         sum(CASE WHEN y THEN 0 ELSE 1 END) AS n
+  FROM lab GROUP BY score
+), cum AS (
+  SELECT p, n,
+         coalesce(sum(n) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS below
+  FROM per
+)
+SELECT round((sum(p * below) + 0.5 * sum(p * n))
+             / (sum(p) * sum(n)), 6) AS auc,
+       CAST(sum(p) AS BIGINT) AS n_pos,
+       CAST(sum(n) AS BIGINT) AS n_neg
+FROM cum
+""")
+def classifier_auc_q(spark, sf_dir):
+    """Exact tie-aware ROC-AUC of the fixed-weight quality classifier
+    against a deterministic label (operators/classify.py auc_eval) —
+    the model-evaluation companion to the scorer/trainer. NO global
+    rank window: per-distinct-score counts, then cumulative negatives
+    via the score-binned two-pass prefix (driver-computed <= 101-bin
+    offsets broadcast, fine prefix windowed per bin). The oracle
+    replays the identical Mann-Whitney formula with a plain window."""
+    from .operators import classify, corpus
+    d = _t(spark, sf_dir, "documents")
+    scored = (corpus.linear_classifier_scores(
+        d, CLASSIFIER_WEIGHTS, bias=0.1)
+        .select("doc_id", "score"))
+    lab = d.select("doc_id",
+                   F.col("text").contains("query").alias("y"))
+    return classify.auc_eval(scored.join(lab, "doc_id"),
+                             "score", "y")
+
+
 # rows-only: iterative gradient descent has no closed SQL form. The
 # trainer is pinned by a sequential numpy differential (same zero
 # init, same md5 buckets, same full-batch updates -> same weights to
