@@ -2308,3 +2308,65 @@ class TestColumnMappingDDL:
             t.rename_column("val", "x")  # constraint references it
         with pytest.raises(ValueError):
             t.drop_column("val")
+
+
+class TestDescribeDetail:
+    def test_detail_fields(self, spark, tmp_table_dir, lineitem):
+        t = DeltaTable(spark, tmp_table_dir).write(
+            lineitem.limit(100), partition_by=["l_returnflag"])
+        t = t.set_properties({"k": "v"})
+        d = t.detail().collect()[0]
+        assert d["format"] == "delta"
+        assert d["partitionColumns"] == ["l_returnflag"]
+        assert d["numFiles"] == len(t.adds)
+        assert d["sizeInBytes"] == sum(
+            a.size for a in t.adds.values())
+        assert d["minReaderVersion"] >= 1
+        assert json.loads(d["properties"]).get("k") == "v"
+        assert d["lastModified"] is not None
+
+
+class TestDataSkippingStatsProperties:
+    """delta.dataSkippingStatsColumns / dataSkippingNumIndexedCols:
+    new adds carry min/max/nullCount only for the configured columns
+    (numRecords always kept — metadata-only COUNT/DELETE depend on
+    it); pre-existing adds keep their stats; skipping still prunes on
+    a kept column."""
+
+    def test_explicit_stats_columns(self, spark, tmp_table_dir,
+                                    lineitem):
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(50))
+        t = t.set_properties({"delta.dataSkippingStatsColumns":
+                              "l_orderkey, l_quantity"})
+        t = t.write(lineitem.limit(50).withColumn(
+            "l_orderkey", F.col("l_orderkey") + 10_000_000),
+            mode="append")
+        stats = {a.path: json.loads(a.stats) for a in t.adds.values()}
+        wide = [s for s in stats.values()
+                if "l_extendedprice" in s["minValues"]]
+        narrow = [s for s in stats.values()
+                  if set(s["minValues"]) <= {"l_orderkey",
+                                             "l_quantity"}]
+        assert wide and narrow           # old files keep, new restrict
+        assert all(s["numRecords"] > 0 for s in stats.values())
+        # pruning on the kept column still skips the old-key files
+        pruned = t.to_df(where="l_orderkey >= 10000000").inputFiles()
+        assert len(pruned) < len(t.adds)
+        # correctness unchanged
+        assert t.to_df(where="l_orderkey >= 10000000").count() == 50
+
+    def test_num_indexed_cols(self, spark, tmp_table_dir, lineitem):
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(10))
+        t = t.set_properties(
+            {"delta.dataSkippingNumIndexedCols": "2"})
+        t = t.write(lineitem.limit(10), mode="append")
+        newest = json.loads(
+            t.adds[sorted(t.adds)[-1]].stats)
+        first_two = t.schema.fieldNames()[:2]
+        assert set(newest["minValues"]) <= set(first_two)
+        # -1 = all columns again
+        t = t.set_properties(
+            {"delta.dataSkippingNumIndexedCols": "-1"})
+        t = t.write(lineitem.limit(10), mode="append")
+        newest = json.loads(t.adds[sorted(t.adds)[-1]].stats)
+        assert "l_extendedprice" in newest["minValues"]

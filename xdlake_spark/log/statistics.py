@@ -58,6 +58,22 @@ class Statistics:
             "nullCount": self.nullCount,
         }, default=str)
 
+    def restrict(self, cols) -> "Statistics":
+        """Keep stats only for ``cols`` (delta.dataSkippingStatsColumns
+        / dataSkippingNumIndexedCols): numRecords always survives (the
+        metadata-only COUNT and DELETE paths depend on it); min/max/
+        nullCount drop for unlisted columns, so wide tables don't pay
+        footer-stat JSON for columns nobody filters on."""
+        keep = set(cols)
+        return Statistics(
+            numRecords=self.numRecords,
+            minValues={k: v for k, v in self.minValues.items()
+                       if k in keep},
+            maxValues={k: v for k, v in self.maxValues.items()
+                       if k in keep},
+            nullCount={k: v for k, v in self.nullCount.items()
+                       if k in keep})
+
     @classmethod
     def from_parquet_file(cls, path: str, filesystem=None) -> "Statistics":
         """Read one Parquet footer and fold its row-group stats."""

@@ -2156,9 +2156,81 @@ class DeltaTable:
         staging.delete_dir()
         return adds
 
+    def detail(self) -> DataFrame:
+        """DESCRIBE DETAIL (delta-spark ``DeltaTable.detail()``): one
+        row of table metadata — format, id, name, description,
+        location, createdAt/lastModified (epoch ms), partition and
+        clustering columns, live numFiles/sizeInBytes, properties,
+        protocol versions and feature lists. Pure log metadata — no
+        data job runs."""
+        md = self.log.metadata()
+        p = self.log.protocol()
+        extra = p.extra or {}
+        hist = list(self.history())
+        last = hist[0].get("timestamp") if hist else None
+        adds = self.adds
+        row = {
+            "format": "delta",
+            "id": md.id,
+            "name": md.name,
+            "description": md.description,
+            "location": self.location.url,
+            "createdAt": md.createdTime,
+            "lastModified": last,
+            "partitionColumns": list(self.partition_columns),
+            "clusteringColumns": self.clustering_columns(),
+            "numFiles": len(adds),
+            "sizeInBytes": sum(a.size or 0 for a in adds.values()),
+            "properties": json.dumps(md.configuration or {}),
+            "minReaderVersion": p.minReaderVersion,
+            "minWriterVersion": p.minWriterVersion,
+            "readerFeatures": sorted(extra.get("readerFeatures")
+                                     or []),
+            "writerFeatures": sorted(extra.get("writerFeatures")
+                                     or []),
+        }
+        schema = ("format STRING, id STRING, name STRING, "
+                  "description STRING, location STRING, "
+                  "createdAt LONG, lastModified LONG, "
+                  "partitionColumns ARRAY<STRING>, "
+                  "clusteringColumns ARRAY<STRING>, numFiles LONG, "
+                  "sizeInBytes LONG, properties STRING, "
+                  "minReaderVersion INT, minWriterVersion INT, "
+                  "readerFeatures ARRAY<STRING>, "
+                  "writerFeatures ARRAY<STRING>")
+        return self.spark.createDataFrame([row], schema=schema)
+
+    def _stats_columns(self) -> "list[str] | None":
+        """Columns to carry footer stats for, per the Delta data-
+        skipping table properties: ``delta.dataSkippingStatsColumns``
+        (explicit comma-separated list; wins when set) or
+        ``delta.dataSkippingNumIndexedCols`` (first N schema columns;
+        -1 = all). None = keep stats for every column (this engine's
+        historical default — Delta's own default of 32 applies only
+        when a user sets the property, so narrow tables keep full
+        skipping power without surprise)."""
+        if self.schema is None or not self.log:
+            return None
+        cfg = self.log.metadata().configuration or {}
+        explicit = cfg.get("delta.dataSkippingStatsColumns")
+        if explicit:
+            return [c.strip().strip("`") for c in explicit.split(",")
+                    if c.strip()]
+        n = cfg.get("delta.dataSkippingNumIndexedCols")
+        if n is None:
+            return None
+        n = int(n)
+        if n < 0:
+            return None
+        return self.schema.fieldNames()[:n]
+
     def _add_for_relpath(self, rel: str) -> Add:
         loc = self.location.join(rel)
         stats = Statistics.try_from_parquet_file(loc.path)
+        if stats is not None:
+            keep = self._stats_columns()
+            if keep is not None:
+                stats = stats.restrict(keep)
         pvals = {}
         for seg in rel.split("/")[:-1]:
             if "=" in seg:
