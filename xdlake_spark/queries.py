@@ -2281,6 +2281,59 @@ def classifier_auc_q(spark, sf_dir):
                              "score", "y")
 
 
+@register("classifier_calibration", r"""
+WITH w(token, w) AS (
+  VALUES ('query', 0.9), ('join', 0.8), ('vector', 0.7), ('scan', 0.6),
+         ('window', 0.5), ('merge', 0.4), ('stream', 0.3),
+         ('a', -0.4), ('the', -0.5), ('slow', -0.8), ('of', -0.3),
+         ('and', -0.3)
+), toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), toks2 AS (
+  SELECT * FROM toks WHERE length(token) > 0
+), scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(0.1 + avg(coalesce(w, 0.0))))), 6)
+             AS score
+  FROM toks2 LEFT JOIN w USING (token) GROUP BY doc_id
+), lab AS (
+  SELECT s.score, (position('query' IN d.text) > 0) AS y
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+       CAST(count(*) AS BIGINT)                 AS n,
+       round(avg(score), 6)                     AS mean_score,
+       round(avg(CASE WHEN y THEN 1.0 ELSE 0.0 END), 6)
+                                                AS pos_rate
+FROM lab GROUP BY 1 ORDER BY bin
+""")
+def classifier_calibration_q(spark, sf_dir):
+    """Reliability-diagram calibration bins for the fixed-weight
+    quality classifier: decile score bins x (count, mean predicted
+    score, empirical positive rate) — the standard probability-
+    calibration readout next to `classifier_auc_eval`'s ranking
+    quality. One aggregation over the scored corpus; bins are a
+    10-row result."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    scored = (corpus.linear_classifier_scores(
+        d, CLASSIFIER_WEIGHTS, bias=0.1)
+        .select("doc_id", "score"))
+    lab = d.select("doc_id",
+                   F.col("text").contains("query").alias("y"))
+    j = scored.join(lab, "doc_id")
+    return (j.groupBy(
+        F.least(F.floor(F.col("score") * 10), F.lit(9))
+        .cast("int").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("score"), 6).alias("mean_score"),
+             F.round(F.avg(F.col("y").cast("double")), 6)
+             .alias("pos_rate"))
+        .orderBy("bin"))
+
+
 # rows-only: iterative gradient descent has no closed SQL form. The
 # trainer is pinned by a sequential numpy differential (same zero
 # init, same md5 buckets, same full-batch updates -> same weights to
