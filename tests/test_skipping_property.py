@@ -386,3 +386,46 @@ def test_generated_partition_derivation_sound(files, pred, gen):
                 f"partition {adds[f'f{i}.parquet'].partitionValues} "
                 f"holds a match for {sql!r} via {expr} but the derived "
                 f"nodes {nodes} pruned it")
+
+
+# --- NaN domain: Spark total order vs Python float comparisons -----------
+
+import math
+
+_DBLS = [float("nan"), -3.5, -1.0, 0.0, 1.25, 2.0, 7.5]
+
+
+def _spark_key(x: float):
+    """Spark's binary-comparison total order over doubles: NaN equals
+    itself and sorts greater than every other value."""
+    return (1, 0.0) if math.isnan(x) else (0, x)
+
+
+def _spark_cmp_eval(op: str, x: float, v: float) -> bool:
+    kx, kv = _spark_key(x), _spark_key(v)
+    return {"=": kx == kv, "!=": kx != kv, "<": kx < kv,
+            "<=": kx <= kv, ">": kx > kv, ">=": kx >= kv}[op]
+
+
+@settings(max_examples=300, deadline=None)
+@given(consts=st.lists(st.sampled_from(_DBLS), min_size=2, max_size=5),
+       op=st.sampled_from(list(_OPS)),
+       lit=st.sampled_from(_DBLS))
+def test_nan_partition_pruning_sound_under_spark_order(consts, op, lit):
+    """r9 ADVICE closure, generalized: with a double partition column
+    whose values may be NaN, pruning must keep every file Spark's
+    comparison semantics would match — Python's every-comparison-
+    with-NaN-is-False must never leak into a skip decision."""
+    lit_sql = "'NaN'" if math.isnan(lit) else repr(lit)
+    sql = f"a {op} {lit_sql}"
+    adds = {
+        f"f{i}.parquet": Add(
+            path=f"f{i}.parquet",
+            stats=json.dumps({"numRecords": 1}),
+            partitionValues={"a": "NaN" if math.isnan(c) else str(c)})
+        for i, c in enumerate(consts)}
+    kept = set(prune_manifest(adds, sql, ["a"],
+                              partition_types={"a": "double"}))
+    for i, c in enumerate(consts):
+        if _spark_cmp_eval(op, c, lit):
+            assert f"f{i}.parquet" in kept, (sql, c, kept)
