@@ -289,11 +289,13 @@ def train_quality_classifier(df: DataFrame, label_col: str,
     cluster layout up to float-summation order (pinned against a
     sequential numpy twin in tests/test_operators.py).
 
-    Per epoch (two shuffles, both uniform):
+    Per epoch (two shuffles, both uniform, ONE action):
       1. margin_d = b + sum_f w[f] x_df  — broadcast the B-row weight
          table onto the feature rows, aggregate by doc;
       2. grad[f]  = mean_d (sigmoid(margin_d) - y_d) x_df — join the
-         per-doc residual back on doc_id, aggregate by bucket.
+         per-doc residual back on doc_id, aggregate by bucket; the
+         bias gradient rides the same aggregation as a sentinel
+         bucket (-1), so the margin job never runs twice.
     The driver holds only the B-float weight vector (metadata scale);
     features are computed once and localCheckpoint'd, so epoch r never
     replays tokenization. Gradient-descent updates with constant lr
@@ -329,16 +331,26 @@ def train_quality_classifier(df: DataFrame, label_col: str,
             "doc_id",
             (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("m") + F.lit(b))))
              - F.col("y")).alias("r"))
-        grad_rows = (feats.join(resid, "doc_id")
-                     .groupBy("bucket")
-                     .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
-                     .collect())
-        gb = resid.agg(F.sum("r")).collect()[0][0] / n_docs
+        # one action per epoch: bucket gradients plus the bias
+        # gradient as sentinel bucket -1 in the SAME aggregation
+        grad_src = (feats.join(resid, "doc_id")
+                    .select("bucket",
+                            (F.col("x") * F.col("r")).alias("c"))
+                    .unionByName(resid.select(
+                        F.lit(-1).cast("long").alias("bucket"),
+                        F.col("r").alias("c"))))
+        grad_rows = (grad_src.groupBy("bucket")
+                     .agg(F.sum("c").alias("g")).collect())
         g = np.zeros(n_buckets)
+        gb = 0.0
         for row in grad_rows:
-            g[int(row["bucket"])] = float(row["g"]) / n_docs
+            bi = int(row["bucket"])
+            if bi < 0:
+                gb = float(row["g"]) / n_docs
+            else:
+                g[bi] = float(row["g"]) / n_docs
         w -= lr * (g + l2 * w)
-        b -= lr * float(gb)
+        b -= lr * gb
     return w, b
 
 
