@@ -2370,3 +2370,65 @@ class TestDataSkippingStatsProperties:
         t = t.write(lineitem.limit(10), mode="append")
         newest = json.loads(t.adds[sorted(t.adds)[-1]].stats)
         assert "l_extendedprice" in newest["minValues"]
+
+
+class TestReplaceWhere:
+    """replaceWhere selective overwrite (write(replace_where=) — the
+    delta-spark option, r9): predicate-scoped removal (metadata-only
+    for partition-proved files), survivor rewrite for mixed files, new
+    data in the same atomic commit, conformance check before any file
+    lands."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "id long, cat string, v double")
+
+    def test_partition_scoped_replace(self, spark, tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(
+            self._df(spark, [(i, "abc"[i % 3], float(i))
+                             for i in range(30)]),
+            partition_by=["cat"])
+        untouched = {p for p, a in t.adds.items()
+                     if a.partitionValues.get("cat") != "a"}
+        t = t.write(self._df(spark, [(100 + i, "a", -1.0)
+                                     for i in range(5)]),
+                    mode="overwrite", replace_where="cat = 'a'")
+        got = sorted(r.id for r in t.to_df(where="cat = 'a'").collect())
+        assert got == [100, 101, 102, 103, 104]
+        assert t.to_df(where="cat != 'a'").count() == 20
+        # non-replaced partitions' files are byte-identical (no rewrite)
+        assert untouched <= set(t.adds)
+        h = next(iter(t.history()))
+        assert h["operation"] == "WRITE"
+        assert h["operationParameters"]["predicate"] == "cat = 'a'"
+        # time travel still sees the pre-replace state
+        assert t.load_as_version(0).count() == 30
+
+    def test_mixed_file_survivors_kept(self, spark, tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(
+            self._df(spark, [(i, "x", float(i)) for i in range(20)]))
+        t = t.write(self._df(spark, [(900, "x", 99.0)]),
+                    mode="overwrite", replace_where="v >= 10")
+        ids = sorted(r.id for r in t.to_df().collect())
+        assert ids == list(range(10)) + [900]
+
+    def test_conformance_violation_raises_before_commit(
+            self, spark, tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(
+            self._df(spark, [(1, "a", 1.0)]))
+        v = t.version
+        with pytest.raises(ValueError, match="replaceWhere"):
+            t.write(self._df(spark, [(2, "b", 2.0)]),
+                    mode="overwrite", replace_where="cat = 'a'")
+        assert DeltaTable(spark, tmp_table_dir).version == v
+        with pytest.raises(ValueError, match="overwrite"):
+            t.write(self._df(spark, [(2, "a", 2.0)]),
+                    mode="append", replace_where="cat = 'a'")
+
+    def test_no_match_predicate_just_appends_new(self, spark,
+                                                 tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(
+            self._df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+        t = t.write(self._df(spark, [(3, "c", 3.0)]),
+                    mode="overwrite", replace_where="cat = 'c'")
+        assert sorted(r.id for r in t.to_df().collect()) == [1, 2, 3]

@@ -1138,6 +1138,34 @@ def delta_overwrite_restore(spark, sf_dir):
     return t.to_df().select("l_orderkey", "l_linenumber")
 
 
+@register("delta_replace_where_scan", """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+FROM lineitem WHERE l_returnflag != 'R'
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       l_quantity + 100 AS l_quantity
+FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25
+""")
+def delta_replace_where(spark, sf_dir):
+    """replaceWhere selective overwrite (table.py write(replace_where=)
+    — delta-spark's option, r9): atomically swap only the 'R'
+    partition's rows for a transformed subset; the other partitions'
+    files are untouched (metadata-only removal on the replaced
+    partition — the daily-reload pattern at 100 TB). The oracle
+    reconstructs the final state set-algebraically."""
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        li, partition_by=["l_returnflag"])
+    repl = (li.filter("l_returnflag = 'R' AND l_quantity > 25")
+            .withColumn("l_quantity", F.col("l_quantity") + 100))
+    t = t.write(repl, mode="overwrite",
+                replace_where="l_returnflag = 'R'")
+    return t.to_df().select("l_orderkey", "l_linenumber",
+                            "l_returnflag", "l_quantity")
+
+
 @register("delta_optimize_identity", """
 SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 40
 """)

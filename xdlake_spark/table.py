@@ -1814,6 +1814,7 @@ class DeltaTable:
               write_options: dict | None = None,
               optimize_write: bool = False,
               target_file_size: int = 128 * 1024 * 1024,
+              replace_where: "str | None" = None,
               _extra_actions: list | None = None,
               _operation: "str | None" = None,
               _operation_params: dict | None = None) -> "DeltaTable":
@@ -1839,10 +1840,25 @@ class DeltaTable:
         through verbatim (``compression``, ``parquet.block.size``, ...) —
         the general analogue of the reference's
         ``write_arrow_dataset_options`` dict (__init__.py:159,170).
+
+        ``replace_where`` (delta-spark's ``replaceWhere`` option,
+        overwrite mode only): atomically replace ONLY the rows matching
+        the predicate — files fully covered are tombstoned from the
+        manifest (metadata-only when partition values prove it),
+        partially-covered files are rewritten keeping their
+        non-matching rows, and the new data lands in the same commit.
+        Every incoming row must satisfy the predicate (validated before
+        any file is written; delta-spark's conformance check). The
+        daily-partition reload — ``mode="overwrite",
+        replace_where="ds = '2024-06-01'"`` on a 100 TB table —
+        touches only that partition's files.
         """
         mode = WriteMode.coerce(mode)
         schema_mode_e = SchemaMode.coerce(schema_mode)
 
+        if replace_where is not None and mode != WriteMode.overwrite:
+            raise ValueError(
+                "replace_where requires mode='overwrite'")
         if self.log:
             if mode == WriteMode.error:
                 raise FileExistsError(
@@ -1888,6 +1904,18 @@ class DeltaTable:
                 for f in schema.fields])
         df = self._apply_generated_columns(df, provided=provided_cols)
 
+        if replace_where is not None and self.log:
+            # conformance check BEFORE any file is written: every
+            # incoming row must satisfy the predicate, else the
+            # "replace only these rows" contract silently leaks data
+            # outside the replaced region
+            bad = df.filter(~F.coalesce(F.expr(replace_where),
+                                        F.lit(False))).limit(1).count()
+            if bad:
+                raise ValueError(
+                    "replaceWhere: written data contains rows that do "
+                    f"not match the predicate {replace_where!r}")
+
         if optimize_write:
             df = self._optimize_write_partitions(df, partition_by,
                                                  target_file_size)
@@ -1922,6 +1950,10 @@ class DeltaTable:
             entry = create_table_entry(schema, partition_by,
                                        self.location.url, new_adds,
                                        custom_metadata)
+        elif mode == WriteMode.overwrite and replace_where is not None:
+            entry = self._replace_where_entry(
+                new_adds, replace_where, schema, partition_by,
+                custom_metadata)
         elif mode == WriteMode.overwrite:
             entry = overwrite_table_entry(new_adds, self.adds.values(),
                                           schema, partition_by,
@@ -1950,6 +1982,57 @@ class DeltaTable:
         self._decorate_entry(entry, _extra_actions, _operation,
                              _operation_params)
         return self._commit(entry)._maybe_auto_compact(new_adds)
+
+    def _replace_where_entry(self, new_adds: "list[Add]",
+                             where_sql: str, schema, partition_by,
+                             custom_metadata: dict | None
+                             ) -> DeltaLogEntry:
+        """Build the commit for a replaceWhere overwrite: removes for
+        the predicate's files (metadata-only where partition values
+        prove every row matches — the daily-partition reload runs zero
+        extra jobs), survivor rewrites for partially-matched files,
+        plus the already-written ``new_adds``. The new data never
+        rescans; only genuinely mixed files pay a rewrite."""
+        pred = F.coalesce(F.expr(where_sql), F.lit(False))
+        candidates = self._pruned_adds(where_sql)
+        certain, rest = split_certain_matches(
+            candidates, where_sql, self.partition_columns,
+            self._partition_types())
+        removes = [a.to_remove() for a in certain.values()]
+        survivor_adds: list[Add] = []
+        if rest:
+            rel_of = self._rel_by_uri(rest)
+            per_file = (self._scan(rest)
+                        .withColumn("__xdl_file", F.input_file_name())
+                        .groupBy("__xdl_file")
+                        .agg(F.count(F.lit(1)).alias("total"),
+                             F.sum(pred.cast("long")).alias("hits"))
+                        .collect())
+            hit_rels = [rel_of(r["__xdl_file"]) for r in per_file
+                        if (r["hits"] or 0) > 0]
+            n_survivors = sum(int(r["total"]) - int(r["hits"] or 0)
+                              for r in per_file if (r["hits"] or 0) > 0)
+            if hit_rels:
+                hit_adds = {r: self.adds[r] for r in hit_rels}
+                if n_survivors > 0:
+                    survivor_adds = self._write_data(
+                        self._scan(hit_adds).filter(~pred),
+                        self.partition_columns)
+                removes.extend(self.adds[r].to_remove()
+                               for r in hit_rels)
+        md = TableMetadata(schemaString=schema_to_string(schema),
+                           partitionColumns=list(partition_by or []))
+        commit = TableCommit.write(mode=WriteMode.overwrite.value,
+                                   partition_by=partition_by,
+                                   metadata=custom_metadata)
+        commit.operationParameters["predicate"] = where_sql
+        commit.operationMetrics = {
+            "numFiles": len(new_adds) + len(survivor_adds),
+            "numRemovedFiles": len(removes),
+            "numCopiedFiles": len(survivor_adds),
+        }
+        return DeltaLogEntry([md, *removes, *new_adds,
+                              *survivor_adds, commit])
 
     def _maybe_auto_compact(self, written: "list[Add]") -> "DeltaTable":
         """delta's ``autoOptimize.autoCompact``: when the table property
