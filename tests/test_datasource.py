@@ -417,3 +417,59 @@ class TestStreamingChangeFeed:
             (registered.read.format("xdlake")
              .option("readChangeFeed", "true")
              .load(tmp_table_dir).count())
+
+
+class TestBatchWriter:
+    """df.write.format('xdlake') (r9): the batch sink — create with
+    partitionBy, append with OCC retry semantics, full overwrite,
+    schema-drift refusal; interoperates with the native scan and time
+    travel on the same log."""
+
+    def test_create_append_overwrite_roundtrip(self, registered,
+                                               tmp_path, lineitem):
+        spark = registered
+        loc = str(tmp_path / "t")
+        li = lineitem.select("l_orderkey", "l_returnflag",
+                             "l_quantity")
+        (li.limit(100).write.format("xdlake")
+         .option("partitionBy", "l_returnflag")
+         .mode("append").save(loc))
+        t = DeltaTable(spark, loc)
+        assert t.version == 0 and t.count() == 100
+        assert t.partition_columns == ["l_returnflag"]
+        assert next(iter(t.history()))["operation"] == "CREATE TABLE"
+        li.limit(50).write.format("xdlake").mode("append").save(loc)
+        t = DeltaTable(spark, loc)
+        assert t.count() == 150
+        li.limit(20).write.format("xdlake").mode("overwrite").save(loc)
+        t = DeltaTable(spark, loc)
+        assert t.count() == 20
+        assert t.load_as_version(1).count() == 150
+        # partition pruning over the written layout
+        pruned = t.to_df(where="l_returnflag = 'R'").inputFiles()
+        assert len(pruned) < len(t.adds) or len(t.adds) == 1
+        # format read agrees
+        assert (spark.read.format("xdlake").load(loc).count()
+                == 20)
+
+    def test_schema_drift_refused(self, registered, tmp_path,
+                                  lineitem):
+        loc = str(tmp_path / "t")
+        lineitem.limit(5).select("l_orderkey").write.format(
+            "xdlake").mode("append").save(loc)
+        import pytest as _p
+        with _p.raises(Exception, match="schema"):
+            (registered.range(3).write.format("xdlake")
+             .mode("append").save(loc))
+
+    def test_partition_by_on_existing_refused(self, registered,
+                                              tmp_path, lineitem):
+        loc = str(tmp_path / "t")
+        lineitem.limit(5).select("l_orderkey").write.format(
+            "xdlake").mode("append").save(loc)
+        import pytest as _p
+        with _p.raises(Exception, match="partitionBy"):
+            (lineitem.limit(5).select("l_orderkey")
+             .write.format("xdlake").option("partitionBy",
+                                            "l_orderkey")
+             .mode("append").save(loc))

@@ -1503,6 +1503,31 @@ def delta_format_read(spark, sf_dir):
                     "l_returnflag"))
 
 
+@register("delta_format_batch_write", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_linenumber = 1 AND l_quantity > 20
+""")
+def delta_format_write(spark, sf_dir):
+    """Batch WRITER through the format (sources/datasource.py
+    _XdlakeBatchWriter, r9 — the fourth quadrant next to batch read /
+    stream read / stream write): df.write.format('xdlake') creates a
+    partitioned table (append then overwrite), and the NATIVE scan
+    path reads the result back — the two write paths and two read
+    paths interoperate on one log."""
+    from .sources.datasource import register as register_format
+    from .table import DeltaTable
+    register_format(spark)
+    li = _t(spark, sf_dir, "lineitem").filter("l_linenumber = 1")
+    loc = _delta_tmp()
+    (li.write.format("xdlake").option("partitionBy", "l_returnflag")
+     .mode("append").save(loc))
+    (li.filter("l_quantity > 20").write.format("xdlake")
+     .mode("overwrite").save(loc))
+    return (DeltaTable(spark, loc).to_df()
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    "l_returnflag"))
+
+
 @register("delta_format_time_travel", """
 SELECT l_orderkey, l_linenumber, l_quantity
 FROM lineitem WHERE l_linenumber = 1

@@ -33,7 +33,8 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     DataSourceStreamReader,
-                                    DataSourceStreamWriter, InputPartition,
+                                    DataSourceStreamWriter,
+                                    DataSourceWriter, InputPartition,
                                     WriterCommitMessage)
 from pyspark.sql.types import StructType
 
@@ -774,17 +775,10 @@ class XdlakeDataSource(DataSource):
                                                         "false")
                                    ).lower() == "true")
 
-    def streamWriter(self, schema: StructType,
-                     overwrite: bool) -> "DataSourceStreamWriter":
-        """Streaming SINK: one ACID append commit per micro-batch,
-        partitioned or not (each task splits its slice by the table's
-        partition columns and the adds carry partitionValues);
-        replayed batch ids are no-ops. A missing table is CREATED by
-        the first batch (delta-spark writeStream parity) using the
-        stream schema and the optional ``partitionBy`` option
-        (comma-separated); an existing table's schema must match the
-        stream's (name -> type, order-insensitive) — a drifted stream
-        is refused, never silently written."""
+    def _sink_pcols(self, schema: StructType) -> list:
+        """Shared sink validation (batch + streaming): resolve the
+        table's partition columns (or the ``partitionBy`` option on a
+        creating write) and check the incoming schema matches."""
         from ..log import DeltaLog
         from .storage import Location
         log = DeltaLog.load(
@@ -800,9 +794,9 @@ class XdlakeDataSource(DataSource):
             got = {f.name: f.dataType for f in schema.fields}
             if want != got:
                 raise ValueError(
-                    "stream schema does not match the table schema: "
+                    "write schema does not match the table schema: "
                     f"table={log.schema().simpleString()} "
-                    f"stream={schema.simpleString()}")
+                    f"df={schema.simpleString()}")
         else:
             pb = self.options.get("partitionBy")
             pcols = [c.strip() for c in str(pb).split(",")
@@ -810,8 +804,34 @@ class XdlakeDataSource(DataSource):
         missing = [c for c in pcols if c not in schema.fieldNames()]
         if missing:
             raise ValueError(
-                f"stream schema lacks the table's partition "
+                f"write schema lacks the table's partition "
                 f"columns: {missing}")
+        return pcols
+
+    def writer(self, schema: StructType,
+               overwrite: bool) -> "DataSourceWriter":
+        """Batch SINK: df.write.format("xdlake").mode("append" |
+        "overwrite").save(path) — one ACID commit per job; a missing
+        table is created from the df schema + ``partitionBy`` option.
+        For predicate-scoped overwrites use
+        DeltaTable.write(replace_where=...)."""
+        pcols = self._sink_pcols(schema)
+        return _XdlakeBatchWriter(self._path(), schema.json(),
+                                  partition_cols=pcols,
+                                  overwrite=overwrite)
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> "DataSourceStreamWriter":
+        """Streaming SINK: one ACID append commit per micro-batch,
+        partitioned or not (each task splits its slice by the table's
+        partition columns and the adds carry partitionValues);
+        replayed batch ids are no-ops. A missing table is CREATED by
+        the first batch (delta-spark writeStream parity) using the
+        stream schema and the optional ``partitionBy`` option
+        (comma-separated); an existing table's schema must match the
+        stream's (name -> type, order-insensitive) — a drifted stream
+        is refused, never silently written."""
+        pcols = self._sink_pcols(schema)
         return _XdlakeStreamWriter(self._path(), schema.json(),
                                    partition_cols=pcols)
 
@@ -1050,6 +1070,116 @@ class _XdlakeStreamWriter(DataSourceStreamWriter):
                 _stamp_ict_if_enabled()
 
     def abort(self, messages, batchId: int) -> None:
+        from .storage import Location
+        for m in messages:
+            for wf in (m.files if m is not None else []):
+                if wf.rel_path:
+                    f = Location.resolve(self.path).join(wf.rel_path)
+                    if f.exists():
+                        f.delete()
+
+
+# ---------------------------------------------------------------------------
+# Batch sink: df.write.format("xdlake") — append / overwrite
+# ---------------------------------------------------------------------------
+
+
+class _XdlakeBatchWriter(_XdlakeStreamWriter, DataSourceWriter):
+    """Batch ``df.write.format("xdlake")``: executor tasks reuse the
+    streaming sink's file writer (Hive-encoded partition dirs, footer
+    stats, partitionValues on every add), and the driver lands ONE
+    ACID commit — CREATE TABLE when the path is empty (schema +
+    ``partitionBy`` option), append otherwise, or a full overwrite for
+    ``mode("overwrite")``. Appends retry past optimistic-concurrency
+    collisions (they commute); an overwrite that loses the race raises
+    (its removes were planned against a stale snapshot). Completes the
+    format's fourth quadrant: batch read / stream read / stream write
+    all existed."""
+
+    def __init__(self, path: str, schema_json: str,
+                 partition_cols: "list[str] | None",
+                 overwrite: bool):
+        super().__init__(path, schema_json, partition_cols)
+        self.overwrite = overwrite
+
+    def commit(self, messages) -> None:
+        import json
+
+        from pyspark.sql import types as _T
+        from ..log import (Add, DeltaLog, Protocol,
+                           append_table_entry, commit_entry,
+                           create_table_entry, overwrite_table_entry,
+                           timestamp_ms)
+        from .storage import Location
+
+        loc = Location.resolve(self.path)
+        log_loc = loc.join("_delta_log")
+        log = DeltaLog.load(log_loc)
+        files = [f for m in messages if m is not None
+                 for f in m.files]
+        adds = [Add(path=f.rel_path, size=f.size,
+                    modificationTime=timestamp_ms(),
+                    partitionValues=f.partition_values or {},
+                    stats=f.stats_json)
+                for f in files if f.num_rows > 0]
+        if not adds and log and not self.overwrite:
+            return                      # empty append: no-op
+        schema = _T.StructType.fromJson(json.loads(self.schema_json))
+
+        def build(log):
+            if not log:
+                entry = create_table_entry(schema, self.partition_cols,
+                                           loc.url, adds)
+                if any(isinstance(f.dataType, _T.TimestampNTZType)
+                       for f in schema.fields):
+                    up = Protocol(minReaderVersion=3, minWriterVersion=7)
+                    up.extra = {
+                        "readerFeatures": ["timestampNtz"],
+                        "writerFeatures": sorted(
+                            {"appendOnly", "invariants",
+                             "timestampNtz"})}
+                    entry.actions = [a for a in entry.actions
+                                     if not isinstance(a, Protocol)]
+                    entry.actions.insert(0, up)
+                return entry
+            if self.overwrite:
+                return overwrite_table_entry(
+                    adds, log.add_actions().values(), schema,
+                    self.partition_cols)
+            return append_table_entry(adds, self.partition_cols)
+
+        def stamp_ict(entry):
+            if not log:
+                return
+            cfg = log.metadata().configuration or {}
+            if str(cfg.get("delta.enableInCommitTimestamps", "false")
+                   ).lower() != "true":
+                return
+            prev = log.last_ict()
+            ci = entry.commit_info
+            ict = max(timestamp_ms(),
+                      (prev + 1) if prev is not None else 0)
+            ci.extra["inCommitTimestamp"] = ict
+            ci.timestamp = ict
+            entry.actions.remove(ci)
+            entry.actions.insert(0, ci)
+
+        entry = build(log)
+        stamp_ict(entry)
+        for attempt in range(5):
+            try:
+                commit_entry(log_loc, log.version_to_write, entry)
+                return
+            except FileExistsError:
+                if self.overwrite and log:
+                    raise       # stale-snapshot removes: never replay
+                if attempt == 4:
+                    raise
+                log = DeltaLog.load(log_loc)
+                entry = build(log)
+                stamp_ict(entry)
+
+    def abort(self, messages) -> None:
         from .storage import Location
         for m in messages:
             for wf in (m.files if m is not None else []):
