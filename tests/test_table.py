@@ -2432,3 +2432,52 @@ class TestReplaceWhere:
         t = t.write(self._df(spark, [(3, "c", 3.0)]),
                     mode="overwrite", replace_where="cat = 'c'")
         assert sorted(r.id for r in t.to_df().collect()) == [1, 2, 3]
+
+
+class TestDynamicPartitionOverwrite:
+    """partition_overwrite_mode='dynamic' (Spark's
+    partitionOverwriteMode, r9): overwrite exactly the partitions the
+    written data lands in — manifest-level removes, no predicate."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "id long, cat string, v double")
+
+    def test_replaces_only_touched_partitions(self, spark,
+                                              tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(
+            self._df(spark, [(i, "abc"[i % 3], float(i))
+                             for i in range(30)]),
+            partition_by=["cat"])
+        keep_c = {p for p, a in t.adds.items()
+                  if a.partitionValues.get("cat") == "c"}
+        t = t.write(self._df(spark, [(100, "a", 1.0), (200, "b", 2.0)]),
+                    mode="overwrite", partition_overwrite_mode="dynamic")
+        ids = sorted(r.id for r in t.to_df().collect())
+        c_ids = [i for i in range(30) if "abc"[i % 3] == "c"]
+        assert ids == sorted(c_ids + [100, 200])
+        assert keep_c <= set(t.adds)          # untouched files survive
+        h = next(iter(t.history()))
+        assert h["operationParameters"].get(
+            "partitionOverwriteMode") == "dynamic"
+        assert t.load_as_version(0).count() == 30
+
+    def test_unpartitioned_degrades_to_full_overwrite(
+            self, spark, tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(
+            self._df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+        t = t.write(self._df(spark, [(9, "z", 9.0)]),
+                    mode="overwrite", partition_overwrite_mode="dynamic")
+        assert sorted(r.id for r in t.to_df().collect()) == [9]
+
+    def test_mutually_exclusive_and_mode_gated(self, spark,
+                                               tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(
+            self._df(spark, [(1, "a", 1.0)]))
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            t.write(self._df(spark, [(2, "a", 2.0)]), mode="overwrite",
+                    replace_where="cat = 'a'",
+                    partition_overwrite_mode="dynamic")
+        with pytest.raises(ValueError, match="dynamic"):
+            t.write(self._df(spark, [(2, "a", 2.0)]), mode="append",
+                    partition_overwrite_mode="dynamic")

@@ -1815,6 +1815,7 @@ class DeltaTable:
               optimize_write: bool = False,
               target_file_size: int = 128 * 1024 * 1024,
               replace_where: "str | None" = None,
+              partition_overwrite_mode: "str | None" = None,
               _extra_actions: list | None = None,
               _operation: "str | None" = None,
               _operation_params: dict | None = None) -> "DeltaTable":
@@ -1852,6 +1853,13 @@ class DeltaTable:
         daily-partition reload — ``mode="overwrite",
         replace_where="ds = '2024-06-01'"`` on a 100 TB table —
         touches only that partition's files.
+
+        ``partition_overwrite_mode="dynamic"`` (Spark's
+        ``partitionOverwriteMode``, overwrite mode only): replace
+        exactly the partitions the written data lands in — no
+        predicate needed, the data itself declares the scope. Purely
+        manifest-level: removes are chosen by partitionValues, zero
+        extra jobs. Mutually exclusive with ``replace_where``.
         """
         mode = WriteMode.coerce(mode)
         schema_mode_e = SchemaMode.coerce(schema_mode)
@@ -1859,6 +1867,17 @@ class DeltaTable:
         if replace_where is not None and mode != WriteMode.overwrite:
             raise ValueError(
                 "replace_where requires mode='overwrite'")
+        if partition_overwrite_mode not in (None, "static", "dynamic"):
+            raise ValueError(
+                "partition_overwrite_mode: 'static' or 'dynamic'")
+        dynamic = partition_overwrite_mode == "dynamic"
+        if dynamic:
+            if mode != WriteMode.overwrite:
+                raise ValueError("partition_overwrite_mode='dynamic' "
+                                 "requires mode='overwrite'")
+            if replace_where is not None:
+                raise ValueError("replace_where and dynamic partition "
+                                 "overwrite are mutually exclusive")
         if self.log:
             if mode == WriteMode.error:
                 raise FileExistsError(
@@ -1954,6 +1973,28 @@ class DeltaTable:
             entry = self._replace_where_entry(
                 new_adds, replace_where, schema, partition_by,
                 custom_metadata)
+        elif mode == WriteMode.overwrite and dynamic:
+            # dynamic partition overwrite: tombstone exactly the
+            # partitions the new data landed in — chosen from
+            # partitionValues, no scan, no extra jobs (on an
+            # unpartitioned table this degrades to a full overwrite:
+            # there is only the one partition)
+            touched = {tuple(sorted((a.partitionValues or {}).items()))
+                       for a in new_adds}
+            doomed = [a for a in self.adds.values()
+                      if tuple(sorted((a.partitionValues or {})
+                                      .items())) in touched]
+            md = TableMetadata(
+                schemaString=schema_to_string(schema),
+                partitionColumns=list(partition_by or []))
+            commit = TableCommit.write(
+                mode=WriteMode.overwrite.value,
+                partition_by=partition_by, metadata=custom_metadata)
+            commit.operationParameters["partitionOverwriteMode"] = \
+                "dynamic"
+            entry = DeltaLogEntry(
+                [md, *[a.to_remove() for a in doomed],
+                 *new_adds, commit])
         elif mode == WriteMode.overwrite:
             entry = overwrite_table_entry(new_adds, self.adds.values(),
                                           schema, partition_by,
