@@ -473,3 +473,31 @@ class TestBatchWriter:
              .write.format("xdlake").option("partitionBy",
                                             "l_orderkey")
              .mode("append").save(loc))
+
+    def test_dynamic_partition_overwrite_option(self, registered,
+                                                tmp_path):
+        spark = registered
+        loc = str(tmp_path / "t")
+        df = spark.createDataFrame([(i, "abc"[i % 3])
+                                    for i in range(30)],
+                                   "id long, cat string")
+        (df.write.format("xdlake").option("partitionBy", "cat")
+         .mode("append").save(loc))
+        new = spark.createDataFrame([(100, "a"), (200, "b")],
+                                    "id long, cat string")
+        (new.write.format("xdlake")
+         .option("partitionOverwriteMode", "dynamic")
+         .mode("overwrite").save(loc))
+        t = DeltaTable(spark, loc)
+        ids = sorted(r.id for r in t.to_df().collect())
+        assert ids == sorted(
+            [i for i in range(30) if "abc"[i % 3] == "c"]
+            + [100, 200])
+        h = next(iter(t.history()))
+        assert h["operationParameters"].get(
+            "partitionOverwriteMode") == "dynamic"
+        import pytest as _p
+        with _p.raises(Exception, match="replaceWhere"):
+            (new.write.format("xdlake")
+             .option("replaceWhere", "cat = 'a'")
+             .mode("overwrite").save(loc))

@@ -813,12 +813,27 @@ class XdlakeDataSource(DataSource):
         """Batch SINK: df.write.format("xdlake").mode("append" |
         "overwrite").save(path) — one ACID commit per job; a missing
         table is created from the df schema + ``partitionBy`` option.
-        For predicate-scoped overwrites use
-        DeltaTable.write(replace_where=...)."""
+        ``partitionOverwriteMode=dynamic`` scopes an overwrite to the
+        partitions the data lands in (manifest-only removes, like
+        Spark's own option). For PREDICATE-scoped overwrites use
+        DeltaTable.write(replace_where=...) — the conformance scan
+        needs the session, which the sink worker does not have."""
+        pom = str(self.options.get("partitionOverwriteMode",
+                                   "static")).lower()
+        if pom not in ("static", "dynamic"):
+            raise ValueError(
+                f"partitionOverwriteMode: static or dynamic, got {pom!r}")
+        if self.options.get("replaceWhere"):
+            raise ValueError(
+                "replaceWhere is not supported through the format "
+                "writer (the conformance scan needs the session) — "
+                "use DeltaTable.write(replace_where=...)")
         pcols = self._sink_pcols(schema)
         return _XdlakeBatchWriter(self._path(), schema.json(),
                                   partition_cols=pcols,
-                                  overwrite=overwrite)
+                                  overwrite=overwrite,
+                                  dynamic=(pom == "dynamic"
+                                           and overwrite))
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> "DataSourceStreamWriter":
@@ -1098,9 +1113,12 @@ class _XdlakeBatchWriter(_XdlakeStreamWriter, DataSourceWriter):
 
     def __init__(self, path: str, schema_json: str,
                  partition_cols: "list[str] | None",
-                 overwrite: bool):
+                 overwrite: bool, dynamic: bool = False):
         super().__init__(path, schema_json, partition_cols)
         self.overwrite = overwrite
+        #: dynamic partition overwrite: remove only the partitions
+        #: the new adds landed in (manifest-level, sink-worker-safe)
+        self.dynamic = dynamic
 
     def commit(self, messages) -> None:
         import json
@@ -1142,6 +1160,26 @@ class _XdlakeBatchWriter(_XdlakeStreamWriter, DataSourceWriter):
                                      if not isinstance(a, Protocol)]
                     entry.actions.insert(0, up)
                 return entry
+            if self.overwrite and self.dynamic:
+                from ..log import (DeltaLogEntry, TableCommit,
+                                   TableMetadata)
+                from ..log.schema import schema_to_string
+                touched = {tuple(sorted((a.partitionValues or {})
+                                        .items())) for a in adds}
+                doomed = [a for a in log.add_actions().values()
+                          if tuple(sorted((a.partitionValues or {})
+                                          .items())) in touched]
+                md = TableMetadata(
+                    schemaString=schema_to_string(schema),
+                    partitionColumns=list(self.partition_cols))
+                commit = TableCommit.write(
+                    mode="Overwrite",
+                    partition_by=self.partition_cols)
+                commit.operationParameters[
+                    "partitionOverwriteMode"] = "dynamic"
+                return DeltaLogEntry(
+                    [md, *[a.to_remove() for a in doomed],
+                     *adds, commit])
             if self.overwrite:
                 return overwrite_table_entry(
                     adds, log.add_actions().values(), schema,
