@@ -3441,3 +3441,39 @@ class TestTrainableQualityClassifier:
         assert auc > 0.85, auc
         # scoring output shape/rounding contract
         assert all(0.0 <= r["score"] <= 1.0 for r in scored)
+
+
+class TestShuffleShards:
+    """Deterministic corpus shuffle (operators/sampling.py
+    shuffle_shards, r9): reproducible permutation, complete cover,
+    contiguous intra-shard positions, seed sensitivity; the window is
+    partitioned by shard (plan-visible bounded state)."""
+
+    def test_permutation_properties(self, spark, documents):
+        from xdlake_spark.operators.sampling import shuffle_shards
+        out = shuffle_shards(documents, n_shards=8, seed=3).collect()
+        n = documents.count()
+        assert len(out) == n
+        assert len({r["doc_id"] for r in out}) == n
+        by_shard: dict = {}
+        for r in out:
+            assert 0 <= r["shard"] < 8
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+        # deterministic across invocations
+        again = shuffle_shards(documents, n_shards=8, seed=3).collect()
+        assert {(r["doc_id"], r["shard"], r["pos"]) for r in out} \
+            == {(r["doc_id"], r["shard"], r["pos"]) for r in again}
+        # a different seed is a different permutation
+        other = shuffle_shards(documents, n_shards=8, seed=4).collect()
+        assert {(r["doc_id"], r["shard"], r["pos"]) for r in out} \
+            != {(r["doc_id"], r["shard"], r["pos"]) for r in other}
+
+    def test_window_is_shard_partitioned(self, spark, documents):
+        import re as _re
+        from xdlake_spark.operators.sampling import shuffle_shards
+        plan = shuffle_shards(documents, n_shards=8)._jdf \
+            .queryExecution().executedPlan().toString()
+        specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs and all("shard" in s for s in specs), plan

@@ -279,3 +279,36 @@ def token_budget_select(df: DataFrame, score_col: str, token_col: str,
 #: table tiny for [0,1]-ish quality scores while still splitting the
 #: global running sum across thousands of independent window groups.
 _BIN_DECIMALS = 3
+
+
+def shuffle_shards(df: DataFrame, n_shards: int = 64, seed: int = 0,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global shuffle into shards — the data-order
+    primitive every pre-training run needs (a corpus must be read in
+    a reproducible pseudo-random order, and "order" at 100 TB means
+    shard assignment + intra-shard position, never one global
+    sequence).
+
+    Each row draws a portable 52-bit key ``md5(seed:id)`` (the same
+    hash family as the CMS/bloom/walks, so ANY engine reproduces the
+    permutation bit-for-bit), shards on ``key % n_shards`` and ranks
+    within its shard by (key, id). One shuffle keyed on the shard;
+    the rank window is PARTITIONED BY shard — per-shard state only,
+    (corpus/n_shards) rows per partition, no single-reducer stage.
+    Reading shards in index order then rows in ``pos`` order replays
+    the identical permutation on any cluster layout.
+
+    Output: ``(id, shard, pos)``.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+        1, 13), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return (df.select(F.col(id_col),
+                      key.alias("__key"),
+                      F.pmod(key, F.lit(n_shards)).cast("int")
+                      .alias("shard"))
+            .withColumn("pos", F.row_number().over(w))
+            .drop("__key"))

@@ -4152,6 +4152,30 @@ def sample_hash_split(spark, sf_dir):
     return out.select("doc_id", "split")
 
 
+@register("shuffle_shards_order", """
+WITH keyed AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)),
+                            1, 13))::BIGINT AS k
+  FROM documents
+)
+SELECT doc_id,
+       CAST(k % 16 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY k % 16
+                               ORDER BY k, doc_id) AS INT) AS pos
+FROM keyed
+""")
+def shuffle_shards_q(spark, sf_dir):
+    """Deterministic global corpus shuffle into shards
+    (operators/sampling.py shuffle_shards, r9): the data-order
+    primitive a pre-training run reads — portable md5 keys, shard =
+    key % n, intra-shard rank windowed PER SHARD (never one global
+    sequence; corpus/n rows per window partition). The oracle
+    replays the identical permutation from the same hash."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.shuffle_shards(d, n_shards=16, seed=7)
+
+
 @register("sample_stratum_cap", """
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
