@@ -462,3 +462,33 @@ class TestCdfRateLimits:
         assert got.count() == want.count()
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+class TestCdfBackfill:
+    def test_cdf_backfill_capped_batches_then_stop(self, registered,
+                                                   tmp_path, lineitem):
+        """r9: available_now_backfill(read_change_feed=True) drains
+        the CHANGE history in rate-limited batches and terminates;
+        accumulated rows equal the batch change feed."""
+        from xdlake_spark.streaming.backfill import \
+            available_now_backfill
+        path = str(tmp_path / "t")
+        li = lineitem.limit(60).select("l_orderkey", "l_linenumber",
+                                       "l_quantity")
+        t = DeltaTable(registered, path).write(li.repartition(3))
+        t = t.delete("l_quantity > 40")
+        seen = []
+        res = available_now_backfill(
+            registered, path,
+            lambda df, bid: seen.extend(df.collect()),
+            checkpoint_location=str(tmp_path / "ck"),
+            read_change_feed=True,
+            max_files_per_trigger=1, timeout_s=180)
+        assert res["reached"] and res["n_batches"] >= 3
+        want = t.change_feed(-1, t.version).count()
+        assert res["n_rows"] == want == len(seen)
+        with pytest.raises(ValueError, match="contradictory"):
+            available_now_backfill(
+                registered, path, lambda df, bid: None,
+                checkpoint_location=str(tmp_path / "ck2"),
+                read_change_feed=True, skip_change_commits=True)

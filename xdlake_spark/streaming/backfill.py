@@ -72,6 +72,7 @@ def available_now_backfill(
         max_bytes_per_trigger: int | None = None,
         starting_version: "int | str | None" = 0,
         skip_change_commits: bool = False,
+        read_change_feed: bool = False,
         poll_interval_s: float = 0.25,
         timeout_s: float = 3600.0) -> dict:
     """Drain the table's backlog through ``batch_fn(df, batch_id)`` in
@@ -95,6 +96,9 @@ def available_now_backfill(
     from ..log import DeltaLog
     from ..sources.storage import Location
 
+    if read_change_feed and skip_change_commits:
+        raise ValueError("read_change_feed and skip_change_commits "
+                         "are contradictory")
     log = DeltaLog.load(Location.resolve(path).join("_delta_log"))
     target = log.version if log else -1
     # capped-from-batch-0 is only restart-safe on a FRESH checkpoint
@@ -112,6 +116,11 @@ def available_now_backfill(
 
     reader = (spark.readStream.format("xdlake")
               .option("skipChangeCommits", str(skip_change_commits)))
+    if read_change_feed:
+        # r9: CDF composes with the rate caps, so a change-history
+        # backfill (reprocess every change, bounded batches, stop at
+        # the pinned version) is the same drain loop
+        reader = reader.option("readChangeFeed", "true")
     if target >= 0:
         # pin the drain target INSIDE the reader: commits racing in
         # behind the backfill are never admitted, exactly like the
