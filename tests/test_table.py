@@ -2481,3 +2481,52 @@ class TestDynamicPartitionOverwrite:
         with pytest.raises(ValueError, match="dynamic"):
             t.write(self._df(spark, [(2, "a", 2.0)]), mode="append",
                     partition_overwrite_mode="dynamic")
+
+
+class TestConvertToDelta:
+    """CONVERT TO DELTA (DeltaTable.convert_to_delta, r9): in-place
+    conversion of a hive-partitioned parquet directory — relative
+    adds, footer stats, Spark-inferred partition types; the converted
+    table supports the full lifecycle and refuses double conversion.
+    Contrast import_refs (absolute-path zero-copy references)."""
+
+    def test_convert_partitioned_dir(self, spark, tmp_path, lineitem):
+        raw = str(tmp_path / "raw")
+        li = lineitem.select("l_orderkey", "l_returnflag",
+                             "l_quantity").limit(200)
+        li.write.partitionBy("l_returnflag").parquet(raw)
+        t = DeltaTable.convert_to_delta(spark, raw)
+        assert t.version == 0
+        assert t.count() == 200
+        assert t.partition_columns == ["l_returnflag"]
+        assert next(iter(t.history()))["operation"] == "CONVERT"
+        assert all(not a.path.startswith("file:")
+                   for a in t.adds.values())      # relative adds
+        assert all(a.stats for a in t.adds.values())
+        # pruning + lifecycle on the converted table
+        assert len(t.to_df(where="l_returnflag = 'R'")
+                   .inputFiles()) < len(t.adds)
+        t = t.delete("l_quantity > 40")
+        assert DeltaTable(spark, raw).count() == t.count()
+        with pytest.raises(ValueError, match="already has"):
+            DeltaTable.convert_to_delta(spark, raw)
+
+    def test_convert_flat_dir_and_values_match(self, spark, tmp_path,
+                                               lineitem):
+        raw = str(tmp_path / "flat")
+        li = lineitem.select("l_orderkey", "l_quantity").limit(100)
+        li.write.parquet(raw)
+        t = DeltaTable.convert_to_delta(spark, raw)
+        assert t.partition_columns == []
+        got = sorted((r.l_orderkey, r.l_quantity)
+                     for r in t.to_df().collect())
+        want = sorted((r.l_orderkey, r.l_quantity)
+                      for r in li.collect())
+        assert got == want
+
+    def test_convert_empty_dir_refused(self, spark, tmp_path):
+        import os
+        d = str(tmp_path / "empty")
+        os.makedirs(d)
+        with pytest.raises(ValueError, match="no parquet"):
+            DeltaTable.convert_to_delta(spark, d)

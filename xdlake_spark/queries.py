@@ -1166,6 +1166,27 @@ def delta_replace_where(spark, sf_dir):
                             "l_returnflag", "l_quantity")
 
 
+@register("delta_convert_scan", """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+FROM lineitem WHERE l_quantity <= 30
+""")
+def delta_convert(spark, sf_dir):
+    """CONVERT TO DELTA (table.py convert_to_delta, r9): a plain
+    Spark-written hive-partitioned parquet directory becomes a delta
+    table IN PLACE (relative adds, footer stats, inferred partition
+    types), then the normal manifest-pruned scan reads it back —
+    contrast delta_import_refs_scan's absolute-path zero-copy form."""
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    ).filter("l_quantity <= 30")
+    raw = _delta_tmp()
+    li.write.partitionBy("l_returnflag").parquet(raw, mode="overwrite")
+    t = DeltaTable.convert_to_delta(spark, raw)
+    return t.to_df().select("l_orderkey", "l_linenumber",
+                            "l_returnflag", "l_quantity")
+
+
 @register("delta_optimize_identity", """
 SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 40
 """)

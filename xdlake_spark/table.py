@@ -3522,6 +3522,54 @@ class DeltaTable:
                                     custom_metadata)
         return self._commit_checked(entry, self.version)
 
+    @classmethod
+    def convert_to_delta(cls, spark, path: "str | Location",
+                         custom_metadata: dict | None = None
+                         ) -> "DeltaTable":
+        """IN-PLACE conversion of an existing parquet directory
+        (hive-partitioned or flat) into a delta table — delta-spark's
+        ``CONVERT TO DELTA``: a ``_delta_log`` is created inside the
+        directory with RELATIVE adds, so the converted table supports
+        the full lifecycle (delete/optimize/vacuum/time travel) and
+        any delta reader opens it. Contrast :meth:`import_refs`, which
+        registers foreign files by ABSOLUTE path into a table that
+        lives elsewhere (zero-copy reference, the source directory
+        stays authoritative).
+
+        Schema and partition-column types come from Spark's own
+        parquet + hive-dir inference (one driver-side schema read);
+        per-file stats come from the footers. Manifest-scale work
+        only — no data job, no file moves. Refuses when a
+        ``_delta_log`` already exists."""
+        loc = Location.resolve(path) if isinstance(path, str) else path
+        if DeltaLog.load(loc.join("_delta_log")):
+            raise ValueError(
+                f"{loc.url} already has a _delta_log — it IS a delta "
+                "table (use DeltaTable(spark, path) to open it)")
+        rels = sorted(
+            rel for rel in loc.list_files_recursive()
+            if rel.endswith(".parquet")
+            and not posixpath.basename(rel).startswith((".", "_"))
+            and not rel.startswith("_"))
+        if not rels:
+            raise ValueError(f"no parquet files under {loc.url}")
+        # Spark's inference types the partition columns (int dirs read
+        # back as int), matching what a delta-spark CONVERT records
+        df = (spark.read.option("basePath", loc.url)
+              .parquet(loc.url))
+        pcols = sorted({seg.split("=", 1)[0]
+                        for rel in rels for seg in rel.split("/")[:-1]
+                        if "=" in seg})
+        t = cls(spark, loc)
+        adds = [t._add_for_relpath(rel) for rel in rels]
+        entry = create_table_entry(df.schema, pcols, loc.url, adds)
+        ci = entry.commit_info
+        ci.operation = "CONVERT"       # delta-spark's operation name
+        ci.operationParameters["numFiles"] = len(adds)
+        if custom_metadata:
+            ci.extra.update(custom_metadata)
+        return t._commit(entry)
+
     def clone(self, dst_location: "str | Location",
               dst_log_location: "str | Location | None" = None
               ) -> "DeltaTable":
