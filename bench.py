@@ -149,6 +149,8 @@ HEADLINE = [
     "graph_assortativity",
     "trained_quality_scores",
     "classifier_auc_eval",
+    "delta_replace_where_scan",
+    "shuffle_shards_order",
 ]
 
 
