@@ -492,3 +492,19 @@ class TestCdfBackfill:
                 registered, path, lambda df, bid: None,
                 checkpoint_location=str(tmp_path / "ck2"),
                 read_change_feed=True, skip_change_commits=True)
+
+    def test_cdf_capped_start_on_resumed_checkpoint_refused(
+            self, registered, tmp_path, lineitem):
+        """The cappedStart backwards-pin guard applies to CDF too
+        (r9 review): a silent empty backwards span would rewind _last
+        and redeliver already-processed change versions."""
+        path = str(tmp_path / "t")
+        t = DeltaTable(registered, path).write(lineitem.limit(20))
+        t = t.write(lineitem.limit(10), mode="append")
+        t.delete("l_quantity > 40")
+        r = _XdlakeStreamReader(path, read_change_feed=True,
+                                starting_version=1, capped_start=True,
+                                max_files=1)
+        o1 = r.latestOffset()            # blind pin behind checkpoint
+        with pytest.raises(ValueError, match="cappedStart"):
+            r.partitions({"version": 2, "index": -1}, o1)

@@ -284,3 +284,64 @@ class TestStreamApplyChanges:
         t = DeltaTable(spark, tgt_loc)
         assert t.version == v_after
         assert {r.k for r in t.to_df().collect()} == {1}
+
+    def test_partial_replay_appends_exact_owed_rows(self, registered,
+                                                    tmp_path):
+        """Crash between the merge and append commits (r9 review):
+        the replay must NOT re-screen with the reseeded filter (not
+        replay-stable — previously-fresh rows could misroute into the
+        watermark-skipped merge and be lost); the owed append half is
+        an exact key anti-join. Simulated by pre-stamping the merge
+        watermark for batch 0 with the merge half's table state."""
+        from xdlake_spark.streaming.ingest import \
+            stream_upsert_screened
+        spark = registered
+        src_loc, tgt_loc = str(tmp_path / "src"), str(tmp_path / "tgt")
+        ckpt = str(tmp_path / "ck")
+        # target holds key 1; incoming batch: update(1) + fresh 2, 3
+        t = DeltaTable(spark, tgt_loc).write(
+            _kv(spark, [(1, "a", 1)]))
+        DeltaTable(spark, src_loc).write(
+            _kv(spark, [(1, "A", 2), (2, "n", 1), (3, "n", 1)]))
+        # simulate the crashed first attempt: the merge half landed
+        # (key 1 updated, watermark stamped), the append half did not
+        aid = f"stream_upsert:{ckpt}"
+        t = t.merge(_kv(spark, [(1, "A", 2)]), "t.k = s.k",
+                    when_matched_update={"v": "s.v", "n": "s.n"},
+                    when_not_matched_insert={"k": "s.k", "v": "s.v",
+                                             "n": "s.n"},
+                    txn=(f"{aid}:merge", 0))
+        stats: list = []
+        q = stream_upsert_screened(
+            spark.readStream.format("xdlake").load(src_loc),
+            tgt_loc, ckpt, keys=["k"], stats=stats)
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        got = {r.k: (r.v, r.n)
+               for r in DeltaTable(spark, tgt_loc).to_df().collect()}
+        assert got == {1: ("A", 2), 2: ("n", 1), 3: ("n", 1)}
+        [s] = stats
+        assert s.get("replayed") is True
+        assert s["appended"] == 2 and s["probe_rows"] == 0
+
+    def test_same_commit_delete_insert_survivor_lives(
+            self, registered, tmp_path):
+        """A CoW overwrite on the source (no cdc files) derives
+        delete+insert at the SAME _commit_version for every surviving
+        key; the net-effect tie-break must let the non-delete win —
+        the replica keeps the key (r9 review: alphabetical ordering
+        made 'delete' win and wiped live keys)."""
+        spark = registered
+        src_loc, tgt_loc = str(tmp_path / "a"), str(tmp_path / "b")
+        a = DeltaTable(spark, src_loc).write(
+            _kv(spark, [(1, "x", 1), (2, "y", 1)]))
+        # overwrite keeps key 1 (new value), drops key 2
+        a = a.write(_kv(spark, [(1, "X", 9)]), mode="overwrite")
+        DeltaTable(spark, tgt_loc).write(_kv(spark, []).limit(0))
+        self._drain(spark, src_loc, tgt_loc, tempfile.mkdtemp())
+        got = {r.k: (r.v, r.n)
+               for r in DeltaTable(spark, tgt_loc).to_df().collect()}
+        assert got == {1: ("X", 9)}

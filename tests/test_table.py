@@ -2530,3 +2530,99 @@ class TestConvertToDelta:
         os.makedirs(d)
         with pytest.raises(ValueError, match="no parquet"):
             DeltaTable.convert_to_delta(spark, d)
+
+
+class TestOverwriteMetadataPreserved:
+    """Data-replacing commits must keep the table IDENTITY — id,
+    configuration, createdTime (r9 review): a fresh TableMetadata
+    would mint a new uuid and wipe every table property, silently
+    disabling CDF/column-mapping/ICT."""
+
+    def _seeded(self, spark, tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(
+            spark.createDataFrame([(1, "a")], "id long, cat string"))
+        return t.set_properties({"custom.x": "1",
+                                 "delta.appendOnly": "false"})
+
+    def _check(self, t, before):
+        md = t.log.metadata()
+        assert md.id == before.id
+        assert md.configuration.get("custom.x") == "1"
+        assert md.createdTime == before.createdTime
+
+    def test_plain_overwrite(self, spark, tmp_table_dir):
+        t = self._seeded(spark, tmp_table_dir)
+        before = t.log.metadata()
+        t = t.write(spark.createDataFrame([(2, "b")],
+                                          "id long, cat string"),
+                    mode="overwrite")
+        self._check(t, before)
+
+    def test_replace_where(self, spark, tmp_table_dir):
+        t = self._seeded(spark, tmp_table_dir)
+        before = t.log.metadata()
+        t = t.write(spark.createDataFrame([(3, "a")],
+                                          "id long, cat string"),
+                    mode="overwrite", replace_where="cat = 'a'")
+        self._check(t, before)
+
+    def test_dynamic_overwrite(self, spark, tmp_table_dir):
+        t = self._seeded(spark, tmp_table_dir)
+        before = t.log.metadata()
+        t = t.write(spark.createDataFrame([(3, "a")],
+                                          "id long, cat string"),
+                    mode="overwrite",
+                    partition_overwrite_mode="dynamic")
+        self._check(t, before)
+
+
+class TestReplaceWhereCdf:
+    def test_cdf_records_deletes_and_inserts_only(self, spark,
+                                                  tmp_table_dir):
+        """On a CDF table, replaceWhere writes cdc actions: deletes
+        for the replaced rows, inserts for the new data — survivor
+        rows must NOT appear as spurious delete+insert churn
+        (r9 review)."""
+        df = spark.createDataFrame(
+            [(i, "ab"[i % 2], float(i)) for i in range(10)],
+            "id long, cat string, v double")
+        t = DeltaTable(spark, tmp_table_dir).write(df)       # v0
+        t = t.set_properties(
+            {"delta.enableChangeDataFeed": "true"})          # v1
+        new = spark.createDataFrame([(100, "a", -1.0)],
+                                    "id long, cat string, v double")
+        t = t.write(new, mode="overwrite",
+                    replace_where="cat = 'a'")               # v2
+        cf = t.change_feed(1, 2)
+        rows = [(r.id, r._change_type) for r in cf.collect()]
+        a_ids = {i for i in range(10) if "ab"[i % 2] == "a"}
+        assert set(rows) == {(i, "delete") for i in a_ids} \
+            | {(100, "insert")}
+        # survivors ('b' rows) emit nothing
+        assert all(i not in {r[0] for r in rows}
+                   for i in range(10) if "ab"[i % 2] == "b")
+        # table state correct too
+        got = {r.id for r in t.to_df().collect()}
+        assert got == {100} | {i for i in range(10)
+                               if "ab"[i % 2] == "b"}
+
+
+class TestConvertPartitionOrder:
+    def test_nested_order_preserved(self, spark, tmp_path, lineitem):
+        """partitionColumns must record the DIRECTORY NESTING order,
+        not alphabetical (r9 review): a month=/year= inversion would
+        corrupt every later write's layout."""
+        raw = str(tmp_path / "raw")
+        df = spark.createDataFrame(
+            [(i, 2024, 5 + i % 2) for i in range(20)],
+            "id long, year int, month int")
+        # 'year' > 'month' alphabetically — ordering bug would flip
+        df.write.partitionBy("year", "month").parquet(raw)
+        t = DeltaTable.convert_to_delta(spark, raw)
+        assert t.partition_columns == ["year", "month"]
+        assert t.count() == 20
+        # later writes follow the same layout
+        t = t.write(spark.createDataFrame([(99, 2025, 1)],
+                                          "id long, year int, month int"),
+                    mode="append")
+        assert t.to_df(where="year = 2025").count() == 1

@@ -175,15 +175,57 @@ def append_table_entry(adds: list[Add], partition_by: list[str],
     return DeltaLogEntry(actions)
 
 
+def replaced_metadata(base: "TableMetadata | None",
+                      schema: T.StructType,
+                      partition_by: list[str]) -> TableMetadata:
+    """The metaData action for a data-replacing commit: schema and
+    partition columns may change, but the table IDENTITY — id, name,
+    description, configuration, createdTime — must survive (delta-spark
+    parity; a fresh TableMetadata would mint a new uuid and wipe every
+    table property, silently disabling CDF/column-mapping/ICT)."""
+    import dataclasses
+    if base is None:
+        return TableMetadata(schemaString=schema_to_string(schema),
+                             partitionColumns=list(partition_by or []))
+    return dataclasses.replace(
+        base, schemaString=schema_to_string(schema),
+        partitionColumns=list(partition_by or []))
+
+
 def overwrite_table_entry(adds: list[Add], existing_adds: Iterable[Add],
                           schema: T.StructType, partition_by: list[str],
-                          custom_metadata: dict | None = None) -> DeltaLogEntry:
-    md = TableMetadata(schemaString=schema_to_string(schema),
-                       partitionColumns=list(partition_by or []))
+                          custom_metadata: dict | None = None,
+                          base_metadata: "TableMetadata | None" = None
+                          ) -> DeltaLogEntry:
+    md = replaced_metadata(base_metadata, schema, partition_by)
     removes = [a.to_remove() for a in existing_adds]
     commit = TableCommit.write(mode=WriteMode.overwrite.value,
                                partition_by=partition_by,
                                metadata=custom_metadata)
+    return DeltaLogEntry([md, *removes, *adds, commit])
+
+
+def dynamic_overwrite_entry(adds: list[Add],
+                            existing_adds: Iterable[Add],
+                            schema: T.StructType,
+                            partition_by: list[str],
+                            base_metadata: "TableMetadata | None" = None,
+                            custom_metadata: dict | None = None
+                            ) -> DeltaLogEntry:
+    """Dynamic partition overwrite (Spark's partitionOverwriteMode):
+    remove only the files whose partitionValues match a partition the
+    new adds landed in — pure manifest work, shared by the table API
+    and the format sink (no session needed)."""
+    touched = {tuple(sorted((a.partitionValues or {}).items()))
+               for a in adds}
+    removes = [a.to_remove() for a in existing_adds
+               if tuple(sorted((a.partitionValues or {}).items()))
+               in touched]
+    md = replaced_metadata(base_metadata, schema, partition_by)
+    commit = TableCommit.write(mode=WriteMode.overwrite.value,
+                               partition_by=partition_by,
+                               metadata=custom_metadata)
+    commit.operationParameters["partitionOverwriteMode"] = "dynamic"
     return DeltaLogEntry([md, *removes, *adds, commit])
 
 
@@ -541,6 +583,7 @@ __all__ = [
     "UnknownAction", "Operation", "WriteMode", "SchemaMode", "DeltaLog",
     "DeltaLogEntry", "load_action", "log_entry_filename", "timestamp_ms",
     "create_table_entry", "append_table_entry", "overwrite_table_entry",
+    "dynamic_overwrite_entry", "replaced_metadata",
     "delete_table_entry", "restore_table_entry", "optimize_table_entry",
     "merge_table_entry", "properties_table_entry", "update_table_entry",
     "commit_entry",

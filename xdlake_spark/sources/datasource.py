@@ -249,8 +249,16 @@ def _iter_cdf_units(location_url: str, lo_v: int, hi_v: int):
     if not log:
         return
     schema_json = log.schema().json()
+    # ONE forward pass: maintain path -> latest add as we go, so
+    # delete-derivation is O(total adds) over the whole walk instead
+    # of an O(prior versions) rescan per delete-bearing version
+    latest_add: dict = {}
     for v in sorted(log.entries):
-        if not (lo_v <= v <= hi_v):
+        if v > hi_v:
+            break
+        if v < lo_v:
+            for add in log.entries[v].adds:
+                latest_add[add.path] = add
             continue
         entry = log.entries[v]
         units: list[_FilePartition] = []
@@ -270,43 +278,36 @@ def _iter_cdf_units(location_url: str, lo_v: int, hi_v: int):
                         dict(add.partitionValues or {}), schema_json,
                         fixed_change="insert", commit_version=v,
                         size=add.size or 0))
-            dels = {r.path for r in entry.removes if r.dataChange}
-            if dels:
-                add_of = {}
-                for pv in sorted(log.entries):
-                    if pv >= v:
-                        break
-                    for a in log.entries[pv].adds:
-                        if a.path in dels:
-                            add_of[a.path] = a  # latest add before v
-                for a in add_of.values():
+            dels = [r.path for r in entry.removes if r.dataChange]
+            for pth in dels:
+                a = latest_add.get(pth)
+                if a is not None:
                     units.append(_FilePartition(
                         loc.absloc(a.path).url,
                         dict(a.partitionValues or {}), schema_json,
                         fixed_change="delete", commit_version=v,
                         size=a.size or 0))
+        for add in entry.adds:
+            latest_add[add.path] = add
         yield v, units
 
 
-def _cdf_unit_sizes(location_url: str, lo_v: int,
-                    hi_v: int) -> "list[tuple[int, list]]":
-    """``(version, [unit size, ...])`` for CDF admission control."""
-    return [(v, [p.size for p in units])
-            for v, units in _iter_cdf_units(location_url, lo_v, hi_v)]
-
-
 def _plan_cdf_partitions(location_url: str, start_v: int, start_i: int,
-                         end_v: int, end_i: int) -> list[_FilePartition]:
+                         end_v: int, end_i: int,
+                         unit_walk=None) -> list[_FilePartition]:
     """Driver-side CDF planner between offsets (start_v, start_i)
     exclusive and (end_v, end_i) inclusive (index -1 = whole version):
     per version, cdc files when the commit has them, else
     insert-derivation from dataChange adds and delete-derivation from
     dataChange removes (scanning the tombstoned file — valid until
-    VACUUM), matching ``DeltaTable.change_feed``."""
+    VACUUM), matching ``DeltaTable.change_feed``. ``unit_walk``
+    (a cached ``[(version, units)]`` list from the reader's own
+    latestOffset walk) skips the second log pass per micro-batch."""
     parts: list[_FilePartition] = []
-    for v, units in _iter_cdf_units(location_url,
-                                    max(start_v, 0), end_v):
-        if v < start_v:
+    walk = unit_walk if unit_walk is not None else \
+        _iter_cdf_units(location_url, max(start_v, 0), end_v)
+    for v, units in walk:
+        if v < start_v or v > end_v:
             continue
         lo = (len(units) if start_i == -1 else start_i) \
             if v == start_v else 0
@@ -446,8 +447,14 @@ class _XdlakeStreamReader(DataSourceStreamReader):
             off = {"version": cur, "index": -1}
             self._last = off
             return off
-        return self._admission_walk(last, cur, _cdf_unit_sizes(
-            self.path, int(last["version"]), cur))
+        lo = int(last["version"])
+        walk = list(_iter_cdf_units(self.path, lo, cur))
+        # partitions() for the SAME span reuses this walk — the log is
+        # loaded and derived once per micro-batch, not twice
+        self._cdf_walk = (lo, cur, walk)
+        return self._admission_walk(
+            last, cur, [(v, [p.size for p in units])
+                        for v, units in walk])
 
     def _admission_walk(self, last: dict, cur: int,
                         unit_sizes) -> dict:
@@ -490,12 +497,29 @@ class _XdlakeStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         if self.read_change_feed:
+            sv, si = int(start["version"]), int(start.get("index", -1))
+            ev, ei = int(end["version"]), int(end.get("index", -1))
+            # same backwards-pin guard as the add path: cappedStart on
+            # a RESUMED checkpoint can pin behind the checkpointed
+            # start; silently planning the empty backwards span would
+            # rewind _last and redeliver already-processed versions
+            if self.capped_start and (
+                    (ev, float("inf") if ei == -1 else ei)
+                    < (sv, float("inf") if si == -1 else si)):
+                raise ValueError(
+                    "cappedStart pinned a CDF offset behind this "
+                    f"query's checkpointed position (start={start}, "
+                    f"end={end}); cappedStart is only valid on a "
+                    "fresh checkpoint — remove the option (or drop "
+                    "startingVersion) when resuming")
             self._last = dict(end)
-            return _plan_cdf_partitions(self.path,
-                                        int(start["version"]),
-                                        int(start.get("index", -1)),
-                                        int(end["version"]),
-                                        int(end.get("index", -1)))
+            cached = getattr(self, "_cdf_walk", None)
+            walk = None
+            if cached and cached[0] <= max(sv, 0) \
+                    and cached[1] >= ev:
+                walk = cached[2]
+            return _plan_cdf_partitions(self.path, sv, si, ev, ei,
+                                        unit_walk=walk)
         # cappedStart is only restart-safe on a FRESH checkpoint (the
         # backfill helper gates this, but users can set the option by
         # hand): on a resumed query the blind pin can land BEHIND the
@@ -1161,29 +1185,16 @@ class _XdlakeBatchWriter(_XdlakeStreamWriter, DataSourceWriter):
                     entry.actions.insert(0, up)
                 return entry
             if self.overwrite and self.dynamic:
-                from ..log import (DeltaLogEntry, TableCommit,
-                                   TableMetadata)
-                from ..log.schema import schema_to_string
-                touched = {tuple(sorted((a.partitionValues or {})
-                                        .items())) for a in adds}
-                doomed = [a for a in log.add_actions().values()
-                          if tuple(sorted((a.partitionValues or {})
-                                          .items())) in touched]
-                md = TableMetadata(
-                    schemaString=schema_to_string(schema),
-                    partitionColumns=list(self.partition_cols))
-                commit = TableCommit.write(
-                    mode="Overwrite",
-                    partition_by=self.partition_cols)
-                commit.operationParameters[
-                    "partitionOverwriteMode"] = "dynamic"
-                return DeltaLogEntry(
-                    [md, *[a.to_remove() for a in doomed],
-                     *adds, commit])
+                from ..log import dynamic_overwrite_entry
+                return dynamic_overwrite_entry(
+                    adds, log.add_actions().values(), schema,
+                    self.partition_cols,
+                    base_metadata=log.metadata())
             if self.overwrite:
                 return overwrite_table_entry(
                     adds, log.add_actions().values(), schema,
-                    self.partition_cols)
+                    self.partition_cols,
+                    base_metadata=log.metadata())
             return append_table_entry(adds, self.partition_cols)
 
         def stamp_ict(entry):

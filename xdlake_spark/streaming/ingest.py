@@ -170,8 +170,13 @@ def stream_upsert_screened(stream_df: DataFrame, table_location: str,
     Commits identical table state to :func:`stream_upsert` (pinned in
     tests/test_streaming_upsert.py with probe-side row counts). Each
     path carries its own SetTransaction watermark (``<app>:merge`` /
-    ``<app>:append``), so at-least-once batch replays are no-ops for
-    whichever half already landed.
+    ``<app>:append``). A replay where BOTH landed is a pure no-op; a
+    PARTIAL replay (crash between the two commits) must not re-screen
+    — the reseeded filter is not replay-stable (it now contains the
+    merged keys, so a previously-fresh row could misroute into the
+    watermark-skipped merge path and be lost) — so the owed append
+    half is computed with an EXACT key anti-join against the table
+    instead (replay-only cost; the steady-state path never scans).
 
     ``stats`` (optional list) receives one dict per applied batch:
     ``{"batch", "batch_rows", "probe_rows", "appended"}`` — the
@@ -202,38 +207,9 @@ def stream_upsert_screened(stream_df: DataFrame, table_location: str,
                              "__k", k=k, m_bits=m_bits).collect():
             words[int(r["word_i"])] |= int(r["bits"])
 
-    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        table = DeltaTable(spark, table_location)
-        if not seeded[0]:
-            # one-time seed: every key currently in the table
-            if table.version >= 0:
-                _absorb(table.to_df().select(*keys))
-            seeded[0] = True
-        batch_df = batch_df.dropDuplicates(list(keys))
-        screened = bloom_screen(
-            _filter_df(), batch_df.withColumn("__k", key_expr),
-            "__k", k=k, m_bits=m_bits).localCheckpoint(eager=True)
-        fresh = screened.filter(~F.col("maybe_present")) \
-            .select(*cols)
-        maybe = screened.filter(F.col("maybe_present")) \
-            .select(*cols)
-        n_batch = screened.count()
-        n_maybe = maybe.count()
-        last_m = table.txn_version(f"{aid}:merge")
-        if n_maybe and not (last_m is not None
-                            and last_m >= batch_id):
-            table = table.merge(
-                maybe, cond,
-                when_matched_update=upd or None,
-                when_not_matched_insert=ins,
-                custom_metadata={"streaming": True,
-                                 "batchId": int(batch_id),
-                                 "bloomScreened": True},
-                txn=(f"{aid}:merge", int(batch_id)))
-        last_a = table.txn_version(f"{aid}:append")
-        n_fresh = n_batch - n_maybe
-        if n_fresh and not (last_a is not None
-                            and last_a >= batch_id):
+    def _append_fresh(table, fresh: DataFrame, batch_id: int) -> int:
+        n = fresh.count()
+        if n:
             from ..log import SetTransaction, timestamp_ms
             table.write(fresh, mode="append",
                         custom_metadata={"streaming": True,
@@ -243,6 +219,66 @@ def stream_upsert_screened(stream_df: DataFrame, table_location: str,
                             appId=f"{aid}:append",
                             version=int(batch_id),
                             lastUpdated=timestamp_ms())])
+        return n
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table = DeltaTable(spark, table_location)
+        if not seeded[0]:
+            # one-time seed: every key currently in the table
+            if table.version >= 0:
+                _absorb(table.to_df().select(*keys))
+            seeded[0] = True
+        batch_df = batch_df.dropDuplicates(list(keys))
+        last_m = table.txn_version(f"{aid}:merge")
+        last_a = table.txn_version(f"{aid}:append")
+        merge_done = last_m is not None and last_m >= batch_id
+        append_done = last_a is not None and last_a >= batch_id
+        if append_done:
+            # program order runs the append strictly after the merge
+            # half finished (committed or empty): the batch is fully
+            # applied — replay is a pure no-op
+            _absorb(batch_df.select(*keys))
+            return
+        if merge_done:
+            # PARTIAL replay (crash between the two commits). The
+            # bloom split is NOT replay-stable — the filter reseeds
+            # from a table that already holds this batch's merged
+            # keys, so re-screening could misroute a previously-fresh
+            # row into the (watermark-skipped) merge path and lose it.
+            # Use an EXACT key anti-join instead: whatever the table
+            # does not hold is precisely what the append half owes.
+            existing = table.to_df().select(
+                *[F.col(kk) for kk in keys])
+            fresh = batch_df.join(existing, list(keys), "left_anti") \
+                .select(*cols)
+            n_fresh = _append_fresh(table, fresh, batch_id)
+            _absorb(batch_df.select(*keys))
+            if stats is not None:
+                stats.append({"batch": int(batch_id),
+                              "batch_rows": int(batch_df.count()),
+                              "probe_rows": 0,
+                              "appended": int(n_fresh),
+                              "replayed": True})
+            return
+        screened = bloom_screen(
+            _filter_df(), batch_df.withColumn("__k", key_expr),
+            "__k", k=k, m_bits=m_bits).localCheckpoint(eager=True)
+        fresh = screened.filter(~F.col("maybe_present")) \
+            .select(*cols)
+        maybe = screened.filter(F.col("maybe_present")) \
+            .select(*cols)
+        n_batch = screened.count()
+        n_maybe = maybe.count()
+        if n_maybe:
+            table = table.merge(
+                maybe, cond,
+                when_matched_update=upd or None,
+                when_not_matched_insert=ins,
+                custom_metadata={"streaming": True,
+                                 "batchId": int(batch_id),
+                                 "bloomScreened": True},
+                txn=(f"{aid}:merge", int(batch_id)))
+        n_fresh = _append_fresh(table, fresh, batch_id)
         _absorb(batch_df.select(*keys))
         if stats is not None:
             stats.append({"batch": int(batch_id),
@@ -299,9 +335,16 @@ def stream_apply_changes(change_stream: DataFrame,
             return
         # net effect per key: newest commit wins; preimages are
         # bookkeeping rows, never applied
+        # newest commit wins; WITHIN a commit a non-delete beats the
+        # delete — a CoW rewrite (replaceWhere/overwrite without cdc
+        # files) derives delete+insert at the SAME version for every
+        # surviving key, and the survivor's new value is the net
+        # effect (a truly deleted key has no same-version insert)
         w = Window.partitionBy(*keys).orderBy(
             F.col("_commit_version").desc(),
-            F.col("_change_type"))     # deterministic tie-break
+            F.when(F.col("_change_type") == "delete", 1)
+            .otherwise(0),
+            F.col("_change_type"))     # deterministic final tie-break
         net = (batch_df
                .filter(F.col("_change_type") != "update_preimage")
                .withColumn("__rn", F.row_number().over(w))

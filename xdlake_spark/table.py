@@ -49,6 +49,8 @@ from .log import (
     merge_table_entry,
     optimize_table_entry,
     overwrite_table_entry,
+    dynamic_overwrite_entry,
+    replaced_metadata,
     Protocol,
     properties_table_entry,
     restore_table_entry,
@@ -1972,33 +1974,21 @@ class DeltaTable:
         elif mode == WriteMode.overwrite and replace_where is not None:
             entry = self._replace_where_entry(
                 new_adds, replace_where, schema, partition_by,
-                custom_metadata)
+                custom_metadata, new_df=df)
         elif mode == WriteMode.overwrite and dynamic:
             # dynamic partition overwrite: tombstone exactly the
             # partitions the new data landed in — chosen from
             # partitionValues, no scan, no extra jobs (on an
             # unpartitioned table this degrades to a full overwrite:
             # there is only the one partition)
-            touched = {tuple(sorted((a.partitionValues or {}).items()))
-                       for a in new_adds}
-            doomed = [a for a in self.adds.values()
-                      if tuple(sorted((a.partitionValues or {})
-                                      .items())) in touched]
-            md = TableMetadata(
-                schemaString=schema_to_string(schema),
-                partitionColumns=list(partition_by or []))
-            commit = TableCommit.write(
-                mode=WriteMode.overwrite.value,
-                partition_by=partition_by, metadata=custom_metadata)
-            commit.operationParameters["partitionOverwriteMode"] = \
-                "dynamic"
-            entry = DeltaLogEntry(
-                [md, *[a.to_remove() for a in doomed],
-                 *new_adds, commit])
+            entry = dynamic_overwrite_entry(
+                new_adds, self.adds.values(), schema, partition_by,
+                base_metadata=self.log.metadata(),
+                custom_metadata=custom_metadata)
         elif mode == WriteMode.overwrite:
-            entry = overwrite_table_entry(new_adds, self.adds.values(),
-                                          schema, partition_by,
-                                          custom_metadata)
+            entry = overwrite_table_entry(
+                new_adds, self.adds.values(), schema, partition_by,
+                custom_metadata, base_metadata=self.log.metadata())
         else:
             evolved = schema if (wm_schema is not None or
                                  not schemas_match(schema, self.schema)) \
@@ -2026,7 +2016,8 @@ class DeltaTable:
 
     def _replace_where_entry(self, new_adds: "list[Add]",
                              where_sql: str, schema, partition_by,
-                             custom_metadata: dict | None
+                             custom_metadata: dict | None,
+                             new_df: "DataFrame | None" = None
                              ) -> DeltaLogEntry:
         """Build the commit for a replaceWhere overwrite: removes for
         the predicate's files (metadata-only where partition values
@@ -2036,9 +2027,19 @@ class DeltaTable:
         rescans; only genuinely mixed files pay a rewrite."""
         pred = F.coalesce(F.expr(where_sql), F.lit(False))
         candidates = self._pruned_adds(where_sql)
-        certain, rest = split_certain_matches(
-            candidates, where_sql, self.partition_columns,
-            self._partition_types())
+        if self.cdf_enabled:
+            # CDF must materialize the replaced rows as cdc deletes
+            # (and the incoming rows as inserts) — the spec says
+            # readers use ONLY cdc for a commit that has them, and
+            # deriving from this commit's add/remove pairs would
+            # report survivor rows as spurious delete+insert churn.
+            # Fully-matched files therefore scan here too, same
+            # tradeoff as the CDF delete path.
+            certain, rest = {}, candidates
+        else:
+            certain, rest = split_certain_matches(
+                candidates, where_sql, self.partition_columns,
+                self._partition_types())
         removes = [a.to_remove() for a in certain.values()]
         survivor_adds: list[Add] = []
         if rest:
@@ -2061,8 +2062,8 @@ class DeltaTable:
                         self.partition_columns)
                 removes.extend(self.adds[r].to_remove()
                                for r in hit_rels)
-        md = TableMetadata(schemaString=schema_to_string(schema),
-                           partitionColumns=list(partition_by or []))
+        md = replaced_metadata(self.log.metadata(), schema,
+                               partition_by)
         commit = TableCommit.write(mode=WriteMode.overwrite.value,
                                    partition_by=partition_by,
                                    metadata=custom_metadata)
@@ -2072,8 +2073,25 @@ class DeltaTable:
             "numRemovedFiles": len(removes),
             "numCopiedFiles": len(survivor_adds),
         }
-        return DeltaLogEntry([md, *removes, *new_adds,
-                              *survivor_adds, commit])
+        entry = DeltaLogEntry([md, *removes, *new_adds,
+                               *survivor_adds, commit])
+        if self.cdf_enabled:
+            removed_rels = {r.path for r in removes}
+            replaced = self._scan(
+                {p: a for p, a in self.adds.items()
+                 if p in removed_rels}).filter(pred) \
+                .withColumn(self._CHANGE_TYPE, F.lit("delete")) \
+                if removed_rels else None
+            cdc_frames = []
+            if replaced is not None:
+                cdc_frames.append(replaced)
+            if new_df is not None:
+                cdc_frames.append(
+                    new_df.withColumn(self._CHANGE_TYPE,
+                                      F.lit("insert")))
+            for frame in cdc_frames:
+                entry.actions.extend(self._write_change_data(frame))
+        return entry
 
     def _maybe_auto_compact(self, written: "list[Add]") -> "DeltaTable":
         """delta's ``autoOptimize.autoCompact``: when the table property
@@ -3557,9 +3575,24 @@ class DeltaTable:
         # back as int), matching what a delta-spark CONVERT records
         df = (spark.read.option("basePath", loc.url)
               .parquet(loc.url))
-        pcols = sorted({seg.split("=", 1)[0]
-                        for rel in rels for seg in rel.split("/")[:-1]
-                        if "=" in seg})
+        # partition columns must follow the DIRECTORY NESTING ORDER
+        # (year=/month=, not alphabetical) — the log's partitionColumns
+        # drive every later write's layout and the hive-relative scan
+        # fast path, and all files must agree on that order
+        pcols: list[str] = []
+        for rel in rels:
+            keys = [seg.split("=", 1)[0] for seg in rel.split("/")[:-1]
+                    if "=" in seg]
+            if len(keys) > len(pcols):
+                if keys[:len(pcols)] != pcols:
+                    raise ValueError(
+                        "inconsistent hive partition nesting: "
+                        f"{keys} vs {pcols}")
+                pcols = keys
+            elif keys != pcols[:len(keys)]:
+                raise ValueError(
+                    "inconsistent hive partition nesting: "
+                    f"{keys} vs {pcols}")
         t = cls(spark, loc)
         adds = [t._add_for_relpath(rel) for rel in rels]
         entry = create_table_entry(df.schema, pcols, loc.url, adds)
@@ -3789,9 +3822,9 @@ class DeltaTable:
                                        self.location.url, new_adds,
                                        custom_metadata)
         elif mode == WriteMode.overwrite:
-            entry = overwrite_table_entry(new_adds, self.adds.values(),
-                                          schema, partition_by,
-                                          custom_metadata)
+            entry = overwrite_table_entry(
+                new_adds, self.adds.values(), schema, partition_by,
+                custom_metadata, base_metadata=self.log.metadata())
         else:
             evolved = schema if not schemas_match(schema, self.schema) else None
             entry = append_table_entry(new_adds, partition_by,
