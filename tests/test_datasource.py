@@ -501,3 +501,30 @@ class TestBatchWriter:
             (new.write.format("xdlake")
              .option("replaceWhere", "cat = 'a'")
              .mode("overwrite").save(loc))
+
+    def test_txn_options_make_writes_idempotent(self, registered,
+                                                tmp_path):
+        """delta-spark's txnAppId/txnVersion writer options (r9): a
+        replayed job with the same pair is a pure no-op; a later
+        version applies; a lone option is refused."""
+        spark = registered
+        loc = str(tmp_path / "t")
+        df = spark.createDataFrame([(1,), (2,)], "id long")
+
+        def w(v):
+            (df.write.format("xdlake").option("txnAppId", "job-a")
+             .option("txnVersion", str(v)).mode("append").save(loc))
+
+        w(1)
+        t = DeltaTable(spark, loc)
+        assert t.count() == 2 and t.txn_version("job-a") == 1
+        w(1)                                   # replay
+        t = DeltaTable(spark, loc)
+        assert t.count() == 2 and t.version == 0
+        w(2)
+        t = DeltaTable(spark, loc)
+        assert t.count() == 4 and t.txn_version("job-a") == 2
+        import pytest as _p
+        with _p.raises(Exception, match="txn"):
+            (df.write.format("xdlake").option("txnAppId", "x")
+             .mode("append").save(loc))

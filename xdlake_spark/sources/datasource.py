@@ -852,12 +852,22 @@ class XdlakeDataSource(DataSource):
                 "replaceWhere is not supported through the format "
                 "writer (the conformance scan needs the session) — "
                 "use DeltaTable.write(replace_where=...)")
+        # delta-spark's idempotent-write options: a (txnAppId,
+        # txnVersion) pair makes the commit a no-op when the app has
+        # already applied this or a later version
+        app_id = self.options.get("txnAppId")
+        ver = self.options.get("txnVersion")
+        if (app_id is None) != (ver is None):
+            raise ValueError(
+                "txnAppId and txnVersion must be set together")
+        txn = (str(app_id), int(ver)) if app_id is not None else None
         pcols = self._sink_pcols(schema)
         return _XdlakeBatchWriter(self._path(), schema.json(),
                                   partition_cols=pcols,
                                   overwrite=overwrite,
                                   dynamic=(pom == "dynamic"
-                                           and overwrite))
+                                           and overwrite),
+                                  txn=txn)
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> "DataSourceStreamWriter":
@@ -1137,12 +1147,16 @@ class _XdlakeBatchWriter(_XdlakeStreamWriter, DataSourceWriter):
 
     def __init__(self, path: str, schema_json: str,
                  partition_cols: "list[str] | None",
-                 overwrite: bool, dynamic: bool = False):
+                 overwrite: bool, dynamic: bool = False,
+                 txn: "tuple[str, int] | None" = None):
         super().__init__(path, schema_json, partition_cols)
         self.overwrite = overwrite
         #: dynamic partition overwrite: remove only the partitions
         #: the new adds landed in (manifest-level, sink-worker-safe)
         self.dynamic = dynamic
+        #: (txnAppId, txnVersion): SetTransaction idempotence — a
+        #: replayed job with the same pair is a pure no-op
+        self.txn = txn
 
     def commit(self, messages) -> None:
         import json
@@ -1154,9 +1168,15 @@ class _XdlakeBatchWriter(_XdlakeStreamWriter, DataSourceWriter):
                            timestamp_ms)
         from .storage import Location
 
+        from ..log import SetTransaction
+
         loc = Location.resolve(self.path)
         log_loc = loc.join("_delta_log")
         log = DeltaLog.load(log_loc)
+        if self.txn is not None and log:
+            seen = log.latest_txn_version(self.txn[0])
+            if seen is not None and seen >= self.txn[1]:
+                return            # idempotent replay: already applied
         files = [f for m in messages if m is not None
                  for f in m.files]
         adds = [Add(path=f.rel_path, size=f.size,
@@ -1214,6 +1234,14 @@ class _XdlakeBatchWriter(_XdlakeStreamWriter, DataSourceWriter):
             entry.actions.insert(0, ci)
 
         entry = build(log)
+
+        def stamp_txn(entry):
+            if self.txn is not None:
+                entry.actions.insert(0, SetTransaction(
+                    appId=self.txn[0], version=int(self.txn[1]),
+                    lastUpdated=timestamp_ms()))
+
+        stamp_txn(entry)
         stamp_ict(entry)
         for attempt in range(5):
             try:
@@ -1225,7 +1253,12 @@ class _XdlakeBatchWriter(_XdlakeStreamWriter, DataSourceWriter):
                 if attempt == 4:
                     raise
                 log = DeltaLog.load(log_loc)
+                if self.txn is not None and log:
+                    seen = log.latest_txn_version(self.txn[0])
+                    if seen is not None and seen >= self.txn[1]:
+                        return    # a concurrent replay already landed
                 entry = build(log)
+                stamp_txn(entry)
                 stamp_ict(entry)
 
     def abort(self, messages) -> None:
