@@ -2626,3 +2626,25 @@ class TestConvertPartitionOrder:
                                           "id long, year int, month int"),
                     mode="append")
         assert t.to_df(where="year = 2025").count() == 1
+
+
+class TestWriteTxn:
+    def test_write_txn_idempotence(self, spark, tmp_table_dir):
+        """write(txn=(app, version)) — delta-spark's txnAppId/
+        txnVersion as a public API parameter (r9): the watermark
+        commits atomically, a replay is a pure no-op, a later version
+        applies."""
+        df = spark.createDataFrame([(1,), (2,)], "id long")
+        t = DeltaTable(spark, tmp_table_dir).write(
+            df, txn=("job-a", 1))
+        assert t.count() == 2 and t.txn_version("job-a") == 1
+        v = t.version
+        t2 = t.write(df, txn=("job-a", 1))      # replay: no-op
+        assert t2.version == v and t2.count() == 2
+        t3 = t2.write(df, txn=("job-a", 2))
+        assert t3.count() == 4 and t3.txn_version("job-a") == 2
+        # and through overwrite too
+        t4 = t3.write(df, mode="overwrite", txn=("job-a", 3))
+        assert t4.count() == 2 and t4.txn_version("job-a") == 3
+        assert t4.write(df, mode="overwrite",
+                        txn=("job-a", 3)).version == t4.version

@@ -210,15 +210,11 @@ def stream_upsert_screened(stream_df: DataFrame, table_location: str,
     def _append_fresh(table, fresh: DataFrame, batch_id: int) -> int:
         n = fresh.count()
         if n:
-            from ..log import SetTransaction, timestamp_ms
             table.write(fresh, mode="append",
                         custom_metadata={"streaming": True,
                                          "batchId": int(batch_id),
                                          "bloomScreened": True},
-                        _extra_actions=[SetTransaction(
-                            appId=f"{aid}:append",
-                            version=int(batch_id),
-                            lastUpdated=timestamp_ms())])
+                        txn=(f"{aid}:append", int(batch_id)))
         return n
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:

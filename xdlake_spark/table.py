@@ -1818,6 +1818,7 @@ class DeltaTable:
               target_file_size: int = 128 * 1024 * 1024,
               replace_where: "str | None" = None,
               partition_overwrite_mode: "str | None" = None,
+              txn: "tuple[str, int] | None" = None,
               _extra_actions: list | None = None,
               _operation: "str | None" = None,
               _operation_params: dict | None = None) -> "DeltaTable":
@@ -1862,10 +1863,25 @@ class DeltaTable:
         predicate needed, the data itself declares the scope. Purely
         manifest-level: removes are chosen by partitionValues, zero
         extra jobs. Mutually exclusive with ``replace_where``.
+
+        ``txn=(app_id, version)`` (delta-spark's txnAppId/txnVersion,
+        same contract as :meth:`merge`): a SetTransaction watermark
+        commits atomically with the write, and a call whose version
+        the table has already recorded for that app is a PURE NO-OP —
+        the manual idempotence handle for orchestrator retries.
         """
         mode = WriteMode.coerce(mode)
         schema_mode_e = SchemaMode.coerce(schema_mode)
 
+        if txn is not None:
+            seen = self.txn_version(str(txn[0])) if self.log else None
+            if seen is not None and seen >= int(txn[1]):
+                return self            # idempotent replay: no-op
+            from .log.actions import SetTransaction
+            _extra_actions = list(_extra_actions or []) + [
+                SetTransaction(appId=str(txn[0]),
+                               version=int(txn[1]),
+                               lastUpdated=timestamp_ms())]
         if replace_where is not None and mode != WriteMode.overwrite:
             raise ValueError(
                 "replace_where requires mode='overwrite'")
