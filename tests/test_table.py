@@ -2648,3 +2648,58 @@ class TestWriteTxn:
         assert t4.count() == 2 and t4.txn_version("job-a") == 3
         assert t4.write(df, mode="overwrite",
                         txn=("job-a", 3)).version == t4.version
+
+
+class TestGenerateSymlinkManifest:
+    """GENERATE symlink_format_manifest (r9 — delta-spark parity):
+    per-partition text manifests of absolute live-file URIs for
+    Presto/Trino/Athena SymlinkTextInputFormat readers; regeneration
+    drops stale partitions; DV tables refuse (the foreign engine
+    would resurrect deleted rows)."""
+
+    def test_manifests_match_live_set(self, spark, tmp_table_dir):
+        import os
+        df = spark.createDataFrame(
+            [(i, "ab"[i % 2]) for i in range(10)],
+            "id long, cat string")
+        t = DeltaTable(spark, tmp_table_dir).write(
+            df, partition_by=["cat"])
+        t = t.generate()
+        mdir = f"{tmp_table_dir}/_symlink_format_manifest"
+        for part in ("cat=a", "cat=b"):
+            uris = open(f"{mdir}/{part}/manifest").read().split()
+            want = sorted(
+                t.location.absloc(a.path).url
+                for a in t.adds.values()
+                if a.partitionValues.get("cat") == part[-1])
+            assert uris == want
+        # the foreign-engine contract: reading the manifest's files
+        # directly reproduces the partition exactly
+        import duckdb
+        paths = [u.replace("file://", "") for u in
+                 open(f"{mdir}/cat=b/manifest").read().split()]
+        n = duckdb.sql("SELECT count(*) FROM read_parquet("
+                       f"{paths!r})").fetchone()[0]
+        assert n == t.to_df(where="cat = 'b'").count()
+        # stale partitions drop on regeneration
+        t = t.delete("cat = 'a'")
+        t = t.generate()
+        assert not os.path.exists(f"{mdir}/cat=a/manifest")
+        assert os.path.exists(f"{mdir}/cat=b/manifest")
+
+    def test_unpartitioned_single_manifest(self, spark,
+                                           tmp_table_dir):
+        import os
+        t = DeltaTable(spark, tmp_table_dir).write(spark.range(5))
+        t.generate()
+        p = f"{tmp_table_dir}/_symlink_format_manifest/manifest"
+        assert os.path.exists(p)
+        assert len(open(p).read().split()) == len(t.adds)
+
+    def test_dv_table_refused(self, spark, tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(spark.range(50))
+        t = t.delete("id % 5 = 0", mode="merge-on-read")
+        with pytest.raises(ValueError, match="deletion vector"):
+            t.generate()
+        with pytest.raises(ValueError, match="unsupported"):
+            t.generate("incremental")

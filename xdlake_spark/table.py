@@ -24,6 +24,7 @@ Scale design (100 TB / 1000 executors):
 from __future__ import annotations
 
 import json
+import os
 import posixpath
 import re
 import urllib.parse
@@ -3555,6 +3556,68 @@ class DeltaTable:
                                     restore_version, self.version,
                                     custom_metadata)
         return self._commit_checked(entry, self.version)
+
+    def generate(self, mode: str = "symlink_format_manifest"
+                 ) -> "DeltaTable":
+        """``GENERATE symlink_format_manifest`` (delta-spark parity):
+        write Hive-symlink manifest files under
+        ``_symlink_format_manifest/`` — one text file per partition
+        (or one at the root for unpartitioned tables) listing the
+        ABSOLUTE URIs of the partition's live data files — so
+        Presto / Trino / Athena / Hive read the table's current
+        snapshot through their SymlinkTextInputFormat without any
+        Delta support. Each call rewrites the manifests from the live
+        file set and removes manifests of partitions that no longer
+        exist (stale manifests would resurrect deleted data in the
+        foreign engine). Manifest-scale driver I/O only; no Spark job.
+        """
+        if mode != "symlink_format_manifest":
+            raise ValueError(
+                f"unsupported generate mode {mode!r} "
+                "(only 'symlink_format_manifest')")
+        if self.schema is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        if any((a.extra or {}).get("deletionVector")
+               for a in self.adds.values()):
+            raise ValueError(
+                "symlink manifests cannot represent deletion vectors "
+                "— the foreign engine would resurrect deleted rows; "
+                "run reorg_purge() first (delta-spark refuses too)")
+        root = self.location.join("_symlink_format_manifest")
+        pcols = self.partition_columns
+        by_part: dict[str, list[str]] = {}
+        for a in self.adds.values():
+            if pcols:
+                pv = a.partitionValues or {}
+                segs = []
+                for c in pcols:
+                    v = pv.get(c)
+                    segs.append(
+                        f"{c}=__HIVE_DEFAULT_PARTITION__" if v is None
+                        else f"{c}={urllib.parse.quote(str(v), safe='')}")
+                key = "/".join(segs)
+            else:
+                key = ""
+            by_part.setdefault(key, []).append(
+                self.location.absloc(a.path).url)
+        # drop stale partition manifests first (deleted partitions)
+        live_keys = set(by_part)
+        for rel in list(root.list_files_recursive()) \
+                if root.exists() else []:
+            key = posixpath.dirname(rel)
+            if posixpath.basename(rel) == "manifest" \
+                    and key not in live_keys:
+                root.join(rel).delete()
+        for key, uris in by_part.items():
+            dst = root.join(f"{key}/manifest" if key else "manifest")
+            if dst.scheme == "file":
+                os.makedirs(os.path.dirname(dst.path), exist_ok=True)
+                with open(dst.path, "w") as fh:
+                    fh.write("\n".join(sorted(uris)) + "\n")
+            else:
+                dst.write_bytes(
+                    ("\n".join(sorted(uris)) + "\n").encode())
+        return self
 
     @classmethod
     def convert_to_delta(cls, spark, path: "str | Location",
