@@ -528,3 +528,25 @@ class TestBatchWriter:
         with _p.raises(Exception, match="txn"):
             (df.write.format("xdlake").option("txnAppId", "x")
              .mode("append").save(loc))
+
+    def test_txn_replay_writes_no_orphan_files(self, registered,
+                                               tmp_path):
+        """A replayed txn job must not leak data files: the planning-
+        time watermark check skips the file writes entirely, and an
+        empty txn write still records the watermark (r9 review)."""
+        import glob
+        spark = registered
+        loc = str(tmp_path / "t")
+        df = spark.createDataFrame([(1,), (2,)], "id long")
+
+        def w(v, d=df):
+            (d.write.format("xdlake").option("txnAppId", "j")
+             .option("txnVersion", str(v)).mode("append").save(loc))
+
+        w(1)
+        before = sorted(glob.glob(f"{loc}/*.parquet"))
+        w(1)                                  # replay
+        assert sorted(glob.glob(f"{loc}/*.parquet")) == before
+        w(2, spark.createDataFrame([], "id long"))   # empty + txn
+        t = DeltaTable(spark, loc)
+        assert t.txn_version("j") == 2 and t.count() == 2

@@ -2703,3 +2703,48 @@ class TestGenerateSymlinkManifest:
             t.generate()
         with pytest.raises(ValueError, match="unsupported"):
             t.generate("incremental")
+
+    def test_hive_path_escaping_and_stale_dirs(self, spark,
+                                               tmp_table_dir):
+        """Partition dirs use Hive's escapePathName (space literal,
+        '/', '%', '=' escaped); stale partition DIRECTORIES vanish on
+        regeneration (r9 review)."""
+        import os
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "x/y"), (3, "plain")],
+            "id long, cat string")
+        t = DeltaTable(spark, tmp_table_dir).write(
+            df, partition_by=["cat"])
+        t = t.generate()
+        mdir = f"{tmp_table_dir}/_symlink_format_manifest"
+        dirs = set(os.listdir(mdir))
+        assert "cat=a b" in dirs          # space stays literal
+        assert "cat=x%2Fy" in dirs        # slash escapes
+        assert "cat=plain" in dirs
+        t = t.delete("cat = 'plain'")
+        t.generate()
+        assert "cat=plain" not in set(os.listdir(mdir))
+
+    def test_retry_rechecks_txn_after_lost_race(self, spark,
+                                                tmp_table_dir):
+        """A retryable append that loses the OCC race to a CONCURRENT
+        replay of the same txn must no-op on reload, not double-apply
+        (r9 review)."""
+        df = spark.createDataFrame([(1,), (2,)], "id long")
+        t = DeltaTable(spark, tmp_table_dir).write(spark.range(0))
+        a = DeltaTable(spark, tmp_table_dir)   # two stale handles
+        b = DeltaTable(spark, tmp_table_dir)
+        a.write(df, txn=("job", 7))            # wins the race
+        out = b.write(df, txn=("job", 7), max_commit_retries=3)
+        assert out.count() == 2                # not 4
+        assert out.txn_version("job") == 7
+
+    def test_empty_txn_append_records_watermark(self, spark,
+                                                tmp_table_dir):
+        """An EMPTY write with txn still commits the watermark (the
+        orchestrator's 'version applied' signal must not depend on
+        the batch being non-empty)."""
+        t = DeltaTable(spark, tmp_table_dir).write(spark.range(3))
+        t = t.write(spark.range(0), txn=("job", 1))
+        assert t.txn_version("job") == 1
+        assert t.count() == 3

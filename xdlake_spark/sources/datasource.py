@@ -861,13 +861,26 @@ class XdlakeDataSource(DataSource):
             raise ValueError(
                 "txnAppId and txnVersion must be set together")
         txn = (str(app_id), int(ver)) if app_id is not None else None
+        skip = False
+        if txn is not None:
+            # planning-time replay check (driver-side, like
+            # delta-spark): an already-applied txn version skips the
+            # file writes entirely — executors emit nothing, commit
+            # no-ops, no orphans
+            from ..log import DeltaLog
+            from .storage import Location
+            log = DeltaLog.load(
+                Location.resolve(self._path()).join("_delta_log"))
+            if log:
+                seen = log.latest_txn_version(txn[0])
+                skip = seen is not None and seen >= txn[1]
         pcols = self._sink_pcols(schema)
         return _XdlakeBatchWriter(self._path(), schema.json(),
                                   partition_cols=pcols,
                                   overwrite=overwrite,
                                   dynamic=(pom == "dynamic"
                                            and overwrite),
-                                  txn=txn)
+                                  txn=txn, skip=skip)
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> "DataSourceStreamWriter":
@@ -1148,7 +1161,8 @@ class _XdlakeBatchWriter(_XdlakeStreamWriter, DataSourceWriter):
     def __init__(self, path: str, schema_json: str,
                  partition_cols: "list[str] | None",
                  overwrite: bool, dynamic: bool = False,
-                 txn: "tuple[str, int] | None" = None):
+                 txn: "tuple[str, int] | None" = None,
+                 skip: bool = False):
         super().__init__(path, schema_json, partition_cols)
         self.overwrite = overwrite
         #: dynamic partition overwrite: remove only the partitions
@@ -1157,6 +1171,13 @@ class _XdlakeBatchWriter(_XdlakeStreamWriter, DataSourceWriter):
         #: (txnAppId, txnVersion): SetTransaction idempotence — a
         #: replayed job with the same pair is a pure no-op
         self.txn = txn
+        #: replay detected at PLANNING time: tasks write nothing
+        self.skip = skip
+
+    def write(self, iterator) -> "_WrittenFiles":
+        if self.skip:
+            return _WrittenFiles([])   # replay: no files, no work
+        return super().write(iterator)
 
     def commit(self, messages) -> None:
         import json
@@ -1176,7 +1197,13 @@ class _XdlakeBatchWriter(_XdlakeStreamWriter, DataSourceWriter):
         if self.txn is not None and log:
             seen = log.latest_txn_version(self.txn[0])
             if seen is not None and seen >= self.txn[1]:
-                return            # idempotent replay: already applied
+                # replay that slipped past the planning-time check
+                # (concurrent commit of the same txn): no-op the
+                # commit AND delete whatever the tasks wrote — these
+                # files are referenced by no log and vacuum would
+                # never reclaim them
+                self.abort(messages)
+                return
         files = [f for m in messages if m is not None
                  for f in m.files]
         adds = [Add(path=f.rel_path, size=f.size,
@@ -1184,8 +1211,10 @@ class _XdlakeBatchWriter(_XdlakeStreamWriter, DataSourceWriter):
                     partitionValues=f.partition_values or {},
                     stats=f.stats_json)
                 for f in files if f.num_rows > 0]
-        if not adds and log and not self.overwrite:
-            return                      # empty append: no-op
+        if not adds and log and not self.overwrite \
+                and self.txn is None:
+            return      # empty plain append: no-op (a txn append
+            #             still commits, recording the watermark)
         schema = _T.StructType.fromJson(json.loads(self.schema_json))
 
         def build(log):

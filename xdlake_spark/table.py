@@ -2027,6 +2027,14 @@ class DeltaTable:
                     # head and replay the same append at the next version
                     handle = type(self)(self.spark, self.location,
                                         self.log_location)
+                    if txn is not None:
+                        # the racing winner may have been a concurrent
+                        # replay of THIS txn — replaying the entry
+                        # would double-apply exactly what the
+                        # watermark exists to prevent
+                        seen = handle.txn_version(str(txn[0]))
+                        if seen is not None and seen >= int(txn[1]):
+                            return handle
         self._decorate_entry(entry, _extra_actions, _operation,
                              _operation_params)
         return self._commit(entry)._maybe_auto_compact(new_adds)
@@ -3585,6 +3593,17 @@ class DeltaTable:
                 "run reorg_purge() first (delta-spark refuses too)")
         root = self.location.join("_symlink_format_manifest")
         pcols = self.partition_columns
+
+        def hive_escape(v: str) -> str:
+            # Hive's FileUtils.escapePathName: percent-encode ONLY the
+            # reserved set (control chars, '"#%\'*/:=?\\{[]^'); a space
+            # stays literal — quote(safe='') would encode it and Athena/
+            # Hive partition discovery would parse the value as 'a%20b'
+            reserved = set('"#%\'*/:=?\\{[]^\u007f') \
+                | {chr(i) for i in range(0x20)}
+            return "".join(f"%{ord(ch):02X}" if ch in reserved else ch
+                           for ch in v)
+
         by_part: dict[str, list[str]] = {}
         for a in self.adds.values():
             if pcols:
@@ -3594,29 +3613,31 @@ class DeltaTable:
                     v = pv.get(c)
                     segs.append(
                         f"{c}=__HIVE_DEFAULT_PARTITION__" if v is None
-                        else f"{c}={urllib.parse.quote(str(v), safe='')}")
+                        else f"{c}={hive_escape(str(v))}")
                 key = "/".join(segs)
             else:
                 key = ""
             by_part.setdefault(key, []).append(
                 self.location.absloc(a.path).url)
-        # drop stale partition manifests first (deleted partitions)
+        # drop stale partition manifests first (deleted partitions) —
+        # directory included, or MSCK/partition discovery would keep
+        # registering a phantom empty partition
         live_keys = set(by_part)
         for rel in list(root.list_files_recursive()) \
                 if root.exists() else []:
             key = posixpath.dirname(rel)
             if posixpath.basename(rel) == "manifest" \
                     and key not in live_keys:
-                root.join(rel).delete()
+                stale = root.join(rel)
+                stale.delete()
+                if stale.scheme == "file":
+                    try:
+                        os.removedirs(os.path.dirname(stale.path))
+                    except OSError:
+                        pass          # shared parent still in use
         for key, uris in by_part.items():
             dst = root.join(f"{key}/manifest" if key else "manifest")
-            if dst.scheme == "file":
-                os.makedirs(os.path.dirname(dst.path), exist_ok=True)
-                with open(dst.path, "w") as fh:
-                    fh.write("\n".join(sorted(uris)) + "\n")
-            else:
-                dst.write_bytes(
-                    ("\n".join(sorted(uris)) + "\n").encode())
+            dst.write_bytes(("\n".join(sorted(uris)) + "\n").encode())
         return self
 
     @classmethod
