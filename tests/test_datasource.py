@@ -550,3 +550,36 @@ class TestBatchWriter:
         w(2, spark.createDataFrame([], "id long"))   # empty + txn
         t = DeltaTable(spark, loc)
         assert t.txn_version("j") == 2 and t.count() == 2
+
+    def test_sink_respects_stats_column_restriction(self, registered,
+                                                    tmp_path):
+        """The format sink applies delta.dataSkippingStatsColumns /
+        dataSkippingNumIndexedCols exactly like the native write path
+        (ADVICE r9: tables configured to restrict stats got full-width
+        stats JSON when written through df.write.format('xdlake'))."""
+        import json
+        spark = registered
+        loc = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, float(i), f"s{i}") for i in range(10)],
+            "a long, b double, c string")
+        t = DeltaTable(spark, loc).write(df)
+        t = t.set_properties(
+            {"delta.dataSkippingStatsColumns": "a"})
+        before = set(t.adds)
+        df.write.format("xdlake").mode("append").save(loc)
+        t = DeltaTable(spark, loc)
+        new = [json.loads(t.adds[p].stats)
+               for p in set(t.adds) - before]
+        assert new
+        assert all(set(s["minValues"]) == {"a"} for s in new)
+        assert all(set(s["maxValues"]) == {"a"} for s in new)
+        assert sum(s["numRecords"] for s in new) == 10
+        # numIndexedCols variant through the sink too
+        t = t.set_properties(
+            {"delta.dataSkippingStatsColumns": None,
+             "delta.dataSkippingNumIndexedCols": "2"})
+        df.write.format("xdlake").mode("append").save(loc)
+        t = DeltaTable(spark, loc)
+        stats = json.loads(t.adds[sorted(t.adds)[-1]].stats)
+        assert set(stats["minValues"]) <= {"a", "b"}

@@ -414,3 +414,64 @@ class TestSetTransaction:
         txns = [x for x in rt.actions
                 if type(x).__name__ == "SetTransaction"]
         assert txns and txns[0].appId == "appA" and txns[0].version == 7
+
+
+class TestDynamicOverwriteTypedMatching:
+    """dynamic_overwrite_entry compares partitionValues TYPED, not by
+    exact string equality — a foreign writer's serialization of the
+    same partition value must still match (ADVICE r9: stale rows were
+    silently kept)."""
+
+    def _entry(self, schema, pby, new_pv, old_pv):
+        from xdlake_spark.log import dynamic_overwrite_entry
+        new = Add(path="new.parquet", size=1, partitionValues=new_pv)
+        old = Add(path="old.parquet", size=1, partitionValues=old_pv)
+        return dynamic_overwrite_entry([new], [old], schema, pby)
+
+    def test_timestamp_serialization_variants_match(self):
+        schema = T.StructType([
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.LongType())])
+        e = self._entry(schema, ["ts"],
+                        {"ts": "2024-01-01 00:00:00"},
+                        {"ts": "2024-01-01T00:00:00.000Z"})
+        assert [r.path for r in e.removes] == ["old.parquet"]
+
+    def test_decimal_trailing_zero_matches(self):
+        schema = T.StructType([
+            T.StructField("d", T.DecimalType(10, 2)),
+            T.StructField("v", T.LongType())])
+        e = self._entry(schema, ["d"], {"d": "1"}, {"d": "1.00"})
+        assert [r.path for r in e.removes] == ["old.parquet"]
+
+    def test_int_leading_zero_matches(self):
+        schema = T.StructType([
+            T.StructField("i", T.IntegerType()),
+            T.StructField("v", T.LongType())])
+        e = self._entry(schema, ["i"], {"i": "7"}, {"i": "07"})
+        assert [r.path for r in e.removes] == ["old.parquet"]
+
+    def test_bool_case_matches_and_distinct_stays_distinct(self):
+        schema = T.StructType([
+            T.StructField("b", T.BooleanType()),
+            T.StructField("v", T.LongType())])
+        e = self._entry(schema, ["b"], {"b": "true"}, {"b": "True"})
+        assert [r.path for r in e.removes] == ["old.parquet"]
+        e = self._entry(schema, ["b"], {"b": "true"}, {"b": "false"})
+        assert [r.path for r in e.removes] == []
+
+    def test_unparseable_falls_back_to_exact(self):
+        schema = T.StructType([
+            T.StructField("i", T.IntegerType()),
+            T.StructField("v", T.LongType())])
+        e = self._entry(schema, ["i"], {"i": "x"}, {"i": "x"})
+        assert [r.path for r in e.removes] == ["old.parquet"]
+        e = self._entry(schema, ["i"], {"i": "x"}, {"i": "y"})
+        assert [r.path for r in e.removes] == []
+
+    def test_null_partition_value(self):
+        schema = T.StructType([
+            T.StructField("i", T.IntegerType()),
+            T.StructField("v", T.LongType())])
+        e = self._entry(schema, ["i"], {"i": None}, {"i": None})
+        assert [r.path for r in e.removes] == ["old.parquet"]

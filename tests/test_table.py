@@ -2414,13 +2414,22 @@ class TestReplaceWhere:
 
     def test_conformance_violation_raises_before_commit(
             self, spark, tmp_table_dir):
+        # enforcement is row-level INSIDE the write job (assert_true,
+        # like delta-spark) so even a non-deterministic source cannot
+        # pass a pre-check and then write violating rows; the failed
+        # job aborts before any commit and stages no litter
         t = DeltaTable(spark, tmp_table_dir).write(
             self._df(spark, [(1, "a", 1.0)]))
         v = t.version
-        with pytest.raises(ValueError, match="replaceWhere"):
+        with pytest.raises(Exception, match="replaceWhere"):
             t.write(self._df(spark, [(2, "b", 2.0)]),
                     mode="overwrite", replace_where="cat = 'a'")
         assert DeltaTable(spark, tmp_table_dir).version == v
+        # no staged or orphaned parquet litter from the failed write
+        import os
+        litter = [p for p in os.listdir(tmp_table_dir)
+                  if p.startswith("_staging")]
+        assert litter == []
         with pytest.raises(ValueError, match="overwrite"):
             t.write(self._df(spark, [(2, "a", 2.0)]),
                     mode="append", replace_where="cat = 'a'")
@@ -2738,6 +2747,26 @@ class TestGenerateSymlinkManifest:
         out = b.write(df, txn=("job", 7), max_commit_retries=3)
         assert out.count() == 2                # not 4
         assert out.txn_version("job") == 7
+        # the loser's already-staged parquet files must be DELETED —
+        # no log entry references them, and vacuum only reclaims
+        # tombstoned paths, so they would otherwise leak forever
+        # (ADVICE r9)
+        import os
+        on_disk = set()
+        for root, _dirs, names in os.walk(tmp_table_dir):
+            if "_delta_log" in root:
+                continue
+            for n in names:
+                if n.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, n),
+                                          tmp_table_dir)
+                    on_disk.add(rel.replace(os.sep, "/"))
+        referenced = set(out.adds)
+        for v in out.log.entries.values():
+            referenced.update(ad.path for ad in v.adds)
+            referenced.update(rm.path for rm in v.removes)
+        assert on_disk <= referenced, \
+            f"orphaned data files: {sorted(on_disk - referenced)}"
 
     def test_empty_txn_append_records_watermark(self, spark,
                                                 tmp_table_dir):

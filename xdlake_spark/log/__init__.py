@@ -215,12 +215,27 @@ def dynamic_overwrite_entry(adds: list[Add],
     """Dynamic partition overwrite (Spark's partitionOverwriteMode):
     remove only the files whose partitionValues match a partition the
     new adds landed in — pure manifest work, shared by the table API
-    and the format sink (no session needed)."""
-    touched = {tuple(sorted((a.partitionValues or {}).items()))
-               for a in adds}
+    and the format sink (no session needed). Partition values are
+    compared TYPED (canonical_partition_value), not as raw strings:
+    a foreign writer's '2024-01-01T00:00:00.000Z' must match this
+    engine's '2024-01-01 00:00:00' or the overwrite silently keeps
+    stale rows in a partition it was supposed to replace."""
+    from ..plans.skipping import canonical_partition_value
+
+    ptypes = {}
+    if schema is not None:
+        names = set(schema.fieldNames())
+        ptypes = {c: schema[c].dataType.simpleString()
+                  for c in (partition_by or []) if c in names}
+
+    def _key(a: Add) -> tuple:
+        return tuple(sorted(
+            (k, canonical_partition_value(v, ptypes.get(k)))
+            for k, v in (a.partitionValues or {}).items()))
+
+    touched = {_key(a) for a in adds}
     removes = [a.to_remove() for a in existing_adds
-               if tuple(sorted((a.partitionValues or {}).items()))
-               in touched]
+               if _key(a) in touched]
     md = replaced_metadata(base_metadata, schema, partition_by)
     commit = TableCommit.write(mode=WriteMode.overwrite.value,
                                partition_by=partition_by,

@@ -312,46 +312,54 @@ def train_quality_classifier(df: DataFrame, label_col: str,
     feats = (quality_features(df, text_col, id_col, n_buckets)
              .join(labels, "doc_id"))
     feats = feats.localCheckpoint(eager=True)
-    n_docs = labels.count()
-    if n_docs == 0:
-        raise ValueError("cannot train on an empty corpus")
+    try:
+        n_docs = labels.count()
+        if n_docs == 0:
+            raise ValueError("cannot train on an empty corpus")
 
-    w = np.zeros(n_buckets)
-    b = 0.0
-    for _ in range(epochs):
-        wdf = spark.createDataFrame(
-            [(int(i), float(w[i])) for i in range(n_buckets)],
-            "bucket long, w double")
-        margins = (feats.join(F.broadcast(wdf), "bucket", "left")
-                   .groupBy("doc_id")
-                   .agg(F.sum(F.col("x") * F.coalesce("w", F.lit(0.0)))
-                        .alias("m"),
-                        F.first("y").alias("y")))
-        resid = margins.select(
-            "doc_id",
-            (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("m") + F.lit(b))))
-             - F.col("y")).alias("r"))
-        # one action per epoch: bucket gradients plus the bias
-        # gradient as sentinel bucket -1 in the SAME aggregation
-        grad_src = (feats.join(resid, "doc_id")
-                    .select("bucket",
-                            (F.col("x") * F.col("r")).alias("c"))
-                    .unionByName(resid.select(
-                        F.lit(-1).cast("long").alias("bucket"),
-                        F.col("r").alias("c"))))
-        grad_rows = (grad_src.groupBy("bucket")
-                     .agg(F.sum("c").alias("g")).collect())
-        g = np.zeros(n_buckets)
-        gb = 0.0
-        for row in grad_rows:
-            bi = int(row["bucket"])
-            if bi < 0:
-                gb = float(row["g"]) / n_docs
-            else:
-                g[bi] = float(row["g"]) / n_docs
-        w -= lr * (g + l2 * w)
-        b -= lr * gb
-    return w, b
+        w = np.zeros(n_buckets)
+        b = 0.0
+        for _ in range(epochs):
+            wdf = spark.createDataFrame(
+                [(int(i), float(w[i])) for i in range(n_buckets)],
+                "bucket long, w double")
+            margins = (feats.join(F.broadcast(wdf), "bucket", "left")
+                       .groupBy("doc_id")
+                       .agg(F.sum(F.col("x")
+                                  * F.coalesce("w", F.lit(0.0)))
+                            .alias("m"),
+                            F.first("y").alias("y")))
+            resid = margins.select(
+                "doc_id",
+                (F.lit(1.0)
+                 / (F.lit(1.0) + F.exp(-(F.col("m") + F.lit(b))))
+                 - F.col("y")).alias("r"))
+            # one action per epoch: bucket gradients plus the bias
+            # gradient as sentinel bucket -1 in the SAME aggregation
+            grad_src = (feats.join(resid, "doc_id")
+                        .select("bucket",
+                                (F.col("x") * F.col("r")).alias("c"))
+                        .unionByName(resid.select(
+                            F.lit(-1).cast("long").alias("bucket"),
+                            F.col("r").alias("c"))))
+            grad_rows = (grad_src.groupBy("bucket")
+                         .agg(F.sum("c").alias("g")).collect())
+            g = np.zeros(n_buckets)
+            gb = 0.0
+            for row in grad_rows:
+                bi = int(row["bucket"])
+                if bi < 0:
+                    gb = float(row["g"]) / n_docs
+                else:
+                    g[bi] = float(row["g"]) / n_docs
+            w -= lr * (g + l2 * w)
+            b -= lr * gb
+        return w, b
+    finally:
+        # release the checkpointed feature blocks — a caller training
+        # many models in one session would otherwise accumulate them
+        # until executor storage pressure evicts
+        feats.unpersist()
 
 
 def quality_classifier_predict(df: DataFrame, weights, bias: float,

@@ -822,6 +822,46 @@ def _eval_exact(node, fs: FileStats) -> Optional[bool]:
     return None  # Unknown
 
 
+def canonical_partition_value(raw: "str | None",
+                              tname: "str | None") -> "str | None":
+    """Normalize a partitionValues STRING under the column's type so
+    different-but-equal serializations compare equal — a foreign
+    writer may record a timestamp as ``2024-01-01T00:00:00.000Z``
+    where this engine writes ``2024-01-01 00:00:00``, or a decimal as
+    ``1.0`` vs ``1``; exact string equality would silently treat them
+    as different partitions (ADVICE r9: dynamic overwrite kept stale
+    rows it was supposed to replace). Unparseable or untyped values
+    fall back to the raw string (exact-match behavior, never worse
+    than before)."""
+    if raw is None:
+        return None
+    kind = _type_kind(tname)
+    try:
+        if kind == "int":
+            return str(int(raw))
+        if kind == "float":
+            return repr(float(raw))
+        if kind == "decimal":
+            d = decimal.Decimal(raw)
+            # normalize() alone turns 100 into 1E+2 — re-expand
+            return format(d.normalize(), "f")
+        if kind == "bool":
+            v = raw.strip().lower()
+            return v if v in ("true", "false") else raw
+        if kind == "date":
+            return datetime.date.fromisoformat(raw.strip()).isoformat()
+        if kind == "timestamp":
+            v = datetime.datetime.fromisoformat(
+                raw.strip().replace("Z", "+00:00"))
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc) \
+                     .replace(tzinfo=None)
+            return v.isoformat(sep=" ")
+    except (ValueError, decimal.InvalidOperation, ArithmeticError):
+        return raw
+    return raw
+
+
 def split_certain_matches(adds: dict[str, Any], predicate_sql: str | None,
                           partition_columns: list[str],
                           partition_types: "dict[str, str] | None" = None

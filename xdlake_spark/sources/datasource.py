@@ -880,7 +880,9 @@ class XdlakeDataSource(DataSource):
                                   overwrite=overwrite,
                                   dynamic=(pom == "dynamic"
                                            and overwrite),
-                                  txn=txn, skip=skip)
+                                  txn=txn, skip=skip,
+                                  stats_cols=_table_stats_cols(
+                                      self._path()))
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> "DataSourceStreamWriter":
@@ -895,7 +897,38 @@ class XdlakeDataSource(DataSource):
         is refused, never silently written."""
         pcols = self._sink_pcols(schema)
         return _XdlakeStreamWriter(self._path(), schema.json(),
-                                   partition_cols=pcols)
+                                   partition_cols=pcols,
+                                   stats_cols=_table_stats_cols(
+                                       self._path()))
+
+
+def _table_stats_cols(path: str) -> "list[str] | None":
+    """Driver-side resolution of the table's data-skipping stats
+    restriction (``delta.dataSkippingStatsColumns`` /
+    ``delta.dataSkippingNumIndexedCols``) so the format sink writes
+    the SAME restricted footer stats as the native table API
+    (DeltaTable._stats_columns, table.py) — a wide table configured
+    to limit stats must not get full-width stats JSON just because it
+    was written through ``df.write.format("xdlake")``. None = no
+    table yet, or no restriction configured (keep all columns)."""
+    from ..log import DeltaLog
+    from .storage import Location
+
+    log = DeltaLog.load(Location.resolve(path).join("_delta_log"))
+    if not log:
+        return None
+    cfg = log.metadata().configuration or {}
+    explicit = cfg.get("delta.dataSkippingStatsColumns")
+    if explicit:
+        return [c.strip().strip("`") for c in explicit.split(",")
+                if c.strip()]
+    n = cfg.get("delta.dataSkippingNumIndexedCols")
+    if n is None:
+        return None
+    n = int(n)
+    if n < 0:
+        return None
+    return log.schema().fieldNames()[:n]
 
 
 def register(spark) -> None:
@@ -938,10 +971,15 @@ class _XdlakeStreamWriter(DataSourceStreamWriter):
     at-least-once task execution)."""
 
     def __init__(self, path: str, schema_json: str,
-                 partition_cols: "list[str] | None" = None):
+                 partition_cols: "list[str] | None" = None,
+                 stats_cols: "list[str] | None" = None):
         self.path = path
         self.schema_json = schema_json
         self.partition_cols = list(partition_cols or [])
+        #: resolved on the DRIVER from the table's skipping properties
+        #: (workers have no session); None = keep stats for all columns
+        self.stats_cols = list(stats_cols) if stats_cols is not None \
+            else None
 
     @staticmethod
     def _pv_str(v) -> "str | None":
@@ -1030,6 +1068,11 @@ class _XdlakeStreamWriter(DataSourceStreamWriter):
                 size = len(data)
                 stats = Statistics.from_parquet_metadata(
                     pq.ParquetFile(io.BytesIO(data)).metadata)
+            if self.stats_cols is not None:
+                # same delta.dataSkippingStatsColumns /
+                # NumIndexedCols restriction the native write path
+                # applies (table.py _add_for_relpath)
+                stats = stats.restrict(self.stats_cols)
             pvals = {c: self._pv_str(v) for c, v in zip(pcols, key)}
             out.append(_WrittenFile(rel, size, stats.to_json(),
                                     table.num_rows, pvals))
@@ -1162,8 +1205,10 @@ class _XdlakeBatchWriter(_XdlakeStreamWriter, DataSourceWriter):
                  partition_cols: "list[str] | None",
                  overwrite: bool, dynamic: bool = False,
                  txn: "tuple[str, int] | None" = None,
-                 skip: bool = False):
-        super().__init__(path, schema_json, partition_cols)
+                 skip: bool = False,
+                 stats_cols: "list[str] | None" = None):
+        super().__init__(path, schema_json, partition_cols,
+                         stats_cols=stats_cols)
         self.overwrite = overwrite
         #: dynamic partition overwrite: remove only the partitions
         #: the new adds landed in (manifest-level, sink-worker-safe)

@@ -259,23 +259,29 @@ def stream_upsert_screened(stream_df: DataFrame, table_location: str,
         screened = bloom_screen(
             _filter_df(), batch_df.withColumn("__k", key_expr),
             "__k", k=k, m_bits=m_bits).localCheckpoint(eager=True)
-        fresh = screened.filter(~F.col("maybe_present")) \
-            .select(*cols)
-        maybe = screened.filter(F.col("maybe_present")) \
-            .select(*cols)
-        n_batch = screened.count()
-        n_maybe = maybe.count()
-        if n_maybe:
-            table = table.merge(
-                maybe, cond,
-                when_matched_update=upd or None,
-                when_not_matched_insert=ins,
-                custom_metadata={"streaming": True,
-                                 "batchId": int(batch_id),
-                                 "bloomScreened": True},
-                txn=(f"{aid}:merge", int(batch_id)))
-        n_fresh = _append_fresh(table, fresh, batch_id)
-        _absorb(batch_df.select(*keys))
+        try:
+            fresh = screened.filter(~F.col("maybe_present")) \
+                .select(*cols)
+            maybe = screened.filter(F.col("maybe_present")) \
+                .select(*cols)
+            n_batch = screened.count()
+            n_maybe = maybe.count()
+            if n_maybe:
+                table = table.merge(
+                    maybe, cond,
+                    when_matched_update=upd or None,
+                    when_not_matched_insert=ins,
+                    custom_metadata={"streaming": True,
+                                     "batchId": int(batch_id),
+                                     "bloomScreened": True},
+                    txn=(f"{aid}:merge", int(batch_id)))
+            n_fresh = _append_fresh(table, fresh, batch_id)
+            _absorb(batch_df.select(*keys))
+        finally:
+            # a long-running stream checkpoints every micro-batch —
+            # without this the cached blocks accumulate until
+            # executor storage pressure evicts them
+            screened.unpersist()
         if stats is not None:
             stats.append({"batch": int(batch_id),
                           "batch_rows": int(n_batch),

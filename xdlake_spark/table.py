@@ -1943,16 +1943,18 @@ class DeltaTable:
         df = self._apply_generated_columns(df, provided=provided_cols)
 
         if replace_where is not None and self.log:
-            # conformance check BEFORE any file is written: every
-            # incoming row must satisfy the predicate, else the
-            # "replace only these rows" contract silently leaks data
-            # outside the replaced region
-            bad = df.filter(~F.coalesce(F.expr(replace_where),
-                                        F.lit(False))).limit(1).count()
-            if bad:
-                raise ValueError(
-                    "replaceWhere: written data contains rows that do "
-                    f"not match the predicate {replace_where!r}")
+            # conformance enforced INSIDE the write job itself (same
+            # assert_true fusion as CHECK constraints): a separate
+            # pre-check count() would let a non-deterministic source
+            # (rand(), changing files) pass the check and then write
+            # rows violating the predicate — row-level enforcement
+            # during the write is how delta-spark guarantees the
+            # "replace only these rows" contract, and it saves the
+            # extra scan of the incoming data
+            ok = F.coalesce(F.expr(replace_where), F.lit(False))
+            df = df.filter(F.assert_true(ok, F.lit(
+                "replaceWhere: written data contains rows that do "
+                f"not match the predicate {replace_where!r}")).isNull())
 
         if optimize_write:
             df = self._optimize_write_partitions(df, partition_by,
@@ -2034,6 +2036,15 @@ class DeltaTable:
                         # watermark exists to prevent
                         seen = handle.txn_version(str(txn[0]))
                         if seen is not None and seen >= int(txn[1]):
+                            # no log entry will ever reference the
+                            # files this attempt staged — delete them
+                            # now (vacuum only reclaims tombstoned
+                            # paths, so they'd otherwise leak forever;
+                            # mirrors _XdlakeBatchWriter.abort)
+                            for a in new_adds:
+                                f = self.location.join(a.path)
+                                if f.exists():
+                                    f.delete()
                             return handle
         self._decorate_entry(entry, _extra_actions, _operation,
                              _operation_params)
