@@ -106,6 +106,12 @@ _SCHEMA = pa.schema([
         # checkpoint that dropped these would reassign different ids
         pa.field("baseRowId", pa.int64()),
         pa.field("defaultRowCommitVersion", pa.int64()),
+        # liquid clustering: ZCUBE_* + clusteringProvider tags mark
+        # already-clustered files; a checkpoint that dropped them
+        # would turn the next incremental OPTIMIZE into a full
+        # rewrite of the whole table
+        pa.field("tags", pa.map_(pa.string(), pa.string())),
+        pa.field("clusteringProvider", pa.string()),
     ])),
     pa.field("remove", pa.struct([
         pa.field("path", pa.string()),
@@ -199,6 +205,10 @@ def write_checkpoint(log_location, log: "DeltaLog",
             "baseRowId": (add.extra or {}).get("baseRowId"),
             "defaultRowCommitVersion":
                 (add.extra or {}).get("defaultRowCommitVersion"),
+            "tags": (list(((add.extra or {}).get("tags") or {})
+                          .items()) or None),
+            "clusteringProvider":
+                (add.extra or {}).get("clusteringProvider"),
         }))
 
     # newest tombstone per non-live path
@@ -520,6 +530,13 @@ def _parse_parquet(data: bytes) -> tuple[list[Action], list[str]]:
                 add.extra = {**(add.extra or {}),
                              "defaultRowCommitVersion":
                                  int(a["defaultRowCommitVersion"])}
+            if a.get("tags"):
+                add.extra = {**(add.extra or {}),
+                             "tags": dict(a["tags"])}
+            if a.get("clusteringProvider") is not None:
+                add.extra = {**(add.extra or {}),
+                             "clusteringProvider":
+                                 a["clusteringProvider"]}
             actions.append(add)
         elif row.get("remove"):
             r = row["remove"]

@@ -4019,11 +4019,19 @@ class DeltaTable:
             entry.actions.insert(0, up)
         return self._commit(entry)
 
+    #: Minimum stable ZCube size for incremental clustering
+    #: maintenance — delta-spark's
+    #: spark.databricks.io.skipping.mdc.minCubeSize default. A cube at
+    #: or above this is FINAL: routine OPTIMIZE never rewrites it.
+    MIN_CUBE_SIZE = 100 * 1024 * 1024 * 1024
+
     def optimize(self, target_file_size: int = 128 * 1024 * 1024,
                  custom_metadata: dict | None = None,
                  zorder_by: list[str] | None = None,
                  hilbert_by: list[str] | None = None,
-                 where: str | None = None) -> "DeltaTable":
+                 where: str | None = None,
+                 full: bool = False,
+                 min_cube_size: "int | None" = None) -> "DeltaTable":
         """Compaction: coalesce small files per partition into ~target-size
         files; a metadata-only change (``dataChange=false``).
 
@@ -4044,25 +4052,50 @@ class DeltaTable:
         predicates keep every file they might match). The way a 100 TB
         table compacts its hot partitions daily without rewriting cold
         history.
+
+        On a CLUSTERED (liquid) table a bare ``optimize()`` maintains
+        the declared clustering INCREMENTALLY (delta-spark semantics):
+        files rewritten by clustering carry a ZCube identity in
+        ``add.tags`` (``ZCUBE_ID`` / ``ZCUBE_ZORDER_BY`` /
+        ``ZCUBE_ZORDER_CURVE``) plus the spec's ``clusteringProvider``
+        field, and the next ``optimize()`` rewrites ONLY files that
+        are not yet in a cube matching the current clustering columns,
+        plus cubes still below ``min_cube_size`` (default
+        ``MIN_CUBE_SIZE``, delta-spark's 100 GB: small cubes keep
+        merging with new data until stable). Routine maintenance cost
+        is therefore proportional to NEW data, never table size; a
+        second bare ``optimize()`` with nothing new is a no-op.
+        ``full=True`` forces the old whole-table re-cluster (delta's
+        ``OPTIMIZE ... FULL``).
         """
         if self.schema is None:
             raise ValueError(f"No delta table at {self.location.url}")
         scope = self._pruned_adds(where)
         if zorder_by and hilbert_by:
             raise ValueError("pass zorder_by or hilbert_by, not both")
+        provider = None
         if not zorder_by and not hilbert_by:
             # clustered (liquid) table: OPTIMIZE maintains the declared
             # clustering — delta-spark semantics — via the Hilbert path
             clustered = self.clustering_columns()
             if clustered:
                 hilbert_by = clustered
+                provider = "liquidClustering"
+                if not full:
+                    scope = self._clustering_candidates(
+                        scope, clustered,
+                        self.MIN_CUBE_SIZE if min_cube_size is None
+                        else min_cube_size)
+                    if not scope:
+                        return self
         if zorder_by:
             return self._zorder(zorder_by, target_file_size,
                                 custom_metadata, scope=scope)
         if hilbert_by:
             return self._zorder(hilbert_by, target_file_size,
                                 custom_metadata, scope=scope,
-                                curve="hilbert")
+                                curve="hilbert",
+                                clustering_provider=provider)
         small = {p: a for p, a in scope.items()
                  if a.size < target_file_size}
         # group by partition; only partitions with >1 small file benefit
@@ -4121,10 +4154,57 @@ class DeltaTable:
         return self._commit_checked(entry, self.version,
                                     reads_table=False)
 
+    def _clustering_candidates(self, scope: "dict[str, Add]",
+                               columns: list[str],
+                               min_cube_size: int
+                               ) -> "dict[str, Add]":
+        """Select the files a bare ``optimize()`` on a clustered table
+        must rewrite (delta-spark's incremental ZCube model):
+
+        - files with NO matching ZCube identity — new appends, CoW
+          rewrites from DELETE/UPDATE/MERGE, or files clustered under
+          DIFFERENT columns (after an ALTER ... CLUSTER BY) — always
+          re-cluster;
+        - files in cubes still below ``min_cube_size`` keep merging
+          with new data until the cube is stable;
+        - stable cubes (>= ``min_cube_size``, matching columns) are
+          FINAL and never rewritten by routine maintenance.
+
+        Idempotence: when there are no unclustered files and at most
+        one partial cube, re-running the rewrite would reproduce the
+        same single cube — return nothing instead, so back-to-back
+        ``optimize()`` is a metadata no-op, never a 100 TB rewrite.
+        """
+        want = json.dumps(list(columns), separators=(",", ":"))
+        untagged: dict[str, Add] = {}
+        cubes: dict[str, dict[str, Add]] = {}
+        for p, a in scope.items():
+            ex = a.extra or {}
+            tags = ex.get("tags") or {}
+            zid = tags.get("ZCUBE_ID")
+            if (not zid
+                    or tags.get("ZCUBE_ZORDER_BY") != want
+                    or tags.get("ZCUBE_ZORDER_CURVE") != "hilbert"
+                    or not ex.get("clusteringProvider")):
+                untagged[p] = a
+            else:
+                cubes.setdefault(zid, {})[p] = a
+        partial = [files for files in cubes.values()
+                   if sum(a.size for a in files.values())
+                   < min_cube_size]
+        if not untagged and len(partial) <= 1:
+            return {}
+        out = dict(untagged)
+        for files in partial:
+            out.update(files)
+        return out
+
     def _zorder(self, columns: list[str], target_file_size: int,
                 custom_metadata: dict | None,
                 scope: dict[str, Add] | None = None,
-                curve: str = "z") -> "DeltaTable":
+                curve: str = "z",
+                clustering_provider: "str | None" = None
+                ) -> "DeltaTable":
         """Space-filling-curve clustering rewrite (Z-order or Hilbert).
 
         Per column: 256 approx-quantile boundaries (one lightweight agg
@@ -4177,6 +4257,23 @@ class DeltaTable:
                      .drop("__z", *[f"__r{j}"
                                     for j in range(len(columns))]))
         new_adds = self._write_data(clustered, self.partition_columns)
+        # stamp the ZCube identity on every rewritten add (add.tags,
+        # tolerantly round-tripped through JSON commits AND parquet
+        # checkpoints) — what makes the NEXT clustered optimize()
+        # incremental instead of a full-table rewrite
+        cube_id = uuid.uuid4().hex
+        cube_tags = {
+            "ZCUBE_ID": cube_id,
+            "ZCUBE_ZORDER_BY": json.dumps(list(columns),
+                                          separators=(",", ":")),
+            "ZCUBE_ZORDER_CURVE": curve,
+        }
+        for a in new_adds:
+            a.extra = {**(a.extra or {}),
+                       "tags": {**((a.extra or {}).get("tags") or {}),
+                                **cube_tags}}
+            if clustering_provider:
+                a.extra["clusteringProvider"] = clustering_provider
         removes = [a.to_remove() for a in scope.values()]
         key = "hilbertClusterBy" if curve == "hilbert" else "zOrderBy"
         metrics = {"numFilesAdded": len(new_adds),
