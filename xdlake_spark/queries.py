@@ -1465,6 +1465,72 @@ def delta_clustered_optimize(spark, sf_dir):
                     "l_suppkey"))
 
 
+@register("delta_detail", """
+SELECT 'delta' AS format,
+       (SELECT count(DISTINCT l_returnflag) FROM lineitem)
+           AS num_files,
+       'l_returnflag' AS partition_cols,
+       'l_partkey,l_suppkey' AS clustering_cols,
+       3 AS min_reader, 7 AS min_writer
+""")
+def delta_detail_query(spark, sf_dir):
+    """DESCRIBE DETAIL (table.py detail(), delta-spark
+    DeltaTable.detail() parity): one row of pure log metadata — no
+    data job. The deterministic subset is oracle-checked: format,
+    live file count (one file per l_returnflag partition after a
+    single-task partitioned write), partition + clustering columns,
+    and the protocol pair after CLUSTER BY upgrades the writer to
+    v7."""
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        li.coalesce(1), partition_by=["l_returnflag"])
+    t = t.cluster_by(["l_partkey", "l_suppkey"])
+    return t.detail().select(
+        "format",
+        F.col("numFiles").alias("num_files"),
+        F.array_join("partitionColumns", ",").alias("partition_cols"),
+        F.array_join("clusteringColumns", ",")
+         .alias("clustering_cols"),
+        F.col("minReaderVersion").alias("min_reader"),
+        F.col("minWriterVersion").alias("min_writer"))
+
+
+@register("delta_generate_manifest_read", """
+SELECT l_returnflag, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem WHERE l_returnflag <> 'A'
+GROUP BY l_returnflag
+""")
+def delta_generate_manifest_read(spark, sf_dir):
+    """GENERATE symlink_format_manifest (table.py generate()) driven
+    through the FOREIGN-ENGINE contract: after a metadata-only
+    partition delete, the regenerated per-partition manifests list
+    exactly the live files; scanning ONLY those paths (with basePath
+    recovering the Hive partition column) must reproduce the table —
+    the SymlinkTextInputFormat reader's view, oracle-checked against
+    the equivalent relational filter."""
+    import glob
+    import os
+
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        li, partition_by=["l_returnflag"])
+    t = t.delete("l_returnflag = 'A'")      # metadata-only delete
+    t = t.generate()
+    mdir = os.path.join(t.location.path, "_symlink_format_manifest")
+    paths = []
+    for mf in sorted(glob.glob(f"{mdir}/*/manifest")):
+        paths += [u.replace("file://", "")
+                  for u in open(mf).read().split()]
+    return (spark.read.option("basePath", t.location.path)
+            .parquet(*paths)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("revenue")))
+
+
 @register("delta_table_changes", """
 SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 2 = 1
 """)
