@@ -882,19 +882,44 @@ class TestTypeFeatures:
         # legacy (1,2)-implied features enumerated per the upgrade rule
         assert {"appendOnly", "invariants"} <= wf
 
-    def test_variant_add_has_no_stats_but_counts_scan(self, spark,
-                                                      tmp_table_dir):
-        # pyarrow can't parse the variant footer -> the add commits
-        # stats-less (spec-legal); count() must fall back to a scan
-        # and still be right, and delete must work
+    def test_variant_add_gets_spark_side_stats(self, spark,
+                                               tmp_table_dir):
+        # pyarrow can't parse the variant footer, but the write path
+        # falls back to ONE Spark aggregation over the staged files
+        # (r9 VERDICT item 5) so the SCALAR columns keep min/max/
+        # nullCount — skipping must not degrade to full scans on every
+        # column of a variant-bearing table
+        import json as _json
         df = spark.sql("SELECT id, parse_json(concat('[', id, ']')) "
-                       "AS v FROM range(10)")
+                       "AS v FROM range(10)").coalesce(2)
         t = DeltaTable(spark, f"{tmp_table_dir}/t").write(df)
         adds = t.log.add_actions()
-        assert any(a.stats is None for a in adds.values())
+        assert all(a.stats for a in adds.values())
+        stats = [_json.loads(a.stats) for a in adds.values()]
+        assert sum(s["numRecords"] for s in stats) == 10
+        for s in stats:
+            assert "id" in s["minValues"] and "id" in s["maxValues"]
+            assert s["nullCount"].get("id") == 0
+            assert "v" not in s["minValues"]   # variant: no interval
+        # metadata-only count works again (numRecords present)
         assert t.count() == 10
         t = t.delete("id >= 7")
         assert t.count() == 7
+
+    def test_variant_table_skipping_prunes_on_scalar(self, spark,
+                                                     tmp_table_dir):
+        # two disjoint-id files: a predicate on the scalar column must
+        # prune by the Spark-computed stats despite the variant column
+        df1 = spark.sql("SELECT id, parse_json('1') AS v "
+                        "FROM range(0, 50)").coalesce(1)
+        df2 = spark.sql("SELECT id, parse_json('2') AS v "
+                        "FROM range(1000, 1050)").coalesce(1)
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(df1)
+        t = t.write(df2, mode="append")
+        assert len(t.adds) == 2
+        pruned = t.to_df(where="id >= 1000").inputFiles()
+        assert len(pruned) == 1
+        assert t.to_df(where="id >= 1000").count() == 50
 
     def test_nested_variant_detected(self, spark, tmp_table_dir):
         df = spark.sql("SELECT id, array(parse_json('2')) AS arr "

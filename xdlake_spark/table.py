@@ -2332,6 +2332,72 @@ class DeltaTable:
         else:
             adds = [move_one(j) for j in jobs]
         staging.delete_dir()
+        if any(a.stats is None for a in adds):
+            adds = self._stats_via_spark(adds, df.schema, partition_by)
+        return adds
+
+    def _stats_via_spark(self, adds: "list[Add]", schema,
+                         partition_by: list[str]) -> "list[Add]":
+        """Footer-stats fallback for files whose parquet footers
+        pyarrow cannot parse — Spark's VARIANT logical type is the
+        known case. Without it, variant-bearing adds commit stats-less
+        and skipping degrades to full scans on EVERY column of such
+        tables. ONE Spark aggregation grouped on
+        ``_metadata.file_path`` computes numRecords plus
+        min/max/nullCount for the orderable top-level scalar columns
+        (the variant column itself carries no interval — correct: it
+        has no total order), so the scalar columns keep their skipping
+        power. One job for ALL stat-less files of the commit, never
+        one per file."""
+        from pyspark.sql import types as T
+
+        from .log.statistics import _UNREPRESENTABLE, _json_safe
+
+        todo = {posixpath.basename(a.path): a for a in adds
+                if a.stats is None}
+        if not todo:
+            return adds
+        orderable = (T.NumericType, T.StringType, T.DateType,
+                     T.TimestampType, T.TimestampNTZType,
+                     T.BooleanType)
+        cols = [f.name for f in schema.fields
+                if isinstance(f.dataType, orderable)
+                and f.name not in partition_by]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, c in enumerate(cols):
+            aggs += [F.min(c).alias(f"__mn_{i}"),
+                     F.max(c).alias(f"__mx_{i}"),
+                     F.sum(F.col(c).isNull().cast("long"))
+                      .alias(f"__nc_{i}")]
+        paths = [self.location.join(a.path).url
+                 for a in todo.values()]
+        rows = (self.spark.read.parquet(*paths)
+                .groupBy(F.col("_metadata.file_path").alias("__f"))
+                .agg(*aggs).collect())
+        keep = self._stats_columns()
+        by_base = {}
+        for r in rows:
+            base = posixpath.basename(
+                urllib.parse.urlparse(r["__f"]).path)
+            by_base[urllib.parse.unquote(base)] = r
+        for base, a in todo.items():
+            r = by_base.get(base)
+            if r is None:
+                continue  # zero-row file never groups; leave stats-less
+            st = Statistics(numRecords=int(r["__n"]))
+            for i, c in enumerate(cols):
+                st.nullCount[c] = int(r[f"__nc_{i}"] or 0)
+                mn = _json_safe(r[f"__mn_{i}"])
+                mx = _json_safe(r[f"__mx_{i}"])
+                if (mn is None or mx is None
+                        or mn is _UNREPRESENTABLE
+                        or mx is _UNREPRESENTABLE):
+                    continue   # all-null or NaN/inf: interval unbounded
+                st.minValues[c] = mn
+                st.maxValues[c] = mx
+            if keep is not None:
+                st = st.restrict(keep)
+            a.stats = st.to_json()
         return adds
 
     def detail(self) -> DataFrame:
