@@ -374,3 +374,93 @@ def stream_apply_changes(change_stream: DataFrame,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ingest_neardup(stream_df: DataFrame, table_location: str,
+                          checkpoint_dir: str,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          k_shingle: int = 3,
+                          threshold: float = 0.5,
+                          max_doc_freq: "int | None" = None,
+                          bucket_cap: int = 2000,
+                          trigger_once: bool = True,
+                          app_id: "str | None" = None,
+                          stats: "list | None" = None):
+    """Streaming NEAR-duplicate admission (r9 VERDICT item 4): each
+    micro-batch is appended only where it has no jaccard >=
+    ``threshold`` near-dup — first within the batch itself (connected
+    components over the batch's own pair graph, min-id keeper:
+    operators/dedup.py dedup_keepers_from_pairs), then against the
+    ACCUMULATED table via the bipartite inverted-index join
+    (cross_corpus_dedup: new-vs-corpus only, never corpus-vs-corpus,
+    shingle fan-out tiled by ``bucket_cap``). The streaming face of
+    the batch ``incremental_dedup_keepers`` pipeline — replaying the
+    batches through this sink yields exactly the keeper set of the
+    batch operator applied cumulatively (pinned in
+    tests/test_streaming_upsert.py).
+
+    Exactly-once on at-least-once batch delivery: every applied batch
+    commits a SetTransaction watermark atomically with its append
+    (an EMPTY admission still commits the watermark), so a replayed
+    batch is a pure no-op — it must be, because re-screening a batch
+    whose rows already landed would find them as their own near-dups
+    and admit nothing, silently diverging from the first delivery.
+
+    Scale: per batch, cost is (batch shingles) x (corpus inverted
+    index) through the tiled bipartite join — the accumulated corpus
+    text streams once per batch and never self-joins. ``stats``
+    (optional list) receives one dict per applied batch:
+    ``{"batch", "batch_rows", "after_self_dedup", "admitted"}``.
+    """
+    from ..operators.dedup import (cross_corpus_dedup,
+                                   dedup_keepers_from_pairs,
+                                   ngram_jaccard_pairs)
+
+    spark = stream_df.sparkSession
+    cols = stream_df.columns
+    aid = app_id or f"stream_ingest_neardup:{checkpoint_dir}"
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table = DeltaTable(spark, table_location)
+        last = table.txn_version(aid)
+        if last is not None and last >= int(batch_id):
+            return                      # replayed batch: no-op
+        batch = batch_df.dropDuplicates([id_col]) \
+            .localCheckpoint(eager=True)
+        try:
+            n_batch = batch.count() if stats is not None else None
+            pairs = ngram_jaccard_pairs(
+                batch, text_col, id_col, k_shingle, threshold,
+                max_doc_freq, bucket_cap=bucket_cap)
+            kept = dedup_keepers_from_pairs(batch, pairs, id_col)
+            if table.log and table.count() > 0:
+                fresh = cross_corpus_dedup(
+                    kept, table.to_df(), text_col, id_col,
+                    k_shingle, threshold, max_doc_freq,
+                    bucket_cap=bucket_cap)
+            else:
+                fresh = kept
+            n_self = kept.count() if stats is not None else None
+            fresh = fresh.select(*cols)
+            table.write(fresh, mode="append",
+                        custom_metadata={"streaming": True,
+                                         "batchId": int(batch_id),
+                                         "nearDupScreened": True},
+                        txn=(aid, int(batch_id)))
+            if stats is not None:
+                admitted = (DeltaTable(spark, table_location).count()
+                            - (table.count() if table.log else 0))
+                stats.append({"batch": int(batch_id),
+                              "batch_rows": int(n_batch),
+                              "after_self_dedup": int(n_self),
+                              "admitted": int(admitted)})
+        finally:
+            batch.unpersist()
+
+    writer = (stream_df.writeStream
+              .foreachBatch(commit_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
