@@ -297,14 +297,89 @@ class TestLSF:
         assert hashlib.sha256(q.tobytes()).hexdigest() == \
             PINNED_LSF_PCM_SHA256
 
-    def test_lsf_intensity_stereo_raises(self):
-        data = bytearray(mp3.encode_mp3_tone(
-            440.0, n_frames=2, sample_rate=22050,
-            channels=2, bitrate=96))
-        # patch mode to joint-stereo with the intensity bit set
-        data[3] = (data[3] & 0x3F) | (1 << 6) | 0x10
-        with pytest.raises(NotImplementedError, match="intensity"):
-            mp3.decode_mp3(bytes(data))
+    def test_lsf_intensity_patched_stream_decodes(self):
+        """A plain-stereo LSF stream whose header is patched to
+        joint+intensity must DECODE (r10) — and because the right
+        channel carries a full spectrum (its rzero is at the top) and
+        scalefac_compress 0 makes every is_pos illegal (off), the
+        audio is identical to the unpatched decode."""
+        import numpy as np
+        clean = mp3.encode_mp3_tone(440.0, n_frames=2,
+                                    sample_rate=22050,
+                                    channels=2, bitrate=96)
+        data = bytearray(clean)
+        for off in range(0, len(data) - 4):
+            if data[off] == 0xFF and (data[off + 1] & 0xE0) == 0xE0:
+                data[off + 3] = (data[off + 3] & 0x0F) \
+                    | (1 << 6) | 0x10
+        _, ref = mp3.decode_mp3(clean)
+        sr, got = mp3.decode_mp3(bytes(data))
+        assert sr == 22050
+        assert np.allclose(got, ref, atol=1e-6)
+
+    def test_lsf_intensity_fixture_copies_left(self):
+        """encode_mp3(intensity=True): left carries the spectrum,
+        right granule is empty with 21 legal is_pos=0 scalefactors —
+        a conformant decoder pans the left spectrum to BOTH outputs
+        (ISO 13818-3 p=0)."""
+        import numpy as np
+        n = 6 * 576
+        t = np.arange(n) / 22050.0
+        ref = 0.4 * np.sin(2 * np.pi * 330.0 * t)
+        st = np.stack([ref, np.zeros(n)], axis=1)
+        data = mp3.encode_mp3(st, sample_rate=22050, bitrate=96,
+                              intensity=True)
+        from xdlake_spark.operators.codecs import parse_mp3_frames
+        info = parse_mp3_frames(data)
+        assert info["channels"] == 2       # joint-stereo mode
+        sr, pcm = mp3.decode_mp3(data)
+        assert sr == 22050 and pcm.shape == (n, 2)
+        # both channels carry the SAME audio (copy-left panning)
+        assert np.allclose(pcm[:, 0], pcm[:, 1], atol=1e-6)
+        mid = pcm[2000:4000, 1]
+        assert np.abs(mid).mean() > 0.05   # right is NOT silent
+        lag = 1057
+        a = ref[200:n - lag - 200]
+        b = pcm[200 + lag:n - 200, 1]
+        assert _snr_db(a, b) > 15.0
+
+    def test_lsf_intensity_formula_and_illegal_positions(self):
+        """_intensity_stereo_lsf pins the ISO 13818-3 §2.4.3.4 rules:
+        2^(-(((p+1)>>1) << intensity_scale)/4) panning, odd p
+        attenuates left / even p right, per-band illegal position
+        (1<<slen)-1 turns intensity OFF, MS rescale by sqrt2."""
+        import numpy as np
+        g = mp3._Granule()
+        # layout block 3: isc=43 -> slen (1,1,1,0) -> illegal pos 1
+        g.scalefac_compress = 86           # intensity_scale = 0
+        g.scalefac_l = [0] * 22
+        g.scalefac_l[0] = 2                # even: right attenuates
+        g.scalefac_l[1] = 3                # odd: left attenuates
+        g.scalefac_l[2] = 1                # == illegal: OFF
+        sfb = mp3.SFB_LONG[22050]
+        xl = np.ones(576)
+        xr = np.zeros(576)                 # rzero = 0: all bands IS
+        l, r = mp3._intensity_stereo_lsf(xl.copy(), xr.copy(),
+                                         g, 22050, False)
+        f2 = 2.0 ** (-(((2 + 1) >> 1) << 0) / 4.0)   # p=2 -> 2^-1/4
+        f3 = 2.0 ** (-(((3 + 1) >> 1) << 0) / 4.0)   # p=3 -> 2^-2/4
+        b0 = slice(sfb[0], sfb[1])
+        b1 = slice(sfb[1], sfb[2])
+        b2 = slice(sfb[2], sfb[3])
+        assert np.allclose(l[b0], 1.0) and np.allclose(r[b0], f2)
+        assert np.allclose(l[b1], f3) and np.allclose(r[b1], 1.0)
+        assert np.allclose(l[b2], 1.0) and np.allclose(r[b2], 0.0)
+        # intensity_scale = 1 doubles the exponent shift
+        g.scalefac_compress = 87
+        l, r = mp3._intensity_stereo_lsf(xl.copy(), xr.copy(),
+                                         g, 22050, False)
+        assert np.allclose(r[b0],
+                           2.0 ** (-(((2 + 1) >> 1) << 1) / 4.0))
+        # ms_on restores the /sqrt2-scaled mid before panning
+        g.scalefac_compress = 86
+        l, r = mp3._intensity_stereo_lsf(xl.copy(), xr.copy(),
+                                         g, 22050, True)
+        assert np.allclose(l[b0], np.sqrt(2.0))
 
     def test_lsf_tables_structural(self):
         for sr in (22050, 24000, 16000, 11025, 12000, 8000):

@@ -739,6 +739,54 @@ def _ms_stereo(xl: np.ndarray, xr: np.ndarray):
     return (xl + xr) / s, (xl - xr) / s
 
 
+def _intensity_stereo_lsf(xl, xr, g_right: _Granule, sr: int,
+                          ms_on: bool):
+    """LSF (MPEG-2/2.5) long-block intensity stereo, ISO 13818-3
+    §2.4.3.4 (r10): is_pos values are the right granule's
+    scalefactors (read with the halved-code blocks 3-5,
+    :func:`_lsf_slens`), and the panning uses power-of-two ratios
+    instead of MPEG-1's tan table:
+
+    - ``intensity_scale`` is the LSB of the right granule's 9-bit
+      scalefac_compress;
+    - for position ``p``, the attenuation is
+      ``2^(-(((p+1)>>1) << intensity_scale) / 4)`` applied to the
+      LEFT output when p is odd, to the RIGHT when p is even
+      (p == 0 degenerates to copy-left-to-both);
+    - ``p == (1 << slen) - 1`` for its scalefactor group is the
+      "illegal position": intensity is OFF for that band (the LSF
+      twin of MPEG-1's is_pos == 7), computed per band from the
+      actual slens, not a blanket cap.
+
+    When MS stereo is simultaneously on, the already-/sqrt2-scaled
+    mid value is restored (* sqrt2) before panning — the encoder
+    transmitted the intensity bands un-normalized.
+    """
+    slen, bn = _lsf_slens(g_right, True)
+    nsfb = LSF_NSFB[bn][0]
+    illegal: list = []
+    for n, sl in zip(nsfb, slen):
+        illegal += [(1 << sl) - 1] * n
+    sfb_l = SFB_LONG[sr]
+    nz = np.nonzero(xr)[0]
+    rzero = int(nz[-1]) + 1 if len(nz) else 0
+    isc = g_right.scalefac_compress & 1
+    undo_ms = np.sqrt(2.0) if ms_on else 1.0
+    for sfb in range(21):
+        s, e = sfb_l[sfb], sfb_l[sfb + 1]
+        if s < rzero:
+            continue
+        p = g_right.scalefac_l[sfb]
+        if sfb < len(illegal) and p == illegal[sfb]:
+            continue                    # intensity off for this band
+        f = 2.0 ** (-(((p + 1) >> 1) << isc) / 4.0)
+        kl, kr = (f, 1.0) if (p & 1) else (1.0, f)
+        l = xl[s:e] * undo_ms
+        xl[s:e] = l * kl
+        xr[s:e] = l * kr
+    return xl, xr
+
+
 def _intensity_stereo(xl, xr, g_right: _Granule, sr: int):
     """Long-block intensity: bands at/above the right channel's rzero
     get panned from the left channel by tan(is_pos*pi/12)."""
@@ -792,15 +840,18 @@ def _imdct_granule(xr: np.ndarray, g: _Granule,
 def decode_mp3(data: bytes) -> tuple:
     """Full PCM decode of an MPEG-1, MPEG-2 or MPEG-2.5 Layer III
     stream (LSF support landed r9 — 22.05/24/16 kHz and 11.025/12/8
-    kHz web-crawl audio decodes instead of raising).
+    kHz web-crawl audio decodes instead of raising; LSF INTENSITY
+    stereo landed r10 — 22.05/24 kHz joint-stereo web audio decodes
+    with the ISO 13818-3 power-of-two panning,
+    :func:`_intensity_stereo_lsf`).
 
     Returns ``(sample_rate, float32 array shape (n_samples, channels))``
-    in [-1, 1]. Raises NotImplementedError for Layer I/II, LSF
-    intensity stereo (different ratio algorithm), or frames selecting
-    Huffman tables outside the verified set; raises ValueError on
-    streams with no MPEG frames. Frames whose reservoir back-pointer
-    reaches before the available data decode as silence (standard
-    decoder behavior on a mid-stream splice).
+    in [-1, 1]. Raises NotImplementedError for Layer I/II, intensity
+    stereo on SHORT blocks, or frames selecting Huffman tables outside
+    the verified set; raises ValueError on streams with no MPEG
+    frames. Frames whose reservoir back-pointer reaches before the
+    available data decode as silence (standard decoder behavior on a
+    mid-stream splice).
     """
     info = parse_mp3_frames(data)
     if info["layer"] != 3:
@@ -850,11 +901,6 @@ def decode_mp3(data: bytes) -> tuple:
         mode_ext = (data[off + 3] >> 4) & 0x3
         ms_on = h["mode"] == 1 and bool(mode_ext & 0x2)
         is_on = h["mode"] == 1 and bool(mode_ext & 0x1)
-        if is_on and lsf:
-            raise NotImplementedError(
-                "LSF intensity stereo uses a different ratio "
-                "algorithm (ISO 13818-3) — not implemented; MS "
-                "stereo and mono/dual LSF streams decode")
         frame_pcm = np.zeros((spf, ch), dtype=np.float32)
         for gr in range(n_gr):
             xrs = []
@@ -881,8 +927,12 @@ def decode_mp3(data: bytes) -> tuple:
                         "intensity stereo on short blocks is not "
                         "implemented (long-block intensity and MS "
                         "are)")
-                xrs[0], xrs[1] = _intensity_stereo(
-                    xrs[0], xrs[1], gR, sr)
+                if lsf:
+                    xrs[0], xrs[1] = _intensity_stereo_lsf(
+                        xrs[0], xrs[1], gR, sr, ms_on)
+                else:
+                    xrs[0], xrs[1] = _intensity_stereo(
+                        xrs[0], xrs[1], gR, sr)
             for c in range(ch):
                 g = grs[gr][c]
                 long_sbs = 32
@@ -979,7 +1029,8 @@ def _encode_granule_spectrum(xr: np.ndarray):
 
 
 def encode_mp3(pcm: np.ndarray, sample_rate: int = 48000,
-               bitrate: int = 320, block_type: int = 0) -> bytes:
+               bitrate: int = 320, block_type: int = 0,
+               intensity: bool = False) -> bytes:
     """Encode float PCM ([-1,1], shape (n,) or (n, ch<=2)) as a
     spec-conformant Layer III stream (validated small Huffman
     tables, no reservoir, scalefactors 0). MPEG-1 rates
@@ -998,6 +1049,12 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 48000,
     the same audio."""
     if block_type not in (0, 2):
         raise ValueError("block_type: 0 (long) or 2 (short) only")
+    # intensity=True: LSF joint-stereo fixture — the LEFT channel
+    # carries the spectrum, the right granule is empty with all-zero
+    # is_pos (scalefac_compress 0), so a conformant decoder copies the
+    # left spectrum to both outputs (ISO 13818-3 p=0 panning). The
+    # spec-faithful way to exercise the LSF intensity path with this
+    # encoder's zero-scalefactor design.
     if sample_rate in _MP3_SAMPLERATES[1]:
         version = 1
     elif sample_rate in _MP3_SAMPLERATES[2]:
@@ -1017,6 +1074,11 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 48000,
     ch = pcm.shape[1]
     if ch not in (1, 2):
         raise ValueError("mono or stereo only")
+    if intensity:
+        if version == 1 or ch != 2:
+            raise ValueError(
+                "intensity=True emits an LSF joint-stereo stream: "
+                "needs an MPEG-2/2.5 sample rate and 2 channels")
     n_frames = max(1, -(-pcm.shape[0] // spf))
     pad = n_frames * spf - pcm.shape[0]
     if pad:
@@ -1039,10 +1101,12 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 48000,
     mdct_prev = [np.zeros((32, 18)) for _ in range(ch)]
     out = bytearray()
     ver_bits = {1: 3, 2: 2, 25: 0}[version]
+    mode = 3 if ch == 1 else (1 if intensity else 0)
+    mode_ext = 0x1 if intensity else 0x0
     hdr = bytes([
         0xFF, 0xE0 | (ver_bits << 3) | (1 << 1) | 1,
         (bri << 4) | (sri << 2),
-        ((3 if ch == 1 else 0) << 6) | 0x04])
+        (mode << 6) | (mode_ext << 4) | 0x04])
 
     for f in range(n_frames):
         granule_data = []     # per (gr, ch): (gg, tid, bw, bv)
@@ -1080,6 +1144,8 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 48000,
                     xr = _reorder_short_inverse(xr, sample_rate)
                 else:
                     _alias_unreduce(xr)
+                if intensity and c == 1:
+                    xr[:] = 0.0     # right: empty spectrum, is_pos 0
                 gg, tid, bw, bv = _encode_granule_spectrum(xr)
                 if len(bw) > cap_bits // (2 * ch):
                     raise ValueError(
@@ -1099,11 +1165,18 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 48000,
         for gr in range(n_gr):
             for c in range(ch):
                 gg, tid, bw, bv = granule_data[gr * ch + c]
-                side.write(len(bw), 12)       # part2_3_length
+                # intensity right granule: scalefac_compress 86
+                # (intensity layout isc=43 -> slen (1,1,1), block 3,
+                # 21 one-bit scalefactors) so is_pos 0 is LEGAL (the
+                # illegal position is (1<<slen)-1 = 1, ISO 13818-3) --
+                # all-zero is_pos bits mean "copy left to both"
+                sc_val, sc_bits = (86, 21) \
+                    if (intensity and c == 1) else (0, 0)
+                side.write(len(bw) + sc_bits, 12)  # part2_3_length
                 side.write(bv, 9)
                 side.write(gg, 8)
                 # scalefac_compress 0: LSF block 0 slens (0,0,0,0)
-                side.write(0, 9 if lsf else 4)
+                side.write(sc_val, 9 if lsf else 4)
                 if block_type == 2:
                     side.write(1, 1)          # window_switching
                     side.write(2, 2)          # block_type: short
@@ -1122,6 +1195,8 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 48000,
                     side.write(0, 1)          # preflag
                 side.write(0, 1)              # scalefac_scale
                 side.write(1, 1)              # count1 table B
+                if sc_bits:
+                    main.write(0, sc_bits)    # all-zero is_pos run
                 main.bits.extend(bw.bits)
         body = main.to_bytes(pad_to=frame_size - 4 - side_len)
         out += hdr + side.to_bytes(pad_to=side_len) + body
@@ -1131,12 +1206,19 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 48000,
 def encode_mp3_tone(freq: float = 440.0, n_frames: int = 4,
                     sample_rate: int = 48000, channels: int = 1,
                     amplitude: float = 0.5,
-                    bitrate: int = 320) -> bytes:
-    """Deterministic sine-tone MP3 fixture (real spectral data)."""
+                    bitrate: int = 320,
+                    intensity: bool = False) -> bytes:
+    """Deterministic sine-tone MP3 fixture (real spectral data).
+    ``intensity=True`` (LSF stereo only) emits a joint-stereo
+    intensity frame: the tone rides the left granule and is_pos 0
+    pans it to both outputs."""
     n = n_frames * (1152 if sample_rate in _MP3_SAMPLERATES[1]
                     else 576)
     t = np.arange(n) / sample_rate
     tone = amplitude * np.sin(2 * np.pi * freq * t)
-    if channels == 2:
+    if intensity:
+        tone = np.stack([tone, np.zeros(n)], axis=1)
+    elif channels == 2:
         tone = np.stack([tone, 0.5 * tone], axis=1)
-    return encode_mp3(tone, sample_rate=sample_rate, bitrate=bitrate)
+    return encode_mp3(tone, sample_rate=sample_rate, bitrate=bitrate,
+                      intensity=intensity)

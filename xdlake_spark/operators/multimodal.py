@@ -791,6 +791,8 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
             # Every 3rd doc is a 22.05 kHz MPEG-2 LSF stream (r9) —
             # real web-crawl audio mixes sampling families, and the
             # LSF side-info/scalefactor path decodes in the same pass.
+            # Every 6th doc is LSF JOINT-STEREO INTENSITY (r10): the
+            # 13818-3 power-of-two panning path decodes in-fleet too.
             out = []
             for i in ids:
                 i = int(i)
@@ -801,7 +803,8 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
                     sample_rate=22050 if lsf else 48000,
                     channels=1 + i % 2,
                     amplitude=0.25 + 0.05 * (i % 6),
-                    bitrate=160 if lsf else 320))
+                    bitrate=160 if lsf else 320,
+                    intensity=(i % 6 == 0)))
             return pd.Series(out)
 
         return df.select(F.col(id_col),
