@@ -225,6 +225,41 @@ def main() -> None:
         print(f"# {n}: min {mins[n]:.2f}s median {medians[n]:.2f}s of "
               f"{[round(r, 2) for r in samples[n]]}", file=sys.stderr)
 
+    # FULL-REGISTRY tail tier (r10): every registered query not in the
+    # headline set gets ONE timed execution, so no query ships without
+    # a timing record. Singletons, not median-of-5 — these are the
+    # cheap lifecycle/TPC-H queries; the headline tier keeps the
+    # noise-controlled statistics. A budget valve stops early on a
+    # loaded host, and whatever was NOT timed is recorded in the
+    # detail JSON under "tail_skipped" with the reason — never a
+    # silent cap.
+    tail_names = [n for n in qs if n not in set(HEADLINE)]
+    tail_budget = float(os.environ.get(
+        "SPARK_GRAFT_BENCH_TAIL_BUDGET_S", "420"))
+    tail_s: dict[str, float] = {}
+    tail_skipped: dict[str, str] = {}
+    t_tail = time.time()
+    for i, name in enumerate(tail_names):
+        if time.time() - t_tail > tail_budget:
+            for rest in tail_names[i:]:
+                tail_skipped[rest] = "tail budget exhausted"
+            break
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            tail_s[name] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            tail_skipped[name] = f"error: {str(e)[:80]}"
+        if i % 5 == 4:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+    print(f"# tail tier: {len(tail_s)} queries in "
+          f"{time.time() - t_tail:.1f}s, {len(tail_skipped)} skipped",
+          file=sys.stderr)
+    for n, v in sorted(tail_s.items(), key=lambda kv: -kv[1])[:10]:
+        print(f"# tail {n}: {v:.2f}s", file=sys.stderr)
+
     # DuckDB baseline on the user-story queries: run each headline
     # query's oracle SQL single-node on the same parquet at the same sf.
     # Kept to a curated subset so the final JSON line stays short; the
@@ -241,6 +276,10 @@ def main() -> None:
         "queries_median": medians,
         "samples": {n: [round(r, 3) for r in s] for n, s in samples.items()},
         "duckdb_s": duckdb_s,
+        # full-registry tail tier: single-execution timings for every
+        # registered query outside the headline set + explicit skips
+        "tail_s": tail_s,
+        "tail_skipped": tail_skipped,
     }
     repo = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo, "bench_detail.json"), "w") as f:
@@ -270,7 +309,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
-        "n_queries": len(HEADLINE),
+        # every registered query now carries a timing record:
+        # n_queries = headline (median-of-5) + tail (singleton)
+        "n_queries": len(HEADLINE) + len(tail_s),
+        "n_registry": len(qs),
+        "n_headline": len(HEADLINE),
+        "tail_total_s": round(sum(tail_s.values()), 3),
+        "tail_skipped": len(tail_skipped),
         "total_min_s": round(sum(mins.values()), 3),
         "duckdb_baseline_sum_s": round(sum(duckdb_s.values()), 3),
         "runs_per_query": len(next(iter(samples.values()))),
