@@ -1465,6 +1465,34 @@ def delta_clustered_optimize(spark, sf_dir):
                     "l_suppkey"))
 
 
+@register("delta_clustered_incremental_scan", """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+FROM lineitem WHERE l_partkey <= 60 AND l_suppkey <= 6
+""")
+def delta_clustered_incremental(spark, sf_dir):
+    """Incremental liquid-clustering maintenance end to end (r10,
+    table.py _clustering_candidates): cluster + OPTIMIZE, append new
+    data, OPTIMIZE again — the second pass must rewrite ONLY the
+    unclustered appends (the first pass's ZCube-tagged files survive,
+    asserted here, not just in pytest), and the scan afterwards must
+    equal the plain relational result."""
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        li.filter("l_orderkey % 2 = 0"))
+    t = t.cluster_by(["l_partkey", "l_suppkey"])
+    t = t.optimize(target_file_size=256 * 1024, min_cube_size=0)
+    stable = set(t.adds)
+    t = t.write(li.filter("l_orderkey % 2 = 1"), mode="append")
+    t = t.optimize(target_file_size=256 * 1024, min_cube_size=0)
+    if not stable <= set(t.adds):
+        raise AssertionError(
+            "incremental clustered OPTIMIZE rewrote stable cubes")
+    return (t.to_df(where="l_partkey <= 60 AND l_suppkey <= 6")
+            .select("l_orderkey", "l_linenumber", "l_partkey",
+                    "l_suppkey"))
+
+
 @register("delta_detail", """
 SELECT 'delta' AS format,
        (SELECT count(DISTINCT l_returnflag) FROM lineitem)
