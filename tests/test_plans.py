@@ -415,3 +415,66 @@ class TestRound9PlanShapes:
         assert specs, plan
         for s in specs:
             assert "__bin" in s, plan
+
+
+class TestRound10PlanShapes:
+    """Round-10 scale pins: incremental clustered OPTIMIZE no-op is
+    zero Spark jobs (pure manifest work), and the variant-write stats
+    fallback runs exactly ONE aggregation job no matter how many
+    stat-less files the commit staged."""
+
+    def _jobs_during(self, spark, group, fn):
+        sc = spark.sparkContext
+        sc.setJobGroup(group, group)
+        try:
+            out = fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return out, list(
+            sc.statusTracker().getJobIdsForGroup(group))
+
+    def test_clustered_optimize_noop_runs_zero_jobs(self, spark,
+                                                    tmp_path):
+        from xdlake_spark import DeltaTable
+        loc = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(200)], "a long, b double")
+        t = DeltaTable(spark, loc).write(df.repartition(4))
+        t = t.cluster_by(["a", "b"])
+        t = t.optimize(target_file_size=1 << 14, min_cube_size=0)
+        v = t.version
+        t2, jobs = self._jobs_during(
+            spark, "opt-noop",
+            lambda: t.optimize(target_file_size=1 << 14,
+                               min_cube_size=0))
+        assert t2.version == v
+        assert jobs == [], \
+            f"no-op clustered OPTIMIZE ran {len(jobs)} Spark jobs"
+
+    def test_variant_stats_fallback_job_count_is_flat(self, spark,
+                                                      tmp_path):
+        """The fallback is ONE aggregation over ALL stat-less files
+        of the commit (explicit schema: no footer-inference job) —
+        its Spark job count must not grow with the file count."""
+        from xdlake_spark import DeltaTable
+
+        def run(n_files, tag):
+            loc = str(tmp_path / f"t{n_files}")
+            df = spark.sql(
+                "SELECT id, parse_json(concat('[', id, ']')) AS v "
+                "FROM range(400)").repartition(n_files)
+            t = DeltaTable(spark, loc).write(df)
+            adds = list(t.adds.values())
+            assert len(adds) == n_files
+            for a in adds:
+                a.stats = None
+            _, jobs = self._jobs_during(
+                spark, tag,
+                lambda: t._stats_via_spark(
+                    adds, t.to_df().schema, []))
+            assert all(a.stats for a in adds)
+            return len(jobs)
+
+        j2 = run(2, "vstats-2")
+        j8 = run(8, "vstats-8")
+        assert j8 == j2 <= 2, (j2, j8)

@@ -2371,7 +2371,12 @@ class DeltaTable:
                       .alias(f"__nc_{i}")]
         paths = [self.location.join(a.path).url
                  for a in todo.values()]
-        rows = (self.spark.read.parquet(*paths)
+        # explicit schema (files hold the non-partition fields): no
+        # footer-inference job, so the whole fallback is a constant
+        # number of jobs regardless of file count (plan-pinned)
+        file_schema = T.StructType(
+            [f for f in schema.fields if f.name not in partition_by])
+        rows = (self.spark.read.schema(file_schema).parquet(*paths)
                 .groupBy(F.col("_metadata.file_path").alias("__f"))
                 .agg(*aggs).collect())
         keep = self._stats_columns()
