@@ -4296,9 +4296,12 @@ class DeltaTable:
         scope = self.adds if scope is None else scope
         df = self._scan(scope)
         probs = [i / (1 << n_bits) for i in range(1, 1 << n_bits)]
+        # ONE quantile job for ALL curve columns (multi-column
+        # approxQuantile) — the per-column form re-scanned the input
+        # once per column, a 2-4x planning-cost tax on every rewrite
+        all_cuts = df.approxQuantile(list(columns), probs, 0.01)
         rank_cols = []
-        for c in columns:
-            cuts = df.approxQuantile(c, probs, 0.01)
+        for c, cuts in zip(columns, all_cuts):
             # rank = #quantile boundaries strictly below the value; an
             # array filter/size pair instead of a 255-branch CASE chain
             # (deep CASE trees kick the projection out of codegen)
