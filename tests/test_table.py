@@ -230,6 +230,67 @@ class TestRestoreCloneImport:
         assert DeltaTable(spark, f"{tmp_table_dir}/src").to_df().count() \
             == len(expected)
 
+    def test_deep_clone_copies_data_and_is_independent(
+            self, spark, tmp_table_dir):
+        import json as _json
+        import os
+        import shutil
+        t, expected = write_rounds(spark, f"{tmp_table_dir}/src", 3,
+                                   partition_by=["cats"])
+        # a DV so the clone must carry the bitmap too
+        t = t.delete("f64 > 2.0", mode="merge-on-read")
+        want = t.to_pandas()
+        c = t.clone(f"{tmp_table_dir}/deep", deep=True)
+        assert_frames_equivalent(c.to_pandas(), want)
+        # fresh history: ONE version, operation CLONE, new table id
+        assert c.versions == [0]
+        h = next(iter(c.history()))
+        assert h["operation"] == "CLONE"
+        assert h["operationParameters"]["isShallow"] == "false"
+        assert c.log.metadata().id != t.log.metadata().id
+        # every clone path is RELATIVE (data physically copied) and
+        # stats carried over verbatim
+        assert all("://" not in p and not p.startswith("/")
+                   for p in c.adds)
+        for p, a in c.adds.items():
+            assert os.path.exists(f"{tmp_table_dir}/deep/{p}")
+            src_stats = t.adds[p].stats
+            assert _json.loads(a.stats) == _json.loads(src_stats)
+        # deleting the SOURCE leaves the deep clone fully readable
+        # (the shallow clone would break here)
+        shutil.rmtree(f"{tmp_table_dir}/src")
+        c2 = DeltaTable(spark, f"{tmp_table_dir}/deep")
+        assert_frames_equivalent(c2.to_pandas(), want)
+        # and it's independently writable
+        pdf = gen_pdf()
+        c3 = c2.write(spark.createDataFrame(pdf),
+                      partition_by=["cats"])
+        assert c3.count() == len(want) + len(pdf)
+
+    def test_deep_clone_preserves_clustering_state(self, spark,
+                                                   tmp_table_dir):
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "a long, b double")
+        t = DeltaTable(spark, f"{tmp_table_dir}/src").write(
+            df.repartition(3))
+        t = t.cluster_by(["a"])
+        t = t.optimize(target_file_size=1 << 14, min_cube_size=0)
+        v_src = t.version
+        c = t.clone(f"{tmp_table_dir}/deep", deep=True)
+        assert c.clustering_columns() == ["a"]
+        # ZCube tags survived: a bare optimize on the clone is a no-op
+        c2 = c.optimize(target_file_size=1 << 14, min_cube_size=0)
+        assert c2.version == c.version
+        assert t.version == v_src
+
+    def test_deep_clone_refuses_existing_table(self, spark,
+                                               tmp_table_dir):
+        t = DeltaTable(spark, f"{tmp_table_dir}/src").write(
+            spark.range(5))
+        t.clone(f"{tmp_table_dir}/dst", deep=True)
+        with pytest.raises(FileExistsError):
+            t.clone(f"{tmp_table_dir}/dst", deep=True)
+
     def test_import_refs_zero_copy(self, spark, tmp_table_dir):
         pdf = gen_pdf()
         src = f"{tmp_table_dir}/foreign"
@@ -827,6 +888,61 @@ class TestVacuumRetentionProperty:
         assert len(doomed) >= 1       # CoW delete tombstoned the hits
         # explicit argument still wins over the property
         assert t.vacuum(retention_hours=168.0, dry_run=True) == []
+
+
+class TestVacuumFull:
+    """vacuum(full=True) — delta-spark's listing mode: untracked
+    orphans (crashed-writer litter no log action references) older
+    than the horizon are reclaimed by filesystem mtime; hidden paths,
+    live adds, tombstoned paths and DV bitmaps are protected."""
+
+    def test_untracked_orphan_reclaimed_tracked_files_survive(
+            self, spark, tmp_table_dir):
+        import os
+        loc = f"{tmp_table_dir}/t"
+        t = DeltaTable(spark, loc).write(spark.range(10))
+        t = t.delete("id >= 5")           # fresh tombstone (young)
+        # plant orphans: an untracked parquet at root and one in a
+        # fake partition dir; backdate their mtimes past any horizon
+        orphan1 = os.path.join(loc, "orphan-000.parquet")
+        os.makedirs(os.path.join(loc, "cat=x"), exist_ok=True)
+        orphan2 = os.path.join(loc, "cat=x", "orphan-001.parquet")
+        staged = os.path.join(loc, "_staging-dead",
+                              "part-000.parquet")
+        os.makedirs(os.path.dirname(staged), exist_ok=True)
+        for p in (orphan1, orphan2, staged):
+            open(p, "wb").write(b"junk")
+            os.utime(p, (0, 0))
+        # log-only mode never sees them
+        assert "orphan-000.parquet" not in t.vacuum(
+            retention_hours=168.0, dry_run=True)
+        doomed = t.vacuum(retention_hours=168.0, dry_run=True,
+                          full=True)
+        assert "orphan-000.parquet" in doomed
+        assert "cat=x/orphan-001.parquet" in doomed
+        # hidden (_staging) paths protected; young tombstones too
+        assert all("_staging" not in d for d in doomed)
+        assert all(not d.startswith("_delta_log") for d in doomed)
+        live_before = t.count()
+        t.vacuum(retention_hours=168.0, full=True)
+        assert not os.path.exists(orphan1)
+        assert not os.path.exists(orphan2)
+        assert os.path.exists(staged)
+        t2 = DeltaTable(spark, loc)
+        assert t2.count() == live_before
+        # tombstoned-but-young data survived full mode, so time
+        # travel to the pre-delete version still scans
+        assert t2.load_as_version(0).count() == 10
+
+    def test_full_respects_mtime_horizon(self, spark, tmp_table_dir):
+        import os
+        loc = f"{tmp_table_dir}/t"
+        t = DeltaTable(spark, loc).write(spark.range(5))
+        fresh = os.path.join(loc, "fresh-orphan.parquet")
+        open(fresh, "wb").write(b"junk")   # mtime = now
+        doomed = t.vacuum(retention_hours=1.0, dry_run=True,
+                          full=True)
+        assert "fresh-orphan.parquet" not in doomed
 
 
 class TestTypeFeatures:

@@ -1215,6 +1215,29 @@ def delta_clone(spark, sf_dir):
     return cloned.to_df().select("l_orderkey", "l_linenumber", "l_quantity")
 
 
+@register("delta_deep_clone_scan", """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_quantity >= 30
+""")
+def delta_deep_clone(spark, sf_dir):
+    """DEEP CLONE (r10, table.py _deep_clone — delta-spark's
+    CREATE TABLE ... DEEP CLONE): the live snapshot's data files copy
+    into the destination and ONE version-0 entry reinstates protocol,
+    metaData (fresh table id) and every add verbatim. The clone scans
+    identically with the SOURCE DELETED — asserted here by scanning
+    through a handle whose adds must all be destination-relative."""
+    import shutil
+
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem").filter("l_quantity >= 30")
+    src = _delta_tmp()
+    t = DeltaTable(spark, src).write(li)
+    cloned = t.clone(_delta_tmp(), deep=True)
+    shutil.rmtree(src)                  # clone must not need the source
+    return (cloned.to_df()
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
 @register("delta_import_refs_scan", """
 SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
 """)

@@ -332,6 +332,53 @@ class Location:
             return fs.get_file_info(self._strip_scheme()).size
         return fs.size(self.path)
 
+    def list_files_recursive_info(self) -> "list[tuple[str, int]]":
+        """(relative path, mtime epoch-ms) for every file beneath this
+        dir — ONE listing pass carries the timestamps, so VACUUM FULL
+        never pays a per-file stat round-trip on an object store."""
+        fs = self._fs()
+        if fs is None:
+            out = []
+            for root, _dirs, files in os.walk(self.path):
+                for n in files:
+                    p = os.path.join(root, n)
+                    out.append((os.path.relpath(p, self.path),
+                                int(os.path.getmtime(p) * 1000)))
+            return sorted(out)
+        import pyarrow.fs as pafs
+        if isinstance(fs, pafs.FileSystem):
+            sel = pafs.FileSelector(self._strip_scheme(),
+                                    recursive=True,
+                                    allow_not_found=True)
+            base = self._strip_scheme().rstrip("/") + "/"
+            return sorted(
+                (i.path[len(base):],
+                 int(i.mtime.timestamp() * 1000) if i.mtime else 0)
+                for i in fs.get_file_info(sel)
+                if i.type == pafs.FileType.File)
+        base = self.path.rstrip("/") + "/"
+        out = []
+        for p, info in fs.find(self.path, detail=True).items():
+            mt = info.get("mtime") or info.get("LastModified")
+            ms = int(mt.timestamp() * 1000) if hasattr(
+                mt, "timestamp") else int(mt or 0)
+            out.append((p[len(base):], ms))
+        return sorted(out)
+
+    def file_mtime_ms(self) -> int:
+        """Last-modified time in epoch milliseconds (VACUUM FULL's
+        untracked-file retention check keys on this — the only
+        timestamp an untracked file has)."""
+        fs = self._fs()
+        if fs is None:
+            return int(os.path.getmtime(self.path) * 1000)
+        import pyarrow.fs as pafs
+        if isinstance(fs, pafs.FileSystem):
+            mt = fs.get_file_info(self._strip_scheme()).mtime
+            return int(mt.timestamp() * 1000) if mt else 0
+        mt = fs.modified(self.path)
+        return int(mt.timestamp() * 1000)
+
     def __repr__(self) -> str:
         return f"Location({self.url!r})"
 

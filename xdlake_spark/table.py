@@ -3786,11 +3786,28 @@ class DeltaTable:
         return t._commit(entry)
 
     def clone(self, dst_location: "str | Location",
-              dst_log_location: "str | Location | None" = None
-              ) -> "DeltaTable":
+              dst_log_location: "str | Location | None" = None,
+              deep: bool = False,
+              distributed_threshold: int = 64) -> "DeltaTable":
         """Shallow clone: copy the log, rewriting relative data paths to
         absolute source URLs; zero data copy; full history preserved
-        (reference __init__.py:231-257)."""
+        (reference __init__.py:231-257).
+
+        ``deep=True`` is delta-spark's DEEP CLONE: copy the LIVE
+        snapshot's data files (and their deletion-vector bitmaps) into
+        the destination under the same relative paths and commit ONE
+        version-0 entry — protocol, the source metaData under a fresh
+        table id (a clone must not collide with the source's streaming
+        checkpoints), and every add verbatim (stats, partitionValues,
+        ZCube tags, DV descriptors all carry over, so skipping and
+        incremental clustering keep working on the clone). History is
+        NOT cloned — the clone starts fresh, per DEEP CLONE semantics.
+        File copies go DISTRIBUTED past ``distributed_threshold``
+        (one Spark job for a million-file table, not a million driver
+        round-trips)."""
+        if deep:
+            return self._deep_clone(dst_location, dst_log_location,
+                                    distributed_threshold)
         dst = Location.resolve(dst_location)
         dst_log = (Location.resolve(dst_log_location)
                    if dst_log_location is not None
@@ -3812,6 +3829,67 @@ class DeltaTable:
                 actions.append(a)
             dst_log.join(log_entry_filename(v)).put_if_absent(
                 DeltaLogEntry(actions).to_bytes())
+        return DeltaTable(self.spark, dst, dst_log)
+
+    def _deep_clone(self, dst_location: "str | Location",
+                    dst_log_location: "str | Location | None",
+                    distributed_threshold: int) -> "DeltaTable":
+        import dataclasses
+
+        from .log.dv import dv_relative_path
+
+        dst = Location.resolve(dst_location, self.storage_options)
+        dst_log = (Location.resolve(dst_log_location)
+                   if dst_log_location is not None
+                   else dst.join("_delta_log"))
+        if dst_log.join(log_entry_filename(0)).exists():
+            raise FileExistsError(
+                f"deep clone target already a table: {dst.url}")
+        # live data files + every DV bitmap a live add references
+        rels = list(self.adds)
+        for a in self.adds.values():
+            desc = (a.extra or {}).get("deletionVector")
+            if desc and desc.get("storageType") == "u":
+                rels.append(dv_relative_path(desc["pathOrInlineDv"]))
+        src_url, dst_url = self.location.url, dst.url
+        opts = self.storage_options
+
+        def _cp(paths):
+            from xdlake_spark.sources.storage import Location as L
+            s_root = L.resolve(src_url, opts)
+            d_root = L.resolve(dst_url, opts)
+            for p in paths:
+                d_root.join(p).write_bytes(
+                    s_root.join(p).read_bytes())
+
+        if len(rels) >= max(1, distributed_threshold):
+            n_slices = max(1, min(256, len(rels) // 16 or 1))
+            (self.spark.sparkContext
+             .parallelize(rels, n_slices).foreachPartition(_cp))
+        else:
+            _cp(rels)
+        md = dataclasses.replace(self.log.metadata(),
+                                 id=str(uuid.uuid4()),
+                                 createdTime=timestamp_ms())
+        now = timestamp_ms()
+        adds = [dataclasses.replace(a, modificationTime=now)
+                for a in self.adds.values()]
+        commit = TableCommit(
+            operation="CLONE",
+            operationParameters={"sourceTable": self.location.url,
+                                 "sourceVersion": str(self.version),
+                                 "isShallow": "false"},
+            operationMetrics={"numCopiedFiles": len(rels),
+                              "copiedFilesSize":
+                                  sum(a.size or 0
+                                      for a in self.adds.values())})
+        entry = DeltaLogEntry([self.log.protocol(), md, *adds, commit])
+        # domain metadata survives the clone (clustering columns,
+        # row-id watermark) — same rule as checkpoints
+        for dm in self.log.live_domain_metadata().values():
+            entry.actions.append(dm)
+        dst_log.join(log_entry_filename(0)).put_if_absent(
+            entry.to_bytes())
         return DeltaTable(self.spark, dst, dst_log)
 
     #: Metadata domain tracking files already loaded by copy_into.
@@ -4360,13 +4438,24 @@ class DeltaTable:
 
     def vacuum(self, retention_hours: "float | None" = None,
                dry_run: bool = False,
-               distributed_threshold: int = 64) -> list[str]:
+               distributed_threshold: int = 64,
+               full: bool = False) -> list[str]:
         """Physically delete tombstoned files older than the retention
         window. Returns deleted (or would-delete) relative paths.
 
         ``retention_hours`` defaults from the table's
         ``delta.deletedFileRetentionDuration`` property (same interval
         grammar as log retention), else delta's 7-day default.
+
+        The default mode is log-only (delta 3.3's "VACUUM LITE"): the
+        doomed set comes purely from tombstones — zero directory
+        listing, the cheap routine mode at 100 TB. ``full=True`` adds
+        delta-spark's listing semantics: untracked files (crashed-
+        writer orphans no log action references) older than the
+        horizon by filesystem mtime are reclaimed too; hidden
+        (``_``/``.``-segment) paths, live adds, tombstoned paths and
+        referenced DV bitmaps are protected in raw and URL-decoded
+        spellings.
 
         Deletion is DISTRIBUTED once the doomed list passes
         ``distributed_threshold`` (delta-spark's model): each executor
@@ -4411,6 +4500,31 @@ class DeltaTable:
                     rel = dv_relative_path(desc["pathOrInlineDv"])
                     if rel not in live_dvs:
                         candidates[rel] = rm.deletionTimestamp or 0
+        if full:
+            # VACUUM FULL (delta-spark's default listing mode, our
+            # opt-in): list the table directory and reclaim UNTRACKED
+            # files older than the horizon — orphans from crashed
+            # writers that no add or tombstone references, which the
+            # log-only walk above can never see. Protection rules,
+            # delta-spark parity: any path with a hidden ('_'/'.')
+            # segment is skipped (that shields _delta_log,
+            # _change_data, _symlink_format_manifest, and in-flight
+            # _staging-* dirs); live adds, every tombstoned path, and
+            # every DV bitmap referenced anywhere are protected in
+            # both raw and URL-decoded spellings (foreign writers
+            # URL-encode add.path). Age comes from filesystem mtime —
+            # the only timestamp an untracked file has.
+            protected = set(live) | set(candidates) | live_dvs
+            protected |= {urllib.parse.unquote(p) for p in list(protected)}
+            for rel, mtime in self.location.list_files_recursive_info():
+                if any(seg.startswith(("_", "."))
+                       for seg in rel.split("/")):
+                    continue
+                if rel in protected \
+                        or urllib.parse.unquote(rel) in protected:
+                    continue
+                if mtime <= horizon:
+                    candidates[rel] = mtime
         doomed = sorted(p for p, ts in candidates.items() if ts <= horizon)
         if not dry_run:
             if len(doomed) >= max(1, distributed_threshold):
