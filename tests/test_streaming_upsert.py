@@ -347,6 +347,33 @@ class TestStreamApplyChanges:
         assert got == {1: ("X", 9)}
 
 
+class TestStreamUpsertScreenedCreates:
+    def test_missing_target_created_by_first_batch(self, registered,
+                                                   tmp_path):
+        """A screened stream pointed at a NOT-YET-EXISTING table must
+        create it on the first batch instead of crashing on the empty
+        log's .version (r10 fix)."""
+        import tempfile
+        from xdlake_spark.streaming.ingest import \
+            stream_upsert_screened
+        spark = registered
+        src_loc = str(tmp_path / "src")
+        tgt_loc = str(tmp_path / "tgt")
+        DeltaTable(spark, src_loc).write(
+            _kv(spark, [(1, "a", 1), (2, "b", 1)]))
+        q = stream_upsert_screened(
+            spark.readStream.format("xdlake").load(src_loc),
+            tgt_loc, tempfile.mkdtemp(), keys=["k"])
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        got = {r.k: r.v for r in DeltaTable(spark, tgt_loc)
+               .to_df().collect()}
+        assert got == {1: "a", 2: "b"}
+
+
 class TestStreamIngestNearDup:
     """stream_ingest_neardup (r10): per-micro-batch near-dup admission
     — replaying the batches through the sink must land exactly the

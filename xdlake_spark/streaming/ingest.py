@@ -220,8 +220,10 @@ def stream_upsert_screened(stream_df: DataFrame, table_location: str,
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         table = DeltaTable(spark, table_location)
         if not seeded[0]:
-            # one-time seed: every key currently in the table
-            if table.version >= 0:
+            # one-time seed: every key currently in the table (a
+            # missing target is fine — the first batch CREATES it;
+            # .version would raise on the empty log)
+            if table.log:
                 _absorb(table.to_df().select(*keys))
             seeded[0] = True
         batch_df = batch_df.dropDuplicates(list(keys))
