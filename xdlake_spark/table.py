@@ -3717,9 +3717,22 @@ class DeltaTable:
                         os.removedirs(os.path.dirname(stale.path))
                     except OSError:
                         pass          # shared parent still in use
-        for key, uris in by_part.items():
+        def write_one(item):
+            key, uris = item
             dst = root.join(f"{key}/manifest" if key else "manifest")
             dst.write_bytes(("\n".join(sorted(uris)) + "\n").encode())
+
+        items = list(by_part.items())
+        # manifests are independent ~KB writes: thread-pool them the
+        # same way _write_data pools its renames, so a 10k-partition
+        # GENERATE is bounded by store latency / 16, not serial RTTs
+        if len(items) > 8:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                list(pool.map(write_one, items))
+        else:
+            for it in items:
+                write_one(it)
         return self
 
     @classmethod
@@ -3855,12 +3868,21 @@ class DeltaTable:
         opts = self.storage_options
 
         def _cp(paths):
+            import os as _os
+            import shutil as _shutil
+
             from xdlake_spark.sources.storage import Location as L
             s_root = L.resolve(src_url, opts)
             d_root = L.resolve(dst_url, opts)
             for p in paths:
-                d_root.join(p).write_bytes(
-                    s_root.join(p).read_bytes())
+                s, d = s_root.join(p), d_root.join(p)
+                if s.scheme == "file" and d.scheme == "file":
+                    # stream, never buffer a whole file in memory
+                    _os.makedirs(_os.path.dirname(d.path),
+                                 exist_ok=True)
+                    _shutil.copyfile(s.path, d.path)
+                else:
+                    d.write_bytes(s.read_bytes())
 
         if len(rels) >= max(1, distributed_threshold):
             n_slices = max(1, min(256, len(rels) // 16 or 1))
