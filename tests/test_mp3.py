@@ -390,6 +390,193 @@ class TestLSF:
             assert (sum(kinds[0]), sum(kinds[1]), sum(kinds[2])) \
                 == (21, 36, 33)
 
+    def test_lsf_kind1_counts_are_window_multiples(self):
+        """Every kind-1 (pure-short) nsfb count is a multiple of 3 —
+        the invariant _intensity_stereo_lsf_short leans on to give
+        all three windows of one sfb the same slen group."""
+        for bn, kinds in mp3.LSF_NSFB.items():
+            assert all(n % 3 == 0 for n in kinds[1]), bn
+
+
+class TestShortIntensity:
+    """Intensity stereo on pure-SHORT blocks (r10): MPEG-1 tan
+    panning and LSF power-of-two panning, both applied per window in
+    the reordered (line-major) domain with per-window intensity
+    bounds — formula-pinned here, end-to-end via encode_mp3."""
+
+    def _short_granule(self):
+        g = mp3._Granule()
+        g.window_switching, g.block_type, g.mixed_block = 1, 2, 0
+        g.scalefac_s = [[7] * 3 for _ in range(13)]
+        g.scalefac_l = [0] * 22
+        return g
+
+    def test_mpeg1_short_formula_per_window(self):
+        g = self._short_granule()
+        sfb = mp3.SFB_SHORT[44100]
+        g.scalefac_s[0] = [3, 6, 7]      # w0: 50/50, w1: full left,
+        #                                  w2: off
+        xl, xr = np.ones(576), np.zeros(576)
+        l, r = mp3._intensity_stereo_short(xl.copy(), xr.copy(),
+                                           g, 44100)
+        b0 = slice(sfb[0], sfb[1])
+        # window views of band 0
+        w0l, w0r = l[0::3][b0], r[0::3][b0]
+        w1l, w1r = l[1::3][b0], r[1::3][b0]
+        w2l, w2r = l[2::3][b0], r[2::3][b0]
+        assert np.allclose(w0l, 0.5) and np.allclose(w0r, 0.5)
+        # is_pos 6: tan(pi/2) -> ratio inf; ratio/(1+ratio) -> 1
+        assert np.allclose(w1l, 1.0) and np.allclose(w1r, 0.0)
+        # is_pos 7: intensity OFF (band untouched, right stays 0)
+        assert np.allclose(w2l, 1.0) and np.allclose(w2r, 0.0)
+
+    def test_mpeg1_short_per_window_rzero(self):
+        """A window whose right channel has data keeps its bands
+        stereo; the other windows of the SAME granule still pan."""
+        g = self._short_granule()
+        g.scalefac_s[0] = [0, 0, 0]      # is_pos 0: full right
+        sfb = mp3.SFB_SHORT[44100]
+        xl, xr = np.ones(576), np.zeros(576)
+        # give window 1 right-channel data through the END of band 0
+        xr[1::3][sfb[1] - 1] = 0.5
+        l, r = mp3._intensity_stereo_short(xl.copy(), xr.copy(),
+                                           g, 44100)
+        b0 = slice(sfb[0], sfb[1])
+        # window 0 and 2 pan (is_pos 0 -> left silent, right = l)
+        assert np.allclose(l[0::3][b0], 0.0)
+        assert np.allclose(r[0::3][b0], 1.0)
+        assert np.allclose(l[2::3][b0], 0.0)
+        # window 1's band 0 is below ITS rzero: untouched
+        assert np.allclose(l[1::3][b0], 1.0)
+        assert r[1::3][sfb[1] - 1] == 0.5
+
+    def test_mpeg1_short_band12_is_off(self):
+        """The 13th short band has no transmitted scalefactor:
+        intensity off, same convention as long sfb 21."""
+        g = self._short_granule()
+        for sfb_i in range(12):
+            g.scalefac_s[sfb_i] = [0, 0, 0]
+        sfb = mp3.SFB_SHORT[44100]
+        xl, xr = np.ones(576), np.zeros(576)
+        l, r = mp3._intensity_stereo_short(xl.copy(), xr.copy(),
+                                           g, 44100)
+        b12 = slice(sfb[12], sfb[13])
+        for w in range(3):
+            assert np.allclose(l[w::3][b12], 1.0)
+            assert np.allclose(r[w::3][b12], 0.0)
+
+    def test_lsf_short_formula_and_illegal_positions(self):
+        g = self._short_granule()
+        # intensity layout block 3: isc=43 -> slen (1,1,1), illegal 1
+        g.scalefac_compress = 86
+        g.scalefac_s[0] = [2, 3, 1]      # even: right attenuates;
+        #                                  odd: left; 1 == illegal
+        sfb = mp3.SFB_SHORT[22050]
+        xl, xr = np.ones(576), np.zeros(576)
+        l, r = mp3._intensity_stereo_lsf_short(
+            xl.copy(), xr.copy(), g, 22050, False)
+        f2 = 2.0 ** (-(((2 + 1) >> 1) << 0) / 4.0)
+        f3 = 2.0 ** (-(((3 + 1) >> 1) << 0) / 4.0)
+        b0 = slice(sfb[0], sfb[1])
+        assert np.allclose(l[0::3][b0], 1.0)
+        assert np.allclose(r[0::3][b0], f2)
+        assert np.allclose(l[1::3][b0], f3)
+        assert np.allclose(r[1::3][b0], 1.0)
+        assert np.allclose(l[2::3][b0], 1.0)     # illegal: OFF
+        assert np.allclose(r[2::3][b0], 0.0)
+        # intensity_scale = 1 doubles the exponent shift
+        g.scalefac_compress = 87
+        l, r = mp3._intensity_stereo_lsf_short(
+            xl.copy(), xr.copy(), g, 22050, False)
+        assert np.allclose(r[0::3][b0],
+                           2.0 ** (-(((2 + 1) >> 1) << 1) / 4.0))
+        # ms_on restores the /sqrt2-scaled mid before panning
+        g.scalefac_compress = 86
+        l, r = mp3._intensity_stereo_lsf_short(
+            xl.copy(), xr.copy(), g, 22050, True)
+        assert np.allclose(l[0::3][b0], np.sqrt(2.0))
+
+    def test_lsf_short_end_to_end_copies_left(self):
+        """encode_mp3(block_type=2, intensity=True) at an LSF rate:
+        the short right granule carries 36 legal is_pos=0 values —
+        a conformant decoder pans the left spectrum to BOTH
+        outputs."""
+        n = 6 * 576
+        t = np.arange(n) / 22050.0
+        ref = 0.4 * np.sin(2 * np.pi * 330.0 * t)
+        st = np.stack([ref, np.zeros(n)], axis=1)
+        data = mp3.encode_mp3(st, sample_rate=22050, bitrate=96,
+                              intensity=True, block_type=2)
+        sr, pcm = mp3.decode_mp3(data)
+        assert sr == 22050 and pcm.shape == (n, 2)
+        assert np.allclose(pcm[:, 0], pcm[:, 1], atol=1e-6)
+        assert np.abs(pcm[2000:4000, 1]).mean() > 0.05
+        lag = 1057
+        assert _snr_db(ref[200:n - lag - 200],
+                       pcm[200 + lag:n - 200, 1]) > 15.0
+
+    @pytest.mark.parametrize("block_type", [0, 2])
+    def test_mpeg1_intensity_end_to_end_pans_right(self, block_type):
+        """MPEG-1 intensity (long AND short): is_pos 0 means tan(0)
+        panning — left output silent, the spectrum plays on the
+        right."""
+        n = 6 * 1152
+        t = np.arange(n) / 44100.0
+        ref = 0.4 * np.sin(2 * np.pi * 440.0 * t)
+        st = np.stack([ref, np.zeros(n)], axis=1)
+        data = mp3.encode_mp3(st, sample_rate=44100, bitrate=320,
+                              intensity=True, block_type=block_type)
+        sr, pcm = mp3.decode_mp3(data)
+        assert sr == 44100 and pcm.shape == (n, 2)
+        assert np.max(np.abs(pcm[:, 0])) == 0.0
+        lag = 1057
+        assert _snr_db(ref[200:n - lag - 200],
+                       pcm[200 + lag:n - 200, 1]) > 15.0
+
+    def test_short_intensity_patched_stream_is_identity(self):
+        """A plain-stereo SHORT-block stream patched to
+        joint+intensity decodes identically: every window's right
+        channel carries a full spectrum, so every per-window
+        intensity bound sits at the top and no band pans."""
+        n = 4 * 1152
+        t = np.arange(n) / 48000.0
+        ref = 0.4 * np.sin(2 * np.pi * 520.0 * t)
+        st = np.stack([ref, 0.5 * ref], axis=1)
+        clean = mp3.encode_mp3(st, sample_rate=48000, bitrate=320,
+                               block_type=2)
+        data = bytearray(clean)
+        for off in range(0, len(data) - 4):
+            if data[off] == 0xFF and (data[off + 1] & 0xE0) == 0xE0:
+                data[off + 3] = (data[off + 3] & 0x0F) \
+                    | (1 << 6) | 0x10
+        _, want = mp3.decode_mp3(clean)
+        _, got = mp3.decode_mp3(bytes(data))
+        assert np.allclose(got, want, atol=1e-6)
+
+    def test_mixed_block_intensity_still_raises(self):
+        """Intensity on MIXED short blocks stays a loud guard: patch
+        a short-block intensity stream's mixed_block side-info bit."""
+        n = 2 * 576
+        st = np.stack([0.3 * np.sin(2 * np.pi * 330.0 *
+                                    np.arange(n) / 22050.0),
+                       np.zeros(n)], axis=1)
+        data = bytearray(mp3.encode_mp3(st, sample_rate=22050,
+                                        bitrate=96, intensity=True,
+                                        block_type=2))
+        # LSF stereo side info: 8b main_data_begin + 2b private,
+        # then per channel 63 bits. In granule ch0: 12b part2_3 +
+        # 9b big_values + 8b global_gain + 9b scalefac_compress +
+        # 1b window_switching + 2b block_type -> mixed flag is bit
+        # 41 of the side block (0-indexed), i.e. bit 51 overall.
+        for off in range(0, len(data) - 4):
+            if data[off] == 0xFF and (data[off + 1] & 0xE0) == 0xE0:
+                side = off + 4
+                for base in (10 + 0 * 63, 10 + 1 * 63):  # both ch
+                    bit = base + 41
+                    data[side + bit // 8] |= 0x80 >> (bit % 8)
+        with pytest.raises(NotImplementedError, match="MIXED"):
+            mp3.decode_mp3(bytes(data))
+
 
 class TestErrors:
     def test_mpeg2_layer2_raises(self):

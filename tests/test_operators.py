@@ -662,7 +662,11 @@ class TestMultimodalRealDecode:
             # MPEG-2 LSF frames at 22.05 kHz (every 3rd doc, r9)
             assert sum(c["n_samples"] for c in chunks) == 2304
             amp = 0.25 + 0.05 * (doc_id % 6)
-            if doc_id % 2:                  # stereo: mono downmix
+            if doc_id % 6 == 5:
+                # MPEG-1 intensity (r10): is_pos 0 pans the tone
+                # fully right, left silent -> downmix halves it
+                amp *= 0.5
+            elif doc_id % 2:                # stereo: mono downmix
                 amp *= 0.75
             expect = amp / np.sqrt(2.0)
             steady = max(c["rms"] for c in chunks)

@@ -807,6 +807,84 @@ def _intensity_stereo(xl, xr, g_right: _Granule, sr: int):
     return xl, xr
 
 
+def _intensity_stereo_short(xl, xr, g_right: _Granule, sr: int):
+    """SHORT-block (non-mixed) intensity stereo, ISO 11172-3 (r10):
+    the same tan(is_pos*pi/12) panning as :func:`_intensity_stereo`,
+    applied PER WINDOW in the reordered (line-major) domain the
+    decode pipeline is already in after :func:`_reorder_short` —
+    window ``w`` of a granule is the strided view ``x[w::3]``, under
+    which scalefactor band ``sfb`` is the contiguous per-window line
+    range ``SFB_SHORT[sr][sfb:sfb+2]``.
+
+    Each window carries its own intensity bound: bands at/above THAT
+    window's right-channel zero boundary pan; ``is_pos == 7`` turns
+    intensity off for the band, and the 13th band (index 12, no
+    transmitted scalefactor) is off by the same convention as long
+    sfb 21 above.
+    """
+    sfb_s = SFB_SHORT[sr]
+    for w in range(3):
+        lv, rv = xl[w::3], xr[w::3]
+        nz = np.nonzero(rv)[0]
+        rzero = int(nz[-1]) + 1 if len(nz) else 0
+        for sfb in range(13):
+            s, e = sfb_s[sfb], sfb_s[sfb + 1]
+            if s < rzero:
+                continue
+            is_pos = g_right.scalefac_s[sfb][w] if sfb < 12 else 7
+            if is_pos == 7:
+                continue
+            ratio = np.tan(is_pos * np.pi / 12.0)
+            l = lv[s:e].copy()
+            lv[s:e] = l * (ratio / (1.0 + ratio))
+            rv[s:e] = l * (1.0 / (1.0 + ratio))
+    return xl, xr
+
+
+def _intensity_stereo_lsf_short(xl, xr, g_right: _Granule, sr: int,
+                                ms_on: bool):
+    """LSF SHORT-block (non-mixed) intensity stereo, ISO 13818-3
+    §2.4.3.4 (r10): the power-of-two panning of
+    :func:`_intensity_stereo_lsf` applied per window in the
+    reordered (line-major) domain.
+
+    is_pos values are the right granule's short scalefactors (36 of
+    them, window-interleaved, read with the halved-code blocks 3-5);
+    the illegal "intensity off" position is ``(1 << slen) - 1`` for
+    the slen GROUP the (sfb, window) pair falls in — every kind-1
+    nsfb count is a multiple of 3 (pinned structurally in tests), so
+    all three windows of one sfb share a group. The 13th band
+    (index 12, no transmitted scalefactor) is off, matching the
+    long-path convention for sfb 21.
+    """
+    slen, bn = _lsf_slens(g_right, True)
+    nsfb = LSF_NSFB[bn][1]
+    illegal: list = []
+    for n, sl in zip(nsfb, slen):
+        illegal += [(1 << sl) - 1] * n
+    sfb_s = SFB_SHORT[sr]
+    isc = g_right.scalefac_compress & 1
+    undo_ms = np.sqrt(2.0) if ms_on else 1.0
+    for w in range(3):
+        lv, rv = xl[w::3], xr[w::3]
+        nz = np.nonzero(rv)[0]
+        rzero = int(nz[-1]) + 1 if len(nz) else 0
+        for sfb in range(12):
+            s, e = sfb_s[sfb], sfb_s[sfb + 1]
+            if s < rzero:
+                continue
+            p = g_right.scalefac_s[sfb][w]
+            fi = 3 * sfb + w
+            if fi < len(illegal) and p == illegal[fi]:
+                continue                # intensity off for this band
+            f = 2.0 ** (-(((p + 1) >> 1) << isc) / 4.0)
+            kl, kr = (f, 1.0) if (p & 1) else (1.0, f)
+            l = lv[s:e] * undo_ms
+            lv[s:e] = l * kl
+            rv[s:e] = l * kr
+    return xl, xr
+
+
 # ---------------------------------------------------------------------------
 # Hybrid synthesis: IMDCT + overlap + frequency inversion + polyphase
 # ---------------------------------------------------------------------------
@@ -847,9 +925,11 @@ def decode_mp3(data: bytes) -> tuple:
 
     Returns ``(sample_rate, float32 array shape (n_samples, channels))``
     in [-1, 1]. Raises NotImplementedError for Layer I/II, intensity
-    stereo on SHORT blocks, or frames selecting Huffman tables outside
-    the verified set; raises ValueError on streams with no MPEG
-    frames. Frames whose reservoir back-pointer reaches before the
+    stereo on MIXED short blocks, or frames selecting Huffman tables
+    outside the verified set; raises ValueError on streams with no
+    MPEG frames. Intensity stereo decodes on long AND pure-short
+    blocks, MPEG-1 (tan panning) and LSF (power-of-two panning,
+    r10 for short blocks) alike. Frames whose reservoir back-pointer reaches before the
     available data decode as silence (standard decoder behavior on a
     mid-stream splice).
     """
@@ -923,11 +1003,18 @@ def decode_mp3(data: bytes) -> tuple:
             if ch == 2 and is_on:
                 gR = grs[gr][1]
                 if gR.window_switching and gR.block_type == 2:
-                    raise NotImplementedError(
-                        "intensity stereo on short blocks is not "
-                        "implemented (long-block intensity and MS "
-                        "are)")
-                if lsf:
+                    if gR.mixed_block:
+                        raise NotImplementedError(
+                            "intensity stereo on MIXED short blocks "
+                            "is not implemented (long, pure-short "
+                            "and MS are)")
+                    if lsf:
+                        xrs[0], xrs[1] = _intensity_stereo_lsf_short(
+                            xrs[0], xrs[1], gR, sr, ms_on)
+                    else:
+                        xrs[0], xrs[1] = _intensity_stereo_short(
+                            xrs[0], xrs[1], gR, sr)
+                elif lsf:
                     xrs[0], xrs[1] = _intensity_stereo_lsf(
                         xrs[0], xrs[1], gR, sr, ms_on)
                 else:
@@ -1049,12 +1136,15 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 48000,
     the same audio."""
     if block_type not in (0, 2):
         raise ValueError("block_type: 0 (long) or 2 (short) only")
-    # intensity=True: LSF joint-stereo fixture — the LEFT channel
-    # carries the spectrum, the right granule is empty with all-zero
-    # is_pos (scalefac_compress 0), so a conformant decoder copies the
-    # left spectrum to both outputs (ISO 13818-3 p=0 panning). The
-    # spec-faithful way to exercise the LSF intensity path with this
-    # encoder's zero-scalefactor design.
+    # intensity=True: joint-stereo fixture — the LEFT channel carries
+    # the spectrum, the right granule is empty with all-zero is_pos.
+    # LSF (scalefac_compress 86, slen 1): p=0 is LEGAL and means
+    # copy-left-to-both (ISO 13818-3). MPEG-1 (scalefac_compress 0,
+    # slen 0): is_pos 0 means tan(0) panning = left silent, spectrum
+    # on the RIGHT output (ISO 11172-3). Composes with block_type=2
+    # (r10): the short right granule transmits 36 window-interleaved
+    # is_pos values instead of 21. The spec-faithful way to exercise
+    # every intensity decode path with this zero-scalefactor encoder.
     if sample_rate in _MP3_SAMPLERATES[1]:
         version = 1
     elif sample_rate in _MP3_SAMPLERATES[2]:
@@ -1074,11 +1164,10 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 48000,
     ch = pcm.shape[1]
     if ch not in (1, 2):
         raise ValueError("mono or stereo only")
-    if intensity:
-        if version == 1 or ch != 2:
-            raise ValueError(
-                "intensity=True emits an LSF joint-stereo stream: "
-                "needs an MPEG-2/2.5 sample rate and 2 channels")
+    if intensity and ch != 2:
+        raise ValueError(
+            "intensity=True emits a joint-stereo stream: "
+            "needs 2 channels")
     n_frames = max(1, -(-pcm.shape[0] // spf))
     pad = n_frames * spf - pcm.shape[0]
     if pad:
@@ -1165,13 +1254,22 @@ def encode_mp3(pcm: np.ndarray, sample_rate: int = 48000,
         for gr in range(n_gr):
             for c in range(ch):
                 gg, tid, bw, bv = granule_data[gr * ch + c]
-                # intensity right granule: scalefac_compress 86
+                # intensity right granule. LSF: scalefac_compress 86
                 # (intensity layout isc=43 -> slen (1,1,1), block 3,
-                # 21 one-bit scalefactors) so is_pos 0 is LEGAL (the
-                # illegal position is (1<<slen)-1 = 1, ISO 13818-3) --
-                # all-zero is_pos bits mean "copy left to both"
-                sc_val, sc_bits = (86, 21) \
-                    if (intensity and c == 1) else (0, 0)
+                # 21 long / 36 short one-bit scalefactors) so is_pos
+                # 0 is LEGAL (the illegal position is (1<<slen)-1 =
+                # 1, ISO 13818-3) -- all-zero is_pos bits mean "copy
+                # left to both". MPEG-1: scalefac_compress 0 -> slen
+                # (0,0), zero scalefactor bits, is_pos 0 = tan(0)
+                # panning (left silent, spectrum on the right).
+                if intensity and c == 1:
+                    if lsf:
+                        sc_val = 86
+                        sc_bits = 36 if block_type == 2 else 21
+                    else:
+                        sc_val, sc_bits = 0, 0
+                else:
+                    sc_val, sc_bits = 0, 0
                 side.write(len(bw) + sc_bits, 12)  # part2_3_length
                 side.write(bv, 9)
                 side.write(gg, 8)
@@ -1207,11 +1305,13 @@ def encode_mp3_tone(freq: float = 440.0, n_frames: int = 4,
                     sample_rate: int = 48000, channels: int = 1,
                     amplitude: float = 0.5,
                     bitrate: int = 320,
-                    intensity: bool = False) -> bytes:
+                    intensity: bool = False,
+                    block_type: int = 0) -> bytes:
     """Deterministic sine-tone MP3 fixture (real spectral data).
-    ``intensity=True`` (LSF stereo only) emits a joint-stereo
-    intensity frame: the tone rides the left granule and is_pos 0
-    pans it to both outputs."""
+    ``intensity=True`` (stereo) emits a joint-stereo intensity
+    frame: the tone rides the left granule; LSF is_pos 0 pans it to
+    both outputs, MPEG-1 is_pos 0 pans it fully right.
+    ``block_type=2`` emits short-block granules."""
     n = n_frames * (1152 if sample_rate in _MP3_SAMPLERATES[1]
                     else 576)
     t = np.arange(n) / sample_rate
@@ -1221,4 +1321,4 @@ def encode_mp3_tone(freq: float = 440.0, n_frames: int = 4,
     elif channels == 2:
         tone = np.stack([tone, 0.5 * tone], axis=1)
     return encode_mp3(tone, sample_rate=sample_rate, bitrate=bitrate,
-                      intensity=intensity)
+                      intensity=intensity, block_type=block_type)

@@ -793,6 +793,10 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
             # LSF side-info/scalefactor path decodes in the same pass.
             # Every 6th doc is LSF JOINT-STEREO INTENSITY (r10): the
             # 13818-3 power-of-two panning path decodes in-fleet too.
+            # Docs at 5 mod 6 are MPEG-1 intensity (11172-3 tan
+            # panning), and every 12th / 11-mod-12th doc carries its
+            # intensity on SHORT blocks (r10) — all four intensity
+            # decode paths exercise in one corpus.
             out = []
             for i in ids:
                 i = int(i)
@@ -804,7 +808,8 @@ def attach_fake_payloads(df: DataFrame, text_col: str = "text",
                     channels=1 + i % 2,
                     amplitude=0.25 + 0.05 * (i % 6),
                     bitrate=160 if lsf else 320,
-                    intensity=(i % 6 == 0)))
+                    intensity=(i % 6 in (0, 5)),
+                    block_type=2 if i % 12 in (0, 11) else 0))
             return pd.Series(out)
 
         return df.select(F.col(id_col),
