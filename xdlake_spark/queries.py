@@ -1547,6 +1547,46 @@ def delta_detail_query(spark, sf_dir):
         F.col("minWriterVersion").alias("min_writer"))
 
 
+@register("delta_checksum_state", """
+SELECT (SELECT count(DISTINCT l_returnflag) FROM lineitem)
+           AS num_files,
+       (SELECT count(DISTINCT l_returnflag) FROM lineitem
+        WHERE l_quantity > 47)           AS num_dvs,
+       (SELECT count(*) FROM lineitem
+        WHERE l_quantity > 47)           AS num_deleted,
+       (SELECT count(*) FROM lineitem
+        WHERE l_quantity <= 47)          AS live_rows,
+       0                                 AS n_problems
+""")
+def delta_checksum_state(spark, sf_dir):
+    """Per-version checksum files end to end (r10, log/checksum.py —
+    delta-spark VersionChecksum parity): a single-task partitioned
+    write plus a merge-on-read DV delete; the stored crc's live-file
+    count and deletion-vector totals must equal the DuckDB-derivable
+    state, and verify_checksum() must pass at BOTH versions (asserted
+    via n_problems, not just in pytest). Driver-side metadata reads
+    except the one live-rows scan."""
+    from .log.checksum import read_checksum
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        li.coalesce(1), partition_by=["l_returnflag"])
+    t = t.delete("l_quantity > 47", mode="merge-on-read")
+    crc = read_checksum(t.log_location, t.version) or {}
+    problems = []
+    for h in (t, t.load_as_version(0)):
+        p = h.verify_checksum()
+        problems += p if p is not None else ["missing crc"]
+    live = t.to_df().count()
+    row = [(int(crc.get("numFiles", -1)),
+            int(crc.get("numDeletionVectorsOpt", -1)),
+            int(crc.get("numDeletedRecordsOpt", -1)),
+            int(live), len(problems))]
+    return spark.createDataFrame(
+        row, "num_files long, num_dvs long, num_deleted long, "
+             "live_rows long, n_problems long")
+
+
 @register("delta_generate_manifest_read", """
 SELECT l_returnflag, count(*) AS n,
        round(sum(l_extendedprice), 2) AS revenue

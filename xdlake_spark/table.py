@@ -2405,6 +2405,26 @@ class DeltaTable:
             a.stats = st.to_json()
         return adds
 
+    def verify_checksum(self) -> "list[str] | None":
+        """Validate this snapshot against its stored per-version
+        checksum (``{version}.crc``, delta-spark VersionChecksum
+        parity — written by every commit this engine performs,
+        log/checksum.py). Returns ``None`` when no checksum exists
+        for the snapshot's version (foreign writer, expired by log
+        cleanup), an empty list when the reconstructed state matches,
+        else human-readable mismatch descriptions — a non-empty
+        result means log corruption or a replay defect and the table
+        should not be trusted. Pure driver-side metadata: one
+        KB-scale file read, no Spark job, no data listing — the
+        cheapest state validation there is at 100 TB."""
+        from .log.checksum import read_checksum, verify_checksum
+        if self.log is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        crc = read_checksum(self.log_location, self.version)
+        if crc is None:
+            return None
+        return verify_checksum(self.log, crc)
+
     def detail(self) -> DataFrame:
         """DESCRIBE DETAIL (delta-spark ``DeltaTable.detail()``): one
         row of table metadata — format, id, name, description,
@@ -2854,6 +2874,10 @@ class DeltaTable:
         with self.commit_context(self._version_to_write):
             commit_entry(self.log_location, self._version_to_write, entry)
         new = type(self)(self.spark, self.location, self.log_location)
+        # delta-spark parity: a {version}.crc VersionChecksum rides
+        # every commit (best-effort — never a commit failure)
+        from .log.checksum import write_version_checksum
+        write_version_checksum(self.log_location, new.log)
         # interval: the delta.checkpointInterval table property wins
         # over the handle attribute (delta-spark's knob)
         interval = self.checkpoint_interval
@@ -4637,7 +4661,7 @@ class DeltaTable:
             t = h.get("inCommitTimestamp", h.get("timestamp"))
             if t is not None:
                 commit_ts[h["version"]] = int(t)
-        pat = _re.compile(r"^(\d{20})\.(json|checkpoint(\.|$).*|"
+        pat = _re.compile(r"^(\d{20})\.(json|crc|checkpoint(\.|$).*|"
                           r"checkpoint\.parquet)$")
         doomed: list[str] = []
         kept_ckpts: list[str] = []
