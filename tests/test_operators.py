@@ -227,6 +227,97 @@ class TestEmbeddingDedup:
         assert len(lsh & exact) / len(exact) >= 0.9
 
 
+class TestSemDeDup:
+    """semdedup (operators/dedup.py): within-k-means-cluster prefix
+    pruning per Abbas et al. 2023 — numpy-twin differential, planted
+    near-duplicate recovery, determinism, and the oversize-cluster
+    guard."""
+
+    def _twin(self, pdf, cents, thr):
+        """Sequential numpy reimplementation of the per-cluster rule."""
+        X = np.array(pdf["embedding"].tolist(), dtype="float64")
+        n = np.linalg.norm(X, axis=1)
+        n[n == 0] = 1.0
+        Xn = X / n[:, None]
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cl = d.argmin(axis=1)
+        out = {}
+        for c in np.unique(cl):
+            idx = np.where(cl == c)[0]
+            cv = cents[c] / (np.linalg.norm(cents[c]) or 1.0)
+            csim = Xn[idx] @ cv
+            ids = pdf["vec_id"].to_numpy()[idx]
+            order = idx[np.lexsort((ids, csim))]
+            for pos, i in enumerate(order):
+                prior = -1.0 if pos == 0 else float(
+                    (Xn[order[:pos]] @ Xn[i]).max())
+                out[int(pdf["vec_id"].iloc[i])] = (
+                    int(c), prior, pos == 0 or prior <= thr)
+        return out
+
+    def test_fixed_centroids_match_numpy_twin(self, spark, embeddings):
+        pdf = embeddings.orderBy("vec_id").toPandas()
+        cents = np.array(pdf["embedding"].tolist()[:6], dtype="float64")
+        got = dedup.semdedup(embeddings, threshold=0.3,
+                             centroids=cents).collect()
+        want = self._twin(pdf, cents, 0.3)
+        assert len(got) == len(pdf)
+        for r in got:
+            c, prior, keep = want[r["vec_id"]]
+            assert r["cluster"] == c, r
+            assert abs(r["max_prior_sim"] - prior) < 1e-9, r
+            assert r["keep"] == keep, r
+
+    def test_planted_duplicates_are_pruned(self, spark,
+                                           planted_embeddings):
+        """Each planted pair is near-identical (cosine ~0.98): exactly
+        one member of each pair must survive at threshold 0.95."""
+        out = dedup.semdedup(planted_embeddings, n_clusters=4,
+                             threshold=0.95, iters=3)
+        rows = {r["vec_id"]: r for r in out.collect()}
+        exact = dedup.embedding_neardup_pairs(
+            planted_embeddings, threshold=0.95, exact=True).collect()
+        planted = [(r["id_a"], r["id_b"]) for r in exact]
+        assert len(planted) >= 20
+        dropped = 0
+        for a, b in planted:
+            ra, rb = rows[a], rows[b]
+            if ra["cluster"] == rb["cluster"]:
+                # same cluster + >thr similar: at most one survives
+                # (both may drop inside a larger duplicate group)
+                assert not (ra["keep"] and rb["keep"]), (a, b)
+                dropped += 1
+        assert dropped >= 15    # k-means rarely splits ~0.98 pairs
+        # every drop is justified and every survivor is clean
+        for r in rows.values():
+            if r["keep"]:
+                assert r["max_prior_sim"] <= 0.95, r
+            else:
+                assert r["max_prior_sim"] > 0.95, r
+
+    def test_kmeans_path_is_deterministic(self, spark, embeddings):
+        a = dedup.semdedup(embeddings, n_clusters=5, threshold=0.3,
+                           iters=3).orderBy("vec_id").collect()
+        b = dedup.semdedup(embeddings, n_clusters=5, threshold=0.3,
+                           iters=3).orderBy("vec_id").collect()
+        assert a == b
+
+    def test_first_per_cluster_always_kept(self, spark, embeddings):
+        out = dedup.semdedup(embeddings, n_clusters=6,
+                             threshold=-1.1, iters=2).collect()
+        # threshold below any cosine: everything drops EXCEPT each
+        # cluster's first item, which survives unconditionally
+        kept = [r for r in out if r["keep"]]
+        assert len(kept) == len({r["cluster"] for r in out})
+        assert all(r["max_prior_sim"] == -1.0 for r in kept)
+
+    def test_oversize_cluster_raises_loudly(self, spark, embeddings):
+        cents = np.zeros((1, 64))     # everything lands in cluster 0
+        with pytest.raises(Exception, match="max_cluster"):
+            dedup.semdedup(embeddings, centroids=cents,
+                           max_cluster=10).collect()
+
+
 QUERY_VEC = [0.1] * 32 + [-0.1] * 32
 
 

@@ -1351,3 +1351,101 @@ def paragraph_dedup_within(df: DataFrame, text_col: str = "text",
         F.array_join(folded["out"], sep).alias(text_col),
         (F.size(parts) - F.size(folded["out"]))
         .cast("int").alias("n_removed"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via within-cluster prefix pruning
+# ---------------------------------------------------------------------------
+
+
+def semdedup(df: DataFrame, n_clusters: int = 16,
+             threshold: float = 0.95, vec_col: str = "embedding",
+             id_col: str = "vec_id", iters: int = 4, seed: int = 42,
+             centroids=None, max_cluster: int = 200_000) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, then within each
+    cluster drop every item whose cosine similarity to any EARLIER
+    item exceeds ``threshold`` (the paper's ``1 - eps``). Items are
+    ordered farthest-from-centroid first (ascending centroid cosine,
+    id tiebreak), the released SemDeDup convention — the most
+    centroid-distant member of a duplicate neighborhood survives.
+
+    The drop rule compares against all earlier items, kept or not
+    (the paper's released semantics: one upper-triangular max, fully
+    vectorized), so the decision is a pure prefix max — no sequential
+    dependence on keep status.
+
+    Scale shape: clustering bounds the O(N^2) comparison to
+    O(sum m_c^2) — the whole point of SemDeDup; at 100 TB you raise
+    ``n_clusters`` until clusters are executor-sized (the paper uses
+    50k clusters for LAION). Each cluster is ONE applyInPandas task
+    (a single m x m float64 matmul); a cluster above ``max_cluster``
+    raises loudly with that guidance rather than OOMing an executor.
+    Never corpus x corpus, nothing collected to the driver.
+
+    ``centroids``: optional fixed ``k x dim`` matrix — skip the
+    k-means and only assign (deterministic, SQL-reproducible; the
+    oracle path). Default None trains with :func:`clustering.kmeans`.
+
+    Returns one row per input row: ``id_col``, ``cluster``,
+    ``centroid_sim``, ``max_prior_sim`` (-1 for each cluster's first
+    item), ``keep``.
+    """
+    from .clustering import assign_to_centroids, kmeans
+
+    if centroids is None:
+        assigned, centroids = kmeans(
+            df, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col,
+            iters=iters, seed=seed)
+    else:
+        assigned = assign_to_centroids(
+            ensure_parallelism(df), centroids, vec_col=vec_col)
+    cents = np.asarray(centroids, dtype="float64")
+    thr = float(threshold)
+    cap = int(max_cluster)
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("centroid_sim", T.DoubleType()),
+        T.StructField("max_prior_sim", T.DoubleType()),
+        T.StructField("keep", T.BooleanType()),
+    ])
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        c = int(pdf["cluster"].iloc[0])
+        if m > cap:
+            raise ValueError(
+                f"semdedup cluster {c} holds {m} vectors "
+                f"(> max_cluster={cap}); raise n_clusters so clusters "
+                "are executor-sized")
+        X = np.array(pdf[vec_col].tolist(), dtype="float64")
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0
+        Xn = X / norms[:, None]
+        cv = cents[c]
+        cn = float(np.linalg.norm(cv)) or 1.0
+        csim = Xn @ (cv / cn)
+        ids = pdf[id_col].to_numpy()
+        order = np.lexsort((ids, csim))
+        S = Xn[order] @ Xn[order].T
+        prior = np.full(m, -1.0)
+        if m > 1:
+            upper = np.where(
+                np.arange(m)[:, None] < np.arange(m)[None, :],
+                S, -np.inf)
+            prior[1:] = upper.max(axis=0)[1:]
+        keep = prior <= thr
+        keep[0] = True       # a cluster's first item always survives
+        return pd.DataFrame({
+            id_col: ids[order],
+            "cluster": np.full(m, c, dtype="int32"),
+            "centroid_sim": csim[order],
+            "max_prior_sim": prior,
+            "keep": keep,
+        })
+
+    return (assigned
+            .select(id_col, vec_col, "cluster")
+            .groupBy("cluster").applyInPandas(prune, out_schema))

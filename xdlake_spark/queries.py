@@ -3441,6 +3441,77 @@ def semantic_dedup_q(spark, sf_dir):
     return keep.select("vec_id")
 
 
+@register("semdedup_cluster_prune", """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < 8
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS vec,
+         (SELECT c.cid FROM cents c
+          ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec), c.cid
+          LIMIT 1) AS cluster
+  FROM embeddings e
+),
+scored AS (
+  SELECT a.vec_id, a.cluster, a.vec,
+         list_cosine_similarity(a.vec, c.cvec) AS centroid_sim
+  FROM assigned a JOIN cents c ON a.cluster = c.cid
+),
+prior AS (
+  SELECT s.vec_id, s.cluster, s.centroid_sim,
+         coalesce(max(list_cosine_similarity(s.vec, p.vec)), -1.0)
+             AS max_prior_sim
+  FROM scored s LEFT JOIN scored p
+    ON p.cluster = s.cluster
+   AND (p.centroid_sim < s.centroid_sim
+        OR (p.centroid_sim = s.centroid_sim AND p.vec_id < s.vec_id))
+  GROUP BY s.vec_id, s.cluster, s.centroid_sim
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster,
+       round(centroid_sim, 6) AS centroid_sim,
+       round(max_prior_sim, 6) AS max_prior_sim,
+       max_prior_sim <= 0.3 AS keep
+FROM prior
+""")
+def semdedup_cluster_prune_q(spark, sf_dir):
+    """SemDeDup proper (Abbas et al. 2023, operators/dedup.py
+    semdedup): cluster-bounded prefix pruning — the O(sum m_c^2)
+    SCALE path next to semantic_dedup_keepers' exact all-pairs. The
+    oracle-reproducible variant pins fixed centroids (the first 8
+    embeddings) so DuckDB can replay assignment (euclidean argmin),
+    the farthest-from-centroid-first order, the per-item max
+    similarity over earlier cluster members, and the keep rule."""
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings")
+    cent = np.array(
+        [r["embedding"] for r in
+         e.filter("vec_id < 8").orderBy("vec_id").collect()],
+        dtype="float64")
+    out = dedup.semdedup(e, threshold=0.3, centroids=cent)
+    return out.select(
+        "vec_id", "cluster",
+        F.round("centroid_sim", 6).alias("centroid_sim"),
+        F.round("max_prior_sim", 6).alias("max_prior_sim"),
+        "keep")
+
+
+@register("semdedup_kmeans_prune", None)
+def semdedup_kmeans_prune_q(spark, sf_dir):
+    """SemDeDup with the real trained clustering (deterministic
+    farthest-point k-means, 4 Lloyd iterations) — the production
+    shape: k-means bounds the pairwise work to executor-sized
+    clusters; one matmul task per cluster. Rows-only (k-means is not
+    SQL-replayable); the algorithm itself is pinned oracle-exact by
+    semdedup_cluster_prune and by the planted-duplicate and
+    numpy-twin tests in tests/test_operators.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = dedup.semdedup(e, n_clusters=8, threshold=0.3, iters=4)
+    return (out.filter("keep").select("vec_id", "cluster")
+            .orderBy("vec_id"))
+
+
 def _kcenter_oracle_sql(k: int) -> str:
     """Unrolled greedy k-center twin (same technique as the pagerank
     oracle): round i takes the argmax of round-i min-distances to the
