@@ -37,11 +37,18 @@ from .actions import (
 from .schema import merge_schemas, schema_from_string, schema_to_string, schemas_equal
 
 _LOG_ENTRY_RE = re.compile(r"^(\d+)\.json$")
+_COMPACTED_RE = re.compile(r"^(\d+)\.(\d+)\.compacted\.json$")
 
 
 def log_entry_filename(version: int) -> str:
     """``{version:020}.json`` (reference utils.py:9-10)."""
     return f"{version:020}.json"
+
+
+def compacted_filename(start: int, end: int) -> str:
+    """``{start:020}.{end:020}.compacted.json`` — delta-spark minor
+    log compaction layout."""
+    return f"{start:020}.{end:020}.compacted.json"
 
 
 class WriteMode(enum.Enum):
@@ -331,6 +338,8 @@ class DeltaLog:
         #: was skipped; filename kept for lazy history() reads
         self._lazy_json: dict[int, str] = {}
         self._location = None
+        #: (start, end) ranges served by compacted files in this load
+        self._compacted_used: list[tuple[int, int]] = []
 
     # -- load ----------------------------------------------------------------
 
@@ -350,10 +359,15 @@ class DeltaLog:
         from .checkpoint import last_checkpoint_version, read_checkpoint
 
         json_names: dict[int, str] = {}
+        comp_names: dict[tuple[int, int], str] = {}
         for name in log_location.list_files():
             m = _LOG_ENTRY_RE.match(name)
             if m:
                 json_names[int(m.group(1))] = name
+                continue
+            m = _COMPACTED_RE.match(name)
+            if m:
+                comp_names[(int(m.group(1)), int(m.group(2)))] = name
 
         cp_v = last_checkpoint_version(log_location) if use_checkpoint \
             else None
@@ -376,21 +390,52 @@ class DeltaLog:
                     raise
                 cp_v = None
 
+        # minor log compaction (delta-spark {a}.{b}.compacted.json):
+        # a compacted file carries the reconciled net actions of
+        # versions [a, b], so replay can read ONE file instead of
+        # b-a+1 JSONs. Like the checkpoint fast path it rides
+        # use_checkpoint — per-version consumers (CDF, history diffs)
+        # load with use_checkpoint=False and never see collapsed
+        # entries. Greedy non-overlapping cover, longest range first
+        # at each start; covered JSONs stay lazily re-readable for
+        # history(). An unreadable compacted file falls back to JSON.
+        compacted_used: list[tuple[int, int]] = []
+        covered: set[int] = set()
+        if use_checkpoint and comp_names:
+            lo = cp_v + 1 if cp_v is not None else 0
+            hi = version if version is not None \
+                else max(json_names, default=-1)
+            reach = lo - 1
+            for (a, b), name in sorted(
+                    comp_names.items(),
+                    key=lambda kv: (kv[0][0], -kv[0][1])):
+                if a < lo or b > hi or a > b or a <= reach:
+                    continue
+                try:
+                    entries[b] = DeltaLogEntry.from_bytes(
+                        log_location.join(name).read_bytes())
+                except Exception:
+                    continue
+                compacted_used.append((a, b))
+                covered.update(range(a, b + 1))
+                reach = b
+
         for v, name in json_names.items():
             if version is not None and v > version:
                 continue
-            if cp_v is not None and v <= cp_v:
+            if (cp_v is not None and v <= cp_v) or v in covered:
                 lazy[v] = name
                 continue
             entries[v] = DeltaLogEntry.from_bytes(
                 log_location.join(name).read_bytes())
 
-        known = set(entries) | set(lazy)
+        known = set(entries) | set(lazy) | covered
         if version is not None and known and version not in known:
             raise ValueError(f"Version {version} does not exist in log")
         log = cls(entries)
         log._lazy_json = lazy
         log._location = log_location
+        log._compacted_used = compacted_used
         return log
 
     # -- snapshot state ------------------------------------------------------
@@ -580,6 +625,81 @@ class DeltaLog:
         return schema
 
 
+def compact_entries(entries: dict[int, DeltaLogEntry], start: int,
+                    end: int) -> DeltaLogEntry:
+    """Reconcile versions ``[start, end]`` into one net-effect entry —
+    the payload of a ``{start}.{end}.compacted.json`` minor log
+    compaction (delta-spark parity). Replaying the compacted entry at
+    version ``end`` must produce exactly the state of replaying the
+    individual commits in order:
+
+    - per path, the LAST file action wins (a remove-then-re-add stays
+      an add, an add-then-remove stays a tombstone — carried verbatim
+      so VACUUM keeps seeing its deletion-vector descriptor);
+    - newest metaData / protocol in the window, if any;
+    - per appId, the highest-version SetTransaction (idempotence
+      watermarks chain across compactions, like checkpoints);
+    - per domain, the last domainMetadata action (removed tombstones
+      included);
+    - cdc actions carried verbatim (state replay ignores them; CDF
+      readers load with use_checkpoint=False and never read compacted
+      files);
+    - commitInfo dropped (history() lazily re-reads the original
+      JSONs, which compaction never deletes — log retention does).
+
+    Unknown foreign actions are carried verbatim, last-per-serialized-
+    form — the same tolerance rule as checkpoints.
+    """
+    if start > end:
+        raise ValueError(f"start {start} > end {end}")
+    last_file: dict[str, Action] = {}
+    md = None
+    proto = None
+    txns: dict[str, SetTransaction] = {}
+    domains: dict[str, DomainMetadata] = {}
+    cdcs: list[Cdc] = []
+    unknown: dict[str, UnknownAction] = {}
+    for v in range(start, end + 1):
+        e = entries.get(v)
+        if e is None:
+            raise ValueError(
+                f"version {v} missing from the log — cannot compact "
+                f"[{start}, {end}]")
+        for a in e.actions:
+            if isinstance(a, (Add, Remove)):
+                last_file[a.path] = a
+            elif isinstance(a, TableMetadata):
+                md = a
+            elif isinstance(a, Protocol):
+                proto = a
+            elif isinstance(a, SetTransaction):
+                best = txns.get(a.appId)
+                if best is None or a.version >= best.version:
+                    txns[a.appId] = a
+            elif isinstance(a, DomainMetadata):
+                domains[a.domain] = a
+            elif isinstance(a, Cdc):
+                cdcs.append(a)
+            elif isinstance(a, TableCommit):
+                pass
+            elif isinstance(a, UnknownAction):
+                unknown[json.dumps(a.to_json(), sort_keys=True,
+                                   default=str)] = a
+    actions: list[Action] = []
+    if proto is not None:
+        actions.append(proto)
+    if md is not None:
+        actions.append(md)
+    actions.extend(txns[k] for k in sorted(txns))
+    actions.extend(domains[k] for k in sorted(domains))
+    actions.extend(a for a in last_file.values()
+                   if isinstance(a, Remove))
+    actions.extend(a for a in last_file.values() if isinstance(a, Add))
+    actions.extend(cdcs)
+    actions.extend(unknown.values())
+    return DeltaLogEntry(actions)
+
+
 def commit_entry(log_location, version: int, entry: DeltaLogEntry) -> None:
     """Optimistic-concurrency commit: put-if-absent of ``{version:020}.json``
     (reference delta_log/__init__.py:422-429 + __init__.py:425-446).
@@ -596,7 +716,8 @@ __all__ = [
     "SetTransaction",
     "TableMetadata", "TableCommit",
     "UnknownAction", "Operation", "WriteMode", "SchemaMode", "DeltaLog",
-    "DeltaLogEntry", "load_action", "log_entry_filename", "timestamp_ms",
+    "DeltaLogEntry", "load_action", "log_entry_filename",
+    "compacted_filename", "compact_entries", "timestamp_ms",
     "create_table_entry", "append_table_entry", "overwrite_table_entry",
     "dynamic_overwrite_entry", "replaced_metadata",
     "delete_table_entry", "restore_table_entry", "optimize_table_entry",

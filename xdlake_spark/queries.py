@@ -1547,6 +1547,38 @@ def delta_detail_query(spark, sf_dir):
         F.col("minWriterVersion").alias("min_writer"))
 
 
+@register("delta_log_compaction_scan", """
+SELECT l_returnflag, count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem WHERE l_orderkey % 3 <> 2 OR l_quantity <= 30
+GROUP BY l_returnflag
+""")
+def delta_log_compaction_scan(spark, sf_dir):
+    """Minor log compaction end to end (r10, table.py compact_log +
+    log/__init__.py compact_entries): five commits including a delete
+    reconcile into one {start}.{end}.compacted.json; the reopened
+    snapshot must actually load through it (asserted here via
+    _compacted_used, not just in pytest) and scan identically to the
+    relational oracle."""
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        li.filter("l_orderkey % 3 = 0"))
+    t = t.write(li.filter("l_orderkey % 3 = 1"), mode="append")
+    t = t.write(li.filter("l_orderkey % 3 = 2"), mode="append")
+    t = t.delete("l_orderkey % 3 = 2 AND l_quantity > 30")
+    t = t.write(li.filter("l_orderkey < 0"), mode="append")  # no-op add
+    t.compact_log(0, t.version)
+    t2 = DeltaTable(spark, t.location)
+    if t2.log._compacted_used != [(0, t.version)]:
+        raise AssertionError(
+            f"snapshot did not load through the compacted file: "
+            f"{t2.log._compacted_used}")
+    return (t2.to_df().groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("qty")))
+
+
 @register("delta_checksum_state", """
 SELECT (SELECT count(DISTINCT l_returnflag) FROM lineitem)
            AS num_files,

@@ -4624,6 +4624,46 @@ class DeltaTable:
             "delta.logRetentionDuration",
             self._DEFAULT_LOG_RETENTION_HOURS)
 
+    def compact_log(self, start: "int | None" = None,
+                    end: "int | None" = None) -> str:
+        """Minor log compaction (delta-spark's
+        ``{start}.{end}.compacted.json``): write one reconciled
+        net-effect file for the commit range so subsequent snapshot
+        loads read ONE file instead of ``end - start + 1`` JSONs
+        (log/__init__.py compact_entries — per-path last action wins,
+        newest metadata/protocol, per-app txn watermarks, domain
+        tombstones). The original JSONs are NOT deleted — history()
+        and CDF still re-read them; log retention expires them later.
+
+        Between checkpoints this is the log-replay scale lever: a
+        busy 100 TB table committing every few seconds accumulates
+        thousands of JSONs per checkpoint interval, and every open
+        pays one small-file read per commit; compaction makes the
+        replay cost O(compactions), and VACUUM-style maintenance can
+        run it opportunistically. Defaults: the full range from the
+        first available version to the current head. Write is
+        put-if-absent (idempotent; concurrent compactors agree).
+        Returns the log-relative filename.
+        """
+        from .log import compact_entries, compacted_filename
+
+        if self.log is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        full = DeltaLog.load(self.log_location, use_checkpoint=False)
+        versions = sorted(full.entries)
+        s = versions[0] if start is None else int(start)
+        e = full.version if end is None else int(end)
+        if s >= e:
+            raise ValueError(
+                f"compaction range [{s}, {e}] must span >= 2 versions")
+        entry = compact_entries(full.entries, s, e)
+        name = compacted_filename(s, e)
+        try:
+            self.log_location.join(name).put_if_absent(entry.to_bytes())
+        except FileExistsError:
+            pass                  # concurrent compactor: same content
+        return name
+
     def cleanup_metadata(self, retention_hours: "float | None" = None,
                          dry_run: bool = False) -> list[str]:
         """Expire log files superseded by the newest checkpoint —
@@ -4663,12 +4703,23 @@ class DeltaTable:
                 commit_ts[h["version"]] = int(t)
         pat = _re.compile(r"^(\d{20})\.(json|crc|checkpoint(\.|$).*|"
                           r"checkpoint\.parquet)$")
+        from .log import _COMPACTED_RE
         doomed: list[str] = []
         kept_ckpts: list[str] = []
         expired = {}
         for name in self.log_location.list_files():
             m = pat.match(name)
             if not m:
+                # compacted log files expire by their END version's
+                # age, outside the all-at-once protection bookkeeping:
+                # they are derived replay accelerators, so deleting
+                # one never loses information
+                mc = _COMPACTED_RE.match(name)
+                if mc:
+                    b = int(mc.group(2))
+                    if b < ckpt_v and commit_ts.get(
+                            b, horizon + 1) <= horizon:
+                        doomed.append(name)
                 continue
             v = int(m.group(1))
             is_ckpt = ".checkpoint" in name
@@ -4695,8 +4746,11 @@ class DeltaTable:
                          if int(pat.match(n).group(1)) < min(protect,
                                                              ckpt_v)]
                 if below and not all(expired[n] for n in below):
+                    # compacted names (no pat match) stay doomed:
+                    # they are derived files, protection-exempt
                     doomed = [n for n in doomed
-                              if int(pat.match(n).group(1)) >= protect]
+                              if pat.match(n) is None
+                              or int(pat.match(n).group(1)) >= protect]
                     kept_ckpts = [n for n in expired
                                   if ".checkpoint" in n
                                   and n not in set(doomed)]
