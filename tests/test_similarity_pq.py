@@ -87,6 +87,74 @@ class TestPQ:
         assert "hashpartitioning" not in plan
 
 
+class TestIVFPQ:
+    """IVF-PQ (r10): inverted lists over residual product codes —
+    exact-degradation differential, recall floors, code-size bound,
+    determinism, and the JVM-only probe plan."""
+
+    def _exact_top10_euclid(self, emb, q):
+        pdf = emb.toPandas()
+        X = np.array(pdf["embedding"].tolist(), dtype="float64")
+        d2 = ((X - np.asarray(q)) ** 2).sum(axis=1)
+        ids = pdf["vec_id"].to_numpy()
+        return ids[np.lexsort((ids, d2))][:10].tolist()
+
+    def test_full_probe_rerank_is_exact(self, emb):
+        from xdlake_spark.queries import QUERY_VEC
+        enc, cents, books = similarity.ivfpq_build(emb, n_centroids=8)
+        n = emb.count()
+        got = [r.vec_id for r in similarity.ivfpq_topk(
+            enc, cents, books, QUERY_VEC, k=10, nprobe=8,
+            vec_col="embedding", oversample=-(-n // 10)).collect()]
+        assert got == self._exact_top10_euclid(emb, QUERY_VEC)
+
+    def test_recall_floors(self, emb):
+        from xdlake_spark.queries import QUERY_VEC
+        enc, cents, books = similarity.ivfpq_build(emb, n_centroids=8)
+        exact = set(self._exact_top10_euclid(emb, QUERY_VEC))
+        rer = [r.vec_id for r in similarity.ivfpq_topk(
+            enc, cents, books, QUERY_VEC, k=10, nprobe=8,
+            vec_col="embedding", oversample=16).collect()]
+        recall = len(exact & set(rer)) / 10
+        assert recall >= 0.7, f"full-probe re-rank recall: {recall}"
+        half = [r.vec_id for r in similarity.ivfpq_topk(
+            enc, cents, books, QUERY_VEC, k=10, nprobe=4,
+            vec_col="embedding", oversample=16).collect()]
+        assert len(exact & set(half)) / 10 >= 0.3
+
+    def test_residual_beats_nothing_codes_bounded(self, emb):
+        enc, cents, books = similarity.ivfpq_build(
+            emb, n_centroids=4, m=8, n_codes=16)
+        rows = enc.select("codes", "__centroid").collect()
+        assert all(len(r["codes"]) == 8 for r in rows)
+        assert all(0 <= c < 16 for r in rows for c in r["codes"])
+        assert {r["__centroid"] for r in rows} <= set(range(4))
+
+    def test_deterministic(self, emb):
+        from xdlake_spark.queries import QUERY_VEC
+        out = []
+        for _ in range(2):
+            enc, cents, books = similarity.ivfpq_build(
+                emb, n_centroids=8)
+            out.append([r.vec_id for r in similarity.ivfpq_topk(
+                enc, cents, books, QUERY_VEC, k=10, nprobe=4).collect()])
+        assert out[0] == out[1]
+
+    def test_probe_plan_jvm_only(self, emb):
+        enc, cents, books = similarity.ivfpq_build(emb, n_centroids=8)
+        plan = (similarity.ivfpq_topk(enc, cents, books, [0.0] * 64,
+                                      k=10, nprobe=4)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_bad_query_dim_raises(self, emb):
+        enc, cents, books = similarity.ivfpq_build(emb, n_centroids=4)
+        with pytest.raises(ValueError, match="dim"):
+            similarity.ivfpq_topk(enc, cents, books, [0.0] * 63)
+
+
 class TestRocchio:
     def test_separable_blobs_classify_perfectly(self, spark):
         rows = []

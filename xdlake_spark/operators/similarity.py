@@ -333,6 +333,111 @@ def pq_topk(encoded: DataFrame, codebooks: np.ndarray, query_vec,
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ — inverted lists over residual product codes (Jegou et al. 2011 §V)
+# ---------------------------------------------------------------------------
+
+def ivfpq_build(df: DataFrame, n_centroids: int = 16, m: int = 8,
+                n_codes: int = 16, vec_col: str = "embedding",
+                id_col: str = "vec_id", seed: int = 42,
+                lloyd_iters: int = 2):
+    """Build the combined IVF-PQ index: the IVF coarse quantizer
+    assigns each vector to an inverted list, then PQ codebooks are
+    trained and applied on the RESIDUAL (vector minus its list's
+    centroid) — the Jegou et al. 2011 IVFADC layout. Residual
+    encoding is what makes small codebooks sharp: residuals are
+    centered near zero, so the same 4-bit-per-subspace budget spends
+    its codes where the data actually is.
+
+    The residual subtraction is a pure JVM ``zip_with`` against the
+    row's centroid (looked up in a broadcast k x dim literal — no
+    shuffle, no Python); codebook training samples a bounded
+    ``pq_train`` set. Persist the returned table partitioned by
+    ``__centroid`` and a probe becomes a partition-pruned scan of
+    m-byte codes — the index whose 100 TB cost is
+    bytes-of-codes * nprobe / n_centroids.
+
+    Returns ``(encoded_df, centroids, codebooks)`` where encoded_df
+    carries ``__centroid`` and ``codes`` next to the original columns.
+    """
+    assigned, centroids = ivf_build(
+        df, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col,
+        seed=seed, lloyd_iters=lloyd_iters)
+    cent_lit = F.array(*[lit_vector(c) for c in centroids])
+    resid = assigned.withColumn(
+        "__resid",
+        F.zip_with(F.col(vec_col),
+                   F.element_at(cent_lit, F.col("__centroid") + 1),
+                   lambda a, b: a.cast("double") - b))
+    books = pq_train(resid, m=m, n_codes=n_codes, vec_col="__resid",
+                     id_col=id_col, seed=seed)
+    encoded = pq_encode(resid, books, vec_col="__resid") \
+        .drop("__resid")
+    return encoded, centroids, books
+
+
+def ivfpq_topk(encoded: DataFrame, centroids: np.ndarray,
+               codebooks: np.ndarray, query_vec, k: int = 10,
+               nprobe: int = 4, id_col: str = "vec_id",
+               code_col: str = "codes", vec_col: str | None = None,
+               oversample: int = 4) -> DataFrame:
+    """IVFADC search: probe the ``nprobe`` inverted lists whose
+    centroids are nearest the query, then score candidates by
+    asymmetric distance — per probed list the driver precomputes the
+    ``m x n_codes`` table of squared distances from the QUERY
+    RESIDUAL (query minus that list's centroid) to every codebook
+    centroid, and executors sum m table lookups per row. The scan
+    touches only probed lists and only code bytes; no vector
+    arithmetic, no Python, no shuffle — TakeOrdered keeps k.
+
+    With ``vec_col``, the standard shortlist + exact re-rank runs:
+    ADC keeps ``k * oversample`` rows, exact squared euclidean
+    (``|x|^2 - 2 x.q + |q|^2``, the oracle-aligned accumulation)
+    re-orders them. Output column ``adc_dist`` either way.
+    """
+    m, n_codes, sub = codebooks.shape
+    q = np.asarray(query_vec, dtype="float64")
+    if q.shape[0] != m * sub:
+        raise ValueError(f"query dim {q.shape[0]} != {m * sub}")
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(centroids @ qn))
+    probe_ids = [int(c) for c in order[:nprobe]]
+
+    adc = None
+    for cid in probe_ids:
+        qres = q - centroids[cid]
+        tables = ((qres.reshape(m, 1, sub) - codebooks) ** 2) \
+            .sum(axis=2)
+        term = None
+        for j in range(m):
+            t = F.array(*[F.lit(float(v)) for v in tables[j]])
+            lk = F.element_at(t, F.col(code_col)[j] + 1)
+            term = lk if term is None else term + lk
+        cond = F.col("__centroid") == cid
+        adc = F.when(cond, term) if adc is None \
+            else adc.when(cond, term)
+    base = ensure_parallelism(
+        encoded.filter(F.col("__centroid").isin(probe_ids)))
+    if vec_col is None:
+        return (base
+                .select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+                .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+                .limit(k))
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    qq = float(q @ q)
+    exact = (dot(F.col(vec_col), F.col(vec_col))
+             - 2.0 * dot(F.col(vec_col), qlit) + F.lit(qq))
+    shortlist = (base
+                 .select(F.col(id_col), F.col(vec_col),
+                         F.round(adc, 6).alias("__adc"))
+                 .orderBy(F.col("__adc").asc(), F.col(id_col))
+                 .limit(k * oversample))
+    return (shortlist
+            .select(F.col(id_col), F.round(exact, 6).alias("adc_dist"))
+            .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
 # Scalar quantization (SQ-int8) — the simplest compressed-scan ANN tier
 # ---------------------------------------------------------------------------
 

@@ -3789,6 +3789,52 @@ def similarity_lsh(spark, sf_dir):
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
+_QQ = sum(v * v for v in QUERY_VEC)
+
+
+@register("similarity_ivfpq_full_probe", f"""
+SELECT vec_id,
+       round(list_inner_product(embedding::DOUBLE[],
+                                embedding::DOUBLE[])
+             - 2 * list_inner_product(embedding::DOUBLE[], {_QV_SQL})
+             + {_QQ!r}, 6) AS adc_dist
+FROM embeddings
+ORDER BY list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])
+         - 2 * list_inner_product(embedding::DOUBLE[], {_QV_SQL})
+         + {_QQ!r} ASC, vec_id
+LIMIT 10
+""")
+def similarity_ivfpq_full(spark, sf_dir):
+    """IVF-PQ (r10, operators/similarity.py ivfpq_build/ivfpq_topk —
+    the Jegou et al. IVFADC layout: inverted lists over RESIDUAL
+    product codes) driven to exactness: probe every list and re-rank
+    a corpus-covering shortlist, so coarse assignment, residual
+    encoding, per-list ADC tables and the exact re-rank are all
+    oracle-checkable against brute-force squared euclidean in SQL.
+    Recall sweeps for realistic nprobe/oversample live in
+    test_operators.py; `similarity_ivfpq_topk` runs that path."""
+    e = _t(spark, sf_dir, "embeddings")
+    enc, cents, books = similarity.ivfpq_build(e, n_centroids=8)
+    n = e.count()
+    out = similarity.ivfpq_topk(
+        enc, cents, books, QUERY_VEC, k=10, nprobe=len(cents),
+        vec_col="embedding", oversample=-(-n // 10))
+    return out.select("vec_id", "adc_dist")
+
+
+@register("similarity_ivfpq_topk", None)
+def similarity_ivfpq_topk_q(spark, sf_dir):
+    """The realistic IVF-PQ search shape: half the lists probed, ADC
+    shortlist 8x over-sampled, exact re-rank — the plan whose scan is
+    bytes-of-codes over probed lists only. Rows-only (approximate);
+    recall gates in test_operators.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    enc, cents, books = similarity.ivfpq_build(e, n_centroids=8)
+    return similarity.ivfpq_topk(
+        enc, cents, books, QUERY_VEC, k=10, nprobe=4,
+        vec_col="embedding", oversample=8)
+
+
 @register("similarity_ivf_topk", None)
 def similarity_ivf(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
