@@ -2918,3 +2918,44 @@ class TestGenerateSymlinkManifest:
         t = t.write(spark.range(0), txn=("job", 1))
         assert t.txn_version("job") == 1
         assert t.count() == 3
+
+
+class TestShowPartitions:
+    """partitions() (r10): SHOW PARTITIONS + per-partition file stats
+    as a zero-job manifest fold."""
+
+    def test_counts_and_types(self, spark, lineitem, tmp_table_dir):
+        from pyspark.sql import functions as F
+        t = DeltaTable(spark, tmp_table_dir).write(
+            lineitem, partition_by=["l_returnflag"])
+        rows = {r["l_returnflag"]: r for r in t.partitions().collect()}
+        want = {r["l_returnflag"]: r["n"] for r in
+                lineitem.groupBy("l_returnflag")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert set(rows) == set(want)
+        for k, r in rows.items():
+            assert r["num_rows"] == want[k]
+            assert r["num_files"] >= 1
+            assert r["total_bytes"] > 0
+
+    def test_typed_partition_values(self, spark, lineitem,
+                                    tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(
+            lineitem.limit(500), partition_by=["l_linenumber"])
+        out = t.partitions()
+        assert dict(out.dtypes)["l_linenumber"] in ("int", "bigint")
+        assert sum(r["num_rows"] for r in out.collect()) == 500
+
+    def test_tracks_partition_delete(self, spark, lineitem,
+                                     tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(
+            lineitem.limit(1000), partition_by=["l_returnflag"])
+        t = t.delete("l_returnflag = 'A'")
+        flags = {r["l_returnflag"] for r in t.partitions().collect()}
+        assert "A" not in flags and flags
+
+    def test_unpartitioned_raises(self, spark, lineitem,
+                                  tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(10))
+        with pytest.raises(ValueError, match="not partitioned"):
+            t.partitions()

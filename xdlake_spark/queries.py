@@ -1547,6 +1547,26 @@ def delta_detail_query(spark, sf_dir):
         F.col("minWriterVersion").alias("min_writer"))
 
 
+@register("delta_show_partitions", """
+SELECT l_returnflag, CAST(1 AS BIGINT) AS num_files,
+       count(*) AS num_rows
+FROM lineitem GROUP BY l_returnflag
+""")
+def delta_show_partitions(spark, sf_dir):
+    """SHOW PARTITIONS with file statistics (r10, table.py
+    partitions()): a zero-job manifest fold — one row per live
+    partition with typed values, file count and stats-derived row
+    count. After a single-task partitioned write, DuckDB derives the
+    same table relationally (total_bytes is physical and projected
+    out of the oracle comparison)."""
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(
+        li.coalesce(1), partition_by=["l_returnflag"])
+    return t.partitions().select(
+        "l_returnflag", "num_files", "num_rows")
+
+
 @register("delta_log_compaction_scan", """
 SELECT l_returnflag, count(*) AS n,
        round(sum(l_quantity), 2) AS qty
