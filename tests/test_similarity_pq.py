@@ -155,6 +155,70 @@ class TestIVFPQ:
             similarity.ivfpq_topk(enc, cents, books, [0.0] * 63)
 
 
+class TestPCA:
+    """Distributed PCA (r10): one moment-sketch job + driver eigh —
+    numpy-twin exact, deterministic signs, JVM-only projection."""
+
+    def _twin(self, emb, k):
+        pdf = emb.orderBy("vec_id").toPandas()
+        X = np.array(pdf["embedding"].tolist(), dtype="float64")
+        mu = X.mean(axis=0)
+        cov = (X - mu).T @ (X - mu) / len(X)
+        w, V = np.linalg.eigh((cov + cov.T) / 2)
+        order = np.argsort(w)[::-1][:k]
+        C = V[:, order].T.copy()
+        for j in range(k):
+            i = int(np.argmax(np.abs(C[j])))
+            if C[j, i] < 0:
+                C[j] = -C[j]
+        return X, mu, w[order], C
+
+    def test_matches_numpy_twin(self, emb):
+        mean, vals, comps = similarity.pca_train(emb, k=8)
+        X, mu, wv, C = self._twin(emb, 8)
+        assert np.allclose(mean, mu, atol=1e-9)
+        assert np.allclose(vals, wv, atol=1e-9)
+        assert np.allclose(comps, C, atol=1e-7)
+        out = (similarity.pca_project(emb, mean, vals, comps)
+               .orderBy("vec_id").toPandas())
+        Y = np.array(out["pca"].tolist())
+        assert np.allclose(Y, (X - mu) @ C.T, atol=1e-6)
+
+    def test_variance_descending_and_whitening(self, emb):
+        mean, vals, comps = similarity.pca_train(emb, k=10)
+        assert all(vals[i] >= vals[i + 1] for i in range(9))
+        out = (similarity.pca_project(emb, mean, vals, comps,
+                                      whiten=True)
+               .orderBy("vec_id").toPandas())
+        Y = np.array(out["pca"].tolist())
+        assert np.allclose(Y.var(axis=0), 1.0, atol=1e-2)
+
+    def test_deterministic(self, emb):
+        a = similarity.pca_train(emb, k=6)
+        b = similarity.pca_train(emb, k=6)
+        assert np.array_equal(a[0], b[0])
+        assert np.array_equal(a[2], b[2])
+
+    def test_projection_plan_jvm_only(self, emb):
+        mean, vals, comps = similarity.pca_train(emb, k=4)
+        plan = (similarity.pca_project(emb, mean, vals, comps)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_uncentered_mode(self, emb):
+        mean, vals, comps = similarity.pca_train(emb, k=4,
+                                                 center=False)
+        assert np.allclose(mean, 0.0)
+
+    def test_bad_k_and_empty_raise(self, spark, emb):
+        with pytest.raises(ValueError, match="out of range"):
+            similarity.pca_train(emb, k=65)
+        empty = emb.filter("vec_id < 0")
+        with pytest.raises(ValueError):
+            similarity.pca_train(empty, k=4)
+
+
 class TestRocchio:
     def test_separable_blobs_classify_perfectly(self, spark):
         rows = []

@@ -13,6 +13,7 @@ mandated by the build brief.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -330,6 +331,96 @@ def pq_topk(encoded: DataFrame, codebooks: np.ndarray, query_vec,
             .select(F.col(id_col), F.round(exact, 6).alias("adc_dist"))
             .orderBy(F.col("adc_dist").asc(), F.col(id_col))
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA — embedding compression / whitening
+# ---------------------------------------------------------------------------
+
+def pca_train(df: DataFrame, k: int = 16, vec_col: str = "embedding",
+              center: bool = True):
+    """Distributed PCA over an ``array<float>`` column.
+
+    ONE Spark job computes the exact first and second moments: an
+    Arrow-batched ``mapInPandas`` emits each batch's count, d-vector
+    sum and flattened d x d cross-product matrix as ``(pos, val)``
+    pairs, and a map-side-combinable ``groupBy(pos).sum`` reduces them
+    — the driver receives exactly ``d^2 + d + 1`` rows no matter how
+    many vectors the corpus holds (64-dim: 4161 doubles). The d x d
+    eigendecomposition runs on the driver; state is O(d^2),
+    row-count-independent — the textbook moment-sketch PCA, the same
+    shape at 100 TB.
+
+    Eigenvectors come back variance-descending with a deterministic
+    sign (the largest-magnitude coefficient is positive), so retrains
+    are reproducible. Returns ``(mean, eigvals, components)`` with
+    ``components`` shaped ``(k, d)``.
+    """
+    probe = df.select(F.size(vec_col).alias("d")).first()
+    if probe is None:
+        raise ValueError("cannot train PCA on an empty DataFrame")
+    d = probe["d"]
+    if not 1 <= k <= d:
+        raise ValueError(f"k={k} out of range for dim {d}")
+
+    def moments(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if not len(X):
+                continue
+            out = np.empty(d * d + d + 1)
+            out[0] = len(X)
+            out[1:d + 1] = X.sum(axis=0)
+            out[d + 1:] = (X.T @ X).ravel()
+            yield pd.DataFrame({"pos": np.arange(d * d + d + 1),
+                                "val": out})
+
+    rows = (ensure_parallelism(df).select(vec_col)
+            .mapInPandas(moments, "pos long, val double")
+            .groupBy("pos").agg(F.sum("val").alias("val"))
+            .collect())
+    acc = np.zeros(d * d + d + 1)
+    for r in rows:
+        acc[r["pos"]] = r["val"]
+    n = acc[0]
+    if n < 2:
+        raise ValueError("need >= 2 vectors to train PCA")
+    mean = acc[1:d + 1] / n
+    second = acc[d + 1:].reshape(d, d) / n
+    cov = second - np.outer(mean, mean) if center else second
+    eigvals, eigvecs = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(eigvals)[::-1][:k]
+    vals = eigvals[order]
+    comps = eigvecs[:, order].T.copy()
+    for j in range(len(comps)):
+        i = int(np.argmax(np.abs(comps[j])))
+        if comps[j, i] < 0:
+            comps[j] = -comps[j]
+    if not center:
+        mean = np.zeros(d)
+    return mean, vals, comps
+
+
+def pca_project(df: DataFrame, mean, eigvals, components,
+                vec_col: str = "embedding", out_col: str = "pca",
+                whiten: bool = False) -> DataFrame:
+    """Attach the k-dim PCA projection ``(x - mean) @ components.T``
+    as an array column — k JVM ``zip_with/aggregate`` dot products
+    against broadcast component literals, with the mean's contribution
+    folded into a per-component scalar on the driver. No Python in
+    the row path, no shuffle; ``whiten=True`` scales each coordinate
+    by ``1/sqrt(eigval)`` (unit-variance output, the OPQ/ZCA
+    preprocessing step)."""
+    comps = np.asarray(components, dtype="float64")
+    mu = np.asarray(mean, dtype="float64")
+    vals = np.asarray(eigvals, dtype="float64")
+    offs = comps @ mu
+    scale = 1.0 / np.sqrt(np.clip(vals, 1e-12, None)) if whiten \
+        else np.ones(len(comps))
+    terms = [((dot(F.col(vec_col), lit_vector(c)) - F.lit(float(o)))
+              * F.lit(float(s)))
+             for c, o, s in zip(comps, offs, scale)]
+    return df.withColumn(out_col, F.array(*terms))
 
 
 # ---------------------------------------------------------------------------

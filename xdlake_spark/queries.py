@@ -3855,6 +3855,23 @@ def similarity_ivfpq_topk_q(spark, sf_dir):
         vec_col="embedding", oversample=8)
 
 
+@register("embedding_pca_project", None)
+def embedding_pca_project_q(spark, sf_dir):
+    """Distributed PCA train + project (r10, operators/similarity.py
+    pca_train/pca_project): ONE moment-sketch job reduces the corpus
+    to d^2+d+1 doubles regardless of row count, the driver runs the
+    d x d eigh, and the projection is k JVM dot products — the
+    embedding-compression / whitening front of an ANN or SemDeDup
+    pipeline. Rows-only (no SQL eigendecomposition exists); pinned
+    numpy-twin-exact in TestPCA."""
+    e = _t(spark, sf_dir, "embeddings")
+    mean, vals, comps = similarity.pca_train(e, k=8)
+    out = similarity.pca_project(e, mean, vals, comps)
+    return out.select(
+        "vec_id",
+        F.transform("pca", lambda v: F.round(v, 5)).alias("pca"))
+
+
 @register("similarity_ivf_topk", None)
 def similarity_ivf(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
