@@ -468,3 +468,105 @@ class TestStreamIngestNearDup:
         assert stats[0]["batch_rows"] == 3
         assert stats[0]["after_self_dedup"] == 2
         assert stats[0]["admitted"] == 2
+
+
+class TestStreamIngestSemantic:
+    """stream_ingest_semantic (r10): per-micro-batch embedding-cosine
+    admission with fixed centroids — within-batch SemDeDup pruning,
+    then cluster-bounded screening against the accumulated table;
+    replays are watermark no-ops."""
+
+    CENTS = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    THRESH = 0.95
+
+    B1 = [(1, [2.0, 0.0, 0.0, 0.0]),       # cluster 0, on-centroid
+          (2, [0.9, 0.1, 0.0, 0.0]),       # near-dup of 1, farther
+          #                                  from centroid -> survives
+          (3, [0.0, 1.0, 0.0, 0.1])]       # cluster 1, clean
+    B2 = [(4, [0.88, 0.12, 0.0, 0.0]),     # near-dup of survivor 2
+          (5, [0.1, 0.9, 0.3, 0.0])]       # cluster 1, cos vs 3 ~.93
+    B3 = [(6, [0.12, 0.88, 0.31, 0.0]),    # near-dup of 5
+          (7, [0.0, 0.6, -0.8, 0.0])]      # cluster 1, clean
+
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    def _twin(self):
+        """Arrival-order numpy replay of the admission rules."""
+        import numpy as np
+        cents = np.array(self.CENTS)
+        acc = {}
+        for rows in (self.B1, self.B2, self.B3):
+            ids = [r[0] for r in rows]
+            X = np.array([r[1] for r in rows], dtype="float64")
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            cl = ((X[:, None, :] - cents[None]) ** 2).sum(2).argmin(1)
+            kept = []
+            for c in sorted(set(cl)):
+                idx = [i for i in range(len(ids)) if cl[i] == c]
+                cv = cents[c] / np.linalg.norm(cents[c])
+                csim = Xn[idx] @ cv
+                order = [idx[j] for j in np.lexsort(
+                    (np.array(ids)[idx], csim))]
+                for pos, i in enumerate(order):
+                    prior = max((float(Xn[i] @ Xn[j])
+                                 for j in order[:pos]), default=-1.0)
+                    if pos == 0 or prior <= self.THRESH:
+                        kept.append(i)
+            for i in kept:
+                c = cl[i]
+                clash = any(
+                    ac == c and float(Xn[i] @ av) >= self.THRESH
+                    for (ac, av) in acc.values())
+                if not clash:
+                    acc[ids[i]] = (c, Xn[i])
+        return sorted(acc)
+
+    def test_stream_matches_twin_and_replays_noop(self, registered,
+                                                  tmp_path):
+        import tempfile
+        from xdlake_spark.streaming.ingest import stream_ingest_semantic
+        spark = registered
+        src_loc = str(tmp_path / "src")
+        tgt_loc = str(tmp_path / "tgt")
+        ckpt = tempfile.mkdtemp()
+        stats = []
+
+        def drain():
+            q = stream_ingest_semantic(
+                spark.readStream.format("xdlake").load(src_loc),
+                tgt_loc, ckpt, centroids=self.CENTS,
+                threshold=self.THRESH, stats=stats)
+            try:
+                q.awaitTermination(180)
+            finally:
+                q.stop()
+                q.awaitTermination(30)
+
+        src = DeltaTable(spark, src_loc).write(self._emb(spark, self.B1))
+        drain()
+        src = src.write(self._emb(spark, self.B2), mode="append")
+        drain()
+        src = src.write(self._emb(spark, self.B3), mode="append")
+        drain()
+
+        got = sorted(r.vec_id for r in
+                     DeltaTable(spark, tgt_loc).to_df().collect())
+        assert got == self._twin()
+        # every interesting path fires: within-batch prune (1 loses
+        # to the farther-from-centroid 2), cross-corpus prunes
+        # (4 vs 2, 6 vs 5), clean admits across both clusters
+        assert got == [2, 3, 5, 7]
+
+        v = DeltaTable(spark, tgt_loc).version
+        drain()                      # same checkpoint: nothing new
+        assert DeltaTable(spark, tgt_loc).version == v
+        assert sorted(r.vec_id for r in
+                      DeltaTable(spark, tgt_loc).to_df().collect()) \
+            == [2, 3, 5, 7]
+        assert [s["batch"] for s in stats] == [0, 1, 2]
+        assert stats[0] == {"batch": 0, "batch_rows": 3,
+                            "after_self_dedup": 2, "admitted": 2}
+        assert stats[1]["admitted"] == 1
+        assert stats[2]["admitted"] == 1

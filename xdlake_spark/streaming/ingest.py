@@ -466,3 +466,101 @@ def stream_ingest_neardup(stream_df: DataFrame, table_location: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ingest_semantic(stream_df: DataFrame, table_location: str,
+                           checkpoint_dir: str, centroids,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           threshold: float = 0.95,
+                           trigger_once: bool = True,
+                           app_id: "str | None" = None,
+                           stats: "list | None" = None):
+    """Streaming SEMANTIC (embedding-cosine) admission — the SemDeDup
+    face of :func:`stream_ingest_neardup` (r10): each micro-batch is
+    appended only where it has no cosine >= ``threshold`` neighbor,
+    first within the batch itself (within-cluster prefix pruning,
+    operators/dedup.py semdedup with the caller's FIXED ``centroids``)
+    then against the ACCUMULATED table. Fixed centroids are what make
+    the admission cluster-bounded across the table's whole lifetime:
+    batch rows only ever compare against accumulated rows in the SAME
+    inverted list, so per-batch cost is
+    sum_c (batch_m_c x corpus_m_c) — batch-sized times list-sized,
+    never batch x corpus, and the corpus side streams once per batch
+    through a broadcast-batch JVM cosine join (no Python in the
+    comparison path).
+
+    Exactly-once on at-least-once batch delivery: every applied batch
+    commits a SetTransaction watermark atomically with its append (an
+    empty admission still commits the watermark), so replays are pure
+    no-ops — re-screening rows that already landed would find them as
+    their own neighbors and silently admit nothing otherwise.
+
+    ``stats`` (optional list) receives one dict per applied batch:
+    ``{"batch", "batch_rows", "after_self_dedup", "admitted"}``.
+    """
+    import numpy as np
+
+    from ..functions.vectors import cosine
+    from ..operators.clustering import assign_to_centroids
+    from ..operators.dedup import semdedup
+
+    spark = stream_df.sparkSession
+    cols = stream_df.columns
+    cents = np.asarray(centroids, dtype="float64")
+    aid = app_id or f"stream_ingest_semantic:{checkpoint_dir}"
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table = DeltaTable(spark, table_location)
+        last = table.txn_version(aid)
+        if last is not None and last >= int(batch_id):
+            return                      # replayed batch: no-op
+        batch = batch_df.dropDuplicates([id_col]) \
+            .localCheckpoint(eager=True)
+        try:
+            n_batch = batch.count() if stats is not None else None
+            verdict = semdedup(batch, threshold=threshold,
+                               centroids=cents, vec_col=vec_col,
+                               id_col=id_col)
+            kept = (batch.join(
+                verdict.filter("keep").select(id_col, "cluster"),
+                id_col))
+            n_self = kept.count() if stats is not None else None
+            if table.log and table.count() > 0:
+                corpus = assign_to_centroids(
+                    table.to_df().select(id_col, vec_col), cents,
+                    vec_col=vec_col, out_col="cluster")
+                kb = kept.select(
+                    F.col(id_col).alias("__bid"),
+                    F.col(vec_col).alias("__bvec"),
+                    F.col("cluster"))
+                conflicted = (corpus.join(
+                    F.broadcast(kb), "cluster")
+                    .filter(cosine(F.col(vec_col), F.col("__bvec"))
+                            >= F.lit(float(threshold)))
+                    .select(F.col("__bid").alias(id_col)).distinct())
+                fresh = kept.join(conflicted, id_col, "left_anti")
+            else:
+                fresh = kept
+            fresh = fresh.select(*cols)
+            table.write(fresh, mode="append",
+                        custom_metadata={"streaming": True,
+                                         "batchId": int(batch_id),
+                                         "semanticScreened": True},
+                        txn=(aid, int(batch_id)))
+            if stats is not None:
+                admitted = (DeltaTable(spark, table_location).count()
+                            - (table.count() if table.log else 0))
+                stats.append({"batch": int(batch_id),
+                              "batch_rows": int(n_batch),
+                              "after_self_dedup": int(n_self),
+                              "admitted": int(admitted)})
+        finally:
+            batch.unpersist()
+
+    writer = (stream_df.writeStream
+              .foreachBatch(commit_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
