@@ -202,3 +202,85 @@ class TestCompactEntriesUnit:
         from xdlake_spark.log import DeltaLogEntry, compact_entries
         with pytest.raises(ValueError, match="missing"):
             compact_entries({0: DeltaLogEntry([])}, 0, 2)
+
+
+class TestCompactEntriesProperty:
+    """Hypothesis: for ANY action sequence, replaying [compacted(a,b)]
+    + the remaining commits must reproduce exactly the state of
+    replaying every commit — live files, tombstone set, txn
+    watermarks, domains, metadata/protocol identity. Driver-side only
+    (no Spark), so hundreds of random logs run in seconds."""
+
+    @staticmethod
+    def _random_log(draw):
+        from hypothesis import strategies as st
+        from xdlake_spark.log import (Add, DeltaLogEntry,
+                                      DomainMetadata, SetTransaction)
+        n_versions = draw(st.integers(2, 8))
+        paths = [f"p{i}" for i in range(draw(st.integers(1, 6)))]
+        live: dict = {}
+        entries = {}
+        for v in range(n_versions):
+            actions = []
+            for _ in range(draw(st.integers(0, 4))):
+                p = draw(st.sampled_from(paths))
+                if p in live and draw(st.booleans()):
+                    actions.append(live.pop(p).to_remove())
+                else:
+                    a = Add(path=p, size=draw(st.integers(1, 100)),
+                            modificationTime=v, partitionValues={})
+                    live[p] = a
+                    actions.append(a)
+            if draw(st.booleans()):
+                actions.append(SetTransaction(
+                    appId=draw(st.sampled_from(["x", "y"])),
+                    version=draw(st.integers(0, 20))))
+            if draw(st.booleans()):
+                actions.append(DomainMetadata(
+                    domain=draw(st.sampled_from(["d1", "d2"])),
+                    configuration="{}",
+                    removed=draw(st.booleans())))
+            entries[v] = DeltaLogEntry(actions)
+        return entries
+
+    def test_compacted_replay_equals_full_replay(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from xdlake_spark.log import DeltaLog, compact_entries
+
+        def state(log):
+            adds = log.add_actions()
+            txns = {app: log.latest_txn_version(app)
+                    for app in ("x", "y")}
+            doms = {d: (dm.configuration, dm.removed)
+                    for d, dm in log.live_domain_metadata().items()}
+            return ({p: (a.size, a.modificationTime)
+                     for p, a in adds.items()}, txns, doms)
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.data())
+        def run(data):
+            entries = self._random_log(data.draw)
+            versions = sorted(entries)
+            a = data.draw(st.sampled_from(versions[:-1]))
+            b = data.draw(st.sampled_from(
+                [v for v in versions if v > a]))
+            net = compact_entries(entries, a, b)
+            collapsed = {v: e for v, e in entries.items()
+                         if v < a or v > b}
+            collapsed[b] = net
+            assert state(DeltaLog(collapsed)) \
+                == state(DeltaLog(entries))
+            # tombstones: every path removed-and-not-re-added inside
+            # [a, b] must still carry a remove in the net entry
+            lastact: dict = {}
+            for v in range(a, b + 1):
+                for act in entries[v].actions:
+                    if hasattr(act, "path"):
+                        lastact[act.path] = type(act).__name__
+            net_removes = {r.path for r in net.removes}
+            for p, kind in lastact.items():
+                if kind == "Remove":
+                    assert p in net_removes
+
+        run()
