@@ -1361,7 +1361,7 @@ def paragraph_dedup_within(df: DataFrame, text_col: str = "text",
 def semdedup(df: DataFrame, n_clusters: int = 16,
              threshold: float = 0.95, vec_col: str = "embedding",
              id_col: str = "vec_id", iters: int = 4, seed: int = 42,
-             centroids=None, max_cluster: int = 200_000) -> DataFrame:
+             centroids=None, max_cluster: int = 20_000) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means the embedding space, then within each
     cluster drop every item whose cosine similarity to any EARLIER
@@ -1379,8 +1379,10 @@ def semdedup(df: DataFrame, n_clusters: int = 16,
     O(sum m_c^2) — the whole point of SemDeDup; at 100 TB you raise
     ``n_clusters`` until clusters are executor-sized (the paper uses
     50k clusters for LAION). Each cluster is ONE applyInPandas task
-    (a single m x m float64 matmul); a cluster above ``max_cluster``
-    raises loudly with that guidance rather than OOMing an executor.
+    holding an m x m float64 similarity matrix, so the real bound is
+    MEMORY: the default ``max_cluster`` of 20k caps the matrix at
+    ~3.2 GB (20k^2 doubles); a cluster above it raises loudly with
+    the raise-``n_clusters`` guidance rather than OOMing an executor.
     Never corpus x corpus, nothing collected to the driver.
 
     ``centroids``: optional fixed ``k x dim`` matrix — skip the

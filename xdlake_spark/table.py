@@ -4702,18 +4702,37 @@ class DeltaTable:
         put-if-absent (idempotent; concurrent compactors agree).
         Returns the log-relative filename.
         """
-        from .log import compact_entries, compacted_filename
+        import re as _re
+
+        from .log import (DeltaLogEntry, compact_entries,
+                          compacted_filename)
 
         if self.log is None:
             raise ValueError(f"No delta table at {self.location.url}")
-        full = DeltaLog.load(self.log_location, use_checkpoint=False)
-        versions = sorted(full.entries)
+        # read ONLY the range's JSON files: on a long-lived table the
+        # log may hold millions of commits, and compacting the recent
+        # thousand must not replay them all
+        json_names = {
+            int(m.group(1)): n
+            for n in self.log_location.list_files()
+            if (m := _re.match(r"^(\d+)\.json$", n))}
+        versions = sorted(json_names)
+        if not versions:
+            raise ValueError("no JSON commits to compact")
         s = versions[0] if start is None else int(start)
-        e = full.version if end is None else int(end)
+        e = self.version if end is None else int(end)
         if s >= e:
             raise ValueError(
                 f"compaction range [{s}, {e}] must span >= 2 versions")
-        entry = compact_entries(full.entries, s, e)
+        entries = {}
+        for v in range(s, e + 1):
+            if v not in json_names:
+                raise ValueError(
+                    f"version {v} missing from the log — cannot "
+                    f"compact [{s}, {e}]")
+            entries[v] = DeltaLogEntry.from_bytes(
+                self.log_location.join(json_names[v]).read_bytes())
+        entry = compact_entries(entries, s, e)
         name = compacted_filename(s, e)
         try:
             self.log_location.join(name).put_if_absent(entry.to_bytes())
