@@ -2959,3 +2959,83 @@ class TestShowPartitions:
         t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(10))
         with pytest.raises(ValueError, match="not partitioned"):
             t.partitions()
+
+
+class TestRecomputeStats:
+    """recompute_stats() (r10) — ANALYZE TABLE COMPUTE DELTA
+    STATISTICS parity: stats-less adds gain footer statistics through
+    one Spark aggregation and a dataChange=False re-add commit."""
+
+    def _strip_stats(self, loc):
+        """Simulate a foreign stats-less writer: drop stats from every
+        add in the log."""
+        import json as _json
+        log_dir = os.path.join(loc, "_delta_log")
+        for name in os.listdir(log_dir):
+            if not name.endswith(".json"):
+                continue
+            path = os.path.join(log_dir, name)
+            out = []
+            for line in open(path):
+                obj = _json.loads(line)
+                if "add" in obj:
+                    obj["add"].pop("stats", None)
+                out.append(_json.dumps(obj))
+            open(path, "w").write("\n".join(out) + "\n")
+
+    def test_fills_missing_stats_and_restores_skipping(
+            self, spark, lineitem, tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(
+            lineitem.limit(2000).repartition(4))
+        self._strip_stats(tmp_table_dir)
+        t = DeltaTable(spark, tmp_table_dir)
+        assert all(a.stats is None for a in t.adds.values())
+        t2 = t.recompute_stats()
+        assert t2.version == t.version + 1
+        assert all(a.stats is not None for a in t2.adds.values())
+        import json as _json
+        st = _json.loads(next(iter(t2.adds.values())).stats)
+        assert {"numRecords", "minValues", "maxValues",
+                "nullCount"} <= set(st)
+        # skipping prunes on the recomputed stats: an impossible
+        # predicate now eliminates every file driver-side
+        from xdlake_spark.plans.skipping import prune_manifest
+        pruned = prune_manifest(t2.adds, "l_quantity > 1000000",
+                                t2.partition_columns,
+                                t2._partition_types())
+        assert len(pruned) == 0
+        # and the scan is unchanged
+        assert t2.to_df().count() == 2000
+
+    def test_physical_row_counts_match(self, spark, lineitem,
+                                       tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(500))
+        import json as _json
+        want = {a.path: _json.loads(a.stats)["numRecords"]
+                for a in t.adds.values()}
+        self._strip_stats(tmp_table_dir)
+        t2 = DeltaTable(spark, tmp_table_dir).recompute_stats()
+        got = {a.path: _json.loads(a.stats)["numRecords"]
+               for a in t2.adds.values()}
+        assert got == want
+
+    def test_all_files_mode_and_noop(self, spark, lineitem,
+                                     tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(100))
+        assert t.recompute_stats() is t        # nothing missing
+        t2 = t.recompute_stats(all_files=True)
+        assert t2.version == t.version + 1
+        hist = next(iter(t2.history()))
+        assert hist["operation"] == "COMPUTE STATISTICS"
+        # dataChange=False re-adds: CDF-style append feed sees nothing
+        assert t2.table_changes(t.version).count() == 0
+        assert t2.verify_checksum() == []
+
+    def test_partitioned_table(self, spark, lineitem, tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(
+            lineitem.limit(1000), partition_by=["l_returnflag"])
+        self._strip_stats(tmp_table_dir)
+        t2 = DeltaTable(spark, tmp_table_dir).recompute_stats()
+        assert all(a.stats is not None for a in t2.adds.values())
+        assert t2.to_df(where="l_returnflag = 'A'").count() == \
+            t.to_df(where="l_returnflag = 'A'").count()

@@ -1547,6 +1547,37 @@ def delta_detail_query(spark, sf_dir):
         F.col("minWriterVersion").alias("min_writer"))
 
 
+@register("delta_recompute_stats_scan", """
+SELECT l_returnflag, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem WHERE l_quantity BETWEEN 10 AND 40
+GROUP BY l_returnflag
+""")
+def delta_recompute_stats_scan(spark, sf_dir):
+    """ANALYZE TABLE COMPUTE DELTA STATISTICS (r10, table.py
+    recompute_stats): one Spark aggregation re-derives every live
+    file's footer statistics and commits dataChange=False re-adds.
+    In-query gates: the commit lands (version bump), every add
+    carries stats, the checksum still verifies; the filtered scan
+    over the recomputed table matches the relational oracle. The
+    fill-from-stats-less path (foreign writer) is pinned in
+    TestRecomputeStats."""
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    t = DeltaTable(spark, _delta_tmp()).write(li.repartition(4))
+    t2 = t.recompute_stats(all_files=True)
+    if t2.version != t.version + 1:
+        raise AssertionError("COMPUTE STATISTICS commit did not land")
+    if any(a.stats is None for a in t2.adds.values()):
+        raise AssertionError("an add is still stats-less")
+    if t2.verify_checksum() != []:
+        raise AssertionError("checksum mismatch after recompute")
+    return (t2.to_df(where="l_quantity BETWEEN 10 AND 40")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("revenue")))
+
+
 @register("delta_show_partitions", """
 SELECT l_returnflag, CAST(1 AS BIGINT) AS num_files,
        count(*) AS num_rows

@@ -2369,7 +2369,7 @@ class DeltaTable:
                      F.max(c).alias(f"__mx_{i}"),
                      F.sum(F.col(c).isNull().cast("long"))
                       .alias(f"__nc_{i}")]
-        paths = [self.location.join(a.path).url
+        paths = [self.location.absloc(a.path).url
                  for a in todo.values()]
         # explicit schema (files hold the non-partition fields): no
         # footer-inference job, so the whole fallback is a constant
@@ -2404,6 +2404,49 @@ class DeltaTable:
                 st = st.restrict(keep)
             a.stats = st.to_json()
         return adds
+
+    def recompute_stats(self, all_files: bool = False) -> "DeltaTable":
+        """ANALYZE TABLE ... COMPUTE DELTA STATISTICS (delta-spark 3.x
+        parity): derive per-file statistics for live adds that lack
+        them — zero-copy imports (:meth:`import_refs`,
+        :meth:`convert_to_delta`) and foreign stats-less writers leave
+        skipping blind, turning every filtered scan into a full scan —
+        and commit stat-bearing re-adds with ``dataChange=False`` (the
+        logical content is untouched; per-path last-action-wins replay
+        swaps the entries in place, no data is rewritten or moved).
+
+        ``all_files=True`` re-derives statistics for EVERY live file
+        (delta-spark's full recompute — e.g. after changing
+        ``delta.dataSkippingStatsColumns``). Cost is ONE Spark
+        aggregation over the target files regardless of file count
+        (the :meth:`_stats_via_spark` plan), plus a KB-scale commit;
+        at 100 TB this is the one-job alternative to re-reading
+        footers file-by-file on the driver. Returns the new handle
+        (``self`` unchanged if nothing needed stats).
+        """
+        import copy
+
+        if self.log is None:
+            raise ValueError(f"No delta table at {self.location.url}")
+        targets = [copy.copy(a) for a in self.adds.values()
+                   if all_files or a.stats is None]
+        if not targets:
+            return self
+        for a in targets:
+            a.stats = None
+        filled = self._stats_via_spark(targets, self.schema,
+                                       self.partition_columns)
+        updated = [a for a in filled if a.stats is not None]
+        if not updated:
+            return self
+        read_version = self.version
+        entry = optimize_table_entry(
+            updated, [], read_version,
+            {"numFilesAnalyzed": len(updated)})
+        self._decorate_entry(entry, None, "COMPUTE STATISTICS",
+                             {"allFiles": bool(all_files)})
+        return self._commit_checked(entry, read_version,
+                                    reads_table=False)
 
     def partitions(self) -> DataFrame:
         """SHOW PARTITIONS, with per-partition file statistics (the
