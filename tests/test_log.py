@@ -475,3 +475,61 @@ class TestDynamicOverwriteTypedMatching:
             T.StructField("v", T.LongType())])
         e = self._entry(schema, ["i"], {"i": None}, {"i": None})
         assert [r.path for r in e.removes] == ["old.parquet"]
+
+
+class TestStringStatsTruncation:
+    """String min/max truncate to the Delta writer's 32-char prefix at
+    serialization (log/statistics.py truncate_min/truncate_max):
+    bounds only widen, so skipping stays sound, and long-text tables
+    stop serializing whole documents into the manifest."""
+
+    def test_prefix_and_bump(self):
+        from xdlake_spark.log.statistics import (truncate_max,
+                                                 truncate_min)
+        assert truncate_min("a" * 40) == "a" * 32
+        assert truncate_max("a" * 40) == "a" * 31 + "b"
+        assert truncate_min("short") == "short"
+        assert truncate_max("short") == "short"
+        assert truncate_min(7) == 7 and truncate_max(7) == 7
+
+    def test_bump_hops_surrogates_and_carries(self):
+        from xdlake_spark.log.statistics import truncate_max
+        s = "x" * 31 + chr(0xD7FF) + "tail"
+        assert truncate_max(s) == "x" * 31 + chr(0xE000)
+        s2 = "ab" + chr(0x10FFFF) * 30 + "zz"
+        assert truncate_max(s2) == "ac"
+        assert truncate_max(chr(0x10FFFF) * 33) is None
+
+    def test_serialized_bounds_bracket_the_true_value(self):
+        import json
+
+        from xdlake_spark.log.statistics import Statistics
+        v = "m" * 50
+        st = Statistics(numRecords=1, minValues={"t": v},
+                        maxValues={"t": v})
+        d = json.loads(st.to_json())
+        assert len(d["minValues"]["t"]) == 32
+        assert d["minValues"]["t"] <= v <= d["maxValues"]["t"]
+        # un-bumpable max drops to unbounded rather than lying
+        st2 = Statistics(numRecords=1,
+                         maxValues={"t": chr(0x10FFFF) * 40})
+        assert "t" not in json.loads(st2.to_json())["maxValues"]
+
+    def test_table_write_truncates_text_bounds(self, spark,
+                                               tmp_table_dir):
+        import json
+
+        from xdlake_spark import DeltaTable
+        # 40-char values: long enough to exceed the 32-char Delta
+        # prefix, short enough that the parquet footer still records
+        # min/max (Spark's writer drops very long binary stats)
+        df = spark.createDataFrame(
+            [(1, "alpha" * 8), (2, "omega" * 8)],
+            "id long, text string").coalesce(1)
+        t = DeltaTable(spark, tmp_table_dir).write(df)
+        st = json.loads(next(iter(t.adds.values())).stats)
+        assert len(st["minValues"]["text"]) <= 32
+        assert len(st["maxValues"]["text"]) <= 32
+        # the widened interval still brackets the data, so a filtered
+        # scan with skipping stays exact
+        assert t.to_df(where="text >= 'omega'").count() == 1

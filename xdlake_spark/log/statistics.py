@@ -43,6 +43,49 @@ def _json_safe(v: Any) -> Any:
     return v
 
 
+#: Delta writers cap string min/max at 32 characters — without it a
+#: long-text column (a web-crawl ``documents`` table) serializes whole
+#: documents into every add's stats JSON, and a billion-file manifest
+#: carries gigabytes of bounds nobody needs for pruning.
+STRING_PREFIX_LENGTH = 32
+
+#: Unicode gap the truncated-max increment must hop over: bumping into
+#: the surrogate range would produce an unencodable JSON string.
+_SURROGATE_LO, _SURROGATE_HI = 0xD800, 0xDFFF
+_MAX_CP = 0x10FFFF
+
+
+def truncate_min(v: Any, limit: int = STRING_PREFIX_LENGTH) -> Any:
+    """Lower bound under truncation: a prefix sorts <= the full string,
+    so the plain cut is already sound."""
+    if isinstance(v, str) and len(v) > limit:
+        return v[:limit]
+    return v
+
+
+def truncate_max(v: Any, limit: int = STRING_PREFIX_LENGTH) -> Any:
+    """Upper bound under truncation (the Delta writer rule): cut to
+    ``limit`` chars, then increment the last incrementable code point
+    and drop everything after it, so the result sorts >= every string
+    sharing the prefix. A prefix of all-U+10FFFF cannot be bumped:
+    return None (interval unbounded above — sound, never over-tight).
+    """
+    if not isinstance(v, str) or len(v) <= limit:
+        return v
+    prefix = v[:limit]
+    chars = list(prefix)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp >= _MAX_CP:
+            continue
+        cp += 1
+        if _SURROGATE_LO <= cp <= _SURROGATE_HI:
+            cp = _SURROGATE_HI + 1
+        chars[i] = chr(cp)
+        return "".join(chars[:i + 1])
+    return None
+
+
 @dataclass
 class Statistics:
     numRecords: int = 0
@@ -51,10 +94,23 @@ class Statistics:
     nullCount: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> str:
+        """Serialize for ``add.stats`` — string bounds truncate at the
+        Delta writer's 32-character prefix here, the single choke
+        point every stats-producing path (footer fold, Spark-agg
+        fallback, import) funnels through. Truncation only WIDENS the
+        interval (prefix min sorts lower, bumped max sorts higher),
+        so skipping stays sound; an un-bumpable max drops to
+        unbounded."""
+        max_vals = {}
+        for k, v in self.maxValues.items():
+            t = truncate_max(v)
+            if t is not None:
+                max_vals[k] = t
         return json.dumps({
             "numRecords": self.numRecords,
-            "minValues": self.minValues,
-            "maxValues": self.maxValues,
+            "minValues": {k: truncate_min(v)
+                          for k, v in self.minValues.items()},
+            "maxValues": max_vals,
             "nullCount": self.nullCount,
         }, default=str)
 
