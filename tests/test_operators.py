@@ -110,6 +110,65 @@ class TestNgramJaccard:
             assert (i, i + 100000) in got
 
 
+class TestContaminationBloomScreen:
+    """contamination_pairs(eval_screen=True) (r10): the eval-shingle
+    Bloom filter prunes the train inverted index as a pure JVM filter
+    before any shuffle — no false negatives, so screened results equal
+    unscreened EXACTLY."""
+
+    def test_screened_equals_unscreened(self, spark, documents):
+        tr = documents.filter("doc_id % 10 != 0")
+        ev = documents.filter("doc_id % 10 = 0")
+        a = dedup.contamination_pairs(tr, ev) \
+            .orderBy("train_id", "eval_id").collect()
+        b = dedup.contamination_pairs(tr, ev, eval_screen=True) \
+            .orderBy("train_id", "eval_id").collect()
+        assert a == b and len(a) > 0
+
+    def test_screened_equals_unscreened_with_valve(self, spark,
+                                                   documents):
+        tr = documents.filter("doc_id % 10 != 0")
+        ev = documents.filter("doc_id % 10 = 0")
+        a = dedup.contamination_pairs(tr, ev, max_doc_freq=50) \
+            .orderBy("train_id", "eval_id").collect()
+        b = dedup.contamination_pairs(tr, ev, max_doc_freq=50,
+                                      eval_screen=True) \
+            .orderBy("train_id", "eval_id").collect()
+        assert a == b
+
+    def test_screen_actually_prunes(self, spark):
+        """Disjoint train text must be eliminated by the screen: with
+        a tight filter, zero pairs AND the planted containment case
+        still survives end to end."""
+        tr = spark.createDataFrame(
+            [(1, "the full benchmark item appears verbatim right "
+                 "here inside this training document today"),
+             (2, "totally unrelated web page about cooking pasta "
+                 "with garlic and fresh tomato sauce")],
+            "doc_id long, text string")
+        ev = spark.createDataFrame(
+            [(100, "benchmark item appears verbatim right here")],
+            "doc_id long, text string")
+        out = dedup.contamination_pairs(
+            tr, ev, threshold=0.8, eval_screen=True,
+            screen_bits=1 << 14).collect()
+        assert [(r["train_id"], r["eval_id"])
+                for r in out] == [(1, 100)]
+
+    def test_no_extra_shuffle_in_screen(self, spark, documents):
+        """The screen is a filter fused ahead of the join — plan has
+        no Python eval and no additional Exchange vs the unscreened
+        plan."""
+        tr = documents.filter("doc_id % 10 != 0")
+        ev = documents.filter("doc_id % 10 = 0")
+        plain = dedup.contamination_pairs(tr, ev) \
+            ._jdf.queryExecution().executedPlan().toString()
+        scr = dedup.contamination_pairs(tr, ev, eval_screen=True) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert scr.count("Exchange") <= plain.count("Exchange")
+        assert "BatchEvalPython" not in scr
+
+
 class TestCrossCorpusDedup:
     def test_bipartite_pairs_and_admission(self, spark):
         new = spark.createDataFrame(pd.DataFrame({

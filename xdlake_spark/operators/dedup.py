@@ -326,7 +326,10 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
 def contamination_pairs(train: DataFrame, eval_df: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         k_shingle: int = 3, threshold: float = 0.8,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = None,
+                        eval_screen: bool = False,
+                        screen_bits: int = 1 << 15,
+                        screen_hashes: int = 3) -> DataFrame:
     """Benchmark-contamination check: (train_id, eval_id, containment)
     for every train document whose shingle set covers >= ``threshold``
     of an eval document's shingles (containment = |A∩B| / |B|, B = the
@@ -345,6 +348,23 @@ def contamination_pairs(train: DataFrame, eval_df: DataFrame,
     in decontamination.) Eval shingles absent from train entirely still
     count in the denominator: the valve removes only train-hot
     shingles, not unseen ones.
+
+    ``eval_screen`` (r10, the 100 TB lever): the eval set is BENCHMARK
+    -sized, so its shingle universe fits a Bloom filter. With the
+    screen on, the filter is built over the eval shingles (one small
+    job), collected to ``screen_bits/32`` longs, and applied to the
+    TRAIN inverted index as a PURE JVM literal-array filter BEFORE the
+    shuffle — no join, no extra shuffle, fused into the scan. Train
+    shingles that are certainly not in any eval doc (the overwhelming
+    majority of a web crawl) never shuffle at all; the join moves
+    O(train-shingles-that-might-match) rows instead of every shingle
+    of the corpus. Bloom guarantees NO false negatives, so
+    screened == unscreened results EXACTLY (pinned in tests); false
+    positives only cost shuffle bytes. Size ``screen_bits ~ 14.4x``
+    the eval shingle count for ~0.1% FP at ``screen_hashes = 10``;
+    very large filters trade whole-stage codegen for an interpreted
+    projection (the literal array outgrows the JVM method budget) —
+    still shuffle-free.
     """
     def inv(df_, tag):
         sh = (ensure_parallelism(df_)
@@ -358,6 +378,32 @@ def contamination_pairs(train: DataFrame, eval_df: DataFrame,
               .select("train_id", F.xxhash64("__s").alias("shingle")))
     ev_inv = (ev.select("eval_id", F.explode("sh").alias("__s"))
               .select("eval_id", F.xxhash64("__s").alias("shingle")))
+    if eval_screen:
+        from .sketch import bloom_build
+        words = [0] * (screen_bits // 32)
+        for r in bloom_build(ev_inv.select("shingle"), "shingle",
+                             k=screen_hashes,
+                             m_bits=screen_bits).collect():
+            words[r["word_i"]] = r["bits"]
+        wlit = F.array(*[F.lit(int(w)) for w in words])
+        conds = None
+        for i in range(screen_hashes):
+            # EXACT _bloom_bits addressing (md5("i:value") % m), value
+            # stringified the same way concat coerces the build side
+            seeded = F.concat(F.lit(f"{i}:"),
+                              F.col("shingle").cast("string"))
+            pos = F.pmod(
+                F.conv(F.substring(F.md5(seeded), 1, 13), 16, 10)
+                 .cast("long"), F.lit(screen_bits))
+            word = F.floor(pos / 32).cast("int")
+            # shiftleft() takes only a literal shift in the Python
+            # API; pow(2, b) is exact for b < 32 and stays JVM-side
+            mask = F.pow(F.lit(2.0), F.pmod(pos, F.lit(32))) \
+                .cast("long")
+            c = (F.element_at(wlit, word + 1).bitwiseAND(mask)
+                 == mask)
+            conds = c if conds is None else (conds & c)
+        tr_inv = tr_inv.filter(conds)
     if max_doc_freq is not None:
         hot = (tr_inv.groupBy("shingle")
                .agg(F.count(F.lit(1)).alias("__df"))

@@ -3236,6 +3236,27 @@ def contamination_q(spark, sf_dir):
         threshold=0.8)
 
 
+# Same oracle as contamination_check — the Bloom screen has NO false
+# negatives, so the screened result is identical by construction (and
+# the driver independently proves it so here).
+_CONTAMINATION_ORACLE = REGISTRY["contamination_check"][1]
+
+
+@register("contamination_check_screened", _CONTAMINATION_ORACLE)
+def contamination_screened_q(spark, sf_dir):
+    """Bloom-screened decontamination (r10, the 100 TB lever on
+    contamination_check): the eval set's shingle Bloom filter prunes
+    the TRAIN inverted index as a pure JVM literal-array filter BEFORE
+    the bipartite shuffle — train shingles certainly absent from every
+    eval doc never leave the scan. No false negatives, so this query
+    shares contamination_check's exact oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.contamination_pairs(
+        d.filter("doc_id % 10 != 0"), d.filter("doc_id % 10 = 0"),
+        threshold=0.8, eval_screen=True, screen_bits=1 << 17,
+        screen_hashes=5)
+
+
 # ===========================================================================
 # Dedup (documents) + embeddings similarity
 # ===========================================================================
