@@ -533,3 +533,27 @@ class TestStringStatsTruncation:
         # the widened interval still brackets the data, so a filtered
         # scan with skipping stays exact
         assert t.to_df(where="text >= 'omega'").count() == 1
+
+
+class TestTruncationProperty:
+    def test_bounds_always_bracket(self):
+        """Hypothesis over arbitrary unicode: the truncated min sorts
+        <= s, the truncated max sorts >= s (or drops to unbounded),
+        and both respect the 32-char cap."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from xdlake_spark.log.statistics import (truncate_max,
+                                                 truncate_min)
+
+        @settings(max_examples=500, deadline=None)
+        @given(st.text(min_size=0, max_size=80))
+        def run(s):
+            mn = truncate_min(s)
+            assert mn <= s and len(mn) <= 32
+            mx = truncate_max(s)
+            if mx is not None:
+                assert mx >= s, (s, mx)
+                assert len(mx) <= 32
+
+        run()
