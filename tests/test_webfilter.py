@@ -175,3 +175,48 @@ class TestPlans:
         assert "BatchEvalPython" not in plan
         # partial agg before the exchange (map-side combine)
         assert plan.count("HashAggregate") >= 2
+
+
+class TestFixMojibake:
+    """fix_mojibake (r10, operators/text.py): UTF-8-as-cp1252 repair —
+    exact recovery through one and two corruption rounds, conservative
+    on clean text, JVM prefilter keeps clean rows out of Python."""
+
+    ORIG = 'café déjà vu – “quoted” naïve'
+
+    def _corrupt(self, s):
+        return s.encode("utf-8").decode("latin-1")
+
+    def test_recovers_exactly(self, spark):
+        from xdlake_spark.operators import text as textops
+        once = self._corrupt(self.ORIG)
+        twice = self._corrupt(once)
+        rows = [(1, self.ORIG), (2, once), (3, twice),
+                (4, "plain ascii text"), (5, None), (6, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: (r["text"], r["mojibake_rounds"])
+               for r in textops.fix_mojibake(df).collect()}
+        assert out[1] == (self.ORIG, 0)      # genuine accents kept
+        assert out[2] == (self.ORIG, 1)
+        assert out[3] == (self.ORIG, 2)
+        assert out[4] == ("plain ascii text", 0)
+        assert out[5][0] is None
+        assert out[6] == ("", 0)
+
+    def test_cp1252_punctuation_variants(self, spark):
+        from xdlake_spark.operators import text as textops
+        for orig in ("em—dash", "ellipsis…", "’apostrophe’",
+                     "€uro", "†dagger"):
+            once = self._corrupt(orig)
+            df = spark.createDataFrame([(1, once)],
+                                       "doc_id long, text string")
+            r = textops.fix_mojibake(df).collect()[0]
+            assert (r["text"], r["mojibake_rounds"]) == (orig, 1), orig
+
+    def test_extra_columns_preserved(self, spark):
+        from xdlake_spark.operators import text as textops
+        df = spark.createDataFrame(
+            [(1, self._corrupt("où?"), "en")],
+            "doc_id long, text string, lang string")
+        r = textops.fix_mojibake(df).collect()[0]
+        assert r["lang"] == "en" and r["text"] == "où?"

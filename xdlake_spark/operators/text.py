@@ -349,6 +349,79 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, collapsed)
 
 
+def fix_mojibake(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 max_rounds: int = 3) -> DataFrame:
+    """Repair UTF-8-read-as-cp1252 double encoding — the classic
+    web-crawl corruption ('Ã©' -> 'é', 'â€“' -> en dash, 'â€œ' ->
+    left quote), including texts corrupted more than once.
+
+    The repair rule is deterministic and CONSERVATIVE: one round
+    re-encodes the text as cp1252 (latin-1 for cp1252's five unmapped
+    control bytes — the "sloppy" convention real decoders use) and
+    re-decodes it as strict UTF-8; the round applies only when both
+    steps succeed AND the text strictly shortens (a multibyte UTF-8
+    sequence always shrinks when its mojibake collapses). Clean ASCII
+    round-trips to itself (not shorter -> untouched) and genuinely
+    accented text fails the strict UTF-8 decode (its cp1252 bytes are
+    not valid UTF-8 -> untouched), so false repairs need an
+    adversarial text that IS valid doubly-encoded UTF-8 — vanishingly
+    rare in natural language. Rounds repeat to a fixed point
+    (``max_rounds`` caps pathological inputs).
+
+    Scale: a JVM ``rlike`` prefilter keys the Python path — only rows
+    carrying a mojibake lead character (Ã, Â, â, Å, Î, Ð, Ñ, Ï, Ì,
+    Ê, É, È — the cp1252 images of UTF-8 lead bytes) enter the
+    Arrow-batched UDF; a clean corpus pays one fused regex scan and
+    zero Python. Returns the input columns with ``text_col`` repaired
+    plus ``mojibake_rounds`` (0 = untouched).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def _repair_one(x: str, rounds: int):
+        for r in range(rounds):
+            try:
+                b = x.encode("cp1252")
+            except UnicodeEncodeError:
+                try:
+                    b = x.encode("latin-1")
+                except UnicodeEncodeError:
+                    return x, r
+            try:
+                y = b.decode("utf-8")
+            except UnicodeDecodeError:
+                return x, r
+            if len(y) >= len(x):
+                return x, r
+            x = y
+        return x, rounds
+
+    @pandas_udf("struct<text: string, rounds: int>")
+    def _fix(s: pd.Series) -> pd.DataFrame:
+        out_t, out_r = [], []
+        for x in s:
+            if x is None:
+                out_t.append(None)
+                out_r.append(0)
+                continue
+            t, r = _repair_one(x, max_rounds)
+            out_t.append(t)
+            out_r.append(r)
+        return pd.DataFrame({"text": out_t, "rounds": out_r})
+
+    marker = "[ÃÂâÅÎÐÑ" \
+             "ÏÌÊÉÈ]"
+    suspect = F.col(text_col).rlike(marker)
+    fixed = F.when(suspect, _fix(F.col(text_col))).otherwise(
+        F.struct(F.col(text_col).alias("text"),
+                 F.lit(0).alias("rounds")))
+    others = [c for c in df.columns if c != text_col]
+    return (df.withColumn("__fx", fixed)
+            .select(*others,
+                    F.col("__fx.text").alias(text_col),
+                    F.col("__fx.rounds").alias("mojibake_rounds")))
+
+
 #: Unicode scripts for corpus triage: profile name -> (Java regex
 #: script class, DuckDB/RE2 class). Script classes, not blocks — both
 #: engines count the same character sets (parity pinned in tests and

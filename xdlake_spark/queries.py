@@ -2728,6 +2728,47 @@ def encoding_quality_q(spark, sf_dir):
 _BPE = X.TOKEN_PATTERN
 _SW = ", ".join(f"'{w}'" for w in X.STOPWORDS_EN)
 
+@register("text_fix_mojibake", """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS rounds,
+       true AS recovered
+FROM documents
+""")
+def text_fix_mojibake_q(spark, sf_dir):
+    """Mojibake repair round-trip (r10, operators/text.py
+    fix_mojibake): docs at doc_id % 3 != 0 gain a deterministic
+    non-ASCII suffix (JVM concat), every doc is corrupted through the
+    classic UTF-8-read-as-latin1 path (Arrow UDF), and the repair
+    must recover the pre-corruption text EXACTLY — the oracle knows
+    pure-ASCII docs repair in 0 rounds and suffixed docs in exactly 1,
+    and ``recovered`` hash-fails if any byte differs."""
+    from pyspark.sql.functions import pandas_udf
+
+    d = _t(spark, sf_dir, "documents")
+    suffixed = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 != 0,
+               F.concat(F.col("text"),
+                        F.lit(" café № "),
+                        (F.col("doc_id") % 7).cast("string")))
+         .otherwise(F.col("text")).alias("text"))
+
+    @pandas_udf("string")
+    def _corrupt(s):
+        return s.map(lambda x: None if x is None
+                     else x.encode("utf-8").decode("latin-1"))
+
+    corrupted = suffixed.select(
+        "doc_id", F.col("text").alias("__orig"),
+        _corrupt(F.col("text")).alias("text"))
+    from .operators.text import fix_mojibake
+    fixed = fix_mojibake(corrupted, text_col="text", id_col="doc_id")
+    return fixed.select(
+        "doc_id",
+        F.col("mojibake_rounds").cast("int").alias("rounds"),
+        (F.col("text") == F.col("__orig")).alias("recovered"))
+
+
 @register("text_stats", f"""
 WITH toks AS (
   SELECT doc_id, text,
