@@ -155,6 +155,58 @@ class TestIVFPQ:
             similarity.ivfpq_topk(enc, cents, books, [0.0] * 63)
 
 
+class TestOPQ:
+    """OPQ (r10): learned-rotation product quantization — orthogonal
+    R, lower quantization error than plain PQ on anisotropic data,
+    exact-degradation, determinism."""
+
+    @pytest.fixture(scope="class")
+    def aniso(self, spark):
+        rng = np.random.RandomState(0)
+        Q, _ = np.linalg.qr(rng.randn(64, 64))
+        X = rng.randn(600, 64) @ (Q * np.geomspace(10, 0.1, 64))
+        df = spark.createDataFrame(
+            [(i, X[i].tolist()) for i in range(600)],
+            "vec_id long, embedding array<double>")
+        return df, X
+
+    def test_rotation_orthogonal_and_deterministic(self, aniso):
+        df, _ = aniso
+        R1, b1 = similarity.opq_train(df, opq_iters=4)
+        R2, b2 = similarity.opq_train(df, opq_iters=4)
+        assert np.allclose(R1 @ R1.T, np.eye(64), atol=1e-8)
+        assert np.array_equal(R1, R2) and np.array_equal(b1, b2)
+
+    def test_beats_plain_pq_on_anisotropic_data(self, aniso):
+        df, X = aniso
+        R, obooks = similarity.opq_train(df, opq_iters=6)
+        pbooks = similarity.pq_train(df)
+        pe = ((similarity._pq_reconstruct(X, pbooks) - X) ** 2).sum()
+        oe = ((similarity._pq_reconstruct(X @ R, obooks)
+               - X @ R) ** 2).sum()
+        assert oe < 0.8 * pe, (oe, pe)
+
+    def test_full_oversample_rerank_is_exact(self, aniso):
+        df, X = aniso
+        R, books = similarity.opq_train(df, opq_iters=3)
+        enc = similarity.opq_encode(df, R, books)
+        q = (X[7] + 0.01).tolist()
+        got = [r.vec_id for r in similarity.opq_topk(
+            enc, R, books, q, k=10, vec_col="embedding",
+            oversample=60).collect()]
+        d2 = ((X - np.array(q)) ** 2).sum(axis=1)
+        ids = np.arange(600)
+        assert got == ids[np.lexsort((ids, d2))][:10].tolist()
+
+    def test_encode_plan_jvm_only(self, aniso):
+        df, _ = aniso
+        R, books = similarity.opq_train(df, opq_iters=2)
+        plan = (similarity.opq_encode(df, R, books)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
 class TestPCA:
     """Distributed PCA (r10): one moment-sketch job + driver eigh —
     numpy-twin exact, deterministic signs, JVM-only projection."""

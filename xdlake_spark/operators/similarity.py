@@ -219,11 +219,19 @@ def pq_train(df: DataFrame, m: int = 8, n_codes: int = 16,
     X = np.array([list(r[vec_col]) for r in rows], dtype="float64")
     if len(X) < n_codes:
         raise ValueError(f"need >= {n_codes} sample vectors, got {len(X)}")
+    return _pq_fit(X, m, n_codes, iters)
+
+
+def _pq_fit(X: np.ndarray, m: int, n_codes: int,
+            iters: int) -> np.ndarray:
+    """Per-subspace k-means codebook fit on a driver-held sample —
+    the numpy core shared by :func:`pq_train` and :func:`opq_train`.
+    Deterministic seeding: first ``n_codes`` DISTINCT subvectors in
+    the (hash-shuffled) sample order."""
+    sub = X.shape[1] // m
     books = np.empty((m, n_codes, sub), dtype="float64")
     for j in range(m):
         S = X[:, j * sub:(j + 1) * sub]
-        # deterministic seeding: first n_codes DISTINCT subvectors in
-        # the (already hash-shuffled) sample order
         seen, init = set(), []
         for v in S:
             t = tuple(v)
@@ -247,6 +255,18 @@ def pq_train(df: DataFrame, m: int = 8, n_codes: int = 16,
             C = newC
         books[j] = C
     return books
+
+
+def _pq_reconstruct(Y: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Encode-then-decode a sample against fitted codebooks (numpy,
+    driver-side) — the OPQ inner loop's quantization step."""
+    m, n_codes, sub = books.shape
+    out = np.empty_like(Y)
+    for j in range(m):
+        S = Y[:, j * sub:(j + 1) * sub]
+        d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        out[:, j * sub:(j + 1) * sub] = books[j][d2.argmin(axis=1)]
+    return out
 
 
 def pq_encode(df: DataFrame, codebooks: np.ndarray,
@@ -322,6 +342,128 @@ def pq_topk(encoded: DataFrame, codebooks: np.ndarray, query_vec,
                    lambda a, b: (a.cast("double") - b)
                    * (a.cast("double") - b)),
         F.lit(0.0), lambda acc, x: acc + x)
+    shortlist = (base
+                 .select(F.col(id_col), F.col(vec_col),
+                         F.round(adc, 6).alias("__adc"))
+                 .orderBy(F.col("__adc").asc(), F.col(id_col))
+                 .limit(k * oversample))
+    return (shortlist
+            .select(F.col(id_col), F.round(exact, 6).alias("adc_dist"))
+            .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# OPQ — optimized product quantization (learned rotation, Ge et al. 2013)
+# ---------------------------------------------------------------------------
+
+def opq_train(df: DataFrame, m: int = 8, n_codes: int = 16,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              sample_size: int = 2048, iters: int = 10,
+              opq_iters: int = 8, seed: int = 42):
+    """Train OPQ (the non-parametric alternation of Ge et al. 2013):
+    a learned ORTHOGONAL rotation ``R`` is fit jointly with the PQ
+    codebooks so the subspace split stops fighting correlated
+    dimensions — plain PQ quantizes each contiguous dim-block
+    independently and pays dearly when variance concentrates across
+    blocks; OPQ rotates variance into balance first and typically
+    halves the quantization error on anisotropic embeddings (pinned
+    against plain PQ in tests).
+
+    Alternation on the same bounded driver sample ``pq_train`` uses
+    (corpus-size-independent — the standard recipe): rotate with the
+    current ``R``, fit codebooks (:func:`_pq_fit`), reconstruct, then
+    solve the Procrustes step ``min_R ||X R - X_hat||`` in closed form
+    via one d x d SVD. ``R`` is seeded with the sample's PCA basis
+    (already variance-balancing), so a handful of iterations
+    converge. Returns ``(R, codebooks)`` with ``R`` of shape (d, d)
+    applied as ``x @ R``.
+    """
+    rows = (df.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string"),
+                                F.lit(seed)), F.col(id_col))
+            .limit(sample_size).collect())
+    X = np.array([list(r[vec_col]) for r in rows], dtype="float64")
+    if len(X) < n_codes:
+        raise ValueError(
+            f"need >= {n_codes} sample vectors, got {len(X)}")
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    # PCA init: eigenvectors of the sample covariance, deterministic
+    # sign, padded to a full orthogonal basis by construction of eigh
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / max(len(X), 1)
+    w, V = np.linalg.eigh((cov + cov.T) / 2.0)
+    R = V[:, np.argsort(w)[::-1]]
+    for j in range(d):
+        i = int(np.argmax(np.abs(R[:, j])))
+        if R[i, j] < 0:
+            R[:, j] = -R[:, j]
+    books = None
+    for _ in range(opq_iters):
+        Y = X @ R
+        books = _pq_fit(Y, m, n_codes, iters)
+        Yh = _pq_reconstruct(Y, books)
+        # Procrustes: argmin_R ||X R - Yh||_F over orthogonal R
+        U, _s, Vt = np.linalg.svd(X.T @ Yh)
+        R_new = U @ Vt
+        if np.allclose(R_new, R, atol=1e-10):
+            R = R_new
+            break
+        R = R_new
+    Y = X @ R
+    books = _pq_fit(Y, m, n_codes, iters)
+    return R, books
+
+
+def _rotate_expr(R: np.ndarray, vec_col: str):
+    """``x @ R`` as d JVM dot products against the rotation's columns
+    — the same broadcast-literal shape as :func:`pca_project`."""
+    return F.array(*[dot(F.col(vec_col), lit_vector(col))
+                     for col in np.asarray(R, dtype="float64").T])
+
+
+def opq_encode(df: DataFrame, R: np.ndarray, codebooks: np.ndarray,
+               vec_col: str = "embedding",
+               code_col: str = "codes") -> DataFrame:
+    """Rotate (JVM dots, no shuffle, no Python) then PQ-encode —
+    the persisted index is still m bytes per vector."""
+    rotated = df.withColumn("__rot", _rotate_expr(R, vec_col))
+    return pq_encode(rotated, codebooks, vec_col="__rot",
+                     code_col=code_col).drop("__rot")
+
+
+def opq_topk(encoded: DataFrame, R: np.ndarray,
+             codebooks: np.ndarray, query_vec, k: int = 10,
+             id_col: str = "vec_id", code_col: str = "codes",
+             vec_col: str | None = None,
+             oversample: int = 4) -> DataFrame:
+    """ADC search in the rotated space: rotation is orthogonal, so
+    distances are preserved and the query simply rotates driver-side
+    before the standard :func:`pq_topk` scan. With ``vec_col``, the
+    exact re-rank runs on the ORIGINAL vectors (rotating the query
+    back is free; rotating every candidate is not)."""
+    q = np.asarray(query_vec, dtype="float64")
+    qr = q @ np.asarray(R, dtype="float64")
+    if vec_col is None:
+        return pq_topk(encoded, codebooks, qr, k=k, id_col=id_col,
+                       code_col=code_col)
+    # shortlist by rotated ADC, then exact euclidean on the raw
+    # vectors (orthogonal R preserves the metric, so the ordering is
+    # the same as re-ranking in rotated space)
+    m, n_codes, sub = codebooks.shape
+    tables = ((qr.reshape(m, 1, sub) - codebooks) ** 2).sum(axis=2)
+    adc = None
+    for j in range(m):
+        t = F.array(*[F.lit(float(v)) for v in tables[j]])
+        term = F.element_at(t, F.col(code_col)[j] + 1)
+        adc = term if adc is None else adc + term
+    base = ensure_parallelism(encoded)
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    qq = float(q @ q)
+    exact = (dot(F.col(vec_col), F.col(vec_col))
+             - 2.0 * dot(F.col(vec_col), qlit) + F.lit(qq))
     shortlist = (base
                  .select(F.col(id_col), F.col(vec_col),
                          F.round(adc, 6).alias("__adc"))

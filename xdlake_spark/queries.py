@@ -3948,6 +3948,47 @@ def similarity_ivfpq_topk_q(spark, sf_dir):
         vec_col="embedding", oversample=8)
 
 
+@register("similarity_opq_full_rerank", f"""
+SELECT vec_id,
+       round(list_inner_product(embedding::DOUBLE[],
+                                embedding::DOUBLE[])
+             - 2 * list_inner_product(embedding::DOUBLE[], {_QV_SQL})
+             + {_QQ!r}, 6) AS adc_dist
+FROM embeddings
+ORDER BY list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])
+         - 2 * list_inner_product(embedding::DOUBLE[], {_QV_SQL})
+         + {_QQ!r} ASC, vec_id
+LIMIT 10
+""")
+def similarity_opq_full(spark, sf_dir):
+    """OPQ (r10, operators/similarity.py opq_train/encode/topk — Ge
+    et al. 2013 learned-rotation PQ) driven to exactness: a
+    corpus-covering shortlist re-ranked exactly, so the rotation
+    (orthogonal, distance-preserving), rotated encode and rotated ADC
+    tables are all oracle-checkable against brute-force squared
+    euclidean. The anisotropic-data quantization-error win over plain
+    PQ is pinned in TestOPQ."""
+    e = _t(spark, sf_dir, "embeddings")
+    R, books = similarity.opq_train(e, opq_iters=4)
+    n = e.count()
+    out = similarity.opq_topk(
+        similarity.opq_encode(e, R, books), R, books, QUERY_VEC,
+        k=10, vec_col="embedding", oversample=-(-n // 10))
+    return out.select("vec_id", "adc_dist")
+
+
+@register("similarity_opq_topk", None)
+def similarity_opq_topk_q(spark, sf_dir):
+    """The realistic OPQ search shape: rotated ADC shortlist (8x
+    oversample) + exact re-rank on the raw vectors. Rows-only
+    (approximate); quality gates in TestOPQ."""
+    e = _t(spark, sf_dir, "embeddings")
+    R, books = similarity.opq_train(e, opq_iters=4)
+    return similarity.opq_topk(
+        similarity.opq_encode(e, R, books), R, books, QUERY_VEC,
+        k=10, vec_col="embedding", oversample=8)
+
+
 @register("embedding_pca_project", None)
 def embedding_pca_project_q(spark, sf_dir):
     """Distributed PCA train + project (r10, operators/similarity.py
