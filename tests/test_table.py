@@ -3039,3 +3039,35 @@ class TestRecomputeStats:
         assert all(a.stats is not None for a in t2.adds.values())
         assert t2.to_df(where="l_returnflag = 'A'").count() == \
             t.to_df(where="l_returnflag = 'A'").count()
+
+
+class TestMetadataOnlyJobCounts:
+    """Round-10 metadata ops must stay job-free on the driver:
+    partitions() and verify_checksum() run zero Spark jobs."""
+
+    def _jobs_during(self, spark, group, fn):
+        sc = spark.sparkContext
+        sc.setJobGroup(group, "must be job-free")
+        try:
+            out = fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return out, list(sc.statusTracker().getJobIdsForGroup(group))
+
+    def test_partitions_is_zero_jobs(self, spark, lineitem,
+                                     tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(
+            lineitem.limit(500), partition_by=["l_returnflag"])
+        # building the DataFrame must not scan anything; collecting
+        # it runs exactly the local-relation job Spark charges for
+        # createDataFrame, never a table read
+        df, jobs = self._jobs_during(
+            spark, "show-partitions-probe", t.partitions)
+        assert jobs == [], jobs
+
+    def test_verify_checksum_is_zero_jobs(self, spark, lineitem,
+                                          tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(200))
+        out, jobs = self._jobs_during(
+            spark, "verify-checksum-probe", t.verify_checksum)
+        assert out == [] and jobs == [], (out, jobs)
