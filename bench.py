@@ -151,6 +151,14 @@ HEADLINE = [
     "classifier_auc_eval",
     "delta_replace_where_scan",
     "shuffle_shards_order",
+    # round-10 additions: SemDeDup proper, combined/rotated ANN,
+    # Bloom-screened decontamination, log compaction, mojibake repair
+    "semdedup_kmeans_prune",
+    "similarity_ivfpq_topk",
+    "similarity_opq_topk",
+    "contamination_check_screened",
+    "delta_log_compaction_scan",
+    "text_fix_mojibake",
 ]
 
 
