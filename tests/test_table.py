@@ -3071,3 +3071,39 @@ class TestMetadataOnlyJobCounts:
         out, jobs = self._jobs_during(
             spark, "verify-checksum-probe", t.verify_checksum)
         assert out == [] and jobs == [], (out, jobs)
+
+
+class TestRecomputeStatsConcurrency:
+    def test_lost_race_recomputes_instead_of_rebasing(
+            self, spark, lineitem, tmp_table_dir):
+        """A concurrent commit between snapshot and COMPUTE STATISTICS
+        must NOT resurrect files: the op re-reads and recomputes
+        against the fresh snapshot (here the concurrent winner is a
+        metadata-only partition delete — the case the generic rebase
+        check cannot see)."""
+        import json as _json
+        import os as _os
+        t = DeltaTable(spark, tmp_table_dir).write(
+            lineitem.limit(1000), partition_by=["l_returnflag"])
+        # strip stats so there is something to recompute
+        log_dir = _os.path.join(tmp_table_dir, "_delta_log")
+        for name in _os.listdir(log_dir):
+            if name.endswith(".json"):
+                path = _os.path.join(log_dir, name)
+                out = []
+                for line in open(path):
+                    obj = _json.loads(line)
+                    if "add" in obj:
+                        obj["add"].pop("stats", None)
+                    out.append(_json.dumps(obj))
+                open(path, "w").write("\n".join(out) + "\n")
+        stale = DeltaTable(spark, tmp_table_dir)   # snapshot at v0
+        # concurrent winner: metadata-only partition delete of 'A'
+        DeltaTable(spark, tmp_table_dir).delete("l_returnflag = 'A'")
+        t2 = stale.recompute_stats()               # loses the race
+        assert t2.version == 2
+        flags = {a.partitionValues.get("l_returnflag")
+                 for a in t2.adds.values()}
+        assert "A" not in flags                    # NOT resurrected
+        assert all(a.stats is not None for a in t2.adds.values())
+        assert t2.to_df(where="l_returnflag = 'A'").count() == 0

@@ -137,8 +137,15 @@ def verify_checksum(log, crc: dict[str, Any]) -> list[str]:
     for key in ("tableSizeBytes", "numFiles", "numMetadata",
                 "numProtocol", "numDeletionVectorsOpt",
                 "numDeletedRecordsOpt", "inCommitTimestampOpt"):
-        if key in crc and crc[key] is not None \
-                and int(crc[key]) != int(ours.get(key, 0)):
+        if key not in crc or crc[key] is None:
+            continue
+        try:
+            stored = int(crc[key])
+        except (TypeError, ValueError):
+            problems.append(f"{key}: crc value {crc[key]!r} is not "
+                            "numeric")
+            continue
+        if stored != int(ours.get(key, 0)):
             problems.append(
                 f"{key}: crc={crc[key]} computed={ours.get(key, 0)}")
     for key in ("metadata", "protocol"):

@@ -2445,8 +2445,19 @@ class DeltaTable:
             {"numFilesAnalyzed": len(updated)})
         self._decorate_entry(entry, None, "COMPUTE STATISTICS",
                              {"allFiles": bool(all_files)})
-        return self._commit_checked(entry, read_version,
-                                    reads_table=False)
+        try:
+            return self._commit(entry)
+        except FileExistsError:
+            # lost the optimistic-concurrency race. NEVER rebase this
+            # entry: replaying stat-bearing re-adds past a concurrent
+            # DELETE would resurrect files the winner removed
+            # (metadata-only partition deletes carry no adds, so the
+            # generic rebase check cannot see the overlap). Recompute
+            # against the fresh snapshot instead — files that
+            # disappeared drop out of the target set.
+            fresh = type(self)(self.spark, self.location,
+                               self.log_location)
+            return fresh.recompute_stats(all_files=all_files)
 
     def partitions(self) -> DataFrame:
         """SHOW PARTITIONS, with per-partition file statistics (the
