@@ -62,8 +62,15 @@ def euclidean(a: Column, b: Column) -> Column:
 
 
 def lit_vector(values) -> Column:
-    """A literal query vector as an array<double> column."""
-    return F.array([F.lit(float(v)) for v in values])
+    """A literal query vector as an array<double> column.
+
+    ``F.lit(list)`` builds a true Catalyst ``Literal`` — a constant
+    object referenced by codegen — where ``F.array(*lits)`` builds a
+    per-row ``CreateArray`` that re-materializes the vector for every
+    row AND every expression instance (Catalyst does not CSE inside
+    higher-order functions, so a 64-dim query vector embedded in 128
+    codebook terms was rebuilt 128 times per row)."""
+    return F.lit([float(v) for v in values])
 
 
 def hyperplane_bit(a: Column, plane) -> Column:

@@ -44,12 +44,22 @@ def _best_struct(centroids: np.ndarray, vec_col: str):
     sequentially — matching the order keeps near-tie assignments
     bit-identical across engines (the ``embedding_assign_nearest``
     oracle's exactness claim)."""
-    scored = F.array(*[
-        F.struct((dot(F.col(vec_col), lit_vector(c))
-                  - F.lit(_seq_self_dot(c) / 2.0)).alias("score"),
-                 F.lit(ci).alias("cid"))
-        for ci, c in enumerate(centroids)
-    ])
+    # One transform-with-index over the centroid matrix as a 2-D
+    # LITERAL instead of k per-centroid struct builds: the arithmetic
+    # is bit-identical (same sequential zip_with/aggregate dot, same
+    # halved self-dot, same struct ordering), but plan construction
+    # costs a constant handful of py4j lambda conversions instead of
+    # 2k — k-means at k=16 spent seconds of pure driver time building
+    # each iteration's assignment expression.
+    cl = F.lit([[float(v) for v in c] for c in centroids])
+    halves = F.lit([_seq_self_dot(c) / 2.0 for c in centroids])
+    scored = F.transform(cl, lambda c, i: F.struct(
+        (F.aggregate(F.zip_with(F.col(vec_col), c,
+                                lambda a, b: a.cast("double")
+                                * b.cast("double")),
+                     F.lit(0.0), lambda acc, x: acc + x)
+         - F.element_at(halves, i + 1)).alias("score"),
+        i.alias("cid")))
     return F.array_max(scored)
 
 

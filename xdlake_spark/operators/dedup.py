@@ -385,7 +385,7 @@ def contamination_pairs(train: DataFrame, eval_df: DataFrame,
                              k=screen_hashes,
                              m_bits=screen_bits).collect():
             words[r["word_i"]] = r["bits"]
-        wlit = F.array(*[F.lit(int(w)) for w in words])
+        wlit = F.lit([int(w) for w in words])
         conds = None
         for i in range(screen_hashes):
             # EXACT _bloom_bits addressing (md5("i:value") % m), value

@@ -142,13 +142,17 @@ def ivf_build(df: DataFrame, n_centroids: int = 16,
     base = ensure_parallelism(df)
 
     def assign(cents):
-        # argmax via array_max over (score, cid) structs — struct
-        # ordering compares score first, then cid
-        scored = F.array(*[
-            F.struct(dot(F.col(vec_col), lit_vector(c)).alias("score"),
-                     F.lit(ci).alias("cid"))
-            for ci, c in enumerate(cents)
-        ])
+        # argmax via array_max over (score, cid) structs — one
+        # transform over the centroid matrix literal (constant py4j
+        # lambda count; same sequential dot arithmetic)
+        cl = F.lit([[float(v) for v in c] for c in cents])
+        scored = F.transform(cl, lambda c, i: F.struct(
+            F.aggregate(F.zip_with(F.col(vec_col), c,
+                                   lambda a, b: a.cast("double")
+                                   * b.cast("double")),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x).alias("score"),
+            i.alias("cid")))
         return base.withColumn("__centroid", F.array_max(scored)["cid"])
 
     for _ in range(lloyd_iters):
@@ -288,17 +292,40 @@ def pq_encode(df: DataFrame, codebooks: np.ndarray,
             total += float(v) * float(v)
         return total
 
-    codes = []
-    for j in range(m):
-        s = F.slice(F.col(vec_col), j * sub + 1, sub)
-        scored = F.array(*[
-            F.struct((dot(s, lit_vector(c))
-                      - F.lit(seq_dot(c) / 2.0)).alias("score"),
-                     F.lit(ci).alias("cid"))
-            for ci, c in enumerate(codebooks[j])
-        ])
-        codes.append(F.array_max(scored)["cid"])
-    return df.withColumn(code_col, F.array(*codes))
+    # One transform-with-index per subspace over a 2-D codebook
+    # LITERAL (argmax of s.c - |c|^2/2 == argmin distance): constant
+    # lambda count per subspace. The naive per-code struct build cost
+    # ~256 py4j lambda conversions — multiple SECONDS of driver time
+    # before any job ran.
+    # the WHOLE m-subspace encode is one nested-transform expression
+    # over 3-D/2-D literals: a constant handful of lambda conversions
+    # at plan-build time (the per-code struct build cost ~256 py4j
+    # round-trips — seconds of driver latency before any job ran).
+    # Runtime is the same interpreted-HOF class the per-code dots
+    # already were; bytes scanned and rows moved are unchanged.
+    cb3 = F.lit([[[float(v) for v in c] for c in codebooks[j]]
+                 for j in range(m)])
+    halves2 = F.lit([[seq_dot(c) / 2.0 for c in codebooks[j]]
+                     for j in range(m)])
+
+    codes = F.transform(F.lit(list(range(m))),
+                        lambda j: F.array_max(F.transform(
+                            F.element_at(cb3, j + 1),
+                            lambda c, i: F.struct(
+                                (F.aggregate(
+                                    F.zip_with(
+                                        F.slice(F.col(vec_col),
+                                                j * sub + 1, sub),
+                                        c,
+                                        lambda a, b:
+                                        a.cast("double") * b),
+                                    F.lit(0.0),
+                                    lambda acc, x: acc + x)
+                                 - F.element_at(
+                                     F.element_at(halves2, j + 1),
+                                     i + 1)).alias("score"),
+                                i.alias("cid"))))["cid"].cast("int"))
+    return df.withColumn(code_col, codes)
 
 
 def pq_topk(encoded: DataFrame, codebooks: np.ndarray, query_vec,
@@ -327,7 +354,7 @@ def pq_topk(encoded: DataFrame, codebooks: np.ndarray, query_vec,
     tables = ((q.reshape(m, 1, sub) - codebooks) ** 2).sum(axis=2)
     adc = None
     for j in range(m):
-        t = F.array(*[F.lit(float(v)) for v in tables[j]])
+        t = F.lit([float(v) for v in tables[j]])
         term = F.element_at(t, F.col(code_col)[j] + 1)
         adc = term if adc is None else adc + term
     base = ensure_parallelism(encoded)
@@ -336,7 +363,7 @@ def pq_topk(encoded: DataFrame, codebooks: np.ndarray, query_vec,
                 .select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
                 .orderBy(F.col("adc_dist").asc(), F.col(id_col))
                 .limit(k))
-    qlit = F.array(*[F.lit(float(v)) for v in q])
+    qlit = F.lit([float(v) for v in q])
     exact = F.aggregate(
         F.zip_with(F.col(vec_col), qlit,
                    lambda a, b: (a.cast("double") - b)
@@ -418,10 +445,16 @@ def opq_train(df: DataFrame, m: int = 8, n_codes: int = 16,
 
 
 def _rotate_expr(R: np.ndarray, vec_col: str):
-    """``x @ R`` as d JVM dot products against the rotation's columns
-    — the same broadcast-literal shape as :func:`pca_project`."""
-    return F.array(*[dot(F.col(vec_col), lit_vector(col))
-                     for col in np.asarray(R, dtype="float64").T])
+    """``x @ R`` as ONE transform over the rotation's columns as a
+    2-D literal — d JVM dot products at runtime, constant lambda
+    count at plan-build time (d separate zip_with dots cost seconds
+    of py4j round-trips before any job ran)."""
+    cols = F.lit([[float(v) for v in col]
+                  for col in np.asarray(R, dtype="float64").T])
+    return F.transform(cols, lambda c: F.aggregate(
+        F.zip_with(F.col(vec_col), c,
+                   lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x))
 
 
 def opq_encode(df: DataFrame, R: np.ndarray, codebooks: np.ndarray,
@@ -429,7 +462,10 @@ def opq_encode(df: DataFrame, R: np.ndarray, codebooks: np.ndarray,
                code_col: str = "codes") -> DataFrame:
     """Rotate (JVM dots, no shuffle, no Python) then PQ-encode —
     the persisted index is still m bytes per vector."""
-    rotated = df.withColumn("__rot", _rotate_expr(R, vec_col))
+    # barrier for the same reason as ivfpq_build: the d rotation dots
+    # must materialize once, not re-inline into every encode term
+    rotated = df.withColumn("__rot", _rotate_expr(R, vec_col)) \
+        .localCheckpoint(eager=False)
     return pq_encode(rotated, codebooks, vec_col="__rot",
                      code_col=code_col).drop("__rot")
 
@@ -456,11 +492,11 @@ def opq_topk(encoded: DataFrame, R: np.ndarray,
     tables = ((qr.reshape(m, 1, sub) - codebooks) ** 2).sum(axis=2)
     adc = None
     for j in range(m):
-        t = F.array(*[F.lit(float(v)) for v in tables[j]])
+        t = F.lit([float(v) for v in tables[j]])
         term = F.element_at(t, F.col(code_col)[j] + 1)
         adc = term if adc is None else adc + term
     base = ensure_parallelism(encoded)
-    qlit = F.array(*[F.lit(float(v)) for v in q])
+    qlit = F.lit([float(v) for v in q])
     qq = float(q @ q)
     exact = (dot(F.col(vec_col), F.col(vec_col))
              - 2.0 * dot(F.col(vec_col), qlit) + F.lit(qq))
@@ -595,12 +631,19 @@ def ivfpq_build(df: DataFrame, n_centroids: int = 16, m: int = 8,
     assigned, centroids = ivf_build(
         df, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col,
         seed=seed, lloyd_iters=lloyd_iters)
-    cent_lit = F.array(*[lit_vector(c) for c in centroids])
+    cent_lit = F.lit([[float(v) for v in c] for c in centroids])
     resid = assigned.withColumn(
         "__resid",
         F.zip_with(F.col(vec_col),
                    F.element_at(cent_lit, F.col("__centroid") + 1),
                    lambda a, b: a.cast("double") - b))
+    # materialization barrier: Catalyst collapses projections and does
+    # not CSE inside higher-order functions, so without it the residual
+    # zip_with would be re-inlined into every one of the m x n_codes
+    # encode terms (128x recompute per row + a codegen blowup measured
+    # in tens of seconds of compile time). One pass over the residuals
+    # is the cheap side of that trade at any scale.
+    resid = resid.localCheckpoint(eager=False)
     books = pq_train(resid, m=m, n_codes=n_codes, vec_col="__resid",
                      id_col=id_col, seed=seed)
     encoded = pq_encode(resid, books, vec_col="__resid") \
@@ -642,7 +685,7 @@ def ivfpq_topk(encoded: DataFrame, centroids: np.ndarray,
             .sum(axis=2)
         term = None
         for j in range(m):
-            t = F.array(*[F.lit(float(v)) for v in tables[j]])
+            t = F.lit([float(v) for v in tables[j]])
             lk = F.element_at(t, F.col(code_col)[j] + 1)
             term = lk if term is None else term + lk
         cond = F.col("__centroid") == cid
@@ -655,7 +698,7 @@ def ivfpq_topk(encoded: DataFrame, centroids: np.ndarray,
                 .select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
                 .orderBy(F.col("adc_dist").asc(), F.col(id_col))
                 .limit(k))
-    qlit = F.array(*[F.lit(float(v)) for v in q])
+    qlit = F.lit([float(v) for v in q])
     qq = float(q @ q)
     exact = (dot(F.col(vec_col), F.col(vec_col))
              - 2.0 * dot(F.col(vec_col), qlit) + F.lit(qq))
