@@ -151,11 +151,11 @@ HEADLINE = [
     "classifier_auc_eval",
     "delta_replace_where_scan",
     "shuffle_shards_order",
-    # round-10 additions: SemDeDup proper, combined/rotated ANN,
-    # Bloom-screened decontamination, log compaction, mojibake repair
-    "semdedup_kmeans_prune",
-    "similarity_ivfpq_topk",
-    "similarity_opq_topk",
+    # round-10 additions (the index-BUILD-heavy ANN/clustering
+    # queries — semdedup_kmeans_prune, similarity_ivfpq_topk,
+    # similarity_opq_topk — stay in the single-shot tail tier: at
+    # ~6-9 s each they would blow the 5-pass budget down to 3 passes
+    # and cost every OTHER query its noise control)
     "contamination_check_screened",
     "delta_log_compaction_scan",
     "text_fix_mojibake",
