@@ -1442,9 +1442,13 @@ def semdedup(df: DataFrame, n_clusters: int = 16,
     from .clustering import assign_to_centroids, kmeans
 
     if centroids is None:
+        # hash seeding: one job instead of k one-row farthest-point
+        # jobs — SemDeDup runs at large n_clusters where the paper's
+        # random seeding is standard, and the farthest-point guard
+        # against split blobs matters for small analytic k, not here
         assigned, centroids = kmeans(
             df, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col,
-            iters=iters, seed=seed)
+            iters=iters, seed=seed, init="hash")
     else:
         assigned = assign_to_centroids(
             ensure_parallelism(df), centroids, vec_col=vec_col)
