@@ -241,9 +241,14 @@ def main() -> None:
     # loaded host, and whatever was NOT timed is recorded in the
     # detail JSON under "tail_skipped" with the reason — never a
     # silent cap.
-    tail_names = [n for n in qs if n not in set(HEADLINE)]
+    # newest-first: under budget pressure on a loaded host, the
+    # queries that lose their timing record should be the oldest
+    # cheap singletons (their history is in earlier rounds' detail
+    # files), never the round's new operators
+    tail_names = [n for n in reversed(list(qs))
+                  if n not in set(HEADLINE)]
     tail_budget = float(os.environ.get(
-        "SPARK_GRAFT_BENCH_TAIL_BUDGET_S", "420"))
+        "SPARK_GRAFT_BENCH_TAIL_BUDGET_S", "600"))
     tail_s: dict[str, float] = {}
     tail_skipped: dict[str, str] = {}
     t_tail = time.time()
