@@ -134,6 +134,95 @@ class TestChecksumVerify:
         assert a == b
 
 
+class TestIncrementalChecksum:
+    """r11: the .crc is DERIVED from the previous version's crc plus
+    the commit's actions (delta-spark's incremental model) — O(commit)
+    driver work, not an O(live files) manifest fold per commit."""
+
+    def test_derived_equals_full_fold_across_operations(
+            self, spark, lineitem, tmp_table_dir):
+        """Every commit kind must write exactly the payload the full
+        fold would have produced — appends, partitioned overwrite,
+        CoW + DV deletes, update, optimize, stat re-adds (replace-in-
+        place), properties, restore."""
+        t = DeltaTable(spark, tmp_table_dir).write(
+            lineitem.limit(300), partition_by=["l_returnflag"])
+        steps = [
+            lambda t: t.write(lineitem.limit(100), mode="append"),
+            lambda t: t.delete("l_quantity > 47"),
+            lambda t: t.delete("l_quantity > 44", mode="merge-on-read"),
+            lambda t: t.update({"l_quantity": "l_quantity + 1"},
+                               "l_quantity < 3"),
+            lambda t: t.set_properties({"user.tag": "x"}),
+            lambda t: t.optimize(),
+            lambda t: t.recompute_stats(all_files=True),
+            lambda t: t.restore(2),
+        ]
+        for step in steps:
+            t = step(t)
+            stored = read_checksum(t.log_location, t.version)
+            fresh = DeltaTable(spark, tmp_table_dir)
+            assert stored == compute_checksum(fresh.log), t.version
+            assert fresh.verify_checksum() == []
+
+    def test_commit_does_not_fold_manifest(self, spark, lineitem,
+                                           tmp_table_dir,
+                                           monkeypatch):
+        """With a prior crc present, the commit's checksum write must
+        never call the full fold — proven by making the fold a bomb."""
+        from xdlake_spark.log import checksum as cs
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(80))
+        real = cs.compute_checksum
+
+        def _bomb(log):
+            raise AssertionError("full manifest fold during commit")
+
+        monkeypatch.setattr(cs, "compute_checksum", _bomb)
+        t = t.write(lineitem.limit(40), mode="append")
+        monkeypatch.setattr(cs, "compute_checksum", real)
+        stored = read_checksum(t.log_location, t.version)
+        assert stored is not None
+        assert stored == compute_checksum(
+            DeltaTable(spark, tmp_table_dir).log)
+
+    def test_replace_in_place_adds_net_out(self, spark, lineitem,
+                                           tmp_table_dir):
+        """ANALYZE-style stat re-adds (adds with NO removes for
+        already-live paths) must not double-count files or bytes."""
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(150))
+        before = read_checksum(t.log_location, t.version)
+        t = t.recompute_stats(all_files=True)
+        after = read_checksum(t.log_location, t.version)
+        assert after["numFiles"] == before["numFiles"]
+        assert after["tableSizeBytes"] == before["tableSizeBytes"]
+        assert t.verify_checksum() == []
+
+    def test_missing_prev_crc_falls_back_to_full_fold(
+            self, spark, lineitem, tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(60))
+        for n in _crc_files(tmp_table_dir):
+            os.remove(os.path.join(tmp_table_dir, "_delta_log", n))
+        t = t.write(lineitem.limit(30), mode="append")
+        stored = read_checksum(t.log_location, t.version)
+        assert stored is not None
+        assert stored == compute_checksum(
+            DeltaTable(spark, tmp_table_dir).log)
+
+    def test_verify_tolerates_uncomputable_numeric_field(
+            self, spark, lineitem, tmp_table_dir):
+        """r11 (ADVICE): a stored numeric the snapshot cannot
+        recompute (e.g. inCommitTimestampOpt after the head JSON
+        expired) is skipped, not reported as a mismatch against 0."""
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(60))
+        path = os.path.join(tmp_table_dir, "_delta_log",
+                            checksum_filename(t.version))
+        crc = json.load(open(path))
+        assert "inCommitTimestampOpt" not in compute_checksum(t.log)
+        crc["inCommitTimestampOpt"] = 1700000000000
+        json.dump(crc, open(path, "w"))
+        assert t.verify_checksum() == []
+
+
 class TestChecksumLifecycle:
     def test_cleanup_metadata_expires_crc_with_json(self, spark,
                                                     lineitem,

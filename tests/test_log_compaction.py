@@ -163,6 +163,50 @@ class TestCompactionWithCheckpointAndCleanup:
         t2 = DeltaTable(spark, tmp_table_dir)
         assert t2.to_df().count() == t.to_df().count()
 
+    def test_default_range_starts_after_checkpoint(
+            self, spark, lineitem, tmp_table_dir):
+        """r11 (ADVICE): the loader only consumes compacted ranges
+        starting strictly after the newest checkpoint, so a no-args
+        compact_log() on a checkpointed table must default its start
+        past the checkpoint — not write a file replay never reads."""
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(60))
+        t = t.set_properties({"delta.checkpointInterval": "3"})
+        for i in range(4):
+            t = t.write(lineitem.limit(10 + i), mode="append")
+        from xdlake_spark.log.checkpoint import last_checkpoint_version
+        cp = last_checkpoint_version(t.log_location)
+        assert cp is not None and cp + 2 <= t.version
+        name = t.compact_log()               # no explicit range
+        assert name == compacted_filename(cp + 1, t.version)
+        t2 = DeltaTable(spark, tmp_table_dir)
+        assert t2.log._compacted_used == [(cp + 1, t.version)]
+        assert set(t2.adds) == set(t.adds)
+
+    def test_cleanup_expires_orphaned_compaction(
+            self, spark, lineitem, tmp_table_dir):
+        """r11 (ADVICE): once the JSONs a compacted file covers were
+        expired by an earlier cleanup, no commit timestamp survives
+        for its end version — the file must still expire (it only
+        accelerates replay of unreachable versions), not be retained
+        forever."""
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(60))
+        t = t.write(lineitem.limit(10), mode="append")
+        t = t.write(lineitem.limit(10), mode="append")
+        t.compact_log(0, 2)
+        t = t.set_properties({"delta.checkpointInterval": "2"})
+        t = t.write(lineitem.limit(10), mode="append")   # ckpt at 4
+        # simulate the earlier cleanup that already removed the
+        # covered JSONs but (crash, race) left the compacted file
+        for v in (0, 1, 2):
+            os.remove(os.path.join(tmp_table_dir, "_delta_log",
+                                   f"{v:020}.json"))
+        t2 = DeltaTable(spark, tmp_table_dir)
+        doomed = t2.cleanup_metadata(retention_hours=0.0)
+        assert compacted_filename(0, 2) in doomed
+        assert compacted_filename(0, 2) not in _log_files(tmp_table_dir)
+        assert DeltaTable(spark, tmp_table_dir).to_df().count() \
+            == t.to_df().count()
+
     def test_unreadable_compacted_falls_back(self, spark, lineitem,
                                              tmp_table_dir):
         t = _build(spark, lineitem, tmp_table_dir)

@@ -220,3 +220,52 @@ class TestFixMojibake:
             "doc_id long, text string, lang string")
         r = textops.fix_mojibake(df).collect()[0]
         assert r["lang"] == "en" and r["text"] == "où?"
+
+    def _corrupt_cp1252(self, s):
+        """Sloppy-cp1252 corruption — what a real cp1252 decoder emits:
+        cp1252 images where mapped, latin-1 C1 controls for the five
+        unmapped bytes (0x81/8D/8F/90/9D)."""
+        out = []
+        for b in s.encode("utf-8"):
+            try:
+                out.append(bytes([b]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+        return "".join(out)
+
+    def test_cjk_emoji_latin_ext_repair(self, spark):
+        """r11 (ADVICE): the prefilter must cover ALL cp1252 images of
+        UTF-8 lead bytes 0xC2-0xF4, not a hand-picked dozen — CJK
+        ('ä¸­'), emoji ('ðŸ...'), and Latin-Extended mojibake repair."""
+        from xdlake_spark.operators import text as textops
+        for orig in ("中文文档", "🎉 party", "Ōkami ānd Żółć",
+                     "русский текст", "Ça va — très bien"):
+            for corrupt in (self._corrupt, self._corrupt_cp1252):
+                once = corrupt(orig)
+                df = spark.createDataFrame([(1, once)],
+                                           "doc_id long, text string")
+                r = textops.fix_mojibake(df).collect()[0]
+                assert (r["text"], r["mojibake_rounds"]) == (orig, 1), \
+                    (orig, corrupt.__name__)
+
+    def test_sloppy_cp1252_mixed_gap_bytes(self, spark):
+        """r11 (ADVICE): texts mixing a printable cp1252 image with one
+        of the five unmapped control bytes (e.g. 'が' -> 'ã' + U+0081 +
+        'Œ') must repair via the per-character sloppy-cp1252 encode —
+        the old whole-string latin-1 fallback failed both encodes."""
+        from xdlake_spark.operators import text as textops
+        orig = "これが試験です €100"  # hiragana + euro forces the mix
+        once = self._corrupt_cp1252(orig)
+        assert chr(0x81) in once and "€" not in once  # premise holds
+        df = spark.createDataFrame([(1, once)],
+                                   "doc_id long, text string")
+        r = textops.fix_mojibake(df).collect()[0]
+        assert (r["text"], r["mojibake_rounds"]) == (orig, 1)
+
+    def test_marker_class_is_complete(self):
+        """The rlike prefilter class contains every cp1252 image of
+        UTF-8 lead bytes 0xC2-0xF4 (51 characters)."""
+        from xdlake_spark.operators.text import _MOJIBAKE_MARKER
+        chars = set(_MOJIBAKE_MARKER[1:-1])
+        want = {bytes([b]).decode("cp1252") for b in range(0xC2, 0xF5)}
+        assert want <= chars and len(want) == 51

@@ -30,8 +30,8 @@ import json
 from typing import Any
 
 __all__ = ["checksum_filename", "compute_checksum",
-           "read_checksum", "write_version_checksum",
-           "verify_checksum"]
+           "derive_checksum", "read_checksum",
+           "write_version_checksum", "verify_checksum"]
 
 
 def checksum_filename(version: int) -> str:
@@ -87,13 +87,144 @@ def compute_checksum(log) -> dict[str, Any]:
     return payload
 
 
-def write_version_checksum(log_location, log) -> None:
+def _file_stat(add) -> tuple[int, int, int]:
+    """(size, has_dv, dv_cardinality) for one add action — the three
+    numbers a file contributes to the checksum sums."""
+    dv = (add.extra or {}).get("deletionVector") or {}
+    return (int(add.size or 0),
+            1 if dv else 0,
+            int(dv.get("cardinality") or 0) if dv else 0)
+
+
+def derive_checksum(prev: dict[str, Any], entry,
+                    prev_adds: dict[str, Any],
+                    log) -> dict[str, Any] | None:
+    """Incremental VersionChecksum (delta-spark's model): the next
+    crc from the PREVIOUS version's crc plus this commit's actions —
+    O(commit) work instead of the O(live files) full-manifest fold of
+    :func:`compute_checksum`, which matters at 100 TB commit rates
+    where a table holds millions of live adds but a commit touches a
+    handful.
+
+    ``prev_adds`` is the pre-commit live-file dict the writer already
+    materialized (table handle construction) — used only for O(1)
+    lookups, never iterated — so replace-in-place commits (ANALYZE
+    stat re-adds, DV rewrites, double imports of the same foreign
+    file) net out exactly instead of double-counting.
+
+    Returns None when the previous crc lacks a required field
+    (foreign/partial writer) — the caller falls back to the full
+    fold. The derived payload is action-for-action identical to
+    ``compute_checksum`` on the post-commit snapshot (pinned by
+    tests/test_checksum.py's equivalence sweep).
+    """
+    from . import DomainMetadata, SetTransaction
+    from .actions import Add, Protocol, Remove, TableMetadata
+
+    for key in ("tableSizeBytes", "numFiles", "numDeletionVectorsOpt",
+                "numDeletedRecordsOpt", "metadata", "protocol"):
+        if prev.get(key) is None:
+            return None
+    n = int(prev["numFiles"])
+    size = int(prev["tableSizeBytes"])
+    n_dv = int(prev["numDeletionVectorsOpt"])
+    n_deleted = int(prev["numDeletedRecordsOpt"])
+    metadata = prev["metadata"]
+    protocol = prev["protocol"]
+    txns = {t["appId"]: int(t["version"])
+            for t in prev.get("setTransactions") or []}
+    domains = {d["domain"]: d
+               for d in prev.get("domainMetadata") or []}
+
+    # replay-accurate per-path state WITHIN this entry: last action
+    # wins, and an add replacing a live file subtracts the old file's
+    # numbers first (same-path remove+add, stat re-adds, re-imports)
+    cur: dict[str, Any] = {}
+
+    def _live_before(path):
+        return cur[path] if path in cur else prev_adds.get(path)
+
+    for a in entry.actions:
+        if isinstance(a, Add):
+            old = _live_before(a.path)
+            if old is not None:
+                s, d, c = _file_stat(old)
+                size -= s
+                n_dv -= d
+                n_deleted -= c
+            else:
+                n += 1
+            s, d, c = _file_stat(a)
+            size += s
+            n_dv += d
+            n_deleted += c
+            cur[a.path] = a
+        elif isinstance(a, Remove):
+            old = _live_before(a.path)
+            if old is not None:
+                s, d, c = _file_stat(old)
+                n -= 1
+                size -= s
+                n_dv -= d
+                n_deleted -= c
+            cur[a.path] = None
+        elif isinstance(a, TableMetadata):
+            metadata = a.to_json()["metaData"]
+        elif isinstance(a, Protocol):
+            protocol = a.to_json()["protocol"]
+        elif isinstance(a, SetTransaction):
+            if a.version > txns.get(a.appId, -1):
+                txns[a.appId] = a.version
+        elif isinstance(a, DomainMetadata):
+            if a.removed:
+                domains.pop(a.domain, None)
+            else:
+                domains[a.domain] = a.to_json()["domainMetadata"]
+
+    payload: dict[str, Any] = {
+        "tableSizeBytes": size,
+        "numFiles": n,
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "metadata": metadata,
+        "protocol": protocol,
+        "numDeletionVectorsOpt": n_dv,
+        "numDeletedRecordsOpt": n_deleted,
+    }
+    if domains:
+        payload["domainMetadata"] = [
+            domains[k] for k in sorted(domains)]
+    if txns:
+        payload["setTransactions"] = [
+            {"appId": app, "version": ver}
+            for app, ver in sorted(txns.items())]
+    ict = log.last_ict()
+    if ict is not None:
+        payload["inCommitTimestampOpt"] = ict
+    return payload
+
+
+def write_version_checksum(log_location, log, entry=None,
+                           prev_adds=None) -> None:
     """Best-effort put-if-absent of the snapshot checksum for the
     log's newest version. Never raises: a checksum is a validation
     aid, not a commit requirement (mirrors the checkpoint policy in
-    table._commit)."""
+    table._commit).
+
+    When the committed ``entry`` and the pre-commit live-file dict
+    ``prev_adds`` are supplied AND the previous version's crc exists,
+    the payload is DERIVED incrementally (O(commit) — see
+    :func:`derive_checksum`); otherwise falls back to the full
+    manifest fold."""
     try:
-        payload = compute_checksum(log)
+        payload = None
+        if entry is not None and prev_adds is not None \
+                and log.version > 0:
+            prev = read_checksum(log_location, log.version - 1)
+            if prev is not None:
+                payload = derive_checksum(prev, entry, prev_adds, log)
+        if payload is None:
+            payload = compute_checksum(log)
         name = checksum_filename(log.version)
         data = (json.dumps(payload, separators=(",", ":"),
                            sort_keys=True) + "\n").encode()
@@ -139,15 +270,21 @@ def verify_checksum(log, crc: dict[str, Any]) -> list[str]:
                 "numDeletedRecordsOpt", "inCommitTimestampOpt"):
         if key not in crc or crc[key] is None:
             continue
+        if key not in ours or ours[key] is None:
+            # symmetric tolerance: the snapshot cannot recompute this
+            # field (e.g. inCommitTimestampOpt after the head JSON was
+            # expired, so last_ict() is None) — a valid stored value
+            # must not be reported as a mismatch against 0.
+            continue
         try:
             stored = int(crc[key])
         except (TypeError, ValueError):
             problems.append(f"{key}: crc value {crc[key]!r} is not "
                             "numeric")
             continue
-        if stored != int(ours.get(key, 0)):
+        if stored != int(ours[key]):
             problems.append(
-                f"{key}: crc={crc[key]} computed={ours.get(key, 0)}")
+                f"{key}: crc={crc[key]} computed={ours[key]}")
     for key in ("metadata", "protocol"):
         if key in crc and crc[key] is not None \
                 and _canon(crc[key]) != _canon(ours[key]):

@@ -349,6 +349,16 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, collapsed)
 
 
+#: cp1252 images of every UTF-8 lead byte 0xC2–0xF4 — a mojibake text
+#: ALWAYS contains at least one of these (lead bytes are >= 0xA0, where
+#: cp1252 and latin-1 agree and are fully mapped), so this class is a
+#: complete prefilter for one-round UTF-8-as-cp1252/latin-1 damage.
+_MOJIBAKE_MARKER = ("["
+                    + "".join(bytes([b]).decode("cp1252")
+                              for b in range(0xC2, 0xF5))
+                    + "]")
+
+
 def fix_mojibake(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
                  max_rounds: int = 3) -> DataFrame:
@@ -357,8 +367,9 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
     left quote), including texts corrupted more than once.
 
     The repair rule is deterministic and CONSERVATIVE: one round
-    re-encodes the text as cp1252 (latin-1 for cp1252's five unmapped
-    control bytes — the "sloppy" convention real decoders use) and
+    re-encodes the text as cp1252 (per-character latin-1 fallback for
+    the C1 controls U+0080–U+009F — inverting both the "sloppy"
+    cp1252 convention real decoders use AND plain latin-1 decodes) and
     re-decodes it as strict UTF-8; the round applies only when both
     steps succeed AND the text strictly shortens (a multibyte UTF-8
     sequence always shrinks when its mojibake collapses). Clean ASCII
@@ -370,23 +381,43 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
     (``max_rounds`` caps pathological inputs).
 
     Scale: a JVM ``rlike`` prefilter keys the Python path — only rows
-    carrying a mojibake lead character (Ã, Â, â, Å, Î, Ð, Ñ, Ï, Ì,
-    Ê, É, È — the cp1252 images of UTF-8 lead bytes) enter the
-    Arrow-batched UDF; a clean corpus pays one fused regex scan and
-    zero Python. Returns the input columns with ``text_col`` repaired
-    plus ``mojibake_rounds`` (0 = untouched).
+    carrying a mojibake lead character (the cp1252 image of every
+    UTF-8 lead byte 0xC2–0xF4, generated programmatically below: Â–ô,
+    covering Latin-Extended, CJK 'ä¸­', and emoji 'ðŸ…' mojibake)
+    enter the Arrow-batched UDF; a clean corpus pays one fused regex
+    scan and zero Python. Returns the input columns with ``text_col``
+    repaired plus ``mojibake_rounds`` (0 = untouched).
     """
     from pyspark.sql.functions import pandas_udf
 
+    def _sloppy_cp1252(x: str):
+        """Encode as "sloppy cp1252": cp1252 per character, with a
+        latin-1 fallback for ONLY the C1 control code points
+        U+0080–U+009F — the exact inverse of BOTH real decode
+        conventions (a sloppy-cp1252 decoder emits C1 controls for
+        cp1252's five unmapped bytes; a latin-1 decoder emits them
+        for all of 0x80–0x9F), so mixed texts like 'ãŒ' ('が') still encode.
+        Returns None when any other character has no cp1252 image."""
+        try:
+            return x.encode("cp1252")
+        except UnicodeEncodeError:
+            pass
+        out = bytearray()
+        for ch in x:
+            try:
+                out += ch.encode("cp1252")
+            except UnicodeEncodeError:
+                if "\u0080" <= ch <= "\u009f":
+                    out += ch.encode("latin-1")
+                else:
+                    return None
+        return bytes(out)
+
     def _repair_one(x: str, rounds: int):
         for r in range(rounds):
-            try:
-                b = x.encode("cp1252")
-            except UnicodeEncodeError:
-                try:
-                    b = x.encode("latin-1")
-                except UnicodeEncodeError:
-                    return x, r
+            b = _sloppy_cp1252(x)
+            if b is None:
+                return x, r
             try:
                 y = b.decode("utf-8")
             except UnicodeDecodeError:
@@ -409,9 +440,7 @@ def fix_mojibake(df: DataFrame, text_col: str = "text",
             out_r.append(r)
         return pd.DataFrame({"text": out_t, "rounds": out_r})
 
-    marker = "[ÃÂâÅÎÐÑ" \
-             "ÏÌÊÉÈ]"
-    suspect = F.col(text_col).rlike(marker)
+    suspect = F.col(text_col).rlike(_MOJIBAKE_MARKER)
     fixed = F.when(suspect, _fix(F.col(text_col))).otherwise(
         F.struct(F.col(text_col).alias("text"),
                  F.lit(0).alias("rounds")))

@@ -2986,9 +2986,13 @@ class DeltaTable:
             commit_entry(self.log_location, self._version_to_write, entry)
         new = type(self)(self.spark, self.location, self.log_location)
         # delta-spark parity: a {version}.crc VersionChecksum rides
-        # every commit (best-effort — never a commit failure)
+        # every commit (best-effort — never a commit failure). The
+        # committed entry + the pre-commit live-file dict enable the
+        # O(commit) incremental derivation; self.adds is only looked
+        # up by path, never iterated (log/checksum.py).
         from .log.checksum import write_version_checksum
-        write_version_checksum(self.log_location, new.log)
+        write_version_checksum(self.log_location, new.log,
+                               entry=entry, prev_adds=self.adds)
         # interval: the delta.checkpointInterval table property wins
         # over the handle attribute (delta-spark's knob)
         interval = self.checkpoint_interval
@@ -4773,7 +4777,18 @@ class DeltaTable:
         versions = sorted(json_names)
         if not versions:
             raise ValueError("no JSON commits to compact")
-        s = versions[0] if start is None else int(start)
+        if start is None:
+            # the loader only consumes compacted ranges that start
+            # strictly AFTER the newest checkpoint (log/__init__.py
+            # lo = cp_v + 1), so a default full-range compaction on a
+            # checkpointed table would write a file no replay ever
+            # reads — default past the checkpoint instead
+            from .log.checkpoint import last_checkpoint_version
+            cp_v = last_checkpoint_version(self.log_location)
+            s = versions[0] if cp_v is None \
+                else max(versions[0], cp_v + 1)
+        else:
+            s = int(start)
         e = self.version if end is None else int(end)
         if s >= e:
             raise ValueError(
@@ -4847,8 +4862,13 @@ class DeltaTable:
                 mc = _COMPACTED_RE.match(name)
                 if mc:
                     b = int(mc.group(2))
-                    if b < ckpt_v and commit_ts.get(
-                            b, horizon + 1) <= horizon:
+                    # no surviving timestamp for b means an earlier
+                    # cleanup already expired the covered JSONs — the
+                    # compacted file accelerates replay of versions
+                    # that are no longer reachable, so it is expired
+                    # too (otherwise it would be retained forever)
+                    ts = commit_ts.get(b)
+                    if b < ckpt_v and (ts is None or ts <= horizon):
                         doomed.append(name)
                 continue
             v = int(m.group(1))
