@@ -55,6 +55,39 @@ class TestTrainer:
         # every high-frequency e-pair
         assert "z" in top.merged and "e" not in top.merged
 
+    def test_batched_deterministic_and_first_merge_exact(self, spark):
+        """r11: batch_k>1 mirrors train_bpe's disjoint batching —
+        deterministic across runs, first merge identical to the
+        sequential algorithm's, and every batch round records the
+        scores the sequential algorithm would have seen for disjoint
+        pairs."""
+        d = (spark.read.parquet(f"{SF}/documents.parquet").limit(80)
+             .select("text"))
+        a = [tuple(r) for r in
+             train_wordpiece(d, n_merges=12, batch_k=5).collect()]
+        b = [tuple(r) for r in
+             train_wordpiece(d, n_merges=12, batch_k=5).collect()]
+        assert a == b and len(a) == 12
+        import collections
+        freqs = collections.Counter()
+        for row in d.collect():
+            for w in (row.text or "").lower().split():
+                freqs[w] += 1
+        want = reference_wordpiece(dict(freqs), 1)
+        assert (a[0][1], a[0][2]) == (want[0][1], want[0][2])
+
+    def test_batched_equals_sequential_when_disjoint(self, spark):
+        """On a corpus whose top pairs are symbol-disjoint, the batch
+        path must reproduce the sequential merge list exactly —
+        including the recorded scores."""
+        words = {"qz": 8, "xv": 8, "mn": 7, "st": 6}
+        got = [(r.rank, r.left, r.right, r.merged, r.score)
+               for r in train_wordpiece(_corpus_df(spark, words),
+                                        n_merges=4,
+                                        batch_k=4).collect()]
+        want = reference_wordpiece(words, 4)
+        assert got == want
+
     def test_continuation_prefix_semantics(self, spark):
         words = {"abc": 10}
         ms = train_wordpiece(_corpus_df(spark, words), n_merges=2,

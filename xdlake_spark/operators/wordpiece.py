@@ -15,7 +15,9 @@ Scale design mirrors train_bpe: training runs over the DISTINCT-WORD
 frequency table; each round is one explode+groupBy for pair counts and
 one for symbol counts — the symbol-count side is vocabulary-sized
 (alphabet + merges so far), so it broadcast-joins onto the pair table
-and the scored top-k is a TakeOrdered to the driver. The corpus is
+and the scored top-k is a TakeOrdered to the driver. ``batch_k > 1``
+applies up to k symbol-disjoint merges per round (same contract as
+``train_bpe``), dividing the Spark-round count. The corpus is
 touched exactly once (word-frequency build); everything else moves
 vocab-scale rows. Differential-tested against a pure-Python reference
 (tests/test_wordpiece.py).
@@ -84,12 +86,18 @@ def _symbol_counts(words: DataFrame) -> DataFrame:
             .groupBy("sym").agg(F.sum("freq").alias("sym_count")))
 
 
-def _apply_merge_udf(left: str, right: str, merged: str):
+def _apply_merges_udf(merge_list: list):
+    """Rewrite symbol arrays applying ``[(left, right, merged), ...]``
+    in rank order (each merge applied greedily left-to-right within a
+    word) — one Arrow pass over the word table per ROUND, not per
+    merge."""
     def run(syms: pd.Series) -> pd.Series:
         out = []
         for s in syms:
             s = list(s)
-            if len(s) >= 2:
+            for left, right, merged in merge_list:
+                if len(s) < 2:
+                    break
                 m, i = [], 0
                 while i < len(s):
                     if i + 1 < len(s) and s[i] == left \
@@ -106,7 +114,8 @@ def _apply_merge_udf(left: str, right: str, merged: str):
 
 
 def train_wordpiece(df: DataFrame, text_col: str = "text",
-                    n_merges: int = 50, lowercase: bool = True,
+                    n_merges: int = 50, batch_k: int = 1,
+                    lowercase: bool = True,
                     min_pair_count: int = 2,
                     checkpoint_every: int = 6) -> DataFrame:
     """Learn a WordPiece merge table. Returns
@@ -115,6 +124,20 @@ def train_wordpiece(df: DataFrame, text_col: str = "text",
     of the merge, rounded to 10 for cross-run float stability. Ties
     break by (score desc, left, right). Stops early when no pair
     reaches ``min_pair_count``.
+
+    ``batch_k > 1`` takes up to k top-scored pairs per round whose
+    symbols (left, right, AND merged) are pairwise disjoint, applied
+    in rank order — disjoint merges cannot create, destroy, or
+    re-score one another's pairs (a merge only touches counts of
+    symbols it consumes or produces), so the batch is deterministic
+    and each chosen merge's recorded score is the score the
+    sequential algorithm would have seen. Overlapping candidates
+    defer to the next round. ``batch_k=1`` is the exact sequential
+    algorithm (the differential-test gate vs
+    :func:`reference_wordpiece`); batching mirrors
+    ``train_bpe(batch_k=...)`` and cuts the Spark-round count — the
+    scale lever, since each round is two shuffles over the
+    vocab-scale word table regardless of k.
     """
     spark = df.sparkSession
     words = _init_symbols(_word_freq(df, text_col, lowercase)) \
@@ -122,7 +145,9 @@ def train_wordpiece(df: DataFrame, text_col: str = "text",
     merges: list = []
     rounds = 0
     while len(merges) < n_merges:
+        want = min(batch_k, n_merges - len(merges))
         syms = _symbol_counts(words)
+        # over-fetch so disjoint filtering can still fill the batch
         top = (_pair_counts(words)
                .filter(F.col("pair_count") >= min_pair_count)
                .join(F.broadcast(syms.withColumnRenamed("sym", "left")
@@ -136,16 +161,27 @@ def train_wordpiece(df: DataFrame, text_col: str = "text",
                                / (F.col("lc") * F.col("rc")), 10)
                        .alias("score"))
                .orderBy(F.col("score").desc(), "left", "right")
-               .limit(1).collect())
+               .limit(4 * want + 8).collect())
         if not top:
             break
-        row = top[0]
-        merged = _merge_symbols(row["left"], row["right"])
-        merges.append((len(merges) + 1, row["left"], row["right"],
-                       merged, float(row["score"])))
+        chosen: list = []
+        used: set = set()
+        for row in top:
+            if len(chosen) >= want:
+                break
+            merged = _merge_symbols(row["left"], row["right"])
+            ss = {row["left"], row["right"], merged}
+            if used & ss:
+                continue  # overlaps a pair already chosen this round
+            used |= ss
+            chosen.append((row, merged))
+        for row, merged in chosen:
+            merges.append((len(merges) + 1, row["left"], row["right"],
+                           merged, float(row["score"])))
         words = words.select(
             "freq",
-            _apply_merge_udf(row["left"], row["right"], merged)(
+            _apply_merges_udf([(r["left"], r["right"], m)
+                               for r, m in chosen])(
                 F.col("syms")).alias("syms"))
         rounds += 1
         if rounds % checkpoint_every == 0:

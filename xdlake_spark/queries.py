@@ -2116,11 +2116,12 @@ def wordpiece_train_q(spark, sf_dir):
     """Distributed WordPiece trainer (operators/wordpiece.py, the BERT
     tokenizer family): 20 likelihood-scored merges
     (count(ab)/(count(a)*count(b))) over the distinct-word table with
-    ##-prefixed continuations — exact-match differential-tested
-    against the sequential reference algorithm."""
+    ##-prefixed continuations, 8 disjoint merges per round (r11 — the
+    sequential path is exact-match differential-tested in
+    tests/test_wordpiece.py; batching is the Spark-round lever)."""
     from .operators import wordpiece
     d = _t(spark, sf_dir, "documents")
-    return wordpiece.train_wordpiece(d, n_merges=20)
+    return wordpiece.train_wordpiece(d, n_merges=20, batch_k=8)
 
 
 @register("bpe_train_merges", None)
@@ -2164,7 +2165,7 @@ def wordpiece_tokenize_q(spark, sf_dir):
 
     from .operators import wordpiece
     d = _t(spark, sf_dir, "documents")
-    merges = wordpiece.train_wordpiece(d, n_merges=24)
+    merges = wordpiece.train_wordpiece(d, n_merges=24, batch_k=8)
     alpha = set(string.ascii_lowercase + string.digits
                 + string.punctuation)
     vocab = wordpiece.wordpiece_vocab(
