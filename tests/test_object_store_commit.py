@@ -1,0 +1,166 @@
+"""Cloud-store commit protocol (sources/storage.py put_if_absent, r11):
+on an object store with no create-exclusive open, commits go through a
+CONDITIONAL PUT (S3 If-None-Match / GCS generation-match semantics)
+when the backend exposes one — exercised here against an in-process
+emulated object store (tests/emulated_store.py) with two racing
+writers, plus the naive check-then-write fallback's lost-update mode
+pinned for contrast (why commit_context locking matters there)."""
+
+import threading
+
+import pytest
+
+from xdlake_spark import DeltaTable
+from xdlake_spark.sources.storage import (Location, _REGISTRY,
+                                          register_filesystem)
+
+from .emulated_store import EmulatedObjectStore
+
+
+@pytest.fixture
+def emu_prefix():
+    """Register an emulated store under a unique prefix; unregister on
+    teardown so other tests never resolve into it."""
+    registered = []
+
+    def _register(prefix, store):
+        register_filesystem(prefix, store)
+        registered.append(prefix.rstrip("/"))
+        return store
+
+    yield _register
+    for p in registered:
+        _REGISTRY.pop(p, None)
+
+
+class TestConditionalPut:
+    def test_racing_writers_exactly_one_winner(self, emu_prefix):
+        """Two writers commit the same version simultaneously through
+        the conditional-put path: exactly one wins, the loser gets
+        FileExistsError, and the stored bytes are the winner's —
+        atomic even with PUT latency injected."""
+        store = emu_prefix("emuA://b", EmulatedObjectStore(
+            check_write_delay_s=0.02))
+        loc = Location.resolve("emuA://b/t/_delta_log/"
+                               "00000000000000000000.json")
+        barrier = threading.Barrier(2)
+        results: list = []
+
+        def commit(i):
+            barrier.wait()
+            try:
+                loc.put_if_absent(b"writer-%d" % i)
+                results.append(("won", i))
+            except FileExistsError:
+                results.append(("lost", i))
+
+        ts = [threading.Thread(target=commit, args=(i,))
+              for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        outcomes = sorted(r[0] for r in results)
+        assert outcomes == ["lost", "won"]
+        winner = next(i for o, i in results if o == "won")
+        assert loc.read_bytes() == b"writer-%d" % winner
+        assert store.conditional_put_count == 2
+
+    def test_many_racers_single_winner(self, emu_prefix):
+        store = emu_prefix("emuB://b", EmulatedObjectStore())
+        loc = Location.resolve("emuB://b/t/_delta_log/v.json")
+        barrier = threading.Barrier(8)
+        wins: list = []
+
+        def commit(i):
+            barrier.wait()
+            try:
+                loc.put_if_absent(b"%d" % i)
+                wins.append(i)
+            except FileExistsError:
+                pass
+
+        ts = [threading.Thread(target=commit, args=(i,))
+              for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert len(wins) == 1
+        assert store.conditional_put_count == 8
+
+    def test_naive_backend_loses_updates(self, emu_prefix):
+        """The check-then-write fallback (backends with NO conditional
+        put) silently loses a commit when two writers race inside the
+        PUT-latency window — the exact failure conditional put (or a
+        commit_context lock) exists to close. Pinned so the fallback's
+        weakness stays documented behavior, not a surprise."""
+        store = emu_prefix("emuC://b", EmulatedObjectStore(
+            check_write_delay_s=0.05, conditional_put=False))
+        loc = Location.resolve("emuC://b/t/_delta_log/v.json")
+        barrier = threading.Barrier(2)
+        errors: list = []
+
+        def commit(i):
+            barrier.wait()
+            try:
+                loc.put_if_absent(b"writer-%d" % i)
+            except FileExistsError as e:
+                errors.append(e)
+
+        ts = [threading.Thread(target=commit, args=(i,))
+              for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        # both writers think they committed; one update is silently gone
+        assert errors == []
+        assert store.put_count == 2
+
+    def test_sequential_conflict_still_raises_on_naive(self,
+                                                       emu_prefix):
+        """Outside a race, the naive fallback still detects an existing
+        version file and raises — OCC works; only the window is weak."""
+        emu_prefix("emuD://b", EmulatedObjectStore(conditional_put=False))
+        loc = Location.resolve("emuD://b/t/v.json")
+        loc.put_if_absent(b"first")
+        with pytest.raises(FileExistsError):
+            loc.put_if_absent(b"second")
+        assert loc.read_bytes() == b"first"
+
+
+class TestTableOnEmulatedStore:
+    """Full DeltaTable lifecycle with the LOG on the emulated object
+    store (data parquet stays local — Spark's data path on a real
+    cluster goes through s3a/gs Hadoop connectors; this module only
+    carries the KB-scale log)."""
+
+    def test_lifecycle_and_reopen(self, spark, lineitem, emu_prefix,
+                                  tmp_table_dir):
+        store = emu_prefix("emuE://bucket", EmulatedObjectStore())
+        log = "emuE://bucket/t1/_delta_log"
+        t = DeltaTable(spark, tmp_table_dir, log)
+        t = t.write(lineitem.limit(100))
+        t = t.write(lineitem.limit(50), mode="append")
+        t = t.delete("l_quantity > 45")
+        # every commit (and its .crc) went through conditional put
+        assert store.conditional_put_count >= 3
+        t2 = DeltaTable(spark, tmp_table_dir, log)
+        assert t2.version == 2
+        assert t2.to_df().count() == t.to_df().count()
+        assert t2.verify_checksum() == []
+        # time travel still replays from the store
+        assert DeltaTable(spark, tmp_table_dir, log,
+                          version=1).to_df().count() == 150
+
+    def test_concurrent_handles_second_commit_raises(
+            self, spark, lineitem, emu_prefix, tmp_table_dir):
+        emu_prefix("emuF://bucket", EmulatedObjectStore())
+        log = "emuF://bucket/t2/_delta_log"
+        DeltaTable(spark, tmp_table_dir, log).write(lineitem.limit(40))
+        a = DeltaTable(spark, tmp_table_dir, log)
+        b = DeltaTable(spark, tmp_table_dir, log)
+        a.write(lineitem.limit(5), mode="append")
+        with pytest.raises(FileExistsError):
+            b.write(lineitem.limit(5), mode="append")

@@ -499,6 +499,104 @@ class TestMaintenance:
         assert not got["order"].isin([lo + 2, lo + 3]).any()  # deleted
         assert got["order"].isin(src.tail(2)["order"]).sum() == 2  # inserted
 
+    def test_merge_ordered_clause_list(self, spark, tmp_table_dir):
+        """r11: when_matched=[...] — N ordered clauses, first-match-
+        wins. A row satisfying BOTH the update and delete conditions
+        takes the earlier (update) clause; an unconditional trailing
+        update catches the rest."""
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t")
+        t = t.write(spark.createDataFrame(pdf))
+        orders = sorted(pdf["order"])
+        o0, o1, o2 = orders[0], orders[1], orders[2]
+        src = pdf.head(3).copy()
+        src["i64"] = 111
+        t2 = t.merge(
+            spark.createDataFrame(src), "t.order = s.order",
+            when_matched=[
+                {"update": {"i64": "222"},
+                 "condition": f"s.order = {o0}"},
+                # o0 ALSO satisfies this delete condition — first-
+                # match-wins must keep it updated, and delete only o1
+                {"delete": f"s.order IN ({o0}, {o1})"},
+                {"update": {"i64": "s.i64"}},   # catch-all: o2
+            ])
+        got = t2.to_pandas().set_index("order")
+        assert len(got) == len(pdf) - 1
+        assert got.loc[o0, "i64"] == 222       # clause 1 won
+        assert o1 not in got.index             # clause 2 deleted
+        assert got.loc[o2, "i64"] == 111       # clause 3 caught
+        rest = got.drop(index=[o0, o2])
+        assert (rest["i64"] == pdf.set_index("order").loc[
+            rest.index, "i64"]).all()          # unmatched untouched
+
+    def test_merge_clause_order_changes_result(self, spark,
+                                               tmp_table_dir):
+        """Swapping two overlapping clauses must change the outcome —
+        the list is ORDERED, not a set."""
+        pdf = gen_pdf()
+        o0 = int(sorted(pdf["order"])[0])
+        src = pdf.head(1)
+        for clauses, survives in (
+                ([{"update": {"i64": "333"}}, {"delete": True}], True),
+                ([{"delete": True}, {"update": {"i64": "333"}}], False)):
+            t = DeltaTable(spark, f"{tmp_table_dir}/o{survives}")
+            t = t.write(spark.createDataFrame(pdf))
+            t2 = t.merge(spark.createDataFrame(src),
+                         "t.order = s.order", when_matched=clauses)
+            got = t2.to_pandas().set_index("order")
+            if survives:
+                assert got.loc[o0, "i64"] == 333
+            else:
+                assert o0 not in got.index
+
+    def test_merge_clause_list_equals_kwargs_sugar(self, spark,
+                                                   tmp_table_dir):
+        pdf = gen_pdf()
+        lo = int(pdf["order"].min())
+        src = pdf.head(4).copy()
+        src["i64"] = 777
+        results = []
+        for style in ("kwargs", "list"):
+            t = DeltaTable(spark, f"{tmp_table_dir}/{style}")
+            t = t.write(spark.createDataFrame(pdf))
+            if style == "kwargs":
+                t2 = t.merge(
+                    spark.createDataFrame(src), "t.order = s.order",
+                    when_matched_update={"i64": "s.i64"},
+                    when_matched_update_condition=f"s.order < {lo + 2}",
+                    when_matched_delete=f"s.order >= {lo + 2}")
+            else:
+                t2 = t.merge(
+                    spark.createDataFrame(src), "t.order = s.order",
+                    when_matched=[
+                        {"update": {"i64": "s.i64"},
+                         "condition": f"s.order < {lo + 2}"},
+                        {"delete": f"s.order >= {lo + 2}"}])
+            results.append(t2.to_pandas().sort_values("order")
+                           .reset_index(drop=True))
+        pd.testing.assert_frame_equal(results[0], results[1])
+
+    def test_merge_clause_list_validation(self, spark, tmp_table_dir):
+        pdf = gen_pdf()
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(
+            spark.createDataFrame(pdf))
+        src = spark.createDataFrame(pdf.head(1))
+        with pytest.raises(ValueError, match="not both"):
+            t.merge(src, "t.order = s.order",
+                    when_matched=[{"delete": True}],
+                    when_matched_update={"i64": "1"})
+        with pytest.raises(ValueError, match="exactly one"):
+            t.merge(src, "t.order = s.order",
+                    when_matched=[{"update": {"i64": "1"},
+                                   "delete": True}])
+        with pytest.raises(ValueError, match="exactly one"):
+            t.merge(src, "t.order = s.order",
+                    when_matched=[{"condition": "1=1"}])
+        with pytest.raises(ValueError, match="unknown column"):
+            t.merge(src, "t.order = s.order",
+                    when_matched=[{"update": {"nope": "1"}}])
+
     def test_merge_not_matched_by_source_sync(self, spark, tmp_table_dir):
         # the mirror-from-source shape: update matched, insert new,
         # DELETE target rows the source no longer carries

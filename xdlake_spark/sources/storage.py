@@ -221,10 +221,23 @@ class Location:
     def put_if_absent(self, data: bytes) -> None:
         """Atomic create-exclusive where the backend supports it.
 
-        Local: O_CREAT|O_EXCL (truly atomic). Remote object stores: check-
-        then-write, the same OCC window the reference accepts
-        (reference delta_log/__init__.py:422-429). Raises FileExistsError
-        on conflict — callers treat that as a concurrent-commit collision.
+        Local: O_CREAT|O_EXCL (truly atomic). Remote backends, in
+        preference order (r11):
+
+        1. a filesystem exposing ``put_if_absent(path, data)`` — a
+           native conditional-put backend (the emulated object store
+           in tests/emulated_store.py; any user-registered LogStore);
+        2. an fsspec filesystem whose ``pipe_file`` accepts
+           ``mode="create"`` — fsspec's conditional-put API, mapped
+           by s3fs/gcsfs onto HTTP ``If-None-Match: *``, which S3 and
+           GCS honor atomically server-side;
+        3. check-then-write — the OCC window the reference accepts
+           (reference delta_log/__init__.py:422-429); pair it with a
+           :meth:`DeltaTable.commit_context` lock for stores without
+           conditional writes.
+
+        Raises FileExistsError on conflict — callers treat that as a
+        concurrent-commit collision.
         """
         fs = self._fs()
         if fs is None:
@@ -235,6 +248,19 @@ class Location:
             finally:
                 os.close(fd)
             return
+        native = getattr(fs, "put_if_absent", None)
+        if callable(native):
+            native(self.path, data)
+            return
+        pipe = getattr(fs, "pipe_file", None)
+        if callable(pipe):
+            try:
+                pipe(self.path, data, mode="create")
+                return
+            except FileExistsError:
+                raise FileExistsError(self.url)
+            except (TypeError, ValueError, NotImplementedError):
+                pass  # backend without conditional-put: fall through
         if self.exists():
             raise FileExistsError(self.url)
         self.write_bytes(data)

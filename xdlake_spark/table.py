@@ -4936,6 +4936,7 @@ class DeltaTable:
               *, when_matched_update: dict[str, str] | None = None,
               when_matched_update_condition: str | None = None,
               when_matched_delete: "bool | str" = False,
+              when_matched: "list[dict] | None" = None,
               when_not_matched_insert: dict[str, str] | None = None,
               when_not_matched_insert_condition: str | None = None,
               when_not_matched_by_source_update: dict[str, str] | None = None,
@@ -4973,14 +4974,27 @@ class DeltaTable:
         rewrite would otherwise fan the target row out
         non-deterministically).
 
-        Combined clauses (Delta's ``whenMatched(cond).update(...)
-        .whenMatched(cond2).delete()`` chain): pass *both*
-        ``when_matched_update`` (gated by ``when_matched_update_condition``)
-        and ``when_matched_delete`` as a condition string. Clause order is
-        update-first — a matched row satisfying the update condition is
-        updated; a matched row that does not but satisfies the delete
-        condition is deleted; other matched rows pass through unchanged.
-        ``when_matched_delete=True`` keeps the original unconditional form.
+        Ordered clause lists (r11 — delta-spark's full
+        ``whenMatched(c1).update(...).whenMatched(c2).delete()
+        .whenMatched().update(...)`` chain): pass
+        ``when_matched=[{"update": {...}, "condition": "..."},
+        {"delete": True, "condition": "..."}, {"update": {...}}, ...]``
+        — any number of clauses, evaluated FIRST-MATCH-WINS per the
+        Delta spec: a matched row takes the first clause whose
+        condition holds (a missing condition always holds; a NULL
+        condition means "does not apply" and falls through), later
+        clauses never see it, and a matched row satisfying no clause
+        passes through unchanged. ``{"delete": "cond"}`` is sugar for
+        ``{"delete": True, "condition": "cond"}``.
+
+        The scalar kwargs remain sugar for the common two-clause shape:
+        ``when_matched_update`` (gated by
+        ``when_matched_update_condition``) then ``when_matched_delete``
+        as a condition string — update-first, exactly
+        ``when_matched=[{update...}, {delete...}]``.
+        ``when_matched_delete=True`` keeps the original unconditional
+        form. Passing both ``when_matched`` and the scalar kwargs is an
+        error.
 
         ``WHEN NOT MATCHED BY SOURCE`` (Delta's third clause family —
         mirror upstream deletes/demotions): target rows with NO matching
@@ -5000,7 +5014,63 @@ class DeltaTable:
         """
         if self.schema is None:
             raise ValueError(f"No delta table at {self.location.url}")
-        if (when_matched_update or when_matched_delete
+        # normalize WHEN MATCHED into an ordered clause list
+        # [(kind, assignments|None, condition|None), ...] — the engine
+        # below evaluates it first-match-wins regardless of which sugar
+        # produced it
+        matched_clauses: list = []
+        if when_matched is not None:
+            if when_matched_update or when_matched_delete:
+                raise ValueError(
+                    "pass either when_matched=[...] or the "
+                    "when_matched_update/when_matched_delete kwargs, "
+                    "not both")
+            for cl in when_matched:
+                if not isinstance(cl, dict):
+                    raise ValueError(
+                        f"when_matched clause must be a dict, got "
+                        f"{type(cl).__name__}")
+                actions = [k for k in ("update", "delete") if k in cl]
+                extra = set(cl) - {"update", "delete", "condition"}
+                if len(actions) != 1 or extra:
+                    raise ValueError(
+                        "each when_matched clause needs exactly one of "
+                        f"'update'/'delete' (+ optional 'condition'); "
+                        f"got keys {sorted(cl)}")
+                if actions[0] == "update":
+                    upd = cl["update"]
+                    if not isinstance(upd, dict) or not upd:
+                        raise ValueError(
+                            "when_matched update clause must map "
+                            "column -> SQL expression")
+                    matched_clauses.append(
+                        ("update", dict(upd), cl.get("condition")))
+                else:
+                    d = cl["delete"]
+                    cond_d = cl.get("condition")
+                    if isinstance(d, str):
+                        if cond_d is not None:
+                            raise ValueError(
+                                "give the delete condition once — "
+                                "either delete='cond' or "
+                                "condition='cond'")
+                        cond_d = d
+                    elif d is not True:
+                        raise ValueError(
+                            "when_matched delete clause must be True "
+                            "or a condition string")
+                    matched_clauses.append(("delete", None, cond_d))
+        else:
+            if when_matched_update:
+                matched_clauses.append(
+                    ("update", when_matched_update,
+                     when_matched_update_condition))
+            if when_matched_delete:
+                matched_clauses.append(
+                    ("delete", None,
+                     when_matched_delete
+                     if isinstance(when_matched_delete, str) else None))
+        if (matched_clauses
                 or when_not_matched_by_source_update
                 or when_not_matched_by_source_delete):
             # insert-only MERGE is pure append and stays allowed
@@ -5073,7 +5143,7 @@ class DeltaTable:
                  .agg(F.max("__xdl_n").alias("__xdl_max_n"))
                  .collect())
         matched_files = [r["__xdl_file"] for r in probe]
-        if (when_matched_update or when_matched_delete) and any(
+        if matched_clauses and any(
                 r["__xdl_max_n"] > 1 for r in probe):
             raise ValueError(
                 "MERGE failed: multiple source rows matched a single "
@@ -5109,8 +5179,7 @@ class DeltaTable:
         # change them — an insert-only MERGE leaves them untouched
         # (previously they were rewritten as identical copies: wasted
         # I/O, and spurious add/remove churn for CDF readers)
-        rewrite_rels = set(hit_rels) \
-            if (when_matched_update or when_matched_delete) else set()
+        rewrite_rels = set(hit_rels) if matched_clauses else set()
         if nmbs_update or nmbs_delete:
             # phase 1c: which files hold a target row with NO source
             # match that satisfies a BY SOURCE clause gate — only those
@@ -5138,10 +5207,13 @@ class DeltaTable:
         out_cols = [f.name for f in evolved_schema.fields]
         # an assignment to a column the (possibly evolved) schema does
         # not hold was previously ignored silently — refuse instead
-        for label, clause in (
-                ("when_matched_update", when_matched_update),
+        clause_assignments = [
+            (f"when_matched clause {i + 1} (update)", assigns)
+            for i, (kind, assigns, _) in enumerate(matched_clauses)
+            if kind == "update"]
+        for label, clause in clause_assignments + [
                 ("when_not_matched_insert", when_not_matched_insert),
-                ("when_not_matched_by_source_update", nmbs_update)):
+                ("when_not_matched_by_source_update", nmbs_update)]:
             for c in (clause or {}):
                 if c not in out_cols:
                     hint = ("" if schema_evolution else
@@ -5159,8 +5231,7 @@ class DeltaTable:
         if rewrite_rels:
             hit_adds = {r: self.adds[r] for r in rewrite_rels}
             th = self._scan(hit_adds).alias("t")
-            if not (when_matched_update or when_matched_delete) \
-                    and (nmbs_update or nmbs_delete):
+            if not matched_clauses and (nmbs_update or nmbs_delete):
                 # NMBS-only merge: matched rows pass through UNCHANGED,
                 # so the multi-match guard does not fire (Delta's rule
                 # covers modified rows only) — and a left join would
@@ -5209,23 +5280,23 @@ class DeltaTable:
                         F.coalesce(nmbs_del_active, F.lit(False)))
                         .select(t_sel).withColumn(
                             self._CHANGE_TYPE, F.lit("delete")))
-            elif (when_matched_update or when_matched_delete):
+            elif matched_clauses:
                 joined = th.join(src, cond, "left")
                 is_matched = F.col("s.__xdl_matched").isNotNull()
-                upd_active = F.lit(False)
-                if when_matched_update:
-                    gate = (F.expr(when_matched_update_condition)
-                            if when_matched_update_condition else F.lit(True))
-                    upd_active = is_matched & gate
-                del_active = F.lit(False)
-                if when_matched_delete:
-                    gate = (F.expr(when_matched_delete)
-                            if isinstance(when_matched_delete, str)
-                            else F.lit(True))
-                    # NULL update gate = "clause does not apply" (Delta
-                    # semantics): evaluation falls through to delete
-                    del_active = is_matched \
-                        & ~F.coalesce(upd_active, F.lit(False)) & gate
+                # first-match-wins over the ordered clause list: a
+                # clause is active when the row matched, no EARLIER
+                # clause claimed it, and its condition holds. A NULL
+                # condition means "clause does not apply" (Delta
+                # semantics) — the row falls through to later clauses,
+                # never drops.
+                active: list = []  # (kind, assignments, predicate)
+                claimed = F.lit(False)
+                for kind, assigns, cnd in matched_clauses:
+                    gate = F.expr(cnd) if cnd else F.lit(True)
+                    act = (is_matched & ~claimed
+                           & F.coalesce(gate, F.lit(False)))
+                    active.append((kind, assigns, act))
+                    claimed = claimed | act
                 nmbs_upd_active = F.lit(False)
                 if nmbs_update:
                     gate = (F.expr(when_not_matched_by_source_update_condition)
@@ -5241,30 +5312,36 @@ class DeltaTable:
                         & ~F.coalesce(nmbs_upd_active, F.lit(False)) & gate
                 sel = []
                 for c in out_cols:
-                    branches = []
-                    if when_matched_update and c in when_matched_update:
-                        branches.append((upd_active, when_matched_update[c]))
+                    # active predicates are mutually exclusive, so
+                    # only clauses assigning c need a branch — a row
+                    # claimed by a clause that leaves c alone falls to
+                    # the otherwise (target value)
+                    branches = [(act, assigns[c])
+                                for kind, assigns, act in active
+                                if kind == "update" and c in assigns]
                     if nmbs_update and c in nmbs_update:
                         branches.append((nmbs_upd_active, nmbs_update[c]))
                     if branches:
                         expr = F.when(branches[0][0], F.expr(branches[0][1]))
-                        for cnd, ex in branches[1:]:
-                            expr = expr.when(cnd, F.expr(ex))
+                        for cnd_b, ex in branches[1:]:
+                            expr = expr.when(cnd_b, F.expr(ex))
                         expr = expr.otherwise(tcol(c))
                     else:
                         expr = tcol(c)
                     sel.append(expr.cast(typ[c]).alias(c))
-                # NULL-safe: a NULL clause condition means "clause does
-                # not apply" (Delta semantics), never "drop the row"
-                drop = (F.coalesce(del_active, F.lit(False))
-                        | F.coalesce(nmbs_del_active, F.lit(False)))
+                any_upd = F.lit(False)
+                drop = F.coalesce(nmbs_del_active, F.lit(False))
+                for kind, _, act in active:
+                    if kind == "update":
+                        any_upd = any_upd | act
+                    else:
+                        drop = drop | act
+                any_upd = any_upd | F.coalesce(nmbs_upd_active,
+                                               F.lit(False))
                 rewritten = joined.filter(~drop).select(sel)
                 if self.cdf_enabled:
                     t_sel = [tcol(c).cast(typ[c]).alias(c)
                              for c in out_cols]
-                    any_upd = (F.coalesce(upd_active, F.lit(False))
-                               | F.coalesce(nmbs_upd_active,
-                                            F.lit(False)))
                     upd = joined.filter(any_upd)
                     cdc_add(upd.select(t_sel).withColumn(
                         self._CHANGE_TYPE, F.lit("update_preimage")))
