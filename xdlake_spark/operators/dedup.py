@@ -614,6 +614,107 @@ def substring_dup_stats(df: DataFrame, text_col: str = "text",
                         / F.col("__n"), 6).alias("dup_char_frac")))
 
 
+def _raw_kgram_arrow_udf(k: int):
+    """Rolling hashes of every RAW k-char gram (no normalization —
+    exact-substring semantics operate on the text as stored, per Lee
+    et al.'s byte-level suffix arrays). Same 31-bit Rabin-Karp math as
+    the normalized variant in operators/text.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.text import ROLL_BASE, ROLL_MOD
+
+    @pandas_udf("array<long>")
+    def _grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            s = t or ""
+            cps = np.frombuffer(s.encode("utf-32-le"),
+                                dtype=np.uint32).astype(np.int64)
+            n = len(cps)
+            if n < k:
+                out.append([])
+                continue
+            m = n - k + 1
+            h = np.zeros(m, dtype=np.int64)
+            for j in range(k):  # Horner step across all positions
+                h = (h * ROLL_BASE + cps[j:j + m]) % ROLL_MOD
+            out.append(h.tolist())
+        return pd.Series(out)
+    return _grams
+
+
+def substring_dedup_exact(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          min_length: int = 40,
+                          min_count: int = 2) -> DataFrame:
+    """EXACT maximal duplicated-substring spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    the suffix-array criterion): every maximal span of the RAW text
+    whose every ``min_length``-char window occurs >= ``min_count``
+    times corpus-wide (across documents or repeated within one).
+    Unlike :func:`substring_dup_stats` (rolling-hash approximate),
+    duplication here is decided by STRING EQUALITY — the hash only
+    prunes candidates, so a collision can never mark a unique span
+    as duplicated, and a hash can never miss a true duplicate
+    (identical strings hash identically). Output is exactly the span
+    set a sequential suffix automaton derives (differential-tested in
+    tests/test_substring_exact.py).
+
+    Returns one row per maximal span:
+    ``(doc_id, span_start, span_len)`` — 1-based character offsets
+    (SQL substr convention).
+
+    Plan shape (the distributed form of the suffix-array pass, with
+    no suffix sort): one single-pass vectorized gram-hash per doc ->
+    position explode (O(total chars) rows, 8-byte keys) -> map-side-
+    combinable global count per hash -> semi-join survivors ->
+    substring materialization for CANDIDATES ONLY (the rare rows; a
+    clean corpus materializes almost nothing) -> string-equality
+    count -> one per-doc window merging covered positions into
+    maximal spans. Every shuffle keys on a uniform hash, the gram
+    string, or the doc id; hot grams (a corpus of one repeated char)
+    are pure aggregations, never collect_list, so AQE skew handling
+    applies.
+    """
+    hashes = _raw_kgram_arrow_udf(min_length)(F.col(text_col))
+    base = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("__t"),
+                    hashes.alias("__h"))
+            .filter(F.size("__h") > 0)
+            .localCheckpoint(eager=False))  # gram hashing runs once
+    pos = base.select("doc_id",
+                      F.posexplode("__h").alias("pos0", "h"))
+    dup_h = (pos.groupBy("h")
+             .agg(F.count(F.lit(1)).alias("__c"))
+             .filter(F.col("__c") >= min_count)
+             .select("h"))
+    cand = pos.join(dup_h, "h", "left_semi")
+    # verify by the actual substring — candidates only
+    cand_g = (cand.join(base.select("doc_id", "__t"), "doc_id")
+              .select("doc_id", (F.col("pos0") + 1).alias("p"),
+                      F.substring(F.col("__t"),
+                                  (F.col("pos0") + 1).cast("int"),
+                                  min_length).alias("g"))
+              .localCheckpoint(eager=False))  # two consumers below
+    dup_g = (cand_g.groupBy("g")
+             .agg(F.count(F.lit(1)).alias("__c"))
+             .filter(F.col("__c") >= min_count)
+             .select("g"))
+    covered = cand_g.join(dup_g, "g", "left_semi").select("doc_id", "p")
+    # gaps-and-islands: consecutive covered positions form one span
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = covered.withColumn(
+        "__k", F.col("p") - F.row_number().over(w))
+    return (isl.groupBy("doc_id", "__k")
+            .agg(F.min("p").alias("span_start"),
+                 (F.max("p") - F.min("p")
+                  + F.lit(min_length)).cast("long").alias("span_len"))
+            .select("doc_id",
+                    F.col("span_start").cast("long").alias("span_start"),
+                    "span_len"))
+
+
 def remove_duplicated_spans(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", k: int = 12,
                             min_count: int = 2,

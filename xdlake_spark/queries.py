@@ -2422,6 +2422,41 @@ def substring_dedup_clean_q(spark, sf_dir):
     return dedup.remove_duplicated_spans(d, k=12)
 
 
+@register("substring_dedup_exact", """
+WITH pos AS (
+  SELECT d.doc_id, CAST(i.i AS BIGINT) AS p,
+         substr(d.text, CAST(i.i AS INT), 40) AS g
+  FROM documents d,
+       LATERAL (SELECT unnest(range(1,
+           greatest(length(d.text) - 40 + 2, 1)))) AS i(i)
+),
+dup AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS c FROM pos) t
+  WHERE c >= 2
+),
+isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS k
+  FROM dup
+)
+SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+       CAST(max(p) - min(p) + 40 AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, k
+""")
+def substring_dedup_exact_q(spark, sf_dir):
+    """EXACT duplicated-substring spans (r11, operators/dedup.py
+    substring_dedup_exact — Lee et al.'s suffix-array criterion made
+    distributed): maximal raw-text spans whose every 40-char window
+    occurs >= 2 times corpus-wide, decided by string equality (the
+    rolling hash only prunes). The oracle recomputes the same spans
+    from first principles — substr every position, window-count by
+    the gram STRING, gaps-and-islands merge — so a hash-collision
+    false positive or any off-by-one in span assembly hash-fails."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.substring_dedup_exact(d, min_length=40)
+
+
 @register("events_value_histogram", r"""
 WITH binned AS (
   SELECT event_type,
