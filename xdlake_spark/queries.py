@@ -1949,6 +1949,52 @@ def delta_merge_clause_list(spark, sf_dir):
         (F.floor(F.col("o_totalprice") * 100) / 100).alias("totalprice"))
 
 
+@register("delta_iceberg_snapshot_read", """
+SELECT l_returnflag, 1 AS n_files,
+       count(*) AS record_count
+FROM lineitem GROUP BY l_returnflag
+""")
+def delta_iceberg_snapshot_read(spark, sf_dir):
+    """Iceberg interop round-trip (r11, log/iceberg.py + the from-spec
+    Avro codec in log/avro.py — delta-spark UniForm parity): write a
+    partitioned Delta table (one task -> one file per partition),
+    GENERATE its Iceberg v2 snapshot, then read the snapshot BACK
+    through metadata.json -> manifest list -> manifest and report per-
+    partition file and record counts from the ICEBERG metadata alone.
+    The oracle recomputes them relationally, so a wrong manifest
+    entry, record_count, or partition value hash-fails."""
+    import json as _json
+    import os as _os
+
+    from .log.avro import read_avro_file
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    loc = _delta_tmp()
+    t = DeltaTable(spark, loc).write(li.coalesce(1),
+                                     partition_by=["l_returnflag"])
+    t.generate("iceberg")
+    meta_dir = _os.path.join(loc, "metadata")
+    hint = int(open(_os.path.join(meta_dir, "version-hint.text")).read())
+    md = _json.load(open(_os.path.join(meta_dir,
+                                       f"v{hint}.metadata.json")))
+    snap = next(s for s in md["snapshots"]
+                if s["snapshot-id"] == md["current-snapshot-id"])
+    _, manifests, _ = read_avro_file(open(snap["manifest-list"],
+                                          "rb").read())
+    rows: dict = {}
+    for m in manifests:
+        _, entries, _ = read_avro_file(open(m["manifest_path"],
+                                            "rb").read())
+        for e in entries:
+            p = e["data_file"]["partition"]["l_returnflag"]
+            n_files, n_recs = rows.get(p, (0, 0))
+            rows[p] = (n_files + 1,
+                       n_recs + e["data_file"]["record_count"])
+    return spark.createDataFrame(
+        [(p, nf, nr) for p, (nf, nr) in sorted(rows.items())],
+        "l_returnflag string, n_files int, record_count long")
+
+
 @register("delta_merge_not_matched_by_source", """
 WITH src AS (
   SELECT o_orderkey, o_totalprice * 2 AS new_price

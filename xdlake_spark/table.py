@@ -3799,11 +3799,22 @@ class DeltaTable:
         file set and removes manifests of partitions that no longer
         exist (stale manifests would resurrect deleted data in the
         foreign engine). Manifest-scale driver I/O only; no Spark job.
+
+        ``mode="iceberg"`` (r11, delta-spark UniForm parity): write an
+        Iceberg v2 snapshot — ``metadata/vN.metadata.json`` + Avro
+        manifest list + manifest + ``version-hint.text`` — describing
+        the current live file set, so Iceberg readers scan the same
+        parquet without Delta support (log/iceberg.py; Avro encoded
+        from the published spec in log/avro.py).
         """
+        if mode == "iceberg":
+            from .log.iceberg import generate_iceberg_metadata
+            generate_iceberg_metadata(self)
+            return self
         if mode != "symlink_format_manifest":
             raise ValueError(
                 f"unsupported generate mode {mode!r} "
-                "(only 'symlink_format_manifest')")
+                "(only 'symlink_format_manifest' or 'iceberg')")
         if self.schema is None:
             raise ValueError(f"No delta table at {self.location.url}")
         if any((a.extra or {}).get("deletionVector")
