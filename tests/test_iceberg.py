@@ -151,6 +151,70 @@ class TestIcebergSnapshot:
         _, _, _, entries = _read_snapshot(tmp_table_dir)
         assert sum(e["data_file"]["record_count"] for e in entries) == 80
 
+    def test_import_round_trip(self, spark, lineitem, tmp_table_dir):
+        """generate('iceberg') then import_iceberg into a fresh table:
+        schema, partitioning, row count (metadata-only, from the
+        imported numRecords stats), and the full data must survive."""
+        a = DeltaTable(spark, f"{tmp_table_dir}/a").write(
+            lineitem.limit(300), partition_by=["l_returnflag"])
+        a = a.delete("l_quantity > 44")
+        a.generate("iceberg")
+        b = DeltaTable(spark, f"{tmp_table_dir}/b").import_iceberg(
+            f"{tmp_table_dir}/a")
+        assert b.partition_columns == ["l_returnflag"]
+        assert [f.name for f in b.schema.fields] == \
+            [f.name for f in a.schema.fields]
+        assert b.count() == a.count()      # stats-driven count
+        ga = sorted(tuple(r) for r in a.to_df().collect())
+        gb = sorted(tuple(r) for r in
+                    b.to_df().select(*a.to_df().columns).collect())
+        assert ga == gb
+
+    def test_import_date_partition_round_trip(self, spark, lineitem,
+                                              tmp_table_dir):
+        a = DeltaTable(spark, f"{tmp_table_dir}/a").write(
+            lineitem.limit(60).withColumn(
+                "d", F.lit("2021-06-30").cast("date")),
+            partition_by=["d"])
+        a.generate("iceberg")
+        b = DeltaTable(spark, f"{tmp_table_dir}/b").import_iceberg(
+            f"{tmp_table_dir}/a")
+        vals = {a_.partitionValues["d"] for a_ in b.adds.values()}
+        assert vals == {"2021-06-30"}
+        assert b.to_df().filter(F.col("d") ==
+                                "2021-06-30").count() == 60
+
+    def test_import_refuses_delete_manifests(self, spark, lineitem,
+                                             tmp_table_dir):
+        """A manifest-list entry with content=1 (delete manifest) must
+        refuse — merge-on-read Iceberg state cannot become plain
+        adds."""
+        a = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(50))
+        a.generate("iceberg")
+        md, snap, _, _ = _read_snapshot(tmp_table_dir)
+        from xdlake_spark.log.avro import write_avro_file
+        schema, manifests, meta = read_avro_file(
+            open(snap["manifest-list"], "rb").read())
+        manifests[0]["content"] = 1
+        open(snap["manifest-list"], "wb").write(
+            write_avro_file(schema, manifests))
+        with pytest.raises(ValueError, match="DELETE manifests"):
+            DeltaTable(spark, f"{tmp_table_dir}_b").import_iceberg(
+                tmp_table_dir)
+
+    def test_import_existing_table_requires_mode(self, spark,
+                                                 lineitem,
+                                                 tmp_table_dir):
+        a = DeltaTable(spark, f"{tmp_table_dir}/a").write(
+            lineitem.limit(40))
+        a.generate("iceberg")
+        b = DeltaTable(spark, f"{tmp_table_dir}/b").write(
+            lineitem.limit(10))
+        with pytest.raises(FileExistsError):
+            b.import_iceberg(f"{tmp_table_dir}/a")
+        b2 = b.import_iceberg(f"{tmp_table_dir}/a", mode="overwrite")
+        assert b2.to_df().count() == 40
+
     def test_manifest_carries_iceberg_metadata_keys(self, spark,
                                                     lineitem,
                                                     tmp_table_dir):

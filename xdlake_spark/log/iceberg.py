@@ -33,7 +33,8 @@ from pyspark.sql import types as T
 from .actions import timestamp_ms
 from .avro import write_avro_file
 
-__all__ = ["generate_iceberg_metadata", "iceberg_schema"]
+__all__ = ["generate_iceberg_metadata", "iceberg_schema",
+           "read_iceberg_snapshot", "spark_type_from_iceberg"]
 
 
 # -- Spark -> Iceberg schema with fresh field ids ---------------------------
@@ -126,6 +127,130 @@ def _partition_avro_and_cast(ice_type: str):
     raise ValueError(
         f"unsupported Iceberg partition type {ice_type!r} — identity "
         "partitions on int/long/string/boolean/date columns only")
+
+
+# -- Iceberg -> Spark (the read path) ----------------------------------------
+
+_PRIM_TO_SPARK = {
+    "boolean": T.BooleanType, "int": T.IntegerType,
+    "long": T.LongType, "float": T.FloatType, "double": T.DoubleType,
+    "date": T.DateType, "timestamp": T.TimestampNTZType,
+    "timestamptz": T.TimestampType, "string": T.StringType,
+    "binary": T.BinaryType, "uuid": T.StringType,
+}
+
+
+def spark_type_from_iceberg(t: Any) -> T.DataType:
+    """Inverse of :func:`_iceberg_type` over the supported family."""
+    if isinstance(t, str):
+        if t in _PRIM_TO_SPARK:
+            return _PRIM_TO_SPARK[t]()
+        if t.startswith("decimal("):
+            p, s = t[len("decimal("):-1].split(",")
+            return T.DecimalType(int(p), int(s))
+        raise ValueError(f"no Spark mapping for Iceberg type {t!r}")
+    kind = t["type"]
+    if kind == "struct":
+        return T.StructType([
+            T.StructField(f["name"],
+                          spark_type_from_iceberg(f["type"]),
+                          not f.get("required", False))
+            for f in t["fields"]])
+    if kind == "list":
+        return T.ArrayType(spark_type_from_iceberg(t["element"]),
+                           not t.get("element-required", False))
+    if kind == "map":
+        return T.MapType(spark_type_from_iceberg(t["key"]),
+                         spark_type_from_iceberg(t["value"]),
+                         not t.get("value-required", False))
+    raise ValueError(f"no Spark mapping for Iceberg type {t!r}")
+
+
+def _partition_to_delta_string(v: Any, ice_type: str) -> "str | None":
+    """Manifest partition value -> the Delta log's string convention."""
+    import datetime
+    if v is None:
+        return None
+    if ice_type == "date":
+        return (datetime.date(1970, 1, 1)
+                + datetime.timedelta(days=int(v))).isoformat()
+    if ice_type == "boolean":
+        return "true" if v else "false"
+    return str(v)
+
+
+def read_iceberg_snapshot(metadata_location) -> dict:
+    """Parse an Iceberg table's CURRENT snapshot into plain data:
+    ``{"schema": StructType, "partition_columns": [...], "files":
+    [{path, record_count, file_size, partition: {col: str}}]}``.
+
+    ``metadata_location`` is a Location of either the table root
+    (resolved via ``metadata/version-hint.text``, HadoopCatalog
+    convention) or a specific ``*.metadata.json``. Refuses delete
+    manifests / delete files (Iceberg v2 merge-on-read state cannot
+    be represented as plain adds) and non-parquet data files.
+    """
+    from .avro import read_avro_file
+    loc = metadata_location
+    if not loc.url.endswith(".metadata.json"):
+        meta_dir = loc.join("metadata")
+        hint = int(meta_dir.join("version-hint.text")
+                   .read_bytes().decode().strip())
+        loc = meta_dir.join(f"v{hint}.metadata.json")
+    md = json.loads(loc.read_bytes())
+    sid = md.get("current-snapshot-id")
+    snap = next((s for s in md.get("snapshots", [])
+                 if s["snapshot-id"] == sid), None)
+    if snap is None:
+        raise ValueError(f"no current snapshot in {loc.url}")
+    schemas = {s.get("schema-id", 0): s for s in md["schemas"]} \
+        if "schemas" in md else {0: md["schema"]}
+    schema_json = schemas.get(snap.get("schema-id",
+                                       md.get("current-schema-id", 0)))
+    spark_schema = spark_type_from_iceberg(schema_json)
+    by_id = {f["id"]: f for f in schema_json["fields"]}
+    spec = next(s for s in md["partition-specs"]
+                if s["spec-id"] == md.get("default-spec-id", 0))
+    pcols, ptypes = [], []
+    for f in spec["fields"]:
+        if f["transform"] != "identity":
+            raise ValueError(
+                f"unsupported partition transform {f['transform']!r} "
+                "(identity only)")
+        src = by_id[f["source-id"]]
+        pcols.append(src["name"])
+        ptypes.append(src["type"])
+
+    from ..sources.storage import Location as _Loc
+    list_loc = _Loc.resolve(snap["manifest-list"])
+    _, manifests, _ = read_avro_file(list_loc.read_bytes())
+    files = []
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            raise ValueError(
+                "Iceberg DELETE manifests are not importable — "
+                "compact the source table to data-only state first")
+        _, entries, _ = read_avro_file(
+            _Loc.resolve(m["manifest_path"]).read_bytes())
+        for e in entries:
+            if e["status"] == 2:    # DELETED in this snapshot
+                continue
+            d = e["data_file"]
+            if d.get("content", 0) != 0:
+                raise ValueError("delete files are not importable")
+            if d["file_format"].upper() != "PARQUET":
+                raise ValueError(
+                    f"unsupported data file format "
+                    f"{d['file_format']!r} (parquet only)")
+            part = {c: _partition_to_delta_string(
+                        (d.get("partition") or {}).get(c), t)
+                    for c, t in zip(pcols, ptypes)}
+            files.append({"path": d["file_path"],
+                          "record_count": int(d["record_count"]),
+                          "file_size": int(d["file_size_in_bytes"]),
+                          "partition": part})
+    return {"schema": spark_schema, "partition_columns": pcols,
+            "files": files}
 
 
 # -- the generator -----------------------------------------------------------

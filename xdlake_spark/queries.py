@@ -1995,6 +1995,29 @@ def delta_iceberg_snapshot_read(spark, sf_dir):
         "l_returnflag string, n_files int, record_count long")
 
 
+@register("delta_iceberg_import_scan", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_quantity <= 44
+""")
+def delta_iceberg_import_scan(spark, sf_dir):
+    """CONVERT FROM ICEBERG round trip (r11, table.py import_iceberg):
+    a partitioned Delta table with a delete in its history is
+    snapshotted to Iceberg and imported ZERO-COPY into a fresh Delta
+    table via the Iceberg metadata alone; the imported table's scan
+    must equal the plain relational result — pinning schema mapping,
+    manifest parsing, partition retyping, and absolute-path adds end
+    to end."""
+    from .table import DeltaTable
+    li = _t(spark, sf_dir, "lineitem")
+    a = DeltaTable(spark, _delta_tmp()).write(
+        li, partition_by=["l_returnflag"])
+    a = a.delete("l_quantity > 44")
+    a.generate("iceberg")
+    b = DeltaTable(spark, _delta_tmp()).import_iceberg(a.location)
+    return b.to_df().select("l_orderkey", "l_linenumber",
+                            "l_quantity", "l_returnflag")
+
+
 @register("delta_merge_not_matched_by_source", """
 WITH src AS (
   SELECT o_orderkey, o_totalprice * 2 AS new_price

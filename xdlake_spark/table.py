@@ -4264,6 +4264,55 @@ class DeltaTable:
                                        custom_metadata=custom_metadata)
         return self._commit(entry)
 
+    def import_iceberg(self, source: "str | Location",
+                       mode: "str | WriteMode" = "error",
+                       custom_metadata: dict | None = None
+                       ) -> "DeltaTable":
+        """CONVERT FROM ICEBERG (r11 — the read half of
+        ``generate('iceberg')``): register an Iceberg table's CURRENT
+        snapshot as zero-copy absolute-path adds. ``source`` is the
+        Iceberg table root (resolved via HadoopCatalog
+        ``metadata/version-hint.text``) or a specific
+        ``*.metadata.json``. Schema, identity partition spec, per-file
+        record counts and sizes all come from the Iceberg metadata
+        (parsed with the from-spec Avro reader in log/avro.py) — no
+        data is read or moved, no Spark job runs. Delete manifests,
+        delete files, non-identity transforms, and non-parquet data
+        refuse loudly (that state cannot be represented as plain
+        adds). Stats carry ``numRecords`` so metadata-only ``count()``
+        keeps working; run :meth:`recompute_stats` afterwards for
+        min/max skipping."""
+        from .log.iceberg import read_iceberg_snapshot
+        mode = WriteMode.coerce(mode)
+        if self.log and mode == WriteMode.error:
+            raise FileExistsError(
+                f"Table already exists at {self.location.url}")
+        if self.log and mode == WriteMode.ignore:
+            return self
+        snap = read_iceberg_snapshot(Location.resolve(source))
+        schema = snap["schema"]
+        partition_by = snap["partition_columns"]
+        new_adds = [Add(path=f["path"], size=f["file_size"],
+                        modificationTime=timestamp_ms(),
+                        partitionValues={k: v for k, v
+                                         in f["partition"].items()
+                                         if v is not None},
+                        stats=json.dumps(
+                            {"numRecords": f["record_count"]}))
+                    for f in snap["files"]]
+        if not self.log:
+            entry = create_table_entry(schema, partition_by,
+                                       self.location.url, new_adds,
+                                       custom_metadata)
+        elif mode == WriteMode.overwrite:
+            entry = overwrite_table_entry(
+                new_adds, self.adds.values(), schema, partition_by,
+                custom_metadata, base_metadata=self.log.metadata())
+        else:
+            entry = append_table_entry(new_adds, partition_by,
+                                       custom_metadata=custom_metadata)
+        return self._commit(entry)
+
     # -- maintenance (SURVEY §2.5 stretch ops) ------------------------------------
 
     #: Metadata domain holding a clustered table's column set (Delta
