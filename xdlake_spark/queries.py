@@ -2271,6 +2271,42 @@ def bpe_train_q(spark, sf_dir):
     return bpe.train_bpe(d, n_merges=40, batch_k=8)
 
 
+# rows-only: byte-level BPE training is the same driver-coordinated
+# iterative loop as BPE (not SQL-expressible); exactness vs the
+# sequential byte-BPE reference is differential-tested in
+# tests/test_bytebpe.py.
+@register("byte_bpe_train_merges", None)
+def byte_bpe_train_q(spark, sf_dir):
+    """Distributed byte-level BPE training (r11, operators/bytebpe.py
+    — the GPT-2 tokenizer family): GPT-2 regex pre-tokenization (pure
+    JVM), reversible byte->unit mapping, 32 merges over the distinct
+    pre-token table, 8 disjoint merges per round."""
+    from .operators import bytebpe
+    d = _t(spark, sf_dir, "documents")
+    return bytebpe.train_byte_bpe(d, n_merges=32, batch_k=8)
+
+
+# rows-only: byte-BPE inference replays the learned merges per
+# pre-token in an Arrow UDF; losslessness (no [UNK], exact text
+# reconstruction) is pinned in tests/test_bytebpe.py.
+@register("byte_bpe_tokenize_stats", None)
+def byte_bpe_tokenize_q(spark, sf_dir):
+    """Train a small byte-BPE vocab, tokenize the corpus, and report
+    per-language token stats — the GPT-2-style end-to-end tokenizer
+    pipeline (case- and whitespace-preserving, no unknown tokens)."""
+    from .operators import bytebpe
+    d = _t(spark, sf_dir, "documents")
+    merges = bytebpe.train_byte_bpe(d, n_merges=24, batch_k=8)
+    toks = bytebpe.apply_byte_bpe(d, merges)
+    return (toks.join(d.select(F.col("doc_id").alias("id"), "lang"),
+                      "id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.round(F.avg("n_tokens"), 4).alias("avg_tokens"))
+            .orderBy("lang"))
+
+
 # rows-only: tokenization applies the learned merge table (itself
 # iterative, above) per word via an Arrow-batched UDF.
 @register("bpe_tokenize_stats", None)
