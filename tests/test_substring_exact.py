@@ -188,6 +188,38 @@ class TestExactSubstringSpans:
             assert _spark_spans(spark, docs, L) == \
                 reference_duplicated_spans(docs, L), seed
 
+    def test_removal_matches_reference_cut(self, spark):
+        """remove_exact_duplicated_spans must cut exactly the spans
+        the suffix-automaton reference derives — verified by applying
+        the reference spans to the raw text in plain Python."""
+        from xdlake_spark.operators.dedup import \
+            remove_exact_duplicated_spans
+        rng = random.Random(41)
+        frag = _random_text(rng, 55)
+        docs = {i: _random_text(rng, 200) for i in range(8)}
+        docs[1] = docs[1][:60] + frag + docs[1][60:]
+        docs[4] = frag + docs[4]
+        df = spark.createDataFrame(sorted(docs.items()),
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: (r["clean_text"], r["n_spans_removed"],
+                             r["chars_removed"])
+               for r in remove_exact_duplicated_spans(
+                   df, min_length=30).collect()}
+        want_spans: dict = {}
+        for d, s, ln in reference_duplicated_spans(docs, 30):
+            want_spans.setdefault(d, []).append((s, ln))
+        assert len(got) == len(docs)   # zero-span docs pass through
+        for d, text in docs.items():
+            spans = sorted(want_spans.get(d, []))
+            clean = ""
+            cur = 0
+            for s, ln in spans:
+                clean += text[cur:s - 1]
+                cur = s - 1 + ln
+            clean += text[cur:]
+            assert got[d] == (clean, len(spans),
+                              len(text) - len(clean)), d
+
     def test_min_count_three(self, spark):
         rng = random.Random(37)
         frag = _random_text(rng, 50)

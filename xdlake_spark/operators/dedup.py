@@ -715,6 +715,59 @@ def substring_dedup_exact(df: DataFrame, text_col: str = "text",
                     "span_len"))
 
 
+def remove_exact_duplicated_spans(df: DataFrame,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  min_length: int = 40,
+                                  min_count: int = 2) -> DataFrame:
+    """CUT the exactly-duplicated spans from each document — the
+    action to :func:`substring_dedup_exact`'s measurement, on RAW
+    text with string-equality semantics (the Lee et al. production
+    step: remove every span whose windows repeat corpus-wide).
+
+    Output: ``(doc_id, clean_text, n_spans_removed, chars_removed)``
+    — every input doc appears (zero-span docs pass through intact).
+
+    Plan: the exact-span pipeline, then the per-doc interval list
+    (bytes per doc — spans are already maximal and disjoint) joins
+    back to the text and ONE ``aggregate`` higher-order function
+    rebuilds the kept string JVM-side; the corpus text itself never
+    shuffles twice."""
+    spans = substring_dedup_exact(df, text_col, id_col,
+                                  min_length, min_count)
+    iv = (spans.select(
+            "doc_id",
+            F.struct((F.col("span_start") - 1).cast("int").alias("s"),
+                     (F.col("span_start") - 1 + F.col("span_len"))
+                     .cast("int").alias("e")).alias("__sp"))
+          .groupBy("doc_id")
+          .agg(F.sort_array(F.collect_list("__sp")).alias("__iv"),
+               F.count(F.lit(1)).cast("long")
+               .alias("n_spans_removed")))
+    joined = (df.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("__t"))
+              .join(iv, "doc_id", "left"))
+    clean = F.expr("""
+        aggregate(__iv,
+                  struct(0 AS p, '' AS t),
+                  (a, x) -> struct(
+                      CAST(least(x.e, length(__t)) AS INT) AS p,
+                      concat(a.t, substring(__t, a.p + 1,
+                                            x.s - a.p)) AS t),
+                  a -> concat(a.t, substring(__t, a.p + 1,
+                                             length(__t) - a.p)))
+    """)
+    return (joined.select(
+                "doc_id", "__t",
+                F.when(F.col("__iv").isNull(), F.col("__t"))
+                 .otherwise(clean).alias("clean_text"),
+                F.coalesce("n_spans_removed", F.lit(0).cast("long"))
+                 .alias("n_spans_removed"))
+            .select("doc_id", "clean_text", "n_spans_removed",
+                    (F.length("__t") - F.length("clean_text"))
+                    .cast("long").alias("chars_removed")))
+
+
 def remove_duplicated_spans(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", k: int = 12,
                             min_count: int = 2,

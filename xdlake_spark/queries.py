@@ -2562,6 +2562,62 @@ def substring_dedup_exact_q(spark, sf_dir):
     return dedup.substring_dedup_exact(d, min_length=40)
 
 
+@register("substring_dedup_exact_clean", """
+WITH pos AS (
+  SELECT d.doc_id, CAST(i.i AS BIGINT) AS p,
+         substr(d.text, CAST(i.i AS INT), 40) AS g
+  FROM documents d,
+       LATERAL (SELECT unnest(range(1,
+           greatest(length(d.text) - 40 + 2, 1)))) AS i(i)
+),
+dup AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS c FROM pos) t
+  WHERE c >= 2
+),
+isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS k
+  FROM dup
+),
+nspans AS (
+  SELECT doc_id, CAST(count(DISTINCT k) AS BIGINT) AS n_spans
+  FROM isl GROUP BY doc_id
+),
+txt AS (SELECT doc_id, text, length(text) AS n FROM documents),
+chars AS (
+  SELECT doc_id, text, n, CAST(unnest(range(1, n + 1)) AS BIGINT) AS i
+  FROM txt
+),
+kept AS (
+  SELECT c.doc_id,
+         coalesce(string_agg(substr(c.text, CAST(c.i AS INT), 1), ''
+                             ORDER BY c.i), '') AS clean_text
+  FROM chars c
+  WHERE NOT EXISTS (SELECT 1 FROM dup d
+                    WHERE d.doc_id = c.doc_id
+                      AND c.i BETWEEN d.p AND d.p + 39)
+  GROUP BY c.doc_id
+)
+SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
+       coalesce(s.n_spans, 0) AS n_spans_removed,
+       CAST(t.n - length(coalesce(k.clean_text, '')) AS BIGINT)
+           AS chars_removed
+FROM txt t
+LEFT JOIN kept k USING (doc_id)
+LEFT JOIN nspans s USING (doc_id)
+""")
+def substring_dedup_exact_clean_q(spark, sf_dir):
+    """Exact-span REMOVAL (r11, operators/dedup.py
+    remove_exact_duplicated_spans): cut every maximal raw-text span
+    whose 40-char windows repeat corpus-wide, string-equality decided.
+    The oracle rebuilds each cleaned document character-by-character
+    from the duplicated-window set, so any off-by-one in the interval
+    fold hash-fails."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.remove_exact_duplicated_spans(d, min_length=40)
+
+
 @register("events_value_histogram", r"""
 WITH binned AS (
   SELECT event_type,
