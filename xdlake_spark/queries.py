@@ -2271,6 +2271,25 @@ def bpe_train_q(spark, sf_dir):
     return bpe.train_bpe(d, n_merges=40, batch_k=8)
 
 
+# rows-only: DoReMi is an iterative multiplicative-weights loop
+# (driver-held k-domain state, 3 vocab-scale aggregations per round) —
+# not SQL-expressible; float-exact equality vs the sequential twin is
+# differential-tested in tests/test_doremi.py.
+@register("doremi_domain_weights", None)
+def doremi_domain_weights_q(spark, sf_dir):
+    """DoReMi domain-mixture optimization (r11, operators/doremi.py —
+    Xie et al. 2023's Group-DRO weighting algebra with an add-k bigram
+    LM as the exactly-trainable proxy): per-language sampling weights
+    for the documents corpus after 4 rounds of excess-loss
+    multiplicative updates."""
+    from .operators.doremi import doremi_domain_weights
+    d = _t(spark, sf_dir, "documents")
+    out = doremi_domain_weights(d, domain_col="lang", rounds=4)
+    return out.select("domain", F.round("weight", 8).alias("weight"),
+                      F.round("excess_loss", 8).alias("excess_loss"),
+                      "n_bigrams").orderBy("domain")
+
+
 # rows-only: byte-level BPE training is the same driver-coordinated
 # iterative loop as BPE (not SQL-expressible); exactness vs the
 # sequential byte-BPE reference is differential-tested in
