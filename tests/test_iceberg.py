@@ -123,6 +123,37 @@ class TestIcebergSnapshot:
                                      "version-hint.text")).read())
         assert hint == t.version + 1
 
+    def test_snapshot_chain_carries_history(self, spark, lineitem,
+                                            tmp_table_dir):
+        """r11: successive generations CHAIN — the new snapshot
+        records parent-snapshot-id, prior snapshots stay listed,
+        sequence numbers advance, and the superseded metadata.json
+        lands in metadata-log. Regeneration at the same Delta version
+        is idempotent (no duplicate snapshot)."""
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(80))
+        t.generate("iceberg")
+        md1, snap1, _, _ = _read_snapshot(tmp_table_dir)
+        t.generate("iceberg")                 # same version: no-op
+        md1b, _, _, _ = _read_snapshot(tmp_table_dir)
+        assert len(md1b["snapshots"]) == 1
+        t = t.write(lineitem.limit(20), mode="append")
+        t.generate("iceberg")
+        md2, snap2, _, _ = _read_snapshot(tmp_table_dir)
+        assert len(md2["snapshots"]) == 2
+        assert snap2["parent-snapshot-id"] == snap1["snapshot-id"]
+        assert snap2["sequence-number"] == 2
+        assert md2["last-sequence-number"] == 2
+        assert len(md2["snapshot-log"]) == 2
+        assert md2["metadata-log"][-1]["metadata-file"].endswith(
+            "v1.metadata.json")
+        # schema change resets the chain (old snapshots would lie)
+        t = t.add_columns({"extra": "string"})
+        t.generate("iceberg")
+        md3, snap3, _, _ = _read_snapshot(tmp_table_dir)
+        assert len(md3["snapshots"]) == 1
+        assert "parent-snapshot-id" not in md3["snapshots"][0]
+        assert md3["last-sequence-number"] == 1
+
     def test_refuses_deletion_vectors(self, spark, lineitem,
                                       tmp_table_dir):
         t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(200))
@@ -184,24 +215,6 @@ class TestIcebergSnapshot:
         assert b.to_df().filter(F.col("d") ==
                                 "2021-06-30").count() == 60
 
-    def test_import_refuses_delete_manifests(self, spark, lineitem,
-                                             tmp_table_dir):
-        """A manifest-list entry with content=1 (delete manifest) must
-        refuse — merge-on-read Iceberg state cannot become plain
-        adds."""
-        a = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(50))
-        a.generate("iceberg")
-        md, snap, _, _ = _read_snapshot(tmp_table_dir)
-        from xdlake_spark.log.avro import write_avro_file
-        schema, manifests, meta = read_avro_file(
-            open(snap["manifest-list"], "rb").read())
-        manifests[0]["content"] = 1
-        open(snap["manifest-list"], "wb").write(
-            write_avro_file(schema, manifests))
-        with pytest.raises(ValueError, match="DELETE manifests"):
-            DeltaTable(spark, f"{tmp_table_dir}_b").import_iceberg(
-                tmp_table_dir)
-
     def test_import_existing_table_requires_mode(self, spark,
                                                  lineitem,
                                                  tmp_table_dir):
@@ -214,6 +227,97 @@ class TestIcebergSnapshot:
             b.import_iceberg(f"{tmp_table_dir}/a")
         b2 = b.import_iceberg(f"{tmp_table_dir}/a", mode="overwrite")
         assert b2.to_df().count() == 40
+
+    def _add_position_deletes(self, table_dir, data_file_url,
+                              positions):
+        """Craft an Iceberg v2 position-delete file + delete manifest
+        and splice a content=1 entry into the snapshot's manifest
+        list — the state a merge-on-read Iceberg writer produces."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from xdlake_spark.log.avro import write_avro_file
+        meta_dir = os.path.join(table_dir, "metadata")
+        del_path = os.path.join(meta_dir, "pos-delete-0.parquet")
+        pq.write_table(pa.table({
+            "file_path": [data_file_url] * len(positions),
+            "pos": pa.array(positions, type=pa.int64())}), del_path)
+
+        md, snap, manifests, _ = _read_snapshot(table_dir)
+        mschema, entries, mmeta = read_avro_file(
+            open(manifests[0]["manifest_path"], "rb").read())
+        dentry = json.loads(json.dumps(entries[0]))  # deep copy shape
+        dentry["data_file"].update({
+            "content": 1, "file_path": del_path,
+            "file_format": "PARQUET",
+            "record_count": len(positions),
+            "file_size_in_bytes": os.path.getsize(del_path),
+            "partition": {k: None
+                          for k in dentry["data_file"]["partition"]}})
+        dman_path = os.path.join(meta_dir, "delete-m0.avro")
+        open(dman_path, "wb").write(
+            write_avro_file(mschema, [dentry], metadata={
+                **{k: v for k, v in mmeta.items()
+                   if not k.startswith("avro.")},
+                "content": "deletes"}))
+        lschema, mlist, lmeta = read_avro_file(
+            open(snap["manifest-list"], "rb").read())
+        dm = json.loads(json.dumps(mlist[0]))
+        dm.update({"manifest_path": dman_path, "content": 1,
+                   "manifest_length": os.path.getsize(dman_path),
+                   "added_files_count": 1, "added_rows_count":
+                   len(positions)})
+        open(snap["manifest-list"], "wb").write(
+            write_avro_file(lschema, mlist + [dm]))
+
+    def test_import_position_deletes_as_dv(self, spark, lineitem,
+                                           tmp_table_dir):
+        """Iceberg v2 position deletes convert to Delta deletion
+        vectors on import: the scan excludes exactly the deleted row
+        positions, count() subtracts the cardinality, and the protocol
+        declares deletionVectors."""
+        import pyarrow.parquet as pq
+        a = DeltaTable(spark, f"{tmp_table_dir}/a").write(
+            lineitem.limit(100).coalesce(1))
+        a.generate("iceberg")
+        (data_rel,) = a.adds
+        data_url = a.location.absloc(data_rel).url
+        self._add_position_deletes(f"{tmp_table_dir}/a", data_url,
+                                   [1, 3, 5, 97])
+        b = DeltaTable(spark, f"{tmp_table_dir}/b").import_iceberg(
+            f"{tmp_table_dir}/a")
+        # expected: the parquet's rows minus positions 1,3,5,97
+        pdf = pq.read_table(data_url).to_pandas()
+        keep = pdf.drop(index=[1, 3, 5, 97])
+        got = sorted(map(tuple, b.to_df().select(
+            *[c for c in keep.columns]).collect()))
+        want = sorted(map(tuple, keep.itertuples(index=False,
+                                                 name=None)))
+        assert len(got) == 96
+        assert [r[:2] for r in got] == [r[:2] for r in want]
+        assert b.count() == 96                  # stats minus DV
+        proto = b.log.protocol()
+        assert "deletionVectors" in \
+            (proto.extra or {}).get("readerFeatures", [])
+
+    def test_import_refuses_equality_deletes(self, spark, lineitem,
+                                             tmp_table_dir):
+        a = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(30))
+        a.generate("iceberg")
+        (data_rel,) = a.adds
+        self._add_position_deletes(
+            tmp_table_dir, a.location.absloc(data_rel).url, [0])
+        # rewrite the delete manifest's entry to content=2 (equality)
+        md, snap, manifests, _ = _read_snapshot(tmp_table_dir)
+        from xdlake_spark.log.avro import write_avro_file
+        dman = os.path.join(tmp_table_dir, "metadata",
+                            "delete-m0.avro")
+        mschema, entries, _ = read_avro_file(open(dman, "rb").read())
+        entries[0]["data_file"]["content"] = 2
+        open(dman, "wb").write(write_avro_file(mschema, entries))
+        with pytest.raises(ValueError, match="EQUALITY"):
+            DeltaTable(spark, f"{tmp_table_dir}_b").import_iceberg(
+                tmp_table_dir)
 
     def test_manifest_carries_iceberg_metadata_keys(self, spark,
                                                     lineitem,

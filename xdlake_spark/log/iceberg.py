@@ -5,9 +5,10 @@ manifest list + manifest (Avro OCF, log/avro.py) + HadoopCatalog
 so an Iceberg reader (Spark/Trino/DuckDB-iceberg/pyiceberg) can scan
 the same parquet files without Delta support. The reference has no
 Iceberg surface; delta-spark's UniForm does the same conversion
-engine-side (IcebergConversionTransaction), incrementally; a full
-snapshot rewrite per call is an equally valid Iceberg history and
-keeps the generator stateless.
+engine-side (IcebergConversionTransaction), incrementally; successive
+generations CHAIN (parent-snapshot-id, advancing sequence numbers,
+metadata-log), so the Iceberg history mirrors the cadence of
+generate() calls.
 
 Scale: manifest-scale driver I/O only — one Avro record per live data
 file, no Spark job, no data reads (record counts ride the Delta stats
@@ -16,7 +17,7 @@ already in the log).
 Layout written under ``<table>/metadata/``:
 
 - ``v{N}.metadata.json``  — Iceberg TableMetadata (format-version 2)
-- ``snap-{sid}-1-{uuid}.avro`` — manifest list (one manifest)
+- ``snap-{sid}-{seq}-{uuid}.avro`` — manifest list
 - ``{uuid}-m0.avro``      — manifest of every live data file
 - ``version-hint.text``   — HadoopCatalog current-version pointer
 """
@@ -186,9 +187,10 @@ def read_iceberg_snapshot(metadata_location) -> dict:
 
     ``metadata_location`` is a Location of either the table root
     (resolved via ``metadata/version-hint.text``, HadoopCatalog
-    convention) or a specific ``*.metadata.json``. Refuses delete
-    manifests / delete files (Iceberg v2 merge-on-read state cannot
-    be represented as plain adds) and non-parquet data files.
+    convention) or a specific ``*.metadata.json``. Position-delete
+    files are returned under ``position_deletes`` (the caller converts
+    them to Delta deletion vectors); EQUALITY deletes and non-parquet
+    files refuse loudly.
     """
     from .avro import read_avro_file
     loc = metadata_location
@@ -225,23 +227,35 @@ def read_iceberg_snapshot(metadata_location) -> dict:
     list_loc = _Loc.resolve(snap["manifest-list"])
     _, manifests, _ = read_avro_file(list_loc.read_bytes())
     files = []
+    position_deletes = []
     for m in manifests:
-        if m.get("content", 0) != 0:
+        mcontent = m.get("content", 0)
+        if mcontent not in (0, 1):
             raise ValueError(
-                "Iceberg DELETE manifests are not importable — "
-                "compact the source table to data-only state first")
+                f"unknown Iceberg manifest content {mcontent!r}")
         _, entries, _ = read_avro_file(
             _Loc.resolve(m["manifest_path"]).read_bytes())
         for e in entries:
             if e["status"] == 2:    # DELETED in this snapshot
                 continue
             d = e["data_file"]
-            if d.get("content", 0) != 0:
-                raise ValueError("delete files are not importable")
+            dcontent = d.get("content", 0)
             if d["file_format"].upper() != "PARQUET":
                 raise ValueError(
-                    f"unsupported data file format "
+                    f"unsupported file format "
                     f"{d['file_format']!r} (parquet only)")
+            if dcontent == 2 or (mcontent == 1 and dcontent == 2):
+                raise ValueError(
+                    "Iceberg EQUALITY deletes are not importable — "
+                    "they reference values, not row positions; "
+                    "compact the source table first")
+            if mcontent == 1 or dcontent == 1:
+                # v2 POSITION delete file: parquet of
+                # (file_path, pos) — convertible to deletion vectors
+                position_deletes.append({
+                    "path": d["file_path"],
+                    "record_count": int(d["record_count"])})
+                continue
             part = {c: _partition_to_delta_string(
                         (d.get("partition") or {}).get(c), t)
                     for c, t in zip(pcols, ptypes)}
@@ -250,7 +264,7 @@ def read_iceberg_snapshot(metadata_location) -> dict:
                           "file_size": int(d["file_size_in_bytes"]),
                           "partition": part})
     return {"schema": spark_schema, "partition_columns": pcols,
-            "files": files}
+            "files": files, "position_deletes": position_deletes}
 
 
 # -- the generator -----------------------------------------------------------
@@ -333,6 +347,30 @@ def generate_iceberg_metadata(table) -> str:
     meta_dir = table.location.join("metadata")
     meta_dir.mkdir()
 
+    # snapshot chaining (Iceberg history): a prior generation's
+    # metadata carries forward — its snapshots stay listed, the new
+    # snapshot records parent-snapshot-id, sequence numbers advance,
+    # and the prior metadata.json lands in metadata-log. Regenerating
+    # at the SAME Delta version is idempotent (same snapshot id). A
+    # schema change between generations resets the chain (old
+    # snapshots' schema-id would lie about their data).
+    prior = None
+    try:
+        prior_hint = int(meta_dir.join("version-hint.text")
+                         .read_bytes().decode().strip())
+        prior = json.loads(
+            meta_dir.join(f"v{prior_hint}.metadata.json").read_bytes())
+    except Exception:
+        prior = None
+    prior_chain = bool(
+        prior
+        and prior.get("schemas") == [schema_json]
+        and prior.get("partition-specs")
+        == [{"spec-id": 0, "fields": spec_fields}]
+        and prior.get("current-snapshot-id") != snapshot_id)
+    seq = (int(prior["last-sequence-number"]) + 1) if prior_chain else 1
+    parent_id = prior["current-snapshot-id"] if prior_chain else None
+
     # -- manifest: one entry per live add --------------------------------
     entries = []
     total_rows = 0
@@ -353,8 +391,8 @@ def generate_iceberg_metadata(table) -> str:
         entries.append({
             "status": 1,  # ADDED in this snapshot
             "snapshot_id": snapshot_id,
-            "sequence_number": 1,
-            "file_sequence_number": 1,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
             "data_file": {
                 "content": 0,
                 "file_path": table.location.absloc(a.path).url,
@@ -405,15 +443,15 @@ def generate_iceberg_metadata(table) -> str:
             {"name": "deleted_rows_count", "type": "long",
              "field-id": 514},
         ]}
-    list_name = f"snap-{snapshot_id}-1-{gen_uuid}.avro"
+    list_name = f"snap-{snapshot_id}-{seq}-{gen_uuid}.avro"
     list_bytes = write_avro_file(
         manifest_file_schema,
         [{"manifest_path": meta_dir.join(manifest_name).url,
           "manifest_length": len(manifest_bytes),
           "partition_spec_id": 0,
           "content": 0,
-          "sequence_number": 1,
-          "min_sequence_number": 1,
+          "sequence_number": seq,
+          "min_sequence_number": seq,
           "added_snapshot_id": snapshot_id,
           "added_files_count": len(entries),
           "existing_files_count": 0,
@@ -431,7 +469,7 @@ def generate_iceberg_metadata(table) -> str:
         "table-uuid": str(_uuid.uuid5(
             _uuid.NAMESPACE_URL, table.log.metadata().id)),
         "location": table.location.url,
-        "last-sequence-number": 1,
+        "last-sequence-number": seq,
         "last-updated-ms": now,
         "last-column-id": last_col_id,
         "current-schema-id": 0,
@@ -444,10 +482,12 @@ def generate_iceberg_metadata(table) -> str:
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet"},
         "current-snapshot-id": snapshot_id,
-        "snapshots": [{
+        "snapshots": (prior["snapshots"] if prior_chain else []) + [{
             "snapshot-id": snapshot_id,
+            **({"parent-snapshot-id": parent_id}
+               if parent_id is not None else {}),
             "timestamp-ms": now,
-            "sequence-number": 1,
+            "sequence-number": seq,
             "summary": {"operation": "append",
                         "added-data-files": str(len(entries)),
                         "added-records": str(total_rows),
@@ -456,9 +496,15 @@ def generate_iceberg_metadata(table) -> str:
             "manifest-list": meta_dir.join(list_name).url,
             "schema-id": 0,
         }],
-        "snapshot-log": [{"snapshot-id": snapshot_id,
-                          "timestamp-ms": now}],
-        "metadata-log": [],
+        "snapshot-log": (prior["snapshot-log"] if prior_chain
+                         else []) + [{"snapshot-id": snapshot_id,
+                                      "timestamp-ms": now}],
+        "metadata-log": (
+            (prior.get("metadata-log", [])
+             + [{"metadata-file":
+                 meta_dir.join(f"v{prior_hint}.metadata.json").url,
+                 "timestamp-ms": prior["last-updated-ms"]}])
+            if prior_chain else []),
     }
     hint = version + 1  # HadoopCatalog versions start at 1
     md_name = f"v{hint}.metadata.json"

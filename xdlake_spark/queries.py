@@ -2018,6 +2018,83 @@ def delta_iceberg_import_scan(spark, sf_dir):
                             "l_quantity", "l_returnflag")
 
 
+@register("delta_iceberg_position_delete_import", """
+WITH ranked AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                            l_quantity) - 1 AS pos
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM ranked WHERE pos % 7 <> 3
+""")
+def delta_iceberg_position_delete_import(spark, sf_dir):
+    """Iceberg v2 merge-on-read import (r11): a position-delete file
+    targeting every 7th row (by the file's deterministic sort order)
+    converts to a Delta deletion vector on import, and the scan must
+    equal the relational result — pinning the delete-parquet parse,
+    the roaring-bitmap write, and the DV-applying scan end to end.
+    Row-position semantics are oracle-able because the single data
+    file is written in a total sort order the oracle reproduces with
+    row_number(); ties are interchangeable (identical rows), so the
+    multiset compare is exact."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from .log.avro import read_avro_file, write_avro_file
+    from .table import DeltaTable
+    cols = ["l_orderkey", "l_linenumber", "l_quantity"]
+    li = (_t(spark, sf_dir, "lineitem").select(*cols)
+          .repartition(1).sortWithinPartitions(*cols))
+    loc = _delta_tmp()
+    a = DeltaTable(spark, loc).write(li)
+    a.generate("iceberg")
+    (rel,) = a.adds
+    url = a.location.absloc(rel).url
+    n = _json.loads(a.adds[rel].stats)["numRecords"]
+    positions = list(range(3, n, 7))
+
+    meta_dir = _os.path.join(loc, "metadata")
+    del_path = _os.path.join(meta_dir, "pos-delete-0.parquet")
+    _pq.write_table(_pa.table({
+        "file_path": [url] * len(positions),
+        "pos": _pa.array(positions, type=_pa.int64())}), del_path)
+    hint = int(open(_os.path.join(meta_dir,
+                                  "version-hint.text")).read())
+    md = _json.load(open(_os.path.join(meta_dir,
+                                       f"v{hint}.metadata.json")))
+    snap = next(s for s in md["snapshots"]
+                if s["snapshot-id"] == md["current-snapshot-id"])
+    lschema, mlist, _ = read_avro_file(open(snap["manifest-list"],
+                                            "rb").read())
+    mschema, entries, mmeta = read_avro_file(
+        open(mlist[0]["manifest_path"], "rb").read())
+    dentry = _json.loads(_json.dumps(entries[0]))
+    dentry["data_file"].update({
+        "content": 1, "file_path": del_path,
+        "file_format": "PARQUET", "record_count": len(positions),
+        "file_size_in_bytes": _os.path.getsize(del_path)})
+    dman = _os.path.join(meta_dir, "delete-m0.avro")
+    open(dman, "wb").write(write_avro_file(
+        mschema, [dentry],
+        metadata={**{k: v for k, v in mmeta.items()
+                     if not k.startswith("avro.")},
+                  "content": "deletes"}))
+    dm = _json.loads(_json.dumps(mlist[0]))
+    dm.update({"manifest_path": dman, "content": 1,
+               "manifest_length": _os.path.getsize(dman),
+               "added_files_count": 1,
+               "added_rows_count": len(positions)})
+    open(snap["manifest-list"], "wb").write(
+        write_avro_file(lschema, mlist + [dm]))
+
+    b = DeltaTable(spark, _delta_tmp()).import_iceberg(loc)
+    return b.to_df().select(*cols)
+
+
 @register("delta_merge_not_matched_by_source", """
 WITH src AS (
   SELECT o_orderkey, o_totalprice * 2 AS new_price

@@ -2944,6 +2944,16 @@ class DeltaTable:
             walk(schema_from_string(md.schemaString))
         if not need:
             return
+        self._ensure_entry_features(entry, need)
+
+    def _ensure_entry_features(self, entry: DeltaLogEntry,
+                               need: set) -> None:
+        """Attach/merge a protocol upgrade declaring ``need`` on BOTH
+        feature sides into this entry — against the table's current
+        protocol when none rides the entry, else by upgrading the
+        entry's own protocol action (create path / another feature's
+        upgrade this commit), with legacy writer versions mapped to
+        their implied feature sets."""
         protos = [a for a in entry.actions if isinstance(a, Protocol)]
         if self.log and not protos:
             up = self._feature_protocol_action(need, need)
@@ -4276,12 +4286,17 @@ class DeltaTable:
         ``*.metadata.json``. Schema, identity partition spec, per-file
         record counts and sizes all come from the Iceberg metadata
         (parsed with the from-spec Avro reader in log/avro.py) — no
-        data is read or moved, no Spark job runs. Delete manifests,
-        delete files, non-identity transforms, and non-parquet data
-        refuse loudly (that state cannot be represented as plain
-        adds). Stats carry ``numRecords`` so metadata-only ``count()``
-        keeps working; run :meth:`recompute_stats` afterwards for
-        min/max skipping."""
+        data is read or moved, no Spark job runs for the data files.
+        Iceberg v2 POSITION deletes convert to Delta deletion vectors
+        (r11): each delete parquet's (file_path, pos) rows become
+        roaring bitmaps packed into ONE spec-layout DV file under this
+        table's root, descriptors attach to the matching adds, and the
+        protocol declares ``deletionVectors`` — merge-on-read state
+        survives the conversion instead of refusing. Equality deletes,
+        non-identity transforms, and non-parquet data still refuse
+        loudly. Stats carry ``numRecords`` (physical rows, per DV
+        semantics — ``count()`` subtracts DV cardinality); run
+        :meth:`recompute_stats` afterwards for min/max skipping."""
         from .log.iceberg import read_iceberg_snapshot
         mode = WriteMode.coerce(mode)
         if self.log and mode == WriteMode.error:
@@ -4300,6 +4315,10 @@ class DeltaTable:
                         stats=json.dumps(
                             {"numRecords": f["record_count"]}))
                     for f in snap["files"]]
+        has_dv = bool(snap.get("position_deletes"))
+        if has_dv:
+            self._attach_iceberg_position_deletes(
+                new_adds, snap["position_deletes"])
         if not self.log:
             entry = create_table_entry(schema, partition_by,
                                        self.location.url, new_adds,
@@ -4311,7 +4330,43 @@ class DeltaTable:
         else:
             entry = append_table_entry(new_adds, partition_by,
                                        custom_metadata=custom_metadata)
+        if has_dv:
+            self._ensure_entry_features(entry, {"deletionVectors"})
         return self._commit(entry)
+
+    def _attach_iceberg_position_deletes(self, new_adds: "list[Add]",
+                                         deletes: "list[dict]"
+                                         ) -> None:
+        """Convert Iceberg v2 position-delete parquet into Delta DV
+        descriptors on the matching adds (helper of
+        :meth:`import_iceberg`). Driver-side pyarrow reads of the
+        (file_path, pos) columns — delete files are KB-scale relative
+        to data; the bitmaps pack into ONE .bin under this table."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from .log.dv import write_dv_files_packed
+        per_file: dict = {}
+        for d in deletes:
+            tbl = pq.read_table(Location.resolve(d["path"]).path,
+                                columns=["file_path", "pos"])
+            for fp, pos in zip(tbl.column("file_path").to_pylist(),
+                               tbl.column("pos").to_pylist()):
+                per_file.setdefault(fp, set()).add(int(pos))
+        by_path = {a.path: a for a in new_adds}
+        unknown = sorted(set(per_file) - set(by_path))
+        if unknown:
+            raise ValueError(
+                "position deletes reference data files absent from "
+                f"the snapshot: {unknown[:3]}")
+        targets = sorted(per_file)
+        descs = write_dv_files_packed(
+            self.location,
+            [np.array(sorted(per_file[p]), dtype=np.int64)
+             for p in targets])
+        for p, desc in zip(targets, descs):
+            a = by_path[p]
+            a.extra = {**(a.extra or {}), "deletionVector": desc}
 
     # -- maintenance (SURVEY §2.5 stretch ops) ------------------------------------
 
