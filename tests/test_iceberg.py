@@ -154,6 +154,31 @@ class TestIcebergSnapshot:
         assert "parent-snapshot-id" not in md3["snapshots"][0]
         assert md3["last-sequence-number"] == 1
 
+    def test_uniform_property_regenerates_on_commit(self, spark,
+                                                    lineitem,
+                                                    tmp_table_dir):
+        """r11: delta.universalFormat.enabledFormats=iceberg (the
+        delta-spark UniForm trigger) regenerates the Iceberg snapshot
+        after every commit — best-effort, chained."""
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(60))
+        t = t.set_properties(
+            {"delta.universalFormat.enabledFormats": "iceberg"})
+        meta = os.path.join(tmp_table_dir, "metadata")
+        assert os.path.exists(os.path.join(meta, "version-hint.text"))
+        h1 = int(open(os.path.join(meta, "version-hint.text")).read())
+        t = t.write(lineitem.limit(20), mode="append")
+        h2 = int(open(os.path.join(meta, "version-hint.text")).read())
+        assert h2 == h1 + 1
+        md, snap, _, entries = _read_snapshot(tmp_table_dir)
+        assert sum(e["data_file"]["record_count"]
+                   for e in entries) == 80
+        assert len(md["snapshots"]) == 2
+        # a DV commit skips regeneration (best-effort) but keeps
+        # committing fine
+        t = t.delete("l_quantity > 40", mode="merge-on-read")
+        h3 = int(open(os.path.join(meta, "version-hint.text")).read())
+        assert h3 == h2    # snapshot frozen at the pre-DV state
+
     def test_refuses_deletion_vectors(self, spark, lineitem,
                                       tmp_table_dir):
         t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(200))

@@ -3037,6 +3037,19 @@ class DeltaTable:
                                      self.log_location)
             except Exception:
                 pass  # a checkpoint is an optimization, never a failure
+        # UniForm (delta-spark parity): tables declaring
+        # delta.universalFormat.enabledFormats=iceberg regenerate
+        # their Iceberg snapshot after every commit — best-effort
+        # (interop metadata is derived state, never a commit failure;
+        # DV-bearing states are skipped until purged)
+        fmts = str(cfg.get("delta.universalFormat.enabledFormats",
+                           "")).lower()
+        if "iceberg" in fmts:
+            from .log.iceberg import generate_iceberg_metadata
+            try:
+                generate_iceberg_metadata(new)
+            except Exception:
+                pass
         return new
 
     def _commit_checked(self, entry: DeltaLogEntry, read_version: int,
