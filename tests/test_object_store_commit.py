@@ -154,6 +154,26 @@ class TestTableOnEmulatedStore:
         assert DeltaTable(spark, tmp_table_dir, log,
                           version=1).to_df().count() == 150
 
+    def test_checkpoint_written_and_replayed_on_store(
+            self, spark, lineitem, emu_prefix, tmp_table_dir):
+        """Parquet checkpoints ride Location.write_bytes, so they work
+        on any registered store — the reopen must take the checkpoint
+        fast path from the emulated store and still verify."""
+        store = emu_prefix("emuG://bucket", EmulatedObjectStore())
+        log = "emuG://bucket/t3/_delta_log"
+        t = DeltaTable(spark, tmp_table_dir, log).write(
+            lineitem.limit(60))
+        t = t.set_properties({"delta.checkpointInterval": "2"})
+        for _ in range(3):
+            t = t.write(lineitem.limit(10), mode="append")
+        names = store.ls("emuG://bucket/t3/_delta_log")
+        assert any(".checkpoint" in n for n in names)
+        assert any(n.endswith("_last_checkpoint") for n in names)
+        t2 = DeltaTable(spark, tmp_table_dir, log)
+        assert t2.version == t.version
+        assert t2.to_df().count() == t.to_df().count()
+        assert t2.verify_checksum() == []
+
     def test_concurrent_handles_second_commit_raises(
             self, spark, lineitem, emu_prefix, tmp_table_dir):
         emu_prefix("emuF://bucket", EmulatedObjectStore())
