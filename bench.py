@@ -159,6 +159,12 @@ HEADLINE = [
     "contamination_check_screened",
     "delta_log_compaction_scan",
     "text_fix_mojibake",
+    # round-11 additions: the exact-substring dedup modality and the
+    # ordered-clause MERGE — cheap enough for 5-pass statistics; the
+    # heavy r11 entries (doremi, byte-BPE training, iceberg round
+    # trips) stay in the single-shot tail tier
+    "substring_dedup_exact",
+    "delta_merge_clause_list",
 ]
 
 
