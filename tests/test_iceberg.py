@@ -154,6 +154,63 @@ class TestIcebergSnapshot:
         assert "parent-snapshot-id" not in md3["snapshots"][0]
         assert md3["last-sequence-number"] == 1
 
+    def test_same_version_regen_preserves_chain(self, spark, lineitem,
+                                                tmp_table_dir):
+        """r11 review: regenerating at the same Delta version when the
+        chain is LONGER than one must rewrite the identical state —
+        never reset the accumulated history or regress sequence
+        numbers."""
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(60))
+        t.generate("iceberg")
+        t = t.write(lineitem.limit(20), mode="append")
+        t.generate("iceberg")
+        md2, snap2, _, _ = _read_snapshot(tmp_table_dir)
+        t.generate("iceberg")                 # regen at same version
+        md2b, snap2b, _, _ = _read_snapshot(tmp_table_dir)
+        assert len(md2b["snapshots"]) == 2
+        assert md2b["last-sequence-number"] == 2
+        assert snap2b["parent-snapshot-id"] == \
+            snap2["parent-snapshot-id"]
+        assert md2b["metadata-log"] == md2["metadata-log"]
+        assert len(md2b["snapshot-log"]) == 2
+
+    def test_import_append_validates_schema_and_partitioning(
+            self, spark, lineitem, tmp_table_dir):
+        """r11 review: appending an Iceberg snapshot into an existing
+        table with different partitioning or schema must refuse, like
+        import_refs — never a silent commit of mismatched adds."""
+        a = DeltaTable(spark, f"{tmp_table_dir}/a").write(
+            lineitem.limit(40), partition_by=["l_returnflag"])
+        a.generate("iceberg")
+        b = DeltaTable(spark, f"{tmp_table_dir}/b").write(
+            lineitem.limit(10))          # unpartitioned target
+        with pytest.raises(ValueError):
+            b.import_iceberg(f"{tmp_table_dir}/a", mode="append")
+        c = DeltaTable(spark, f"{tmp_table_dir}/c").write(
+            lineitem.limit(10).select("l_orderkey"),
+            )                             # narrower schema
+        with pytest.raises(ValueError):
+            c.import_iceberg(f"{tmp_table_dir}/a", mode="append")
+
+    def test_dangling_position_deletes_are_inert(self, spark,
+                                                 lineitem,
+                                                 tmp_table_dir):
+        """r11 review: position deletes referencing files absent from
+        the snapshot (rewritten before delete compaction) are INERT
+        per the spec's applicability rules — import succeeds with no
+        deletion vector, not an error."""
+        a = DeltaTable(spark, tmp_table_dir).write(
+            lineitem.limit(50).coalesce(1))
+        a.generate("iceberg")
+        self._add_position_deletes(
+            tmp_table_dir, "file:///nonexistent/rewritten.parquet",
+            [0, 1])
+        b = DeltaTable(spark, f"{tmp_table_dir}_b").import_iceberg(
+            tmp_table_dir)
+        assert b.to_df().count() == 50
+        assert not any((x.extra or {}).get("deletionVector")
+                       for x in b.adds.values())
+
     def test_uniform_property_regenerates_on_commit(self, spark,
                                                     lineitem,
                                                     tmp_table_dir):

@@ -118,6 +118,29 @@ class TestConditionalPut:
         assert errors == []
         assert store.put_count == 2
 
+    def test_backend_specific_pipe_file_errors_fall_through(
+            self, emu_prefix):
+        """r11 review: a backend whose pipe_file rejects mode='create'
+        with a backend-specific exception (older fsspec forwards the
+        kwarg to the store call) must fall through to check-then-write
+        instead of failing every commit."""
+        class LegacyStore(EmulatedObjectStore):
+            def __init__(self):
+                super().__init__(conditional_put=False)
+
+            def pipe_file(self, path, value, **kw):
+                if kw:
+                    raise RuntimeError("Unknown parameter: mode")
+                raise AssertionError("unreachable")
+
+        store = emu_prefix("emuH://b", LegacyStore())
+        loc = Location.resolve("emuH://b/t/v.json")
+        loc.put_if_absent(b"data")           # falls through, succeeds
+        assert loc.read_bytes() == b"data"
+        with pytest.raises(FileExistsError):
+            loc.put_if_absent(b"other")
+        assert store.put_count == 1
+
     def test_sequential_conflict_still_raises_on_naive(self,
                                                        emu_prefix):
         """Outside a race, the naive fallback still detects an existing

@@ -586,6 +586,12 @@ class TestMaintenance:
             t.merge(src, "t.order = s.order",
                     when_matched=[{"delete": True}],
                     when_matched_update={"i64": "1"})
+        # r11 review: a stray condition kwarg must refuse too, not be
+        # silently dropped (the clause would apply unconditionally)
+        with pytest.raises(ValueError, match="not both"):
+            t.merge(src, "t.order = s.order",
+                    when_matched=[{"update": {"i64": "1"}}],
+                    when_matched_update_condition="1=1")
         with pytest.raises(ValueError, match="exactly one"):
             t.merge(src, "t.order = s.order",
                     when_matched=[{"update": {"i64": "1"},

@@ -249,12 +249,18 @@ def read_iceberg_snapshot(metadata_location) -> dict:
                     "Iceberg EQUALITY deletes are not importable — "
                     "they reference values, not row positions; "
                     "compact the source table first")
+            # sequence-number inheritance (spec): a null entry seq
+            # inherits the manifest's
+            eseq = e.get("sequence_number")
+            if eseq is None:
+                eseq = m.get("sequence_number", 0)
             if mcontent == 1 or dcontent == 1:
                 # v2 POSITION delete file: parquet of
                 # (file_path, pos) — convertible to deletion vectors
                 position_deletes.append({
                     "path": d["file_path"],
-                    "record_count": int(d["record_count"])})
+                    "record_count": int(d["record_count"]),
+                    "seq": int(eseq or 0)})
                 continue
             part = {c: _partition_to_delta_string(
                         (d.get("partition") or {}).get(c), t)
@@ -262,7 +268,8 @@ def read_iceberg_snapshot(metadata_location) -> dict:
             files.append({"path": d["file_path"],
                           "record_count": int(d["record_count"]),
                           "file_size": int(d["file_size_in_bytes"]),
-                          "partition": part})
+                          "partition": part,
+                          "seq": int(eseq or 0)})
     return {"schema": spark_schema, "partition_columns": pcols,
             "files": files, "position_deletes": position_deletes}
 
@@ -362,14 +369,43 @@ def generate_iceberg_metadata(table) -> str:
             meta_dir.join(f"v{prior_hint}.metadata.json").read_bytes())
     except Exception:
         prior = None
-    prior_chain = bool(
+    compatible = bool(
         prior
         and prior.get("schemas") == [schema_json]
         and prior.get("partition-specs")
-        == [{"spec-id": 0, "fields": spec_fields}]
-        and prior.get("current-snapshot-id") != snapshot_id)
-    seq = (int(prior["last-sequence-number"]) + 1) if prior_chain else 1
-    parent_id = prior["current-snapshot-id"] if prior_chain else None
+        == [{"spec-id": 0, "fields": spec_fields}])
+    regen = compatible \
+        and prior.get("current-snapshot-id") == snapshot_id
+    prior_chain = compatible and not regen
+    if regen:
+        # same Delta version regenerated (UniForm retry, manual call):
+        # the snapshot already heads the chain — rewrite the identical
+        # state; NEVER reset the accumulated history
+        seq = int(prior["last-sequence-number"])
+        cur_snap = next(s for s in prior["snapshots"]
+                        if s["snapshot-id"] == snapshot_id)
+        parent_id = cur_snap.get("parent-snapshot-id")
+        carried_snaps = [s for s in prior["snapshots"]
+                         if s["snapshot-id"] != snapshot_id]
+        carried_log = [e for e in prior.get("snapshot-log", [])
+                       if e["snapshot-id"] != snapshot_id]
+        carried_mdlog = prior.get("metadata-log", [])
+    elif prior_chain:
+        seq = int(prior["last-sequence-number"]) + 1
+        parent_id = prior["current-snapshot-id"]
+        carried_snaps = prior["snapshots"]
+        carried_log = prior.get("snapshot-log", [])
+        carried_mdlog = (prior.get("metadata-log", [])
+                         + [{"metadata-file": meta_dir.join(
+                             f"v{prior_hint}.metadata.json").url,
+                             "timestamp-ms":
+                             prior["last-updated-ms"]}])
+    else:
+        seq = 1
+        parent_id = None
+        carried_snaps = []
+        carried_log = []
+        carried_mdlog = []
 
     # -- manifest: one entry per live add --------------------------------
     entries = []
@@ -482,7 +518,7 @@ def generate_iceberg_metadata(table) -> str:
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet"},
         "current-snapshot-id": snapshot_id,
-        "snapshots": (prior["snapshots"] if prior_chain else []) + [{
+        "snapshots": carried_snaps + [{
             "snapshot-id": snapshot_id,
             **({"parent-snapshot-id": parent_id}
                if parent_id is not None else {}),
@@ -496,15 +532,9 @@ def generate_iceberg_metadata(table) -> str:
             "manifest-list": meta_dir.join(list_name).url,
             "schema-id": 0,
         }],
-        "snapshot-log": (prior["snapshot-log"] if prior_chain
-                         else []) + [{"snapshot-id": snapshot_id,
-                                      "timestamp-ms": now}],
-        "metadata-log": (
-            (prior.get("metadata-log", [])
-             + [{"metadata-file":
-                 meta_dir.join(f"v{prior_hint}.metadata.json").url,
-                 "timestamp-ms": prior["last-updated-ms"]}])
-            if prior_chain else []),
+        "snapshot-log": carried_log + [{"snapshot-id": snapshot_id,
+                                        "timestamp-ms": now}],
+        "metadata-log": carried_mdlog,
     }
     hint = version + 1  # HadoopCatalog versions start at 1
     md_name = f"v{hint}.metadata.json"

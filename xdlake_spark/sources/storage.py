@@ -259,8 +259,13 @@ class Location:
                 return
             except FileExistsError:
                 raise FileExistsError(self.url)
-            except (TypeError, ValueError, NotImplementedError):
-                pass  # backend without conditional-put: fall through
+            except Exception:
+                # backend without conditional-put support: older
+                # fsspec versions forward the unknown mode kwarg to
+                # the store call, which raises backend-specific types
+                # (not just TypeError) — any non-conflict failure
+                # falls through to check-then-write
+                pass
         if self.exists():
             raise FileExistsError(self.url)
         self.write_bytes(data)

@@ -4289,6 +4289,7 @@ class DeltaTable:
 
     def import_iceberg(self, source: "str | Location",
                        mode: "str | WriteMode" = "error",
+                       schema_mode: "str | SchemaMode" = "overwrite",
                        custom_metadata: dict | None = None
                        ) -> "DeltaTable":
         """CONVERT FROM ICEBERG (r11 — the read half of
@@ -4318,8 +4319,13 @@ class DeltaTable:
         if self.log and mode == WriteMode.ignore:
             return self
         snap = read_iceberg_snapshot(Location.resolve(source))
-        schema = snap["schema"]
-        partition_by = snap["partition_columns"]
+        # same compatibility gates as import_refs: appending into an
+        # existing table must match its partitioning and schema —
+        # never a silent commit of mismatched adds
+        partition_by = self.log.validate_partition_by(
+            snap["partition_columns"])
+        schema = self.log.evaluate_schema(
+            snap["schema"], mode, SchemaMode.coerce(schema_mode))
         new_adds = [Add(path=f["path"], size=f["file_size"],
                         modificationTime=timestamp_ms(),
                         partitionValues={k: v for k, v
@@ -4328,10 +4334,11 @@ class DeltaTable:
                         stats=json.dumps(
                             {"numRecords": f["record_count"]}))
                     for f in snap["files"]]
+        file_seq = {f["path"]: f.get("seq", 0) for f in snap["files"]}
         has_dv = bool(snap.get("position_deletes"))
         if has_dv:
-            self._attach_iceberg_position_deletes(
-                new_adds, snap["position_deletes"])
+            has_dv = self._attach_iceberg_position_deletes(
+                new_adds, snap["position_deletes"], file_seq)
         if not self.log:
             entry = create_table_entry(schema, partition_by,
                                        self.location.url, new_adds,
@@ -4348,30 +4355,41 @@ class DeltaTable:
         return self._commit(entry)
 
     def _attach_iceberg_position_deletes(self, new_adds: "list[Add]",
-                                         deletes: "list[dict]"
-                                         ) -> None:
+                                         deletes: "list[dict]",
+                                         file_seq: "dict[str, int]"
+                                         ) -> bool:
         """Convert Iceberg v2 position-delete parquet into Delta DV
         descriptors on the matching adds (helper of
-        :meth:`import_iceberg`). Driver-side pyarrow reads of the
-        (file_path, pos) columns — delete files are KB-scale relative
-        to data; the bitmaps pack into ONE .bin under this table."""
+        :meth:`import_iceberg`). Reads go through the Location layer
+        (registered filesystems / storage_options honored) — delete
+        files are KB-scale relative to data; the bitmaps pack into
+        ONE .bin under this table.
+
+        Applicability follows the spec's sequence-number rule: a
+        position delete applies only to data files whose sequence
+        number is <= the delete's; rows targeting rewritten/absent
+        files are INERT (real readers ignore them until delete
+        compaction), never an error. Returns whether any DV was
+        actually attached."""
+        import io as _io
+
         import numpy as np
         import pyarrow.parquet as pq
 
         from .log.dv import write_dv_files_packed
         per_file: dict = {}
         for d in deletes:
-            tbl = pq.read_table(Location.resolve(d["path"]).path,
+            data = Location.resolve(d["path"]).read_bytes()
+            tbl = pq.read_table(_io.BytesIO(data),
                                 columns=["file_path", "pos"])
+            dseq = int(d.get("seq", 0))
             for fp, pos in zip(tbl.column("file_path").to_pylist(),
                                tbl.column("pos").to_pylist()):
-                per_file.setdefault(fp, set()).add(int(pos))
+                if fp in file_seq and file_seq[fp] <= dseq:
+                    per_file.setdefault(fp, set()).add(int(pos))
+        if not per_file:
+            return False
         by_path = {a.path: a for a in new_adds}
-        unknown = sorted(set(per_file) - set(by_path))
-        if unknown:
-            raise ValueError(
-                "position deletes reference data files absent from "
-                f"the snapshot: {unknown[:3]}")
         targets = sorted(per_file)
         descs = write_dv_files_packed(
             self.location,
@@ -4380,6 +4398,7 @@ class DeltaTable:
         for p, desc in zip(targets, descs):
             a = by_path[p]
             a.extra = {**(a.extra or {}), "deletionVector": desc}
+        return True
 
     # -- maintenance (SURVEY §2.5 stretch ops) ------------------------------------
 
@@ -5148,11 +5167,12 @@ class DeltaTable:
         # produced it
         matched_clauses: list = []
         if when_matched is not None:
-            if when_matched_update or when_matched_delete:
+            if (when_matched_update or when_matched_delete
+                    or when_matched_update_condition):
                 raise ValueError(
                     "pass either when_matched=[...] or the "
-                    "when_matched_update/when_matched_delete kwargs, "
-                    "not both")
+                    "when_matched_update/when_matched_delete/"
+                    "when_matched_update_condition kwargs, not both")
             for cl in when_matched:
                 if not isinstance(cl, dict):
                     raise ValueError(
