@@ -341,16 +341,19 @@ def main() -> None:
     # Round-stamped copy so per-query timings survive across rounds
     # (the plain file is overwritten every run; judges diff rounds).
     # Current round = highest BENCH_r{N}.json the driver has recorded
-    # so far + 1.
-    import glob
-    import re as _re
-    rounds = [int(m.group(1)) for p in glob.glob(
-        os.path.join(repo, "BENCH_r*.json"))
-        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))]
-    rnd = (max(rounds) + 1) if rounds else 1
-    with open(os.path.join(repo, f"bench_detail_r{rnd:02d}.json"),
-              "w") as f:
-        json.dump(detail, f, indent=1)
+    # so far + 1. Only FULL-protocol runs stamp it (sf0.1, multi-pass)
+    # — an sf0.01 smoke must never clobber the round's real record
+    # (it did once in r11; restored from git).
+    if sf >= 0.1 and len(next(iter(samples.values()))) >= 3:
+        import glob
+        import re as _re
+        rounds = [int(m.group(1)) for p in glob.glob(
+            os.path.join(repo, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))]
+        rnd = (max(rounds) + 1) if rounds else 1
+        with open(os.path.join(repo, f"bench_detail_r{rnd:02d}.json"),
+                  "w") as f:
+            json.dump(detail, f, indent=1)
 
     # Final line: compact — MUST stay well under the driver's 2000-byte
     # stdout-tail capture (rounds 4 and 5 both lost their headline value
