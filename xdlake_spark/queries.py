@@ -1949,6 +1949,78 @@ def delta_merge_clause_list(spark, sf_dir):
         (F.floor(F.col("o_totalprice") * 100) / 100).alias("totalprice"))
 
 
+@register("delta_merge_clause_list_full", """
+WITH src_m AS (
+  SELECT o_orderkey, o_totalprice + 5 AS new_price
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+src_i AS (
+  SELECT -o_orderkey AS o_orderkey, o_totalprice AS new_price
+  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey > 0
+),
+tgt AS (
+  SELECT o.o_orderkey,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price
+              WHEN o.o_orderkey % 7 = 0 THEN 0
+              ELSE o.o_totalprice END AS totalprice,
+         (s.o_orderkey IS NULL AND o.o_orderkey % 7 <> 0
+          AND o.o_orderkey % 11 = 0) AS deleted
+  FROM orders o LEFT JOIN src_m s ON o.o_orderkey = s.o_orderkey
+),
+ins AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN new_price * 2
+              WHEN o_orderkey % 5 = 0 THEN new_price END AS totalprice
+  FROM src_i
+  WHERE o_orderkey % 2 = 0 OR o_orderkey % 5 = 0
+)
+SELECT o_orderkey, floor(totalprice * 100) / 100 AS totalprice
+FROM tgt WHERE NOT deleted
+UNION ALL
+SELECT o_orderkey, floor(totalprice * 100) / 100 AS totalprice FROM ins
+""")
+def delta_merge_clause_list_full(spark, sf_dir):
+    """ALL THREE MERGE clause families as ordered lists in one call
+    (r12, table.py merge when_not_matched=[...] +
+    when_not_matched_by_source=[...] — completing r11's when_matched
+    machinery; delta-spark's full builder chain is the spec, the
+    reference only reads MERGE logs, tests/test_compatibility.py:
+    132-154). The oracle's CASE chains pin FIRST-MATCH-WINS on both
+    new sides: inserted keys divisible by 10 (even AND %5=0, e.g.
+    -70) satisfy BOTH insert gates and must take the first (doubled
+    price); unmatched target keys divisible by 77 satisfy BOTH
+    by-source gates and must be zeroed by the first (update) clause,
+    not deleted; insert keys satisfying NO gate (e.g. -7, -21) are
+    dropped, not inserted."""
+    from .table import DeltaTable
+    o = _t(spark, sf_dir, "orders")
+    t = DeltaTable(spark, _delta_tmp()).write(o)
+    src_m = (o.filter("o_orderkey % 3 = 0")
+             .select("o_orderkey",
+                     (F.col("o_totalprice") + 5).alias("new_price")))
+    src_i = (o.filter("o_orderkey % 7 = 0 AND o_orderkey > 0")
+             .select((-F.col("o_orderkey")).alias("o_orderkey"),
+                     F.col("o_totalprice").alias("new_price")))
+    t = t.merge(
+        src_m.unionByName(src_i), "t.o_orderkey = s.o_orderkey",
+        when_matched=[
+            {"update": {"o_totalprice": "s.new_price"}}],
+        when_not_matched=[
+            {"insert": {"o_orderkey": "s.o_orderkey",
+                        "o_totalprice": "s.new_price * 2"},
+             "condition": "s.o_orderkey % 2 = 0"},
+            {"insert": {"o_orderkey": "s.o_orderkey",
+                        "o_totalprice": "s.new_price"},
+             "condition": "s.o_orderkey % 5 = 0"}],
+        when_not_matched_by_source=[
+            {"update": {"o_totalprice": "0"},
+             "condition": "t.o_orderkey % 7 = 0"},
+            {"delete": True, "condition": "t.o_orderkey % 11 = 0"}])
+    return t.to_df().select(
+        "o_orderkey",
+        (F.floor(F.col("o_totalprice") * 100) / 100).alias("totalprice"))
+
+
 @register("delta_iceberg_snapshot_read", """
 SELECT l_returnflag, 1 AS n_files,
        count(*) AS record_count

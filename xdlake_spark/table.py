@@ -5086,9 +5086,11 @@ class DeltaTable:
               when_matched: "list[dict] | None" = None,
               when_not_matched_insert: dict[str, str] | None = None,
               when_not_matched_insert_condition: str | None = None,
+              when_not_matched: "list[dict] | None" = None,
               when_not_matched_by_source_update: dict[str, str] | None = None,
               when_not_matched_by_source_update_condition: str | None = None,
               when_not_matched_by_source_delete: "bool | str" = False,
+              when_not_matched_by_source: "list[dict] | None" = None,
               custom_metadata: dict | None = None,
               broadcast_threshold_rows: int = 4_000_000,
               txn: "tuple[str, int] | None" = None,
@@ -5143,6 +5145,23 @@ class DeltaTable:
         form. Passing both ``when_matched`` and the scalar kwargs is an
         error.
 
+        All THREE clause families accept ordered lists (r12 —
+        delta-spark's full builder chain). ``when_not_matched=[
+        {"insert": {...}, "condition": "..."}, ...]``: an unmatched
+        source row takes the FIRST insert clause whose condition holds
+        (missing condition = always; NULL = does not apply); a row
+        satisfying no clause is dropped, not inserted. Columns a
+        clause leaves unassigned take their column DEFAULT, else NULL.
+        A generated/identity column must be assigned by ALL insert
+        clauses or by NONE (mixed assignment would make
+        verify-vs-compute ambiguous per row — refused loudly).
+        ``when_not_matched_by_source=[{"update": {...}} | {"delete":
+        True|"cond"}, ...]`` mirrors ``when_matched``'s shape and
+        first-match-wins evaluation over target rows with no source
+        match. The scalar kwargs remain sugar for the single-clause
+        (insert) and update-then-delete (by-source) shapes; mixing a
+        list with its scalar kwargs is an error.
+
         ``WHEN NOT MATCHED BY SOURCE`` (Delta's third clause family —
         mirror upstream deletes/demotions): target rows with NO matching
         source row are updated (``when_not_matched_by_source_update``,
@@ -5165,34 +5184,30 @@ class DeltaTable:
         # [(kind, assignments|None, condition|None), ...] — the engine
         # below evaluates it first-match-wins regardless of which sugar
         # produced it
-        matched_clauses: list = []
-        if when_matched is not None:
-            if (when_matched_update or when_matched_delete
-                    or when_matched_update_condition):
-                raise ValueError(
-                    "pass either when_matched=[...] or the "
-                    "when_matched_update/when_matched_delete/"
-                    "when_matched_update_condition kwargs, not both")
-            for cl in when_matched:
+        def parse_upd_del(name: str, clauses: list) -> list:
+            """[(kind, assignments|None, condition|None), ...] from an
+            ordered update/delete clause list (when_matched and
+            when_not_matched_by_source share the shape)."""
+            out: list = []
+            for cl in clauses:
                 if not isinstance(cl, dict):
                     raise ValueError(
-                        f"when_matched clause must be a dict, got "
+                        f"{name} clause must be a dict, got "
                         f"{type(cl).__name__}")
                 actions = [k for k in ("update", "delete") if k in cl]
                 extra = set(cl) - {"update", "delete", "condition"}
                 if len(actions) != 1 or extra:
                     raise ValueError(
-                        "each when_matched clause needs exactly one of "
+                        f"each {name} clause needs exactly one of "
                         f"'update'/'delete' (+ optional 'condition'); "
                         f"got keys {sorted(cl)}")
                 if actions[0] == "update":
                     upd = cl["update"]
                     if not isinstance(upd, dict) or not upd:
                         raise ValueError(
-                            "when_matched update clause must map "
+                            f"{name} update clause must map "
                             "column -> SQL expression")
-                    matched_clauses.append(
-                        ("update", dict(upd), cl.get("condition")))
+                    out.append(("update", dict(upd), cl.get("condition")))
                 else:
                     d = cl["delete"]
                     cond_d = cl.get("condition")
@@ -5205,9 +5220,20 @@ class DeltaTable:
                         cond_d = d
                     elif d is not True:
                         raise ValueError(
-                            "when_matched delete clause must be True "
+                            f"{name} delete clause must be True "
                             "or a condition string")
-                    matched_clauses.append(("delete", None, cond_d))
+                    out.append(("delete", None, cond_d))
+            return out
+
+        matched_clauses: list = []
+        if when_matched is not None:
+            if (when_matched_update or when_matched_delete
+                    or when_matched_update_condition):
+                raise ValueError(
+                    "pass either when_matched=[...] or the "
+                    "when_matched_update/when_matched_delete/"
+                    "when_matched_update_condition kwargs, not both")
+            matched_clauses = parse_upd_del("when_matched", when_matched)
         else:
             if when_matched_update:
                 matched_clauses.append(
@@ -5218,9 +5244,65 @@ class DeltaTable:
                     ("delete", None,
                      when_matched_delete
                      if isinstance(when_matched_delete, str) else None))
-        if (matched_clauses
-                or when_not_matched_by_source_update
-                or when_not_matched_by_source_delete):
+
+        # WHEN NOT MATCHED BY SOURCE — same ordered-list machinery;
+        # scalar kwargs normalize to update-then-delete (the documented
+        # "update clause wins when both apply" is exactly
+        # first-match-wins over that order)
+        nmbs_clauses: list = []
+        if when_not_matched_by_source is not None:
+            if (when_not_matched_by_source_update
+                    or when_not_matched_by_source_delete
+                    or when_not_matched_by_source_update_condition):
+                raise ValueError(
+                    "pass either when_not_matched_by_source=[...] or "
+                    "the when_not_matched_by_source_update/_delete/"
+                    "_update_condition kwargs, not both")
+            nmbs_clauses = parse_upd_del("when_not_matched_by_source",
+                                         when_not_matched_by_source)
+        else:
+            if when_not_matched_by_source_update:
+                nmbs_clauses.append(
+                    ("update", when_not_matched_by_source_update,
+                     when_not_matched_by_source_update_condition))
+            if when_not_matched_by_source_delete:
+                nmbs_clauses.append(
+                    ("delete", None,
+                     when_not_matched_by_source_delete
+                     if isinstance(when_not_matched_by_source_delete,
+                                   str) else None))
+
+        # WHEN NOT MATCHED — ordered insert clause list
+        # [(assignments, condition|None), ...]
+        insert_clauses: list = []
+        if when_not_matched is not None:
+            if when_not_matched_insert or when_not_matched_insert_condition:
+                raise ValueError(
+                    "pass either when_not_matched=[...] or the "
+                    "when_not_matched_insert/"
+                    "when_not_matched_insert_condition kwargs, not both")
+            for cl in when_not_matched:
+                if not isinstance(cl, dict):
+                    raise ValueError(
+                        f"when_not_matched clause must be a dict, got "
+                        f"{type(cl).__name__}")
+                extra = set(cl) - {"insert", "condition"}
+                if "insert" not in cl or extra:
+                    raise ValueError(
+                        "each when_not_matched clause needs 'insert' "
+                        "(+ optional 'condition'); got keys "
+                        f"{sorted(cl)}")
+                ins_map = cl["insert"]
+                if not isinstance(ins_map, dict) or not ins_map:
+                    raise ValueError(
+                        "when_not_matched insert clause must map "
+                        "column -> SQL expression")
+                insert_clauses.append((dict(ins_map),
+                                       cl.get("condition")))
+        elif when_not_matched_insert:
+            insert_clauses.append((when_not_matched_insert,
+                                   when_not_matched_insert_condition))
+        if matched_clauses or nmbs_clauses:
             # insert-only MERGE is pure append and stays allowed
             self._require_mutable("MERGE with update/delete clauses")
         read_version = self.version
@@ -5242,8 +5324,7 @@ class DeltaTable:
         # NOT-MATCHED-BY-SOURCE clauses inspect every target row, so
         # they keep the full scan.
         eq: list = []
-        if not (when_not_matched_by_source_update
-                or when_not_matched_by_source_delete):
+        if not nmbs_clauses:
             eq = [(tc, sc) for tc, sc in _equi_join_pairs(condition)
                   if tc in self.schema.fieldNames()
                   and sc in src.columns]
@@ -5300,8 +5381,21 @@ class DeltaTable:
         rel_of = self._rel_by_uri(self.adds)
         hit_rels = sorted({rel_of(u) for u in matched_files})
 
-        nmbs_update = when_not_matched_by_source_update
-        nmbs_delete = when_not_matched_by_source_delete
+        def nmbs_actives(unmatched):
+            """Ordered first-match-wins activation predicates for the
+            WHEN NOT MATCHED BY SOURCE clause list, over rows where
+            ``unmatched`` holds: a row takes the first clause whose
+            condition evaluates TRUE (missing = always, NULL = does
+            not apply); later clauses never see it."""
+            claimed = F.lit(False)
+            out = []
+            for kind, assigns, cnd in nmbs_clauses:
+                gate = F.expr(cnd) if cnd else F.lit(True)
+                act = unmatched & ~claimed & F.coalesce(gate,
+                                                        F.lit(False))
+                out.append((kind, assigns, act))
+                claimed = claimed | act
+            return out
 
         # schema evolution: source-only columns join the table schema;
         # the rewrite/insert paths fill them with NULL wherever the
@@ -5328,21 +5422,14 @@ class DeltaTable:
         # (previously they were rewritten as identical copies: wasted
         # I/O, and spurious add/remove churn for CDF readers)
         rewrite_rels = set(hit_rels) if matched_clauses else set()
-        if nmbs_update or nmbs_delete:
+        if nmbs_clauses:
             # phase 1c: which files hold a target row with NO source
             # match that satisfies a BY SOURCE clause gate — only those
             # need a rewrite (a file of fully-matched or gate-failing
-            # rows stays untouched). One anti-join job.
-            gates = []
-            if nmbs_update:
-                gates.append(
-                    F.expr(when_not_matched_by_source_update_condition)
-                    if when_not_matched_by_source_update_condition
-                    else F.lit(True))
-            if nmbs_delete:
-                gates.append(F.expr(nmbs_delete)
-                             if isinstance(nmbs_delete, str)
-                             else F.lit(True))
+            # rows stays untouched). One anti-join job. Clause ORDER is
+            # irrelevant here: any gate holding marks the file.
+            gates = [F.expr(cnd) if cnd else F.lit(True)
+                     for _, _, cnd in nmbs_clauses]
             any_gate = gates[0]
             for g in gates[1:]:
                 any_gate = any_gate | g
@@ -5359,9 +5446,15 @@ class DeltaTable:
             (f"when_matched clause {i + 1} (update)", assigns)
             for i, (kind, assigns, _) in enumerate(matched_clauses)
             if kind == "update"]
-        for label, clause in clause_assignments + [
-                ("when_not_matched_insert", when_not_matched_insert),
-                ("when_not_matched_by_source_update", nmbs_update)]:
+        clause_assignments += [
+            (f"when_not_matched clause {i + 1} (insert)", assigns)
+            for i, (assigns, _) in enumerate(insert_clauses)]
+        clause_assignments += [
+            (f"when_not_matched_by_source clause {i + 1} (update)",
+             assigns)
+            for i, (kind, assigns, _) in enumerate(nmbs_clauses)
+            if kind == "update"]
+        for label, clause in clause_assignments:
             for c in (clause or {}):
                 if c not in out_cols:
                     hint = ("" if schema_evolution else
@@ -5379,55 +5472,50 @@ class DeltaTable:
         if rewrite_rels:
             hit_adds = {r: self.adds[r] for r in rewrite_rels}
             th = self._scan(hit_adds).alias("t")
-            if not matched_clauses and (nmbs_update or nmbs_delete):
+            if not matched_clauses and nmbs_clauses:
                 # NMBS-only merge: matched rows pass through UNCHANGED,
                 # so the multi-match guard does not fire (Delta's rule
                 # covers modified rows only) — and a left join would
                 # fan a multiply-matched pass-through row into N
                 # copies. Semi/anti joins preserve multiplicity by
                 # construction: matched rows copy verbatim, unmatched
-                # rows take the BY SOURCE clauses.
+                # rows take the BY SOURCE clauses first-match-wins.
                 keep = (th.join(src, cond, "left_semi")
                         .select([tcol(c).alias(c) for c in out_cols]))
                 um = th.join(src, cond, "left_anti")
-                nmbs_upd_active = F.lit(False)
-                if nmbs_update:
-                    gate = (F.expr(when_not_matched_by_source_update_condition)
-                            if when_not_matched_by_source_update_condition
-                            else F.lit(True))
-                    nmbs_upd_active = gate
-                nmbs_del_active = F.lit(False)
-                if nmbs_delete:
-                    gate = (F.expr(nmbs_delete)
-                            if isinstance(nmbs_delete, str)
-                            else F.lit(True))
-                    nmbs_del_active = \
-                        ~F.coalesce(nmbs_upd_active, F.lit(False)) & gate
+                acts = nmbs_actives(F.lit(True))
+                drop = F.lit(False)
+                any_upd = F.lit(False)
+                for kind, _, act in acts:
+                    if kind == "update":
+                        any_upd = any_upd | act
+                    else:
+                        drop = drop | act
                 sel = []
                 for c in out_cols:
-                    if nmbs_update and c in nmbs_update:
-                        expr = F.when(nmbs_upd_active,
-                                      F.expr(nmbs_update[c])) \
-                            .otherwise(tcol(c))
+                    branches = [(act, assigns[c])
+                                for kind, assigns, act in acts
+                                if kind == "update" and c in assigns]
+                    if branches:
+                        expr = F.when(branches[0][0],
+                                      F.expr(branches[0][1]))
+                        for cnd_b, ex in branches[1:]:
+                            expr = expr.when(cnd_b, F.expr(ex))
+                        expr = expr.otherwise(tcol(c))
                     else:
                         expr = tcol(c)
                     sel.append(expr.cast(typ[c]).alias(c))
-                rewritten = keep.unionByName(
-                    um.filter(~F.coalesce(nmbs_del_active, F.lit(False)))
-                    .select(sel))
+                rewritten = keep.unionByName(um.filter(~drop).select(sel))
                 if self.cdf_enabled:
                     t_sel = [tcol(c).cast(typ[c]).alias(c)
                              for c in out_cols]
-                    upd = um.filter(
-                        F.coalesce(nmbs_upd_active, F.lit(False)))
+                    upd = um.filter(any_upd)
                     cdc_add(upd.select(t_sel).withColumn(
                         self._CHANGE_TYPE, F.lit("update_preimage")))
                     cdc_add(upd.select(sel).withColumn(
                         self._CHANGE_TYPE, F.lit("update_postimage")))
-                    cdc_add(um.filter(
-                        F.coalesce(nmbs_del_active, F.lit(False)))
-                        .select(t_sel).withColumn(
-                            self._CHANGE_TYPE, F.lit("delete")))
+                    cdc_add(um.filter(drop).select(t_sel).withColumn(
+                        self._CHANGE_TYPE, F.lit("delete")))
             elif matched_clauses:
                 joined = th.join(src, cond, "left")
                 is_matched = F.col("s.__xdl_matched").isNotNull()
@@ -5445,19 +5533,11 @@ class DeltaTable:
                            & F.coalesce(gate, F.lit(False)))
                     active.append((kind, assigns, act))
                     claimed = claimed | act
-                nmbs_upd_active = F.lit(False)
-                if nmbs_update:
-                    gate = (F.expr(when_not_matched_by_source_update_condition)
-                            if when_not_matched_by_source_update_condition
-                            else F.lit(True))
-                    nmbs_upd_active = ~is_matched & gate
-                nmbs_del_active = F.lit(False)
-                if nmbs_delete:
-                    gate = (F.expr(nmbs_delete)
-                            if isinstance(nmbs_delete, str)
-                            else F.lit(True))
-                    nmbs_del_active = ~is_matched \
-                        & ~F.coalesce(nmbs_upd_active, F.lit(False)) & gate
+                # BY SOURCE clauses run their own first-match-wins
+                # chain over the unmatched rows of the same join —
+                # disjoint from the matched chain by construction
+                # (gated on ~is_matched vs is_matched)
+                active.extend(nmbs_actives(~is_matched))
                 sel = []
                 for c in out_cols:
                     # active predicates are mutually exclusive, so
@@ -5467,8 +5547,6 @@ class DeltaTable:
                     branches = [(act, assigns[c])
                                 for kind, assigns, act in active
                                 if kind == "update" and c in assigns]
-                    if nmbs_update and c in nmbs_update:
-                        branches.append((nmbs_upd_active, nmbs_update[c]))
                     if branches:
                         expr = F.when(branches[0][0], F.expr(branches[0][1]))
                         for cnd_b, ex in branches[1:]:
@@ -5478,14 +5556,12 @@ class DeltaTable:
                         expr = tcol(c)
                     sel.append(expr.cast(typ[c]).alias(c))
                 any_upd = F.lit(False)
-                drop = F.coalesce(nmbs_del_active, F.lit(False))
+                drop = F.lit(False)
                 for kind, _, act in active:
                     if kind == "update":
                         any_upd = any_upd | act
                     else:
                         drop = drop | act
-                any_upd = any_upd | F.coalesce(nmbs_upd_active,
-                                               F.lit(False))
                 rewritten = joined.filter(~drop).select(sel)
                 if self.cdf_enabled:
                     t_sel = [tcol(c).cast(typ[c]).alias(c)
@@ -5511,33 +5587,61 @@ class DeltaTable:
                 self._apply_constraints(rewritten),
                 self.partition_columns))
 
-        if when_not_matched_insert:
+        if insert_clauses:
             anti = src.join(t, cond, "left_anti")
-            # whenNotMatchedInsert(condition=...) parity: unmatched
-            # source rows failing the gate are dropped, not inserted
-            # (a CDC apply must NOT insert a delete row whose key the
-            # target never held)
-            if when_not_matched_insert_condition:
-                anti = anti.filter(
-                    F.expr(when_not_matched_insert_condition))
-            # column DEFAULTs apply to unassigned columns in the insert
-            # clause (delta-spark parity), before the null fallback
+            # whenNotMatchedInsert(condition=...) parity, generalized
+            # to the ordered list: an unmatched source row takes the
+            # FIRST clause whose condition holds; a row satisfying no
+            # clause is dropped, not inserted (a CDC apply must NOT
+            # insert a delete row whose key the target never held)
+            ins_active: list = []
+            claimed = F.lit(False)
+            for _, cnd in insert_clauses:
+                gate = F.expr(cnd) if cnd else F.lit(True)
+                act = ~claimed & F.coalesce(gate, F.lit(False))
+                ins_active.append(act)
+                claimed = claimed | act
+            anti = anti.filter(claimed)
+            # column DEFAULTs apply to unassigned columns per clause
+            # (delta-spark parity), before the null fallback
             defaults = self.column_defaults
-            ins = anti.select([
-                F.expr(when_not_matched_insert[c]).cast(
-                    typ[c]).alias(c)
-                if c in when_not_matched_insert
-                else (F.expr(defaults[c]).cast(typ[c]).alias(c)
-                      if c in defaults
-                      else F.lit(None).cast(typ[c]).alias(c))
-                for c in out_cols])
-            # generated columns: COMPUTED for insert clauses that do
-            # not assign them, verified for ones that do; identity
-            # columns likewise generated past the watermark
+            sel = []
+            for c in out_cols:
+                branches = []
+                for (assigns, _), act in zip(insert_clauses, ins_active):
+                    if c in assigns:
+                        v = F.expr(assigns[c])
+                    elif c in defaults:
+                        v = F.expr(defaults[c])
+                    else:
+                        v = F.lit(None)
+                    branches.append((act, v))
+                expr = F.when(branches[0][0], branches[0][1])
+                for a, v in branches[1:]:
+                    expr = expr.when(a, v)
+                sel.append(expr.cast(typ[c]).alias(c))
+            ins = anti.select(sel)
+            # generated columns: COMPUTED for columns no insert clause
+            # assigns, verified for ones every clause assigns; a
+            # generated/identity column assigned by SOME clauses only
+            # would be verify-vs-compute ambiguous per row — refused
+            # at validation above. Identity columns likewise generated
+            # past the watermark.
+            assigned_sets = [set(a) for a, _ in insert_clauses]
+            all_assigned = set.union(*assigned_sets)
+            every_assigned = set.intersection(*assigned_sets)
+            special = (set(self._generated_columns())
+                       | set(self._identity_columns()))
+            mixed = sorted((all_assigned - every_assigned) & special)
+            if mixed:
+                raise ValueError(
+                    f"generated/identity column(s) {mixed} must be "
+                    "assigned by ALL when_not_matched insert clauses "
+                    "or by none")
             ins = self._apply_generated_columns(
-                ins, provided=set(when_not_matched_insert))
+                ins, provided=every_assigned)
             ins, id_touched = self._generate_identity(
-                ins, provided=set(when_not_matched_insert))
+                ins, provided=every_assigned)
             ins_adds = self._write_data(
                 self._apply_constraints(ins), self.partition_columns)
             new_adds.extend(ins_adds)
