@@ -254,3 +254,41 @@ class TestChecksumLifecycle:
         before = open(path, "rb").read()
         write_version_checksum(t.log_location, t.log)
         assert open(path, "rb").read() == before
+
+
+class TestPeriodicResync:
+    def test_inherited_bad_crc_self_heals_at_interval(
+            self, spark, lineitem, tmp_table_dir):
+        """r12 (ADVICE r11): derivation seeds from the previous crc,
+        so a wrong crc left by a foreign/partial writer propagates
+        into every derived crc — until the periodic full-fold resync
+        (every 10th version, the checkpoint cadence) recomputes from
+        the manifest and heals the chain."""
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(50))
+        # corrupt v0's crc the way a buggy foreign writer would
+        crc_path = os.path.join(tmp_table_dir, "_delta_log",
+                                checksum_filename(0))
+        bad = json.load(open(crc_path))
+        bad["tableSizeBytes"] = int(bad["tableSizeBytes"]) + 12345
+        open(crc_path, "w").write(json.dumps(bad))
+        # versions 1..9 derive from the corrupted seed -> all inherit
+        # the +12345 offset
+        for _ in range(9):
+            t = t.write(lineitem.limit(5), mode="append")
+        assert t.version == 9
+        stored9 = read_checksum(t.log_location, 9)
+        true9 = compute_checksum(DeltaTable(spark, tmp_table_dir).log)
+        assert stored9["tableSizeBytes"] == \
+            true9["tableSizeBytes"] + 12345          # still poisoned
+        # version 10 (interval commit) recomputes the full fold
+        t = t.write(lineitem.limit(5), mode="append")
+        assert t.version == 10
+        stored10 = read_checksum(t.log_location, 10)
+        fresh = DeltaTable(spark, tmp_table_dir)
+        assert stored10 == compute_checksum(fresh.log)  # healed
+        assert fresh.verify_checksum() == []
+        # and versions after it derive from the HEALED seed
+        t = t.write(lineitem.limit(5), mode="append")
+        stored11 = read_checksum(t.log_location, 11)
+        assert stored11 == compute_checksum(
+            DeltaTable(spark, tmp_table_dir).log)

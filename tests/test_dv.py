@@ -194,8 +194,9 @@ class TestDvScan:
             self, spark, tmp_table_dir):
         """This engine holds the deletionVectors writer feature (it
         writes DVs itself), so mutating a foreign DV table works; a
-        table demanding a feature we do NOT hold (icebergCompatV2)
-        still refuses at commit while reads pass the reader gate."""
+        table demanding a feature we do NOT hold (collations here —
+        icebergCompatV2 graduated to the held set in r12) still
+        refuses at commit while reads pass the reader gate."""
         t = DeltaTable(spark, tmp_table_dir)
         t = t.write(spark.createDataFrame(gen_pdf(20)).coalesce(1))
         _graft_dv(tmp_table_dir, 0, [1])
@@ -208,14 +209,14 @@ class TestDvScan:
                     "minReaderVersion": 3, "minWriterVersion": 7,
                     "readerFeatures": ["deletionVectors"],
                     "writerFeatures": ["deletionVectors",
-                                       "icebergCompatV2"]}
+                                       "collations"]}
             lines.append(json.dumps(obj))
         open(log_file, "w").write("\n".join(lines) + "\n")
         t2 = DeltaTable(spark, tmp_table_dir)
         assert t2.to_df().count() == 19  # read path fine
-        with pytest.raises(NotImplementedError, match="icebergCompatV2"):
+        with pytest.raises(NotImplementedError, match="collations"):
             t2.delete("flag = true")
-        with pytest.raises(NotImplementedError, match="icebergCompatV2"):
+        with pytest.raises(NotImplementedError, match="collations"):
             t2.write(spark.createDataFrame(gen_pdf(5)), mode="append")
 
     def test_dv_table_mutation_under_row_tracking_works(

@@ -114,10 +114,15 @@ class TestIcebergSnapshot:
         t = t.delete("l_quantity > 30")
         t.generate("iceberg")
         md2, _, _, e2 = _read_snapshot(tmp_table_dir)
-        assert {e["data_file"]["file_path"] for e in e2} == \
+        # r12: the chained manifest is incremental — live files plus
+        # status=2 tombstones for the parent files the delete dropped;
+        # readers skip the tombstones
+        live2 = [e for e in e2 if e["status"] != 2]
+        assert {e["data_file"]["file_path"] for e in live2} == \
             {t.location.absloc(a.path).url for a in t.adds.values()}
-        assert sum(e["data_file"]["record_count"] for e in e2) == \
+        assert sum(e["data_file"]["record_count"] for e in live2) == \
             t.to_df().count()
+        assert any(e["status"] == 2 for e in e2)  # CoW delete dropped a file
         # version hint advanced with the Delta version
         hint = int(open(os.path.join(tmp_table_dir, "metadata",
                                      "version-hint.text")).read())
@@ -230,11 +235,20 @@ class TestIcebergSnapshot:
         assert sum(e["data_file"]["record_count"]
                    for e in entries) == 80
         assert len(md["snapshots"]) == 2
-        # a DV commit skips regeneration (best-effort) but keeps
-        # committing fine
-        t = t.delete("l_quantity > 40", mode="merge-on-read")
+        # r12 (icebergCompatV2 invariant, delta-spark parity): a DV
+        # commit on a UniForm table is REFUSED outright — a skipped
+        # regeneration would leave Iceberg readers serving deleted
+        # rows indefinitely
+        with pytest.raises(ValueError, match="icebergCompatV2"):
+            t.delete("l_quantity > 40", mode="merge-on-read")
+        # copy-on-write delete works and regenerates
+        t = t.delete("l_quantity > 40", mode="copy-on-write")
         h3 = int(open(os.path.join(meta, "version-hint.text")).read())
-        assert h3 == h2    # snapshot frozen at the pre-DV state
+        assert h3 == h2 + 1
+        _, _, _, e3 = _read_snapshot(tmp_table_dir)
+        live3 = [e for e in e3 if e["status"] != 2]
+        assert sum(e["data_file"]["record_count"]
+                   for e in live3) == t.to_df().count()
 
     def test_refuses_deletion_vectors(self, spark, lineitem,
                                       tmp_table_dir):
@@ -415,3 +429,164 @@ class TestIcebergSnapshot:
         assert json.loads(mmeta["schema"]) == md["schemas"][0]
         assert json.loads(mmeta["partition-spec"]) == \
             md["partition-specs"][0]["fields"]
+
+
+class TestIncrementalManifests:
+    """r12 (review follow-up): chained generations write INCREMENTAL
+    manifests — carried files are status=0 EXISTING with their original
+    sequence numbers and adding snapshot, new files status=1 ADDED at
+    the new sequence, dropped parent files status=2 DELETED — so
+    Iceberg incremental/changelog consumers see the actual delta, not
+    a full re-add of the table every generation."""
+
+    def test_append_marks_carried_files_existing(self, spark, lineitem,
+                                                 tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(60))
+        t.generate("iceberg")
+        _, _, _, e1 = _read_snapshot(tmp_table_dir)
+        assert all(e["status"] == 1 for e in e1)    # first: all ADDED
+        sid1 = {e["snapshot_id"] for e in e1}
+        t = t.write(lineitem.limit(20), mode="append")
+        t.generate("iceberg")
+        md2, snap2, manifests2, e2 = _read_snapshot(tmp_table_dir)
+        existing = [e for e in e2 if e["status"] == 0]
+        added = [e for e in e2 if e["status"] == 1]
+        assert len(existing) >= 1 and len(added) >= 1
+        # carried files keep ORIGINAL seq + adding snapshot
+        assert all(e["sequence_number"] == 1 for e in existing)
+        assert all(e["snapshot_id"] in sid1 for e in existing)
+        assert all(e["sequence_number"] == 2 for e in added)
+        assert snap2["summary"]["operation"] == "append"
+        assert snap2["summary"]["added-data-files"] == str(len(added))
+        assert manifests2[0]["existing_files_count"] == len(existing)
+        assert manifests2[0]["min_sequence_number"] == 1
+
+    def test_delete_writes_tombstones_and_overwrite_op(
+            self, spark, lineitem, tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(100))
+        t.generate("iceberg")
+        t = t.delete("l_quantity > 30")     # CoW: drops + adds a file
+        t.generate("iceberg")
+        md, snap, manifests, entries = _read_snapshot(tmp_table_dir)
+        dels = [e for e in entries if e["status"] == 2]
+        assert dels, "CoW delete must tombstone the dropped file"
+        assert snap["summary"]["operation"] == "overwrite"
+        # tombstones carry the delete's sequence number but the file's
+        # original add sequence
+        assert all(e["sequence_number"] == 2 for e in dels)
+        assert all(e["file_sequence_number"] == 1 for e in dels)
+        assert manifests[0]["deleted_files_count"] == len(dels)
+        # totals count live files only
+        live = [e for e in entries if e["status"] != 2]
+        assert snap["summary"]["total-data-files"] == str(len(live))
+        # the importer (a real reader) skips tombstones
+        b = DeltaTable(spark, f"{tmp_table_dir}_imp").import_iceberg(
+            tmp_table_dir)
+        assert b.to_df().count() == t.to_df().count()
+
+    def test_regen_is_still_idempotent(self, spark, lineitem,
+                                       tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(60))
+        t.generate("iceberg")
+        t = t.write(lineitem.limit(20), mode="append")
+        t.generate("iceberg")
+        _, _, _, e_a = _read_snapshot(tmp_table_dir)
+        t.generate("iceberg")               # regen at same version
+        md, _, _, e_b = _read_snapshot(tmp_table_dir)
+        key = lambda e: (e["data_file"]["file_path"], e["status"],
+                         e["sequence_number"])
+        assert sorted(map(key, e_a)) == sorted(map(key, e_b))
+        assert len(md["snapshots"]) == 2
+
+
+class TestIcebergCompatV2:
+    """r12: the icebergCompatV2 writer feature (delta-spark UniForm
+    parity) — declared on enablement, DV-refusing while active,
+    writable when a foreign table carries it."""
+
+    def test_enablement_declares_feature(self, spark, lineitem,
+                                         tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(40))
+        t = t.set_properties(
+            {"delta.universalFormat.enabledFormats": "iceberg"})
+        proto = t.log.protocol()
+        wf = set((proto.extra or {}).get("writerFeatures") or [])
+        assert "icebergCompatV2" in wf
+        assert t.iceberg_compat_enabled
+
+    def test_enablement_on_dv_table_raises(self, spark, lineitem,
+                                           tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(200))
+        t = t.delete("l_quantity > 40", mode="merge-on-read")
+        assert any((a.extra or {}).get("deletionVector")
+                   for a in t.adds.values())
+        for props in (
+                {"delta.universalFormat.enabledFormats": "iceberg"},
+                {"delta.enableIcebergCompatV2": "true"}):
+            with pytest.raises(ValueError, match="reorg_purge"):
+                t.set_properties(props)
+        # after purging, enablement succeeds
+        t = t.reorg_purge()
+        t = t.set_properties(
+            {"delta.enableIcebergCompatV2": "true"})
+        assert t.iceberg_compat_enabled
+
+    def test_dv_write_refused_while_active(self, spark, lineitem,
+                                           tmp_table_dir):
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(200))
+        t = t.set_properties(
+            {"delta.enableIcebergCompatV2": "true"})
+        with pytest.raises(ValueError, match="icebergCompatV2"):
+            t.delete("l_quantity > 40", mode="merge-on-read")
+        # CoW stays allowed
+        n = t.to_df().count()
+        t = t.delete("l_quantity > 40", mode="copy-on-write")
+        assert t.to_df().count() < n
+
+    def test_foreign_table_carrying_feature_is_writable(
+            self, spark, lineitem, tmp_table_dir):
+        """A table whose protocol demands icebergCompatV2 (e.g.
+        written by delta-spark UniForm) passes our writer gate."""
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(40))
+        import json as _json
+        log_file = os.path.join(tmp_table_dir, "_delta_log",
+                                f"{0:020d}.json")
+        lines = []
+        for line in open(log_file):
+            obj = _json.loads(line)
+            if "protocol" in obj:
+                obj["protocol"] = {
+                    "minReaderVersion": 1, "minWriterVersion": 7,
+                    "writerFeatures": ["icebergCompatV2"]}
+            lines.append(_json.dumps(obj))
+        open(log_file, "w").write("\n".join(lines) + "\n")
+        t2 = DeltaTable(spark, tmp_table_dir)
+        t2 = t2.write(lineitem.limit(10), mode="append")
+        assert t2.to_df().count() == 50
+
+    def test_failed_uniform_generation_records_staleness(
+            self, spark, lineitem, tmp_table_dir, monkeypatch):
+        """ADVICE r11 (medium): a failed post-commit Iceberg
+        regeneration must not be swallowed silently — the staleness is
+        recorded durably next to the metadata, and cleared when a
+        later generation succeeds."""
+        t = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(40))
+        t = t.set_properties(
+            {"delta.universalFormat.enabledFormats": "iceberg"})
+        import xdlake_spark.log.iceberg as ice
+
+        def boom(table):
+            raise RuntimeError("simulated conversion failure")
+        real = ice.generate_iceberg_metadata
+        monkeypatch.setattr(ice, "generate_iceberg_metadata", boom)
+        t = t.write(lineitem.limit(10), mode="append")
+        marker = os.path.join(tmp_table_dir, "metadata",
+                              "_conversion_stale.json")
+        assert os.path.exists(marker)
+        rec = json.load(open(marker))
+        assert rec["failed_delta_version"] == t.version
+        assert "simulated" in rec["error"]
+        # a later successful commit clears the marker
+        monkeypatch.setattr(ice, "generate_iceberg_metadata", real)
+        t = t.write(lineitem.limit(5), mode="append")
+        assert not os.path.exists(marker)

@@ -9,6 +9,7 @@ pinned for contrast (why commit_context locking matters there)."""
 import threading
 
 import pytest
+from pyspark.sql import functions as F
 
 from xdlake_spark import DeltaTable
 from xdlake_spark.sources.storage import (Location, _REGISTRY,
@@ -141,6 +142,41 @@ class TestConditionalPut:
             loc.put_if_absent(b"other")
         assert store.put_count == 1
 
+    def test_put_landed_but_client_saw_error_is_success(
+            self, emu_prefix):
+        """r12 (ADVICE r11): the conditional put can LAND server-side
+        while the client sees a transient error (timeout after a 200).
+        The fallback must read the object back and treat identical
+        bytes as OUR win — raising FileExistsError would make the
+        commit caller rebase and re-apply the same entry at the next
+        version, double-applying its actions."""
+        class FlakyStore(EmulatedObjectStore):
+            def __init__(self):
+                super().__init__(conditional_put=False)
+
+            def pipe_file(self, path, value, **kw):
+                key = self._key(path)
+                if key in self._objects:       # honest conditional put
+                    raise FileExistsError(path)
+                # the write lands...
+                self._objects[key] = bytes(value)
+                self.put_count += 1
+                # ...but the client sees a transient failure
+                raise TimeoutError("connection reset after 200 OK")
+
+        store = emu_prefix("emuI://b", FlakyStore())
+        loc = Location.resolve("emuI://b/t/v.json")
+        loc.put_if_absent(b"mine")           # must NOT raise
+        assert loc.read_bytes() == b"mine"
+        assert store.put_count == 1          # no duplicate write
+        # but a real lost race (different bytes on the object) still
+        # surfaces as the conflict it is
+        loc2 = Location.resolve("emuI://b/t/v2.json")
+        store._objects[store._key("emuI://b/t/v2.json")] = b"theirs"
+        with pytest.raises(FileExistsError):
+            loc2.put_if_absent(b"mine")
+        assert loc2.read_bytes() == b"theirs"
+
     def test_sequential_conflict_still_raises_on_naive(self,
                                                        emu_prefix):
         """Outside a race, the naive fallback still detects an existing
@@ -207,3 +243,58 @@ class TestTableOnEmulatedStore:
         a.write(lineitem.limit(5), mode="append")
         with pytest.raises(FileExistsError):
             b.write(lineitem.limit(5), mode="append")
+
+    def test_mutation_matrix_on_store(self, spark, lineitem,
+                                      emu_prefix, tmp_table_dir):
+        """r12: the representative table-lifecycle slice — write, DV
+        delete, update, MERGE, OPTIMIZE, restore, VACUUM — with every
+        commit (and crc) flowing through the store's conditional put;
+        the nearest in-sandbox substitute for the reference's live-
+        cloud matrix (/root/reference/tests/test_xdlake_cloud.py)."""
+        store = emu_prefix("emuJ://bucket", EmulatedObjectStore())
+        log = "emuJ://bucket/tm/_delta_log"
+        t = DeltaTable(spark, tmp_table_dir, log).write(
+            lineitem.limit(200))
+        n0 = t.to_df().count()
+        # merge-on-read DELETE: DV bitmap local, descriptor committed
+        # through the store
+        t = t.delete("l_quantity > 45", mode="merge-on-read")
+        n1 = t.to_df().count()
+        assert n1 < n0
+        assert any((a.extra or {}).get("deletionVector")
+                   for a in t.adds.values())
+        t = t.update({"l_quantity": "l_quantity + 100"},
+                     "l_quantity < 3")
+        assert t.to_df(where="l_quantity >= 100").count() > 0
+        src = (t.to_df().limit(5)
+               .select("l_orderkey", "l_linenumber")
+               .withColumn("l_linestatus", F.lit("M")))
+        t = t.merge(src, "t.l_orderkey = s.l_orderkey AND "
+                         "t.l_linenumber = s.l_linenumber",
+                    when_matched_update={"l_linestatus": "s.l_linestatus"})
+        assert t.to_df(where="l_linestatus = 'M'").count() > 0
+        t = t.optimize()
+        assert t.to_df().count() == n1
+        # time travel replays the DV state through the store (before
+        # vacuum reclaims the no-longer-live bitmap)
+        assert DeltaTable(spark, tmp_table_dir, log,
+                          version=1).to_df().count() == n1
+        t = t.restore(0)
+        assert t.to_df().count() == n0
+        t.vacuum(retention_hours=0)     # returns removed paths
+        t = DeltaTable(spark, tmp_table_dir, log)
+        # history replays through the store and shows every mutation
+        ops = {h["operation"] for h in t.history()}
+        assert {"DELETE", "UPDATE", "MERGE", "RESTORE"} <= ops
+        assert any("CREATE" in o or o == "WRITE" for o in ops)
+        # a fresh handle sees the same state and a valid crc chain
+        t2 = DeltaTable(spark, tmp_table_dir, log)
+        assert t2.version == t.version
+        assert t2.to_df().count() == n0
+        assert t2.verify_checksum() == []
+        # every commit + its crc went through the conditional put —
+        # at least write/delete/update/merge/restore each commit with
+        # a crc: >= 10 conditional puts, and the naive check-then-
+        # write fallback was never exercised
+        assert store.conditional_put_count >= 10
+        assert store.put_count == 0

@@ -205,7 +205,7 @@ def derive_checksum(prev: dict[str, Any], entry,
 
 
 def write_version_checksum(log_location, log, entry=None,
-                           prev_adds=None) -> None:
+                           prev_adds=None, full_every: int = 10) -> None:
     """Best-effort put-if-absent of the snapshot checksum for the
     log's newest version. Never raises: a checksum is a validation
     aid, not a commit requirement (mirrors the checkpoint policy in
@@ -215,11 +215,20 @@ def write_version_checksum(log_location, log, entry=None,
     ``prev_adds`` are supplied AND the previous version's crc exists,
     the payload is DERIVED incrementally (O(commit) — see
     :func:`derive_checksum`); otherwise falls back to the full
-    manifest fold."""
+    manifest fold.
+
+    ``full_every``: every N-th version recomputes the FULL fold even
+    when derivation is possible (default matches the checkpoint
+    interval). Derivation seeds from the previous crc, so a wrong or
+    stale crc left by a foreign/partial writer would otherwise
+    propagate into every subsequent derived crc forever; the periodic
+    resync bounds the damage to one interval and self-heals the chain
+    (r11 review)."""
     try:
         payload = None
         if entry is not None and prev_adds is not None \
-                and log.version > 0:
+                and log.version > 0 \
+                and (full_every <= 0 or log.version % full_every):
             prev = read_checksum(log_location, log.version - 1)
             if prev is not None:
                 payload = derive_checksum(prev, entry, prev_adds, log)

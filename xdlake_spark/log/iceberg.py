@@ -274,6 +274,43 @@ def read_iceberg_snapshot(metadata_location) -> dict:
             "files": files, "position_deletes": position_deletes}
 
 
+def _load_snapshot_entries(meta_dir, md: dict, snapshot_id) -> dict:
+    """Live file entries of one snapshot in an already-generated
+    metadata dict: file_path -> {snapshot_id, seq, fseq, data_file}.
+    Used to chain generations incrementally — carried files keep their
+    ORIGINAL sequence numbers and adding snapshot, so Iceberg
+    incremental/changelog consumers don't re-read the whole table at
+    every generation. Manifests are resolved by basename inside
+    ``meta_dir`` (this generator always writes them there)."""
+    from .avro import read_avro_file
+    snap = next((s for s in md.get("snapshots", [])
+                 if s["snapshot-id"] == snapshot_id), None)
+    if snap is None:
+        return {}
+    out: dict = {}
+    list_name = posixpath.basename(snap["manifest-list"])
+    _, manifests, _ = read_avro_file(
+        meta_dir.join(list_name).read_bytes())
+    for m in manifests:
+        mname = posixpath.basename(m["manifest_path"])
+        _, entries, _ = read_avro_file(
+            meta_dir.join(mname).read_bytes())
+        for e in entries:
+            if e["status"] == 2:       # DELETED: not live
+                continue
+            eseq = e.get("sequence_number")
+            if eseq is None:            # spec: inherit manifest's
+                eseq = m.get("sequence_number", 0)
+            fseq = e.get("file_sequence_number")
+            if fseq is None:
+                fseq = eseq
+            out[e["data_file"]["file_path"]] = {
+                "snapshot_id": e.get("snapshot_id"),
+                "seq": int(eseq or 0), "fseq": int(fseq or 0),
+                "data_file": e["data_file"]}
+    return out
+
+
 # -- the generator -----------------------------------------------------------
 
 def generate_iceberg_metadata(table) -> str:
@@ -407,9 +444,30 @@ def generate_iceberg_metadata(table) -> str:
         carried_log = []
         carried_mdlog = []
 
-    # -- manifest: one entry per live add --------------------------------
+    # parent snapshot's live files (chained generation, or the parent
+    # of the snapshot being regenerated — recomputing regen against
+    # the same parent reproduces identical entry statuses, keeping
+    # regeneration idempotent): carried files are written status=0
+    # EXISTING with their ORIGINAL sequence numbers and adding
+    # snapshot, new files status=1 ADDED at the new sequence number,
+    # and files the parent held that are no longer live get status=2
+    # DELETED tombstones — so Iceberg incremental/changelog consumers
+    # see the actual delta, not a full re-add of the table every
+    # generation. Unreadable parent manifests fall back to all-ADDED
+    # (correct scan results, degraded incremental fidelity).
+    parent_files: dict = {}
+    if (prior_chain or regen) and parent_id is not None:
+        try:
+            parent_files = _load_snapshot_entries(meta_dir, prior,
+                                                  parent_id)
+        except Exception:
+            parent_files = {}
+
+    # -- manifest: one entry per live add, + tombstones -------------------
     entries = []
-    total_rows = 0
+    total_rows = added_rows = existing_rows = deleted_rows = 0
+    n_added = n_existing = n_deleted = 0
+    live_paths = set()
     for rel in sorted(adds):
         a = adds[rel]
         sd = a.stats_dict or {}
@@ -424,19 +482,44 @@ def generate_iceberg_metadata(table) -> str:
         for c, cast in zip(pcols, casters):
             raw = (a.partitionValues or {}).get(c)
             part[c] = None if raw is None or raw == "" else cast(raw)
+        fp = table.location.absloc(a.path).url
+        live_paths.add(fp)
+        pe = parent_files.get(fp)
+        if pe is not None:
+            status, e_sid = 0, pe["snapshot_id"]
+            e_seq, e_fseq = pe["seq"], pe["fseq"]
+            n_existing += 1
+            existing_rows += int(n)
+        else:
+            status, e_sid = 1, snapshot_id
+            e_seq = e_fseq = seq
+            n_added += 1
+            added_rows += int(n)
         entries.append({
-            "status": 1,  # ADDED in this snapshot
-            "snapshot_id": snapshot_id,
-            "sequence_number": seq,
-            "file_sequence_number": seq,
+            "status": status,
+            "snapshot_id": e_sid,
+            "sequence_number": e_seq,
+            "file_sequence_number": e_fseq,
             "data_file": {
                 "content": 0,
-                "file_path": table.location.absloc(a.path).url,
+                "file_path": fp,
                 "file_format": "PARQUET",
                 "partition": part,
                 "record_count": int(n),
                 "file_size_in_bytes": int(a.size or 0),
             }})
+    for fp in sorted(parent_files):
+        if fp in live_paths:
+            continue
+        pe = parent_files[fp]
+        n_deleted += 1
+        deleted_rows += int(pe["data_file"].get("record_count") or 0)
+        entries.append({
+            "status": 2,                    # DELETED by this snapshot
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,         # seq of the delete
+            "file_sequence_number": pe["fseq"],  # seq when added
+            "data_file": pe["data_file"]})
     manifest_common_meta = {
         "schema": json.dumps(schema_json, separators=(",", ":")),
         "partition-spec": json.dumps(spec_fields,
@@ -480,6 +563,7 @@ def generate_iceberg_metadata(table) -> str:
              "field-id": 514},
         ]}
     list_name = f"snap-{snapshot_id}-{seq}-{gen_uuid}.avro"
+    min_seq = min((e["sequence_number"] for e in entries), default=seq)
     list_bytes = write_avro_file(
         manifest_file_schema,
         [{"manifest_path": meta_dir.join(manifest_name).url,
@@ -487,14 +571,14 @@ def generate_iceberg_metadata(table) -> str:
           "partition_spec_id": 0,
           "content": 0,
           "sequence_number": seq,
-          "min_sequence_number": seq,
+          "min_sequence_number": min_seq,
           "added_snapshot_id": snapshot_id,
-          "added_files_count": len(entries),
-          "existing_files_count": 0,
-          "deleted_files_count": 0,
-          "added_rows_count": total_rows,
-          "existing_rows_count": 0,
-          "deleted_rows_count": 0}],
+          "added_files_count": n_added,
+          "existing_files_count": n_existing,
+          "deleted_files_count": n_deleted,
+          "added_rows_count": added_rows,
+          "existing_rows_count": existing_rows,
+          "deleted_rows_count": deleted_rows}],
         metadata={"format-version": "2"})
     meta_dir.join(list_name).write_bytes(list_bytes)
 
@@ -524,11 +608,18 @@ def generate_iceberg_metadata(table) -> str:
                if parent_id is not None else {}),
             "timestamp-ms": now,
             "sequence-number": seq,
-            "summary": {"operation": "append",
-                        "added-data-files": str(len(entries)),
-                        "added-records": str(total_rows),
+            # operation reflects the actual delta: pure additions are
+            # an append; anything that dropped a parent file is an
+            # overwrite (so incremental consumers don't treat carried
+            # files as fresh appends)
+            "summary": {"operation": ("append" if n_deleted == 0
+                                      else "overwrite"),
+                        "added-data-files": str(n_added),
+                        "added-records": str(added_rows),
+                        "removed-data-files": str(n_deleted),
+                        "deleted-records": str(deleted_rows),
                         "total-records": str(total_rows),
-                        "total-data-files": str(len(entries))},
+                        "total-data-files": str(n_added + n_existing)},
             "manifest-list": meta_dir.join(list_name).url,
             "schema-id": 0,
         }],

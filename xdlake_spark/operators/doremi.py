@@ -33,8 +33,11 @@ __all__ = ["doremi_domain_weights", "reference_doremi"]
 def _domain_bigrams(df: DataFrame, domain_col: str,
                     text_col: str) -> DataFrame:
     """(domain, w1, w2, c): whitespace-lowercase bigram counts per
-    domain — the single corpus-scale pass."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    domain — the single corpus-scale pass. ``(?U)`` makes the JVM
+    regex \\s Unicode-aware (U+00A0, NEL, ...) so tokenization matches
+    the sequential twin's Python ``str.split()`` on non-ASCII
+    whitespace too (same convention as bytebpe.py)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"(?U)\s+")
     pairs = F.arrays_zip(
         F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
         F.slice(toks, 2, F.size(toks) - 1).alias("w2"))
@@ -80,6 +83,12 @@ def doremi_domain_weights(df: DataFrame, domain_col: str = "lang",
             raise ValueError("no domains with bigrams")
         vocab_size = bg.select("w2").distinct().count()
         kv = add_k * vocab_size
+        # distinct (w1, w2) support of the mixture — CONSTANT across
+        # rounds (every alpha_d stays > 0 under uniform smoothing, so
+        # the mix support is exactly the union of domain bigrams);
+        # computed once, it lets each round derive mean_mc in the
+        # driver instead of running a separate action (r11 review)
+        n_bigram_keys = bg.select("w1", "w2").distinct().count()
 
         # reference losses, one aggregation: p_d(w2|w1) from the
         # domain's own counts, smoothed over the global vocab
@@ -113,8 +122,11 @@ def doremi_domain_weights(df: DataFrame, domain_col: str = "lang",
                        .agg(F.sum("mc").alias("mtot")))
             # scale-invariant add-k: smooth relative to the mixture's
             # mean count so the probabilities don't depend on the
-            # arbitrary magnitude of the s_d scaling
-            mean_mc = mix.agg(F.avg("mc")).collect()[0][0] or 1.0
+            # arbitrary magnitude of the s_d scaling. Derived in the
+            # driver — sum(mc) = sum_d alpha_d exactly (each domain's
+            # counts scale by alpha_d/N_d and sum to N_d) over the
+            # constant support — so the round runs ONE action, not two
+            mean_mc = sum(alpha.values()) / n_bigram_keys
             ak = add_k * mean_mc
             akv = ak * vocab_size
             loss_rows = (scaled
@@ -186,7 +198,10 @@ def reference_doremi(docs: "list[tuple[str, str]]", rounds: int = 10,
         mtot: dict = defaultdict(float)
         for (w1, _), c in mix.items():
             mtot[w1] += c
-        mean_mc = sum(mix.values()) / len(mix)
+        # same driver-side derivation as the distributed version so
+        # the twin stays in bit-level lockstep: sum(mix) = sum(alpha)
+        # over the constant support
+        mean_mc = sum(alpha.values()) / len(mix)
         ak = add_k * mean_mc
         akv = ak * len(vocab)
         excess = {}

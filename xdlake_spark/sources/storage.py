@@ -264,8 +264,19 @@ class Location:
                 # fsspec versions forward the unknown mode kwarg to
                 # the store call, which raises backend-specific types
                 # (not just TypeError) — any non-conflict failure
-                # falls through to check-then-write
-                pass
+                # falls through to check-then-write. BUT the
+                # conditional put may have LANDED server-side before a
+                # transient client error (timeout after a 200): read
+                # back and compare — identical bytes mean OUR write
+                # won and is a success, not a lost race (a commit
+                # caller treating it as a collision would rebase and
+                # re-apply the same actions at the next version,
+                # double-applying them).
+                try:
+                    if self.exists() and self.read_bytes() == data:
+                        return
+                except Exception:
+                    pass
         if self.exists():
             raise FileExistsError(self.url)
         self.write_bytes(data)

@@ -24,6 +24,7 @@ Scale design (100 TB / 1000 executors):
 from __future__ import annotations
 
 import json
+import logging
 import os
 import posixpath
 import re
@@ -68,6 +69,8 @@ from .plans.skipping import (Comparison as _SkipComparison,
                              prune_with_nodes, split_certain_matches)
 from .sources.inputs import union_dataframe
 from .sources.storage import Location
+
+_logger = logging.getLogger(__name__)
 
 
 class CommitConflictError(FileExistsError):
@@ -1123,6 +1126,27 @@ class DeltaTable:
         # feature, (b) carry an inCommitTimestamp, and (c) record the
         # enablement version + timestamp as table properties so readers
         # know where the ICT clock starts.
+        # Enabling UniForm Iceberg / icebergCompatV2: the enabling
+        # commit declares the writer feature, and a table with live
+        # deletion vectors refuses enablement (the Iceberg snapshot
+        # cannot represent DVs — purge first; delta-spark's rule)
+        enabling_iceberg = (
+            ("iceberg" in str(props.get(
+                "delta.universalFormat.enabledFormats", "") or ""
+                ).lower()
+             or str(props.get("delta.enableIcebergCompatV2", "")
+                    ).lower() == "true")
+            and not self.iceberg_compat_enabled)
+        if enabling_iceberg:
+            dv_live = [p for p, a in self.adds.items()
+                       if (a.extra or {}).get("deletionVector")]
+            if dv_live:
+                raise ValueError(
+                    "cannot enable icebergCompatV2/UniForm Iceberg: "
+                    f"{len(dv_live)} live file(s) carry deletion "
+                    "vectors the Iceberg snapshot cannot represent — "
+                    "run reorg_purge() first (delta-spark refuses this "
+                    "combination too)")
         enabling_ict = (
             str(props.get("delta.enableInCommitTimestamps", "")
                 ).lower() == "true" and not self.ict_enabled)
@@ -1141,6 +1165,11 @@ class DeltaTable:
             {"properties": json.dumps(
                 {k: v for k, v in props.items()})},
             self.version, custom_metadata)
+        if enabling_iceberg:
+            up = self._feature_protocol_action(set(),
+                                               {"icebergCompatV2"})
+            if up is not None:
+                entry.actions.insert(0, up)
         if enabling_ict:
             up = self._feature_protocol_action(set(),
                                                {"inCommitTimestamp"})
@@ -1166,6 +1195,24 @@ class DeltaTable:
             raise ValueError(
                 f"{op} is not allowed: table is append-only "
                 "(delta.appendOnly=true); unset the property first")
+
+    @property
+    def iceberg_compat_enabled(self) -> bool:
+        """True when the icebergCompatV2 invariants are active:
+        ``delta.enableIcebergCompatV2=true``, or UniForm Iceberg
+        (``delta.universalFormat.enabledFormats`` containing
+        ``iceberg``) which requires V2 compat in delta-spark. While
+        active, commits must not write deletion vectors — the
+        generated Iceberg snapshot cannot represent them, so an
+        Iceberg reader would resurrect the deleted rows."""
+        if not self.log:
+            return False
+        cfg = self.log.metadata().configuration or {}
+        if str(cfg.get("delta.enableIcebergCompatV2", "false")
+               ).lower() == "true":
+            return True
+        return "iceberg" in str(
+            cfg.get("delta.universalFormat.enabledFormats", "")).lower()
 
     @property
     def row_tracking_enabled(self) -> bool:
@@ -2670,6 +2717,7 @@ class DeltaTable:
          "variantType",       # Spark-native variant physical layout
          "variantType-preview",
          "checkpointProtection",  # cleanup_metadata honors the pin
+         "icebergCompatV2",   # DV writes refused while active (_commit)
          })
 
     #: Features we can commit under only when the table doesn't
@@ -2987,6 +3035,22 @@ class DeltaTable:
     def _commit(self, entry: DeltaLogEntry) -> "DeltaTable":
         self._ensure_type_features(entry)
         self._check_writer_protocol(entry)
+        if self.log and self.iceberg_compat_enabled:
+            # icebergCompatV2 invariant (delta-spark UniForm parity):
+            # no deletion vectors while active — the Iceberg snapshot
+            # regenerated after this commit cannot represent them, and
+            # an Iceberg reader would resurrect the deleted rows
+            dv_adds = [a.path for a in entry.adds
+                       if (a.extra or {}).get("deletionVector")]
+            if dv_adds:
+                raise ValueError(
+                    "icebergCompatV2 is active (UniForm Iceberg): "
+                    "deletion vectors cannot be written "
+                    f"({len(dv_adds)} DV add(s)) — use copy-on-write "
+                    "deletes/updates, or unset "
+                    "delta.universalFormat.enabledFormats / "
+                    "delta.enableIcebergCompatV2 first "
+                    "(delta-spark refuses this combination too)")
         if entry.adds and (self.row_tracking_enabled
                            or self._row_tracking_supported):
             self._stamp_row_tracking(entry)
@@ -3039,17 +3103,44 @@ class DeltaTable:
                 pass  # a checkpoint is an optimization, never a failure
         # UniForm (delta-spark parity): tables declaring
         # delta.universalFormat.enabledFormats=iceberg regenerate
-        # their Iceberg snapshot after every commit — best-effort
-        # (interop metadata is derived state, never a commit failure;
-        # DV-bearing states are skipped until purged)
+        # their Iceberg snapshot after every commit. Generation is
+        # derived state so a failure never fails the COMMIT — but a
+        # silently-stale snapshot serves old data to Iceberg readers
+        # indefinitely, so a failure is WARNED with the delta version
+        # that failed, and recorded durably next to the metadata
+        # (_conversion_stale.json) so tools can detect the staleness.
+        # DV-bearing commits can no longer reach here on UniForm
+        # tables (icebergCompatV2 refuses them in _commit); a DV left
+        # by a FOREIGN writer still surfaces through this path.
         fmts = str(cfg.get("delta.universalFormat.enabledFormats",
                            "")).lower()
         if "iceberg" in fmts:
             from .log.iceberg import generate_iceberg_metadata
             try:
                 generate_iceberg_metadata(new)
-            except Exception:
-                pass
+                try:
+                    stale = new.location.join(
+                        "metadata").join("_conversion_stale.json")
+                    if stale.exists():
+                        stale.delete()
+                except Exception:
+                    pass
+            except Exception as e:
+                _logger.warning(
+                    "UniForm: Iceberg snapshot generation FAILED at "
+                    "delta version %s of %s — Iceberg readers keep "
+                    "seeing the previous snapshot until a later "
+                    "commit or generate('iceberg') succeeds: %s",
+                    new.version, new.location.url, e)
+                try:
+                    meta_dir = new.location.join("metadata")
+                    meta_dir.mkdir()
+                    meta_dir.join("_conversion_stale.json").write_bytes(
+                        json.dumps({
+                            "failed_delta_version": new.version,
+                            "error": str(e)[:500]}).encode("utf-8"))
+                except Exception:
+                    pass
         return new
 
     def _commit_checked(self, entry: DeltaLogEntry, read_version: int,
@@ -3157,6 +3248,11 @@ class DeltaTable:
             mode = "merge-on-read" \
                 if str(cfg.get("delta.enableDeletionVectors", "false")
                        ).lower() == "true" else "copy-on-write"
+            # icebergCompatV2 forbids DV writes — auto falls back to
+            # copy-on-write instead of failing at commit (an explicit
+            # mode="merge-on-read" still fails loudly there)
+            if mode == "merge-on-read" and self.iceberg_compat_enabled:
+                mode = "copy-on-write"
         read_version = self.version
 
         if where is None:
@@ -3568,6 +3664,10 @@ class DeltaTable:
             mode = "merge-on-read" \
                 if str(cfg.get("delta.enableDeletionVectors", "false")
                        ).lower() == "true" else "copy-on-write"
+            # icebergCompatV2 forbids DV writes — auto falls back to
+            # copy-on-write (same rule as DELETE)
+            if mode == "merge-on-read" and self.iceberg_compat_enabled:
+                mode = "copy-on-write"
         if mode == "merge-on-read" and candidates:
             return self._dv_update(candidates, set, pred, where_sql,
                                    read_version, custom_metadata)
