@@ -396,14 +396,205 @@ class TestIcebergSnapshot:
         assert "deletionVectors" in \
             (proto.extra or {}).get("readerFeatures", [])
 
-    def test_import_refuses_equality_deletes(self, spark, lineitem,
-                                             tmp_table_dir):
+    def _add_equality_deletes(self, table_dir, cols, rows, seq=2):
+        """Craft an Iceberg v2 EQUALITY-delete file (parquet of the
+        equality columns' VALUES) + delete manifest whose entry
+        carries equality_ids, and splice it into the manifest list —
+        the state a streaming upsert Iceberg writer produces."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from xdlake_spark.log.avro import write_avro_file
+        meta_dir = os.path.join(table_dir, "metadata")
+        del_path = os.path.join(meta_dir, "eq-delete-0.parquet")
+        pq.write_table(pa.table(
+            {c: [r[i] for r in rows] for i, c in enumerate(cols)}),
+            del_path)
+        md, snap, manifests, _ = _read_snapshot(table_dir)
+        ids_by_name = {f["name"]: f["id"]
+                       for f in md["schemas"][0]["fields"]}
+        mschema, entries, mmeta = read_avro_file(
+            open(manifests[0]["manifest_path"], "rb").read())
+        # the writer's data_file record has no equality_ids field —
+        # extend the schema the way a real equality-delete writer's
+        # manifest does (array of source field ids, field-id 135)
+        eschema = json.loads(json.dumps(mschema))
+        df_schema = next(f for f in eschema["fields"]
+                         if f["name"] == "data_file")["type"]
+        df_schema["fields"].append(
+            {"name": "equality_ids",
+             "type": ["null", {"type": "array", "items": "int",
+                               "element-id": 136}],
+             "default": None, "field-id": 135})
+        dentry = json.loads(json.dumps(entries[0]))
+        dentry["sequence_number"] = seq
+        dentry["file_sequence_number"] = seq
+        dentry["data_file"].update({
+            "content": 2, "file_path": del_path,
+            "file_format": "PARQUET",
+            "record_count": len(rows),
+            "file_size_in_bytes": os.path.getsize(del_path),
+            "equality_ids": [ids_by_name[c] for c in cols],
+            "partition": {k: None
+                          for k in dentry["data_file"]["partition"]}})
+        dman_path = os.path.join(meta_dir, "eq-delete-m0.avro")
+        open(dman_path, "wb").write(
+            write_avro_file(eschema, [dentry], metadata={
+                **{k: v for k, v in mmeta.items()
+                   if not k.startswith("avro.")},
+                "content": "deletes"}))
+        lschema, mlist, lmeta = read_avro_file(
+            open(snap["manifest-list"], "rb").read())
+        dm = json.loads(json.dumps(mlist[0]))
+        dm.update({"manifest_path": dman_path, "content": 1,
+                   "manifest_length": os.path.getsize(dman_path),
+                   "sequence_number": seq,
+                   "added_files_count": 1,
+                   "added_rows_count": len(rows)})
+        open(snap["manifest-list"], "wb").write(
+            write_avro_file(lschema, mlist + [dm]))
+
+    def test_import_equality_deletes_as_dv(self, spark, lineitem,
+                                           tmp_table_dir):
+        """r12: Iceberg v2 EQUALITY deletes convert to DVs on import —
+        one Spark job semi-joins the affected files against the delete
+        VALUES (null-safe, seq-gated) and the matching positions
+        become bitmaps; the scan then excludes exactly those rows."""
+        import pyarrow.parquet as pq
+        a = DeltaTable(spark, f"{tmp_table_dir}/a").write(
+            lineitem.limit(100).coalesce(1))
+        a.generate("iceberg")
+        (data_rel,) = a.adds
+        data_url = a.location.absloc(data_rel).url
+        pdf = pq.read_table(data_url).to_pandas()
+        victims = pdf.iloc[[2, 5, 9]]
+        keys = list(map(tuple, victims[["l_orderkey",
+                                        "l_linenumber"]].values))
+        self._add_equality_deletes(
+            f"{tmp_table_dir}/a", ["l_orderkey", "l_linenumber"],
+            [(int(k), int(ln)) for k, ln in keys])
+        b = DeltaTable(spark, f"{tmp_table_dir}/b").import_iceberg(
+            f"{tmp_table_dir}/a")
+        got = b.to_df().select("l_orderkey", "l_linenumber").collect()
+        got_keys = {(r["l_orderkey"], r["l_linenumber"]) for r in got}
+        # every surviving (orderkey, linenumber) pair excludes the
+        # deleted ones; row count matches the value-level expectation
+        want = pdf[~pdf.apply(
+            lambda r: (r["l_orderkey"], r["l_linenumber"]) in
+            set(keys), axis=1)]
+        assert len(got) == len(want)
+        assert not (set(keys) & got_keys)
+        assert b.count() == len(want)          # stats minus DV
+        proto = b.log.protocol()
+        assert "deletionVectors" in \
+            (proto.extra or {}).get("readerFeatures", [])
+
+    def test_equality_delete_sequence_gate_is_strict(
+            self, spark, lineitem, tmp_table_dir):
+        """Spec: an equality delete applies only to files with
+        sequence number STRICTLY below the delete's — a delete at the
+        data file's own seq (same commit) must not touch it."""
+        import pyarrow.parquet as pq
+        a = DeltaTable(spark, tmp_table_dir).write(
+            lineitem.limit(40).coalesce(1))
+        a.generate("iceberg")
+        (data_rel,) = a.adds
+        pdf = pq.read_table(
+            a.location.absloc(data_rel).url).to_pandas()
+        k = int(pdf.iloc[0]["l_orderkey"])
+        ln = int(pdf.iloc[0]["l_linenumber"])
+        self._add_equality_deletes(
+            tmp_table_dir, ["l_orderkey", "l_linenumber"],
+            [(k, ln)], seq=1)               # same seq as the data
+        b = DeltaTable(spark, f"{tmp_table_dir}_b").import_iceberg(
+            tmp_table_dir)
+        assert b.to_df().count() == len(pdf)   # nothing deleted
+
+    def test_import_bucket_partitioned_unpartitioned_scan(
+            self, spark, lineitem, tmp_table_dir):
+        """r12: a bucket[N]-partitioned Iceberg table imports as an
+        UNPARTITIONED Delta table — the bucket id is layout, not a
+        column value; the data files hold every column, so the scan is
+        value-exact."""
+        a = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(80))
+        a.generate("iceberg")
+        md, snap, _, _ = _read_snapshot(tmp_table_dir)
+        oid = next(f["id"] for f in md["schemas"][0]["fields"]
+                   if f["name"] == "l_orderkey")
+        hint = int(open(os.path.join(tmp_table_dir, "metadata",
+                                     "version-hint.text")).read())
+        mpath = os.path.join(tmp_table_dir, "metadata",
+                             f"v{hint}.metadata.json")
+        md["partition-specs"] = [{"spec-id": 0, "fields": [
+            {"name": "l_orderkey_bucket", "transform": "bucket[4]",
+             "source-id": oid, "field-id": 1000}]}]
+        md["last-partition-id"] = 1000
+        json.dump(md, open(mpath, "w"))
+        b = DeltaTable(spark, f"{tmp_table_dir}_b").import_iceberg(
+            tmp_table_dir)
+        assert b.partition_columns == []
+        assert b.to_df().count() == 80
+        assert sorted(r["l_orderkey"] for r in
+                      b.to_df().select("l_orderkey").collect()) == \
+            sorted(r["l_orderkey"] for r in
+                   a.to_df().select("l_orderkey").collect())
+
+    def test_import_mixed_spec_keeps_identity_columns(
+            self, spark, lineitem, tmp_table_dir):
+        """A mixed identity+truncate spec keeps the identity column as
+        a real Delta partition column (subset declaration — prunes
+        correctly, just less than the full Iceberg spec could)."""
+        a = DeltaTable(spark, tmp_table_dir).write(
+            lineitem.limit(120), partition_by=["l_returnflag"])
+        a.generate("iceberg")
+        md, snap, _, _ = _read_snapshot(tmp_table_dir)
+        rid = next(f["id"] for f in md["schemas"][0]["fields"]
+                   if f["name"] == "l_linestatus")
+        hint = int(open(os.path.join(tmp_table_dir, "metadata",
+                                     "version-hint.text")).read())
+        mpath = os.path.join(tmp_table_dir, "metadata",
+                             f"v{hint}.metadata.json")
+        md["partition-specs"][0]["fields"].append(
+            {"name": "l_linestatus_trunc", "transform": "truncate[1]",
+             "source-id": rid, "field-id": 1001})
+        json.dump(md, open(mpath, "w"))
+        b = DeltaTable(spark, f"{tmp_table_dir}_b").import_iceberg(
+            tmp_table_dir)
+        assert b.partition_columns == ["l_returnflag"]
+        assert b.to_df().count() == 120
+        # partition pruning on the kept identity column still works
+        flags = {a.partitionValues["l_returnflag"]
+                 for a in b.adds.values()}
+        one = sorted(flags)[0]
+        assert b.to_df(where=f"l_returnflag = '{one}'").count() == \
+            a.to_df(where=f"l_returnflag = '{one}'").count()
+
+    def test_import_refuses_unknown_transform(self, spark, lineitem,
+                                              tmp_table_dir):
+        a = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(20))
+        a.generate("iceberg")
+        md, _, _, _ = _read_snapshot(tmp_table_dir)
+        oid = md["schemas"][0]["fields"][0]["id"]
+        hint = int(open(os.path.join(tmp_table_dir, "metadata",
+                                     "version-hint.text")).read())
+        mpath = os.path.join(tmp_table_dir, "metadata",
+                             f"v{hint}.metadata.json")
+        md["partition-specs"] = [{"spec-id": 0, "fields": [
+            {"name": "z", "transform": "zorder",
+             "source-id": oid, "field-id": 1000}]}]
+        json.dump(md, open(mpath, "w"))
+        with pytest.raises(ValueError, match="transform"):
+            DeltaTable(spark, f"{tmp_table_dir}_b").import_iceberg(
+                tmp_table_dir)
+
+    def test_import_refuses_unresolvable_equality_ids(
+            self, spark, lineitem, tmp_table_dir):
         a = DeltaTable(spark, tmp_table_dir).write(lineitem.limit(30))
         a.generate("iceberg")
         (data_rel,) = a.adds
         self._add_position_deletes(
             tmp_table_dir, a.location.absloc(data_rel).url, [0])
-        # rewrite the delete manifest's entry to content=2 (equality)
+        # content=2 without equality_ids: a malformed writer — refuse
         md, snap, manifests, _ = _read_snapshot(tmp_table_dir)
         from xdlake_spark.log.avro import write_avro_file
         dman = os.path.join(tmp_table_dir, "metadata",
@@ -411,7 +602,7 @@ class TestIcebergSnapshot:
         mschema, entries, _ = read_avro_file(open(dman, "rb").read())
         entries[0]["data_file"]["content"] = 2
         open(dman, "wb").write(write_avro_file(mschema, entries))
-        with pytest.raises(ValueError, match="EQUALITY"):
+        with pytest.raises(ValueError, match="equality_ids"):
             DeltaTable(spark, f"{tmp_table_dir}_b").import_iceberg(
                 tmp_table_dir)
 

@@ -188,9 +188,22 @@ def read_iceberg_snapshot(metadata_location) -> dict:
     ``metadata_location`` is a Location of either the table root
     (resolved via ``metadata/version-hint.text``, HadoopCatalog
     convention) or a specific ``*.metadata.json``. Position-delete
-    files are returned under ``position_deletes`` (the caller converts
-    them to Delta deletion vectors); EQUALITY deletes and non-parquet
-    files refuse loudly.
+    files are returned under ``position_deletes`` and equality-delete
+    files under ``equality_deletes`` (r12) — the caller converts both
+    to Delta deletion vectors. Non-parquet files refuse loudly.
+
+    Partition transforms (r12): ``identity`` fields map to Delta
+    partition columns as before. The common non-identity transforms —
+    ``bucket[N]``, ``truncate[W]``, ``year``, ``month``, ``day``,
+    ``hour``, ``void`` — are ACCEPTED but cannot map to Delta
+    partition columns (Delta partitions by column VALUE; a bucket id
+    or truncated prefix is not one), so they drop out of the
+    declaration: a pure-bucket spec imports unpartitioned-with-stats,
+    a mixed spec keeps its identity columns (a subset declaration is
+    sound — it just prunes less). Since Iceberg writers always store
+    every column in the data files themselves, scans stay correct
+    either way (``dropped_transforms`` lists what was dropped).
+    Unknown transforms still refuse loudly.
     """
     from .avro import read_avro_file
     loc = metadata_location
@@ -213,21 +226,35 @@ def read_iceberg_snapshot(metadata_location) -> dict:
     by_id = {f["id"]: f for f in schema_json["fields"]}
     spec = next(s for s in md["partition-specs"]
                 if s["spec-id"] == md.get("default-spec-id", 0))
+    import re as _re
+    known_nonidentity = _re.compile(
+        r"^(?:bucket\[\d+\]|truncate\[\d+\]|year|month|day|hour|void)$")
     pcols, ptypes = [], []
+    dropped_transforms = []
     for f in spec["fields"]:
-        if f["transform"] != "identity":
+        tr = f["transform"]
+        if tr == "identity":
+            src = by_id[f["source-id"]]
+            pcols.append(src["name"])
+            ptypes.append(src["type"])
+        elif known_nonidentity.match(tr):
+            dropped_transforms.append((f["name"], tr))
+        else:
             raise ValueError(
-                f"unsupported partition transform {f['transform']!r} "
-                "(identity only)")
-        src = by_id[f["source-id"]]
-        pcols.append(src["name"])
-        ptypes.append(src["type"])
+                f"unsupported partition transform {tr!r}")
+    # non-identity fields drop out (their values are layout, not
+    # column values); identity fields REMAIN Delta partition columns —
+    # a subset declaration is sound (each file genuinely holds one
+    # value per identity column), it just prunes less than the full
+    # Iceberg spec could. A pure-bucket/truncate spec imports
+    # unpartitioned.
 
     from ..sources.storage import Location as _Loc
     list_loc = _Loc.resolve(snap["manifest-list"])
     _, manifests, _ = read_avro_file(list_loc.read_bytes())
     files = []
     position_deletes = []
+    equality_deletes = []
     for m in manifests:
         mcontent = m.get("content", 0)
         if mcontent not in (0, 1):
@@ -244,16 +271,28 @@ def read_iceberg_snapshot(metadata_location) -> dict:
                 raise ValueError(
                     f"unsupported file format "
                     f"{d['file_format']!r} (parquet only)")
-            if dcontent == 2 or (mcontent == 1 and dcontent == 2):
-                raise ValueError(
-                    "Iceberg EQUALITY deletes are not importable — "
-                    "they reference values, not row positions; "
-                    "compact the source table first")
             # sequence-number inheritance (spec): a null entry seq
             # inherits the manifest's
             eseq = e.get("sequence_number")
             if eseq is None:
                 eseq = m.get("sequence_number", 0)
+            if dcontent == 2:
+                # v2 EQUALITY delete file (r12): parquet whose rows
+                # name VALUES to delete, matched on the equality_ids
+                # columns — convertible to DVs via one Spark job
+                # (import_iceberg._iceberg_equality_delete_map)
+                ids = list(d.get("equality_ids") or [])
+                if not ids or any(i not in by_id for i in ids):
+                    raise ValueError(
+                        "equality delete file "
+                        f"{d['file_path']!r} has unresolvable "
+                        f"equality_ids {ids!r}")
+                equality_deletes.append({
+                    "path": d["file_path"],
+                    "record_count": int(d["record_count"]),
+                    "seq": int(eseq or 0),
+                    "columns": [by_id[i]["name"] for i in ids]})
+                continue
             if mcontent == 1 or dcontent == 1:
                 # v2 POSITION delete file: parquet of
                 # (file_path, pos) — convertible to deletion vectors
@@ -271,7 +310,9 @@ def read_iceberg_snapshot(metadata_location) -> dict:
                           "partition": part,
                           "seq": int(eseq or 0)})
     return {"schema": spark_schema, "partition_columns": pcols,
-            "files": files, "position_deletes": position_deletes}
+            "files": files, "position_deletes": position_deletes,
+            "equality_deletes": equality_deletes,
+            "dropped_transforms": dropped_transforms}
 
 
 def _load_snapshot_entries(meta_dir, md: dict, snapshot_id) -> dict:

@@ -2167,6 +2167,94 @@ def delta_iceberg_position_delete_import(spark, sf_dir):
     return b.to_df().select(*cols)
 
 
+@register("delta_iceberg_bucket_equality_import", """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem WHERE l_orderkey % 13 <> 0
+""")
+def delta_iceberg_bucket_equality_import(spark, sf_dir):
+    """Iceberg import with BOTH r12 extensions at once: a
+    bucket[4]-partitioned spec (drops out of the Delta declaration —
+    bucket ids are layout, not column values; the data files hold
+    every column so the scan stays value-exact) and an EQUALITY-delete
+    file naming every l_orderkey divisible by 13 (converted to
+    deletion vectors via one Spark job: affected-files scan with
+    _metadata.row_index semi-joined against the broadcast delete
+    values, sequence-gated per the spec). The oracle is purely
+    relational — equality deletes are value semantics, so no row-order
+    assumptions are needed (unlike the position-delete twin)."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from .log.avro import read_avro_file, write_avro_file
+    from .table import DeltaTable
+    cols = ["l_orderkey", "l_linenumber", "l_quantity"]
+    li = _t(spark, sf_dir, "lineitem").select(*cols)
+    loc = _delta_tmp()
+    a = DeltaTable(spark, loc).write(li)
+    a.generate("iceberg")
+    meta_dir = _os.path.join(loc, "metadata")
+    hint = int(open(_os.path.join(meta_dir,
+                                  "version-hint.text")).read())
+    mpath = _os.path.join(meta_dir, f"v{hint}.metadata.json")
+    md = _json.load(open(mpath))
+    oid = next(f["id"] for f in md["schemas"][0]["fields"]
+               if f["name"] == "l_orderkey")
+
+    # equality-delete file: the VALUES to delete (keys % 13 == 0)
+    keys = sorted(r["l_orderkey"] for r in
+                  li.filter("l_orderkey % 13 = 0")
+                  .select("l_orderkey").distinct().collect())
+    del_path = _os.path.join(meta_dir, "eq-delete-0.parquet")
+    _pq.write_table(_pa.table(
+        {"l_orderkey": _pa.array(keys, type=_pa.int64())}), del_path)
+    snap = next(s for s in md["snapshots"]
+                if s["snapshot-id"] == md["current-snapshot-id"])
+    lschema, mlist, _ = read_avro_file(open(snap["manifest-list"],
+                                            "rb").read())
+    mschema, entries, mmeta = read_avro_file(
+        open(mlist[0]["manifest_path"], "rb").read())
+    eschema = _json.loads(_json.dumps(mschema))
+    next(f for f in eschema["fields"]
+         if f["name"] == "data_file")["type"]["fields"].append(
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int",
+                           "element-id": 136}],
+         "default": None, "field-id": 135})
+    dentry = _json.loads(_json.dumps(entries[0]))
+    dentry["sequence_number"] = 2     # strictly after the data (seq 1)
+    dentry["file_sequence_number"] = 2
+    dentry["data_file"].update({
+        "content": 2, "file_path": del_path,
+        "file_format": "PARQUET", "record_count": len(keys),
+        "file_size_in_bytes": _os.path.getsize(del_path),
+        "equality_ids": [oid]})
+    dman = _os.path.join(meta_dir, "eq-delete-m0.avro")
+    open(dman, "wb").write(write_avro_file(
+        eschema, [dentry],
+        metadata={**{k: v for k, v in mmeta.items()
+                     if not k.startswith("avro.")},
+                  "content": "deletes"}))
+    dm = _json.loads(_json.dumps(mlist[0]))
+    dm.update({"manifest_path": dman, "content": 1,
+               "manifest_length": _os.path.getsize(dman),
+               "sequence_number": 2,
+               "added_files_count": 1, "added_rows_count": len(keys)})
+    open(snap["manifest-list"], "wb").write(
+        write_avro_file(lschema, mlist + [dm]))
+    # bucket[4] partition spec (a foreign layout-partitioned writer)
+    md["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"name": "l_orderkey_bucket", "transform": "bucket[4]",
+         "source-id": oid, "field-id": 1000}]}]
+    md["last-partition-id"] = 1000
+    _json.dump(md, open(mpath, "w"))
+
+    b = DeltaTable(spark, _delta_tmp()).import_iceberg(loc)
+    return b.to_df().select(*cols)
+
+
 @register("delta_merge_not_matched_by_source", """
 WITH src AS (
   SELECT o_orderkey, o_totalprice * 2 AS new_price
@@ -7324,44 +7412,85 @@ def text_normalize_dedup_q(spark, sf_dir):
 
 
 #: The driver's correctness harness oracle-checks exactly the FIRST 50
-#: entries of ``queries()`` (insertion order). This curated window makes
-#: those 50 span every operator family — relational, agg/window,
+#: entries of ``queries()`` (insertion order). 40 slots are FIXED —
+#: curated so they span every operator family (relational, agg/window,
 #: temporal/streaming, delta lifecycle, text/corpus, dedup, similarity,
-#: packing — and contain only oracle-bearing queries (rows-only entries
-#: like the HLL sketch sit past the window; they're pytest-gated on
-#: accuracy instead). Everything outside the window is still verified by
-#: tools/check_oracle.py and tests/test_oracle_full.py.
-DRIVER_WINDOW = [
+#: packing) — and the remaining 10 ROTATE deterministically through
+#: every other oracle-bearing registry entry, keyed off the round index
+#: (r12: driver-side verification is no longer confined to the same
+#: fixed subset forever; the full pool cycles through in
+#: ceil(pool/10) rounds). Rows-only entries never enter the window —
+#: they're pytest-gated on accuracy instead. Everything outside the
+#: window is still verified every round by tools/check_oracle.py and
+#: tests/test_oracle_full.py.
+DRIVER_WINDOW_CORE = [
     # relational core (TPC-H sample + scan surface)
     "q1_pricing_summary", "q3_shipping_priority", "q5_revenue_by_nation",
     "antijoin_no_big_orders", "q17_small_quantity_revenue",
-    "filter_predicate_ops", "projection_computed", "union_common",
+    "filter_predicate_ops", "projection_computed",
     "count_rows", "window_top_order_per_customer",
-    # aggregation / window / reshape
+    # aggregation / window
     "cube_counts", "grouping_sets_rollup", "customer_value_deciles",
-    "events_value_quantiles", "events_pivot_types", "lineitem_unpivot",
     # temporal / streaming-shaped
     "events_hourly_tumbling", "events_session_windows",
     "events_gapfill_locf", "events_conversion_funnel",
-    "events_lag_features", "events_type_correlation",
-    "asof_join_nearest", "range_join_followups", "stateful_user_stats",
+    "asof_join_nearest", "stateful_user_stats",
     # delta table lifecycle
     "delta_roundtrip_scan", "delta_filtered_scan_skipping",
     "delta_delete_cow", "delta_delete_dv", "delta_merge_upsert",
     "delta_time_travel", "delta_overwrite_restore",
     "delta_schema_evolution",
     # text / corpus analysis
-    "text_stats", "lang_detect", "token_count_by_lang", "pii_stats",
+    "text_stats", "lang_detect", "pii_stats",
     "corpus_filter_funnel", "corpus_prep_pipeline",
     # deduplication
     "dedup_exact_keepers", "dedup_ngram_jaccard_pairs",
     "dedup_connected_components", "contamination_check",
-    "incremental_dedup_keepers", "dedup_paragraphs", "leakage_safe_split",
+    "incremental_dedup_keepers", "leakage_safe_split",
     # similarity / embeddings
-    "similarity_topk_cosine", "knn_join_labels", "embedding_assign_nearest",
+    "similarity_topk_cosine", "knn_join_labels",
     # sequence packing
     "chunk_and_pack",
 ]
+
+#: Rotating slots appended to the core each round.
+DRIVER_WINDOW_ROTATION = 10
+
+
+def _round_index() -> int:
+    """Deterministic rotation key: how many driver correctness
+    artifacts exist in the repo root (one per completed round). The
+    driver runs queries() BEFORE writing round N's artifact, so round
+    N sees N-1 files — a stable, observable per-round index with no
+    clock or environment dependence."""
+    import glob as _glob
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return len(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+
+
+def driver_window(round_index: "int | None" = None) -> list[str]:
+    """The 50-query driver window for ``round_index``: the fixed core
+    plus 10 oracle-bearing entries rotated from the rest of the
+    registry (alphabetical pool, contiguous wrapping slice — every
+    pool entry appears within ceil(pool/10) consecutive rounds)."""
+    if round_index is None:
+        round_index = _round_index()
+    core_set = set(DRIVER_WINDOW_CORE)
+    pool = sorted(n for n in REGISTRY
+                  if REGISTRY[n][1] is not None and n not in core_set)
+    k = min(DRIVER_WINDOW_ROTATION, len(pool))
+    if k == 0:
+        return list(DRIVER_WINDOW_CORE)
+    start = (round_index * DRIVER_WINDOW_ROTATION) % len(pool)
+    rot: list = []
+    for i in range(k):
+        cand = pool[(start + i) % len(pool)]
+        if cand not in rot:
+            rot.append(cand)
+    return DRIVER_WINDOW_CORE + rot
+
+
+DRIVER_WINDOW = driver_window()
 
 
 def _ordered_names() -> list[str]:

@@ -4406,11 +4406,21 @@ class DeltaTable:
         roaring bitmaps packed into ONE spec-layout DV file under this
         table's root, descriptors attach to the matching adds, and the
         protocol declares ``deletionVectors`` — merge-on-read state
-        survives the conversion instead of refusing. Equality deletes,
-        non-identity transforms, and non-parquet data still refuse
-        loudly. Stats carry ``numRecords`` (physical rows, per DV
-        semantics — ``count()`` subtracts DV cardinality); run
-        :meth:`recompute_stats` afterwards for min/max skipping."""
+        survives the conversion instead of refusing. EQUALITY deletes
+        (r12) convert too: one Spark job per equality-column set semi-
+        joins the affected data files (``_metadata.row_index``)
+        against the broadcast delete tuples and the matching positions
+        become DVs (:meth:`_iceberg_equality_delete_map`). Non-identity
+        partition transforms — ``bucket[N]``, ``truncate[W]``,
+        ``year``/``month``/``day``/``hour``, ``void`` (r12) — drop out
+        of the Delta partition declaration (a pure-bucket spec imports
+        unpartitioned, a mixed spec keeps its identity columns;
+        Iceberg stores every column in the data files, so scans stay
+        correct — only partition-level pruning narrows). Unknown
+        transforms and non-parquet data still refuse loudly. Stats carry ``numRecords`` (physical
+        rows, per DV semantics — ``count()`` subtracts DV
+        cardinality); run :meth:`recompute_stats` afterwards for
+        min/max skipping."""
         from .log.iceberg import read_iceberg_snapshot
         mode = WriteMode.coerce(mode)
         if self.log and mode == WriteMode.error:
@@ -4435,10 +4445,17 @@ class DeltaTable:
                             {"numRecords": f["record_count"]}))
                     for f in snap["files"]]
         file_seq = {f["path"]: f.get("seq", 0) for f in snap["files"]}
-        has_dv = bool(snap.get("position_deletes"))
+        dv_map: dict = {}
+        if snap.get("position_deletes"):
+            dv_map = self._iceberg_position_delete_map(
+                snap["position_deletes"], file_seq)
+        if snap.get("equality_deletes"):
+            for p, s in self._iceberg_equality_delete_map(
+                    snap["equality_deletes"], file_seq).items():
+                dv_map.setdefault(p, set()).update(s)
+        has_dv = bool(dv_map)
         if has_dv:
-            has_dv = self._attach_iceberg_position_deletes(
-                new_adds, snap["position_deletes"], file_seq)
+            self._attach_iceberg_dv_map(new_adds, dv_map)
         if not self.log:
             entry = create_table_entry(schema, partition_by,
                                        self.location.url, new_adds,
@@ -4454,29 +4471,24 @@ class DeltaTable:
             self._ensure_entry_features(entry, {"deletionVectors"})
         return self._commit(entry)
 
-    def _attach_iceberg_position_deletes(self, new_adds: "list[Add]",
-                                         deletes: "list[dict]",
-                                         file_seq: "dict[str, int]"
-                                         ) -> bool:
-        """Convert Iceberg v2 position-delete parquet into Delta DV
-        descriptors on the matching adds (helper of
-        :meth:`import_iceberg`). Reads go through the Location layer
-        (registered filesystems / storage_options honored) — delete
-        files are KB-scale relative to data; the bitmaps pack into
-        ONE .bin under this table.
+    def _iceberg_position_delete_map(self, deletes: "list[dict]",
+                                     file_seq: "dict[str, int]"
+                                     ) -> "dict[str, set]":
+        """Iceberg v2 position-delete parquet -> {data path: deleted
+        row positions} (helper of :meth:`import_iceberg`). Reads go
+        through the Location layer (registered filesystems /
+        storage_options honored) — delete files are KB-scale relative
+        to data.
 
         Applicability follows the spec's sequence-number rule: a
         position delete applies only to data files whose sequence
         number is <= the delete's; rows targeting rewritten/absent
         files are INERT (real readers ignore them until delete
-        compaction), never an error. Returns whether any DV was
-        actually attached."""
+        compaction), never an error."""
         import io as _io
 
-        import numpy as np
         import pyarrow.parquet as pq
 
-        from .log.dv import write_dv_files_packed
         per_file: dict = {}
         for d in deletes:
             data = Location.resolve(d["path"]).read_bytes()
@@ -4487,10 +4499,78 @@ class DeltaTable:
                                tbl.column("pos").to_pylist()):
                 if fp in file_seq and file_seq[fp] <= dseq:
                     per_file.setdefault(fp, set()).add(int(pos))
-        if not per_file:
-            return False
+        return per_file
+
+    def _iceberg_equality_delete_map(self, deletes: "list[dict]",
+                                     file_seq: "dict[str, int]"
+                                     ) -> "dict[str, set]":
+        """Iceberg v2 EQUALITY-delete files -> {data path: deleted row
+        positions} (r12, helper of :meth:`import_iceberg`): equality
+        deletes name VALUES, not positions, so conversion to Delta DVs
+        needs ONE Spark job per equality-column set — scan only the
+        data files the spec says are affected (sequence number
+        STRICTLY below a delete's) with ``_metadata.row_index``, semi-
+        join against the broadcast delete tuples (null-safe equality,
+        per spec NULL matches NULL), and keep the matching positions.
+        At 100 TB the job touches only the affected files once and the
+        delete tuples ride a broadcast — never an all-pairs shape."""
+        from functools import reduce
+
+        groups: dict = {}
+        for d in deletes:
+            groups.setdefault(tuple(sorted(d["columns"])),
+                              []).append(d)
+        per_file: dict = {}
+        norm_of = {_norm_uri(p): p for p in file_seq}
+        for cols, group in sorted(groups.items()):
+            max_dseq = max(int(d.get("seq", 0)) for d in group)
+            affected = {p: s for p, s in file_seq.items()
+                        if s < max_dseq}
+            if not affected:
+                continue
+            dd = None
+            for d in group:
+                one = (self.spark.read.parquet(d["path"])
+                       .select(*[F.col(c).alias(f"__d_{c}")
+                                 for c in cols])
+                       .withColumn("__dseq",
+                                   F.lit(int(d.get("seq", 0)))))
+                dd = one if dd is None else dd.unionByName(one)
+            seq_df = self.spark.createDataFrame(
+                [(_norm_uri(p), int(s)) for p, s in affected.items()],
+                "__nfp string, __fseq long")
+            data = (self.spark.read.parquet(*sorted(affected))
+                    .select(
+                        F.regexp_replace(
+                            F.regexp_replace(
+                                F.col("_metadata.file_path"),
+                                r"^[a-zA-Z0-9+.-]+://?", "/"),
+                            r"^//+", "/").alias("__nfp"),
+                        F.col("_metadata.row_index").alias("__pos"),
+                        *cols))
+            cond = reduce(lambda a, b: a & b,
+                          [F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+                           for c in cols])
+            hits = (data.join(F.broadcast(dd), cond, "inner")
+                    .join(F.broadcast(seq_df), "__nfp")
+                    .filter(F.col("__fseq") < F.col("__dseq"))
+                    .select("__nfp", "__pos").distinct().collect())
+            for r in hits:
+                p = norm_of.get(r["__nfp"])
+                if p is not None:
+                    per_file.setdefault(p, set()).add(int(r["__pos"]))
+        return per_file
+
+    def _attach_iceberg_dv_map(self, new_adds: "list[Add]",
+                               per_file: "dict[str, set]") -> None:
+        """Pack {data path: deleted positions} into ONE spec-layout DV
+        file under this table's root and attach the descriptors to the
+        matching adds."""
+        import numpy as np
+
+        from .log.dv import write_dv_files_packed
         by_path = {a.path: a for a in new_adds}
-        targets = sorted(per_file)
+        targets = sorted(p for p in per_file if p in by_path)
         descs = write_dv_files_packed(
             self.location,
             [np.array(sorted(per_file[p]), dtype=np.int64)
@@ -4498,7 +4578,6 @@ class DeltaTable:
         for p, desc in zip(targets, descs):
             a = by_path[p]
             a.extra = {**(a.extra or {}), "deletionVector": desc}
-        return True
 
     # -- maintenance (SURVEY §2.5 stretch ops) ------------------------------------
 
