@@ -127,3 +127,19 @@ def test_final_bench_line_is_compact():
     tail = src.split("# Final line:")[1]
     assert '"queries"' not in tail.split("spark.stop()")[0]
     assert "assert len(line) < 1500" in tail
+
+
+def test_bench_prestage_keys_match():
+    """r12: bench.py pre-stages the maintained clustering tables
+    untimed; every maintain_key a registry query uses must be staged
+    by bench.py under the SAME key, or the first tail timing silently
+    re-pays the table-scale OPTIMIZE it was supposed to exclude."""
+    import re
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_src = open(os.path.join(root, "bench.py")).read()
+    q_src = open(os.path.join(root, "xdlake_spark",
+                              "queries.py")).read()
+    q_keys = set(re.findall(r'maintain_key="(\w+)"', q_src))
+    bench_keys = set(re.findall(r'maintain_key="(\w+)"', bench_src))
+    assert q_keys, "clustering queries lost their staged maintenance"
+    assert q_keys <= bench_keys, sorted(q_keys - bench_keys)

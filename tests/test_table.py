@@ -3211,3 +3211,66 @@ class TestRecomputeStatsConcurrency:
         assert "A" not in flags                    # NOT resurrected
         assert all(a.stats is not None for a in t2.adds.values())
         assert t2.to_df(where="l_returnflag = 'A'").count() == 0
+
+
+class TestCdfTimestampBounds:
+    """r12 (delta-spark parity): change_feed/table_changes accept
+    startingTimestamp/endingTimestamp bounds resolved against the
+    commit clock (ICT-aware), and the feed carries _commit_timestamp
+    alongside _commit_version."""
+
+    def test_commit_timestamp_column(self, spark, tmp_table_dir):
+        pdf = gen_pdf(20)
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(
+            spark.createDataFrame(pdf))
+        t = t.write(spark.createDataFrame(gen_pdf(5)), mode="append")
+        feed = t.change_feed(-1).toPandas()
+        assert "_commit_timestamp" in feed.columns
+        by_v = feed.groupby("_commit_version")["_commit_timestamp"]
+        # one timestamp per version, matching the history clock
+        assert (by_v.nunique() == 1).all()
+        hist = {h["version"]:
+                h.get("inCommitTimestamp", h.get("timestamp"))
+                for h in t.history()}
+        for v, ts in by_v.first().items():
+            assert int(ts.timestamp() * 1000) == int(hist[v])
+
+    def test_timestamp_bounds_select_versions(self, spark,
+                                              tmp_table_dir):
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(
+            spark.createDataFrame(gen_pdf(10)))          # v0
+        t = t.write(spark.createDataFrame(gen_pdf(3)),
+                    mode="append")                       # v1
+        t = t.write(spark.createDataFrame(gen_pdf(4)),
+                    mode="append")                       # v2
+        hist = {h["version"]:
+                int(h.get("inCommitTimestamp", h.get("timestamp")))
+                for h in t.history()}
+        # starting at exactly v1's commit time includes v1 onward
+        feed = t.change_feed(starting_timestamp=hist[1]).toPandas()
+        assert set(feed["_commit_version"]) == {1, 2}
+        assert len(feed) == 7
+        # ending at v1's time stops there
+        feed = t.change_feed(starting_timestamp=hist[0],
+                             ending_timestamp=hist[1]).toPandas()
+        assert set(feed["_commit_version"]) == {0, 1}
+        # table_changes takes the same bounds
+        got = t.table_changes(starting_timestamp=hist[2]).count()
+        assert got == 4
+        # a start after every commit raises (nothing at or after)
+        import pytest
+        with pytest.raises(ValueError, match="at or after"):
+            t.change_feed(starting_timestamp=hist[2] + 10_000)
+
+    def test_bound_validation(self, spark, tmp_table_dir):
+        t = DeltaTable(spark, f"{tmp_table_dir}/t").write(
+            spark.createDataFrame(gen_pdf(5)))
+        import pytest
+        with pytest.raises(ValueError, match="not both"):
+            t.change_feed(0, starting_timestamp=0)
+        with pytest.raises(ValueError, match="not both"):
+            t.change_feed(-1, 0, ending_timestamp=0)
+        with pytest.raises(ValueError, match="needs start_version"):
+            t.change_feed()
+        with pytest.raises(ValueError, match="needs start_version"):
+            t.table_changes()

@@ -162,10 +162,10 @@ class DeltaTable:
         """
         return self.load_as_version(self._version_at_timestamp(ts))
 
-    def _version_at_timestamp(self, ts: Any) -> int:
-        """Newest version committed at or before ``ts`` (epoch ms /
-        datetime / ISO string; naive datetimes read as UTC) — shared by
-        timestamp time travel and RESTORE TO TIMESTAMP."""
+    @staticmethod
+    def _ts_to_ms(ts: Any) -> int:
+        """epoch ms / datetime / ISO string -> epoch ms (naive
+        datetimes read as UTC)."""
         import datetime as _dt
 
         if isinstance(ts, str):
@@ -173,10 +173,14 @@ class DeltaTable:
         if isinstance(ts, _dt.datetime):
             if ts.tzinfo is None:
                 ts = ts.replace(tzinfo=_dt.timezone.utc)
-            ms = int(ts.timestamp() * 1000)
-        else:
-            ms = int(ts)
+            return int(ts.timestamp() * 1000)
+        return int(ts)
 
+    def _version_at_timestamp(self, ts: Any) -> int:
+        """Newest version committed at or before ``ts`` (epoch ms /
+        datetime / ISO string; naive datetimes read as UTC) — shared by
+        timestamp time travel and RESTORE TO TIMESTAMP."""
+        ms = self._ts_to_ms(ts)
         best: int | None = None
         for h in self.history(reverse=False):
             # in-commit timestamps, when present, are the table's
@@ -190,6 +194,18 @@ class DeltaTable:
                 f"No version of {self.location.url} exists at or before "
                 f"timestamp {ms} (epoch ms)")
         return best
+
+    def _first_version_at_or_after(self, ts: Any) -> int:
+        """Earliest version committed at or after ``ts`` — delta-spark's
+        ``startingTimestamp`` resolution for CDF reads."""
+        ms = self._ts_to_ms(ts)
+        for h in self.history(reverse=False):
+            t = h.get("inCommitTimestamp", h.get("timestamp"))
+            if t is not None and int(t) >= ms:
+                return h["version"]
+        raise ValueError(
+            f"No version of {self.location.url} exists at or after "
+            f"timestamp {ms} (epoch ms)")
 
     def file_uris(self) -> list[str]:
         """Absolute URIs of live files (reference __init__.py:122-125)."""
@@ -499,10 +515,13 @@ class DeltaTable:
         keys = [s.split("=", 1)[0] for s in segs if "=" in s]
         return keys == pcols
 
-    def table_changes(self, start_version: int,
-                      end_version: int | None = None) -> DataFrame:
+    def table_changes(self, start_version: "int | None" = None,
+                      end_version: int | None = None, *,
+                      starting_timestamp: Any = None,
+                      ending_timestamp: Any = None) -> DataFrame:
         """Rows appended in versions ``(start_version, end_version]`` —
         incremental (CDC-lite) consumption for downstream pipelines.
+        Timestamp bounds accepted like :meth:`change_feed` (r12).
 
         Scans only the data files ADDED with ``dataChange`` in that
         version window; compaction rewrites (``dataChange=false``) are
@@ -515,6 +534,20 @@ class DeltaTable:
         drop such commits wholesale. The scan is manifest-driven: no
         listing, no diffing.
         """
+        if starting_timestamp is not None:
+            if start_version is not None:
+                raise ValueError("give start_version or "
+                                 "starting_timestamp, not both")
+            start_version = self._first_version_at_or_after(
+                starting_timestamp) - 1
+        if ending_timestamp is not None:
+            if end_version is not None:
+                raise ValueError("give end_version or "
+                                 "ending_timestamp, not both")
+            end_version = self._version_at_timestamp(ending_timestamp)
+        if start_version is None:
+            raise ValueError("table_changes needs start_version or "
+                             "starting_timestamp")
         full = DeltaLog.load(self.log_location, use_checkpoint=False)
         end = end_version if end_version is not None else full.version
         changed: dict[str, Add] = {}
@@ -629,12 +662,22 @@ class DeltaTable:
         staging.delete_dir()
         return cdcs
 
-    def change_feed(self, start_version: int,
-                    end_version: int | None = None) -> DataFrame:
+    def change_feed(self, start_version: "int | None" = None,
+                    end_version: int | None = None, *,
+                    starting_timestamp: Any = None,
+                    ending_timestamp: Any = None) -> DataFrame:
         """Row-level Change Data Feed for versions
         ``(start_version, end_version]``: table schema plus
         ``_change_type`` (insert / delete / update_preimage /
-        update_postimage) and ``_commit_version``.
+        update_postimage), ``_commit_version`` and
+        ``_commit_timestamp`` (r12 — delta-spark emits all three).
+
+        Timestamp bounds (r12, delta-spark's startingTimestamp /
+        endingTimestamp): ``starting_timestamp`` includes changes from
+        the EARLIEST commit at or after it; ``ending_timestamp``
+        includes changes up to the latest commit at or before it.
+        Epoch ms / datetime / ISO string accepted; give a version or a
+        timestamp per bound, not both.
 
         Per the Delta CDF spec: a commit WITH cdc actions yields exactly
         its cdc files' rows; a commit without them derives changes from
@@ -642,14 +685,42 @@ class DeltaTable:
         removes with dataChange -> delete, scanning the tombstoned file,
         which is valid until VACUUM expires it).
         """
+        if starting_timestamp is not None:
+            if start_version is not None:
+                raise ValueError("give start_version or "
+                                 "starting_timestamp, not both")
+            # first commit at-or-after the timestamp is INCLUDED in
+            # the exclusive-start (start, end] window
+            start_version = self._first_version_at_or_after(
+                starting_timestamp) - 1
+        if ending_timestamp is not None:
+            if end_version is not None:
+                raise ValueError("give end_version or "
+                                 "ending_timestamp, not both")
+            end_version = self._version_at_timestamp(ending_timestamp)
+        if start_version is None:
+            raise ValueError(
+                "change_feed needs start_version or starting_timestamp")
         schema = self.schema
         assert schema is not None
         full = DeltaLog.load(self.log_location, use_checkpoint=False)
         end = end_version if end_version is not None else full.version
+
+        def commit_ts_ms(v: int) -> "int | None":
+            ci = full.entries[v].commit_info
+            if ci is None:
+                return None
+            ict = (ci.extra or {}).get("inCommitTimestamp")
+            return int(ict if ict is not None else ci.timestamp)
+
         out: DataFrame | None = None
 
-        def stack(df: DataFrame):
+        def stack(df: DataFrame, v: int):
             nonlocal out
+            df = (df.withColumn("_commit_version", F.lit(v))
+                  .withColumn("_commit_timestamp",
+                              F.timestamp_millis(
+                                  F.lit(commit_ts_ms(v)))))
             out = df if out is None else out.unionByName(df)
 
         cols = schema.fieldNames()
@@ -692,13 +763,13 @@ class DeltaTable:
                             pc, F.col(f"__pv_{pc}")
                             .cast(schema[pc].dataType))
                 df = df.select(*cols, self._CHANGE_TYPE)
-                stack(df.withColumn("_commit_version", F.lit(v)))
+                stack(df, v)
                 continue
             ins = {a.path: a for a in entry.adds if a.dataChange}
             if ins:
                 stack(self._scan(ins)
-                      .withColumn(self._CHANGE_TYPE, F.lit("insert"))
-                      .withColumn("_commit_version", F.lit(v)))
+                      .withColumn(self._CHANGE_TYPE, F.lit("insert")),
+                      v)
             dels = {r.path: None for r in entry.removes if r.dataChange}
             if dels:
                 # the removed files' content: find their add actions in
@@ -713,13 +784,14 @@ class DeltaTable:
                 if add_of:
                     stack(self._scan(add_of)
                           .withColumn(self._CHANGE_TYPE,
-                                      F.lit("delete"))
-                          .withColumn("_commit_version", F.lit(v)))
+                                      F.lit("delete")), v)
         if out is None:
             cdc_schema = T.StructType(
                 list(schema.fields)
                 + [T.StructField(self._CHANGE_TYPE, T.StringType()),
-                   T.StructField("_commit_version", T.LongType())])
+                   T.StructField("_commit_version", T.LongType()),
+                   T.StructField("_commit_timestamp",
+                                 T.TimestampType())])
             return self.spark.createDataFrame([], cdc_schema)
         return out
 
