@@ -508,3 +508,49 @@ class TestCdfBackfill:
         o1 = r.latestOffset()            # blind pin behind checkpoint
         with pytest.raises(ValueError, match="cappedStart"):
             r.partitions({"version": 2, "index": -1}, o1)
+
+
+class TestStartingTimestampOption:
+    """r12 (delta-spark parity): the streaming source accepts
+    startingTimestamp — resolved to the EARLIEST version committed at
+    or after the timestamp against the log's ICT-aware clock, then
+    treated exactly like startingVersion."""
+
+    def _source(self, path, **opts):
+        from xdlake_spark.sources.datasource import XdlakeDataSource
+        return XdlakeDataSource({"path": path, **opts})
+
+    def test_resolves_to_first_version_at_or_after(
+            self, registered, tmp_table_dir, lineitem):
+        t = DeltaTable(registered, tmp_table_dir)
+        for _ in range(3):
+            t = t.write(lineitem.limit(5).coalesce(1), mode="append")
+        hist = {h["version"]:
+                int(h.get("inCommitTimestamp", h.get("timestamp")))
+                for h in t.history()}
+        src = self._source(tmp_table_dir,
+                           startingTimestamp=str(hist[1]))
+        assert src._starting_version() == 1
+        # a timestamp just past v1's commit resolves to v2
+        src = self._source(tmp_table_dir,
+                           startingTimestamp=str(hist[1] + 1))
+        assert src._starting_version() in (1, 2)  # ==1 only if ts equal
+        if hist[2] > hist[1]:
+            assert src._starting_version() == 2
+
+    def test_mutually_exclusive_and_too_late(self, registered,
+                                             tmp_table_dir, lineitem):
+        import pytest
+        t = DeltaTable(registered, tmp_table_dir).write(
+            lineitem.limit(5))
+        src = self._source(tmp_table_dir, startingVersion="0",
+                           startingTimestamp="0")
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            src._starting_version()
+        hist = {h["version"]:
+                int(h.get("inCommitTimestamp", h.get("timestamp")))
+                for h in t.history()}
+        src = self._source(tmp_table_dir,
+                           startingTimestamp=str(hist[0] + 10_000))
+        with pytest.raises(ValueError, match="at or after"):
+            src._starting_version()

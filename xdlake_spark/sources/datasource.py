@@ -722,8 +722,35 @@ class XdlakeDataSource(DataSource):
         return out[0], out[1]
 
     def _starting_version(self) -> "int | str | None":
-        """Validated startingVersion: a version number or 'latest'."""
+        """Validated startingVersion: a version number or 'latest'.
+        ``startingTimestamp`` (r12, delta-spark parity) resolves to the
+        EARLIEST version committed at or after the timestamp against
+        the log's own clock (ICT-aware) and then behaves exactly like
+        startingVersion."""
         raw = self.options.get("startingVersion")
+        ts = self.options.get("startingTimestamp")
+        if raw is not None and ts is not None:
+            raise ValueError("startingVersion and startingTimestamp "
+                             "are mutually exclusive")
+        if ts is not None:
+            import datetime as _dt
+            try:
+                ms = int(ts)
+            except (TypeError, ValueError):
+                d = _dt.datetime.fromisoformat(str(ts))
+                if d.tzinfo is None:
+                    d = d.replace(tzinfo=_dt.timezone.utc)
+                ms = int(d.timestamp() * 1000)
+            from ..log import DeltaLog
+            from .storage import Location
+            log = DeltaLog.load(
+                Location.resolve(self._path()).join("_delta_log"))
+            for h in log.history(reverse=False):
+                t = h.get("inCommitTimestamp", h.get("timestamp"))
+                if t is not None and int(t) >= ms:
+                    return h["version"]
+            raise ValueError("no version committed at or after "
+                             f"startingTimestamp={ts!r}")
         if raw is None:
             return None
         if str(raw).lower() == "latest":
