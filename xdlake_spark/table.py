@@ -4608,6 +4608,14 @@ class DeltaTable:
                        .withColumn("__dseq",
                                    F.lit(int(d.get("seq", 0)))))
                 dd = one if dd is None else dd.unionByName(one)
+            # the manifests already carry the delete files' row counts:
+            # broadcast only genuinely small tuple sets; a huge
+            # equality-delete backlog falls back to a shuffle join
+            # instead of OOMing every executor on the broadcast
+            n_del_rows = sum(int(d.get("record_count") or 0)
+                             for d in group)
+            if n_del_rows <= 4_000_000:
+                dd = F.broadcast(dd)
             seq_df = self.spark.createDataFrame(
                 [(_norm_uri(p), int(s)) for p, s in affected.items()],
                 "__nfp string, __fseq long")
@@ -4623,7 +4631,7 @@ class DeltaTable:
             cond = reduce(lambda a, b: a & b,
                           [F.col(c).eqNullSafe(F.col(f"__d_{c}"))
                            for c in cols])
-            hits = (data.join(F.broadcast(dd), cond, "inner")
+            hits = (data.join(dd, cond, "inner")
                     .join(F.broadcast(seq_df), "__nfp")
                     .filter(F.col("__fseq") < F.col("__dseq"))
                     .select("__nfp", "__pos").distinct().collect())
