@@ -110,6 +110,50 @@ class TestNgramJaccard:
             assert (i, i + 100000) in got
 
 
+class TestNgramContainment:
+    """r12: asymmetric containment c(A,B)=|A∩B|/|A| — the subsumption
+    signal jaccard misses when a short doc is embedded in a long one."""
+
+    def test_subsumed_doc_detected_where_jaccard_misses(self, spark):
+        short = "a b c d e"                       # 3 shingles
+        long = short + " " + " ".join(
+            f"w{i} x{i} y{i}" for i in range(20))  # >> 3 shingles
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [short, long, "q r s t u"]}))
+        # jaccard at 0.8 misses the subsumption entirely
+        j = dedup.ngram_jaccard_pairs(df, k_shingle=3, threshold=0.8)
+        assert j.count() == 0
+        got = {(r["id_a"], r["id_b"]): r for r in
+               dedup.ngram_containment_pairs(
+                   df, k_shingle=3, threshold=0.8).collect()}
+        assert set(got) == {(1, 2)}
+        r = got[(1, 2)]
+        assert r["containment_a"] == pytest.approx(1.0)   # 1 ⊆ 2
+        assert r["containment_b"] < 0.2
+
+    def test_matches_manual_counts(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["a b c d e", "a b c d x"]}))
+        r = dedup.ngram_containment_pairs(
+            df, k_shingle=3, threshold=0.5).collect()
+        # shingles(1)={abc,bcd,cde}, (2)={abc,bcd,cdx}: inter=2
+        assert len(r) == 1
+        assert r[0]["containment_a"] == pytest.approx(2 / 3)
+        assert r[0]["containment_b"] == pytest.approx(2 / 3)
+
+    def test_doc_freq_valve_consistent(self, spark, documents):
+        """The stop-shingle valve adjusts index AND denominators; with
+        a generous cutoff on the real corpus both paths agree."""
+        a = dedup.ngram_containment_pairs(documents, threshold=0.9)
+        b = dedup.ngram_containment_pairs(documents, threshold=0.9,
+                                          max_doc_freq=10**9)
+        ka = {(r["id_a"], r["id_b"]) for r in a.collect()}
+        kb = {(r["id_a"], r["id_b"]) for r in b.collect()}
+        assert ka == kb and ka
+
+
 class TestContaminationBloomScreen:
     """contamination_pairs(eval_screen=True) (r10): the eval-shingle
     Bloom filter prunes the train inverted index as a pure JVM filter

@@ -1085,6 +1085,58 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k_shingle: int = 3,
+                            threshold: float = 0.8,
+                            max_doc_freq: int | None = None,
+                            bucket_cap: int = 2000) -> DataFrame:
+    """Exact ASYMMETRIC containment join (Broder's c(A,B) =
+    |A ∩ B| / |A| over k-shingle sets): catches SUBSUMED
+    near-duplicates — a short page fully embedded in a longer
+    boilerplate-wrapped variant — that symmetric jaccard structurally
+    misses (when |B| >> |A|, |A∩B|/|A∪B| stays small even though A is
+    entirely inside B, while |A∩B|/|A| is ~1). The standard companion
+    signal to jaccard in web-dedup pipelines.
+
+    Same machinery and scale posture as :func:`ngram_jaccard_pairs` —
+    shingle inverted index with 8-byte hashed keys, per-shingle tiled
+    self-join (never all-pairs), optional ``max_doc_freq`` stop-shingle
+    valve applied consistently to index and sizes. Returns
+    ``(id_a, id_b, containment_a, containment_b)`` for pairs where
+    EITHER direction reaches ``threshold`` (containment_a = share of
+    A's shingles found in B)."""
+    sh = (ensure_parallelism(df)
+          .select(F.col(id_col).alias("id"),
+                  shingles(F.col(text_col), k_shingle).alias("sh"))
+          .localCheckpoint(eager=False))
+    inv = (sh.select("id", F.explode("sh").alias("__s"))
+           .select("id", F.xxhash64("__s").alias("shingle")))
+    if max_doc_freq is not None:
+        inv, = _doc_freq_valve([inv], "shingle", max_doc_freq)
+        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inter = (_bounded_bucket_pairs(inv, ["shingle"],
+                                   bucket_cap=bucket_cap,
+                                   distinct=False)
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col("id").alias("id_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("containment_a",
+                        F.col("n_inter").cast("double")
+                        / F.col("n_a").cast("double"))
+            .withColumn("containment_b",
+                        F.col("n_inter").cast("double")
+                        / F.col("n_b").cast("double"))
+            .filter((F.col("containment_a") >= threshold)
+                    | (F.col("containment_b") >= threshold))
+            .select("id_a", "id_b", "containment_a", "containment_b"))
+
+
 def cross_corpus_jaccard_pairs(new: DataFrame, corpus: DataFrame,
                                text_col: str = "text",
                                id_col: str = "doc_id",

@@ -3890,6 +3890,49 @@ def dedup_ngram(spark, sf_dir):
                       F.round("jaccard", 6).alias("jaccard"))
 
 
+@register("dedup_containment_pairs", """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+              ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM toks
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_inter AS DOUBLE) / sa.n_sh, 6) AS containment_a,
+       round(CAST(n_inter AS DOUBLE) / sb.n_sh, 6) AS containment_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / sa.n_sh >= 0.8
+   OR CAST(n_inter AS DOUBLE) / sb.n_sh >= 0.8
+""")
+def dedup_containment(spark, sf_dir):
+    """Asymmetric shingle containment (r12, operators/dedup.py
+    ngram_containment_pairs — Broder's c(A,B)=|A∩B|/|A|): the
+    subsumption signal symmetric jaccard misses when one near-dup is a
+    short page embedded in a longer boilerplate-wrapped variant. Same
+    tiled inverted-index join as the jaccard op; DuckDB recomputes
+    both directions exactly."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.ngram_containment_pairs(d, k_shingle=3, threshold=0.8)
+    return out.select("id_a", "id_b",
+                      F.round("containment_a", 6).alias("containment_a"),
+                      F.round("containment_b", 6).alias("containment_b"))
+
+
 @register("dedup_edit_distance_pairs", r"""
 WITH base AS (
   SELECT doc_id,
