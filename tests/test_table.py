@@ -1373,19 +1373,20 @@ class TestReaderProtocolGate:
                                                    tmp_table_dir):
         """Delta spec: a writer MUST refuse to commit unless it
         implements every writerFeature — our commits would silently
-        break e.g. icebergCompatV2 invariants for other engines. Reads
+        break e.g. collation invariants for other engines (collations
+        here; icebergCompatV2 graduated to the held set in r12). Reads
         stay available (reader protocol is v1 here)."""
         t = DeltaTable(spark, f"{tmp_table_dir}/t")
         t = t.write(spark.createDataFrame(gen_pdf()))
         n = t.to_df().count()
         self._graft_protocol(tmp_table_dir, {
             "minReaderVersion": 1, "minWriterVersion": 7,
-            "writerFeatures": ["icebergCompatV2"]})
+            "writerFeatures": ["collations"]})
         t2 = DeltaTable(spark, f"{tmp_table_dir}/t")
         assert t2.to_df().count() == n  # reading is fine
-        with pytest.raises(NotImplementedError, match="icebergCompatV2"):
+        with pytest.raises(NotImplementedError, match="collations"):
             t2.write(spark.createDataFrame(gen_pdf()), mode="append")
-        with pytest.raises(NotImplementedError, match="icebergCompatV2"):
+        with pytest.raises(NotImplementedError, match="collations"):
             t2.delete("f64 > 0.5")
 
     def test_supported_writer_features_commit(self, spark,
