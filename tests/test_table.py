@@ -3275,3 +3275,39 @@ class TestCdfTimestampBounds:
             t.change_feed()
         with pytest.raises(ValueError, match="needs start_version"):
             t.table_changes()
+
+
+class TestCloneVersionAsOf:
+    """r12 (delta-spark CLONE source VERSION AS OF n): cloning a
+    time-traveled handle clones AT that version — shallow copies
+    history up to the pin, deep snapshots the pinned live set."""
+
+    def test_shallow_clone_of_pinned_version(self, spark,
+                                             tmp_table_dir):
+        pdf = gen_pdf(10)
+        t = DeltaTable(spark, f"{tmp_table_dir}/src").write(
+            spark.createDataFrame(pdf))                    # v0
+        t = t.write(spark.createDataFrame(gen_pdf(5)),
+                    mode="append")                         # v1
+        t = t.delete("i64 > 0")                            # v2
+        pinned = DeltaTable(spark, f"{tmp_table_dir}/src", version=1)
+        c = pinned.clone(f"{tmp_table_dir}/c1")
+        assert c.version == 1                  # history stops at the pin
+        assert c.to_df().count() == 15         # pre-delete state
+        # the source head is unaffected and differs
+        assert DeltaTable(spark, f"{tmp_table_dir}/src").version == 2
+        # unpinned clone still carries the whole history
+        full = t.clone(f"{tmp_table_dir}/c2")
+        assert full.version == 2
+        assert full.to_df().count() == t.to_df().count()
+
+    def test_deep_clone_of_pinned_version(self, spark, tmp_table_dir):
+        pdf = gen_pdf(8)
+        t = DeltaTable(spark, f"{tmp_table_dir}/src").write(
+            spark.createDataFrame(pdf))                    # v0
+        t = t.write(spark.createDataFrame(gen_pdf(4)),
+                    mode="append")                         # v1
+        pinned = DeltaTable(spark, f"{tmp_table_dir}/src", version=0)
+        c = pinned.clone(f"{tmp_table_dir}/d", deep=True)
+        assert c.version == 0
+        assert c.to_df().count() == 8          # v0 snapshot only

@@ -4151,6 +4151,11 @@ class DeltaTable:
         absolute source URLs; zero data copy; full history preserved
         (reference __init__.py:231-257).
 
+        Cloning a time-traveled handle clones AT that version
+        (delta-spark's ``CLONE source VERSION AS OF n``): shallow
+        copies history up to the pin, deep snapshots the pinned live
+        file set.
+
         ``deep=True`` is delta-spark's DEEP CLONE: copy the LIVE
         snapshot's data files (and their deletion-vector bitmaps) into
         the destination under the same relative paths and commit ONE
@@ -4174,9 +4179,15 @@ class DeltaTable:
 
         from .log import Remove
         # full-history copy: bypass the checkpoint fast path so versions
-        # collapsed into it are cloned verbatim
+        # collapsed into it are cloned verbatim. A time-traveled handle
+        # (DeltaTable(..., version=n) / load_as_version) clones history
+        # only UP TO its pinned version — delta-spark's
+        # ``CLONE src VERSION AS OF n`` (r12)
         full = DeltaLog.load(self.log_location, use_checkpoint=False)
         for v in full.versions:
+            if self.pinned_version is not None \
+                    and v > self.pinned_version:
+                break
             src_entry = full.entries[v]
             actions = []
             for a in src_entry.actions:
