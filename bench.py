@@ -201,38 +201,21 @@ def main() -> None:
     for t in ("lineitem", "events", "documents", "embeddings"):
         read_parquet_any(spark, f"{sf_dir}/{t}.parquet") \
             .write.format("noop").mode("overwrite").save()
-    # pre-stage the clustering queries' MAINTAINED Delta tables OUTSIDE
-    # the timed region (r11 base write; r12 the table-scale OPTIMIZE
-    # too): the Z-order/Hilbert/liquid queries clone from a session-
-    # cached pre-clustered base, so their tail timings measure the
-    # clustered scan (and, for the incremental query, the append-scale
-    # maintenance) — not a one-time table build. The staging keys here
-    # MUST match the queries' maintain_key values, or the first tail
-    # timing silently re-pays the build (pinned by
-    # tests/test_bench_contract.py::test_bench_prestage_keys_match).
+    # pre-stage everything the maintenance/index queries reuse OUTSIDE
+    # the timed region (r11 base writes; r12 the table-scale OPTIMIZEs
+    # and the trained ANN artifacts too): the clustering queries clone
+    # from a session-cached pre-clustered base and the ANN queries
+    # reuse session-memoized codebooks/rotations, so tail timings
+    # measure the scan/search (plus genuinely per-query work like the
+    # incremental OPTIMIZE), never a one-time build. The staging lives
+    # in ONE canonical function next to the queries so bench and
+    # registry can't drift (pinned by tests/test_bench_contract.py::
+    # test_bench_prestage_keys_match).
     t_stage = time.time()
     try:
-        from xdlake_spark.queries import _staged_lineitem_clone
-        _staged_lineitem_clone(
-            spark, sf_dir, maintain_key="zorder",
-            maintain=lambda t: t.optimize(
-                zorder_by=["l_partkey", "l_suppkey"],
-                target_file_size=256 * 1024))
-        _staged_lineitem_clone(
-            spark, sf_dir, maintain_key="hilbert",
-            maintain=lambda t: t.optimize(
-                hilbert_by=["l_partkey", "l_suppkey"],
-                target_file_size=256 * 1024))
-        _staged_lineitem_clone(
-            spark, sf_dir, maintain_key="clustered",
-            maintain=lambda t: t.cluster_by(["l_partkey", "l_suppkey"])
-            .optimize(target_file_size=256 * 1024))
-        _staged_lineitem_clone(
-            spark, sf_dir, predicate="l_orderkey % 2 = 0",
-            maintain_key="clustered_even",
-            maintain=lambda t: t.cluster_by(["l_partkey", "l_suppkey"])
-            .optimize(target_file_size=256 * 1024, min_cube_size=0))
-        print(f"# pre-staged 4 clustered tables in "
+        from xdlake_spark.queries import prestage_session_artifacts
+        prestage_session_artifacts(spark, sf_dir)
+        print(f"# pre-staged clustered tables + ANN artifacts in "
               f"{time.time() - t_stage:.1f}s (untimed)",
               file=sys.stderr)
     except Exception as e:  # pragma: no cover

@@ -130,16 +130,26 @@ def test_final_bench_line_is_compact():
 
 
 def test_bench_prestage_keys_match():
-    """r12: bench.py pre-stages the maintained clustering tables
-    untimed; every maintain_key a registry query uses must be staged
-    by bench.py under the SAME key, or the first tail timing silently
-    re-pays the table-scale OPTIMIZE it was supposed to exclude."""
+    """r12: bench.py pre-stages the maintained clustering tables and
+    trained ANN artifacts untimed via the CANONICAL
+    prestage_session_artifacts; every maintain_key / ANN key a
+    registry query uses must be staged by that function, or the first
+    tail timing silently re-pays the one-time build it was supposed
+    to exclude."""
+    import inspect
     import re
+
+    import xdlake_spark.queries as q
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     bench_src = open(os.path.join(root, "bench.py")).read()
-    q_src = open(os.path.join(root, "xdlake_spark",
-                              "queries.py")).read()
+    assert "prestage_session_artifacts" in bench_src
+    q_src = inspect.getsource(q)
+    pre_src = inspect.getsource(q.prestage_session_artifacts)
+    ann_src = inspect.getsource(q._ann_artifacts)
     q_keys = set(re.findall(r'maintain_key="(\w+)"', q_src))
-    bench_keys = set(re.findall(r'maintain_key="(\w+)"', bench_src))
+    pre_keys = set(re.findall(r'maintain_key="(\w+)"', pre_src))
     assert q_keys, "clustering queries lost their staged maintenance"
-    assert q_keys <= bench_keys, sorted(q_keys - bench_keys)
+    assert q_keys <= pre_keys, sorted(q_keys - pre_keys)
+    ann_keys = set(re.findall(r'"(\w+)": lambda', ann_src))
+    pre_ann = set(re.findall(r'"(\w+)"', pre_src.split("for key in")[1]))
+    assert ann_keys and ann_keys <= pre_ann, sorted(ann_keys - pre_ann)
