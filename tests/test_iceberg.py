@@ -781,3 +781,70 @@ class TestIcebergCompatV2:
         monkeypatch.setattr(ice, "generate_iceberg_metadata", real)
         t = t.write(lineitem.limit(5), mode="append")
         assert not os.path.exists(marker)
+
+
+class TestIncrementalManifestWalk:
+    """Seeded random operation walk differential (r12): after EVERY
+    generation in a random append/delete/optimize sequence, the
+    chained manifest's entry statuses must reconstruct exactly —
+    ADDED = live-but-not-in-parent, EXISTING = live-and-in-parent
+    (with the parent's sequence numbers), DELETED = parent-but-not-
+    live — and the importer (a real reader) must agree with the Delta
+    table at every step."""
+
+    def test_random_walk_statuses_reconstruct(self, spark, lineitem,
+                                              tmp_table_dir):
+        import random
+        rng = random.Random(1234)
+        t = DeltaTable(spark, tmp_table_dir).write(
+            lineitem.limit(120).coalesce(2))
+        t.generate("iceberg")
+        _, _, _, prev_entries = _read_snapshot(tmp_table_dir)
+        prev_live = {e["data_file"]["file_path"]:
+                     (e["sequence_number"], e["snapshot_id"])
+                     for e in prev_entries if e["status"] != 2}
+        for step in range(6):
+            op = rng.choice(["append", "delete", "optimize"])
+            if op == "append":
+                t = t.write(lineitem.limit(rng.randint(5, 30))
+                            .coalesce(1), mode="append")
+            elif op == "delete":
+                q = rng.randint(10, 45)
+                t = t.delete(f"l_quantity > {q}")
+            else:
+                t = t.optimize(target_file_size=64 * 1024)
+            t.generate("iceberg")
+            md, snap, manifests, entries = _read_snapshot(
+                tmp_table_dir)
+            live_want = {t.location.absloc(p).url
+                         for p in t.adds}
+            added = {e["data_file"]["file_path"]: e for e in entries
+                     if e["status"] == 1}
+            existing = {e["data_file"]["file_path"]: e
+                        for e in entries if e["status"] == 0}
+            deleted = {e["data_file"]["file_path"] for e in entries
+                       if e["status"] == 2}
+            # live set reconstructs exactly
+            assert set(added) | set(existing) == live_want, \
+                (step, op)
+            assert not (set(added) & set(existing))
+            # ADDED are new vs parent; EXISTING carry parent seq+snap
+            assert not (set(added) & set(prev_live)), (step, op)
+            for p, e in existing.items():
+                ps, psnap = prev_live[p]
+                assert e["sequence_number"] == ps
+                assert e["snapshot_id"] == psnap
+            # DELETED are exactly the parent files no longer live
+            assert deleted == set(prev_live) - live_want, (step, op)
+            # summary agrees with the entry statuses
+            assert snap["summary"]["operation"] == (
+                "append" if not deleted else "overwrite")
+            assert int(snap["summary"]["total-data-files"]) == \
+                len(live_want)
+            # the importer (reader semantics) agrees with the table
+            imp = DeltaTable(
+                spark, f"{tmp_table_dir}_imp{step}").import_iceberg(
+                tmp_table_dir)
+            assert imp.to_df().count() == t.to_df().count(), (step, op)
+            prev_live = {p: (e["sequence_number"], e["snapshot_id"])
+                         for p, e in {**existing, **added}.items()}
