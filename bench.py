@@ -212,12 +212,13 @@ def main() -> None:
     # registry can't drift (pinned by tests/test_bench_contract.py::
     # test_bench_prestage_keys_match).
     t_stage = time.time()
+    prestage_s = None
     try:
         from xdlake_spark.queries import prestage_session_artifacts
         prestage_session_artifacts(spark, sf_dir)
+        prestage_s = round(time.time() - t_stage, 1)
         print(f"# pre-staged clustered tables + ANN artifacts in "
-              f"{time.time() - t_stage:.1f}s (untimed)",
-              file=sys.stderr)
+              f"{prestage_s}s (untimed)", file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"# pre-stage skipped: {e}", file=sys.stderr)
 
@@ -338,6 +339,10 @@ def main() -> None:
         # registered query outside the headline set + explicit skips
         "tail_s": tail_s,
         "tail_skipped": tail_skipped,
+        # one-time session staging cost (clustered tables + trained
+        # ANN artifacts) excluded from every per-query timing — on the
+        # record here so nothing is silently hidden
+        "prestage_untimed_s": prestage_s,
         # per-pass host-load markers (r11): /proc/loadavg before/after
         # each headline pass + its wall total, so a polluted pass is
         # attributable to external load rather than code drift
