@@ -261,6 +261,44 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
                  F.round(F.avg("__nlp"), 6).alias("avg_neg_logp")))
 
 
+def perplexity_buckets(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", lang_col: str = "lang",
+                       head: float = 3.37, tail: float = 3.40,
+                       k: float = 1.0) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, the
+    public recipe behind CCNet/RedPajama quality splits): score every
+    document under the corpus's own bigram LM
+    (:func:`bigram_logprob`), split into head / middle / tail at
+    fixed score thresholds, and report per-(lang, bucket) document
+    counts and bigram mass — the split a pre-training sampler draws
+    from (head kept, middle downsampled, tail dropped).
+
+    Buckets compare the ROUNDED avg negative log-prob directly
+    against the thresholds (head: score < ``head``; tail: score >
+    ``tail``) rather than exponentiating to perplexity first — exp()
+    can differ by an ulp across engines, and a boundary flip would
+    break oracle-exactness for zero semantic gain (thresholds are
+    tuning constants either way; ppl cutoffs are just exp of these).
+
+    Scale: the scoring is bigram_logprob's two token-keyed
+    aggregations + one join; the bucketing adds one doc-id equi-join
+    (to re-attach ``lang_col``) and a languages×3-row aggregate.
+    Output: (lang, bucket, n_docs, total_bigrams), one row per
+    (language, bucket).
+    """
+    scored = bigram_logprob(df, text_col, id_col, k)
+    langs = df.select(F.col(id_col).alias("doc_id"),
+                      F.col(lang_col).alias("lang"))
+    bucket = (F.when(F.col("avg_neg_logp") < head, "head")
+              .when(F.col("avg_neg_logp") > tail, "tail")
+              .otherwise("middle"))
+    return (scored.join(langs, "doc_id")
+            .withColumn("bucket", bucket)
+            .groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_bigrams").alias("total_bigrams")))
+
+
 def bigram_logprob_kn(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       discount: float = 0.75) -> DataFrame:

@@ -3097,6 +3097,52 @@ def bigram_logprob_q(spark, sf_dir):
     return corpus.bigram_logprob(d)
 
 
+@register("ccnet_perplexity_buckets", r"""
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(t[1:len(t)-1]) AS w1,
+         unnest(t[2:len(t)]) AS w2
+  FROM base WHERE len(t) >= 2
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM base)
+), scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(avg(ln(c1 + 1.0 * v) - ln(c12 + 1.0)), 6) AS anlp
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+  GROUP BY doc_id
+)
+SELECT b.lang,
+       CASE WHEN s.anlp < 3.37 THEN 'head'
+            WHEN s.anlp > 3.40 THEN 'tail'
+            ELSE 'middle' END AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(s.n_bigrams) AS BIGINT) AS total_bigrams
+FROM scored s JOIN base b USING (doc_id)
+GROUP BY 1, 2
+""")
+def ccnet_perplexity_buckets_q(spark, sf_dir):
+    """CCNet-style quality split (r12, operators/corpus.py
+    perplexity_buckets — Wenzek et al. 2020): per-document bigram-LM
+    fluency scores bucketed head/middle/tail at fixed thresholds,
+    aggregated per (lang, bucket) with document counts and bigram
+    mass — the split a pre-training sampler draws from. The oracle
+    recomputes the LM, the rounded scores, the CASE bucketing and the
+    aggregate end to end."""
+    from .operators import corpus
+    d = _t(spark, sf_dir, "documents")
+    return corpus.perplexity_buckets(d)
+
+
 #: Demo weight vector for the linear quality classifier query — a tiny
 #: hand-set model over the synthetic corpus's vocabulary (positive:
 #: query-engine jargon, negative: filler). Mirrored literally in the
