@@ -3675,3 +3675,122 @@ class TestShuffleShards:
             .queryExecution().executedPlan().toString()
         specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
         assert specs and all("shard" in s for s in specs), plan
+
+
+class TestUnimaxMix:
+    """UniMax epoch-capped mixture (operators/sampling.py unimax_mix,
+    r12 — Chung et al. 2023): the closed-form integer water-filling
+    must equal the paper's SEQUENTIAL allocation loop, and the
+    doc-level unroll must equal a pure-Python replay of the
+    hash-ordered partial-epoch prefix."""
+
+    @staticmethod
+    def _sequential_alloc(totals: dict, budget: int, epochs: int):
+        """The paper's loop: smallest stratum first, uniform share of
+        the remaining budget capped at `epochs` passes of its data
+        (integer truncating division, matching the operator)."""
+        remaining = budget
+        items = sorted(totals.items(), key=lambda kv: (kv[1], kv[0]))
+        alloc = {}
+        for idx, (s, n) in enumerate(items):
+            share = max(0, remaining) // (len(items) - idx)
+            alloc[s] = min(epochs * n, share)
+            remaining -= alloc[s]
+        return alloc
+
+    @staticmethod
+    def _expected_copies(rows, alloc):
+        """Pure-Python replay of the doc-level unroll."""
+        import hashlib
+        by_s: dict = {}
+        for r in rows:
+            k = int(hashlib.md5(
+                f"unimax:{r['doc_id']}".encode()).hexdigest()[:13], 16)
+            by_s.setdefault(r["lang"], []).append(
+                (k, r["doc_id"], r["n_chars"]))
+        out = {}
+        for s, docs in by_s.items():
+            n = sum(d[2] for d in docs)
+            full, rem = alloc[s] // n, alloc[s] % n
+            csum = 0
+            for k, doc_id, sz in sorted(docs):
+                csum += sz
+                c = full + (1 if csum <= rem else 0)
+                if c > 0:
+                    out[doc_id] = (s, c)
+        return out
+
+    def test_matches_sequential_twin(self, spark, documents):
+        from xdlake_spark.operators.sampling import unimax_mix
+        rows = documents.select("doc_id", "lang", "n_chars").collect()
+        totals: dict = {}
+        for r in rows:
+            totals[r["lang"]] = totals.get(r["lang"], 0) + r["n_chars"]
+        budget = sum(totals.values()) * 2
+        alloc = self._sequential_alloc(totals, budget, epochs=3)
+        expected = self._expected_copies(rows, alloc)
+        got = {r["doc_id"]: (r["lang"], r["n_copies"])
+               for r in unimax_mix(documents, "lang", "n_chars",
+                                   "doc_id", budget, 3).collect()}
+        assert got == expected
+        # the regime is interesting: a 2x-corpus budget forces
+        # multi-epoch repetition, and at least one stratum lands on a
+        # full-epochs + partial-prefix mix of copy counts
+        per_s = {}
+        for s, c in got.values():
+            per_s.setdefault(s, set()).add(c)
+        assert any(max(cs) >= 2 for cs in per_s.values())
+        assert any(len(cs) > 1 for cs in per_s.values())
+
+    def test_budget_and_cap_invariants(self, spark, documents):
+        from pyspark.sql import functions as F
+        from xdlake_spark.operators.sampling import unimax_mix
+        budget = 50_000
+        out = unimax_mix(documents, "lang", "n_chars", "doc_id",
+                         budget, max_epochs=2)
+        j = (out.join(documents.select("doc_id", "n_chars"), "doc_id")
+             .withColumn("chars", F.col("n_copies") * F.col("n_chars")))
+        assert j.agg(F.sum("chars")).first()[0] <= budget
+        assert out.agg(F.max("n_copies")).first()[0] <= 2
+        per = (j.groupBy("lang").agg(F.sum("chars").alias("c"))
+               .join(documents.groupBy("lang")
+                     .agg(F.sum("n_chars").alias("n")), "lang")
+               .collect())
+        for r in per:
+            assert r["c"] <= 2 * r["n"]
+
+    def test_degenerate_budgets(self, spark, documents):
+        from pyspark.sql import functions as F
+        from xdlake_spark.operators.sampling import unimax_mix
+        assert unimax_mix(documents, "lang", "n_chars", "doc_id",
+                          0, 3).count() == 0
+        # budget >= sum of caps: every document at exactly max_epochs
+        total = documents.agg(F.sum("n_chars")).first()[0]
+        out = unimax_mix(documents, "lang", "n_chars", "doc_id",
+                         int(total) * 10, max_epochs=2)
+        assert out.filter(F.col("n_copies") != 2).count() == 0
+        assert out.count() == documents.count()
+
+    def test_skewed_cap_release(self, spark):
+        """A tiny stratum caps out and releases budget to the big
+        one — the core UniMax fairness mechanic."""
+        from xdlake_spark.operators.sampling import unimax_mix
+        rows = ([(i, "small", 10) for i in range(5)]
+                + [(100 + i, "big", 100) for i in range(50)])
+        df = spark.createDataFrame(rows, "id long, s string, sz long")
+        # uniform share would be 1000 each; small caps at 3*50=150
+        out = {(r["id"], r["n_copies"])
+               for r in unimax_mix(df, "s", "sz", "id", 2000, 3)
+               .collect()}
+        small = {c for i, c in out if i < 100}
+        big_chars = sum(100 * c for i, c in out if i >= 100)
+        assert small == {3}
+        assert 2000 - 150 - 100 < big_chars <= 2000 - 150
+
+    def test_validation(self, spark, documents):
+        import pytest as _pytest
+        from xdlake_spark.operators.sampling import unimax_mix
+        with _pytest.raises(ValueError):
+            unimax_mix(documents, "lang", "n_chars", "doc_id", -1, 3)
+        with _pytest.raises(ValueError):
+            unimax_mix(documents, "lang", "n_chars", "doc_id", 10, 0)

@@ -281,6 +281,92 @@ def token_budget_select(df: DataFrame, score_col: str, token_col: str,
 _BIN_DECIMALS = 3
 
 
+def unimax_mix(df: DataFrame, stratum_col: str, size_col: str,
+               id_col: str, budget: int,
+               max_epochs: int = 4) -> DataFrame:
+    """UniMax epoch-capped mixture allocation (Chung et al., 2023,
+    "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining"): share a total training
+    budget UNIFORMLY across strata (languages), except no stratum may
+    be repeated beyond ``max_epochs`` passes over its data — the
+    fairness rule that replaced temperature sampling in PaLM-2-era
+    mixes (low-resource languages get an equal share until their
+    epoch cap binds, freeing budget for the rest).
+
+    The sequential allocation loop in the paper is exactly integer
+    water-filling, so it collapses to closed form: with per-stratum
+    caps ``cap_s = max_epochs * n_s`` sorted ascending, the water
+    level is ``U = max_i (budget - prefix_{i-1}) div (L - i + 1)``
+    and every stratum gets ``alloc_s = clamp(cap_s, U)`` — pure
+    window functions over the k-row stratum table, no driver loop,
+    no collect (unlike :func:`temperature_rates`, which collects).
+    All arithmetic is int64 with truncating division on non-negative
+    operands, so any SQL engine reproduces the allocation exactly.
+
+    Each stratum's allocation then unrolls to per-document copy
+    counts: ``full = alloc_s div n_s`` whole epochs for every
+    document, plus one extra copy for the deterministic hash-ordered
+    prefix whose running ``size_col`` total stays within
+    ``alloc_s mod n_s`` (the partial epoch). Output:
+    ``(id, stratum, n_copies)`` for rows with ``n_copies > 0`` — a
+    repetition plan, not materialized duplicate rows.
+
+    Scale: one map-side-combinable aggregate to the k-row stratum
+    table, two tiny windows over it, one broadcast join back, and
+    ONE window partitioned by stratum over the corpus (the same
+    shape as :func:`stratum_cap`). Up to ``L-1`` budget units can go
+    unallocated to integer flooring — by design, for portability.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0: {budget}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1: {max_epochs}")
+    base = df.filter(F.col(stratum_col).isNotNull())
+    strata = (base.groupBy(stratum_col)
+              .agg(F.sum(F.col(size_col).cast("long")).alias("__n")))
+    asc = Window.orderBy("__n", stratum_col)
+    ordered = (strata
+               .withColumn("__cap", F.lit(int(max_epochs)) * F.col("__n"))
+               .withColumn("__i", F.row_number().over(asc))
+               .withColumn("__L", F.count(F.lit(1)).over(
+                   Window.partitionBy()))
+               .withColumn("__prefix", F.coalesce(
+                   F.sum("__cap").over(
+                       asc.rowsBetween(Window.unboundedPreceding, -1)),
+                   F.lit(0))))
+    # integer water level: max over split points of the uniform share
+    # among the strata at or above that point (numerator clamped so
+    # truncating division == floor on every engine)
+    level = ordered.withColumn(
+        "__u", F.expr(f"greatest(0L, {int(budget)}L - __prefix) "
+                      "div (__L - __i + 1)"))
+    plan = (level
+            .withColumn("__U", F.max("__u").over(Window.partitionBy()))
+            .withColumn("__alloc",
+                        F.greatest(F.lit(0), F.least(F.col("__cap"),
+                                                     F.col("__U"))))
+            .withColumn("__full", F.expr("__alloc div __n"))
+            .withColumn("__rem", F.expr("__alloc % __n"))
+            .select(stratum_col, "__full", "__rem"))
+    key = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit("unimax"), F.col(id_col).cast("string"))),
+        1, 13), 16, 10).cast("long")
+    w = (Window.partitionBy(stratum_col).orderBy("__key", id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = (base.select(id_col, stratum_col,
+                       F.col(size_col).cast("long").alias("__sz"),
+                       key.alias("__key"))
+           .join(F.broadcast(plan), stratum_col)
+           .withColumn("__csum", F.sum("__sz").over(w))
+           .withColumn("n_copies",
+                       (F.col("__full")
+                        + F.when(F.col("__csum") <= F.col("__rem"), 1)
+                        .otherwise(0)).cast("int"))
+           .filter(F.col("n_copies") > 0)
+           .select(id_col, stratum_col, "n_copies"))
+    return out
+
+
 def shuffle_shards(df: DataFrame, n_shards: int = 64, seed: int = 0,
                    id_col: str = "doc_id") -> DataFrame:
     """Deterministic global shuffle into shards — the data-order

@@ -5443,6 +5443,69 @@ def sample_shuffle_order(spark, sf_dir):
             .select("doc_id", "shuffle_key", "shard"))
 
 
+@register("unimax_language_mix", """
+WITH b AS (
+  SELECT sum(n_chars) * 2 AS bud
+  FROM documents WHERE lang IS NOT NULL
+), s AS (
+  SELECT lang, sum(n_chars) AS n
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+), o AS (
+  SELECT lang, n, 3 * n AS cap,
+         row_number() OVER (ORDER BY n, lang) AS i,
+         count(*) OVER () AS L,
+         coalesce(sum(3 * n) OVER (ORDER BY n, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS prefix
+  FROM s
+), lvl AS (
+  SELECT max(greatest(0, b.bud - o.prefix) // (o.L - o.i + 1)) AS U
+  FROM o, b
+), plan AS (
+  SELECT o.lang,
+         greatest(0, least(o.cap, lvl.U)) // o.n AS full_epochs,
+         greatest(0, least(o.cap, lvl.U)) % o.n AS rem
+  FROM o, lvl
+), ranked AS (
+  SELECT d.doc_id, d.lang, p.full_epochs, p.rem,
+         sum(d.n_chars) OVER (
+             PARTITION BY d.lang
+             ORDER BY ('0x' || substring(md5('unimax:' ||
+                       CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT,
+                      d.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+  FROM documents d JOIN plan p USING (lang)
+  WHERE d.lang IS NOT NULL
+)
+SELECT doc_id, lang,
+       CAST(full_epochs + CASE WHEN csum <= rem THEN 1 ELSE 0 END
+            AS INT) AS n_copies
+FROM ranked
+WHERE full_epochs + CASE WHEN csum <= rem THEN 1 ELSE 0 END > 0
+""")
+def unimax_language_mix(spark, sf_dir):
+    """UniMax epoch-capped language sampling (operators/sampling.py
+    unimax_mix — Chung et al. 2023): a 2×-corpus character budget
+    shared uniformly across languages with a 3-epoch repetition cap —
+    the UniMax regime (training budget exceeds low-resource data, so
+    the smallest language hits its cap and releases budget to the
+    rest), solved as closed-form integer water-filling (window
+    functions over the k-row language table, NO driver loop), then
+    unrolled to per-document copy counts via a hash-ordered
+    partial-epoch prefix. At every sf this yields all three shapes:
+    a capped language (3 full epochs), mid languages (full epochs +
+    partial prefix), and the largest language (sub-epoch prefix).
+    Entirely int64 arithmetic with truncating division on
+    non-negative operands — DuckDB replays the allocation
+    bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    total = (d.filter(F.col("lang").isNotNull())
+             .agg(F.sum(F.col("n_chars").cast("long"))).first()[0])
+    budget = int(total) * 2
+    return sampling.unimax_mix(d, "lang", "n_chars", "doc_id",
+                               budget=budget, max_epochs=3)
+
+
 @register("pack_sequences_running_sum", r"""
 WITH toks AS (
   SELECT doc_id,
