@@ -269,3 +269,72 @@ class TestFixMojibake:
         chars = set(_MOJIBAKE_MARKER[1:-1])
         want = {bytes([b]).decode("cp1252") for b in range(0xC2, 0xF5)}
         assert want <= chars and len(want) == 51
+
+
+class TestBlocklistFilter:
+    """Banned-wordlist screening (webfilter.blocklist_filter, r12):
+    literal-array and broadcast-join strategies must agree exactly,
+    counts must match a pure-Python tokenizer, and the literal path
+    must stay JVM-only with no shuffle."""
+
+    DOCS = [
+        (1, "Clean text with nothing banned at all."),
+        (2, "spam Spam SPAM and a crash."),
+        (3, "hyphen-spam counts; spammy does not, nor does antispam."),
+        (4, ""),
+        (5, "crash crash crash"),
+    ]
+    TERMS = ["spam", "crash", "legacy"]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+
+    def test_counts_match_python(self, spark):
+        import re as _re
+        out = {r["doc_id"]: (r["banned_hits"], r["banned_terms"],
+                             r["flagged"])
+               for r in webfilter.blocklist_filter(
+                   self._df(spark), self.TERMS).collect()}
+        for doc_id, text in self.DOCS:
+            toks = [w for w in _re.split("[^a-z]+", text.lower()) if w]
+            hits = sum(1 for w in toks if w in self.TERMS)
+            terms = len({w for w in toks if w in self.TERMS})
+            assert out[doc_id] == (hits, terms, hits > 0), doc_id
+
+    def test_strategies_agree(self, spark, documents):
+        terms = ["slow", "vector", "batch", "spam", "crash", "legacy"]
+        cols = ["doc_id", "banned_hits", "banned_terms", "flagged"]
+        lit = {tuple(r) for r in webfilter.blocklist_filter(
+            documents, terms, strategy="literal").select(*cols).collect()}
+        join = {tuple(r) for r in webfilter.blocklist_filter(
+            documents, terms, strategy="join").select(*cols).collect()}
+        assert lit == join
+        assert any(r[3] for r in lit)          # something flagged
+        assert any(not r[3] for r in lit)      # something clean
+
+    def test_auto_picks_join_past_threshold(self, spark):
+        big = [f"w{i}".replace("0", "o").replace("1", "l")
+               .replace("2", "t").replace("3", "e").replace("4", "f")
+               .replace("5", "s").replace("6", "x").replace("7", "v")
+               .replace("8", "g").replace("9", "n") for i in range(300)]
+        out = webfilter.blocklist_filter(self._df(spark), big,
+                                         max_literal_terms=256)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_literal_path_jvm_no_shuffle(self, spark):
+        out = webfilter.blocklist_filter(self._df(spark), self.TERMS)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            webfilter.blocklist_filter(self._df(spark), [])
+        with _pytest.raises(ValueError):
+            webfilter.blocklist_filter(self._df(spark), ["two words"])
+        with _pytest.raises(ValueError):
+            webfilter.blocklist_filter(self._df(spark), ["ok"],
+                                       strategy="bogus")

@@ -193,6 +193,76 @@ def html_main_text(df: DataFrame, html_col: str = "html",
     return df.withColumn(out_col, out)
 
 
+def blocklist_filter(df: DataFrame, terms, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     strategy: str = "auto",
+                     max_literal_terms: int = 256) -> DataFrame:
+    """Banned-wordlist document screening — the C4 "bad words" stage
+    (Raffel et al. 2020 filter docs whose tokens hit the LDNOOBW
+    blocklist; every production web pipeline runs some variant).
+
+    Tokens are ASCII-lowercase word runs (``lower`` then split on
+    ``[^a-z]+``) so any engine reproduces the match set; ``terms``
+    must already be such tokens (single words — phrase blocklists
+    need the substring operators in operators/text.py). Adds three
+    columns: ``banned_hits`` (total occurrences), ``banned_terms``
+    (distinct blocklist words present), ``flagged``
+    (``banned_hits > 0`` — the C4 drop criterion).
+
+    Two physical strategies, both zero-Python:
+
+    - ``literal`` (lists up to ``max_literal_terms``): the blocklist
+      becomes an array literal and the counts are higher-order
+      ``filter``/``array_intersect`` expressions — whole-stage
+      codegen, no join, no shuffle, one narrow map pass. This is the
+      realistic shape: curated blocklists are hundreds of words.
+    - ``join`` (beyond that, e.g. a merged multi-language list of
+      tens of thousands): tokens explode and inner-join the BROADCAST
+      term table, so the only shuffled rows are actual hits (rare by
+      construction) aggregated per document and joined back — never a
+      regex alternation of 10k terms scanned per row.
+
+    ``strategy="auto"`` picks by list size. Both paths are
+    equivalence-tested against each other in TestBlocklistFilter.
+    """
+    tl = sorted({str(t).lower() for t in terms})
+    if not tl:
+        raise ValueError("blocklist is empty")
+    for t in tl:
+        if not t or not all("a" <= c <= "z" for c in t):
+            raise ValueError(
+                f"blocklist terms must be ASCII-lowercase words: {t!r}")
+    if strategy == "auto":
+        strategy = "literal" if len(tl) <= max_literal_terms else "join"
+    words = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                     lambda w: F.length(w) > 0)
+    if strategy == "literal":
+        lits = F.array(*[F.lit(t) for t in tl])
+        hits = F.size(F.filter(words,
+                               lambda w: F.array_contains(lits, w)))
+        distinct = F.size(F.array_intersect(F.array_distinct(words),
+                                            lits))
+        return (df.withColumn("banned_hits", hits.cast("long"))
+                .withColumn("banned_terms", distinct.cast("long"))
+                .withColumn("flagged", F.col("banned_hits") > 0))
+    if strategy != "join":
+        raise ValueError(f"unknown strategy: {strategy}")
+    spark = df.sparkSession
+    tdf = spark.createDataFrame([(t,) for t in tl], "__term string")
+    hits = (df.select(id_col, F.explode(words).alias("__term"))
+            .join(F.broadcast(tdf), "__term")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__h"),
+                 F.countDistinct("__term").alias("__d")))
+    return (df.join(hits, id_col, "left")
+            .withColumn("banned_hits", F.coalesce(F.col("__h"),
+                                                  F.lit(0)))
+            .withColumn("banned_terms", F.coalesce(F.col("__d"),
+                                                   F.lit(0)))
+            .withColumn("flagged", F.col("banned_hits") > 0)
+            .drop("__h", "__d"))
+
+
 def url_host_stats(df: DataFrame, url_col: str = "url",
                    group_extra: str = "lang") -> DataFrame:
     """Per-host corpus accounting over a URL column.

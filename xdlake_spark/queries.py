@@ -6900,6 +6900,38 @@ def c4_line_filter_q(spark, sf_dir):
         d.select("doc_id", page.alias("text")))
 
 
+@register("blocklist_term_filter", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     w -> list_contains(['batch', 'crash', 'legacy',
+                                         'slow', 'spam', 'vector'],
+                                        w)) AS hits
+  FROM documents
+)
+SELECT doc_id,
+       len(hits) AS banned_hits,
+       len(list_distinct(hits)) AS banned_terms,
+       len(hits) > 0 AS flagged
+FROM t
+""")
+def blocklist_term_filter(spark, sf_dir):
+    """Banned-wordlist screening (operators/webfilter.py
+    blocklist_filter — the C4/LDNOOBW "bad words" stage): per-document
+    total and distinct blocklist hits plus the drop flag, on a
+    six-word demo list (half present in the synthetic vocabulary,
+    half absent). Uses the literal strategy — the blocklist as an
+    array literal inside higher-order filter/array_intersect
+    expressions, whole-stage codegen, no join, no shuffle; the
+    broadcast-join strategy for 10k-term lists is pinned equivalent
+    in TestBlocklistFilter."""
+    d = _t(spark, sf_dir, "documents")
+    return (webfilter.blocklist_filter(
+                d, ["slow", "vector", "batch", "spam", "crash",
+                    "legacy"])
+            .select("doc_id", "banned_hits", "banned_terms", "flagged"))
+
+
 #: Shared HTML-synthesis recipe for the extraction query: both engines
 #: wrap each document's escaped text in an identical page template so the
 #: strip operator's output is exactly checkable against the original.
