@@ -3794,3 +3794,109 @@ class TestUnimaxMix:
             unimax_mix(documents, "lang", "n_chars", "doc_id", -1, 3)
         with _pytest.raises(ValueError):
             unimax_mix(documents, "lang", "n_chars", "doc_id", 10, 0)
+
+
+class TestBitextMarginMine:
+    """Margin-based bitext mining (similarity.bitext_margin_mine, r12
+    — Artetxe & Schwenk 2019): the distributed pipeline must equal a
+    numpy twin of the ratio-margin criterion, demote hub vectors that
+    a raw-cosine matcher would pick, and honor the ANN-candidates
+    path."""
+
+    @staticmethod
+    def _numpy_twin(src_rows, tgt_rows, k, threshold):
+        import numpy as np
+        sids = [r[0] for r in src_rows]
+        tids = [r[0] for r in tgt_rows]
+        S = np.array([r[1] for r in src_rows], dtype=np.float64)
+        T = np.array([r[1] for r in tgt_rows], dtype=np.float64)
+        S /= np.clip(np.linalg.norm(S, axis=1, keepdims=True),
+                     1e-12, None)
+        T /= np.clip(np.linalg.norm(T, axis=1, keepdims=True),
+                     1e-12, None)
+        C = np.round(S @ T.T, 6)
+        # k-NN means with (cos desc, id asc) tie-breaks
+        def topk_mean(scores, ids, kk):
+            order = sorted(range(len(ids)),
+                           key=lambda j: (-scores[j], ids[j]))[:kk]
+            return sum(scores[j] for j in order) / len(order)
+        df_ = [topk_mean(C[i], tids, k) for i in range(len(sids))]
+        db_ = [topk_mean(C[:, j], sids, k) for j in range(len(tids))]
+        M = np.zeros_like(C)
+        for i in range(len(sids)):
+            for j in range(len(tids)):
+                M[i, j] = round(
+                    C[i, j] / max((df_[i] + db_[j]) / 2, 1e-9), 4)
+        out = set()
+        for i in range(len(sids)):
+            jbest = min(range(len(tids)),
+                        key=lambda j: (-M[i, j], tids[j]))
+            ibest = min(range(len(sids)),
+                        key=lambda i2: (-M[i2, jbest], sids[i2]))
+            if ibest == i and M[i, jbest] >= threshold:
+                out.add((sids[i], tids[jbest], M[i, jbest]))
+        return out
+
+    def _sides(self, embeddings):
+        from pyspark.sql import functions as F
+        src = (embeddings.filter(F.col("vec_id") % 4 == 0)
+               .select(F.col("vec_id").alias("src_id"), "embedding"))
+        tgt = (embeddings.filter(F.col("vec_id") % 4 == 1)
+               .select(F.col("vec_id").alias("tgt_id"), "embedding"))
+        return src, tgt
+
+    def test_matches_numpy_twin(self, spark, embeddings):
+        src, tgt = self._sides(embeddings)
+        got = {(r["src_id"], r["tgt_id"], r["margin"])
+               for r in similarity.bitext_margin_mine(
+                   src, tgt, k=4, threshold=1.0).collect()}
+        want = self._numpy_twin(
+            [(r["src_id"], r["embedding"]) for r in src.collect()],
+            [(r["tgt_id"], r["embedding"]) for r in tgt.collect()],
+            k=4, threshold=1.0)
+        assert got == want and got
+
+    def test_hub_demotion(self, spark):
+        """A tgt hub close to EVERY src wins every raw-cosine argmax,
+        but the margin criterion (hub's own k-NN mean is high) keeps
+        genuine pairs instead."""
+        import numpy as np
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(6, 8))
+        # tgt j is a slightly perturbed copy of src j -> true pairs
+        src_rows = [(i, base[i].tolist()) for i in range(6)]
+        tgt_rows = [(100 + i, (base[i] + 0.05 * rng.normal(size=8))
+                     .tolist()) for i in range(6)]
+        # the hub: the normalized centroid, moderately close to all
+        hub = base.sum(axis=0)
+        tgt_rows.append((999, (hub / np.linalg.norm(hub)).tolist()))
+        src = spark.createDataFrame(
+            src_rows, "src_id long, embedding array<double>")
+        tgt = spark.createDataFrame(
+            tgt_rows, "tgt_id long, embedding array<double>")
+        out = similarity.bitext_margin_mine(src, tgt, k=3,
+                                            threshold=1.0).collect()
+        mined = {(r["src_id"], r["tgt_id"]) for r in out}
+        true_pairs = {(i, 100 + i) for i in range(6)}
+        assert len(mined & true_pairs) >= 4
+        assert sum(1 for _, t in mined if t == 999) <= 1
+
+    def test_candidates_path(self, spark, embeddings):
+        """Candidate pairs covering the full product reproduce the
+        exact result; a restricted candidate set stays within it."""
+        src, tgt = self._sides(embeddings)
+        full = (src.select("src_id").crossJoin(tgt.select("tgt_id")))
+        exact = {(r["src_id"], r["tgt_id"], r["margin"])
+                 for r in similarity.bitext_margin_mine(
+                     src, tgt, k=4, threshold=1.0).collect()}
+        via_cand = {(r["src_id"], r["tgt_id"], r["margin"])
+                    for r in similarity.bitext_margin_mine(
+                        src, tgt, k=4, threshold=1.0,
+                        candidates=full).collect()}
+        assert via_cand == exact
+
+    def test_validation(self, spark, embeddings):
+        import pytest as _pytest
+        src, tgt = self._sides(embeddings)
+        with _pytest.raises(ValueError):
+            similarity.bitext_margin_mine(src, tgt, k=0)

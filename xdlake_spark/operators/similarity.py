@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import ensure_parallelism
-from ..functions.vectors import cosine, dot, hyperplane_signature, lit_vector
+from ..functions.vectors import (cosine, dot, hyperplane_signature,
+                                 lit_vector, norm)
 
 
 def brute_force_topk(df: DataFrame, query_vec, k: int = 10,
@@ -65,6 +66,86 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return (pruned.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .drop("__part", "__lr"))
+
+
+def bitext_margin_mine(src: DataFrame, tgt: DataFrame, k: int = 4,
+                       threshold: float = 1.0,
+                       src_id: str = "src_id", tgt_id: str = "tgt_id",
+                       vec_col: str = "embedding",
+                       candidates: DataFrame | None = None) -> DataFrame:
+    """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019,
+    the LASER/CCMatrix criterion): score every candidate (src, tgt)
+    pair by its RATIO margin — cosine divided by the average of the
+    two sides' k-NN cosines — and keep mutual-best pairs above
+    ``threshold``. Raw cosine thresholds fail on hubness (some
+    sentences are near everything); the margin normalizes each pair
+    by how promiscuous its endpoints are, which is why it became the
+    standard bitext miner.
+
+    ``candidates`` is the scale lever: pass a ``(src_id, tgt_id)``
+    DataFrame of ANN candidates (e.g. :func:`ivf_topk` /
+    :func:`lsh_topk` unions, as CCMatrix does with FAISS) and the
+    k-NN statistics are computed within it; ``None`` scores the full
+    cross product — the exact baseline, fine up to ~10^7 pairs.
+
+    Plan: one join (or cross join) produces the scored pair table;
+    then exactly THREE exchanges of that table — the forward-rank and
+    forward-denominator windows share the src partitioning, the
+    backward windows AND the backward-best rank share the tgt
+    partitioning (computed adjacently so Catalyst reuses the sort),
+    and the forward-best rank re-partitions by src once more. Cosines
+    are rounded to 6 decimals before any ranking and margins to 4, so
+    every rank, k-NN set, and the final pair set are reproducible on
+    any engine.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+
+    def unit(df, idc, out):
+        # normalize ONCE per vector (a column, so the fold runs once
+        # per row), not once per pair: the pair scorer is then a bare
+        # dot product — a third of the per-pair flops and exactly the
+        # arithmetic any engine reproduces (sequential folds)
+        n = F.greatest(norm(F.col(vec_col)), F.lit(1e-12))
+        return (df.withColumn("__n", n)
+                .select(F.col(idc),
+                        F.transform(vec_col,
+                                    lambda x: x.cast("double")
+                                    / F.col("__n")).alias(out)))
+
+    s = unit(src, src_id, "__sv")
+    t = unit(tgt, tgt_id, "__tv")
+    if candidates is None:
+        pairs = ensure_parallelism(s).crossJoin(t)
+    else:
+        pairs = (candidates.select(src_id, tgt_id)
+                 .join(s, src_id).join(t, tgt_id))
+    scored = pairs.select(
+        src_id, tgt_id,
+        F.round(dot(F.col("__sv"), F.col("__tv")), 6).alias("cos"))
+    wsrc = Window.partitionBy(src_id)
+    wtgt = Window.partitionBy(tgt_id)
+    fwd = wsrc.orderBy(F.col("cos").desc(), tgt_id)
+    bwd = wtgt.orderBy(F.col("cos").desc(), src_id)
+    withden = (scored
+               .withColumn("__rf", F.row_number().over(fwd))
+               .withColumn("__df", F.avg(F.when(F.col("__rf") <= k,
+                                                F.col("cos"))).over(wsrc))
+               .withColumn("__rb", F.row_number().over(bwd))
+               .withColumn("__db", F.avg(F.when(F.col("__rb") <= k,
+                                                F.col("cos"))).over(wtgt))
+               .withColumn("margin", F.round(
+                   F.col("cos") / F.greatest(
+                       (F.col("__df") + F.col("__db")) / 2,
+                       F.lit(1e-9)), 4)))
+    bb = wtgt.orderBy(F.col("margin").desc(), src_id)
+    bf = wsrc.orderBy(F.col("margin").desc(), tgt_id)
+    return (withden
+            .withColumn("__bb", F.row_number().over(bb))
+            .withColumn("__bf", F.row_number().over(bf))
+            .filter((F.col("__bf") == 1) & (F.col("__bb") == 1)
+                    & (F.col("margin") >= threshold))
+            .select(src_id, tgt_id, "margin"))
 
 
 def lsh_topk(df: DataFrame, query_vec, k: int = 10, dim: int = 64,

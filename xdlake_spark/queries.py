@@ -4472,6 +4472,77 @@ def embedding_neardup_lsh(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"))
 
 
+@register("bitext_margin_pairs", """
+WITH a0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 4 = 0
+), b0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 4 = 1
+), a AS (
+  SELECT vec_id AS src_id,
+         list_transform(v, x -> x / greatest(
+             sqrt(list_dot_product(v, v)), 1e-12)) AS v
+  FROM a0
+), b AS (
+  SELECT vec_id AS tgt_id,
+         list_transform(v, x -> x / greatest(
+             sqrt(list_dot_product(v, v)), 1e-12)) AS v
+  FROM b0
+), p AS (
+  SELECT a.src_id, b.tgt_id,
+         round(list_dot_product(a.v, b.v), 6) AS cos
+  FROM a CROSS JOIN b
+), r AS (
+  SELECT p.*,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY cos DESC, tgt_id) AS rf,
+         row_number() OVER (PARTITION BY tgt_id
+                            ORDER BY cos DESC, src_id) AS rb
+  FROM p
+), d AS (
+  SELECT r.*,
+         avg(CASE WHEN rf <= 4 THEN cos END)
+             OVER (PARTITION BY src_id) AS df,
+         avg(CASE WHEN rb <= 4 THEN cos END)
+             OVER (PARTITION BY tgt_id) AS db
+  FROM r
+), m AS (
+  SELECT src_id, tgt_id,
+         round(cos / greatest((df + db) / 2, 1e-9), 4) AS margin
+  FROM d
+), ranked AS (
+  SELECT m.*,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY margin DESC, tgt_id) AS bf,
+         row_number() OVER (PARTITION BY tgt_id
+                            ORDER BY margin DESC, src_id) AS bb
+  FROM m
+)
+SELECT src_id, tgt_id, margin FROM ranked
+WHERE bf = 1 AND bb = 1 AND margin >= 1.0
+""")
+def bitext_margin_pairs(spark, sf_dir):
+    """Margin-based bitext mining (operators/similarity.py
+    bitext_margin_mine — Artetxe & Schwenk 2019, the LASER/CCMatrix
+    criterion): two id-residue slices of the embeddings table play
+    the two monolingual corpora; pairs are scored by ratio margin (cosine
+    over the mean of both endpoints' 4-NN cosines, the hubness
+    correction) and only mutual-best pairs at margin >= 1.0 survive.
+    Three exchanges of the scored pair table (fwd windows share the
+    src partitioning, bwd windows + bwd-best the tgt partitioning);
+    cosines rounded to 6 decimals before any ranking so DuckDB
+    replays the identical k-NN sets, margins, and pair set. The
+    `candidates` parameter is the 100 TB path (ANN candidate pairs
+    instead of the exact cross product)."""
+    e = _t(spark, sf_dir, "embeddings")
+    src = (e.filter(F.col("vec_id") % 4 == 0)
+           .select(F.col("vec_id").alias("src_id"), "embedding"))
+    tgt = (e.filter(F.col("vec_id") % 4 == 1)
+           .select(F.col("vec_id").alias("tgt_id"), "embedding"))
+    return similarity.bitext_margin_mine(src, tgt, k=4, threshold=1.0)
+
+
 @register("similarity_topk_cosine", f"""
 SELECT vec_id,
        round(list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 4)
