@@ -1049,6 +1049,84 @@ class TestVacuumFull:
         assert "fresh-orphan.parquet" not in doomed
 
 
+class TestVacuumInventory:
+    """vacuum(inventory=...) — delta-spark 3.3's VACUUM USING
+    INVENTORY: the listing comes from a user-supplied DataFrame
+    (path/isDir/modificationTime) instead of a directory walk, with
+    the same orphan-reclaim + protection semantics; rows outside the
+    table root are ignored, inventory timestamps are authoritative."""
+
+    @staticmethod
+    def _inv(spark, rows):
+        return spark.createDataFrame(
+            rows, "path string, isDir boolean, modificationTime long")
+
+    def test_inventory_drives_reclaim_with_protections(
+            self, spark, tmp_table_dir):
+        import os
+        from xdlake_spark.log.actions import timestamp_ms
+        loc = f"{tmp_table_dir}/t"
+        t = DeltaTable(spark, loc).write(spark.range(10))
+        t = t.delete("id >= 5")            # young tombstones
+        live = sorted(t.adds)[0]
+        old = timestamp_ms() - 10 * 3600 * 1000
+        now = timestamp_ms()
+        orphan = os.path.join(loc, "orphan-inv.parquet")
+        open(orphan, "wb").write(b"junk")
+        # note: filesystem mtime of the orphan is NOW — only the
+        # inventory says it is old, proving inventory authority
+        inv = self._inv(spark, [
+            (f"{loc}/orphan-inv.parquet", False, old),     # absolute
+            ("rel-orphan.parquet", False, old),            # relative
+            (f"{loc}/fresh-orphan.parquet", False, now),   # too young
+            (f"{loc}/{live}", False, old),                 # live add
+            (f"{loc}/_delta_log/00.json", False, old),     # hidden
+            (f"{loc}/cat=x", True, old),                   # directory
+            ("/elsewhere/other.parquet", False, old),      # outside
+            ("s3://other-bucket/f.parquet", False, old),   # outside
+        ])
+        doomed = t.vacuum(retention_hours=1.0, dry_run=True,
+                          inventory=inv)
+        assert doomed == ["orphan-inv.parquet", "rel-orphan.parquet"]
+        live_before = t.count()
+        t.vacuum(retention_hours=1.0, inventory=inv)
+        assert not os.path.exists(orphan)
+        assert DeltaTable(spark, loc).count() == live_before
+
+    def test_inventory_matches_full_listing(self, spark,
+                                            tmp_table_dir):
+        """An inventory mirroring the real directory walk reclaims
+        exactly what full=True reclaims."""
+        import os
+        loc = f"{tmp_table_dir}/t"
+        t = DeltaTable(spark, loc).write(spark.range(8))
+        for name in ("orphan-a.parquet", "cat=x/orphan-b.parquet"):
+            p = os.path.join(loc, name)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            open(p, "wb").write(b"junk")
+            os.utime(p, (0, 0))
+        rows = [(f"{loc}/{rel}", False, mtime) for rel, mtime
+                in t.location.list_files_recursive_info()]
+        inv = self._inv(spark, rows)
+        want = t.vacuum(retention_hours=1.0, dry_run=True, full=True)
+        got = t.vacuum(retention_hours=1.0, dry_run=True,
+                       inventory=inv)
+        assert got == want
+        assert "orphan-a.parquet" in got
+
+    def test_tombstones_still_reclaimed_alongside_inventory(
+            self, spark, tmp_table_dir):
+        """The log-only doomed set composes with the inventory path
+        (old tombstones reclaim even if the inventory omits them)."""
+        loc = f"{tmp_table_dir}/t"
+        t = DeltaTable(spark, loc).write(spark.range(6))
+        t = t.write(spark.range(6), mode="overwrite")
+        inv = self._inv(spark, [])
+        doomed = t.vacuum(retention_hours=0.0, dry_run=True,
+                          inventory=inv)
+        assert any(d.endswith(".parquet") for d in doomed)
+
+
 class TestTypeFeatures:
     """Schema-driven protocol features (table.py _ensure_type_features):
     a schema containing timestamp_ntz or variant must declare the

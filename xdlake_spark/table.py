@@ -5017,7 +5017,8 @@ class DeltaTable:
     def vacuum(self, retention_hours: "float | None" = None,
                dry_run: bool = False,
                distributed_threshold: int = 64,
-               full: bool = False) -> list[str]:
+               full: bool = False,
+               inventory: "DataFrame | None" = None) -> list[str]:
         """Physically delete tombstoned files older than the retention
         window. Returns deleted (or would-delete) relative paths.
 
@@ -5040,7 +5041,21 @@ class DeltaTable:
         partition deletes its slice in parallel — a vacuum reclaiming
         millions of files costs one Spark job instead of millions of
         serial driver round-trips to the object store. Small lists
-        stay on the driver (no job overhead)."""
+        stay on the driver (no job overhead).
+
+        ``inventory`` (delta-spark 3.3's VACUUM ... USING INVENTORY)
+        supplies the listing as a DataFrame with columns ``path``
+        (absolute URL under the table root, or root-relative),
+        ``isDir`` and ``modificationTime`` (epoch ms) — e.g. an S3
+        Inventory report — replacing the recursive directory walk,
+        which IS the vacuum bottleneck on a 100 TB table (billions of
+        LIST calls vs a bulk report the store produces nightly for
+        free). Implies the ``full`` untracked-orphan semantics with
+        identical protection rules; the inventory is prefiltered
+        DISTRIBUTED (directory rows, fresh files, hidden paths and
+        protected paths drop via one anti-join before anything reaches
+        the driver). Rows outside the table root are ignored — this
+        engine never deletes what the table does not own."""
         from .log.dv import dv_relative_path
 
         if retention_hours is None:
@@ -5078,7 +5093,7 @@ class DeltaTable:
                     rel = dv_relative_path(desc["pathOrInlineDv"])
                     if rel not in live_dvs:
                         candidates[rel] = rm.deletionTimestamp or 0
-        if full:
+        if full or inventory is not None:
             # VACUUM FULL (delta-spark's default listing mode, our
             # opt-in): list the table directory and reclaim UNTRACKED
             # files older than the horizon — orphans from crashed
@@ -5094,7 +5109,11 @@ class DeltaTable:
             # the only timestamp an untracked file has.
             protected = set(live) | set(candidates) | live_dvs
             protected |= {urllib.parse.unquote(p) for p in list(protected)}
-            for rel, mtime in self.location.list_files_recursive_info():
+            listing = (self._inventory_listing(inventory, protected,
+                                               horizon)
+                       if inventory is not None
+                       else self.location.list_files_recursive_info())
+            for rel, mtime in listing:
                 if any(seg.startswith(("_", "."))
                        for seg in rel.split("/")):
                     continue
@@ -5126,6 +5145,39 @@ class DeltaTable:
                     if loc.exists():
                         loc.delete()
         return doomed
+
+    def _inventory_listing(self, inventory, protected: set,
+                           horizon: int) -> "list[tuple[str, int]]":
+        """Distributed prefilter of a VACUUM inventory DataFrame down
+        to candidate orphans: resolve paths relative to the table
+        root, drop directories, fresh files, hidden (``_``/``.``
+        segment) paths and anything in the protected set (one
+        left-anti join) — all executor-side, so only genuine garbage
+        paths ever reach the driver. Rows outside the table root are
+        skipped. The caller's final driver-side pass re-applies every
+        rule including URL-decoded protected spellings."""
+        root = self.location.url.rstrip("/") + "/"
+        p = F.col("path").cast("string")
+        rel = F.when(p.startswith(root),
+                     F.substring(p, len(root) + 1, 1 << 30)) \
+            .when(~p.contains("://") & ~p.startswith("/"), p)
+        hidden = F.exists(
+            F.split(F.col("rel"), "/"),
+            lambda s: s.startswith("_") | s.startswith("."))
+        prot = self.spark.createDataFrame(
+            [(x,) for x in sorted(protected)], "rel string") \
+            if protected else None
+        inv = (inventory
+               .select(rel.alias("rel"),
+                       F.col("isDir").cast("boolean").alias("__d"),
+                       F.col("modificationTime").cast("long")
+                       .alias("__m"))
+               .filter(F.col("rel").isNotNull() & (F.col("rel") != "")
+                       & ~F.col("__d") & (F.col("__m") <= horizon)
+                       & ~hidden))
+        if prot is not None:
+            inv = inv.join(prot, "rel", "left_anti")
+        return [(r["rel"], r["__m"]) for r in inv.collect()]
 
     _DEFAULT_LOG_RETENTION_HOURS = 30 * 24.0   # delta's 30-day default
 
