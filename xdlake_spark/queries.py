@@ -2101,6 +2101,69 @@ def delta_merge_clause_list_full(spark, sf_dir):
         (F.floor(F.col("o_totalprice") * 100) / 100).alias("totalprice"))
 
 
+@register("delta_scd2_merge", """
+WITH changed AS (
+  SELECT c_custkey, c_acctbal + 100 AS bal
+  FROM customer WHERE c_custkey % 7 = 0
+), fresh AS (
+  SELECT c_custkey + 1000000 AS c_custkey, c_acctbal AS bal
+  FROM customer WHERE c_custkey % 13 = 0
+)
+SELECT c.c_custkey, c.c_acctbal AS bal,
+       1 AS start_ver,
+       CASE WHEN ch.c_custkey IS NOT NULL THEN 2 END AS end_ver,
+       ch.c_custkey IS NULL AS is_current
+FROM customer c LEFT JOIN changed ch ON c.c_custkey = ch.c_custkey
+UNION ALL
+SELECT c_custkey, bal, 2, NULL, true FROM changed
+UNION ALL
+SELECT c_custkey, bal, 2, NULL, true FROM fresh
+""")
+def delta_scd2_merge(spark, sf_dir):
+    """Type-2 slowly-changing dimension maintained by ONE MERGE —
+    the canonical warehouse pattern (Kimball SCD2, the delta-spark
+    MERGE documentation's flagship example): changed customers close
+    their current row (end_ver stamped, is_current off) AND insert a
+    new current version, brand-new customers just insert. The
+    union-source trick stages each changed key twice — once with the
+    merge key set (matches and closes the live row) and once with a
+    NULL merge key (never matches, inserts the new version) — so one
+    commit does both sides atomically. The oracle reconstructs the
+    expected dimension relationally. File-granular CoW: only files
+    holding changed current rows rewrite."""
+    from .table import DeltaTable
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    dim0 = c.select(
+        "c_custkey", F.col("c_acctbal").alias("bal"),
+        F.lit(1).alias("start_ver"),
+        F.lit(None).cast("int").alias("end_ver"),
+        F.lit(True).alias("is_current"))
+    t = DeltaTable(spark, _delta_tmp()).write(dim0)
+    changed = (c.filter("c_custkey % 7 = 0")
+               .select("c_custkey",
+                       (F.col("c_acctbal") + 100).alias("bal")))
+    fresh = (c.filter("c_custkey % 13 = 0")
+             .select((F.col("c_custkey") + 1000000).alias("c_custkey"),
+                     F.col("c_acctbal").alias("bal")))
+    staged = (changed.unionByName(fresh)
+              .select(F.col("c_custkey").alias("mk"), "c_custkey",
+                      "bal")
+              .unionByName(
+                  changed.select(
+                      F.lit(None).cast("long").alias("mk"),
+                      "c_custkey", "bal")))
+    t = t.merge(
+        staged, "t.c_custkey = s.mk AND t.is_current",
+        when_matched_update={"is_current": "false", "end_ver": "2"},
+        when_matched_update_condition="t.bal <> s.bal",
+        when_not_matched_insert={
+            "c_custkey": "s.c_custkey", "bal": "s.bal",
+            "start_ver": "2", "end_ver": "cast(null as int)",
+            "is_current": "true"})
+    return t.to_df().select("c_custkey", "bal", "start_ver",
+                            "end_ver", "is_current")
+
+
 @register("delta_iceberg_snapshot_read", """
 SELECT l_returnflag, 1 AS n_files,
        count(*) AS record_count
