@@ -1853,6 +1853,61 @@ def delta_change_feed_q(spark, sf_dir):
         F.col("_commit_version").alias("commit_version"))
 
 
+@register("delta_cdf_incremental_agg", """
+WITH ae AS (
+  SELECT user_id % 50 AS grp,
+         CAST(floor(value * 100) AS BIGINT) AS value_c
+  FROM events WHERE event_id % 3 IN (0, 1)
+), fin AS (
+  SELECT grp,
+         CASE WHEN grp = 7 THEN value_c * 2 ELSE value_c END AS value_c
+  FROM ae WHERE value_c % 5 <> 0
+)
+SELECT grp, count(*) AS n_rows, CAST(sum(value_c) AS BIGINT) AS total
+FROM fin GROUP BY grp
+""")
+def delta_cdf_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance driven by the Change Data Feed —
+    the lakehouse pattern CDF exists for (delta-spark's own CDF docs
+    lead with it): a per-group count/sum aggregate is materialized
+    once from an early snapshot, then brought current by folding ONLY
+    the row-level changes of later commits (+1/+value for insert and
+    update_postimage, -1/-value for delete and update_preimage) —
+    never rescanning the base table. The table takes five commits
+    (create, enable CDF, append, DELETE, UPDATE); the maintained
+    aggregate must equal the oracle's direct aggregation of the final
+    state — which is exactly the IVM correctness criterion. Values
+    are integer cents so both engines sum exactly."""
+    from .table import DeltaTable
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 50).alias("grp"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_c"))
+    t = DeltaTable(spark, _delta_tmp()).write(
+        ev.filter("event_id % 3 = 0").drop("event_id"))          # v0
+    t = t.set_properties({"delta.enableChangeDataFeed": "true"})  # v1
+    t = t.write(ev.filter("event_id % 3 = 1").drop("event_id"),
+                mode="append")                                    # v2
+    base = (t.load_as_version(2).to_df()
+            .groupBy("grp").agg(F.count(F.lit(1)).alias("n0"),
+                                F.sum("value_c").alias("s0")))
+    t = t.delete("value_c % 5 = 0")                               # v3
+    t = t.update({"value_c": "value_c * 2"}, where="grp = 7")     # v4
+    sign = F.when(F.col("_change_type").isin(
+        "insert", "update_postimage"), F.lit(1)).otherwise(F.lit(-1))
+    deltas = (t.change_feed(2)
+              .select("grp", "value_c", sign.alias("sign"))
+              .groupBy("grp")
+              .agg(F.sum("sign").alias("dn"),
+                   F.sum(F.col("sign") * F.col("value_c")).alias("ds")))
+    return (base.join(deltas, "grp", "full_outer")
+            .select("grp",
+                    (F.coalesce("n0", F.lit(0))
+                     + F.coalesce("dn", F.lit(0))).alias("n_rows"),
+                    (F.coalesce("s0", F.lit(0))
+                     + F.coalesce("ds", F.lit(0))).alias("total"))
+            .filter(F.col("n_rows") > 0))
+
+
 @register("delta_format_batch_read", """
 SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
 FROM lineitem WHERE l_linenumber <= 2
