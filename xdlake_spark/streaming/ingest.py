@@ -24,14 +24,19 @@ from ..table import DeltaTable
 
 def stream_append(stream_df: DataFrame, table_location: str,
                   checkpoint_dir: str, partition_by: list[str] | None = None,
-                  trigger_once: bool = True):
+                  trigger_once: bool = True,
+                  log_location: "str | None" = None):
     """Append a streaming DataFrame into a delta table, one commit per
     micro-batch. Returns the StreamingQuery.
+
+    ``log_location`` splits the _delta_log onto a different store than
+    the data (the cloud deployment shape: log commits ride the store's
+    conditional put while executors write data where they run).
     """
     spark = stream_df.sparkSession
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        table = DeltaTable(spark, table_location)
+        table = DeltaTable(spark, table_location, log_location)
         table.write(batch_df, mode="append", partition_by=partition_by,
                     custom_metadata={"streaming": True,
                                      "batchId": int(batch_id)})
@@ -47,7 +52,8 @@ def stream_append(stream_df: DataFrame, table_location: str,
 def stream_upsert(stream_df: DataFrame, table_location: str,
                   checkpoint_dir: str, keys: list[str],
                   trigger_once: bool = True,
-                  app_id: "str | None" = None):
+                  app_id: "str | None" = None,
+                  log_location: "str | None" = None):
     """Streaming MERGE upsert (the canonical delta CDC-apply pattern):
     each micro-batch MERGEs into the target on ``keys`` — matched rows
     update, new rows insert. Returns the StreamingQuery.
@@ -73,7 +79,7 @@ def stream_upsert(stream_df: DataFrame, table_location: str,
     aid = app_id or f"stream_upsert:{checkpoint_dir}"
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        table = DeltaTable(spark, table_location)
+        table = DeltaTable(spark, table_location, log_location)
         last = table.txn_version(aid)
         if last is not None and last >= batch_id:
             return  # replayed batch: already applied
@@ -424,7 +430,7 @@ def stream_ingest_neardup(stream_df: DataFrame, table_location: str,
     aid = app_id or f"stream_ingest_neardup:{checkpoint_dir}"
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        table = DeltaTable(spark, table_location)
+        table = DeltaTable(spark, table_location, log_location)
         last = table.txn_version(aid)
         if last is not None and last >= int(batch_id):
             return                      # replayed batch: no-op
@@ -511,7 +517,7 @@ def stream_ingest_semantic(stream_df: DataFrame, table_location: str,
     aid = app_id or f"stream_ingest_semantic:{checkpoint_dir}"
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        table = DeltaTable(spark, table_location)
+        table = DeltaTable(spark, table_location, log_location)
         last = table.txn_version(aid)
         if last is not None and last >= int(batch_id):
             return                      # replayed batch: no-op
