@@ -3686,16 +3686,21 @@ class TestUnimaxMix:
 
     @staticmethod
     def _sequential_alloc(totals: dict, budget: int, epochs: int):
-        """The paper's loop: smallest stratum first, uniform share of
-        the remaining budget capped at `epochs` passes of its data
-        (integer truncating division, matching the operator)."""
-        remaining = budget
+        """The paper's loop in EXACT rational arithmetic (smallest
+        stratum first, uniform share of the remaining budget capped
+        at `epochs` passes of its data), floored to integers at the
+        end — the operator's documented discretization (a truncating
+        per-step loop would instead cascade flooring remainders onto
+        later strata, a different and layout-order-sensitive policy)."""
+        from fractions import Fraction
+        remaining = Fraction(budget)
         items = sorted(totals.items(), key=lambda kv: (kv[1], kv[0]))
         alloc = {}
         for idx, (s, n) in enumerate(items):
-            share = max(0, remaining) // (len(items) - idx)
-            alloc[s] = min(epochs * n, share)
-            remaining -= alloc[s]
+            share = max(Fraction(0), remaining) / (len(items) - idx)
+            exact = min(Fraction(epochs * n), share)
+            alloc[s] = int(exact)          # floor (non-negative)
+            remaining -= exact
         return alloc
 
     @staticmethod
@@ -3900,3 +3905,82 @@ class TestBitextMarginMine:
         src, tgt = self._sides(embeddings)
         with _pytest.raises(ValueError):
             similarity.bitext_margin_mine(src, tgt, k=0)
+
+
+class TestR12Plans:
+    """Physical-plan pins for the r12 operators: the documented
+    shuffle counts and JVM-only row paths are contracts, not
+    accidents."""
+
+    def test_bitext_exactly_three_exchanges_no_python(self, spark,
+                                                      embeddings):
+        import re as _re
+        from pyspark.sql import functions as F
+        src = (embeddings.filter(F.col("vec_id") % 4 == 0)
+               .select(F.col("vec_id").alias("src_id"), "embedding"))
+        tgt = (embeddings.filter(F.col("vec_id") % 4 == 1)
+               .select(F.col("vec_id").alias("tgt_id"), "embedding"))
+        plan = (similarity.bitext_margin_mine(src, tgt, k=4)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert len(_re.findall(r"Exchange hashpartitioning",
+                               plan)) == 3, plan
+        assert "EvalPython" not in plan
+
+    def test_unimax_corpus_window_is_stratum_partitioned(
+            self, spark, documents):
+        import re as _re
+        from xdlake_spark.operators.sampling import unimax_mix
+        plan = (unimax_mix(documents, "lang", "n_chars", "doc_id",
+                           100_000, 3)
+                ._jdf.queryExecution().executedPlan().toString())
+        # every window over the CORPUS must be partitioned by the
+        # stratum; the only unpartitioned windows run on the k-row
+        # stratum table (upstream of the broadcast join)
+        assert "windowspecdefinition(lang" in plan, plan
+        assert "EvalPython" not in plan
+        # the stratum plan reaches the corpus via a broadcast join
+        assert "BroadcastHashJoin" in plan or \
+            "BroadcastNestedLoopJoin" in plan
+
+
+class TestUnimaxWaterFillingProperty:
+    """Hypothesis proof of the identity the Spark implementation
+    relies on: closed-form integer water-filling (max over split
+    points, then clamp) equals the UniMax paper's sequential
+    allocation loop for every input."""
+
+    def test_closed_form_equals_sequential(self):
+        from fractions import Fraction
+
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.lists(st.integers(min_value=1, max_value=10**9),
+                        min_size=1, max_size=12),
+               st.integers(min_value=0, max_value=10**10),
+               st.integers(min_value=1, max_value=8))
+        def check(sizes, budget, epochs):
+            totals = {f"s{i:02d}": n for i, n in enumerate(sizes)}
+            items = sorted(totals.items(),
+                           key=lambda kv: (kv[1], kv[0]))
+            # the paper's loop, exact arithmetic, floored at the end
+            remaining = Fraction(budget)
+            seq = {}
+            for idx, (s, n) in enumerate(items):
+                share = max(Fraction(0),
+                            remaining) / (len(items) - idx)
+                exact = min(Fraction(epochs * n), share)
+                seq[s] = int(exact)
+                remaining -= exact
+            # closed form (the Spark implementation's math): integer
+            # truncating division on clamped non-negative operands
+            prefix, U = 0, 0
+            for i, (s, n) in enumerate(items):
+                U = max(U, max(0, budget - prefix)
+                        // (len(items) - i))
+                prefix += epochs * n
+            closed = {s: max(0, min(epochs * n, U))
+                      for s, n in totals.items()}
+            assert closed == seq
+
+        check()
