@@ -338,3 +338,49 @@ class TestBlocklistFilter:
         with _pytest.raises(ValueError):
             webfilter.blocklist_filter(self._df(spark), ["ok"],
                                        strategy="bogus")
+
+
+class TestCreditCardLuhn:
+    """Luhn-validated card detection (text.credit_card_stats, r12):
+    validity verdicts must equal a pure-Python Luhn reference on
+    every candidate, and the operator must stay JVM-only."""
+
+    @staticmethod
+    def _luhn(s):
+        t = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            t += d if i % 2 == 0 else (d * 2 - 9 if d * 2 > 9 else d * 2)
+        return t % 10 == 0
+
+    def test_matches_python_reference(self, spark):
+        import random as _random
+        from xdlake_spark.operators.text import credit_card_stats
+        rng = _random.Random(3)
+        rows = []
+        for i in range(40):
+            n_digits = rng.choice([12, 13, 16, 19, 20])
+            num = "".join(str(rng.randint(0, 9))
+                          for _ in range(n_digits))
+            rows.append((i, f"ref {num} end"))
+        rows.append((100, "4111-1111-1111-1111 formatted"))
+        rows.append((101, "no digits at all"))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc_id"]: (r["n_cc_candidates"], r["n_cc_valid"])
+               for r in credit_card_stats(df).collect()}
+        import re as _re
+        for doc_id, text in rows:
+            cands = _re.findall("[0-9]{13,19}", text)
+            cands += [m.replace("-", "") for m in
+                      _re.findall("[0-9]{4}(?:-[0-9]{4}){3}", text)]
+            want = (len(cands), sum(1 for c in cands if self._luhn(c)))
+            assert got[doc_id] == want, (doc_id, text)
+
+    def test_jvm_only(self, spark):
+        from xdlake_spark.operators.text import credit_card_stats
+        df = spark.createDataFrame([(1, "4111111111111111")],
+                                   ["doc_id", "text"])
+        plan = credit_card_stats(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "EvalPython" not in plan
+        assert "Exchange" not in plan

@@ -96,6 +96,54 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         .alias("is_repetitive"))
 
 
+#: Payment-card candidate patterns (Java∩RE2): a bare 13-19 digit run,
+#: and the dddd-dddd-dddd-dddd separator form (dashes stripped before
+#: validation). Kept as module constants so the DuckDB oracle embeds
+#: the identical strings.
+CC_RUN_RE = "[0-9]{13,19}"
+CC_SEP_RE = "[0-9]{4}(?:-[0-9]{4}){3}"
+
+
+def _luhn_digit_sql(c: str, i: str) -> str:
+    """SQL for the Luhn contribution of the ``i``-th digit (0-based
+    from the RIGHT) of candidate ``c``: odd positions double, with
+    digits > 9 reduced by 9."""
+    d = f"(ascii(substring(reverse({c}), {i} + 1, 1)) - 48)"
+    return (f"(CASE WHEN {i} % 2 = 1 THEN "
+            f"IF({d} * 2 > 9, {d} * 2 - 9, {d} * 2) "
+            f"ELSE {d} END)")
+
+
+def credit_card_stats(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Luhn-validated payment-card detection: candidate digit runs
+    (bare 13-19 digits, or the dash-separated 4x4 form) are extracted
+    with one regex pass each, then CHECKSUM-validated with the Luhn
+    algorithm (ISO/IEC 7812) entirely in JVM higher-order functions —
+    the validation is what separates a usable PII scrubber from one
+    that flags every invoice number and timestamp as a card. Adds
+    ``n_cc_candidates``, ``n_cc_valid`` and ``has_valid_cc``.
+
+    Scale: a narrow map pass, no shuffle, no Python; candidates are
+    <= 19 chars so the per-digit fold is constant work. The Luhn fold
+    and both patterns are shared verbatim with the DuckDB oracle
+    (CC_RUN_RE / CC_SEP_RE / the `_luhn_digit_sql` contribution), so
+    validity verdicts are engine-exact by construction.
+    """
+    cands = (f"concat(regexp_extract_all({text_col}, '{CC_RUN_RE}', 0), "
+             f"transform(regexp_extract_all({text_col}, "
+             f"'{CC_SEP_RE}', 0), x -> replace(x, '-', '')))")
+    luhn = ("aggregate(sequence(0, length(c) - 1), 0, "
+            "(acc, i) -> acc + " + _luhn_digit_sql("c", "i")
+            + ") % 10 = 0")
+    valid = f"filter({cands}, c -> {luhn})"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({cands})").cast("long").alias("n_cc_candidates"),
+        F.expr(f"size({valid})").cast("long").alias("n_cc_valid"),
+        F.expr(f"size({valid}) > 0").alias("has_valid_cc"))
+
+
 def pii_stats(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id",
               redacted: bool = False) -> DataFrame:

@@ -3761,6 +3761,64 @@ def pii_stats_q(spark, sf_dir):
                              redacted=True)
 
 
+#: Luhn contribution of digit i (0-based from the right) of candidate
+#: c, shared between the Spark operator and the DuckDB oracle below.
+_LUHN_D = "(ascii(substr(reverse(c), i + 1, 1)) - 48)"
+_LUHN_TERM = (f"(CASE WHEN i % 2 = 1 THEN CASE WHEN {_LUHN_D} * 2 > 9 "
+              f"THEN {_LUHN_D} * 2 - 9 ELSE {_LUHN_D} * 2 END "
+              f"ELSE {_LUHN_D} END)")
+
+
+@register("pii_credit_cards", f"""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' card ' ||
+         lpad(CAST(doc_id * 7919 AS VARCHAR), 16, '4') ||
+         ' or 4111-1111-1111-1111 ref 1234567890123 end' AS text
+  FROM documents
+), cand AS (
+  SELECT doc_id,
+         list_concat(
+             regexp_extract_all(text, '{textops.CC_RUN_RE}'),
+             list_transform(
+                 regexp_extract_all(text, '{textops.CC_SEP_RE}'),
+                 x -> replace(x, '-', ''))) AS cands
+  FROM synth
+), v AS (
+  SELECT doc_id, cands,
+         list_filter(cands, c -> list_sum(list_transform(
+             range(0, length(c)), i -> {_LUHN_TERM})) % 10 = 0)
+             AS valids
+  FROM cand
+)
+SELECT doc_id,
+       CAST(len(cands) AS BIGINT) AS n_cc_candidates,
+       CAST(len(valids) AS BIGINT) AS n_cc_valid,
+       len(valids) > 0 AS has_valid_cc
+FROM v
+""")
+def pii_credit_cards_q(spark, sf_dir):
+    """Luhn-validated payment-card detection (operators/text.py
+    credit_card_stats): per-document candidate counts vs
+    checksum-VALID counts — the validation step that keeps invoice
+    numbers and timestamps out of the scrub. The synthetic corpus has
+    no digits, so each document gets a deterministic card-shaped
+    suffix: a doc_id-derived 16-digit number (Luhn validity decided
+    by both engines from the same digits), a dash-separated known
+    test card, and a 13-digit non-card run. Candidates, dash
+    stripping, and the per-digit Luhn fold are the same SQL in Spark
+    and DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" card "),
+            F.lpad((F.col("doc_id") * 7919).cast("string"), 16, "4"),
+            F.lit(" or 4111-1111-1111-1111 ref 1234567890123 end")
+        ).alias("text"))
+    return textops.credit_card_stats(synth)
+
+
 @register("corpus_filter_funnel", f"""
 WITH scored AS (
   SELECT doc_id, lang, text,
