@@ -384,3 +384,52 @@ class TestCreditCardLuhn:
             .executedPlan().toString()
         assert "EvalPython" not in plan
         assert "Exchange" not in plan
+
+
+class TestCanonicalUrl:
+    """URL canonicalization (webfilter.canonical_url, r12): the
+    crawl-dedup identity — tracking params, casing, default ports,
+    fragments and trailing slashes must not distinguish pages;
+    meaningful differences must."""
+
+    CASES = [
+        ("HTTP://Example.COM:80/a/?utm_source=x&b=2&a=1#f",
+         "http://example.com/a?a=1&b=2"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("https://example.com:8443/a", "https://example.com:8443/a"),
+        ("http://example.com:443/a", "http://example.com:443/a"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/?gclid=1&fbclid=2&ref=rss",
+         "http://example.com/"),
+        ("http://example.com/a?z=1&a=2", "http://example.com/a?a=2&z=1"),
+        ("http://example.com/a///", "http://example.com/a"),
+        ("http://example.com/a?refresh=1",
+         "http://example.com/a?refresh=1"),   # not the 'ref' param
+    ]
+
+    def test_cases(self, spark):
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(self.CASES)],
+            ["i", "url"])
+        got = {r["i"]: r["c"] for r in df.select(
+            "i", webfilter.canonical_url(F.col("url")).alias("c"))
+            .collect()}
+        for i, (_, want) in enumerate(self.CASES):
+            assert got[i] == want, (self.CASES[i][0], got[i])
+
+    def test_dedup_keepers(self, spark):
+        rows = [(0, "HTTP://A.COM:80/x?utm_source=1"),
+                (1, "http://a.com/x"),
+                (2, "http://a.com/y")]
+        df = spark.createDataFrame(rows, ["doc_id", "url"])
+        out = {r["canonical_url"]: (r["n_variants"], r["keeper"])
+               for r in webfilter.url_dedup_keepers(df).collect()}
+        assert out == {"http://a.com/x": (2, 0),
+                       "http://a.com/y": (1, 2)}
+
+    def test_jvm_only(self, spark):
+        df = spark.createDataFrame([(1, "http://a.com/x")],
+                                   ["doc_id", "url"])
+        plan = df.select(webfilter.canonical_url(F.col("url")))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan

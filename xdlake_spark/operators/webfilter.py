@@ -263,6 +263,57 @@ def blocklist_filter(df: DataFrame, terms, text_col: str = "text",
             .drop("__h", "__d"))
 
 
+#: Tracking query parameters stripped by canonicalization (the
+#: standard crawler list: UTM campaign tags + click identifiers).
+#: Java∩RE2, shared verbatim with the DuckDB oracle.
+URL_TRACKING_RE = "^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|ref)="
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL column — the identity crawl pipelines
+    dedup on (the same page arrives as http://Example.COM:80/a?utm_
+    source=feed and example.com/a): lowercase scheme+host, default
+    ports stripped (:80 http / :443 https), fragment dropped,
+    tracking parameters removed (:data:`URL_TRACKING_RE`), remaining
+    query parameters SORTED, path's trailing slashes trimmed (root
+    stays ``/``). Pure JVM regex/HOF expressions, one map pass.
+    """
+    scheme = F.lower(F.regexp_extract(col, "^([a-zA-Z]+)://", 1))
+    host = F.lower(F.regexp_extract(col, "^[a-zA-Z]+://([^/?#]+)", 1))
+    host = F.when(scheme == "http",
+                  F.regexp_replace(host, ":80$", "")) \
+        .when(scheme == "https",
+              F.regexp_replace(host, ":443$", "")) \
+        .otherwise(host)
+    path = F.regexp_extract(col, "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(col, "\\?([^#]*)", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~p.rlike(URL_TRACKING_RE)))
+    qs = F.when(F.size(params) > 0,
+                F.concat(F.lit("?"), F.array_join(params, "&"))) \
+        .otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qs)
+
+
+def url_dedup_keepers(df: DataFrame, url_col: str = "url",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by canonical URL: one map pass to
+    :func:`canonical_url`, one map-side-combinable groupBy on the
+    canonical key — the crawl-frontier dedup shape at any scale.
+    Output: ``canonical_url``, ``n_variants``, ``keeper`` (the
+    smallest id, first-occurrence-wins determinism).
+    """
+    return (df.select(canonical_url(F.col(url_col))
+                      .alias("canonical_url"), F.col(id_col))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n_variants"),
+                 F.min(id_col).alias("keeper")))
+
+
 def url_host_stats(df: DataFrame, url_col: str = "url",
                    group_extra: str = "lang") -> DataFrame:
     """Per-host corpus accounting over a URL column.

@@ -7266,6 +7266,70 @@ def html_extract_main_text_q(spark, sf_dir):
         (F.col("main_text") == expected).alias("roundtrip_ok"))
 
 
+@register("dedup_url_canonical", """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN
+           'HTTP://EXAMPLE.COM:80/doc/' ||
+           CAST(doc_id // 2 AS VARCHAR) ||
+           '/?utm_source=feed&b=2&a=1#frag'
+         ELSE
+           'http://example.com/doc/' ||
+           CAST(doc_id // 2 AS VARCHAR) || '?a=1&b=2'
+         END AS url
+  FROM documents
+), c AS (
+  SELECT doc_id,
+     lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+     lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) AS hostraw,
+     regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS pathraw,
+     regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM u
+), c2 AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
+         ELSE hostraw END AS host,
+    CASE WHEN regexp_replace(pathraw, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(pathraw, '/+$', '') END AS path,
+    list_sort(list_filter(string_split(q, '&'),
+        p -> length(p) > 0 AND NOT regexp_matches(p,
+            '^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid|ref)=')))
+        AS params
+  FROM c
+)
+SELECT scheme || '://' || host || path ||
+       CASE WHEN len(params) > 0
+            THEN '?' || array_to_string(params, '&') ELSE '' END
+           AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       min(doc_id) AS keeper
+FROM c2 GROUP BY 1
+""")
+def dedup_url_canonical_q(spark, sf_dir):
+    """Exact dedup by canonical URL (operators/webfilter.py
+    canonical_url + url_dedup_keepers): the same page crawled as
+    HTTP://EXAMPLE.COM:80/x/?utm_source=feed&b=2&a=1#frag and
+    http://example.com/x?a=1&b=2 must collapse to ONE canonical
+    identity — lowercase scheme/host, default-port strip, fragment
+    drop, tracking-parameter removal, sorted surviving parameters,
+    trailing-slash trim. Each consecutive doc_id pair synthesizes the
+    two spellings of the same page, so EVERY canonical URL must show
+    exactly 2 variants with the even id as keeper. One map pass + one
+    partial-agg groupBy — the crawl-frontier shape."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.expr("doc_id div 2").cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTP://EXAMPLE.COM:80/doc/"), k,
+                 F.lit("/?utm_source=feed&b=2&a=1#frag"))) \
+        .otherwise(
+        F.concat(F.lit("http://example.com/doc/"), k,
+                 F.lit("?a=1&b=2")))
+    return webfilter.url_dedup_keepers(
+        d.select("doc_id", url.alias("url")))
+
+
 @register("url_host_stats", """
 WITH u AS (
   SELECT doc_id, lang,
