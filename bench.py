@@ -165,6 +165,14 @@ HEADLINE = [
     # trips) stay in the single-shot tail tier
     "substring_dedup_exact",
     "delta_merge_clause_list",
+    # round-12 additions: the UniMax mixture, the blocklist screen
+    # and the bitext miner — the round's flagship pipeline operators,
+    # all ~0.4-2.3 s at sf0.1 so 5-pass statistics stay cheap; the
+    # heavier r12 entries (SCD2 MERGE, CDF incremental maintenance,
+    # iceberg equality-delete import) stay in the single-shot tail
+    "unimax_language_mix",
+    "blocklist_term_filter",
+    "bitext_margin_pairs",
 ]
 
 
