@@ -433,3 +433,73 @@ class TestCanonicalUrl:
         plan = df.select(webfilter.canonical_url(F.col("url")))._jdf \
             .queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+class TestPhraseBlocklist:
+    """Multi-word blocklist (webfilter.phrase_blocklist_filter, r12):
+    literal and n-gram-join strategies must agree exactly (overlapping
+    occurrences included), counts must match a Python reference, and
+    the literal path must stay JVM-only with no shuffle."""
+
+    DOCS = [
+        (1, "Lorem-Ipsum! dolor sit amet"),
+        (2, "all rights reserved. ALL RIGHTS RESERVED"),
+        (3, "rights all reserved, wrong order"),
+        (4, "a a a"),                      # overlapping "a a" twice
+        (5, ""),
+        (6, "terms of use and terms of service"),
+    ]
+    PHRASES = ["lorem ipsum", "all rights reserved", "a a",
+               "terms of use"]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+
+    @staticmethod
+    def _py_counts(text, phrases):
+        import re as _re
+        toks = [w for w in _re.split("[^a-z]+", text.lower()) if w]
+        hits = matches = 0
+        for p in phrases:
+            ps = p.split()
+            n = sum(1 for i in range(len(toks) - len(ps) + 1)
+                    if toks[i:i + len(ps)] == ps)
+            hits += n
+            matches += 1 if n else 0
+        return hits, matches
+
+    def test_counts_match_python(self, spark):
+        out = {r["doc_id"]: (r["phrase_hits"], r["phrase_matches"])
+               for r in webfilter.phrase_blocklist_filter(
+                   self._df(spark), self.PHRASES).collect()}
+        for doc_id, text in self.DOCS:
+            assert out[doc_id] == self._py_counts(text, self.PHRASES), \
+                (doc_id, text)
+
+    def test_strategies_agree(self, spark, documents):
+        phrases = ["table table", "lorem ipsum", "value fast",
+                   "the line sort"]
+        cols = ["doc_id", "phrase_hits", "phrase_matches", "flagged"]
+        lit = {tuple(r) for r in webfilter.phrase_blocklist_filter(
+            documents, phrases, strategy="literal")
+            .select(*cols).collect()}
+        join = {tuple(r) for r in webfilter.phrase_blocklist_filter(
+            documents, phrases, strategy="join")
+            .select(*cols).collect()}
+        assert lit == join
+        assert any(r[3] for r in lit)
+
+    def test_literal_path_jvm_no_shuffle(self, spark):
+        out = webfilter.phrase_blocklist_filter(
+            self._df(spark), self.PHRASES)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        assert "Exchange" not in plan
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            webfilter.phrase_blocklist_filter(self._df(spark), [])
+        with _pytest.raises(ValueError):
+            webfilter.phrase_blocklist_filter(self._df(spark),
+                                              ["has-hyphen phrase"])

@@ -263,6 +263,100 @@ def blocklist_filter(df: DataFrame, terms, text_col: str = "text",
             .drop("__h", "__d"))
 
 
+def phrase_blocklist_filter(df: DataFrame, phrases, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            strategy: str = "auto",
+                            max_literal_phrases: int = 64) -> DataFrame:
+    """Multi-word blocklist screening — the half of C4's rule set
+    :func:`blocklist_filter` can't express ("lorem ipsum", "terms of
+    use", "all rights reserved" are phrases, not words). Matching is
+    TOKEN-sequence containment over the same ASCII-lowercase word
+    stream as the single-word filter, so "Lorem-Ipsum!" still hits
+    "lorem ipsum"; occurrences are counted at every start position
+    (overlapping included — both strategies agree by construction).
+    Adds ``phrase_hits`` (total start positions), ``phrase_matches``
+    (distinct phrases present) and ``flagged``.
+
+    - ``literal``: each phrase becomes an array literal compared
+      against token-array slices in a codegen ``filter`` — no join,
+      no shuffle; right for the curated dozens real pipelines use.
+    - ``join``: for each distinct phrase LENGTH the document explodes
+      into its token n-grams once, broadcast-joins the phrase table,
+      and only actual hits shuffle — the 10k-phrase path.
+    """
+    plist = []
+    for p in phrases:
+        toks = str(p).lower().split()
+        if not toks or not all(
+                t and all("a" <= c <= "z" for c in t) for t in toks):
+            raise ValueError(
+                f"phrases must be ASCII-lowercase word sequences: {p!r}")
+        plist.append(tuple(toks))
+    plist = sorted(set(plist))
+    if not plist:
+        raise ValueError("phrase blocklist is empty")
+    if strategy == "auto":
+        strategy = ("literal" if len(plist) <= max_literal_phrases
+                    else "join")
+    words = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                     lambda w: F.length(w) > 0)
+    if strategy == "literal":
+        base = df.withColumn("__toks", words)
+        hit_cols = []
+        for toks in plist:
+            m = len(toks)
+            lit = F.array(*[F.lit(t) for t in toks])
+            # sequence(1, 0) DESCENDS in Spark; guard short docs
+            idx = F.when(
+                F.size("__toks") >= m,
+                F.sequence(F.lit(1), F.size("__toks") - m + 1)) \
+                .otherwise(F.array().cast("array<int>"))
+            starts = F.size(F.filter(
+                idx, lambda i: F.slice("__toks", i, m) == lit))
+            hit_cols.append(starts)
+        total = hit_cols[0]
+        present = F.when(hit_cols[0] > 0, 1).otherwise(0)
+        for hc in hit_cols[1:]:
+            total = total + hc
+            present = present + F.when(hc > 0, 1).otherwise(0)
+        return (base
+                .withColumn("phrase_hits", total.cast("long"))
+                .withColumn("phrase_matches", present.cast("long"))
+                .withColumn("flagged", F.col("phrase_hits") > 0)
+                .drop("__toks"))
+    if strategy != "join":
+        raise ValueError(f"unknown strategy: {strategy}")
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(
+        [(" ".join(t), len(t)) for t in plist], "__p string, __m int")
+    lengths = sorted({len(t) for t in plist})
+    base = df.withColumn("__toks", words)
+    grams = None
+    for m in lengths:
+        idx = F.when(
+            F.size("__toks") >= m,
+            F.sequence(F.lit(1), F.size("__toks") - m + 1)) \
+            .otherwise(F.array().cast("array<int>"))
+        g = base.select(
+            id_col,
+            F.explode(F.transform(
+                idx,
+                lambda i: F.array_join(F.slice("__toks", i, m), " ")))
+            .alias("__p"))
+        grams = g if grams is None else grams.unionByName(g)
+    hits = (grams.join(F.broadcast(pdf.select("__p")), "__p")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__h"),
+                 F.countDistinct("__p").alias("__d")))
+    return (df.join(hits, id_col, "left")
+            .withColumn("phrase_hits",
+                        F.coalesce(F.col("__h"), F.lit(0)))
+            .withColumn("phrase_matches",
+                        F.coalesce(F.col("__d"), F.lit(0)))
+            .withColumn("flagged", F.col("phrase_hits") > 0)
+            .drop("__h", "__d"))
+
+
 #: Tracking query parameters stripped by canonicalization (the
 #: standard crawler list: UTM campaign tags + click identifiers).
 #: Java∩RE2, shared verbatim with the DuckDB oracle.

@@ -7179,6 +7179,65 @@ def blocklist_term_filter(spark, sf_dir):
             .select("doc_id", "banned_hits", "banned_terms", "flagged"))
 
 
+@register("blocklist_phrase_filter", """
+WITH synth AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 5 = 0 THEN ' Lorem-Ipsum!' ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0 THEN ' All rights Reserved.'
+              ELSE '' END AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     w -> length(w) > 0) AS t
+  FROM synth
+), counted AS (
+  SELECT doc_id,
+    len(list_filter(range(1, len(t) - 2 + 2),
+        i -> t[i:i+1] = ['lorem', 'ipsum'])) AS h1,
+    len(list_filter(range(1, len(t) - 3 + 2),
+        i -> t[i:i+2] = ['all', 'rights', 'reserved'])) AS h2,
+    len(list_filter(range(1, len(t) - 2 + 2),
+        i -> t[i:i+1] = ['table', 'table'])) AS h3
+  FROM toks
+)
+SELECT doc_id,
+       CAST(h1 + h2 + h3 AS BIGINT) AS phrase_hits,
+       CAST((h1 > 0)::INT + (h2 > 0)::INT + (h3 > 0)::INT AS BIGINT)
+           AS phrase_matches,
+       h1 + h2 + h3 > 0 AS flagged
+FROM counted
+""")
+def blocklist_phrase_filter_q(spark, sf_dir):
+    """Multi-word blocklist screening (operators/webfilter.py
+    phrase_blocklist_filter): token-SEQUENCE containment over the
+    same lowercase word stream as the single-word filter, overlapping
+    start positions counted — so "Lorem-Ipsum!" matches "lorem
+    ipsum" through punctuation and casing. Two phrases are injected
+    deterministically (every 5th and 7th document) and one ("table
+    table") occurs naturally in the synthetic vocabulary's repeats.
+    Uses the literal strategy (phrase arrays compared against token
+    slices in codegen, no join, no shuffle); the n-gram broadcast-
+    join strategy for huge phrase lists is pinned equivalent in
+    TestPhraseBlocklist."""
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" Lorem-Ipsum!"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" All rights Reserved."))
+            .otherwise(F.lit(""))).alias("text"))
+    return (webfilter.phrase_blocklist_filter(
+                synth, ["lorem ipsum", "all rights reserved",
+                        "table table"])
+            .select("doc_id", "phrase_hits", "phrase_matches",
+                    "flagged"))
+
+
 #: Shared HTML-synthesis recipe for the extraction query: both engines
 #: wrap each document's escaped text in an identical page template so the
 #: strip operator's output is exactly checkable against the original.
