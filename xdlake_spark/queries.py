@@ -1309,6 +1309,47 @@ def delta_optimize(spark, sf_dir):
     return t.to_df().select("l_orderkey", "l_linenumber")
 
 
+@register("delta_optimize_where_scan", """
+SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+WHERE l_quantity > 30
+""")
+def delta_optimize_where(spark, sf_dir):
+    """OPTIMIZE ... WHERE (table.py optimize(where=...)): compaction
+    scoped by a partition predicate — how a 100 TB table compacts its
+    hot partitions daily without rewriting cold ones. Three appends
+    fragment every l_returnflag partition; the scoped optimize must
+    shrink ONLY partition 'A' (gated in-query from the manifest:
+    fewer A files after, N/R counts untouched) while the relational
+    content stays oracle-exact."""
+    from collections import Counter
+
+    from .table import DeltaTable
+    li = (_t(spark, sf_dir, "lineitem").filter("l_quantity > 30")
+          .select("l_orderkey", "l_linenumber", "l_returnflag"))
+    t = DeltaTable(spark, _delta_tmp())
+    for m in range(3):
+        t = t.write(li.filter(f"l_orderkey % 3 = {m}"), mode="append",
+                    partition_by=["l_returnflag"])
+
+    def files_per(h):
+        return Counter(a.partitionValues.get("l_returnflag")
+                       for a in h.adds.values())
+
+    before = files_per(t)
+    t = t.optimize(where="l_returnflag = 'A'")
+    after = files_per(t)
+    if not after["A"] < before["A"]:
+        raise AssertionError(
+            f"scoped optimize did not compact A: {before} -> {after}")
+    for k in before:
+        if k != "A" and after[k] != before[k]:
+            raise AssertionError(
+                f"scoped optimize touched partition {k}: "
+                f"{before} -> {after}")
+    return t.to_df().select("l_orderkey", "l_linenumber",
+                            "l_returnflag")
+
+
 @register("delta_clone_scan", """
 SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
 WHERE l_quantity >= 25
