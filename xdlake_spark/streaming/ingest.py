@@ -394,7 +394,8 @@ def stream_ingest_neardup(stream_df: DataFrame, table_location: str,
                           bucket_cap: int = 2000,
                           trigger_once: bool = True,
                           app_id: "str | None" = None,
-                          stats: "list | None" = None):
+                          stats: "list | None" = None,
+                          log_location: "str | None" = None):
     """Streaming NEAR-duplicate admission (r9 VERDICT item 4): each
     micro-batch is appended only where it has no jaccard >=
     ``threshold`` near-dup — first within the batch itself (connected
@@ -481,7 +482,8 @@ def stream_ingest_semantic(stream_df: DataFrame, table_location: str,
                            threshold: float = 0.95,
                            trigger_once: bool = True,
                            app_id: "str | None" = None,
-                           stats: "list | None" = None):
+                           stats: "list | None" = None,
+                           log_location: "str | None" = None):
     """Streaming SEMANTIC (embedding-cosine) admission — the SemDeDup
     face of :func:`stream_ingest_neardup` (r10): each micro-batch is
     appended only where it has no cosine >= ``threshold`` neighbor,
