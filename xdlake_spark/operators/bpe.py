@@ -36,6 +36,11 @@ from pyspark.sql import types as T
 #: End-of-word sentinel symbol (kept out of the character alphabet).
 EOW = "</w>"
 
+#: Per-task cap on the tokenizer apply memo (distinct words cached per
+#: task before the dict resets) — ~1M entries of short token lists is
+#: tens of MB, far under executor overhead budgets.
+_MEMO_CAP = 1 << 20
+
 MERGE_SCHEMA = T.StructType([
     T.StructField("rank", T.LongType()),
     T.StructField("left", T.StringType()),
@@ -47,9 +52,13 @@ MERGE_SCHEMA = T.StructType([
 
 def _word_freq(df: DataFrame, text_col: str,
                lowercase: bool) -> DataFrame:
+    # the split+explode map side runs inside the scan stage: spread it
+    # when the input arrives as a single split (no-op at cluster scale)
+    from . import ensure_parallelism
     txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    return (df.select(F.explode(F.split(F.trim(txt), r"\s+"))
-                      .alias("word"))
+    return (ensure_parallelism(df)
+            .select(F.explode(F.split(F.trim(txt), r"\s+"))
+                    .alias("word"))
             .filter(F.length("word") > 0)
             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
 
@@ -113,7 +122,14 @@ def train_bpe(df: DataFrame, text_col: str = "text",
     Stops early when no pair reaches ``min_pair_count``.
     """
     spark = df.sparkSession
-    words = _init_symbols(_word_freq(df, text_col, lowercase)) \
+    # pin the distinct-word table at session parallelism BEFORE the
+    # checkpoint: AQE coalesces the small word-freq shuffle to one
+    # partition, which would serialize every round's pair-count map
+    # side and merge-apply UDF onto one core (hash on "word" keeps the
+    # layout deterministic; integer pair counts are order-insensitive)
+    par = spark.sparkContext.defaultParallelism
+    words = _init_symbols(_word_freq(df, text_col, lowercase)
+                          .repartition(par, "word")) \
         .localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
     rounds = 0
@@ -164,7 +180,14 @@ def apply_bpe(df: DataFrame, merges: "DataFrame | list",
     characters (+ ``</w>``) and apply every merge in rank order.
     Returns ``(id, tokens array<string>, n_tokens)``. The merge list is
     collected to the driver (it is vocab-sized — thousands of rows) and
-    shipped inside the UDF closure; the corpus never moves."""
+    shipped inside the UDF closure; the corpus never moves.
+
+    Per-task word memo (r12): merge replay is a pure function of the
+    word and corpus word frequency is Zipfian — most occurrences are
+    repeats — so each task tokenizes a distinct word once and serves
+    repeats from a dict (the ``lru_cache`` in the released GPT-2
+    encoder, same rationale). Bounded by ``_MEMO_CAP`` entries so a
+    pathological task cannot hoard memory."""
     if isinstance(merges, DataFrame):
         rows = merges.orderBy("rank").collect()
         merge_list = [(r["left"], r["right"]) for r in rows]
@@ -172,6 +195,7 @@ def apply_bpe(df: DataFrame, merges: "DataFrame | list",
         merge_list = list(merges)
 
     def run(texts: pd.Series) -> pd.Series:
+        memo: dict = {}
         out = []
         for t in texts:
             t = (t or "")
@@ -179,26 +203,32 @@ def apply_bpe(df: DataFrame, merges: "DataFrame | list",
                 t = t.lower()
             toks: list[str] = []
             for w in t.split():
-                s = list(w) + [EOW]
-                for l, r in merge_list:
-                    if len(s) < 2:
-                        break
-                    m, i, lr = [], 0, l + r
-                    while i < len(s):
-                        if i + 1 < len(s) and s[i] == l \
-                                and s[i + 1] == r:
-                            m.append(lr)
-                            i += 2
-                        else:
-                            m.append(s[i])
-                            i += 1
-                    s = m
-                toks.extend(s)
+                cached = memo.get(w)
+                if cached is None:
+                    s = list(w) + [EOW]
+                    for l, r in merge_list:
+                        if len(s) < 2:
+                            break
+                        m, i, lr = [], 0, l + r
+                        while i < len(s):
+                            if i + 1 < len(s) and s[i] == l \
+                                    and s[i + 1] == r:
+                                m.append(lr)
+                                i += 2
+                            else:
+                                m.append(s[i])
+                                i += 1
+                        s = m
+                    if len(memo) >= _MEMO_CAP:
+                        memo.clear()
+                    memo[w] = cached = s
+                toks.extend(cached)
             out.append(toks)
         return pd.Series(out)
 
+    from . import ensure_parallelism
     tok_udf = F.pandas_udf(run, T.ArrayType(T.StringType()))
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         tok_udf(F.col(text_col)).alias("tokens")) \
         .withColumn("n_tokens", F.size("tokens").cast("long"))

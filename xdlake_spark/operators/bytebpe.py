@@ -74,10 +74,14 @@ def units_to_text(units: "list[str] | str") -> str:
 def _pretoken_freq(df: DataFrame, text_col: str) -> DataFrame:
     """Distinct GPT-2 pre-tokens with corpus frequencies — the
     corpus-scale step, pure JVM (one fused regex pass + one
-    map-side-combinable groupBy)."""
+    map-side-combinable groupBy). The regex map side runs inside the
+    scan stage: spread it when the input arrives as a single split
+    (no-op at cluster scale)."""
+    from . import ensure_parallelism
     toks = F.regexp_extract_all(F.col(text_col),
                                 F.lit("(?U)" + GPT2_SPLIT), F.lit(0))
-    return (df.select(F.explode(toks).alias("word"))
+    return (ensure_parallelism(df)
+            .select(F.explode(toks).alias("word"))
             .filter(F.length("word") > 0)
             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
 
@@ -100,7 +104,13 @@ def train_byte_bpe(df: DataFrame, text_col: str = "text",
     contract); stops early when no pair reaches ``min_pair_count``.
     No lowercasing — byte-BPE is case-preserving by design."""
     spark = df.sparkSession
+    # session-parallelism pin before the checkpoint: AQE coalesces the
+    # small pre-token shuffle to one partition, serializing every
+    # round's pair counts + merge UDF onto one core (same posture as
+    # train_bpe; deterministic hash layout, integer counts)
+    par = spark.sparkContext.defaultParallelism
     words = (_pretoken_freq(df, text_col)
+             .repartition(par, "word")
              .select("freq", _init_units_udf()(F.col("word"))
                      .alias("syms"))
              .localCheckpoint(eager=False))
@@ -151,8 +161,14 @@ def apply_byte_bpe(df: DataFrame, merges: "DataFrame | list",
     order within each pre-token. Returns ``(id, tokens, n_tokens)``;
     ``units_to_text("".join(tokens))`` reconstructs the text exactly
     (no [UNK], pinned in tests). The merge list ships in the UDF
-    closure (vocab-sized); the corpus never moves."""
+    closure (vocab-sized); the corpus never moves. Per-task pre-token
+    memo (r12): merge replay is a pure function of the pre-token and
+    pre-token frequency is Zipfian, so each task replays a distinct
+    pre-token once and serves repeats from a dict — the ``lru_cache``
+    of the released GPT-2 encoder."""
     import regex as _rx
+
+    from .bpe import _MEMO_CAP
     if isinstance(merges, DataFrame):
         rows = merges.orderBy("rank").collect()
         merge_list = [(r["left"], r["right"]) for r in rows]
@@ -161,30 +177,37 @@ def apply_byte_bpe(df: DataFrame, merges: "DataFrame | list",
     pat = _rx.compile(GPT2_SPLIT)
 
     def run(texts: pd.Series) -> pd.Series:
+        memo: dict = {}
         out = []
         for t in texts:
             toks: list = []
             for w in pat.findall(t or ""):
-                s = _to_units(w)
-                for l, r in merge_list:
-                    if len(s) < 2:
-                        break
-                    m, i, lr = [], 0, l + r
-                    while i < len(s):
-                        if i + 1 < len(s) and s[i] == l \
-                                and s[i + 1] == r:
-                            m.append(lr)
-                            i += 2
-                        else:
-                            m.append(s[i])
-                            i += 1
-                    s = m
-                toks.extend(s)
+                cached = memo.get(w)
+                if cached is None:
+                    s = _to_units(w)
+                    for l, r in merge_list:
+                        if len(s) < 2:
+                            break
+                        m, i, lr = [], 0, l + r
+                        while i < len(s):
+                            if i + 1 < len(s) and s[i] == l \
+                                    and s[i + 1] == r:
+                                m.append(lr)
+                                i += 2
+                            else:
+                                m.append(s[i])
+                                i += 1
+                        s = m
+                    if len(memo) >= _MEMO_CAP:
+                        memo.clear()
+                    memo[w] = cached = s
+                toks.extend(cached)
             out.append(toks)
         return pd.Series(out)
 
+    from . import ensure_parallelism
     tok_udf = F.pandas_udf(run, T.ArrayType(T.StringType()))
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         tok_udf(F.col(text_col)).alias("tokens")) \
         .withColumn("n_tokens", F.size("tokens").cast("long"))

@@ -259,9 +259,16 @@ def quality_features(df: DataFrame, text_col: str = "text",
 
     One explode + one (doc, bucket) aggregation; at 100 TB this is a
     single shuffle keyed on (doc_id, bucket) — uniform, no hot keys
-    (bucket count is capped at n_buckets per doc)."""
-    toks = (df.select(F.col(id_col).alias("doc_id"),
-                      F.explode(_tokens(text_col)).alias("term"))
+    (bucket count is capped at n_buckets per doc). The normalization
+    window then leaves the output hash(doc_id)-partitioned, which the
+    trainer's per-epoch doc-keyed groupBy/join reuse exchange-free
+    (localCheckpoint preserves partitioning). The tokenize+hash map
+    side runs inside the scan stage: spread it when the input arrives
+    as a single split (no-op at cluster scale)."""
+    from . import ensure_parallelism
+    toks = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(_tokens(text_col)).alias("term"))
             .filter(F.length("term") > 0)
             .select("doc_id",
                     _bucket(F.col("term"), n_buckets).alias("bucket")))

@@ -37,12 +37,14 @@ def _domain_bigrams(df: DataFrame, domain_col: str,
     regex \\s Unicode-aware (U+00A0, NEL, ...) so tokenization matches
     the sequential twin's Python ``str.split()`` on non-ASCII
     whitespace too (same convention as bytebpe.py)."""
+    from . import ensure_parallelism
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"(?U)\s+")
     pairs = F.arrays_zip(
         F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
         F.slice(toks, 2, F.size(toks) - 1).alias("w2"))
-    return (df.select(F.col(domain_col).alias("domain"),
-                      F.explode(pairs).alias("p"))
+    return (ensure_parallelism(df)
+            .select(F.col(domain_col).alias("domain"),
+                    F.explode(pairs).alias("p"))
             .select("domain", F.col("p.w1").alias("w1"),
                     F.col("p.w2").alias("w2"))
             .filter((F.length("w1") > 0) & (F.length("w2") > 0))
@@ -72,66 +74,73 @@ def doremi_domain_weights(df: DataFrame, domain_col: str = "lang",
       smoothing ``a = (1-smoothing) a' + smoothing / k``.
     """
     spark = df.sparkSession
-    bg = _domain_bigrams(df, domain_col, text_col) \
-        .localCheckpoint(eager=True)
+    # hash(w1)-partition the bigram table ONCE at the checkpoint: both
+    # per-round mixture sums are then window aggregations over that
+    # layout (hash(w1) satisfies clustering on (w1) AND on (w1, w2)),
+    # so a round runs zero vocab-scale exchanges — previously each
+    # round shuffled the table three times (mix groupBy, mix_tot
+    # groupBy, and the join back) (r12, guide §2.4). The broadcast
+    # domain-weight join preserves the streamed side's partitioning.
+    bg = (_domain_bigrams(df, domain_col, text_col)
+          .repartition("w1")
+          .localCheckpoint(eager=False))
     try:
-        # per-domain token mass + the global conditioning vocabulary
-        nd = {r["domain"]: r["n"] for r in
-              bg.groupBy("domain").agg(F.sum("c").alias("n")).collect()}
+        # the conditioning vocabulary and the constant (w1, w2) mix
+        # support, ONE fused action (r12; previously two distinct
+        # jobs) — this also materializes the lazy checkpoint
+        r0 = bg.agg(F.countDistinct("w2").alias("v"),
+                    F.countDistinct("w1", "w2").alias("nk")).first()
+        vocab_size = int(r0["v"])
+        n_bigram_keys = int(r0["nk"])
+        kv = add_k * vocab_size
+
+        # reference losses AND per-domain token mass in one
+        # aggregation (r12; nd previously cost its own job):
+        # p_d(w2|w1) from the domain's own counts via a window over
+        # the existing layout, smoothed over the global vocab
+        wtot_d = Window.partitionBy("domain", "w1")
+        ref_rows = (bg.withColumn("__tot", F.sum("c").over(wtot_d))
+                    .select("domain", "c",
+                            (-F.col("c")
+                             * F.log((F.col("c") + F.lit(add_k))
+                                     / (F.col("__tot") + F.lit(kv))))
+                            .alias("nll"))
+                    .groupBy("domain")
+                    .agg(F.sum("nll").alias("s"),
+                         F.sum("c").alias("n"))
+                    .collect())
+        nd = {r["domain"]: int(r["n"]) for r in ref_rows}
         domains = sorted(nd)
         if not domains:
             raise ValueError("no domains with bigrams")
-        vocab_size = bg.select("w2").distinct().count()
-        kv = add_k * vocab_size
-        # distinct (w1, w2) support of the mixture — CONSTANT across
-        # rounds (every alpha_d stays > 0 under uniform smoothing, so
-        # the mix support is exactly the union of domain bigrams);
-        # computed once, it lets each round derive mean_mc in the
-        # driver instead of running a separate action (r11 review)
-        n_bigram_keys = bg.select("w1", "w2").distinct().count()
-
-        # reference losses, one aggregation: p_d(w2|w1) from the
-        # domain's own counts, smoothed over the global vocab
-        w1_tot = (bg.groupBy("domain", "w1")
-                  .agg(F.sum("c").alias("tot")))
-        ref_rows = (bg.join(w1_tot, ["domain", "w1"])
-                    .select("domain",
-                            (-F.col("c")
-                             * F.log((F.col("c") + F.lit(add_k))
-                                     / (F.col("tot") + F.lit(kv))))
-                            .alias("nll"))
-                    .groupBy("domain").agg(F.sum("nll").alias("s"))
-                    .collect())
         l_ref = {r["domain"]: float(r["s"]) / nd[r["domain"]]
                  for r in ref_rows}
 
         k = len(domains)
         alpha = {d: 1.0 / k for d in domains}
         excess = {d: 0.0 for d in domains}
+        w_mix = Window.partitionBy("w1", "w2")
+        w_tot = Window.partitionBy("w1")
         for _ in range(rounds):
             sdf = spark.createDataFrame(
                 [(d, alpha[d] / nd[d]) for d in domains],
                 "domain string, s double")
             scaled = (bg.join(F.broadcast(sdf), "domain")
-                      .select("w1", "w2", "c",
-                              (F.col("c") * F.col("s")).alias("wc"),
-                              "domain"))
-            mix = (scaled.groupBy("w1", "w2")
-                   .agg(F.sum("wc").alias("mc")))
-            mix_tot = (mix.groupBy("w1")
-                       .agg(F.sum("mc").alias("mtot")))
+                      .withColumn("wc", F.col("c") * F.col("s")))
             # scale-invariant add-k: smooth relative to the mixture's
             # mean count so the probabilities don't depend on the
             # arbitrary magnitude of the s_d scaling. Derived in the
             # driver — sum(mc) = sum_d alpha_d exactly (each domain's
             # counts scale by alpha_d/N_d and sum to N_d) over the
-            # constant support — so the round runs ONE action, not two
+            # constant support — so the round runs ONE action
             mean_mc = sum(alpha.values()) / n_bigram_keys
             ak = add_k * mean_mc
             akv = ak * vocab_size
+            # mixture count and its w1 total as two windows over the
+            # checkpoint's hash(w1) layout — no exchange, one sort
             loss_rows = (scaled
-                         .join(mix, ["w1", "w2"])
-                         .join(mix_tot, "w1")
+                         .withColumn("mc", F.sum("wc").over(w_mix))
+                         .withColumn("mtot", F.sum("wc").over(w_tot))
                          .select("domain",
                                  (-F.col("c")
                                   * F.log((F.col("mc") + F.lit(ak))

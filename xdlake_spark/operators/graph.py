@@ -179,10 +179,13 @@ def bfs_hops(edges: DataFrame, source: int, max_hops: int = 4
                .join(settled.select("node"), "node", "left_anti")
                .withColumn("hops", F.lit(k)))
         if k < max_hops:
-            # materialize the frontier once (it feeds both the union
-            # and the next round's join) and stop early when empty —
-            # take(1) on the checkpointed frame is O(1), no rdd probe
-            nxt = nxt.localCheckpoint(eager=True)
+            # lazily checkpoint the frontier (it feeds both the union
+            # and the next round's join — blocks are shared once
+            # computed) and stop early when empty: take(1) probes
+            # partitions incrementally, so an early hit costs O(1) and
+            # the remainder materializes inside the next round's job
+            # instead of a dedicated warm-up job per hop (r12)
+            nxt = nxt.localCheckpoint(eager=False)
             frontier = nxt
             settled = settled.unionAll(frontier)
             if not nxt.take(1):
@@ -204,9 +207,10 @@ def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 50,
 
     Scale shape: each round is one partial-aggregated degree count +
     two semi-joins that shrink the (lo, hi) edge list; the round's
-    result is eagerly checkpointed so lineage stays flat, and the
-    fixpoint test is the 1-row edge count that checkpoint already
-    computed. Peeling converges in at most O(peeled layers) rounds —
+    result is LAZILY checkpointed and the fixpoint-test count is the
+    action that materializes it — one job per round, not a
+    materialize-then-count pair (r12; the connected_components
+    pattern). Peeling converges in at most O(peeled layers) rounds —
     typically a handful — and EXTRA rounds are no-ops, which is what
     makes the unrolled-SQL oracle (`graph_kcore`) exact: both engines
     land on the same fixpoint regardless of round count.
@@ -214,7 +218,7 @@ def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 50,
     und = _canonical_undirected(
         edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst")))
-    und = und.localCheckpoint(eager=True)
+    und = und.localCheckpoint(eager=False)
     prev_edges = und.count()
     for _ in range(max_rounds):
         deg = (und.select(F.col("lo").alias("node"))
@@ -226,7 +230,7 @@ def kcore(edges: DataFrame, k: int = 2, max_rounds: int = 50,
                      "left_semi")
                .join(keep.withColumnRenamed("node", "hi"), "hi",
                      "left_semi")
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
         n = und.count()
         if n == prev_edges:
             break
@@ -249,10 +253,20 @@ def deterministic_walks(edges: DataFrame, length: int = 4,
     a sampling operator). Returns ``(start, step, node)`` with step 0
     = the start node.
 
-    Scale shape: ``length`` rounds of one join against the (static,
-    checkpointed) adjacency list + one min_by per walk — walk state is
-    (start, cur), never a growing path column, and the exploded output
-    is assembled from the per-round frontiers. O(length * |E|) total.
+    Scale shape (r12): the hash-argmin next step is a pure function of
+    ``(step, cur)`` — it never depends on the walk's start — so the
+    per-step successor table is computed ONCE from the adjacency list
+    (one explode over ``length`` step ids + one map-side-combinable
+    min(struct) aggregation, O(length * |E|) rows through a single
+    exchange) and the walks then compose ``length`` node-scale
+    (start, cur) x (cur -> nxt) joins. The pre-r12 form joined the
+    full edge list against the walk table every round — edge-scale
+    work per step, with hash-min fan-in hotspots when many walks
+    converge on one hub node; the successor-table form does the
+    per-neighbor work exactly once per (step, node) and the walk joins
+    move only 2-long rows. Lazy checkpoints keep every step
+    materialized once inside the single output action; walk state is
+    (start, cur), never a growing path column.
     """
     und = _canonical_undirected(
         edges.select(F.col(src_col).alias("src"),
@@ -261,24 +275,32 @@ def deterministic_walks(edges: DataFrame, length: int = 4,
                       F.col("hi").alias("nxt"))
            .unionAll(und.select(F.col("hi").alias("cur"),
                                 F.col("lo").alias("nxt")))
-           .localCheckpoint(eager=True))
+           .localCheckpoint(eager=False))
+    seeded = F.concat(F.lit(f"{seed}:"), F.col("step").cast("string"),
+                      F.lit(":"), F.col("cur").cast("string"),
+                      F.lit(":"), F.col("nxt").cast("string"))
+    h = F.conv(F.substring(F.md5(seeded), 1, 13), 16, 10) \
+        .cast("long")
+    # (step, cur) -> next node, all steps in one aggregation; the
+    # min(struct(h, nxt)) tie-break is exactly the per-walk argmin the
+    # join form computed, so results are identical
+    fn = (adj.select(
+            F.explode(F.sequence(F.lit(1), F.lit(length)))
+            .alias("step"), "cur", "nxt")
+          .groupBy("step", "cur")
+          .agg(F.min(F.struct(h.alias("h"),
+                              F.col("nxt").alias("n"))).alias("m"))
+          .select("step", "cur", F.col("m.n").alias("nxt"))
+          .localCheckpoint(eager=False))
     walk = (adj.select(F.col("cur").alias("start")).distinct()
             .withColumn("cur", F.col("start")))
     out = walk.select("start", F.lit(0).alias("step"),
                       F.col("cur").alias("node"))
     for step in range(1, length + 1):
-        seeded = F.concat(F.lit(f"{seed}:{step}:"),
-                          F.col("cur").cast("string"), F.lit(":"),
-                          F.col("nxt").cast("string"))
-        h = F.conv(F.substring(F.md5(seeded), 1, 13), 16, 10) \
-            .cast("long")
-        nxt = (walk.join(adj, "cur")
-               .groupBy("start")
-               .agg(F.min(F.struct(h.alias("h"),
-                                   F.col("nxt").alias("n")))
-                    .alias("m"))
-               .select("start", F.col("m.n").alias("cur"))
-               .localCheckpoint(eager=True))
+        nxt = (walk.join(fn.filter(F.col("step") == step)
+                         .select("cur", "nxt"), "cur")
+               .select("start", F.col("nxt").alias("cur"))
+               .localCheckpoint(eager=False))
         out = out.unionAll(nxt.select("start",
                                       F.lit(step).alias("step"),
                                       F.col("cur").alias("node")))

@@ -207,16 +207,17 @@ def pagerank(edges: DataFrame, iterations: int = 4,
         # one join + one agg: e RIGHT JOIN ranks keeps dangling nodes
         # as null-dst rows, whose rank sums into the null group —
         # contributions and dangling mass from a single shuffle pass.
-        # The EAGER checkpoint is the round's only materialization; it
-        # bounds lineage, so the lazy rank update needs no checkpoint
-        # of its own (one action per round, not three)
+        # The checkpoint is LAZY: the dangling-mass aggregation below
+        # is a full scan, so it materializes the round's flow AND
+        # returns the driver scalar in ONE job (r12 — previously an
+        # eager-materialize job plus a separate first() job per round)
         flow = (e.join(ranks.withColumnRenamed("node", "src"),
                        "src", "right")
                 .groupBy("dst")
                 .agg(F.sum(F.when(F.col("deg").isNull(), F.col("rank"))
                            .otherwise(F.col("rank") / F.col("deg")))
                      .alias("__in"))
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
         # dangling mass: ONE row of the checkpointed flow — a driver
         # scalar, not a data collect (|row| == 1 at any graph size)
         row = (flow.filter(F.col("dst").isNull())
@@ -243,8 +244,9 @@ def pagerank(edges: DataFrame, iterations: int = 4,
         if tol is not None:
             # convergence screen: checkpoint the round (bounds lineage
             # exactly like the flow checkpoint) and take the L1 delta
-            # vs the previous round — a 1-row driver scalar
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            # vs the previous round — a 1-row driver scalar whose full
+            # aggregation doubles as the lazy checkpoint's materializer
+            new_ranks = new_ranks.localCheckpoint(eager=False)
             delta = (new_ranks.select("node",
                                       F.col("rank").alias("__nr"))
                      .join(ranks.select("node",

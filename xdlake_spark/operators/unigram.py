@@ -85,44 +85,63 @@ def _forward_backward(word: str, freq: float, logp: dict,
     """Expected piece counts for one word under the unigram LM (all
     segmentations, forward-backward in log space); accumulates
     ``freq``-weighted counts into ``counts`` and returns the word's
-    ``freq``-weighted log-likelihood. Unreachable words contribute 0."""
+    ``freq``-weighted log-likelihood. Unreachable words contribute 0.
+
+    One substring+vocab-lookup pass builds ``spans`` (the in-vocab
+    pieces per start position); the alpha/beta/gamma loops then read
+    the table instead of re-slicing and re-hashing each piece three
+    times (r12 — E-steps are the trainer's CPU budget). The log-sum-exp
+    folds visit (j, i) pairs in exactly the original loop order, so
+    every float is bit-identical to the three-pass form."""
     n = len(word)
     NEG = float("-inf")
+    log1p, exp = math.log1p, math.exp
+    spans = []
+    for j in range(n):
+        row = []
+        for i in range(j + 1, min(n, j + max_len) + 1):
+            lp = logp.get(word[j:i])
+            if lp is not None:
+                row.append((i, lp, word[j:i]))
+        spans.append(row)
     alpha = [NEG] * (n + 1)
     alpha[0] = 0.0
-    for i in range(1, n + 1):
-        acc = NEG
-        for j in range(max(0, i - max_len), i):
-            lp = logp.get(word[j:i])
-            if lp is None or alpha[j] == NEG:
-                continue
-            v = alpha[j] + lp
-            acc = v if acc == NEG else (
-                max(acc, v) + math.log1p(math.exp(-abs(acc - v))))
-        alpha[i] = acc
+    # scatter form: outer j ascending == for each i, contributions fold
+    # in ascending-j order, the original gather sequence
+    for j in range(n):
+        aj = alpha[j]
+        if aj == NEG:
+            continue
+        for i, lp, _ in spans[j]:
+            v = aj + lp
+            acc = alpha[i]
+            alpha[i] = v if acc == NEG else (
+                max(acc, v) + log1p(exp(-abs(acc - v))))
     if alpha[n] == NEG:
         return 0.0
     beta = [NEG] * (n + 1)
     beta[n] = 0.0
     for j in range(n - 1, -1, -1):
         acc = NEG
-        for i in range(j + 1, min(n, j + max_len) + 1):
-            lp = logp.get(word[j:i])
-            if lp is None or beta[i] == NEG:
+        for i, lp, _ in spans[j]:
+            bi = beta[i]
+            if bi == NEG:
                 continue
-            v = lp + beta[i]
+            v = lp + bi
             acc = v if acc == NEG else (
-                max(acc, v) + math.log1p(math.exp(-abs(acc - v))))
+                max(acc, v) + log1p(exp(-abs(acc - v))))
         beta[j] = acc
     z = alpha[n]
     for j in range(n):
-        for i in range(j + 1, min(n, j + max_len) + 1):
-            lp = logp.get(word[j:i])
-            if lp is None or alpha[j] == NEG or beta[i] == NEG:
+        aj = alpha[j]
+        if aj == NEG:
+            continue
+        for i, lp, p in spans[j]:
+            bi = beta[i]
+            if bi == NEG:
                 continue
-            gamma = math.exp(alpha[j] + lp + beta[i] - z)
+            gamma = exp(aj + lp + bi - z)
             if gamma > 1e-12:
-                p = word[j:i]
                 counts[p] = counts.get(p, 0.0) + freq * gamma
     return freq * z
 
@@ -173,7 +192,16 @@ def train_unigram(df: DataFrame, text_col: str = "text",
     ties rank lexicographically.
     """
     spark = df.sparkSession
+    # session-parallelism pin before the checkpoint: AQE coalesces the
+    # small word-freq shuffle to one partition, which would run every
+    # E-step's forward-backward Python single-threaded (the E-step is
+    # CPU-bound over the distinct-word table; spreading it is the
+    # whole point of distributing EM). Deterministic hash layout; the
+    # piece-count sums tolerate partition-order float drift by design
+    # (tests pin 1e-9, outputs round to 6).
+    par = spark.sparkContext.defaultParallelism
     words = _word_freq(df, text_col, lowercase) \
+        .repartition(par, "word") \
         .localCheckpoint(eager=False)
     seed = _seed_candidates(words, max_piece_len, seed_size,
                             min_seed_count)
@@ -256,7 +284,12 @@ def apply_unigram(df: DataFrame, vocab: "DataFrame | dict",
     """Tokenize with a trained vocab: ``(id, n_tokens, n_unk)`` per
     document — Viterbi per word inside one Arrow-batched pass, the
     vocab riding in the closure. ``id`` keeps the input column's native
-    type (same posture as :func:`~.bpe.apply_bpe`)."""
+    type (same posture as :func:`~.bpe.apply_bpe`). Per-task word memo
+    (r12): Viterbi is a pure function of the word and word frequency is
+    Zipfian, so each task segments a distinct word once and serves
+    repeats from a dict."""
+    from .bpe import _MEMO_CAP
+
     if isinstance(vocab, DataFrame):
         pdf = vocab.select("piece", "logprob").toPandas()
         logp = dict(zip(pdf["piece"], pdf["logprob"]))
@@ -265,6 +298,7 @@ def apply_unigram(df: DataFrame, vocab: "DataFrame | dict",
     known = set(logp)
 
     def run(texts: pd.Series) -> pd.DataFrame:
+        memo: dict = {}
         n_toks, n_unks = [], []
         for text in texts:
             toks = 0
@@ -273,18 +307,27 @@ def apply_unigram(df: DataFrame, vocab: "DataFrame | dict",
             if lowercase:
                 t = t.lower()
             for w in t.split():
-                pieces = viterbi_segment(w, logp, max_piece_len)
-                toks += len(pieces)
-                unks += sum(1 for p in pieces if p not in known)
+                cached = memo.get(w)
+                if cached is None:
+                    pieces = viterbi_segment(w, logp, max_piece_len)
+                    if len(memo) >= _MEMO_CAP:
+                        memo.clear()
+                    memo[w] = cached = (
+                        len(pieces),
+                        sum(1 for p in pieces if p not in known))
+                toks += cached[0]
+                unks += cached[1]
             n_toks.append(toks)
             n_unks.append(unks)
         return pd.DataFrame({"n_tokens": n_toks, "n_unk": n_unks})
 
+    from . import ensure_parallelism
     tok_udf = F.pandas_udf(
         run, T.StructType([T.StructField("n_tokens", T.LongType()),
                            T.StructField("n_unk", T.LongType())]))
-    return (df.select(F.col(id_col).alias("id"),
-                      tok_udf(F.col(text_col)).alias("__t"))
+    return (ensure_parallelism(df)
+            .select(F.col(id_col).alias("id"),
+                    tok_udf(F.col(text_col)).alias("__t"))
             .select("id", F.col("__t.n_tokens").alias("n_tokens"),
                     F.col("__t.n_unk").alias("n_unk")))
 

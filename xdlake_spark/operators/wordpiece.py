@@ -51,9 +51,13 @@ def _merge_symbols(left: str, right: str) -> str:
 
 def _word_freq(df: DataFrame, text_col: str,
                lowercase: bool) -> DataFrame:
+    # spread the split+explode map side when the input arrives as a
+    # single split (no-op at cluster scale)
+    from . import ensure_parallelism
     txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    return (df.select(F.explode(F.split(F.trim(txt), r"\s+"))
-                      .alias("word"))
+    return (ensure_parallelism(df)
+            .select(F.explode(F.split(F.trim(txt), r"\s+"))
+                    .alias("word"))
             .filter(F.length("word") > 0)
             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
 
@@ -140,7 +144,12 @@ def train_wordpiece(df: DataFrame, text_col: str = "text",
     vocab-scale word table regardless of k.
     """
     spark = df.sparkSession
-    words = _init_symbols(_word_freq(df, text_col, lowercase)) \
+    # session-parallelism pin before the checkpoint (train_bpe posture):
+    # AQE coalesces the small word-freq shuffle to one partition, which
+    # would serialize every round's pair/symbol counts and merge UDF
+    par = spark.sparkContext.defaultParallelism
+    words = _init_symbols(_word_freq(df, text_col, lowercase)
+                          .repartition(par, "word")) \
         .localCheckpoint(eager=False)
     merges: list = []
     rounds = 0
@@ -213,10 +222,15 @@ def apply_wordpiece(df: DataFrame, vocab: "list[str] | set[str]",
     inference algorithm): per word, take the longest vocabulary prefix
     (continuations matched with the ``##`` form), emit ``[UNK]`` for a
     word with any unmatchable position. The vocab ships in the UDF
-    closure (vocab-sized); the corpus never moves."""
+    closure (vocab-sized); the corpus never moves. Per-task word memo
+    (r12): greedy matching is a pure function of the word and word
+    frequency is Zipfian, so each task matches a distinct word once
+    and serves repeats from a dict."""
+    from .bpe import _MEMO_CAP
     vset = set(vocab)
 
     def run(texts: pd.Series) -> pd.Series:
+        memo: dict = {}
         out = []
         for t in texts:
             t = (t or "")
@@ -224,26 +238,32 @@ def apply_wordpiece(df: DataFrame, vocab: "list[str] | set[str]",
                 t = t.lower()
             toks: list = []
             for w in t.split():
-                i, first, word_toks = 0, True, []
-                while i < len(w):
-                    j, hit = len(w), None
-                    while j > i:
-                        piece = w[i:j] if first else CONT + w[i:j]
-                        if piece in vset:
-                            hit = piece
+                cached = memo.get(w)
+                if cached is None:
+                    i, first, word_toks = 0, True, []
+                    while i < len(w):
+                        j, hit = len(w), None
+                        while j > i:
+                            piece = w[i:j] if first else CONT + w[i:j]
+                            if piece in vset:
+                                hit = piece
+                                break
+                            j -= 1
+                        if hit is None:
+                            word_toks = [unk]
                             break
-                        j -= 1
-                    if hit is None:
-                        word_toks = [unk]
-                        break
-                    word_toks.append(hit)
-                    i, first = j, False
-                toks.extend(word_toks)
+                        word_toks.append(hit)
+                        i, first = j, False
+                    if len(memo) >= _MEMO_CAP:
+                        memo.clear()
+                    memo[w] = cached = word_toks
+                toks.extend(cached)
             out.append(toks)
         return pd.Series(out)
 
+    from . import ensure_parallelism
     tok_udf = F.pandas_udf(run, T.ArrayType(T.StringType()))
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         tok_udf(F.col(text_col)).alias("tokens")) \
         .withColumn("n_tokens", F.size("tokens").cast("long"))
