@@ -122,14 +122,13 @@ def train_bpe(df: DataFrame, text_col: str = "text",
     Stops early when no pair reaches ``min_pair_count``.
     """
     spark = df.sparkSession
-    # pin the distinct-word table at session parallelism BEFORE the
-    # checkpoint: AQE coalesces the small word-freq shuffle to one
-    # partition, which would serialize every round's pair-count map
-    # side and merge-apply UDF onto one core (hash on "word" keeps the
-    # layout deterministic; integer pair counts are order-insensitive)
-    par = spark.sparkContext.defaultParallelism
-    words = _init_symbols(_word_freq(df, text_col, lowercase)
-                          .repartition(par, "word")) \
+    # NOTE (r12): deliberately NOT pinned at session parallelism — the
+    # per-round pair-count/merge work per word is tiny, so the AQE
+    # byte-coalesced layout is right at every scale (a large word table
+    # is never coalesced to one partition), and an extra exchange +
+    # 32-task rounds measurably slowed the sf0.1 bench. Only unigram's
+    # CPU-bound E-step warrants the explicit spread.
+    words = _init_symbols(_word_freq(df, text_col, lowercase)) \
         .localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
     rounds = 0

@@ -104,13 +104,11 @@ def train_byte_bpe(df: DataFrame, text_col: str = "text",
     contract); stops early when no pair reaches ``min_pair_count``.
     No lowercasing — byte-BPE is case-preserving by design."""
     spark = df.sparkSession
-    # session-parallelism pin before the checkpoint: AQE coalesces the
-    # small pre-token shuffle to one partition, serializing every
-    # round's pair counts + merge UDF onto one core (same posture as
-    # train_bpe; deterministic hash layout, integer counts)
-    par = spark.sparkContext.defaultParallelism
+    # NOTE (r12): not pinned at session parallelism — per-round work
+    # per pre-token is tiny, so the AQE byte-coalesced layout is right
+    # at every scale (see train_bpe); only unigram's CPU-bound E-step
+    # warrants the explicit spread.
     words = (_pretoken_freq(df, text_col)
-             .repartition(par, "word")
              .select("freq", _init_units_udf()(F.col("word"))
                      .alias("syms"))
              .localCheckpoint(eager=False))

@@ -144,12 +144,11 @@ def train_wordpiece(df: DataFrame, text_col: str = "text",
     vocab-scale word table regardless of k.
     """
     spark = df.sparkSession
-    # session-parallelism pin before the checkpoint (train_bpe posture):
-    # AQE coalesces the small word-freq shuffle to one partition, which
-    # would serialize every round's pair/symbol counts and merge UDF
-    par = spark.sparkContext.defaultParallelism
-    words = _init_symbols(_word_freq(df, text_col, lowercase)
-                          .repartition(par, "word")) \
+    # NOTE (r12): not pinned at session parallelism — per-round work
+    # per word is tiny, so the AQE byte-coalesced layout is right at
+    # every scale (see train_bpe); only unigram's CPU-bound E-step
+    # warrants the explicit spread.
+    words = _init_symbols(_word_freq(df, text_col, lowercase)) \
         .localCheckpoint(eager=False)
     merges: list = []
     rounds = 0
