@@ -296,17 +296,22 @@ def train_quality_classifier(df: DataFrame, label_col: str,
     cluster layout up to float-summation order (pinned against a
     sequential numpy twin in tests/test_operators.py).
 
-    Per epoch (two shuffles, both uniform, ONE action):
-      1. margin_d = b + sum_f w[f] x_df  — broadcast the B-row weight
-         table onto the feature rows, aggregate by doc;
-      2. grad[f]  = mean_d (sigmoid(margin_d) - y_d) x_df — join the
-         per-doc residual back on doc_id, aggregate by bucket; the
-         bias gradient rides the same aggregation as a sentinel
-         bucket (-1), so the margin job never runs twice.
-    The driver holds only the B-float weight vector (metadata scale);
-    features are computed once and localCheckpoint'd, so epoch r never
-    replays tokenization. Gradient-descent updates with constant lr
-    and optional L2.
+    Per epoch (ONE action, ZERO feature-scale shuffles): the feature
+    table is hash(doc_id)-partitioned once at its localCheckpoint, so
+    the margin ``m_d = b + sum_f w[f] x_df`` is a window sum over that
+    layout (broadcasting the B-row weight table preserves the streamed
+    side's partitioning) — every (doc, bucket) row carries its doc's
+    residual ``r_d = sigmoid(m_d) - y_d`` without the former
+    groupBy(doc)+join-back pair, which re-exchanged the feature table
+    twice per epoch. The bucket gradients
+    ``grad[f] = mean_d r_d x_df`` and the bias gradient
+    ``mean_d r_d`` (each doc's residual counted once, via the window's
+    row_number) then ride one B-row aggregation. The driver holds only
+    the B-float weight vector (metadata scale); features are computed
+    once and localCheckpoint'd, so epoch r never replays tokenization.
+    Gradient-descent updates with constant lr and optional L2.
+    Window-vs-hash-aggregation float summation order differs by ulps;
+    the sequential-twin test pins the weights to 1e-9.
 
     Returns ``(weights, bias)`` — a ``numpy`` array of length
     ``n_buckets`` and a float.
@@ -316,49 +321,54 @@ def train_quality_classifier(df: DataFrame, label_col: str,
     spark = df.sparkSession
     labels = df.select(F.col(id_col).alias("doc_id"),
                        F.col(label_col).cast("double").alias("y"))
+    # hash(doc_id)-partition ONCE at the checkpoint: every epoch's
+    # margin window then runs over this layout with no exchange
+    # (r12, guide §2.4 — the doremi pattern)
     feats = (quality_features(df, text_col, id_col, n_buckets)
-             .join(labels, "doc_id"))
+             .join(labels, "doc_id")
+             .repartition("doc_id"))
     feats = feats.localCheckpoint(eager=True)
     try:
         n_docs = labels.count()
         if n_docs == 0:
             raise ValueError("cannot train on an empty corpus")
 
+        # one window spec for the margin sum AND the count-once row
+        # marker: partition by doc, order by bucket, full frame — a
+        # single sort, shared by both expressions
+        wd = Window.partitionBy("doc_id").orderBy("bucket")
+        full = wd.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
         w = np.zeros(n_buckets)
         b = 0.0
         for _ in range(epochs):
             wdf = spark.createDataFrame(
                 [(int(i), float(w[i])) for i in range(n_buckets)],
                 "bucket long, w double")
-            margins = (feats.join(F.broadcast(wdf), "bucket", "left")
-                       .groupBy("doc_id")
-                       .agg(F.sum(F.col("x")
-                                  * F.coalesce("w", F.lit(0.0)))
-                            .alias("m"),
-                            F.first("y").alias("y")))
-            resid = margins.select(
-                "doc_id",
-                (F.lit(1.0)
-                 / (F.lit(1.0) + F.exp(-(F.col("m") + F.lit(b))))
-                 - F.col("y")).alias("r"))
-            # one action per epoch: bucket gradients plus the bias
-            # gradient as sentinel bucket -1 in the SAME aggregation
-            grad_src = (feats.join(resid, "doc_id")
-                        .select("bucket",
-                                (F.col("x") * F.col("r")).alias("c"))
-                        .unionByName(resid.select(
-                            F.lit(-1).cast("long").alias("bucket"),
-                            F.col("r").alias("c"))))
-            grad_rows = (grad_src.groupBy("bucket")
-                         .agg(F.sum("c").alias("g")).collect())
+            rows = (feats.join(F.broadcast(wdf), "bucket", "left")
+                    .withColumn("__m", F.sum(
+                        F.col("x") * F.coalesce("w", F.lit(0.0)))
+                        .over(full))
+                    .withColumn("__r", F.lit(1.0) / (
+                        F.lit(1.0)
+                        + F.exp(-(F.col("__m") + F.lit(b))))
+                        - F.col("y"))
+                    .withColumn("__rn", F.row_number().over(wd)))
+            # one action per epoch: bucket gradients plus the
+            # per-doc-once bias gradient in the SAME aggregation
+            grad_rows = (rows.groupBy("bucket")
+                         .agg(F.sum(F.col("x") * F.col("__r"))
+                              .alias("g"),
+                              F.sum(F.when(F.col("__rn") == 1,
+                                           F.col("__r"))
+                                    .otherwise(0.0)).alias("gb"))
+                         .collect())
             g = np.zeros(n_buckets)
             gb = 0.0
-            for row in grad_rows:
-                bi = int(row["bucket"])
-                if bi < 0:
-                    gb = float(row["g"]) / n_docs
-                else:
-                    g[bi] = float(row["g"]) / n_docs
+            for row in sorted(grad_rows, key=lambda r: r["bucket"]):
+                g[int(row["bucket"])] = float(row["g"]) / n_docs
+                gb += float(row["gb"])
+            gb /= n_docs
             w -= lr * (g + l2 * w)
             b -= lr * gb
         return w, b

@@ -94,25 +94,53 @@ def _farthest_point_init(base: DataFrame, n_clusters: int,
     point maximizing the min squared distance to the chosen set (ties
     break on id). k TakeOrdered jobs of ONE row each — robust to the
     two-seeds-in-one-blob local optimum that random/hash seeding feeds
-    Lloyd, at the cost of evaluating O(k^2/2) dot products over the
-    corpus across the k passes (fine for curation-scale k; pass
-    ``init='hash'`` to skip it for large k)."""
-    first = (base.select(id_col, vec_col)
-             .orderBy(F.xxhash64(F.col(id_col).cast("string"),
-                                 F.lit(seed)), F.col(id_col))
-             .limit(1).collect())
-    if not first:
-        raise ValueError("cannot seed clusters from an empty input")
-    chosen = [np.asarray(list(first[0][vec_col]), dtype="float64")]
+    Lloyd; pass ``init='hash'`` to skip it for large k.
+
+    Same incremental bookkeeping as :func:`kcenter_select`: the
+    per-point running min distance is carried in a lazily
+    localCheckpointed state column and each round folds in ONE new
+    dot product per point with ``least`` — O(k |corpus|) total work
+    and an O(1) plan per round, where rebuilding ``least(*d2s)`` over
+    the whole chosen set each round is O(k^2 |corpus|) work with a
+    linearly growing plan. ``least`` is an exact min over floats, so
+    the running min equals the batch min bit-for-bit. The seed
+    collect also proves there are >= k rows (one TakeOrdered job
+    instead of a count job plus a 1-row collect)."""
+    head = (base.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string"),
+                                F.lit(seed)), F.col(id_col))
+            .limit(n_clusters).collect())
+    if len(head) < n_clusters:
+        raise ValueError(
+            f"need >= {n_clusters} rows to seed {n_clusters} clusters")
+    chosen = [np.asarray(list(head[0][vec_col]), dtype="float64")]
     x2 = dot(F.col(vec_col), F.col(vec_col))
+
+    def d2_to(c: np.ndarray):
+        return x2 - 2.0 * dot(F.col(vec_col), lit_vector(c)) \
+            + F.lit(_seq_self_dot(c))
+
+    state = base.select(id_col, vec_col, d2_to(chosen[0]).alias("__dm"))
+    prev = None
     while len(chosen) < n_clusters:
-        d2s = [x2 - 2.0 * dot(F.col(vec_col), lit_vector(c))
-               + F.lit(_seq_self_dot(c)) for c in chosen]
-        d2min = d2s[0] if len(d2s) == 1 else F.least(*d2s)
-        far = (base.select(id_col, vec_col, d2min.alias("__d2"))
+        # lazy: the round's TakeOrdered is a full-partition scan, so it
+        # both materializes the checkpoint and returns the argmax — one
+        # job per round, no standalone warm-up
+        state = state.localCheckpoint(eager=False)
+        far = (state.select(id_col, vec_col,
+                            F.col("__dm").alias("__d2"))
                .orderBy(F.col("__d2").desc(), F.col(id_col))
                .limit(1).collect())
-        chosen.append(np.asarray(list(far[0][vec_col]), dtype="float64"))
+        if prev is not None:
+            prev.unpersist()
+        prev = state
+        newest = np.asarray(list(far[0][vec_col]), dtype="float64")
+        chosen.append(newest)
+        state = state.select(
+            id_col, vec_col,
+            F.least(F.col("__dm"), d2_to(newest)).alias("__dm"))
+    if prev is not None:
+        prev.unpersist()
     return np.stack(chosen)
 
 
@@ -146,9 +174,7 @@ def kmeans(df: DataFrame, n_clusters: int = 8,
     # rescan the input — checkpoint the (narrow) projection once
     base = ensure_parallelism(df).localCheckpoint(eager=False)
     if init == "farthest":
-        if base.select(id_col).limit(n_clusters).count() < n_clusters:
-            raise ValueError(
-                f"need >= {n_clusters} rows to seed {n_clusters} clusters")
+        # the row-count guard lives inside the init's seed collect
         centroids = _farthest_point_init(base, n_clusters, vec_col,
                                          id_col, seed)
     else:
@@ -307,14 +333,20 @@ def kcenter_select(df: DataFrame, k: int = 8,
     state = base.select("id", "v", d2_to(seed).alias("__dm"))
     prev = None
     while len(out) < k:
-        state = state.localCheckpoint(eager=True)
-        if prev is not None:
-            prev.unpersist()
-        prev = state
+        # lazy checkpoint: the argmax TakeOrdered scans every
+        # partition, so it materializes the round's state AND returns
+        # the driver row in ONE job (eager=True paid a separate
+        # materialize job per round). prev is released only after the
+        # collect — the new state's first computation streams out of
+        # prev's blocks.
+        state = state.localCheckpoint(eager=False)
         far = (state.select("id", "v",
                             F.round(F.col("__dm"), 6).alias("__d2"))
                .orderBy(F.col("__d2").desc(), F.col("id"))
                .limit(1).collect())[0]
+        if prev is not None:
+            prev.unpersist()
+        prev = state
         if int(far["id"]) in chosen_ids:
             break     # k exceeds the number of distinct points
         out.append((len(out), int(far["id"]), float(far["__d2"])))
