@@ -78,7 +78,34 @@ def hyperplane_bit(a: Column, plane) -> Column:
     return (dot(a, lit_vector(plane)) >= 0).cast("int")
 
 
+def _hyperplane_signature_fused(a: Column, planes) -> Column:
+    """One-expression form of :func:`hyperplane_signature`: the plane
+    matrix ships as a single flat literal and a nested
+    ``transform``/``aggregate`` computes every sign bit, instead of
+    one ``zip_with``+``aggregate`` tree per plane. Building n
+    separate lambda expressions through py4j cost seconds of DRIVER
+    time per query for multi-table LSH (r12: 6 tables x 8 planes =
+    48 HOF trees ~ 3-10 s of plan construction); this builds two.
+    The inner fold visits dimensions in the same ascending order with
+    the same double arithmetic as ``dot``, so every bit — and the
+    concatenated signature string — is identical."""
+    n, d = len(planes), len(planes[0])
+    flat = F.lit([float(x) for r in planes for x in r])
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: (F.aggregate(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc + F.get(a, j).cast("double")
+            * F.get(flat, i * d + j)) >= 0).cast("int").cast("string"))
+    # fold with concat (NOT concat_ws): a null bit — short/null vector
+    # — nulls the whole signature, exactly as the unfused concat did
+    return F.aggregate(bits, F.lit(""),
+                       lambda acc, b: F.concat(acc, b))
+
+
 def hyperplane_signature(a: Column, planes) -> Column:
     """Bit-string signature over a set of hyperplanes, as a compact string
-    (also the LSH bucket key)."""
-    return F.concat(*[hyperplane_bit(a, p).cast("string") for p in planes])
+    (also the LSH bucket key). Built as one fused expression — see
+    :func:`_hyperplane_signature_fused` for why."""
+    return _hyperplane_signature_fused(a, planes)

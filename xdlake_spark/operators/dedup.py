@@ -372,32 +372,56 @@ def contamination_pairs(train: DataFrame, eval_df: DataFrame,
                       shingles(F.col(text_col), k_shingle).alias("sh")))
         return sh
 
-    tr = inv(train, "train").localCheckpoint(eager=False)
+    # the train side is checkpointed ONLY when the doc-freq valve needs
+    # tr_inv twice (hot-shingle count + anti-join): with a single
+    # consumer, a checkpoint would materialize the corpus-scale train
+    # shingle table for no reuse — at 100 TB that is a full extra write
+    # of the corpus to executor storage, and at bench scale a
+    # serialized materialize job on the critical path (r12, guide §5)
+    tr = inv(train, "train")
+    if max_doc_freq is not None:
+        tr = tr.localCheckpoint(eager=False)
     ev = inv(eval_df, "eval").localCheckpoint(eager=False)
     tr_inv = (tr.select("train_id", F.explode("sh").alias("__s"))
               .select("train_id", F.xxhash64("__s").alias("shingle")))
     ev_inv = (ev.select("eval_id", F.explode("sh").alias("__s"))
               .select("eval_id", F.xxhash64("__s").alias("shingle")))
     if eval_screen:
-        from .sketch import bloom_build
+        # The screen's hash family is private to this function (the
+        # filter is built AND probed right here), so it uses
+        # xxhash64(i, shingle) addressing — one 64-bit hash of a LONG
+        # per probe — instead of sketch.bloom_build's md5-of-string
+        # addressing, which cost ~3 md5+hex-conv per train shingle and
+        # dominated the screened scan (r12, guide §4.1: cheapest JVM
+        # expression that does the job). Any no-false-negative family
+        # yields EXACTLY the same query result: a screen false
+        # positive only admits a shingle the equi-join then ignores.
+        def screen_pos(i):
+            return F.pmod(F.xxhash64(F.lit(i), F.col("shingle")),
+                          F.lit(screen_bits))
+
         words = [0] * (screen_bits // 32)
-        for r in bloom_build(ev_inv.select("shingle"), "shingle",
-                             k=screen_hashes,
-                             m_bits=screen_bits).collect():
+        bit_rows = (ev_inv.select(F.explode(F.array(
+                        *[screen_pos(i) for i in range(screen_hashes)]))
+                        .alias("__pos"))
+                    .select(F.floor(F.col("__pos") / 32).cast("int")
+                            .alias("word_i"),
+                            # shiftleft() takes only a literal shift in
+                            # the Python API; pow(2, b) is exact for
+                            # b < 32 and stays JVM-side
+                            F.pow(F.lit(2.0),
+                                  F.pmod(F.col("__pos"), F.lit(32)))
+                            .cast("long").alias("mask"))
+                    .groupBy("word_i")
+                    .agg(F.expr("bit_or(mask)").alias("bits"))
+                    .collect())
+        for r in bit_rows:
             words[r["word_i"]] = r["bits"]
         wlit = F.lit([int(w) for w in words])
         conds = None
         for i in range(screen_hashes):
-            # EXACT _bloom_bits addressing (md5("i:value") % m), value
-            # stringified the same way concat coerces the build side
-            seeded = F.concat(F.lit(f"{i}:"),
-                              F.col("shingle").cast("string"))
-            pos = F.pmod(
-                F.conv(F.substring(F.md5(seeded), 1, 13), 16, 10)
-                 .cast("long"), F.lit(screen_bits))
+            pos = screen_pos(i)
             word = F.floor(pos / 32).cast("int")
-            # shiftleft() takes only a literal shift in the Python
-            # API; pow(2, b) is exact for b < 32 and stays JVM-side
             mask = F.pow(F.lit(2.0), F.pmod(pos, F.lit(32))) \
                 .cast("long")
             c = (F.element_at(wlit, word + 1).bitwiseAND(mask)

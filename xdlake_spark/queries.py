@@ -4156,8 +4156,8 @@ def contamination_screened_q(spark, sf_dir):
     eval doc never leave the scan. No false negatives, so this query
     shares contamination_check's exact oracle."""
     d = _t(spark, sf_dir, "documents")
-    # 3 hashes: the screen's md5 probes ride the train scan, and AND
-    # short-circuits, so fewer hashes cost less per row; the higher
+    # 3 hashes: the screen's xxhash64 probes ride the train scan, and
+    # AND short-circuits, so fewer hashes cost less per row; the higher
     # false-positive rate only re-admits shingles the join then
     # ignores. The screen PAYS when corpus >> eval (the 100 TB shape);
     # at bench scale (10:1) it's exercised for correctness, not gain.
