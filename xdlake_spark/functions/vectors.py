@@ -61,16 +61,85 @@ def euclidean(a: Column, b: Column) -> Column:
         F.lit(0.0), lambda acc, v: acc + v))
 
 
+def _doubles_sql(values) -> "str | None":
+    """``array(...)`` SQL text for a list of finite doubles, or None
+    when a value is non-finite (NaN/inf have no plain SQL literal).
+    ``repr(float)`` is the shortest round-tripping decimal, and the
+    parser's nearest-double read of it restores the exact bits (the
+    ``D`` suffix parses each element directly as DOUBLE, never through
+    DECIMAL)."""
+    parts = []
+    for v in values:
+        v = float(v)
+        if v != v or v in (float("inf"), float("-inf")):
+            return None
+        parts.append(repr(v) + "D")
+    return "array(" + ",".join(parts) + ")"
+
+
+def lit_doubles(values) -> Column:
+    """array<double> literal built as ONE parsed SQL expression.
+
+    ``F.lit(list)`` routes one py4j call PER ELEMENT (~1.5 ms each):
+    a 64x64 matrix literal cost ~16 s of pure driver time before any
+    job ran (r12 profiling). A single ``F.expr`` ships the whole array
+    as text in one round trip, and Catalyst constant-folds it into the
+    same ``Literal`` (verified: optimized plans are identical and the
+    values bit-exact). Non-finite/empty inputs fall back to ``F.lit``.
+    """
+    sql = _doubles_sql(values) if len(values) else None
+    if sql is None:
+        return F.lit([float(v) for v in values])
+    return F.expr(sql)
+
+
+def lit_longs(values) -> Column:
+    """array<bigint> literal via one parsed expression — see
+    :func:`lit_doubles` for why (one py4j round trip, constant-folded
+    to the same ``Literal``)."""
+    vs = [int(v) for v in values]
+    if not vs:
+        return F.lit(vs)
+    return F.expr("array(" + ",".join(str(v) + "L" for v in vs) + ")")
+
+
+def lit_double_rows(rows) -> Column:
+    """array<array<double>> literal via one parsed expression — see
+    :func:`lit_doubles`."""
+    inner = [_doubles_sql(r) for r in rows]
+    if len(rows) == 0 or any(s is None for s in inner) \
+            or any(len(r) == 0 for r in rows):
+        return F.lit([[float(v) for v in r] for r in rows])
+    return F.expr("array(" + ",".join(inner) + ")")
+
+
+def lit_double_cube(cube) -> Column:
+    """array<array<array<double>>> literal via one parsed expression —
+    see :func:`lit_doubles`."""
+    planes = []
+    for m in cube:
+        inner = [_doubles_sql(r) for r in m]
+        if not len(m) or any(s is None for s in inner) \
+                or any(len(r) == 0 for r in m):
+            return F.lit([[[float(v) for v in r] for r in m]
+                          for m in cube])
+        planes.append("array(" + ",".join(inner) + ")")
+    if not planes:
+        return F.lit([])
+    return F.expr("array(" + ",".join(planes) + ")")
+
+
 def lit_vector(values) -> Column:
     """A literal query vector as an array<double> column.
 
-    ``F.lit(list)`` builds a true Catalyst ``Literal`` — a constant
-    object referenced by codegen — where ``F.array(*lits)`` builds a
-    per-row ``CreateArray`` that re-materializes the vector for every
-    row AND every expression instance (Catalyst does not CSE inside
-    higher-order functions, so a 64-dim query vector embedded in 128
-    codebook terms was rebuilt 128 times per row)."""
-    return F.lit([float(v) for v in values])
+    A true Catalyst ``Literal`` — a constant object referenced by
+    codegen — where ``F.array(*lits)`` builds a per-row ``CreateArray``
+    that re-materializes the vector for every row AND every expression
+    instance (Catalyst does not CSE inside higher-order functions, so
+    a 64-dim query vector embedded in 128 codebook terms was rebuilt
+    128 times per row). Built via :func:`lit_doubles`, one py4j round
+    trip instead of one per element."""
+    return lit_doubles(values)
 
 
 def hyperplane_bit(a: Column, plane) -> Column:
@@ -90,7 +159,7 @@ def _hyperplane_signature_fused(a: Column, planes) -> Column:
     the same double arithmetic as ``dot``, so every bit — and the
     concatenated signature string — is identical."""
     n, d = len(planes), len(planes[0])
-    flat = F.lit([float(x) for r in planes for x in r])
+    flat = lit_doubles([float(x) for r in planes for x in r])
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(n - 1)),
         lambda i: (F.aggregate(

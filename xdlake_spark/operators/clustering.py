@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import ensure_parallelism
-from ..functions.vectors import dot, lit_vector
+from ..functions.vectors import (dot, lit_double_rows, lit_doubles,
+                                 lit_vector)
 
 
 def _best_struct(centroids: np.ndarray, vec_col: str):
@@ -51,8 +52,8 @@ def _best_struct(centroids: np.ndarray, vec_col: str):
     # costs a constant handful of py4j lambda conversions instead of
     # 2k — k-means at k=16 spent seconds of pure driver time building
     # each iteration's assignment expression.
-    cl = F.lit([[float(v) for v in c] for c in centroids])
-    halves = F.lit([_seq_self_dot(c) / 2.0 for c in centroids])
+    cl = lit_double_rows(centroids)
+    halves = lit_doubles([_seq_self_dot(c) / 2.0 for c in centroids])
     scored = F.transform(cl, lambda c, i: F.struct(
         (F.aggregate(F.zip_with(F.col(vec_col), c,
                                 lambda a, b: a.cast("double")

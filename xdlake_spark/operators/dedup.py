@@ -417,7 +417,8 @@ def contamination_pairs(train: DataFrame, eval_df: DataFrame,
                     .collect())
         for r in bit_rows:
             words[r["word_i"]] = r["bits"]
-        wlit = F.lit([int(w) for w in words])
+        from ..functions.vectors import lit_longs
+        wlit = lit_longs(words)
         conds = None
         for i in range(screen_hashes):
             pos = screen_pos(i)

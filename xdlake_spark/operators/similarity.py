@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 from . import ensure_parallelism
 from ..functions.vectors import (cosine, dot, hyperplane_signature,
-                                 lit_vector, norm)
+                                 lit_double_cube, lit_double_rows,
+                                 lit_doubles, lit_vector, norm)
 
 
 def brute_force_topk(df: DataFrame, query_vec, k: int = 10,
@@ -226,7 +227,7 @@ def ivf_build(df: DataFrame, n_centroids: int = 16,
         # argmax via array_max over (score, cid) structs — one
         # transform over the centroid matrix literal (constant py4j
         # lambda count; same sequential dot arithmetic)
-        cl = F.lit([[float(v) for v in c] for c in cents])
+        cl = lit_double_rows(cents)
         scored = F.transform(cl, lambda c, i: F.struct(
             F.aggregate(F.zip_with(F.col(vec_col), c,
                                    lambda a, b: a.cast("double")
@@ -384,10 +385,9 @@ def pq_encode(df: DataFrame, codebooks: np.ndarray,
     # round-trips — seconds of driver latency before any job ran).
     # Runtime is the same interpreted-HOF class the per-code dots
     # already were; bytes scanned and rows moved are unchanged.
-    cb3 = F.lit([[[float(v) for v in c] for c in codebooks[j]]
-                 for j in range(m)])
-    halves2 = F.lit([[seq_dot(c) / 2.0 for c in codebooks[j]]
-                     for j in range(m)])
+    cb3 = lit_double_cube(codebooks)
+    halves2 = lit_double_rows([[seq_dot(c) / 2.0 for c in codebooks[j]]
+                               for j in range(m)])
 
     codes = F.transform(F.lit(list(range(m))),
                         lambda j: F.array_max(F.transform(
@@ -435,7 +435,7 @@ def pq_topk(encoded: DataFrame, codebooks: np.ndarray, query_vec,
     tables = ((q.reshape(m, 1, sub) - codebooks) ** 2).sum(axis=2)
     adc = None
     for j in range(m):
-        t = F.lit([float(v) for v in tables[j]])
+        t = lit_doubles(tables[j])
         term = F.element_at(t, F.col(code_col)[j] + 1)
         adc = term if adc is None else adc + term
     base = ensure_parallelism(encoded)
@@ -444,7 +444,7 @@ def pq_topk(encoded: DataFrame, codebooks: np.ndarray, query_vec,
                 .select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
                 .orderBy(F.col("adc_dist").asc(), F.col(id_col))
                 .limit(k))
-    qlit = F.lit([float(v) for v in q])
+    qlit = lit_doubles(q)
     exact = F.aggregate(
         F.zip_with(F.col(vec_col), qlit,
                    lambda a, b: (a.cast("double") - b)
@@ -530,8 +530,7 @@ def _rotate_expr(R: np.ndarray, vec_col: str):
     2-D literal — d JVM dot products at runtime, constant lambda
     count at plan-build time (d separate zip_with dots cost seconds
     of py4j round-trips before any job ran)."""
-    cols = F.lit([[float(v) for v in col]
-                  for col in np.asarray(R, dtype="float64").T])
+    cols = lit_double_rows(np.asarray(R, dtype="float64").T)
     return F.transform(cols, lambda c: F.aggregate(
         F.zip_with(F.col(vec_col), c,
                    lambda a, b: a.cast("double") * b),
@@ -573,11 +572,11 @@ def opq_topk(encoded: DataFrame, R: np.ndarray,
     tables = ((qr.reshape(m, 1, sub) - codebooks) ** 2).sum(axis=2)
     adc = None
     for j in range(m):
-        t = F.lit([float(v) for v in tables[j]])
+        t = lit_doubles(tables[j])
         term = F.element_at(t, F.col(code_col)[j] + 1)
         adc = term if adc is None else adc + term
     base = ensure_parallelism(encoded)
-    qlit = F.lit([float(v) for v in q])
+    qlit = lit_doubles(q)
     qq = float(q @ q)
     exact = (dot(F.col(vec_col), F.col(vec_col))
              - 2.0 * dot(F.col(vec_col), qlit) + F.lit(qq))
@@ -712,7 +711,7 @@ def ivfpq_build(df: DataFrame, n_centroids: int = 16, m: int = 8,
     assigned, centroids = ivf_build(
         df, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col,
         seed=seed, lloyd_iters=lloyd_iters)
-    cent_lit = F.lit([[float(v) for v in c] for c in centroids])
+    cent_lit = lit_double_rows(centroids)
     resid = assigned.withColumn(
         "__resid",
         F.zip_with(F.col(vec_col),
@@ -766,7 +765,7 @@ def ivfpq_topk(encoded: DataFrame, centroids: np.ndarray,
             .sum(axis=2)
         term = None
         for j in range(m):
-            t = F.lit([float(v) for v in tables[j]])
+            t = lit_doubles(tables[j])
             lk = F.element_at(t, F.col(code_col)[j] + 1)
             term = lk if term is None else term + lk
         cond = F.col("__centroid") == cid
@@ -779,7 +778,7 @@ def ivfpq_topk(encoded: DataFrame, centroids: np.ndarray,
                 .select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
                 .orderBy(F.col("adc_dist").asc(), F.col(id_col))
                 .limit(k))
-    qlit = F.lit([float(v) for v in q])
+    qlit = lit_doubles(q)
     qq = float(q @ q)
     exact = (dot(F.col(vec_col), F.col(vec_col))
              - 2.0 * dot(F.col(vec_col), qlit) + F.lit(qq))
