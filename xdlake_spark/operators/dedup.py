@@ -87,6 +87,12 @@ def _bounded_bucket_pairs(entries: DataFrame, keys: list[str],
         *keys, "id", *payload, F.col("__salt").alias("__sb"),
         F.explode(F.sequence(F.lit(0), F.col("__salt"))).alias("__sa"))
 
+    # NOTE (r12): deliberately NOT repartition-pinned. At sf0.1 AQE
+    # byte-coalesces this join's quadratic pair emit onto one ~1 s
+    # task, but pinning both sides at session parallelism measured
+    # 2x SLOWER overall (the extra exchanges cost more than the
+    # coalesced emit), and at real scale the shuffle is large enough
+    # that AQE keeps the parallelism.
     l, r = left.alias("l"), right.alias("r")
     same = [F.col(f"l.{k}") == F.col(f"r.{k}")
             for k in [*keys, "__sa", "__sb"]]
