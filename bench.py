@@ -205,30 +205,16 @@ def main() -> None:
     from xdlake_spark.sources.readers import read_parquet_any
     qs = queries()
 
-    # warm up the JVM / codegen / parquet reader before timing
+    # warm up the JVM / codegen / parquet reader before timing.
+    # r13: the r12 "prestage_session_artifacts" untimed warmup (which
+    # pre-built the clustered tables and trained ANN artifacts that
+    # ~12 tail queries then reused) is GONE, along with the session
+    # memos behind it — the r12 verdict correctly called it gaming.
+    # Every query's recorded time now includes all work its function
+    # performs in a fresh session.
     for t in ("lineitem", "events", "documents", "embeddings"):
         read_parquet_any(spark, f"{sf_dir}/{t}.parquet") \
             .write.format("noop").mode("overwrite").save()
-    # pre-stage everything the maintenance/index queries reuse OUTSIDE
-    # the timed region (r11 base writes; r12 the table-scale OPTIMIZEs
-    # and the trained ANN artifacts too): the clustering queries clone
-    # from a session-cached pre-clustered base and the ANN queries
-    # reuse session-memoized codebooks/rotations, so tail timings
-    # measure the scan/search (plus genuinely per-query work like the
-    # incremental OPTIMIZE), never a one-time build. The staging lives
-    # in ONE canonical function next to the queries so bench and
-    # registry can't drift (pinned by tests/test_bench_contract.py::
-    # test_bench_prestage_keys_match).
-    t_stage = time.time()
-    prestage_s = None
-    try:
-        from xdlake_spark.queries import prestage_session_artifacts
-        prestage_session_artifacts(spark, sf_dir)
-        prestage_s = round(time.time() - t_stage, 1)
-        print(f"# pre-staged clustered tables + ANN artifacts in "
-              f"{prestage_s}s (untimed)", file=sys.stderr)
-    except Exception as e:  # pragma: no cover
-        print(f"# pre-stage skipped: {e}", file=sys.stderr)
 
     def _loadavg() -> float:
         try:
@@ -278,7 +264,12 @@ def main() -> None:
               file=sys.stderr)
 
     mins = {n: round(min(s), 3) for n, s in samples.items()}
-    medians = {n: round(sorted(s)[len(s) // 2], 3)
+    # lower-middle median (r13, verdict item 8): with an EVEN sample
+    # count (budget valve stopped a pass early) the upper-middle
+    # element of 4 monotonically-warming samples is the 2nd WORST —
+    # the r12 headline was structurally inflated by it. Odd counts
+    # (the normal 5 passes) are unchanged.
+    medians = {n: round(sorted(s)[(len(s) - 1) // 2], 3)
                for n, s in samples.items()}
     for n in HEADLINE:
         print(f"# {n}: min {mins[n]:.2f}s median {medians[n]:.2f}s of "
@@ -347,10 +338,6 @@ def main() -> None:
         # registered query outside the headline set + explicit skips
         "tail_s": tail_s,
         "tail_skipped": tail_skipped,
-        # one-time session staging cost (clustered tables + trained
-        # ANN artifacts) excluded from every per-query timing — on the
-        # record here so nothing is silently hidden
-        "prestage_untimed_s": prestage_s,
         # per-pass host-load markers (r11): /proc/loadavg before/after
         # each headline pass + its wall total, so a polluted pass is
         # attributable to external load rather than code drift
@@ -376,17 +363,24 @@ def main() -> None:
                   "w") as f:
             json.dump(detail, f, indent=1)
 
-    # Final line: compact — MUST stay well under the driver's 2000-byte
-    # stdout-tail capture (rounds 4 and 5 both lost their headline value
-    # to truncation by embedding the 63-entry per-query dict here). The
-    # per-query medians/mins/samples live in bench_detail.json; the line
-    # carries only the suite aggregate plus the DuckDB baseline sum.
+    # Final line: MUST stay under the driver's 2000-byte stdout-tail
+    # capture (rounds 4 and 5 both lost their headline value to
+    # truncation by embedding the full 63-entry per-query dict; r12's
+    # line carried no per-query dict at all, so the driver's PERF had
+    # nothing to join rounds on — verdict item 2b). r13 compromise: a
+    # BYTE-BUDGETED "queries" dict — the 10 user-story queries first,
+    # then every other timed query most-expensive-first, added while
+    # the encoded line stays under 1800 bytes (~50 entries). Entries
+    # are per-query seconds: headline tier = min across passes, tail
+    # tier = its single-shot time. The complete per-query record
+    # (min + median + samples, all 250 queries) is bench_detail.json.
     total = round(sum(medians.values()), 3)
-    line = json.dumps({
+    payload = {
         "metric": "headline_suite_wall_clock",
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "queries": {},
         # every registered query now carries a timing record:
         # n_queries = headline (median-of-5) + tail (singleton)
         "n_queries": len(HEADLINE) + len(tail_s),
@@ -405,8 +399,19 @@ def main() -> None:
             round(sum(s[i] for s in samples.values()), 1)
             for i in range(len(next(iter(samples.values()))))],
         "detail": "bench_detail.json",
-    }, separators=(",", ":"))
-    assert len(line) < 1500, f"final bench line {len(line)}B >= 1500B cap"
+    }
+    per_query = {**tail_s, **mins}
+    prio = [n for n in DUCKDB_BASELINE if n in per_query]
+    prio += [n for n, _ in sorted(per_query.items(), key=lambda kv: -kv[1])
+             if n not in set(prio)]
+    budget = 1800
+    for n in prio:
+        payload["queries"][n] = round(per_query[n], 2)
+        if len(json.dumps(payload, separators=(",", ":"))) > budget:
+            del payload["queries"][n]
+            break
+    line = json.dumps(payload, separators=(",", ":"))
+    assert len(line) < 1900, f"final bench line {len(line)}B >= 1900B cap"
     print(line)
     spark.stop()
 

@@ -934,18 +934,16 @@ def _delta_tmp() -> str:
     return tempfile.mkdtemp(prefix="xdlake_q_")
 
 
-#: session-scoped staged base tables: (session id, sf_dir, key) -> path
-_STAGED_DELTA: dict = {}
-
-#: session-scoped trained ANN artifacts: (session id, sf_dir, key) -> obj
-_STAGED_OBJS: dict = {}
-
-
 def _ann_artifacts(spark, sf_dir, key):
-    """Canonical builders for the session-memoized ANN artifacts —
-    the single source of truth shared by the registry queries and
-    bench.py's untimed warmup (prestage_session_artifacts), so the
-    two can never train under different parameters."""
+    """Canonical trained-ANN artifact builders (rotations, codebooks,
+    centroid tables) shared by the similarity queries.
+
+    r13: built FRESH on every call. The r12 session memo (plus
+    bench.py's untimed prestage) moved deterministic-but-declared
+    training work out of the timed region, so a query's bench time
+    depended on what ran before it and excluded work its function
+    performs in a fresh session (r12 verdict, gaming item 1). Every
+    query now pays for exactly what it computes."""
     e = _t(spark, sf_dir, "embeddings")
     builders = {
         "opq4": lambda: similarity.opq_train(e, opq_iters=4),
@@ -953,90 +951,31 @@ def _ann_artifacts(spark, sf_dir, key):
         "ivf16": lambda: similarity.ivf_build(e, n_centroids=16),
         "pq16x16": lambda: similarity.pq_train(e, m=16, n_codes=16),
     }
-    return _session_memo(spark, sf_dir, key, builders[key])
+    return builders[key]()
 
 
-def prestage_session_artifacts(spark, sf_dir) -> None:
-    """One-time session staging of everything the maintenance/index
-    queries reuse: the four pre-clustered lineitem tables and the four
-    trained ANN artifact sets. bench.py calls this during warmup
-    (UNTIMED) so no single-shot tail timing silently pays a one-time
-    build; outside the bench, the first query execution stages on
-    miss with identical results (deterministic builds)."""
-    _staged_lineitem_clone(
-        spark, sf_dir, maintain_key="zorder",
-        maintain=lambda t: t.optimize(
-            zorder_by=["l_partkey", "l_suppkey"],
-            target_file_size=256 * 1024))
-    _staged_lineitem_clone(
-        spark, sf_dir, maintain_key="hilbert",
-        maintain=lambda t: t.optimize(
-            hilbert_by=["l_partkey", "l_suppkey"],
-            target_file_size=256 * 1024))
-    _staged_lineitem_clone(
-        spark, sf_dir, maintain_key="clustered",
-        maintain=lambda t: t.cluster_by(["l_partkey", "l_suppkey"])
-        .optimize(target_file_size=256 * 1024))
-    _staged_lineitem_clone(
-        spark, sf_dir, predicate="l_orderkey % 2 = 0",
-        maintain_key="clustered_even",
-        maintain=lambda t: t.cluster_by(["l_partkey", "l_suppkey"])
-        .optimize(target_file_size=256 * 1024, min_cube_size=0))
-    for key in ("opq4", "ivfpq8", "ivf16", "pq16x16"):
-        _ann_artifacts(spark, sf_dir, key)
+def _maintained_lineitem_table(spark, sf_dir, predicate=None,
+                               maintain=None):
+    """A fresh Delta table of lineitem (optionally filtered, then
+    maintained in-query): parquet scan -> Delta write -> the query's
+    OPTIMIZE / CLUSTER BY step, all inside the query function.
 
-
-def _session_memo(spark, sf_dir, key, fn):
-    """Session-scoped memo for trained driver-side ANN artifacts
-    (rotations, codebooks, centroid tables — r12): a production ANN
-    stack trains its index ONCE and serves many queries, so
-    re-training inside every timed query measured BUILD cost, not
-    search cost — the same steady-state rationale as the pre-staged
-    clustering tables. Training is deterministic (seeded k-means /
-    hash-ordered sampling), so memoized == fresh, and the training
-    path itself stays independently exercised by the recall/twin
-    gates in test_operators.py and test_similarity_pq.py, which call
-    the operators directly."""
-    k = (id(spark), sf_dir, key)
-    if k not in _STAGED_OBJS:
-        _STAGED_OBJS[k] = fn()
-    return _STAGED_OBJS[k]
-
-
-def _staged_lineitem_clone(spark, sf_dir, predicate=None,
-                           maintain_key="", maintain=None):
-    """A fresh mutable Delta table of lineitem (optionally filtered,
-    optionally pre-maintained), served as a SHALLOW CLONE of a
-    session-cached base table.
-
-    The clustering-maintenance queries (Z-order / Hilbert / liquid)
-    each need a clustered Delta table; building one from parquet AND
-    running the table-scale OPTIMIZE used to dominate their bench time
-    (the scan under test was a fraction of the recorded cost). The
-    base write and the one-time ``maintain`` step (keyed by
-    ``maintain_key``) now happen once per (session, sf_dir, predicate,
-    maintain_key); every query gets its own metadata-only clone (zero
-    data copy, clustering domain carried), so what the query times is
-    what it actually exercises — the clustered scan, or append-scale
-    INCREMENTAL maintenance on the clone. Full-table maintenance
-    semantics stay pinned by pytest (tests/test_clustering_ddl.py) and
-    by the oracle comparing the post-maintenance scan values.
-    Correctness is unchanged — the clone's live snapshot is
-    byte-identical to a fresh write + maintenance."""
+    r13: the r12 session-level staging cache (and bench.py's untimed
+    ``prestage_session_artifacts``) served these queries a shallow
+    clone of a pre-maintained base, so the bench reported scan-only
+    numbers under names that promise build + maintenance + scan (r12
+    verdict, gaming item 1). Reverted: every call builds and
+    maintains its own table, so the recorded time covers everything
+    the query does in a fresh session."""
     from .table import DeltaTable
-    key = (id(spark), sf_dir, predicate or "", maintain_key)
-    path = _STAGED_DELTA.get(key)
-    if path is None or not os.path.isdir(
-            os.path.join(path, "_delta_log")):
-        li = _t(spark, sf_dir, "lineitem")
-        if predicate:
-            li = li.filter(predicate)
-        path = tempfile.mkdtemp(prefix="xdlake_stage_li_")
-        t = DeltaTable(spark, path).write(li)
-        if maintain is not None:
-            maintain(t)
-        _STAGED_DELTA[key] = path
-    return DeltaTable(spark, path).clone(_delta_tmp())
+    li = _t(spark, sf_dir, "lineitem")
+    if predicate:
+        li = li.filter(predicate)
+    path = tempfile.mkdtemp(prefix="xdlake_q_li_")
+    t = DeltaTable(spark, path).write(li)
+    if maintain is not None:
+        maintain(t)
+    return DeltaTable(spark, path)
 
 
 @register("delta_roundtrip_scan", """
@@ -1585,8 +1524,8 @@ SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
 FROM lineitem WHERE l_partkey <= 50
 """)
 def delta_zorder(spark, sf_dir):
-    t = _staged_lineitem_clone(
-        spark, sf_dir, maintain_key="zorder",
+    t = _maintained_lineitem_table(
+        spark, sf_dir,
         maintain=lambda t: t.optimize(
             zorder_by=["l_partkey", "l_suppkey"],
             target_file_size=256 * 1024))
@@ -1604,8 +1543,8 @@ def delta_hilbert(spark, sf_dir):
     as Z-order but consecutive rows stay L1-adjacent in rank space, so
     per-file min/max envelopes on BOTH columns are tight and the
     two-column predicate prunes files before any Spark job."""
-    t = _staged_lineitem_clone(
-        spark, sf_dir, maintain_key="hilbert",
+    t = _maintained_lineitem_table(
+        spark, sf_dir,
         maintain=lambda t: t.optimize(
             hilbert_by=["l_partkey", "l_suppkey"],
             target_file_size=256 * 1024))
@@ -1625,8 +1564,8 @@ def delta_clustered_optimize(spark, sf_dir):
     bare OPTIMIZE picks the domain up and Hilbert-clusters the live
     files — delta-spark's lazy clustered-table maintenance model. The
     scan after maintenance must equal the plain relational result."""
-    t = _staged_lineitem_clone(
-        spark, sf_dir, maintain_key="clustered",
+    t = _maintained_lineitem_table(
+        spark, sf_dir,
         maintain=lambda t: t.cluster_by(["l_partkey", "l_suppkey"])
         .optimize(target_file_size=256 * 1024))  # no explicit columns
     return (t.to_df(where="l_partkey <= 50 AND l_suppkey <= 5")
@@ -1646,9 +1585,8 @@ def delta_clustered_incremental(spark, sf_dir):
     asserted here, not just in pytest), and the scan afterwards must
     equal the plain relational result."""
     li = _t(spark, sf_dir, "lineitem")
-    t = _staged_lineitem_clone(
+    t = _maintained_lineitem_table(
         spark, sf_dir, predicate="l_orderkey % 2 = 0",
-        maintain_key="clustered_even",
         maintain=lambda t: t.cluster_by(["l_partkey", "l_suppkey"])
         .optimize(target_file_size=256 * 1024, min_cube_size=0))
     stable = set(t.adds)
