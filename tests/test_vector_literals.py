@@ -97,9 +97,14 @@ class TestFusedHyperplaneSignature:
         assert bad == 0
 
     def test_null_and_short_vectors_null_signature(self, spark):
+        # includes an OVERSIZED vector (r12 advice): the per-plane
+        # zip_with form null-padded the PLANE side there, so its
+        # signature was NULL — the fused form must not silently
+        # truncate to the first d dims instead
         planes = np.random.default_rng(14).standard_normal((3, 6))
         df = spark.createDataFrame(
-            [([0.5] * 6,), ([0.5] * 2,), ([None, 0.5, 0.5, 0.5, 0.5, 0.5],)],
+            [([0.5] * 6,), ([0.5] * 2,), ([None, 0.5, 0.5, 0.5, 0.5, 0.5],),
+             ([0.5] * 9,)],
             "v: array<double>")
         rows = df.select(
             self._unfused(F.col("v"), planes).alias("o"),
@@ -107,6 +112,11 @@ class TestFusedHyperplaneSignature:
         for r in rows:
             assert r["o"] == r["n"]
         assert rows[1]["n"] is None and rows[2]["n"] is None
+        assert rows[3]["n"] is None
+
+    def test_ragged_planes_rejected(self, spark):
+        with pytest.raises(AssertionError):
+            hyperplane_signature(F.col("v"), [[1.0, 2.0], [3.0]])
 
     def test_dot_parity_with_literal_vector(self, spark):
         # the fused fold must keep dot()'s summation order: compare the

@@ -54,7 +54,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     outs = []
     for tree in (old_tree, new_tree):
-        out = tempfile.mktemp(prefix="diffq-")
+        fd, out = tempfile.mkstemp(prefix="diffq-")
+        os.close(fd)
         env = dict(os.environ, PYTHONPATH=tree)
         r = subprocess.run([sys.executable, "-c", RUNNER, tree, out,
                             sf_dir, *names], env=env,

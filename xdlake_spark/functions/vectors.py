@@ -157,8 +157,15 @@ def _hyperplane_signature_fused(a: Column, planes) -> Column:
     48 HOF trees ~ 3-10 s of plan construction); this builds two.
     The inner fold visits dimensions in the same ascending order with
     the same double arithmetic as ``dot``, so every bit — and the
-    concatenated signature string — is identical."""
+    concatenated signature string — is identical, INCLUDING the
+    dim-mismatch edges (r12 advice): an input shorter than d nulls
+    out via ``F.get`` past its end, and an input LONGER than d is
+    nulled explicitly below (the per-plane ``zip_with`` form
+    null-padded the plane side, so its dot — and signature — was NULL
+    there too; the fused ``F.get`` reads would silently truncate)."""
     n, d = len(planes), len(planes[0])
+    assert all(len(r) == d for r in planes), \
+        "hyperplane rows must share one dimension"
     flat = lit_doubles([float(x) for r in planes for x in r])
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(n - 1)),
@@ -169,8 +176,8 @@ def _hyperplane_signature_fused(a: Column, planes) -> Column:
             * F.get(flat, i * d + j)) >= 0).cast("int").cast("string"))
     # fold with concat (NOT concat_ws): a null bit — short/null vector
     # — nulls the whole signature, exactly as the unfused concat did
-    return F.aggregate(bits, F.lit(""),
-                       lambda acc, b: F.concat(acc, b))
+    sig = F.aggregate(bits, F.lit(""), lambda acc, b: F.concat(acc, b))
+    return F.when(F.size(a) <= F.lit(d), sig)
 
 
 def hyperplane_signature(a: Column, planes) -> Column:

@@ -181,20 +181,23 @@ def apply_bpe(df: DataFrame, merges: "DataFrame | list",
     collected to the driver (it is vocab-sized — thousands of rows) and
     shipped inside the UDF closure; the corpus never moves.
 
-    Per-task word memo (r12): merge replay is a pure function of the
-    word and corpus word frequency is Zipfian — most occurrences are
-    repeats — so each task tokenizes a distinct word once and serves
-    repeats from a dict (the ``lru_cache`` in the released GPT-2
-    encoder, same rationale). Bounded by ``_MEMO_CAP`` entries so a
-    pathological task cannot hoard memory."""
+    Per-worker word memo (r12; hoisted out of the UDF body in r13 —
+    Spark invokes a pandas UDF once per Arrow batch, so a memo created
+    inside it lost the Zipfian reuse ACROSS batches): merge replay is
+    a pure function of the word and corpus word frequency is Zipfian —
+    most occurrences are repeats — so each Python worker tokenizes a
+    distinct word once and serves repeats from a dict (the
+    ``lru_cache`` in the released GPT-2 encoder, same rationale).
+    Bounded by ``_MEMO_CAP`` entries so a pathological worker cannot
+    hoard memory."""
     if isinstance(merges, DataFrame):
         rows = merges.orderBy("rank").collect()
         merge_list = [(r["left"], r["right"]) for r in rows]
     else:
         merge_list = list(merges)
+    memo: dict = {}
 
     def run(texts: pd.Series) -> pd.Series:
-        memo: dict = {}
         out = []
         for t in texts:
             t = (t or "")

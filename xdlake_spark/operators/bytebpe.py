@@ -159,11 +159,12 @@ def apply_byte_bpe(df: DataFrame, merges: "DataFrame | list",
     order within each pre-token. Returns ``(id, tokens, n_tokens)``;
     ``units_to_text("".join(tokens))`` reconstructs the text exactly
     (no [UNK], pinned in tests). The merge list ships in the UDF
-    closure (vocab-sized); the corpus never moves. Per-task pre-token
-    memo (r12): merge replay is a pure function of the pre-token and
-    pre-token frequency is Zipfian, so each task replays a distinct
-    pre-token once and serves repeats from a dict — the ``lru_cache``
-    of the released GPT-2 encoder."""
+    closure (vocab-sized); the corpus never moves. Per-worker
+    pre-token memo (r12; hoisted out of the per-Arrow-batch UDF body
+    in r13 so reuse survives across batches): merge replay is a pure
+    function of the pre-token and pre-token frequency is Zipfian, so
+    each worker replays a distinct pre-token once and serves repeats
+    from a dict — the ``lru_cache`` of the released GPT-2 encoder."""
     import regex as _rx
 
     from .bpe import _MEMO_CAP
@@ -173,9 +174,9 @@ def apply_byte_bpe(df: DataFrame, merges: "DataFrame | list",
     else:
         merge_list = list(merges)
     pat = _rx.compile(GPT2_SPLIT)
+    memo: dict = {}
 
     def run(texts: pd.Series) -> pd.Series:
-        memo: dict = {}
         out = []
         for t in texts:
             toks: list = []

@@ -284,10 +284,11 @@ def apply_unigram(df: DataFrame, vocab: "DataFrame | dict",
     """Tokenize with a trained vocab: ``(id, n_tokens, n_unk)`` per
     document — Viterbi per word inside one Arrow-batched pass, the
     vocab riding in the closure. ``id`` keeps the input column's native
-    type (same posture as :func:`~.bpe.apply_bpe`). Per-task word memo
-    (r12): Viterbi is a pure function of the word and word frequency is
-    Zipfian, so each task segments a distinct word once and serves
-    repeats from a dict."""
+    type (same posture as :func:`~.bpe.apply_bpe`). Per-worker word
+    memo (r12; hoisted out of the per-Arrow-batch UDF body in r13 so
+    reuse survives across batches): Viterbi is a pure function of the
+    word and word frequency is Zipfian, so each worker segments a
+    distinct word once and serves repeats from a dict."""
     from .bpe import _MEMO_CAP
 
     if isinstance(vocab, DataFrame):
@@ -296,9 +297,9 @@ def apply_unigram(df: DataFrame, vocab: "DataFrame | dict",
     else:
         logp = dict(vocab)
     known = set(logp)
+    memo: dict = {}
 
     def run(texts: pd.Series) -> pd.DataFrame:
-        memo: dict = {}
         n_toks, n_unks = [], []
         for text in texts:
             toks = 0

@@ -221,15 +221,16 @@ def apply_wordpiece(df: DataFrame, vocab: "list[str] | set[str]",
     inference algorithm): per word, take the longest vocabulary prefix
     (continuations matched with the ``##`` form), emit ``[UNK]`` for a
     word with any unmatchable position. The vocab ships in the UDF
-    closure (vocab-sized); the corpus never moves. Per-task word memo
-    (r12): greedy matching is a pure function of the word and word
-    frequency is Zipfian, so each task matches a distinct word once
-    and serves repeats from a dict."""
+    closure (vocab-sized); the corpus never moves. Per-worker word
+    memo (r12; hoisted out of the per-Arrow-batch UDF body in r13 so
+    reuse survives across batches): greedy matching is a pure function
+    of the word and word frequency is Zipfian, so each worker matches
+    a distinct word once and serves repeats from a dict."""
     from .bpe import _MEMO_CAP
     vset = set(vocab)
+    memo: dict = {}
 
     def run(texts: pd.Series) -> pd.Series:
-        memo: dict = {}
         out = []
         for t in texts:
             t = (t or "")
