@@ -438,6 +438,24 @@ class DeltaLog:
         log._compacted_used = compacted_used
         return log
 
+    def with_entry(self, version: int, entry: DeltaLogEntry
+                   ) -> "DeltaLog":
+        """Snapshot state after committing ``entry`` at ``version``,
+        WITHOUT re-listing or re-reading the log directory: the
+        put-if-absent commit either wrote exactly these bytes or
+        raised, and version numbering is dense, so this log plus the
+        one committed entry IS the on-disk state. O(1) per commit
+        instead of the O(versions) re-read a full reload pays — on a
+        multi-commit lifecycle operation the reload cost is quadratic
+        in commit count, and at 100 TB each reload is a remote LIST
+        plus one GET per JSON commit.
+        """
+        new = DeltaLog({**self.entries, version: entry})
+        new._lazy_json = dict(self._lazy_json)
+        new._location = self._location
+        new._compacted_used = list(self._compacted_used)
+        return new
+
     # -- snapshot state ------------------------------------------------------
 
     def __bool__(self) -> bool:

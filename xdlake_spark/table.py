@@ -3104,6 +3104,29 @@ class DeltaTable:
                          "writerFeatures": sorted(wf)}
             entry.actions[idx] = np_
 
+    def _advance(self, entry: DeltaLogEntry) -> "DeltaTable":
+        """Post-commit snapshot handle built from the in-memory log +
+        the just-committed entry (log.with_entry) — no directory
+        re-list, no re-read of every JSON commit. A lifecycle query
+        that lands V commits previously re-read O(V²) log files across
+        its refreshes; driver time, pure overhead (guide §7.3 — the
+        "nothing is running" gap between Spark jobs). Checkpoint and
+        log-cleanup writes still reload fully (they change which files
+        back the state)."""
+        new = object.__new__(type(self))
+        new.spark = self.spark
+        new.storage_options = self.storage_options
+        new.location = self.location
+        new.log_location = self.log_location
+        new.pinned_version = None
+        new.log = self.log.with_entry(self._version_to_write, entry)
+        new._version_to_write = new.log.version_to_write
+        new.adds = new.log.add_actions()
+        new.partition_columns = (new.log.partition_columns()
+                                 if new.log else [])
+        new.schema = new.log.schema() if new.log else None
+        return new
+
     def _commit(self, entry: DeltaLogEntry) -> "DeltaTable":
         self._ensure_type_features(entry)
         self._check_writer_protocol(entry)
@@ -3130,7 +3153,7 @@ class DeltaTable:
             self._stamp_ict(entry)
         with self.commit_context(self._version_to_write):
             commit_entry(self.log_location, self._version_to_write, entry)
-        new = type(self)(self.spark, self.location, self.log_location)
+        new = self._advance(entry)
         # delta-spark parity: a {version}.crc VersionChecksum rides
         # every commit (best-effort — never a commit failure). The
         # committed entry + the pre-commit live-file dict enable the
@@ -4981,7 +5004,19 @@ class DeltaTable:
 
         total_bytes = sum(a.size for a in scope.values())
         n_out = max(1, -(-total_bytes // target_file_size))  # ceil
-        clustered = (ranked.withColumn("__z", z)
+        # materialize the curve key ONCE (lazily): repartitionByRange
+        # samples its input to pick range boundaries, so without the
+        # checkpoint the scan + rank filters + curve kernel ran THREE
+        # times per rewrite — once for the sample, once for the
+        # exchange, (plus the quantile scan above) — and the Hilbert
+        # pandas-UDF recompute dominated the rewrite (r13 profile:
+        # 3 × ~3.5 s jobs in delta_zorder_scan). The sample pass now
+        # doubles as the materializer and the exchange re-reads the
+        # persisted blocks. Memory is bounded by the rewrite scope
+        # (incremental maintenance rewrites new data, never the table).
+        keyed_src = ranked.withColumn("__z", z) \
+            .localCheckpoint(eager=False)
+        clustered = (keyed_src
                      .repartitionByRange(n_out, "__z")
                      .sortWithinPartitions("__z")
                      .drop("__z", *[f"__r{j}"
