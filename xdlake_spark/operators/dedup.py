@@ -382,13 +382,24 @@ def contamination_pairs(train: DataFrame, eval_df: DataFrame,
     # tr_inv twice (hot-shingle count + anti-join): with a single
     # consumer, a checkpoint would materialize the corpus-scale train
     # shingle table for no reuse — at 100 TB that is a full extra write
-    # of the corpus to executor storage, and at bench scale a
-    # serialized materialize job on the critical path (r12, guide §5)
+    # of the corpus to executor storage (r12, guide §5)
     tr = inv(train, "train")
     if max_doc_freq is not None:
         tr = tr.localCheckpoint(eager=False)
     ev = inv(eval_df, "eval").localCheckpoint(eager=False)
-    tr_inv = (tr.select("train_id", F.explode("sh").alias("__s"))
+    # explode_OUTER + isNotNull, not explode (r13, settles the r12
+    # contamination_check regression): a plain non-outer Generate
+    # makes the optimizer insert a size(sh) > 0 filter and PUSH IT
+    # BELOW the projection, so every train doc computed the whole
+    # shingles() split/transform/array_distinct expression TWICE —
+    # once in the pushed filter, once in the projection (the r11 form
+    # only dodged this because its checkpoint was a pushdown barrier).
+    # explode_outer inserts no such filter; empty/null shingle arrays
+    # surface as one null row dropped right after the Generate. A/B
+    # min-of-6, 32 cores, sf0.1: plain 4.35 s / checkpoint 0.98 s /
+    # explode_outer 0.97 s — same result rows in all three forms.
+    tr_inv = (tr.select("train_id", F.explode_outer("sh").alias("__s"))
+              .filter(F.col("__s").isNotNull())
               .select("train_id", F.xxhash64("__s").alias("shingle")))
     ev_inv = (ev.select("eval_id", F.explode("sh").alias("__s"))
               .select("eval_id", F.xxhash64("__s").alias("shingle")))
