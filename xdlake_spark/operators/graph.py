@@ -263,18 +263,31 @@ def deterministic_walks(edges: DataFrame, length: int = 4,
     full edge list against the walk table every round — edge-scale
     work per step, with hash-min fan-in hotspots when many walks
     converge on one hub node; the successor-table form does the
-    per-neighbor work exactly once per (step, node) and the walk joins
-    move only 2-long rows. Lazy checkpoints keep every step
-    materialized once inside the single output action; walk state is
-    (start, cur), never a growing path column.
+    per-neighbor work exactly once per (step, node). The walk
+    composition itself is ONE lazy plan (r13): ``length`` chained
+    joins against the checkpointed successor table accumulate the
+    visited nodes as columns — at most ``length + 1`` longs per row,
+    bounded by the walk length — and a single posexplode emits
+    (step, node); no per-step materialization, no (length+1)-branch
+    union.
     """
     und = _canonical_undirected(
         edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst")))
+    # spread the adjacency across the cluster BEFORE the successor
+    # aggregation: the seeded-md5 argmin below evaluates an md5 per
+    # (step, cur, nxt) on the map side of fn's exchange, and AQE's
+    # coalescing parks the small checkpointed union on a handful of
+    # partitions (r13 profile: one 2.8 s stage on 4 tasks at 32
+    # cores). A keyed repartition (no round-robin pre-sort) pinned to
+    # defaultParallelism is scale-adaptive: ~1/length of the exchange
+    # the aggregation already pays, and it parallelizes the md5 work.
+    par = edges.sparkSession.sparkContext.defaultParallelism
     adj = (und.select(F.col("lo").alias("cur"),
                       F.col("hi").alias("nxt"))
            .unionAll(und.select(F.col("hi").alias("cur"),
                                 F.col("lo").alias("nxt")))
+           .repartition(par, "cur")
            .localCheckpoint(eager=False))
     seeded = F.concat(F.lit(f"{seed}:"), F.col("step").cast("string"),
                       F.lit(":"), F.col("cur").cast("string"),
@@ -292,17 +305,26 @@ def deterministic_walks(edges: DataFrame, length: int = 4,
                               F.col("nxt").alias("n"))).alias("m"))
           .select("step", "cur", F.col("m.n").alias("nxt"))
           .localCheckpoint(eager=False))
-    walk = (adj.select(F.col("cur").alias("start")).distinct()
-            .withColumn("cur", F.col("start")))
-    out = walk.select("start", F.lit(0).alias("step"),
-                      F.col("cur").alias("node"))
+    # compose the walk as ONE plan: length chained (node-scale) joins
+    # against the checkpointed successor table accumulate the visited
+    # nodes as COLUMNS, and a single posexplode emits (step, node) —
+    # no per-step localCheckpoint, no (length+1)-branch union. The
+    # prior per-step form materialized each step and unioned L+1
+    # branches, costing per-step scheduling that dominated at bench SF
+    # (r13, guide §2.4/§7). Every node has a successor at every step
+    # (the adjacency is symmetric and fn covers steps 1..length for
+    # every node with a neighbor), so the inner joins drop nothing and
+    # the emitted rows are identical to the per-step form's.
+    walk = adj.select(F.col("cur").alias("n0")).distinct()
     for step in range(1, length + 1):
-        nxt = (walk.join(fn.filter(F.col("step") == step)
-                         .select("cur", "nxt"), "cur")
-               .select("start", F.col("nxt").alias("cur"))
-               .localCheckpoint(eager=False))
-        out = out.unionAll(nxt.select("start",
-                                      F.lit(step).alias("step"),
-                                      F.col("cur").alias("node")))
-        walk = nxt
-    return out
+        fk = (fn.filter(F.col("step") == step)
+              .select(F.col("cur").alias(f"__k{step}"),
+                      F.col("nxt").alias(f"n{step}")))
+        walk = (walk.join(fk, F.col(f"n{step - 1}")
+                          == F.col(f"__k{step}"))
+                .drop(f"__k{step}"))
+    return walk.select(
+        F.col("n0").alias("start"),
+        F.posexplode(F.array(*[F.col(f"n{k}")
+                               for k in range(length + 1)]))
+        .alias("step", "node"))
