@@ -176,6 +176,22 @@ HEADLINE = [
 ]
 
 
+def _unpersist_all(spark) -> None:
+    """Post-query sweep (r13, verdict item 8): queries are independent,
+    so any block a finished query left persisted — localCheckpoint
+    RDDs especially, which spark.catalog.clearCache() does NOT touch —
+    is dead weight that inflates later queries' GC pauses on a loaded
+    host. Unpersist every persistent RDD explicitly instead of waiting
+    for the periodic ContextCleaner GC to find them."""
+    try:
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+    except Exception:
+        pass
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -252,8 +268,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.time() - t0)
             if i % 5 == 4:  # drop dead checkpoint blocks between queries
-                spark.catalog.clearCache()
-                spark.sparkContext._jvm.System.gc()
+                _unpersist_all(spark)
         pass_load.append({"pass": pass_i + 1,
                           "load_before": load0,
                           "load_after": _loadavg(),
@@ -310,8 +325,7 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             tail_skipped[name] = f"error: {str(e)[:80]}"
         if i % 5 == 4:
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
+            _unpersist_all(spark)
     print(f"# tail tier: {len(tail_s)} queries in "
           f"{time.time() - t_tail:.1f}s, {len(tail_skipped)} skipped",
           file=sys.stderr)
