@@ -2380,10 +2380,14 @@ def delta_iceberg_bucket_equality_import(spark, sf_dir):
     oid = next(f["id"] for f in md["schemas"][0]["fields"]
                if f["name"] == "l_orderkey")
 
-    # equality-delete file: the VALUES to delete (keys % 13 == 0)
-    keys = sorted(r["l_orderkey"] for r in
-                  li.filter("l_orderkey % 13 = 0")
-                  .select("l_orderkey").distinct().collect())
+    # equality-delete file: the VALUES to delete (keys % 13 == 0);
+    # arrow toPandas — the pickled-Row collect serialized each key
+    # individually (r13)
+    from .table import _arrow_conversion
+    with _arrow_conversion(spark):
+        keys = sorted(int(k) for k in li.filter("l_orderkey % 13 = 0")
+                      .select("l_orderkey").distinct()
+                      .toPandas()["l_orderkey"].to_numpy())
     del_path = _os.path.join(meta_dir, "eq-delete-0.parquet")
     _pq.write_table(_pa.table(
         {"l_orderkey": _pa.array(keys, type=_pa.int64())}), del_path)

@@ -23,6 +23,7 @@ Scale design (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import contextlib
 import json
 import logging
 import os
@@ -71,6 +72,28 @@ from .sources.inputs import union_dataframe
 from .sources.storage import Location
 
 _logger = logging.getLogger(__name__)
+
+
+@contextlib.contextmanager
+def _arrow_conversion(spark):
+    """Temporarily enable Arrow for driver<->JVM DataFrame conversion
+    (createDataFrame-from-pandas / toPandas). The pickled-row fallback
+    serializes one row at a time and, schemaless, runs type inference
+    per value — seconds of driver time at tens of thousands of rows
+    (guide §6: arrow.pyspark.enabled is the documented fix; scoped here
+    so the session's other conversions keep configured behavior)."""
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    old = None
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        pass
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
 
 
 class CommitConflictError(FileExistsError):
@@ -3904,10 +3927,21 @@ class DeltaTable:
         """(file, position) deleted-row pairs → join-ready DataFrame.
         Broadcast while small; past ``_DV_BROADCAST_MAX`` positions it
         stays a plain frame (shuffle join) so a heavily-DV'd table
-        can't OOM the driver or executors on the broadcast."""
+        can't OOM the driver or executors on the broadcast.
+
+        The schema is EXPLICIT and the pandas→Spark hop goes through
+        Arrow (r13, guide §4/§6): schemaless createDataFrame inferred
+        and merged types over every decoded position — 3.2 s of pure
+        driver time at 46k positions (cProfile: _merge_type dominated
+        delta_iceberg_bucket_equality_import) — and the pickled-row
+        fallback serialized each pair individually. Arrow moves the
+        whole frame in one columnar batch; the conf is restored so the
+        session's other conversions keep their configured behavior."""
         import pandas as pd
-        df = self.spark.createDataFrame(
-            pd.DataFrame(rows, columns=["__dv_file", "__dv_pos"]))
+        pdf = pd.DataFrame(rows, columns=["__dv_file", "__dv_pos"])
+        with _arrow_conversion(self.spark):
+            df = self.spark.createDataFrame(
+                pdf, schema="__dv_file string, __dv_pos bigint")
         if len(rows) <= self._DV_BROADCAST_MAX:
             df = F.broadcast(df)
         return df
@@ -4665,14 +4699,20 @@ class DeltaTable:
             cond = reduce(lambda a, b: a & b,
                           [F.col(c).eqNullSafe(F.col(f"__d_{c}"))
                            for c in cols])
-            hits = (data.join(dd, cond, "inner")
-                    .join(F.broadcast(seq_df), "__nfp")
-                    .filter(F.col("__fseq") < F.col("__dseq"))
-                    .select("__nfp", "__pos").distinct().collect())
-            for r in hits:
-                p = norm_of.get(r["__nfp"])
+            # Arrow toPandas, not collect(): the matched positions are
+            # tens of thousands of (path, pos) pairs and the pickled
+            # Row path serialized each one individually (r13 cProfile:
+            # 1.4 s of the import's driver time)
+            with _arrow_conversion(self.spark):
+                hits = (data.join(dd, cond, "inner")
+                        .join(F.broadcast(seq_df), "__nfp")
+                        .filter(F.col("__fseq") < F.col("__dseq"))
+                        .select("__nfp", "__pos").distinct().toPandas())
+            for nfp, pos in zip(hits["__nfp"].to_numpy(),
+                                hits["__pos"].to_numpy()):
+                p = norm_of.get(nfp)
                 if p is not None:
-                    per_file.setdefault(p, set()).add(int(r["__pos"]))
+                    per_file.setdefault(p, set()).add(int(pos))
         return per_file
 
     def _attach_iceberg_dv_map(self, new_adds: "list[Add]",
@@ -4977,8 +5017,15 @@ class DeltaTable:
         probs = [i / (1 << n_bits) for i in range(1, 1 << n_bits)]
         # ONE quantile job for ALL curve columns (multi-column
         # approxQuantile) — the per-column form re-scanned the input
-        # once per column, a 2-4x planning-cost tax on every rewrite
-        all_cuts = df.approxQuantile(list(columns), probs, 0.01)
+        # once per column, a 2-4x planning-cost tax on every rewrite.
+        # relativeError 0.02, not 0.01 (r13): the sketch's per-row
+        # insert/compress cost dominates this job (measured 2.2 s ->
+        # 1.4 s on the bench lineitem) and 0.01 already collapsed the
+        # 255 requested probes to ~75 distinct cuts — rank boundaries
+        # only steer file layout (equi-depth-ish cube fill and min/max
+        # tightness), never query results, and delta-spark's own range
+        # partitioning samples far coarser than either setting.
+        all_cuts = df.approxQuantile(list(columns), probs, 0.02)
         rank_cols = []
         for c, cuts in zip(columns, all_cuts):
             # rank = #quantile boundaries strictly below the value; an
