@@ -89,3 +89,61 @@ def hilbert_key_udf(n_bits: int):
         return pd.Series(hilbert_index(ranks, n_bits).astype(np.int64))
 
     return pandas_udf(_key, "long")
+
+
+def zorder_index(ranks: np.ndarray, n_bits: int) -> np.ndarray:
+    """Bit-interleaved Z-value of integer coordinates: bit ``b`` of
+    column ``j`` lands at output position ``b*d + j`` — the exact
+    layout table._zorder's JVM shift/mask expression chain produced.
+
+    ``ranks``: (N, d) non-negative ints, each < 2**n_bits.
+    Returns (N,) uint64.
+    """
+    X = np.ascontiguousarray(ranks).astype(np.uint64)
+    n_rows, d = X.shape
+    one = np.uint64(1)
+    out = np.zeros(n_rows, dtype=np.uint64)
+    for b in range(n_bits):
+        for j in range(d):
+            out |= ((X[:, j] >> np.uint64(b)) & one) \
+                << np.uint64(b * d + j)
+    return out
+
+
+def curve_key_udf(cuts_per_col: "list[np.ndarray]", n_bits: int,
+                  curve: str):
+    """Arrow-batched pandas UDF: the RAW curve columns -> long curve
+    key, with the per-column quantile rank folded in via
+    ``np.searchsorted`` (r13, guide §4.2).
+
+    The prior form computed each rank as a JVM higher-order filter
+    over a per-cut literal array (``size(filter(cuts, b -> col > b))``
+    — interpreted, one pass over up to 255 literals per row per
+    column) and the Z-value as a 2*n_bits*d-term shift/add expression
+    chain; one vectorized numpy kernel over the Arrow batch computes
+    the identical integers 4x faster (measured 2.5 s -> 0.6 s on the
+    bench lineitem). ``searchsorted(cuts, v, side='left')`` counts
+    cuts strictly below v — exactly the old ``col > b`` filter count.
+    NULLs arrive as NaN and rank past every cut (the old filter ranked
+    NULL at 0; data-NaN ranked past every cut in both forms) — rank
+    placement steers file layout only, never query results.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cuts = [np.ascontiguousarray(c, dtype=np.float64)
+            for c in cuts_per_col]
+
+    def _key(*cols):
+        ranks = np.column_stack([
+            np.searchsorted(cs, c.to_numpy(dtype=np.float64,
+                                           na_value=np.nan),
+                            side="left")
+            for cs, c in zip(cuts, cols)])
+        if curve == "hilbert":
+            out = hilbert_index(ranks, n_bits)
+        else:
+            out = zorder_index(ranks, n_bits)
+        return pd.Series(out.astype(np.int64))
+
+    return pandas_udf(_key, "long")
